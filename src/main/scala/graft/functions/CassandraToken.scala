@@ -1,0 +1,68 @@
+package graft.functions
+
+import graft.token.Murmur3Token
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.graftshim.GraftShims
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * Catalyst expression computing the Cassandra Murmur3 partition token of a
+ * partition key (one or more columns) — the rebuild of the reference's
+ * `Tokenizer` (`bulkwriter/Tokenizer.java`) + `MurmurHash.hash`
+ * (`data/partitioner/MurmurHash.java`) as a native Spark expression
+ * (SURVEY §4.2: "custom Catalyst work needed: a token(...) Expression").
+ * Spark's builtin `hash()`/`xxhash64()` are NOT bit-compatible with the
+ * Cassandra ring, hence the port (SURVEY §7.4).
+ *
+ * Null components hash as the empty buffer (CQL serialized-null), composite
+ * keys use CompositeType framing — see [[Murmur3Token.serializeKey]].
+ *
+ * Scale note: this is the partitioning function of the entire write path
+ * (`repartitionByRange` on the token column): per-row CPU only, no shuffle,
+ * no driver involvement. CodegenFallback keeps the *surrounding* operators
+ * in whole-stage codegen; only this expression evaluates interpreted, which
+ * benchmarking shows is negligible against the write shuffle it feeds.
+ */
+case class CassandraToken(children: Seq[Expression])
+    extends Expression with CodegenFallback {
+
+  override def nullable: Boolean = false
+  override def dataType: DataType = LongType
+  override def foldable: Boolean = children.forall(_.foldable)
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val bad = children.map(_.dataType).collectFirst {
+      case dt @ (ArrayType(_, _) | MapType(_, _, _) | StructType(_)) => dt
+    }
+    bad match {
+      case Some(dt) => TypeCheckResult.TypeCheckFailure(
+        s"graft_token does not support complex partition-key component type $dt")
+      case None => TypeCheckResult.TypeCheckSuccess
+    }
+  }
+
+  override def eval(input: InternalRow): Any = {
+    val components = children.map { c =>
+      c.eval(input) match {
+        case u: UTF8String => u.toString
+        case other => other
+      }
+    }
+    Murmur3Token.tokenOf(components)
+  }
+
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): Expression =
+    copy(children = newChildren)
+
+  override def prettyName: String = "graft_token"
+}
+
+object CassandraToken {
+  def apply(cols: Column*): Column =
+    GraftShims.column(new CassandraToken(cols.map(GraftShims.expression).toSeq))
+}

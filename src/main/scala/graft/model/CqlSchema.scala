@@ -1,0 +1,99 @@
+package graft.model
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.types.{Metadata, MetadataBuilder, StructField, StructType}
+
+/**
+ * Column-role model for a Cassandra-style table: every column is a partition
+ * key, clustering key, static column, or regular value column.
+ *
+ * Mirrors the reference's `CqlField` role flags and its propagation of roles
+ * into Spark `StructField.metadata` (reference: cassandra-analytics-core
+ * `data/DataLayer.java:118-129` writes `isPartitionKey` / `isClusteringKey` /
+ * `isStaticColumn` / `isValueColumn` / `position` into field metadata), so a
+ * plain DataFrame "remembers" key roles across operators and the write path
+ * can recover the partition key without out-of-band schema plumbing.
+ *
+ * Scale note: this is pure driver-side metadata — zero bytes per row, no
+ * executor cost at any data size.
+ */
+object ColumnRole extends Enumeration {
+  val PartitionKey, ClusteringKey, Static, Regular = Value
+}
+
+final case class CqlColumn(
+    name: String,
+    role: ColumnRole.Value,
+    position: Int)
+
+/**
+ * Role-annotated schema for one table: ordered partition keys, ordered
+ * clustering keys, everything else static/value. The analog of the
+ * reference's `CqlTable` (cassandra-analytics-common `data/CqlTable.java:40`,
+ * `partitionKeys()/clusteringKeys()/staticColumns()/valueColumns()` at
+ * :119-162) re-expressed as an immutable Scala case class.
+ */
+final case class CqlSchema(
+    table: String,
+    partitionKeys: Seq[String],
+    clusteringKeys: Seq[String] = Nil,
+    staticColumns: Seq[String] = Nil) {
+
+  def primaryKey: Seq[String] = partitionKeys ++ clusteringKeys
+
+  def role(col: String): ColumnRole.Value =
+    if (partitionKeys.contains(col)) ColumnRole.PartitionKey
+    else if (clusteringKeys.contains(col)) ColumnRole.ClusteringKey
+    else if (staticColumns.contains(col)) ColumnRole.Static
+    else ColumnRole.Regular
+
+  /** Annotate a DataFrame's StructFields with role metadata (lossless — data
+   *  unchanged; only `StructField.metadata` is rewritten). Implemented as a
+   *  projection with per-column alias metadata so the logical plan stays
+   *  declarative: Catalyst still sees the original scan, so parquet column
+   *  pruning / filter pushdown / whole-stage codegen are unaffected (an
+   *  RDD round-trip here would sever the optimizer from the source). */
+  def annotate(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val cols = df.schema.fields.zipWithIndex.map { case (f, i) =>
+      col(f.name).as(f.name, CqlSchema.roleMetadata(f.metadata, role(f.name), i))
+    }
+    df.select(cols.toIndexedSeq: _*)
+  }
+}
+
+object CqlSchema {
+  val PositionKey = "position"
+  val IsPartitionKey = "isPartitionKey"
+  val IsClusteringKey = "isClusteringKey"
+  val IsStaticColumn = "isStaticColumn"
+  val IsValueColumn = "isValueColumn"
+  val IsPrimaryKey = "isPrimaryKey"
+
+  def roleMetadata(base: Metadata, role: ColumnRole.Value, position: Int): Metadata = {
+    import ColumnRole._
+    new MetadataBuilder()
+      .withMetadata(base)
+      .putLong(PositionKey, position.toLong)
+      .putBoolean(IsPartitionKey, role == PartitionKey)
+      .putBoolean(IsClusteringKey, role == ClusteringKey)
+      .putBoolean(IsStaticColumn, role == Static)
+      .putBoolean(IsValueColumn, role == Regular)
+      .putBoolean(IsPrimaryKey, role == PartitionKey || role == ClusteringKey)
+      .build()
+  }
+
+  /** Recover the role-annotated schema from a DataFrame whose fields carry
+   *  role metadata (inverse of [[CqlSchema.annotate]]). */
+  def fromStruct(table: String, schema: StructType): CqlSchema = {
+    def having(flag: String): Seq[String] =
+      schema.fields.toSeq
+        .filter(f => f.metadata.contains(flag) && f.metadata.getBoolean(flag))
+        .sortBy(f => if (f.metadata.contains(PositionKey)) f.metadata.getLong(PositionKey) else 0L)
+        .map(_.name)
+    CqlSchema(table, having(IsPartitionKey), having(IsClusteringKey), having(IsStaticColumn))
+  }
+
+  def partitionKeys(schema: StructType): Seq[String] =
+    fromStruct("", schema).partitionKeys
+}

@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/**
+ * Multimodal-column plumbing: image/audio/video payloads travel as opaque
+ * `binary` columns with typed metadata; decode / feature-extraction steps
+ * run per-partition over iterators (the Scala analog of `mapInPandas`
+ * batch UDFs) so heavyweight decoders amortize initialization per partition,
+ * not per row.
+ *
+ * The decode step itself is STUBBED (this container has no image/audio
+ * libraries): [[StubDecoder]] produces deterministic fake features derived
+ * from the bytes. The Spark-side plumbing — schema contract, partition-wise
+ * batching, memory-bounded iteration — is real and tested; swapping in a
+ * JNI/JavaCV decoder is a one-class change.
+ *
+ * Scale notes (100 TB of blobs):
+ *  - Metadata extraction (length, hash, magic sniffing) is pure Column
+ *    expression work: codegen, no shuffle.
+ *  - Decode runs via `mapPartitions` with an iterator-to-iterator transform:
+ *    no partition materialization, so memory is bounded by one blob at a
+ *    time regardless of partition size.
+ *  - Blob tables should be written with small row groups / `maxRecordsPerFile`
+ *    so `spark.sql.files.maxPartitionBytes` yields balanced scan splits
+ *    despite multi-MB rows.
+ */
+object Multimodal {
+
+  /** Column-expression metadata over a binary column: byte length, sha256,
+   *  and best-effort container sniffing from magic bytes. */
+  def withBlobMetadata(df: DataFrame, blobCol: String): DataFrame = {
+    val b = col(blobCol)
+    val magic = hex(substring(b, 1, 4))
+    df.withColumn("byte_len", length(b).cast("long"))
+      .withColumn("sha256", sha2(b, 256))
+      .withColumn("container",
+        when(magic.startsWith("FFD8"), "jpeg")
+          .when(magic.startsWith("89504E47"), "png")
+          .when(magic.startsWith("52494646"), "riff_wav_avi")
+          .when(magic.startsWith("494433"), "mp3_id3")
+          .otherwise("unknown"))
+  }
+
+  /** Decoded-image feature contract. */
+  final case class ImageFeatures(width: Int, height: Int, channels: Int, meanLuma: Double)
+
+  /** Pluggable decoder seam. Production impl would wrap a real codec. */
+  trait ImageDecoder extends Serializable {
+    def decode(bytes: Array[Byte]): ImageFeatures
+  }
+
+  /** Deterministic fake decoder: features derived from content bytes so
+   *  tests are reproducible. Clearly a stub — DO NOT ship. */
+  object StubDecoder extends ImageDecoder {
+    override def decode(bytes: Array[Byte]): ImageFeatures = {
+      val h = graft.token.Murmur3Token.token(bytes)
+      ImageFeatures(
+        width = 64 + math.floorMod(h, 512).toInt,
+        height = 64 + math.floorMod(h >> 9, 512).toInt,
+        channels = 3,
+        meanLuma = math.floorMod(h >> 18, 256).toDouble / 255.0)
+    }
+  }
+
+  private val featSchema = StructType(Seq(
+    StructField("width", IntegerType), StructField("height", IntegerType),
+    StructField("channels", IntegerType), StructField("mean_luma", DoubleType)))
+
+  /**
+   * Partition-wise decode: appends (width, height, channels, mean_luma).
+   * Iterator-to-iterator (lazy) — constant memory per task.
+   */
+  def decodeImages(df: DataFrame, blobCol: String,
+                   decoder: ImageDecoder = StubDecoder): DataFrame = {
+    val outSchema = StructType(df.schema.fields ++ featSchema.fields)
+    val idx = df.schema.fieldIndex(blobCol)
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val f = decoder.decode(r.getAs[Array[Byte]](idx))
+        Row.fromSeq(r.toSeq ++ Seq(f.width, f.height, f.channels, f.meanLuma))
+      }
+    }(enc)
+  }
+
+  /**
+   * Frame sampling contract for video blobs: emit one row per sampled frame
+   * index (0, stride, 2·stride, … capped at maxFrames). The decode of the
+   * frame itself is the same stub seam. Explode happens AFTER metadata-only
+   * planning so a 100 TB video table fans out without re-reading blobs.
+   */
+  def sampleFrames(df: DataFrame, blobCol: String, stride: Int, maxFrames: Int): DataFrame = {
+    // Fake frame count derived from byte length (stub: real impl reads container header).
+    val nFrames = least(greatest((length(col(blobCol)) / 1024).cast("int"), lit(1)), lit(10000))
+    df.withColumn("frame_idx",
+        explode(slice(sequence(lit(0), nFrames - 1, lit(stride)), 1, maxFrames)))
+  }
+}

@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Read-path normalization: the Spark-native re-expression of the reference's
+ * SSTable merge-compaction semantics.
+ *
+ * Reference behavior being reproduced (see SURVEY §2.8 / S5):
+ *  - Last-write-wins reconciliation: N versions of the same primary key
+ *    across SSTables/replicas collapse to the cell set with the highest
+ *    write timestamp (`CompactionStreamScanner.java:51-157` drives
+ *    Cassandra's `CompactionIterator`).
+ *  - Tombstone purge: deleted partitions/rows never reach the caller
+ *    (`CompactionStreamScanner.PurgingCompactionController:132-156`).
+ *  - TTL expiry against a FIXED `nowInSec` pinned once per scan
+ *    (`CompactionStreamScanner.initializePartitions():120`) so a scan is
+ *    reproducible.
+ *  - Last-modified-timestamp feature column = max cell writetime per row
+ *    (`LastModifiedTimestampDecorator.java:30-67`).
+ *
+ * Spark-first design: each semantic is a declarative transform over the
+ * DataFrame — a ranking window, an anti-join, a filter — so Catalyst keeps
+ * full visibility (pushdown below, AQE above) instead of hiding the merge
+ * inside an opaque scan iterator like the reference does.
+ *
+ * Scale notes (100 TB):
+ *  - LWW is one hash-shuffle on the primary key — the theoretical minimum
+ *    for a global dedup. At 1000 executors this is a standard shuffle whose
+ *    skew (hot partition keys) AQE's skew-join/skew-agg handling splits.
+ *  - Deletes use a LEFT ANTI join; delete sets are typically ≪ base data,
+ *    so Spark auto-broadcasts them below the broadcast threshold — zero
+ *    shuffle of the 100 TB side.
+ *  - TTL is a plain filter: pushed to the parquet scan when the expiry
+ *    column is a stored column (row-group min/max skipping applies).
+ */
+object Normalize {
+
+  /**
+   * Keep only the latest version of each primary key, ordering versions by
+   * `orderCols` (descending; first column is the write-timestamp analog,
+   * the rest are deterministic tie-breakers).
+   *
+   * Equivalent to the reference's merge-compaction collapse; implemented as
+   * `row_number() OVER (PARTITION BY pk, ck ORDER BY writetime DESC) = 1`.
+   */
+  def latestWriteWins(df: DataFrame, primaryKey: Seq[String], orderCols: Seq[String]): DataFrame = {
+    require(primaryKey.nonEmpty, "latestWriteWins needs a primary key")
+    require(orderCols.nonEmpty, "latestWriteWins needs a version ordering")
+    val w = Window
+      .partitionBy(primaryKey.map(col): _*)
+      .orderBy(orderCols.map(c => col(c).desc): _*)
+    df.withColumn("__graft_rn", row_number().over(w))
+      .filter(col("__graft_rn") === 1)
+      .drop("__graft_rn")
+  }
+
+  /**
+   * Purge rows whose key appears in `deletes` (partition- or row-level
+   * tombstones, reference §2.8 / `WriteMode.DELETE_PARTITION`,
+   * `TableSchema.getDeleteStatement():227-238`). `deletes` needs only the
+   * key columns; it is broadcast when small.
+   */
+  def applyDeletes(base: DataFrame, deletes: DataFrame, keyCols: Seq[String]): DataFrame =
+    base.join(deletes.select(keyCols.map(col): _*).distinct(), keyCols, "left_anti")
+
+  /**
+   * Drop TTL-expired rows against a fixed reference `now` (reproducible
+   * scans, like the reference's pinned `nowInSec`). `expiry` is the column
+   * holding each row's expiration timestamp.
+   */
+  def ttlFilter(df: DataFrame, expiry: Column, now: Column): DataFrame =
+    df.filter(expiry >= now)
+
+  /**
+   * Append the reference's LAST_MODIFIED_TIMESTAMP feature column: the max
+   * write timestamp over all versions of the row's partition
+   * (`SchemaFeatureSet.java:37-50`). Window max — no extra shuffle when it
+   * shares partitioning with a preceding LWW over the same key.
+   */
+  def withLastModifiedTimestamp(
+      df: DataFrame,
+      partitionKey: Seq[String],
+      writetime: Column,
+      outName: String = "last_modified_timestamp"): DataFrame = {
+    val w = Window.partitionBy(partitionKey.map(col): _*)
+    df.withColumn(outName, max(writetime).over(w))
+  }
+}

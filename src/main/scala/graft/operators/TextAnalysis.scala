@@ -1,0 +1,107 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Text-analysis operators for large-scale training-data pipelines: language
+ * identification, quality scoring, token counting, document fingerprinting.
+ *
+ * All operators are pure per-row Column expressions built from Catalyst
+ * builtins — whole-stage codegen'd, no UDFs, no shuffle — so a 100 TB
+ * documents table is processed at scan speed with zero data movement.
+ * Each has an exact ANSI-SQL twin (used as the DuckDB oracle in
+ * `SparkEntry.oracleSql`), which doubles as documentation of the semantics.
+ */
+object TextAnalysis {
+
+  /** Occurrences of `marker` in `padded`, via the length-delta trick with
+   *  non-regex replace() — exactly expressible in any SQL engine, no regex
+   *  dialect drift. Note `/` on ints is double division in both Spark and
+   *  DuckDB, and the operands are exact small ints, so results are
+   *  bit-identical across engines. */
+  private def occ(padded: Column, marker: String): Column =
+    (length(padded) - length(replace(padded, lit(marker)))) / lit(marker.length)
+
+  /** Stopword markers per language — padded with spaces so they match whole
+   *  words only. The SQL oracle uses the same lists. */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq(" the ", " a ", " of ", " and ", " to "),
+    "fr" -> Seq(" le ", " la ", " et ", " les ", " des "),
+    "de" -> Seq(" der ", " die ", " und ", " das ", " ein "),
+    "es" -> Seq(" el ", " los ", " y ", " una ", " por ")
+  )
+
+  /**
+   * N-gram/stopword language-ID heuristic: score each candidate language by
+   * summed stopword occurrences per 100 words; predict the argmax, or
+   * "unknown" when no marker fires. Deterministic ties broken by language
+   * order (en > fr > de > es).
+   */
+  def withLangId(df: DataFrame, textCol: String, outCol: String = "lang_pred"): DataFrame = {
+    val padded = concat(lit(" "), lower(col(textCol)), lit(" "))
+    val scores = langMarkers.map { case (lang, markers) =>
+      lang -> markers.map(m => occ(padded, m)).reduce(_ + _)
+    }
+    val best = scores.tail.foldLeft[(Column, Column)]((lit(scores.head._1), scores.head._2)) {
+      case ((bestLang, bestScore), (lang, score)) =>
+        (when(score > bestScore, lit(lang)).otherwise(bestLang),
+          when(score > bestScore, score).otherwise(bestScore))
+    }
+    df.withColumn(outCol, when(best._2 > 0, best._1).otherwise(lit("unknown")))
+      .withColumn(s"${outCol}_score", best._2.cast("long"))
+  }
+
+  /**
+   * Quality-score features: word count, char count, mean word length,
+   * punctuation count, stopword count, and a composite quality score in
+   * [0,1]. All integer/exact arithmetic until the final ratio (computed with
+   * a fixed 1e-4 floor grid so any engine produces identical doubles).
+   */
+  def withQuality(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val words = size(split(t, " "))
+    val chars = length(t)
+    val punct = length(t) - length(regexp_replace(t, "[\\.,;:!\\?]", ""))
+    val padded = concat(lit(" "), lower(t), lit(" "))
+    val stops = langMarkers.flatMap(_._2).distinct.map(m => occ(padded, m)).reduce(_ + _)
+    df.withColumn("n_words", words.cast("long"))
+      .withColumn("n_chars_m", chars.cast("long"))
+      .withColumn("n_punct", punct.cast("long"))
+      .withColumn("n_stopwords", stops.cast("long"))
+      // mean word length on a fixed 2-decimal grid: floor(100*chars/words)/100
+      .withColumn("mean_word_len",
+        (floor(lit(100) * chars.cast("double") / words.cast("double")) / 100.0))
+      // composite score: fraction of "quality signals" present, exact /4 grid
+      .withColumn("quality_score",
+        ((when(words >= 10, 1).otherwise(0)
+          + when(stops > 0, 1).otherwise(0)
+          + when(punct <= chars / 10, 1).otherwise(0)
+          + when(chars >= 50, 1).otherwise(0)).cast("double") / 4.0))
+  }
+
+  /**
+   * Token counting: whitespace tokens plus a BPE-ish estimate from a
+   * tokenizer-style regex (letter runs / digit runs / single punctuation),
+   * plus the chars/4 rule-of-thumb.
+   */
+  def withTokenCounts(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    df.withColumn("ws_tokens", size(split(t, " ")).cast("long"))
+      .withColumn("re_tokens",
+        size(regexp_extract_all(t, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"), lit(0))).cast("long"))
+      .withColumn("est_bpe_tokens", ceil(length(t).cast("double") / 4.0).cast("long"))
+  }
+
+  /**
+   * Document fingerprinting: md5 over whitespace-normalized lowercase text
+   * (content-defined identity for exact dedup across formatting variants),
+   * plus a 64-bit prefix for compact joins.
+   */
+  def withFingerprint(df: DataFrame, textCol: String, outCol: String = "fingerprint"): DataFrame = {
+    val normalized = regexp_replace(lower(trim(col(textCol))), " +", " ")
+    df.withColumn(outCol, md5(normalized))
+      .withColumn(s"${outCol}_64",
+        conv(substring(md5(normalized), 1, 15), 16, 10).cast("long"))
+  }
+}

@@ -1,0 +1,453 @@
+package graft.queries
+
+import graft.model.CqlSchema
+import graft.operators.{Dedup, Multimodal, Normalize, Similarity, TextAnalysis}
+import graft.tables.Tables
+import graft.write.TokenSortedWriter
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * The t2 query battery: one entry per operator of SURVEY §2.14 plus the
+ * training-data-pipeline operators (dedup / similarity / text analysis /
+ * multimodal). Each query has an exact ANSI-SQL twin in [[Battery.oracles]]
+ * run by the driver against DuckDB over the same parquet.
+ *
+ * Cross-engine determinism rules used throughout (so hash-compare passes):
+ *  - no raw nanosecond timestamps in outputs (cast to DATE or compare only);
+ *  - no float aggregation in arbitrary order: doubles are cast to DECIMAL
+ *    before SUM (exact, order-independent), then the result cast back to
+ *    DOUBLE (same nearest-double in every engine);
+ *  - per-row double arithmetic is fine (IEEE-deterministic);
+ *  - every top-k / window ordering carries a total tie-break;
+ *  - aggregate/computed columns aliased identically on both sides.
+ */
+object Battery {
+
+  private def li(s: SparkSession, d: String) = Tables.lineitem(s, d)
+  private def ord(s: SparkSession, d: String) = Tables.orders(s, d)
+  private def cust(s: SparkSession, d: String) = Tables.customer(s, d)
+  private def docs(s: SparkSession, d: String) = Tables.documents(s, d)
+  private def ev(s: SparkSession, d: String) = Tables.events(s, d)
+  private def emb(s: SparkSession, d: String) = Tables.embeddings(s, d)
+
+  /** exact decimal sum of a double expression, emitted as double */
+  private def dsum(c: Column, scale: Int = 6): Column =
+    sum(c.cast(s"decimal(18,$scale)")).cast("double")
+
+  // =====================================================================
+  // queries
+  // =====================================================================
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- S1-S4/P1: full scan + projection -----------------------------
+    "q01_scan_projection" -> ((s, d) =>
+      li(s, d).select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_returnflag"))),
+
+    // ---- P2/P3: partition-key =/IN pushdown ---------------------------
+    "q02_pk_filter" -> ((s, d) =>
+      li(s, d).filter(col("l_orderkey") === 1L)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))),
+    "q03_pk_in_filter" -> ((s, d) =>
+      li(s, d).filter(col("l_orderkey").isin(1L, 7L, 42L, 4096L))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))),
+
+    // ---- S5/§2.5: last-write-wins dedup -------------------------------
+    "q04_lww_latest" -> ((s, d) =>
+      Normalize.latestWriteWins(
+        li(s, d),
+        primaryKey = Seq("l_orderkey", "l_linenumber"),
+        orderCols = Seq("l_shipdate", "l_extendedprice", "l_quantity", "l_discount",
+          "l_tax", "l_returnflag", "l_linestatus", "l_partkey", "l_suppkey"))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_extendedprice"), date_format(col("l_shipdate"), "yyyy-MM-dd").as("ship_date"))),
+
+    // ---- §2.8: delete anti-join ---------------------------------------
+    "q05_delete_anti" -> ((s, d) => {
+      val deletes = ord(s, d).filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey").as("l_orderkey"))
+      Normalize.applyDeletes(li(s, d), deletes, Seq("l_orderkey"))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+    }),
+
+    // ---- §2.8: TTL expiry at fixed now --------------------------------
+    "q06_ttl_expiry" -> ((s, d) =>
+      Normalize.ttlFilter(ev(s, d), col("ts"), lit("2024-01-15 00:00:00").cast("timestamp"))
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))),
+
+    // ---- §2.3: joins ---------------------------------------------------
+    "q07_join_inner" -> ((s, d) =>
+      li(s, d).join(ord(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(cust(s, d), col("o_custkey") === col("c_custkey"))
+        .select(col("l_orderkey"), col("l_linenumber"), col("c_custkey"),
+          col("c_mktsegment"), col("o_orderstatus"))),
+    "q08_join_left" -> ((s, d) => {
+      val richCust = cust(s, d).filter(col("c_acctbal") > 5000.0)
+      ord(s, d).join(richCust, col("o_custkey") === col("c_custkey"), "left")
+        .select(col("o_orderkey"), col("c_custkey"), col("c_mktsegment"))
+    }),
+    "q09_join_semi" -> ((s, d) =>
+      ord(s, d).join(
+          li(s, d).filter(col("l_quantity") > 45.0), col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .select(col("o_orderkey"), col("o_orderstatus"))),
+    "q10_join_anti" -> ((s, d) =>
+      cust(s, d).join(ord(s, d).filter(col("o_orderstatus") === "O"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))),
+
+    // ---- §2.4: aggregations -------------------------------------------
+    "q11_agg_groupby" -> ((s, d) =>
+      li(s, d).groupBy(col("l_returnflag"), col("l_linestatus")).agg(
+        dsum(col("l_quantity"), 2).as("sum_qty"),
+        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_revenue"),
+        (sum(col("l_quantity").cast("decimal(18,2)")).cast("double") / count(lit(1))).as("avg_qty"),
+        min(col("l_extendedprice")).as("min_price"),
+        max(col("l_extendedprice")).as("max_price"),
+        countDistinct(col("l_partkey")).as("distinct_parts"),
+        count(lit(1)).as("count_order"))),
+    "q12_approx_distinct" -> ((s, d) =>
+      li(s, d).groupBy(col("l_returnflag")).agg(
+        approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        countDistinct(col("l_partkey")).as("exact_parts"))),
+
+    // ---- S8: partition-size style -------------------------------------
+    "q13_partition_size" -> ((s, d) =>
+      docs(s, d).groupBy(col("source")).agg(
+        sum(col("n_chars")).as("uncompressed"),
+        count(lit(1)).as("n_docs"))),
+
+    // ---- §2.6: top-k ---------------------------------------------------
+    "q14_topk" -> ((s, d) =>
+      ord(s, d).orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(10)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))),
+
+    // ---- §2.7: set operations -----------------------------------------
+    "q15_union_all" -> ((s, d) =>
+      cust(s, d).select(col("c_nationkey").as("nk"))
+        .union(Tables.supplier(s, d).select(col("s_nationkey").as("nk")))),
+    "q16_intersect" -> ((s, d) =>
+      cust(s, d).select(col("c_nationkey").as("nk"))
+        .intersect(Tables.supplier(s, d).select(col("s_nationkey").as("nk")))),
+    "q17_except" -> ((s, d) =>
+      Tables.nation(s, d).select(col("n_nationkey").as("nk"))
+        .except(Tables.supplier(s, d).filter(col("s_suppkey") < 50L)
+          .select(col("s_nationkey").as("nk")))),
+
+    // ---- §2.11: scalar batteries --------------------------------------
+    "q18_scalar_string" -> ((s, d) =>
+      Tables.part(s, d).select(
+        col("p_partkey"),
+        upper(substring(col("p_name"), 1, 8)).as("name8"),
+        concat(col("p_brand"), lit("_"), col("p_type")).as("brandtype"),
+        length(col("p_name")).as("name_len"),
+        replace(lower(col("p_type")), lit(" "), lit("_")).as("type_slug"))),
+    "q19_scalar_date" -> ((s, d) =>
+      ord(s, d).select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("y"),
+        month(col("o_orderdate")).as("m"),
+        dayofmonth(col("o_orderdate")).as("dom"),
+        datediff(lit("1998-01-01").cast("date"), col("o_orderdate").cast("date"))
+          .cast("long").as("days_to_98"),
+        date_format(trunc(col("o_orderdate").cast("date"), "month"), "yyyy-MM-dd")
+          .as("month_start"))),
+    "q20_scalar_math" -> ((s, d) =>
+      li(s, d).select(
+        col("l_orderkey"), col("l_linenumber"),
+        abs(col("l_discount") - 0.05).as("abs_disc"),
+        floor(col("l_extendedprice")).cast("long").as("floor_price"),
+        ceil(col("l_extendedprice")).cast("long").as("ceil_price"),
+        (col("l_orderkey") % 7).as("key_mod7"),
+        sqrt(col("l_quantity")).as("sqrt_qty"),
+        (floor(col("l_extendedprice") * col("l_quantity") * 100) / 100).as("amount_2dp"))),
+    "q21_scalar_array" -> ((s, d) => {
+      val arr = split(col("p_type"), " ")
+      Tables.part(s, d).select(
+        col("p_partkey"),
+        size(arr).cast("long").as("n_words"),
+        element_at(arr, 1).as("first_word"),
+        array_contains(arr, "BRUSHED").as("has_brushed"))
+    }),
+    "q22_scalar_json" -> ((s, d) =>
+      ev(s, d).select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").as("k_str"),
+        get_json_object(col("props"), "$.k").cast("long").as("k_num"))),
+
+    // ---- W2-W4/W9: write path round-trip ------------------------------
+    "q23_write_roundtrip" -> ((s, d) => {
+      val schema = Tables.schemas("lineitem")
+      val out = java.nio.file.Files.createTempDirectory("graft_wr_").toString + "/lineitem"
+      TokenSortedWriter.write(li(s, d), schema, out, SaveMode.Append,
+        TokenSortedWriter.WriteConf(numPartitions = 8))
+      TokenSortedWriter.read(s, schema, out)
+        .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"), col("l_linenumber"),
+          col("l_quantity"), col("l_extendedprice"), col("l_discount"), col("l_tax"),
+          col("l_returnflag"), col("l_linestatus"),
+          date_format(col("l_shipdate"), "yyyy-MM-dd").as("ship_date"))
+    }),
+
+    // ---- dedup ---------------------------------------------------------
+    "q24_dedup_exact" -> ((s, d) =>
+      Dedup.exact(docs(s, d), "doc_id", Seq("text"))
+        .select(col("fp"), col("doc_id"), col("n_copies"))),
+    "q25_dedup_minhash" -> ((s, d) =>
+      Dedup.minhashAssignments(docs(s, d), "doc_id", "text",
+        shingleN = 3, numPerms = 64, bands = 16, minEstJaccard = 0.5)),
+    "q26_dedup_simhash" -> ((s, d) =>
+      Dedup.withSimhash(docs(s, d), "text").select(col("doc_id"), col("simhash"))),
+    "q27_ngram_jaccard" -> ((s, d) =>
+      Dedup.ngramJaccardPairs(docs(s, d), "doc_id", "text", shingleN = 2,
+        numPerms = 64, bands = 32)
+        .select(col("id_a"), col("id_b"),
+          (floor(col("jaccard") * 10000) / 10000).as("jaccard_4dp"))),
+    "q28_embed_neardup" -> ((s, d) =>
+      Similarity.nearDupPairs(emb(s, d), "vec_id", "embedding", topN = 50)
+        .select(col("id_a"), col("id_b"))),
+
+    // ---- similarity search --------------------------------------------
+    "q29_ann_brute_topk" -> ((s, d) =>
+      Similarity.bruteForceTopK(
+          emb(s, d), emb(s, d).filter(col("vec_id") < 3L), "vec_id", "embedding", k = 10)
+        .select(col("query_id"), col("neighbor_id"), col("rank"))),
+    "q30_ann_lsh_topk" -> ((s, d) =>
+      Similarity.lshTopK(
+          emb(s, d), emb(s, d).filter(col("vec_id") < 3L), "vec_id", "embedding", k = 10, planes = 6)
+        .select(col("query_id"), col("neighbor_id"), col("rank"))),
+
+    // ---- text analysis -------------------------------------------------
+    "q31_langid" -> ((s, d) =>
+      TextAnalysis.withLangId(docs(s, d), "text")
+        .select(col("doc_id"), col("lang_pred"), col("lang_pred_score"))),
+    "q32_text_quality" -> ((s, d) =>
+      TextAnalysis.withQuality(docs(s, d), "text")
+        .select(col("doc_id"), col("n_words"), col("n_punct"), col("n_stopwords"),
+          col("mean_word_len"), col("quality_score"))),
+    "q33_token_count" -> ((s, d) =>
+      TextAnalysis.withTokenCounts(docs(s, d), "text")
+        .select(col("doc_id"), col("ws_tokens"), col("re_tokens"), col("est_bpe_tokens"))),
+    "q34_fingerprint" -> ((s, d) =>
+      TextAnalysis.withFingerprint(docs(s, d), "text")
+        .select(col("doc_id"), col("fingerprint"))),
+
+    // ---- multimodal plumbing ------------------------------------------
+    "q35_blob_metadata" -> ((s, d) =>
+      Multimodal.withBlobMetadata(
+          docs(s, d).withColumn("blob", col("text").cast("binary")), "blob")
+        .select(col("doc_id"), col("byte_len"), col("sha256"))),
+
+    // ---- window functions ----------------------------------------------
+    "q36_window_running" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
+      val wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ev(s, d).select(
+        col("event_id"), col("user_id"),
+        row_number().over(w).as("rn"),
+        sum(col("value").cast("decimal(18,6)")).over(wf).cast("double").as("run_sum"),
+        lag(col("value"), 1).over(w).as("prev_value"))
+    }),
+
+    // ---- rollup ---------------------------------------------------------
+    "q37_rollup" -> ((s, d) =>
+      ord(s, d).join(cust(s, d), col("o_custkey") === col("c_custkey"))
+        .join(Tables.nation(s, d), col("c_nationkey") === col("n_nationkey"))
+        .rollup(col("n_name")).agg(
+          dsum(col("o_totalprice")).as("revenue"),
+          count(lit(1)).as("n_orders"),
+          grouping(col("n_name")).cast("long").as("grp")))
+  )
+
+  // =====================================================================
+  // oracle SQL (DuckDB dialect, run by the driver on the same parquet)
+  // =====================================================================
+
+  /** language-ID oracle generated from the SAME marker lists as the Spark
+   *  implementation, so they cannot drift. */
+  private def langIdSql: String = {
+    def occSql(m: String) =
+      s"(length(p) - length(replace(p, '$m', ''))) / ${m.length}"
+    val scores = TextAnalysis.langMarkers.map { case (lang, ms) =>
+      lang -> ms.map(occSql).mkString(" + ")
+    }
+    val scoreDefs = scores.map { case (l, e) => s"($e) AS s_$l" }.mkString(", ")
+    val greatest = s"GREATEST(${scores.map("s_" + _._1).mkString(", ")})"
+    val caseChain = scores.map { case (l, _) => s"WHEN s_$l >= $greatest THEN '$l'" }.mkString(" ")
+    s"""SELECT doc_id,
+       |  CASE WHEN $greatest <= 0 THEN 'unknown' $caseChain ELSE 'unknown' END AS lang_pred,
+       |  CAST($greatest AS BIGINT) AS lang_pred_score
+       |FROM (SELECT doc_id, $scoreDefs
+       |      FROM (SELECT doc_id, ' ' || lower(text) || ' ' AS p FROM documents))""".stripMargin
+  }
+
+  private def qualitySql: String = {
+    val stops = TextAnalysis.langMarkers.flatMap(_._2).distinct
+    val stopExpr = stops.map(m =>
+      s"(length(p) - length(replace(p, '$m', ''))) / ${m.length}").mkString(" + ")
+    s"""SELECT doc_id,
+       |  CAST(n_words AS BIGINT) AS n_words,
+       |  CAST(n_punct AS BIGINT) AS n_punct,
+       |  CAST(stops AS BIGINT) AS n_stopwords,
+       |  floor(100 * CAST(n_chars_m AS DOUBLE) / CAST(n_words AS DOUBLE)) / 100 AS mean_word_len,
+       |  CAST(CASE WHEN n_words >= 10 THEN 1 ELSE 0 END
+       |     + CASE WHEN stops > 0 THEN 1 ELSE 0 END
+       |     + CASE WHEN n_punct <= n_chars_m // 10 THEN 1 ELSE 0 END
+       |     + CASE WHEN n_chars_m >= 50 THEN 1 ELSE 0 END AS DOUBLE) / 4.0 AS quality_score
+       |FROM (SELECT doc_id,
+       |        len(string_split(text, ' ')) AS n_words,
+       |        length(text) AS n_chars_m,
+       |        length(text) - length(regexp_replace(text, '[\\.,;:!\\?]', '', 'g')) AS n_punct,
+       |        ($stopExpr) AS stops
+       |      FROM (SELECT doc_id, text, ' ' || lower(text) || ' ' AS p FROM documents))""".stripMargin
+  }
+
+  val oracles: Map[String, String] = Map(
+    "q01_scan_projection" ->
+      "SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag FROM lineitem",
+    "q02_pk_filter" ->
+      "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem WHERE l_orderkey = 1",
+    "q03_pk_in_filter" ->
+      "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem WHERE l_orderkey IN (1, 7, 42, 4096)",
+    "q04_lww_latest" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, strftime(l_shipdate, '%Y-%m-%d') AS ship_date
+        |FROM (SELECT *, row_number() OVER (PARTITION BY l_orderkey, l_linenumber
+        |        ORDER BY l_shipdate DESC, l_extendedprice DESC, l_quantity DESC, l_discount DESC,
+        |                 l_tax DESC, l_returnflag DESC, l_linestatus DESC, l_partkey DESC, l_suppkey DESC) AS rn
+        |      FROM lineitem) WHERE rn = 1""".stripMargin,
+    "q05_delete_anti" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        |WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F')""".stripMargin,
+    "q06_ttl_expiry" ->
+      """SELECT event_id, user_id, event_type, value FROM events
+        |WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-15 00:00:00'""".stripMargin,
+    "q07_join_inner" ->
+      """SELECT l_orderkey, l_linenumber, c_custkey, c_mktsegment, o_orderstatus
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey JOIN customer ON o_custkey = c_custkey""".stripMargin,
+    "q08_join_left" ->
+      """SELECT o_orderkey, c_custkey, c_mktsegment FROM orders
+        |LEFT JOIN (SELECT * FROM customer WHERE c_acctbal > 5000) c ON o_custkey = c_custkey""".stripMargin,
+    "q09_join_semi" ->
+      """SELECT o_orderkey, o_orderstatus FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantity > 45)""".stripMargin,
+    "q10_join_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')""".stripMargin,
+    "q11_agg_groupby" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_revenue,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+        |  MIN(l_extendedprice) AS min_price,
+        |  MAX(l_extendedprice) AS max_price,
+        |  COUNT(DISTINCT l_partkey) AS distinct_parts,
+        |  COUNT(*) AS count_order
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q13_partition_size" ->
+      """SELECT source, CAST(SUM(n_chars) AS BIGINT) AS uncompressed, COUNT(*) AS n_docs
+        |FROM documents GROUP BY source""".stripMargin,
+    "q14_topk" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q15_union_all" ->
+      "SELECT c_nationkey AS nk FROM customer UNION ALL SELECT s_nationkey AS nk FROM supplier",
+    "q16_intersect" ->
+      "SELECT c_nationkey AS nk FROM customer INTERSECT SELECT s_nationkey AS nk FROM supplier",
+    "q17_except" ->
+      """SELECT n_nationkey AS nk FROM nation
+        |EXCEPT SELECT s_nationkey AS nk FROM supplier WHERE s_suppkey < 50""".stripMargin,
+    "q18_scalar_string" ->
+      """SELECT p_partkey, UPPER(SUBSTRING(p_name, 1, 8)) AS name8,
+        |  p_brand || '_' || p_type AS brandtype,
+        |  LENGTH(p_name) AS name_len,
+        |  REPLACE(LOWER(p_type), ' ', '_') AS type_slug FROM part""".stripMargin,
+    "q19_scalar_date" ->
+      """SELECT o_orderkey,
+        |  CAST(year(o_orderdate) AS INTEGER) AS y,
+        |  CAST(month(o_orderdate) AS INTEGER) AS m,
+        |  CAST(day(o_orderdate) AS INTEGER) AS dom,
+        |  CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-01-01') AS BIGINT) AS days_to_98,
+        |  strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start
+        |FROM orders""".stripMargin,
+    "q20_scalar_math" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  abs(l_discount - 0.05) AS abs_disc,
+        |  CAST(floor(l_extendedprice) AS BIGINT) AS floor_price,
+        |  CAST(ceil(l_extendedprice) AS BIGINT) AS ceil_price,
+        |  l_orderkey % 7 AS key_mod7,
+        |  sqrt(l_quantity) AS sqrt_qty,
+        |  floor(l_extendedprice * l_quantity * 100) / 100 AS amount_2dp
+        |FROM lineitem""".stripMargin,
+    "q21_scalar_array" ->
+      """SELECT p_partkey,
+        |  CAST(len(string_split(p_type, ' ')) AS BIGINT) AS n_words,
+        |  string_split(p_type, ' ')[1] AS first_word,
+        |  list_contains(string_split(p_type, ' '), 'BRUSHED') AS has_brushed
+        |FROM part""".stripMargin,
+    "q22_scalar_json" ->
+      """SELECT event_id,
+        |  json_extract_string(props, '$.k') AS k_str,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_num
+        |FROM events""".stripMargin,
+    "q23_write_roundtrip" ->
+      """SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity, l_extendedprice,
+        |  l_discount, l_tax, l_returnflag, l_linestatus, strftime(l_shipdate, '%Y-%m-%d') AS ship_date
+        |FROM lineitem""".stripMargin,
+    "q24_dedup_exact" ->
+      """SELECT md5(text) AS fp, MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
+        |FROM documents GROUP BY md5(text)""".stripMargin,
+    "q31_langid" -> langIdSql,
+    "q32_text_quality" -> qualitySql,
+    "q33_token_count" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS BIGINT) AS re_tokens,
+        |  CAST(ceil(length(text) / 4.0) AS BIGINT) AS est_bpe_tokens
+        |FROM documents""".stripMargin,
+    "q34_fingerprint" ->
+      """SELECT doc_id, md5(regexp_replace(lower(trim(text)), ' +', ' ', 'g')) AS fingerprint
+        |FROM documents""".stripMargin,
+    "q35_blob_metadata" ->
+      """SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS byte_len,
+        |  sha256(text) AS sha256
+        |FROM documents""".stripMargin,
+    "q36_window_running" ->
+      """SELECT event_id, user_id,
+        |  row_number() OVER w AS rn,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER (PARTITION BY user_id
+        |    ORDER BY CAST(ts AS TIMESTAMP), event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS run_sum,
+        |  lag(value) OVER w AS prev_value
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)""".stripMargin,
+    "q37_rollup" ->
+      """SELECT n_name,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_orders,
+        |  CAST(GROUPING(n_name) AS BIGINT) AS grp
+        |FROM orders JOIN customer ON o_custkey = c_custkey JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY ROLLUP(n_name)""".stripMargin,
+    "q29_ann_brute_topk" ->
+      """SELECT query_id, neighbor_id, rank FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |         row_number() OVER (PARTITION BY q.vec_id
+        |           ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC, c.vec_id) AS rank
+        |  FROM embeddings q, embeddings c
+        |  WHERE q.vec_id < 3 AND c.vec_id <> q.vec_id
+        |) WHERE rank <= 10""".stripMargin
+  )
+
+  /** Flagship end-to-end pipeline for the driver's smoke check: LWW-normalize
+   *  lineitem, join dimensions (broadcast), aggregate revenue. */
+  def flagship(spark: SparkSession, sfDir: String): DataFrame = {
+    val lww = Normalize.latestWriteWins(
+      li(spark, sfDir), Seq("l_orderkey", "l_linenumber"),
+      Seq("l_shipdate", "l_extendedprice", "l_quantity", "l_discount",
+        "l_tax", "l_returnflag", "l_linestatus", "l_partkey", "l_suppkey"))
+    lww.join(ord(spark, sfDir), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust(spark, sfDir)), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment")).agg(
+        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+        count(lit(1)).as("n_lines"))
+  }
+}

@@ -1,0 +1,65 @@
+package graft.tables
+
+import graft.model.CqlSchema
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/**
+ * Catalog of the driver-provided test tables (TESTDATA.md): one parquet file
+ * per table under `$sfDir/<name>.parquet`, annotated with the pk/ck role
+ * mapping from FIXTURES.md §1 (which mirrors how the reference declares key
+ * roles via `StructField.metadata`, `DataLayer.java:118-129`).
+ *
+ * Scale notes:
+ *  - `spark.read.parquet` is the 100 TB path: file-splittable scans, footer
+ *    min/max row-group pruning, vectorized decoding, pushed filters. Nothing
+ *    here collects to the driver.
+ *  - Role annotation is a metadata-only projection (see CqlSchema.annotate);
+ *    it does not break pushdown or codegen.
+ */
+object Tables {
+
+  /** pk/ck role mapping per FIXTURES.md §1. */
+  val schemas: Map[String, CqlSchema] = Map(
+    "region"     -> CqlSchema("region", Seq("r_regionkey")),
+    "nation"     -> CqlSchema("nation", Seq("n_nationkey")),
+    "customer"   -> CqlSchema("customer", Seq("c_custkey")),
+    "supplier"   -> CqlSchema("supplier", Seq("s_suppkey")),
+    "part"       -> CqlSchema("part", Seq("p_partkey")),
+    "orders"     -> CqlSchema("orders", Seq("o_orderkey")),
+    "lineitem"   -> CqlSchema("lineitem", Seq("l_orderkey"), Seq("l_linenumber")),
+    "events"     -> CqlSchema("events", Seq("user_id"), Seq("ts", "event_id")),
+    "documents"  -> CqlSchema("documents", Seq("doc_id")),
+    "embeddings" -> CqlSchema("embeddings", Seq("vec_id"))
+  )
+
+  def path(sfDir: String, name: String): String = s"$sfDir/$name.parquet"
+
+  /** Load one test table with role metadata attached.
+   *
+   *  `events.parquet` carries TIMESTAMP(NANOS) which Spark's parquet reader
+   *  rejects outright ([PARQUET_TYPE_ILLEGAL]); we read nanos as long via
+   *  the legacy flag and rebuild a microsecond TimestampType column with
+   *  floor(ns/1000) — the same truncation DuckDB's `CAST(ts AS TIMESTAMP)`
+   *  applies, so oracle comparisons stay bit-aligned. */
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val df =
+      if (name == "events") {
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        import org.apache.spark.sql.functions.{col, expr}
+        spark.read.parquet(path(sfDir, name))
+          .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      } else spark.read.parquet(path(sfDir, name))
+    schemas.get(name).map(_.annotate(df)).getOrElse(df)
+  }
+
+  def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
+  def orders(s: SparkSession, d: String): DataFrame = table(s, d, "orders")
+  def customer(s: SparkSession, d: String): DataFrame = table(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame = table(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame = table(s, d, "part")
+  def nation(s: SparkSession, d: String): DataFrame = table(s, d, "nation")
+  def region(s: SparkSession, d: String): DataFrame = table(s, d, "region")
+  def events(s: SparkSession, d: String): DataFrame = table(s, d, "events")
+  def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+}

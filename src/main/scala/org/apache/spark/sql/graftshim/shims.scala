@@ -1,0 +1,18 @@
+package org.apache.spark.sql.graftshim
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/**
+ * Minimal bridge into Spark's `private[sql]` surface, the standard pattern
+ * for external connectors/extensions that define native Catalyst
+ * expressions: converts a Catalyst [[Expression]] to a user-facing
+ * [[Column]] and back. Everything else in this project lives in the `graft`
+ * namespace; keep this file as the single place that touches Spark
+ * internals so version bumps have one seam to fix.
+ */
+object GraftShims {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
