@@ -81,7 +81,9 @@ object Multimodal {
     df.mapPartitions { rows =>
       rows.map { r =>
         val f = decoder.decode(r.getAs[Array[Byte]](idx))
-        Row.fromSeq(r.toSeq ++ Seq(f.width, f.height, f.channels, f.meanLuma))
+        // Seq[Any] — a bare Seq(int, int, int, double) would widen the ints
+        // to Double and break the encoder's INT fields
+        Row.fromSeq(r.toSeq ++ Seq[Any](f.width, f.height, f.channels, f.meanLuma))
       }
     }(enc)
   }

@@ -1,0 +1,67 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy dog"), // exact dup of 1
+    (3L, "the quick brown fox jumps over the lazy cat"), // near dup of 1
+    (4L, "completely different content about spark engines and parquet files"),
+    (5L, "another unrelated document mentioning cassandra analytics bulk reads"))
+    .toDF("doc_id", "text")
+
+  test("exact dedup groups identical content, keeps min id") {
+    val got = Dedup.exact(docs, "doc_id", Seq("text"))
+      .select("doc_id", "n_copies").as[(Long, Long)].collect().toSet
+    assert(got === Set((1L, 2L), (3L, 1L), (4L, 1L), (5L, 1L)))
+  }
+
+  test("minhash signature identical for identical text, length = numPerms") {
+    val sigs = docs.select(col("doc_id"),
+      Dedup.minhashSignature(Dedup.shingleHashes(col("text"), 3), 32).as("sig"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(sigs(1L) === sigs(2L))
+    assert(sigs(1L).length === 32)
+    assert(sigs(1L) !== sigs(4L))
+  }
+
+  test("minhashPairs finds exact and near duplicates with high est jaccard") {
+    val pairs = Dedup.minhashPairs(docs, "doc_id", "text", shingleN = 3,
+      numPerms = 32, bands = 16)
+      .as[(Long, Long, Double)].collect().map(p => ((p._1, p._2), p._3)).toMap
+    assert(pairs(( 1L, 2L)) === 1.0) // identical
+    assert(pairs.contains((1L, 3L)) || pairs.contains((2L, 3L))) // near dup found
+    assert(!pairs.contains((4L, 5L))) // unrelated never collide fully
+  }
+
+  test("minhashAssignments maps dups to the cluster minimum, uniques to self") {
+    val got = Dedup.minhashAssignments(docs, "doc_id", "text", shingleN = 3,
+      numPerms = 32, bands = 16, minEstJaccard = 0.9)
+      .as[(Long, Long)].collect().toMap
+    assert(got(1L) === 1L && got(2L) === 1L)
+    assert(got(4L) === 4L && got(5L) === 5L)
+  }
+
+  test("simhash: identical text equal, near-dup within small hamming distance") {
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val hs = Dedup.withSimhash(docs, "text").select("doc_id", "simhash")
+      .as[(Long, Long)].collect().toMap
+    assert(hs(1L) === hs(2L))
+    assert(hamming(hs(1L), hs(3L)) <= 16, s"near-dup hamming ${hamming(hs(1L), hs(3L))}")
+    assert(hamming(hs(1L), hs(4L)) > 16, s"unrelated hamming ${hamming(hs(1L), hs(4L))}")
+  }
+
+  test("ngramJaccardPairs computes exact jaccard on candidates") {
+    val got = Dedup.ngramJaccardPairs(docs, "doc_id", "text", shingleN = 3,
+      numPerms = 32, bands = 16)
+      .as[(Long, Long, Double)].collect().map(p => ((p._1, p._2), p._3)).toMap
+    assert(got((1L, 2L)) === 1.0)
+    // fox/cat docs share 5 of 9 distinct 3-shingles → jaccard 5/11... compute: texts of 9 words
+    // have 7 shingles each; 6 shared prefix shingles minus the 2 differing tails.
+    got.get((1L, 3L)).foreach(j => assert(j > 0.4 && j < 1.0))
+  }
+}

@@ -1,0 +1,62 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  // two clusters around orthogonal axes + an isolated vector
+  private val vecs = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+    (1L, Array(0.99f, 0.1f, 0.0f, 0.0f)),
+    (2L, Array(0.98f, 0.0f, 0.1f, 0.0f)),
+    (10L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+    (11L, Array(0.0f, 0.99f, 0.1f, 0.0f)),
+    (20L, Array(0.0f, 0.0f, 0.0f, 1.0f)))
+    .toDF("vec_id", "embedding")
+
+  test("cosine: identical vectors score 1.0, orthogonal score 0.0") {
+    val self = vecs.filter($"vec_id" === 0L)
+      .select(Similarity.cosine(col("embedding"), col("embedding")).as("c"))
+      .as[Double].head()
+    assert(math.abs(self - 1.0) < 1e-12)
+    val ortho = vecs.filter($"vec_id" === 0L).crossJoin(
+        vecs.filter($"vec_id" === 10L).select(col("embedding").as("e2")))
+      .select(Similarity.cosine(col("embedding"), col("e2")).as("c"))
+      .as[Double].head()
+    assert(math.abs(ortho) < 1e-12)
+  }
+
+  test("bruteForceTopK ranks same-cluster vectors first") {
+    val got = Similarity.bruteForceTopK(vecs, vecs.filter($"vec_id" === 0L),
+      "vec_id", "embedding", k = 2)
+      .orderBy("rank").select("neighbor_id").as[Long].collect()
+    assert(got.toSeq === Seq(1L, 2L))
+  }
+
+  test("bruteForceTopK returns exactly k per query with dense ranks 1..k") {
+    val got = Similarity.bruteForceTopK(vecs,
+      vecs.filter($"vec_id" <= 1L), "vec_id", "embedding", k = 3)
+      .select("query_id", "rank").as[(Long, Int)].collect()
+    assert(got.groupBy(_._1).forall { case (_, rs) => rs.map(_._2).sorted.toSeq == Seq(1, 2, 3) })
+  }
+
+  test("lshTopK candidates are a subset rescored identically to brute force") {
+    val brute = Similarity.bruteForceTopK(vecs, vecs.filter($"vec_id" === 0L),
+      "vec_id", "embedding", k = 5)
+      .select("neighbor_id", "score").as[(Long, Double)].collect().toMap
+    val lsh = Similarity.lshTopK(vecs, vecs.filter($"vec_id" === 0L),
+      "vec_id", "embedding", k = 5, planes = 4)
+      .select("neighbor_id", "score").as[(Long, Double)].collect()
+    lsh.foreach { case (id, score) =>
+      assert(brute.contains(id) && math.abs(brute(id) - score) < 1e-12)
+    }
+  }
+
+  test("nearDupPairs surfaces the tightest pair first") {
+    val top = Similarity.nearDupPairs(vecs, "vec_id", "embedding", topN = 1)
+      .select("id_a", "id_b").as[(Long, Long)].head()
+    assert(Set((0L, 1L), (1L, 2L), (0L, 2L), (10L, 11L)).contains(top))
+  }
+}

@@ -1,0 +1,57 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the cat sat on a mat and the dog barked at the mailman"),
+    (2L, "le chat et la souris et les oiseaux des villes"),
+    (3L, "der hund und die katze und das haus ein baum"),
+    (4L, "xyzzy qwerty plugh"),
+    (5L, "Data, pipelines; scale: fast! Really?"))
+    .toDF("doc_id", "text")
+
+  test("langid predicts via stopword markers, unknown when none fire") {
+    val got = TextAnalysis.withLangId(docs, "text")
+      .select("doc_id", "lang_pred").as[(Long, String)].collect().toMap
+    assert(got(1L) === "en")
+    assert(got(2L) === "fr")
+    assert(got(3L) === "de")
+    assert(got(4L) === "unknown")
+  }
+
+  test("quality features: exact counts") {
+    val got = TextAnalysis.withQuality(docs, "text")
+      .select("doc_id", "n_words", "n_punct", "quality_score")
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L)._2 === 13L) // 13 words
+    assert(got(5L)._3 === 5L)  // one each of , ; : ! ?
+    assert(got(1L)._4 === 1.0) // long, stopworded, unpunctuated, >= 50 chars
+  }
+
+  test("token counts: whitespace vs regex vs bpe estimate") {
+    val got = TextAnalysis.withTokenCounts(docs, "text")
+      .select("doc_id", "ws_tokens", "re_tokens", "est_bpe_tokens")
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(got(4L)._2 === 3L)
+    assert(got(4L)._3 === 3L)
+    assert(got(4L)._4 === math.ceil("xyzzy qwerty plugh".length / 4.0).toLong)
+    // punctuation becomes separate regex tokens
+    assert(got(5L)._3 > got(5L)._2)
+  }
+
+  test("fingerprint is invariant to case and extra whitespace") {
+    val variants = Seq(
+      (1L, "Hello   World"),
+      (2L, "hello world"),
+      (3L, "  HELLO WORLD  "),
+      (4L, "different"))
+      .toDF("doc_id", "text")
+    val fps = TextAnalysis.withFingerprint(variants, "text")
+      .select("doc_id", "fingerprint").as[(Long, String)].collect().toMap
+    assert(fps(1L) === fps(2L) && fps(2L) === fps(3L))
+    assert(fps(1L) !== fps(4L))
+  }
+}

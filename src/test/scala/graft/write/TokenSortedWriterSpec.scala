@@ -1,0 +1,85 @@
+package graft.write
+
+import graft.SparkSpec
+import graft.model.CqlSchema
+import graft.token.Murmur3Token
+import org.apache.spark.sql.SaveMode
+import org.apache.spark.sql.functions._
+
+class TokenSortedWriterSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val schema = CqlSchema("t", Seq("pk"), Seq("ck"))
+
+  private def sample = {
+    val rnd = new scala.util.Random(7)
+    Seq.fill(2000)((rnd.nextLong(), rnd.nextInt(10), rnd.nextDouble())).toDF("pk", "ck", "v")
+  }
+
+  test("tokenSorted output is monotonically non-decreasing in token per partition " +
+    "(SortedSSTableWriter.addRow invariant)") {
+    val sorted = TokenSortedWriter.tokenSorted(sample, schema,
+      TokenSortedWriter.WriteConf(numPartitions = 5))
+    val violations = sorted.select(col(TokenSortedWriter.TokenCol).as[Long])
+      .mapPartitions { it =>
+        var prev = Long.MinValue
+        var bad = 0
+        it.foreach { t => if (t < prev) bad += 1; prev = t }
+        Iterator.single(bad)
+      }.collect().sum
+    assert(violations === 0)
+  }
+
+  test("token column matches the scalar Murmur3 port row-by-row") {
+    val sorted = TokenSortedWriter.tokenSorted(sample, schema)
+    val rows = sorted.select(col("pk"), col(TokenSortedWriter.TokenCol)).as[(Long, Long)].collect()
+    rows.foreach { case (pk, tok) =>
+      assert(tok === Murmur3Token.tokenOf(Seq(Long.box(pk))))
+    }
+  }
+
+  test("partitions are disjoint, complete token ranges (TokenPartitioner invariant)") {
+    val sorted = TokenSortedWriter.tokenSorted(sample, schema,
+      TokenSortedWriter.WriteConf(numPartitions = 8))
+    val ranges = sorted.select(col(TokenSortedWriter.TokenCol).as[Long])
+      .mapPartitions { it =>
+        if (it.isEmpty) Iterator.empty
+        else { val s = it.toSeq; Iterator.single((s.min, s.max)) }
+      }.collect().sortBy(_._1)
+    // complete coverage of the data + no overlap between consecutive ranges
+    ranges.sliding(2).foreach {
+      case Array((_, max1), (min2, _)) => assert(max1 <= min2, "overlapping partition ranges")
+      case _ =>
+    }
+  }
+
+  test("write rejects SaveMode.Overwrite unless opted in (reference sink semantics)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ow_").toString
+    intercept[IllegalArgumentException] {
+      TokenSortedWriter.write(sample, schema, dir + "/t", SaveMode.Overwrite)
+    }
+    TokenSortedWriter.write(sample, schema, dir + "/t", SaveMode.Overwrite,
+      TokenSortedWriter.WriteConf(allowOverwrite = true)) // opt-in path works
+  }
+
+  test("round-trip write → read preserves data exactly") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_rt_").toString + "/t"
+    val df = sample
+    TokenSortedWriter.write(df, schema, dir, SaveMode.Append,
+      TokenSortedWriter.WriteConf(numPartitions = 4))
+    val back = TokenSortedWriter.read(spark, schema, dir)
+    assert(back.as[(Long, Int, Double)].collect().toSet ===
+      df.as[(Long, Int, Double)].collect().toSet)
+    // role metadata survives the round trip
+    val roles = CqlSchema.fromStruct("t", back.schema)
+    assert(roles.partitionKeys === Seq("pk") && roles.clusteringKeys === Seq("ck"))
+  }
+
+  test("maxRecordsPerFile rolls output files (size-capped SSTable analog)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_roll_").toString + "/t"
+    TokenSortedWriter.write(sample, schema, dir, SaveMode.Append,
+      TokenSortedWriter.WriteConf(numPartitions = 2, maxRecordsPerFile = 300L))
+    val files = new java.io.File(dir).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(files >= 7, s"expected >= ceil(2000/300) files, got $files")
+  }
+}
