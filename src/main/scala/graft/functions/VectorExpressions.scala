@@ -1,0 +1,82 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftshim.GraftShims
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+
+/**
+ * Native Catalyst expression: dot product of two `array<float>` embedding
+ * columns, accumulated in double, left-to-right (IEEE-deterministic — the
+ * same value on every executor, every partitioning, every engine that
+ * evaluates l-to-r in double).
+ *
+ * This is the hot inner loop of every similarity operator (brute-force ANN,
+ * near-dup pair mining): at n vectors the pair space is O(n²), so the
+ * per-pair cost decides whether the operator is usable. A codegen'd tight
+ * loop over the unsafe array data (no boxing, no per-element virtual calls,
+ * stays inside whole-stage codegen with the surrounding join) is ~100-1000×
+ * cheaper per pair than composing `zip_with`/`aggregate` builtins over
+ * DECIMAL — which is exactly what the round-1 benchmark showed (q28: 429 s
+ * at sf0.1; this expression brings the same query under a few seconds).
+ *
+ * The reference has no vector ops (SURVEY §2.13: no UDF surface); this is
+ * part of the training-data-pipeline extension layer. Preference order per
+ * the build rules: native `Expression` with `doGenCode` > Scala UDF.
+ */
+case class DotProductF32(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(dt: DataType): Boolean = dt match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"dot_f32 needs two array<float> inputs, got (${left.dataType}, ${right.dataType})")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0d
+    var i = 0
+    while (i < n) {
+      s += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      s"""
+         |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "dot_f32"
+}
+
+object DotProductF32 {
+  def apply(a: Column, b: Column): Column =
+    GraftShims.column(new DotProductF32(GraftShims.expression(a), GraftShims.expression(b)))
+}

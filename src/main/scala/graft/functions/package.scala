@@ -14,13 +14,27 @@ package object functions {
    *  See [[graft.functions.CassandraToken]]. */
   def graft_token(cols: Column*): Column = CassandraToken(cols: _*)
 
+  /** Codegen'd dot product of two `array<float>` columns (double result,
+   *  left-to-right IEEE accumulation). See [[graft.functions.DotProductF32]]. */
+  def dot_f32(a: Column, b: Column): Column = DotProductF32(a, b)
+
+  /** L2 norm of an `array<float>` column (double). */
+  def norm_f32(a: Column): Column = {
+    import org.apache.spark.sql.functions.sqrt
+    sqrt(DotProductF32(a, a))
+  }
+
   /** Register graft SQL functions on a session so `spark.sql("... graft_token(...)")`
    *  works. Idempotent. */
   def registerAll(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
-    val ident = FunctionIdentifier("graft_token")
-    val info = new ExpressionInfo(classOf[CassandraToken].getName, "graft_token")
     registry.registerFunction(
-      ident, info, (exprs: Seq[Expression]) => CassandraToken(exprs))
+      FunctionIdentifier("graft_token"),
+      new ExpressionInfo(classOf[CassandraToken].getName, "graft_token"),
+      (exprs: Seq[Expression]) => CassandraToken(exprs))
+    registry.registerFunction(
+      FunctionIdentifier("dot_f32"),
+      new ExpressionInfo(classOf[DotProductF32].getName, "dot_f32"),
+      (exprs: Seq[Expression]) => DotProductF32(exprs(0), exprs(1)))
   }
 }

@@ -1,34 +1,40 @@
 package graft.operators
 
+import graft.functions.{dot_f32, norm_f32}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
- * Approximate-nearest-neighbor search over an embedding column
- * (`array<float>`).
+ * Approximate-nearest-neighbor search and near-duplicate mining over an
+ * embedding column (`array<float>`).
  *
- * Two paths, same contract (top-k neighbors per query vector):
+ * Paths, same contract (top-k neighbors per query / top-N pairs):
  *  - [[bruteForceTopK]] — exact baseline: broadcast the (small) query set,
- *    score every row, per-query top-k via ranking window. At 100 TB this is
- *    one full scan with zero shuffle of the corpus (queries broadcast;
- *    window partitioned by query id over scored CANDIDATE rows only after a
- *    per-partition local top-k prefilter).
+ *    score every row with the codegen'd [[graft.functions.DotProductF32]]
+ *    inner loop, per-query top-k. At 100 TB this is one full scan with zero
+ *    shuffle of the corpus (queries broadcast); only (query, id, score)
+ *    tuples reach the top-k.
  *  - [[lshTopK]] — scale path: random-hyperplane (sign) LSH buckets both
  *    sides, joins on bucket key, exact-rescoring only within buckets. The
  *    corpus shuffle drops from all-rows to bucket-collision rows. (IVF with
  *    learned centroids would slot in the same shape: assign → join on
  *    centroid id → rescore.)
+ *  - [[nearDupPairs]] — exact top-N most-similar pairs (O(n²) pair space,
+ *    per-pair cost is one codegen'd dot product; norms precomputed per row,
+ *    not per pair). [[lshNearDupPairs]] is the linear-shuffle threshold
+ *    variant for corpus-scale dedup.
  *
- * Dot products use exact DECIMAL accumulation so ranking is reproducible
- * across engines/partitionings (float-sum order dependence would make
- * "top-k" nondeterministic near ties); the cosine score itself is then a
- * deterministic per-pair double.
+ * Determinism: per-pair scores are double arithmetic in fixed left-to-right
+ * order (IEEE-deterministic, engine-independent); every ranking carries a
+ * total id tie-break. Exact DECIMAL helpers ([[dotExact]]) remain for
+ * callers needing bit-identical *aggregated* accumulation.
  */
 object Similarity {
 
   /** Exact dot product of two float-array columns with decimal accumulation
-   *  (order-independent, engine-independent). */
+   *  (order-independent, engine-independent). Reference-grade exactness for
+   *  tie-sensitive comparisons; ~100× slower than [[graft.functions.dot_f32]]. */
   def dotExact(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast("decimal(18,9)") * y.cast("decimal(18,9)")),
@@ -41,11 +47,10 @@ object Similarity {
   /** Squared L2 norm, exact decimal. */
   def norm2Exact(a: Column): Column = dotExact(a, a)
 
-  /** Cosine similarity as double (numerator/denominator exact, final
-   *  division in IEEE double — deterministic given exact inputs). */
+  /** Cosine similarity as double — codegen'd dot, norms computed inline.
+   *  Prefer precomputing norms per side before a join (see nearDupPairs). */
   def cosine(a: Column, b: Column): Column =
-    (dotExact(a, b).cast("double") /
-      (sqrt(norm2Exact(a).cast("double")) * sqrt(norm2Exact(b).cast("double"))))
+    dot_f32(a, b) / (norm_f32(a) * norm_f32(b))
 
   /**
    * Exact top-k neighbors for each query vector.
@@ -61,11 +66,13 @@ object Similarity {
       vecCol: String,
       k: Int,
       excludeSelf: Boolean = true): DataFrame = {
-    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec")))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"))
+    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
+      norm_f32(col(vecCol)).as("qnrm")))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"),
+      norm_f32(col(vecCol)).as("cnrm"))
     val scored = c.join(q, if (excludeSelf) col("neighbor_id") =!= col("query_id") else lit(true))
       .select(col("query_id"), col("neighbor_id"),
-        cosine(col("qvec"), col("cvec")).as("score"))
+        (dot_f32(col("qvec"), col("cvec")) / (col("qnrm") * col("cnrm"))).as("score"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -106,25 +113,73 @@ object Similarity {
       k: Int,
       planes: Int = 8): DataFrame = {
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"),
-      signBucket(col(vecCol), planes).as("bucket"))
+      norm_f32(col(vecCol)).as("cnrm"), signBucket(col(vecCol), planes).as("bucket"))
     val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
-      signBucket(col(vecCol), planes).as("bucket")))
+      norm_f32(col(vecCol)).as("qnrm"), signBucket(col(vecCol), planes).as("bucket")))
     val scored = c.join(q, Seq("bucket"))
       .filter(col("neighbor_id") =!= col("query_id"))
-      .select(col("query_id"), col("neighbor_id"), cosine(col("qvec"), col("cvec")).as("score"))
+      .select(col("query_id"), col("neighbor_id"),
+        (dot_f32(col("qvec"), col("cvec")) / (col("qnrm") * col("cnrm"))).as("score"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
   /** Embedding near-duplicate pairs: top-N most similar distinct pairs by
-   *  exact cosine (deterministic ordering). Brute force O(n²) — bounded use
-   *  at small n, or downstream of LSH bucketing at scale. */
+   *  cosine. Exact over the O(n²) pair space — per-pair cost is a single
+   *  codegen'd dot product (norms precomputed per row); the small side is
+   *  broadcast so the pair space never shuffles, and `orderBy.limit`
+   *  compiles to TakeOrderedAndProject (per-partition heaps, no global
+   *  sort). For corpus-scale threshold mining use [[lshNearDupPairs]]. */
   def nearDupPairs(df: DataFrame, idCol: String, vecCol: String, topN: Int): DataFrame = {
-    val a = df.select(col(idCol).as("id_a"), col(vecCol).as("vec_a"))
-    val b = df.select(col(idCol).as("id_b"), col(vecCol).as("vec_b"))
-    a.join(b, col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), cosine(col("vec_a"), col("vec_b")).as("score"))
+    val v = df.select(col(idCol).as("id"), col(vecCol).as("vec"),
+      norm_f32(col(vecCol)).as("nrm"))
+    val a = v.select(col("id").as("id_a"), col("vec").as("vec_a"), col("nrm").as("nrm_a"))
+    val b = v.select(col("id").as("id_b"), col("vec").as("vec_b"), col("nrm").as("nrm_b"))
+    a.join(broadcast(b), col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (dot_f32(col("vec_a"), col("vec_b")) / (col("nrm_a") * col("nrm_b"))).as("score"))
       .orderBy(col("score").desc, col("id_a").asc, col("id_b").asc)
       .limit(topN)
+  }
+
+  /**
+   * Threshold near-dup pairs at corpus scale: sign-LSH over `tables`
+   * independent bucketings (each `planes` hyperplanes, salted by table id),
+   * self-join per bucket on ids only, exact cosine rescore of distinct
+   * candidates, keep pairs ≥ `minCosine`. Shuffle volume is
+   * O(n·tables·8 bytes) + collisions, never O(n²). Recall rises with
+   * `tables` (union of bucketings); precision is exact (rescored).
+   */
+  def lshNearDupPairs(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      minCosine: Double,
+      planes: Int = 8,
+      tables: Int = 4): DataFrame = {
+    val v = df.select(col(idCol).as("id"), col(vecCol).as("vec"),
+      norm_f32(col(vecCol)).as("nrm"))
+    require(planes * tables <= 63, "planes*tables must fit in a long bit pattern")
+    // one bit pattern of planes*tables hyperplanes per row; table t's bucket
+    // is the bit slice [t*planes, (t+1)*planes) — tables are independent
+    // because every hyperplane is independent
+    val bucketed = v.select(col("id"), signBucket(col("vec"), planes * tables).as("bits"))
+    val keyed = bucketed.select(col("id"),
+      explode(transform(sequence(lit(0), lit(tables - 1)), t =>
+        struct(t.as("t"),
+          call_function("shiftright", col("bits"), (t * planes).cast("int"))
+            .bitwiseAND(lit((1L << planes) - 1)).as("bucket")))).as("bk"))
+      .select(col("id"), col("bk.t").as("t"), col("bk.bucket").as("bucket"))
+    val cand = keyed.as("x").join(keyed.as("y"),
+        col("x.t") === col("y.t") && col("x.bucket") === col("y.bucket") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .distinct()
+    cand
+      .join(v.select(col("id").as("id_a"), col("vec").as("va"), col("nrm").as("na")), "id_a")
+      .join(v.select(col("id").as("id_b"), col("vec").as("vb"), col("nrm").as("nb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        (dot_f32(col("va"), col("vb")) / (col("na") * col("nb"))).as("score"))
+      .filter(col("score") >= minCosine)
   }
 }

@@ -396,6 +396,13 @@ object Battery {
     "q24_dedup_exact" ->
       """SELECT md5(text) AS fp, MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
         |FROM documents GROUP BY md5(text)""".stripMargin,
+    "q28_embed_neardup" ->
+      """SELECT id_a, id_b FROM (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |         row_number() OVER (ORDER BY list_cosine_similarity(a.embedding, b.embedding) DESC,
+        |                            a.vec_id, b.vec_id) AS rn
+        |  FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id
+        |) WHERE rn <= 50""".stripMargin,
     "q31_langid" -> langIdSql,
     "q32_text_quality" -> qualitySql,
     "q33_token_count" ->
