@@ -238,6 +238,33 @@ object Battery {
           docs(s, d).withColumn("blob", col("text").cast("binary")), "blob")
         .select(col("doc_id"), col("byte_len"), col("sha256"))),
 
+    // ---- S1-S4/P2-P6/S10: DSv2 source + DSv1 sink end-to-end ----------
+    // write lineitem through the graft sink (token-sorted, token column
+    // kept), read back through the graft DSv2 source with pk pushdown —
+    // the full reference read/write surface in one query
+    "q38_dsv2_roundtrip" -> ((s, d) => {
+      val out = java.nio.file.Files.createTempDirectory("graft_dsv2_").toString + "/lineitem"
+      li(s, d).write.format("graft")
+        .option("path", out).option("pk", "l_orderkey").option("ck", "l_linenumber")
+        .option("partitions", "8")
+        .mode(SaveMode.Append).save()
+      s.read.format("graft")
+        .option("path", out).option("pk", "l_orderkey").option("ck", "l_linenumber")
+        .load()
+        .filter(col("l_orderkey").isin(1L, 7L, 42L, 4096L))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+    }),
+    // metadata-only scan (S8): row counts from parquet footers must equal
+    // the data row count — the Index.db-not-Data.db read path
+    "q39_meta_rowcount" -> ((s, d) => {
+      val out = java.nio.file.Files.createTempDirectory("graft_meta_").toString + "/orders"
+      ord(s, d).write.format("graft")
+        .option("path", out).option("pk", "o_orderkey").option("partitions", "4")
+        .mode(SaveMode.Append).save()
+      s.read.format("graft-metadata").option("path", out).load()
+        .agg(sum(col("rows")).as("total_rows"))
+    }),
+
     // ---- window functions ----------------------------------------------
     "q36_window_running" -> ((s, d) => {
       val w = Window.partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
@@ -418,6 +445,10 @@ object Battery {
       """SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS byte_len,
         |  sha256(text) AS sha256
         |FROM documents""".stripMargin,
+    "q38_dsv2_roundtrip" ->
+      "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem WHERE l_orderkey IN (1, 7, 42, 4096)",
+    "q39_meta_rowcount" ->
+      "SELECT COUNT(*) AS total_rows FROM orders",
     "q36_window_running" ->
       """SELECT event_id, user_id,
         |  row_number() OVER w AS rn,

