@@ -276,6 +276,14 @@ object Battery {
         lag(col("value"), 1).over(w).as("prev_value"))
     }),
 
+    // ---- §2.12 extension: streaming semantics in batch ------------------
+    // identical code path to the streaming operators (EventStreamsSpec
+    // proves stream == batch); the oracle checks the batch side
+    "q40_window_hourly" -> ((s, d) =>
+      graft.streaming.EventStreams.windowedTypeCounts(ev(s, d), "1 hour")),
+    "q41_sessionize" -> ((s, d) =>
+      graft.streaming.EventStreams.sessionizeBatch(ev(s, d), gapSeconds = 1800)),
+
     // ---- rollup ---------------------------------------------------------
     "q37_rollup" -> ((s, d) =>
       ord(s, d).join(cust(s, d), col("o_custkey") === col("c_custkey"))
@@ -458,6 +466,30 @@ object Battery {
         |  lag(value) OVER w AS prev_value
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)""".stripMargin,
+    "q40_window_hourly" ->
+      """SELECT strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS window_start,
+        |  event_type, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "q41_sessionize" ->
+      """SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+        |  strftime(MIN(t), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |  strftime(MAX(t), '%Y-%m-%d %H:%M:%S') AS session_end,
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+        |FROM (
+        |  SELECT user_id, t, value,
+        |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY t, event_id
+        |                      ROWS UNBOUNDED PRECEDING) AS session_no
+        |  FROM (
+        |    SELECT user_id, event_id, value, CAST(ts AS TIMESTAMP) AS t,
+        |      CASE WHEN lag(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id
+        |               ORDER BY CAST(ts AS TIMESTAMP), event_id) IS NULL
+        |        OR epoch_us(CAST(ts AS TIMESTAMP)) - epoch_us(lag(CAST(ts AS TIMESTAMP)) OVER (
+        |               PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)) > 1800000000
+        |        THEN 1 ELSE 0 END AS is_new
+        |    FROM events))
+        |GROUP BY user_id, session_no""".stripMargin,
     "q37_rollup" ->
       """SELECT n_name,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue,

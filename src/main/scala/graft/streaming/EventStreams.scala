@@ -1,0 +1,157 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/**
+ * Structured Streaming over the event-log shape (`events` table: user_id,
+ * ts, event_id, event_type, value, props).
+ *
+ * The reference advertises MICRO_BATCH_READ but ships no stream
+ * implementation (SURVEY §1.1: capability constant only, no
+ * `MicroBatchStream`, no CDC module) — so this layer is the Spark-native
+ * extension of the engine, built entirely on public Structured Streaming
+ * primitives: `readStream` file source → watermarked event-time windows →
+ * `flatMapGroupsWithState` sessionization → `writeStream`.
+ *
+ * Scale design (100 TB/day event firehose):
+ *  - Windowed aggregation state is bounded by the watermark: late rows
+ *    beyond `delay` are dropped and window state older than
+ *    `watermark - window` is evicted — state size is O(active windows ×
+ *    groups), independent of stream length.
+ *  - Sessionization state is one small case class per ACTIVE user (open
+ *    session bounds + counters), keyed-state-partitioned across executors;
+ *    `EventTimeTimeout` closes sessions exactly when the watermark passes
+ *    `session_end + gap`, so emission is deterministic w.r.t. event time,
+ *    not arrival time.
+ *  - Everything here also runs in batch mode ([[sessionizeBatch]] /
+ *    [[windowedTypeCounts]] over a static frame) — one code path per
+ *    semantic, verified against each other in the spec and against the
+ *    DuckDB oracle in the battery (q40/q41).
+ */
+object EventStreams {
+
+  final case class Event(
+      user_id: Long, event_id: Long, event_type: String, ts: Timestamp, value: Double)
+
+  final case class SessionState(
+      start: Long, end: Long, nEvents: Long, totalValue: Double)
+
+  final case class Session(
+      user_id: Long, session_start: Timestamp, session_end: Timestamp,
+      n_events: Long, total_value: Double)
+
+  /** File-based micro-batch source over a directory of event parquet. */
+  def readEventStream(spark: SparkSession, dir: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.readStream.schema(schema).parquet(dir)
+
+  /**
+   * Watermarked tumbling-window counts per event type. Works identically on
+   * a static DataFrame (the watermark is a no-op in batch) — the battery's
+   * q40 runs exactly this plan in batch against the DuckDB oracle.
+   */
+  def windowedTypeCounts(
+      events: DataFrame,
+      windowDur: String = "1 hour",
+      watermarkDelay: String = "10 minutes"): DataFrame = {
+    val wm = if (events.isStreaming) events.withWatermark("ts", watermarkDelay) else events
+    wm.groupBy(window(col("ts"), windowDur), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("total_value"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("event_type"), col("n_events"), col("total_value"))
+  }
+
+  /**
+   * Streaming sessionization: events within `gapSeconds` of each other (per
+   * user) form one session; a session closes when the event-time watermark
+   * passes `session_end + gap`. Custom keyed state via
+   * `flatMapGroupsWithState` (the Spark primitive for reference-less
+   * stateful operators; SURVEY §2.12 marks streaming as our extension).
+   */
+  def sessionizeStream(events: Dataset[Event], gapSeconds: Long): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", s"$gapSeconds seconds")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[SessionState]) =>
+          def toSession(s: SessionState): Session =
+            Session(userId, new Timestamp(s.start), new Timestamp(s.end), s.nEvents, s.totalValue)
+
+          if (batch.isEmpty && state.hasTimedOut) {
+            // watermark passed end+gap with no new events: close the session
+            val out = state.getOption.map(toSession).toList
+            state.remove()
+            out.iterator
+          } else {
+            // micro-batch arrival order is arbitrary: order by event time
+            val evs = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var closed = List.empty[Session]
+            var cur = state.getOption
+            evs.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.end <= gapSeconds * 1000 =>
+                  cur = Some(SessionState(s.start, math.max(s.end, t),
+                    s.nEvents + 1, s.totalValue + e.value))
+                case Some(s) =>
+                  closed ::= toSession(s)
+                  cur = Some(SessionState(t, t, 1, e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.end + gapSeconds * 1000)
+            }
+            closed.reverse.iterator
+          }
+      }
+  }
+
+  /**
+   * Batch sessionization with identical semantics (gap-split by event time):
+   * `lag` marks session starts, a running sum numbers sessions, one
+   * aggregation per (user, session). Two shuffle-free window passes over the
+   * same (user_id, ts) partitioning + one hash aggregate — at 100 TB this is
+   * one shuffle on user_id total. Verified equal to [[sessionizeStream]] in
+   * the spec and against DuckDB in the battery (q41).
+   */
+  def sessionizeBatch(events: DataFrame, gapSeconds: Long,
+      userCol: String = "user_id", tsCol: String = "ts",
+      idCol: String = "event_id", valueCol: String = "value"): DataFrame = {
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol).asc, col(idCol).asc)
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val prevTs = lag(col(tsCol), 1).over(w)
+    // microsecond-exact gap test (timestamp cast to long floors to seconds,
+    // which would disagree with an exact-epoch oracle on sub-second data)
+    val isNew = when(prevTs.isNull ||
+      unix_micros(col(tsCol)) - unix_micros(prevTs) > gapSeconds * 1000000L, 1L).otherwise(0L)
+    events
+      .withColumn("__new_sess", isNew)
+      .withColumn("__sess_no", sum(col("__new_sess")).over(run))
+      .groupBy(col(userCol), col("__sess_no").as("session_no"))
+      .agg(
+        date_format(min(col(tsCol)), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        date_format(max(col(tsCol)), "yyyy-MM-dd HH:mm:ss").as("session_end"),
+        count(lit(1)).as("n_events"),
+        sum(col(valueCol).cast("decimal(18,6)")).cast("double").as("total_value"))
+  }
+
+  /** Streaming exact-dedup on a key within the watermark horizon
+   *  (`dropDuplicates` keyed state — the streaming analog of
+   *  `Dedup.exact`). */
+  def dedupeStream(events: DataFrame, keyCols: Seq[String], watermarkDelay: String): DataFrame =
+    events.withWatermark("ts", watermarkDelay)
+      .dropDuplicates(keyCols :+ "ts")
+}

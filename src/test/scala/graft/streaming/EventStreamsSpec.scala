@@ -1,0 +1,114 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import graft.SparkSpec
+import graft.streaming.EventStreams.Event
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+class EventStreamsSpec extends SparkSpec {
+
+  private def ts(minute: Int): Timestamp = Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
+
+  private val evs = Seq(
+    // user 1: two sessions split by a 20-min gap (gap threshold 10 min)
+    Event(1L, 1L, "click", ts(0), 1.0),
+    Event(1L, 2L, "click", ts(5), 2.0),
+    Event(1L, 3L, "buy", ts(9), 3.0),
+    Event(1L, 4L, "click", ts(30), 4.0),
+    Event(1L, 5L, "click", ts(35), 5.0),
+    // user 2: one session
+    Event(2L, 6L, "view", ts(1), 10.0),
+    Event(2L, 7L, "view", ts(8), 20.0))
+
+  test("batch sessionization splits on the gap and aggregates per session") {
+    import spark.implicits._
+    val out = EventStreams.sessionizeBatch(evs.toDF(), gapSeconds = 600)
+      .orderBy("user_id", "session_no")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(2), r.getString(3), r.getLong(4), r.getDouble(5)))
+    assert(out.toSeq == Seq(
+      (1L, "2024-01-01 10:00:00", "2024-01-01 10:09:00", 3L, 6.0),
+      (1L, "2024-01-01 10:30:00", "2024-01-01 10:35:00", 2L, 9.0),
+      (2L, "2024-01-01 10:01:00", "2024-01-01 10:08:00", 2L, 30.0)))
+  }
+
+  test("streaming sessionization emits the same sessions as batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = EventStreams.sessionizeStream(mem.toDS(), gapSeconds = 600)
+      .writeStream.format("memory").queryName("sessions_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // batch 1: first sessions' events
+      mem.addData(evs.filter(_.event_id <= 3L) :+ evs(5): _*)
+      q.processAllAvailable()
+      // batch 2: later events push the watermark past session 1's gap
+      mem.addData(evs.filter(e => e.event_id == 4L || e.event_id == 5L || e.event_id == 7L): _*)
+      q.processAllAvailable()
+      // batch 3: a far-future event closes everything still open
+      mem.addData(Event(99L, 100L, "tick", Timestamp.valueOf("2024-01-01 12:00:00"), 0.0))
+      q.processAllAvailable()
+      mem.addData(Event(99L, 101L, "tick", Timestamp.valueOf("2024-01-01 14:00:00"), 0.0))
+      q.processAllAvailable()
+
+      val streamed = spark.table("sessions_out")
+        .filter(col("user_id") < 90L)
+        .select(col("user_id"),
+          date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss").as("s"),
+          date_format(col("session_end"), "yyyy-MM-dd HH:mm:ss").as("e"),
+          col("n_events"), col("total_value"))
+        .orderBy("user_id", "s")
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3), r.getDouble(4)))
+      val batch = EventStreams.sessionizeBatch(evs.toDF(), gapSeconds = 600)
+        .orderBy("user_id", "session_start")
+        .collect()
+        .map(r => (r.getLong(0), r.getString(2), r.getString(3), r.getLong(4), r.getDouble(5)))
+      assert(streamed.toSeq == batch.toSeq)
+    } finally q.stop()
+  }
+
+  test("watermarked windowed counts over a stream match the batch plan") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = EventStreams.windowedTypeCounts(mem.toDF(), "10 minutes", "5 minutes")
+      .writeStream.format("memory").queryName("windows_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(evs: _*)
+      q.processAllAvailable()
+      // close all windows
+      mem.addData(Event(99L, 100L, "tick", Timestamp.valueOf("2024-01-01 13:00:00"), 0.0))
+      q.processAllAvailable()
+      val streamed = spark.table("windows_out")
+        .filter(col("event_type") =!= "tick")
+        .orderBy("window_start", "event_type")
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      val batch = EventStreams.windowedTypeCounts(evs.toDF(), "10 minutes")
+        .orderBy("window_start", "event_type")
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      assert(streamed.toSeq == batch.toSeq)
+    } finally q.stop()
+  }
+
+  test("streaming dedup drops re-delivered events inside the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = EventStreams.dedupeStream(mem.toDF(), Seq("event_id"), "1 hour")
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(evs: _*)
+      q.processAllAvailable()
+      mem.addData(evs: _*) // exact redelivery
+      q.processAllAvailable()
+      assert(spark.table("dedup_out").count() == evs.size)
+    } finally q.stop()
+  }
+}
