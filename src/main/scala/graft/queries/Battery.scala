@@ -284,6 +284,75 @@ object Battery {
     "q41_sessionize" -> ((s, d) =>
       graft.streaming.EventStreams.sessionizeBatch(ev(s, d), gapSeconds = 1800)),
 
+    // ---- §2.11/§2.4 Layer-B widening -----------------------------------
+    // pivot: one column per order status, counted per order-year
+    "q42_pivot" -> ((s, d) =>
+      ord(s, d).withColumn("y", year(col("o_orderdate")))
+        .groupBy(col("y")).pivot("o_orderstatus", Seq("F", "O", "P")).count()
+        .select(col("y"), coalesce(col("F"), lit(0L)).as("F"),
+          coalesce(col("O"), lit(0L)).as("O"), coalesce(col("P"), lit(0L)).as("P"))),
+    // cube over two dims with grouping flags
+    "q43_cube" -> ((s, d) =>
+      ord(s, d).join(cust(s, d), col("o_custkey") === col("c_custkey"))
+        .cube(col("c_mktsegment"), col("o_orderpriority")).agg(
+          count(lit(1)).as("n"),
+          dsum(col("o_totalprice")).as("revenue"),
+          grouping(col("c_mktsegment")).cast("long").as("g_seg"),
+          grouping(col("o_orderpriority")).cast("long").as("g_pri"))),
+    // exact percentiles (linear interpolation — same contract as DuckDB
+    // quantile_cont)
+    "q44_percentile" -> ((s, d) =>
+      li(s, d).groupBy(col("l_returnflag")).agg(
+        expr("percentile(l_quantity, 0.25)").as("p25"),
+        expr("percentile(l_quantity, 0.5)").as("p50"),
+        expr("percentile(l_quantity, 0.75)").as("p75"),
+        expr("percentile(l_quantity, 0.99)").as("p99"))),
+    // explode/unnest
+    "q45_explode" -> ((s, d) =>
+      Tables.part(s, d)
+        .select(col("p_partkey"), explode(split(col("p_type"), " ")).as("word"))),
+    // ordered string aggregation via sorted collect_list
+    "q46_string_agg" -> ((s, d) =>
+      Tables.supplier(s, d).groupBy(col("s_nationkey")).agg(
+        concat_ws(",", array_sort(collect_list(col("s_name")))).as("names"),
+        count(lit(1)).as("n_sup"))),
+    // conditional aggregation (FILTER/count_if analog)
+    "q47_conditional_agg" -> ((s, d) =>
+      li(s, d).groupBy(col("l_linestatus")).agg(
+        count(when(col("l_discount") > 0.05, 1)).as("n_discounted"),
+        dsum(when(col("l_returnflag") === "R", col("l_extendedprice")).otherwise(lit(0.0)))
+          .as("returned_value"),
+        count(when(col("l_quantity") >= 25.0, 1)).as("n_bulk"))),
+    // regexp battery
+    "q48_regexp" -> ((s, d) =>
+      Tables.part(s, d).select(
+        col("p_partkey"),
+        regexp_extract(col("p_name"), "^([a-z]+)", 1).as("first_word"),
+        regexp_replace(col("p_brand"), "[0-9]+", "#").as("brand_masked"),
+        col("p_name").rlike("red|blue").as("has_color"))),
+    // SQL-layer subqueries (EXISTS / scalar subquery via spark.sql)
+    "q49_sql_subquery" -> ((s, d) => {
+      ord(s, d).createOrReplaceTempView("orders_v")
+      li(s, d).createOrReplaceTempView("lineitem_v")
+      s.sql("""
+        SELECT o_orderkey, o_totalprice
+        FROM orders_v o
+        WHERE EXISTS (SELECT 1 FROM lineitem_v l
+                      WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 49)
+          AND o_totalprice > (SELECT AVG(o_totalprice) FROM orders_v)
+      """)
+    }),
+    // null-handling scalar battery
+    "q50_null_fns" -> ((s, d) =>
+      ord(s, d).join(cust(s, d).filter(col("c_acctbal") > 5000.0),
+          col("o_custkey") === col("c_custkey"), "left")
+        .select(
+          col("o_orderkey"),
+          coalesce(col("c_mktsegment"), lit("NONE")).as("seg"),
+          col("c_custkey").isNull.as("no_rich_cust"),
+          when(col("c_acctbal") > 7500.0, col("c_acctbal")).as("very_rich_bal"),
+          nvl2(col("c_custkey"), lit("rich"), lit("other")).as("richness"))),
+
     // ---- rollup ---------------------------------------------------------
     "q37_rollup" -> ((s, d) =>
       ord(s, d).join(cust(s, d), col("o_custkey") === col("c_custkey"))
@@ -466,6 +535,58 @@ object Battery {
         |  lag(value) OVER w AS prev_value
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)""".stripMargin,
+    "q42_pivot" ->
+      """SELECT CAST(year(o_orderdate) AS INTEGER) AS y,
+        |  COUNT(*) FILTER (o_orderstatus = 'F') AS F,
+        |  COUNT(*) FILTER (o_orderstatus = 'O') AS O,
+        |  COUNT(*) FILTER (o_orderstatus = 'P') AS P
+        |FROM orders GROUP BY 1""".stripMargin,
+    "q43_cube" ->
+      """SELECT c_mktsegment, o_orderpriority, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+        |  CAST(GROUPING(c_mktsegment) AS BIGINT) AS g_seg,
+        |  CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_pri
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY CUBE(c_mktsegment, o_orderpriority)""".stripMargin,
+    "q44_percentile" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(l_quantity, 0.25) AS p25,
+        |  quantile_cont(l_quantity, 0.5) AS p50,
+        |  quantile_cont(l_quantity, 0.75) AS p75,
+        |  quantile_cont(l_quantity, 0.99) AS p99
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q45_explode" ->
+      """SELECT p_partkey, unnest(string_split(p_type, ' ')) AS word FROM part""",
+    "q46_string_agg" ->
+      """SELECT s_nationkey, string_agg(s_name, ',' ORDER BY s_name) AS names,
+        |  COUNT(*) AS n_sup
+        |FROM supplier GROUP BY s_nationkey""".stripMargin,
+    "q47_conditional_agg" ->
+      """SELECT l_linestatus,
+        |  COUNT(*) FILTER (l_discount > 0.05) AS n_discounted,
+        |  CAST(SUM(CAST(CASE WHEN l_returnflag = 'R' THEN l_extendedprice ELSE 0.0 END
+        |      AS DECIMAL(18,6))) AS DOUBLE) AS returned_value,
+        |  COUNT(*) FILTER (l_quantity >= 25) AS n_bulk
+        |FROM lineitem GROUP BY l_linestatus""".stripMargin,
+    "q48_regexp" ->
+      """SELECT p_partkey,
+        |  regexp_extract(p_name, '^([a-z]+)', 1) AS first_word,
+        |  regexp_replace(p_brand, '[0-9]+', '#', 'g') AS brand_masked,
+        |  regexp_matches(p_name, 'red|blue') AS has_color
+        |FROM part""".stripMargin,
+    "q49_sql_subquery" ->
+      """SELECT o_orderkey, o_totalprice FROM orders o
+        |WHERE EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 49)
+        |  AND o_totalprice > (SELECT AVG(o_totalprice) FROM orders)""".stripMargin,
+    "q50_null_fns" ->
+      """SELECT o_orderkey,
+        |  COALESCE(c_mktsegment, 'NONE') AS seg,
+        |  c_custkey IS NULL AS no_rich_cust,
+        |  CASE WHEN c_acctbal > 7500 THEN c_acctbal END AS very_rich_bal,
+        |  CASE WHEN c_custkey IS NOT NULL THEN 'rich' ELSE 'other' END AS richness
+        |FROM orders LEFT JOIN (SELECT * FROM customer WHERE c_acctbal > 5000) c
+        |  ON o_custkey = c_custkey""".stripMargin,
     "q40_window_hourly" ->
       """SELECT strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS window_start,
         |  event_type, COUNT(*) AS n_events,
