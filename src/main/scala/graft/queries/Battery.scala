@@ -276,6 +276,30 @@ object Battery {
         lag(col("value"), 1).over(w).as("prev_value"))
     }),
 
+    // ---- S5/§2.8/W9 end-to-end: upsert + tombstone + LWW normalized read
+    // three writes (base @t1, quantity-bumped subset @t2, partition deletes
+    // @t3) through the token-sorted sink, then the reference's full read
+    // semantics (LWW collapse, time-aware tombstone purge) via readNormalized
+    "q51_upsert_delete_read" -> ((s, d) => {
+      val schema = Tables.schemas("lineitem")
+      val out = java.nio.file.Files.createTempDirectory("graft_norm_").toString + "/lineitem"
+      val base = li(s, d)
+      TokenSortedWriter.write(base, schema, out, SaveMode.Append,
+        TokenSortedWriter.WriteConf(numPartitions = 4, keepTokenColumn = true,
+          writetimeMicros = Some(1000L)))
+      TokenSortedWriter.write(
+        base.filter(col("l_orderkey") % 10 === 0)
+          .withColumn("l_quantity", col("l_quantity") + 100.0),
+        schema, out, SaveMode.Append,
+        TokenSortedWriter.WriteConf(numPartitions = 2, keepTokenColumn = true,
+          writetimeMicros = Some(2000L)))
+      TokenSortedWriter.writeDeletes(
+        base.filter(col("l_orderkey") % 97 === 0).select(col("l_orderkey")),
+        schema, out, Some(3000L))
+      TokenSortedWriter.readNormalized(s, schema, out)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+    }),
+
     // ---- §2.12 extension: streaming semantics in batch ------------------
     // identical code path to the streaming operators (EventStreamsSpec
     // proves stream == batch); the oracle checks the batch side
@@ -535,6 +559,22 @@ object Battery {
         |  lag(value) OVER w AS prev_value
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)""".stripMargin,
+    "q51_upsert_delete_read" ->
+      """WITH versions AS (
+        |  SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity, l_extendedprice,
+        |         l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate, 1000 AS wt
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity + 100, l_extendedprice,
+        |         l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate, 2000 AS wt
+        |  FROM lineitem WHERE l_orderkey % 10 = 0)
+        |SELECT l_orderkey, l_linenumber, l_quantity FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY l_orderkey, l_linenumber
+        |    ORDER BY wt DESC, l_partkey DESC, l_suppkey DESC, l_quantity DESC,
+        |             l_extendedprice DESC, l_discount DESC, l_tax DESC, l_returnflag DESC,
+        |             l_linestatus DESC, l_shipdate DESC) AS rn
+        |  FROM versions)
+        |WHERE rn = 1 AND l_orderkey % 97 <> 0""".stripMargin,
     "q42_pivot" ->
       """SELECT CAST(year(o_orderdate) AS INTEGER) AS y,
         |  COUNT(*) FILTER (o_orderstatus = 'F') AS F,

@@ -44,9 +44,48 @@ object TokenSortedWriter {
       numPartitions: Int = 0, // 0 = leave to spark.sql.shuffle.partitions
       maxRecordsPerFile: Long = 0L, // 0 = single file per task
       allowOverwrite: Boolean = false,
-      keepTokenColumn: Boolean = false)
+      keepTokenColumn: Boolean = false,
+      // W9 (`TTLOption.java:45-127`, `TimestampOption.java`): constant-OR-
+      // per-row write timestamp and TTL, materialized as first-class columns
+      // (`writetime`/`ttl` become columns of our table format, SURVEY §2.9)
+      writetimeMicros: Option[Long] = None,
+      writetimeColumn: Option[String] = None,
+      ttlSeconds: Option[Long] = None,
+      ttlColumn: Option[String] = None)
 
   val TokenCol = "_graft_token"
+  /** Per-row write timestamp in epoch micros (the CQL `writetime()` analog). */
+  val WritetimeCol = "_graft_writetime"
+  /** Per-row expiry in epoch micros, null = never (the TTL analog; expiry is
+   *  resolved at write time = writetime + ttl, so reads only compare). */
+  val ExpiresCol = "_graft_expires_at"
+  /** Subdirectory holding partition-delete key sets (§2.8
+   *  `WriteMode.DELETE_PARTITION`); underscore prefix keeps it invisible to
+   *  plain parquet listings. */
+  val DeletesDir = "_graft_deletes"
+
+  /** Append W9 feature columns per conf: explicit per-row column wins over
+   *  the constant (reference: `TTLOption.forRow`/`constant`). */
+  private def withWriteOptions(df: DataFrame, conf: WriteConf): DataFrame = {
+    val wt = (conf.writetimeColumn, conf.writetimeMicros) match {
+      case (Some(c), _) => Some(col(c).cast("long"))
+      case (None, Some(const)) => Some(lit(const))
+      case _ => None
+    }
+    val withWt = wt.map(e => df.withColumn(WritetimeCol, e)).getOrElse(df)
+    val ttl = (conf.ttlColumn, conf.ttlSeconds) match {
+      case (Some(c), _) => Some(col(c).cast("long"))
+      case (None, Some(const)) => Some(lit(const))
+      case _ => None
+    }
+    ttl match {
+      case Some(t) =>
+        val base = wt.getOrElse(lit(0L))
+        withWt.withColumn(ExpiresCol, when(t.isNull, lit(null).cast("long"))
+          .otherwise(base + t * 1000000L))
+      case None => withWt
+    }
+  }
 
   /** Tokenize + range-partition + sort, without writing — the reusable
    *  logical prefix (also what the DSv2 sink delegates to). */
@@ -72,7 +111,7 @@ object TokenSortedWriter {
       throw new IllegalArgumentException(
         "SaveMode.Overwrite rejected (reference sink semantics); set allowOverwrite to opt in")
     }
-    val sorted = tokenSorted(df, schema, conf)
+    val sorted = tokenSorted(withWriteOptions(df, conf), schema, conf)
     val out = if (conf.keepTokenColumn) sorted else sorted.drop(TokenCol)
     val writer = out.write.mode(mode)
     val w2 = if (conf.maxRecordsPerFile > 0)
@@ -80,7 +119,93 @@ object TokenSortedWriter {
     w2.parquet(path)
   }
 
+  /**
+   * Partition-delete write mode (§2.8: the reference's
+   * `WriteMode.DELETE_PARTITION` generates `DELETE FROM ks.tbl WHERE pk=?`,
+   * `TableSchema.getDeleteStatement():227-238`). Our file-native analog:
+   * append the distinct partition-key set as a tombstone table under
+   * `_graft_deletes/`; [[readNormalized]] applies it as a left-anti join.
+   * Tombstones carry a writetime so delete-then-reinsert resolves by time.
+   */
+  def writeDeletes(
+      keys: DataFrame,
+      schema: CqlSchema,
+      path: String,
+      writetimeMicros: Option[Long] = None): Unit = {
+    val pkOnly = keys.select(schema.partitionKeys.map(col): _*).distinct()
+    val stamped = writetimeMicros
+      .map(t => pkOnly.withColumn(WritetimeCol, lit(t))).getOrElse(pkOnly)
+    stamped.write.mode(SaveMode.Append).parquet(s"$path/$DeletesDir")
+  }
+
   /** Read back a previous [[write]] output with role metadata re-attached. */
   def read(spark: SparkSession, schema: CqlSchema, path: String): DataFrame =
     schema.annotate(spark.read.parquet(path))
+
+  /**
+   * The reference's read-path semantics end-to-end (SURVEY §3.1 steps 6-8
+   * rebuilt declaratively, §7.1 step 3 "normalization sub-plan"): scan via
+   * the graft DSv2 source (token pruning, pushdown, stats), then
+   *
+   *  1. last-write-wins collapse of multi-version rows by `_graft_writetime`
+   *     (the merge-compaction of `CompactionStreamScanner`, S5) — present
+   *     whenever appends overlapped;
+   *  2. tombstone purge: left-anti/time-aware join against the
+   *     `_graft_deletes/` key set (§2.8; delete wins only over rows it is
+   *     newer than, like Cassandra deletion timestamps);
+   *  3. TTL expiry against a FIXED `nowMicros` (reproducible scans — the
+   *     reference pins `nowInSec` per scan, `CompactionStreamScanner:120`).
+   *
+   * Each step is a plain Catalyst operator (window / join / filter), so
+   * pushdown BELOW and AQE ABOVE both still apply: at 100 TB the LWW is one
+   * pk-shuffle, the delete set broadcasts, and TTL is a pushable filter.
+   */
+  def readNormalized(
+      spark: SparkSession,
+      schema: CqlSchema,
+      path: String,
+      nowMicros: Option[Long] = None,
+      keepFeatureColumns: Boolean = false): DataFrame = {
+    var df = spark.read.format("graft")
+      .option("path", path)
+      .option("pk", schema.partitionKeys.mkString(","))
+      .option("ck", schema.clusteringKeys.mkString(","))
+      .option("table", schema.table)
+      .load()
+
+    // 1. LWW: writetime first, then every non-key column as a deterministic
+    // total tie-break (equal-writetime appends resolve identically everywhere)
+    if (df.columns.contains(WritetimeCol)) {
+      val tiebreaks = df.columns.toSeq
+        .filterNot(c => schema.primaryKey.contains(c) || c == WritetimeCol)
+      df = graft.operators.Normalize.latestWriteWins(
+        df, schema.primaryKey, WritetimeCol +: tiebreaks)
+    }
+
+    // 2. tombstones
+    val delPath = new org.apache.hadoop.fs.Path(path, DeletesDir)
+    val fs = delPath.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(delPath)) {
+      val deletes = spark.read.parquet(delPath.toString)
+      val pk = schema.partitionKeys
+      if (deletes.columns.contains(WritetimeCol) && df.columns.contains(WritetimeCol)) {
+        val delAgg = deletes.groupBy(pk.map(col): _*)
+          .agg(max(col(WritetimeCol)).as("__graft_del_wt"))
+        df = df.join(delAgg, pk, "left")
+          .filter(col("__graft_del_wt").isNull || col(WritetimeCol) > col("__graft_del_wt"))
+          .drop("__graft_del_wt")
+      } else {
+        df = df.join(deletes.select(pk.map(col): _*).distinct(), pk, "left_anti")
+      }
+    }
+
+    // 3. TTL at pinned now
+    if (df.columns.contains(ExpiresCol)) {
+      nowMicros.foreach { now =>
+        df = df.filter(col(ExpiresCol).isNull || col(ExpiresCol) > lit(now))
+      }
+    }
+
+    if (keepFeatureColumns) df else df.drop(WritetimeCol, ExpiresCol)
+  }
 }
