@@ -260,3 +260,100 @@ object JaccardSorted {
   def apply(a: Column, b: Column): Column =
     GraftShims.column(new JaccardSorted(GraftShims.expression(a), GraftShims.expression(b)))
 }
+
+/**
+ * Native expression: distinct xxhash64 hashes of the n-word shingles of a
+ * text column — the fused equivalent of
+ * `array_distinct(transform(shingles(text, n), s => xxhash64(s)))`, which
+ * evaluates interpreted (lambda dispatch + a string allocation per shingle
+ * per row). One pass over the text, hashes bit-identical to the builtin
+ * `xxhash64` over the space-joined shingle string (seed 42), word splitting
+ * identical to Spark's `split(text, " ")` (every single space splits; empty
+ * tokens preserved).
+ *
+ * The heavy loop lives in [[WordShingleHashes.compute]]; codegen emits a
+ * single static call so the surrounding projection stays in whole-stage
+ * codegen.
+ */
+case class WordShingleHashes(child: Expression, n: Int) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case org.apache.spark.sql.types.StringType if n > 0 => TypeCheckResult.TypeCheckSuccess
+    case org.apache.spark.sql.types.StringType =>
+      TypeCheckResult.TypeCheckFailure(s"shingle width must be positive, got $n")
+    case dt => TypeCheckResult.TypeCheckFailure(s"word_shingle_hashes needs string input, got $dt")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    WordShingleHashes.compute(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cls = WordShingleHashes.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $cls.compute($a, $n);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "word_shingle_hashes"
+}
+
+object WordShingleHashes {
+  def apply(text: Column, n: Int): Column =
+    GraftShims.column(new WordShingleHashes(GraftShims.expression(text), n))
+
+  /** One-pass shingle hashing over the UTF-8 bytes: word boundaries are
+   *  single 0x20 bytes (safe in UTF-8 — multi-byte sequences never contain
+   *  0x20); shingle bytes are the exact text span between word i's start and
+   *  word i+n-1's end, which equals `concat_ws(" ", slice(words, i, n))`
+   *  because splitting on EVERY space preserves empty tokens and rejoining
+   *  with single spaces reproduces the original byte run. Distinctness via
+   *  an open-addressing long set, first-occurrence order. */
+  def compute(text: org.apache.spark.unsafe.types.UTF8String, n: Int): ArrayData = {
+    val bytes = text.getBytes
+    val len = bytes.length
+    // word start offsets: 0 and every position after a space
+    var numWords = 1
+    var i = 0
+    while (i < len) { if (bytes(i) == ' ') numWords += 1; i += 1 }
+    val starts = new Array[Int](numWords + 1)
+    var w = 1
+    i = 0
+    while (i < len) { if (bytes(i) == ' ') { starts(w) = i + 1; w += 1 }; i += 1 }
+    starts(numWords) = len + 1 // sentinel: end of word k is starts(k+1)-1
+
+    val numShingles = if (numWords >= n) numWords - n + 1 else 1
+    val out = new Array[Long](numShingles)
+    var outN = 0
+    // open-addressing set sized to the next power of two >= 2*numShingles
+    var cap = 8
+    while (cap < numShingles * 2) cap <<= 1
+    val table = new Array[Long](cap)
+    val used = new Array[Boolean](cap)
+    val mask = cap - 1
+
+    var s = 0
+    while (s < numShingles) {
+      val from = if (numWords >= n) starts(s) else 0
+      val until = if (numWords >= n) starts(s + n) - 1 else len
+      val h = XXH64.hashUnsafeBytes(bytes,
+        org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + from, until - from, 42L)
+      var slot = (h.toInt & mask)
+      var seen = false
+      while (used(slot) && !seen) {
+        if (table(slot) == h) seen = true else slot = (slot + 1) & mask
+      }
+      if (!seen) {
+        used(slot) = true
+        table(slot) = h
+        out(outN) = h
+        outN += 1
+      }
+      s += 1
+    }
+    new GenericArrayData(if (outN == numShingles) out else java.util.Arrays.copyOf(out, outN))
+  }
+}
