@@ -143,6 +143,103 @@ object Similarity {
   }
 
   /**
+   * Deterministic IVF centroid training, Lloyd's algorithm expressed as
+   * DataFrame ops: seeds = the k corpus vectors with smallest
+   * `xxhash64(id)` (a deterministic pseudo-random sample); each iteration
+   * assigns every vector to its nearest centroid (broadcast k×d model,
+   * codegen'd dots) and recomputes means via posexplode + groupBy. The
+   * model (k×d floats) is collected to the driver — it IS driver-state, a
+   * few KB, like any trained index. At 100 TB train on a sampled fraction.
+   */
+  def trainIvfCentroids(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      iters: Int = 2): Array[(Int, Array[Float])] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val v = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    var centroids: Array[(Int, Array[Float])] = v
+      .orderBy(xxhash64(col("id")).asc, col("id").asc).limit(k)
+      .select(col("vec")).collect()
+      .zipWithIndex
+      .map { case (r, i) => (i, r.getSeq[Float](0).toArray) }
+    var it = 0
+    while (it < iters) {
+      val cDf = broadcast(centroids.toSeq.toDF("cid", "cvec"))
+      val assigned = assignToCentroid(v, cDf)
+      centroids = assigned
+        .select(col("cid"), posexplode(col("vec")).as(Seq("pos", "component")))
+        .groupBy(col("cid"), col("pos"))
+        .agg(avg(col("component")).as("m"))
+        .collect()
+        .groupBy(_.getInt(0))
+        .map { case (cid, rows) =>
+          (cid, rows.sortBy(_.getInt(1)).map(_.getDouble(2).toFloat))
+        }
+        .toArray.sortBy(_._1)
+      it += 1
+    }
+    centroids
+  }
+
+  /** Nearest centroid per vector (cosine): broadcast nested-loop over the
+   *  tiny centroid table, ranking window on (id). */
+  private def assignToCentroid(
+      v: DataFrame, centroids: DataFrame): DataFrame = {
+    val scored = v.join(centroids,
+        lit(true))
+      .select(col("id"), col("vec"), col("cid"),
+        (dot_f32(col("vec"), col("cvec")) /
+          (norm_f32(col("vec")) * norm_f32(col("cvec")))).as("cscore"))
+    val w = Window.partitionBy(col("id")).orderBy(col("cscore").desc, col("cid").asc)
+    scored.withColumn("crank", row_number().over(w))
+      .filter(col("crank") === 1)
+      .select(col("id"), col("vec"), col("cid"))
+  }
+
+  /**
+   * IVF ANN (SURVEY-anticipated scale path: "assign → join on centroid id →
+   * rescore"): corpus vectors are bucketed by nearest centroid; each query
+   * probes its `nprobe` nearest centroid buckets; exact cosine rescoring
+   * within probed buckets; per-query top-k. Shuffle = corpus assignment
+   * (one pass) + candidate join on the centroid id — never all-pairs.
+   */
+  def ivfTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      centroids: Array[(Int, Array[Float])],
+      nprobe: Int = 2): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cDf = broadcast(centroids.toSeq.toDF("cid", "cvec"))
+    val c = assignToCentroid(
+      corpus.select(col(idCol).as("id"), col(vecCol).as("vec")), cDf)
+      .select(col("id").as("neighbor_id"), col("vec").as("cvec2"), col("cid"),
+        norm_f32(col("vec")).as("cnrm"))
+    // query → its nprobe nearest centroids
+    val qScored = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+      .join(cDf, lit(true))
+      .select(col("query_id"), col("qvec"), col("cid"),
+        (dot_f32(col("qvec"), col("cvec")) /
+          (norm_f32(col("qvec")) * norm_f32(col("cvec")))).as("cscore"))
+    val wq = Window.partitionBy(col("query_id")).orderBy(col("cscore").desc, col("cid").asc)
+    val q = broadcast(qScored.withColumn("crank", row_number().over(wq))
+      .filter(col("crank") <= nprobe)
+      .select(col("query_id"), col("qvec"), norm_f32(col("qvec")).as("qnrm"), col("cid")))
+    val scored = c.join(q, Seq("cid"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (dot_f32(col("qvec"), col("cvec2")) / (col("qnrm") * col("cnrm"))).as("score"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /**
    * Threshold near-dup pairs at corpus scale: sign-LSH over `tables`
    * independent bucketings (each `planes` hyperplanes, salted by table id),
    * self-join per bucket on ids only, exact cosine rescore of distinct

@@ -217,6 +217,22 @@ object Battery {
           emb(s, d), emb(s, d).filter(col("vec_id") < 3L), "vec_id", "embedding", k = 10, planes = 6)
         .select(col("query_id"), col("neighbor_id"), col("rank"))),
 
+    // IVF ANN: deterministic centroid training + probe-and-rescore (rows-only
+    // check: approximate recall, oracle is bruteForceTopK in SimilaritySpec)
+    "q53_ann_ivf_topk" -> ((s, d) => {
+      val e = emb(s, d)
+      val cents = Similarity.trainIvfCentroids(e, "vec_id", "embedding", k = 8, iters = 1)
+      Similarity.ivfTopK(e, e.filter(col("vec_id") < 3L), "vec_id", "embedding",
+          k = 10, cents, nprobe = 3)
+        .select(col("query_id"), col("neighbor_id"), col("rank"))
+    }),
+
+    // ---- §2.5: last-modified-timestamp feature column ------------------
+    "q52_last_modified" -> ((s, d) =>
+      Normalize.withLastModifiedTimestamp(li(s, d), Seq("l_orderkey"), col("l_shipdate"))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          date_format(col("last_modified_timestamp"), "yyyy-MM-dd").as("last_modified"))),
+
     // ---- text analysis -------------------------------------------------
     "q31_langid" -> ((s, d) =>
       TextAnalysis.withLangId(docs(s, d), "text")
@@ -575,6 +591,10 @@ object Battery {
         |             l_linestatus DESC, l_shipdate DESC) AS rn
         |  FROM versions)
         |WHERE rn = 1 AND l_orderkey % 97 <> 0""".stripMargin,
+    "q52_last_modified" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  strftime(MAX(l_shipdate) OVER (PARTITION BY l_orderkey), '%Y-%m-%d') AS last_modified
+        |FROM lineitem""".stripMargin,
     "q42_pivot" ->
       """SELECT CAST(year(o_orderdate) AS INTEGER) AS y,
         |  COUNT(*) FILTER (o_orderstatus = 'F') AS F,

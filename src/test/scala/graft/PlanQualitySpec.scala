@@ -1,0 +1,77 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.model.CqlSchema
+import graft.write.TokenSortedWriter
+import org.apache.spark.sql.SaveMode
+import org.apache.spark.sql.functions._
+
+/**
+ * Physical-plan quality gates: the properties that decide 100 TB viability,
+ * asserted on the actual executed plans so regressions fail loudly.
+ */
+class PlanQualitySpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("pk filter is pushed into the parquet scan (PushedFilters, not post-filter)") {
+    val df = graft.tables.Tables.lineitem(spark, sf).filter(col("l_orderkey") === 1L)
+    val scanLine = df.queryExecution.executedPlan.toString
+    assert(scanLine.contains("PushedFilters:") &&
+      scanLine.contains("EqualTo(l_orderkey,1"),
+      s"expected pk pushdown in:\n$scanLine")
+  }
+
+  test("projection prunes the parquet ReadSchema to selected columns") {
+    val df = graft.tables.Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity")
+    val plan = df.queryExecution.executedPlan.toString
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("l_orderkey") && readSchema.contains("l_quantity"))
+    assert(!readSchema.contains("l_comment") && !readSchema.contains("l_extendedprice"),
+      s"scan reads unprojected columns: $readSchema")
+  }
+
+  test("flagship joins broadcast the dimension side (no shuffle of the fact table for dims)") {
+    val plan = graft.queries.Battery.flagship(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join in:\n$plan")
+  }
+
+  test("token-sorted write plans exactly one exchange (range partitioning)") {
+    import spark.implicits._
+    val df = (1L to 1000L).map(i => (i, s"v$i")).toDF("k", "v")
+    val sorted = TokenSortedWriter.tokenSorted(df, CqlSchema("t", Seq("k")),
+      TokenSortedWriter.WriteConf(numPartitions = 4))
+    val plan = sorted.queryExecution.executedPlan.toString
+    val exchanges = plan.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges == 1, s"expected exactly 1 shuffle, plan:\n$plan")
+    assert(plan.contains("rangepartitioning"),
+      s"expected range partitioning on token, plan:\n$plan")
+  }
+
+  test("DSv2 source reports token pruning in the scan description") {
+    val dir = Files.createTempDirectory("graft_plan_").toString + "/t"
+    import spark.implicits._
+    TokenSortedWriter.write((1L to 500L).map(i => (i, i)).toDF("id", "v"),
+      CqlSchema("t", Seq("id")), dir, SaveMode.Append,
+      TokenSortedWriter.WriteConf(numPartitions = 4, keepTokenColumn = true))
+    val df = spark.read.format("graft").option("path", dir).option("pk", "id").load()
+      .filter(col("id") === 7L)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("GraftScan"), s"expected GraftScan in:\n$plan")
+    assert(plan.contains("pushedKeyTokens=1"), s"expected 1 pushed key token in:\n$plan")
+    assert(plan.contains("files=1"), s"expected pruning to 1 file in:\n$plan")
+  }
+
+  test("LSH candidate generation shuffles ids+band keys only, never document text") {
+    val docs = graft.tables.Tables.documents(spark, sf)
+    val sigs = docs.select(col("doc_id").as("id"),
+      graft.operators.Dedup.minhashSignature(
+        graft.operators.Dedup.shingleHashes(col("text"), 3), 64).as("sig"))
+    val pairs = graft.operators.Dedup.candidatePairs(sigs, 16, 4)
+    val plan = pairs.queryExecution.executedPlan.toString
+    // exchanges must not carry the text column
+    val exchangeLines = plan.linesIterator.filter(_.contains("Exchange")).mkString("\n")
+    assert(!exchangeLines.contains("text"), s"text column in shuffle:\n$exchangeLines")
+  }
+}

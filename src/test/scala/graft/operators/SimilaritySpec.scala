@@ -59,4 +59,18 @@ class SimilaritySpec extends SparkSpec {
       .select("id_a", "id_b").as[(Long, Long)].head()
     assert(Set((0L, 1L), (1L, 2L), (0L, 2L), (10L, 11L)).contains(top))
   }
+
+  test("IVF training is deterministic and ivfTopK recall covers the near cluster") {
+    val c1 = Similarity.trainIvfCentroids(vecs, "vec_id", "embedding", k = 2, iters = 2)
+    val c2 = Similarity.trainIvfCentroids(vecs, "vec_id", "embedding", k = 2, iters = 2)
+    assert(c1.map(_._2.toSeq).toSeq == c2.map(_._2.toSeq).toSeq, "training must be deterministic")
+    val got = Similarity.ivfTopK(vecs, vecs.filter($"vec_id" === 0L),
+      "vec_id", "embedding", k = 2, c1, nprobe = 2)
+      .select("neighbor_id", "rank").as[(Long, Int)].collect().sortBy(_._2)
+    // nprobe = all centroids ⇒ identical to brute force
+    val brute = Similarity.bruteForceTopK(vecs, vecs.filter($"vec_id" === 0L),
+      "vec_id", "embedding", k = 2)
+      .select("neighbor_id", "rank").as[(Long, Int)].collect().sortBy(_._2)
+    assert(got.toSeq == brute.toSeq)
+  }
 }
