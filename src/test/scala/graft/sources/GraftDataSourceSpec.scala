@@ -100,6 +100,32 @@ class GraftDataSourceSpec extends SparkSpec {
     }
   }
 
+  test("SQL DDL: CREATE TABLE USING graft is queryable with pushdown") {
+    spark.sql("DROP TABLE IF EXISTS graft_sql_t")
+    spark.sql(
+      s"CREATE TABLE graft_sql_t USING graft OPTIONS (path '$dir', pk 'id', `table` 't')")
+    try {
+      val n = spark.sql("SELECT name FROM graft_sql_t WHERE id = 7").collect()
+      assert(n.map(_.getString(0)).toSeq == Seq("name_7"))
+      assert(spark.sql("SELECT count(*) AS c FROM graft_sql_t").head().getLong(0) == 1000)
+    } finally spark.sql("DROP TABLE IF EXISTS graft_sql_t")
+  }
+
+  test("option validation fails fast with clear messages (M5 analog)") {
+    val noPath = intercept[Exception] {
+      spark.read.format("graft").option("pk", "id").load()
+    }
+    assert(noPath.getMessage.toLowerCase.contains("path"))
+    val noPk = intercept[Exception] {
+      spark.read.format("graft").option("path", dir).load().count()
+    }
+    assert(noPk.getMessage.contains("pk"))
+    val badMeta = intercept[Exception] {
+      spark.read.format("graft-metadata").load()
+    }
+    assert(badMeta.getMessage.toLowerCase.contains("path"))
+  }
+
   test("scan reports exact statistics for join sizing") {
     val scanDesc = graftRead.filter(col("id") === 42L).queryExecution.optimizedPlan.toString
     // statistics path exercised via explain cost would need CBO; assert the
