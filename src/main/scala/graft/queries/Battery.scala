@@ -227,6 +227,10 @@ object Battery {
         .select(col("query_id"), col("neighbor_id"), col("rank"))
     }),
 
+    // ---- S8 per-key variant: partition sizes from a data scan ----------
+    "q54_partition_size_keys" -> ((s, d) =>
+      graft.operators.PartitionSizes.estimate(li(s, d), Seq("l_orderkey"))),
+
     // ---- §2.5: last-modified-timestamp feature column ------------------
     "q52_last_modified" -> ((s, d) =>
       Normalize.withLastModifiedTimestamp(li(s, d), Seq("l_orderkey"), col("l_shipdate"))
@@ -446,7 +450,26 @@ object Battery {
        |      FROM (SELECT doc_id, text, ' ' || lower(text) || ' ' AS p FROM documents))""".stripMargin
   }
 
+  /** lineitem physical schema (parquet), for oracle generation from the same
+   *  width table as the Spark expression (PartitionSizes.rowBytesSql). */
+  private val lineitemStruct: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("l_orderkey", LongType), StructField("l_partkey", LongType),
+      StructField("l_suppkey", LongType), StructField("l_linenumber", IntegerType),
+      StructField("l_quantity", DoubleType), StructField("l_extendedprice", DoubleType),
+      StructField("l_discount", DoubleType), StructField("l_tax", DoubleType),
+      StructField("l_returnflag", StringType), StructField("l_linestatus", StringType),
+      StructField("l_shipdate", TimestampType)))
+  }
+
   val oracles: Map[String, String] = Map(
+    "q54_partition_size_keys" ->
+      s"""SELECT l_orderkey,
+         |  CAST(SUM(${graft.operators.PartitionSizes.rowBytesSql(lineitemStruct)}) AS BIGINT)
+         |    AS uncompressed,
+         |  COUNT(*) AS n_rows
+         |FROM lineitem GROUP BY l_orderkey""".stripMargin,
     "q01_scan_projection" ->
       "SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag FROM lineitem",
     "q02_pk_filter" ->
