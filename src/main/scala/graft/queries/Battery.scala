@@ -198,6 +198,8 @@ object Battery {
         shingleN = 3, numPerms = 64, bands = 16, minEstJaccard = 0.5)),
     "q26_dedup_simhash" -> ((s, d) =>
       Dedup.withSimhash(docs(s, d), "text").select(col("doc_id"), col("simhash"))),
+    "q55_simhash_pairs" -> ((s, d) =>
+      Dedup.simhashPairs(docs(s, d), "doc_id", "text", maxHamming = 3)),
     "q27_ngram_jaccard" -> ((s, d) =>
       Dedup.ngramJaccardPairs(docs(s, d), "doc_id", "text", shingleN = 2,
         numPerms = 64, bands = 32)

@@ -64,4 +64,18 @@ class DedupSpec extends SparkSpec {
     // have 7 shingles each; 6 shared prefix shingles minus the 2 differing tails.
     got.get((1L, 3L)).foreach(j => assert(j > 0.4 && j < 1.0))
   }
+
+  test("simhashPairs: exact dups at hamming 0, brute-force parity for candidates") {
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    // exact duplicate pair must collide at distance 0
+    assert(pairs.get((1L, 2L)).contains(0))
+    // every reported pair verified against a direct signature comparison
+    val sigs = Dedup.withSimhash(docs, "text").select("doc_id", "simhash")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    pairs.foreach { case ((a, b), d) =>
+      assert(java.lang.Long.bitCount(sigs(a) ^ sigs(b)) == d)
+      assert(d <= 3)
+    }
+  }
 }
