@@ -301,6 +301,90 @@ case class WordShingleHashes(child: Expression, n: Int) extends UnaryExpression 
   override def prettyName: String = "word_shingle_hashes"
 }
 
+/**
+ * Native expression: 64-bit SimHash over distinct word tokens — fused
+ * equivalent of the higher-order formulation (distinct split tokens →
+ * xxhash64 per token → per-bit ±1 vote → sign). One pass over the UTF-8
+ * bytes; token hashes bit-identical to `xxhash64(token)` (seed 42).
+ */
+case class SimHash64(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case org.apache.spark.sql.types.StringType => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(s"simhash64 needs string input, got $dt")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    SimHash64.compute(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cls = SimHash64.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $cls.compute($a);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "simhash64"
+}
+
+object SimHash64 {
+  def apply(text: Column): Column =
+    GraftShims.column(new SimHash64(GraftShims.expression(text)))
+
+  def compute(text: org.apache.spark.unsafe.types.UTF8String): Long = {
+    val bytes = text.getBytes
+    val len = bytes.length
+    // distinct word-token hashes (words split on every single space, empty
+    // tokens included — mirrors array_distinct(split(text, " ")); dedup by
+    // hash is equivalent up to 64-bit collisions)
+    var numWords = 1
+    var i = 0
+    while (i < len) { if (bytes(i) == ' ') numWords += 1; i += 1 }
+    var cap = 8
+    while (cap < numWords * 2) cap <<= 1
+    val table = new Array[Long](cap)
+    val used = new Array[Boolean](cap)
+    val mask = cap - 1
+    val counts = new Array[Int](64)
+
+    var start = 0
+    i = 0
+    while (i <= len) {
+      if (i == len || bytes(i) == ' ') {
+        val h = XXH64.hashUnsafeBytes(bytes,
+          org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + start, i - start, 42L)
+        var slot = h.toInt & mask
+        var seen = false
+        while (used(slot) && !seen) {
+          if (table(slot) == h) seen = true else slot = (slot + 1) & mask
+        }
+        if (!seen) {
+          used(slot) = true
+          table(slot) = h
+          var j = 0
+          while (j < 64) {
+            counts(j) += (((h >>> j) & 1L) * 2 - 1).toInt
+            j += 1
+          }
+        }
+        start = i + 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var j = 0
+    while (j < 64) {
+      if (counts(j) > 0) sig |= (1L << j)
+      j += 1
+    }
+    sig
+  }
+}
+
 object WordShingleHashes {
   def apply(text: Column, n: Int): Column =
     GraftShims.column(new WordShingleHashes(GraftShims.expression(text), n))
