@@ -55,7 +55,7 @@ object Battery {
 
     // ---- S5/§2.5: last-write-wins dedup -------------------------------
     "q04_lww_latest" -> ((s, d) =>
-      Normalize.latestWriteWins(
+      Normalize.latestWriteWinsAgg(
         li(s, d),
         primaryKey = Seq("l_orderkey", "l_linenumber"),
         orderCols = Seq("l_shipdate", "l_extendedprice", "l_quantity", "l_discount",

@@ -178,7 +178,7 @@ object TokenSortedWriter {
     if (df.columns.contains(WritetimeCol)) {
       val tiebreaks = df.columns.toSeq
         .filterNot(c => schema.primaryKey.contains(c) || c == WritetimeCol)
-      df = graft.operators.Normalize.latestWriteWins(
+      df = graft.operators.Normalize.latestWriteWinsAgg(
         df, schema.primaryKey, WritetimeCol +: tiebreaks)
     }
 
