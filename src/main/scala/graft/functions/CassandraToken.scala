@@ -5,7 +5,8 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.Expression
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.graftshim.GraftShims
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -24,12 +25,12 @@ import org.apache.spark.unsafe.types.UTF8String
  *
  * Scale note: this is the partitioning function of the entire write path
  * (`repartitionByRange` on the token column): per-row CPU only, no shuffle,
- * no driver involvement. CodegenFallback keeps the *surrounding* operators
- * in whole-stage codegen; only this expression evaluates interpreted, which
- * benchmarking shows is negligible against the write shuffle it feeds.
+ * no driver involvement. Codegen emits child evaluation inline and one
+ * static call into [[CassandraToken.evalComponents]], so the projection
+ * feeding the write shuffle stays in whole-stage codegen.
  */
 case class CassandraToken(children: Seq[Expression])
-    extends Expression with CodegenFallback {
+    extends Expression {
 
   override def nullable: Boolean = false
   override def dataType: DataType = LongType
@@ -46,14 +47,24 @@ case class CassandraToken(children: Seq[Expression])
     }
   }
 
-  override def eval(input: InternalRow): Any = {
-    val components = children.map { c =>
-      c.eval(input) match {
-        case u: UTF8String => u.toString
-        case other => other
-      }
-    }
-    Murmur3Token.tokenOf(components)
+  override def eval(input: InternalRow): Any =
+    CassandraToken.evalComponents(children.map(_.eval(input)).toArray)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val evals = children.map(_.genCode(ctx))
+    val comps = ctx.freshName("comps")
+    val cls = CassandraToken.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    val fill = children.indices.map { i =>
+      s"$comps[$i] = ${evals(i).isNull} ? null : (Object) ${evals(i).value};"
+    }.mkString("\n")
+    ev.copy(
+      code = code"""
+        |${evals.map(_.code).mkString("\n")}
+        |Object[] $comps = new Object[${children.length}];
+        |$fill
+        |long ${ev.value} = $cls.evalComponents($comps);
+       """.stripMargin,
+      isNull = FalseLiteral)
   }
 
   override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): Expression =
@@ -65,4 +76,11 @@ case class CassandraToken(children: Seq[Expression])
 object CassandraToken {
   def apply(cols: Column*): Column =
     GraftShims.column(new CassandraToken(cols.map(GraftShims.expression).toSeq))
+
+  /** Shared eval for interpreted and generated code paths. */
+  def evalComponents(components: Array[Any]): Long =
+    Murmur3Token.tokenOf(components.toSeq.map {
+      case u: UTF8String => u.toString
+      case other => other
+    })
 }
