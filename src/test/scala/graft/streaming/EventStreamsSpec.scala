@@ -96,6 +96,34 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("file micro-batch source: new parquet files flow through the windowed agg") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_").toString + "/events"
+    // first file: all events before 10:10 (both users); later events arrive
+    // in the second file so nothing lands behind the advancing watermark
+    (evs.take(3) ++ evs.drop(5)).toDF().write.mode("append").parquet(dir)
+    val stream = EventStreams.readEventStream(spark, dir, evs.toDF().schema)
+    assert(stream.isStreaming)
+    val q = EventStreams.windowedTypeCounts(stream, "10 minutes", "5 minutes")
+      .writeStream.format("memory").queryName("file_windows")
+      .outputMode(OutputMode.Append).start()
+    try {
+      q.processAllAvailable()
+      // second file arrives: watermark advances, earlier windows close
+      (evs.slice(3, 5) :+ Event(99L, 100L, "tick", Timestamp.valueOf("2024-01-01 13:00:00"), 0.0))
+        .toDF().write.mode("append").parquet(dir)
+      q.processAllAvailable()
+      val streamed = spark.table("file_windows")
+        .filter(col("event_type") =!= "tick")
+        .orderBy("window_start", "event_type")
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      val batch = EventStreams.windowedTypeCounts(evs.toDF(), "10 minutes")
+        .orderBy("window_start", "event_type")
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      assert(streamed.toSeq == batch.toSeq)
+    } finally q.stop()
+  }
+
   test("streaming dedup drops re-delivered events inside the watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
