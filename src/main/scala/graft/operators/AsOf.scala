@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * As-of (point-in-time) join — for each left row, the single latest right
+ * row with `rightTs <= leftTs` for the same key. The canonical time-series/
+ * feature-lookup operator Spark has no builtin for (SURVEY §7.3 preference
+ * order (a): compose existing ops).
+ *
+ * Plan shape — the scalable formulation: UNION the two sides tagged by
+ * origin, then one ranking window per key ordered by (ts, side) with
+ * `last(_, ignoreNulls)` carrying the most recent right payload forward
+ * onto each left row. Exactly ONE shuffle (on the key) and no join
+ * explosion — a naive `left.join(right, lts >= rts).groupBy(max)` is a
+ * range cross-product that detonates on hot keys; this is O(n log n) per
+ * key partition regardless of match multiplicity, with skew handled by
+ * AQE like any other window.
+ *
+ * Tie semantics: a right row AT the left timestamp matches (sorts before
+ * the left row via the side tag) — the same contract as DuckDB/pandas
+ * `ASOF JOIN ... ON l.ts >= r.ts`, which the battery oracle (q56) checks.
+ * Left rows with no preceding right row keep null payloads (left-join
+ * semantics).
+ */
+object AsOf {
+
+  def joinBackward(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTs: String,
+      rightTs: String): DataFrame = {
+    val lCols = left.columns.filterNot(keys.contains).toSeq
+    val rCols = right.columns.filterNot(keys.contains).toSeq
+    val collisions = lCols.toSet & rCols.toSet
+    require(collisions.isEmpty, s"rename colliding columns before asof join: $collisions")
+
+    val l = left.select(
+      keys.map(col) ++
+        Seq(col(leftTs).as("__graft_ts"), lit(1).as("__graft_side")) ++
+        lCols.map(col) ++
+        rCols.map(c => lit(null).cast(right.schema(c).dataType).as(c)): _*)
+    val r = right.select(
+      keys.map(col) ++
+        Seq(col(rightTs).as("__graft_ts"), lit(0).as("__graft_side")) ++
+        lCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+        rCols.map(col): _*)
+
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__graft_ts").asc, col("__graft_side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = rCols.foldLeft(l.unionByName(r)) { (df, c) =>
+      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+    }
+    filled.filter(col("__graft_side") === 1).drop("__graft_ts", "__graft_side")
+  }
+}

@@ -233,6 +233,21 @@ object Battery {
     "q54_partition_size_keys" -> ((s, d) =>
       graft.operators.PartitionSizes.estimate(li(s, d), Seq("l_orderkey"))),
 
+    // ---- as-of join (time-series point-in-time lookup) -----------------
+    // for each purchase, the latest preceding click by the same user;
+    // oracle = DuckDB's native ASOF LEFT JOIN
+    "q56_asof_join" -> ((s, d) => {
+      val e = ev(s, d)
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("click_ts"), col("event_id").as("click_id"))
+      graft.operators.AsOf.joinBackward(purchases, clicks, Seq("user_id"), "ts", "click_ts")
+        .select(col("user_id"), col("event_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("pts"),
+          col("click_id"))
+    }),
+
     // ---- §2.5: last-modified-timestamp feature column ------------------
     "q52_last_modified" -> ((s, d) =>
       Normalize.withLastModifiedTimestamp(li(s, d), Seq("l_orderkey"), col("l_shipdate"))
@@ -616,6 +631,13 @@ object Battery {
         |             l_linestatus DESC, l_shipdate DESC) AS rn
         |  FROM versions)
         |WHERE rn = 1 AND l_orderkey % 97 <> 0""".stripMargin,
+    "q56_asof_join" ->
+      """SELECT p.user_id, p.event_id,
+        |  strftime(CAST(p.ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS pts,
+        |  c.event_id AS click_id
+        |FROM (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT user_id, event_id, ts FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id AND CAST(p.ts AS TIMESTAMP) >= CAST(c.ts AS TIMESTAMP)""".stripMargin,
     "q52_last_modified" ->
       """SELECT l_orderkey, l_linenumber,
         |  strftime(MAX(l_shipdate) OVER (PARTITION BY l_orderkey), '%Y-%m-%d') AS last_modified
