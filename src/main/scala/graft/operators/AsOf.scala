@@ -57,4 +57,43 @@ object AsOf {
     }
     filled.filter(col("__graft_side") === 1).drop("__graft_ts", "__graft_side")
   }
+
+  /**
+   * Interval (range) join: pair each left point row with every right
+   * interval containing it (`start <= point <= end`), same key.
+   *
+   * A naive `join(l.point between r.start and r.end)` is a broadcast/
+   * nested-loop cross product per key — quadratic on hot keys. This
+   * formulation BUCKETIZES the domain: each interval explodes onto the
+   * fixed-width buckets it covers, points map to one bucket, the join is a
+   * plain equi-join on (key, bucket) + an exact post-filter. Shuffle is
+   * O(points + Σ interval_width/bucket), join is hash-based, and bucket
+   * width trades replication against selectivity (pick ≈ median interval
+   * width).
+   */
+  def intervalJoin(
+      points: DataFrame,
+      intervals: DataFrame,
+      keys: Seq[String],
+      pointCol: String,
+      startCol: String,
+      endCol: String,
+      bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    val pCols = points.columns.filterNot(keys.contains).toSeq
+    val iCols = intervals.columns.filterNot(keys.contains).toSeq
+    val collisions = pCols.toSet & iCols.toSet
+    require(collisions.isEmpty, s"rename colliding columns before interval join: $collisions")
+
+    val p = points.withColumn("__graft_bucket",
+      floor(col(pointCol).cast("long") / bucketWidth))
+    val i = intervals.withColumn("__graft_bucket",
+      explode(sequence(
+        floor(col(startCol).cast("long") / bucketWidth),
+        floor(col(endCol).cast("long") / bucketWidth))))
+    p.join(i, keys :+ "__graft_bucket")
+      .filter(col(pointCol).cast("long").between(
+        col(startCol).cast("long"), col(endCol).cast("long")))
+      .drop("__graft_bucket")
+  }
 }

@@ -248,6 +248,21 @@ object Battery {
           col("click_id"))
     }),
 
+    // ---- interval join: clicks within 1h after an error, same user -----
+    "q57_interval_join" -> ((s, d) => {
+      val e = ev(s, d)
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"),
+          unix_micros(col("ts")).as("click_us"))
+      val errors = e.filter(col("event_type") === "error")
+        .select(col("user_id"), col("event_id").as("error_id"),
+          unix_micros(col("ts")).as("err_start"),
+          (unix_micros(col("ts")) + 3600000000L).as("err_end"))
+      graft.operators.AsOf.intervalJoin(clicks, errors, Seq("user_id"),
+          "click_us", "err_start", "err_end", bucketWidth = 3600000000L)
+        .select(col("user_id"), col("click_id"), col("error_id"))
+    }),
+
     // ---- §2.5: last-modified-timestamp feature column ------------------
     "q52_last_modified" -> ((s, d) =>
       Normalize.withLastModifiedTimestamp(li(s, d), Seq("l_orderkey"), col("l_shipdate"))
@@ -638,6 +653,13 @@ object Battery {
         |FROM (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase') p
         |ASOF LEFT JOIN (SELECT user_id, event_id, ts FROM events WHERE event_type = 'click') c
         |  ON p.user_id = c.user_id AND CAST(p.ts AS TIMESTAMP) >= CAST(c.ts AS TIMESTAMP)""".stripMargin,
+    "q57_interval_join" ->
+      """SELECT c.user_id, c.click_id, e.error_id
+        |FROM (SELECT user_id, event_id AS click_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        |      FROM events WHERE event_type = 'click') c
+        |JOIN (SELECT user_id, event_id AS error_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        |      FROM events WHERE event_type = 'error') e
+        |  ON c.user_id = e.user_id AND c.us BETWEEN e.us AND e.us + 3600000000""".stripMargin,
     "q52_last_modified" ->
       """SELECT l_orderkey, l_linenumber,
         |  strftime(MAX(l_shipdate) OVER (PARTITION BY l_orderkey), '%Y-%m-%d') AS last_modified

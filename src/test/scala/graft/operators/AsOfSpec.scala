@@ -35,6 +35,20 @@ class AsOfSpec extends SparkSpec {
     assert(exchanges == 1, s"expected one key shuffle:\n$plan")
   }
 
+  test("interval join pairs points with covering intervals, bucket-width independent") {
+    val pts = Seq((1L, 105L, "p1"), (1L, 260L, "p2"), (2L, 10L, "p3"))
+      .toDF("k", "t", "pid")
+    val ivs = Seq((1L, 100L, 110L, "i1"), (1L, 100L, 300L, "i2"), (1L, 261L, 280L, "i3"),
+      (2L, 20L, 30L, "i4"))
+      .toDF("k", "s", "e", "iid")
+    def run(bw: Long) = AsOf.intervalJoin(pts, ivs, Seq("k"), "t", "s", "e", bw)
+      .select("pid", "iid").collect().map(r => (r.getString(0), r.getString(1))).sorted.toSeq
+    val expected = Seq(("p1", "i1"), ("p1", "i2"), ("p2", "i2"))
+    assert(run(50L) == expected)
+    assert(run(7L) == expected)    // results identical across bucket widths
+    assert(run(1000L) == expected)
+  }
+
   test("column collisions are rejected") {
     val e = intercept[IllegalArgumentException] {
       AsOf.joinBackward(trades, trades, Seq("k"), "trade_ts", "trade_ts")
