@@ -36,5 +36,30 @@ package object functions {
       FunctionIdentifier("dot_f32"),
       new ExpressionInfo(classOf[DotProductF32].getName, "dot_f32"),
       (exprs: Seq[Expression]) => DotProductF32(exprs(0), exprs(1)))
+    registry.registerFunction(
+      FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+      (exprs: Seq[Expression]) => SimHash64(exprs.head))
+    registry.registerFunction(
+      FunctionIdentifier("jaccard_sorted"),
+      new ExpressionInfo(classOf[JaccardSorted].getName, "jaccard_sorted"),
+      (exprs: Seq[Expression]) => JaccardSorted(exprs(0), exprs(1)))
+    // integer-literal arguments resolved at registration: SQL passes them as
+    // foldable expressions
+    def intArg(e: Expression): Int =
+      e.eval(null) match { case i: Int => i; case l: Long => l.toInt
+        case other => throw new IllegalArgumentException(s"expected int literal, got $other") }
+    registry.registerFunction(
+      FunctionIdentifier("word_shingle_hashes"),
+      new ExpressionInfo(classOf[WordShingleHashes].getName, "word_shingle_hashes"),
+      (exprs: Seq[Expression]) => WordShingleHashes(exprs(0), intArg(exprs(1))))
+    registry.registerFunction(
+      FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSignature].getName, "minhash_sig"),
+      (exprs: Seq[Expression]) => MinHashSignature(exprs(0), intArg(exprs(1))))
+    registry.registerFunction(
+      FunctionIdentifier("band_hashes"),
+      new ExpressionInfo(classOf[BandHashes].getName, "band_hashes"),
+      (exprs: Seq[Expression]) => BandHashes(exprs(0), intArg(exprs(1)), intArg(exprs(2))))
   }
 }

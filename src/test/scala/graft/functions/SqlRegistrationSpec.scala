@@ -1,0 +1,31 @@
+package graft.functions
+
+import graft.SparkSpec
+
+/** The full expression surface is reachable from plain SQL after
+ *  registerAll (SURVEY §2.13: no UDFs — native expressions only). */
+class SqlRegistrationSpec extends SparkSpec {
+
+  test("all graft expressions are callable from SQL") {
+    graft.functions.registerAll(spark)
+    val row = spark.sql("""
+      SELECT
+        graft_token(1) AS tk,
+        dot_f32(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)),
+                array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS dot,
+        simhash64('hello world hello') AS sh,
+        jaccard_sorted(array(1L, 2L, 3L), array(2L, 3L, 4L)) AS jac,
+        size(word_shingle_hashes('a b c d', 2)) AS n_shingles,
+        size(minhash_sig(word_shingle_hashes('a b c d', 2), 16)) AS n_perms,
+        size(band_hashes(minhash_sig(word_shingle_hashes('a b c d', 2), 16), 4, 4)) AS n_bands
+    """).head()
+    // token(1) is a published Cassandra constant
+    assert(row.getLong(0) == -4069959284402364209L)
+    assert(row.getDouble(1) == 11.0)
+    assert(row.getLong(2) != 0L)
+    assert(math.abs(row.getDouble(3) - 0.5) < 1e-12)
+    assert(row.getInt(4) == 3)
+    assert(row.getInt(5) == 16)
+    assert(row.getInt(6) == 4)
+  }
+}
