@@ -88,7 +88,9 @@ class GraftDataSource extends TableProvider with DataSourceRegister
     // first file exists (DataFrameWriter.save → getTableFromProvider), and
     // the returned schema is unused by the V1 write fallback
     try {
-      val full = spark.read.parquet(pathOf(options)).schema
+      // mergeSchema: appends may evolve the schema (e.g. a later write adds
+      // the writetime/TTL feature columns) — the union schema is the table
+      val full = spark.read.option("mergeSchema", "true").parquet(pathOf(options)).schema
       StructType(full.fields.filterNot(_.name == TokenSortedWriter.TokenCol))
     } catch {
       case _: org.apache.spark.sql.AnalysisException => new StructType()

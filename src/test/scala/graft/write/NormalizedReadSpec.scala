@@ -75,6 +75,23 @@ class NormalizedReadSpec extends SparkSpec {
     assert(later.select("k").collect().map(_.getLong(0)).toSeq == Seq(3L))
   }
 
+  test("schema evolution: first append without writetime, later with it") {
+    import spark.implicits._
+    val dir = freshDir()
+    // legacy write: no feature columns
+    TokenSortedWriter.write((1L to 20L).map(k => (k, s"v0_$k")).toDF("k", "v"),
+      schema, dir, SaveMode.Append, TokenSortedWriter.WriteConf())
+    // evolved write: adds _graft_writetime
+    TokenSortedWriter.write(Seq((5L, "v1_5")).toDF("k", "v"), schema, dir,
+      SaveMode.Append, TokenSortedWriter.WriteConf(writetimeMicros = Some(100L)))
+    val out = TokenSortedWriter.readNormalized(spark, schema, dir)
+    assert(out.count() == 20)
+    // LWW: the stamped version (writetime 100) beats the null-writetime legacy
+    // row (desc ordering puts nulls last)
+    assert(out.filter(col("k") === 5L).select("v").head().getString(0) == "v1_5")
+    assert(out.filter(col("k") === 6L).select("v").head().getString(0) == "v0_6")
+  }
+
   test("per-row writetime column wins over constant") {
     import spark.implicits._
     val dir = freshDir()
