@@ -198,6 +198,15 @@ object Battery {
         shingleN = 3, numPerms = 64, bands = 16, minEstJaccard = 0.5)),
     "q26_dedup_simhash" -> ((s, d) =>
       Dedup.withSimhash(docs(s, d), "text").select(col("doc_id"), col("simhash"))),
+    // full transitive dedup clusters: LSH candidate pairs → connected
+    // components fixpoint (rows-only: hash-family-dependent pair set)
+    "q58_dedup_clusters" -> ((s, d) => {
+      val pairs = Dedup.minhashPairs(docs(s, d), "doc_id", "text",
+        shingleN = 3, numPerms = 64, bands = 16, minEstJaccard = 0.5)
+      Dedup.connectedComponents(
+        docs(s, d).select(col("doc_id").as("id")), pairs)
+        .select(col("id").as("doc_id"), col("cluster").as("dup_of"))
+    }),
     "q55_simhash_pairs" -> ((s, d) =>
       Dedup.simhashPairs(docs(s, d), "doc_id", "text", maxHamming = 3)),
     "q27_ngram_jaccard" -> ((s, d) =>

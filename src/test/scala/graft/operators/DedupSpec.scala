@@ -78,4 +78,25 @@ class DedupSpec extends SparkSpec {
       assert(d <= 3)
     }
   }
+
+  test("connectedComponents finds transitive clusters the one-hop pass misses") {
+    import spark.implicits._
+    // chain 1-2-3 (transitive), pair 10-11, isolated 20
+    val vertices = Seq(1L, 2L, 3L, 10L, 11L, 20L).toDF("id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val out = Dedup.connectedComponents(vertices, pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L, 20L -> 20L))
+  }
+
+  test("connectedComponents converges on a long path within maxIter") {
+    import spark.implicits._
+    // path 0-1-2-...-8: min-label propagation needs several rounds
+    val n = 9L
+    val vertices = (0L until n).toDF("id")
+    val pairs = (0L until n - 1).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val out = Dedup.connectedComponents(vertices, pairs, maxIter = 10)
+      .collect().map(r => r.getLong(1)).distinct
+    assert(out.toSeq == Seq(0L))
+  }
 }
