@@ -60,6 +60,21 @@ class SimilaritySpec extends SparkSpec {
     assert(Set((0L, 1L), (1L, 2L), (0L, 2L), (10L, 11L)).contains(top))
   }
 
+  test("lshNearDupPairs: exact precision, recalls the tight cluster pairs") {
+    val brute = Similarity.nearDupPairs(vecs, "vec_id", "embedding", topN = 100)
+      .filter($"score" >= 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val lsh = Similarity.lshNearDupPairs(vecs, "vec_id", "embedding",
+      minCosine = 0.9, planes = 4, tables = 8)
+      .select("id_a", "id_b", "score").as[(Long, Long, Double)].collect()
+    // precision is exact: every returned pair truly scores >= threshold
+    lsh.foreach { case (_, _, s) => assert(s >= 0.9) }
+    // pairs are a subset of the brute-force threshold set
+    assert(lsh.map(p => (p._1, p._2)).toSet.subsetOf(brute))
+    // with 8 tables the tight same-cluster pairs are recalled
+    assert(lsh.nonEmpty, "expected the near-identical cluster pairs to be found")
+  }
+
   test("IVF training is deterministic and ivfTopK recall covers the near cluster") {
     val c1 = Similarity.trainIvfCentroids(vecs, "vec_id", "embedding", k = 2, iters = 2)
     val c2 = Similarity.trainIvfCentroids(vecs, "vec_id", "embedding", k = 2, iters = 2)
