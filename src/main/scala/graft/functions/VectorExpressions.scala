@@ -80,3 +80,83 @@ object DotProductF32 {
   def apply(a: Column, b: Column): Column =
     GraftShims.column(new DotProductF32(GraftShims.expression(a), GraftShims.expression(b)))
 }
+
+/**
+ * Native expression: random-hyperplane (sign) LSH bucket of an
+ * `array<float>` vector — bit p of the result is the sign of the dot
+ * product with pseudo-random hyperplane p, whose component (p, d) is
+ * `xxhash64("graft_lsh{p}_{d}") / Long.MaxValue ∈ [-1, 1]` (bit-identical
+ * to the builtin-composed formulation it replaces). Hyperplane components
+ * are DATA-INDEPENDENT, so they are computed once per JVM and cached —
+ * the per-row cost drops from planes×dims string builds + hashes to
+ * planes×dims multiply-adds.
+ */
+case class SignBucketExpr(child: org.apache.spark.sql.catalyst.expressions.Expression, planes: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) if planes >= 1 && planes <= 63 =>
+      TypeCheckResult.TypeCheckSuccess
+    case ArrayType(FloatType, _) =>
+      TypeCheckResult.TypeCheckFailure(s"planes must be in [1, 63], got $planes")
+    case dt => TypeCheckResult.TypeCheckFailure(s"sign_bucket needs array<float>, got $dt")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    SignBucketExpr.compute(input.asInstanceOf[ArrayData], planes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cls = SignBucketExpr.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $cls.compute($a, $planes);")
+  }
+
+  override protected def withNewChildInternal(
+      newChild: org.apache.spark.sql.catalyst.expressions.Expression): org.apache.spark.sql.catalyst.expressions.Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "sign_bucket"
+}
+
+object SignBucketExpr {
+  def apply(vec: Column, planes: Int): Column =
+    GraftShims.column(new SignBucketExpr(GraftShims.expression(vec), planes))
+
+  private val componentCache =
+    new java.util.concurrent.ConcurrentHashMap[Long, java.lang.Double]()
+
+  /** Hyperplane component (p, d): xxhash64 of the literal plane/dim string,
+   *  mapped to [-1, 1]. Matches
+   *  `xxhash64(concat("graft_lsh", p, "_", d)) / Long.MaxValue`. */
+  private def component(p: Int, d: Int): Double = {
+    val key = (p.toLong << 32) | (d.toLong & 0xffffffffL)
+    var v = componentCache.get(key)
+    if (v == null) {
+      val bytes = s"graft_lsh${p}_$d".getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val h = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+        bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, bytes.length, 42L)
+      v = h.toDouble / Long.MaxValue.toDouble
+      componentCache.put(key, v)
+    }
+    v
+  }
+
+  def compute(vec: ArrayData, planes: Int): Long = {
+    val n = vec.numElements()
+    var bucket = 0L
+    var p = 0
+    while (p < planes) {
+      var dot = 0.0d
+      var d = 0
+      while (d < n) {
+        dot += vec.getFloat(d).toDouble * component(p, d)
+        d += 1
+      }
+      if (dot > 0) bucket |= (1L << p)
+      p += 1
+    }
+    bucket
+  }
+}

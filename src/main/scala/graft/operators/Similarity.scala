@@ -80,23 +80,11 @@ object Similarity {
 
   /** Sign-LSH bucket key: `planes` hyperplanes with deterministic
    *  pseudo-random components from xxhash64(plane, dim); bucket = the sign
-   *  bit pattern. Pure per-row expression. */
+   *  bit pattern. Native expression with a JVM-cached component table
+   *  ([[graft.functions.SignBucketExpr]], bit-identical to the
+   *  builtin-composed formulation it replaced). */
   def signBucket(vec: Column, planes: Int): Column =
-    aggregate(
-      sequence(lit(0), lit(planes - 1)),
-      lit(0L),
-      (acc, p) => {
-        // deterministic pseudo-random hyperplane: component_d = hash(p,d) mapped to [-1,1]
-        val dot = aggregate(
-          zip_with(
-            vec,
-            sequence(lit(0), size(vec) - 1),
-            (x, d) => x.cast("double") *
-              ((xxhash64(concat(lit("graft_lsh"), p.cast("string"), lit("_"), d.cast("string")))
-                .cast("double")) / lit(Long.MaxValue.toDouble))),
-          lit(0.0d), (s, v) => s + v)
-        acc + when(dot > 0, call_function("shiftleft", lit(1L), p.cast("int"))).otherwise(0L)
-      })
+    graft.functions.SignBucketExpr(vec, planes)
 
   /**
    * LSH-bucketed ANN: candidates = corpus rows sharing the query's bucket
