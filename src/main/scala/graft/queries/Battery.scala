@@ -438,6 +438,44 @@ object Battery {
           when(col("c_acctbal") > 7500.0, col("c_acctbal")).as("very_rich_bal"),
           nvl2(col("c_custkey"), lit("rich"), lit("other")).as("richness"))),
 
+    // ---- further §2.11/§2.5 oracle coverage ----------------------------
+    // distinct-set aggregation with deterministic ordering
+    "q59_array_agg" -> ((s, d) =>
+      ord(s, d).groupBy(col("o_orderpriority")).agg(
+        concat_ws(",", array_sort(collect_set(col("o_orderstatus")))).as("statuses"),
+        concat_ws("|", array_sort(collect_set(year(col("o_orderdate")).cast("string"))))
+          .as("years"))),
+    // window-function battery: dense_rank, ntile, first/last over frames
+    "q60_window_battery" -> ((s, d) => {
+      val w = Window.partitionBy(col("c_mktsegment")).orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+      cust(s, d).select(
+        col("c_custkey"), col("c_mktsegment"),
+        dense_rank().over(w).as("drnk"),
+        ntile(4).over(w).as("quartile"),
+        first(col("c_custkey")).over(w).as("richest_cust"),
+        (col("c_acctbal") - max(col("c_acctbal")).over(
+          Window.partitionBy(col("c_mktsegment")))).as("gap_to_max"))
+    }),
+    // date arithmetic battery
+    "q61_date_arith" -> ((s, d) =>
+      ord(s, d).select(
+        col("o_orderkey"),
+        date_format(add_months(col("o_orderdate"), 3), "yyyy-MM-dd").as("plus3m"),
+        date_format(last_day(col("o_orderdate")), "yyyy-MM-dd").as("eom"),
+        ((lit(1998) - year(col("o_orderdate"))) * 12 + (lit(1) - month(col("o_orderdate"))))
+          .cast("long").as("months_to_98"),
+        dayofweek(col("o_orderdate")).cast("int").as("dow"),
+        weekofyear(col("o_orderdate")).cast("int").as("woy"))),
+    // string-function battery
+    "q62_string_fns" -> ((s, d) =>
+      Tables.part(s, d).select(
+        col("p_partkey"),
+        lpad(col("p_brand"), 12, "_").as("brand_pad"),
+        translate(col("p_type"), "aeiou", "AEIOU").as("type_vowels"),
+        repeat(col("p_brand"), 2).as("brand2"),
+        element_at(split(col("p_type"), " "), -1).as("last_word"),
+        reverse(col("p_brand")).as("brand_rev"))),
+
     // ---- rollup ---------------------------------------------------------
     "q37_rollup" -> ((s, d) =>
       ord(s, d).join(cust(s, d), col("o_custkey") === col("c_custkey"))
@@ -749,6 +787,36 @@ object Battery {
         |        THEN 1 ELSE 0 END AS is_new
         |    FROM events))
         |GROUP BY user_id, session_no""".stripMargin,
+    "q59_array_agg" ->
+      """SELECT o_orderpriority,
+        |  array_to_string(list_sort(list_distinct(list(o_orderstatus))), ',') AS statuses,
+        |  array_to_string(list_sort(list_distinct(list(CAST(year(o_orderdate) AS VARCHAR)))), '|') AS years
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
+    "q60_window_battery" ->
+      """SELECT c_custkey, c_mktsegment,
+        |  dense_rank() OVER w AS drnk,
+        |  ntile(4) OVER w AS quartile,
+        |  first_value(c_custkey) OVER w AS richest_cust,
+        |  c_acctbal - max(c_acctbal) OVER (PARTITION BY c_mktsegment) AS gap_to_max
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)""".stripMargin,
+    "q61_date_arith" ->
+      """SELECT o_orderkey,
+        |  strftime(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH, '%Y-%m-%d') AS plus3m,
+        |  strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS eom,
+        |  CAST((1998 - year(o_orderdate)) * 12 + (1 - month(o_orderdate)) AS BIGINT)
+        |    AS months_to_98,
+        |  CAST(dayofweek(CAST(o_orderdate AS DATE)) + 1 AS INTEGER) AS dow,
+        |  CAST(weekofyear(CAST(o_orderdate AS DATE)) AS INTEGER) AS woy
+        |FROM orders""".stripMargin,
+    "q62_string_fns" ->
+      """SELECT p_partkey,
+        |  lpad(p_brand, 12, '_') AS brand_pad,
+        |  translate(p_type, 'aeiou', 'AEIOU') AS type_vowels,
+        |  repeat(p_brand, 2) AS brand2,
+        |  string_split(p_type, ' ')[-1] AS last_word,
+        |  reverse(p_brand) AS brand_rev
+        |FROM part""".stripMargin,
     "q37_rollup" ->
       """SELECT n_name,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
