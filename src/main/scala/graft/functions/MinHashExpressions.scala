@@ -130,6 +130,13 @@ case class BandHashes(child: Expression, bands: Int, rowsPerBand: Int)
   override def nullSafeEval(input: Any): Any = {
     val a = input.asInstanceOf[ArrayData]
     val n = a.numElements()
+    // A band past the signature end would hash an empty slice to the constant
+    // seed — every row lands in the same bucket and candidate generation goes
+    // O(n²). band_hashes is SQL-registered with unchecked args, so guard here.
+    if (bands.toLong * rowsPerBand > n)
+      throw new IllegalArgumentException(
+        s"band_hashes: bands*rowsPerBand (${bands.toLong * rowsPerBand}) exceeds " +
+          s"signature length ($n); empty trailing bands would bucket all rows together")
     val out = new Array[Long](bands)
     var b = 0
     while (b < bands) {
@@ -158,6 +165,12 @@ case class BandHashes(child: Expression, bands: Int, rowsPerBand: Int)
       val end = ctx.freshName("end")
       s"""
          |final int $n = $a.numElements();
+         |if (${bands.toLong} * ${rowsPerBand}L > $n) {
+         |  throw new IllegalArgumentException(
+         |    "band_hashes: bands*rowsPerBand (" + (${bands.toLong} * ${rowsPerBand}L) +
+         |    ") exceeds signature length (" + $n +
+         |    "); empty trailing bands would bucket all rows together");
+         |}
          |final long[] $out = new long[$bands];
          |for (int $b = 0; $b < $bands; $b++) {
          |  long $h = 42L;

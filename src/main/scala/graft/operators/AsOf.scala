@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
 
 /**
  * As-of (point-in-time) join — for each left row, the single latest right
@@ -24,6 +25,12 @@ import org.apache.spark.sql.functions._
  * `ASOF JOIN ... ON l.ts >= r.ts`, which the battery oracle (q56) checks.
  * Left rows with no preceding right row keep null payloads (left-join
  * semantics).
+ *
+ * The right payload is carried as ONE struct column, not per-column:
+ * per-column `last(_, ignoreNulls)` would stitch fields from DIFFERENT
+ * right rows whenever a payload column holds a null (the null would be
+ * filled from an older row). Packing guarantees every output row's right
+ * fields come from the single matched right row, nulls included.
  */
 object AsOf {
 
@@ -37,25 +44,28 @@ object AsOf {
     val rCols = right.columns.filterNot(keys.contains).toSeq
     val collisions = lCols.toSet & rCols.toSet
     require(collisions.isEmpty, s"rename colliding columns before asof join: $collisions")
+    if (rCols.isEmpty) return left
 
+    val payloadType = StructType(rCols.map(c => right.schema(c)))
     val l = left.select(
       keys.map(col) ++
         Seq(col(leftTs).as("__graft_ts"), lit(1).as("__graft_side")) ++
-        lCols.map(col) ++
-        rCols.map(c => lit(null).cast(right.schema(c).dataType).as(c)): _*)
+        lCols.map(col) :+
+        lit(null).cast(payloadType).as("__graft_rpay"): _*)
     val r = right.select(
       keys.map(col) ++
         Seq(col(rightTs).as("__graft_ts"), lit(0).as("__graft_side")) ++
-        lCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-        rCols.map(col): _*)
+        lCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
+        struct(rCols.map(col): _*).as("__graft_rpay"): _*)
 
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("__graft_ts").asc, col("__graft_side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = rCols.foldLeft(l.unionByName(r)) { (df, c) =>
-      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
-    }
-    filled.filter(col("__graft_side") === 1).drop("__graft_ts", "__graft_side")
+    val filled = l.unionByName(r)
+      .withColumn("__graft_rpay", last(col("__graft_rpay"), ignoreNulls = true).over(w))
+    filled.filter(col("__graft_side") === 1)
+      .select(keys.map(col) ++ lCols.map(col) ++
+        rCols.map(c => col("__graft_rpay").getField(c).as(c)): _*)
   }
 
   /**

@@ -245,9 +245,12 @@ class GraftScan(
 
   /** Exact post-pruning statistics so Catalyst sizes joins correctly
    *  (the analog of the reference's `Sizing`/partition-size estimation,
-   *  SURVEY M6). */
+   *  SURVEY M6). sizeInBytes is the UNCOMPRESSED footer total, not on-disk
+   *  bytes: Spark compares it against autoBroadcastJoinThreshold as an
+   *  in-memory estimate, and compressed bytes would let a highly-compressed
+   *  table broadcast itself into an executor OOM. */
   override def estimateStatistics(): Statistics = new Statistics {
-    private val bytes = prunedFiles.map(_.sizeBytes).sum
+    private val bytes = prunedFiles.map(f => math.max(f.uncompressedBytes, f.sizeBytes)).sum
     private val rows = prunedFiles.map(_.rows).sum
     override def sizeInBytes: util.OptionalLong = util.OptionalLong.of(bytes)
     override def numRows: util.OptionalLong = util.OptionalLong.of(rows)
@@ -267,6 +270,9 @@ object TokenPruner {
   final case class FileMeta(
       path: String,
       sizeBytes: Long,
+      /** Sum of row-group `totalByteSize` (uncompressed) — what the data
+       *  costs in memory, for broadcast-threshold decisions. */
+      uncompressedBytes: Long,
       rows: Long,
       hasTokenColumn: Boolean,
       tokenRange: Option[(Long, Long)],
@@ -322,7 +328,8 @@ object TokenPruner {
       val tokenRange = if (hasToken) colStats(TokenSortedWriter.TokenCol).collect {
         case (mn: java.lang.Long, mx: java.lang.Long) => (mn.longValue(), mx.longValue())
       } else None
-      FileMeta(path.toString, len, rows, hasToken, tokenRange, Map.empty)
+      val uncompressed = blocks.map(_.getTotalByteSize).sum
+      FileMeta(path.toString, len, uncompressed, rows, hasToken, tokenRange, Map.empty)
     } finally reader.close()
   }
 

@@ -75,6 +75,18 @@ object EventStreams {
    * passes `session_end + gap`. Custom keyed state via
    * `flatMapGroupsWithState` (the Spark primitive for reference-less
    * stateful operators; SURVEY §2.12 marks streaming as our extension).
+   *
+   * Cross-batch disorder: a late event (inside the watermark — older rows
+   * are filtered by `withWatermark` before the state function) that lands
+   * WITHIN the gap before the open session's start extends the session
+   * backward (`start = min(start, t)`), matching batch semantics. An event
+   * more than `gap` older than the open session's start belongs to an
+   * earlier, possibly already-emitted session; with one-session-per-key
+   * state it cannot re-split history, so it is emitted as its own singleton
+   * session. The watermark delay (= gap) bounds how far this divergence
+   * from [[sessionizeBatch]] can reach: only events within `gap` of the
+   * max seen event time are accepted at all, so in-order-across-batches
+   * input (the spec's fixture) is exactly batch-equivalent.
    */
   def sessionizeStream(events: Dataset[Event], gapSeconds: Long): Dataset[Session] = {
     import events.sparkSession.implicits._
@@ -97,12 +109,18 @@ object EventStreams {
             val evs = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
             var closed = List.empty[Session]
             var cur = state.getOption
+            val gapMs = gapSeconds * 1000
             evs.foreach { e =>
               val t = e.ts.getTime
               cur match {
-                case Some(s) if t - s.end <= gapSeconds * 1000 =>
-                  cur = Some(SessionState(s.start, math.max(s.end, t),
+                case Some(s) if t >= s.start - gapMs && t - s.end <= gapMs =>
+                  // in or adjacent to the open session — extend either end
+                  cur = Some(SessionState(math.min(s.start, t), math.max(s.end, t),
                     s.nEvents + 1, s.totalValue + e.value))
+                case Some(s) if t < s.start - gapMs =>
+                  // late event from before the open session: can't re-split
+                  // already-emitted history, emit as its own session (see doc)
+                  closed ::= Session(userId, new Timestamp(t), new Timestamp(t), 1, e.value)
                 case Some(s) =>
                   closed ::= toSession(s)
                   cur = Some(SessionState(t, t, 1, e.value))

@@ -80,7 +80,11 @@ object TokenSortedWriter {
     }
     ttl match {
       case Some(t) =>
-        val base = wt.getOrElse(lit(0L))
+        // Expiry is writetime + ttl; without a writetime there is no sane
+        // base (epoch 0 would silently pre-expire every row), so fail fast.
+        val base = wt.getOrElse(throw new IllegalArgumentException(
+          "TTL configured without a writetime; set writetimeMicros or writetimeColumn " +
+            "(expiry is resolved at write time as writetime + ttl)"))
         withWt.withColumn(ExpiresCol, when(t.isNull, lit(null).cast("long"))
           .otherwise(base + t * 1000000L))
       case None => withWt

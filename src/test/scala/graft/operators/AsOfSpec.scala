@@ -49,6 +49,21 @@ class AsOfSpec extends SparkSpec {
     assert(run(1000L) == expected)
   }
 
+  test("null right-payload fields are NOT backfilled from older right rows") {
+    // quote at 200 has px=null: t2/t3-era trades must see (px=null, venue=B)
+    // as one row, not px stitched in from the older quote at 90
+    val q = Seq(
+      (1L, 90L, Some(1.0), "A"),
+      (1L, 200L, None: Option[Double], "B"))
+      .toDF("k", "quote_ts", "px", "venue")
+    val out = AsOf.joinBackward(trades.filter($"k" === 1), q, Seq("k"), "trade_ts", "quote_ts")
+      .select("trade_id", "px", "venue").collect()
+      .map(r => r.getString(0) -> (Option(r.get(1)), r.getString(2))).toMap
+    assert(out("t1") == (Some(1.0), "A"))
+    assert(out("t2") == (None, "B")) // the matched row's own null, venue from same row
+    assert(out("t3") == (None, "B"))
+  }
+
   test("column collisions are rejected") {
     val e = intercept[IllegalArgumentException] {
       AsOf.joinBackward(trades, trades, Seq("k"), "trade_ts", "trade_ts")
