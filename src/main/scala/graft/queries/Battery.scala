@@ -483,8 +483,53 @@ object Battery {
         .rollup(col("n_name")).agg(
           dsum(col("o_totalprice")).as("revenue"),
           count(lit(1)).as("n_orders"),
-          grouping(col("n_name")).cast("long").as("grp")))
+          grouping(col("n_name")).cast("long").as("grp"))),
+
+    // ---- complex-type round-trip battery -------------------------------
+    // The reference's largest test surface (EndToEndTests.java:988 nested
+    // map/set, :1614 deep-nested UDT, spark-converter module): composite
+    // columns written through the graft sink and read back through the DSv2
+    // source, then projected to flat scalars the DuckDB oracle recomputes
+    // from `part` directly. The round-trip is the unit under test — any
+    // storage-layer corruption of array order, map entries, struct fields,
+    // decimal scale, or date/timestamp precision breaks the hash match.
+    "q63_typed_roundtrip" -> ((s, d) => {
+      val rt = typedRoundTrip(s, d)
+      rt.select(
+        col("p_partkey"),
+        size(col("tags")).cast("long").as("n_tags"),
+        element_at(col("tags"), 1).as("first_tag"),
+        // set-as-array re-dedup: duplicates introduced before the write
+        // must still dedup away after the round-trip
+        array_join(array_sort(array_distinct(col("tag_set"))), ",").as("distinct_tags"),
+        element_at(col("attrs"), "size").as("size_attr"),
+        col("brand_info.brand").as("brand"),
+        col("brand_info.price").cast("double").as("price"),
+        date_format(col("d"), "yyyy-MM-dd").as("d_iso"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts_iso"),
+        col("note"))
+    }),
+    // map explode: every (key, value) entry must survive the round-trip
+    "q64_typed_map_explode" -> ((s, d) =>
+      typedRoundTrip(s, d)
+        .select(col("p_partkey"), explode(col("attrs")).as(Seq("k", "v")))),
+    // nested array<struct> positional explode: order and both struct fields
+    "q65_typed_nested_explode" -> ((s, d) =>
+      typedRoundTrip(s, d)
+        .select(col("p_partkey"), posexplode(col("words")).as(Seq("pos", "word")))
+        .select(col("p_partkey"), col("pos"), col("word.w").as("w"), col("word.len").as("len")))
   )
+
+  /** Write the [[graft.tables.TypedTable]] fixture through the graft sink and
+   *  read it back through the DSv2 source — shared prefix of q63-q65. */
+  private def typedRoundTrip(s: SparkSession, d: String): DataFrame = {
+    val out = java.nio.file.Files.createTempDirectory("graft_typed_").toString + "/typed"
+    TokenSortedWriter.write(
+      graft.tables.TypedTable.fromPart(Tables.part(s, d)),
+      graft.tables.TypedTable.schema, out, SaveMode.Append,
+      TokenSortedWriter.WriteConf(numPartitions = 4, keepTokenColumn = true))
+    s.read.format("graft").option("path", out).option("pk", "p_partkey").load()
+  }
 
   // =====================================================================
   // oracle SQL (DuckDB dialect, run by the driver on the same parquet)
@@ -831,7 +876,34 @@ object Battery {
         |           ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC, c.vec_id) AS rank
         |  FROM embeddings q, embeddings c
         |  WHERE q.vec_id < 3 AND c.vec_id <> q.vec_id
-        |) WHERE rank <= 10""".stripMargin
+        |) WHERE rank <= 10""".stripMargin,
+    // complex-type round-trip oracles recompute the flat projections from
+    // `part` directly (the typed table is derived 1:1 from part, TypedTable)
+    "q63_typed_roundtrip" ->
+      """SELECT p_partkey,
+        |  CAST(len(string_split(p_name, ' ')) AS BIGINT) AS n_tags,
+        |  string_split(p_name, ' ')[1] AS first_tag,
+        |  array_to_string(list_sort(list_distinct(list_concat(
+        |    list_concat(string_split(p_name, ' '), string_split(p_name, ' ')),
+        |    [p_type]))), ',') AS distinct_tags,
+        |  CAST(p_size AS BIGINT) AS size_attr,
+        |  p_brand AS brand,
+        |  CAST(CAST(p_retailprice AS DECIMAL(12,2)) AS DOUBLE) AS price,
+        |  strftime(DATE '1992-01-01' + p_size, '%Y-%m-%d') AS d_iso,
+        |  strftime(make_timestamp(p_partkey * 1000001 + 123456), '%Y-%m-%d %H:%M:%S.%f') AS ts_iso,
+        |  CASE WHEN p_partkey % 7 = 0 THEN NULL ELSE p_brand END AS note
+        |FROM part""".stripMargin,
+    "q64_typed_map_explode" ->
+      """SELECT p_partkey, 'size' AS k, CAST(p_size AS BIGINT) AS v FROM part
+        |UNION ALL
+        |SELECT p_partkey, 'retail_cents' AS k, CAST(floor(p_retailprice * 100) AS BIGINT) AS v
+        |FROM part""".stripMargin,
+    "q65_typed_nested_explode" ->
+      """SELECT p_partkey, CAST(r AS INT) AS pos,
+        |  string_split(p_name, ' ')[CAST(r AS INT) + 1] AS w,
+        |  CAST(length(string_split(p_name, ' ')[CAST(r AS INT) + 1]) AS BIGINT) AS len
+        |FROM part, range(0, 8) t(r)
+        |WHERE r < len(string_split(p_name, ' '))""".stripMargin
   )
 
   /** Flagship end-to-end pipeline for the driver's smoke check: LWW-normalize

@@ -1,0 +1,57 @@
+package graft.tables
+
+import graft.model.CqlSchema
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * The complex-type fixture: a deterministic table with every composite shape
+ * the reference's type surface exercises — collections, tuples/UDT analogs,
+ * nested collections-of-structs, decimal and date/timestamp edges
+ * (reference: `EndToEndTests.java:988` testNestedMapSet, `:1614`
+ * testDeepNestedUDT, and the whole `cassandra-analytics-spark-converter`
+ * module mapping CQL list/set/map/tuple/UDT onto Spark array/map/struct —
+ * SURVEY §1.2).
+ *
+ * Derived 1:1 from the driver's `part` table, so a DuckDB oracle can
+ * recompute every projected value from `part` directly:
+ *
+ *  - `tags    array<string>`          — CQL `list<text>` analog
+ *  - `tag_set array<string>` w/ dups  — CQL `set<text>` analog; built WITH
+ *    duplicates so set-style re-dedup (`array_sort(array_distinct(..))`) is
+ *    observable after the round-trip
+ *  - `attrs   map<string,bigint>`     — CQL `map<text,bigint>`
+ *  - `brand_info struct<brand,sz,price:decimal(12,2)>` — tuple/UDT analog
+ *    with a decimal field
+ *  - `words   array<struct<w,len>>`   — nested collection-of-UDT
+ *    (`frozen<list<udt>>` analog)
+ *  - `d date`, `ts timestamp` (micros), `note string` nullable (null every
+ *    7th row) — scalar edge cases riding along
+ *
+ * The float→long derivation uses `floor` (truncation), never cast-rounding:
+ * DuckDB CAST(double AS BIGINT) rounds half-to-even while Spark's cast
+ * truncates — floor on both sides sidesteps the disagreement.
+ */
+object TypedTable {
+
+  val schema: CqlSchema = CqlSchema("typed", Seq("p_partkey"))
+
+  def fromPart(part: DataFrame): DataFrame =
+    part.select(
+      col("p_partkey"),
+      split(col("p_name"), " ").as("tags"),
+      concat(split(col("p_name"), " "), split(col("p_name"), " "),
+        array(col("p_type"))).as("tag_set"),
+      map(
+        lit("size"), col("p_size").cast("long"),
+        lit("retail_cents"), floor(col("p_retailprice") * 100).cast("long")).as("attrs"),
+      struct(
+        col("p_brand").as("brand"),
+        col("p_size").as("sz"),
+        col("p_retailprice").cast("decimal(12,2)").as("price")).as("brand_info"),
+      transform(split(col("p_name"), " "),
+        w => struct(w.as("w"), length(w).cast("long").as("len"))).as("words"),
+      date_add(lit("1992-01-01").cast("date"), col("p_size")).as("d"),
+      expr("timestamp_micros(p_partkey * 1000001 + 123456)").as("ts"),
+      when(col("p_partkey") % 7 === 0, lit(null)).otherwise(col("p_brand")).as("note"))
+}
