@@ -104,6 +104,38 @@ object Normalize {
     df.filter(expiry >= now)
 
   /**
+   * Static-column semantics (SURVEY §7.4 hard-part; reference
+   * `SparkCellIterator.java:282-287` replicates partition-level static cells
+   * onto every row of the partition): a static column has ONE value per
+   * PARTITION key, owned by whichever version (of ANY row in the partition)
+   * wrote it with the highest writetime — independent of the row-level LWW.
+   *
+   * Must run on the raw multi-version scan BEFORE the row-level LWW
+   * collapse: the winning static cell may ride on an OLDER version of a row
+   * whose newer version carries null, or on a different row of the partition
+   * entirely; collapsing first would drop it.
+   *
+   * Formulation: per static column, `last(c, ignoreNulls) OVER (PARTITION BY
+   * pk ORDER BY (writetime, c) ROWS UNBOUNDED PRECEDING..FOLLOWING)` — the
+   * non-null value with the highest (writetime, value) pair. The value
+   * tie-break mirrors Cassandra's equal-timestamp resolution (greater cell
+   * value wins). All windows share one pk partitioning ⇒ a single shuffle
+   * regardless of static-column count, reused by the LWW aggregation that
+   * follows it.
+   */
+  def propagateStatics(
+      df: DataFrame,
+      partitionKeys: Seq[String],
+      staticCols: Seq[String],
+      writetime: String): DataFrame =
+    staticCols.foldLeft(df) { (d, c) =>
+      val w = Window.partitionBy(partitionKeys.map(col): _*)
+        .orderBy(col(writetime).asc, col(c).asc_nulls_first)
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      d.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+    }
+
+  /**
    * Append the reference's LAST_MODIFIED_TIMESTAMP feature column: the max
    * write timestamp over all versions of the row's partition
    * (`SchemaFeatureSet.java:37-50`). Window max — no extra shuffle when it

@@ -517,7 +517,43 @@ object Battery {
     "q65_typed_nested_explode" -> ((s, d) =>
       typedRoundTrip(s, d)
         .select(col("p_partkey"), posexplode(col("words")).as(Seq("pos", "word")))
-        .select(col("p_partkey"), col("pos"), col("word.w").as("w"), col("word.len").as("len")))
+        .select(col("p_partkey"), col("pos"), col("word.w").as("w"), col("word.len").as("len"))),
+
+    // ---- static-column semantics (SURVEY §7.4 hard-part) ----------------
+    // orders as a multi-row-per-partition table (pk=o_custkey,
+    // ck=o_orderkey, static=cust_note). Three writes: base rows with null
+    // static @1000; the static cell on ONE row per partition (min orderkey)
+    // @2000; then NEWER versions of some rows @3000 WITHOUT the static.
+    // Correct semantics: the @2000 static must surface on EVERY row of its
+    // partition even though the latest row versions carry null.
+    "q66_static_columns" -> ((s, d) => {
+      val schema = CqlSchema("orders_static",
+        Seq("o_custkey"), Seq("o_orderkey"), Seq("cust_note"))
+      val out = java.nio.file.Files.createTempDirectory("graft_static_").toString + "/orders"
+      val base = ord(s, d).select(
+        col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        lit(null).cast("string").as("cust_note"))
+      TokenSortedWriter.write(base, schema, out, SaveMode.Append,
+        TokenSortedWriter.WriteConf(numPartitions = 4, keepTokenColumn = true,
+          writetimeMicros = Some(1000L)))
+      val statics = base.groupBy(col("o_custkey")).agg(
+          min(col("o_orderkey")).as("o_orderkey"),
+          min_by(col("o_totalprice"), col("o_orderkey")).as("o_totalprice"))
+        .filter(col("o_custkey") % 5 === 0)
+        .withColumn("cust_note", concat(lit("S"), col("o_custkey").cast("string")))
+      TokenSortedWriter.write(statics.select(base.columns.map(col): _*), schema, out,
+        SaveMode.Append,
+        TokenSortedWriter.WriteConf(numPartitions = 2, keepTokenColumn = true,
+          writetimeMicros = Some(2000L)))
+      val bumps = base.filter(col("o_custkey") % 10 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
+      TokenSortedWriter.write(bumps, schema, out, SaveMode.Append,
+        TokenSortedWriter.WriteConf(numPartitions = 2, keepTokenColumn = true,
+          writetimeMicros = Some(3000L)))
+      TokenSortedWriter.readNormalized(s, schema, out)
+        .select(col("o_custkey"), col("o_orderkey"),
+          col("o_totalprice").as("totalprice"), col("cust_note"))
+    })
   )
 
   /** Write the [[graft.tables.TypedTable]] fixture through the graft sink and
@@ -903,7 +939,15 @@ object Battery {
         |  string_split(p_name, ' ')[CAST(r AS INT) + 1] AS w,
         |  CAST(length(string_split(p_name, ' ')[CAST(r AS INT) + 1]) AS BIGINT) AS len
         |FROM part, range(0, 8) t(r)
-        |WHERE r < len(string_split(p_name, ' '))""".stripMargin
+        |WHERE r < len(string_split(p_name, ' '))""".stripMargin,
+    // static semantics by construction: every row of a %5 partition gets the
+    // partition's static note; %10 rows additionally took the newer (static-
+    // less) totalprice update — static must survive that newer version
+    "q66_static_columns" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CASE WHEN o_custkey % 10 = 0 THEN o_totalprice + 1000 ELSE o_totalprice END AS totalprice,
+        |  CASE WHEN o_custkey % 5 = 0 THEN 'S' || CAST(o_custkey AS VARCHAR) END AS cust_note
+        |FROM orders""".stripMargin
   )
 
   /** Flagship end-to-end pipeline for the driver's smoke check: LWW-normalize

@@ -139,7 +139,7 @@ object GraftDataSource {
       Option(options.get(key)).map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
     val table = Option(options.get("table")).getOrElse("graft_table")
     val pk = list("pk")
-    if (pk.nonEmpty) CqlSchema(table, pk, list("ck"))
+    if (pk.nonEmpty) CqlSchema(table, pk, list("ck"), list("static"))
     else {
       val recovered = CqlSchema.fromStruct(table, schema)
       require(recovered.partitionKeys.nonEmpty,

@@ -174,8 +174,18 @@ object TokenSortedWriter {
       .option("path", path)
       .option("pk", schema.partitionKeys.mkString(","))
       .option("ck", schema.clusteringKeys.mkString(","))
+      .option("static", schema.staticColumns.mkString(","))
       .option("table", schema.table)
       .load()
+
+    // 0. static columns resolve per PARTITION over the raw multi-version
+    // scan, BEFORE row collapse — the winning static cell may ride on an
+    // older version or a sibling row (SparkCellIterator.java:282-287)
+    val statics = schema.staticColumns.filter(df.columns.contains)
+    if (statics.nonEmpty && df.columns.contains(WritetimeCol)) {
+      df = graft.operators.Normalize.propagateStatics(
+        df, schema.partitionKeys, statics, WritetimeCol)
+    }
 
     // 1. LWW: writetime first, then every non-key column as a deterministic
     // total tie-break (equal-writetime appends resolve identically everywhere)
