@@ -10,6 +10,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    Graft.install(spark)
     // warm up the JVM/session once (codegen compiler, parquet reader, shuffle
     // machinery) so the first measured query isn't charged for JIT/bootstrap
     spark.range(1000000L).selectExpr("sum(id)").collect()

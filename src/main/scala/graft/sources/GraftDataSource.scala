@@ -165,7 +165,7 @@ class GraftTable(dir: String, annotated: StructType, cql: CqlSchema)
     util.EnumSet.of(TableCapability.BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftScanBuilder(dir, annotated, cql)
+    new GraftScanBuilder(dir, annotated, cql, options.getBoolean("clustered", false))
 }
 
 /**
@@ -176,7 +176,11 @@ class GraftTable(dir: String, annotated: StructType, cql: CqlSchema)
  * for re-evaluation (parquet stats-based skipping is best-effort, exactly
  * like the reference returning rows for Spark to re-filter).
  */
-class GraftScanBuilder(dir: String, annotated: StructType, cql: CqlSchema)
+class GraftScanBuilder(
+    dir: String,
+    annotated: StructType,
+    cql: CqlSchema,
+    clustered: Boolean = false)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
 
   private var pushed: Array[Filter] = Array.empty
@@ -195,7 +199,7 @@ class GraftScanBuilder(dir: String, annotated: StructType, cql: CqlSchema)
     required = StructType(requiredSchema.fields.map(f => byName.getOrElse(f.name, f)))
   }
 
-  override def build(): Scan = new GraftScan(dir, annotated, required, pushed, cql)
+  override def build(): Scan = new GraftScan(dir, annotated, required, pushed, cql, clustered)
 }
 
 /**
@@ -207,8 +211,10 @@ class GraftScan(
     dataSchema: StructType,
     required: StructType,
     pushed: Array[Filter],
-    cql: CqlSchema)
-    extends Scan with Batch with SupportsReportStatistics {
+    cql: CqlSchema,
+    clustered: Boolean = false)
+    extends Scan with Batch with SupportsReportStatistics
+    with org.apache.spark.sql.graftshim.ClusterReportingScan {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -240,7 +246,29 @@ class GraftScan(
     else dataSchema
   }
 
-  override def planInputPartitions(): Array[InputPartition] = delegate.planInputPartitions()
+  /** S2 reported partitioning (reference `CassandraScanBuilder.java:122`):
+   *  the layout clusters rows by pk iff every file carries `_graft_token`
+   *  stats AND ranges are pairwise strictly disjoint (a boundary token
+   *  shared by two files would let one pk span both). Multi-append dirs
+   *  overlap and correctly disqualify themselves. Opt-in (`clustered`
+   *  option) because the claim forces whole-file input partitions. */
+  private lazy val clusteredLayout: Boolean = clustered && prunedFiles.nonEmpty && {
+    val ranges = prunedFiles.flatMap(_.tokenRange)
+    ranges.length == prunedFiles.length && {
+      val sorted = ranges.sortBy(_._1)
+      sorted.zip(sorted.tail).forall { case ((_, prevMax), (nextMin, _)) => prevMax < nextMin }
+    }
+  }
+
+  override def clusteredPkNames: Option[Seq[String]] =
+    if (clusteredLayout) Some(cql.partitionKeys) else None
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val planned = delegate.planInputPartitions()
+    if (clusteredLayout)
+      org.apache.spark.sql.graftshim.ClusteredScanUtil.wholeFilePartitions(planned)
+    else planned
+  }
   override def createReaderFactory(): PartitionReaderFactory = delegate.createReaderFactory()
 
   /** Exact post-pruning statistics so Catalyst sizes joins correctly

@@ -8,6 +8,7 @@ object SmokeEntry {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    graft.Graft.install(spark)
     val df = graft.SparkEntry.entry(spark)
     df.show(10, false)
     println("ENTRY ROWS=" + df.count())

@@ -176,6 +176,10 @@ object TokenSortedWriter {
       .option("ck", schema.clusteringKeys.mkString(","))
       .option("static", schema.staticColumns.mkString(","))
       .option("table", schema.table)
+      // everything below groups/windows by pk: a single-write disjoint token
+      // layout then needs zero shuffles (S2 reported partitioning; the scan
+      // silently disqualifies itself on overlapping multi-append layouts)
+      .option("clustered", "true")
       .load()
 
     // 0. static columns resolve per PARTITION over the raw multi-version

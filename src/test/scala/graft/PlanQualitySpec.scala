@@ -63,6 +63,55 @@ class PlanQualitySpec extends SparkSpec {
     assert(plan.contains("files=1"), s"expected pruning to 1 file in:\n$plan")
   }
 
+  test("clustered graft scan: groupBy(pk) plans NO exchange; overlapping layout falls back") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_clus_").toString + "/t"
+    val df = (1L to 2000L).map(i => (i, i % 7, s"v$i")).toDF("id", "grp", "v")
+    TokenSortedWriter.write(df, CqlSchema("t", Seq("id")), dir, SaveMode.Append,
+      TokenSortedWriter.WriteConf(numPartitions = 4, keepTokenColumn = true))
+
+    val clustered = spark.read.format("graft")
+      .option("path", dir).option("pk", "id").option("clustered", "true").load()
+    val agg = clustered.groupBy(col("id")).agg(sum(col("grp")).as("s"), max(col("v")).as("m"))
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"groupBy(pk) over disjoint token layout must not shuffle:\n$plan")
+    // and the aggregation is still correct without the exchange
+    assert(agg.count() == 2000L)
+    assert(agg.filter(col("id") === 14L).select("s").as[Long].head() == 0L)
+
+    // a second append overlaps the token ranges -> the claim must vanish
+    TokenSortedWriter.write(df.filter($"id" <= 100L), CqlSchema("t", Seq("id")), dir,
+      SaveMode.Append,
+      TokenSortedWriter.WriteConf(numPartitions = 2, keepTokenColumn = true))
+    val overlapping = spark.read.format("graft")
+      .option("path", dir).option("pk", "id").option("clustered", "true").load()
+    val plan2 = overlapping.groupBy(col("id")).agg(count(lit(1)))
+      .queryExecution.executedPlan.toString
+    assert(plan2.contains("Exchange"),
+      s"overlapping multi-append layout must keep the shuffle:\n$plan2")
+
+    // without the option the default read keeps split parallelism + exchange
+    val plain = spark.read.format("graft").option("path", dir).option("pk", "id").load()
+    val plan3 = plain.groupBy(col("id")).agg(count(lit(1)))
+      .queryExecution.executedPlan.toString
+    assert(plan3.contains("Exchange"))
+  }
+
+  test("clustered scan result equals unclustered result (values, not just counts)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_clus_eq_").toString + "/t"
+    val df = (1L to 999L).map(i => (i, s"p${i % 13}", i * 1.5)).toDF("id", "tag", "x")
+    TokenSortedWriter.write(df, CqlSchema("t", Seq("id")), dir, SaveMode.Append,
+      TokenSortedWriter.WriteConf(numPartitions = 3, keepTokenColumn = true))
+    def agg(clustered: Boolean) = spark.read.format("graft")
+      .option("path", dir).option("pk", "id").option("clustered", clustered.toString).load()
+      .groupBy(col("id")).agg(sum(col("x").cast("decimal(18,6)")).cast("double").as("sx"),
+        min(col("tag")).as("t"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).sortBy(_._1).toSeq
+    assert(agg(clustered = true) == agg(clustered = false))
+  }
+
   test("LSH candidate generation shuffles ids+band keys only, never document text") {
     val docs = graft.tables.Tables.documents(spark, sf)
     val sigs = docs.select(col("doc_id").as("id"),
