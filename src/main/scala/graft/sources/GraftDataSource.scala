@@ -286,12 +286,21 @@ class GraftScan(
 }
 
 /**
- * P3-P6: partition-key filter → token file pruning over parquet footer
- * statistics. The reference analog chain: pushed key → serialized key →
- * Murmur3 token (`PartitionKeyFilter`), then per-SSTable range overlap check
+ * P3-P6: partition-key filter → token file pruning over per-file statistics.
+ * The reference analog chain: pushed key → serialized key → Murmur3 token
+ * (`PartitionKeyFilter`), then per-SSTable range overlap check
  * (`SSTableReader.java:283-300`) and index/bloom probe (:303-320). Here the
- * "index" is the parquet footer: per-file min/max of `_graft_token` (token
- * layout) or of the partition-key column itself (generic layout).
+ * "index" is, in preference order:
+ *
+ *  1. the write-time MANIFEST (`_graft_manifest/`, see
+ *     [[graft.write.Manifest]]) — one small TSV read per scan, O(1) driver
+ *     IO regardless of file count (the production answer to ~800k footers
+ *     at 100 TB; the reference's Sidecar snapshot listing analog);
+ *  2. parquet footers, read with a bounded thread pool, for files the
+ *     manifest doesn't know (externally added / pre-manifest layouts).
+ *
+ * Pruning uses `_graft_token` min/max (token layout) or integral
+ * partition-key column min/max (generic layout, `pkRanges`).
  */
 object TokenPruner {
 
@@ -304,16 +313,21 @@ object TokenPruner {
       rows: Long,
       hasTokenColumn: Boolean,
       tokenRange: Option[(Long, Long)],
-      pkRanges: Map[String, (Any, Any)])
+      /** Per-column min/max for integral (int32/int64) columns — the
+       *  file-level pruning fallback for layouts without `_graft_token`. */
+      pkRanges: Map[String, (Long, Long)])
 
-  /** =/IN values per pk column from pushed filters; tokens only when ALL pk
-   *  columns are covered (reference all-or-nothing rule,
-   *  `DataLayer.unsupportedPushDownFilters():318-326`). */
-  def keyTokens(pushed: Array[Filter], cql: CqlSchema): Option[Set[Long]] = {
-    val valuesByCol: Map[String, Seq[Any]] = pushed.collect {
+  /** =/IN values pushed per pk column. */
+  def keyValues(pushed: Array[Filter], cql: CqlSchema): Map[String, Seq[Any]] =
+    pushed.collect {
       case EqualTo(c, v) if cql.partitionKeys.contains(c) => c -> Seq(v)
       case In(c, vs) if cql.partitionKeys.contains(c) => c -> vs.toSeq
     }.groupBy(_._1).map { case (c, hits) => c -> hits.map(_._2).minBy(_.size) }
+
+  /** Tokens only when ALL pk columns are covered (reference all-or-nothing
+   *  rule, `DataLayer.unsupportedPushDownFilters():318-326`). */
+  def keyTokens(pushed: Array[Filter], cql: CqlSchema): Option[Set[Long]] = {
+    val valuesByCol = keyValues(pushed, cql)
     if (cql.partitionKeys.forall(valuesByCol.contains)) {
       // cartesian product over pk columns, in key order (FilterUtils.cartesianProduct:79)
       val combos = cql.partitionKeys.foldLeft(Seq(Seq.empty[Any])) { (acc, c) =>
@@ -323,15 +337,50 @@ object TokenPruner {
     } else None
   }
 
+  /** All data files with their planning stats: manifest rows when available,
+   *  footer reads (bounded parallel) only for unknown files. Listing is
+   *  recursive, skipping `_`/`.`-prefixed metadata dirs and files. */
   def listFiles(spark: SparkSession, dir: String): Array[FileMeta] = {
     val conf = spark.sessionState.newHadoopConf()
     val p = new Path(dir)
     val fs = p.getFileSystem(conf)
-    val files = fs.listStatus(p).filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-    files.map { s => readFooterMeta(conf, s.getPath, s.getLen) }
+    val files = listDataFiles(fs, p)
+    val manifest = graft.write.Manifest.read(fs, p)
+    val (known, unknown) = files.partition(f => manifest.contains(f.getPath.toString))
+    val fromManifest = known.map(f => manifest(f.getPath.toString))
+    val fromFooters = readFootersParallel(conf, unknown.map(f => (f.getPath, f.getLen)))
+    fromManifest ++ fromFooters
   }
 
-  private def readFooterMeta(
+  def listDataFiles(fs: org.apache.hadoop.fs.FileSystem, p: Path): Array[org.apache.hadoop.fs.FileStatus] = {
+    def hidden(name: String): Boolean = name.startsWith("_") || name.startsWith(".")
+    def walk(d: Path): Array[org.apache.hadoop.fs.FileStatus] =
+      fs.listStatus(d).filterNot(s => hidden(s.getPath.getName)).flatMap { s =>
+        if (s.isDirectory) walk(s.getPath)
+        else if (s.getPath.getName.endsWith(".parquet")) Array(s)
+        else Array.empty[org.apache.hadoop.fs.FileStatus]
+      }
+    walk(p)
+  }
+
+  private def readFootersParallel(
+      conf: org.apache.hadoop.conf.Configuration,
+      files: Array[(Path, Long)]): Array[FileMeta] = {
+    if (files.isEmpty) return Array.empty
+    if (files.length == 1) return files.map { case (p, l) => readFooterMeta(conf, p, l) }
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(math.min(16, files.length))
+    try {
+      import scala.jdk.CollectionConverters._
+      val tasks = files.toSeq.map { case (p, l) =>
+        new java.util.concurrent.Callable[FileMeta] {
+          override def call(): FileMeta = readFooterMeta(conf, p, l)
+        }
+      }
+      pool.invokeAll(tasks.asJava).asScala.map(_.get()).toArray
+    } finally pool.shutdown()
+  }
+
+  def readFooterMeta(
       conf: org.apache.hadoop.conf.Configuration, path: Path, len: Long): FileMeta = {
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.HadoopInputFile
@@ -340,39 +389,40 @@ object TokenPruner {
       val footer = reader.getFooter
       val blocks = footer.getBlocks.asScala.toSeq
       val rows = blocks.map(_.getRowCount).sum
-      def colStats(name: String): Option[(Any, Any)] = {
-        val perBlock = blocks.flatMap { b =>
-          b.getColumns.asScala.find(_.getPath.toDotString == name).flatMap { c =>
+      // per-column min/max over all row groups, integral types only (they
+      // are what pk pruning compares; stats must cover EVERY block)
+      val longRanges: Map[String, (Long, Long)] = {
+        val perCol = blocks.flatMap { b =>
+          b.getColumns.asScala.flatMap { c =>
             val st = c.getStatistics
             if (st == null || !st.hasNonNullValue) None
-            else Some((st.genericGetMin, st.genericGetMax))
+            else (st.genericGetMin, st.genericGetMax) match {
+              case (mn: java.lang.Long, mx: java.lang.Long) =>
+                Some(c.getPath.toDotString -> (mn.longValue(), mx.longValue()))
+              case (mn: java.lang.Integer, mx: java.lang.Integer) =>
+                Some(c.getPath.toDotString -> (mn.longValue(), mx.longValue()))
+              case _ => None
+            }
           }
         }
-        if (perBlock.isEmpty || perBlock.size < blocks.size) None
-        else Some((perBlock.map(_._1).min(AnyOrdering), perBlock.map(_._2).max(AnyOrdering)))
+        perCol.groupBy(_._1).collect {
+          case (col, hits) if hits.size == blocks.size =>
+            col -> (hits.map(_._2._1).min, hits.map(_._2._2).max)
+        }
       }
       val hasToken = footer.getFileMetaData.getSchema.getFields.asScala
         .exists(_.getName == TokenSortedWriter.TokenCol)
-      val tokenRange = if (hasToken) colStats(TokenSortedWriter.TokenCol).collect {
-        case (mn: java.lang.Long, mx: java.lang.Long) => (mn.longValue(), mx.longValue())
-      } else None
+      val tokenRange = if (hasToken) longRanges.get(TokenSortedWriter.TokenCol) else None
       val uncompressed = blocks.map(_.getTotalByteSize).sum
-      FileMeta(path.toString, len, uncompressed, rows, hasToken, tokenRange, Map.empty)
+      FileMeta(path.toString, len, uncompressed, rows, hasToken, tokenRange,
+        longRanges - TokenSortedWriter.TokenCol)
     } finally reader.close()
   }
 
-  private object AnyOrdering extends Ordering[Any] {
-    override def compare(a: Any, b: Any): Int = (a, b) match {
-      case (x: java.lang.Long, y: java.lang.Long) => x.compareTo(y)
-      case (x: java.lang.Integer, y: java.lang.Integer) => x.compareTo(y)
-      case (x: Comparable[Any] @unchecked, y) => x.compareTo(y)
-      case _ => 0
-    }
-  }
-
-  /** Keep only files whose token stats can contain a pushed key. With no
-   *  full-pk pushdown or no token stats, keep everything (parquet row-group
-   *  stats still prune inside the scan). */
+  /** Keep only files whose stats can contain a pushed key: token ranges when
+   *  every file has them, integral pk-column ranges otherwise (dead until a
+   *  pushed value misses a file's [min,max]). With no pushdown or no stats,
+   *  keep everything (parquet row-group stats still prune inside the scan). */
   def prune(
       spark: SparkSession,
       files: Array[FileMeta],
@@ -384,6 +434,23 @@ object TokenPruner {
           val (mn, mx) = f.tokenRange.get
           tokens.exists(t => t >= mn && t <= mx)
         }
-      case _ => files
+      case _ =>
+        val values = keyValues(pushed, cql).map { case (c, vs) =>
+          c -> vs.collect {
+            case l: Long => l
+            case i: Int => i.toLong
+            case l: java.lang.Long => l.longValue()
+            case i: java.lang.Integer => i.longValue()
+          }
+        }.filter(_._2.nonEmpty)
+        if (values.isEmpty) files
+        else files.filter { f =>
+          values.forall { case (c, vs) =>
+            f.pkRanges.get(c) match {
+              case Some((mn, mx)) => vs.exists(v => v >= mn && v <= mx)
+              case None => true // no stats for this column: cannot exclude
+            }
+          }
+        }
     }
 }

@@ -126,6 +126,59 @@ class GraftDataSourceSpec extends SparkSpec {
     assert(badMeta.getMessage.toLowerCase.contains("path"))
   }
 
+  test("writer records a manifest; listFiles plans from it and matches footer truth") {
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val manifest = graft.write.Manifest.read(fs, root)
+    val listed = TokenPruner.listDataFiles(fs, root)
+    assert(manifest.keySet == listed.map(_.getPath.toString).toSet,
+      "manifest must cover exactly the data files")
+    // manifest entries must agree with a fresh footer read, field for field
+    val conf = spark.sessionState.newHadoopConf()
+    listed.foreach { f =>
+      val truth = TokenPruner.readFooterMeta(conf, f.getPath, f.getLen)
+      assert(manifest(f.getPath.toString) == truth, s"manifest drift for ${f.getPath}")
+    }
+    // and listFiles (the planning entry point) returns the same metas
+    val planned = TokenPruner.listFiles(spark, dir).sortBy(_.path)
+    assert(planned.toSeq == listed.map(f => manifest(f.getPath.toString)).sortBy(_.path).toSeq)
+  }
+
+  test("files unknown to the manifest fall back to footer reads (cache semantics)") {
+    import spark.implicits._
+    val d = Files.createTempDirectory("graft_manifest_fb_").toString + "/t"
+    TokenSortedWriter.write((1L to 100L).map(i => (i, i)).toDF("id", "v"),
+      CqlSchema("t", Seq("id")), d, SaveMode.Append,
+      TokenSortedWriter.WriteConf(numPartitions = 2, keepTokenColumn = true))
+    // sneak in a file the writer (and so the manifest) never saw
+    (900L to 999L).map(i => (i, i)).toDF("id", "v")
+      .coalesce(1).write.mode(SaveMode.Append).parquet(d)
+    val metas = TokenPruner.listFiles(spark, d)
+    assert(metas.length == 3)
+    assert(metas.map(_.rows).sum == 200L)
+    val back = spark.read.format("graft").option("path", d).option("pk", "id").load()
+    assert(back.count() == 200L)
+  }
+
+  test("pk-range fallback pruning works on token-less layouts (dead pkRanges revived)") {
+    import spark.implicits._
+    val d = Files.createTempDirectory("graft_pkrange_").toString + "/t"
+    // two plain parquet files with disjoint id ranges, no _graft_token at all
+    (1L to 100L).map(i => (i, i)).toDF("id", "v").coalesce(1)
+      .write.mode(SaveMode.Append).parquet(d)
+    (1000L to 1100L).map(i => (i, i)).toDF("id", "v").coalesce(1)
+      .write.mode(SaveMode.Append).parquet(d)
+    val all = TokenPruner.listFiles(spark, d)
+    assert(all.length == 2 && all.forall(_.tokenRange.isEmpty))
+    assert(all.forall(_.pkRanges.contains("id")))
+    val pruned = TokenPruner.prune(spark, all,
+      Array(org.apache.spark.sql.sources.EqualTo("id", 1050L)), CqlSchema("t", Seq("id")))
+    assert(pruned.length == 1, "pk min/max stats must exclude the low-range file")
+    assert(pruned.head.pkRanges("id")._1 <= 1050L && pruned.head.pkRanges("id")._2 >= 1050L)
+    val back = spark.read.format("graft").option("path", d).option("pk", "id").load()
+    assert(back.filter(col("id") === 1050L).count() == 1)
+  }
+
   test("scan reports exact statistics for join sizing") {
     val scanDesc = graftRead.filter(col("id") === 42L).queryExecution.optimizedPlan.toString
     // statistics path exercised via explain cost would need CBO; assert the
