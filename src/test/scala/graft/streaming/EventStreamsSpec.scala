@@ -124,6 +124,42 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("readStream.format(graft): micro-batches of arriving graft-written files") {
+    import spark.implicits._
+    import graft.model.CqlSchema
+    import graft.write.TokenSortedWriter
+    val dir = java.nio.file.Files.createTempDirectory("graft_mbs_").toString + "/events"
+    val schema = CqlSchema("events", Seq("user_id"), Seq("ts", "event_id"))
+    def write(batch: Seq[Event]): Unit =
+      TokenSortedWriter.write(batch.toDF(), schema, dir,
+        org.apache.spark.sql.SaveMode.Append,
+        TokenSortedWriter.WriteConf(numPartitions = 2, keepTokenColumn = true))
+
+    write(evs.take(3) ++ evs.drop(5))
+    val stream = spark.readStream.format("graft")
+      .option("path", dir).option("pk", "user_id").option("ck", "ts,event_id")
+      .load()
+    assert(stream.isStreaming)
+    val q = EventStreams.windowedTypeCounts(stream, "10 minutes", "5 minutes")
+      .writeStream.format("memory").queryName("graft_mbs")
+      .outputMode(OutputMode.Append).start()
+    try {
+      q.processAllAvailable()
+      // a second graft append becomes the next micro-batch
+      write(evs.slice(3, 5) :+
+        Event(99L, 100L, "tick", Timestamp.valueOf("2024-01-01 13:00:00"), 0.0))
+      q.processAllAvailable()
+      val streamed = spark.table("graft_mbs")
+        .filter(col("event_type") =!= "tick")
+        .orderBy("window_start", "event_type")
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      val batch = EventStreams.windowedTypeCounts(evs.toDF(), "10 minutes")
+        .orderBy("window_start", "event_type")
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      assert(streamed.toSeq == batch.toSeq)
+    } finally q.stop()
+  }
+
   test("streaming dedup drops re-delivered events inside the watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
