@@ -87,11 +87,18 @@ object Similarity {
     graft.functions.SignBucketExpr(vec, planes)
 
   /**
-   * LSH-bucketed ANN: candidates = corpus rows sharing the query's bucket
-   * (multi-probe by also matching buckets at Hamming distance ≤ 1 would be
-   * the next refinement); exact cosine rescoring within candidates; per-query
-   * top-k. Recall < 1.0 by construction — pair with [[bruteForceTopK]] as
-   * the correctness oracle at small scale.
+   * LSH-bucketed ANN with MULTI-PROBE: candidates = corpus rows whose bucket
+   * is within Hamming distance `probeHamming` (0 or 1) of the query's
+   * bucket. A near neighbor disagreeing with the query on a single
+   * hyperplane lands one bit-flip away — probing those `planes` extra
+   * buckets recovers exactly the neighbors single-probe loses most often,
+   * at zero extra corpus cost: the probe keys are exploded on the BROADCAST
+   * query side (queries × (planes+1) keys), the corpus still computes one
+   * bucket per row and never shuffles. A corpus row matches at most one
+   * probe key per query (keys are distinct values), so no dedup is needed.
+   * Exact cosine rescoring within candidates; per-query top-k. Recall < 1.0
+   * by construction — [[bruteForceTopK]] is the oracle, and the spec bounds
+   * recall ≥ 0.9 on a tight-cluster fixture.
    */
   def lshTopK(
       corpus: DataFrame,
@@ -99,11 +106,17 @@ object Similarity {
       idCol: String,
       vecCol: String,
       k: Int,
-      planes: Int = 8): DataFrame = {
+      planes: Int = 8,
+      probeHamming: Int = 1): DataFrame = {
+    require(probeHamming == 0 || probeHamming == 1, "probeHamming must be 0 or 1")
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"),
       norm_f32(col(vecCol)).as("cnrm"), signBucket(col(vecCol), planes).as("bucket"))
+    val probes: Seq[Column] = col("bucket0") +:
+      (if (probeHamming == 1) (0 until planes).map(i => col("bucket0").bitwiseXOR(lit(1L << i)))
+       else Nil)
     val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
-      norm_f32(col(vecCol)).as("qnrm"), signBucket(col(vecCol), planes).as("bucket")))
+      norm_f32(col(vecCol)).as("qnrm"), signBucket(col(vecCol), planes).as("bucket0"))
+      .select(col("query_id"), col("qvec"), col("qnrm"), explode(array(probes: _*)).as("bucket")))
     val scored = c.join(q, Seq("bucket"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),

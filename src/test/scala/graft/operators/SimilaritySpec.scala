@@ -54,6 +54,41 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("multi-probe lshTopK: recall >= 0.9 on tight clusters, never below single-probe") {
+    // 40 well-separated cluster centers in 16-d, 4 tight satellites each;
+    // brute-force top-4 of a center is its own satellites
+    val rnd = new scala.util.Random(42)
+    def unit(v: Array[Float]): Array[Float] = {
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum).toFloat
+      v.map(_ / n)
+    }
+    val rows = (0 until 40).flatMap { c =>
+      val base = unit(Array.fill(16)(rnd.nextGaussian().toFloat))
+      (0 until 5).map { s =>
+        val noise = if (s == 0) 0f else 0.02f
+        val v = unit(base.zip(Array.fill(16)(rnd.nextGaussian().toFloat * noise)).map {
+          case (b, e) => b + e
+        })
+        (c * 10L + s, v)
+      }
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val queries = df.filter($"vec_id" % 10 === 0L).filter($"vec_id" < 100L)
+    val k = 4
+    val brute = Similarity.bruteForceTopK(df, queries, "vec_id", "embedding", k)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    def recall(probeHamming: Int): Double = {
+      val got = Similarity.lshTopK(df, queries, "vec_id", "embedding", k,
+        planes = 12, probeHamming = probeHamming)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+      (brute & got).size.toDouble / brute.size
+    }
+    val single = recall(0)
+    val multi = recall(1)
+    assert(multi >= 0.9, s"multi-probe recall $multi < 0.9 (single-probe was $single)")
+    assert(multi >= single, s"multi-probe recall $multi below single-probe $single")
+  }
+
   test("nearDupPairs surfaces the tightest pair first") {
     val top = Similarity.nearDupPairs(vecs, "vec_id", "embedding", topN = 1)
       .select("id_a", "id_b").as[(Long, Long)].head()
