@@ -54,15 +54,30 @@ final case class CqlSchema(
    *  pruning / filter pushdown / whole-stage codegen are unaffected (an
    *  RDD round-trip here would sever the optimizer from the source). */
   def annotate(df: DataFrame): DataFrame = {
-    import org.apache.spark.sql.functions.col
     val cols = df.schema.fields.zipWithIndex.map { case (f, i) =>
-      col(f.name).as(f.name, CqlSchema.roleMetadata(f.metadata, role(f.name), i))
+      CqlSchema.qcol(f.name).as(f.name, CqlSchema.roleMetadata(f.metadata, role(f.name), i))
     }
     df.select(cols.toIndexedSeq: _*)
   }
 }
 
 object CqlSchema {
+  /** Column reference from a RAW column name (reference parity for quoted/
+   *  exotic identifiers, `EndToEndTests.java:2408-2625`): `col("a.b")`
+   *  parses dots as struct access and chokes on backticks, so every place a
+   *  name crosses from schema metadata into an expression must quote. */
+  def qcol(name: String): org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.col(quoted(name))
+
+  def quoted(name: String): String = "`" + name.replace("`", "``") + "`"
+
+  /** Inverse: a pushed-filter attribute arrives back-quoted when the name
+   *  needs quoting (`EqualTo(\`user id\`, 1)`); normalize for comparisons. */
+  def unquoted(name: String): String =
+    if (name.length >= 2 && name.head == '`' && name.last == '`')
+      name.substring(1, name.length - 1).replace("``", "`")
+    else name
+
   val PositionKey = "position"
   val IsPartitionKey = "isPartitionKey"
   val IsClusteringKey = "isClusteringKey"

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.model.CqlSchema.{qcol, quoted}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -50,8 +51,8 @@ object Normalize {
     require(primaryKey.nonEmpty, "latestWriteWins needs a primary key")
     require(orderCols.nonEmpty, "latestWriteWins needs a version ordering")
     val w = Window
-      .partitionBy(primaryKey.map(col): _*)
-      .orderBy(orderCols.map(c => col(c).desc): _*)
+      .partitionBy(primaryKey.map(qcol): _*)
+      .orderBy(orderCols.map(c => qcol(c).desc): _*)
     df.withColumn("__graft_rn", row_number().over(w))
       .filter(col("__graft_rn") === 1)
       .drop("__graft_rn")
@@ -75,14 +76,14 @@ object Normalize {
     require(primaryKey.nonEmpty, "latestWriteWinsAgg needs a primary key")
     require(orderCols.nonEmpty, "latestWriteWinsAgg needs a version ordering")
     val valueCols = df.columns.filterNot(primaryKey.contains).toSeq
-    val collapsed = df.groupBy(primaryKey.map(col): _*)
+    val collapsed = df.groupBy(primaryKey.map(qcol): _*)
       .agg(max_by(
-        struct(valueCols.map(col): _*),
-        struct(orderCols.map(col): _*)).as("__graft_best"))
+        struct(valueCols.map(qcol): _*),
+        struct(orderCols.map(qcol): _*)).as("__graft_best"))
     // restore the original column order
     collapsed.select(df.columns.toSeq.map {
-      case c if primaryKey.contains(c) => col(c)
-      case c => col(s"__graft_best.$c").as(c)
+      case c if primaryKey.contains(c) => qcol(c)
+      case c => col(s"__graft_best.${quoted(c)}").as(c)
     }: _*)
   }
 
@@ -93,7 +94,7 @@ object Normalize {
    * key columns; it is broadcast when small.
    */
   def applyDeletes(base: DataFrame, deletes: DataFrame, keyCols: Seq[String]): DataFrame =
-    base.join(deletes.select(keyCols.map(col): _*).distinct(), keyCols, "left_anti")
+    base.join(deletes.select(keyCols.map(qcol): _*).distinct(), keyCols, "left_anti")
 
   /**
    * Drop TTL-expired rows against a fixed reference `now` (reproducible
@@ -129,10 +130,10 @@ object Normalize {
       staticCols: Seq[String],
       writetime: String): DataFrame =
     staticCols.foldLeft(df) { (d, c) =>
-      val w = Window.partitionBy(partitionKeys.map(col): _*)
-        .orderBy(col(writetime).asc, col(c).asc_nulls_first)
+      val w = Window.partitionBy(partitionKeys.map(qcol): _*)
+        .orderBy(qcol(writetime).asc, qcol(c).asc_nulls_first)
         .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-      d.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+      d.withColumn(c, last(qcol(c), ignoreNulls = true).over(w))
     }
 
   /**
@@ -146,7 +147,7 @@ object Normalize {
       partitionKey: Seq[String],
       writetime: Column,
       outName: String = "last_modified_timestamp"): DataFrame = {
-    val w = Window.partitionBy(partitionKey.map(col): _*)
+    val w = Window.partitionBy(partitionKey.map(qcol): _*)
     df.withColumn(outName, max(writetime).over(w))
   }
 }

@@ -553,6 +553,31 @@ object Battery {
       TokenSortedWriter.readNormalized(s, schema, out)
         .select(col("o_custkey"), col("o_orderkey"),
           col("o_totalprice").as("totalprice"), col("cust_note"))
+    }),
+
+    // ---- quoted/exotic identifiers + null battery ----------------------
+    // (reference `EndToEndTests.java:2408-2625`): spaces, dots, reserved
+    // words, mixed case and hyphens in column names — through the DSv1 sink
+    // (tokenize/sort by a quoted pk), the DSv2 source, a pushed filter on
+    // the quoted pk, and an all-null column round-trip
+    "q67_quoted_nulls" -> ((s, d) => {
+      val out = java.nio.file.Files.createTempDirectory("graft_quoted_").toString + "/t"
+      ord(s, d).select(
+          col("o_custkey").as("user id"),
+          col("o_orderkey").as("Order.Key"),
+          col("o_totalprice").as("select"),
+          lit(null).cast("string").as("all null"),
+          col("o_orderstatus").as("Mixed-Case"))
+        .write.format("graft")
+        .option("path", out).option("pk", "user id").option("ck", "Order.Key")
+        .option("partitions", "4")
+        .mode(SaveMode.Append).save()
+      s.read.format("graft")
+        .option("path", out).option("pk", "user id").option("ck", "Order.Key")
+        .load()
+        .filter(col("`user id`") <= 100L)
+        .select(col("`user id`"), col("`Order.Key`"), col("`select`"),
+          col("`all null`"), col("`Mixed-Case`"))
     })
   )
 
@@ -947,7 +972,12 @@ object Battery {
       """SELECT o_custkey, o_orderkey,
         |  CASE WHEN o_custkey % 10 = 0 THEN o_totalprice + 1000 ELSE o_totalprice END AS totalprice,
         |  CASE WHEN o_custkey % 5 = 0 THEN 'S' || CAST(o_custkey AS VARCHAR) END AS cust_note
-        |FROM orders""".stripMargin
+        |FROM orders""".stripMargin,
+    "q67_quoted_nulls" ->
+      """SELECT o_custkey AS "user id", o_orderkey AS "Order.Key",
+        |  o_totalprice AS "select", CAST(NULL AS VARCHAR) AS "all null",
+        |  o_orderstatus AS "Mixed-Case"
+        |FROM orders WHERE o_custkey <= 100""".stripMargin
   )
 
   /** Flagship end-to-end pipeline for the driver's smoke check: LWW-normalize

@@ -326,12 +326,16 @@ object TokenPruner {
        *  file-level pruning fallback for layouts without `_graft_token`. */
       pkRanges: Map[String, (Long, Long)])
 
-  /** =/IN values pushed per pk column. */
-  def keyValues(pushed: Array[Filter], cql: CqlSchema): Map[String, Seq[Any]] =
+  /** =/IN values pushed per pk column. Pushed attribute names arrive
+   *  back-quoted when they need quoting (`EqualTo(\`user id\`, 1)`), so
+   *  normalize before comparing against schema names. */
+  def keyValues(pushed: Array[Filter], cql: CqlSchema): Map[String, Seq[Any]] = {
+    val uq = CqlSchema.unquoted _
     pushed.collect {
-      case EqualTo(c, v) if cql.partitionKeys.contains(c) => c -> Seq(v)
-      case In(c, vs) if cql.partitionKeys.contains(c) => c -> vs.toSeq
+      case EqualTo(c, v) if cql.partitionKeys.contains(uq(c)) => uq(c) -> Seq(v)
+      case In(c, vs) if cql.partitionKeys.contains(uq(c)) => uq(c) -> vs.toSeq
     }.groupBy(_._1).map { case (c, hits) => c -> hits.map(_._2).minBy(_.size) }
+  }
 
   /** Tokens only when ALL pk columns are covered (reference all-or-nothing
    *  rule, `DataLayer.unsupportedPushDownFilters():318-326`). */

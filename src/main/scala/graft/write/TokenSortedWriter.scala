@@ -1,6 +1,7 @@
 package graft.write
 
 import graft.functions.graft_token
+import graft.model.CqlSchema.qcol
 import graft.model.CqlSchema
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
@@ -68,13 +69,13 @@ object TokenSortedWriter {
    *  the constant (reference: `TTLOption.forRow`/`constant`). */
   private def withWriteOptions(df: DataFrame, conf: WriteConf): DataFrame = {
     val wt = (conf.writetimeColumn, conf.writetimeMicros) match {
-      case (Some(c), _) => Some(col(c).cast("long"))
+      case (Some(c), _) => Some(qcol(c).cast("long"))
       case (None, Some(const)) => Some(lit(const))
       case _ => None
     }
     val withWt = wt.map(e => df.withColumn(WritetimeCol, e)).getOrElse(df)
     val ttl = (conf.ttlColumn, conf.ttlSeconds) match {
-      case (Some(c), _) => Some(col(c).cast("long"))
+      case (Some(c), _) => Some(qcol(c).cast("long"))
       case (None, Some(const)) => Some(lit(const))
       case _ => None
     }
@@ -95,12 +96,12 @@ object TokenSortedWriter {
    *  logical prefix (also what the DSv2 sink delegates to). */
   def tokenSorted(df: DataFrame, schema: CqlSchema, conf: WriteConf = WriteConf()): DataFrame = {
     require(schema.partitionKeys.nonEmpty, s"table ${schema.table} has no partition key")
-    val withToken = df.withColumn(TokenCol, graft_token(schema.partitionKeys.map(col): _*))
+    val withToken = df.withColumn(TokenCol, graft_token(schema.partitionKeys.map(qcol): _*))
     val parted =
       if (conf.numPartitions > 0) withToken.repartitionByRange(conf.numPartitions, col(TokenCol))
       else withToken.repartitionByRange(col(TokenCol))
     parted.sortWithinPartitions(
-      (TokenCol +: schema.primaryKey).map(col): _*)
+      (TokenCol +: schema.primaryKey).map(qcol): _*)
   }
 
   /** Full write: returns the output path for read-back. */
@@ -139,7 +140,7 @@ object TokenSortedWriter {
       schema: CqlSchema,
       path: String,
       writetimeMicros: Option[Long] = None): Unit = {
-    val pkOnly = keys.select(schema.partitionKeys.map(col): _*).distinct()
+    val pkOnly = keys.select(schema.partitionKeys.map(qcol): _*).distinct()
     val stamped = writetimeMicros
       .map(t => pkOnly.withColumn(WritetimeCol, lit(t))).getOrElse(pkOnly)
     stamped.write.mode(SaveMode.Append).parquet(s"$path/$DeletesDir")
@@ -210,13 +211,13 @@ object TokenSortedWriter {
       val deletes = spark.read.parquet(delPath.toString)
       val pk = schema.partitionKeys
       if (deletes.columns.contains(WritetimeCol) && df.columns.contains(WritetimeCol)) {
-        val delAgg = deletes.groupBy(pk.map(col): _*)
+        val delAgg = deletes.groupBy(pk.map(qcol): _*)
           .agg(max(col(WritetimeCol)).as("__graft_del_wt"))
         df = df.join(delAgg, pk, "left")
           .filter(col("__graft_del_wt").isNull || col(WritetimeCol) > col("__graft_del_wt"))
           .drop("__graft_del_wt")
       } else {
-        df = df.join(deletes.select(pk.map(col): _*).distinct(), pk, "left_anti")
+        df = df.join(deletes.select(pk.map(qcol): _*).distinct(), pk, "left_anti")
       }
     }
 
