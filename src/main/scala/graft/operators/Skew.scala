@@ -40,10 +40,15 @@ object Skew {
     require(salt > 1, s"salt must be > 1, got $salt")
     require(allowed.contains(joinType.toLowerCase),
       s"saltedJoin supports inner/left/left_semi/left_anti, got $joinType")
-    // per-row deterministic-enough spread: hash of a unique row id; any
-    // assignment works because the dim side carries every salt value
+    // Per-row spread from a hash of the WHOLE row (all columns, salted so it
+    // differs from the join-key hash): deterministic across task retries —
+    // a retried stage re-derives the same salt per row, so the physical
+    // distribution is stable (the previous monotonically_increasing_id salt
+    // was correct but retry-variant). Fully-duplicate rows share a salt,
+    // costing uniformity only when a hot key's rows are near-identical.
+    val saltInputs = lit(0x5417ED) +: fact.columns.map(graft.model.CqlSchema.qcol).toSeq
     val salted = fact.withColumn(SaltCol,
-      pmod(xxhash64(monotonically_increasing_id()), lit(salt.toLong)).cast("int"))
+      pmod(xxhash64(saltInputs: _*), lit(salt.toLong)).cast("int"))
     val replicated = dim.withColumn(SaltCol,
       explode(sequence(lit(0), lit(salt - 1))))
     salted.join(replicated, keys :+ SaltCol, joinType).drop(SaltCol)

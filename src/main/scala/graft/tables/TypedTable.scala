@@ -53,5 +53,11 @@ object TypedTable {
         w => struct(w.as("w"), length(w).cast("long").as("len"))).as("words"),
       date_add(lit("1992-01-01").cast("date"), col("p_size")).as("d"),
       expr("timestamp_micros(p_partkey * 1000001 + 123456)").as("ts"),
-      when(col("p_partkey") % 7 === 0, lit(null)).otherwise(col("p_brand")).as("note"))
+      when(col("p_partkey") % 7 === 0, lit(null)).otherwise(col("p_brand")).as("note"),
+      // remaining scalar edges of the reference type matrix (SURVEY §1.2):
+      // blob→binary, smallint→short, tinyint→byte, varint→decimal(38,0)
+      encode(col("p_brand"), "UTF-8").as("bin"),
+      col("p_size").cast("short").as("small"),
+      (col("p_size") % 100).cast("byte").as("tiny"),
+      floor(col("p_retailprice") * 1000000).cast("decimal(38,0)").as("varint_ish"))
 }

@@ -48,6 +48,17 @@ class TypedTableSpec extends SparkSpec {
     assert(got("words") ==
       ArrayType(StructType(Seq(StructField("w", StringType), StructField("len", LongType)))))
     assert(got("d") == DateType && got("ts") == TimestampType)
+    assert(got("bin") == BinaryType && got("small") == ShortType && got("tiny") == ByteType)
+    assert(got("varint_ish") == DecimalType(38, 0))
+  }
+
+  test("binary/short/byte/varint-analog values round-trip exactly") {
+    val r = readBack.filter($"p_partkey" === 1L).head()
+    assert(new String(r.getAs[Array[Byte]]("bin"), "UTF-8") == "Brand#1")
+    assert(r.getAs[Short]("small") == 7.toShort)
+    assert(r.getAs[Byte]("tiny") == 7.toByte)
+    assert(r.getAs[java.math.BigDecimal]("varint_ish") ==
+      new java.math.BigDecimal("100100000"))
   }
 
   test("complex values round-trip exactly, including the null column") {
