@@ -578,6 +578,23 @@ object Battery {
         .filter(col("`user id`") <= 100L)
         .select(col("`user id`"), col("`Order.Key`"), col("`select`"),
           col("`all null`"), col("`Mixed-Case`"))
+    }),
+
+    // ---- S2 reported partitioning under the correctness gate -----------
+    // single write -> pairwise-disjoint token files -> the clustered scan
+    // claims pk co-location and the groupBy(pk) aggregation runs with ZERO
+    // exchanges (PlanQualitySpec gates the plan; this gates the values)
+    "q68_clustered_agg" -> ((s, d) => {
+      val out = java.nio.file.Files.createTempDirectory("graft_clusagg_").toString + "/lineitem"
+      TokenSortedWriter.write(li(s, d), Tables.schemas("lineitem"), out, SaveMode.Append,
+        TokenSortedWriter.WriteConf(numPartitions = 8, keepTokenColumn = true))
+      s.read.format("graft")
+        .option("path", out).option("pk", "l_orderkey").option("ck", "l_linenumber")
+        .option("clustered", "true").load()
+        .groupBy(col("l_orderkey")).agg(
+          count(lit(1)).as("n_lines"),
+          dsum(col("l_quantity"), 2).as("sum_qty"),
+          max(col("l_linenumber")).as("max_line"))
     })
   )
 
@@ -977,7 +994,12 @@ object Battery {
       """SELECT o_custkey AS "user id", o_orderkey AS "Order.Key",
         |  o_totalprice AS "select", CAST(NULL AS VARCHAR) AS "all null",
         |  o_orderstatus AS "Mixed-Case"
-        |FROM orders WHERE o_custkey <= 100""".stripMargin
+        |FROM orders WHERE o_custkey <= 100""".stripMargin,
+    "q68_clustered_agg" ->
+      """SELECT l_orderkey, COUNT(*) AS n_lines,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  MAX(l_linenumber) AS max_line
+        |FROM lineitem GROUP BY l_orderkey""".stripMargin
   )
 
   /** Flagship end-to-end pipeline for the driver's smoke check: LWW-normalize
