@@ -209,6 +209,12 @@ object Battery {
     }),
     "q55_simhash_pairs" -> ((s, d) =>
       Dedup.simhashPairs(docs(s, d), "doc_id", "text", maxHamming = 3)),
+    // end-to-end near-dup REMOVAL (rows-only: survivor set depends on the
+    // LSH hash family; DedupSpec pins the exact semantics)
+    "q69_dedup_drop" -> ((s, d) =>
+      Dedup.dropNearDuplicates(docs(s, d), "doc_id", "text",
+        shingleN = 3, numPerms = 64, bands = 16, minEstJaccard = 0.5)
+        .select(col("doc_id"), col("source"), col("n_chars"))),
     "q27_ngram_jaccard" -> ((s, d) =>
       Dedup.ngramJaccardPairs(docs(s, d), "doc_id", "text", shingleN = 2,
         numPerms = 64, bands = 32)

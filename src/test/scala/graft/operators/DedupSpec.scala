@@ -46,6 +46,20 @@ class DedupSpec extends SparkSpec {
     assert(got(4L) === 4L && got(5L) === 5L)
   }
 
+  test("dropNearDuplicates keeps one canonical doc per cluster plus all singletons") {
+    val survivors = Dedup.dropNearDuplicates(docs, "doc_id", "text",
+      shingleN = 3, numPerms = 32, bands = 16, minEstJaccard = 0.9)
+      .select("doc_id").as[Long].collect().toSet
+    // 1-2 are exact dups (keep 1); 3 may or may not cluster with them at the
+    // 0.9 threshold; 4 and 5 are singletons and must always survive
+    assert(survivors.contains(1L) && !survivors.contains(2L))
+    assert(survivors.contains(4L) && survivors.contains(5L))
+    // survivors are a subset of the corpus with full rows intact
+    val full = Dedup.dropNearDuplicates(docs, "doc_id", "text",
+      shingleN = 3, numPerms = 32, bands = 16, minEstJaccard = 0.9)
+    assert(full.columns.toSeq == docs.columns.toSeq)
+  }
+
   test("simhash: identical text equal, near-dup within small hamming distance") {
     def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
     val hs = Dedup.withSimhash(docs, "text").select("doc_id", "simhash")
