@@ -367,6 +367,26 @@ object Battery {
         .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
     }),
 
+    // row-level tombstones (pk + ck) coexisting with partition tombstones:
+    // delete ONE row of selected partitions, then whole other partitions
+    "q70_row_deletes" -> ((s, d) => {
+      val schema = Tables.schemas("lineitem")
+      val out = java.nio.file.Files.createTempDirectory("graft_rowdel_").toString + "/lineitem"
+      val base = li(s, d)
+      TokenSortedWriter.write(base, schema, out, SaveMode.Append,
+        TokenSortedWriter.WriteConf(numPartitions = 4, keepTokenColumn = true,
+          writetimeMicros = Some(1000L)))
+      TokenSortedWriter.writeDeletes(
+        base.filter(col("l_linenumber") === 1 && col("l_orderkey") % 3 === 0)
+          .select(col("l_orderkey"), col("l_linenumber")),
+        schema, out, Some(2000L), rowLevel = true)
+      TokenSortedWriter.writeDeletes(
+        base.filter(col("l_orderkey") % 97 === 0).select(col("l_orderkey")),
+        schema, out, Some(3000L))
+      TokenSortedWriter.readNormalized(s, schema, out)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+    }),
+
     // ---- §2.12 extension: streaming semantics in batch ------------------
     // identical code path to the streaming operators (EventStreamsSpec
     // proves stream == batch); the oracle checks the batch side
@@ -822,6 +842,15 @@ object Battery {
         |             l_linestatus DESC, l_shipdate DESC) AS rn
         |  FROM versions)
         |WHERE rn = 1 AND l_orderkey % 97 <> 0""".stripMargin,
+    "q70_row_deletes" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY l_orderkey, l_linenumber
+        |    ORDER BY l_partkey DESC, l_suppkey DESC, l_quantity DESC, l_extendedprice DESC,
+        |             l_discount DESC, l_tax DESC, l_returnflag DESC, l_linestatus DESC,
+        |             l_shipdate DESC) AS rn
+        |  FROM lineitem)
+        |WHERE rn = 1 AND NOT (l_linenumber = 1 AND l_orderkey % 3 = 0)
+        |  AND l_orderkey % 97 <> 0""".stripMargin,
     "q56_asof_join" ->
       """SELECT p.user_id, p.event_id,
         |  strftime(CAST(p.ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS pts,

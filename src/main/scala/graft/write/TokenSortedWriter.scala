@@ -134,15 +134,28 @@ object TokenSortedWriter {
    * append the distinct partition-key set as a tombstone table under
    * `_graft_deletes/`; [[readNormalized]] applies it as a left-anti join.
    * Tombstones carry a writetime so delete-then-reinsert resolves by time.
+   *
+   * With `rowLevel = true` the tombstone carries the FULL primary key
+   * (pk + ck) and deletes single rows, not partitions — the read-path analog
+   * of Cassandra row tombstones (the reference's merge iterator purges them
+   * the same way it purges partition tombstones,
+   * `CompactionStreamScanner.PurgingCompactionController:132-156`).
+   * [[readNormalized]] distinguishes the two by which key columns are
+   * present in the tombstone table, so partition- and row-level tombstones
+   * can coexist in one table dir (written as separate appends).
    */
   def writeDeletes(
       keys: DataFrame,
       schema: CqlSchema,
       path: String,
-      writetimeMicros: Option[Long] = None): Unit = {
-    val pkOnly = keys.select(schema.partitionKeys.map(qcol): _*).distinct()
+      writetimeMicros: Option[Long] = None,
+      rowLevel: Boolean = false): Unit = {
+    val keyCols = if (rowLevel) schema.primaryKey else schema.partitionKeys
+    require(!rowLevel || schema.clusteringKeys.nonEmpty,
+      "rowLevel deletes need clustering keys; use partition deletes otherwise")
+    val keyed = keys.select(keyCols.map(qcol): _*).distinct()
     val stamped = writetimeMicros
-      .map(t => pkOnly.withColumn(WritetimeCol, lit(t))).getOrElse(pkOnly)
+      .map(t => keyed.withColumn(WritetimeCol, lit(t))).getOrElse(keyed)
     stamped.write.mode(SaveMode.Append).parquet(s"$path/$DeletesDir")
   }
 
@@ -204,20 +217,21 @@ object TokenSortedWriter {
         df, schema.primaryKey, WritetimeCol +: tiebreaks)
     }
 
-    // 2. tombstones
+    // 2. tombstones — partition-level (pk only) and row-level (pk + ck)
+    // coexist in one _graft_deletes dir; a merged read distinguishes them by
+    // null ck columns (ck is part of a primary key, never legitimately null)
     val delPath = new org.apache.hadoop.fs.Path(path, DeletesDir)
     val fs = delPath.getFileSystem(spark.sessionState.newHadoopConf())
     if (fs.exists(delPath)) {
-      val deletes = spark.read.parquet(delPath.toString)
+      val deletes = spark.read.option("mergeSchema", "true").parquet(delPath.toString)
       val pk = schema.partitionKeys
-      if (deletes.columns.contains(WritetimeCol) && df.columns.contains(WritetimeCol)) {
-        val delAgg = deletes.groupBy(pk.map(qcol): _*)
-          .agg(max(col(WritetimeCol)).as("__graft_del_wt"))
-        df = df.join(delAgg, pk, "left")
-          .filter(col("__graft_del_wt").isNull || col(WritetimeCol) > col("__graft_del_wt"))
-          .drop("__graft_del_wt")
+      val ckInDels = schema.clusteringKeys.filter(deletes.columns.contains)
+      if (ckInDels.isEmpty) {
+        df = applyTombstones(df, deletes, pk)
       } else {
-        df = df.join(deletes.select(pk.map(qcol): _*).distinct(), pk, "left_anti")
+        val isRowLevel = ckInDels.map(c => qcol(c).isNotNull).reduce(_ && _)
+        df = applyTombstones(df, deletes.filter(!isRowLevel), pk)
+        df = applyTombstones(df, deletes.filter(isRowLevel), pk ++ ckInDels)
       }
     }
 
@@ -230,4 +244,19 @@ object TokenSortedWriter {
 
     if (keepFeatureColumns) df else df.drop(WritetimeCol, ExpiresCol)
   }
+
+  /** Time-aware tombstone purge on `keys`: a tombstone wins over rows it is
+   *  at-or-newer than (Cassandra deletion-timestamp semantics); an UNSTAMPED
+   *  tombstone (null/absent writetime) always wins. Falls back to a plain
+   *  anti-join when the data itself carries no writetime. */
+  private def applyTombstones(df: DataFrame, dels: DataFrame, keys: Seq[String]): DataFrame =
+    if (dels.columns.contains(WritetimeCol) && df.columns.contains(WritetimeCol)) {
+      val delAgg = dels.groupBy(keys.map(qcol): _*)
+        .agg(max(coalesce(col(WritetimeCol), lit(Long.MaxValue))).as("__graft_del_wt"))
+      df.join(delAgg, keys, "left")
+        .filter(col("__graft_del_wt").isNull || col(WritetimeCol) > col("__graft_del_wt"))
+        .drop("__graft_del_wt")
+    } else {
+      df.join(dels.select(keys.map(qcol): _*).distinct(), keys, "left_anti")
+    }
 }

@@ -36,6 +36,39 @@ class NormalizedReadSpec extends SparkSpec {
     assert(!out.columns.contains(TokenSortedWriter.WritetimeCol))
   }
 
+  test("row-level tombstones delete single rows and coexist with partition tombstones") {
+    import spark.implicits._
+    val ckSchema = CqlSchema("kvr", Seq("k"), Seq("c"))
+    val dir = Files.createTempDirectory("graft_rowdel_").toString + "/kvr"
+    // partitions 1..10, rows c=1..3 each
+    val base = (1L to 10L).flatMap(k => (1L to 3L).map(c => (k, c, s"v${k}_$c")))
+      .toDF("k", "c", "v")
+    TokenSortedWriter.write(base, ckSchema, dir, SaveMode.Append,
+      TokenSortedWriter.WriteConf(numPartitions = 2, keepTokenColumn = true,
+        writetimeMicros = Some(1000L)))
+    // row tombstone: (k=1, c=2) only
+    TokenSortedWriter.writeDeletes(Seq((1L, 2L)).toDF("k", "c"), ckSchema, dir,
+      Some(2000L), rowLevel = true)
+    // partition tombstone: all of k=5
+    TokenSortedWriter.writeDeletes(Seq(Tuple1(5L)).toDF("k"), ckSchema, dir, Some(2000L))
+    // reinsert of the row-deleted key NEWER than the tombstone survives
+    TokenSortedWriter.write(Seq((1L, 2L, "reborn")).toDF("k", "c", "v"), ckSchema, dir,
+      SaveMode.Append,
+      TokenSortedWriter.WriteConf(numPartitions = 1, keepTokenColumn = true,
+        writetimeMicros = Some(3000L)))
+    val out = TokenSortedWriter.readNormalized(spark, ckSchema, dir)
+    assert(out.count() == 27) // 30 - 3 (k=5 partition) + row 1/2 reborn
+    assert(out.filter(col("k") === 5L).count() == 0)
+    assert(out.filter(col("k") === 1L && col("c") === 2L)
+      .select("v").head().getString(0) == "reborn")
+    // a row tombstone NEWER than all versions removes exactly one row
+    TokenSortedWriter.writeDeletes(Seq((2L, 3L)).toDF("k", "c"), ckSchema, dir,
+      Some(9000L), rowLevel = true)
+    val out2 = TokenSortedWriter.readNormalized(spark, ckSchema, dir)
+    assert(out2.filter(col("k") === 2L).count() == 2)
+    assert(out2.filter(col("k") === 2L && col("c") === 3L).count() == 0)
+  }
+
   test("partition deletes purge rows, but a newer reinsert survives") {
     import spark.implicits._
     val dir = freshDir()
