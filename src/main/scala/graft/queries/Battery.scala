@@ -387,6 +387,33 @@ object Battery {
         .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
     }),
 
+    // compaction: overlapping upsert generations folded into one disjoint
+    // generation; the clustered no-shuffle aggregation then applies to the
+    // COMPACTED table (the 100 TB maintenance loop, end-to-end + oracled)
+    "q71_compact_clustered" -> ((s, d) => {
+      val schema = Tables.schemas("lineitem")
+      val src = java.nio.file.Files.createTempDirectory("graft_cmp_src_").toString + "/lineitem"
+      val dst = java.nio.file.Files.createTempDirectory("graft_cmp_dst_").toString + "/lineitem"
+      val base = li(s, d)
+      TokenSortedWriter.write(base, schema, src, SaveMode.Append,
+        TokenSortedWriter.WriteConf(numPartitions = 4, keepTokenColumn = true,
+          writetimeMicros = Some(1000L)))
+      TokenSortedWriter.write(
+        base.filter(col("l_orderkey") % 10 === 0)
+          .withColumn("l_quantity", col("l_quantity") + 100.0),
+        schema, src, SaveMode.Append,
+        TokenSortedWriter.WriteConf(numPartitions = 2, keepTokenColumn = true,
+          writetimeMicros = Some(2000L)))
+      TokenSortedWriter.compact(s, schema, src, dst,
+        TokenSortedWriter.WriteConf(numPartitions = 4, keepTokenColumn = true))
+      s.read.format("graft")
+        .option("path", dst).option("pk", "l_orderkey").option("ck", "l_linenumber")
+        .option("clustered", "true").load()
+        .groupBy(col("l_orderkey")).agg(
+          count(lit(1)).as("n_lines"),
+          dsum(col("l_quantity"), 2).as("sum_qty"))
+    }),
+
     // ---- §2.12 extension: streaming semantics in batch ------------------
     // identical code path to the streaming operators (EventStreamsSpec
     // proves stream == batch); the oracle checks the batch side
@@ -842,6 +869,25 @@ object Battery {
         |             l_linestatus DESC, l_shipdate DESC) AS rn
         |  FROM versions)
         |WHERE rn = 1 AND l_orderkey % 97 <> 0""".stripMargin,
+    "q71_compact_clustered" ->
+      """WITH versions AS (
+        |  SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity, l_extendedprice,
+        |         l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate, 1000 AS wt
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity + 100, l_extendedprice,
+        |         l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate, 2000 AS wt
+        |  FROM lineitem WHERE l_orderkey % 10 = 0),
+        |latest AS (
+        |  SELECT * FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY l_orderkey, l_linenumber
+        |      ORDER BY wt DESC, l_partkey DESC, l_suppkey DESC, l_quantity DESC,
+        |               l_extendedprice DESC, l_discount DESC, l_tax DESC, l_returnflag DESC,
+        |               l_linestatus DESC, l_shipdate DESC) AS rn
+        |    FROM versions) WHERE rn = 1)
+        |SELECT l_orderkey, COUNT(*) AS n_lines,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM latest GROUP BY l_orderkey""".stripMargin,
     "q70_row_deletes" ->
       """SELECT l_orderkey, l_linenumber, l_quantity FROM (
         |  SELECT *, row_number() OVER (PARTITION BY l_orderkey, l_linenumber

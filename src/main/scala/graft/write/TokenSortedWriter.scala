@@ -245,6 +245,41 @@ object TokenSortedWriter {
     if (keepFeatureColumns) df else df.drop(WritetimeCol, ExpiresCol)
   }
 
+  /**
+   * Compaction (the maintenance analog of Cassandra's compaction, which the
+   * reference leans on server-side): fold a multi-append layout — N
+   * overlapping token-sorted generations + tombstones — into ONE fresh
+   * generation at `dstPath`: versions LWW-collapsed, statics resolved,
+   * tombstoned rows gone, files once again PAIRWISE-DISJOINT in token space.
+   *
+   * Why it matters at 100 TB: every append overlaps the whole ring, so reads
+   * re-pay the LWW shuffle forever and the clustered no-shuffle property
+   * (S2 reported partitioning) stays disqualified. Periodic compaction
+   * restores both: post-compaction, `groupBy(pk)` / LWW / static windows
+   * over the table plan ZERO exchanges again, and scan planning sees one
+   * manifest generation. Cost = one normalized read + one range+sort write —
+   * the same two-shuffle budget as any single bulk load.
+   *
+   * Writes to a NEW directory (never in place): the swap is the caller's
+   * atomic rename/repoint, mirroring immutable-SSTable hygiene.
+   */
+  def compact(
+      spark: SparkSession,
+      schema: CqlSchema,
+      srcPath: String,
+      dstPath: String,
+      conf: WriteConf = WriteConf()): Unit = {
+    val normalized = readNormalized(spark, schema, srcPath, keepFeatureColumns = true)
+    val carryWt = normalized.columns.contains(WritetimeCol)
+    val outConf = conf.copy(
+      writetimeColumn = if (carryWt) Some(WritetimeCol) else conf.writetimeColumn,
+      writetimeMicros = None, ttlColumn = None, ttlSeconds = None)
+    // ExpiresCol (if present) is already resolved absolute expiry — it flows
+    // through as a data column; writetime is re-stamped from itself so later
+    // appends to dstPath still merge by time correctly.
+    write(normalized, schema, dstPath, SaveMode.Append, outConf)
+  }
+
   /** Time-aware tombstone purge on `keys`: a tombstone wins over rows it is
    *  at-or-newer than (Cassandra deletion-timestamp semantics); an UNSTAMPED
    *  tombstone (null/absent writetime) always wins. Falls back to a plain

@@ -69,6 +69,49 @@ class NormalizedReadSpec extends SparkSpec {
     assert(out2.filter(col("k") === 2L && col("c") === 3L).count() == 0)
   }
 
+  test("compact folds overlapping generations into a disjoint clustered layout") {
+    import spark.implicits._
+    val dir = freshDir()
+    val dst = freshDir()
+    TokenSortedWriter.write((1L to 300L).map(k => (k, s"v1_$k")).toDF("k", "v"),
+      schema, dir, SaveMode.Append,
+      TokenSortedWriter.WriteConf(numPartitions = 3, keepTokenColumn = true,
+        writetimeMicros = Some(1000L)))
+    TokenSortedWriter.write((100L to 200L).map(k => (k, s"v2_$k")).toDF("k", "v"),
+      schema, dir, SaveMode.Append,
+      TokenSortedWriter.WriteConf(numPartitions = 2, keepTokenColumn = true,
+        writetimeMicros = Some(2000L)))
+    TokenSortedWriter.writeDeletes(Seq(Tuple1(7L)).toDF("k"), schema, dir, Some(3000L))
+
+    TokenSortedWriter.compact(spark, schema, dir, dst,
+      TokenSortedWriter.WriteConf(numPartitions = 4, keepTokenColumn = true))
+
+    // compacted layout is pairwise disjoint -> the clustered claim holds again
+    val metas = graft.sources.TokenPruner.listFiles(spark, dst).flatMap(_.tokenRange).sortBy(_._1)
+    metas.sliding(2).foreach {
+      case Array((_, mx), (mn, _)) => assert(mx < mn, "compacted files must be disjoint")
+      case _ =>
+    }
+    val agg = spark.read.format("graft").option("path", dst).option("pk", "k")
+      .option("clustered", "true").load()
+      .groupBy(col("k")).agg(count(lit(1)).as("n"))
+    assert(!agg.queryExecution.executedPlan.toString.contains("Exchange"),
+      "compacted layout must aggregate shuffle-free")
+
+    // and the data is the normalized view of the source, further appends merge
+    val before = TokenSortedWriter.readNormalized(spark, schema, dir)
+      .select("k", "v").as[(Long, String)].collect().toSet
+    val after = TokenSortedWriter.readNormalized(spark, schema, dst)
+      .select("k", "v").as[(Long, String)].collect().toSet
+    assert(after == before && !after.exists(_._1 == 7L))
+    TokenSortedWriter.write(Seq((150L, "v3_150")).toDF("k", "v"), schema, dst,
+      SaveMode.Append,
+      TokenSortedWriter.WriteConf(numPartitions = 1, keepTokenColumn = true,
+        writetimeMicros = Some(5000L)))
+    assert(TokenSortedWriter.readNormalized(spark, schema, dst)
+      .filter(col("k") === 150L).select("v").head().getString(0) == "v3_150")
+  }
+
   test("partition deletes purge rows, but a newer reinsert survives") {
     import spark.implicits._
     val dir = freshDir()
