@@ -61,5 +61,9 @@ package object functions {
       FunctionIdentifier("band_hashes"),
       new ExpressionInfo(classOf[BandHashes].getName, "band_hashes"),
       (exprs: Seq[Expression]) => BandHashes(exprs(0), intArg(exprs(1)), intArg(exprs(2))))
+    registry.registerFunction(
+      FunctionIdentifier("sign_bucket"),
+      new ExpressionInfo(classOf[SignBucketExpr].getName, "sign_bucket"),
+      (exprs: Seq[Expression]) => SignBucketExpr(exprs(0), intArg(exprs(1))))
   }
 }

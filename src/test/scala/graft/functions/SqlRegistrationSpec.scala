@@ -17,7 +17,8 @@ class SqlRegistrationSpec extends SparkSpec {
         jaccard_sorted(array(1L, 2L, 3L), array(2L, 3L, 4L)) AS jac,
         size(word_shingle_hashes('a b c d', 2)) AS n_shingles,
         size(minhash_sig(word_shingle_hashes('a b c d', 2), 16)) AS n_perms,
-        size(band_hashes(minhash_sig(word_shingle_hashes('a b c d', 2), 16), 4, 4)) AS n_bands
+        size(band_hashes(minhash_sig(word_shingle_hashes('a b c d', 2), 16), 4, 4)) AS n_bands,
+        sign_bucket(array(CAST(1.0 AS FLOAT), CAST(-2.0 AS FLOAT)), 8) AS bucket
     """).head()
     // token(1) is a published Cassandra constant
     assert(row.getLong(0) == -4069959284402364209L)
@@ -27,5 +28,6 @@ class SqlRegistrationSpec extends SparkSpec {
     assert(row.getInt(4) == 3)
     assert(row.getInt(5) == 16)
     assert(row.getInt(6) == 4)
+    assert(row.getLong(7) >= 0L && row.getLong(7) < 256L) // 8 sign bits
   }
 }
