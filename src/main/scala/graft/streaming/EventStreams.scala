@@ -172,4 +172,37 @@ object EventStreams {
   def dedupeStream(events: DataFrame, keyCols: Seq[String], watermarkDelay: String): DataFrame =
     events.withWatermark("ts", watermarkDelay)
       .dropDuplicates(keyCols :+ "ts")
+
+  /**
+   * Streaming INGESTION into the graft table format: each micro-batch runs
+   * the full token-sorted write (tokenize → range → sort → manifest), with
+   * `writetime = micro-batch id`.
+   *
+   * The batch-id writetime makes replays IDEMPOTENT end-to-end: after a
+   * failure, Structured Streaming re-delivers a batch with the same id, the
+   * rewrite lands byte-identical versions at the same writetime, and the
+   * read path's LWW collapse (writetime + total value tie-break,
+   * [[graft.write.TokenSortedWriter.readNormalized]]) resolves duplicates
+   * deterministically — the classic foreachBatch exactly-once recipe,
+   * expressed with the engine's own merge semantics instead of an external
+   * transaction log. Monotonic batch ids also mean a key UPDATED in a later
+   * batch wins, so the table is a streaming upsert view.
+   */
+  def writeGraftStream(
+      events: DataFrame,
+      schema: graft.model.CqlSchema,
+      path: String,
+      checkpointDir: String,
+      numPartitions: Int = 0): org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        graft.write.TokenSortedWriter.write(
+          batch.toDF(), schema, path, org.apache.spark.sql.SaveMode.Append,
+          graft.write.TokenSortedWriter.WriteConf(
+            numPartitions = numPartitions, keepTokenColumn = true,
+            writetimeMicros = Some(id)))
+      }
+      .start()
 }

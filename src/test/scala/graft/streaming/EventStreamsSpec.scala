@@ -160,6 +160,36 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("writeGraftStream: streaming upsert ingestion, replay-idempotent via LWW") {
+    import spark.implicits._
+    import graft.model.CqlSchema
+    import graft.write.TokenSortedWriter
+    implicit val sqlCtx = spark.sqlContext
+    val schema = CqlSchema("kv", Seq("k"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_ssink_").toString
+    val mem = MemoryStream[(Long, String)]
+    val q = EventStreams.writeGraftStream(
+      mem.toDF().toDF("k", "v"), schema, s"$dir/t", s"$dir/ckpt", numPartitions = 1)
+    try {
+      mem.addData((1L, "a1"), (2L, "b1"))
+      q.processAllAvailable()
+      mem.addData((2L, "b2"), (3L, "c1")) // k=2 upserted in a later batch
+      q.processAllAvailable()
+      val got = TokenSortedWriter.readNormalized(spark, schema, s"$dir/t")
+        .as[(Long, String)].collect().toSet
+      assert(got == Set((1L, "a1"), (2L, "b2"), (3L, "c1")))
+      // replay simulation: re-write batch 1's content AT batch 1's writetime
+      // (what a recovery re-delivery does) — the normalized view is unchanged
+      TokenSortedWriter.write(Seq((2L, "b2"), (3L, "c1")).toDF("k", "v"), schema,
+        s"$dir/t", org.apache.spark.sql.SaveMode.Append,
+        TokenSortedWriter.WriteConf(numPartitions = 1, keepTokenColumn = true,
+          writetimeMicros = Some(1L)))
+      val replayed = TokenSortedWriter.readNormalized(spark, schema, s"$dir/t")
+        .as[(Long, String)].collect().toSet
+      assert(replayed == got)
+    } finally q.stop()
+  }
+
   test("streaming dedup drops re-delivered events inside the watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
