@@ -98,9 +98,14 @@ class DedupSpec extends SparkSpec {
     // chain 1-2-3 (transitive), pair 10-11, isolated 20
     val vertices = Seq(1L, 2L, 3L, 10L, 11L, 20L).toDF("id")
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
-    val out = Dedup.connectedComponents(vertices, pairs)
+    val want = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L, 20L -> 20L)
+    // both adaptive branches must produce the identical fixpoint
+    val local = Dedup.connectedComponents(vertices, pairs)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L, 20L -> 20L))
+    val distributed = Dedup.connectedComponents(vertices, pairs, localEdgeThreshold = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(local == want)
+    assert(distributed == want)
   }
 
   test("connectedComponents converges on a long path within maxIter") {
@@ -109,8 +114,11 @@ class DedupSpec extends SparkSpec {
     val n = 9L
     val vertices = (0L until n).toDF("id")
     val pairs = (0L until n - 1).map(i => (i, i + 1)).toDF("id_a", "id_b")
-    val out = Dedup.connectedComponents(vertices, pairs, maxIter = 10)
+    val out = Dedup.connectedComponents(vertices, pairs, maxIter = 10, localEdgeThreshold = 0L)
       .collect().map(r => r.getLong(1)).distinct
     assert(out.toSeq == Seq(0L))
+    val outLocal = Dedup.connectedComponents(vertices, pairs, maxIter = 10)
+      .collect().map(r => r.getLong(1)).distinct
+    assert(outLocal.toSeq == Seq(0L))
   }
 }
