@@ -248,6 +248,27 @@ object Similarity {
    * O(n·tables·8 bytes) + collisions, never O(n²). Recall rises with
    * `tables` (union of bucketings); precision is exact (rescored).
    */
+  /** Embedding-space near-duplicate REMOVAL, the vector twin of
+   *  [[Dedup.dropNearDuplicates]]: [[lshNearDupPairs]] mines exact-rescored
+   *  pairs ≥ `minCosine`, transitive clusters come from the adaptive
+   *  [[Dedup.connectedComponents]] over edge-touched ids only, and the
+   *  corpus moves once through an anti-join against the losers. */
+  def dropNearDupVectors(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      minCosine: Double,
+      planes: Int = 8,
+      tables: Int = 4): DataFrame = {
+    val pairs = lshNearDupPairs(df, idCol, vecCol, minCosine, planes, tables)
+      .select(col("id_a"), col("id_b"))
+    val touched = pairs.select(col("id_a").as("id"))
+      .union(pairs.select(col("id_b").as("id"))).distinct()
+    val labels = Dedup.connectedComponents(touched, pairs)
+    val losers = labels.filter(col("cluster") =!= col("id")).select(col("id").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
   def lshNearDupPairs(
       df: DataFrame,
       idCol: String,

@@ -215,6 +215,18 @@ object Battery {
       Dedup.dropNearDuplicates(docs(s, d), "doc_id", "text",
         shingleN = 3, numPerms = 64, bands = 16, minEstJaccard = 0.5)
         .select(col("doc_id"), col("source"), col("n_chars"))),
+    // the embedding-space twin — oracled: union an id-shifted copy of the
+    // corpus (every vector gains an identical twin; identical vectors share
+    // every LSH bucket regardless of hash family, so the pair is ALWAYS
+    // found and rescored to cosine 1.0) → survivors are exactly the
+    // original ids
+    "q72_embed_dedup_drop" -> ((s, d) => {
+      val e = emb(s, d).select(col("vec_id"), col("embedding"))
+      val twins = e.withColumn("vec_id", col("vec_id") + 100000L)
+      Similarity.dropNearDupVectors(e.unionByName(twins), "vec_id", "embedding",
+        minCosine = 0.98, planes = 8, tables = 4)
+        .select(col("vec_id"))
+    }),
     "q27_ngram_jaccard" -> ((s, d) =>
       Dedup.ngramJaccardPairs(docs(s, d), "doc_id", "text", shingleN = 2,
         numPerms = 64, bands = 32)
@@ -1076,6 +1088,8 @@ object Battery {
         |  o_totalprice AS "select", CAST(NULL AS VARCHAR) AS "all null",
         |  o_orderstatus AS "Mixed-Case"
         |FROM orders WHERE o_custkey <= 100""".stripMargin,
+    "q72_embed_dedup_drop" ->
+      "SELECT vec_id FROM embeddings",
     "q68_clustered_agg" ->
       """SELECT l_orderkey, COUNT(*) AS n_lines,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

@@ -89,6 +89,17 @@ class SimilaritySpec extends SparkSpec {
     assert(multi >= single, s"multi-probe recall $multi below single-probe $single")
   }
 
+  test("dropNearDupVectors keeps one vector per tight cluster, singletons survive") {
+    // vecs fixture: cluster {0,1,2} near axis-x, {10,11} near axis-y, 20 alone
+    val survivors = Similarity.dropNearDupVectors(vecs, "vec_id", "embedding",
+      minCosine = 0.98, planes = 4, tables = 8)
+      .select("vec_id").as[Long].collect().toSet
+    assert(survivors.contains(20L)) // isolated always survives
+    assert(survivors.contains(0L)) // cluster canonical = min id
+    // at 0.98 the x-cluster members (cos ~0.99) collapse onto 0
+    assert(!survivors.contains(1L) && !survivors.contains(2L))
+  }
+
   test("nearDupPairs surfaces the tightest pair first") {
     val top = Similarity.nearDupPairs(vecs, "vec_id", "embedding", topN = 1)
       .select("id_a", "id_b").as[(Long, Long)].head()
