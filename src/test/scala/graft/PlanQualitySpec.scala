@@ -98,6 +98,21 @@ class PlanQualitySpec extends SparkSpec {
     assert(plan3.contains("Exchange"))
   }
 
+  test("readNormalized over a single-write layout plans ZERO exchanges (LWW included)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_norm_clus_").toString + "/t"
+    val schema = CqlSchema("t", Seq("k"), Seq("c"))
+    val df = (1L to 1000L).map(i => (i % 100, i, s"v$i")).toDF("k", "c", "v")
+    TokenSortedWriter.write(df, schema, dir, SaveMode.Append,
+      TokenSortedWriter.WriteConf(numPartitions = 4, keepTokenColumn = true,
+        writetimeMicros = Some(1000L)))
+    val out = TokenSortedWriter.readNormalized(spark, schema, dir)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"normalized read over disjoint layout must not shuffle for LWW:\n$plan")
+    assert(out.count() == 1000L)
+  }
+
   test("clustered scan result equals unclustered result (values, not just counts)") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_clus_eq_").toString + "/t"
