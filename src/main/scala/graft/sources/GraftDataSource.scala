@@ -11,7 +11,8 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession, SQLContext}
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics}
+import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics, SupportsRuntimeFiltering}
 import org.apache.spark.sql.graftshim.ParquetScanBridge
 import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, EqualTo, Filter, In}
 import org.apache.spark.sql.types.StructType
@@ -216,28 +217,60 @@ class GraftScan(
     pushed: Array[Filter],
     cql: CqlSchema,
     clustered: Boolean = false)
-    extends Scan with Batch with SupportsReportStatistics
+    extends Scan with Batch with SupportsReportStatistics with SupportsRuntimeFiltering
     with org.apache.spark.sql.graftshim.ClusterReportingScan {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String = {
-    val keys = TokenPruner.keyTokens(pushed, cql)
+    val keys = TokenPruner.keyTokens(effectivePushed, cql)
     s"GraftScan dir=$dir pk=${cql.partitionKeys.mkString(",")} " +
       s"pushedKeyTokens=${keys.map(_.size).getOrElse(-1)} files=${prunedFiles.length}"
   }
 
   private lazy val spark = SparkSession.active
 
-  /** All data files, then token/key-stat pruned against pushed pk filters. */
-  private lazy val prunedFiles: Array[TokenPruner.FileMeta] = {
-    val all = TokenPruner.listFiles(spark, dir)
-    TokenPruner.prune(spark, all, pushed, cql)
+  // ---- runtime filtering (SURVEY §4.1 "optional SupportsRuntimeFiltering"):
+  // after a broadcast join's build side materializes, Spark hands the scan
+  // the actual pk values (DPP-style); re-pruning the file list against them
+  // turns a dimension-filtered fact scan into a token-pruned one at runtime.
+  private var runtime: Array[Filter] = Array.empty
+  @volatile private var cachedPruned: Array[TokenPruner.FileMeta] = _
+  @volatile private var cachedDelegate: Batch = _
+
+  override def filterAttributes(): Array[NamedReference] =
+    // Expressions.column SQL-parses the name — quote for exotic identifiers
+    cql.partitionKeys.map(n => Expressions.column(CqlSchema.quoted(n))).toArray
+
+  override def filter(filters: Array[Filter]): Unit = {
+    runtime = filters
+    cachedPruned = null
+    cachedDelegate = null
   }
 
-  private lazy val delegate: Batch =
-    ParquetScanBridge.parquetBatch(
-      spark, prunedFiles.map(_.path).toSeq, fullFileSchema, required, pushed)
+  private def effectivePushed: Array[Filter] = pushed ++ runtime
+
+  /** All data files, then token/key-stat pruned against pushed + runtime
+   *  pk filters (cache invalidated when runtime filters arrive). */
+  private def prunedFiles: Array[TokenPruner.FileMeta] = {
+    var files = cachedPruned
+    if (files == null) {
+      val all = TokenPruner.listFiles(spark, dir)
+      files = TokenPruner.prune(spark, all, effectivePushed, cql)
+      cachedPruned = files
+    }
+    files
+  }
+
+  private def delegate: Batch = {
+    var d = cachedDelegate
+    if (d == null) {
+      d = ParquetScanBridge.parquetBatch(
+        spark, prunedFiles.map(_.path).toSeq, fullFileSchema, required, effectivePushed)
+      cachedDelegate = d
+    }
+    d
+  }
 
   /** Files may carry `_graft_token` beyond the table schema. */
   private lazy val fullFileSchema: StructType = {

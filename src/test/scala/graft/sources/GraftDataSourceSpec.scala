@@ -179,6 +179,21 @@ class GraftDataSourceSpec extends SparkSpec {
     assert(back.filter(col("id") === 1050L).count() == 1)
   }
 
+  test("runtime filtering re-prunes files when join-side pk values arrive") {
+    val builder = new GraftScanBuilder(dir,
+      GraftDataSource.annotateStruct(CqlSchema("t", Seq("id")),
+        spark.read.parquet(dir).schema), CqlSchema("t", Seq("id")))
+    val scan = builder.build().asInstanceOf[GraftScan]
+    assert(scan.filterAttributes().map(_.describe()).toSeq == Seq("id"))
+    val before = scan.planInputPartitions().length
+    val beforeRows = scan.estimateStatistics().numRows.getAsLong
+    scan.filter(Array[org.apache.spark.sql.sources.Filter](
+      org.apache.spark.sql.sources.In("id", Array(42L))))
+    val after = scan.planInputPartitions().length
+    assert(after < before, s"runtime pk filter must shrink planned partitions ($before -> $after)")
+    assert(scan.estimateStatistics().numRows.getAsLong < beforeRows)
+  }
+
   test("scan reports exact statistics for join sizing") {
     val scanDesc = graftRead.filter(col("id") === 42L).queryExecution.optimizedPlan.toString
     // statistics path exercised via explain cost would need CBO; assert the
