@@ -127,6 +127,27 @@ class PlanQualitySpec extends SparkSpec {
     assert(agg(clustered = true) == agg(clustered = false))
   }
 
+  test("broadcast join injects a runtime filter that prunes graft files to the matched token") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_dpp_").toString + "/t"
+    TokenSortedWriter.write((1L to 10000L).map(i => (i, i % 7)).toDF("id", "v"),
+      CqlSchema("t", Seq("id")), dir, SaveMode.Append,
+      TokenSortedWriter.WriteConf(numPartitions = 8, keepTokenColumn = true))
+    val fact = spark.read.format("graft").option("path", dir).option("pk", "id").load()
+    // dim must be a file-backed relation with a selective filter for Spark's
+    // DPP heuristic (a constant-folded LocalRelation is deemed unselective)
+    val dimDir = Files.createTempDirectory("graft_dpp_dim_").toString + "/dim"
+    (1L to 5L).map(i => (i, s"d$i")).toDF("did", "name").write.parquet(dimDir)
+    val dim = spark.read.parquet(dimDir).filter(col("name") === "d3")
+    val j = fact.join(dim, col("id") === col("did"))
+    assert(j.collect().map(r => r.getLong(0)).toSeq == Seq(3L))
+    val plan = j.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruningexpression"),
+      s"expected a runtime filter on the graft scan:\n$plan")
+    assert(plan.contains("files=1"),
+      s"runtime pk values must token-prune the file list:\n$plan")
+  }
+
   test("LSH candidate generation shuffles ids+band keys only, never document text") {
     val docs = graft.tables.Tables.documents(spark, sf)
     val sigs = docs.select(col("doc_id").as("id"),
