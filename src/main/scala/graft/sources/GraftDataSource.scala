@@ -250,16 +250,40 @@ class GraftScan(
 
   private def effectivePushed: Array[Filter] = pushed ++ runtime
 
+  @volatile private var listedCount: Int = -1
+
   /** All data files, then token/key-stat pruned against pushed + runtime
    *  pk filters (cache invalidated when runtime filters arrive). */
   private def prunedFiles: Array[TokenPruner.FileMeta] = {
     var files = cachedPruned
     if (files == null) {
       val all = TokenPruner.listFiles(spark, dir)
+      listedCount = all.length
       files = TokenPruner.prune(spark, all, effectivePushed, cql)
       cachedPruned = files
     }
     files
+  }
+
+  // ---- scan instrumentation (the reference's `Stats` hook surface,
+  // `DataLayer.stats():344-347`, as DSv2 custom metrics → Spark UI SQL node)
+  override def supportedCustomMetrics()
+      : Array[org.apache.spark.sql.connector.metric.CustomMetric] = Array(
+    GraftScan.metric("graftFilesListed", "graft: data files listed"),
+    GraftScan.metric("graftFilesPlanned", "graft: files planned after pk/token pruning"),
+    GraftScan.metric("graftBytesPlanned", "graft: on-disk bytes planned"))
+
+  override def reportDriverMetrics()
+      : Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] = {
+    val planned = prunedFiles
+    def m(n: String, v: Long) = new org.apache.spark.sql.connector.metric.CustomTaskMetric {
+      override def name(): String = n
+      override def value(): Long = v
+    }
+    Array(
+      m("graftFilesListed", listedCount.toLong),
+      m("graftFilesPlanned", planned.length.toLong),
+      m("graftBytesPlanned", planned.map(_.sizeBytes).sum))
   }
 
   private def delegate: Batch = {
@@ -344,6 +368,15 @@ class GraftScan(
  * Pruning uses `_graft_token` min/max (token layout) or integral
  * partition-key column min/max (generic layout, `pkRanges`).
  */
+object GraftScan {
+  private[sources] def metric(n: String, desc: String)
+      : org.apache.spark.sql.connector.metric.CustomMetric =
+    new org.apache.spark.sql.connector.metric.CustomSumMetric {
+      override def name(): String = n
+      override def description(): String = desc
+    }
+}
+
 object TokenPruner {
 
   final case class FileMeta(

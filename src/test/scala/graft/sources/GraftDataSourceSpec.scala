@@ -194,6 +194,20 @@ class GraftDataSourceSpec extends SparkSpec {
     assert(scan.estimateStatistics().numRows.getAsLong < beforeRows)
   }
 
+  test("scan reports planning metrics (files listed/planned, bytes) to the UI") {
+    val df = graftRead.filter(col("id") === 42L)
+    df.collect()
+    val scans = df.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }
+    assert(scans.nonEmpty)
+    val names = scans.head.metrics.keySet
+    assert(names.contains("graftFilesListed") && names.contains("graftFilesPlanned") &&
+      names.contains("graftBytesPlanned"), s"missing graft metrics in $names")
+    assert(scans.head.metrics("graftFilesListed").value == 4L)
+    assert(scans.head.metrics("graftFilesPlanned").value == 1L) // token-pruned
+  }
+
   test("scan reports exact statistics for join sizing") {
     val scanDesc = graftRead.filter(col("id") === 42L).queryExecution.optimizedPlan.toString
     // statistics path exercised via explain cost would need CBO; assert the
