@@ -69,6 +69,39 @@ class NormalizedReadSpec extends SparkSpec {
     assert(out2.filter(col("k") === 2L && col("c") === 3L).count() == 0)
   }
 
+  test("property: random multi-generation appends resolve every key to its latest version") {
+    import spark.implicits._
+    // the reference's randomized multi-SSTable compaction surface
+    // (EndToEndTests testMultipleSSTablesCompaction): N generations each
+    // covering a random key subset; expected = per key, the newest generation
+    val rnd = new scala.util.Random(7)
+    val dir = freshDir()
+    val keys = (1L to 80L).toSeq
+    val gens: Seq[Seq[Long]] = (1 to 6).map(_ => keys.filter(_ => rnd.nextBoolean()))
+    gens.zipWithIndex.foreach { case (ks, g) =>
+      if (ks.nonEmpty) {
+        TokenSortedWriter.write(ks.map(k => (k, s"g${g}_$k")).toDF("k", "v"),
+          schema, dir, SaveMode.Append,
+          TokenSortedWriter.WriteConf(numPartitions = 1 + rnd.nextInt(3),
+            keepTokenColumn = true, writetimeMicros = Some((g + 1) * 100L)))
+      }
+    }
+    val expected = keys.flatMap { k =>
+      val lastGen = gens.zipWithIndex.filter(_._1.contains(k)).map(_._2).maxOption
+      lastGen.map(g => k -> s"g${g}_$k")
+    }.toMap
+    val got = TokenSortedWriter.readNormalized(spark, schema, dir)
+      .as[(Long, String)].collect().toMap
+    assert(got == expected)
+    // and compaction preserves exactly the same resolution
+    val dst = freshDir()
+    TokenSortedWriter.compact(spark, schema, dir, dst,
+      TokenSortedWriter.WriteConf(numPartitions = 2, keepTokenColumn = true))
+    val compacted = TokenSortedWriter.readNormalized(spark, schema, dst)
+      .as[(Long, String)].collect().toMap
+    assert(compacted == expected)
+  }
+
   test("compact folds overlapping generations into a disjoint clustered layout") {
     import spark.implicits._
     val dir = freshDir()
