@@ -544,6 +544,29 @@ object Battery {
         element_at(split(col("p_type"), " "), -1).as("last_word"),
         reverse(col("p_brand")).as("brand_rev"))),
 
+    // higher-order array functions (transform/filter/aggregate/zip_with),
+    // all codegen-friendly builtins, oracled against DuckDB list lambdas
+    "q73_higher_order" -> ((s, d) =>
+      Tables.part(s, d).select(
+        col("p_partkey"),
+        array_join(transform(split(col("p_name"), " "), x => upper(x)), ",").as("upper_tags"),
+        size(filter(split(col("p_name"), " "), x => length(x) > 4)).cast("long").as("n_long"),
+        aggregate(sequence(lit(1), col("p_size")), lit(0L), (a, x) => a + x).as("tri"),
+        array_join(zip_with(split(col("p_name"), " "), split(col("p_name"), " "),
+          (a, b) => concat(a, lit("-"), b)), ",").as("zipped"))),
+    // explicit GROUPING SETS with grouping flags (beyond rollup/cube)
+    "q74_grouping_sets" -> ((s, d) => {
+      ord(s, d).join(cust(s, d), col("o_custkey") === col("c_custkey"))
+        .createOrReplaceTempView("ord_cust")
+      s.sql("""
+        SELECT c_mktsegment, o_orderpriority,
+               COUNT(*) AS n,
+               CAST(grouping(c_mktsegment) AS BIGINT) AS g_seg,
+               CAST(grouping(o_orderpriority) AS BIGINT) AS g_pri
+        FROM ord_cust
+        GROUP BY GROUPING SETS ((c_mktsegment), (o_orderpriority), ())""")
+    }),
+
     // ---- rollup ---------------------------------------------------------
     "q37_rollup" -> ((s, d) =>
       ord(s, d).join(cust(s, d), col("o_custkey") === col("c_custkey"))
@@ -1093,6 +1116,19 @@ object Battery {
         |FROM orders WHERE o_custkey <= 100""".stripMargin,
     "q72_embed_dedup_drop" ->
       "SELECT vec_id FROM embeddings",
+    "q73_higher_order" ->
+      """SELECT p_partkey,
+        |  replace(upper(p_name), ' ', ',') AS upper_tags,
+        |  CAST(len(list_filter(string_split(p_name, ' '), x -> len(x) > 4)) AS BIGINT) AS n_long,
+        |  CAST(p_size AS BIGINT) * (p_size + 1) // 2 AS tri,
+        |  array_to_string(list_transform(string_split(p_name, ' '), x -> x || '-' || x), ',') AS zipped
+        |FROM part""".stripMargin,
+    "q74_grouping_sets" ->
+      """SELECT c_mktsegment, o_orderpriority, COUNT(*) AS n,
+        |  CAST(GROUPING(c_mktsegment) AS BIGINT) AS g_seg,
+        |  CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_pri
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY GROUPING SETS ((c_mktsegment), (o_orderpriority), ())""".stripMargin,
     "q68_clustered_agg" ->
       """SELECT l_orderkey, COUNT(*) AS n_lines,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
