@@ -429,6 +429,26 @@ object Battery {
           dsum(col("l_quantity"), 2).as("sum_qty"))
     }),
 
+    // co-located join: both sides written on the SAME exact ring splits, so
+    // the join zips aligned partitions — zero shuffle of either table
+    // (operators/Colocated.scala; the 100 TB "pre-partition to co-locate")
+    "q75_colocated_join" -> ((s, d) => {
+      val dirA = java.nio.file.Files.createTempDirectory("graft_colA_").toString + "/orders"
+      val dirB = java.nio.file.Files.createTempDirectory("graft_colB_").toString + "/lagg"
+      val skA = CqlSchema("orders_rs", Seq("o_orderkey"))
+      val skB = CqlSchema("lineagg_rs", Seq("l_orderkey"))
+      TokenSortedWriter.write(
+        ord(s, d).select(col("o_orderkey"), col("o_totalprice")),
+        skA, dirA, SaveMode.Append,
+        TokenSortedWriter.WriteConf(ringSplits = 4, keepTokenColumn = true))
+      TokenSortedWriter.write(
+        li(s, d).groupBy(col("l_orderkey")).agg(
+          count(lit(1)).as("n_lines"), dsum(col("l_quantity"), 2).as("sum_qty")),
+        skB, dirB, SaveMode.Append,
+        TokenSortedWriter.WriteConf(ringSplits = 4, keepTokenColumn = true))
+      graft.operators.Colocated.join(s, dirA, skA, dirB, skB)
+    }),
+
     // ---- §2.12 extension: streaming semantics in batch ------------------
     // identical code path to the streaming operators (EventStreamsSpec
     // proves stream == batch); the oracle checks the batch side
@@ -1123,6 +1143,13 @@ object Battery {
         |  CAST(p_size AS BIGINT) * (p_size + 1) // 2 AS tri,
         |  array_to_string(list_transform(string_split(p_name, ' '), x -> x || '-' || x), ',') AS zipped
         |FROM part""".stripMargin,
+    "q75_colocated_join" ->
+      """SELECT o_orderkey, o_totalprice, n_lines, sum_qty
+        |FROM orders JOIN (
+        |  SELECT l_orderkey, COUNT(*) AS n_lines,
+        |         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |  FROM lineitem GROUP BY l_orderkey
+        |) ON o_orderkey = l_orderkey""".stripMargin,
     "q74_grouping_sets" ->
       """SELECT c_mktsegment, o_orderpriority, COUNT(*) AS n,
         |  CAST(GROUPING(c_mktsegment) AS BIGINT) AS g_seg,

@@ -323,10 +323,30 @@ class GraftScan(
   override def clusteredPkNames: Option[Seq[String]] =
     if (clusteredLayout) Some(cql.partitionKeys) else None
 
+  /** NOMINAL ring-split ranges, in partition order — defined only when every
+   *  planned file carries one (exact-ring-split write) and they are pairwise
+   *  strictly disjoint. Two scans with EQUAL range lists are co-partitioned:
+   *  a pk join between them zips partitions with zero shuffle (the
+   *  compatibility check lives in the graftshim ShuffleSpec). */
+  override def clusteredRanges: Option[Seq[(Long, Long)]] = {
+    if (!clusteredLayout) return None
+    val nominal = prunedFiles.flatMap(_.ringSplit)
+    if (nominal.length != prunedFiles.length) return None
+    val sorted = nominal.sortBy(_._1)
+    val disjoint = sorted.zip(sorted.tail).forall { case ((_, e), (s, _)) => e <= s }
+    if (disjoint) Some(sorted.toSeq) else None
+  }
+
+  /** Partition order key per file: nominal ring start, else data token min,
+   *  else path — keeps partition index aligned with [[clusteredRanges]]. */
+  private def fileOrder: Map[String, Long] =
+    prunedFiles.map(f => f.path ->
+      f.ringSplit.map(_._1).orElse(f.tokenRange.map(_._1)).getOrElse(Long.MinValue)).toMap
+
   override def planInputPartitions(): Array[InputPartition] = {
     val planned = delegate.planInputPartitions()
     if (clusteredLayout)
-      org.apache.spark.sql.graftshim.ClusteredScanUtil.wholeFilePartitions(planned)
+      org.apache.spark.sql.graftshim.ClusteredScanUtil.wholeFilePartitions(planned, fileOrder)
     else planned
   }
   override def createReaderFactory(): PartitionReaderFactory = delegate.createReaderFactory()
@@ -390,7 +410,12 @@ object TokenPruner {
       tokenRange: Option[(Long, Long)],
       /** Per-column min/max for integral (int32/int64) columns — the
        *  file-level pruning fallback for layouts without `_graft_token`. */
-      pkRanges: Map[String, (Long, Long)])
+      pkRanges: Map[String, (Long, Long)],
+      /** NOMINAL exact ring-split range `(start, end]` this file was written
+       *  under (ringSplits layout; manifest-recorded). Unlike `tokenRange`
+       *  (actual data extremes), two same-split tables share these exactly —
+       *  the co-located-join compatibility proof. */
+      ringSplit: Option[(Long, Long)] = None)
 
   /** =/IN values pushed per pk column. Pushed attribute names arrive
    *  back-quoted when they need quoting (`EqualTo(\`user id\`, 1)`), so

@@ -31,9 +31,17 @@ object Manifest {
 
   val Dir = "_graft_manifest"
 
+  private val PartIndex = """part-(\d+)""".r
+
   /** Record manifest rows for any data file not yet covered (call after a
-   *  write; reads only the NEW files' footers). */
-  def appendFor(spark: SparkSession, tableDir: String): Unit = {
+   *  write; reads only the NEW files' footers). When the write used the
+   *  exact ring-split layout, `ringSplits = Some(n)` stamps each new file
+   *  with its NOMINAL `splitRing(n)` range (recovered from the part index in
+   *  the file name — FileFormatWriter numbers files by task partition id). */
+  def appendFor(
+      spark: SparkSession,
+      tableDir: String,
+      ringSplits: Option[Int] = None): Unit = {
     val conf = spark.sessionState.newHadoopConf()
     val root = new Path(tableDir)
     val fs = root.getFileSystem(conf)
@@ -41,7 +49,17 @@ object Manifest {
     val fresh = TokenPruner.listDataFiles(fs, root)
       .filterNot(f => known.contains(f.getPath.toString))
     if (fresh.isEmpty) return
-    val metas = fresh.map(f => TokenPruner.readFooterMeta(conf, f.getPath, f.getLen))
+    val splits = ringSplits.map(n => graft.token.TokenRanges.splitRing(n))
+    val metas = fresh.map { f =>
+      val base = TokenPruner.readFooterMeta(conf, f.getPath, f.getLen)
+      val nominal = splits.flatMap { rs =>
+        PartIndex.findFirstMatchIn(f.getPath.getName)
+          .map(_.group(1).toInt)
+          .filter(_ < rs.length)
+          .map(i => (rs(i).start, rs(i).end))
+      }
+      base.copy(ringSplit = nominal)
+    }
     val out = fs.create(new Path(root,
       s"$Dir/manifest-${java.util.UUID.randomUUID().toString.take(12)}.tsv"), false)
     try out.write(metas.map(line(root, _)).mkString("", "\n", "\n")
@@ -74,18 +92,20 @@ object Manifest {
   private def line(root: Path, m: FileMeta): String = {
     val rel = relativize(root, m.path)
     val tok = m.tokenRange.map { case (a, b) => s"$a\t$b" }.getOrElse("-\t-")
+    val ring = m.ringSplit.map { case (a, b) => s"$a\t$b" }.getOrElse("-\t-")
     val ranges = m.pkRanges.toSeq.sortBy(_._1)
       .map { case (c, (mn, mx)) => s"$c=$mn:$mx" }.mkString(";")
-    s"$rel\t${m.sizeBytes}\t${m.uncompressedBytes}\t${m.rows}\t${m.hasTokenColumn}\t$tok\t$ranges"
+    s"$rel\t${m.sizeBytes}\t${m.uncompressedBytes}\t${m.rows}\t${m.hasTokenColumn}\t$tok\t$ranges\t$ring"
   }
 
   private def parse(root: Path, l: String): Option[FileMeta] = {
     val parts = l.split("\t", -1)
-    if (parts.length != 8) return None
+    // 8 = original format (no ring columns); 10 = with nominal ring range
+    if (parts.length != 8 && parts.length != 10) return None
     try {
-      val tokenRange =
-        if (parts(5) == "-" || parts(6) == "-") None
-        else Some((parts(5).toLong, parts(6).toLong))
+      def range(a: String, b: String): Option[(Long, Long)] =
+        if (a == "-" || b == "-") None else Some((a.toLong, b.toLong))
+      val tokenRange = range(parts(5), parts(6))
       val ranges = parts(7).split(";").filter(_.nonEmpty).flatMap { kv =>
         kv.split("=", 2) match {
           case Array(c, r) => r.split(":", 2) match {
@@ -95,8 +115,9 @@ object Manifest {
           case _ => None
         }
       }.toMap
+      val ring = if (parts.length == 10) range(parts(8), parts(9)) else None
       Some(FileMeta(new Path(root, parts(0)).toString, parts(1).toLong, parts(2).toLong,
-        parts(3).toLong, parts(4).toBoolean, tokenRange, ranges))
+        parts(3).toLong, parts(4).toBoolean, tokenRange, ranges, ring))
     } catch { case _: NumberFormatException => None }
   }
 

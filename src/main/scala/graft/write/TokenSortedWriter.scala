@@ -52,7 +52,15 @@ object TokenSortedWriter {
       writetimeMicros: Option[Long] = None,
       writetimeColumn: Option[String] = None,
       ttlSeconds: Option[Long] = None,
-      ttlColumn: Option[String] = None)
+      ttlColumn: Option[String] = None,
+      // EXACT ring-split layout (reference `TokenPartitioner` splits instead
+      // of sampled range boundaries): two tables written with the SAME
+      // ringSplits value land their rows in identically-bounded files, so a
+      // join on their partition keys can zip partitions with ZERO shuffle on
+      // either side (co-located storage-partitioned join; the nominal
+      // boundaries are recorded in the manifest for the read side to prove
+      // compatibility). Overrides numPartitions when > 0.
+      ringSplits: Int = 0)
 
   val TokenCol = "_graft_token"
   /** Per-row write timestamp in epoch micros (the CQL `writetime()` analog). */
@@ -98,10 +106,27 @@ object TokenSortedWriter {
     require(schema.partitionKeys.nonEmpty, s"table ${schema.table} has no partition key")
     val withToken = df.withColumn(TokenCol, graft_token(schema.partitionKeys.map(qcol): _*))
     val parted =
-      if (conf.numPartitions > 0) withToken.repartitionByRange(conf.numPartitions, col(TokenCol))
+      if (conf.ringSplits > 0) ringPartitioned(withToken, conf.ringSplits)
+      else if (conf.numPartitions > 0) withToken.repartitionByRange(conf.numPartitions, col(TokenCol))
       else withToken.repartitionByRange(col(TokenCol))
     parted.sortWithinPartitions(
       (TokenCol +: schema.primaryKey).map(qcol): _*)
+  }
+
+  /** Exact ring placement: partition i = splitRing(n)(i), NOT sampled
+   *  boundaries. The one RDD round-trip in the engine — DataFrame range
+   *  repartitioning cannot pin exact split points, and exactness is the
+   *  whole point (file i of every same-n table covers the identical range).
+   *  Write-path-only cost; the read side stays fully columnar. */
+  private def ringPartitioned(withToken: DataFrame, n: Int): DataFrame = {
+    val spark = withToken.sparkSession
+    val schema = withToken.schema
+    val tokenIdx = schema.fieldIndex(TokenCol)
+    val rdd = withToken.rdd
+      .map(r => (r.getLong(tokenIdx), r))
+      .partitionBy(new graft.token.RingPartitioner(n))
+      .values
+    spark.createDataFrame(rdd, schema)
   }
 
   /** Full write: returns the output path for read-back. */
@@ -124,7 +149,8 @@ object TokenSortedWriter {
     w2.parquet(path)
     // record planning stats for the new files while their footers are hot —
     // scans then plan from the manifest in O(1) driver IO (S3 at 100 TB)
-    Manifest.appendFor(df.sparkSession, path)
+    Manifest.appendFor(df.sparkSession, path,
+      if (conf.ringSplits > 0) Some(conf.ringSplits) else None)
   }
 
   /**

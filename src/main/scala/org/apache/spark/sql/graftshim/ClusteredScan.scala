@@ -45,7 +45,10 @@ import org.apache.spark.sql.vectorized.ColumnarBatch
  */
 case class GraftClusteredPartitioning(
     clusterKeys: Seq[Expression],
-    numPartitions: Int) extends Partitioning {
+    numPartitions: Int,
+    /** Nominal exact-ring-split ranges in partition order, when the layout
+     *  was written with them — the co-located-join compatibility token. */
+    ranges: Option[Seq[(Long, Long)]] = None) extends Partitioning {
 
   override def satisfies0(required: Distribution): Boolean =
     super.satisfies0(required) || (required match {
@@ -59,7 +62,17 @@ case class GraftClusteredPartitioning(
     })
 
   /** Clustered-but-not-hash: never co-partitioned with anything, and not a
-   *  partitioning EnsureRequirements may shuffle OTHER plans into. */
+   *  partitioning EnsureRequirements may shuffle OTHER plans into.
+   *
+   *  Why no co-located-join spec despite [[ranges]]: stock EnsureRequirements
+   *  only consults `isCompatibleWith` against a "best" spec chosen among
+   *  specs with `canCreatePartitioning = true`, and claiming that would
+   *  require a partitioning `ShuffleExchangeExec` can execute (custom
+   *  Partitionings throw at runtime); KeyGroupedPartitioning gets its own
+   *  special-cased SPJ bypass, custom specs get none, and KeyGrouped itself
+   *  cannot express token RANGES (discrete values only). Same-ring-split
+   *  joins are therefore an explicit operator — `graft.operators.Colocated`
+   *  — which zips the aligned whole-file partitions directly. */
   override def createShuffleSpec(distribution: ClusteredDistribution): ShuffleSpec =
     new ShuffleSpec {
       override def numPartitions: Int = GraftClusteredPartitioning.this.numPartitions
@@ -70,11 +83,12 @@ case class GraftClusteredPartitioning(
 
 case class GraftClusteredScanExec(
     child: SparkPlan,
-    clusterKeys: Seq[Expression]) extends UnaryExecNode {
+    clusterKeys: Seq[Expression],
+    ranges: Option[Seq[(Long, Long)]] = None) extends UnaryExecNode {
 
   override def output: Seq[Attribute] = child.output
   override def outputPartitioning: Partitioning =
-    GraftClusteredPartitioning(clusterKeys, child.outputPartitioning.numPartitions)
+    GraftClusteredPartitioning(clusterKeys, child.outputPartitioning.numPartitions, ranges)
   override def outputOrdering: Seq[SortOrder] = child.outputOrdering
   override def supportsColumnar: Boolean = child.supportsColumnar
   override def vectorTypes: Option[Seq[String]] = child.vectorTypes
@@ -85,9 +99,13 @@ case class GraftClusteredScanExec(
 }
 
 /** A graft scan that can vouch for a clustered layout exposes the partition
- *  key names it clusters by (None when the layout cannot guarantee it). */
+ *  key names it clusters by (None when the layout cannot guarantee it), and
+ *  the nominal ring-split ranges when the layout was written with exact
+ *  splits (None disables co-located-join compatibility, clustering still
+ *  applies). */
 trait ClusterReportingScan {
   def clusteredPkNames: Option[Seq[String]]
+  def clusteredRanges: Option[Seq[(Long, Long)]] = None
 }
 
 object GraftClusteredScanStrategy extends SparkStrategy {
@@ -101,7 +119,7 @@ object GraftClusteredScanStrategy extends SparkStrategy {
       val keys = scan.clusteredPkNames.get.map(byName(_))
       val batch = BatchScanExec(output, scan.asInstanceOf[org.apache.spark.sql.connector.read.Scan],
         Seq.empty, None, v2rel.table)
-      val wrapped = GraftClusteredScanExec(batch, keys)
+      val wrapped = GraftClusteredScanExec(batch, keys, scan.clusteredRanges)
       val filtered = filters.reduceOption(And).map(FilterExec(_, wrapped)).getOrElse(wrapped)
       val planned: SparkPlan =
         if (project == filtered.output) filtered
@@ -114,16 +132,22 @@ object GraftClusteredScanStrategy extends SparkStrategy {
 object ClusteredScanUtil {
   /** Regroup size-split parquet partitions into ONE partition per file —
    *  required for the clustering claim (a pk straddling a row-group split
-   *  boundary would otherwise span two partitions). */
-  def wholeFilePartitions(partitions: Array[InputPartition]): Array[InputPartition] = {
+   *  boundary would otherwise span two partitions). `order` fixes the
+   *  partition INDEX per file (nominal ring start / token min) so two
+   *  co-located scans index their shared ranges identically. */
+  def wholeFilePartitions(
+      partitions: Array[InputPartition],
+      order: Map[String, Long] = Map.empty): Array[InputPartition] = {
     val files = partitions.flatMap {
       case fp: FilePartition => fp.files
       case other =>
         throw new IllegalStateException(s"unexpected non-file partition: ${other.getClass}")
     }
-    files.groupBy(_.filePath.toString).toSeq.sortBy(_._1).zipWithIndex.map {
-      case ((_, splits), i) => FilePartition(i, splits.sortBy(_.start)): InputPartition
-    }.toArray
+    files.groupBy(_.filePath.toString).toSeq
+      .sortBy { case (p, _) => (order.getOrElse(p, Long.MinValue), p) }
+      .zipWithIndex.map {
+        case ((_, splits), i) => FilePartition(i, splits.sortBy(_.start)): InputPartition
+      }.toArray
   }
 
   /** Idempotently install the clustered-scan strategy into a session. */

@@ -3,6 +3,7 @@ package graft
 import java.nio.file.Files
 
 import graft.model.CqlSchema
+import graft.operators.Colocated
 import graft.write.TokenSortedWriter
 import org.apache.spark.sql.SaveMode
 import org.apache.spark.sql.functions._
@@ -125,6 +126,44 @@ class PlanQualitySpec extends SparkSpec {
         min(col("tag")).as("t"))
       .collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).sortBy(_._1).toSeq
     assert(agg(clustered = true) == agg(clustered = false))
+  }
+
+  test("co-located join: same-ring-split tables zip partitions with zero shuffle") {
+    import spark.implicits._
+    def write(dir: String, rows: Seq[(Long, Long)], splits: Int): Unit =
+      TokenSortedWriter.write(rows.toDF("k", "v"), CqlSchema("t", Seq("k")), dir,
+        SaveMode.Append,
+        TokenSortedWriter.WriteConf(ringSplits = splits, keepTokenColumn = true))
+    val dirA = Files.createTempDirectory("graft_coloc_a_").toString + "/a"
+    val dirB = Files.createTempDirectory("graft_coloc_b_").toString + "/b"
+    val dirC = Files.createTempDirectory("graft_coloc_c_").toString + "/c"
+    // duplicate keys on both sides exercise the group cross-product
+    write(dirA, (1L to 5000L).map(i => (i, i * 2)) ++ Seq((7L, 777L)), splits = 4)
+    write(dirB, (1L to 3000L).map(i => (i, i * 3)) ++ Seq((7L, 999L)), splits = 4)
+    write(dirC, (1L to 3000L).map(i => (i, i * 5)), splits = 8)
+    val sk = CqlSchema("t", Seq("k"))
+
+    // nominal ranges recorded at write time and equal across same-split tables
+    assert(Colocated.nominalRanges(spark, dirA).get.length == 4)
+    assert(Colocated.nominalRanges(spark, dirA) == Colocated.nominalRanges(spark, dirB))
+    assert(Colocated.nominalRanges(spark, dirA) != Colocated.nominalRanges(spark, dirC))
+
+    val j = Colocated.join(spark, dirA, sk, dirB, sk)
+    // zero shuffle: the RDD lineage has no ShuffledRDD anywhere
+    assert(!j.rdd.toDebugString.contains("ShuffledRDD"),
+      s"co-located join must not shuffle:\n${j.rdd.toDebugString}")
+    val got = j.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    val want = spark.read.parquet(dirA).select("k", "v")
+      .join(spark.read.parquet(dirB).select(col("k"), col("v").as("v2")), "k")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    assert(got.toSeq == want.toSeq)
+    assert(got.count(_._1 == 7L) == 4) // 2 left x 2 right versions of key 7
+
+    // mismatched splits: provably-not-colocated -> planner fallback, same values
+    val j2 = Colocated.join(spark, dirA, sk, dirC, sk)
+    val want2 = spark.read.parquet(dirA).select("k", "v")
+      .join(spark.read.parquet(dirC).select(col("k"), col("v").as("v2")), "k")
+    assert(j2.count() == want2.count())
   }
 
   test("broadcast join injects a runtime filter that prunes graft files to the matched token") {
