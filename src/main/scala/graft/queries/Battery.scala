@@ -429,6 +429,15 @@ object Battery {
           dsum(col("l_quantity"), 2).as("sum_qty"))
     }),
 
+    // multimodal frame sampling: metadata-only frame fan-out (stride +
+    // per-blob cap) — the explode itself is the operator under test, so the
+    // oracle recomputes the same fan-out from byte lengths
+    "q76_frame_sample" -> ((s, d) =>
+      Multimodal.sampleFrames(
+        docs(s, d).select(col("doc_id"), repeat(col("text"), 50).cast("binary").as("blob")),
+        "blob", stride = 4, maxFrames = 8)
+        .select(col("doc_id"), col("frame_idx"))),
+
     // co-located join: both sides written on the SAME exact ring splits, so
     // the join zips aligned partitions — zero shuffle of either table
     // (operators/Colocated.scala; the 100 TB "pre-partition to co-locate")
@@ -1143,6 +1152,14 @@ object Battery {
         |  CAST(p_size AS BIGINT) * (p_size + 1) // 2 AS tri,
         |  array_to_string(list_transform(string_split(p_name, ' '), x -> x || '-' || x), ',') AS zipped
         |FROM part""".stripMargin,
+    "q76_frame_sample" ->
+      """SELECT doc_id, CAST(r AS INT) AS frame_idx
+        |FROM (
+        |  SELECT doc_id,
+        |    least(greatest(CAST(octet_length(CAST(repeat(text, 50) AS BLOB)) // 1024 AS INT), 1),
+        |          10000) AS nf
+        |  FROM documents), range(0, 32, 4) t(r)
+        |WHERE r < nf""".stripMargin,
     "q75_colocated_join" ->
       """SELECT o_orderkey, o_totalprice, n_lines, sum_qty
         |FROM orders JOIN (
