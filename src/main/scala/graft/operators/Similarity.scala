@@ -4,6 +4,7 @@ import graft.functions.{dot_f32, norm_f32}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /**
  * Approximate-nearest-neighbor search and near-duplicate mining over an
@@ -260,8 +261,12 @@ object Similarity {
       minCosine: Double,
       planes: Int = 8,
       tables: Int = 4): DataFrame = {
+    // Persisted for the same reason as Dedup.dropNearDuplicates: the edge
+    // list feeds several actions and the LSH mining + rescore pass over the
+    // vectors should run once, not once per action.
     val pairs = lshNearDupPairs(df, idCol, vecCol, minCosine, planes, tables)
       .select(col("id_a"), col("id_b"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val touched = pairs.select(col("id_a").as("id"))
       .union(pairs.select(col("id_b").as("id"))).distinct()
     val labels = Dedup.connectedComponents(touched, pairs)
