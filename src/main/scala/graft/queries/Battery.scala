@@ -458,6 +458,18 @@ object Battery {
       graft.operators.Colocated.join(s, dirA, skA, dirB, skB)
     }),
 
+    // salted skew join: per-row salt on the fact side, dim replicated x8,
+    // join key becomes (key, salt) — result is row-for-row identical to the
+    // plain join (each fact row meets exactly one replica), so the oracle is
+    // simply the unsalted SQL join; the aggregation pins the comparison
+    "q77_salted_join" -> ((s, d) => {
+      val dim = ord(s, d).select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+      graft.operators.Skew.saltedJoin(li(s, d), dim, Seq("l_orderkey"), salt = 8)
+        .groupBy(col("o_orderpriority")).agg(
+          count(lit(1)).as("n_lines"),
+          dsum(col("l_quantity"), 2).as("sum_qty"))
+    }),
+
     // ---- §2.12 extension: streaming semantics in batch ------------------
     // identical code path to the streaming operators (EventStreamsSpec
     // proves stream == batch); the oracle checks the batch side
@@ -465,6 +477,29 @@ object Battery {
       graft.streaming.EventStreams.windowedTypeCounts(ev(s, d), "1 hour")),
     "q41_sessionize" -> ((s, d) =>
       graft.streaming.EventStreams.sessionizeBatch(ev(s, d), gapSeconds = 1800)),
+    // stream-static enrichment (batch twin; EventStreamsSpec proves the same
+    // call over a MemoryStream matches): firehose never shuffles, only the
+    // broadcast dimension moves
+    "q78_stream_enrich" -> ((s, d) =>
+      graft.streaming.EventStreams.enrichWithDim(
+          ev(s, d),
+          cust(s, d).select(col("c_custkey").as("user_id"), col("c_mktsegment")),
+          Seq("user_id"))
+        .groupBy(col("c_mktsegment"), col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))),
+    // stream-stream event-time correlation (batch twin): purchases within an
+    // hour after a click by the same user — the band in the join condition is
+    // what bounds streaming join state
+    "q79_stream_correlate" -> ((s, d) => {
+      val e = ev(s, d)
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("click_ts"), col("event_id").as("click_id"))
+      val buys = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("buy_ts"), col("event_id").as("buy_id"))
+      graft.streaming.EventStreams.correlateStreams(
+          clicks, buys, "user_id", withinSeconds = 3600L, "click_ts", "buy_ts")
+        .select(col("user_id"), col("click_id"), col("buy_id"))
+    }),
 
     // ---- §2.11/§2.4 Layer-B widening -----------------------------------
     // pivot: one column per order status, counted per order-year
@@ -1177,7 +1212,23 @@ object Battery {
       """SELECT l_orderkey, COUNT(*) AS n_lines,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
         |  MAX(l_linenumber) AS max_line
-        |FROM lineitem GROUP BY l_orderkey""".stripMargin
+        |FROM lineitem GROUP BY l_orderkey""".stripMargin,
+    "q77_salted_join" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_lines,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority""".stripMargin,
+    "q78_stream_enrich" ->
+      """SELECT c_mktsegment, event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY c_mktsegment, event_type""".stripMargin,
+    "q79_stream_correlate" ->
+      """SELECT a.user_id, a.event_id AS click_id, b.event_id AS buy_id
+        |FROM events a JOIN events b
+        |  ON a.user_id = b.user_id
+        | AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 3600 SECOND
+        |WHERE a.event_type = 'click' AND b.event_type = 'purchase'""".stripMargin
   )
 
   /** Flagship end-to-end pipeline for the driver's smoke check: LWW-normalize

@@ -166,6 +166,51 @@ object EventStreams {
         sum(col(valueCol).cast("decimal(18,6)")).cast("double").as("total_value"))
   }
 
+  /**
+   * Stream-static enrichment join: the event stream (or a batch frame — one
+   * code path, like every operator here) joined to a SMALL static dimension.
+   * Structured Streaming plans this as a per-micro-batch join with no
+   * streaming state at all, and the explicit `broadcast` keeps it a
+   * broadcast hash join on every batch — at 100 TB/day the firehose never
+   * shuffles; only the dimension moves, once per executor.
+   */
+  def enrichWithDim(
+      events: DataFrame,
+      dim: DataFrame,
+      keys: Seq[String],
+      joinType: String = "inner"): DataFrame =
+    events.join(broadcast(dim), keys, joinType)
+
+  /**
+   * Stream-stream event-time correlation join: pairs of rows sharing `key`
+   * with the right timestamp inside `[left ts, left ts + withinSeconds]`.
+   * Both sides carry watermarks and the join condition carries the time
+   * band — exactly the two things Spark needs to EVICT join state: buffered
+   * rows older than `watermark - band` can never match again and are
+   * dropped, so state is bounded by the band, not the stream length.
+   *
+   * Callers pass frames whose non-key column names are disjoint (alias
+   * before calling); the same call works on batch frames, where the
+   * watermark is a no-op and Catalyst plans an ordinary equi-join with a
+   * band post-filter.
+   */
+  def correlateStreams(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      withinSeconds: Long,
+      leftTs: String,
+      rightTs: String,
+      watermarkDelay: String = "10 minutes"): DataFrame = {
+    val l = if (left.isStreaming) left.withWatermark(leftTs, watermarkDelay) else left
+    val r = if (right.isStreaming) right.withWatermark(rightTs, watermarkDelay) else right
+    l.join(r,
+      l(key) === r(key) &&
+        r(rightTs) >= l(leftTs) &&
+        r(rightTs) <= l(leftTs) + expr(s"INTERVAL $withinSeconds SECONDS"))
+      .drop(r(key))
+  }
+
   /** Streaming exact-dedup on a key within the watermark horizon
    *  (`dropDuplicates` keyed state — the streaming analog of
    *  `Dedup.exact`). */

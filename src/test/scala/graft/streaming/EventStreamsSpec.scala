@@ -190,6 +190,64 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static enrichment joins each micro-batch to the broadcast dim") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((1L, "GOLD"), (2L, "SILVER")).toDF("user_id", "tier")
+    val mem = MemoryStream[Event]
+    val q = EventStreams.enrichWithDim(mem.toDF(), dim, Seq("user_id"))
+      .select(col("event_id"), col("tier"))
+      .writeStream.format("memory").queryName("enrich_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(evs.take(4): _*)
+      q.processAllAvailable()
+      mem.addData(evs.drop(4): _*) // second batch re-joins the same static dim
+      q.processAllAvailable()
+      val streamed = spark.table("enrich_out")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      val batch = EventStreams.enrichWithDim(evs.toDF(), dim, Seq("user_id"))
+        .select(col("event_id"), col("tier"))
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(streamed == batch && batch.size == evs.size)
+    } finally q.stop()
+  }
+
+  test("stream-stream correlation join matches the batch band join") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def split(e: Seq[Event]): (Seq[(Long, Timestamp, Long)], Seq[(Long, Timestamp, Long)]) = (
+      e.filter(_.event_type == "click").map(x => (x.user_id, x.ts, x.event_id)),
+      e.filter(_.event_type == "buy").map(x => (x.user_id, x.ts, x.event_id)))
+    val (clicks, buys) = split(evs)
+    val memL = MemoryStream[(Long, Timestamp, Long)]
+    val memR = MemoryStream[(Long, Timestamp, Long)]
+    val q = EventStreams.correlateStreams(
+        memL.toDF().toDF("user_id", "click_ts", "click_id"),
+        memR.toDF().toDF("user_id", "buy_ts", "buy_id"),
+        "user_id", withinSeconds = 600L, "click_ts", "buy_ts",
+        watermarkDelay = "10 minutes")
+      .select(col("user_id"), col("click_id"), col("buy_id"))
+      .writeStream.format("memory").queryName("corr_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // deliver out of phase: clicks first, buys in a later batch
+      memL.addData(clicks: _*)
+      q.processAllAvailable()
+      memR.addData(buys: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("corr_out")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val batch = EventStreams.correlateStreams(
+          clicks.toDF("user_id", "click_ts", "click_id"),
+          buys.toDF("user_id", "buy_ts", "buy_id"),
+          "user_id", withinSeconds = 600L, "click_ts", "buy_ts")
+        .select(col("user_id"), col("click_id"), col("buy_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(streamed == batch && batch.nonEmpty)
+    } finally q.stop()
+  }
+
   test("streaming dedup drops re-delivered events inside the watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
