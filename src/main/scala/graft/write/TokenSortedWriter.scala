@@ -60,7 +60,19 @@ object TokenSortedWriter {
       // either side (co-located storage-partitioned join; the nominal
       // boundaries are recorded in the manifest for the read side to prove
       // compatibility). Overrides numPartitions when > 0.
-      ringSplits: Int = 0)
+      ringSplits: Int = 0,
+      // Hive-style directory partitioning on low-cardinality columns (a
+      // pruning axis the reference's token ring cannot express — e.g. a day
+      // column over an event log). Each listed column is DUPLICATED into a
+      // `graft_p_<col>` copy that becomes the directory key, so the data
+      // column itself stays in every file: reads are correct with or without
+      // dir pruning, and the scan prunes directories purely from pushed
+      // filters (see `TokenPruner.allowsDir`). Within each directory the
+      // layout is the usual token-sorted one.
+      partitionBy: Seq[String] = Nil)
+
+  /** Directory-key twin of a partitioned column (see `WriteConf.partitionBy`). */
+  def partCol(c: String): String = s"graft_p_$c"
 
   val TokenCol = "_graft_token"
   /** Per-row write timestamp in epoch micros (the CQL `writetime()` analog). */
@@ -104,13 +116,19 @@ object TokenSortedWriter {
    *  logical prefix (also what the DSv2 sink delegates to). */
   def tokenSorted(df: DataFrame, schema: CqlSchema, conf: WriteConf = WriteConf()): DataFrame = {
     require(schema.partitionKeys.nonEmpty, s"table ${schema.table} has no partition key")
-    val withToken = df.withColumn(TokenCol, graft_token(schema.partitionKeys.map(qcol): _*))
+    val withToken0 = df.withColumn(TokenCol, graft_token(schema.partitionKeys.map(qcol): _*))
+    // dir-key copies ride along; sorting by them FIRST means the dynamic-
+    // partition file writer sees its required ordering already satisfied and
+    // inserts no extra (order-destroying) sort — each output file keeps the
+    // monotone-token invariant
+    val withToken = conf.partitionBy.foldLeft(withToken0)(
+      (d, c) => d.withColumn(partCol(c), qcol(c)))
     val parted =
       if (conf.ringSplits > 0) ringPartitioned(withToken, conf.ringSplits)
       else if (conf.numPartitions > 0) withToken.repartitionByRange(conf.numPartitions, col(TokenCol))
       else withToken.repartitionByRange(col(TokenCol))
     parted.sortWithinPartitions(
-      (TokenCol +: schema.primaryKey).map(qcol): _*)
+      (conf.partitionBy.map(partCol) ++ (TokenCol +: schema.primaryKey)).map(qcol): _*)
   }
 
   /** Exact ring placement: partition i = splitRing(n)(i), NOT sampled
