@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Keep program stdout parseable: the bench/verify harness reads `sbt runMain`
+// output as JSON lines. The default forked-run LoggedOutput strategy prefixes
+// every stdout line with "[info] " (breaking json parsing), and the
+// "[success] Total time: …" trailer lands after the program's last line —
+// inherit stdout directly and drop the success banner.
+run / outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

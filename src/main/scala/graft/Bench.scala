@@ -20,10 +20,19 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // 3-decimal rounding keeps the whole line inside the harness's 2 KB
+    // output tail even as the battery grows
+    val qs = results.map { case (k, v) => f""""$k":$v%.3f""" }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // stop BEFORE printing so no executor/context shutdown log line can land
+    // after the JSON — the harness parses the last line of stdout
     spark.stop()
+    try {
+      val w = new java.io.PrintWriter("BENCH_SELF.json")
+      try w.println(line) finally w.close()
+    } catch { case _: Throwable => () }
+    println(line)
   }
 }
