@@ -750,6 +750,26 @@ object Battery {
           count(lit(1)).as("n_lines"),
           dsum(col("l_quantity"), 2).as("sum_qty"),
           max(col("l_linenumber")).as("max_line"))
+    }),
+
+    // ---- directory-partitioned layout (WriteConf.partitionBy) -----------
+    // a pruning axis the token ring cannot express: events written under
+    // graft_p_event_type=<v> dirs (data column stays in-file), read back
+    // with a pushed IN filter that prunes whole directories BEFORE any
+    // manifest/footer work, then aggregated per type
+    "q80_dir_partitioned" -> ((s, d) => {
+      val out = java.nio.file.Files.createTempDirectory("graft_dirpart_").toString + "/events"
+      TokenSortedWriter.write(
+        ev(s, d).select(col("event_id"), col("user_id"), col("event_type"), col("value")),
+        CqlSchema("events_dp", Seq("event_id")), out, SaveMode.Append,
+        TokenSortedWriter.WriteConf(numPartitions = 4, keepTokenColumn = true,
+          partitionBy = Seq("event_type")))
+      s.read.format("graft")
+        .option("path", out).option("pk", "event_id").load()
+        .filter(col("event_type").isin("click", "purchase"))
+        .groupBy(col("event_type")).agg(
+          count(lit(1)).as("n"),
+          dsum(col("value")).as("total_value"))
     })
   )
 
@@ -1223,6 +1243,11 @@ object Battery {
         |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
         |FROM events JOIN customer ON user_id = c_custkey
         |GROUP BY c_mktsegment, event_type""".stripMargin,
+    "q80_dir_partitioned" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+        |FROM events WHERE event_type IN ('click', 'purchase')
+        |GROUP BY event_type""".stripMargin,
     "q79_stream_correlate" ->
       """SELECT a.user_id, a.event_id AS click_id, b.event_id AS buy_id
         |FROM events a JOIN events b

@@ -92,7 +92,12 @@ class GraftDataSource extends TableProvider with DataSourceRegister
       // mergeSchema: appends may evolve the schema (e.g. a later write adds
       // the writetime/TTL feature columns) — the union schema is the table
       val full = spark.read.option("mergeSchema", "true").parquet(pathOf(options)).schema
-      StructType(full.fields.filterNot(_.name == TokenSortedWriter.TokenCol))
+      // `graft_p_*` are directory-key TWINS of real data columns (see
+      // WriteConf.partitionBy) — partition inference surfaces them here, but
+      // the data column itself lives in every file; the table schema is the
+      // file schema
+      StructType(full.fields.filterNot(f => f.name == TokenSortedWriter.TokenCol
+        || f.name.startsWith(TokenSortedWriter.partCol(""))))
     } catch {
       case _: org.apache.spark.sql.AnalysisException => new StructType()
     }
@@ -120,7 +125,9 @@ class GraftDataSource extends TableProvider with DataSourceRegister
       numPartitions = options.getInt("partitions", 0),
       maxRecordsPerFile = options.getLong("maxRecordsPerFile", 0L),
       allowOverwrite = options.getBoolean("allowOverwrite", false),
-      keepTokenColumn = options.getBoolean("keepToken", true))
+      keepTokenColumn = options.getBoolean("keepToken", true),
+      partitionBy = Option(options.get("partitionBy"))
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil))
     TokenSortedWriter.write(data, cql, pathOf(options), mode, conf)
     val outerSql = sqlContext
     val outSchema = data.schema
@@ -523,15 +530,105 @@ object TokenPruner {
     } finally reader.close()
   }
 
-  /** Keep only files whose stats can contain a pushed key: token ranges when
-   *  every file has them, integral pk-column ranges otherwise (dead until a
+  /** Directory keys encoded in a file's path: `graft_p_<col>=<value>` path
+   *  segments written by `WriteConf.partitionBy` (value percent-unescaped;
+   *  Hive null marker → None). Keyed by the DATA column name. */
+  def dirValues(path: String): Map[String, Option[String]] = {
+    val prefix = TokenSortedWriter.partCol("")
+    path.split('/').iterator.filter(_.startsWith(prefix)).flatMap { seg =>
+      seg.split("=", 2) match {
+        case Array(k, v) =>
+          val value = unescapePath(v)
+          Some(k.substring(prefix.length) ->
+            (if (value == "__HIVE_DEFAULT_PARTITION__") None else Some(value)))
+        case _ => None
+      }
+    }.toMap
+  }
+
+  private def unescapePath(s: String): String = {
+    if (!s.contains('%')) return s
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length) {
+        try { sb.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar); i += 3 }
+        catch { case _: NumberFormatException => sb.append(c); i += 1 }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  /** Render a pushed-filter value the way the dir layout renders it (dates
+   *  ISO, everything else toString) — None when the type can't round-trip
+   *  through a dir name faithfully (then the file must be kept). */
+  private def dirRender(v: Any): Option[String] = v match {
+    case null => None
+    case _: String | _: java.lang.Boolean | _: java.lang.Long | _: java.lang.Integer |
+         _: java.lang.Short | _: java.lang.Byte | _: java.sql.Date |
+         _: java.time.LocalDate => Some(v.toString)
+    case _ => None
+  }
+
+  /** Can a file under these directory keys satisfy the pushed filters?
+   *  Equality/IN/null tests prune exactly; ranges prune numerically for
+   *  integral values and lexicographically otherwise (safe for ISO dates).
+   *  Anything unrecognized keeps the file — pruning is best-effort, the
+   *  data column inside the file re-applies every filter. */
+  def allowsDir(dirs: Map[String, Option[String]], pushed: Array[Filter]): Boolean = {
+    if (dirs.isEmpty) return true
+    val uq = CqlSchema.unquoted _
+    def cmp(dir: String, v: Any): Option[Int] = dirRender(v).map { r =>
+      (dir.toLongOption, r.toLongOption) match {
+        case (Some(a), Some(b)) => java.lang.Long.compare(a, b)
+        case _ => dir.compareTo(r)
+      }
+    }
+    pushed.forall {
+      case EqualTo(c, v) => dirs.get(uq(c)) match {
+        case Some(Some(dir)) => cmp(dir, v).forall(_ == 0)
+        case Some(None) => false // dir is the null partition; = never matches null
+        case None => true
+      }
+      case In(c, vs) => dirs.get(uq(c)) match {
+        case Some(Some(dir)) => vs.exists(v => cmp(dir, v).forall(_ == 0))
+        case Some(None) => false
+        case None => true
+      }
+      case org.apache.spark.sql.sources.IsNull(c) =>
+        dirs.get(uq(c)).forall(_.isEmpty)
+      case org.apache.spark.sql.sources.IsNotNull(c) =>
+        dirs.get(uq(c)).forall(_.nonEmpty)
+      case org.apache.spark.sql.sources.GreaterThan(c, v) =>
+        dirs.get(uq(c)).forall(_.exists(dir => cmp(dir, v).forall(_ > 0)))
+      case org.apache.spark.sql.sources.GreaterThanOrEqual(c, v) =>
+        dirs.get(uq(c)).forall(_.exists(dir => cmp(dir, v).forall(_ >= 0)))
+      case org.apache.spark.sql.sources.LessThan(c, v) =>
+        dirs.get(uq(c)).forall(_.exists(dir => cmp(dir, v).forall(_ < 0)))
+      case org.apache.spark.sql.sources.LessThanOrEqual(c, v) =>
+        dirs.get(uq(c)).forall(_.exists(dir => cmp(dir, v).forall(_ <= 0)))
+      case org.apache.spark.sql.sources.And(l, r) =>
+        allowsDir(dirs, Array(l)) && allowsDir(dirs, Array(r))
+      case org.apache.spark.sql.sources.Or(l, r) =>
+        allowsDir(dirs, Array(l)) || allowsDir(dirs, Array(r))
+      case _ => true
+    }
+  }
+
+  /** Keep only files whose stats can contain a pushed key: directory keys
+   *  first (`WriteConf.partitionBy` layouts), then token ranges when every
+   *  file has them, integral pk-column ranges otherwise (dead until a
    *  pushed value misses a file's [min,max]). With no pushdown or no stats,
    *  keep everything (parquet row-group stats still prune inside the scan). */
   def prune(
       spark: SparkSession,
-      files: Array[FileMeta],
+      files0: Array[FileMeta],
       pushed: Array[Filter],
-      cql: CqlSchema): Array[FileMeta] =
+      cql: CqlSchema): Array[FileMeta] = {
+    val files =
+      if (pushed.isEmpty) files0
+      else files0.filter(f => allowsDir(dirValues(f.path), pushed))
     keyTokens(pushed, cql) match {
       case Some(tokens) if tokens.nonEmpty && files.forall(_.tokenRange.isDefined) =>
         files.filter { f =>
@@ -557,4 +654,5 @@ object TokenPruner {
           }
         }
     }
+  }
 }

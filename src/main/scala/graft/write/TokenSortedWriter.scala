@@ -123,10 +123,15 @@ object TokenSortedWriter {
     // monotone-token invariant
     val withToken = conf.partitionBy.foldLeft(withToken0)(
       (d, c) => d.withColumn(partCol(c), qcol(c)))
+    // Dir-partitioned layouts range-partition on (dirKeys…, token): within
+    // each directory, tasks then cover DISJOINT token sub-ranges, so every
+    // directory independently keeps the pairwise-disjoint-files invariant —
+    // a dir-pruned scan still qualifies for the clustered no-shuffle path.
+    val rangeCols = (conf.partitionBy.map(partCol) :+ TokenCol).map(qcol)
     val parted =
       if (conf.ringSplits > 0) ringPartitioned(withToken, conf.ringSplits)
-      else if (conf.numPartitions > 0) withToken.repartitionByRange(conf.numPartitions, col(TokenCol))
-      else withToken.repartitionByRange(col(TokenCol))
+      else if (conf.numPartitions > 0) withToken.repartitionByRange(conf.numPartitions, rangeCols: _*)
+      else withToken.repartitionByRange(rangeCols: _*)
     parted.sortWithinPartitions(
       (conf.partitionBy.map(partCol) ++ (TokenCol +: schema.primaryKey)).map(qcol): _*)
   }
@@ -159,12 +164,16 @@ object TokenSortedWriter {
       throw new IllegalArgumentException(
         "SaveMode.Overwrite rejected (reference sink semantics); set allowOverwrite to opt in")
     }
+    require(conf.partitionBy.isEmpty || conf.ringSplits == 0,
+      "partitionBy and ringSplits are mutually exclusive layouts")
     val sorted = tokenSorted(withWriteOptions(df, conf), schema, conf)
     val out = if (conf.keepTokenColumn) sorted else sorted.drop(TokenCol)
     val writer = out.write.mode(mode)
     val w2 = if (conf.maxRecordsPerFile > 0)
       writer.option("maxRecordsPerFile", conf.maxRecordsPerFile) else writer
-    w2.parquet(path)
+    val w3 = if (conf.partitionBy.nonEmpty)
+      w2.partitionBy(conf.partitionBy.map(partCol): _*) else w2
+    w3.parquet(path)
     // record planning stats for the new files while their footers are hot —
     // scans then plan from the manifest in O(1) driver IO (S3 at 100 TB)
     Manifest.appendFor(df.sparkSession, path,

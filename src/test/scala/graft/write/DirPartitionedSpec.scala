@@ -1,0 +1,102 @@
+package graft.write
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import graft.model.CqlSchema
+import graft.sources.TokenPruner
+import org.apache.spark.sql.SaveMode
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.sources.{EqualTo, GreaterThanOrEqual, In, IsNull}
+
+/** `WriteConf.partitionBy` — Hive-style directory partitioning layered under
+ *  the token-sorted layout: dir keys are `graft_p_<col>` TWINS of real data
+ *  columns, the data column stays in every file, and the scan prunes whole
+ *  directories from pushed filters before any footer/manifest consultation. */
+class DirPartitionedSpec extends SparkSpec {
+
+  private val schema = CqlSchema("evt", Seq("id"))
+
+  private lazy val dir: String = {
+    val d = Files.createTempDirectory("graft_dirpart_").toString + "/evt"
+    import spark.implicits._
+    val df = (1L to 4000L)
+      .map(i => (i, Seq("click", "view", "purchase", "scroll")((i % 4).toInt), i * 10))
+      .toDF("id", "etype", "v")
+    TokenSortedWriter.write(df, schema, d, SaveMode.Append,
+      TokenSortedWriter.WriteConf(numPartitions = 4, keepTokenColumn = true,
+        partitionBy = Seq("etype")))
+    d
+  }
+
+  private def graftRead = spark.read.format("graft")
+    .option("path", dir).option("pk", "id").option("table", "evt").load()
+
+  test("round-trip: data column present, dir twin hidden, all rows back") {
+    val df = graftRead
+    assert(df.columns.toSeq == Seq("id", "etype", "v"), "graft_p_* must not leak into the schema")
+    assert(df.count() == 4000)
+    // the data column really is in the files (not reconstructed from dirs)
+    assert(df.filter(col("id") === 42L).select("etype").head().getString(0) == "purchase")
+  }
+
+  test("files land under graft_p_etype=<value> dirs, token-disjoint per dir") {
+    val files = TokenPruner.listFiles(spark, dir)
+    val byDir = files.groupBy(f => TokenPruner.dirValues(f.path)("etype").get)
+    assert(byDir.keySet == Set("click", "view", "purchase", "scroll"))
+    // within each directory the files keep the pairwise-disjoint invariant
+    byDir.values.foreach { fs =>
+      val ranges = fs.flatMap(_.tokenRange).sortBy(_._1)
+      assert(ranges.length == fs.length, "every file carries token stats")
+      ranges.zip(ranges.tail).foreach { case ((_, pmax), (nmin, _)) =>
+        assert(pmax < nmin, "per-dir files must not overlap in token space")
+      }
+    }
+  }
+
+  test("pushed equality on the partition column prunes whole directories") {
+    val all = TokenPruner.listFiles(spark, dir)
+    val pruned = TokenPruner.prune(spark, all, Array(EqualTo("etype", "click")), schema)
+    assert(pruned.nonEmpty && pruned.length < all.length)
+    assert(pruned.forall(f => TokenPruner.dirValues(f.path)("etype").contains("click")))
+    // IN keeps exactly the named dirs
+    val in2 = TokenPruner.prune(spark, all,
+      Array(In("etype", Array[Any]("click", "view"))), schema)
+    assert(in2.forall(f =>
+      Set("click", "view")(TokenPruner.dirValues(f.path)("etype").get)))
+    assert(in2.length > pruned.length && in2.length < all.length)
+  }
+
+  test("dir pruning composes with token pruning; results stay correct") {
+    val q = graftRead.filter(col("etype") === "purchase" && col("id") <= 100L)
+    assert(q.count() == 25)
+    assert(q.agg(sum(col("v"))).head().getLong(0) ==
+      (1L to 100L).filter(_ % 4 == 2).map(_ * 10).sum)
+  }
+
+  test("range and null filters prune conservatively and correctly") {
+    val all = TokenPruner.listFiles(spark, dir)
+    // lexicographic: 'scroll' and 'view' are >= 'scroll'
+    val ge = TokenPruner.prune(spark, all, Array(GreaterThanOrEqual("etype", "scroll")), schema)
+    assert(ge.forall(f => Set("scroll", "view")(TokenPruner.dirValues(f.path)("etype").get)))
+    // no null dir exists: IsNull prunes everything
+    assert(TokenPruner.prune(spark, all, Array(IsNull("etype")), schema).isEmpty)
+    // a filter on a NON-partition column must not dir-prune anything
+    assert(TokenPruner.prune(spark, all, Array(EqualTo("v", 10L)), schema).length == all.length)
+  }
+
+  test("null partition values round-trip through the Hive default dir") {
+    val d = Files.createTempDirectory("graft_dirnull_").toString + "/t"
+    import spark.implicits._
+    val df = Seq((1L, "a"), (2L, null), (3L, "b"), (4L, null)).toDF("id", "tag")
+    TokenSortedWriter.write(df, CqlSchema("t", Seq("id")), d, SaveMode.Append,
+      TokenSortedWriter.WriteConf(numPartitions = 2, keepTokenColumn = true,
+        partitionBy = Seq("tag")))
+    val back = spark.read.format("graft").option("path", d).option("pk", "id").load()
+    assert(back.count() == 4)
+    assert(back.filter(col("tag").isNull).count() == 2)
+    val all = TokenPruner.listFiles(spark, d)
+    val nullDirs = TokenPruner.prune(spark, all, Array(IsNull("tag")), CqlSchema("t", Seq("id")))
+    assert(nullDirs.nonEmpty && nullDirs.forall(f => TokenPruner.dirValues(f.path)("tag").isEmpty))
+  }
+}
