@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Deterministic, reproducible sampling and dataset-split assignment — the
+ * curation primitives of a training-data pipeline (train/val/test splits,
+ * corpus down-sampling, per-source mixing weights).
+ *
+ * Everything here keys on `md5(concat_ws("|", keys…))` rather than
+ * `rand()`: the assignment of a row is a pure function of its key, so
+ *
+ *  - re-runs, task retries and cluster re-sizes produce the IDENTICAL
+ *    sample (rand()-based sampling changes under retry — poison for
+ *    reproducible training sets);
+ *  - the same row lands in the same split across pipelines and engines
+ *    (any system with md5 agrees — the battery oracle recomputes the
+ *    assignment in DuckDB and hash-matches);
+ *  - no coordination, no state: a codegen'd scalar expression, zero
+ *    shuffles, linear scan at any scale.
+ *
+ * Selection compares the first 8 hex chars of the digest against a
+ * fraction-derived hex threshold LEXICOGRAPHICALLY — both Spark and every
+ * SQL engine render md5 as lowercase hex, so the comparison is portable
+ * (no big-int hex parsing anywhere).
+ */
+object Sampling {
+
+  /** First 8 hex chars of md5 over the pipe-joined key columns — uniform on
+   *  [0x00000000, 0xffffffff] and identical in any md5-bearing engine. */
+  def hashHex(keys: Seq[Column]): Column =
+    substring(md5(concat_ws("|", keys.map(_.cast("string")): _*)), 1, 8)
+
+  /** Hex threshold such that P[hashHex < threshold] = fraction. For
+   *  fraction >= 1 returns "g" (lexicographically above every hex digit,
+   *  so the filter keeps everything, including hash "ffffffff"). */
+  def thresholdHex(fraction: Double): String = {
+    require(fraction >= 0, s"fraction must be >= 0, got $fraction")
+    if (fraction >= 1.0) "g"
+    else f"${math.floor(fraction * 4294967296.0).toLong}%08x"
+  }
+
+  /** Keep a deterministic `fraction` of rows, keyed by `keys`. */
+  def hashSample(df: DataFrame, keys: Seq[String], fraction: Double): DataFrame =
+    df.filter(hashHex(keys.map(col)) < lit(thresholdHex(fraction)))
+
+  /**
+   * Assign every row to one of the named splits with the given weights
+   * (normalized; e.g. `Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)`),
+   * as a new column. The split is a pure function of the key: stable under
+   * re-runs, engine-portable, and disjoint-and-exhaustive by construction
+   * (the last split takes the residual hash range, so float rounding can
+   * never drop a row).
+   */
+  def deterministicSplit(
+      df: DataFrame,
+      keys: Seq[String],
+      splits: Seq[(String, Double)],
+      outCol: String = "split"): DataFrame = {
+    require(splits.nonEmpty, "need at least one split")
+    require(splits.forall(_._2 >= 0) && splits.map(_._2).sum > 0, "weights must be >= 0, sum > 0")
+    val total = splits.map(_._2).sum
+    val h = hashHex(keys.map(col))
+    val cumulative = splits.init.scanLeft(0.0) { case (acc, (_, w)) => acc + w / total }.tail
+    val assigned = splits.init.zip(cumulative).foldLeft(Option.empty[Column]) {
+      case (acc, ((name, _), cum)) =>
+        val cond = h < lit(thresholdHex(cum))
+        Some(acc.fold(when(cond, lit(name)))(_.when(cond, lit(name))))
+    }
+    val expr = assigned.fold(lit(splits.head._1))(_.otherwise(lit(splits.last._1)))
+    df.withColumn(outCol, expr)
+  }
+
+  /**
+   * Per-source mixing: keep a different deterministic fraction of each
+   * source (the "dataset mixture weights" step of corpus assembly — e.g.
+   * keep 100% of books, 10% of web). Rows whose source has no entry are
+   * DROPPED (explicit mixture only). One codegen'd filter, zero shuffles.
+   */
+  def mixSources(
+      df: DataFrame,
+      sourceCol: String,
+      keys: Seq[String],
+      fractions: Map[String, Double]): DataFrame = {
+    require(fractions.nonEmpty, "need at least one source fraction")
+    val h = hashHex(keys.map(col))
+    // threshold looked up per row from the source column; unknown → "0…0"
+    // (empty range, row dropped)
+    val th = fractions.toSeq.sortBy(_._1).foldLeft(Option.empty[Column]) {
+      case (acc, (s, f)) =>
+        val c = col(sourceCol) === lit(s)
+        Some(acc.fold(when(c, lit(thresholdHex(f))))(_.when(c, lit(thresholdHex(f)))))
+    }.get.otherwise(lit("00000000"))
+    df.filter(h < th)
+  }
+}

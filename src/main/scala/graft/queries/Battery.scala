@@ -770,7 +770,30 @@ object Battery {
         .groupBy(col("event_type")).agg(
           count(lit(1)).as("n"),
           dsum(col("value")).as("total_value"))
-    })
+    }),
+
+    // ---- training-data curation: reproducible splits / mixing / packing --
+    // md5-keyed (NOT rand()): the assignment is a pure function of the key,
+    // so retries/re-runs/engines agree — which is exactly why the DuckDB
+    // oracle can recompute it and hash-match
+    "q81_hash_split" -> ((s, d) =>
+      graft.operators.Sampling.deterministicSplit(
+          docs(s, d), Seq("doc_id"),
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .groupBy(col("split")).agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("chars"))),
+    "q82_mix_sources" -> ((s, d) =>
+      graft.operators.Sampling.mixSources(
+          docs(s, d), "source", Seq("doc_id"),
+          Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25, "src3" -> 0.1))
+        .groupBy(col("source")).agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("chars"))),
+    "q83_pack_bins" -> ((s, d) =>
+      graft.operators.Packing.binStats(
+        docs(s, d).withColumn("shard", col("doc_id") % 8),
+        Seq("shard"), Seq("doc_id"), "n_chars", budget = 16384L))
   )
 
   /** Write the [[graft.tables.TypedTable]] fixture through the graft sink and
@@ -1248,6 +1271,36 @@ object Battery {
         |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
         |FROM events WHERE event_type IN ('click', 'purchase')
         |GROUP BY event_type""".stripMargin,
+    // thresholds are Sampling.thresholdHex values: 0.8 -> cccccccc,
+    // 0.9 -> e6666666, 0.5 -> 80000000, 0.25 -> 40000000, 0.1 -> 19999999
+    "q81_hash_split" ->
+      """SELECT split, COUNT(*) AS n_docs, SUM(n_chars) AS chars FROM (
+        |  SELECT CASE
+        |    WHEN substring(md5(CAST(doc_id AS VARCHAR)),1,8) < 'cccccccc' THEN 'train'
+        |    WHEN substring(md5(CAST(doc_id AS VARCHAR)),1,8) < 'e6666666' THEN 'val'
+        |    ELSE 'test' END AS split, n_chars
+        |  FROM documents)
+        |GROUP BY split""".stripMargin,
+    "q82_mix_sources" ->
+      """SELECT source, COUNT(*) AS n_docs, SUM(n_chars) AS chars
+        |FROM documents
+        |WHERE substring(md5(CAST(doc_id AS VARCHAR)),1,8) < CASE source
+        |  WHEN 'src0' THEN 'g'
+        |  WHEN 'src1' THEN '80000000'
+        |  WHEN 'src2' THEN '40000000'
+        |  WHEN 'src3' THEN '19999999'
+        |  ELSE '00000000' END
+        |GROUP BY source""".stripMargin,
+    "q83_pack_bins" ->
+      """WITH b AS (
+        |  SELECT doc_id % 8 AS shard, n_chars,
+        |    CAST(floor(COALESCE(SUM(n_chars) OVER (PARTITION BY doc_id % 8
+        |      ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |      0) / 16384) AS BIGINT) AS bin
+        |  FROM documents)
+        |SELECT shard, bin, COUNT(*) AS n_docs, SUM(n_chars) AS fill,
+        |  MAX(n_chars) AS largest
+        |FROM b GROUP BY shard, bin""".stripMargin,
     "q79_stream_correlate" ->
       """SELECT a.user_id, a.event_id AS click_id, b.event_id AS buy_id
         |FROM events a JOIN events b

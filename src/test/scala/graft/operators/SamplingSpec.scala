@@ -1,0 +1,66 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SamplingSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private lazy val ids = (1L to 10000L).toDF("id")
+
+  test("thresholdHex: fraction edges and known values") {
+    assert(Sampling.thresholdHex(0.0) == "00000000")
+    assert(Sampling.thresholdHex(0.5) == "80000000")
+    assert(Sampling.thresholdHex(0.8) == "cccccccc")
+    assert(Sampling.thresholdHex(1.0) == "g") // above every hex digit: keeps all
+    intercept[IllegalArgumentException](Sampling.thresholdHex(-0.1))
+  }
+
+  test("hashSample: deterministic, close to the requested fraction, stable") {
+    val a = Sampling.hashSample(ids, Seq("id"), 0.2)
+    val n = a.count()
+    assert(math.abs(n - 2000L) < 200, s"20% of 10k should be ~2000, got $n")
+    // determinism: same rows on every evaluation
+    assert(a.agg(sum("id")).head().getLong(0) ==
+      Sampling.hashSample(ids, Seq("id"), 0.2).agg(sum("id")).head().getLong(0))
+    // monotone: a smaller fraction is a SUBSET of a larger one
+    val small = Sampling.hashSample(ids, Seq("id"), 0.1)
+    assert(small.join(a, Seq("id"), "left_anti").count() == 0)
+    // fraction 1.0 keeps everything
+    assert(Sampling.hashSample(ids, Seq("id"), 1.0).count() == 10000)
+  }
+
+  test("deterministicSplit: disjoint, exhaustive, near the weights") {
+    val s = Sampling.deterministicSplit(ids, Seq("id"),
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    val counts = s.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.keySet == Set("train", "val", "test"))
+    assert(counts.values.sum == 10000, "every row assigned exactly once")
+    assert(math.abs(counts("train") - 8000L) < 300)
+    assert(math.abs(counts("val") - 1000L) < 150)
+    // weights normalize: 8/1/1 == 0.8/0.1/0.1
+    val s2 = Sampling.deterministicSplit(ids, Seq("id"),
+      Seq("train" -> 8.0, "val" -> 1.0, "test" -> 1.0))
+    assert(s2.filter(col("split") === "train").count() == counts("train"))
+  }
+
+  test("split assignment is a pure function of the key (row content irrelevant)") {
+    val withPayload = ids.withColumn("payload", rand())
+    val a = Sampling.deterministicSplit(ids, Seq("id"), Seq("x" -> 0.5, "y" -> 0.5))
+    val b = Sampling.deterministicSplit(withPayload, Seq("id"), Seq("x" -> 0.5, "y" -> 0.5))
+    assert(a.select("id", "split").except(b.select("id", "split")).count() == 0)
+  }
+
+  test("mixSources: per-source fractions, unknown sources dropped") {
+    val df = (1L to 3000L).map(i => (i, s"src${i % 3}")).toDF("id", "src")
+    val mixed = Sampling.mixSources(df, "src", Seq("id"),
+      Map("src0" -> 1.0, "src1" -> 0.25))
+    val by = mixed.groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(by.getOrElse("src2", 0L) == 0L, "unlisted source must be dropped")
+    assert(by("src0") == 1000L, "fraction 1.0 keeps every row")
+    assert(math.abs(by("src1") - 250L) < 80)
+  }
+}
