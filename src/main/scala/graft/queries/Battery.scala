@@ -793,7 +793,19 @@ object Battery {
     "q83_pack_bins" -> ((s, d) =>
       graft.operators.Packing.binStats(
         docs(s, d).withColumn("shard", col("doc_id") % 8),
-        Seq("shard"), Seq("doc_id"), "n_chars", budget = 16384L))
+        Seq("shard"), Seq("doc_id"), "n_chars", budget = 16384L)),
+
+    // deep-nested UDT analog (struct<struct<struct<..>, array, ..>, ..>)
+    // through the graft sink + DSv2 source — every projected leaf crosses
+    // all three nesting levels (EndToEndTests.testDeepNestedUDT parity)
+    "q84_deep_nested" -> ((s, d) =>
+      typedRoundTrip(s, d).select(
+        col("p_partkey"),
+        col("deep.level1.level2.leaf").as("leaf"),
+        col("deep.level1.level2.n").as("n"),
+        array_join(col("deep.level1.codes"), ",").as("codes"),
+        col("deep.level1.sib").as("sib"),
+        col("deep.top").as("top")))
   )
 
   /** Write the [[graft.tables.TypedTable]] fixture through the graft sink and
@@ -1291,6 +1303,11 @@ object Battery {
         |  WHEN 'src3' THEN '19999999'
         |  ELSE '00000000' END
         |GROUP BY source""".stripMargin,
+    "q84_deep_nested" ->
+      """SELECT p_partkey, p_type AS leaf, CAST(p_size AS BIGINT) AS n,
+        |  array_to_string(string_split(p_type, ' '), ',') AS codes,
+        |  p_partkey % 10 AS sib, p_brand AS top
+        |FROM part""".stripMargin,
     "q83_pack_bins" ->
       """WITH b AS (
         |  SELECT doc_id % 8 AS shard, n_chars,

@@ -276,9 +276,7 @@ class GraftScan(
   // `DataLayer.stats():344-347`, as DSv2 custom metrics → Spark UI SQL node)
   override def supportedCustomMetrics()
       : Array[org.apache.spark.sql.connector.metric.CustomMetric] = Array(
-    GraftScan.metric("graftFilesListed", "graft: data files listed"),
-    GraftScan.metric("graftFilesPlanned", "graft: files planned after pk/token pruning"),
-    GraftScan.metric("graftBytesPlanned", "graft: on-disk bytes planned"))
+    new GraftFilesListedMetric, new GraftFilesPlannedMetric, new GraftBytesPlannedMetric)
 
   override def reportDriverMetrics()
       : Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] = {
@@ -395,13 +393,19 @@ class GraftScan(
  * Pruning uses `_graft_token` min/max (token layout) or integral
  * partition-key column min/max (generic layout, `pkRanges`).
  */
-object GraftScan {
-  private[sources] def metric(n: String, desc: String)
-      : org.apache.spark.sql.connector.metric.CustomMetric =
-    new org.apache.spark.sql.connector.metric.CustomSumMetric {
-      override def name(): String = n
-      override def description(): String = desc
-    }
+// Top-level 0-arg classes: the Spark UI re-instantiates metric classes
+// reflectively when aggregating (SQLAppStatusListener.aggregateMetrics).
+class GraftFilesListedMetric extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+  override def name(): String = "graftFilesListed"
+  override def description(): String = "graft: data files listed"
+}
+class GraftFilesPlannedMetric extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+  override def name(): String = "graftFilesPlanned"
+  override def description(): String = "graft: files planned after pk/token pruning"
+}
+class GraftBytesPlannedMetric extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+  override def name(): String = "graftBytesPlanned"
+  override def description(): String = "graft: on-disk bytes planned"
 }
 
 object TokenPruner {

@@ -59,5 +59,18 @@ object TypedTable {
       encode(col("p_brand"), "UTF-8").as("bin"),
       col("p_size").cast("short").as("small"),
       (col("p_size") % 100).cast("byte").as("tiny"),
-      floor(col("p_retailprice") * 1000000).cast("decimal(38,0)").as("varint_ish"))
+      floor(col("p_retailprice") * 1000000).cast("decimal(38,0)").as("varint_ish"),
+      // three-level UDT nesting with a collection at the innermost level
+      // (`EndToEndTests.testDeepNestedUDT:1614` — UDT<UDT<UDT, list>>):
+      // every leaf is reachable only through the full chain, so a
+      // round-trip that flattens, reorders or re-types ANY level breaks
+      // the q84 projection hash
+      struct(
+        struct(
+          struct(
+            col("p_type").as("leaf"),
+            col("p_size").cast("long").as("n")).as("level2"),
+          split(col("p_type"), " ").as("codes"),
+          (col("p_partkey") % 10).as("sib")).as("level1"),
+        col("p_brand").as("top")).as("deep"))
 }
