@@ -64,6 +64,37 @@ class PlanQualitySpec extends SparkSpec {
     assert(plan.contains("files=1"), s"expected pruning to 1 file in:\n$plan")
   }
 
+  test("dir-partitioned layout: pushed filter prunes whole directories in the executed plan") {
+    val dir = Files.createTempDirectory("graft_plandir_").toString + "/t"
+    import spark.implicits._
+    TokenSortedWriter.write(
+      (1L to 2000L).map(i => (i, Seq("a", "b", "c", "d")((i % 4).toInt), i)).toDF("id", "cat", "v"),
+      CqlSchema("t", Seq("id")), dir, SaveMode.Append,
+      TokenSortedWriter.WriteConf(numPartitions = 4, keepTokenColumn = true,
+        partitionBy = Seq("cat")))
+    val read = spark.read.format("graft").option("path", dir).option("pk", "id").load()
+    val total = graft.sources.TokenPruner.listFiles(spark, dir).length
+    val plan = read.filter(col("cat") === "b")
+      .queryExecution.executedPlan.toString
+    // the scan description counts planned files: a cat filter must plan
+    // strictly fewer than the whole table, and only cat=b directories
+    val filesRe = "files=(\\d+)".r
+    val planned = filesRe.findFirstMatchIn(plan).map(_.group(1).toInt)
+    assert(planned.exists(n => n > 0 && n < total),
+      s"dir pruning should plan fewer than $total files, got $planned in:\n$plan")
+    // correctness under the pruning
+    assert(read.filter(col("cat") === "b").count() == 500L)
+    // the clustered no-shuffle property survives WITHIN one directory
+    val one = spark.read.format("graft")
+      .option("path", dir).option("pk", "id").option("clustered", "true").load()
+      .filter(col("cat") === "b")
+      .groupBy(col("id")).agg(sum(col("v")).as("s"))
+    val p2 = one.queryExecution.executedPlan.toString
+    assert(!p2.contains("Exchange"),
+      s"dir-pruned scan covers one directory's disjoint files; groupBy(pk) must not shuffle:\n$p2")
+    assert(one.count() == 500L)
+  }
+
   test("clustered graft scan: groupBy(pk) plans NO exchange; overlapping layout falls back") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_clus_").toString + "/t"
