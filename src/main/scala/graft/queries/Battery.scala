@@ -805,7 +805,26 @@ object Battery {
         col("deep.level1.level2.n").as("n"),
         array_join(col("deep.level1.codes"), ",").as("codes"),
         col("deep.level1.sib").as("sib"),
-        col("deep.top").as("top")))
+        col("deep.top").as("top"))),
+
+    // the spark.sql workflow end-to-end: CREATE TABLE … USING graft over a
+    // token-sorted dir, INSERT INTO through the V1 write fallback (rows flow
+    // through the tokenizer), then a plain SQL aggregate over the result
+    "q85_sql_table" -> ((s, d) => {
+      val out = java.nio.file.Files.createTempDirectory("graft_sqlbat_").toString + "/orders"
+      TokenSortedWriter.write(
+        ord(s, d).select(col("o_orderkey"), col("o_custkey"), col("o_totalprice")),
+        CqlSchema("orders_sql", Seq("o_orderkey")), out, SaveMode.Append,
+        TokenSortedWriter.WriteConf(numPartitions = 4, keepTokenColumn = true))
+      s.sql("DROP TABLE IF EXISTS graft_battery_sql")
+      s.sql(s"CREATE TABLE graft_battery_sql USING graft " +
+        s"OPTIONS (path '$out', pk 'o_orderkey')")
+      s.sql("INSERT INTO graft_battery_sql VALUES " +
+        "(-1, -1, 100.0), (-2, -2, 200.0)")
+      s.sql("""SELECT COUNT(*) AS n,
+               |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+               |FROM graft_battery_sql""".stripMargin)
+    })
   )
 
   /** Write the [[graft.tables.TypedTable]] fixture through the graft sink and
@@ -1303,6 +1322,10 @@ object Battery {
         |  WHEN 'src3' THEN '19999999'
         |  ELSE '00000000' END
         |GROUP BY source""".stripMargin,
+    "q85_sql_table" ->
+      """SELECT COUNT(*) + 2 AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) + 300.00 AS DOUBLE) AS total
+        |FROM orders""".stripMargin,
     "q84_deep_nested" ->
       """SELECT p_partkey, p_type AS leaf, CAST(p_size AS BIGINT) AS n,
         |  array_to_string(string_split(p_type, ' '), ',') AS codes,

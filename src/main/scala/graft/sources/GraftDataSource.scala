@@ -109,7 +109,7 @@ class GraftDataSource extends TableProvider with DataSourceRegister
       properties: util.Map[String, String]): Table = {
     val options = new CaseInsensitiveStringMap(properties)
     val cql = GraftDataSource.cqlFrom(options, schema)
-    new GraftTable(pathOf(options), GraftDataSource.annotateStruct(cql, schema), cql)
+    new GraftTable(pathOf(options), GraftDataSource.annotateStruct(cql, schema), cql, options)
   }
 
   // ---- S10: DSv1 write path (CreatableRelationProvider, like the reference sink)
@@ -166,17 +166,47 @@ object GraftDataSource {
 /** S1's Table: schema with role metadata, batch + micro-batch read
  *  capabilities (the reference advertises MICRO_BATCH_READ without an
  *  implementation, `CassandraTable.java:59-62`; ours is real —
- *  [[GraftMicroBatchStream]]). */
-class GraftTable(dir: String, annotated: StructType, cql: CqlSchema)
-    extends Table with SupportsRead {
+ *  [[GraftMicroBatchStream]]) plus a V1 batch-write fallback so SQL
+ *  `INSERT INTO` flows through the token-sorted sink — the same DSv1
+ *  delegation the reference's `CassandraDataSink` uses. */
+class GraftTable(
+    dir: String,
+    annotated: StructType,
+    cql: CqlSchema,
+    tableOptions: CaseInsensitiveStringMap = CaseInsensitiveStringMap.empty())
+    extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
 
   override def name(): String = s"graft.`$dir`"
   override def schema(): StructType = annotated
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
+      TableCapability.V1_BATCH_WRITE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(dir, annotated, cql, options.getBoolean("clustered", false))
+
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new org.apache.spark.sql.connector.write.WriteBuilder {
+      override def build(): org.apache.spark.sql.connector.write.V1Write =
+        new org.apache.spark.sql.connector.write.V1Write {
+          override def toInsertableRelation
+              : org.apache.spark.sql.sources.InsertableRelation =
+            (data: DataFrame, overwrite: Boolean) => {
+              val conf = TokenSortedWriter.WriteConf(
+                numPartitions = tableOptions.getInt("partitions", 0),
+                maxRecordsPerFile = tableOptions.getLong("maxRecordsPerFile", 0L),
+                allowOverwrite = tableOptions.getBoolean("allowOverwrite", false),
+                keepTokenColumn = tableOptions.getBoolean("keepToken", true),
+                partitionBy = Option(tableOptions.get("partitionBy"))
+                  .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil))
+              val mode = if (overwrite) SaveMode.Overwrite else SaveMode.Append
+              TokenSortedWriter.write(data, cql, dir, mode, conf)
+            }
+        }
+    }
 }
 
 /**
