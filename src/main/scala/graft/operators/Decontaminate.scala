@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Benchmark decontamination — flag (and drop) corpus documents that share
+ * any word n-gram with a probe/benchmark set. The standard guard against
+ * test-set leakage when assembling training corpora: a document containing
+ * a verbatim benchmark n-gram is contaminated and must not be trained on.
+ *
+ * Mechanics: whitespace tokens → every n-token window → md5-prefix hash of
+ * the joined window (16 hex chars ≈ 64 bits — collision-safe at corpus
+ * scale and portable: any md5-bearing engine recomputes the identical key,
+ * which is how the battery oracle checks this in DuckDB) → hash semi-join
+ * against the probe set's n-gram hashes.
+ *
+ * Scale shape: gram generation is a codegen'd higher-order expression (no
+ * UDF, no explode until the join needs rows); the join ships only
+ * (id, 16-char hash) pairs — document text never moves; the probe side is
+ * a benchmark (thousands of docs), so its distinct hash set BROADCASTS and
+ * the corpus side never shuffles at all. At 100 TB: one broadcast
+ * hash-semi-join over a linear scan.
+ */
+object Decontaminate {
+
+  /** Hashes of every `n`-token window of `textCol` (empty array when the
+   *  document has fewer than `n` tokens). */
+  def gramHashes(textCol: Column, n: Int): Column = {
+    require(n >= 2, "n-gram size must be >= 2")
+    val toks = split(textCol, " ")
+    when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => substring(md5(array_join(slice(toks, i, lit(n)), " ")), 1, 16)))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** (id, gram) pairs for a document set. */
+  def grams(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    df.select(col(idCol), explode(gramHashes(col(textCol), n)).as("gram"))
+
+  /** Ids of corpus documents sharing at least one n-gram with the probe
+   *  set. The probe's distinct gram set is small → broadcast semi-join. */
+  def contaminatedIds(
+      corpus: DataFrame,
+      probe: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 8): DataFrame = {
+    val probeGrams = broadcast(
+      probe.select(explode(gramHashes(col(textCol), n)).as("gram")).distinct())
+    grams(corpus, idCol, textCol, n)
+      .join(probeGrams, "gram", "left_semi")
+      .select(col(idCol)).distinct()
+  }
+
+  /** The corpus minus contaminated documents (the curation action). */
+  def dropContaminated(
+      corpus: DataFrame,
+      probe: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 8): DataFrame =
+    corpus.join(contaminatedIds(corpus, probe, idCol, textCol, n),
+      Seq(idCol), "left_anti")
+}

@@ -824,6 +824,17 @@ object Battery {
       s.sql("""SELECT COUNT(*) AS n,
                |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
                |FROM graft_battery_sql""".stripMargin)
+    }),
+
+    // benchmark decontamination: corpus docs sharing any verbatim 8-gram
+    // with the probe slice are leaked and must be identified — md5-prefix
+    // gram keys make the check engine-portable (oracle recomputes in DuckDB)
+    "q86_decontaminate" -> ((s, d) => {
+      val all = docs(s, d)
+      graft.operators.Decontaminate.contaminatedIds(
+        all.filter(col("doc_id") % 97 =!= 0),
+        all.filter(col("doc_id") % 97 === 0),
+        "doc_id", "text", n = 8)
     })
   )
 
@@ -1322,6 +1333,15 @@ object Battery {
         |  WHEN 'src3' THEN '19999999'
         |  ELSE '00000000' END
         |GROUP BY source""".stripMargin,
+    "q86_decontaminate" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |g AS (SELECT doc_id,
+        |    substring(md5(array_to_string(
+        |      w[CAST(i AS BIGINT):CAST(i AS BIGINT)+7], ' ')),1,16) AS gram
+        |  FROM t, UNNEST(range(1, len(w)-6)) AS u(i) WHERE len(w) >= 8)
+        |SELECT DISTINCT c.doc_id FROM g c
+        |JOIN (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0) p USING (gram)
+        |WHERE c.doc_id % 97 <> 0""".stripMargin,
     "q85_sql_table" ->
       """SELECT COUNT(*) + 2 AS n,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) + 300.00 AS DOUBLE) AS total

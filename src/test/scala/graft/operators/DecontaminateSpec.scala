@@ -1,0 +1,56 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DecontaminateSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val corpus = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog tonight"),
+    (2L, "a completely different sentence with no overlap at all here"),
+    (3L, "prefix words then the quick brown fox jumps over the lazy dog"),
+    (4L, "short doc"),
+    (5L, "the quick brown fox jumps over a different dog entirely now")
+  ).toDF("doc_id", "text")
+
+  private val probe = Seq(
+    (100L, "benchmark question the quick brown fox jumps over the lazy dog answer")
+  ).toDF("doc_id", "text")
+
+  test("gramHashes: count and determinism; short docs yield no grams") {
+    val n8 = corpus.select(col("doc_id"), size(Decontaminate.gramHashes(col("text"), 8)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(n8(1L) == 3, "10 tokens -> 3 distinct 8-token windows")
+    assert(n8(4L) == 0, "fewer tokens than n -> no grams")
+    // identical text segment produces identical hashes (the join key works)
+    val h1 = corpus.filter($"doc_id" === 1L)
+      .select(explode(Decontaminate.gramHashes(col("text"), 8))).as[String].collect().toSet
+    val h3 = corpus.filter($"doc_id" === 3L)
+      .select(explode(Decontaminate.gramHashes(col("text"), 8))).as[String].collect().toSet
+    assert((h1 & h3).nonEmpty, "shared 8-gram must hash identically in both docs")
+  }
+
+  test("contaminatedIds finds exactly the docs sharing an 8-gram with the probe") {
+    val ids = Decontaminate.contaminatedIds(corpus, probe, "doc_id", "text", 8)
+      .as[Long].collect().toSet
+    // docs 1 and 3 contain "the quick brown fox jumps over the lazy" /
+    // "quick brown fox jumps over the lazy dog" verbatim; doc 5 diverges
+    // at token 7 so no 8-token window survives; 2 and 4 are clean
+    assert(ids == Set(1L, 3L))
+  }
+
+  test("dropContaminated removes them and keeps everything else") {
+    val kept = Decontaminate.dropContaminated(corpus, probe, "doc_id", "text", 8)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(2L, 4L, 5L))
+  }
+
+  test("probe side broadcasts (corpus never shuffles for the semi-join)") {
+    val plan = Decontaminate.contaminatedIds(corpus, probe, "doc_id", "text", 8)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"expected a broadcast semi-join:\n$plan")
+  }
+}
