@@ -835,6 +835,28 @@ object Battery {
         all.filter(col("doc_id") % 97 =!= 0),
         all.filter(col("doc_id") % 97 === 0),
         "doc_id", "text", n = 8)
+    }),
+
+    // the whole curation pipeline composed end-to-end: language filter →
+    // quality gate → exact dedup by normalized fingerprint (keep lowest id)
+    // → reproducible train/val/test assignment → per-split accounting.
+    // Every stage is deterministic, so the ORACLE REPLAYS THE FULL PIPELINE
+    // in SQL and the final hash must match — the integration guarantee on
+    // top of the per-operator queries (q31, q32, q34, q81)
+    "q87_curation_pipeline" -> ((s, d) => {
+      val lang = TextAnalysis.withLangId(docs(s, d), "text")
+      val qual = TextAnalysis.withQuality(lang, "text")
+      val kept = qual.filter(col("lang_pred") === "en" && col("quality_score") >= 0.75)
+      val deduped = TextAnalysis.withFingerprint(kept, "text")
+        .groupBy(col("fingerprint")).agg(
+          min(col("doc_id")).as("doc_id"),
+          min_by(col("n_chars"), col("doc_id")).as("n_chars"))
+      graft.operators.Sampling.deterministicSplit(
+          deduped, Seq("doc_id"),
+          Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
+        .groupBy(col("split")).agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("chars"))
     })
   )
 
@@ -1333,6 +1355,27 @@ object Battery {
         |  WHEN 'src3' THEN '19999999'
         |  ELSE '00000000' END
         |GROUP BY source""".stripMargin,
+    // the pipeline oracle replays every stage from the per-operator oracle
+    // fragments (language/quality SQL generated from the same marker lists
+    // as the Spark expressions; thresholds from Sampling.thresholdHex:
+    // 0.9 -> e6666666, 0.95 -> f3333333)
+    "q87_curation_pipeline" ->
+      s"""WITH lang AS ($langIdSql),
+        |qual AS ($qualitySql),
+        |flt AS (SELECT d.doc_id, d.n_chars, d.text FROM documents d
+        |        JOIN lang USING (doc_id) JOIN qual USING (doc_id)
+        |        WHERE lang.lang_pred = 'en' AND qual.quality_score >= 0.75),
+        |ded AS (SELECT min(doc_id) AS doc_id, arg_min(n_chars, doc_id) AS n_chars
+        |        FROM (SELECT doc_id, n_chars,
+        |                md5(regexp_replace(lower(trim(text)), ' +', ' ', 'g')) AS fp
+        |              FROM flt)
+        |        GROUP BY fp),
+        |sp AS (SELECT CASE
+        |    WHEN substring(md5(CAST(doc_id AS VARCHAR)),1,8) < 'e6666666' THEN 'train'
+        |    WHEN substring(md5(CAST(doc_id AS VARCHAR)),1,8) < 'f3333333' THEN 'val'
+        |    ELSE 'test' END AS split, n_chars FROM ded)
+        |SELECT split, COUNT(*) AS n_docs, SUM(n_chars) AS chars
+        |FROM sp GROUP BY split""".stripMargin,
     "q86_decontaminate" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |g AS (SELECT doc_id,
