@@ -861,13 +861,20 @@ object Battery {
   )
 
   /** Write the [[graft.tables.TypedTable]] fixture through the graft sink and
-   *  read it back through the DSv2 source — shared prefix of q63-q65. */
+   *  read it back through the DSv2 source — shared prefix of q63-q65/q84.
+   *  The write is memoized per (session, sfDir): the queries test the
+   *  round-trip, not write idempotence, so one write + N independent reads
+   *  exercises the same surface without re-paying the sink per query. */
+  private val typedDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def typedRoundTrip(s: SparkSession, d: String): DataFrame = {
-    val out = java.nio.file.Files.createTempDirectory("graft_typed_").toString + "/typed"
-    TokenSortedWriter.write(
-      graft.tables.TypedTable.fromPart(Tables.part(s, d)),
-      graft.tables.TypedTable.schema, out, SaveMode.Append,
-      TokenSortedWriter.WriteConf(numPartitions = 4, keepTokenColumn = true))
+    val out = typedDirs.computeIfAbsent(d, _ => {
+      val dir = java.nio.file.Files.createTempDirectory("graft_typed_").toString + "/typed"
+      TokenSortedWriter.write(
+        graft.tables.TypedTable.fromPart(Tables.part(s, d)),
+        graft.tables.TypedTable.schema, dir, SaveMode.Append,
+        TokenSortedWriter.WriteConf(numPartitions = 4, keepTokenColumn = true))
+      dir
+    })
     s.read.format("graft").option("path", out).option("pk", "p_partkey").load()
   }
 
