@@ -47,13 +47,24 @@ case class CassandraToken(children: Seq[Expression])
     }
   }
 
+  /** CQL serialization tags per component: Spark stores timestamps as epoch
+   *  MICROS and dates as day counts, while the Cassandra ring hashes 8-byte
+   *  millis / 4-byte centered days — the tag tells the shared eval to
+   *  re-encode (see `Murmur3Token.serializeMillis/serializeDays`). */
+  private def typeTags: Array[String] = children.map(_.dataType match {
+    case TimestampType | TimestampNTZType => "ts"
+    case DateType => "date"
+    case _ => ""
+  }).toArray
+
   override def eval(input: InternalRow): Any =
-    CassandraToken.evalComponents(children.map(_.eval(input)).toArray)
+    CassandraToken.evalComponents(children.map(_.eval(input)).toArray, typeTags)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val evals = children.map(_.genCode(ctx))
     val comps = ctx.freshName("comps")
     val cls = CassandraToken.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    val tagsRef = ctx.addReferenceObj("graftTokenTags", typeTags, "java.lang.String[]")
     val fill = children.indices.map { i =>
       s"$comps[$i] = ${evals(i).isNull} ? null : (Object) ${evals(i).value};"
     }.mkString("\n")
@@ -62,7 +73,7 @@ case class CassandraToken(children: Seq[Expression])
         |${evals.map(_.code).mkString("\n")}
         |Object[] $comps = new Object[${children.length}];
         |$fill
-        |long ${ev.value} = $cls.evalComponents($comps);
+        |long ${ev.value} = $cls.evalComponents($comps, $tagsRef);
        """.stripMargin,
       isNull = FalseLiteral)
   }
@@ -78,9 +89,16 @@ object CassandraToken {
     GraftShims.column(new CassandraToken(cols.map(GraftShims.expression).toSeq))
 
   /** Shared eval for interpreted and generated code paths. */
-  def evalComponents(components: Array[Any]): Long =
-    Murmur3Token.tokenOf(components.toSeq.map {
-      case u: UTF8String => u.toString
-      case other => other
+  def evalComponents(components: Array[Any], tags: Array[String]): Long =
+    Murmur3Token.tokenOf(components.toSeq.zipWithIndex.map {
+      case (null, _) => null
+      case (v: java.lang.Long, i) if tags(i) == "ts" =>
+        // Spark internal epoch micros → CQL 8-byte epoch millis
+        Murmur3Token.serializeMillis(Math.floorDiv(v.longValue(), 1000L))
+      case (v: java.lang.Integer, i) if tags(i) == "date" =>
+        // Spark internal day count → CQL centered unsigned days
+        Murmur3Token.serializeDays(v.intValue())
+      case (u: UTF8String, _) => u.toString
+      case (other, _) => other
     })
 }

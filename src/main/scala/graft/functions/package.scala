@@ -24,6 +24,16 @@ package object functions {
     sqrt(DotProductF32(a, a))
   }
 
+  /** CQL `UUIDType` bytes of a canonical UUID string column (16 bytes,
+   *  MSB-then-LSB) — Spark has no UUID type, so Cassandra UUID partition
+   *  keys arrive as strings; `graft_token(uuid_bin(col))` assigns them
+   *  their bit-exact ring token (binary components hash as-is). Pure
+   *  built-ins (unhex of the dashless canonical form), fully codegen'd. */
+  def uuid_bin(c: Column): Column = {
+    import org.apache.spark.sql.functions.{translate, unhex}
+    unhex(translate(c, "-", ""))
+  }
+
   /** Register graft SQL functions on a session so `spark.sql("... graft_token(...)")`
    *  works. Idempotent. */
   def registerAll(spark: SparkSession): Unit = {

@@ -108,7 +108,10 @@ object Murmur3Token {
   // ---- CQL-style key serialization ------------------------------------
 
   /** Serialize one partition-key component to its CQL binary form (the same
-   *  fixed-width big-endian / UTF-8 forms Cassandra hashes). */
+   *  fixed-width big-endian / UTF-8 forms Cassandra hashes). Temporal and
+   *  UUID values use Cassandra's marshal encodings (public formats:
+   *  `TimestampType` = 8-byte BE epoch millis, `SimpleDateType` = 4-byte BE
+   *  unsigned days centered at 2^31, `UUIDType` = 16 bytes MSB-then-LSB). */
   def serializeComponent(v: Any): Array[Byte] = v match {
     case null => Array.emptyByteArray
     case b: Array[Byte] => b
@@ -121,8 +124,24 @@ object Murmur3Token {
     case b: java.lang.Boolean => Array[Byte](if (b) 1 else 0)
     case f: java.lang.Float => ByteBuffer.allocate(4).order(ByteOrder.BIG_ENDIAN).putFloat(f).array()
     case d: java.lang.Double => ByteBuffer.allocate(8).order(ByteOrder.BIG_ENDIAN).putDouble(d).array()
+    case t: java.sql.Timestamp => serializeMillis(t.getTime)
+    case i: java.time.Instant => serializeMillis(i.toEpochMilli)
+    case d: java.sql.Date => serializeDays(d.toLocalDate.toEpochDay.toInt)
+    case d: java.time.LocalDate => serializeDays(d.toEpochDay.toInt)
+    case u: java.util.UUID =>
+      ByteBuffer.allocate(16).order(ByteOrder.BIG_ENDIAN)
+        .putLong(u.getMostSignificantBits).putLong(u.getLeastSignificantBits).array()
     case other => other.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)
   }
+
+  /** CQL `timestamp`: epoch millis as 8-byte BE. */
+  def serializeMillis(millis: Long): Array[Byte] =
+    ByteBuffer.allocate(8).order(ByteOrder.BIG_ENDIAN).putLong(millis).array()
+
+  /** CQL `date`: unsigned 32-bit days centered at 2^31 (epoch day 0 →
+   *  0x80000000) — i.e. the sign bit of the signed day count flipped. */
+  def serializeDays(days: Int): Array[Byte] =
+    ByteBuffer.allocate(4).order(ByteOrder.BIG_ENDIAN).putInt(days ^ Int.MinValue).array()
 
   /** Serialize a full partition key. A single component hashes its raw CQL
    *  bytes; a composite key uses Cassandra's CompositeType framing — per
