@@ -843,6 +843,27 @@ object Battery {
     // Every stage is deterministic, so the ORACLE REPLAYS THE FULL PIPELINE
     // in SQL and the final hash must match — the integration guarantee on
     // top of the per-operator queries (q31, q32, q34, q81)
+    // TEMPORAL partition key end-to-end: a timestamp pk is tokenized via
+    // Cassandra's marshal encoding (epoch-millis bytes, not Spark micros) at
+    // write AND at pushdown — the IN filter's key tokens prune files, the
+    // values come back exact (CqlTypedTokenSpec unit-checks the encoding)
+    "q88_temporal_pk" -> ((s, d) => {
+      val out = java.nio.file.Files.createTempDirectory("graft_tspk_").toString + "/orders"
+      TokenSortedWriter.write(
+        ord(s, d).select(col("o_orderdate"), col("o_orderkey"), col("o_totalprice")),
+        CqlSchema("orders_ts", Seq("o_orderdate"), Seq("o_orderkey")), out, SaveMode.Append,
+        TokenSortedWriter.WriteConf(numPartitions = 4, keepTokenColumn = true))
+      def utc(sdt: String) = java.sql.Timestamp.from(
+        java.time.LocalDateTime.parse(sdt).toInstant(java.time.ZoneOffset.UTC))
+      s.read.format("graft")
+        .option("path", out).option("pk", "o_orderdate").option("ck", "o_orderkey").load()
+        .filter(col("o_orderdate").isin(
+          utc("1995-06-19T00:00:00"), utc("2000-02-03T00:00:00"), utc("2001-04-25T00:00:00")))
+        .select(
+          date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss").as("od"),
+          col("o_orderkey"), col("o_totalprice"))
+    }),
+
     "q87_curation_pipeline" -> ((s, d) => {
       val lang = TextAnalysis.withLangId(docs(s, d), "text")
       val qual = TextAnalysis.withQuality(lang, "text")
@@ -1366,6 +1387,12 @@ object Battery {
     // fragments (language/quality SQL generated from the same marker lists
     // as the Spark expressions; thresholds from Sampling.thresholdHex:
     // 0.9 -> e6666666, 0.95 -> f3333333)
+    "q88_temporal_pk" ->
+      """SELECT strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS od,
+        |  o_orderkey, o_totalprice
+        |FROM orders
+        |WHERE o_orderdate IN (TIMESTAMP '1995-06-19 00:00:00',
+        |  TIMESTAMP '2000-02-03 00:00:00', TIMESTAMP '2001-04-25 00:00:00')""".stripMargin,
     "q87_curation_pipeline" ->
       s"""WITH lang AS ($langIdSql),
         |qual AS ($qualitySql),
