@@ -222,10 +222,12 @@ class GraftScanBuilder(
     annotated: StructType,
     cql: CqlSchema,
     clustered: Boolean = false)
-    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.connector.read.SupportsPushDownLimit {
 
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = annotated
+  private var limit: Option[Int] = None
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     pushed = filters
@@ -234,13 +236,21 @@ class GraftScanBuilder(
 
   override def pushedFilters(): Array[Filter] = pushed
 
+  /** LIMIT planning hint: with no filters, manifest row counts let the scan
+   *  plan only enough files to cover the limit (an unordered LIMIT is
+   *  satisfied by ANY n rows). Partial-push: Spark keeps its limit operator;
+   *  the scan only shrinks the planned file set. */
+  override def pushLimit(n: Int): Boolean = { limit = Some(n); true }
+  override def isPartiallyPushed: Boolean = true
+
   override def pruneColumns(requiredSchema: StructType): Unit = {
     // keep role metadata on whatever survived pruning
     val byName = annotated.fields.map(f => f.name -> f).toMap
     required = StructType(requiredSchema.fields.map(f => byName.getOrElse(f.name, f)))
   }
 
-  override def build(): Scan = new GraftScan(dir, annotated, required, pushed, cql, clustered)
+  override def build(): Scan =
+    new GraftScan(dir, annotated, required, pushed, cql, clustered, limit)
 }
 
 /**
@@ -253,7 +263,8 @@ class GraftScan(
     required: StructType,
     pushed: Array[Filter],
     cql: CqlSchema,
-    clustered: Boolean = false)
+    clustered: Boolean = false,
+    limit: Option[Int] = None)
     extends Scan with Batch with SupportsReportStatistics with SupportsRuntimeFiltering
     with org.apache.spark.sql.graftshim.ClusterReportingScan {
 
@@ -297,6 +308,14 @@ class GraftScan(
       val all = TokenPruner.listFiles(spark, dir)
       listedCount = all.length
       files = TokenPruner.prune(spark, all, effectivePushed, cql)
+      // LIMIT planning: with no filters anywhere, any n rows satisfy an
+      // unordered limit — plan only enough files (manifest/footer row
+      // counts) instead of the whole table. Filters disable this (row
+      // counts no longer bound the matching rows).
+      limit.filter(_ => effectivePushed.isEmpty).foreach { n =>
+        var acc = 0L
+        files = files.takeWhile { f => val need = acc < n; acc += f.rows; need }
+      }
       cachedPruned = files
     }
     files

@@ -64,6 +64,26 @@ class PlanQualitySpec extends SparkSpec {
     assert(plan.contains("files=1"), s"expected pruning to 1 file in:\n$plan")
   }
 
+  test("LIMIT over an unfiltered graft scan plans only enough files to cover it") {
+    val dir = Files.createTempDirectory("graft_limit_").toString + "/t"
+    import spark.implicits._
+    TokenSortedWriter.write((1L to 1000L).map(i => (i, i)).toDF("id", "v"),
+      CqlSchema("t", Seq("id")), dir, SaveMode.Append,
+      TokenSortedWriter.WriteConf(numPartitions = 4, keepTokenColumn = true))
+    val read = spark.read.format("graft").option("path", dir).option("pk", "id").load()
+    val limited = read.limit(5)
+    val plan = limited.queryExecution.executedPlan.toString
+    assert("files=(\\d+)".r.findFirstMatchIn(plan).map(_.group(1).toInt).contains(1),
+      s"limit 5 over 4 files (250 rows each) must plan exactly 1 file:\n$plan")
+    assert(limited.count() == 5L, "the limit itself still applies")
+    // a filtered limit keeps every candidate file (row counts no longer bound matches)
+    val filteredPlan = read.filter(col("v") > 900L).limit(5)
+      .queryExecution.executedPlan.toString
+    assert("files=(\\d+)".r.findFirstMatchIn(filteredPlan).map(_.group(1).toInt).contains(4),
+      s"filtered limit must not truncate the file list:\n$filteredPlan")
+    assert(read.filter(col("v") > 900L).limit(5).count() == 5L)
+  }
+
   test("dir-partitioned layout: pushed filter prunes whole directories in the executed plan") {
     val dir = Files.createTempDirectory("graft_plandir_").toString + "/t"
     import spark.implicits._
