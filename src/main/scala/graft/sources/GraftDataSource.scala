@@ -223,11 +223,33 @@ class GraftScanBuilder(
     cql: CqlSchema,
     clustered: Boolean = false)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
-    with org.apache.spark.sql.connector.read.SupportsPushDownLimit {
+    with org.apache.spark.sql.connector.read.SupportsPushDownLimit
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
 
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = annotated
   private var limit: Option[Int] = None
+  private var countStar = false
+
+  /** Unfiltered, ungrouped COUNT(*) answers from planning metadata alone
+   *  (manifest/footer row counts) — zero data reads, the Index.db-only
+   *  trick of the metadata source applied to the MAIN table path. Complete
+   *  pushdown only: partial (per-group) results are never produced here. */
+  private def isPlainCountStar(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    agg.groupByExpressions.isEmpty && pushed.isEmpty && limit.isEmpty &&
+      agg.aggregateExpressions.length == 1 &&
+      agg.aggregateExpressions()(0)
+        .isInstanceOf[org.apache.spark.sql.connector.expressions.aggregate.CountStar]
+
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    isPlainCountStar(agg)
+
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    if (isPlainCountStar(agg)) { countStar = true; true } else false
+  }
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     pushed = filters
@@ -250,7 +272,47 @@ class GraftScanBuilder(
   }
 
   override def build(): Scan =
-    new GraftScan(dir, annotated, required, pushed, cql, clustered, limit)
+    if (countStar) new GraftCountScan(dir)
+    else new GraftScan(dir, annotated, required, pushed, cql, clustered, limit)
+}
+
+/** Complete COUNT(*) pushdown result: one row from planning metadata.
+ *  (See GraftScanBuilder.pushAggregation — only unfiltered, ungrouped,
+ *  unlimited counts reach here, where file row counts ARE the answer.) */
+class GraftCountScan(dir: String) extends Scan with Batch {
+
+  override def readSchema(): StructType =
+    StructType(Seq(org.apache.spark.sql.types.StructField(
+      "count(*)", org.apache.spark.sql.types.LongType, nullable = false)))
+  override def toBatch: Batch = this
+  override def description(): String = s"GraftCountScan dir=$dir (metadata-only count)"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val total = TokenPruner.listFiles(SparkSession.active, dir).map(_.rows).sum
+    Array(GraftCountScan.CountPartition(total))
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftCountScan.CountReaderFactory
+}
+
+object GraftCountScan {
+  final case class CountPartition(rows: Long) extends InputPartition
+
+  class CountReaderFactory extends PartitionReaderFactory {
+    override def createReader(p: InputPartition)
+        : org.apache.spark.sql.connector.read.PartitionReader[
+          org.apache.spark.sql.catalyst.InternalRow] =
+      new org.apache.spark.sql.connector.read.PartitionReader[
+          org.apache.spark.sql.catalyst.InternalRow] {
+        private var emitted = false
+        override def next(): Boolean = if (emitted) false else { emitted = true; true }
+        override def get(): org.apache.spark.sql.catalyst.InternalRow =
+          new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+            Array[Any](p.asInstanceOf[CountPartition].rows))
+        override def close(): Unit = ()
+      }
+  }
 }
 
 /**

@@ -84,6 +84,28 @@ class PlanQualitySpec extends SparkSpec {
     assert(read.filter(col("v") > 900L).limit(5).count() == 5L)
   }
 
+  test("unfiltered COUNT(*) answers from planning metadata (no data scan)") {
+    val dir = Files.createTempDirectory("graft_cnt_").toString + "/t"
+    import spark.implicits._
+    TokenSortedWriter.write((1L to 1234L).map(i => (i, i)).toDF("id", "v"),
+      CqlSchema("t", Seq("id")), dir, SaveMode.Append,
+      TokenSortedWriter.WriteConf(numPartitions = 4, keepTokenColumn = true))
+    val read = spark.read.format("graft").option("path", dir).option("pk", "id").load()
+    assert(read.count() == 1234L)
+    val plan = read.groupBy().count().queryExecution.executedPlan.toString
+    assert(plan.contains("GraftCountScan"),
+      s"plain count(*) must plan the metadata-only scan:\n$plan")
+    // any filter disables it — counting then needs the data
+    val filtered = read.filter(col("v") > 1000L)
+    assert(filtered.count() == 234L)
+    val fplan = filtered.groupBy().count().queryExecution.executedPlan.toString
+    assert(!fplan.contains("GraftCountScan") && fplan.contains("GraftScan"),
+      s"filtered count must read data:\n$fplan")
+    // grouped counts are not eligible either
+    val gplan = read.groupBy(col("id")).count().queryExecution.executedPlan.toString
+    assert(!gplan.contains("GraftCountScan"))
+  }
+
   test("dir-partitioned layout: pushed filter prunes whole directories in the executed plan") {
     val dir = Files.createTempDirectory("graft_plandir_").toString + "/t"
     import spark.implicits._
