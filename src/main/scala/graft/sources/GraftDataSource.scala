@@ -229,26 +229,57 @@ class GraftScanBuilder(
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = annotated
   private var limit: Option[Int] = None
-  private var countStar = false
+  private var statsOps: Option[Seq[GraftStatsScan.Op]] = None
 
-  /** Unfiltered, ungrouped COUNT(*) answers from planning metadata alone
-   *  (manifest/footer row counts) — zero data reads, the Index.db-only
-   *  trick of the metadata source applied to the MAIN table path. Complete
-   *  pushdown only: partial (per-group) results are never produced here. */
-  private def isPlainCountStar(
-      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
-    agg.groupByExpressions.isEmpty && pushed.isEmpty && limit.isEmpty &&
-      agg.aggregateExpressions.length == 1 &&
-      agg.aggregateExpressions()(0)
-        .isInstanceOf[org.apache.spark.sql.connector.expressions.aggregate.CountStar]
+  /** Unfiltered, ungrouped COUNT(*)/MIN/MAX answer from planning metadata
+   *  alone (manifest/footer row counts and column ranges) — zero data
+   *  reads, the Index.db-only trick of the metadata source applied to the
+   *  MAIN table path. Complete pushdown only — partial (per-group) results
+   *  are never produced here; MIN/MAX is accepted only for integral-stat
+   *  columns whose statistics cover EVERY file (conservative: an all-null
+   *  file or a missing-stats file disqualifies the column). */
+  private def statsPlan(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Option[Seq[GraftStatsScan.Op]] = {
+    import org.apache.spark.sql.connector.expressions.NamedReference
+    import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
+    if (agg.groupByExpressions.nonEmpty || pushed.nonEmpty || limit.nonEmpty) return None
+    def name(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
+      e match {
+        case nr: NamedReference if nr.fieldNames.length == 1 => Some(nr.fieldNames()(0))
+        case _ => None
+      }
+    lazy val files = TokenPruner.listFiles(SparkSession.active, dir)
+    def eligible(n: String): Boolean = {
+      val ok = annotated.fields.find(_.name == n).map(_.dataType).exists {
+        case org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType |
+             org.apache.spark.sql.types.DateType | org.apache.spark.sql.types.ShortType |
+             org.apache.spark.sql.types.ByteType => true
+        case _ => false
+      }
+      ok && files.nonEmpty && files.forall(_.pkRanges.contains(n))
+    }
+    val ops = agg.aggregateExpressions.toSeq.map {
+      case _: CountStar => Some(GraftStatsScan.CountOp)
+      case m: Min => name(m.column()).filter(eligible)
+        .map(n => GraftStatsScan.MinOp(n, annotated(n).dataType))
+      case m: Max => name(m.column()).filter(eligible)
+        .map(n => GraftStatsScan.MaxOp(n, annotated(n).dataType))
+      case _ => None
+    }
+    if (ops.nonEmpty && ops.forall(_.isDefined)) Some(ops.flatten) else None
+  }
 
   override def supportCompletePushDown(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
-    isPlainCountStar(agg)
+    statsPlan(agg).isDefined
 
   override def pushAggregation(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
-    if (isPlainCountStar(agg)) { countStar = true; true } else false
+    statsPlan(agg) match {
+      case s @ Some(_) => statsOps = s; true
+      case None => false
+    }
   }
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
@@ -272,34 +303,63 @@ class GraftScanBuilder(
   }
 
   override def build(): Scan =
-    if (countStar) new GraftCountScan(dir)
-    else new GraftScan(dir, annotated, required, pushed, cql, clustered, limit)
+    statsOps match {
+      case Some(ops) => new GraftStatsScan(dir, ops)
+      case None => new GraftScan(dir, annotated, required, pushed, cql, clustered, limit)
+    }
 }
 
-/** Complete COUNT(*) pushdown result: one row from planning metadata.
- *  (See GraftScanBuilder.pushAggregation — only unfiltered, ungrouped,
- *  unlimited counts reach here, where file row counts ARE the answer.) */
-class GraftCountScan(dir: String) extends Scan with Batch {
+/** Complete COUNT(*)/MIN/MAX pushdown result: one row from planning
+ *  metadata. (See GraftScanBuilder.pushAggregation — only unfiltered,
+ *  ungrouped, unlimited aggregates over fully-stat-covered columns reach
+ *  here, where file row counts and column ranges ARE the answer. Parquet
+ *  min/max statistics ignore nulls, exactly like SQL MIN/MAX.) */
+class GraftStatsScan(dir: String, ops: Seq[GraftStatsScan.Op]) extends Scan with Batch {
 
-  override def readSchema(): StructType =
-    StructType(Seq(org.apache.spark.sql.types.StructField(
-      "count(*)", org.apache.spark.sql.types.LongType, nullable = false)))
+  override def readSchema(): StructType = StructType(ops.map {
+    case GraftStatsScan.CountOp => org.apache.spark.sql.types.StructField(
+      "count(*)", org.apache.spark.sql.types.LongType, nullable = false)
+    case GraftStatsScan.MinOp(n, dt) =>
+      org.apache.spark.sql.types.StructField(s"min($n)", dt, nullable = true)
+    case GraftStatsScan.MaxOp(n, dt) =>
+      org.apache.spark.sql.types.StructField(s"max($n)", dt, nullable = true)
+  })
   override def toBatch: Batch = this
-  override def description(): String = s"GraftCountScan dir=$dir (metadata-only count)"
+  override def description(): String =
+    s"GraftStatsScan dir=$dir ops=${ops.mkString(",")} (metadata-only aggregate)"
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val total = TokenPruner.listFiles(SparkSession.active, dir).map(_.rows).sum
-    Array(GraftCountScan.CountPartition(total))
+    val files = TokenPruner.listFiles(SparkSession.active, dir)
+    def internal(v: Long, dt: org.apache.spark.sql.types.DataType): Any = dt match {
+      case org.apache.spark.sql.types.LongType => v
+      case org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.DateType => v.toInt
+      case org.apache.spark.sql.types.ShortType => v.toShort
+      case org.apache.spark.sql.types.ByteType => v.toByte
+      case other => throw new IllegalStateException(s"unexpected stats type $other")
+    }
+    val values: Array[Any] = ops.map {
+      case GraftStatsScan.CountOp => files.map(_.rows).sum: Any
+      case GraftStatsScan.MinOp(n, dt) =>
+        if (files.isEmpty) null else internal(files.map(_.pkRanges(n)._1).min, dt)
+      case GraftStatsScan.MaxOp(n, dt) =>
+        if (files.isEmpty) null else internal(files.map(_.pkRanges(n)._2).max, dt)
+    }.toArray
+    Array(GraftStatsScan.StatsPartition(values))
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new GraftCountScan.CountReaderFactory
+    new GraftStatsScan.StatsReaderFactory
 }
 
-object GraftCountScan {
-  final case class CountPartition(rows: Long) extends InputPartition
+object GraftStatsScan {
+  sealed trait Op
+  case object CountOp extends Op
+  final case class MinOp(col: String, dt: org.apache.spark.sql.types.DataType) extends Op
+  final case class MaxOp(col: String, dt: org.apache.spark.sql.types.DataType) extends Op
 
-  class CountReaderFactory extends PartitionReaderFactory {
+  final case class StatsPartition(values: Array[Any]) extends InputPartition
+
+  class StatsReaderFactory extends PartitionReaderFactory {
     override def createReader(p: InputPartition)
         : org.apache.spark.sql.connector.read.PartitionReader[
           org.apache.spark.sql.catalyst.InternalRow] =
@@ -309,7 +369,7 @@ object GraftCountScan {
         override def next(): Boolean = if (emitted) false else { emitted = true; true }
         override def get(): org.apache.spark.sql.catalyst.InternalRow =
           new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-            Array[Any](p.asInstanceOf[CountPartition].rows))
+            p.asInstanceOf[StatsPartition].values)
         override def close(): Unit = ()
       }
   }

@@ -84,26 +84,34 @@ class PlanQualitySpec extends SparkSpec {
     assert(read.filter(col("v") > 900L).limit(5).count() == 5L)
   }
 
-  test("unfiltered COUNT(*) answers from planning metadata (no data scan)") {
+  test("unfiltered COUNT(*)/MIN/MAX answer from planning metadata (no data scan)") {
     val dir = Files.createTempDirectory("graft_cnt_").toString + "/t"
     import spark.implicits._
-    TokenSortedWriter.write((1L to 1234L).map(i => (i, i)).toDF("id", "v"),
+    TokenSortedWriter.write((1L to 1234L).map(i => (i, i + 7, s"s$i")).toDF("id", "v", "s"),
       CqlSchema("t", Seq("id")), dir, SaveMode.Append,
       TokenSortedWriter.WriteConf(numPartitions = 4, keepTokenColumn = true))
     val read = spark.read.format("graft").option("path", dir).option("pk", "id").load()
     assert(read.count() == 1234L)
     val plan = read.groupBy().count().queryExecution.executedPlan.toString
-    assert(plan.contains("GraftCountScan"),
+    assert(plan.contains("GraftStatsScan"),
       s"plain count(*) must plan the metadata-only scan:\n$plan")
+    // min/max over integral stats-covered columns join the metadata path
+    val mm = read.agg(min(col("id")), max(col("v")), count(lit(1)))
+    assert(mm.queryExecution.executedPlan.toString.contains("GraftStatsScan"))
+    assert(mm.head() == org.apache.spark.sql.Row(1L, 1241L, 1234L))
+    // a STRING min is not stats-answerable -> whole query falls back
+    val sm = read.agg(min(col("s")), count(lit(1)))
+    assert(!sm.queryExecution.executedPlan.toString.contains("GraftStatsScan"))
+    assert(sm.head().getString(0) == "s1")
     // any filter disables it — counting then needs the data
-    val filtered = read.filter(col("v") > 1000L)
+    val filtered = read.filter(col("v") > 1007L)
     assert(filtered.count() == 234L)
     val fplan = filtered.groupBy().count().queryExecution.executedPlan.toString
-    assert(!fplan.contains("GraftCountScan") && fplan.contains("GraftScan"),
+    assert(!fplan.contains("GraftStatsScan") && fplan.contains("GraftScan"),
       s"filtered count must read data:\n$fplan")
     // grouped counts are not eligible either
     val gplan = read.groupBy(col("id")).count().queryExecution.executedPlan.toString
-    assert(!gplan.contains("GraftCountScan"))
+    assert(!gplan.contains("GraftStatsScan"))
   }
 
   test("dir-partitioned layout: pushed filter prunes whole directories in the executed plan") {
