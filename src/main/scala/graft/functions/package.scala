@@ -75,5 +75,14 @@ package object functions {
       FunctionIdentifier("sign_bucket"),
       new ExpressionInfo(classOf[SignBucketExpr].getName, "sign_bucket"),
       (exprs: Seq[Expression]) => SignBucketExpr(exprs(0), intArg(exprs(1))))
+    registry.registerFunction(
+      FunctionIdentifier("uuid_bin"),
+      new ExpressionInfo(classOf[org.apache.spark.sql.catalyst.expressions.Unhex].getName,
+        "uuid_bin"),
+      (exprs: Seq[Expression]) => org.apache.spark.sql.catalyst.expressions.Unhex(
+        org.apache.spark.sql.catalyst.expressions.StringTranslate(
+          exprs.head,
+          org.apache.spark.sql.catalyst.expressions.Literal("-"),
+          org.apache.spark.sql.catalyst.expressions.Literal(""))))
   }
 }

@@ -843,6 +843,24 @@ object Battery {
     // Every stage is deterministic, so the ORACLE REPLAYS THE FULL PIPELINE
     // in SQL and the final hash must match — the integration guarantee on
     // top of the per-operator queries (q31, q32, q34, q81)
+    // metadata-only aggregate pushdown under the correctness gate: the
+    // count/min/max come from manifest stats (GraftStatsScan, zero data
+    // reads — PlanQualitySpec gates the plan; this gates the VALUES)
+    "q89_stats_pushdown" -> ((s, d) => {
+      val out = java.nio.file.Files.createTempDirectory("graft_stats_").toString + "/lineitem"
+      TokenSortedWriter.write(
+        li(s, d).select(col("l_orderkey"), col("l_linenumber"), col("l_suppkey")),
+        CqlSchema("li_stats", Seq("l_orderkey"), Seq("l_linenumber")), out, SaveMode.Append,
+        TokenSortedWriter.WriteConf(numPartitions = 4, keepTokenColumn = true))
+      s.read.format("graft")
+        .option("path", out).option("pk", "l_orderkey").option("ck", "l_linenumber").load()
+        .agg(
+          count(lit(1)).as("n"),
+          min(col("l_orderkey")).as("min_ok"),
+          max(col("l_orderkey")).as("max_ok"),
+          max(col("l_suppkey")).as("max_sk"))
+    }),
+
     // TEMPORAL partition key end-to-end: a timestamp pk is tokenized via
     // Cassandra's marshal encoding (epoch-millis bytes, not Spark micros) at
     // write AND at pushdown — the IN filter's key tokens prune files, the
@@ -1387,6 +1405,9 @@ object Battery {
     // fragments (language/quality SQL generated from the same marker lists
     // as the Spark expressions; thresholds from Sampling.thresholdHex:
     // 0.9 -> e6666666, 0.95 -> f3333333)
+    "q89_stats_pushdown" ->
+      """SELECT COUNT(*) AS n, MIN(l_orderkey) AS min_ok, MAX(l_orderkey) AS max_ok,
+        |  MAX(l_suppkey) AS max_sk FROM lineitem""".stripMargin,
     "q88_temporal_pk" ->
       """SELECT strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS od,
         |  o_orderkey, o_totalprice
