@@ -104,4 +104,29 @@ object TextAnalysis {
       .withColumn(s"${outCol}_64",
         conv(substring(md5(normalized), 1, 15), 16, 10).cast("long"))
   }
+
+  /**
+   * Intra-document repetition: the fraction of duplicated word n-grams
+   * (`1 - distinct/total`) — the Gopher-style "repeated n-gram" quality
+   * signal used to drop boilerplate/looping documents before training.
+   * 0 = no repeated n-gram; →1 = the document is one phrase looping.
+   * Pure codegen'd array expressions, zero shuffles, engine-portable
+   * (the battery oracle recomputes it in DuckDB and hash-matches).
+   */
+  def withRepetition(
+      df: DataFrame,
+      textCol: String,
+      n: Int = 3,
+      outCol: String = "rep_ratio"): DataFrame = {
+    require(n >= 2, "n-gram size must be >= 2")
+    val toks = split(col(textCol), " ")
+    val grams = when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => array_join(slice(toks, i, lit(n)), " ")))
+      .otherwise(array().cast("array<string>"))
+    df.withColumn(outCol,
+      when(size(grams) > 0,
+        lit(1.0) - size(array_distinct(grams)).cast("double") / size(grams).cast("double"))
+        .otherwise(lit(0.0)))
+  }
 }

@@ -843,6 +843,12 @@ object Battery {
     // Every stage is deterministic, so the ORACLE REPLAYS THE FULL PIPELINE
     // in SQL and the final hash must match — the integration guarantee on
     // top of the per-operator queries (q31, q32, q34, q81)
+    // intra-document repetition (Gopher-style repeated-n-gram quality
+    // signal): fraction of duplicated word 3-grams per document
+    "q90_repetition" -> ((s, d) =>
+      TextAnalysis.withRepetition(docs(s, d), "text", n = 3)
+        .select(col("doc_id"), col("rep_ratio"))),
+
     // metadata-only aggregate pushdown under the correctness gate: the
     // count/min/max come from manifest stats (GraftStatsScan, zero data
     // reads — PlanQualitySpec gates the plan; this gates the VALUES)
@@ -1408,6 +1414,15 @@ object Battery {
     "q89_stats_pushdown" ->
       """SELECT COUNT(*) AS n, MIN(l_orderkey) AS min_ok, MAX(l_orderkey) AS max_ok,
         |  MAX(l_suppkey) AS max_sk FROM lineitem""".stripMargin,
+    "q90_repetition" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |g AS (SELECT doc_id, CASE WHEN len(w) >= 3
+        |        THEN list_transform(range(1, len(w)-1), i -> array_to_string(w[i:i+2], ' '))
+        |        ELSE [] END AS grams FROM t)
+        |SELECT doc_id, CASE WHEN len(grams) > 0
+        |  THEN 1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / CAST(len(grams) AS DOUBLE)
+        |  ELSE 0.0 END AS rep_ratio
+        |FROM g""".stripMargin,
     "q88_temporal_pk" ->
       """SELECT strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS od,
         |  o_orderkey, o_totalprice

@@ -85,6 +85,38 @@ class DirPartitionedSpec extends SparkSpec {
     assert(TokenPruner.prune(spark, all, Array(EqualTo("v", 10L)), schema).length == all.length)
   }
 
+  test("multi-column dir partitioning: nested dirs, compound pruning, stats aggregates") {
+    val d = Files.createTempDirectory("graft_dir2_").toString + "/t"
+    import spark.implicits._
+    val df = (1L to 2000L)
+      .map(i => (i, Seq("x", "y")((i % 2).toInt), Seq("a", "b", "c")((i % 3).toInt), i * 3))
+      .toDF("id", "p1", "p2", "v")
+    TokenSortedWriter.write(df, CqlSchema("t", Seq("id")), d, SaveMode.Append,
+      TokenSortedWriter.WriteConf(numPartitions = 2, keepTokenColumn = true,
+        partitionBy = Seq("p1", "p2")))
+    val all = TokenPruner.listFiles(spark, d)
+    // both dir levels parsed
+    assert(all.forall { f =>
+      val dv = TokenPruner.dirValues(f.path)
+      dv.contains("p1") && dv.contains("p2")
+    })
+    // compound pruning: p1='x' AND p2='b' keeps exactly that subtree
+    val pruned = TokenPruner.prune(spark, all,
+      Array(EqualTo("p1", "x"), EqualTo("p2", "b")), CqlSchema("t", Seq("id")))
+    assert(pruned.nonEmpty && pruned.length < all.length)
+    assert(pruned.forall { f =>
+      val dv = TokenPruner.dirValues(f.path)
+      dv("p1").contains("x") && dv("p2").contains("b")
+    })
+    val back = spark.read.format("graft").option("path", d).option("pk", "id").load()
+    val q = back.filter(col("p1") === "x" && col("p2") === "b")
+    assert(q.count() == df.filter(col("p1") === "x" && col("p2") === "b").count())
+    // metadata-only aggregates still work over the nested layout
+    val mm = back.agg(min(col("id")), max(col("v")), count(lit(1)))
+    assert(mm.queryExecution.executedPlan.toString.contains("GraftStatsScan"))
+    assert(mm.head() == org.apache.spark.sql.Row(1L, 6000L, 2000L))
+  }
+
   test("null partition values round-trip through the Hive default dir") {
     val d = Files.createTempDirectory("graft_dirnull_").toString + "/t"
     import spark.implicits._
