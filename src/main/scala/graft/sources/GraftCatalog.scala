@@ -1,0 +1,174 @@
+package graft.sources
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import graft.model.CqlSchema
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.{NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog.{Identifier, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/**
+ * A DSv2 `TableCatalog` over a base directory: every table is a graft
+ * token-sorted dir plus a tiny `_graft_table.meta` descriptor (schema JSON +
+ * role/layout pairs), so the full lifecycle works in pure SQL:
+ *
+ * {{{
+ *   spark.sql.catalog.graft_cat      = graft.sources.GraftCatalog
+ *   spark.sql.catalog.graft_cat.base = /data/graft
+ *
+ *   CREATE TABLE graft_cat.db.events (id BIGINT, cat STRING, v BIGINT)
+ *     USING graft PARTITIONED BY (cat) OPTIONS (pk 'id')
+ *   INSERT INTO graft_cat.db.events SELECT …      -- token-sorted write
+ *   SELECT … FROM graft_cat.db.events WHERE id=7  -- pruned graft scan
+ *   DROP TABLE graft_cat.db.events
+ * }}}
+ *
+ * `PARTITIONED BY (c…)` maps to `WriteConf.partitionBy` (identity
+ * transforms only — the token ring already covers hash distribution).
+ * The descriptor is one line of schema JSON + TAB-separated pairs: no
+ * JSON library round-trips, debuggable with cat. The reference has no
+ * catalog (TableProvider only) — this is surface the switch-over user
+ * gains, built entirely from the same GraftTable.
+ */
+class GraftCatalog extends TableCatalog {
+
+  private var catalogName: String = _
+  private var base: String = _
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    base = options.get("base")
+    require(base != null && base.nonEmpty,
+      s"catalog $name requires option spark.sql.catalog.$name.base")
+  }
+
+  override def name(): String = catalogName
+
+  private def fs(p: Path) =
+    p.getFileSystem(SparkSession.active.sessionState.newHadoopConf())
+
+  private def dirFor(ident: Identifier): Path =
+    new Path((base +: ident.namespace.toSeq :+ ident.name).mkString("/"))
+
+  private def metaPath(dir: Path): Path = new Path(dir, GraftCatalog.MetaFile)
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val nsDir = new Path((base +: namespace.toSeq).mkString("/"))
+    val f = fs(nsDir)
+    if (!f.exists(nsDir)) return Array.empty
+    f.listStatus(nsDir).filter(_.isDirectory)
+      .filter(s => f.exists(metaPath(s.getPath)))
+      .map(s => Identifier.of(namespace, s.getPath.getName))
+  }
+
+  override def tableExists(ident: Identifier): Boolean = {
+    val dir = dirFor(ident)
+    fs(dir).exists(metaPath(dir))
+  }
+
+  override def loadTable(ident: Identifier): Table = {
+    val dir = dirFor(ident)
+    val f = fs(dir)
+    if (!f.exists(metaPath(dir))) throw new NoSuchTableException(ident)
+    val (schema, pairs) = GraftCatalog.readMeta(f, metaPath(dir))
+    val opts = new util.HashMap[String, String]()
+    pairs.foreach { case (k, v) => opts.put(k, v) }
+    opts.put("path", dir.toString)
+    val options = new CaseInsensitiveStringMap(opts)
+    val cql = GraftDataSource.cqlFrom(options, schema)
+    new GraftTable(dir.toString, GraftDataSource.annotateStruct(cql, schema), cql, options)
+  }
+
+  override def createTable(
+      ident: Identifier,
+      schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    val props = properties.asScala
+    def opt(key: String): Option[String] =
+      props.get(TableCatalog.OPTION_PREFIX + key).orElse(props.get(key))
+    val pk = opt("pk").getOrElse(throw new IllegalArgumentException(
+      s"CREATE TABLE $ident requires OPTIONS (pk '<cols>') — the partition key drives " +
+        "the token layout"))
+    val dirCols = partitions.toSeq.map {
+      case t if t.name == "identity" && t.references.length == 1 =>
+        t.references()(0).fieldNames.mkString(".")
+      case other => throw new IllegalArgumentException(
+        s"only identity PARTITIONED BY columns are supported (token hashing is built in), got $other")
+    }
+    val pairs = Seq("pk" -> pk) ++
+      opt("ck").map("ck" -> _) ++
+      opt("static").map("static" -> _) ++
+      opt("partitions").map("partitions" -> _) ++
+      opt("maxRecordsPerFile").map("maxRecordsPerFile" -> _) ++
+      (if (dirCols.nonEmpty) Seq("partitionBy" -> dirCols.mkString(",")) else Nil)
+    val dir = dirFor(ident)
+    val f = fs(dir)
+    f.mkdirs(dir)
+    GraftCatalog.writeMeta(f, metaPath(dir), schema, pairs)
+    loadTable(ident)
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      "graft tables are immutable layouts; create a new table and compact into it")
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val dir = dirFor(ident)
+    val f = fs(dir)
+    if (!f.exists(metaPath(dir))) false
+    else f.delete(dir, true)
+  }
+
+  override def renameTable(from: Identifier, to: Identifier): Unit = {
+    if (!tableExists(from)) throw new NoSuchTableException(from)
+    if (tableExists(to)) throw new TableAlreadyExistsException(to)
+    val toDir = dirFor(to)
+    val f = fs(toDir)
+    f.mkdirs(toDir.getParent)
+    if (!f.rename(dirFor(from), toDir))
+      throw new IllegalStateException(s"rename $from -> $to failed")
+  }
+}
+
+object GraftCatalog {
+  val MetaFile = "_graft_table.meta"
+
+  /** Line 1: Spark schema JSON. Following lines: key<TAB>value pairs. */
+  private[sources] def writeMeta(
+      f: org.apache.hadoop.fs.FileSystem,
+      p: Path,
+      schema: StructType,
+      pairs: Seq[(String, String)]): Unit = {
+    val out = f.create(p, false)
+    try out.write((schema.json +: pairs.map { case (k, v) => s"$k\t$v" })
+      .mkString("", "\n", "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  private[sources] def readMeta(
+      f: org.apache.hadoop.fs.FileSystem,
+      p: Path): (StructType, Seq[(String, String)]) = {
+    val in = f.open(p)
+    val text = try {
+      val len = f.getFileStatus(p).getLen.toInt
+      val bytes = new Array[Byte](len)
+      in.readFully(0, bytes)
+      new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+    } finally in.close()
+    val lines = text.linesIterator.toSeq
+    val schema = DataType.fromJson(lines.head).asInstanceOf[StructType]
+    val pairs = lines.tail.filter(_.nonEmpty).flatMap(_.split("\t", 2) match {
+      case Array(k, v) => Some(k -> v)
+      case _ => None
+    })
+    (schema, pairs)
+  }
+}

@@ -1,0 +1,56 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The SQL-only table lifecycle through GraftCatalog: CREATE (with
+ *  PARTITIONED BY → dir layout), INSERT (token-sorted write), SELECT
+ *  (pruned graft scan + metadata-only aggregates), RENAME, DROP. */
+class GraftCatalogSpec extends SparkSpec {
+
+  private lazy val catName: String = {
+    val base = Files.createTempDirectory("graft_cat_").toString
+    spark.conf.set("spark.sql.catalog.gcat", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gcat.base", base)
+    "gcat"
+  }
+
+  test("CREATE + INSERT + SELECT + DROP, all in SQL") {
+    spark.sql(s"""CREATE TABLE $catName.db.evts (id BIGINT, cat STRING, v BIGINT)
+                 |USING graft PARTITIONED BY (cat) OPTIONS (pk 'id', partitions '2')""".stripMargin)
+    spark.sql(s"INSERT INTO $catName.db.evts " +
+      "SELECT id, CASE WHEN id % 2 = 0 THEN 'even' ELSE 'odd' END, id * 10 " +
+      "FROM range(1, 501) AS r(id)")
+    // read back through the catalog: values, pruning, and layout all live
+    assert(spark.sql(s"SELECT count(*) FROM $catName.db.evts").head().getLong(0) == 500L)
+    assert(spark.sql(s"SELECT v FROM $catName.db.evts WHERE id = 7").head().getLong(0) == 70L)
+    val evens = spark.sql(s"SELECT count(*) FROM $catName.db.evts WHERE cat = 'even'")
+    assert(evens.head().getLong(0) == 250L)
+    // PARTITIONED BY produced the dir layout; INSERT went through the tokenizer
+    val dir = spark.conf.get(s"spark.sql.catalog.$catName.base") + "/db/evts"
+    val files = TokenPruner.listFiles(spark, dir)
+    assert(files.nonEmpty && files.forall(_.tokenRange.isDefined))
+    assert(files.forall(f => TokenPruner.dirValues(f.path).contains("cat")))
+    // metadata-only count plan through the catalog path
+    val plan = spark.sql(s"SELECT count(*) FROM $catName.db.evts")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("GraftStatsScan"), s"expected metadata-only count:\n$plan")
+    // lifecycle end: rename, then drop
+    spark.sql(s"ALTER TABLE $catName.db.evts RENAME TO db.evts2")
+    assert(spark.sql(s"SELECT count(*) FROM $catName.db.evts2").head().getLong(0) == 500L)
+    spark.sql(s"DROP TABLE $catName.db.evts2")
+    assert(spark.sql(s"SHOW TABLES IN $catName.db").count() == 0L)
+  }
+
+  test("CREATE without pk fails fast; duplicate CREATE rejected") {
+    intercept[Exception] {
+      spark.sql(s"CREATE TABLE $catName.db.nopk (id BIGINT) USING graft")
+    }
+    spark.sql(s"CREATE TABLE $catName.db.once (id BIGINT) USING graft OPTIONS (pk 'id')")
+    try intercept[Exception] {
+      spark.sql(s"CREATE TABLE $catName.db.once (id BIGINT) USING graft OPTIONS (pk 'id')")
+    } finally spark.sql(s"DROP TABLE $catName.db.once")
+  }
+}
