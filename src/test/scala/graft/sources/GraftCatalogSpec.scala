@@ -44,6 +44,27 @@ class GraftCatalogSpec extends SparkSpec {
     assert(spark.sql(s"SHOW TABLES IN $catName.db").count() == 0L)
   }
 
+  test("readStream.table over a catalog table: appended inserts arrive as micro-batches") {
+    spark.sql(s"""CREATE TABLE $catName.db.feed (id BIGINT, v BIGINT)
+                 |USING graft OPTIONS (pk 'id', partitions '2')""".stripMargin)
+    spark.sql(s"INSERT INTO $catName.db.feed SELECT id, id * 2 FROM range(1, 101) AS r(id)")
+    val stream = spark.readStream.table(s"$catName.db.feed")
+    assert(stream.isStreaming)
+    val q = stream.groupBy().sum("v")
+      .writeStream.format("memory").queryName("cat_feed")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("cat_feed").head().getLong(0) == (1L to 100L).map(_ * 2).sum)
+      spark.sql(s"INSERT INTO $catName.db.feed SELECT id, id * 2 FROM range(101, 201) AS r(id)")
+      q.processAllAvailable()
+      assert(spark.table("cat_feed").head().getLong(0) == (1L to 200L).map(_ * 2).sum)
+    } finally {
+      q.stop()
+      spark.sql(s"DROP TABLE $catName.db.feed")
+    }
+  }
+
   test("CREATE without pk fails fast; duplicate CREATE rejected") {
     intercept[Exception] {
       spark.sql(s"CREATE TABLE $catName.db.nopk (id BIGINT) USING graft")
