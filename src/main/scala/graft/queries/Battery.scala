@@ -849,6 +849,27 @@ object Battery {
       TextAnalysis.withRepetition(docs(s, d), "text", n = 3)
         .select(col("doc_id"), col("rep_ratio"))),
 
+    // dir partitioning × upsert semantics: an event log partitioned by type
+    // receives a second bumped generation; the normalized read resolves LWW
+    // per key while the type filter still dir-prunes — the day-partitioned-
+    // table-with-upserts shape a real 100 TB event store has
+    "q91_dir_upsert" -> ((s, d) => {
+      val out = java.nio.file.Files.createTempDirectory("graft_dirups_").toString + "/events"
+      val schema = CqlSchema("events_du", Seq("event_id"))
+      val conf = TokenSortedWriter.WriteConf(numPartitions = 2, keepTokenColumn = true,
+        partitionBy = Seq("event_type"))
+      val base = ev(s, d).select(col("event_id"), col("event_type"), col("value"))
+      TokenSortedWriter.write(base, schema, out, SaveMode.Append,
+        conf.copy(writetimeMicros = Some(1000L)))
+      TokenSortedWriter.write(
+        base.filter(col("event_id") % 10 === 0)
+          .withColumn("value", col("value") + 1000.0),
+        schema, out, SaveMode.Append, conf.copy(writetimeMicros = Some(2000L)))
+      TokenSortedWriter.readNormalized(s, schema, out)
+        .filter(col("event_type") === "click")
+        .select(col("event_id"), col("value"))
+    }),
+
     // metadata-only aggregate pushdown under the correctness gate: the
     // count/min/max come from manifest stats (GraftStatsScan, zero data
     // reads — PlanQualitySpec gates the plan; this gates the VALUES)
@@ -1414,6 +1435,17 @@ object Battery {
     "q89_stats_pushdown" ->
       """SELECT COUNT(*) AS n, MIN(l_orderkey) AS min_ok, MAX(l_orderkey) AS max_ok,
         |  MAX(l_suppkey) AS max_sk FROM lineitem""".stripMargin,
+    "q91_dir_upsert" ->
+      """WITH versions AS (
+        |  SELECT event_id, event_type, value, 1000 AS wt FROM events
+        |  UNION ALL
+        |  SELECT event_id, event_type, value + 1000.0, 2000 AS wt
+        |  FROM events WHERE event_id % 10 = 0)
+        |SELECT event_id, value FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY event_id
+        |    ORDER BY wt DESC, event_type DESC, value DESC) AS rn
+        |  FROM versions)
+        |WHERE rn = 1 AND event_type = 'click'""".stripMargin,
     "q90_repetition" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |g AS (SELECT doc_id, CASE WHEN len(w) >= 3

@@ -117,6 +117,37 @@ class DirPartitionedSpec extends SparkSpec {
     assert(mm.head() == org.apache.spark.sql.Row(1L, 6000L, 2000L))
   }
 
+  test("upsert + compact preserve the dir layout and its pruning") {
+    val src = Files.createTempDirectory("graft_dircmp_").toString + "/t"
+    val dst = Files.createTempDirectory("graft_dircmp2_").toString + "/t"
+    import spark.implicits._
+    val sk = CqlSchema("t", Seq("id"))
+    val conf = TokenSortedWriter.WriteConf(numPartitions = 2, keepTokenColumn = true,
+      partitionBy = Seq("cat"))
+    val base = (1L to 1000L).map(i => (i, Seq("x", "y")((i % 2).toInt), i)).toDF("id", "cat", "v")
+    TokenSortedWriter.write(base, sk, src, SaveMode.Append,
+      conf.copy(writetimeMicros = Some(1000L)))
+    // second generation bumps v for every 10th id (overlapping token ranges)
+    TokenSortedWriter.write(
+      base.filter(col("id") % 10 === 0).withColumn("v", col("v") + 100L),
+      sk, src, SaveMode.Append, conf.copy(writetimeMicros = Some(2000L)))
+    val normalized = TokenSortedWriter.readNormalized(spark, sk, src)
+    assert(normalized.count() == 1000L)
+    assert(normalized.filter(col("id") === 10L).select("v").head().getLong(0) == 110L)
+    assert(normalized.filter(col("id") === 11L).select("v").head().getLong(0) == 11L)
+    // compact into a fresh dir-partitioned generation
+    TokenSortedWriter.compact(spark, sk, src, dst, conf)
+    val files = TokenPruner.listFiles(spark, dst)
+    assert(files.forall(f => TokenPruner.dirValues(f.path).contains("cat")),
+      "compaction must re-emit the directory layout")
+    val back = spark.read.format("graft").option("path", dst).option("pk", "id").load()
+    assert(back.count() == 1000L)
+    assert(back.filter(col("id") === 10L).select("v").head().getLong(0) == 110L)
+    // dir pruning still applies post-compaction
+    val pruned = TokenPruner.prune(spark, files, Array(EqualTo("cat", "x")), sk)
+    assert(pruned.nonEmpty && pruned.length < files.length)
+  }
+
   test("null partition values round-trip through the Hive default dir") {
     val d = Files.createTempDirectory("graft_dirnull_").toString + "/t"
     import spark.implicits._
