@@ -82,6 +82,69 @@ object DotProductF32 {
 }
 
 /**
+ * Native expression: dot product of two int8-quantized vectors
+ * (`array<tinyint>`), accumulated in long — the candidate-generation inner
+ * loop of quantized ANN (`Similarity.quantizedTopK`). Integer multiply-add
+ * over 1-byte lanes moves 4× less memory than the float loop and avoids FP
+ * latency entirely; exact rescoring of the surviving candidates uses
+ * [[DotProductF32]]. Same codegen shape as dot_f32: a tight primitive loop
+ * inside whole-stage codegen.
+ */
+case class DotProductI8(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(dt: DataType): Boolean = dt match {
+      case ArrayType(org.apache.spark.sql.types.ByteType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"dot_i8 needs two array<tinyint> inputs, got (${left.dataType}, ${right.dataType})")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      s += x.getByte(i).toLong * y.getByte(i).toLong
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      s"""
+         |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long $s = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += (long) $a.getByte($i) * (long) $b.getByte($i);
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "dot_i8"
+}
+
+object DotProductI8 {
+  def apply(a: Column, b: Column): Column =
+    GraftShims.column(new DotProductI8(GraftShims.expression(a), GraftShims.expression(b)))
+}
+
+/**
  * Native expression: random-hyperplane (sign) LSH bucket of an
  * `array<float>` vector — bit p of the result is the sign of the dot
  * product with pseudo-random hyperplane p, whose component (p, d) is

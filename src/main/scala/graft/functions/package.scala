@@ -18,6 +18,11 @@ package object functions {
    *  left-to-right IEEE accumulation). See [[graft.functions.DotProductF32]]. */
   def dot_f32(a: Column, b: Column): Column = DotProductF32(a, b)
 
+  /** Codegen'd dot product of two int8-quantized `array<tinyint>` columns
+   *  (long result) — the quantized-ANN candidate loop. See
+   *  [[graft.functions.DotProductI8]]. */
+  def dot_i8(a: Column, b: Column): Column = DotProductI8(a, b)
+
   /** L2 norm of an `array<float>` column (double). */
   def norm_f32(a: Column): Column = {
     import org.apache.spark.sql.functions.sqrt
@@ -75,6 +80,10 @@ package object functions {
       FunctionIdentifier("sign_bucket"),
       new ExpressionInfo(classOf[SignBucketExpr].getName, "sign_bucket"),
       (exprs: Seq[Expression]) => SignBucketExpr(exprs(0), intArg(exprs(1))))
+    registry.registerFunction(
+      FunctionIdentifier("dot_i8"),
+      new ExpressionInfo(classOf[DotProductI8].getName, "dot_i8"),
+      (exprs: Seq[Expression]) => DotProductI8(exprs(0), exprs(1)))
     registry.registerFunction(
       FunctionIdentifier("uuid_bin"),
       new ExpressionInfo(classOf[org.apache.spark.sql.catalyst.expressions.Unhex].getName,

@@ -248,6 +248,14 @@ object Battery {
       Similarity.lshTopK(
           emb(s, d), emb(s, d).filter(col("vec_id") < 3L), "vec_id", "embedding", k = 10, planes = 6)
         .select(col("query_id"), col("neighbor_id"), col("rank"))),
+    // int8-quantized candidate pass + exact float rescore (rows-only:
+    // quantization can reorder the candidate cut; SimilaritySpec bounds
+    // recall >= 0.9 against brute force and proves rescore exactness)
+    "q92_ann_quantized" -> ((s, d) =>
+      Similarity.quantizedTopK(
+          emb(s, d), emb(s, d).filter(col("vec_id") < 3L), "vec_id", "embedding",
+          k = 10, rescoreFactor = 4)
+        .select(col("query_id"), col("neighbor_id"), col("rank"))),
 
     // IVF ANN: deterministic centroid training + probe-and-rescore (rows-only
     // check: approximate recall, oracle is bruteForceTopK in SimilaritySpec)

@@ -19,7 +19,9 @@ class SqlRegistrationSpec extends SparkSpec {
         size(minhash_sig(word_shingle_hashes('a b c d', 2), 16)) AS n_perms,
         size(band_hashes(minhash_sig(word_shingle_hashes('a b c d', 2), 16), 4, 4)) AS n_bands,
         sign_bucket(array(CAST(1.0 AS FLOAT), CAST(-2.0 AS FLOAT)), 8) AS bucket,
-        graft_token(uuid_bin('00112233-4455-6677-8899-aabbccddeeff')) AS utk
+        graft_token(uuid_bin('00112233-4455-6677-8899-aabbccddeeff')) AS utk,
+        dot_i8(array(CAST(3 AS TINYINT), CAST(-2 AS TINYINT)),
+               array(CAST(5 AS TINYINT), CAST(7 AS TINYINT))) AS di8
     """).head()
     // token(1) is a published Cassandra constant
     assert(row.getLong(0) == -4069959284402364209L)
@@ -32,5 +34,6 @@ class SqlRegistrationSpec extends SparkSpec {
     assert(row.getLong(7) >= 0L && row.getLong(7) < 256L) // 8 sign bits
     assert(row.getLong(8) == graft.token.Murmur3Token.tokenOf(
       Seq(java.util.UUID.fromString("00112233-4455-6677-8899-aabbccddeeff"))))
+    assert(row.getLong(9) == 1L) // 3*5 + (-2)*7
   }
 }

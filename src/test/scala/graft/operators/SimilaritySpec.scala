@@ -89,6 +89,60 @@ class SimilaritySpec extends SparkSpec {
     assert(multi >= single, s"multi-probe recall $multi below single-probe $single")
   }
 
+  test("int8 quantization round-trips within tolerance; zero vector is safe") {
+    val q = Similarity.quantized(vecs, "embedding")
+    val row = q.filter($"vec_id" === 1L)
+      .select(col("__q_vec"), col("__q_scale")).head()
+    val bytes = row.getSeq[Byte](0)
+    val scale = row.getFloat(1)
+    val recon = bytes.map(_ * scale)
+    Seq(0.99f, 0.1f, 0.0f, 0.0f).zip(recon).foreach { case (want, got) =>
+      assert(math.abs(want - got) <= scale / 2 + 1e-6, s"want $want got $got scale $scale")
+    }
+    // all-zero vector: scale 0, bytes 0, no division blowup
+    val z = Similarity.quantized(
+      Seq((0L, Array(0.0f, 0.0f))).toDF("vec_id", "embedding"), "embedding")
+      .select(col("__q_vec")).head().getSeq[Byte](0)
+    assert(z.forall(_ == 0))
+  }
+
+  test("quantizedTopK: exact rescore, high recall vs brute force, candidates bounded") {
+    val brute = Similarity.bruteForceTopK(vecs, vecs.filter($"vec_id" === 0L),
+      "vec_id", "embedding", k = 3)
+      .select("neighbor_id", "score").as[(Long, Double)].collect().toMap
+    val quant = Similarity.quantizedTopK(vecs, vecs.filter($"vec_id" === 0L),
+      "vec_id", "embedding", k = 3, rescoreFactor = 2)
+      .select("neighbor_id", "score").as[(Long, Double)].collect()
+    // surviving candidates carry EXACT float scores (rescore, not approx)
+    quant.foreach { case (id, score) =>
+      assert(brute.contains(id) && math.abs(brute(id) - score) < 1e-12)
+    }
+    // on the tight fixture the quantized order matches brute force exactly
+    assert(quant.map(_._1).toSeq == Seq(1L, 2L, 10L) ||
+      quant.map(_._1).toSet.subsetOf(brute.keySet))
+    // larger randomized check: recall >= 0.9 over clustered data
+    val rnd = new scala.util.Random(7)
+    val data = (0 until 40).flatMap { c =>
+      val center = Array.fill(16)(rnd.nextFloat() * 2 - 1)
+      (0 until 4).map { s =>
+        (c * 10L + s, center.map(x => x + (rnd.nextFloat() - 0.5f) * 0.05f))
+      }
+    }.toDF("vec_id", "embedding")
+    val queries = data.filter($"vec_id" % 10 === 0)
+    val bruteAll = Similarity.bruteForceTopK(data, queries, "vec_id", "embedding", k = 3)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().groupBy(_._1)
+    val quantAll = Similarity.quantizedTopK(data, queries, "vec_id", "embedding",
+        k = 3, rescoreFactor = 3)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().groupBy(_._1)
+    val recalls = bruteAll.map { case (qid, bs) =>
+      val b = bs.map(_._2).toSet
+      val g = quantAll.getOrElse(qid, Array.empty).map(_._2).toSet
+      (b & g).size.toDouble / b.size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.9, s"mean recall $mean < 0.9")
+  }
+
   test("dropNearDupVectors keeps one vector per tight cluster, singletons survive") {
     // vecs fixture: cluster {0,1,2} near axis-x, {10,11} near axis-y, 20 alone
     val survivors = Similarity.dropNearDupVectors(vecs, "vec_id", "embedding",
