@@ -73,6 +73,30 @@ object Sampling {
   }
 
   /**
+   * Deterministic per-group cap: keep at most `n` rows per group (the
+   * anti-domination step — cap documents per domain/source so no single
+   * origin overwhelms the mixture). Selection order is the md5 hash of the
+   * key columns, so WHICH rows survive is a pure function of the data:
+   * stable under retries, engine-portable (the battery oracle replays the
+   * same window in SQL), and unbiased within each group. One shuffle on
+   * the group columns.
+   */
+  def capPerGroup(
+      df: DataFrame,
+      groupCols: Seq[String],
+      keys: Seq[String],
+      n: Int): DataFrame = {
+    require(n > 0, "cap must be positive")
+    require(groupCols.nonEmpty, "need at least one group column")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*)
+      .orderBy((hashHex(keys.map(col)).asc +: keys.map(col(_).asc)): _*)
+    df.withColumn("__graft_cap_rn", row_number().over(w))
+      .filter(col("__graft_cap_rn") <= n)
+      .drop("__graft_cap_rn")
+  }
+
+  /**
    * Per-source mixing: keep a different deterministic fraction of each
    * source (the "dataset mixture weights" step of corpus assembly — e.g.
    * keep 100% of books, 10% of web). Rows whose source has no entry are

@@ -791,6 +791,12 @@ object Battery {
         .groupBy(col("split")).agg(
           count(lit(1)).as("n_docs"),
           sum(col("n_chars")).as("chars"))),
+    "q93_cap_per_group" -> ((s, d) =>
+      graft.operators.Sampling.capPerGroup(
+          docs(s, d), Seq("source"), Seq("doc_id"), n = 10)
+        .groupBy(col("source")).agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("doc_id")).as("id_sum"))),
     "q82_mix_sources" -> ((s, d) =>
       graft.operators.Sampling.mixSources(
           docs(s, d), "source", Seq("doc_id"),
@@ -1426,6 +1432,12 @@ object Battery {
         |    ELSE 'test' END AS split, n_chars
         |  FROM documents)
         |GROUP BY split""".stripMargin,
+    "q93_cap_per_group" ->
+      """SELECT source, COUNT(*) AS n_docs, SUM(doc_id) AS id_sum FROM (
+        |  SELECT source, doc_id, row_number() OVER (PARTITION BY source
+        |    ORDER BY substring(md5(CAST(doc_id AS VARCHAR)),1,8) ASC, doc_id ASC) AS rn
+        |  FROM documents)
+        |WHERE rn <= 10 GROUP BY source""".stripMargin,
     "q82_mix_sources" ->
       """SELECT source, COUNT(*) AS n_docs, SUM(n_chars) AS chars
         |FROM documents

@@ -53,6 +53,22 @@ class SamplingSpec extends SparkSpec {
     assert(a.select("id", "split").except(b.select("id", "split")).count() == 0)
   }
 
+  test("capPerGroup: at most n per group, deterministic, subset-stable") {
+    val df = (1L to 1000L).map(i => (i, s"g${i % 7}")).toDF("id", "grp")
+    val capped = Sampling.capPerGroup(df, Seq("grp"), Seq("id"), 20)
+    val counts = capped.groupBy("grp").count().collect().map(_.getLong(1))
+    assert(counts.forall(_ == 20L), "every group has > 20 rows, so all cap at exactly 20")
+    // small groups pass through whole
+    val small = Sampling.capPerGroup(df.filter(col("id") <= 5), Seq("grp"), Seq("id"), 20)
+    assert(small.count() == 5)
+    // determinism: same survivors every run
+    assert(capped.agg(sum("id")).head().getLong(0) ==
+      Sampling.capPerGroup(df, Seq("grp"), Seq("id"), 20).agg(sum("id")).head().getLong(0))
+    // a larger cap keeps a SUPERSET of a smaller cap's survivors
+    val cap10 = Sampling.capPerGroup(df, Seq("grp"), Seq("id"), 10)
+    assert(cap10.join(capped, Seq("id"), "left_anti").count() == 0)
+  }
+
   test("mixSources: per-source fractions, unknown sources dropped") {
     val df = (1L to 3000L).map(i => (i, s"src${i % 3}")).toDF("id", "src")
     val mixed = Sampling.mixSources(df, "src", Seq("id"),
