@@ -20,12 +20,22 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    // 3-decimal rounding keeps the whole line inside the harness's 2 KB
-    // output tail even as the battery grows
-    val qs = results.map { case (k, v) => f""""$k":$v%.3f""" }
-      .mkString("{", ",", "}")
+    // The harness captures only the LAST 2000 chars of stdout and parses the
+    // last line as JSON — the whole line must fit. Short keys (qNN, unique by
+    // construction) + 3-decimal values keep ~93 queries near 1300 chars; if
+    // the battery ever outgrows that, drop the fastest entries until it fits.
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    def render(rs: Seq[(String, Double)]): String = {
+      val qs = rs.map { case (k, v) => f""""${k.takeWhile(_ != '_')}":$v%.3f""" }
+        .mkString("{", ",", "}")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    }
+    var entries = results.toSeq.sortBy(-_._2) // slowest first: keep the informative ones
+    var line = render(entries)
+    while (line.length > 1900 && entries.nonEmpty) {
+      entries = entries.init
+      line = render(entries)
+    }
     // stop BEFORE printing so no executor/context shutdown log line can land
     // after the JSON — the harness parses the last line of stdout
     spark.stop()

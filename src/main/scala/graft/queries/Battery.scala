@@ -1425,7 +1425,7 @@ object Battery {
     // thresholds are Sampling.thresholdHex values: 0.8 -> cccccccc,
     // 0.9 -> e6666666, 0.5 -> 80000000, 0.25 -> 40000000, 0.1 -> 19999999
     "q81_hash_split" ->
-      """SELECT split, COUNT(*) AS n_docs, SUM(n_chars) AS chars FROM (
+      """SELECT split, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS chars FROM (
         |  SELECT CASE
         |    WHEN substring(md5(CAST(doc_id AS VARCHAR)),1,8) < 'cccccccc' THEN 'train'
         |    WHEN substring(md5(CAST(doc_id AS VARCHAR)),1,8) < 'e6666666' THEN 'val'
@@ -1433,13 +1433,13 @@ object Battery {
         |  FROM documents)
         |GROUP BY split""".stripMargin,
     "q93_cap_per_group" ->
-      """SELECT source, COUNT(*) AS n_docs, SUM(doc_id) AS id_sum FROM (
+      """SELECT source, COUNT(*) AS n_docs, CAST(SUM(doc_id) AS BIGINT) AS id_sum FROM (
         |  SELECT source, doc_id, row_number() OVER (PARTITION BY source
         |    ORDER BY substring(md5(CAST(doc_id AS VARCHAR)),1,8) ASC, doc_id ASC) AS rn
         |  FROM documents)
         |WHERE rn <= 10 GROUP BY source""".stripMargin,
     "q82_mix_sources" ->
-      """SELECT source, COUNT(*) AS n_docs, SUM(n_chars) AS chars
+      """SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS chars
         |FROM documents
         |WHERE substring(md5(CAST(doc_id AS VARCHAR)),1,8) < CASE source
         |  WHEN 'src0' THEN 'g'
@@ -1496,7 +1496,7 @@ object Battery {
         |    WHEN substring(md5(CAST(doc_id AS VARCHAR)),1,8) < 'e6666666' THEN 'train'
         |    WHEN substring(md5(CAST(doc_id AS VARCHAR)),1,8) < 'f3333333' THEN 'val'
         |    ELSE 'test' END AS split, n_chars FROM ded)
-        |SELECT split, COUNT(*) AS n_docs, SUM(n_chars) AS chars
+        |SELECT split, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS chars
         |FROM sp GROUP BY split""".stripMargin,
     "q86_decontaminate" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
@@ -1523,7 +1523,7 @@ object Battery {
         |      ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
         |      0) / 16384) AS BIGINT) AS bin
         |  FROM documents)
-        |SELECT shard, bin, COUNT(*) AS n_docs, SUM(n_chars) AS fill,
+        |SELECT shard, bin, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS fill,
         |  MAX(n_chars) AS largest
         |FROM b GROUP BY shard, bin""".stripMargin,
     "q79_stream_correlate" ->

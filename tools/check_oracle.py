@@ -72,6 +72,22 @@ def main(sf_dir: str, out_dir: str) -> int:
             print(f"FAIL {name}: rows {len(got)} != {len(want)}")
             failures += 1
             continue
+        # the driver hashes VALUES: a float64 123.0 vs int64 123 hash-differs
+        # even though == passes. DuckDB SUM(BIGINT) returns HUGEINT → pandas
+        # float64; oracles must CAST such sums back to BIGINT. Catch it here.
+        kind_clash = None
+        for c in got.columns:
+            gk = got[c].dtype.kind
+            wk = want[c].dtype.kind
+            if {gk, wk} == {"f", "i"} or {gk, wk} == {"f", "u"}:
+                kind_clash = (c, got[c].dtype, want[c].dtype)
+                break
+        if kind_clash:
+            c, gd, wd = kind_clash
+            print(f"FAIL {name}: dtype clash col={c}: spark={gd} oracle={wd} "
+                  f"(driver hash distinguishes 123.0 from 123 — CAST the oracle)")
+            failures += 1
+            continue
         mismatch = None
         for c in got.columns:
             ga, wa = got[c].tolist(), want[c].tolist()
