@@ -96,6 +96,43 @@ object Sampling {
       .drop("__graft_cap_rn")
   }
 
+  /** 0-15 value of the `i`-th (1-based) hex digit of `hexCol`, via ascii()
+   *  arithmetic — portable (DuckDB/Spark/any SQL engine with ascii();
+   *  no engine-specific hex parsing). */
+  private def hexDigit(hexCol: Column, i: Int): Column = {
+    val a = ascii(substring(hexCol, i, 1))
+    when(a >= 97, a - 87).otherwise(a - 48)
+  }
+
+  /**
+   * Reproducible global shuffle: assign every row a (shard, pos) ordering
+   * that is a pure function of its key — the corpus-order randomization
+   * step of training-data assembly (training wants a fixed, re-creatable
+   * random order; `orderBy(rand())` changes under retry and a true global
+   * sort by hash is one giant range exchange).
+   *
+   * Two-level: `shard = first two md5 hex digits` (256-way, hash-uniform),
+   * `pos = rank of the full digest within the shard`. Shards are written /
+   * consumed in shard order, rows within a shard in pos order — a total
+   * order identical on every engine and every run. The sort is
+   * PER-SHARD (one hash exchange + within-partition sort), never global.
+   */
+  def shuffleOrder(
+      df: DataFrame,
+      keys: Seq[String],
+      shardCol: String = "shard",
+      posCol: String = "pos"): DataFrame = {
+    val digest = md5(concat_ws("|", keys.map(col(_).cast("string")): _*))
+    val withShard = df.withColumn("__graft_digest", digest)
+      .withColumn(shardCol, (hexDigit(col("__graft_digest"), 1) * 16 +
+        hexDigit(col("__graft_digest"), 2)).cast("int"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(shardCol))
+      .orderBy((col("__graft_digest").asc +: keys.map(col(_).asc)): _*)
+    withShard.withColumn(posCol, row_number().over(w))
+      .drop("__graft_digest")
+  }
+
   /**
    * Per-source mixing: keep a different deterministic fraction of each
    * source (the "dataset mixture weights" step of corpus assembly — e.g.

@@ -937,6 +937,67 @@ object Battery {
         .groupBy(col("split")).agg(
           count(lit(1)).as("n_docs"),
           sum(col("n_chars")).as("chars"))
+    }),
+
+    // ---- PII scrubbing (compliance pass). The corpus is synthetic word
+    // soup, so the dirt is injected deterministically from doc_id — the
+    // oracle replays both the injection and the masking, and md5(clean)
+    // pins the exact masked text ---------------------------------------
+    "q94_pii_redact" -> ((s, d) => {
+      val dirty = docs(s, d).withColumn("dirty",
+        concat(col("text"),
+          lit(" contact user"), col("doc_id").cast("string"),
+          lit("@mail.example.com or 415-555-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+          lit(" ip "), (col("doc_id") % 256).cast("string"),
+          lit(".0.0.1 acct "),
+          lpad(col("doc_id").cast("string"), 9, "0")))
+      graft.operators.Pii.redact(dirty, "dirty")
+        .filter(col("doc_id") < 50)
+        .select(col("doc_id"), md5(col("dirty_clean")).as("clean_md5"),
+          col("n_email"), col("n_ipv4"), col("n_phone"), col("n_digits"))
+    }),
+
+    // ---- vocabulary heavy hitters (map-side partial agg + TakeOrdered) --
+    "q95_vocab_topk" -> ((s, d) =>
+      graft.operators.Vocab.topTerms(docs(s, d), "doc_id", "text", 20)),
+
+    // ---- TF-IDF: best-scoring term per document. The RANKING is portable
+    // (equal (tf_count, df) pairs produce bit-equal scores in any engine;
+    // distinct pairs differ by far more than the 1-ulp ln() skew between
+    // Java StrictMath.log and glibc log), but the raw idf/score doubles are
+    // NOT hash-comparable across engines — so the checked output carries
+    // the exact-arithmetic columns only (counts + tf division) -----------
+    "q96_tfidf" -> ((s, d) => {
+      val scored = graft.operators.Vocab.tfIdf(docs(s, d), "doc_id", "text")
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("score").desc, col("word").asc)
+      scored.filter(col("doc_id") < 20)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("word"), col("tf_count"), col("df"), col("tf"))
+    }),
+
+    // ---- context-length chunking (codegen array exprs, zero shuffle) ----
+    "q97_chunking" -> ((s, d) =>
+      graft.operators.Chunking.chunk(
+        docs(s, d).filter(col("doc_id") < 10),
+        Seq("doc_id"), "text", size = 64, overlap = 16)),
+
+    // ---- reproducible corpus shuffle: (shard, pos) total order ----------
+    "q98_shuffle_order" -> ((s, d) =>
+      graft.operators.Sampling.shuffleOrder(docs(s, d), Seq("doc_id"))
+        .select(col("doc_id"), col("shard"), col("pos"))),
+
+    // ---- fuzzy (edit-distance) self-join, prefix-blocked: every part name
+    // paired with its last-char-deleted variant at distance exactly 1 -----
+    "q99_fuzzy_join" -> ((s, d) => {
+      val p = Tables.part(s, d)
+      val base = p.select((col("p_partkey") * 2).as("id"), col("p_name").as("name"))
+      val variants = p.select((col("p_partkey") * 2 + 1).as("id"),
+        col("p_name").substr(lit(1), length(col("p_name")) - 1).as("name"))
+      graft.operators.Fuzzy.selfJoinByEditDistance(
+        base.unionByName(variants), "id", "name", maxDist = 1, blockPrefix = 12)
     })
   )
 
@@ -978,6 +1039,26 @@ object Battery {
        |  CAST($greatest AS BIGINT) AS lang_pred_score
        |FROM (SELECT doc_id, $scoreDefs
        |      FROM (SELECT doc_id, ' ' || lower(text) || ' ' AS p FROM documents))""".stripMargin
+  }
+
+  /** PII oracle generated from the SAME rule list as the Spark operator
+   *  ([[graft.operators.Pii.Rules]]), so patterns cannot drift. DuckDB's
+   *  regexp_replace needs the explicit 'g' flag (Spark replaces all matches
+   *  by default) and has no regexp_count — len(regexp_extract_all) instead. */
+  private def piiOracleSql: String = {
+    val dirt = "text || ' contact user' || CAST(doc_id AS VARCHAR) || " +
+      "'@mail.example.com or 415-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || " +
+      "' ip ' || CAST(doc_id % 256 AS VARCHAR) || '.0.0.1 acct ' || " +
+      "lpad(CAST(doc_id AS VARCHAR), 9, '0')"
+    val masked = graft.operators.Pii.Rules.foldLeft("t") {
+      case (acc, (_, re, repl)) => s"regexp_replace($acc, '$re', '$repl', 'g')"
+    }
+    val counts = graft.operators.Pii.Rules.map {
+      case (name, re, _) => s"len(regexp_extract_all(t, '$re')) AS n_$name"
+    }.mkString(", ")
+    s"""SELECT doc_id, md5($masked) AS clean_md5, $counts
+       |FROM (SELECT doc_id, $dirt AS t FROM documents)
+       |WHERE doc_id < 50""".stripMargin
   }
 
   private def qualitySql: String = {
@@ -1531,7 +1612,66 @@ object Battery {
         |FROM events a JOIN events b
         |  ON a.user_id = b.user_id
         | AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 3600 SECOND
-        |WHERE a.event_type = 'click' AND b.event_type = 'purchase'""".stripMargin
+        |WHERE a.event_type = 'click' AND b.event_type = 'purchase'""".stripMargin,
+    "q94_pii_redact" -> piiOracleSql,
+    "q95_vocab_topk" ->
+      """SELECT word, COUNT(*) AS n
+        |FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        |WHERE length(word) > 0
+        |GROUP BY word ORDER BY n DESC, word ASC LIMIT 20""".stripMargin,
+    "q96_tfidf" ->
+      """WITH t AS (
+        |  SELECT doc_id, word FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+        |  WHERE length(word) > 0),
+        |perdoc AS (SELECT doc_id, word, COUNT(*) AS tf_count FROM t GROUP BY 1, 2),
+        |dlen AS (SELECT doc_id, COUNT(*) AS n_tok FROM t GROUP BY 1),
+        |dfreq AS (SELECT word, COUNT(DISTINCT doc_id) AS df FROM t GROUP BY 1),
+        |n AS (SELECT COUNT(*) AS nn FROM documents),
+        |scored AS (
+        |  SELECT p.doc_id, p.word, p.tf_count, f.df,
+        |    CAST(p.tf_count AS DOUBLE) / CAST(l.n_tok AS DOUBLE) AS tf,
+        |    ln(CAST(n.nn AS DOUBLE) / CAST(f.df AS DOUBLE)) AS idf
+        |  FROM perdoc p JOIN dlen l USING (doc_id) JOIN dfreq f USING (word)
+        |  CROSS JOIN n),
+        |rk AS (SELECT *, row_number() OVER (
+        |    PARTITION BY doc_id ORDER BY tf * idf DESC, word ASC) AS rn
+        |  FROM scored)
+        |SELECT doc_id, word, tf_count, df, tf
+        |FROM rk WHERE doc_id < 20 AND rn = 1""".stripMargin,
+    "q97_chunking" ->
+      """SELECT doc_id, CAST((s - 1) // 48 AS INT) AS chunk_ix,
+        |  substring(text, CAST(s AS INT), 64) AS chunk_text,
+        |  length(substring(text, CAST(s AS INT), 64)) AS chunk_len
+        |FROM (SELECT doc_id, text,
+        |        unnest(generate_series(1, greatest(length(text) - 16, 1), 48)) AS s
+        |      FROM documents WHERE doc_id < 10 AND length(text) > 0)""".stripMargin,
+    "q98_shuffle_order" ->
+      """WITH h AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS dig FROM documents),
+        |s AS (SELECT doc_id, dig,
+        |  (CASE WHEN ascii(substring(dig, 1, 1)) >= 97
+        |        THEN ascii(substring(dig, 1, 1)) - 87
+        |        ELSE ascii(substring(dig, 1, 1)) - 48 END) * 16 +
+        |  (CASE WHEN ascii(substring(dig, 2, 1)) >= 97
+        |        THEN ascii(substring(dig, 2, 1)) - 87
+        |        ELSE ascii(substring(dig, 2, 1)) - 48 END) AS shard
+        |  FROM h)
+        |SELECT doc_id, shard,
+        |  row_number() OVER (PARTITION BY shard ORDER BY dig ASC, doc_id ASC) AS pos
+        |FROM s""".stripMargin,
+    "q99_fuzzy_join" ->
+      """WITH u AS (
+        |  SELECT p_partkey * 2 AS id, p_name AS name FROM part
+        |  UNION ALL
+        |  SELECT p_partkey * 2 + 1 AS id,
+        |    substring(p_name, 1, length(p_name) - 1) AS name FROM part)
+        |SELECT a.id AS a_id, a.name AS a_name, b.id AS b_id, b.name AS b_name,
+        |  levenshtein(a.name, b.name) AS dist
+        |FROM u a JOIN u b
+        |  ON substring(a.name, 1, 12) = substring(b.name, 1, 12)
+        | AND a.id < b.id
+        | AND abs(length(a.name) - length(b.name)) <= 1
+        |WHERE levenshtein(a.name, b.name) <= 1""".stripMargin
   )
 
   /** Flagship end-to-end pipeline for the driver's smoke check: LWW-normalize

@@ -279,4 +279,56 @@ class PlanQualitySpec extends SparkSpec {
     val exchangeLines = plan.linesIterator.filter(_.contains("Exchange")).mkString("\n")
     assert(!exchangeLines.contains("text"), s"text column in shuffle:\n$exchangeLines")
   }
+
+  test("vocab top-k plans TakeOrderedAndProject with partial agg — never a global sort") {
+    val docs = graft.tables.Tables.documents(spark, sf)
+    val plan = graft.operators.Vocab.topTerms(docs, "doc_id", "text", 20)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"expected top-k operator in:\n$plan")
+    assert(!plan.linesIterator.exists(l => l.trim.startsWith("+- Sort") || l.trim.startsWith("Sort ")),
+      s"global sort in top-k plan:\n$plan")
+    // map-side partial aggregation before the one exchange
+    val firstAgg = plan.linesIterator.toSeq.reverse.find(_.contains("HashAggregate")).getOrElse("")
+    assert(firstAgg.contains("partial_count"), s"expected partial agg below the exchange:\n$plan")
+  }
+
+  test("PII redaction is pure codegen: zero exchanges, one WholeStageCodegen span") {
+    val docs = graft.tables.Tables.documents(spark, sf)
+    val plan = graft.operators.Pii.redact(docs, "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"PII pass must not shuffle:\n$plan")
+    // codegen'd operators carry the "*(n)" stage marker in the plan string
+    assert(plan.linesIterator.next().trim.startsWith("*("),
+      s"PII pass fell out of codegen:\n$plan")
+  }
+
+  test("chunking is pure codegen: zero exchanges, explode stays in-stage") {
+    val docs = graft.tables.Tables.documents(spark, sf)
+    val plan = graft.operators.Chunking.chunk(docs, Seq("doc_id"), "text", 64, 16)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"chunking must not shuffle:\n$plan")
+    assert(plan.contains("Generate"), s"expected codegen explode in:\n$plan")
+  }
+
+  test("prefix-blocked fuzzy join plans an equi-join, not a nested-loop cross product") {
+    import spark.implicits._
+    val names = (1L to 500L).map(i => (i, s"name-$i-suffix")).toDF("id", "name")
+    val plan = graft.operators.Fuzzy
+      .selfJoinByEditDistance(names, "id", "name", maxDist = 1, blockPrefix = 6)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"),
+      s"expected an equi-join on the blocking key:\n$plan")
+    assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"),
+      s"fuzzy join fell back to a cross product:\n$plan")
+  }
+
+  test("reproducible shuffle is one hash exchange (per-shard sort, never global)") {
+    val docs = graft.tables.Tables.documents(spark, sf)
+    val plan = graft.operators.Sampling.shuffleOrder(docs, Seq("doc_id"))
+      .queryExecution.executedPlan.toString
+    val exchanges = plan.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.size == 1, s"expected exactly one exchange:\n$plan")
+    assert(exchanges.head.contains("hashpartitioning"),
+      s"shard exchange must be hash, not range (global sort):\n${exchanges.head}")
+  }
 }

@@ -79,4 +79,26 @@ class SamplingSpec extends SparkSpec {
     assert(by("src0") == 1000L, "fraction 1.0 keeps every row")
     assert(math.abs(by("src1") - 250L) < 80)
   }
+
+  test("shuffleOrder: a reproducible permutation — total, uniform, key-pure") {
+    val df = ids // 1..10000
+    val a = Sampling.shuffleOrder(df, Seq("id"))
+    // (shard, pos) is a total order: all 10000 assignments distinct
+    assert(a.select("shard", "pos").distinct().count() == 10000)
+    assert(a.count() == 10000)
+    // shards span 0..255 and are roughly uniform
+    val shardCounts = a.groupBy("shard").count().collect()
+    assert(shardCounts.length == 256)
+    assert(shardCounts.map(_.getLong(1)).max < 100, "256-way md5 sharding of 10k ~ 39/shard")
+    // pos is 1..n contiguous within each shard
+    val bad = a.groupBy("shard").agg(
+      min(col("pos")).as("lo"), max(col("pos")).as("hi"), count(lit(1)).as("n"))
+      .filter(col("lo") =!= 1 || col("hi") =!= col("n"))
+    assert(bad.count() == 0)
+    // pure function of the key: payload content and row order are irrelevant
+    val shuffledInput = Sampling.shuffleOrder(
+      df.orderBy(rand(7)).withColumn("noise", rand(13)), Seq("id"))
+    assert(a.select("id", "shard", "pos")
+      .except(shuffledInput.select("id", "shard", "pos")).count() == 0)
+  }
 }
