@@ -989,15 +989,20 @@ object Battery {
       graft.operators.Sampling.shuffleOrder(docs(s, d), Seq("doc_id"))
         .select(col("doc_id"), col("shard"), col("pos"))),
 
-    // ---- fuzzy (edit-distance) self-join, prefix-blocked: every part name
-    // paired with its last-char-deleted variant at distance exactly 1 -----
+    // ---- fuzzy (edit-distance) self-join, prefix-blocked: every document's
+    // 32-char text prefix paired with its last-char-deleted variant at
+    // distance 1 (part names are 64 near-constant values here — a fuzzy join
+    // on them degenerates to the quadratic duplicate blowup by design of the
+    // data, not of the operator; doc prefixes are ~95% distinct and keep the
+    // candidate volume linear in the corpus) ------------------------------
     "q99_fuzzy_join" -> ((s, d) => {
-      val p = Tables.part(s, d)
-      val base = p.select((col("p_partkey") * 2).as("id"), col("p_name").as("name"))
-      val variants = p.select((col("p_partkey") * 2 + 1).as("id"),
-        col("p_name").substr(lit(1), length(col("p_name")) - 1).as("name"))
+      val t = docs(s, d)
+      val base = t.select((col("doc_id") * 2).as("id"),
+        substring(col("text"), 1, 32).as("name"))
+      val variants = t.select((col("doc_id") * 2 + 1).as("id"),
+        substring(col("text"), 1, 31).as("name"))
       graft.operators.Fuzzy.selfJoinByEditDistance(
-        base.unionByName(variants), "id", "name", maxDist = 1, blockPrefix = 12)
+        base.unionByName(variants), "id", "name", maxDist = 1, blockPrefix = 8)
     })
   )
 
@@ -1661,14 +1666,13 @@ object Battery {
         |FROM s""".stripMargin,
     "q99_fuzzy_join" ->
       """WITH u AS (
-        |  SELECT p_partkey * 2 AS id, p_name AS name FROM part
+        |  SELECT doc_id * 2 AS id, substring(text, 1, 32) AS name FROM documents
         |  UNION ALL
-        |  SELECT p_partkey * 2 + 1 AS id,
-        |    substring(p_name, 1, length(p_name) - 1) AS name FROM part)
+        |  SELECT doc_id * 2 + 1 AS id, substring(text, 1, 31) AS name FROM documents)
         |SELECT a.id AS a_id, a.name AS a_name, b.id AS b_id, b.name AS b_name,
         |  levenshtein(a.name, b.name) AS dist
         |FROM u a JOIN u b
-        |  ON substring(a.name, 1, 12) = substring(b.name, 1, 12)
+        |  ON substring(a.name, 1, 8) = substring(b.name, 1, 8)
         | AND a.id < b.id
         | AND abs(length(a.name) - length(b.name)) <= 1
         |WHERE levenshtein(a.name, b.name) <= 1""".stripMargin
