@@ -69,6 +69,11 @@ package object functions {
       new ExpressionInfo(classOf[WordShingleHashes].getName, "word_shingle_hashes"),
       (exprs: Seq[Expression]) => WordShingleHashes(exprs(0), intArg(exprs(1))))
     registry.registerFunction(
+      FunctionIdentifier("ngram_md5_hashes"),
+      new ExpressionInfo(classOf[NgramMd5Hashes].getName, "ngram_md5_hashes"),
+      (exprs: Seq[Expression]) =>
+        NgramMd5Hashes(exprs(0), intArg(exprs(1)), intArg(exprs(2))))
+    registry.registerFunction(
       FunctionIdentifier("minhash_sig"),
       new ExpressionInfo(classOf[MinHashSignature].getName, "minhash_sig"),
       (exprs: Seq[Expression]) => MinHashSignature(exprs(0), intArg(exprs(1))))

@@ -25,14 +25,14 @@ import org.apache.spark.sql.functions._
 object Decontaminate {
 
   /** Hashes of every `n`-token window of `textCol` (empty array when the
-   *  document has fewer than `n` tokens). */
+   *  document has fewer than `n` tokens). Native one-pass expression —
+   *  value-identical to the higher-order
+   *  `transform(sequence(…), i -> substring(md5(array_join(slice(…))), 1, 16))`
+   *  formulation (equivalence spec-gated) but without its per-window
+   *  slice/join/array allocations. */
   def gramHashes(textCol: Column, n: Int): Column = {
     require(n >= 2, "n-gram size must be >= 2")
-    val toks = split(textCol, " ")
-    when(size(toks) >= n,
-      transform(sequence(lit(1), size(toks) - (n - 1)),
-        i => substring(md5(array_join(slice(toks, i, lit(n)), " ")), 1, 16)))
-      .otherwise(array().cast("array<string>"))
+    graft.functions.NgramMd5Hashes(textCol, n, hexLen = 16)
   }
 
   /** (id, gram) pairs for a document set. */

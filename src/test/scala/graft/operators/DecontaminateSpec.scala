@@ -19,6 +19,26 @@ class DecontaminateSpec extends SparkSpec {
     (100L, "benchmark question the quick brown fox jumps over the lazy dog answer")
   ).toDF("doc_id", "text")
 
+  test("native ngram_md5_hashes is value-identical to the higher-order md5 formulation") {
+    val toks = split(col("text"), " ")
+    def reference(n: Int) = when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => substring(md5(array_join(slice(toks, i, lit(n)), " ")), 1, 16)))
+      .otherwise(array().cast("array<string>"))
+    // corpus plus nasty shapes: empty tokens (double space), leading/trailing
+    // space, unicode multi-byte text, single word, empty string
+    val hard = Seq((10L, "a  b c d"), (11L, " x y "), (12L, "héllo wörld déjà vu über naïve"),
+      (13L, "one"), (14L, "")).toDF("doc_id", "text")
+    for (n <- Seq(2, 3, 8)) {
+      val diff = corpus.unionByName(hard)
+        .select(col("doc_id"),
+          Decontaminate.gramHashes(col("text"), n).as("fast"),
+          reference(n).as("slow"))
+        .filter(not(col("fast") === col("slow")))
+      assert(diff.count() == 0, s"n=$n: ${diff.collect().mkString(";")}")
+    }
+  }
+
   test("gramHashes: count and determinism; short docs yield no grams") {
     val n8 = corpus.select(col("doc_id"), size(Decontaminate.gramHashes(col("text"), 8)).as("n"))
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
