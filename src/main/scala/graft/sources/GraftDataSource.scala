@@ -791,11 +791,70 @@ object TokenPruner {
     }
   }
 
-  /** Keep only files whose stats can contain a pushed key: directory keys
-   *  first (`WriteConf.partitionBy` layouts), then token ranges when every
-   *  file has them, integral pk-column ranges otherwise (dead until a
-   *  pushed value misses a file's [min,max]). With no pushdown or no stats,
-   *  keep everything (parquet row-group stats still prune inside the scan). */
+  /** Can a file's integral-column [min,max] stats satisfy this filter?
+   *  Sound by construction: a file is excluded only when NO non-null value
+   *  inside its recorded range could match. Stats cover non-null values
+   *  only, and every predicate handled here is null-rejecting, so pruning
+   *  on them never loses a row (`IsNull` and unknown filters keep the
+   *  file). Range predicates are what make time-travel cheap: an as-of
+   *  read pushes `_graft_writetime <= T`, and since the writer stamps a
+   *  constant writetime per generation, every file of a NEWER generation
+   *  has `min > T` and is pruned here — historical reads never open files
+   *  they can't contain. */
+  def allowsStats(f: FileMeta, filter: Filter): Boolean = {
+    import org.apache.spark.sql.sources._
+    val uq = CqlSchema.unquoted _
+    def asLong(v: Any): Option[Long] = v match {
+      case l: java.lang.Long => Some(l.longValue())
+      case i: java.lang.Integer => Some(i.longValue())
+      case s: java.lang.Short => Some(s.longValue())
+      case b: java.lang.Byte => Some(b.longValue())
+      case _ => None
+    }
+    def range(c: String): Option[(Long, Long)] = f.pkRanges.get(uq(c))
+    filter match {
+      case EqualTo(c, v) => (range(c), asLong(v)) match {
+        case (Some((mn, mx)), Some(x)) => x >= mn && x <= mx
+        case _ => true
+      }
+      case In(c, vs) => range(c) match {
+        case Some((mn, mx)) =>
+          val longs = vs.flatMap(asLong)
+          // any non-integral value in the IN list defeats evaluation: keep
+          longs.length < vs.length || longs.exists(x => x >= mn && x <= mx)
+        case None => true
+      }
+      case GreaterThan(c, v) => (range(c), asLong(v)) match {
+        case (Some((_, mx)), Some(x)) => mx > x
+        case _ => true
+      }
+      case GreaterThanOrEqual(c, v) => (range(c), asLong(v)) match {
+        case (Some((_, mx)), Some(x)) => mx >= x
+        case _ => true
+      }
+      case LessThan(c, v) => (range(c), asLong(v)) match {
+        case (Some((mn, _)), Some(x)) => mn < x
+        case _ => true
+      }
+      case LessThanOrEqual(c, v) => (range(c), asLong(v)) match {
+        case (Some((mn, _)), Some(x)) => mn <= x
+        case _ => true
+      }
+      case And(l, r) => allowsStats(f, l) && allowsStats(f, r)
+      case Or(l, r) => allowsStats(f, l) || allowsStats(f, r)
+      case _ => true
+    }
+  }
+
+  /** Keep only files whose stats can contain the pushed predicates:
+   *  directory keys first (`WriteConf.partitionBy` layouts), then integral
+   *  column [min,max] stats ([[allowsStats]] — equality, IN and RANGE
+   *  predicates over any int32/int64 column with recorded stats, pk or
+   *  not), then token ranges when a full-pk key set compiles and every
+   *  file carries token stats. The passes compose: a key-token scan with a
+   *  `_graft_writetime` bound prunes on both axes. With no pushdown or no
+   *  stats, keep everything (parquet row-group stats still prune inside
+   *  the scan). */
   def prune(
       spark: SparkSession,
       files0: Array[FileMeta],
@@ -803,31 +862,15 @@ object TokenPruner {
       cql: CqlSchema): Array[FileMeta] = {
     val files =
       if (pushed.isEmpty) files0
-      else files0.filter(f => allowsDir(dirValues(f.path), pushed))
+      else files0.filter(f =>
+        allowsDir(dirValues(f.path), pushed) && pushed.forall(allowsStats(f, _)))
     keyTokens(pushed, cql) match {
       case Some(tokens) if tokens.nonEmpty && files.forall(_.tokenRange.isDefined) =>
         files.filter { f =>
           val (mn, mx) = f.tokenRange.get
           tokens.exists(t => t >= mn && t <= mx)
         }
-      case _ =>
-        val values = keyValues(pushed, cql).map { case (c, vs) =>
-          c -> vs.collect {
-            case l: Long => l
-            case i: Int => i.toLong
-            case l: java.lang.Long => l.longValue()
-            case i: java.lang.Integer => i.longValue()
-          }
-        }.filter(_._2.nonEmpty)
-        if (values.isEmpty) files
-        else files.filter { f =>
-          values.forall { case (c, vs) =>
-            f.pkRanges.get(c) match {
-              case Some((mn, mx)) => vs.exists(v => v >= mn && v <= mx)
-              case None => true // no stats for this column: cannot exclude
-            }
-          }
-        }
+      case _ => files
     }
   }
 }
