@@ -7,7 +7,7 @@ import graft.model.CqlSchema
 import graft.sources.TokenPruner
 import org.apache.spark.sql.SaveMode
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.sources.{EqualTo, GreaterThanOrEqual, In, IsNull}
+import org.apache.spark.sql.sources.{EqualTo, GreaterThanOrEqual, In, IsNull, StringStartsWith}
 
 /** `WriteConf.partitionBy` — Hive-style directory partitioning layered under
  *  the token-sorted layout: dir keys are `graft_p_<col>` TWINS of real data
@@ -81,8 +81,21 @@ class DirPartitionedSpec extends SparkSpec {
     assert(ge.forall(f => Set("scroll", "view")(TokenPruner.dirValues(f.path)("etype").get)))
     // no null dir exists: IsNull prunes everything
     assert(TokenPruner.prune(spark, all, Array(IsNull("etype")), schema).isEmpty)
-    // a filter on a NON-partition column must not dir-prune anything
-    assert(TokenPruner.prune(spark, all, Array(EqualTo("v", 10L)), schema).length == all.length)
+    // stats pruning on a NON-partition integral column is sound AND effective:
+    // only files whose recorded v-[min,max] can contain 10 survive, and the
+    // matching row is still found through the pruned scan
+    val statsPruned = TokenPruner.prune(spark, all, Array(EqualTo("v", 10L)), schema)
+    assert(statsPruned.nonEmpty && statsPruned.length < all.length,
+      "any-integral-column stats should drop files whose range excludes 10")
+    val hit = graftRead.filter(col("v") === 10L).collect()
+    assert(hit.map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq ==
+      Seq((1L, "view", 10L)))
+    // predicates the stats genuinely can't evaluate keep every file:
+    // a non-integral comparison value, and a prefix filter neither the dir
+    // keys nor the [min,max] stats understand
+    assert(TokenPruner.prune(spark, all, Array(EqualTo("v", "10")), schema).length == all.length)
+    assert(TokenPruner.prune(spark, all,
+      Array(StringStartsWith("etype", "scr")), schema).length == all.length)
   }
 
   test("multi-column dir partitioning: nested dirs, compound pruning, stats aggregates") {
