@@ -32,6 +32,25 @@ object Battery {
   private def ev(s: SparkSession, d: String) = Tables.events(s, d)
   private def emb(s: SparkSession, d: String) = Tables.embeddings(s, d)
 
+  /** Twin corpus for the deterministic LSH-family oracles (q25/q27/q55/q58/
+   *  q69) — the q72 trick generalized to text. Each copy rebuilds a doc's
+   *  text as 8 md5 words derived from the ORIGINAL text (word order given by
+   *  `perm`), shifted into its own id space. Consequences, valid under ANY
+   *  hash family: (a) docs with distinct original texts get DISJOINT word /
+   *  shingle sets, so no near-dup edge can form between them; (b) docs with
+   *  EQUAL original texts (incl. the unioned twin copies) get identical
+   *  sets, so their MinHash/SimHash signatures are identical and they share
+   *  every LSH bucket — those edges are ALWAYS found. Pair / cluster /
+   *  survivor sets thus reduce to exact text equality, which DuckDB can
+   *  replay in closed form. */
+  private val TwinOff = 1000000L
+  private def twinCopy(s: SparkSession, d: String, copyIdx: Int,
+      perm: Seq[Int] = 0 until 8): DataFrame =
+    docs(s, d).select(
+      (col("doc_id") + lit(copyIdx * TwinOff)).as("doc_id"),
+      col("source"), col("n_chars"),
+      concat_ws(" ", perm.map(k => md5(concat_ws("#", col("text"), lit(k)))): _*).as("text"))
+
   /** exact decimal sum of a double expression, emitted as double */
   private def dsum(c: Column, scale: Int = 6): Column =
     sum(c.cast(s"decimal(18,$scale)")).cast("double")
@@ -193,26 +212,40 @@ object Battery {
     "q24_dedup_exact" -> ((s, d) =>
       Dedup.exact(docs(s, d), "doc_id", Seq("text"))
         .select(col("fp"), col("doc_id"), col("n_copies"))),
+    // twin-corpus (see twinCopy) — the one-hop assignment must map every
+    // member of an exact-text group (and its id-shifted twin) to the group
+    // min; DuckDB replays that from text equality alone
     "q25_dedup_minhash" -> ((s, d) =>
-      Dedup.minhashAssignments(docs(s, d), "doc_id", "text",
+      Dedup.minhashAssignments(
+        twinCopy(s, d, 0).unionByName(twinCopy(s, d, 1)), "doc_id", "text",
         shingleN = 3, numPerms = 64, bands = 16, minEstJaccard = 0.5)),
     "q26_dedup_simhash" -> ((s, d) =>
       Dedup.withSimhash(docs(s, d), "text").select(col("doc_id"), col("simhash"))),
-    // full transitive dedup clusters: LSH candidate pairs → connected
-    // components fixpoint (rows-only: hash-family-dependent pair set)
+    // full transitive dedup clusters over THREE twin copies: every exact-text
+    // group forms one component whose min label must propagate through the
+    // connected-components fixpoint
     "q58_dedup_clusters" -> ((s, d) => {
-      val pairs = Dedup.minhashPairs(docs(s, d), "doc_id", "text",
+      val corpus = twinCopy(s, d, 0).unionByName(twinCopy(s, d, 1))
+        .unionByName(twinCopy(s, d, 2))
+      val pairs = Dedup.minhashPairs(corpus, "doc_id", "text",
         shingleN = 3, numPerms = 64, bands = 16, minEstJaccard = 0.5)
       Dedup.connectedComponents(
-        docs(s, d).select(col("doc_id").as("id")), pairs)
+        corpus.select(col("doc_id").as("id")), pairs)
         .select(col("id").as("doc_id"), col("cluster").as("dup_of"))
     }),
+    // twin-corpus simhash: identical texts hash identically (hamming 0) and
+    // the pigeonhole LSH must surface every within-group pair; disjoint word
+    // sets keep all other pairs far above maxHamming
     "q55_simhash_pairs" -> ((s, d) =>
-      Dedup.simhashPairs(docs(s, d), "doc_id", "text", maxHamming = 3)),
-    // end-to-end near-dup REMOVAL (rows-only: survivor set depends on the
-    // LSH hash family; DedupSpec pins the exact semantics)
+      Dedup.simhashPairs(
+        twinCopy(s, d, 0).unionByName(twinCopy(s, d, 1)), "doc_id", "text",
+        maxHamming = 3)),
+    // end-to-end near-dup REMOVAL on the twin corpus: survivors are exactly
+    // the min-id doc of each exact-text group (DedupSpec pins the real-corpus
+    // semantics; RunOne keeps the old real-corpus workload measurable)
     "q69_dedup_drop" -> ((s, d) =>
-      Dedup.dropNearDuplicates(docs(s, d), "doc_id", "text",
+      Dedup.dropNearDuplicates(
+        twinCopy(s, d, 0).unionByName(twinCopy(s, d, 1)), "doc_id", "text",
         shingleN = 3, numPerms = 64, bands = 16, minEstJaccard = 0.5)
         .select(col("doc_id"), col("source"), col("n_chars"))),
     // the embedding-space twin — oracled: union an id-shifted copy of the
@@ -230,9 +263,18 @@ object Battery {
         minCosine = 0.98, planes = 12, tables = 2)
         .select(col("vec_id"))
     }),
+    // word-level blocking (candidateShingleN=1: signatures depend only on
+    // the word SET, so the three perm-variants of a text are guaranteed
+    // candidates) + exact 3-gram rescore; the perms are chosen so the exact
+    // Jaccards are closed-form: same perm → 1.0, identity↔swap-last-two →
+    // 4/8 = 0.5, reversed↔anything → 0.0 — all exact binary fractions
     "q27_ngram_jaccard" -> ((s, d) =>
-      Dedup.ngramJaccardPairs(docs(s, d), "doc_id", "text", shingleN = 2,
-        numPerms = 64, bands = 32)
+      Dedup.ngramJaccardPairs(
+        twinCopy(s, d, 0)
+          .unionByName(twinCopy(s, d, 1, perm = Seq(0, 1, 2, 3, 4, 5, 7, 6)))
+          .unionByName(twinCopy(s, d, 2, perm = 7 to 0 by -1)),
+        "doc_id", "text", shingleN = 3,
+        numPerms = 64, bands = 16, candidateShingleN = 1)
         .select(col("id_a"), col("id_b"),
           (floor(col("jaccard") * 10000) / 10000).as("jaccard_4dp"))),
     "q28_embed_neardup" -> ((s, d) =>
@@ -1200,6 +1242,39 @@ object Battery {
     "q24_dedup_exact" ->
       """SELECT md5(text) AS fp, MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
         |FROM documents GROUP BY md5(text)""".stripMargin,
+    // twin-corpus LSH oracles: the constructions in the Spark queries reduce
+    // every pair/cluster/survivor decision to exact text equality (see
+    // twinCopy), which these replay in closed form
+    "q25_dedup_minhash" ->
+      """WITH m AS (SELECT text, MIN(doc_id) AS mn FROM documents GROUP BY text)
+        |SELECT d.doc_id + k.o AS doc_id, m.mn AS dup_of
+        |FROM documents d JOIN m ON d.text = m.text,
+        |     (VALUES (0), (1000000)) k(o)""".stripMargin,
+    "q58_dedup_clusters" ->
+      """WITH m AS (SELECT text, MIN(doc_id) AS mn FROM documents GROUP BY text)
+        |SELECT d.doc_id + k.o AS doc_id, m.mn AS dup_of
+        |FROM documents d JOIN m ON d.text = m.text,
+        |     (VALUES (0), (1000000), (2000000)) k(o)""".stripMargin,
+    "q55_simhash_pairs" ->
+      """WITH ids AS (
+        |  SELECT doc_id AS id, text FROM documents
+        |  UNION ALL SELECT doc_id + 1000000, text FROM documents)
+        |SELECT a.id AS id_a, b.id AS id_b, CAST(0 AS INT) AS hamming
+        |FROM ids a JOIN ids b ON a.text = b.text AND a.id < b.id""".stripMargin,
+    "q69_dedup_drop" ->
+      """SELECT d.doc_id, d.source, d.n_chars FROM documents d
+        |WHERE d.doc_id = (SELECT MIN(d2.doc_id) FROM documents d2
+        |                  WHERE d2.text = d.text)""".stripMargin,
+    "q27_ngram_jaccard" ->
+      """WITH ids AS (
+        |  SELECT doc_id AS id, text, 0 AS v FROM documents
+        |  UNION ALL SELECT doc_id + 1000000, text, 1 FROM documents
+        |  UNION ALL SELECT doc_id + 2000000, text, 2 FROM documents)
+        |SELECT a.id AS id_a, b.id AS id_b,
+        |  CAST(CASE WHEN a.v = b.v THEN 1.0
+        |            WHEN a.v + b.v = 1 THEN 0.5
+        |            ELSE 0.0 END AS DOUBLE) AS jaccard_4dp
+        |FROM ids a JOIN ids b ON a.text = b.text AND a.id < b.id""".stripMargin,
     "q28_embed_neardup" ->
       """SELECT id_a, id_b FROM (
         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
