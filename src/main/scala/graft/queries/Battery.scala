@@ -724,6 +724,47 @@ object Battery {
         .select(col("p_partkey"), posexplode(col("words")).as(Seq("pos", "word")))
         .select(col("p_partkey"), col("pos"), col("word.w").as("w"), col("word.len").as("len"))),
 
+    // exotic CQL type semantics (reference SparkSqlTypeConverter.java:33-139,
+    // CqlField.java:57): uuid/timeuuid surface as strings but COMPARE as
+    // java.util.UUID (signed msb/lsb — neither lexicographic string order
+    // nor DuckDB's unsigned UUID order), varint → decimal(38,0), inet →
+    // 4-byte binary. The fixture round-trips through the token-sorted sink
+    // and graft source with a pushed pk range filter, then materializes the
+    // UUID comparison as rank columns so hash-compare verifies the ORDER.
+    // (The global rank window is test-scale only; at 100 TB a rank over the
+    // whole table would be a sort — the semantics live in Uuid.sortKey,
+    // which is shuffle-free.)
+    "q100_exotic_types" -> ((s, d) => {
+      val schema = CqlSchema("exotic", Seq("o_orderkey"))
+      val df = ord(s, d).filter(col("o_orderkey") <= 8000L).select(
+        col("o_orderkey"),
+        graft.functions.Uuid.format(md5(concat(lit("u"), col("o_orderkey")))).as("u"),
+        graft.functions.Uuid.format(md5(concat(lit("t"), col("o_orderkey")))).as("tu"),
+        unhex(lpad(hex(lit(167772160L) + col("o_orderkey") % 16581375L), 8, "0")).as("inet"),
+        concat(col("o_orderkey").cast("string"), lit("00000000000000000000123"))
+          .cast("decimal(38,0)").as("varint"))
+      val out = java.nio.file.Files.createTempDirectory("graft_exotic_").toString + "/exotic"
+      TokenSortedWriter.write(df, schema, out, SaveMode.Append,
+        TokenSortedWriter.WriteConf(numPartitions = 4))
+      val back = s.read.format("graft").option("path", out)
+        .option("pk", "o_orderkey").option("table", "exotic")
+        .option("cqlTypes", "u:uuid,tu:timeuuid,inet:inet,varint:varint")
+        .load()
+        .filter(col("o_orderkey") <= 4000L)
+      import graft.functions.Uuid
+      back.select(
+        col("o_orderkey"), col("u"), col("tu"), col("inet"),
+        // decimal(38,0) through the whole pipeline; string only at the output
+        // edge (24-digit decimals fall out of int64 and hash as floats in the
+        // comparer otherwise)
+        col("varint").cast("string").as("varint"),
+        Uuid.msb(col("u")).as("u_msb"), Uuid.lsb(col("u")).as("u_lsb"),
+        row_number().over(Window.orderBy(Uuid.msb(col("u")), Uuid.lsb(col("u"))))
+          .cast("long").as("rank_u"),
+        row_number().over(Window.orderBy(Uuid.msb(col("tu")), Uuid.lsb(col("tu"))))
+          .cast("long").as("rank_tu"))
+    }),
+
     // ---- static-column semantics (SURVEY §7.4 hard-part) ----------------
     // orders as a multi-row-per-partition table (pk=o_custkey,
     // ck=o_orderkey, static=cust_note). Three writes: base rows with null
@@ -1528,6 +1569,46 @@ object Battery {
         |  CASE WHEN o_custkey % 10 = 0 THEN o_totalprice + 1000 ELSE o_totalprice END AS totalprice,
         |  CASE WHEN o_custkey % 5 = 0 THEN 'S' || CAST(o_custkey AS VARCHAR) END AS cust_note
         |FROM orders""".stripMargin,
+    // uuid comparison replayed in closed form: DuckDB's native UUID type
+    // orders unsigned/bytewise, so the oracle rebuilds Java's SIGNED
+    // msb/lsb from the hex halves (32-bit parses keep BIGINT exact)
+    "q100_exotic_types" ->
+      """WITH base AS (
+        |  SELECT o_orderkey,
+        |    md5('u' || CAST(o_orderkey AS VARCHAR)) AS hu,
+        |    md5('t' || CAST(o_orderkey AS VARCHAR)) AS ht
+        |  FROM orders WHERE o_orderkey <= 4000),
+        |cnv AS (
+        |  SELECT o_orderkey, hu, ht,
+        |    (CASE WHEN CAST('0x' || substr(hu,1,8) AS BIGINT) >= 2147483648
+        |          THEN CAST('0x' || substr(hu,1,8) AS BIGINT) - 4294967296
+        |          ELSE CAST('0x' || substr(hu,1,8) AS BIGINT) END) * 4294967296
+        |      + CAST('0x' || substr(hu,9,8) AS BIGINT) AS u_msb,
+        |    (CASE WHEN CAST('0x' || substr(hu,17,8) AS BIGINT) >= 2147483648
+        |          THEN CAST('0x' || substr(hu,17,8) AS BIGINT) - 4294967296
+        |          ELSE CAST('0x' || substr(hu,17,8) AS BIGINT) END) * 4294967296
+        |      + CAST('0x' || substr(hu,25,8) AS BIGINT) AS u_lsb,
+        |    (CASE WHEN CAST('0x' || substr(ht,1,8) AS BIGINT) >= 2147483648
+        |          THEN CAST('0x' || substr(ht,1,8) AS BIGINT) - 4294967296
+        |          ELSE CAST('0x' || substr(ht,1,8) AS BIGINT) END) * 4294967296
+        |      + CAST('0x' || substr(ht,9,8) AS BIGINT) AS tu_msb,
+        |    (CASE WHEN CAST('0x' || substr(ht,17,8) AS BIGINT) >= 2147483648
+        |          THEN CAST('0x' || substr(ht,17,8) AS BIGINT) - 4294967296
+        |          ELSE CAST('0x' || substr(ht,17,8) AS BIGINT) END) * 4294967296
+        |      + CAST('0x' || substr(ht,25,8) AS BIGINT) AS tu_lsb
+        |  FROM base)
+        |SELECT o_orderkey,
+        |  substr(hu,1,8)||'-'||substr(hu,9,4)||'-'||substr(hu,13,4)||'-'||
+        |    substr(hu,17,4)||'-'||substr(hu,21,12) AS u,
+        |  substr(ht,1,8)||'-'||substr(ht,9,4)||'-'||substr(ht,13,4)||'-'||
+        |    substr(ht,17,4)||'-'||substr(ht,21,12) AS tu,
+        |  from_hex(lpad(lower(to_hex(167772160 + o_orderkey % 16581375)),8,'0')) AS inet,
+        |  CAST(CAST(CAST(o_orderkey AS VARCHAR) || '00000000000000000000123'
+        |            AS DECIMAL(38,0)) AS VARCHAR) AS varint,
+        |  u_msb, u_lsb,
+        |  CAST(row_number() OVER (ORDER BY u_msb, u_lsb) AS BIGINT) AS rank_u,
+        |  CAST(row_number() OVER (ORDER BY tu_msb, tu_lsb) AS BIGINT) AS rank_tu
+        |FROM cnv""".stripMargin,
     "q67_quoted_nulls" ->
       """SELECT o_custkey AS "user id", o_orderkey AS "Order.Key",
         |  o_totalprice AS "select", CAST(NULL AS VARCHAR) AS "all null",

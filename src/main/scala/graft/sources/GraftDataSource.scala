@@ -156,6 +156,30 @@ object GraftDataSource {
     }
   }
 
+  /** Reject CQL types the read path cannot faithfully represent, exactly
+   *  like the reference: counter tables throw on read (reference:
+   *  cassandra-analytics-core `AbstractStreamScanner.java:84-91` "Reading
+   *  counter tables is not supported"), and duration has no Spark SQL
+   *  representation (`SparkSqlTypeConverter` has no duration mapping).
+   *  Declared via the `cqlTypes` option: `"col:type,col:type"` — types other
+   *  than counter/duration (uuid, timeuuid, inet, varint, …) are accepted
+   *  and documented by their Spark surface (string / binary / decimal). */
+  def validateReadTypes(options: CaseInsensitiveStringMap): Unit =
+    Option(options.get("cqlTypes")).getOrElse("")
+      .split(",").map(_.trim).filter(_.nonEmpty).foreach { e =>
+        val (c, t) = e.split(":", 2) match {
+          case Array(c0, t0) => (c0.trim, t0.trim.toLowerCase)
+          case _ => (e, "")
+        }
+        t match {
+          case "counter" => throw new UnsupportedOperationException(
+            s"Reading counter column '$c' is not supported (counter tables cannot be read)")
+          case "duration" => throw new UnsupportedOperationException(
+            s"Reading duration column '$c' is not supported (no Spark SQL representation)")
+          case _ => ()
+        }
+      }
+
   /** [[CqlSchema.annotate]] for a bare StructType (no DataFrame). */
   def annotateStruct(cql: CqlSchema, schema: StructType): StructType =
     StructType(schema.fields.zipWithIndex.map { case (f, i) =>
@@ -183,8 +207,11 @@ class GraftTable(
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
       TableCapability.V1_BATCH_WRITE)
 
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    GraftDataSource.validateReadTypes(tableOptions)
+    GraftDataSource.validateReadTypes(options)
     new GraftScanBuilder(dir, annotated, cql, options.getBoolean("clustered", false))
+  }
 
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
