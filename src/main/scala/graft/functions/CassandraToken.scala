@@ -51,11 +51,7 @@ case class CassandraToken(children: Seq[Expression])
    *  MICROS and dates as day counts, while the Cassandra ring hashes 8-byte
    *  millis / 4-byte centered days — the tag tells the shared eval to
    *  re-encode (see `Murmur3Token.serializeMillis/serializeDays`). */
-  private def typeTags: Array[String] = children.map(_.dataType match {
-    case TimestampType | TimestampNTZType => "ts"
-    case DateType => "date"
-    case _ => ""
-  }).toArray
+  private def typeTags: Array[String] = CassandraToken.typeTagsOf(children)
 
   override def eval(input: InternalRow): Any =
     CassandraToken.evalComponents(children.map(_.eval(input)).toArray, typeTags)
@@ -88,9 +84,11 @@ object CassandraToken {
   def apply(cols: Column*): Column =
     GraftShims.column(new CassandraToken(cols.map(GraftShims.expression).toSeq))
 
-  /** Shared eval for interpreted and generated code paths. */
-  def evalComponents(components: Array[Any], tags: Array[String]): Long =
-    Murmur3Token.tokenOf(components.toSeq.zipWithIndex.map {
+  /** Spark internal values → the values [[Murmur3Token.serializeKey]]
+   *  understands (shared by the Murmur3 and RandomPartitioner expressions —
+   *  both rings hash the identical CQL key serialization). */
+  def normalizeComponents(components: Array[Any], tags: Array[String]): Seq[Any] =
+    components.toSeq.zipWithIndex.map {
       case (null, _) => null
       case (v: java.lang.Long, i) if tags(i) == "ts" =>
         // Spark internal epoch micros → CQL 8-byte epoch millis
@@ -100,5 +98,82 @@ object CassandraToken {
         Murmur3Token.serializeDays(v.intValue())
       case (u: UTF8String, _) => u.toString
       case (other, _) => other
-    })
+    }
+
+  /** CQL serialization tags per component (see [[CassandraToken.typeTags]]). */
+  def typeTagsOf(children: Seq[Expression]): Array[String] =
+    children.map(_.dataType match {
+      case TimestampType | TimestampNTZType => "ts"
+      case DateType => "date"
+      case _ => ""
+    }).toArray
+
+  /** Shared eval for interpreted and generated code paths. */
+  def evalComponents(components: Array[Any], tags: Array[String]): Long =
+    Murmur3Token.tokenOf(normalizeComponents(components, tags))
+}
+
+/**
+ * RandomPartitioner twin of [[CassandraToken]]: md5 `abs(BigInteger)` token
+ * (see [[graft.token.RandomToken]]) emitted as fixed-width 16-byte
+ * big-endian BINARY, whose unsigned-lexicographic ordering equals numeric
+ * token ordering — so every downstream range-partition/sort treats it
+ * exactly like the Murmur3 long. Same CQL key serialization, same codegen
+ * shape (inline child eval + one static call).
+ */
+case class CassandraRandomToken(children: Seq[Expression])
+    extends Expression {
+
+  override def nullable: Boolean = false
+  override def dataType: DataType = BinaryType
+  override def foldable: Boolean = children.forall(_.foldable)
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val bad = children.map(_.dataType).collectFirst {
+      case dt @ (ArrayType(_, _) | MapType(_, _, _) | StructType(_)) => dt
+    }
+    bad match {
+      case Some(dt) => TypeCheckResult.TypeCheckFailure(
+        s"graft_random_token does not support complex partition-key component type $dt")
+      case None => TypeCheckResult.TypeCheckSuccess
+    }
+  }
+
+  private def typeTags: Array[String] = CassandraToken.typeTagsOf(children)
+
+  override def eval(input: InternalRow): Any =
+    CassandraRandomToken.evalComponents(children.map(_.eval(input)).toArray, typeTags)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val evals = children.map(_.genCode(ctx))
+    val comps = ctx.freshName("comps")
+    val cls = CassandraRandomToken.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    val tagsRef = ctx.addReferenceObj("graftRandomTokenTags", typeTags, "java.lang.String[]")
+    val fill = children.indices.map { i =>
+      s"$comps[$i] = ${evals(i).isNull} ? null : (Object) ${evals(i).value};"
+    }.mkString("\n")
+    ev.copy(
+      code = code"""
+        |${evals.map(_.code).mkString("\n")}
+        |Object[] $comps = new Object[${children.length}];
+        |$fill
+        |byte[] ${ev.value} = $cls.evalComponents($comps, $tagsRef);
+       """.stripMargin,
+      isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): Expression =
+    copy(children = newChildren)
+
+  override def prettyName: String = "graft_random_token"
+}
+
+object CassandraRandomToken {
+  def apply(cols: Column*): Column =
+    GraftShims.column(new CassandraRandomToken(cols.map(GraftShims.expression).toSeq))
+
+  /** Shared eval for interpreted and generated code paths. */
+  def evalComponents(components: Array[Any], tags: Array[String]): Array[Byte] =
+    graft.token.RandomToken.tokenBytes16(graft.token.RandomToken.tokenOf(
+      CassandraToken.normalizeComponents(components, tags)))
 }

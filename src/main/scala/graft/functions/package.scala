@@ -14,6 +14,10 @@ package object functions {
    *  See [[graft.functions.CassandraToken]]. */
   def graft_token(cols: Column*): Column = CassandraToken(cols: _*)
 
+  /** Cassandra RandomPartitioner token (md5 abs-BigInteger) as fixed-width
+   *  16-byte binary. See [[graft.functions.CassandraRandomToken]]. */
+  def graft_random_token(cols: Column*): Column = CassandraRandomToken(cols: _*)
+
   /** Codegen'd dot product of two `array<float>` columns (double result,
    *  left-to-right IEEE accumulation). See [[graft.functions.DotProductF32]]. */
   def dot_f32(a: Column, b: Column): Column = DotProductF32(a, b)
@@ -47,6 +51,10 @@ package object functions {
       FunctionIdentifier("graft_token"),
       new ExpressionInfo(classOf[CassandraToken].getName, "graft_token"),
       (exprs: Seq[Expression]) => CassandraToken(exprs))
+    registry.registerFunction(
+      FunctionIdentifier("graft_random_token"),
+      new ExpressionInfo(classOf[CassandraRandomToken].getName, "graft_random_token"),
+      (exprs: Seq[Expression]) => CassandraRandomToken(exprs))
     registry.registerFunction(
       FunctionIdentifier("dot_f32"),
       new ExpressionInfo(classOf[DotProductF32].getName, "dot_f32"),

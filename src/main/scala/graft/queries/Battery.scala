@@ -765,6 +765,23 @@ object Battery {
           .cast("long").as("rank_tu"))
     }),
 
+    // RandomPartitioner ring (reference CassandraTypesImplementation.java
+    // exposes both partitioners; RandomPartitionerTest): identical write
+    // pipeline on md5 abs-BigInteger tokens carried as 16-byte binary.
+    // Content round-trip is the oracle; token vectors + sorted-run/ring
+    // invariants are pinned in RandomTokenSpec / TokenSortedWriterSpec.
+    "q101_random_ring" -> ((s, d) => {
+      val schema = CqlSchema("orders_rr", Seq("o_orderkey"))
+      val df = ord(s, d).filter(col("o_orderkey") <= 8000L)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      val out = java.nio.file.Files.createTempDirectory("graft_rring_").toString + "/orders"
+      TokenSortedWriter.write(df, schema, out, SaveMode.Append,
+        TokenSortedWriter.WriteConf(numPartitions = 4, partitioner = "random",
+          keepTokenColumn = true))
+      TokenSortedWriter.read(s, schema, out)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    }),
+
     // ---- static-column semantics (SURVEY §7.4 hard-part) ----------------
     // orders as a multi-row-per-partition table (pk=o_custkey,
     // ck=o_orderkey, static=cust_note). Three writes: base rows with null
@@ -1569,6 +1586,9 @@ object Battery {
         |  CASE WHEN o_custkey % 10 = 0 THEN o_totalprice + 1000 ELSE o_totalprice END AS totalprice,
         |  CASE WHEN o_custkey % 5 = 0 THEN 'S' || CAST(o_custkey AS VARCHAR) END AS cust_note
         |FROM orders""".stripMargin,
+    "q101_random_ring" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders WHERE o_orderkey <= 8000""".stripMargin,
     // uuid comparison replayed in closed form: DuckDB's native UUID type
     // orders unsigned/bytewise, so the oracle rebuilds Java's SIGNED
     // msb/lsb from the hex halves (32-bit parses keep BIGINT exact)

@@ -39,12 +39,21 @@ object TokenRanges {
    * overlap.
    */
   def splitRing(n: Int): IndexedSeq[TokenRange] = {
-    require(n > 0, "need at least one split")
-    val total = BigInt(RingMax) - BigInt(RingMin) + 1
-    val bounds = (0 to n).map(i => BigInt(RingMin) - 1 + total * i / n)
-    val ranges = (0 until n).map(i => TokenRange(bounds(i).toLong, bounds(i + 1).toLong))
+    val ranges = splitRingBig(n, BigInt(RingMin), BigInt(RingMax))
+      .map { case (a, b) => TokenRange(a.toLong, b.toLong) }
     validate(ranges)
     ranges
+  }
+
+  /** Partitioner-generic split: the same near-equal-width bounds arithmetic
+   *  over an arbitrary BigInt token domain `[ringMin, ringMax]` — shared by
+   *  the Murmur3 ring above and [[RandomToken.splits]] (ranges returned as
+   *  `(start, end]` pairs with `start` of the first = ringMin - 1). */
+  def splitRingBig(n: Int, ringMin: BigInt, ringMax: BigInt): IndexedSeq[(BigInt, BigInt)] = {
+    require(n > 0, "need at least one split")
+    val total = ringMax - ringMin + 1
+    val bounds = (0 to n).map(i => ringMin - 1 + total * i / n)
+    (0 until n).map(i => (bounds(i), bounds(i + 1)))
   }
 
   /** Coverage + no-overlap validation (throws on violation). */

@@ -61,6 +61,15 @@ object TokenSortedWriter {
       // boundaries are recorded in the manifest for the read side to prove
       // compatibility). Overrides numPartitions when > 0.
       ringSplits: Int = 0,
+      // Ring partitioner: "murmur3" (default, long tokens) or "random"
+      // (reference parity with RandomPartitioner clusters: md5 abs-BigInteger
+      // tokens as fixed-width 16-byte binary — see graft.token.RandomToken).
+      // The pipeline is identical either way: tokenize → range-repartition →
+      // sort-within → write; only the token expression/type changes. Random
+      // layouts skip manifest token stats (127-bit tokens don't fit the long
+      // manifest columns) — reads fall back to pk-column stats, which stay
+      // exact.
+      partitioner: String = "murmur3",
       // Hive-style directory partitioning on low-cardinality columns (a
       // pruning axis the reference's token ring cannot express — e.g. a day
       // column over an event log). Each listed column is DUPLICATED into a
@@ -116,7 +125,15 @@ object TokenSortedWriter {
    *  logical prefix (also what the DSv2 sink delegates to). */
   def tokenSorted(df: DataFrame, schema: CqlSchema, conf: WriteConf = WriteConf()): DataFrame = {
     require(schema.partitionKeys.nonEmpty, s"table ${schema.table} has no partition key")
-    val withToken0 = df.withColumn(TokenCol, graft_token(schema.partitionKeys.map(qcol): _*))
+    val tokenExpr = conf.partitioner match {
+      case "murmur3" => graft_token(schema.partitionKeys.map(qcol): _*)
+      case "random" => graft.functions.graft_random_token(schema.partitionKeys.map(qcol): _*)
+      case other => throw new IllegalArgumentException(
+        s"unknown partitioner '$other' (supported: murmur3, random)")
+    }
+    require(conf.partitioner == "murmur3" || conf.ringSplits == 0,
+      "ringSplits (exact long-ring placement) requires the murmur3 partitioner")
+    val withToken0 = df.withColumn(TokenCol, tokenExpr)
     // dir-key copies ride along; sorting by them FIRST means the dynamic-
     // partition file writer sees its required ordering already satisfied and
     // inserts no extra (order-destroying) sort — each output file keeps the

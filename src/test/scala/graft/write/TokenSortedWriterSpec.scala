@@ -53,6 +53,45 @@ class TokenSortedWriterSpec extends SparkSpec {
     }
   }
 
+  test("random-ring write: binary md5 tokens, per-partition sorted, round-trip exact") {
+    val conf = TokenSortedWriter.WriteConf(numPartitions = 4, partitioner = "random",
+      keepTokenColumn = true)
+    val sorted = TokenSortedWriter.tokenSorted(sample, schema, conf)
+    // token matches the scalar RandomToken port row-by-row
+    sorted.select(col("pk"), col(TokenSortedWriter.TokenCol)).as[(Long, Array[Byte])]
+      .collect().foreach { case (pk, tok) =>
+        assert(java.util.Arrays.equals(tok,
+          graft.token.RandomToken.tokenBytes16(
+            graft.token.RandomToken.tokenOf(Seq(Long.box(pk))))), s"pk=$pk")
+      }
+    // per-partition monotone in unsigned byte order (the sorted-run invariant)
+    val violations = sorted.select(col(TokenSortedWriter.TokenCol).as[Array[Byte]])
+      .mapPartitions { it =>
+        var prev: Array[Byte] = null
+        var bad = 0
+        it.foreach { t =>
+          if (prev != null && java.util.Arrays.compareUnsigned(prev, t) > 0) bad += 1
+          prev = t
+        }
+        Iterator.single(bad)
+      }.collect().sum
+    assert(violations === 0)
+    // full write/read round-trip preserves data
+    val out = java.nio.file.Files.createTempDirectory("graft_rring_spec_").toString + "/t"
+    TokenSortedWriter.write(sample, schema, out, SaveMode.Append, conf)
+    val back = TokenSortedWriter.read(spark, schema, out)
+    assert(back.count() === 2000)
+    assert(back.select("pk", "ck", "v").except(sample).isEmpty)
+    // ringSplits needs the long murmur3 ring
+    intercept[IllegalArgumentException] {
+      TokenSortedWriter.tokenSorted(sample, schema,
+        conf.copy(ringSplits = 4))
+    }
+    intercept[IllegalArgumentException] {
+      TokenSortedWriter.tokenSorted(sample, schema, conf.copy(partitioner = "nope"))
+    }
+  }
+
   test("write rejects SaveMode.Overwrite unless opted in (reference sink semantics)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ow_").toString
     intercept[IllegalArgumentException] {
