@@ -624,7 +624,11 @@ object TokenPruner {
        *  under (ringSplits layout; manifest-recorded). Unlike `tokenRange`
        *  (actual data extremes), two same-split tables share these exactly —
        *  the co-located-join compatibility proof. */
-      ringSplit: Option[(Long, Long)] = None)
+      ringSplit: Option[(Long, Long)] = None,
+      /** xxhash64 of the file's full contents, recorded at write time (the
+       *  reference digests every written SSTable, `SortedSSTableWriter
+       *  .java:67-327`); None for pre-digest or externally-added files. */
+      digest: Option[Long] = None)
 
   /** =/IN values pushed per pk column. Pushed attribute names arrive
    *  back-quoted when they need quoting (`EqualTo(\`user id\`, 1)`), so

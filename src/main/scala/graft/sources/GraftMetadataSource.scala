@@ -66,7 +66,10 @@ object GraftMetadataSource {
     StructField("uncompressed_bytes", LongType, nullable = false),
     StructField("compressed_bytes", LongType, nullable = false),
     StructField("min_token", LongType, nullable = true),
-    StructField("max_token", LongType, nullable = true)))
+    StructField("max_token", LongType, nullable = true),
+    /** manifest-recorded xxhash64 content digest (write-time fact — a
+     *  footer read cannot recover it; null for pre-digest files) */
+    StructField("digest", LongType, nullable = true)))
 }
 
 private[sources] class MetadataTable(dir: String) extends Table with SupportsRead {
@@ -82,23 +85,26 @@ private[sources] class MetadataTable(dir: String) extends Table with SupportsRea
       override def readSchema(): StructType = GraftMetadataSource.schema
       override def toBatch: Batch = this
       override def planInputPartitions(): Array[InputPartition] =
-        TokenPruner.listFiles(spark, dir).map(f => FooterPartition(f.path): InputPartition)
+        TokenPruner.listFiles(spark, dir)
+          .map(f => FooterPartition(f.path, f.digest): InputPartition)
       override def createReaderFactory(): PartitionReaderFactory =
         new FooterReaderFactory(
           new SerializableConfiguration(spark.sessionState.newHadoopConf()))
     }
 }
 
-private[sources] final case class FooterPartition(path: String) extends InputPartition
+private[sources] final case class FooterPartition(
+    path: String, digest: Option[Long] = None) extends InputPartition
 
 /** Executor-side footer read: one footer per task, no data pages touched. */
 private[sources] class FooterReaderFactory(conf: SerializableConfiguration)
     extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val path = partition.asInstanceOf[FooterPartition].path
+    val fp = partition.asInstanceOf[FooterPartition]
+    val path = fp.path
     new PartitionReader[InternalRow] {
-      private val rows = FooterReaderFactory.footerRows(conf.value, path).iterator
+      private val rows = FooterReaderFactory.footerRows(conf.value, path, fp.digest).iterator
       private var current: InternalRow = _
       override def next(): Boolean = { if (rows.hasNext) { current = rows.next(); true } else false }
       override def get(): InternalRow = current
@@ -108,7 +114,8 @@ private[sources] class FooterReaderFactory(conf: SerializableConfiguration)
 }
 
 private[sources] object FooterReaderFactory {
-  def footerRows(conf: Configuration, path: String): Seq[InternalRow] = {
+  def footerRows(
+      conf: Configuration, path: String, digest: Option[Long] = None): Seq[InternalRow] = {
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.HadoopInputFile
     val reader = ParquetFileReader.open(HadoopInputFile.fromPath(new org.apache.hadoop.fs.Path(path), conf))
@@ -118,7 +125,7 @@ private[sources] object FooterReaderFactory {
           .find(_.getPath.toDotString == graft.write.TokenSortedWriter.TokenCol)
           .map(_.getStatistics)
           .filter(s => s != null && s.hasNonNullValue)
-        val vals = new Array[Any](7)
+        val vals = new Array[Any](8)
         vals(0) = UTF8String.fromString(path)
         vals(1) = i
         vals(2) = b.getRowCount
@@ -126,6 +133,7 @@ private[sources] object FooterReaderFactory {
         vals(4) = b.getCompressedSize
         vals(5) = tokenStats.map(s => s.genericGetMin.asInstanceOf[java.lang.Long]).orNull
         vals(6) = tokenStats.map(s => s.genericGetMax.asInstanceOf[java.lang.Long]).orNull
+        vals(7) = digest.map(Long.box).orNull
         new GenericInternalRow(vals)
       }
     } finally reader.close()

@@ -22,10 +22,12 @@ import org.apache.spark.sql.SparkSession
  * (append-only — one manifest file per write batch; underscore prefix hides
  * the dir from plain parquet listings and from [[TokenPruner.listDataFiles]]).
  * Columns: relative path, size, uncompressedSize, rows, hasToken,
- * tokenMin|-, tokenMax|-, colRanges (`col=min:max;...`). Plain text keeps
- * both ends dependency-free and debuggable; the read path treats the
- * manifest as a CACHE — files it doesn't cover simply fall back to a footer
- * read, so a stale or missing manifest can never change results.
+ * tokenMin|-, tokenMax|-, colRanges (`col=min:max;...`), nominal ring range,
+ * xxhash64 content digest. Plain text keeps both ends dependency-free and
+ * debuggable; the read path treats the manifest as a CACHE — files it
+ * doesn't cover simply fall back to a footer read, so a stale or missing
+ * manifest can never change results (the digest is the one EXTRA fact a
+ * footer read cannot recover — see [[verifyDigests]]).
  */
 object Manifest {
 
@@ -50,6 +52,11 @@ object Manifest {
       .filterNot(f => known.contains(f.getPath.toString))
     if (fresh.isEmpty) return
     val splits = ringSplits.map(n => graft.token.TokenRanges.splitRing(n))
+    // content digests computed DISTRIBUTED (one streaming pass per new file
+    // on an executor — the reference digests during its SSTable write,
+    // `SortedSSTableWriter.java:67-327`; post-write re-read is the parquet
+    // equivalent, and at any scale it parallelizes like the write itself)
+    val digests = digestAll(spark, fresh.map(_.getPath.toString))
     val metas = fresh.map { f =>
       val base = TokenPruner.readFooterMeta(conf, f.getPath, f.getLen)
       val nominal = splits.flatMap { rs =>
@@ -58,7 +65,7 @@ object Manifest {
           .filter(_ < rs.length)
           .map(i => (rs(i).start, rs(i).end))
       }
-      base.copy(ringSplit = nominal)
+      base.copy(ringSplit = nominal, digest = digests.get(f.getPath.toString).flatten)
     }
     val out = fs.create(new Path(root,
       s"$Dir/manifest-${java.util.UUID.randomUUID().toString.take(12)}.tsv"), false)
@@ -94,14 +101,37 @@ object Manifest {
     val tok = m.tokenRange.map { case (a, b) => s"$a\t$b" }.getOrElse("-\t-")
     val ring = m.ringSplit.map { case (a, b) => s"$a\t$b" }.getOrElse("-\t-")
     val ranges = m.pkRanges.toSeq.sortBy(_._1)
-      .map { case (c, (mn, mx)) => s"$c=$mn:$mx" }.mkString(";")
-    s"$rel\t${m.sizeBytes}\t${m.uncompressedBytes}\t${m.rows}\t${m.hasTokenColumn}\t$tok\t$ranges\t$ring"
+      .map { case (c, (mn, mx)) => s"${escapeCol(c)}=$mn:$mx" }.mkString(";")
+    val dig = m.digest.map(_.toString).getOrElse("-")
+    s"$rel\t${m.sizeBytes}\t${m.uncompressedBytes}\t${m.rows}\t${m.hasTokenColumn}\t$tok\t$ranges\t$ring\t$dig"
+  }
+
+  /** Column names are percent-escaped in the `col=min:max;...` field so a
+   *  quoted CQL identifier containing any delimiter (`;` `=` `:` tab `%`)
+   *  cannot smuggle a phantom range under another column's name (wrong-
+   *  pruning hazard once stats pruning consults ANY column). */
+  private[write] def escapeCol(c: String): String =
+    c.flatMap {
+      case ch @ ('%' | ';' | '=' | ':' | '\t' | '\n') => f"%%${ch.toInt}%02x"
+      case ch => ch.toString
+    }
+
+  private[write] def unescapeCol(c: String): String = {
+    val sb = new StringBuilder(c.length)
+    var i = 0
+    while (i < c.length) {
+      if (c.charAt(i) == '%' && i + 2 < c.length) {
+        sb.append(Integer.parseInt(c.substring(i + 1, i + 3), 16).toChar)
+        i += 3
+      } else { sb.append(c.charAt(i)); i += 1 }
+    }
+    sb.toString
   }
 
   private def parse(root: Path, l: String): Option[FileMeta] = {
     val parts = l.split("\t", -1)
-    // 8 = original format (no ring columns); 10 = with nominal ring range
-    if (parts.length != 8 && parts.length != 10) return None
+    // 8 = original format; 10 = + nominal ring range; 11 = + content digest
+    if (parts.length != 8 && parts.length != 10 && parts.length != 11) return None
     try {
       def range(a: String, b: String): Option[(Long, Long)] =
         if (a == "-" || b == "-") None else Some((a.toLong, b.toLong))
@@ -109,16 +139,66 @@ object Manifest {
       val ranges = parts(7).split(";").filter(_.nonEmpty).flatMap { kv =>
         kv.split("=", 2) match {
           case Array(c, r) => r.split(":", 2) match {
-            case Array(mn, mx) => Some(c -> (mn.toLong, mx.toLong))
+            case Array(mn, mx) => Some(unescapeCol(c) -> (mn.toLong, mx.toLong))
             case _ => None
           }
           case _ => None
         }
       }.toMap
-      val ring = if (parts.length == 10) range(parts(8), parts(9)) else None
+      val ring = if (parts.length >= 10) range(parts(8), parts(9)) else None
+      val digest = if (parts.length >= 11 && parts(10) != "-") Some(parts(10).toLong) else None
       Some(FileMeta(new Path(root, parts(0)).toString, parts(1).toLong, parts(2).toLong,
-        parts(3).toLong, parts(4).toBoolean, tokenRange, ranges, ring))
+        parts(3).toLong, parts(4).toBoolean, tokenRange, ranges, ring, digest))
     } catch { case _: NumberFormatException => None }
+  }
+
+  // ---- content digests (W-digest parity: SortedSSTableWriter digests) ----
+
+  /** Streaming xxhash64 (lz4-java, seed 0 — already on Spark's classpath)
+   *  of a file's full contents; O(64 KiB) memory regardless of file size. */
+  def digestFile(fs: FileSystem, path: Path): Long = {
+    val h = net.jpountz.xxhash.XXHashFactory.fastestInstance().newStreamingHash64(0L)
+    val in = fs.open(path)
+    try {
+      val buf = new Array[Byte](1 << 16)
+      var n = in.read(buf)
+      while (n >= 0) { if (n > 0) h.update(buf, 0, n); n = in.read(buf) }
+      h.getValue
+    } finally in.close()
+  }
+
+  /** Digest many files as a Spark job: one streaming pass per file on an
+   *  executor, O(#files) driver state. A file the filesystem itself refuses
+   *  to read (e.g. Hadoop CRC sidecar mismatch on LocalFileSystem) digests
+   *  to None — verification must REPORT corruption, never crash on it. */
+  private def digestAll(spark: SparkSession, paths: Array[String]): Map[String, Option[Long]] = {
+    if (paths.isEmpty) return Map.empty
+    val bc = spark.sparkContext.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(spark.sessionState.newHadoopConf()))
+    spark.sparkContext
+      .parallelize(paths.toSeq, math.min(paths.length, 32))
+      .map { p =>
+        val hp = new Path(p)
+        (p, try Some(digestFile(hp.getFileSystem(bc.value.value), hp))
+            catch { case _: java.io.IOException => None })
+      }
+      .collect().toMap
+  }
+
+  /** Recompute every manifest-digested file and compare — the transport/
+   *  at-rest corruption check (reference `WriterDigestIntegrationTest`
+   *  semantics). Returns the corrupt paths; callers that must not propagate
+   *  corruption (e.g. compaction) throw on non-empty. Files without a
+   *  recorded digest are skipped (pre-digest layouts stay readable). */
+  def verifyDigests(spark: SparkSession, tableDir: String): Seq[String] = {
+    val root = new Path(tableDir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val recorded = read(fs, root).collect {
+      case (p, m) if m.digest.isDefined && fs.exists(new Path(p)) => p -> m.digest.get
+    }
+    if (recorded.isEmpty) return Nil
+    val actual = digestAll(spark, recorded.keys.toArray)
+    recorded.collect { case (p, d) if !actual.get(p).flatten.contains(d) => p }.toSeq.sorted
   }
 
   private def relativize(root: Path, abs: String): String = {

@@ -339,6 +339,17 @@ object TokenSortedWriter {
       srcPath: String,
       dstPath: String,
       conf: WriteConf = WriteConf()): Unit = {
+    // verify-on-compact: recompute manifest content digests BEFORE folding
+    // generations, so at-rest/transport corruption is caught loudly instead
+    // of being rewritten into the fresh generation (reference digests every
+    // written SSTable and re-verifies on the receiving side,
+    // `SortedSSTableWriter.java:67-327` + `WriterDigestIntegrationTest`)
+    val corrupt = Manifest.verifyDigests(spark, srcPath)
+    if (corrupt.nonEmpty) {
+      throw new java.io.IOException(
+        s"compact aborted: ${corrupt.length} file(s) fail xxhash64 digest verification: " +
+          corrupt.take(5).mkString(", "))
+    }
     val normalized = readNormalized(spark, schema, srcPath, keepFeatureColumns = true)
     val carryWt = normalized.columns.contains(WritetimeCol)
     val outConf = conf.copy(

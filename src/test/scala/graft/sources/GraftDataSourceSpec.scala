@@ -87,7 +87,7 @@ class GraftDataSourceSpec extends SparkSpec {
   test("metadata source reads footers only: row counts and token ranges") {
     val meta = spark.read.format("graft-metadata").option("path", dir).load()
     assert(meta.columns.toSeq == Seq("file", "row_group", "rows",
-      "uncompressed_bytes", "compressed_bytes", "min_token", "max_token"))
+      "uncompressed_bytes", "compressed_bytes", "min_token", "max_token", "digest"))
     val agg = meta.agg(sum("rows")).head().getLong(0)
     assert(agg == 1000L)
     // token-sorted layout: per-file token ranges must not overlap
@@ -137,7 +137,11 @@ class GraftDataSourceSpec extends SparkSpec {
     val conf = spark.sessionState.newHadoopConf()
     listed.foreach { f =>
       val truth = TokenPruner.readFooterMeta(conf, f.getPath, f.getLen)
-      assert(manifest(f.getPath.toString) == truth, s"manifest drift for ${f.getPath}")
+      // the digest is a write-time-only fact a footer read cannot recover —
+      // compare everything else field for field, and require it recorded
+      val m = manifest(f.getPath.toString)
+      assert(m.digest.isDefined, s"missing digest for ${f.getPath}")
+      assert(m.copy(digest = None) == truth, s"manifest drift for ${f.getPath}")
     }
     // and listFiles (the planning entry point) returns the same metas
     val planned = TokenPruner.listFiles(spark, dir).sortBy(_.path)
