@@ -11,11 +11,15 @@ import org.apache.spark.sql.types._
  * batch UDFs) so heavyweight decoders amortize initialization per partition,
  * not per row.
  *
- * The decode step itself is STUBBED (this container has no image/audio
- * libraries): [[StubDecoder]] produces deterministic fake features derived
- * from the bytes. The Spark-side plumbing — schema contract, partition-wise
- * batching, memory-bounded iteration — is real and tested; swapping in a
- * JNI/JavaCV decoder is a one-class change.
+ * Two layers with different honesty levels:
+ *  - METADATA decode is REAL: container sniffing from magic bytes plus
+ *    headers-only width/height/channels/format parsing of PNG/GIF/JPEG/BMP
+ *    ([[graft.functions.ImageHeaders]], dependency-free, codegen'd).
+ *  - PIXEL decode (luma, features) is STUBBED behind the [[ImageDecoder]]
+ *    seam (this container has no codec libraries): [[StubDecoder]] produces
+ *    deterministic fake features. The plumbing — schema contract,
+ *    partition-wise batching, memory-bounded iteration — is real and
+ *    tested; swapping in a JNI/JavaCV decoder is a one-class change.
  *
  * Scale notes (100 TB of blobs):
  *  - Metadata extraction (length, hash, magic sniffing) is pure Column
@@ -39,10 +43,24 @@ object Multimodal {
       .withColumn("container",
         when(magic.startsWith("FFD8"), "jpeg")
           .when(magic.startsWith("89504E47"), "png")
+          .when(magic.startsWith("47494638"), "gif")
+          .when(magic.startsWith("424D"), "bmp")
           .when(magic.startsWith("52494646"), "riff_wav_avi")
           .when(magic.startsWith("494433"), "mp3_id3")
           .otherwise("unknown"))
   }
+
+  /** REAL headers-only image dimensions over a binary column: adds
+   *  width/height/channels/img_format parsed from PNG/GIF/JPEG/BMP leading
+   *  bytes (null for unrecognized payloads) — no codec dependency, pure
+   *  codegen ([[graft.functions.ImageDims]]). */
+  def withImageDims(df: DataFrame, blobCol: String): DataFrame =
+    df.withColumn("__dims", graft.functions.ImageDims(col(blobCol)))
+      .withColumn("width", col("__dims.width"))
+      .withColumn("height", col("__dims.height"))
+      .withColumn("channels", col("__dims.channels"))
+      .withColumn("img_format", col("__dims.format"))
+      .drop("__dims")
 
   /** Decoded-image feature contract. */
   final case class ImageFeatures(width: Int, height: Int, channels: Int, meanLuma: Double)

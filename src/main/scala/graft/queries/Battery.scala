@@ -365,10 +365,41 @@ object Battery {
         .select(col("doc_id"), col("fingerprint"))),
 
     // ---- multimodal plumbing ------------------------------------------
-    "q35_blob_metadata" -> ((s, d) =>
-      Multimodal.withBlobMetadata(
-          docs(s, d).withColumn("blob", col("text").cast("binary")), "blob")
-        .select(col("doc_id"), col("byte_len"), col("sha256"))),
+    // REAL multimodal metadata: blobs carry genuine PNG/GIF/JPEG headers
+    // (constructed from doc data via hex built-ins, so DuckDB can rebuild
+    // the identical bytes), and the engine PARSES dimensions/channels back
+    // out of the bytes headers-only (ImageHeaders — no codec library);
+    // the oracle replays the dims arithmetically
+    "q35_blob_metadata" -> ((s, d) => {
+      val w = (col("doc_id") % 1024 + 1).cast("int")
+      val h = (col("doc_id") % 768 + 1).cast("int")
+      def be16(c: Column) = unhex(lpad(hex(c), 4, "0"))
+      def be32(c: Column) = unhex(lpad(hex(c), 8, "0"))
+      def le16(c: Column) = {
+        val hx = lpad(hex(c), 4, "0")
+        unhex(concat(substring(hx, 3, 2), substring(hx, 1, 2)))
+      }
+      val txt = col("text").cast("binary")
+      // PNG: signature + IHDR(len,type) + w + h + bitdepth 8, rgba(6)
+      val png = concat(unhex(lit("89504E470D0A1A0A0000000D49484452")),
+        be32(w), be32(h), unhex(lit("0806000000")), txt)
+      // GIF89a logical screen descriptor: LE u16 dims, palette (1 channel)
+      val gif = concat(unhex(lit("474946383961")), le16(w), le16(h), txt)
+      // JPEG: SOI + APP0(JFIF) + SOF0 (precision 8, 3 components)
+      val jpg = concat(
+        unhex(lit("FFD8FFE000104A46494600010100000100010000FFC0001108")),
+        be16(h), be16(w), unhex(lit("03011100021101031101")), txt)
+      val blob = when(col("doc_id") % 3 === 0, png)
+        .when(col("doc_id") % 3 === 1, gif).otherwise(jpg)
+      Multimodal.withImageDims(
+          Multimodal.withBlobMetadata(docs(s, d).withColumn("blob", blob), "blob"),
+          "blob")
+        // the blob itself is in the output: the oracle rebuilds the exact
+        // bytes, so hash-compare proves byte-identical construction (DuckDB's
+        // sha256 is VARCHAR-only, so the digest column stays spec-covered)
+        .select(col("doc_id"), col("byte_len"), col("blob"), col("container"),
+          col("width"), col("height"), col("channels"), col("img_format"))
+    }),
 
     // ---- S1-S4/P2-P6/S10: DSv2 source + DSv1 sink end-to-end ----------
     // write lineitem through the graft sink (token-sorted, token column
@@ -1352,9 +1383,35 @@ object Battery {
       """SELECT doc_id, md5(regexp_replace(lower(trim(text)), ' +', ' ', 'g')) AS fingerprint
         |FROM documents""".stripMargin,
     "q35_blob_metadata" ->
-      """SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS byte_len,
-        |  sha256(text) AS sha256
-        |FROM documents""".stripMargin,
+      """WITH b AS (
+        |  SELECT doc_id, CAST(1 + doc_id % 1024 AS INT) AS w,
+        |    CAST(1 + doc_id % 768 AS INT) AS h, doc_id % 3 AS m, text
+        |  FROM documents),
+        |blob AS (
+        |  SELECT doc_id, w, h, m,
+        |    CASE WHEN m = 0 THEN
+        |      from_hex('89504E470D0A1A0A0000000D49484452') ||
+        |      from_hex(lpad(to_hex(w),8,'0')) || from_hex(lpad(to_hex(h),8,'0')) ||
+        |      from_hex('0806000000') || CAST(text AS BLOB)
+        |    WHEN m = 1 THEN
+        |      from_hex('474946383961') ||
+        |      from_hex(substr(lpad(to_hex(w),4,'0'),3,2) || substr(lpad(to_hex(w),4,'0'),1,2)) ||
+        |      from_hex(substr(lpad(to_hex(h),4,'0'),3,2) || substr(lpad(to_hex(h),4,'0'),1,2)) ||
+        |      CAST(text AS BLOB)
+        |    ELSE
+        |      from_hex('FFD8FFE000104A46494600010100000100010000FFC0001108') ||
+        |      from_hex(lpad(to_hex(h),4,'0')) || from_hex(lpad(to_hex(w),4,'0')) ||
+        |      from_hex('03011100021101031101') || CAST(text AS BLOB)
+        |    END AS blob
+        |  FROM b)
+        |SELECT doc_id,
+        |  CAST(octet_length(blob) AS BIGINT) AS byte_len,
+        |  blob,
+        |  CASE WHEN m = 0 THEN 'png' WHEN m = 1 THEN 'gif' ELSE 'jpeg' END AS container,
+        |  w AS width, h AS height,
+        |  CAST(CASE WHEN m = 0 THEN 4 WHEN m = 1 THEN 1 ELSE 3 END AS INT) AS channels,
+        |  CASE WHEN m = 0 THEN 'png' WHEN m = 1 THEN 'gif' ELSE 'jpeg' END AS img_format
+        |FROM blob""".stripMargin,
     "q38_dsv2_roundtrip" ->
       "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem WHERE l_orderkey IN (1, 7, 42, 4096)",
     "q39_meta_rowcount" ->

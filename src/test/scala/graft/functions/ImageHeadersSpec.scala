@@ -1,0 +1,66 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Headers-only image parsing against hand-assembled format fixtures —
+ *  real public container layouts, byte by byte, no codec involved. */
+class ImageHeadersSpec extends SparkSpec {
+
+  private def hexBytes(h: String): Array[Byte] =
+    h.replaceAll("\\s", "").grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+
+  // 3x2 PNG, bit depth 8, color type 2 (rgb)
+  private val png = hexBytes(
+    "89504E470D0A1A0A 0000000D 49484452 00000003 00000002 08 02 000000")
+  // 640x480 GIF89a (little-endian dims)
+  private val gif = hexBytes("474946383961 8002 E001 F7")
+  // JPEG: SOI, APP0 (16 bytes), COM segment, SOF0 257x65534, 3 components
+  private val jpeg = hexBytes(
+    "FFD8 FFE0 0010 4A46494600 0101 00 0001 0001 0000" +
+      " FFFE 0004 4849" + // COM segment 'HI' (len 4)
+      " FFC0 0011 08 FFFE 0101 03 011100 021101 031101")
+  // 7x9 BMP, 24 bpp
+  private val bmp = hexBytes(
+    "424D 46000000 00000000 36000000 28000000 07000000 09000000 0100 1800" +
+      " 00000000 10000000 130B0000 130B0000 00000000 00000000")
+
+  test("PNG / GIF / JPEG / BMP dimensions parse from real header bytes") {
+    assert(ImageHeaders.parse(png) == ImageHeaders.Dims(3, 2, 3, "png"))
+    assert(ImageHeaders.parse(gif) == ImageHeaders.Dims(640, 480, 1, "gif"))
+    assert(ImageHeaders.parse(jpeg) == ImageHeaders.Dims(257, 65534, 3, "jpeg"))
+    assert(ImageHeaders.parse(bmp) == ImageHeaders.Dims(7, 9, 3, "bmp"))
+  }
+
+  test("png color types map to channel counts; gray png") {
+    val gray = png.clone(); gray(25) = 0
+    assert(ImageHeaders.parse(gray).channels == 1)
+    val rgba = png.clone(); rgba(25) = 6
+    assert(ImageHeaders.parse(rgba).channels == 4)
+  }
+
+  test("garbage, truncation and non-images return null, never throw") {
+    assert(ImageHeaders.parse(null) == null)
+    assert(ImageHeaders.parse(Array[Byte](1, 2, 3)) == null)
+    assert(ImageHeaders.parse("just some text bytes here".getBytes) == null)
+    assert(ImageHeaders.parse(png.take(20)) == null) // IHDR cut short
+    assert(ImageHeaders.parse(jpeg.take(6)) == null) // marker scan runs dry
+    // JPEG with a lying zero-length segment must not loop forever
+    val evil = hexBytes("FFD8 FFE0 0000 FFC0")
+    assert(ImageHeaders.parse(evil) == null)
+  }
+
+  test("image_dims expression evaluates in a plan (codegen path)") {
+    import spark.implicits._
+    val df = Seq(("png", png), ("gif", gif), ("jpeg", jpeg), ("txt", "nope".getBytes))
+      .toDF("name", "blob")
+      .withColumn("d", ImageDims(col("blob")))
+      .select(col("name"), col("d.width"), col("d.height"), col("d.channels"), col("d.format"))
+    val rows = df.collect().map(r =>
+      r.getString(0) -> (if (r.isNullAt(1)) None else Some((r.getInt(1), r.getInt(2), r.getInt(3), r.getString(4))))).toMap
+    assert(rows("png").contains((3, 2, 3, "png")))
+    assert(rows("gif").contains((640, 480, 1, "gif")))
+    assert(rows("jpeg").contains((257, 65534, 3, "jpeg")))
+    assert(rows("txt").isEmpty)
+  }
+}
