@@ -22,6 +22,34 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(4L) === "unknown")
   }
 
+  // Adversarial langid fixtures with hand-computed scores — expectations
+  // are NOT derived from langMarkers, so a marker-list regression cannot
+  // silently rewrite them.
+  test("langid adversarial: mixed languages resolve to the dominant one") {
+    val df = Seq((1L, "the cat und der hund und die katze")).toDF("doc_id", "text")
+    val got = TextAnalysis.withLangId(df, "text")
+      .select("lang_pred", "lang_pred_score").as[(String, Long)].head()
+    // en fires once (' the '), de fires four times (und x2, der, die)
+    assert(got == ("de", 4L))
+  }
+
+  test("langid adversarial: markers embedded inside words never fire") {
+    val df = Seq((1L, "theater lethal android bathe")).toDF("doc_id", "text")
+    val got = TextAnalysis.withLangId(df, "text")
+      .select("lang_pred", "lang_pred_score").as[(String, Long)].head()
+    assert(got == ("unknown", 0L))
+  }
+
+  test("langid adversarial: case-insensitive, and ties break by language order") {
+    val caps = Seq((1L, "THE THE THE")).toDF("doc_id", "text")
+    assert(TextAnalysis.withLangId(caps, "text")
+      .select("lang_pred", "lang_pred_score").as[(String, Long)].head() == ("en", 2L))
+    // one en marker vs one fr marker: strict > keeps the earlier language
+    val tie = Seq((1L, "the le")).toDF("doc_id", "text")
+    assert(TextAnalysis.withLangId(tie, "text")
+      .select("lang_pred").as[String].head() == "en")
+  }
+
   test("quality features: exact counts") {
     val got = TextAnalysis.withQuality(docs, "text")
       .select("doc_id", "n_words", "n_punct", "quality_score")
