@@ -654,19 +654,49 @@ object TokenPruner {
     } else None
   }
 
+  // ---- listing cache (the last O(#dirs) driver cost at 100 TB) ----------
+  // Keyed by table dir; validated by a ONE-round-trip root listStatus
+  // fingerprint (child name/kind/mtime/len — which covers every mutation our
+  // writer can make: new root files, new partition dirs, and, crucially,
+  // `_graft_manifest/` and `_graft_deletes/` whose mtimes bump on every
+  // write/delete because a new file lands directly inside them). Deep
+  // EXTERNAL edits that change nothing at the root level are the documented
+  // blind spot — use [[invalidateListing]] after out-of-band surgery.
+  private val listingCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Array[FileMeta])]()
+  /** Number of full recursive walks performed (observable by specs). */
+  private[graft] val fullWalks = new java.util.concurrent.atomic.AtomicLong(0)
+
+  def invalidateListing(dir: String): Unit = listingCache.remove(dir)
+
+  private def listingSignature(fs: org.apache.hadoop.fs.FileSystem, p: Path): String =
+    try {
+      fs.listStatus(p).sortBy(_.getPath.getName)
+        .map(s => s"${s.getPath.getName}:${s.isDirectory}:${s.getModificationTime}:${s.getLen}")
+        .mkString("|")
+    } catch { case _: java.io.IOException => s"unlistable-${System.nanoTime()}" }
+
   /** All data files with their planning stats: manifest rows when available,
    *  footer reads (bounded parallel) only for unknown files. Listing is
-   *  recursive, skipping `_`/`.`-prefixed metadata dirs and files. */
+   *  recursive, skipping `_`/`.`-prefixed metadata dirs and files; a warm
+   *  scan of an unchanged table costs ONE `listStatus` round-trip total. */
   def listFiles(spark: SparkSession, dir: String): Array[FileMeta] = {
     val conf = spark.sessionState.newHadoopConf()
     val p = new Path(dir)
     val fs = p.getFileSystem(conf)
+    val sig = listingSignature(fs, p)
+    val cached = listingCache.get(dir)
+    if (cached != null && cached._1 == sig) return cached._2
+    fullWalks.incrementAndGet()
     val files = listDataFiles(fs, p)
     val manifest = graft.write.Manifest.read(fs, p)
     val (known, unknown) = files.partition(f => manifest.contains(f.getPath.toString))
     val fromManifest = known.map(f => manifest(f.getPath.toString))
     val fromFooters = readFootersParallel(conf, unknown.map(f => (f.getPath, f.getLen)))
-    fromManifest ++ fromFooters
+    val result = fromManifest ++ fromFooters
+    if (listingCache.size() > 64) listingCache.clear() // bound driver state
+    listingCache.put(dir, (sig, result))
+    result
   }
 
   def listDataFiles(fs: org.apache.hadoop.fs.FileSystem, p: Path): Array[org.apache.hadoop.fs.FileStatus] = {

@@ -1,0 +1,69 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import graft.model.CqlSchema
+import graft.write.TokenSortedWriter
+import org.apache.spark.sql.SaveMode
+import org.apache.spark.sql.functions._
+
+/** Planning listing cache: a warm scan of an unchanged table does ONE
+ *  listStatus round-trip (no recursive walk, no footer reads); any write
+ *  through the engine invalidates via the root fingerprint (the manifest
+ *  dir's mtime bumps on every write). */
+class ListingCacheSpec extends SparkSpec {
+
+  private val schema = CqlSchema("t", Seq("id"))
+
+  test("warm listings hit the cache; writes invalidate; results stay fresh") {
+    val dir = Files.createTempDirectory("graft_cache_").toString + "/t"
+    import spark.implicits._
+    val df = (1L to 1000L).map(i => (i, i * 3)).toDF("id", "v")
+    TokenSortedWriter.write(df, schema, dir, SaveMode.Append,
+      TokenSortedWriter.WriteConf(numPartitions = 2, keepTokenColumn = true))
+
+    TokenPruner.invalidateListing(dir)
+    val w0 = TokenPruner.fullWalks.get()
+    val first = TokenPruner.listFiles(spark, dir)
+    assert(TokenPruner.fullWalks.get() == w0 + 1, "cold listing walks once")
+    // warm: repeated planning does not re-walk
+    val second = TokenPruner.listFiles(spark, dir)
+    assert(TokenPruner.fullWalks.get() == w0 + 1, "warm listing must not walk")
+    assert(second.toSeq == first.toSeq)
+    // a real scan plans from the same cache
+    val n = spark.read.format("graft").option("path", dir).option("pk", "id")
+      .load().filter(col("id") <= 10L).count()
+    assert(n == 10L)
+    assert(TokenPruner.fullWalks.get() == w0 + 1, "scan planning reuses the cache")
+
+    // an append through the writer changes the manifest dir => fingerprint
+    // changes => next listing re-walks and sees the new generation
+    TokenSortedWriter.write(df.withColumn("v", col("v") + 1L), schema, dir,
+      SaveMode.Append, TokenSortedWriter.WriteConf(numPartitions = 2, keepTokenColumn = true))
+    val third = TokenPruner.listFiles(spark, dir)
+    assert(TokenPruner.fullWalks.get() == w0 + 2, "append must invalidate")
+    assert(third.length > first.length, "new files visible after invalidation")
+
+    // explicit invalidation forces a re-walk even with no changes
+    TokenPruner.invalidateListing(dir)
+    TokenPruner.listFiles(spark, dir)
+    assert(TokenPruner.fullWalks.get() == w0 + 3)
+  }
+
+  test("dir-partitioned layout: appends into existing partition dirs are seen") {
+    val dir = Files.createTempDirectory("graft_cache2_").toString + "/t"
+    import spark.implicits._
+    val conf = TokenSortedWriter.WriteConf(numPartitions = 1, keepTokenColumn = true,
+      partitionBy = Seq("cat"))
+    val a = Seq((1L, "x", 1L), (2L, "y", 2L)).toDF("id", "cat", "v")
+    TokenSortedWriter.write(a, schema, dir, SaveMode.Append, conf)
+    val cold = TokenPruner.listFiles(spark, dir)
+    // append lands INSIDE the existing graft_p_cat=x dir — no new root file,
+    // but the manifest write still bumps the root fingerprint
+    TokenSortedWriter.write(Seq((3L, "x", 3L)).toDF("id", "cat", "v"),
+      schema, dir, SaveMode.Append, conf)
+    val warm = TokenPruner.listFiles(spark, dir)
+    assert(warm.length == cold.length + 1, "deep append must be visible")
+  }
+}
