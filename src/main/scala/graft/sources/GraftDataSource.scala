@@ -737,12 +737,27 @@ object TokenPruner {
       val blocks = footer.getBlocks.asScala.toSeq
       val rows = blocks.map(_.getRowCount).sum
       // per-column min/max over all row groups, integral types only (they
-      // are what pk pruning compares; stats must cover EVERY block)
+      // are what pk pruning compares; stats must cover EVERY block).
+      // Non-identity integral annotations are skipped: an UNSIGNED column
+      // (externally-written file) surfaces in Spark as the next wider type,
+      // so its signed footer stats would misrepresent the range and could
+      // wrongly prune a matching file.
+      def identityIntegral(c: org.apache.parquet.column.ColumnDescriptor): Boolean =
+        c.getPrimitiveType.getLogicalTypeAnnotation match {
+          case null => true
+          case i: org.apache.parquet.schema.LogicalTypeAnnotation.IntLogicalTypeAnnotation =>
+            i.isSigned
+          case _: org.apache.parquet.schema.LogicalTypeAnnotation.DateLogicalTypeAnnotation =>
+            true // day counts compare as their stored ints; filters push Date values (kept)
+          case _ => false // timestamps/decimal/time/unsigned/etc: stats not comparable as-is
+        }
       val longRanges: Map[String, (Long, Long)] = {
         val perCol = blocks.flatMap { b =>
           b.getColumns.asScala.flatMap { c =>
             val st = c.getStatistics
-            if (st == null || !st.hasNonNullValue) None
+            if (st == null || !st.hasNonNullValue ||
+                !identityIntegral(reader.getFileMetaData.getSchema
+                  .getColumnDescription(c.getPath.toArray))) None
             else (st.genericGetMin, st.genericGetMax) match {
               case (mn: java.lang.Long, mx: java.lang.Long) =>
                 Some(c.getPath.toDotString -> (mn.longValue(), mx.longValue()))

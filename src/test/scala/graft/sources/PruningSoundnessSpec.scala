@@ -79,6 +79,67 @@ class PruningSoundnessSpec extends SparkSpec {
     }
   }
 
+  // Targeted coverage of the allowsStats predicate shapes beyond EqualTo
+  // (ADVICE: range bounds, In, Or/And composition were fuzz-only before).
+  test("stats pruning: range predicates drop out-of-range files and keep boundary files") {
+    import org.apache.spark.sql.sources._
+    val all = TokenPruner.listFiles(spark, graftDir)
+    val sk = CqlSchema("t", Seq("id"))
+    val ids = all.flatMap(_.pkRanges.get("id"))
+    assert(ids.length == all.length, "fixture files must carry id stats")
+    val globalMax = ids.map(_._2).max
+    // > max prunes everything; >= max keeps only files whose max == max
+    assert(TokenPruner.prune(spark, all, Array(GreaterThan("id", globalMax)), sk).isEmpty)
+    val ge = TokenPruner.prune(spark, all, Array(GreaterThanOrEqual("id", globalMax)), sk)
+    assert(ge.nonEmpty && ge.forall(_.pkRanges("id")._2 == globalMax))
+    // < min of the second file keeps exactly the files overlapping below it
+    val sortedMins = ids.map(_._1).sorted
+    val cut = sortedMins(1)
+    val lt = TokenPruner.prune(spark, all, Array(LessThan("id", cut)), sk)
+    assert(lt.nonEmpty && lt.length < all.length)
+    assert(lt.forall(_.pkRanges("id")._1 < cut))
+    // In: values all inside one file's range keep >= that file, never zero
+    val (mn0, _) = ids.minBy(_._1)
+    val in = TokenPruner.prune(spark, all, Array(In("id", Array[Any](mn0))), sk)
+    assert(in.nonEmpty && in.forall(f =>
+      f.pkRanges("id")._1 <= mn0 && mn0 <= f.pkRanges("id")._2))
+    // Or spanning two disjoint files keeps both sides; And intersects
+    val (_, mxTop) = ids.maxBy(_._2)
+    val or = TokenPruner.prune(spark, all,
+      Array(Or(EqualTo("id", mn0), EqualTo("id", mxTop))), sk)
+    assert(or.exists(f => f.pkRanges("id")._1 <= mn0 && mn0 <= f.pkRanges("id")._2))
+    assert(or.exists(f => f.pkRanges("id")._1 <= mxTop && mxTop <= f.pkRanges("id")._2))
+    val and = TokenPruner.prune(spark, all,
+      Array(And(GreaterThan("id", mxTop - 1), LessThanOrEqual("id", mxTop))), sk)
+    assert(and.nonEmpty && and.forall(_.pkRanges("id")._2 >= mxTop))
+  }
+
+  test("as-of time travel: a writetime bound prunes whole newer generations") {
+    import org.apache.spark.sql.sources._
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_asof_gen_").toString + "/t"
+    val sk = CqlSchema("t", Seq("id"))
+    val base = (1L to 500L).map(i => (i, i)).toDF("id", "v")
+    TokenSortedWriter.write(base, sk, dir, SaveMode.Append,
+      TokenSortedWriter.WriteConf(numPartitions = 2, keepTokenColumn = true,
+        writetimeMicros = Some(1000L)))
+    TokenSortedWriter.write(base.withColumn("v", col("v") + 100L), sk, dir, SaveMode.Append,
+      TokenSortedWriter.WriteConf(numPartitions = 2, keepTokenColumn = true,
+        writetimeMicros = Some(2000L)))
+    val all = TokenPruner.listFiles(spark, dir)
+    assert(all.length == 4)
+    // as-of T=1500: every generation-2 file has writetime min 2000 > 1500
+    val old = TokenPruner.prune(spark, all,
+      Array(LessThanOrEqual(TokenSortedWriter.WritetimeCol, 1500L)), sk)
+    assert(old.length == 2, s"expected only generation 1, got ${old.length}")
+    assert(old.forall(_.pkRanges(TokenSortedWriter.WritetimeCol) == ((1000L, 1000L))))
+    // and the full as-of READ returns generation-1 values
+    val asOf = spark.read.format("graft").option("path", dir).option("pk", "id").load()
+      .filter(col(TokenSortedWriter.WritetimeCol) <= 1500L)
+    assert(asOf.count() == 500L)
+    assert(asOf.agg(max(col("v"))).head().getLong(0) == 500L)
+  }
+
   test("random limits compose with random predicates (row counts, not content)") {
     val plain = spark.read.parquet(plainDir)
     val g = graftRead(graftDir)
