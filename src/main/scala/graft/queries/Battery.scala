@@ -280,6 +280,20 @@ object Battery {
     "q28_embed_neardup" -> ((s, d) =>
       Similarity.nearDupPairs(emb(s, d), "vec_id", "embedding", topN = 50)
         .select(col("id_a"), col("id_b"))),
+    // C4-style line-level boilerplate removal: inject a corpus-wide header
+    // (always frequent), a promo line on even docs (frequent at any sf) and
+    // a per-source footer (rare at sf0.01) — the operator must drop exactly
+    // the >= minDocs lines and preserve order; the oracle replays the
+    // construction and the frequency threshold with exact strings
+    "q102_line_dedup" -> ((s, d) => {
+      val nl = lit("\n")
+      val decorated = docs(s, d).select(col("doc_id"),
+        concat(lit("START COMMON HEADER"), nl, col("text"), nl,
+          when(col("doc_id") % 2 === 0, lit("PROMO LINE"))
+            .otherwise(concat(lit("FOOTER "), col("source")))).as("text"))
+      Dedup.dropFrequentLines(decorated, "doc_id", "text", minDocs = 50L)
+        .select(col("doc_id"), col("text_clean"))
+    }),
 
     // ---- similarity search --------------------------------------------
     "q29_ann_brute_topk" -> ((s, d) =>
@@ -1646,6 +1660,22 @@ object Battery {
     "q101_random_ring" ->
       """SELECT o_orderkey, o_custkey, o_totalprice
         |FROM orders WHERE o_orderkey <= 8000""".stripMargin,
+    "q102_line_dedup" ->
+      """WITH d AS (
+        |  SELECT doc_id, 'START COMMON HEADER' || chr(10) || text || chr(10) ||
+        |    (CASE WHEN doc_id % 2 = 0 THEN 'PROMO LINE' ELSE 'FOOTER ' || source END) AS t
+        |  FROM documents),
+        |lines AS (
+        |  SELECT doc_id, unnest(string_split(t, chr(10))) AS line FROM d),
+        |freq AS (
+        |  SELECT line FROM (
+        |    SELECT line, count(DISTINCT doc_id) AS c FROM lines GROUP BY 1)
+        |  WHERE c >= 50),
+        |fset AS (SELECT coalesce(list(line), []) AS fl FROM freq)
+        |SELECT doc_id,
+        |  array_to_string(list_filter(string_split(t, chr(10)),
+        |    x -> NOT list_contains(fl, x)), chr(10)) AS text_clean
+        |FROM d, fset""".stripMargin,
     // uuid comparison replayed in closed form: DuckDB's native UUID type
     // orders unsigned/bytewise, so the oracle rebuilds Java's SIGNED
     // msb/lsb from the hex halves (32-bit parses keep BIGINT exact)

@@ -1,4 +1,5 @@
 package graft.operators
+// (line-level dedup cases at the bottom of this file)
 
 import graft.SparkSpec
 import org.apache.spark.sql.functions._
@@ -120,5 +121,35 @@ class DedupSpec extends SparkSpec {
     val outLocal = Dedup.connectedComponents(vertices, pairs, maxIter = 10)
       .collect().map(r => r.getLong(1)).distinct
     assert(outLocal.toSeq == Seq(0L))
+  }
+
+  test("dropFrequentLines: boilerplate across >= minDocs docs removed, order kept") {
+    import spark.implicits._
+    val docs = (1L to 10L).map { i =>
+      val body = s"unique body line $i"
+      val rare = if (i <= 2) "\nrare pair line" else ""
+      (i, s"COMMON HEADER\n$body\nCOMMON FOOTER$rare")
+    }.toDF("doc_id", "text")
+    val out = Dedup.dropFrequentLines(docs, "doc_id", "text", minDocs = 3L)
+      .select("doc_id", "text_clean").as[(Long, String)].collect().toMap
+    // header+footer hit all 10 docs -> gone; body and the 2-doc rare line stay
+    assert(out(1L) == "unique body line 1\nrare pair line")
+    assert(out(5L) == "unique body line 5")
+    // a doc that is ALL boilerplate collapses to the empty string
+    val allBp = docs.unionByName(
+      Seq((99L, "COMMON HEADER\nCOMMON FOOTER")).toDF("doc_id", "text"))
+    val collapsed = Dedup.dropFrequentLines(allBp, "doc_id", "text", minDocs = 3L)
+      .select("doc_id", "text_clean").as[(Long, String)].collect().toMap
+    assert(collapsed(99L) == "")
+  }
+
+  test("dropFrequentLines: regex-special separators are treated literally") {
+    import spark.implicits._
+    val docs = (1L to 4L).map(i => (i, s"AD. body $i. AD")).toDF("doc_id", "text")
+    val out = Dedup.dropFrequentLines(docs, "doc_id", "text", minDocs = 3L, sep = ". ")
+      .select("doc_id", "text_clean").as[(Long, String)].collect().toMap
+    // "AD" opens every doc and "AD" also ends it (same line content after
+    // split: 'AD', 'body i', 'AD') -> both dropped, body kept
+    assert(out(2L) == "body 2")
   }
 }
