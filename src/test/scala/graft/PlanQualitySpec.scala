@@ -331,4 +331,45 @@ class PlanQualitySpec extends SparkSpec {
     assert(exchanges.head.contains("hashpartitioning"),
       s"shard exchange must be hash, not range (global sort):\n${exchanges.head}")
   }
+
+  test("line dedup: corpus side never shuffles; frequent set arrives by broadcast") {
+    val docs = graft.tables.Tables.documents(spark, sf)
+    val plan = graft.operators.Dedup.dropFrequentLines(docs, "doc_id", "text", minDocs = 50L)
+      .queryExecution.executedPlan.toString
+    // the only exchanges allowed are the 8-byte hash-frequency aggregation
+    // (hash exchange + its single-partition collect_list); the document rows
+    // themselves reach the output through a broadcast join, unexchanged
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      s"frequent set must broadcast:\n$plan")
+    val exchanges = plan.linesIterator.filter(l =>
+      l.contains("Exchange") && !l.contains("BroadcastExchange")).toSeq
+    assert(exchanges.forall(e => e.contains("hashpartitioning") || e.contains("SinglePartition")),
+      s"corpus rows must not range/shuffle beyond the hash-frequency agg:\n$plan")
+    // no Sort / no Generate on the output side: docs are never exploded
+    val afterJoin = plan.substring(0, plan.indexOf("Join") max 0)
+    assert(!afterJoin.contains("Generate"),
+      s"document rows must not be exploded on the output path:\n$plan")
+  }
+
+  test("image metadata decode is pure codegen: zero exchanges") {
+    val docs = graft.tables.Tables.documents(spark, sf)
+      .withColumn("blob", col("text").cast("binary"))
+    val plan = graft.operators.Multimodal.withImageDims(
+        graft.operators.Multimodal.withBlobMetadata(docs, "blob"), "blob")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"metadata decode must not shuffle:\n$plan")
+    // '*(n)' marks WholeStageCodegen spans in the executed-plan string
+    assert(plan.linesIterator.next().startsWith("*("), s"expected codegen span in:\n$plan")
+  }
+
+  test("random-ring write plans exactly one range exchange, like the murmur3 ring") {
+    import spark.implicits._
+    val df = (1L to 1000L).map(i => (i, s"v$i")).toDF("k", "v")
+    val sorted = TokenSortedWriter.tokenSorted(df, CqlSchema("t", Seq("k")),
+      TokenSortedWriter.WriteConf(numPartitions = 4, partitioner = "random"))
+    val plan = sorted.queryExecution.executedPlan.toString
+    assert(plan.linesIterator.count(_.contains("Exchange")) == 1,
+      s"expected exactly 1 shuffle:\n$plan")
+    assert(plan.contains("rangepartitioning"), s"expected range partitioning:\n$plan")
+  }
 }
