@@ -90,6 +90,10 @@ package object functions {
       new ExpressionInfo(classOf[BandHashes].getName, "band_hashes"),
       (exprs: Seq[Expression]) => BandHashes(exprs(0), intArg(exprs(1)), intArg(exprs(2))))
     registry.registerFunction(
+      FunctionIdentifier("image_dims"),
+      new ExpressionInfo(classOf[ImageDims].getName, "image_dims"),
+      (exprs: Seq[Expression]) => new ImageDims(exprs.head))
+    registry.registerFunction(
       FunctionIdentifier("sign_bucket"),
       new ExpressionInfo(classOf[SignBucketExpr].getName, "sign_bucket"),
       (exprs: Seq[Expression]) => SignBucketExpr(exprs(0), intArg(exprs(1))))

@@ -21,7 +21,9 @@ class SqlRegistrationSpec extends SparkSpec {
         sign_bucket(array(CAST(1.0 AS FLOAT), CAST(-2.0 AS FLOAT)), 8) AS bucket,
         graft_token(uuid_bin('00112233-4455-6677-8899-aabbccddeeff')) AS utk,
         dot_i8(array(CAST(3 AS TINYINT), CAST(-2 AS TINYINT)),
-               array(CAST(5 AS TINYINT), CAST(7 AS TINYINT))) AS di8
+               array(CAST(5 AS TINYINT), CAST(7 AS TINYINT))) AS di8,
+        image_dims(unhex('474946383961200150014A')).width AS gif_w,
+        hex(graft_random_token(42L)) AS rtk
     """).head()
     // token(1) is a published Cassandra constant
     assert(row.getLong(0) == -4069959284402364209L)
@@ -35,5 +37,10 @@ class SqlRegistrationSpec extends SparkSpec {
     assert(row.getLong(8) == graft.token.Murmur3Token.tokenOf(
       Seq(java.util.UUID.fromString("00112233-4455-6677-8899-aabbccddeeff"))))
     assert(row.getLong(9) == 1L) // 3*5 + (-2)*7
+    assert(row.getInt(10) == 288) // GIF LE dims: 0x0120
+    assert(row.getString(11) ==
+      graft.token.RandomToken.tokenBytes16(
+        graft.token.RandomToken.tokenOf(Seq(Long.box(42L))))
+        .map("%02X".format(_)).mkString)
   }
 }
