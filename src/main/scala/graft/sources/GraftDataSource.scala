@@ -710,7 +710,7 @@ object TokenPruner {
     walk(p)
   }
 
-  private def readFootersParallel(
+  private[graft] def readFootersParallel(
       conf: org.apache.hadoop.conf.Configuration,
       files: Array[(Path, Long)]): Array[FileMeta] = {
     if (files.isEmpty) return Array.empty

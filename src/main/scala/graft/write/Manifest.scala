@@ -57,8 +57,14 @@ object Manifest {
     // `SortedSSTableWriter.java:67-327`; post-write re-read is the parquet
     // equivalent, and at any scale it parallelizes like the write itself)
     val digests = digestAll(spark, fresh.map(_.getPath.toString))
+    // bounded-parallel footer reads (the same pool the scan fallback uses) —
+    // a large write lands many files and a sequential driver walk here would
+    // serialize the one O(#newFiles) step of the commit
+    val bases = TokenPruner
+      .readFootersParallel(conf, fresh.map(f => (f.getPath, f.getLen)))
+      .map(m => m.path -> m).toMap
     val metas = fresh.map { f =>
-      val base = TokenPruner.readFooterMeta(conf, f.getPath, f.getLen)
+      val base = bases(f.getPath.toString)
       val nominal = splits.flatMap { rs =>
         PartIndex.findFirstMatchIn(f.getPath.getName)
           .map(_.group(1).toInt)
