@@ -827,6 +827,20 @@ object Battery {
         .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
     }),
 
+    // writer digests surfaced through the metadata source (W4 digest
+    // parity): every file of a fresh 4-partition write must carry a
+    // manifest-recorded xxhash64, countable without touching data pages
+    "q103_meta_digests" -> ((s, d) => {
+      val out = java.nio.file.Files.createTempDirectory("graft_dig_").toString + "/orders"
+      ord(s, d).write.format("graft")
+        .option("path", out).option("pk", "o_orderkey").option("partitions", "4")
+        .mode(SaveMode.Append).save()
+      s.read.format("graft-metadata").option("path", out).load()
+        .agg(
+          countDistinct(col("file")).as("n_files"),
+          countDistinct(when(col("digest").isNotNull, col("file"))).as("n_digested"))
+    }),
+
     // ---- static-column semantics (SURVEY §7.4 hard-part) ----------------
     // orders as a multi-row-per-partition table (pk=o_custkey,
     // ck=o_orderkey, static=cust_note). Three writes: base rows with null
@@ -1660,6 +1674,8 @@ object Battery {
     "q101_random_ring" ->
       """SELECT o_orderkey, o_custkey, o_totalprice
         |FROM orders WHERE o_orderkey <= 8000""".stripMargin,
+    "q103_meta_digests" ->
+      "SELECT CAST(4 AS BIGINT) AS n_files, CAST(4 AS BIGINT) AS n_digested",
     "q102_line_dedup" ->
       """WITH d AS (
         |  SELECT doc_id, 'START COMMON HEADER' || chr(10) || text || chr(10) ||

@@ -123,6 +123,18 @@ class DedupSpec extends SparkSpec {
     assert(outLocal.toSeq == Seq(0L))
   }
 
+  test("connectedComponents refuses to return an unconverged fixpoint") {
+    import spark.implicits._
+    val n = 12L
+    val vertices = (0L until n).toDF("id")
+    val pairs = (0L until n - 1).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val e = intercept[IllegalStateException] {
+      Dedup.connectedComponents(vertices, pairs, maxIter = 3, localEdgeThreshold = 0L)
+        .collect()
+    }
+    assert(e.getMessage.contains("maxIter"))
+  }
+
   test("dropFrequentLines: boilerplate across >= minDocs docs removed, order kept") {
     import spark.implicits._
     val docs = (1L to 10L).map { i =>
