@@ -863,7 +863,7 @@ object Battery {
           min_by(col("o_totalprice"), col("o_orderkey")).as("o_totalprice"))
         .filter(col("o_custkey") % 5 === 0)
         .withColumn("cust_note", concat(lit("S"), col("o_custkey").cast("string")))
-      TokenSortedWriter.write(statics.select(base.columns.map(col): _*), schema, out,
+      TokenSortedWriter.write(statics.select(base.columns.toIndexedSeq.map(col): _*), schema, out,
         SaveMode.Append,
         TokenSortedWriter.WriteConf(numPartitions = 2, keepTokenColumn = true,
           writetimeMicros = Some(2000L)))
