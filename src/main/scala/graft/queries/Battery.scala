@@ -1098,6 +1098,27 @@ object Battery {
           sum(col("n_chars")).as("chars"))
     }),
 
+    // composed curation v2 — the round-6 operators chained end-to-end:
+    // inject boilerplate lines → corpus line-frequency removal → inject PII
+    // → sequential redaction → per-source accounting. The oracle replays
+    // the WHOLE chain (frequency threshold, order-preserving reassembly,
+    // all four masking rules) in SQL and hash-matches the aggregates.
+    "q104_curation_v2" -> ((s, d) => {
+      val nl = lit("\n")
+      val decorated = docs(s, d).select(col("doc_id"), col("source"),
+        concat(lit("START COMMON HEADER"), nl, col("text"), nl,
+          concat(lit("FOOTER "), col("source"))).as("text"))
+      val cleaned = Dedup.dropFrequentLines(decorated, "doc_id", "text", minDocs = 50L)
+      val dirty = cleaned.withColumn("dirty",
+        concat(col("text_clean"), lit(" contact user"), col("doc_id").cast("string"),
+          lit("@mail.example.com")))
+      graft.operators.Pii.redact(dirty, "dirty")
+        .groupBy(col("source")).agg(
+          count(lit(1)).as("n_docs"),
+          sum(length(col("dirty_clean"))).as("clean_chars"),
+          sum(col("n_email")).cast("long").as("n_emails"))
+    }),
+
     // ---- PII scrubbing (compliance pass). The corpus is synthetic word
     // soup, so the dirt is injected deterministically from doc_id — the
     // oracle replays both the injection and the masking, and md5(clean)
@@ -1223,6 +1244,31 @@ object Battery {
     s"""SELECT doc_id, md5($masked) AS clean_md5, $counts
        |FROM (SELECT doc_id, $dirt AS t FROM documents)
        |WHERE doc_id < 50""".stripMargin
+  }
+
+  private def curationV2Sql: String = {
+    val masked = graft.operators.Pii.Rules.foldLeft("dirty") {
+      case (acc, (_, re, repl)) => s"regexp_replace($acc, '$re', '$repl', 'g')"
+    }
+    val emailRe = graft.operators.Pii.Rules.head._2
+    s"""WITH d AS (
+       |  SELECT doc_id, source,
+       |    'START COMMON HEADER' || chr(10) || text || chr(10) || ('FOOTER ' || source) AS t
+       |  FROM documents),
+       |lines AS (SELECT doc_id, unnest(string_split(t, chr(10))) AS line FROM d),
+       |freq AS (SELECT line FROM (
+       |    SELECT line, count(DISTINCT doc_id) AS c FROM lines GROUP BY 1) WHERE c >= 50),
+       |fset AS (SELECT coalesce(list(line), []) AS fl FROM freq),
+       |dirty AS (
+       |  SELECT doc_id, source,
+       |    array_to_string(list_filter(string_split(t, chr(10)),
+       |      x -> NOT list_contains(fl, x)), chr(10)) ||
+       |    ' contact user' || CAST(doc_id AS VARCHAR) || '@mail.example.com' AS dirty
+       |  FROM d, fset)
+       |SELECT source, COUNT(*) AS n_docs,
+       |  CAST(SUM(length($masked)) AS BIGINT) AS clean_chars,
+       |  CAST(SUM(len(regexp_extract_all(dirty, '$emailRe'))) AS BIGINT) AS n_emails
+       |FROM dirty GROUP BY source""".stripMargin
   }
 
   private def qualitySql: String = {
@@ -1898,6 +1944,7 @@ object Battery {
         | AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 3600 SECOND
         |WHERE a.event_type = 'click' AND b.event_type = 'purchase'""".stripMargin,
     "q94_pii_redact" -> piiOracleSql,
+    "q104_curation_v2" -> curationV2Sql,
     "q95_vocab_topk" ->
       """SELECT word, COUNT(*) AS n
         |FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)

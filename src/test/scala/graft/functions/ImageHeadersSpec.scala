@@ -50,6 +50,27 @@ class ImageHeadersSpec extends SparkSpec {
     assert(ImageHeaders.parse(evil) == null)
   }
 
+  test("parse never throws on arbitrary bytes or mutated valid headers") {
+    def check(prop: org.scalacheck.Prop): Unit = {
+      val res = org.scalacheck.Test.check(org.scalacheck.Test.Parameters.default, prop)
+      assert(res.passed, res.status.toString)
+    }
+    // pure fuzz: any byte soup parses to a Dims or null, never an exception
+    check(org.scalacheck.Prop.forAll { (bytes: Array[Byte]) =>
+      ImageHeaders.parse(bytes); true
+    })
+    // structured fuzz: flip one byte anywhere in a VALID header — the
+    // marker scans must stay in-bounds and loop-free
+    val fixtures = Seq(png, gif, jpeg, bmp)
+    check(org.scalacheck.Prop.forAll(
+      org.scalacheck.Gen.choose(0, 3), org.scalacheck.Gen.choose(0, 255),
+      org.scalacheck.Gen.choose(0, 255)) { (fi, pos, v) =>
+      val b = fixtures(fi).clone()
+      b(pos % b.length) = v.toByte
+      ImageHeaders.parse(b); true
+    })
+  }
+
   test("image_dims expression evaluates in a plan (codegen path)") {
     import spark.implicits._
     val df = Seq(("png", png), ("gif", gif), ("jpeg", jpeg), ("txt", "nope".getBytes))
