@@ -120,6 +120,10 @@ class GraftDataSource extends TableProvider with DataSourceRegister
       parameters: Map[String, String],
       data: DataFrame): BaseRelation = {
     val options = new CaseInsensitiveStringMap(parameters.asJava)
+    // counter columns are unwritable too: the reference's bulk writer has no
+    // counter support (counters mutate by delta, a bulk file cannot carry
+    // one) — fail at write-resolve, not at some later read
+    GraftDataSource.validateWriteTypes(options)
     val cql = GraftDataSource.cqlFrom(options, data.schema)
     val conf = TokenSortedWriter.WriteConf(
       numPartitions = options.getInt("partitions", 0),
@@ -176,6 +180,20 @@ object GraftDataSource {
             s"Reading counter column '$c' is not supported (counter tables cannot be read)")
           case "duration" => throw new UnsupportedOperationException(
             s"Reading duration column '$c' is not supported (no Spark SQL representation)")
+          case _ => ()
+        }
+      }
+
+  /** Write-side twin of [[validateReadTypes]]: counter tables cannot be
+   *  bulk-written either (counters mutate by delta; a bulk-loaded file
+   *  cannot carry one — the reference's writer has no counter path). */
+  def validateWriteTypes(options: CaseInsensitiveStringMap): Unit =
+    Option(options.get("cqlTypes")).getOrElse("")
+      .split(",").map(_.trim).filter(_.nonEmpty).foreach { e =>
+        e.split(":", 2) match {
+          case Array(c, t) if t.trim.equalsIgnoreCase("counter") =>
+            throw new UnsupportedOperationException(
+              s"Writing counter column '${c.trim}' is not supported (bulk writes cannot carry counter deltas)")
           case _ => ()
         }
       }

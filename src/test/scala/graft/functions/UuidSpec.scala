@@ -73,4 +73,15 @@ class UuidSpec extends SparkSpec {
     // non-rejected declarations pass through untouched
     assert(read("id:bigint,cnt:varint").length == 1)
   }
+
+  test("counter columns are rejected on write too") {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft_cw_").toString + "/t"
+    val e = intercept[UnsupportedOperationException] {
+      Seq((1L, 5L)).toDF("id", "cnt").write.format("graft")
+        .option("path", out).option("pk", "id").option("cqlTypes", "cnt:counter")
+        .mode(org.apache.spark.sql.SaveMode.Append).save()
+    }
+    assert(e.getMessage.contains("counter"))
+  }
 }

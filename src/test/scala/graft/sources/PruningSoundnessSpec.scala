@@ -79,6 +79,33 @@ class PruningSoundnessSpec extends SparkSpec {
     }
   }
 
+  test("random-ring layout: no token pruning applies, pk-stats pruning stays sound") {
+    import spark.implicits._
+    val df = (1L to 2000L).map(i => (i, s"v${i % 7}")).toDF("id", "tag")
+    val plain = Files.createTempDirectory("graft_rr_plain_").toString + "/t"
+    df.write.parquet(plain)
+    val rr = Files.createTempDirectory("graft_rr_g_").toString + "/t"
+    TokenSortedWriter.write(df, CqlSchema("t", Seq("id")), rr, SaveMode.Append,
+      TokenSortedWriter.WriteConf(numPartitions = 4, partitioner = "random",
+        keepTokenColumn = true))
+    val all = TokenPruner.listFiles(spark, rr)
+    // binary tokens carry no long stats: token pruning must disqualify itself
+    assert(all.forall(_.tokenRange.isEmpty), "127-bit tokens must not fake long ranges")
+    // pk-column stats still prune; results match plain parquet on a battery
+    // of predicate shapes
+    val p = spark.read.parquet(plain)
+    val g = graftRead(rr).drop("_graft_token")
+    Seq[Column](
+      col("id") === 1L, col("id") === 2000L, col("id") > 1990L,
+      col("id").isin(3L, 999L, 2001L), col("tag") === "v3" && col("id") <= 100L)
+      .foreach { f =>
+        val expected = p.filter(f)
+        val got = g.filter(f)
+        assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty,
+          s"random-ring diverged for $f")
+      }
+  }
+
   // Targeted coverage of the allowsStats predicate shapes beyond EqualTo
   // (ADVICE: range bounds, In, Or/And composition were fuzz-only before).
   test("stats pruning: range predicates drop out-of-range files and keep boundary files") {
