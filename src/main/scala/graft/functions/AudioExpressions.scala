@@ -1,0 +1,125 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.graftshim.GraftShims
+import org.apache.spark.sql.types._
+
+/**
+ * Headers-only audio metadata: real, dependency-free parsing of the PUBLIC
+ * RIFF/WAVE container — `fmt ` chunk (format, channels, sample rate, bits)
+ * plus the `data` chunk size, from which frame count and duration follow
+ * arithmetically. The audio twin of [[ImageHeaders]]: metadata decode is
+ * real; sample-level decode stays behind the multimodal decoder seam.
+ *
+ * Chunk walk is bounds-checked and even-padded per the RIFF spec; anything
+ * unrecognized or truncated is null data, never an exception.
+ */
+object AudioHeaders {
+
+  final case class WavMeta(
+      channels: Int, sampleRate: Int, bitsPerSample: Int,
+      nFrames: Long, durationMs: Long)
+
+  private def leU16(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+  private def leU32(b: Array[Byte], i: Int): Long =
+    (b(i) & 0xffL) | ((b(i + 1) & 0xffL) << 8) | ((b(i + 2) & 0xffL) << 16) |
+      ((b(i + 3) & 0xffL) << 24)
+  private def tag(b: Array[Byte], i: Int, s: String): Boolean =
+    b(i) == s.charAt(0) && b(i + 1) == s.charAt(1) &&
+      b(i + 2) == s.charAt(2) && b(i + 3) == s.charAt(3)
+
+  def parse(b: Array[Byte]): WavMeta = {
+    if (b == null || b.length < 44) return null
+    if (!tag(b, 0, "RIFF") || !tag(b, 8, "WAVE")) return null
+    var i = 12
+    var channels = -1
+    var rate = -1
+    var bits = -1
+    var blockAlign = -1
+    var dataSize = -1L
+    while (i + 8 <= b.length && (channels < 0 || dataSize < 0)) {
+      val size = leU32(b, i + 4)
+      if (tag(b, i, "fmt ")) {
+        if (i + 8 + 16 > b.length) return null
+        channels = leU16(b, i + 10)
+        rate = leU32(b, i + 12).toInt
+        blockAlign = leU16(b, i + 20)
+        bits = leU16(b, i + 22)
+      } else if (tag(b, i, "data")) {
+        dataSize = size
+      }
+      // chunks are even-padded; a lying size must not loop or overflow
+      val step = 8L + size + (size & 1L)
+      if (step <= 0 || i + step > Int.MaxValue) return null
+      i += step.toInt
+    }
+    if (channels <= 0 || rate <= 0 || blockAlign <= 0 || dataSize < 0) return null
+    val frames = dataSize / blockAlign
+    WavMeta(channels, rate, bits, frames, frames * 1000L / rate)
+  }
+
+  val sparkType: StructType = StructType(Seq(
+    StructField("channels", IntegerType, nullable = false),
+    StructField("sample_rate", IntegerType, nullable = false),
+    StructField("bits", IntegerType, nullable = false),
+    StructField("n_frames", LongType, nullable = false),
+    StructField("duration_ms", LongType, nullable = false)))
+
+  /** Shared eval for interpreted and generated code paths. */
+  def parseRow(bytes: Array[Byte]): InternalRow = {
+    val m = parse(bytes)
+    if (m == null) null
+    else new GenericInternalRow(
+      Array[Any](m.channels, m.sampleRate, m.bitsPerSample, m.nFrames, m.durationMs))
+  }
+}
+
+/** `audio_meta(blob)` → struct(channels, sample_rate, bits, n_frames,
+ *  duration_ms), null for non-WAV bytes. Same codegen shape as
+ *  [[ImageDims]]. */
+case class AudioMeta(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = AudioHeaders.sparkType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case BinaryType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case dt => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"audio_meta needs a binary column, got $dt")
+    }
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) null else AudioHeaders.parseRow(v.asInstanceOf[Array[Byte]])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    val cls = AudioHeaders.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    ev.copy(code = code"""
+      |${c.code}
+      |InternalRow ${ev.value} = null;
+      |boolean ${ev.isNull} = ${c.isNull};
+      |if (!${ev.isNull}) {
+      |  ${ev.value} = $cls.parseRow(${c.value});
+      |  ${ev.isNull} = ${ev.value} == null;
+      |}
+     """.stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "audio_meta"
+}
+
+object AudioMeta {
+  def apply(col: Column): Column = GraftShims.column(new AudioMeta(GraftShims.expression(col)))
+}

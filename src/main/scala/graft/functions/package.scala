@@ -94,6 +94,10 @@ package object functions {
       new ExpressionInfo(classOf[ImageDims].getName, "image_dims"),
       (exprs: Seq[Expression]) => new ImageDims(exprs.head))
     registry.registerFunction(
+      FunctionIdentifier("audio_meta"),
+      new ExpressionInfo(classOf[AudioMeta].getName, "audio_meta"),
+      (exprs: Seq[Expression]) => new AudioMeta(exprs.head))
+    registry.registerFunction(
       FunctionIdentifier("sign_bucket"),
       new ExpressionInfo(classOf[SignBucketExpr].getName, "sign_bucket"),
       (exprs: Seq[Expression]) => SignBucketExpr(exprs(0), intArg(exprs(1))))

@@ -62,6 +62,19 @@ object Multimodal {
       .withColumn("img_format", col("__dims.format"))
       .drop("__dims")
 
+  /** REAL headers-only WAV audio metadata over a binary column: adds
+   *  channels/sample_rate/bits/n_frames/duration_ms parsed from the RIFF
+   *  chunk walk (null for non-WAV payloads) — no codec dependency, pure
+   *  codegen ([[graft.functions.AudioMeta]]). */
+  def withAudioMeta(df: DataFrame, blobCol: String): DataFrame =
+    df.withColumn("__am", graft.functions.AudioMeta(col(blobCol)))
+      .withColumn("channels", col("__am.channels"))
+      .withColumn("sample_rate", col("__am.sample_rate"))
+      .withColumn("bits", col("__am.bits"))
+      .withColumn("n_frames", col("__am.n_frames"))
+      .withColumn("duration_ms", col("__am.duration_ms"))
+      .drop("__am")
+
   /** Decoded-image feature contract. */
   final case class ImageFeatures(width: Int, height: Int, channels: Int, meanLuma: Double)
 

@@ -415,6 +415,35 @@ object Battery {
           col("width"), col("height"), col("channels"), col("img_format"))
     }),
 
+    // REAL audio metadata: blobs carry genuine RIFF/WAVE headers built from
+    // doc data; the engine walks the chunks back out (AudioHeaders) and the
+    // oracle replays channels/rate/frames/duration arithmetically
+    "q105_audio_meta" -> ((s, d) => {
+      def le16(c: Column) = {
+        val hx = lpad(hex(c), 4, "0")
+        unhex(concat(substring(hx, 3, 2), substring(hx, 1, 2)))
+      }
+      def le32(c: Column) = {
+        val hx = lpad(hex(c), 8, "0")
+        unhex(concat(substring(hx, 7, 2), substring(hx, 5, 2),
+          substring(hx, 3, 2), substring(hx, 1, 2)))
+      }
+      val ch = (col("doc_id") % 2 + 1).cast("int")
+      val rate = when(col("doc_id") % 3 === 0, 8000)
+        .when(col("doc_id") % 3 === 1, 16000).otherwise(44100).cast("int")
+      val txt = col("text").cast("binary")
+      val dataSize = length(txt).cast("int")
+      val wav = concat(
+        unhex(lit("52494646")), le32(dataSize + 36), unhex(lit("57415645")),
+        unhex(lit("666D7420")), le32(lit(16)), le16(lit(1)), le16(ch),
+        le32(rate), le32(rate * ch * 2), le16(ch * 2), le16(lit(16)),
+        unhex(lit("64617461")), le32(dataSize), txt)
+      Multimodal.withAudioMeta(
+          docs(s, d).withColumn("blob", wav).select(col("doc_id"), col("blob")), "blob")
+        .select(col("doc_id"), col("channels"), col("sample_rate"), col("bits"),
+          col("n_frames"), col("duration_ms"))
+    }),
+
     // ---- S1-S4/P2-P6/S10: DSv2 source + DSv1 sink end-to-end ----------
     // write lineitem through the graft sink (token-sorted, token column
     // kept), read back through the graft DSv2 source with pk pushdown —
@@ -1722,6 +1751,18 @@ object Battery {
         |FROM orders WHERE o_orderkey <= 8000""".stripMargin,
     "q103_meta_digests" ->
       "SELECT CAST(4 AS BIGINT) AS n_files, CAST(4 AS BIGINT) AS n_digested",
+    "q105_audio_meta" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    CAST(doc_id % 2 + 1 AS INT) AS channels,
+        |    CAST(CASE WHEN doc_id % 3 = 0 THEN 8000
+        |              WHEN doc_id % 3 = 1 THEN 16000 ELSE 44100 END AS INT) AS sample_rate,
+        |    octet_length(CAST(text AS BLOB)) AS ds
+        |  FROM documents)
+        |SELECT doc_id, channels, sample_rate, CAST(16 AS INT) AS bits,
+        |  CAST(ds // (channels * 2) AS BIGINT) AS n_frames,
+        |  CAST((ds // (channels * 2)) * 1000 // sample_rate AS BIGINT) AS duration_ms
+        |FROM p""".stripMargin,
     "q102_line_dedup" ->
       """WITH d AS (
         |  SELECT doc_id, 'START COMMON HEADER' || chr(10) || text || chr(10) ||
