@@ -1,0 +1,146 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.graftshim.GraftShims
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * Headers-only video container metadata: real, dependency-free parsing of
+ * the PUBLIC ISO BMFF (MP4) box layout — top-level box walk to `moov`, then
+ * `mvhd` (version 0 or 1) for timescale and duration — completing the
+ * image/audio/video metadata trio ([[ImageHeaders]], [[AudioHeaders]]).
+ * Frame/sample decode stays behind the multimodal seam.
+ *
+ * The box walk is bounds-checked; 64-bit extended sizes, lying sizes and
+ * truncation all return null, never an exception or a loop.
+ */
+object Mp4Headers {
+
+  final case class Mp4Meta(
+      brand: String, timescale: Long, duration: Long, durationMs: Long)
+
+  private def beU32(b: Array[Byte], i: Int): Long =
+    ((b(i) & 0xffL) << 24) | ((b(i + 1) & 0xffL) << 16) |
+      ((b(i + 2) & 0xffL) << 8) | (b(i + 3) & 0xffL)
+  private def beU64(b: Array[Byte], i: Int): Long =
+    (beU32(b, i) << 32) | beU32(b, i + 4)
+  private def boxType(b: Array[Byte], i: Int): String =
+    new String(b, i + 4, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+  def parse(b: Array[Byte]): Mp4Meta = {
+    if (b == null || b.length < 16) return null
+    if (boxType(b, 0) != "ftyp") return null
+    val brand = new String(b, 8, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    // walk top-level boxes for moov
+    var i = 0
+    var moov = -1
+    var moovEnd = -1L
+    while (i + 8 <= b.length && moov < 0) {
+      var size = beU32(b, i)
+      var hdr = 8
+      if (size == 1L) { // 64-bit extended size
+        if (i + 16 > b.length) return null
+        size = beU64(b, i + 8); hdr = 16
+      } else if (size == 0L) size = b.length.toLong - i // box runs to EOF
+      if (size < hdr) return null
+      if (boxType(b, i) == "moov") { moov = i + hdr; moovEnd = math.min(i + size, b.length.toLong) }
+      if (i + size > Int.MaxValue) { if (moov < 0) return null }
+      else i += size.toInt
+      if (size <= 0) return null
+    }
+    if (moov < 0) return null
+    // walk moov children for mvhd
+    var j = moov
+    while (j + 8 <= moovEnd) {
+      var size = beU32(b, j)
+      var hdr = 8
+      if (size == 1L) {
+        if (j + 16 > moovEnd) return null
+        size = beU64(b, j + 8); hdr = 16
+      } else if (size == 0L) size = moovEnd - j
+      if (size < hdr) return null
+      if (boxType(b, j) == "mvhd") {
+        val ver = b(j + hdr) & 0xff
+        if (ver == 0) {
+          if (j + hdr + 20 > b.length) return null
+          val ts = beU32(b, j + hdr + 12)
+          val dur = beU32(b, j + hdr + 16)
+          if (ts <= 0) return null
+          return Mp4Meta(brand, ts, dur, dur * 1000L / ts)
+        } else if (ver == 1) {
+          if (j + hdr + 32 > b.length) return null
+          val ts = beU32(b, j + hdr + 20)
+          val dur = beU64(b, j + hdr + 24)
+          if (ts <= 0 || dur < 0) return null
+          return Mp4Meta(brand, ts, dur, dur * 1000L / ts)
+        } else return null
+      }
+      if (j + size > moovEnd) return null
+      j += size.toInt
+    }
+    null
+  }
+
+  val sparkType: StructType = StructType(Seq(
+    StructField("brand", StringType, nullable = false),
+    StructField("timescale", LongType, nullable = false),
+    StructField("duration", LongType, nullable = false),
+    StructField("duration_ms", LongType, nullable = false)))
+
+  /** Shared eval for interpreted and generated code paths. */
+  def parseRow(bytes: Array[Byte]): InternalRow = {
+    val m = parse(bytes)
+    if (m == null) null
+    else new GenericInternalRow(Array[Any](
+      UTF8String.fromString(m.brand), m.timescale, m.duration, m.durationMs))
+  }
+}
+
+/** `video_meta(blob)` → struct(brand, timescale, duration, duration_ms),
+ *  null for non-MP4 bytes. Same codegen shape as [[ImageDims]]. */
+case class VideoMeta(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = Mp4Headers.sparkType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case BinaryType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case dt => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"video_meta needs a binary column, got $dt")
+    }
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) null else Mp4Headers.parseRow(v.asInstanceOf[Array[Byte]])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    val cls = Mp4Headers.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    ev.copy(code = code"""
+      |${c.code}
+      |InternalRow ${ev.value} = null;
+      |boolean ${ev.isNull} = ${c.isNull};
+      |if (!${ev.isNull}) {
+      |  ${ev.value} = $cls.parseRow(${c.value});
+      |  ${ev.isNull} = ${ev.value} == null;
+      |}
+     """.stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "video_meta"
+}
+
+object VideoMeta {
+  def apply(col: Column): Column = GraftShims.column(new VideoMeta(GraftShims.expression(col)))
+}

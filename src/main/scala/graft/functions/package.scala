@@ -98,6 +98,10 @@ package object functions {
       new ExpressionInfo(classOf[AudioMeta].getName, "audio_meta"),
       (exprs: Seq[Expression]) => new AudioMeta(exprs.head))
     registry.registerFunction(
+      FunctionIdentifier("video_meta"),
+      new ExpressionInfo(classOf[VideoMeta].getName, "video_meta"),
+      (exprs: Seq[Expression]) => new VideoMeta(exprs.head))
+    registry.registerFunction(
       FunctionIdentifier("sign_bucket"),
       new ExpressionInfo(classOf[SignBucketExpr].getName, "sign_bucket"),
       (exprs: Seq[Expression]) => SignBucketExpr(exprs(0), intArg(exprs(1))))

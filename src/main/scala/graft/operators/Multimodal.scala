@@ -75,6 +75,17 @@ object Multimodal {
       .withColumn("duration_ms", col("__am.duration_ms"))
       .drop("__am")
 
+  /** REAL headers-only MP4 video metadata over a binary column: adds
+   *  vbrand/vtimescale/vduration/vduration_ms from the ISO BMFF box walk
+   *  (null for non-MP4 payloads) — [[graft.functions.VideoMeta]]. */
+  def withVideoMeta(df: DataFrame, blobCol: String): DataFrame =
+    df.withColumn("__vm", graft.functions.VideoMeta(col(blobCol)))
+      .withColumn("vbrand", col("__vm.brand"))
+      .withColumn("vtimescale", col("__vm.timescale"))
+      .withColumn("vduration", col("__vm.duration"))
+      .withColumn("vduration_ms", col("__vm.duration_ms"))
+      .drop("__vm")
+
   /** Decoded-image feature contract. */
   final case class ImageFeatures(width: Int, height: Int, channels: Int, meanLuma: Double)
 

@@ -444,6 +444,28 @@ object Battery {
           col("n_frames"), col("duration_ms"))
     }),
 
+    // REAL video metadata: blobs carry a genuine ISO BMFF prefix (ftyp +
+    // moov/mvhd v0 with trailing zeros to the spec'd 108-byte box) built
+    // from doc data; the engine walks the boxes back out (Mp4Headers) and
+    // the oracle replays timescale/duration arithmetically
+    "q106_video_meta" -> ((s, d) => {
+      def be32(c: Column) = unhex(lpad(hex(c), 8, "0"))
+      val ts = when(col("doc_id") % 3 === 0, 600)
+        .when(col("doc_id") % 3 === 1, 1000).otherwise(90000).cast("int")
+      val dur = (col("n_chars") * 100).cast("int")
+      val mp4 = concat(
+        unhex(lit("0000001066747970 69736F6D 00000000".replaceAll(" ", ""))),
+        unhex(lit("000000746D6F6F76")), // moov, size 8 + 108
+        unhex(lit("0000006C6D766864 00000000 00000000 00000000".replaceAll(" ", ""))),
+        be32(ts), be32(dur),
+        unhex(lit("00" * 80)), // rate/volume/reserved/matrix/next-track zeros
+        col("text").cast("binary")) // mdat-less tail; walk must not care
+      Multimodal.withVideoMeta(
+          docs(s, d).withColumn("blob", mp4).select(col("doc_id"), col("blob")), "blob")
+        .select(col("doc_id"), col("vbrand"), col("vtimescale"),
+          col("vduration"), col("vduration_ms"))
+    }),
+
     // ---- S1-S4/P2-P6/S10: DSv2 source + DSv1 sink end-to-end ----------
     // write lineitem through the graft sink (token-sorted, token column
     // kept), read back through the graft DSv2 source with pk pushdown —
@@ -1751,6 +1773,14 @@ object Battery {
         |FROM orders WHERE o_orderkey <= 8000""".stripMargin,
     "q103_meta_digests" ->
       "SELECT CAST(4 AS BIGINT) AS n_files, CAST(4 AS BIGINT) AS n_digested",
+    "q106_video_meta" ->
+      """SELECT doc_id, 'isom' AS vbrand,
+        |  CAST(CASE WHEN doc_id % 3 = 0 THEN 600
+        |            WHEN doc_id % 3 = 1 THEN 1000 ELSE 90000 END AS BIGINT) AS vtimescale,
+        |  CAST(n_chars * 100 AS BIGINT) AS vduration,
+        |  CAST((n_chars * 100) * 1000 // (CASE WHEN doc_id % 3 = 0 THEN 600
+        |       WHEN doc_id % 3 = 1 THEN 1000 ELSE 90000 END) AS BIGINT) AS vduration_ms
+        |FROM documents""".stripMargin,
     "q105_audio_meta" ->
       """WITH p AS (
         |  SELECT doc_id,
