@@ -689,9 +689,24 @@ object TokenPruner {
 
   private def listingSignature(fs: org.apache.hadoop.fs.FileSystem, p: Path): String =
     try {
-      fs.listStatus(p).sortBy(_.getPath.getName)
+      def level(d: Path): String =
+        fs.listStatus(d).sortBy(_.getPath.getName)
+          .map(s => s"${s.getPath.getName}:${s.isDirectory}:${s.getModificationTime}:${s.getLen}")
+          .mkString("|")
+      val root = fs.listStatus(p).sortBy(_.getPath.getName)
+      val rootSig = root
         .map(s => s"${s.getPath.getName}:${s.isDirectory}:${s.getModificationTime}:${s.getLen}")
         .mkString("|")
+      // dir mtimes have finite granularity, so two writes inside one tick
+      // could alias at the root level — but every writer mutation creates a
+      // UNIQUELY-NAMED file inside the manifest/deletes dirs, so enumerating
+      // those two children (still O(1) round trips) makes the signature
+      // change-proof for all engine-driven mutations
+      val metaSig = root.filter(s => s.isDirectory &&
+          (s.getPath.getName == graft.write.Manifest.Dir ||
+            s.getPath.getName == TokenSortedWriter.DeletesDir))
+        .map(s => s"[${s.getPath.getName}]" + level(s.getPath)).mkString("§")
+      rootSig + "§§" + metaSig
     } catch { case _: java.io.IOException => s"unlistable-${System.nanoTime()}" }
 
   /** All data files with their planning stats: manifest rows when available,
