@@ -820,6 +820,34 @@ object Battery {
         .select(col("p_partkey"), posexplode(col("words")).as(Seq("pos", "word")))
         .select(col("p_partkey"), col("pos"), col("word.w").as("w"), col("word.len").as("len"))),
 
+    // range tombstones (§2.8, reference testRangeTombstoneInt:682): per
+    // partition, rows with clustering key in [5000, 12000] are range-
+    // deleted @2000; a subset [5000, 8000] is reinserted @3000 with a
+    // bumped price and must survive the older tombstone (time rule)
+    "q107_range_tombstones" -> ((s, d) => {
+      val schema = CqlSchema("orders_rt", Seq("o_custkey"), Seq("o_orderkey"))
+      val out = java.nio.file.Files.createTempDirectory("graft_rt_").toString + "/orders"
+      val base = ord(s, d).select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      TokenSortedWriter.write(base, schema, out, SaveMode.Append,
+        TokenSortedWriter.WriteConf(numPartitions = 4, keepTokenColumn = true,
+          writetimeMicros = Some(1000L)))
+      TokenSortedWriter.writeRangeDeletes(
+        base.filter(col("o_custkey") % 10 === 0)
+          .select(col("o_custkey"),
+            lit(5000L).as("ck_min"), lit(12000L).as("ck_max")),
+        schema, out, writetimeMicros = Some(2000L))
+      TokenSortedWriter.write(
+        base.filter(col("o_custkey") % 10 === 0 &&
+            col("o_orderkey") >= 5000L && col("o_orderkey") <= 8000L)
+          .withColumn("o_totalprice", col("o_totalprice") + 5000.0),
+        schema, out, SaveMode.Append,
+        TokenSortedWriter.WriteConf(numPartitions = 2, keepTokenColumn = true,
+          writetimeMicros = Some(3000L)))
+      TokenSortedWriter.readNormalized(s, schema, out)
+        .select(col("o_custkey"), col("o_orderkey"),
+          col("o_totalprice").as("totalprice"))
+    }),
+
     // exotic CQL type semantics (reference SparkSqlTypeConverter.java:33-139,
     // CqlField.java:57): uuid/timeuuid surface as strings but COMPARE as
     // java.util.UUID (signed msb/lsb — neither lexicographic string order
@@ -1809,6 +1837,12 @@ object Battery {
         |  array_to_string(list_filter(string_split(t, chr(10)),
         |    x -> NOT list_contains(fl, x)), chr(10)) AS text_clean
         |FROM d, fset""".stripMargin,
+    "q107_range_tombstones" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CASE WHEN o_custkey % 10 = 0 AND o_orderkey BETWEEN 5000 AND 8000
+        |       THEN o_totalprice + 5000 ELSE o_totalprice END AS totalprice
+        |FROM orders
+        |WHERE NOT (o_custkey % 10 = 0 AND o_orderkey > 8000 AND o_orderkey <= 12000)""".stripMargin,
     // uuid comparison replayed in closed form: DuckDB's native UUID type
     // orders unsigned/bytewise, so the oracle rebuilds Java's SIGNED
     // msb/lsb from the hex halves (32-bit parses keep BIGINT exact)

@@ -93,6 +93,11 @@ object TokenSortedWriter {
    *  `WriteMode.DELETE_PARTITION`); underscore prefix keeps it invisible to
    *  plain parquet listings. */
   val DeletesDir = "_graft_deletes"
+  /** Clustering-key bounds of a RANGE tombstone (inclusive; null =
+   *  unbounded on that side). Presence of a non-null bound marks a deletes
+   *  row as a range tombstone. */
+  val CkMinCol = "_graft_ck_min"
+  val CkMaxCol = "_graft_ck_max"
 
   /** Append W9 feature columns per conf: explicit per-row column wins over
    *  the constant (reference: `TTLOption.forRow`/`constant`). */
@@ -229,6 +234,33 @@ object TokenSortedWriter {
     stamped.write.mode(SaveMode.Append).parquet(s"$path/$DeletesDir")
   }
 
+  /**
+   * Range tombstones (§2.8; reference `EndToEndTests.testRangeTombstoneInt
+   * :682`): per partition key, delete every row whose FIRST clustering key
+   * falls inside `[ck_min, ck_max]` (inclusive; a null bound is unbounded
+   * on that side — at least one bound required, a fully-unbounded range IS
+   * a partition delete and must be written as one). `keys` carries the
+   * partition-key columns plus `ck_min`/`ck_max`; tombstones stamp a
+   * writetime so reinsert-after-delete resolves by time like the point
+   * tombstones. Coexists with partition/row tombstones in one deletes dir.
+   */
+  def writeRangeDeletes(
+      keys: DataFrame,
+      schema: CqlSchema,
+      path: String,
+      writetimeMicros: Option[Long] = None): Unit = {
+    require(schema.clusteringKeys.nonEmpty,
+      "range deletes need a clustering key; use partition deletes otherwise")
+    val sel = keys.select(
+      (schema.partitionKeys.map(qcol) :+
+        qcol("ck_min").as(CkMinCol) :+ qcol("ck_max").as(CkMaxCol)): _*)
+      .filter(col(CkMinCol).isNotNull || col(CkMaxCol).isNotNull)
+      .distinct()
+    val stamped = writetimeMicros
+      .map(t => sel.withColumn(WritetimeCol, lit(t))).getOrElse(sel)
+    stamped.write.mode(SaveMode.Append).parquet(s"$path/$DeletesDir")
+  }
+
   /** Read back a previous [[write]] output with role metadata re-attached. */
   def read(spark: SparkSession, schema: CqlSchema, path: String): DataFrame =
     schema.annotate(spark.read.parquet(path))
@@ -293,8 +325,15 @@ object TokenSortedWriter {
     val delPath = new org.apache.hadoop.fs.Path(path, DeletesDir)
     val fs = delPath.getFileSystem(spark.sessionState.newHadoopConf())
     if (fs.exists(delPath)) {
-      val deletes = spark.read.option("mergeSchema", "true").parquet(delPath.toString)
+      val deletes0 = spark.read.option("mergeSchema", "true").parquet(delPath.toString)
       val pk = schema.partitionKeys
+      // range tombstones are marked by a non-null ck bound; split them off
+      // before the point-tombstone dispatch (mergeSchema gives every row the
+      // union schema, so the other kinds see null bounds)
+      val hasRange = deletes0.columns.contains(CkMinCol) || deletes0.columns.contains(CkMaxCol)
+      val isRange =
+        if (hasRange) col(CkMinCol).isNotNull || col(CkMaxCol).isNotNull else lit(false)
+      val deletes = if (hasRange) deletes0.filter(!isRange) else deletes0
       val ckInDels = schema.clusteringKeys.filter(deletes.columns.contains)
       if (ckInDels.isEmpty) {
         df = applyTombstones(df, deletes, pk)
@@ -302,6 +341,10 @@ object TokenSortedWriter {
         val isRowLevel = ckInDels.map(c => qcol(c).isNotNull).reduce(_ && _)
         df = applyTombstones(df, deletes.filter(!isRowLevel), pk)
         df = applyTombstones(df, deletes.filter(isRowLevel), pk ++ ckInDels)
+      }
+      if (hasRange) {
+        df = applyRangeTombstones(df, deletes0.filter(isRange), pk,
+          schema.clusteringKeys.head)
       }
     }
 
@@ -359,6 +402,28 @@ object TokenSortedWriter {
     // through as a data column; writetime is re-stamped from itself so later
     // appends to dstPath still merge by time correctly.
     write(normalized, schema, dstPath, SaveMode.Append, outConf)
+  }
+
+  /** Range-tombstone purge: drop rows whose pk matches and whose first
+   *  clustering key falls inside the tombstone's [min, max] (null bound =
+   *  unbounded), subject to the same time rule as point tombstones. The
+   *  tombstone side is tiny (one row per deleted range) and broadcasts;
+   *  the equi part of the anti-join hashes on pk, the bounds run as the
+   *  residual condition — no cross product, corpus moves once. */
+  private def applyRangeTombstones(
+      df: DataFrame, dels: DataFrame, pk: Seq[String], ck: String): DataFrame = {
+    val hasWt = dels.columns.contains(WritetimeCol) && df.columns.contains(WritetimeCol)
+    val renamed = dels.select(
+      (pk.map(c => qcol(c).as(s"__rd_$c")) ++ Seq(
+        col(CkMinCol).as("__rd_min"), col(CkMaxCol).as("__rd_max")) ++
+        (if (hasWt) Seq(coalesce(col(WritetimeCol), lit(Long.MaxValue)).as("__rd_wt"))
+         else Nil)): _*)
+    val keyEq = pk.map(c => qcol(c) === col(s"__rd_$c")).reduce(_ && _)
+    val inRange =
+      (col("__rd_min").isNull || qcol(ck) >= col("__rd_min")) &&
+        (col("__rd_max").isNull || qcol(ck) <= col("__rd_max"))
+    val timeRule = if (hasWt) col(WritetimeCol) <= col("__rd_wt") else lit(true)
+    df.join(broadcast(renamed), keyEq && inRange && timeRule, "left_anti")
   }
 
   /** Time-aware tombstone purge on `keys`: a tombstone wins over rows it is

@@ -164,6 +164,51 @@ class NormalizedReadSpec extends SparkSpec {
     assert(out.filter(col("k") === 3L).select("v").head().getString(0) == "reborn")
   }
 
+  test("range tombstones: ck interval deleted, unbounded side, newer reinsert survives") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_rt_spec_").toString + "/t"
+    val sk = CqlSchema("t", Seq("pk"), Seq("ck"))
+    val base = (for (p <- 1L to 4L; c <- 1L to 100L) yield (p, c, p * 1000 + c))
+      .toDF("pk", "ck", "v")
+    TokenSortedWriter.write(base, sk, dir, SaveMode.Append,
+      TokenSortedWriter.WriteConf(numPartitions = 2, keepTokenColumn = true,
+        writetimeMicros = Some(1000L)))
+    // pk=1: delete ck in [10, 50]; pk=2: delete ck >= 80 (max unbounded)
+    TokenSortedWriter.writeRangeDeletes(
+      Seq((1L, Some(10L), Some(50L)), (2L, Some(80L), None))
+        .toDF("pk", "ck_min", "ck_max"),
+      sk, dir, writetimeMicros = Some(2000L))
+    // reinsert a deleted slice of pk=1 NEWER than the tombstone
+    TokenSortedWriter.write(
+      base.filter(col("pk") === 1L && col("ck").between(20L, 30L))
+        .withColumn("v", col("v") + 9000L),
+      sk, dir, SaveMode.Append,
+      TokenSortedWriter.WriteConf(numPartitions = 1, keepTokenColumn = true,
+        writetimeMicros = Some(3000L)))
+    val got = TokenSortedWriter.readNormalized(spark, sk, dir)
+      .select("pk", "ck", "v").as[(Long, Long, Long)].collect().toSet
+    val expected = (for (p <- 1L to 4L; c <- 1L to 100L) yield (p, c)).flatMap {
+      case (1L, c) if c >= 20 && c <= 30 => Some((1L, c, 1000 + c + 9000L))
+      case (1L, c) if c >= 10 && c <= 50 => None
+      case (2L, c) if c >= 80 => None
+      case (p, c) => Some((p, c, p * 1000 + c))
+    }.toSet
+    assert(got == expected)
+    // a fully-unbounded range is a partition delete, not a range delete
+    val e = intercept[IllegalArgumentException] {
+      TokenSortedWriter.writeRangeDeletes(
+        Seq((1L, Option.empty[Long], Option.empty[Long])).toDF("pk", "ck_min", "ck_max"),
+        CqlSchema("t", Seq("pk")), dir)
+    }
+    assert(e.getMessage.contains("clustering"))
+    // rows with both bounds null are dropped silently when a ck schema exists
+    TokenSortedWriter.writeRangeDeletes(
+      Seq((3L, Option.empty[Long], Option.empty[Long])).toDF("pk", "ck_min", "ck_max"),
+      sk, dir, writetimeMicros = Some(5000L))
+    assert(TokenSortedWriter.readNormalized(spark, sk, dir)
+      .filter(col("pk") === 3L).count() == 100L)
+  }
+
   test("TTL rows expire against a pinned now; null TTL never expires") {
     import spark.implicits._
     val dir = freshDir()
