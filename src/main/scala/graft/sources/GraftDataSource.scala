@@ -160,43 +160,43 @@ object GraftDataSource {
     }
   }
 
+  /** One parser for the `cqlTypes` option (`"col:type,col:type"`) — both
+   *  validators consume this so read and write can never disagree about a
+   *  declaration's shape. */
+  private def parseCqlTypes(options: CaseInsensitiveStringMap): Seq[(String, String)] =
+    Option(options.get("cqlTypes")).getOrElse("")
+      .split(",").map(_.trim).filter(_.nonEmpty).toSeq.map { e =>
+        e.split(":", 2) match {
+          case Array(c0, t0) => (c0.trim, t0.trim.toLowerCase)
+          case _ => (e, "")
+        }
+      }
+
   /** Reject CQL types the read path cannot faithfully represent, exactly
    *  like the reference: counter tables throw on read (reference:
    *  cassandra-analytics-core `AbstractStreamScanner.java:84-91` "Reading
    *  counter tables is not supported"), and duration has no Spark SQL
    *  representation (`SparkSqlTypeConverter` has no duration mapping).
-   *  Declared via the `cqlTypes` option: `"col:type,col:type"` — types other
-   *  than counter/duration (uuid, timeuuid, inet, varint, …) are accepted
-   *  and documented by their Spark surface (string / binary / decimal). */
+   *  Types other than counter/duration (uuid, timeuuid, inet, varint, …)
+   *  are accepted and documented by their Spark surface. */
   def validateReadTypes(options: CaseInsensitiveStringMap): Unit =
-    Option(options.get("cqlTypes")).getOrElse("")
-      .split(",").map(_.trim).filter(_.nonEmpty).foreach { e =>
-        val (c, t) = e.split(":", 2) match {
-          case Array(c0, t0) => (c0.trim, t0.trim.toLowerCase)
-          case _ => (e, "")
-        }
-        t match {
-          case "counter" => throw new UnsupportedOperationException(
-            s"Reading counter column '$c' is not supported (counter tables cannot be read)")
-          case "duration" => throw new UnsupportedOperationException(
-            s"Reading duration column '$c' is not supported (no Spark SQL representation)")
-          case _ => ()
-        }
-      }
+    parseCqlTypes(options).foreach {
+      case (c, "counter") => throw new UnsupportedOperationException(
+        s"Reading counter column '$c' is not supported (counter tables cannot be read)")
+      case (c, "duration") => throw new UnsupportedOperationException(
+        s"Reading duration column '$c' is not supported (no Spark SQL representation)")
+      case _ => ()
+    }
 
   /** Write-side twin of [[validateReadTypes]]: counter tables cannot be
    *  bulk-written either (counters mutate by delta; a bulk-loaded file
    *  cannot carry one — the reference's writer has no counter path). */
   def validateWriteTypes(options: CaseInsensitiveStringMap): Unit =
-    Option(options.get("cqlTypes")).getOrElse("")
-      .split(",").map(_.trim).filter(_.nonEmpty).foreach { e =>
-        e.split(":", 2) match {
-          case Array(c, t) if t.trim.equalsIgnoreCase("counter") =>
-            throw new UnsupportedOperationException(
-              s"Writing counter column '${c.trim}' is not supported (bulk writes cannot carry counter deltas)")
-          case _ => ()
-        }
-      }
+    parseCqlTypes(options).foreach {
+      case (c, "counter") => throw new UnsupportedOperationException(
+        s"Writing counter column '$c' is not supported (bulk writes cannot carry counter deltas)")
+      case _ => ()
+    }
 
   /** [[CqlSchema.annotate]] for a bare StructType (no DataFrame). */
   def annotateStruct(cql: CqlSchema, schema: StructType): StructType =
@@ -233,7 +233,10 @@ class GraftTable(
 
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
-      : org.apache.spark.sql.connector.write.WriteBuilder =
+      : org.apache.spark.sql.connector.write.WriteBuilder = {
+    // the DSv2 write path (INSERT INTO / writeTo) must reject counters the
+    // same way the V1 createRelation path does
+    GraftDataSource.validateWriteTypes(tableOptions)
     new org.apache.spark.sql.connector.write.WriteBuilder {
       override def build(): org.apache.spark.sql.connector.write.V1Write =
         new org.apache.spark.sql.connector.write.V1Write {
@@ -252,6 +255,7 @@ class GraftTable(
             }
         }
     }
+  }
 }
 
 /**
@@ -775,22 +779,26 @@ object TokenPruner {
       // (externally-written file) surfaces in Spark as the next wider type,
       // so its signed footer stats would misrepresent the range and could
       // wrongly prune a matching file.
-      def identityIntegral(c: org.apache.parquet.column.ColumnDescriptor): Boolean =
-        c.getPrimitiveType.getLogicalTypeAnnotation match {
-          case null => true
-          case i: org.apache.parquet.schema.LogicalTypeAnnotation.IntLogicalTypeAnnotation =>
-            i.isSigned
-          case _: org.apache.parquet.schema.LogicalTypeAnnotation.DateLogicalTypeAnnotation =>
-            true // day counts compare as their stored ints; filters push Date values (kept)
-          case _ => false // timestamps/decimal/time/unsigned/etc: stats not comparable as-is
-        }
+      // resolved ONCE per file (this runs on the driver for every file the
+      // manifest doesn't cover — per-chunk descriptor lookups would be
+      // O(blocks × cols²))
+      val identityIntegralCols: Set[String] =
+        reader.getFileMetaData.getSchema.getColumns.asScala.filter { c =>
+          c.getPrimitiveType.getLogicalTypeAnnotation match {
+            case null => true
+            case i: org.apache.parquet.schema.LogicalTypeAnnotation.IntLogicalTypeAnnotation =>
+              i.isSigned
+            case _: org.apache.parquet.schema.LogicalTypeAnnotation.DateLogicalTypeAnnotation =>
+              true // day counts compare as their stored ints; filters push Date values (kept)
+            case _ => false // timestamps/decimal/time/unsigned: stats not comparable as-is
+          }
+        }.map(_.getPath.mkString(".")).toSet
       val longRanges: Map[String, (Long, Long)] = {
         val perCol = blocks.flatMap { b =>
           b.getColumns.asScala.flatMap { c =>
             val st = c.getStatistics
             if (st == null || !st.hasNonNullValue ||
-                !identityIntegral(reader.getFileMetaData.getSchema
-                  .getColumnDescription(c.getPath.toArray))) None
+                !identityIntegralCols.contains(c.getPath.toDotString)) None
             else (st.genericGetMin, st.genericGetMax) match {
               case (mn: java.lang.Long, mx: java.lang.Long) =>
                 Some(c.getPath.toDotString -> (mn.longValue(), mx.longValue()))

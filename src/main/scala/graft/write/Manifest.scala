@@ -142,10 +142,14 @@ object Manifest {
       def range(a: String, b: String): Option[(Long, Long)] =
         if (a == "-" || b == "-") None else Some((a.toLong, b.toLong))
       val tokenRange = range(parts(5), parts(6))
+      // escaping arrived with the 11-column format; older manifests wrote
+      // raw names, so unescaping them could corrupt a literal '%xx' sequence
+      val unesc: String => String =
+        if (parts.length >= 11) unescapeCol else identity
       val ranges = parts(7).split(";").filter(_.nonEmpty).flatMap { kv =>
         kv.split("=", 2) match {
           case Array(c, r) => r.split(":", 2) match {
-            case Array(mn, mx) => Some(unescapeCol(c) -> (mn.toLong, mx.toLong))
+            case Array(mn, mx) => Some(unesc(c) -> (mn.toLong, mx.toLong))
             case _ => None
           }
           case _ => None

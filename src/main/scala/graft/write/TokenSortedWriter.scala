@@ -254,8 +254,14 @@ object TokenSortedWriter {
     val sel = keys.select(
       (schema.partitionKeys.map(qcol) :+
         qcol("ck_min").as(CkMinCol) :+ qcol("ck_max").as(CkMaxCol)): _*)
-      .filter(col(CkMinCol).isNotNull || col(CkMaxCol).isNotNull)
       .distinct()
+    // a both-null range is an intended FULL-partition delete — silently
+    // dropping it would retain data the caller asked to remove; fail loudly
+    // and point at the right API
+    val unbounded = sel.filter(col(CkMinCol).isNull && col(CkMaxCol).isNull).count()
+    require(unbounded == 0,
+      s"$unbounded range-delete row(s) have null ck_min AND null ck_max: a fully-" +
+        "unbounded range is a partition delete — use writeDeletes for those keys")
     val stamped = writetimeMicros
       .map(t => sel.withColumn(WritetimeCol, lit(t))).getOrElse(sel)
     stamped.write.mode(SaveMode.Append).parquet(s"$path/$DeletesDir")
@@ -422,7 +428,12 @@ object TokenSortedWriter {
     val inRange =
       (col("__rd_min").isNull || qcol(ck) >= col("__rd_min")) &&
         (col("__rd_max").isNull || qcol(ck) <= col("__rd_max"))
-    val timeRule = if (hasWt) col(WritetimeCol) <= col("__rd_wt") else lit(true)
+    // a row with NULL writetime (unstamped generation) must die like it does
+    // under point tombstones — coalesce, or the NULL comparison would make
+    // it immune to stamped range deletes
+    val timeRule =
+      if (hasWt) coalesce(col(WritetimeCol), lit(Long.MinValue)) <= col("__rd_wt")
+      else lit(true)
     df.join(broadcast(renamed), keyEq && inRange && timeRule, "left_anti")
   }
 

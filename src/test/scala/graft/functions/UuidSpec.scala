@@ -83,5 +83,18 @@ class UuidSpec extends SparkSpec {
         .mode(org.apache.spark.sql.SaveMode.Append).save()
     }
     assert(e.getMessage.contains("counter"))
+    // the DSv2 write path (SQL INSERT INTO) must reject too, not just the
+    // V1 createRelation path
+    spark.sql("DROP TABLE IF EXISTS graft_counter_t")
+    spark.sql(s"CREATE TABLE graft_counter_t USING graft OPTIONS " +
+      s"(path '$out', pk 'id', cqlTypes 'cnt:counter')")
+    try {
+      val e2 = intercept[Exception] {
+        spark.sql("INSERT INTO graft_counter_t VALUES (2, 7)")
+      }
+      def rootChain(t: Throwable): Seq[String] =
+        if (t == null) Nil else t.getMessage +: rootChain(t.getCause)
+      assert(rootChain(e2).exists(m => m != null && m.contains("counter")), s"got $e2")
+    } finally spark.sql("DROP TABLE IF EXISTS graft_counter_t")
   }
 }

@@ -201,12 +201,39 @@ class NormalizedReadSpec extends SparkSpec {
         CqlSchema("t", Seq("pk")), dir)
     }
     assert(e.getMessage.contains("clustering"))
-    // rows with both bounds null are dropped silently when a ck schema exists
-    TokenSortedWriter.writeRangeDeletes(
-      Seq((3L, Option.empty[Long], Option.empty[Long])).toDF("pk", "ck_min", "ck_max"),
-      sk, dir, writetimeMicros = Some(5000L))
+    // rows with both bounds null are an intended FULL-partition delete:
+    // refuse loudly (silent retention of asked-to-delete data is the worst
+    // failure mode) and point at writeDeletes
+    val e2 = intercept[IllegalArgumentException] {
+      TokenSortedWriter.writeRangeDeletes(
+        Seq((3L, Option.empty[Long], Option.empty[Long])).toDF("pk", "ck_min", "ck_max"),
+        sk, dir, writetimeMicros = Some(5000L))
+    }
+    assert(e2.getMessage.contains("partition delete"))
     assert(TokenSortedWriter.readNormalized(spark, sk, dir)
       .filter(col("pk") === 3L).count() == 100L)
+  }
+
+  test("range tombstones delete rows from UNSTAMPED generations too") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_rt_null_").toString + "/t"
+    val sk = CqlSchema("t", Seq("pk"), Seq("ck"))
+    // generation WITHOUT writetime: rows carry null _graft_writetime after
+    // a later stamped generation introduces the column via mergeSchema
+    TokenSortedWriter.write(
+      (1L to 50L).map(c => (1L, c, c)).toDF("pk", "ck", "v"), sk, dir, SaveMode.Append,
+      TokenSortedWriter.WriteConf(numPartitions = 1, keepTokenColumn = true))
+    TokenSortedWriter.write(
+      Seq((2L, 1L, 99L)).toDF("pk", "ck", "v"), sk, dir, SaveMode.Append,
+      TokenSortedWriter.WriteConf(numPartitions = 1, keepTokenColumn = true,
+        writetimeMicros = Some(1000L)))
+    TokenSortedWriter.writeRangeDeletes(
+      Seq((1L, Some(10L), Some(20L))).toDF("pk", "ck_min", "ck_max"),
+      sk, dir, writetimeMicros = Some(2000L))
+    val got = TokenSortedWriter.readNormalized(spark, sk, dir)
+      .filter(col("pk") === 1L).select("ck").as[Long].collect().toSet
+    // null-writetime rows must die like point-tombstoned rows would
+    assert(got == ((1L to 9L) ++ (21L to 50L)).toSet)
   }
 
   test("TTL rows expire against a pinned now; null TTL never expires") {
