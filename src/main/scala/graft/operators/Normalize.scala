@@ -39,6 +39,17 @@ import org.apache.spark.sql.functions._
  */
 object Normalize {
 
+  /** Can Spark ORDER on this type? Maps are unorderable (and arrays/structs
+   *  are only as orderable as their elements) — columns failing this must
+   *  stay out of version-ordering tuples or `max_by`/`orderBy` throw at
+   *  analysis time. */
+  def orderable(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+    case org.apache.spark.sql.types.MapType(_, _, _) => false
+    case org.apache.spark.sql.types.ArrayType(et, _) => orderable(et)
+    case org.apache.spark.sql.types.StructType(fields) => fields.forall(f => orderable(f.dataType))
+    case _ => true
+  }
+
   /**
    * Keep only the latest version of each primary key, ordering versions by
    * `orderCols` (descending; first column is the write-timestamp analog,
@@ -130,8 +141,14 @@ object Normalize {
       staticCols: Seq[String],
       writetime: String): DataFrame =
     staticCols.foldLeft(df) { (d, c) =>
+      // the equal-writetime value tie-break only applies to orderable types;
+      // an unorderable static (map) resolves by writetime alone
+      val canOrderValue = d.schema.fields.find(_.name == c).forall(f => orderable(f.dataType))
+      val ord =
+        if (canOrderValue) Seq(qcol(writetime).asc, qcol(c).asc_nulls_first)
+        else Seq(qcol(writetime).asc)
       val w = Window.partitionBy(partitionKeys.map(qcol): _*)
-        .orderBy(qcol(writetime).asc, qcol(c).asc_nulls_first)
+        .orderBy(ord: _*)
         .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
       d.withColumn(c, last(qcol(c), ignoreNulls = true).over(w))
     }

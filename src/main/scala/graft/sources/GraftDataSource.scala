@@ -95,9 +95,13 @@ class GraftDataSource extends TableProvider with DataSourceRegister
       // `graft_p_*` are directory-key TWINS of real data columns (see
       // WriteConf.partitionBy) — partition inference surfaces them here, but
       // the data column itself lives in every file; the table schema is the
-      // file schema
+      // file schema. Only strip a graft_p_X whose data column X actually
+      // exists (the twin invariant) — a user column that merely happens to
+      // carry the prefix must stay visible.
+      val names = full.fields.map(_.name).toSet
+      val prefix = TokenSortedWriter.partCol("")
       StructType(full.fields.filterNot(f => f.name == TokenSortedWriter.TokenCol
-        || f.name.startsWith(TokenSortedWriter.partCol(""))))
+        || (f.name.startsWith(prefix) && names.contains(f.name.substring(prefix.length)))))
     } catch {
       case _: org.apache.spark.sql.AnalysisException => new StructType()
     }
@@ -278,7 +282,7 @@ class GraftScanBuilder(
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = annotated
   private var limit: Option[Int] = None
-  private var statsOps: Option[Seq[GraftStatsScan.Op]] = None
+  private var statsOps: Option[(Seq[GraftStatsScan.Op], Array[TokenPruner.FileMeta])] = None
 
   /** Unfiltered, ungrouped COUNT(*)/MIN/MAX answer from planning metadata
    *  alone (manifest/footer row counts and column ranges) — zero data
@@ -289,7 +293,7 @@ class GraftScanBuilder(
    *  file or a missing-stats file disqualifies the column). */
   private def statsPlan(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
-      : Option[Seq[GraftStatsScan.Op]] = {
+      : Option[(Seq[GraftStatsScan.Op], Array[TokenPruner.FileMeta])] = {
     import org.apache.spark.sql.connector.expressions.NamedReference
     import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
     if (agg.groupByExpressions.nonEmpty || pushed.nonEmpty || limit.nonEmpty) return None
@@ -298,7 +302,10 @@ class GraftScanBuilder(
         case nr: NamedReference if nr.fieldNames.length == 1 => Some(nr.fieldNames()(0))
         case _ => None
       }
-    lazy val files = TokenPruner.listFiles(SparkSession.active, dir)
+    // the SAME snapshot is validated against AND captured into the scan: a
+    // file appended between planning and execution can neither crash the
+    // stats lookup nor silently shift the answer off the validated set
+    val files = TokenPruner.listFiles(SparkSession.active, dir)
     def eligible(n: String): Boolean = {
       val ok = annotated.fields.find(_.name == n).map(_.dataType).exists {
         case org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType |
@@ -316,7 +323,7 @@ class GraftScanBuilder(
         .map(n => GraftStatsScan.MaxOp(n, annotated(n).dataType))
       case _ => None
     }
-    if (ops.nonEmpty && ops.forall(_.isDefined)) Some(ops.flatten) else None
+    if (ops.nonEmpty && ops.forall(_.isDefined)) Some((ops.flatten, files)) else None
   }
 
   override def supportCompletePushDown(
@@ -353,7 +360,7 @@ class GraftScanBuilder(
 
   override def build(): Scan =
     statsOps match {
-      case Some(ops) => new GraftStatsScan(dir, ops)
+      case Some((ops, files)) => new GraftStatsScan(dir, ops, files)
       case None => new GraftScan(dir, annotated, required, pushed, cql, clustered, limit)
     }
 }
@@ -363,7 +370,10 @@ class GraftScanBuilder(
  *  ungrouped, unlimited aggregates over fully-stat-covered columns reach
  *  here, where file row counts and column ranges ARE the answer. Parquet
  *  min/max statistics ignore nulls, exactly like SQL MIN/MAX.) */
-class GraftStatsScan(dir: String, ops: Seq[GraftStatsScan.Op]) extends Scan with Batch {
+class GraftStatsScan(
+    dir: String,
+    ops: Seq[GraftStatsScan.Op],
+    files: Array[TokenPruner.FileMeta]) extends Scan with Batch {
 
   override def readSchema(): StructType = StructType(ops.map {
     case GraftStatsScan.CountOp => org.apache.spark.sql.types.StructField(
@@ -378,7 +388,6 @@ class GraftStatsScan(dir: String, ops: Seq[GraftStatsScan.Op]) extends Scan with
     s"GraftStatsScan dir=$dir ops=${ops.mkString(",")} (metadata-only aggregate)"
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val files = TokenPruner.listFiles(SparkSession.active, dir)
     def internal(v: Long, dt: org.apache.spark.sql.types.DataType): Any = dt match {
       case org.apache.spark.sql.types.LongType => v
       case org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.DateType => v.toInt

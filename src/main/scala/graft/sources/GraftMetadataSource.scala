@@ -124,7 +124,10 @@ private[sources] object FooterReaderFactory {
         val tokenStats = b.getColumns.asScala
           .find(_.getPath.toDotString == graft.write.TokenSortedWriter.TokenCol)
           .map(_.getStatistics)
-          .filter(s => s != null && s.hasNonNullValue)
+          // random-ring layouts carry BINARY tokens: emit null min/max
+          // rather than casting parquet Binary stats to Long
+          .filter(s => s != null && s.hasNonNullValue &&
+            s.genericGetMin.isInstanceOf[java.lang.Long])
         val vals = new Array[Any](8)
         vals(0) = UTF8String.fromString(path)
         vals(1) = i

@@ -15,13 +15,18 @@ import org.apache.spark.sql.types.StructType
  *
  * The reference advertises `MICRO_BATCH_READ` but ships no stream
  * (`CassandraTable.java:59-62` — capability constant only, SURVEY §1.1);
- * this makes the capability real on the Spark side, with the semantics of
- * Spark's own `FileStreamSource`: files ordered by (modificationTime, path),
- * an offset = a count into that order, late clock-skewed arrivals surface in
- * the next batch. Per-batch file lists come from the manifest-accelerated
- * [[TokenPruner.listFiles]] (O(1) driver IO), pushed pk filters prune files
- * per batch exactly like the batch scan, and decode is the same vectorized
- * parquet path — one planning/decode stack for batch and stream.
+ * this makes the capability real on the Spark side. An offset is the SET of
+ * file paths already delivered (the seen-files-log approach of Spark's own
+ * `FileStreamSource`): a batch reads exactly `end.files -- start.files`, so
+ * visibility races — commit-time renames surfacing files with EARLIER
+ * mtimes than ones already read — can neither re-deliver nor skip a file
+ * (a count-into-sorted-order offset breaks on exactly that). Offset size is
+ * O(#files); a production variant would checkpoint a manifest-generation
+ * watermark instead. Per-batch file lists come from the
+ * manifest-accelerated [[TokenPruner.listFiles]] (O(1) driver IO), pushed
+ * pk filters prune files per batch exactly like the batch scan, and decode
+ * is the same vectorized parquet path — one planning/decode stack for
+ * batch and stream.
  */
 class GraftMicroBatchStream(
     spark: SparkSession,
@@ -31,34 +36,36 @@ class GraftMicroBatchStream(
     pushed: Array[Filter],
     cql: CqlSchema) extends MicroBatchStream {
 
-  private case class FileOffset(count: Long) extends Offset {
-    override def json(): String = s"""{"count":$count}"""
+  private case class FileOffset(files: Set[String]) extends Offset {
+    // URL-encoding keeps arbitrary path bytes JSON-safe without a parser dep
+    override def json(): String = files.toSeq.sorted
+      .map(p => "\"" + java.net.URLEncoder.encode(p, "UTF-8") + "\"")
+      .mkString("""{"files":[""", ",", "]}")
   }
 
-  /** Stable arrival order: (modTime, path); append-only ⇒ a prefix once
-   *  reported never changes. */
-  private def orderedFiles(): Array[TokenPruner.FileMeta] = {
-    val conf = spark.sessionState.newHadoopConf()
-    val p = new org.apache.hadoop.fs.Path(dir)
-    val fs = p.getFileSystem(conf)
-    val statuses = TokenPruner.listDataFiles(fs, p)
-      .sortBy(s => (s.getModificationTime, s.getPath.toString))
-    val metas = TokenPruner.listFiles(spark, dir).map(m => m.path -> m).toMap
-    statuses.map(s => metas(s.getPath.toString))
-  }
+  private def listedFiles(): Map[String, TokenPruner.FileMeta] =
+    TokenPruner.listFiles(spark, dir).map(m => m.path -> m).toMap
 
-  override def initialOffset(): Offset = FileOffset(0L)
-  override def latestOffset(): Offset = FileOffset(orderedFiles().length.toLong)
+  override def initialOffset(): Offset = FileOffset(Set.empty)
+  override def latestOffset(): Offset = FileOffset(listedFiles().keySet)
   override def deserializeOffset(json: String): Offset = {
-    val m = """"count"\s*:\s*(\d+)""".r.findFirstMatchIn(json)
-      .getOrElse(throw new IllegalArgumentException(s"bad graft stream offset: $json"))
-    FileOffset(m.group(1).toLong)
+    val open = json.indexOf('[')
+    val close = json.lastIndexOf(']')
+    require(json.contains("\"files\"") && open >= 0 && close > open,
+      s"bad graft stream offset: $json")
+    val files = """"([^"]*)"""".r
+      .findAllMatchIn(json.substring(open + 1, close))
+      .map(m => java.net.URLDecoder.decode(m.group(1), "UTF-8")).toSet
+    FileOffset(files)
   }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val from = start.asInstanceOf[FileOffset].count.toInt
-    val to = end.asInstanceOf[FileOffset].count.toInt
-    val batchFiles = orderedFiles().slice(from, to)
+    val seen = start.asInstanceOf[FileOffset].files
+    val target = end.asInstanceOf[FileOffset].files
+    val metas = listedFiles()
+    // append-only contract: files in `end` still exist; tolerate a vanished
+    // path (external cleanup) rather than failing the whole stream
+    val batchFiles = (target -- seen).toArray.sorted.flatMap(metas.get)
     val pruned = TokenPruner.prune(spark, batchFiles, pushed, cql)
     if (pruned.isEmpty) Array.empty
     else ParquetScanBridge.parquetBatch(

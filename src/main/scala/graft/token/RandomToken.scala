@@ -29,8 +29,17 @@ object RandomToken {
   /** `abs` of a signed 128-bit value can reach 2^127 itself. */
   val RingMax: BigInt = BigInt(1) << 127
 
-  def token(keyBytes: Array[Byte]): BigInteger =
-    new BigInteger(MessageDigest.getInstance("MD5").digest(keyBytes)).abs()
+  // per-row hot path of a random-ring bulk write: cache the digest per
+  // thread (Cassandra does the same, FBUtilities.threadLocalMD5Digest)
+  // instead of a JCA provider lookup + allocation per row
+  private val md5 = ThreadLocal.withInitial[MessageDigest](
+    () => MessageDigest.getInstance("MD5"))
+
+  def token(keyBytes: Array[Byte]): BigInteger = {
+    val d = md5.get()
+    d.reset()
+    new BigInteger(d.digest(keyBytes)).abs()
+  }
 
   def tokenOf(components: Seq[Any]): BigInteger =
     token(Murmur3Token.serializeKey(components))

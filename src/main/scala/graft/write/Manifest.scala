@@ -45,8 +45,10 @@ object Manifest {
       tableDir: String,
       ringSplits: Option[Int] = None): Unit = {
     val conf = spark.sessionState.newHadoopConf()
-    val root = new Path(tableDir)
-    val fs = root.getFileSystem(conf)
+    val fs = new Path(tableDir).getFileSystem(conf)
+    // qualify so relativize matches the scheme-qualified listing paths —
+    // manifests then store RELATIVE paths and survive a table move/rename
+    val root = fs.makeQualified(new Path(tableDir))
     val known = read(fs, root).keySet
     val fresh = TokenPruner.listDataFiles(fs, root)
       .filterNot(f => known.contains(f.getPath.toString))
@@ -83,7 +85,8 @@ object Manifest {
   /** All manifest entries for a table dir, keyed by absolute file path.
    *  Entries for files that no longer exist are ignored by the caller
    *  (listing drives; the manifest only supplies stats). */
-  def read(fs: FileSystem, tableDir: Path): Map[String, FileMeta] = {
+  def read(fs: FileSystem, tableDir0: Path): Map[String, FileMeta] = {
+    val tableDir = fs.makeQualified(tableDir0)
     val dir = new Path(tableDir, Dir)
     if (!fs.exists(dir)) return Map.empty
     val acc = mutable.Map.empty[String, FileMeta]
@@ -159,7 +162,10 @@ object Manifest {
       val digest = if (parts.length >= 11 && parts(10) != "-") Some(parts(10).toLong) else None
       Some(FileMeta(new Path(root, parts(0)).toString, parts(1).toLong, parts(2).toLong,
         parts(3).toLong, parts(4).toBoolean, tokenRange, ranges, ring, digest))
-    } catch { case _: NumberFormatException => None }
+      // the manifest is a CACHE: any malformed line (bit rot, partial write,
+      // manual edit) is dropped so the file falls back to a footer read —
+      // a corrupt manifest must never fail the scan
+    } catch { case scala.util.control.NonFatal(_) => None }
   }
 
   // ---- content digests (W-digest parity: SortedSSTableWriter digests) ----

@@ -251,20 +251,26 @@ object TokenSortedWriter {
       writetimeMicros: Option[Long] = None): Unit = {
     require(schema.clusteringKeys.nonEmpty,
       "range deletes need a clustering key; use partition deletes otherwise")
+    // persisted so the validation count and the write see the SAME rows —
+    // a nondeterministic `keys` source re-evaluated between the two could
+    // otherwise sneak an unbounded row past the check
     val sel = keys.select(
       (schema.partitionKeys.map(qcol) :+
         qcol("ck_min").as(CkMinCol) :+ qcol("ck_max").as(CkMaxCol)): _*)
       .distinct()
-    // a both-null range is an intended FULL-partition delete — silently
-    // dropping it would retain data the caller asked to remove; fail loudly
-    // and point at the right API
-    val unbounded = sel.filter(col(CkMinCol).isNull && col(CkMaxCol).isNull).count()
-    require(unbounded == 0,
-      s"$unbounded range-delete row(s) have null ck_min AND null ck_max: a fully-" +
-        "unbounded range is a partition delete — use writeDeletes for those keys")
-    val stamped = writetimeMicros
-      .map(t => sel.withColumn(WritetimeCol, lit(t))).getOrElse(sel)
-    stamped.write.mode(SaveMode.Append).parquet(s"$path/$DeletesDir")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // a both-null range is an intended FULL-partition delete — silently
+      // dropping it would retain data the caller asked to remove; fail
+      // loudly and point at the right API
+      val unbounded = sel.filter(col(CkMinCol).isNull && col(CkMaxCol).isNull).count()
+      require(unbounded == 0,
+        s"$unbounded range-delete row(s) have null ck_min AND null ck_max: a fully-" +
+          "unbounded range is a partition delete — use writeDeletes for those keys")
+      val stamped = writetimeMicros
+        .map(t => sel.withColumn(WritetimeCol, lit(t))).getOrElse(sel)
+      stamped.write.mode(SaveMode.Append).parquet(s"$path/$DeletesDir")
+    } finally sel.unpersist()
   }
 
   /** Read back a previous [[write]] output with role metadata re-attached. */
@@ -316,11 +322,17 @@ object TokenSortedWriter {
         df, schema.partitionKeys, statics, WritetimeCol)
     }
 
-    // 1. LWW: writetime first, then every non-key column as a deterministic
-    // total tie-break (equal-writetime appends resolve identically everywhere)
+    // 1. LWW: writetime first, then every ORDERABLE non-key column as a
+    // deterministic tie-break (equal-writetime appends resolve identically
+    // everywhere; map columns are unorderable in Spark and must stay out of
+    // the max_by ordering tuple — a table whose only value columns are maps
+    // resolves equal-writetime versions arbitrarily, like Cassandra's own
+    // cell-timestamp ties)
     if (df.columns.contains(WritetimeCol)) {
+      val fieldTypes = df.schema.fields.map(f => f.name -> f.dataType).toMap
       val tiebreaks = df.columns.toSeq
         .filterNot(c => schema.primaryKey.contains(c) || c == WritetimeCol)
+        .filter(c => fieldTypes.get(c).forall(graft.operators.Normalize.orderable))
       df = graft.operators.Normalize.latestWriteWinsAgg(
         df, schema.primaryKey, WritetimeCol +: tiebreaks)
     }
@@ -401,7 +413,12 @@ object TokenSortedWriter {
     }
     val normalized = readNormalized(spark, schema, srcPath, keepFeatureColumns = true)
     val carryWt = normalized.columns.contains(WritetimeCol)
+    // keepTokenColumn is FORCED: restoring the clustered/no-shuffle and
+    // token-pruning properties is the point of compaction, and both need
+    // per-file token stats — a default-conf compact must not silently write
+    // a layout that can never satisfy them
     val outConf = conf.copy(
+      keepTokenColumn = true,
       writetimeColumn = if (carryWt) Some(WritetimeCol) else conf.writetimeColumn,
       writetimeMicros = None, ttlColumn = None, ttlSeconds = None)
     // ExpiresCol (if present) is already resolved absolute expiry — it flows

@@ -214,6 +214,29 @@ class NormalizedReadSpec extends SparkSpec {
       .filter(col("pk") === 3L).count() == 100L)
   }
 
+  test("LWW over a table with a MAP column does not try to order on the map") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_map_lww_").toString + "/t"
+    val sk = CqlSchema("t", Seq("k"))
+    val v1 = Seq((1L, Map("a" -> 1L), "x"), (2L, Map("b" -> 2L), "y"))
+      .toDF("k", "attrs", "tag")
+    TokenSortedWriter.write(v1, sk, dir, SaveMode.Append,
+      TokenSortedWriter.WriteConf(numPartitions = 1, keepTokenColumn = true,
+        writetimeMicros = Some(1000L)))
+    TokenSortedWriter.write(
+      Seq((1L, Map("a" -> 9L), "x2")).toDF("k", "attrs", "tag"),
+      sk, dir, SaveMode.Append,
+      TokenSortedWriter.WriteConf(numPartitions = 1, keepTokenColumn = true,
+        writetimeMicros = Some(2000L)))
+    // maps are unorderable in Spark: the LWW tie-break must skip them (and
+    // this read must not throw an AnalysisException)
+    val got = TokenSortedWriter.readNormalized(spark, sk, dir)
+      .select("k", "attrs", "tag").as[(Long, Map[String, Long], String)]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(1L) == ((Map("a" -> 9L), "x2")))
+    assert(got(2L) == ((Map("b" -> 2L), "y")))
+  }
+
   test("range tombstones delete rows from UNSTAMPED generations too") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_rt_null_").toString + "/t"
