@@ -66,13 +66,19 @@ object Colocated {
 
     val zipped = left.rdd.zipPartitions(right.rdd) { (lit, rit) =>
       // build the right side of THIS token range (one file) and probe left
+      // Array[Byte] keys compare by REFERENCE under Seq equality — wrap
+      // binary components so blob partition keys actually match
+      def hashableKey(idx: Seq[Int], r: Row): Seq[Any] = idx.map(r.get(_) match {
+        case b: Array[Byte] => b.toSeq
+        case x => x
+      })
       val build = new scala.collection.mutable.HashMap[Seq[Any], List[Row]]()
       rit.foreach { r =>
-        val k = rKeyIdx.map(r.get)
+        val k = hashableKey(rKeyIdx, r)
         build(k) = r :: build.getOrElse(k, Nil)
       }
       lit.flatMap { l =>
-        val k = lKeyIdx.map(l.get)
+        val k = hashableKey(lKeyIdx, l)
         build.getOrElse(k, Nil).reverseIterator.map { r =>
           Row.fromSeq(l.toSeq ++ rKeep.map(r.get))
         }

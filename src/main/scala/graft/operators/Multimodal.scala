@@ -122,10 +122,15 @@ object Multimodal {
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
     df.mapPartitions { rows =>
       rows.map { r =>
-        val f = decoder.decode(r.getAs[Array[Byte]](idx))
-        // Seq[Any] — a bare Seq(int, int, int, double) would widen the ints
-        // to Double and break the encoder's INT fields
-        Row.fromSeq(r.toSeq ++ Seq[Any](f.width, f.height, f.channels, f.meanLuma))
+        val bytes = r.getAs[Array[Byte]](idx)
+        // null blobs are data, not exceptions: null features ride along
+        if (bytes == null) Row.fromSeq(r.toSeq ++ Seq[Any](null, null, null, null))
+        else {
+          val f = decoder.decode(bytes)
+          // Seq[Any] — a bare Seq(int, int, int, double) would widen the ints
+          // to Double and break the encoder's INT fields
+          Row.fromSeq(r.toSeq ++ Seq[Any](f.width, f.height, f.channels, f.meanLuma))
+        }
       }
     }(enc)
   }

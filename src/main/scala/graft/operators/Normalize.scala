@@ -113,7 +113,9 @@ object Normalize {
    * holding each row's expiration timestamp.
    */
   def ttlFilter(df: DataFrame, expiry: Column, now: Column): DataFrame =
-    df.filter(expiry >= now)
+    // null expiry = no TTL = never expires (CQL semantics); a bare
+    // `expiry >= now` would null-filter every non-TTL row away
+    df.filter(expiry.isNull || expiry >= now)
 
   /**
    * Static-column semantics (SURVEY §7.4 hard-part; reference

@@ -39,9 +39,14 @@ object PartitionSizes {
       fixedWidth(f.dataType) match {
         case Some(w) => lit(w.toLong)
         case None => f.dataType match {
-          case StringType | BinaryType => octet_length(col(f.name)).cast("long")
+          // null variable-width values count 0 bytes (coalesced on BOTH the
+          // Spark and the DuckDB side, so the oracle stays aligned) — a bare
+          // null term would null the whole per-row sum
+          case StringType | BinaryType =>
+            coalesce(octet_length(col(f.name)).cast("long"), lit(0L))
           case ArrayType(et, _) =>
-            lit(fixedWidth(et).getOrElse(8).toLong) * size(col(f.name)).cast("long")
+            coalesce(lit(fixedWidth(et).getOrElse(8).toLong) *
+              size(col(f.name)).cast("long"), lit(0L))
           case _ => lit(8L) // opaque default
         }
       }
@@ -53,8 +58,9 @@ object PartitionSizes {
       fixedWidth(f.dataType) match {
         case Some(w) => w.toString
         case None => f.dataType match {
-          case StringType | BinaryType => s"strlen(${f.name})"
-          case ArrayType(et, _) => s"${fixedWidth(et).getOrElse(8)} * len(${f.name})"
+          case StringType | BinaryType => s"coalesce(strlen(${f.name}), 0)"
+          case ArrayType(et, _) =>
+            s"coalesce(${fixedWidth(et).getOrElse(8)} * len(${f.name}), 0)"
           case _ => "8"
         }
       }

@@ -53,6 +53,14 @@ object Similarity {
   def cosine(a: Column, b: Column): Column =
     dot_f32(a, b) / (norm_f32(a) * norm_f32(b))
 
+  /** Ranking-safe cosine: a zero-norm vector scores -Inf (ranks LAST under
+   *  desc ordering) instead of NaN — Spark orders NaN GREATER than any
+   *  double, so a single all-zero embedding would otherwise rank as the #1
+   *  neighbor of every query in every top-k path. */
+  private def safeCosine(dot: Column, na: Column, nb: Column): Column =
+    when(na === 0.0 || nb === 0.0, lit(Double.NegativeInfinity))
+      .otherwise(dot / (na * nb))
+
   /**
    * Exact top-k neighbors for each query vector.
    *
@@ -73,7 +81,7 @@ object Similarity {
       norm_f32(col(vecCol)).as("cnrm"))
     val scored = c.join(q, if (excludeSelf) col("neighbor_id") =!= col("query_id") else lit(true))
       .select(col("query_id"), col("neighbor_id"),
-        (dot_f32(col("qvec"), col("cvec")) / (col("qnrm") * col("cnrm"))).as("score"))
+        safeCosine(dot_f32(col("qvec"), col("cvec")), col("qnrm"), col("cnrm")).as("score"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -121,7 +129,7 @@ object Similarity {
     val scored = c.join(q, Seq("bucket"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
-        (dot_f32(col("qvec"), col("cvec")) / (col("qnrm") * col("cnrm"))).as("score"))
+        safeCosine(dot_f32(col("qvec"), col("cvec")), col("qnrm"), col("cnrm")).as("score"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
@@ -178,7 +186,7 @@ object Similarity {
       .filter(col("arank") <= k * rescoreFactor)
     // exact rescore of the survivors only
     val rescored = candidates.select(col("query_id"), col("neighbor_id"),
-      (dot_f32(col("qvec"), col("cvec")) / (col("qnrm") * col("cnrm"))).as("score"))
+      safeCosine(dot_f32(col("qvec"), col("cvec")), col("qnrm"), col("cnrm")).as("score"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("neighbor_id").asc)
     rescored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
@@ -196,7 +204,7 @@ object Similarity {
     val b = v.select(col("id").as("id_b"), col("vec").as("vec_b"), col("nrm").as("nrm_b"))
     a.join(broadcast(b), col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        (dot_f32(col("vec_a"), col("vec_b")) / (col("nrm_a") * col("nrm_b"))).as("score"))
+        safeCosine(dot_f32(col("vec_a"), col("vec_b")), col("nrm_a"), col("nrm_b")).as("score"))
       .orderBy(col("score").desc, col("id_a").asc, col("id_b").asc)
       .limit(topN)
   }
@@ -293,7 +301,7 @@ object Similarity {
     val scored = c.join(q, Seq("cid"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
-        (dot_f32(col("qvec"), col("cvec2")) / (col("qnrm") * col("cnrm"))).as("score"))
+        safeCosine(dot_f32(col("qvec"), col("cvec2")), col("qnrm"), col("cnrm")).as("score"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }

@@ -46,7 +46,11 @@ object Skew {
     // distribution is stable (the previous monotonically_increasing_id salt
     // was correct but retry-variant). Fully-duplicate rows share a salt,
     // costing uniformity only when a hot key's rows are near-identical.
-    val saltInputs = lit(0x5417ED) +: fact.columns.map(graft.model.CqlSchema.qcol).toSeq
+    // maps are not hashable in Spark: salt from the hashable columns only
+    // (the salt VALUE never affects correctness, only spread uniformity)
+    val saltInputs = lit(0x5417ED) +: fact.schema.fields.toSeq
+      .filter(f => Normalize.orderable(f.dataType))
+      .map(f => graft.model.CqlSchema.qcol(f.name))
     val salted = fact.withColumn(SaltCol,
       pmod(xxhash64(saltInputs: _*), lit(salt.toLong)).cast("int"))
     val replicated = dim.withColumn(SaltCol,

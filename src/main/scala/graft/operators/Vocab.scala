@@ -73,7 +73,10 @@ object Vocab {
     val docLen = Window.partitionBy(col(idCol))
     val tf = perDoc.withColumn("tf",
       col("tf_count").cast("double") / sum(col("tf_count")).over(docLen).cast("double"))
-    val dfreq = docFrequencies(df, idCol, textCol)
+    // document frequency derives from perDoc (exactly one row per distinct
+    // (doc, word) already) — recomputing via docFrequencies would re-scan
+    // and re-explode the whole corpus a second time
+    val dfreq = perDoc.groupBy(col("word")).agg(count(lit(1)).as("df"))
     val n = df.agg(count(lit(1)).as("__graft_n"))
     tf.join(dfreq, "word")
       .crossJoin(broadcast(n))

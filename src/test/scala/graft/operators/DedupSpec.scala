@@ -135,6 +135,37 @@ class DedupSpec extends SparkSpec {
     assert(e.getMessage.contains("maxIter"))
   }
 
+  test("exact dedup: multi-column fingerprints are boundary-unambiguous") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "x y", "z"), (2L, "x", "y z"), // same separator-joined text, DIFFERENT rows
+      (3L, null, "x"), (4L, "x", null), // null placement matters
+      (5L, "x y", "z")) // true duplicate of 1
+      .toDF("doc_id", "a", "b")
+    val out = Dedup.exact(df, "doc_id", Seq("a", "b"))
+    assert(out.count() == 4, "only the true duplicate pair may collapse")
+    assert(out.filter(col("n_copies") === 2).count() == 1)
+  }
+
+  test("connected components: string document ids work on the local branch") {
+    import spark.implicits._
+    val vertices = Seq("url-a", "url-b", "url-c", "url-d").toDF("id")
+    val pairs = Seq(("url-a", "url-b"), ("url-b", "url-c")).toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(vertices, pairs)
+      .as[(String, String)].collect().toMap
+    assert(got == Map("url-a" -> "url-a", "url-b" -> "url-a",
+      "url-c" -> "url-a", "url-d" -> "url-d"))
+  }
+
+  test("minhashPairs rejects bands that do not divide numPerms") {
+    import spark.implicits._
+    val df = Seq((1L, "a b c")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.minhashPairs(df, "doc_id", "text", numPerms = 100, bands = 16)
+    }
+    assert(e.getMessage.contains("divide"))
+  }
+
   test("dropFrequentLines: boilerplate across >= minDocs docs removed, order kept") {
     import spark.implicits._
     val docs = (1L to 10L).map { i =>

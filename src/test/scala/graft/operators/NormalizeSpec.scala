@@ -48,6 +48,13 @@ class NormalizeSpec extends SparkSpec {
     assert(got === Set(2, 3))
   }
 
+  test("ttlFilter keeps rows with NULL expiry (no TTL = never expires)") {
+    val df = Seq((1, Some(100L)), (2, None), (3, Some(300L))).toDF("id", "expires")
+    val got = Normalize.ttlFilter(df, col("expires"), lit(200L))
+      .select("id").as[Int].collect().toSet
+    assert(got === Set(2, 3), "the non-TTL row must survive")
+  }
+
   test("withLastModifiedTimestamp = max writetime over the partition") {
     val df = versions.toDF("pk", "ck", "wt", "v")
     val got = Normalize.withLastModifiedTimestamp(df, Seq("pk"), col("wt"))

@@ -28,6 +28,18 @@ class SimilaritySpec extends SparkSpec {
     assert(math.abs(ortho) < 1e-12)
   }
 
+  test("a zero-norm vector ranks LAST, never NaN-first") {
+    val zero = Seq((999L, Array.fill(4)(0.0f))).toDF("vec_id", "embedding")
+    val corpus = vecs.filter($"vec_id" < 20L).unionByName(zero)
+    val ranks = Similarity.bruteForceTopK(
+        corpus, vecs.filter($"vec_id" === 0L), "vec_id", "embedding", k = 5)
+      .select("neighbor_id", "rank").as[(Long, Int)].collect().toMap
+    // under the NaN bug the zero vector ranked #1 for every query; fixed
+    // behavior scores it -Inf so it can only occupy the final slot
+    assert(ranks(999L) == 5, s"zero-norm vector must rank last, got ${ranks(999L)}")
+    assert(ranks.filter(_._1 != 999L).values.toSet == Set(1, 2, 3, 4))
+  }
+
   test("bruteForceTopK ranks same-cluster vectors first") {
     val got = Similarity.bruteForceTopK(vecs, vecs.filter($"vec_id" === 0L),
       "vec_id", "embedding", k = 2)
