@@ -557,22 +557,10 @@ class GraftScan(
   override def clusteredPkNames: Option[Seq[String]] =
     if (clusteredLayout) Some(cql.partitionKeys) else None
 
-  /** NOMINAL ring-split ranges, in partition order — defined only when every
-   *  planned file carries one (exact-ring-split write) and they are pairwise
-   *  strictly disjoint. Two scans with EQUAL range lists are co-partitioned:
-   *  a pk join between them zips partitions with zero shuffle (the
-   *  compatibility check lives in the graftshim ShuffleSpec). */
-  override def clusteredRanges: Option[Seq[(Long, Long)]] = {
-    if (!clusteredLayout) return None
-    val nominal = prunedFiles.flatMap(_.ringSplit)
-    if (nominal.length != prunedFiles.length) return None
-    val sorted = nominal.sortBy(_._1)
-    val disjoint = sorted.zip(sorted.tail).forall { case ((_, e), (s, _)) => e <= s }
-    if (disjoint) Some(sorted.toSeq) else None
-  }
-
   /** Partition order key per file: nominal ring start, else data token min,
-   *  else path — keeps partition index aligned with [[clusteredRanges]]. */
+   *  else path — keeps two co-located scans' partition indexes aligned on
+   *  their shared ring layout (the co-located join itself is the explicit
+   *  `graft.operators.Colocated`, which derives ranges from the manifest). */
   private def fileOrder: Map[String, Long] =
     prunedFiles.map(f => f.path ->
       f.ringSplit.map(_._1).orElse(f.tokenRange.map(_._1)).getOrElse(Long.MinValue)).toMap

@@ -96,8 +96,19 @@ object EventStreams {
       .flatMapGroupsWithState[SessionState, Session](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (userId: Long, batch: Iterator[Event], state: GroupState[SessionState]) =>
+          // MICROSECOND precision throughout — the batch twin compares
+          // unix_micros, and ms-truncated gaps would split sessions
+          // differently on sub-millisecond data (the events fixture carries
+          // microsecond timestamps)
+          def toMicros(ts: Timestamp): Long =
+            Math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000
+          def toTs(us: Long): Timestamp = {
+            val t = new Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+            t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+            t
+          }
           def toSession(s: SessionState): Session =
-            Session(userId, new Timestamp(s.start), new Timestamp(s.end), s.nEvents, s.totalValue)
+            Session(userId, toTs(s.start), toTs(s.end), s.nEvents, s.totalValue)
 
           if (batch.isEmpty && state.hasTimedOut) {
             // watermark passed end+gap with no new events: close the session
@@ -106,21 +117,21 @@ object EventStreams {
             out.iterator
           } else {
             // micro-batch arrival order is arbitrary: order by event time
-            val evs = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            val evs = batch.toSeq.sortBy(e => (toMicros(e.ts), e.event_id))
             var closed = List.empty[Session]
             var cur = state.getOption
-            val gapMs = gapSeconds * 1000
+            val gapUs = gapSeconds * 1000000L
             evs.foreach { e =>
-              val t = e.ts.getTime
+              val t = toMicros(e.ts)
               cur match {
-                case Some(s) if t >= s.start - gapMs && t - s.end <= gapMs =>
+                case Some(s) if t >= s.start - gapUs && t - s.end <= gapUs =>
                   // in or adjacent to the open session — extend either end
                   cur = Some(SessionState(math.min(s.start, t), math.max(s.end, t),
                     s.nEvents + 1, s.totalValue + e.value))
-                case Some(s) if t < s.start - gapMs =>
+                case Some(s) if t < s.start - gapUs =>
                   // late event from before the open session: can't re-split
                   // already-emitted history, emit as its own session (see doc)
-                  closed ::= Session(userId, new Timestamp(t), new Timestamp(t), 1, e.value)
+                  closed ::= Session(userId, toTs(t), toTs(t), 1, e.value)
                 case Some(s) =>
                   closed ::= toSession(s)
                   cur = Some(SessionState(t, t, 1, e.value))
@@ -130,7 +141,10 @@ object EventStreams {
             }
             cur.foreach { s =>
               state.update(s)
-              state.setTimeoutTimestamp(s.end + gapSeconds * 1000)
+              // timeout API is epoch millis: round UP so the timeout never
+              // fires before the microsecond-exact gap has fully elapsed
+              state.setTimeoutTimestamp(
+                Math.floorDiv(s.end + gapUs + 999L, 1000L))
             }
             closed.reverse.iterator
           }
@@ -211,12 +225,17 @@ object EventStreams {
       .drop(r(key))
   }
 
-  /** Streaming exact-dedup on a key within the watermark horizon
-   *  (`dropDuplicates` keyed state — the streaming analog of
-   *  `Dedup.exact`). */
+  /** Streaming exact-dedup on a key within the watermark horizon — the
+   *  streaming analog of `Dedup.exact`: KEY-ONLY semantics (a retried
+   *  producer re-stamping ts must still collapse), with state bounded by
+   *  the watermark via `dropDuplicatesWithinWatermark`. The old
+   *  `dropDuplicates(keys :+ ts)` formulation silently deduped on
+   *  (key, ts) and passed re-stamped duplicates through. */
   def dedupeStream(events: DataFrame, keyCols: Seq[String], watermarkDelay: String): DataFrame =
-    events.withWatermark("ts", watermarkDelay)
-      .dropDuplicates(keyCols :+ "ts")
+    if (events.isStreaming)
+      events.withWatermark("ts", watermarkDelay)
+        .dropDuplicatesWithinWatermark(keyCols)
+    else events.dropDuplicates(keyCols)
 
   /**
    * Streaming INGESTION into the graft table format: each micro-batch runs

@@ -44,10 +44,23 @@ object Tables {
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val df =
       if (name == "events") {
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        import org.apache.spark.sql.functions.{col, expr}
-        spark.read.parquet(path(sfDir, name))
-          .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        import org.apache.spark.sql.functions.expr
+        // scope the legacy nanos flag to THIS read and restore it after:
+        // leaving it set would make every later TIMESTAMP(NANOS) read in the
+        // session silently surface raw longs instead of failing fast
+        val key = "spark.sql.legacy.parquet.nanosAsLong"
+        val prev = spark.conf.getOption(key)
+        spark.conf.set(key, "true")
+        try {
+          val raw = spark.read.parquet(path(sfDir, name))
+          // force plan RESOLUTION while the flag is on; execution reads the
+          // already-resolved schema
+          raw.schema
+          raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        } finally prev match {
+          case Some(v) => spark.conf.set(key, v)
+          case None => spark.conf.unset(key)
+        }
       } else spark.read.parquet(path(sfDir, name))
     schemas.get(name).map(_.annotate(df)).getOrElse(df)
   }

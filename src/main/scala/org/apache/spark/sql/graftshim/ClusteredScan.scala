@@ -45,10 +45,7 @@ import org.apache.spark.sql.vectorized.ColumnarBatch
  */
 case class GraftClusteredPartitioning(
     clusterKeys: Seq[Expression],
-    numPartitions: Int,
-    /** Nominal exact-ring-split ranges in partition order, when the layout
-     *  was written with them — the co-located-join compatibility token. */
-    ranges: Option[Seq[(Long, Long)]] = None) extends Partitioning {
+    numPartitions: Int) extends Partitioning {
 
   override def satisfies0(required: Distribution): Boolean =
     super.satisfies0(required) || (required match {
@@ -64,7 +61,7 @@ case class GraftClusteredPartitioning(
   /** Clustered-but-not-hash: never co-partitioned with anything, and not a
    *  partitioning EnsureRequirements may shuffle OTHER plans into.
    *
-   *  Why no co-located-join spec despite [[ranges]]: stock EnsureRequirements
+   *  Why no co-located-join spec: stock EnsureRequirements
    *  only consults `isCompatibleWith` against a "best" spec chosen among
    *  specs with `canCreatePartitioning = true`, and claiming that would
    *  require a partitioning `ShuffleExchangeExec` can execute (custom
@@ -83,12 +80,11 @@ case class GraftClusteredPartitioning(
 
 case class GraftClusteredScanExec(
     child: SparkPlan,
-    clusterKeys: Seq[Expression],
-    ranges: Option[Seq[(Long, Long)]] = None) extends UnaryExecNode {
+    clusterKeys: Seq[Expression]) extends UnaryExecNode {
 
   override def output: Seq[Attribute] = child.output
   override def outputPartitioning: Partitioning =
-    GraftClusteredPartitioning(clusterKeys, child.outputPartitioning.numPartitions, ranges)
+    GraftClusteredPartitioning(clusterKeys, child.outputPartitioning.numPartitions)
   override def outputOrdering: Seq[SortOrder] = child.outputOrdering
   override def supportsColumnar: Boolean = child.supportsColumnar
   override def vectorTypes: Option[Seq[String]] = child.vectorTypes
@@ -99,13 +95,14 @@ case class GraftClusteredScanExec(
 }
 
 /** A graft scan that can vouch for a clustered layout exposes the partition
- *  key names it clusters by (None when the layout cannot guarantee it), and
- *  the nominal ring-split ranges when the layout was written with exact
- *  splits (None disables co-located-join compatibility, clustering still
- *  applies). */
+ *  key names it clusters by (None when the layout cannot guarantee it).
+ *  Ring-split co-location is NOT threaded through the physical partitioning
+ *  (nothing in stock EnsureRequirements could consult it — see
+ *  [[GraftClusteredPartitioning.createShuffleSpec]]); the co-located join
+ *  is the explicit `graft.operators.Colocated`, which derives ranges from
+ *  the manifest. */
 trait ClusterReportingScan {
   def clusteredPkNames: Option[Seq[String]]
-  def clusteredRanges: Option[Seq[(Long, Long)]] = None
 }
 
 object GraftClusteredScanStrategy extends SparkStrategy {
@@ -113,13 +110,18 @@ object GraftClusteredScanStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case PhysicalOperation(project, filters,
         rel @ DataSourceV2ScanRelation(v2rel, scan: ClusterReportingScan, output, None, _))
-        if scan.clusteredPkNames.nonEmpty &&
-          scan.clusteredPkNames.get.forall(n => output.exists(_.name == n)) =>
-      val byName = output.map(a => a.name -> a).toMap
-      val keys = scan.clusteredPkNames.get.map(byName(_))
+        if scan.clusteredPkNames.nonEmpty && {
+          // resolve pk names the way the analyzer does (case-insensitive by
+          // default) — a .option("pk", "L_ORDERKEY") over column l_orderkey
+          // must not silently disable the clustering claim
+          val resolver = org.apache.spark.sql.internal.SQLConf.get.resolver
+          scan.clusteredPkNames.get.forall(n => output.exists(a => resolver(a.name, n)))
+        } =>
+      val resolver = org.apache.spark.sql.internal.SQLConf.get.resolver
+      val keys = scan.clusteredPkNames.get.map(n => output.find(a => resolver(a.name, n)).get)
       val batch = BatchScanExec(output, scan.asInstanceOf[org.apache.spark.sql.connector.read.Scan],
         Seq.empty, None, v2rel.table)
-      val wrapped = GraftClusteredScanExec(batch, keys, scan.clusteredRanges)
+      val wrapped = GraftClusteredScanExec(batch, keys)
       val filtered = filters.reduceOption(And).map(FilterExec(_, wrapped)).getOrElse(wrapped)
       val planned: SparkPlan =
         if (project == filtered.output) filtered
@@ -143,7 +145,10 @@ object ClusteredScanUtil {
       case other =>
         throw new IllegalStateException(s"unexpected non-file partition: ${other.getClass}")
     }
-    files.groupBy(_.filePath.toString).toSeq
+    // key by the DECODED Hadoop path: FileMeta.path (the `order` keys) comes
+    // from FileStatus.getPath.toString, while SparkPath.toString is
+    // URL-encoded — a dir with a space would otherwise lose its ring order
+    files.groupBy(_.filePath.toPath.toString).toSeq
       .sortBy { case (p, _) => (order.getOrElse(p, Long.MinValue), p) }
       .zipWithIndex.map {
         case ((_, splits), i) => FilePartition(i, splits.sortBy(_.start)): InputPartition
