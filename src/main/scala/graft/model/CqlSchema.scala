@@ -47,6 +47,19 @@ final case class CqlSchema(
     else if (staticColumns.contains(col)) ColumnRole.Static
     else ColumnRole.Regular
 
+  /** Metadata position for a column: its index WITHIN ITS ROLE GROUP for key
+   *  columns (so [[CqlSchema.fromStruct]] recovers the DECLARED key order —
+   *  composite-key token serialization is order-sensitive, and a recovery
+   *  sorted by DataFrame column position would silently reorder
+   *  `partitionKeys = Seq("b","a")` into ("a","b"), computing tokens that
+   *  match no file), or the column index for the rest. */
+  def positionOf(col: String, columnIndex: Int): Int = role(col) match {
+    case ColumnRole.PartitionKey => partitionKeys.indexOf(col)
+    case ColumnRole.ClusteringKey => clusteringKeys.indexOf(col)
+    case ColumnRole.Static => staticColumns.indexOf(col)
+    case _ => columnIndex
+  }
+
   /** Annotate a DataFrame's StructFields with role metadata (lossless — data
    *  unchanged; only `StructField.metadata` is rewritten). Implemented as a
    *  projection with per-column alias metadata so the logical plan stays
@@ -55,7 +68,8 @@ final case class CqlSchema(
    *  RDD round-trip here would sever the optimizer from the source). */
   def annotate(df: DataFrame): DataFrame = {
     val cols = df.schema.fields.zipWithIndex.map { case (f, i) =>
-      CqlSchema.qcol(f.name).as(f.name, CqlSchema.roleMetadata(f.metadata, role(f.name), i))
+      CqlSchema.qcol(f.name)
+        .as(f.name, CqlSchema.roleMetadata(f.metadata, role(f.name), positionOf(f.name, i)))
     }
     df.select(cols.toIndexedSeq: _*)
   }

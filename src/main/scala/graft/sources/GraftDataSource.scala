@@ -205,7 +205,8 @@ object GraftDataSource {
   /** [[CqlSchema.annotate]] for a bare StructType (no DataFrame). */
   def annotateStruct(cql: CqlSchema, schema: StructType): StructType =
     StructType(schema.fields.zipWithIndex.map { case (f, i) =>
-      f.copy(metadata = CqlSchema.roleMetadata(f.metadata, cql.role(f.name), i))
+      f.copy(metadata = CqlSchema.roleMetadata(
+        f.metadata, cql.role(f.name), cql.positionOf(f.name, i)))
     })
 }
 

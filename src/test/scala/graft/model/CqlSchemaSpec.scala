@@ -26,6 +26,17 @@ class CqlSchemaSpec extends SparkSpec {
     assert(annotated.collect() === df.collect())
   }
 
+  test("fromStruct recovers the DECLARED composite-key order, not column order") {
+    // pk declared (b, a) over a DataFrame whose columns are (a, b, v):
+    // composite-key token serialization is order-sensitive, so a recovery
+    // that re-sorted by column position would compute wrong tokens
+    val sk = CqlSchema("t", Seq("b", "a"), Seq("d", "c"))
+    val df = Seq((1L, 2L, 3L, 4L, 5.0)).toDF("a", "b", "c", "d", "v")
+    val back = CqlSchema.fromStruct("t", sk.annotate(df).schema)
+    assert(back.partitionKeys === Seq("b", "a"))
+    assert(back.clusteringKeys === Seq("d", "c"))
+  }
+
   test("annotate keeps the plan declarative (no RDD barrier: pushdown survives)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_meta_").toString + "/t"
     Seq((1L, "x", 10), (2L, "y", 20)).toDF("pk1", "pk2", "v").write.parquet(dir)
