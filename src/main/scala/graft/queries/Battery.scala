@@ -408,10 +408,11 @@ object Battery {
       Multimodal.withImageDims(
           Multimodal.withBlobMetadata(docs(s, d).withColumn("blob", blob), "blob"),
           "blob")
-        // the blob itself is in the output: the oracle rebuilds the exact
-        // bytes, so hash-compare proves byte-identical construction (DuckDB's
-        // sha256 is VARCHAR-only, so the digest column stays spec-covered)
-        .select(col("doc_id"), col("byte_len"), col("blob"), col("container"),
+        // the blob is in the output hex-encoded: the oracle rebuilds the
+        // exact bytes, so hash-compare proves byte-identical construction
+        // (raw binary would crash the comparer's pandas sort on bytearray)
+        .select(col("doc_id"), col("byte_len"), hex(col("blob")).as("blob_hex"),
+          col("container"),
           col("width"), col("height"), col("channels"), col("img_format"))
     }),
 
@@ -877,7 +878,10 @@ object Battery {
         .filter(col("o_orderkey") <= 4000L)
       import graft.functions.Uuid
       back.select(
-        col("o_orderkey"), col("u"), col("tu"), col("inet"),
+        col("o_orderkey"), col("u"), col("tu"),
+        // hex at the output edge only — the inet column is genuine 4-byte
+        // binary through the whole pipeline; raw bytes crash the comparer
+        hex(col("inet")).as("inet_hex"),
         // decimal(38,0) through the whole pipeline; string only at the output
         // edge (24-digit decimals fall out of int64 and hash as floats in the
         // comparer otherwise)
@@ -1559,7 +1563,7 @@ object Battery {
         |  FROM b)
         |SELECT doc_id,
         |  CAST(octet_length(blob) AS BIGINT) AS byte_len,
-        |  blob,
+        |  hex(blob) AS blob_hex,
         |  CASE WHEN m = 0 THEN 'png' WHEN m = 1 THEN 'gif' ELSE 'jpeg' END AS container,
         |  w AS width, h AS height,
         |  CAST(CASE WHEN m = 0 THEN 4 WHEN m = 1 THEN 1 ELSE 3 END AS INT) AS channels,
@@ -1876,7 +1880,7 @@ object Battery {
         |    substr(hu,17,4)||'-'||substr(hu,21,12) AS u,
         |  substr(ht,1,8)||'-'||substr(ht,9,4)||'-'||substr(ht,13,4)||'-'||
         |    substr(ht,17,4)||'-'||substr(ht,21,12) AS tu,
-        |  from_hex(lpad(lower(to_hex(167772160 + o_orderkey % 16581375)),8,'0')) AS inet,
+        |  upper(lpad(to_hex(167772160 + o_orderkey % 16581375),8,'0')) AS inet_hex,
         |  CAST(CAST(CAST(o_orderkey AS VARCHAR) || '00000000000000000000123'
         |            AS DECIMAL(38,0)) AS VARCHAR) AS varint,
         |  u_msb, u_lsb,
