@@ -301,13 +301,32 @@ object Dedup {
       shingleN: Int = 3,
       numPerms: Int = 64,
       bands: Int = 16,
-      minEstJaccard: Double = 0.5): DataFrame = {
+      minEstJaccard: Double = 0.5): DataFrame =
+    dropByPairs(df, idCol,
+      minhashPairs(df, idCol, textCol, shingleN, numPerms, bands, minEstJaccard))
+
+  /**
+   * Near-dup removal with SimHash candidate mining instead of MinHash —
+   * same cluster-then-anti-join shape as [[dropNearDuplicates]], with
+   * [[simhashPairs]] (pigeonhole block LSH + exact Hamming verify) as the
+   * edge miner. Keeps the min-id document of every connected component.
+   */
+  def dropBySimhash(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxHamming: Int = 3): DataFrame =
+    dropByPairs(df, idCol, simhashPairs(df, idCol, textCol, maxHamming))
+
+  /** Shared drop core: edge list → connected components over touched
+   * vertices only → broadcast-friendly anti-join of the loser ids. */
+  private def dropByPairs(df: DataFrame, idCol: String, pairsDf: DataFrame): DataFrame = {
     // The edge list fans out into several actions (CC's size probe, the
     // touched-vertex set, the final anti-join); persist it so the LSH mining
     // pass over the corpus runs ONCE, not once per action. MEMORY_AND_DISK
     // keeps lineage for executor-loss recovery (edge lists are tiny next to
     // the corpus — a few bytes per near-dup pair).
-    val pairs = minhashPairs(df, idCol, textCol, shingleN, numPerms, bands, minEstJaccard)
+    val pairs = pairsDf.select(col("id_a"), col("id_b"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val touched = pairs.select(col("id_a").as("id"))
       .union(pairs.select(col("id_b").as("id"))).distinct()

@@ -94,6 +94,17 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("dropBySimhash keeps min-id per exact-dup group plus all singletons") {
+    val survivors = Dedup.dropBySimhash(docs, "doc_id", "text", maxHamming = 3)
+      .select("doc_id").as[Long].collect().toSet
+    // 1-2 are exact dups (hamming 0 → always paired → keep 1)
+    assert(survivors.contains(1L) && !survivors.contains(2L))
+    // unrelated docs must always survive
+    assert(survivors.contains(4L) && survivors.contains(5L))
+    // schema passes through intact
+    assert(Dedup.dropBySimhash(docs, "doc_id", "text").columns.toSeq == docs.columns.toSeq)
+  }
+
   test("connectedComponents finds transitive clusters the one-hop pass misses") {
     import spark.implicits._
     // chain 1-2-3 (transitive), pair 10-11, isolated 20
