@@ -21,8 +21,12 @@ import org.apache.spark.unsafe.types.UTF8String
  */
 object Mp4Headers {
 
+  /** width/height are the integer part of tkhd's 16.16 fixed-point fields
+   *  from the FIRST track; -1 when the moov carries no trak/tkhd (surfaced
+   *  as SQL null). */
   final case class Mp4Meta(
-      brand: String, timescale: Long, duration: Long, durationMs: Long)
+      brand: String, timescale: Long, duration: Long, durationMs: Long,
+      width: Int, height: Int)
 
   private def beU32(b: Array[Byte], i: Int): Long =
     ((b(i) & 0xffL) << 24) | ((b(i + 1) & 0xffL) << 16) |
@@ -54,8 +58,13 @@ object Mp4Headers {
       if (size <= 0) return null
     }
     if (moov < 0) return null
-    // walk moov children for mvhd
+    // walk moov children: mvhd is required (timescale/duration); the FIRST
+    // trak's tkhd is optional and contributes width/height
     var j = moov
+    var ts = -1L
+    var dur = -1L
+    var w = -1
+    var h = -1
     while (j + 8 <= moovEnd) {
       var size = beU32(b, j)
       var hdr = 8
@@ -64,40 +73,77 @@ object Mp4Headers {
         size = beU64(b, j + 8); hdr = 16
       } else if (size == 0L) size = moovEnd - j
       if (size < hdr) return null
-      if (boxType(b, j) == "mvhd") {
+      val bt = boxType(b, j)
+      if (bt == "mvhd" && ts < 0) {
         val ver = b(j + hdr) & 0xff
         if (ver == 0) {
           if (j + hdr + 20 > b.length) return null
-          val ts = beU32(b, j + hdr + 12)
-          val dur = beU32(b, j + hdr + 16)
-          if (ts <= 0) return null
-          return Mp4Meta(brand, ts, dur, dur * 1000L / ts)
+          ts = beU32(b, j + hdr + 12)
+          dur = beU32(b, j + hdr + 16)
         } else if (ver == 1) {
           if (j + hdr + 32 > b.length) return null
-          val ts = beU32(b, j + hdr + 20)
-          val dur = beU64(b, j + hdr + 24)
-          if (ts <= 0 || dur < 0) return null
-          return Mp4Meta(brand, ts, dur, dur * 1000L / ts)
+          ts = beU32(b, j + hdr + 20)
+          dur = beU64(b, j + hdr + 24)
         } else return null
+        if (ts <= 0 || dur < 0) return null
+      } else if (bt == "trak" && w < 0) {
+        // child walk for tkhd; a malformed trak voids only the dimensions
+        // (mvhd metadata stays valid), matching the null-on-garbage contract
+        // at the finest granularity the format allows
+        val trakEnd = math.min(j + size, moovEnd)
+        var k = j + hdr
+        var ok = true
+        while (ok && w < 0 && k + 8 <= trakEnd) {
+          var s2 = beU32(b, k)
+          var h2 = 8
+          if (s2 == 1L) {
+            if (k + 16 > trakEnd) ok = false
+            else { s2 = beU64(b, k + 8); h2 = 16 }
+          } else if (s2 == 0L) s2 = trakEnd - k
+          if (!ok || s2 < h2 || k + s2 > trakEnd) ok = false
+          else {
+            if (boxType(b, k) == "tkhd") {
+              val ver = b(k + h2) & 0xff
+              // tkhd payload: ver/flags(4) + creation/mod/track_ID/reserved/
+              // duration (v0: 20 B, v1: 32 B) + reserved(8) + layer/alt/
+              // volume/reserved(8) + matrix(36) + width(4) + height(4),
+              // dimensions in 16.16 fixed point (integer part reported)
+              val timesLen = if (ver == 0) 20 else if (ver == 1) 32 else -1
+              if (timesLen > 0) {
+                val dimOff = k + h2 + 4 + timesLen + 8 + 8 + 36
+                if (dimOff + 8 <= trakEnd) {
+                  w = (beU32(b, dimOff) >>> 16).toInt
+                  h = (beU32(b, dimOff + 4) >>> 16).toInt
+                }
+              }
+              ok = false // first tkhd decides, valid or not
+            } else k += s2.toInt
+          }
+        }
       }
       if (j + size > moovEnd) return null
       j += size.toInt
     }
-    null
+    if (ts <= 0) return null
+    Mp4Meta(brand, ts, dur, dur * 1000L / ts, w, h)
   }
 
   val sparkType: StructType = StructType(Seq(
     StructField("brand", StringType, nullable = false),
     StructField("timescale", LongType, nullable = false),
     StructField("duration", LongType, nullable = false),
-    StructField("duration_ms", LongType, nullable = false)))
+    StructField("duration_ms", LongType, nullable = false),
+    StructField("width", IntegerType, nullable = true),
+    StructField("height", IntegerType, nullable = true)))
 
   /** Shared eval for interpreted and generated code paths. */
   def parseRow(bytes: Array[Byte]): InternalRow = {
     val m = parse(bytes)
     if (m == null) null
     else new GenericInternalRow(Array[Any](
-      UTF8String.fromString(m.brand), m.timescale, m.duration, m.durationMs))
+      UTF8String.fromString(m.brand), m.timescale, m.duration, m.durationMs,
+      if (m.width < 0) null else m.width,
+      if (m.height < 0) null else m.height))
   }
 }
 

@@ -84,6 +84,8 @@ object Multimodal {
       .withColumn("vtimescale", col("__vm.timescale"))
       .withColumn("vduration", col("__vm.duration"))
       .withColumn("vduration_ms", col("__vm.duration_ms"))
+      .withColumn("vwidth", col("__vm.width"))
+      .withColumn("vheight", col("__vm.height"))
       .drop("__vm")
 
   /** Decoded-image feature contract. */

@@ -25,9 +25,56 @@ class Mp4HeadersSpec extends SparkSpec {
       " 00015F90 000000000006DDD0" +
       " " + "00" * 80)
 
-  test("mvhd v0 and v1 parse: brand, timescale, duration, derived ms") {
-    assert(Mp4Headers.parse(mp4v0) == Mp4Headers.Mp4Meta("isom", 1000L, 5000L, 5000L))
-    assert(Mp4Headers.parse(mp4v1) == Mp4Headers.Mp4Meta("mp42", 90000L, 450000L, 5000L))
+  private val unityMatrix =
+    "00010000 00000000 00000000 00000000 00010000 00000000 00000000 00000000 40000000"
+
+  // moov[mvhd v0 + trak[tkhd v0: 640x360 as 16.16 fixed point]]
+  private val mp4Trak = hexBytes(
+    "00000010 66747970 69736F6D 00000000" +
+      " 000000D8 6D6F6F76" +
+      " 0000006C 6D766864 00000000 00000000 00000000 000003E8 00001388" +
+      " " + "00" * 80 +
+      " 00000064 7472616B" +
+      " 0000005C 746B6864 00000003 00000000 00000000 00000001 00000000 00001388" +
+      " " + "00" * 16 + " " + unityMatrix +
+      " 02800000 01680000")
+
+  // tkhd VERSION 1 (64-bit times): 1920x1080
+  private val mp4TrakV1 = hexBytes(
+    "00000010 66747970 69736F6D 00000000" +
+      " 000000E4 6D6F6F76" +
+      " 0000006C 6D766864 00000000 00000000 00000000 000003E8 00001388" +
+      " " + "00" * 80 +
+      " 00000070 7472616B" +
+      " 00000068 746B6864 01000007 0000000000000000 0000000000000000" +
+      " 00000001 00000000 0000000000001388" +
+      " " + "00" * 16 + " " + unityMatrix +
+      " 07800000 04380000")
+
+  test("mvhd v0 and v1 parse: brand, timescale, duration, derived ms; no trak → no dims") {
+    assert(Mp4Headers.parse(mp4v0) == Mp4Headers.Mp4Meta("isom", 1000L, 5000L, 5000L, -1, -1))
+    assert(Mp4Headers.parse(mp4v1) == Mp4Headers.Mp4Meta("mp42", 90000L, 450000L, 5000L, -1, -1))
+  }
+
+  test("tkhd v0 and v1 surface the 16.16 fixed-point dimensions' integer part") {
+    assert(Mp4Headers.parse(mp4Trak) ==
+      Mp4Headers.Mp4Meta("isom", 1000L, 5000L, 5000L, 640, 360))
+    assert(Mp4Headers.parse(mp4TrakV1) ==
+      Mp4Headers.Mp4Meta("isom", 1000L, 5000L, 5000L, 1920, 1080))
+  }
+
+  test("truncated tkhd voids only the dimensions, mvhd metadata survives") {
+    // trak declaring a tkhd too short to hold the matrix + dims: the movie
+    // metadata must still parse, dims must stay unset
+    val shortTrak = hexBytes(
+      "00000010 66747970 69736F6D 00000000" +
+        " 00000090 6D6F6F76" +
+        " 0000006C 6D766864 00000000 00000000 00000000 000003E8 00001388" +
+        " " + "00" * 80 +
+        " 0000001C 7472616B" +
+        " 00000014 746B6864 00000003 00000000 00000000")
+    assert(Mp4Headers.parse(shortTrak) ==
+      Mp4Headers.Mp4Meta("isom", 1000L, 5000L, 5000L, -1, -1))
   }
 
   test("garbage, truncation and lying sizes return null, never throw or loop") {
@@ -50,17 +97,29 @@ class Mp4HeadersSpec extends SparkSpec {
       val b = mp4v0.clone(); b(pos) = v.toByte
       Mp4Headers.parse(b); true
     })
+    // single-byte mutations over the trak-bearing fixture: the tkhd child
+    // walk must be as crash-free as the top-level walk
+    check(org.scalacheck.Prop.forAll(
+      org.scalacheck.Gen.choose(0, mp4Trak.length - 1),
+      org.scalacheck.Gen.choose(0, 255)) { (pos, v) =>
+      val b = mp4Trak.clone(); b(pos) = v.toByte
+      Mp4Headers.parse(b); true
+    })
   }
 
   test("video_meta expression evaluates in a plan") {
     import spark.implicits._
-    val rows = Seq(("v0", mp4v0), ("txt", "nope".getBytes)).toDF("name", "blob")
+    val rows = Seq(("v0", mp4v0), ("trak", mp4Trak), ("txt", "nope".getBytes))
+      .toDF("name", "blob")
       .withColumn("m", VideoMeta(col("blob")))
-      .select(col("name"), col("m.brand"), col("m.timescale"), col("m.duration_ms"))
+      .select(col("name"), col("m.brand"), col("m.timescale"), col("m.duration_ms"),
+        col("m.width"), col("m.height"))
       .collect().map(r => r.getString(0) ->
-        (if (r.isNullAt(1)) None else Some((r.getString(1), r.getLong(2), r.getLong(3)))))
+        (if (r.isNullAt(1)) None else Some((r.getString(1), r.getLong(2), r.getLong(3),
+          if (r.isNullAt(4)) -1 else r.getInt(4), if (r.isNullAt(5)) -1 else r.getInt(5)))))
       .toMap
-    assert(rows("v0").contains(("isom", 1000L, 5000L)))
+    assert(rows("v0").contains(("isom", 1000L, 5000L, -1, -1)))
+    assert(rows("trak").contains(("isom", 1000L, 5000L, 640, 360)))
     assert(rows("txt").isEmpty)
   }
 }
