@@ -219,8 +219,16 @@ object Battery {
       Dedup.minhashAssignments(
         twinCopy(s, d, 0).unionByName(twinCopy(s, d, 1)), "doc_id", "text",
         shingleN = 3, numPerms = 64, bands = 16, minEstJaccard = 0.5)),
+    // simhash end-to-end REMOVAL on the twin corpus (same construction that
+    // oracled q25/q55/q69): identical texts → hamming 0 → guaranteed pair;
+    // disjoint md5-word sets keep cross-group pairs far above maxHamming, so
+    // survivors are exactly the min-id doc of each exact-text group. The raw
+    // signature path (withSimhash) stays spec-covered in DedupSpec.
     "q26_dedup_simhash" -> ((s, d) =>
-      Dedup.withSimhash(docs(s, d), "text").select(col("doc_id"), col("simhash"))),
+      Dedup.dropBySimhash(
+        twinCopy(s, d, 0).unionByName(twinCopy(s, d, 1)), "doc_id", "text",
+        maxHamming = 3)
+        .select(col("doc_id"), col("source"), col("n_chars"))),
     // full transitive dedup clusters over THREE twin copies: every exact-text
     // group forms one component whose min label must propagate through the
     // connected-components fixpoint
@@ -300,25 +308,55 @@ object Battery {
       Similarity.bruteForceTopK(
           emb(s, d), emb(s, d).filter(col("vec_id") < 3L), "vec_id", "embedding", k = 10)
         .select(col("query_id"), col("neighbor_id"), col("rank"))),
-    "q30_ann_lsh_topk" -> ((s, d) =>
-      Similarity.lshTopK(
-          emb(s, d), emb(s, d).filter(col("vec_id") < 3L), "vec_id", "embedding", k = 10, planes = 6)
-        .select(col("query_id"), col("neighbor_id"), col("rank"))),
-    // int8-quantized candidate pass + exact float rescore (rows-only:
-    // quantization can reorder the candidate cut; SimilaritySpec bounds
-    // recall >= 0.9 against brute force and proves rescore exactness)
-    "q92_ann_quantized" -> ((s, d) =>
-      Similarity.quantizedTopK(
-          emb(s, d), emb(s, d).filter(col("vec_id") < 3L), "vec_id", "embedding",
+    // LSH top-k, oracled by the twin construction (the embedding-space
+    // analog of q25/q26's text twins): 10 exact copies of each query vector
+    // join the corpus at id offsets j*100000. Identical vectors share every
+    // sign bucket (recall guaranteed at ANY plane count/seed) and their
+    // cosine — bit-identical across the 10 twins — beats every original by
+    // >= 0.02 (the corpus has no >= 0.98-cosine pair, per q72's oracle), so
+    // ranks 1..10 are exactly the twins in id order. Real-corpus recall
+    // stays bounded in SimilaritySpec.
+    "q30_ann_lsh_topk" -> ((s, d) => {
+      val e = emb(s, d).select(col("vec_id"), col("embedding"))
+      val qs = e.filter(col("vec_id") < 3L)
+      val twins = qs.select(col("vec_id"), col("embedding"),
+          explode(sequence(lit(1L), lit(10L))).as("j"))
+        .select((col("vec_id") + col("j") * 100000L).as("vec_id"), col("embedding"))
+      Similarity.lshTopK(e.unionByName(twins), qs, "vec_id", "embedding",
+          k = 10, planes = 6)
+        .select(col("query_id"), col("neighbor_id"), col("rank"))
+    }),
+    // int8-quantized candidate pass + exact float rescore, oracled by the
+    // same twin construction as q30: identical twins quantize identically,
+    // tie at the max approximate score (max query-corpus cosine in the
+    // testdata is ~0.41, far below any quantization error band), so all 10
+    // survive the k*rescoreFactor cut and rescore to the exact float
+    // maximum. Real-corpus recall stays bounded in SimilaritySpec.
+    "q92_ann_quantized" -> ((s, d) => {
+      val e = emb(s, d).select(col("vec_id"), col("embedding"))
+      val qs = e.filter(col("vec_id") < 3L)
+      val twins = qs.select(col("vec_id"), col("embedding"),
+          explode(sequence(lit(1L), lit(10L))).as("j"))
+        .select((col("vec_id") + col("j") * 100000L).as("vec_id"), col("embedding"))
+      Similarity.quantizedTopK(e.unionByName(twins), qs, "vec_id", "embedding",
           k = 10, rescoreFactor = 4)
-        .select(col("query_id"), col("neighbor_id"), col("rank"))),
+        .select(col("query_id"), col("neighbor_id"), col("rank"))
+    }),
 
-    // IVF ANN: deterministic centroid training + probe-and-rescore (rows-only
-    // check: approximate recall, oracle is bruteForceTopK in SimilaritySpec)
+    // IVF ANN with the twin oracle: a twin is assigned to the centroid
+    // nearest the query vector (identical bytes → identical argmin), and the
+    // query always probes that cell first (nprobe >= 1), so the 10 twins are
+    // guaranteed candidates and outrank every original (cosine 1.0 vs
+    // <= 0.41). Centroid training stays on the deterministic path.
     "q53_ann_ivf_topk" -> ((s, d) => {
-      val e = emb(s, d)
+      val e = emb(s, d).select(col("vec_id"), col("embedding"))
+      val qs = e.filter(col("vec_id") < 3L)
+      val twins = qs.select(col("vec_id"), col("embedding"),
+          explode(sequence(lit(1L), lit(10L))).as("j"))
+        .select((col("vec_id") + col("j") * 100000L).as("vec_id"), col("embedding"))
+      val corpus = e.unionByName(twins)
       val cents = Similarity.trainIvfCentroids(e, "vec_id", "embedding", k = 8, iters = 1)
-      Similarity.ivfTopK(e, e.filter(col("vec_id") < 3L), "vec_id", "embedding",
+      Similarity.ivfTopK(corpus, qs, "vec_id", "embedding",
           k = 10, cents, nprobe = 3)
         .select(col("query_id"), col("neighbor_id"), col("rank"))
     }),
@@ -446,25 +484,37 @@ object Battery {
     }),
 
     // REAL video metadata: blobs carry a genuine ISO BMFF prefix (ftyp +
-    // moov/mvhd v0 with trailing zeros to the spec'd 108-byte box) built
-    // from doc data; the engine walks the boxes back out (Mp4Headers) and
-    // the oracle replays timescale/duration arithmetically
+    // moov holding mvhd v0 AND a trak/tkhd v0 with 16.16 fixed-point
+    // dimensions) built from doc data; the engine walks the boxes back out
+    // (Mp4Headers) and the oracle replays the metadata arithmetically
     "q106_video_meta" -> ((s, d) => {
       def be32(c: Column) = unhex(lpad(hex(c), 8, "0"))
       val ts = when(col("doc_id") % 3 === 0, 600)
         .when(col("doc_id") % 3 === 1, 1000).otherwise(90000).cast("int")
       val dur = (col("n_chars") * 100).cast("int")
+      val w = (col("doc_id") % 1280 + 1).cast("int")
+      val h = (col("doc_id") % 720 + 1).cast("int")
+      val tkhd = concat(
+        unhex(lit("0000005C746B6864 00000003 00000000 00000000 00000001 00000000"
+          .replaceAll(" ", ""))), // size 92, v0, flags, times, track 1, resv
+        be32(dur),
+        unhex(lit("00" * 16)), // reserved + layer/alternate/volume/reserved
+        unhex(lit(("00010000 00000000 00000000 00000000 00010000 00000000 " +
+          "00000000 00000000 40000000").replaceAll(" ", ""))), // unity matrix
+        be32(w * 65536), be32(h * 65536)) // 16.16 fixed point
       val mp4 = concat(
         unhex(lit("0000001066747970 69736F6D 00000000".replaceAll(" ", ""))),
-        unhex(lit("000000746D6F6F76")), // moov, size 8 + 108
+        unhex(lit("000000D86D6F6F76")), // moov, size 8 + 108 + 100
         unhex(lit("0000006C6D766864 00000000 00000000 00000000".replaceAll(" ", ""))),
         be32(ts), be32(dur),
         unhex(lit("00" * 80)), // rate/volume/reserved/matrix/next-track zeros
+        unhex(lit("000000647472616B")), // trak, size 8 + 92
+        tkhd,
         col("text").cast("binary")) // mdat-less tail; walk must not care
       Multimodal.withVideoMeta(
           docs(s, d).withColumn("blob", mp4).select(col("doc_id"), col("blob")), "blob")
         .select(col("doc_id"), col("vbrand"), col("vtimescale"),
-          col("vduration"), col("vduration_ms"))
+          col("vduration"), col("vduration_ms"), col("vwidth"), col("vheight"))
     }),
 
     // ---- S1-S4/P2-P6/S10: DSv2 source + DSv1 sink end-to-end ----------
@@ -1511,6 +1561,15 @@ object Battery {
       """SELECT d.doc_id, d.source, d.n_chars FROM documents d
         |WHERE d.doc_id = (SELECT MIN(d2.doc_id) FROM documents d2
         |                  WHERE d2.text = d.text)""".stripMargin,
+    // simhash survivor set over the two-copy twin union: exact-text groups
+    // collapse to their min id (copy-0), replayed from text equality alone
+    "q26_dedup_simhash" ->
+      """WITH ids AS (
+        |  SELECT doc_id, source, n_chars, text FROM documents
+        |  UNION ALL SELECT doc_id + 1000000, source, n_chars, text FROM documents)
+        |SELECT i.doc_id, i.source, i.n_chars FROM ids i
+        |WHERE i.doc_id = (SELECT MIN(i2.doc_id) FROM ids i2
+        |                  WHERE i2.text = i.text)""".stripMargin,
     "q27_ngram_jaccard" ->
       """WITH ids AS (
         |  SELECT doc_id AS id, text, 0 AS v FROM documents
@@ -1765,6 +1824,26 @@ object Battery {
         |  FROM embeddings q, embeddings c
         |  WHERE q.vec_id < 3 AND c.vec_id <> q.vec_id
         |) WHERE rank <= 10""".stripMargin,
+    // twin construction: ranks 1..10 of each query are its 10 exact-copy
+    // twins in ascending id order (cosine 1.0 >> any original)
+    "q30_ann_lsh_topk" ->
+      """SELECT q.vec_id AS query_id,
+        |       q.vec_id + 100000 * t.j AS neighbor_id,
+        |       t.j AS rank
+        |FROM embeddings q, range(1, 11) t(j)
+        |WHERE q.vec_id < 3""".stripMargin,
+    "q92_ann_quantized" ->
+      """SELECT q.vec_id AS query_id,
+        |       q.vec_id + 100000 * t.j AS neighbor_id,
+        |       t.j AS rank
+        |FROM embeddings q, range(1, 11) t(j)
+        |WHERE q.vec_id < 3""".stripMargin,
+    "q53_ann_ivf_topk" ->
+      """SELECT q.vec_id AS query_id,
+        |       q.vec_id + 100000 * t.j AS neighbor_id,
+        |       t.j AS rank
+        |FROM embeddings q, range(1, 11) t(j)
+        |WHERE q.vec_id < 3""".stripMargin,
     // complex-type round-trip oracles recompute the flat projections from
     // `part` directly (the typed table is derived 1:1 from part, TypedTable)
     "q63_typed_roundtrip" ->
@@ -1811,7 +1890,9 @@ object Battery {
         |            WHEN doc_id % 3 = 1 THEN 1000 ELSE 90000 END AS BIGINT) AS vtimescale,
         |  CAST(n_chars * 100 AS BIGINT) AS vduration,
         |  CAST((n_chars * 100) * 1000 // (CASE WHEN doc_id % 3 = 0 THEN 600
-        |       WHEN doc_id % 3 = 1 THEN 1000 ELSE 90000 END) AS BIGINT) AS vduration_ms
+        |       WHEN doc_id % 3 = 1 THEN 1000 ELSE 90000 END) AS BIGINT) AS vduration_ms,
+        |  CAST(1 + doc_id % 1280 AS INT) AS vwidth,
+        |  CAST(1 + doc_id % 720 AS INT) AS vheight
         |FROM documents""".stripMargin,
     "q105_audio_meta" ->
       """WITH p AS (
