@@ -194,11 +194,20 @@ object GraftDataSource {
 
   /** Write-side twin of [[validateReadTypes]]: counter tables cannot be
    *  bulk-written either (counters mutate by delta; a bulk-loaded file
-   *  cannot carry one — the reference's writer has no counter path). */
+   *  cannot carry one — the reference's writer has no counter path), and
+   *  duration is rejected EXPLICITLY on both sides: the reference's own
+   *  Spark converter for duration is a `NotImplementedFeatures` stub
+   *  (reference `SparkDuration.java:23`), so a loud resolve-time error is
+   *  exact parity — and kinder than accepting a write that no read path
+   *  (ours or the reference's `AbstractStreamScanner.java:84-91`) could
+   *  ever hand back. */
   def validateWriteTypes(options: CaseInsensitiveStringMap): Unit =
     parseCqlTypes(options).foreach {
       case (c, "counter") => throw new UnsupportedOperationException(
         s"Writing counter column '$c' is not supported (bulk writes cannot carry counter deltas)")
+      case (c, "duration") => throw new UnsupportedOperationException(
+        s"Writing duration column '$c' is not supported (no Spark SQL representation; " +
+          "the reference's Spark duration converter is not implemented either)")
       case _ => ()
     }
 
@@ -719,9 +728,15 @@ object TokenPruner {
     val conf = spark.sessionState.newHadoopConf()
     val p = new Path(dir)
     val fs = p.getFileSystem(conf)
-    val sig = listingSignature(fs, p)
-    val cached = listingCache.get(dir)
-    if (cached != null && cached._1 == sig) return cached._2
+    // Escape hatch for deployments where files mutate out-of-band below the
+    // root level (the documented signature blind spot): session conf
+    // `graft.listing.cache=false` forces a full walk on every scan.
+    val cacheOn = spark.conf.getOption("graft.listing.cache").forall(_.toBoolean)
+    val sig = if (cacheOn) listingSignature(fs, p) else ""
+    if (cacheOn) {
+      val cached = listingCache.get(dir)
+      if (cached != null && cached._1 == sig) return cached._2
+    }
     fullWalks.incrementAndGet()
     val files = listDataFiles(fs, p)
     val manifest = graft.write.Manifest.read(fs, p)
@@ -729,8 +744,10 @@ object TokenPruner {
     val fromManifest = known.map(f => manifest(f.getPath.toString))
     val fromFooters = readFootersParallel(conf, unknown.map(f => (f.getPath, f.getLen)))
     val result = fromManifest ++ fromFooters
-    if (listingCache.size() > 64) listingCache.clear() // bound driver state
-    listingCache.put(dir, (sig, result))
+    if (cacheOn) {
+      if (listingCache.size() > 64) listingCache.clear() // bound driver state
+      listingCache.put(dir, (sig, result))
+    }
     result
   }
 

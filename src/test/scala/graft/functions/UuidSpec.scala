@@ -74,7 +74,7 @@ class UuidSpec extends SparkSpec {
     assert(read("id:bigint,cnt:varint").length == 1)
   }
 
-  test("counter columns are rejected on write too") {
+  test("counter and duration columns are rejected on write too") {
     import spark.implicits._
     val out = java.nio.file.Files.createTempDirectory("graft_cw_").toString + "/t"
     val e = intercept[UnsupportedOperationException] {
@@ -83,6 +83,15 @@ class UuidSpec extends SparkSpec {
         .mode(org.apache.spark.sql.SaveMode.Append).save()
     }
     assert(e.getMessage.contains("counter"))
+    // duration: the reference's Spark converter is a NotImplementedFeatures
+    // stub (SparkDuration.java), so rejecting at write-resolve IS parity —
+    // intentional, documented in SURVEY §2.9
+    val ed = intercept[UnsupportedOperationException] {
+      Seq((1L, 5L)).toDF("id", "cnt").write.format("graft")
+        .option("path", out).option("pk", "id").option("cqlTypes", "cnt:duration")
+        .mode(org.apache.spark.sql.SaveMode.Append).save()
+    }
+    assert(ed.getMessage.contains("duration"))
     // the DSv2 write path (SQL INSERT INTO) must reject too, not just the
     // V1 createRelation path
     spark.sql("DROP TABLE IF EXISTS graft_counter_t")

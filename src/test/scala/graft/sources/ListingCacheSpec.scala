@@ -51,6 +51,27 @@ class ListingCacheSpec extends SparkSpec {
     assert(TokenPruner.fullWalks.get() == w0 + 3)
   }
 
+  test("graft.listing.cache=false bypasses the cache: every listing walks") {
+    val dir = Files.createTempDirectory("graft_cache3_").toString + "/t"
+    import spark.implicits._
+    val df = (1L to 100L).map(i => (i, i)).toDF("id", "v")
+    TokenSortedWriter.write(df, schema, dir, SaveMode.Append,
+      TokenSortedWriter.WriteConf(numPartitions = 1, keepTokenColumn = true))
+    spark.conf.set("graft.listing.cache", "false")
+    try {
+      val w0 = TokenPruner.fullWalks.get()
+      TokenPruner.listFiles(spark, dir)
+      TokenPruner.listFiles(spark, dir)
+      assert(TokenPruner.fullWalks.get() == w0 + 2,
+        "cache off: repeated listings must each walk (out-of-band edits visible)")
+    } finally spark.conf.unset("graft.listing.cache")
+    // conf restored: warm behavior returns
+    val w1 = TokenPruner.fullWalks.get()
+    TokenPruner.listFiles(spark, dir)
+    TokenPruner.listFiles(spark, dir)
+    assert(TokenPruner.fullWalks.get() <= w1 + 1, "cache on again: warm listing cached")
+  }
+
   test("dir-partitioned layout: appends into existing partition dirs are seen") {
     val dir = Files.createTempDirectory("graft_cache2_").toString + "/t"
     import spark.implicits._
