@@ -125,10 +125,18 @@ object Battery {
         max(col("l_extendedprice")).as("max_price"),
         countDistinct(col("l_partkey")).as("distinct_parts"),
         count(lit(1)).as("count_order"))),
+    // HLL++ estimates are engine-specific (DuckDB's sketch differs), so the
+    // oracle checks the PROPERTY instead of the estimate: the exact count
+    // (replayable) plus a tolerance witness — |approx-exact| <= 5%·exact,
+    // the default-rsd guarantee. A broken sketch flips the boolean and
+    // fails the hash compare; the estimate itself stays in the plan.
     "q12_approx_distinct" -> ((s, d) =>
       li(s, d).groupBy(col("l_returnflag")).agg(
         approx_count_distinct(col("l_partkey")).as("approx_parts"),
-        countDistinct(col("l_partkey")).as("exact_parts"))),
+        countDistinct(col("l_partkey")).as("exact_parts"))
+        .select(col("l_returnflag"), col("exact_parts"),
+          (abs(col("approx_parts") - col("exact_parts"))
+            <= col("exact_parts") * 0.05).as("within_5pct"))),
 
     // ---- S8: partition-size style -------------------------------------
     "q13_partition_size" -> ((s, d) =>
@@ -1485,6 +1493,13 @@ object Battery {
         |  COUNT(DISTINCT l_partkey) AS distinct_parts,
         |  COUNT(*) AS count_order
         |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    // the tolerance-witness oracle: exact count replayed, witness constant-
+    // true (the engine's HLL++ at default rsd is well inside 5% here)
+    "q12_approx_distinct" ->
+      """SELECT l_returnflag,
+        |  COUNT(DISTINCT l_partkey) AS exact_parts,
+        |  true AS within_5pct
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "q13_partition_size" ->
       """SELECT source, CAST(SUM(n_chars) AS BIGINT) AS uncompressed, COUNT(*) AS n_docs
         |FROM documents GROUP BY source""".stripMargin,
