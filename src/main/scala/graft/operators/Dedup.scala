@@ -335,6 +335,95 @@ object Dedup {
     df.join(losers, Seq(idCol), "left_anti")
   }
 
+  // ---------- incremental dedup against an existing corpus --------------
+
+  /**
+   * Exact incremental dedup: drop new rows whose content fingerprint already
+   * exists in an ingested corpus. The corpus side collapses to its DISTINCT
+   * fingerprint set (16 B/row, map-side combined) before the anti-join, so
+   * corpus text is read once and never shuffled; the new batch moves through
+   * one anti-join that broadcasts whenever the corpus fingerprint set fits
+   * (typical when deduping a daily increment against a snapshot digest).
+   */
+  def dropExactAgainstCorpus(
+      newDocs: DataFrame,
+      corpus: DataFrame,
+      cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "incremental exact dedup needs at least one content column")
+    val fp = contentFingerprint(cols)
+    newDocs
+      .join(corpus.select(fp.as("__graft_fp")).distinct(),
+        fp === col("__graft_fp"), "left_anti")
+  }
+
+  /** Length-prefixed content fingerprint shared by [[exact]] and the
+   *  incremental variants (see [[exact]] for the boundary-ambiguity note). */
+  private def contentFingerprint(cols: Seq[String]): Column =
+    if (cols.size == 1) md5(col(cols.head).cast("string"))
+    else md5(concat(cols.flatMap { c =>
+      val v = col(c).cast("string")
+      Seq(coalesce(length(v), lit(-1)).cast("string"), lit(":"),
+        coalesce(v, lit("")), lit(";"))
+    }: _*))
+
+  /**
+   * Incremental NEAR-dup dedup: drop rows of `newDocs` that near-duplicate
+   * any document of an already-ingested `corpus`, WITHOUT re-clustering the
+   * corpus — the daily-increment shape of every production training-data
+   * pipeline (the snapshot was deduped when it was built; only new-vs-old
+   * collisions matter, and new-vs-new dedup is a separate
+   * [[dropNearDuplicates]] pass over the much smaller batch).
+   *
+   * Scale shape, in corpus-size-dominated terms:
+   *  - The corpus contributes ONLY (id, band, band_hash) rows — 24 B × bands
+   *    per document, computed in one codegen pass over the text. In a real
+   *    deployment this signature table is persisted next to the snapshot and
+   *    maintained incrementally, making the per-batch cost independent of
+   *    corpus text size; here it is derived on the fly from the same
+   *    expressions, so the contract (band keys, hash family, permutation
+   *    count) is pinned by this method either way.
+   *  - The band join is new-bands ⋈ corpus-bands on (band, band_hash): the
+   *    small side is the increment, so Spark broadcasts it when it fits and
+   *    the corpus band table streams through without a shuffle; candidates
+   *    `distinct()` on (new id, corpus id) BEFORE any signature rejoin, the
+   *    same collision-collapse discipline as [[candidatePairs]].
+   *  - Verification joins signatures back to the distinct candidate list
+   *    only; the matched-new-id set is bounded by |increment| and drives one
+   *    broadcast anti-join. Corpus rows are never dropped, moved, or
+   *    re-labeled.
+   */
+  def dropAgainstCorpus(
+      newDocs: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 3,
+      numPerms: Int = 64,
+      bands: Int = 16,
+      minEstJaccard: Double = 0.5): DataFrame = {
+    require(numPerms % bands == 0,
+      s"bands ($bands) must divide numPerms ($numPerms)")
+    val rowsPerBand = numPerms / bands
+    val sigsNew = signatures(newDocs, idCol, textCol, shingleN, numPerms)
+    val sigsOld = signatures(corpus, idCol, textCol, shingleN, numPerms)
+    def banded(sigs: DataFrame): DataFrame = sigs.select(col("id"),
+      posexplode(graft.functions.BandHashes(col("sig"), bands, rowsPerBand))
+        .as(Seq("band", "band_hash")))
+    val cand = banded(sigsNew).as("n")
+      .join(banded(sigsOld).as("c"),
+        col("n.band") === col("c.band") && col("n.band_hash") === col("c.band_hash"))
+      .select(col("n.id").as("new_id"), col("c.id").as("corpus_id"))
+      .distinct()
+    val matched = cand
+      .join(sigsNew.select(col("id").as("new_id"), col("sig").as("sig_n")), "new_id")
+      .join(sigsOld.select(col("id").as("corpus_id"), col("sig").as("sig_c")), "corpus_id")
+      .filter(
+        aggregate(zip_with(col("sig_n"), col("sig_c"), (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, v) => acc + v).cast("double") / numPerms >= minEstJaccard)
+      .select(col("new_id").as(idCol)).distinct()
+    newDocs.join(matched, Seq(idCol), "left_anti")
+  }
+
   // ---------- line-level corpus dedup (C4-style boilerplate removal) ----
 
   /**

@@ -237,6 +237,19 @@ object Battery {
         twinCopy(s, d, 0).unionByName(twinCopy(s, d, 1)), "doc_id", "text",
         maxHamming = 3)
         .select(col("doc_id"), col("source"), col("n_chars"))),
+    // incremental dedup: corpus = copy-0 twins; the fresh batch is copy-1
+    // (identical texts -> est jaccard 1 -> dropped) plus copy-2 built from
+    // the DISJOINT permutation set {8..15} (zero shared words -> jaccard 0
+    // -> kept, including its in-batch exact-text dups, which by contract
+    // survive a vs-corpus-only pass). Survivors are exactly copy-2.
+    "q108_incremental_dedup" -> ((s, d) =>
+      Dedup.dropAgainstCorpus(
+        twinCopy(s, d, 1).unionByName(twinCopy(s, d, 2, perm = 8 until 16)),
+        twinCopy(s, d, 0),
+        "doc_id", "text", shingleN = 3, numPerms = 64, bands = 16,
+        minEstJaccard = 0.5)
+        .select(col("doc_id"), col("source"), col("n_chars"))),
+
     // full transitive dedup clusters over THREE twin copies: every exact-text
     // group forms one component whose min label must propagate through the
     // connected-components fixpoint
@@ -1585,6 +1598,10 @@ object Battery {
         |SELECT i.doc_id, i.source, i.n_chars FROM ids i
         |WHERE i.doc_id = (SELECT MIN(i2.doc_id) FROM ids i2
         |                  WHERE i2.text = i.text)""".stripMargin,
+    // incremental dedup on the twin corpus: only the disjoint-word copy-2
+    // batch survives the vs-corpus pass (see the Spark-side construction)
+    "q108_incremental_dedup" ->
+      """SELECT doc_id + 2000000 AS doc_id, source, n_chars FROM documents""",
     "q27_ngram_jaccard" ->
       """WITH ids AS (
         |  SELECT doc_id AS id, text, 0 AS v FROM documents

@@ -197,6 +197,62 @@ class DedupSpec extends SparkSpec {
     assert(collapsed(99L) == "")
   }
 
+  test("dropExactAgainstCorpus drops only content already in the corpus") {
+    import spark.implicits._
+    val corpus = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog"),
+      (11L, "completely different content about spark engines and parquet files"))
+      .toDF("doc_id", "text")
+    val fresh = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog"), // exact corpus dup
+      (101L, "a genuinely novel document about distributed joins"),
+      (102L, "a genuinely novel document about distributed joins")) // in-batch dup: kept
+      .toDF("doc_id", "text")
+    val got = Dedup.dropExactAgainstCorpus(fresh, corpus, Seq("text"))
+      .select("doc_id").as[Long].collect().toSet
+    // only vs-corpus dups drop; in-batch dedup is a separate pass by contract
+    assert(got === Set(101L, 102L))
+  }
+
+  test("dropAgainstCorpus drops near-dups of corpus docs, keeps novel docs") {
+    import spark.implicits._
+    val corpus = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog"),
+      (11L, "completely different content about spark engines and parquet files"))
+      .toDF("doc_id", "text")
+    val fresh = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog"), // exact dup of 10
+      (101L, "the quick brown fox jumps over the lazy cat"), // near dup of 10
+      (102L, "entirely unrelated text mentioning cassandra analytics bulk reads"),
+      (103L, "entirely unrelated text mentioning cassandra analytics bulk reads"))
+      .toDF("doc_id", "text")
+    val got = Dedup.dropAgainstCorpus(fresh, corpus, "doc_id", "text",
+      shingleN = 3, numPerms = 32, bands = 16, minEstJaccard = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(!got.contains(100L)) // exact dup always caught (est jaccard 1.0)
+    assert(got.contains(102L) && got.contains(103L)) // novel + in-batch dup survive
+    // corpus is never modified: the operator returns rows of `fresh` only
+    val cols = Dedup.dropAgainstCorpus(fresh, corpus, "doc_id", "text",
+      numPerms = 32, bands = 16).columns.toSeq
+    assert(cols === fresh.columns.toSeq)
+  }
+
+  test("dropAgainstCorpus threshold: disjoint-word twins never match") {
+    import spark.implicits._
+    // md5-word construction (the battery's twinCopy): same doc rebuilt from
+    // permutation sets {0..7} (corpus) and {8..15} (fresh) shares zero words
+    val base = Seq((1L, "alpha"), (2L, "beta")).toDF("doc_id", "text")
+    def twin(off: Long, ks: Seq[Int]) = base.select(
+      (col("doc_id") + off).as("doc_id"),
+      concat_ws(" ", ks.map(k => md5(concat_ws("#", col("text"), lit(k)))): _*).as("text"))
+    val corpus = twin(0L, 0 until 8)
+    val fresh = twin(100L, 0 until 8).unionByName(twin(200L, 8 until 16))
+    val got = Dedup.dropAgainstCorpus(fresh, corpus, "doc_id", "text",
+      shingleN = 1, numPerms = 32, bands = 16, minEstJaccard = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(got === Set(201L, 202L)) // identical twins drop, disjoint twins stay
+  }
+
   test("dropFrequentLines: regex-special separators are treated literally") {
     import spark.implicits._
     val docs = (1L to 4L).map(i => (i, s"AD. body $i. AD")).toDF("doc_id", "text")
