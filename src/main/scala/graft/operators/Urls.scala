@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * URL canonicalization and domain extraction for web-scale corpus curation:
+ * URL-keyed dedup, per-domain capping/mixing, and domain-level quality
+ * policies all need one canonical form per page first (the same page is
+ * crawled as `HTTP://WWW.Site.com/a/`, `http://site.com:80/a?utm_source=x`,
+ * `http://site.com/a#frag`, …).
+ *
+ * Everything here is a pure Column expression chain (regexp extract/replace,
+ * split/filter/array_join) — whole-stage codegen, zero shuffle, scales
+ * linearly like the rest of [[TextAnalysis]]. Composition points:
+ * [[Dedup.exact]] on `url_norm` for URL-level dedup, [[Sampling.capPerGroup]]
+ * on `url_domain` for per-domain caps.
+ *
+ * Normalization contract (absolute http(s)-style URLs):
+ *  - fragment dropped; scheme and host lowercased; path/query case KEPT
+ *    (paths are case-sensitive by RFC 3986);
+ *  - leading `www.` and default ports (`:80` http, `:443` https) dropped,
+ *    non-default ports kept;
+ *  - `utm_*` tracking parameters dropped, other parameters kept in order;
+ *  - one trailing `/` dropped from the path (`/a/` ≡ `/a`, `/` ≡ ``);
+ *  - inputs with no `scheme://` pass through trimmed but otherwise
+ *    untouched (opaque ids, relative links) — deterministic, never null.
+ */
+object Urls {
+
+  private val SchemeRe = "^([A-Za-z][A-Za-z0-9+.-]*)://"
+
+  /** Lowercased scheme, or empty string when the value has no `scheme://`. */
+  def scheme(url: Column): Column =
+    lower(regexp_extract(trim(url), SchemeRe, 1))
+
+  /** Lowercased `host[:port]` authority (ports intact, `www.` intact). */
+  def hostPort(url: Column): Column =
+    lower(regexp_extract(trim(url), SchemeRe + "([^/?#]*)", 2))
+
+  /** Lowercased host: authority minus any `:port` and a leading `www.`. */
+  def host(url: Column): Column =
+    regexp_replace(regexp_replace(hostPort(url), ":[0-9]+$", ""), "^www\\.", "")
+
+  /**
+   * Registrable domain by the last-two-labels heuristic (`a.b.site.com` →
+   * `site.com`). A full public-suffix-list walk (for `co.uk`-style suffixes)
+   * is a data file away and slots into the same expression; the heuristic is
+   * the standard corpus-curation default and keeps the expression
+   * self-contained. Single-label hosts (e.g. `localhost`) pass through.
+   */
+  def domain(url: Column): Column = {
+    val h = host(url)
+    val lastTwo = regexp_extract(h, "([^.]+\\.[^.]+)$", 1)
+    when(lastTwo === "", h).otherwise(lastTwo)
+  }
+
+  /** Canonical URL per the contract above. */
+  def normalize(url: Column): Column = {
+    val u = trim(url)
+    val noFrag = regexp_replace(u, "#.*", "")
+    val sch = lower(regexp_extract(noFrag, SchemeRe, 1))
+    val hp = lower(regexp_extract(noFrag, SchemeRe + "([^/?#]*)", 2))
+    val hpNoDefault = when(sch === "http", regexp_replace(hp, ":80$", ""))
+      .when(sch === "https", regexp_replace(hp, ":443$", ""))
+      .otherwise(hp)
+    val authority = regexp_replace(hpNoDefault, "^www\\.", "")
+    val rest = regexp_extract(noFrag, SchemeRe + "[^/?#]*([/?][^#]*)?", 2)
+    val path = regexp_replace(regexp_extract(rest, "^([^?]*)", 1), "/$", "")
+    val query = regexp_extract(rest, "\\?(.*)$", 1)
+    val kept = filter(split(query, "&"),
+      p => !(p.startsWith("utm_") || p === ""))
+    val queryNorm = array_join(kept, "&")
+    val rebuilt = concat(sch, lit("://"), authority, path,
+      when(queryNorm === "", lit("")).otherwise(concat(lit("?"), queryNorm)))
+    when(sch === "", u).otherwise(rebuilt)
+  }
+
+  /** Adds `url_norm`, `url_host`, `url_domain`, `url_scheme` next to
+   *  `urlCol` — the columns downstream dedup/capping/mixing key on. */
+  def withUrlParts(df: DataFrame, urlCol: String): DataFrame = {
+    val u = col(urlCol)
+    df.withColumn("url_norm", normalize(u))
+      .withColumn("url_host", host(u))
+      .withColumn("url_domain", domain(u))
+      .withColumn("url_scheme", scheme(u))
+  }
+}

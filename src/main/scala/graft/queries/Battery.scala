@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.model.CqlSchema
-import graft.operators.{Dedup, Multimodal, Normalize, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Multimodal, Normalize, Similarity, TextAnalysis, Urls}
 import graft.tables.Tables
 import graft.write.TokenSortedWriter
 import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
@@ -249,6 +249,31 @@ object Battery {
         "doc_id", "text", shingleN = 3, numPerms = 64, bands = 16,
         minEstJaccard = 0.5)
         .select(col("doc_id"), col("source"), col("n_chars"))),
+
+    // URL canonicalization over a constructed corpus that exercises every
+    // rule: mixed-case scheme/host, www + default/non-default ports,
+    // utm_* params, trailing slash, fragments, sub-domains. The oracle
+    // replays the EXPECTED canonical form in closed arithmetic (not regex),
+    // so the normalization contract itself is what's hash-checked.
+    "q109_url_normalize" -> ((s, d) => {
+      val id = col("doc_id")
+      val k = (id % 50).cast("string")
+      val host0 = concat(lit("Example"), k, lit(".COM"))
+      val hostC = when(id % 3 === 0, concat(lit("WWW."), host0))
+        .when(id % 3 === 1, concat(lit("Sub."), host0))
+        .otherwise(host0)
+      val port = when(id % 4 === 0, lit(":443"))
+        .when(id % 4 === 2, lit(":8443"))
+        .otherwise(lit(""))
+      val tail = when(id % 5 === 0, lit("/"))
+        .otherwise(concat(lit("?utm_source=news&utm_id=7&id="), id.cast("string")))
+      val frag = when(id % 7 === 0, lit("#Section-2")).otherwise(lit(""))
+      val url = concat(lit("HTTPS://"), hostC, port,
+        lit("/Docs/"), id.cast("string"), tail, frag)
+      Urls.withUrlParts(docs(s, d).withColumn("url", url), "url")
+        .select(id, col("url_norm"), col("url_host"), col("url_domain"),
+          col("url_scheme"))
+    }),
 
     // full transitive dedup clusters over THREE twin copies: every exact-text
     // group forms one component whose min label must propagate through the
@@ -1602,6 +1627,22 @@ object Battery {
     // batch survives the vs-corpus pass (see the Spark-side construction)
     "q108_incremental_dedup" ->
       """SELECT doc_id + 2000000 AS doc_id, source, n_chars FROM documents""",
+    // closed-form expected canonicalization (see the Spark-side construction)
+    "q109_url_normalize" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 1 THEN 'sub.' ELSE '' END
+        |      || 'example' || CAST(doc_id % 50 AS VARCHAR) || '.com' AS h,
+        |    CASE WHEN doc_id % 4 = 2 THEN ':8443' ELSE '' END AS p
+        |  FROM documents)
+        |SELECT doc_id,
+        |  'https://' || h || p || '/Docs/' || CAST(doc_id AS VARCHAR)
+        |    || CASE WHEN doc_id % 5 = 0 THEN ''
+        |            ELSE '?id=' || CAST(doc_id AS VARCHAR) END AS url_norm,
+        |  h AS url_host,
+        |  'example' || CAST(doc_id % 50 AS VARCHAR) || '.com' AS url_domain,
+        |  'https' AS url_scheme
+        |FROM u""".stripMargin,
     "q27_ngram_jaccard" ->
       """WITH ids AS (
         |  SELECT doc_id AS id, text, 0 AS v FROM documents

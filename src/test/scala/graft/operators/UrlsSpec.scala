@@ -1,0 +1,64 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class UrlsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def norm(u: String): String =
+    Seq(u).toDF("url").select(Urls.normalize(col("url"))).as[String].head()
+
+  private def dom(u: String): String =
+    Seq(u).toDF("url").select(Urls.domain(col("url"))).as[String].head()
+
+  test("normalize lowercases scheme+host, keeps path case") {
+    assert(norm("HTTPS://Example.COM/Path/To/X") === "https://example.com/Path/To/X")
+  }
+
+  test("normalize strips fragment, www, default ports; keeps others") {
+    assert(norm("http://www.site.com:80/a#frag") === "http://site.com/a")
+    assert(norm("https://site.com:443/a") === "https://site.com/a")
+    assert(norm("https://site.com:8443/a") === "https://site.com:8443/a")
+    // :80 is only default for http, :443 only for https
+    assert(norm("http://site.com:443/a") === "http://site.com:443/a")
+  }
+
+  test("normalize drops utm_* params, keeps others in order") {
+    assert(norm("https://s.com/a?utm_source=x&id=7&utm_id=9&b=2")
+      === "https://s.com/a?id=7&b=2")
+    // all params tracking -> query gone entirely
+    assert(norm("https://s.com/a?utm_source=x") === "https://s.com/a")
+  }
+
+  test("normalize strips one trailing slash; bare / collapses to empty") {
+    assert(norm("https://s.com/a/") === "https://s.com/a")
+    assert(norm("https://s.com/") === "https://s.com")
+    assert(norm("https://s.com") === "https://s.com")
+  }
+
+  test("schemeless input passes through trimmed, never null") {
+    assert(norm("  not a url  ") === "not a url")
+    assert(norm("relative/path?x=1") === "relative/path?x=1")
+  }
+
+  test("host and domain extraction") {
+    val row = Seq("HTTPS://WWW.A.B.Site.COM:8443/x?q=1#f").toDF("url")
+      .select(Urls.host(col("url")), Urls.domain(col("url")), Urls.scheme(col("url")))
+      .as[(String, String, String)].head()
+    assert(row === (("a.b.site.com", "site.com", "https")))
+    assert(dom("http://localhost:9000/x") === "localhost")
+    assert(dom("http://www.site.com/x") === "site.com")
+  }
+
+  test("withUrlParts + capPerGroup composition caps per canonical domain") {
+    val docs = (1L to 40L).map { i =>
+      (i, s"HTTP://WWW.D${i % 4}.com/page/$i?utm_source=x")
+    }.toDF("doc_id", "url")
+    val parts = Urls.withUrlParts(docs, "url")
+    assert(parts.select("url_norm").as[String].head().startsWith("http://d"))
+    val capped = Sampling.capPerGroup(parts, Seq("url_domain"), Seq("doc_id"), 3)
+    val byDom = capped.groupBy("url_domain").count().as[(String, Long)].collect().toMap
+    assert(byDom.values.forall(_ === 3L) && byDom.size === 4)
+  }
+}
