@@ -60,6 +60,39 @@ object ImageHeaders {
       val ch = if (bpp <= 8) 1 else bpp / 8
       return Dims(leI32(b, 18), math.abs(leI32(b, 22)), ch, "bmp")
     }
+    // WEBP: RIFF container with form "WEBP"; the first chunk's fourCC
+    // selects the codec header — VP8 (lossy frame tag), VP8L (lossless
+    // 14-bit packed dims + alpha bit), VP8X (extended: 24-bit canvas)
+    if (b.length >= 16 &&
+        b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+        b(8) == 'W' && b(9) == 'E' && b(10) == 'B' && b(11) == 'P') {
+      if (b(12) == 'V' && b(13) == 'P' && b(14) == '8' && b(15) == ' ') {
+        // lossy: 3-byte frame tag at 20, sync code 9D 01 2A, LE 14-bit dims
+        if (b.length < 30 ||
+            (b(23) & 0xff) != 0x9d || (b(24) & 0xff) != 0x01 ||
+            (b(25) & 0xff) != 0x2a) return null
+        return Dims(leU16(b, 26) & 0x3fff, leU16(b, 28) & 0x3fff, 3, "webp")
+      }
+      if (b(12) == 'V' && b(13) == 'P' && b(14) == '8' && b(15) == 'L') {
+        // lossless: 0x2F signature, then LE32 = (w-1) | (h-1)<<14 |
+        // alpha<<28 | version<<29 (version must be 0)
+        if (b.length < 25 || (b(20) & 0xff) != 0x2f) return null
+        val bits = leI32(b, 21)
+        if (((bits >>> 29) & 0x7) != 0) return null
+        val ch = if (((bits >>> 28) & 1) == 1) 4 else 3
+        return Dims((bits & 0x3fff) + 1, ((bits >>> 14) & 0x3fff) + 1, ch, "webp")
+      }
+      if (b(12) == 'V' && b(13) == 'P' && b(14) == '8' && b(15) == 'X') {
+        // extended: flags byte at 20 (bit 4 = alpha), 24-bit LE canvas
+        // width-1 / height-1 at 24 / 27
+        if (b.length < 30) return null
+        val w = ((b(24) & 0xff) | ((b(25) & 0xff) << 8) | ((b(26) & 0xff) << 16)) + 1
+        val h = ((b(27) & 0xff) | ((b(28) & 0xff) << 8) | ((b(29) & 0xff) << 16)) + 1
+        val ch = if ((b(20) & 0x10) != 0) 4 else 3
+        return Dims(w, h, ch, "webp")
+      }
+      return null
+    }
     // JPEG: SOI then marker segments; any SOFn (C0-CF minus C4/C8/CC)
     // carries precision(1) height(2) width(2) components(1)
     if ((b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8) {

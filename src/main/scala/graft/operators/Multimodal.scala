@@ -45,7 +45,12 @@ object Multimodal {
           .when(magic.startsWith("89504E47"), "png")
           .when(magic.startsWith("47494638"), "gif")
           .when(magic.startsWith("424D"), "bmp")
-          .when(magic.startsWith("52494646"), "riff_wav_avi")
+          // RIFF splits by the form type at bytes 9-12: WEBP / WAVE / AVI<sp>
+          .when(magic.startsWith("52494646"),
+            when(hex(substring(b, 9, 4)) === "57454250", "webp")
+              .when(hex(substring(b, 9, 4)) === "57415645", "wav")
+              .when(hex(substring(b, 9, 4)) === "41564920", "avi")
+              .otherwise("riff"))
           .when(magic.startsWith("494433"), "mp3_id3")
           .otherwise("unknown"))
   }

@@ -487,8 +487,22 @@ object Battery {
       val jpg = concat(
         unhex(lit("FFD8FFE000104A46494600010100000100010000FFC0001108")),
         be16(h), be16(w), unhex(lit("03011100021101031101")), txt)
-      val blob = when(col("doc_id") % 3 === 0, png)
-        .when(col("doc_id") % 3 === 1, gif).otherwise(jpg)
+      // WEBP VP8L: RIFF sizes are the real payload sizes, dims+alpha packed
+      // into the lossless bitstream header LE32 (version bits 0)
+      def le32(c: Column) = {
+        val hx = lpad(hex(c), 8, "0")
+        unhex(concat(substring(hx, 7, 2), substring(hx, 5, 2),
+          substring(hx, 3, 2), substring(hx, 1, 2)))
+      }
+      val alpha = when(col("doc_id") % 8 === 3, 1).otherwise(0)
+      val bits = (w - 1) + (h - 1) * lit(16384) + alpha * lit(268435456)
+      val blen = octet_length(col("text"))
+      val webp = concat(unhex(lit("52494646")), le32(blen + 17),
+        unhex(lit("57454250")), unhex(lit("5650384C")), le32(blen + 5),
+        unhex(lit("2F")), le32(bits), txt)
+      val m4 = col("doc_id") % 4
+      val blob = when(m4 === 0, png).when(m4 === 1, gif)
+        .when(m4 === 2, jpg).otherwise(webp)
       Multimodal.withImageDims(
           Multimodal.withBlobMetadata(docs(s, d).withColumn("blob", blob), "blob"),
           "blob")
@@ -1674,10 +1688,15 @@ object Battery {
     "q35_blob_metadata" ->
       """WITH b AS (
         |  SELECT doc_id, CAST(1 + doc_id % 1024 AS INT) AS w,
-        |    CAST(1 + doc_id % 768 AS INT) AS h, doc_id % 3 AS m, text
+        |    CAST(1 + doc_id % 768 AS INT) AS h, doc_id % 4 AS m,
+        |    CASE WHEN doc_id % 8 = 3 THEN 1 ELSE 0 END AS alpha,
+        |    octet_length(CAST(text AS BLOB)) AS blen, text
         |  FROM documents),
+        |bits AS (
+        |  SELECT *, (w - 1) + (h - 1) * 16384 + alpha * 268435456 AS vp8l
+        |  FROM b),
         |blob AS (
-        |  SELECT doc_id, w, h, m,
+        |  SELECT doc_id, w, h, m, alpha,
         |    CASE WHEN m = 0 THEN
         |      from_hex('89504E470D0A1A0A0000000D49484452') ||
         |      from_hex(lpad(to_hex(w),8,'0')) || from_hex(lpad(to_hex(h),8,'0')) ||
@@ -1687,19 +1706,33 @@ object Battery {
         |      from_hex(substr(lpad(to_hex(w),4,'0'),3,2) || substr(lpad(to_hex(w),4,'0'),1,2)) ||
         |      from_hex(substr(lpad(to_hex(h),4,'0'),3,2) || substr(lpad(to_hex(h),4,'0'),1,2)) ||
         |      CAST(text AS BLOB)
-        |    ELSE
+        |    WHEN m = 2 THEN
         |      from_hex('FFD8FFE000104A46494600010100000100010000FFC0001108') ||
         |      from_hex(lpad(to_hex(h),4,'0')) || from_hex(lpad(to_hex(w),4,'0')) ||
         |      from_hex('03011100021101031101') || CAST(text AS BLOB)
+        |    ELSE
+        |      from_hex('52494646') ||
+        |      from_hex(substr(lpad(to_hex(blen + 17),8,'0'),7,2) || substr(lpad(to_hex(blen + 17),8,'0'),5,2) ||
+        |               substr(lpad(to_hex(blen + 17),8,'0'),3,2) || substr(lpad(to_hex(blen + 17),8,'0'),1,2)) ||
+        |      from_hex('57454250') || from_hex('5650384C') ||
+        |      from_hex(substr(lpad(to_hex(blen + 5),8,'0'),7,2) || substr(lpad(to_hex(blen + 5),8,'0'),5,2) ||
+        |               substr(lpad(to_hex(blen + 5),8,'0'),3,2) || substr(lpad(to_hex(blen + 5),8,'0'),1,2)) ||
+        |      from_hex('2F') ||
+        |      from_hex(substr(lpad(to_hex(vp8l),8,'0'),7,2) || substr(lpad(to_hex(vp8l),8,'0'),5,2) ||
+        |               substr(lpad(to_hex(vp8l),8,'0'),3,2) || substr(lpad(to_hex(vp8l),8,'0'),1,2)) ||
+        |      CAST(text AS BLOB)
         |    END AS blob
-        |  FROM b)
+        |  FROM bits)
         |SELECT doc_id,
         |  CAST(octet_length(blob) AS BIGINT) AS byte_len,
         |  hex(blob) AS blob_hex,
-        |  CASE WHEN m = 0 THEN 'png' WHEN m = 1 THEN 'gif' ELSE 'jpeg' END AS container,
+        |  CASE WHEN m = 0 THEN 'png' WHEN m = 1 THEN 'gif'
+        |       WHEN m = 2 THEN 'jpeg' ELSE 'webp' END AS container,
         |  w AS width, h AS height,
-        |  CAST(CASE WHEN m = 0 THEN 4 WHEN m = 1 THEN 1 ELSE 3 END AS INT) AS channels,
-        |  CASE WHEN m = 0 THEN 'png' WHEN m = 1 THEN 'gif' ELSE 'jpeg' END AS img_format
+        |  CAST(CASE WHEN m = 0 THEN 4 WHEN m = 1 THEN 1
+        |            WHEN m = 2 THEN 3 ELSE 3 + alpha END AS INT) AS channels,
+        |  CASE WHEN m = 0 THEN 'png' WHEN m = 1 THEN 'gif'
+        |       WHEN m = 2 THEN 'jpeg' ELSE 'webp' END AS img_format
         |FROM blob""".stripMargin,
     "q38_dsv2_roundtrip" ->
       "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem WHERE l_orderkey IN (1, 7, 42, 4096)",

@@ -25,11 +25,40 @@ class ImageHeadersSpec extends SparkSpec {
     "424D 46000000 00000000 36000000 28000000 07000000 09000000 0100 1800" +
       " 00000000 10000000 130B0000 130B0000 00000000 00000000")
 
+  // WEBP VP8 (lossy): RIFF/WEBP, frame tag, sync 9D012A, 14-bit LE dims 550x368
+  private val webpVp8 = hexBytes(
+    "52494646 24000000 57454250 56503820 18000000 9A0100 9D012A 2602 7001 00")
+  // WEBP VP8L (lossless): sig 2F, LE32 bits = (16-1) | (8-1)<<14 | 1<<28
+  private val webpVp8l = hexBytes(
+    "52494646 11000000 57454250 5650384C 05000000 2F 0FC00110")
+  // WEBP VP8X (extended): alpha flag 0x10, 24-bit canvas 1023x511
+  private val webpVp8x = hexBytes(
+    "52494646 12000000 57454250 56503858 0A000000 10 000000 FF0300 FF0100")
+
   test("PNG / GIF / JPEG / BMP dimensions parse from real header bytes") {
     assert(ImageHeaders.parse(png) == ImageHeaders.Dims(3, 2, 3, "png"))
     assert(ImageHeaders.parse(gif) == ImageHeaders.Dims(640, 480, 1, "gif"))
     assert(ImageHeaders.parse(jpeg) == ImageHeaders.Dims(257, 65534, 3, "jpeg"))
     assert(ImageHeaders.parse(bmp) == ImageHeaders.Dims(7, 9, 3, "bmp"))
+  }
+
+  test("WEBP VP8 / VP8L / VP8X dimensions parse from real header bytes") {
+    assert(ImageHeaders.parse(webpVp8) == ImageHeaders.Dims(550, 368, 3, "webp"))
+    assert(ImageHeaders.parse(webpVp8l) == ImageHeaders.Dims(16, 8, 4, "webp"))
+    assert(ImageHeaders.parse(webpVp8x) == ImageHeaders.Dims(1024, 512, 4, "webp"))
+    // VP8X without the alpha flag: 3 channels
+    val noAlpha = webpVp8x.clone(); noAlpha(20) = 0
+    assert(ImageHeaders.parse(noAlpha).channels == 3)
+    // broken VP8 sync code / VP8L signature / VP8L version bits -> null
+    val badSync = webpVp8.clone(); badSync(23) = 0x11
+    assert(ImageHeaders.parse(badSync) == null)
+    val badSig = webpVp8l.clone(); badSig(20) = 0x30
+    assert(ImageHeaders.parse(badSig) == null)
+    val badVer = webpVp8l.clone(); badVer(24) = 0x21 // version bits != 0
+    assert(ImageHeaders.parse(badVer) == null)
+    // unknown first chunk in a WEBP RIFF -> null
+    val badCc = webpVp8.clone(); badCc(15) = 'Z'
+    assert(ImageHeaders.parse(badCc) == null)
   }
 
   test("png color types map to channel counts; gray png") {
@@ -61,9 +90,9 @@ class ImageHeadersSpec extends SparkSpec {
     })
     // structured fuzz: flip one byte anywhere in a VALID header — the
     // marker scans must stay in-bounds and loop-free
-    val fixtures = Seq(png, gif, jpeg, bmp)
+    val fixtures = Seq(png, gif, jpeg, bmp, webpVp8, webpVp8l, webpVp8x)
     check(org.scalacheck.Prop.forAll(
-      org.scalacheck.Gen.choose(0, 3), org.scalacheck.Gen.choose(0, 255),
+      org.scalacheck.Gen.choose(0, 6), org.scalacheck.Gen.choose(0, 255),
       org.scalacheck.Gen.choose(0, 255)) { (fi, pos, v) =>
       val b = fixtures(fi).clone()
       b(pos % b.length) = v.toByte
