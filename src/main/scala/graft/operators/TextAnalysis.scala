@@ -106,6 +106,41 @@ object TextAnalysis {
   }
 
   /**
+   * HTML/markup removal — the first pass over crawled web text before any
+   * quality scoring or dedup sees it. Pure regexp_replace/replace chain
+   * (whole-stage codegen, zero shuffle, linear in bytes):
+   *
+   *  1. `<script>`/`<style>` elements and `<!-- -->` comments removed
+   *     WHOLESALE (their content is code, not prose — and may contain
+   *     literal `<`/`>` that must not confuse the tag pass);
+   *  2. every remaining tag `<...>` dropped;
+   *  3. the core entities decoded exactly once, `&amp;` LAST — so escaped
+   *     markup like `&lt;b&gt;` becomes literal text `<b>`, and
+   *     double-escapes like `&amp;lt;` yield `&lt;` (never re-decoded);
+   *  4. all whitespace collapsed to single spaces, trimmed — the normal
+   *     form the quality/langid/fingerprint operators expect.
+   *
+   * Malformed markup degrades gracefully, never errors: a tag ends at the
+   * first `>` (quoted `>` in attributes is browser-error-recovery
+   * territory), and an unclosed `<` never matches and survives as text.
+   */
+  def stripHtml(text: Column): Column = {
+    val noScript = regexp_replace(text, "(?is)<script\\b[^>]*>.*?</script\\s*>", " ")
+    val noStyle = regexp_replace(noScript, "(?is)<style\\b[^>]*>.*?</style\\s*>", " ")
+    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+    val noTags = regexp_replace(noComment, "(?s)<[^>]*>", " ")
+    val decoded = Seq(
+      "&nbsp;" -> " ", "&quot;" -> "\"", "&#39;" -> "'", "&apos;" -> "'",
+      "&lt;" -> "<", "&gt;" -> ">", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (from, to)) => replace(c, lit(from), lit(to)) }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
+  def withStrippedHtml(
+      df: DataFrame, htmlCol: String, outCol: String = "text_plain"): DataFrame =
+    df.withColumn(outCol, stripHtml(col(htmlCol)))
+
+  /**
    * Intra-document repetition: the fraction of duplicated word n-grams
    * (`1 - distinct/total`) — the Gopher-style "repeated n-gram" quality
    * signal used to drop boilerplate/looping documents before training.

@@ -275,6 +275,25 @@ object Battery {
           col("url_scheme"))
     }),
 
+    // HTML stripping over deterministically constructed pages wrapping the
+    // corpus text: script/style with literal < > inside, comments hiding
+    // tags, every decoded entity class, attribute tags. The oracle rebuilds
+    // the expected plain text in closed form (corpus text is pre-verified
+    // whitespace-normal), so the strip contract itself is hash-checked.
+    "q110_html_strip" -> ((s, d) => {
+      val id = col("doc_id").cast("string")
+      val html = concat(
+        lit("<html><head><title>Doc "), id,
+        lit("</title><style type=\"text/css\">p > a { color: red; }</style>"),
+        lit("<script>if (x < 2 && y > 3) { z(); }</script></head>"),
+        lit("<body><!-- nav <b>chrome</b> --><h1 class=\"t\">Title "), id,
+        lit("</h1>\n<p>"), col("text"),
+        lit("</p>&nbsp;<b>Bold&amp;Co</b> &lt;tag&gt; &quot;q&#39;</body></html>"))
+      TextAnalysis.withStrippedHtml(
+          docs(s, d).withColumn("html", html), "html")
+        .select(col("doc_id"), col("text_plain"))
+    }),
+
     // full transitive dedup clusters over THREE twin copies: every exact-text
     // group forms one component whose min label must propagate through the
     // connected-components fixpoint
@@ -1657,6 +1676,13 @@ object Battery {
         |  'example' || CAST(doc_id % 50 AS VARCHAR) || '.com' AS url_domain,
         |  'https' AS url_scheme
         |FROM u""".stripMargin,
+    // closed-form expected plain text (corpus text is whitespace-normal:
+    // no <>&, no doubled/leading/trailing whitespace — verified fixture)
+    "q110_html_strip" ->
+      """SELECT doc_id,
+        |  'Doc ' || CAST(doc_id AS VARCHAR) || ' Title ' || CAST(doc_id AS VARCHAR)
+        |    || ' ' || text || ' Bold&Co <tag> "q''' AS text_plain
+        |FROM documents""".stripMargin,
     "q27_ngram_jaccard" ->
       """WITH ids AS (
         |  SELECT doc_id AS id, text, 0 AS v FROM documents

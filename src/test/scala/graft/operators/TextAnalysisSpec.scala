@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions.col
 
 class TextAnalysisSpec extends SparkSpec {
   import spark.implicits._
@@ -68,6 +69,37 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(4L)._4 === math.ceil("xyzzy qwerty plugh".length / 4.0).toLong)
     // punctuation becomes separate regex tokens
     assert(got(5L)._3 > got(5L)._2)
+  }
+
+  test("stripHtml removes script/style/comments/tags, decodes entities, collapses ws") {
+    def strip(h: String): String =
+      Seq(h).toDF("html").select(TextAnalysis.stripHtml(col("html"))).as[String].head()
+    assert(strip("<html><body><h1>Title</h1>\n<p>Hello  world</p></body></html>")
+      === "Title Hello world")
+    // script/style content removed wholesale, even with < > inside
+    assert(strip("<script>if (a < b) { x(); }</script>before<style>p>a{}</style>after")
+      === "before after")
+    assert(strip("a<!-- hidden <b>not text</b> -->b") === "a b")
+    // entities: one decode pass, &amp; last; escaped markup stays text
+    assert(strip("&lt;b&gt;bold&lt;/b&gt; &amp;lt; &quot;q&#39; &nbsp;x")
+      === "<b>bold</b> &lt; \"q' x")
+    // attributes with > inside quotes are browser-recovery territory:
+    // the tag pass ends at the first > and never throws
+    assert(strip("<a href='x'>link</a> <img alt=\"a>b\">") === "link b\">")
+    // an unclosed tag never finds its > and stays literal text
+    assert(strip("text <b unclosed") === "text <b unclosed")
+  }
+
+  test("stripHtml feeds the quality/fingerprint normal form") {
+    val html = Seq((1L, "<p>Hello&nbsp;&nbsp;World</p>"), (2L, "hello world"))
+      .toDF("doc_id", "html")
+    val out = TextAnalysis.withStrippedHtml(html, "html")
+      .select("doc_id", "text_plain").as[(Long, String)].collect().toMap
+    assert(out(1L) === "Hello World")
+    val fp = TextAnalysis.withFingerprint(
+      TextAnalysis.withStrippedHtml(html, "html"), "text_plain")
+      .select("doc_id", "fingerprint").as[(Long, String)].collect().toMap
+    assert(fp(1L) === fp(2L)) // case+ws-invariant fingerprint agrees post-strip
   }
 
   test("fingerprint is invariant to case and extra whitespace") {
