@@ -35,11 +35,15 @@ object Bench {
     // construction) + 3-decimal values keep ~93 queries near 1300 chars; if
     // the battery ever outgrows that, drop the fastest entries until it fits.
     val total = if (results.nonEmpty) results.values.sum else 0.0
+    // steady_total: the battery sum with each steady-adjudicated query
+    // counted at its steady number — the co-tenancy-noise-free headline
+    val steadyTotal = total - steady.map { case (n, t) => results(n) - t }.sum
     def render(rs: Seq[(String, Double)]): String = {
       def jmap(m: Iterable[(String, Double)]): String =
         m.map { case (k, v) => f""""${k.takeWhile(_ != '_')}":$v%.3f""" }
           .mkString("{", ",", "}")
-      val st = if (steady.isEmpty) "" else s""","steady":${jmap(steady)}"""
+      val st = if (steady.isEmpty) ""
+        else f""","steady":${jmap(steady)},"steady_total":$steadyTotal%.3f"""
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${jmap(rs)}$st,"sf":"$sfDir"}"""
     }
     var entries = results.toSeq.sortBy(-_._2) // slowest first: keep the informative ones

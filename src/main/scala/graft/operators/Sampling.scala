@@ -134,6 +134,108 @@ object Sampling {
   }
 
   /**
+   * Global budgeted selection: keep rows in priority order until a cost
+   * budget is exhausted — "take the best documents until the token budget
+   * is full", the final selection step of corpus assembly. Appends the
+   * global running cost as `outCol` and keeps exactly the rows whose
+   * inclusive running cost is ≤ `budget`.
+   *
+   * The naive formulation — `sum(cost) over (order by priority)` — is a
+   * GLOBAL window: Spark plans it as a sort into ONE partition, the
+   * classic 100 TB driver-side bottleneck. This implementation is the
+   * distributed two-pass prefix sum instead:
+   *
+   *  1. one range exchange on the priority order (the same machinery as a
+   *     distributed sort — fully parallel, skew handled by range
+   *     sampling), rows sorted within partitions;
+   *  2. per-partition cost totals — numPartitions longs — collected to the
+   *     driver (KB-scale, the same adjudicated-small-state class as the
+   *     IVF centroids) and scanned into per-partition START offsets;
+   *  3. one partition-local pass adds offset + running cost and emits
+   *     rows while ≤ budget. Partitions whose offset already exceeds the
+   *     budget emit NOTHING without reading a row — at 100 TB with a
+   *     budget that selects 1%, ~99% of partitions short-circuit.
+   *
+   * The per-partition pass is genuine imperative per-partition logic (a
+   * running accumulator with early exit), i.e. the documented
+   * `mapPartitions` case. Costs must be non-negative (throws otherwise —
+   * a negative cost would invalidate both the early exit and selection
+   * monotonicity). `orderCols` must be a TOTAL order (append a unique id
+   * as the last key): cross-partition ties would otherwise make the
+   * boundary content nondeterministic.
+   */
+  def takeByBudget(
+      df: DataFrame,
+      costCol: String,
+      budget: Long,
+      orderCols: Seq[Column],
+      outCol: String = "cum_cost"): DataFrame = {
+    require(orderCols.nonEmpty, "need at least one ordering column")
+    require(budget >= 0, s"budget must be non-negative, got $budget")
+    val spark = df.sparkSession
+    val nParts = spark.sessionState.conf.numShufflePartitions
+    // persist the ranged+sorted layout: the totals job and the prefix job
+    // must see the IDENTICAL partitioning (and the shuffle runs once)
+    val ranged = df.repartitionByRange(nParts, orderCols: _*)
+      .sortWithinPartitions(orderCols: _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val costIdx = ranged.schema.fieldIndex(costCol)
+    def costOf(r: org.apache.spark.sql.Row): Long = {
+      if (r.isNullAt(costIdx)) 0L
+      else {
+        val c = r.get(costIdx) match {
+          case l: java.lang.Long => l.longValue()
+          case i: java.lang.Integer => i.longValue()
+          case s: java.lang.Short => s.longValue()
+          case b: java.lang.Byte => b.longValue()
+          case other => throw new IllegalArgumentException(
+            s"takeByBudget needs an integral cost column, got value $other")
+        }
+        if (c < 0) throw new IllegalArgumentException(
+          s"takeByBudget needs non-negative costs, got $c")
+        c
+      }
+    }
+    val partials = ranged.toDF().rdd
+      .mapPartitionsWithIndex { (pid, it) =>
+        var s = 0L; it.foreach(r => s += costOf(r)); Iterator((pid, s))
+      }.collect().sortBy(_._1)
+    val offsets: Map[Int, Long] =
+      partials.map(_._1).zip(partials.scanLeft(0L)(_ + _._2)).toMap
+    val bOffsets = spark.sparkContext.broadcast(offsets)
+    val outSchema = ranged.schema.add(outCol,
+      org.apache.spark.sql.types.LongType, nullable = false)
+    val b = budget
+    // mapPartitionsWithIndex (NOT TaskContext.getPartitionId): a downstream
+    // coalesce merges several parent partitions into one task, where the
+    // task-context id would be the merged id for all of them — the with-index
+    // variant bakes the true parent index into each closure.
+    val prefixed = ranged.toDF().rdd.mapPartitionsWithIndex { (pid, it) =>
+      var cum = bOffsets.value.getOrElse(pid, 0L)
+      if (cum > b) Iterator.empty
+      else new Iterator[org.apache.spark.sql.Row] {
+        private var nextRow: org.apache.spark.sql.Row = null
+        private var done = false // costs non-negative: once over budget, stay over
+        private def advance(): Unit =
+          while (!done && nextRow == null) {
+            if (!it.hasNext) done = true
+            else {
+              val r = it.next()
+              cum += costOf(r)
+              if (cum <= b) nextRow = org.apache.spark.sql.Row.fromSeq(r.toSeq :+ cum)
+              else done = true
+            }
+          }
+        override def hasNext: Boolean = { advance(); nextRow != null }
+        override def next(): org.apache.spark.sql.Row = {
+          advance(); val r = nextRow; nextRow = null; r
+        }
+      }
+    }
+    spark.createDataFrame(prefixed, outSchema)
+  }
+
+  /**
    * Per-source mixing: keep a different deterministic fraction of each
    * source (the "dataset mixture weights" step of corpus assembly — e.g.
    * keep 100% of books, 10% of web). Rows whose source has no entry are

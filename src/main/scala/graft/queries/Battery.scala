@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.model.CqlSchema
-import graft.operators.{Dedup, Multimodal, Normalize, Similarity, TextAnalysis, Urls}
+import graft.operators.{Dedup, Multimodal, Normalize, Sampling, Similarity, TextAnalysis, Urls}
 import graft.tables.Tables
 import graft.write.TokenSortedWriter
 import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
@@ -293,6 +293,19 @@ object Battery {
           docs(s, d).withColumn("html", html), "html")
         .select(col("doc_id"), col("text_plain"))
     }),
+
+    // global token-budget selection: biggest documents first until the
+    // budget fills. The Spark side is the DISTRIBUTED two-pass prefix sum
+    // (range exchange + broadcast offsets — no single-partition window);
+    // the oracle is the naive global cumulative window, so the hash match
+    // proves the distributed decomposition computes the identical prefix.
+    "q111_budget_select" -> ((s, d) =>
+      Sampling.takeByBudget(
+        TextAnalysis.withTokenCounts(docs(s, d), "text"),
+        "est_bpe_tokens", 15000L,
+        Seq(col("n_chars").desc, col("doc_id").asc))
+        .select(col("doc_id"), col("n_chars"), col("est_bpe_tokens"),
+          col("cum_cost"))),
 
     // full transitive dedup clusters over THREE twin copies: every exact-text
     // group forms one component whose min label must propagate through the
@@ -1683,6 +1696,18 @@ object Battery {
         |  'Doc ' || CAST(doc_id AS VARCHAR) || ' Title ' || CAST(doc_id AS VARCHAR)
         |    || ' ' || text || ' Bold&Co <tag> "q''' AS text_plain
         |FROM documents""".stripMargin,
+    // the naive global-window formulation the distributed prefix sum must match
+    "q111_budget_select" ->
+      """WITH t AS (
+        |  SELECT doc_id, n_chars,
+        |    CAST(ceil(length(text) / 4.0) AS BIGINT) AS est_bpe_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, n_chars, est_bpe_tokens,
+        |    SUM(est_bpe_tokens) OVER (ORDER BY n_chars DESC, doc_id) AS cum
+        |  FROM t)
+        |SELECT doc_id, n_chars, est_bpe_tokens, CAST(cum AS BIGINT) AS cum_cost
+        |FROM c WHERE cum <= 15000""".stripMargin,
     "q27_ngram_jaccard" ->
       """WITH ids AS (
         |  SELECT doc_id AS id, text, 0 AS v FROM documents

@@ -101,4 +101,44 @@ class SamplingSpec extends SparkSpec {
     assert(a.select("id", "shard", "pos")
       .except(shuffledInput.select("id", "shard", "pos")).count() == 0)
   }
+
+  test("takeByBudget keeps the exact global prefix in priority order") {
+    val df = (1L to 100L).map(i => (i, 10L + i % 7, i % 13)).toDF("id", "cost", "prio")
+    val got = Sampling.takeByBudget(df, "cost", 300L,
+      Seq(col("prio").desc, col("id").asc))
+    assert(got.columns.toSeq === Seq("id", "cost", "prio", "cum_cost"))
+    val gotMap = got.select("id", "cum_cost").as[(Long, Long)].collect().toMap
+    // driver-side replay of the same total order
+    var cum = 0L
+    val expect = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy { case (id, _, p) => (-p, id) }
+      .flatMap { case (id, c, _) =>
+        cum += c; if (cum <= 300L) Some(id -> cum) else None
+      }.toMap
+    assert(gotMap === expect)
+    assert(expect.nonEmpty && expect.size < 100)
+  }
+
+  test("takeByBudget boundary and degenerate budgets") {
+    val df = Seq((1L, 5L), (2L, 5L), (3L, 5L)).toDF("id", "cost")
+    // budget exactly on a row boundary: that row is kept (inclusive <=)
+    val exact = Sampling.takeByBudget(df, "cost", 10L, Seq(col("id").asc))
+      .select("id").as[Long].collect().toSet
+    assert(exact === Set(1L, 2L))
+    assert(Sampling.takeByBudget(df, "cost", 0L, Seq(col("id").asc)).count() === 0)
+    // budget beyond the total keeps everything, cum_cost is the global sum
+    val all = Sampling.takeByBudget(df, "cost", 1000L, Seq(col("id").asc))
+      .select("id", "cum_cost").as[(Long, Long)].collect().toMap
+    assert(all === Map(1L -> 5L, 2L -> 10L, 3L -> 15L))
+  }
+
+  test("takeByBudget rejects negative costs loudly") {
+    val df = Seq((1L, 5L), (2L, -1L)).toDF("id", "cost")
+    val e = intercept[Exception] {
+      Sampling.takeByBudget(df, "cost", 10L, Seq(col("id").asc)).count()
+    }
+    def rootChain(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).map(_.getMessage).toSeq
+    assert(rootChain(e).exists(m => m != null && m.contains("non-negative")))
+  }
 }
