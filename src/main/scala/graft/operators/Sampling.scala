@@ -134,6 +134,51 @@ object Sampling {
   }
 
   /**
+   * Weighted source mixing with UPsampling: weight `w` for a source means
+   * every row of it appears `floor(w)` times plus one more with
+   * probability `frac(w)` — the "repeat high-quality sources for several
+   * epochs" step of corpus assembly (e.g. books ×2.5, web ×0.3), which
+   * [[mixSources]] (fractions ≤ 1) cannot express. Rows from sources with
+   * no weight entry are dropped (explicit mixture only).
+   *
+   * Adds `epochCol` (0-based copy index) so downstream shuffle/packing can
+   * interleave copies instead of emitting them back to back. Deterministic
+   * like everything here: the fractional extra copy keys on
+   * `md5(keys…|epoch|floor(w))`, so retries, re-runs and other engines
+   * agree row by row. One codegen'd filter+explode over a bounded literal
+   * sequence — zero shuffles, no rand(), linear at any scale.
+   */
+  def upsampleSources(
+      df: DataFrame,
+      sourceCol: String,
+      keys: Seq[String],
+      weights: Map[String, Double],
+      epochCol: String = "epoch"): DataFrame = {
+    require(weights.nonEmpty, "need at least one source weight")
+    require(weights.values.forall(_ >= 0), s"weights must be >= 0: $weights")
+    val maxEpochs = weights.values.map(w => math.ceil(w).toInt).max max 1
+    def perSource(f: Double => Column): Column =
+      weights.toSeq.sortBy(_._1).foldLeft(Option.empty[Column]) {
+        case (acc, (s, w)) =>
+          val c = col(sourceCol) === lit(s)
+          Some(acc.fold(when(c, f(w)))(_.when(c, f(w))))
+      }.get
+    val full = perSource(w => lit(math.floor(w).toInt)).otherwise(lit(0))
+    // fractional-part threshold per source; whole weights get the empty
+    // range so no extra copy fires
+    val th = perSource(w => lit(thresholdHex(w - math.floor(w))))
+      .otherwise(lit("00000000"))
+    val extraKey = keys.map(col(_).cast("string")) ++
+      Seq(lit("epoch"), full.cast("string"))
+    val extra = (substring(md5(concat_ws("|", extraKey: _*)), 1, 8) < th).cast("int")
+    val copies = full + extra
+    // bounded literal sequence + filter (NOT sequence(0, n-1): Spark infers
+    // a negative step when n-1 < 0 instead of yielding an empty array)
+    val epochs = filter(sequence(lit(0), lit(maxEpochs - 1)), i => i < copies)
+    df.withColumn(epochCol, explode(epochs))
+  }
+
+  /**
    * Global budgeted selection: keep rows in priority order until a cost
    * budget is exhausted — "take the best documents until the token budget
    * is full", the final selection step of corpus assembly. Appends the

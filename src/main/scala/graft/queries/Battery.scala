@@ -307,6 +307,16 @@ object Battery {
         .select(col("doc_id"), col("n_chars"), col("est_bpe_tokens"),
           col("cum_cost"))),
 
+    // epoch-weighted source upsampling: src0 x3 exactly, src1 x1.5 (every
+    // row once + deterministic md5-keyed half), src2 x0.5, the rest
+    // dropped. The oracle replays copies via generate_series and the
+    // identical md5 threshold, so the mixture contract is hash-checked.
+    "q112_upsample_mix" -> ((s, d) =>
+      Sampling.upsampleSources(docs(s, d), "source", Seq("doc_id"),
+        Map("src0" -> 3.0, "src1" -> 1.5, "src2" -> 0.5))
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          col("epoch").cast("long").as("epoch"))),
+
     // full transitive dedup clusters over THREE twin copies: every exact-text
     // group forms one component whose min label must propagate through the
     // connected-components fixpoint
@@ -1708,6 +1718,22 @@ object Battery {
         |  FROM t)
         |SELECT doc_id, n_chars, est_bpe_tokens, CAST(cum AS BIGINT) AS cum_cost
         |FROM c WHERE cum <= 15000""".stripMargin,
+    // copies replayed via generate_series + the identical md5 threshold
+    // (thresholdHex(0.5) = 80000000; whole weights get the empty range)
+    "q112_upsample_mix" ->
+      """WITH w AS (
+        |  SELECT doc_id, source, n_chars,
+        |    CASE source WHEN 'src0' THEN 3 WHEN 'src1' THEN 1 ELSE 0 END AS fl,
+        |    CASE source WHEN 'src0' THEN '00000000' ELSE '80000000' END AS th
+        |  FROM documents WHERE source IN ('src0', 'src1', 'src2')),
+        |x AS (
+        |  SELECT doc_id, source, n_chars,
+        |    fl + CASE WHEN substr(md5(CAST(doc_id AS VARCHAR) || '|epoch|'
+        |                             || CAST(fl AS VARCHAR)), 1, 8) < th
+        |              THEN 1 ELSE 0 END AS n
+        |  FROM w)
+        |SELECT doc_id, source, n_chars, unnest(range(0, n)) AS epoch
+        |FROM x""".stripMargin,
     "q27_ngram_jaccard" ->
       """WITH ids AS (
         |  SELECT doc_id AS id, text, 0 AS v FROM documents

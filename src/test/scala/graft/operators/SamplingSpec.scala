@@ -102,6 +102,27 @@ class SamplingSpec extends SparkSpec {
       .except(shuffledInput.select("id", "shard", "pos")).count() == 0)
   }
 
+  test("upsampleSources: integer weights copy exactly, fractions sample, unknown drops") {
+    val df = (1L to 400L).map(i => (i, s"s${i % 4}")).toDF("id", "src")
+    def run() = Sampling.upsampleSources(df, "src", Seq("id"),
+      Map("s0" -> 2.0, "s1" -> 0.5, "s2" -> 1.25)) // s3 unweighted -> dropped
+    val out = run()
+    val by = out.groupBy("src").count().as[(String, Long)].collect().toMap
+    assert(by("s0") === 200L) // 100 rows x exactly 2
+    assert(!by.contains("s3"))
+    assert(by("s1") > 20 && by("s1") < 80) // ~50 expected, deterministic
+    assert(by("s2") > 100 && by("s2") < 150) // every row once + ~25 extra
+    // epoch indexes: s0 rows carry copies 0 and 1; s2 extras carry epoch 1
+    val s0Epochs = out.filter($"src" === "s0").select("epoch")
+      .as[Int].collect().toSet
+    assert(s0Epochs === Set(0, 1))
+    val s2Max = out.filter($"src" === "s2").groupBy()
+      .max("epoch").as[Int].head()
+    assert(s2Max === 1)
+    // fully deterministic under re-run
+    assert(out.collect().toSet === run().collect().toSet)
+  }
+
   test("takeByBudget keeps the exact global prefix in priority order") {
     val df = (1L to 100L).map(i => (i, 10L + i % 7, i % 13)).toDF("id", "cost", "prio")
     val got = Sampling.takeByBudget(df, "cost", 300L,
