@@ -317,6 +317,28 @@ object Battery {
         .select(col("doc_id"), col("source"), col("n_chars"),
           col("epoch").cast("long").as("epoch"))),
 
+    // the EXACT incremental path over the same twin construction as q108:
+    // the fingerprint anti-join must drop copy-1 (texts already in the
+    // corpus) and keep all of copy-2 (disjoint word sets)
+    "q113_incremental_exact" -> ((s, d) =>
+      Dedup.dropExactAgainstCorpus(
+        twinCopy(s, d, 1).unionByName(twinCopy(s, d, 2, perm = 8 until 16)),
+        twinCopy(s, d, 0), Seq("text"))
+        .select(col("doc_id"), col("source"), col("n_chars"))),
+
+    // URL ops feeding curation: canonical domain (closed-form constructible)
+    // -> deterministic per-domain cap -> per-domain aggregate
+    "q114_domain_cap" -> ((s, d) => {
+      val id = col("doc_id")
+      val url = concat(lit("HTTPS://WWW.Example"), (id % 50).cast("string"),
+        lit(".COM/Docs/"), id.cast("string"))
+      val parts = Urls.withUrlParts(docs(s, d).withColumn("url", url), "url")
+      Sampling.capPerGroup(parts, Seq("url_domain"), Seq("doc_id"), n = 5)
+        .groupBy(col("url_domain")).agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("doc_id")).as("id_sum"))
+    }),
+
     // full transitive dedup clusters over THREE twin copies: every exact-text
     // group forms one component whose min label must propagate through the
     // connected-components fixpoint
@@ -1734,6 +1756,19 @@ object Battery {
         |  FROM w)
         |SELECT doc_id, source, n_chars, unnest(range(0, n)) AS epoch
         |FROM x""".stripMargin,
+    // exact-fingerprint variant of the q108 construction: same survivor set
+    "q113_incremental_exact" ->
+      """SELECT doc_id + 2000000 AS doc_id, source, n_chars FROM documents""",
+    // domain in closed form + the capPerGroup md5-rank replay (q93 pattern)
+    "q114_domain_cap" ->
+      """SELECT url_domain, COUNT(*) AS n_docs,
+        |  CAST(SUM(doc_id) AS BIGINT) AS id_sum FROM (
+        |  SELECT 'example' || CAST(doc_id % 50 AS VARCHAR) || '.com' AS url_domain,
+        |    doc_id, row_number() OVER (
+        |      PARTITION BY doc_id % 50
+        |      ORDER BY substring(md5(CAST(doc_id AS VARCHAR)),1,8) ASC, doc_id ASC) AS rn
+        |  FROM documents)
+        |WHERE rn <= 5 GROUP BY url_domain""".stripMargin,
     "q27_ngram_jaccard" ->
       """WITH ids AS (
         |  SELECT doc_id AS id, text, 0 AS v FROM documents
