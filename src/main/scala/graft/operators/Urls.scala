@@ -19,12 +19,15 @@ import org.apache.spark.sql.functions._
  * Normalization contract (absolute http(s)-style URLs):
  *  - fragment dropped; scheme and host lowercased; path/query case KEPT
  *    (paths are case-sensitive by RFC 3986);
- *  - leading `www.` and default ports (`:80` http, `:443` https) dropped,
- *    non-default ports kept;
+ *  - leading `www.` prefixes and default ports (`:80` http, `:443` https)
+ *    dropped, non-default ports kept;
  *  - `utm_*` tracking parameters dropped, other parameters kept in order;
- *  - one trailing `/` dropped from the path (`/a/` ≡ `/a`, `/` ≡ ``);
+ *  - trailing `/`s dropped from the path (`/a/` ≡ `/a`, `/` ≡ ``);
  *  - inputs with no `scheme://` pass through trimmed but otherwise
  *    untouched (opaque ids, relative links) — deterministic, never null.
+ *
+ * [[normalize]] is IDEMPOTENT (property-tested): canonical forms are
+ * fixpoints, so re-normalizing an already-clean corpus is a no-op.
  */
 object Urls {
 
@@ -38,9 +41,11 @@ object Urls {
   def hostPort(url: Column): Column =
     lower(regexp_extract(trim(url), SchemeRe + "([^/?#]*)", 2))
 
-  /** Lowercased host: authority minus any `:port` and a leading `www.`. */
+  /** Lowercased host: authority minus any `:port` and leading `www.`
+   *  prefixes (repeated — `www.www.x.com` canonicalizes like `x.com`, and
+   *  normalization stays idempotent). */
   def host(url: Column): Column =
-    regexp_replace(regexp_replace(hostPort(url), ":[0-9]+$", ""), "^www\\.", "")
+    regexp_replace(regexp_replace(hostPort(url), ":[0-9]+$", ""), "^(www\\.)+", "")
 
   /**
    * Registrable domain by the last-two-labels heuristic (`a.b.site.com` →
@@ -64,9 +69,9 @@ object Urls {
     val hpNoDefault = when(sch === "http", regexp_replace(hp, ":80$", ""))
       .when(sch === "https", regexp_replace(hp, ":443$", ""))
       .otherwise(hp)
-    val authority = regexp_replace(hpNoDefault, "^www\\.", "")
+    val authority = regexp_replace(hpNoDefault, "^(www\\.)+", "")
     val rest = regexp_extract(noFrag, SchemeRe + "[^/?#]*([/?][^#]*)?", 2)
-    val path = regexp_replace(regexp_extract(rest, "^([^?]*)", 1), "/$", "")
+    val path = regexp_replace(regexp_extract(rest, "^([^?]*)", 1), "/+$", "")
     val query = regexp_extract(rest, "\\?(.*)$", 1)
     val kept = filter(split(query, "&"),
       p => !(p.startsWith("utm_") || p === ""))

@@ -31,10 +31,34 @@ class UrlsSpec extends SparkSpec {
     assert(norm("https://s.com/a?utm_source=x") === "https://s.com/a")
   }
 
-  test("normalize strips one trailing slash; bare / collapses to empty") {
+  test("normalize strips trailing slashes; bare / collapses to empty") {
     assert(norm("https://s.com/a/") === "https://s.com/a")
+    assert(norm("https://s.com/a//") === "https://s.com/a")
     assert(norm("https://s.com/") === "https://s.com")
     assert(norm("https://s.com") === "https://s.com")
+    assert(norm("http://www.www.site.com/x") === "http://site.com/x")
+  }
+
+  test("normalize is idempotent on arbitrary inputs (fuzz)") {
+    val inputs =
+      // structured: every combination of the rule-triggering pieces
+      (for {
+        scheme <- Seq("http://", "HTTPS://", "ftp://", "")
+        host <- Seq("WWW.Site.com", "www.www.x.COM", "a.b.c", "s.com:443", "x.com:8443", "")
+        path <- Seq("", "/", "/A/b", "/a//", "/a/?", "/%20x")
+        q <- Seq("", "?utm_a=1", "?id=2&utm_b=3&x=4", "?&&", "?url=https://y.com/")
+        f <- Seq("", "#Frag", "#a#b")
+      } yield s"$scheme$host$path$q$f") ++
+        // junk
+        Seq("", "   ", "not a url", "https//missing.colon", "a://b", "://x",
+          "https://", "http://x.com?", "relative/p?x=1#f", "\thttp://T.com/A\n")
+    val df = inputs.toDF("url")
+    val bad = df
+      .select(col("url"), Urls.normalize(col("url")).as("n1"))
+      .select(col("url"), col("n1"), Urls.normalize(col("n1")).as("n2"))
+      .filter(col("n1") =!= col("n2"))
+    assert(bad.count() === 0,
+      bad.collect().take(5).mkString("non-idempotent: ", "; ", ""))
   }
 
   test("schemeless input passes through trimmed, never null") {
