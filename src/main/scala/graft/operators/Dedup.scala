@@ -400,12 +400,45 @@ object Dedup {
       shingleN: Int = 3,
       numPerms: Int = 64,
       bands: Int = 16,
+      minEstJaccard: Double = 0.5): DataFrame =
+    dropAgainstSignatures(newDocs,
+      corpusSignatures(corpus, idCol, textCol, shingleN, numPerms),
+      idCol, textCol, shingleN, numPerms, bands, minEstJaccard)
+
+  /**
+   * The corpus signature table for [[dropAgainstSignatures]]: (id, sig)
+   * with the MinHash signature of each document. In a real incremental
+   * deployment this is computed once when the snapshot is built, persisted
+   * next to it (parquet — a few hundred bytes/doc), appended to as
+   * increments land, and handed to every subsequent [[dropAgainstSignatures]]
+   * call — making per-batch dedup cost independent of corpus TEXT size.
+   * The (shingleN, numPerms) used to build and to probe must match; both
+   * ends of the contract live in this file.
+   */
+  def corpusSignatures(
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 3,
+      numPerms: Int = 64): DataFrame =
+    signatures(corpus, idCol, textCol, shingleN, numPerms)
+
+  /** [[dropAgainstCorpus]] against a precomputed (persisted) corpus
+   *  signature table — the steady-state incremental path. */
+  def dropAgainstSignatures(
+      newDocs: DataFrame,
+      corpusSigs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 3,
+      numPerms: Int = 64,
+      bands: Int = 16,
       minEstJaccard: Double = 0.5): DataFrame = {
     require(numPerms % bands == 0,
       s"bands ($bands) must divide numPerms ($numPerms)")
     val rowsPerBand = numPerms / bands
     val sigsNew = signatures(newDocs, idCol, textCol, shingleN, numPerms)
-    val sigsOld = signatures(corpus, idCol, textCol, shingleN, numPerms)
+    val sigsOld = corpusSigs.select(col("id"), col("sig"))
     def banded(sigs: DataFrame): DataFrame = sigs.select(col("id"),
       posexplode(graft.functions.BandHashes(col("sig"), bands, rowsPerBand))
         .as(Seq("band", "band_hash")))

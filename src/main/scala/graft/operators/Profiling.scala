@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * One-pass corpus profiling — the "look at the table before training on
+ * it" step: per-column row/null/distinct counts and min/max, computed in
+ * a SINGLE aggregation over one scan and melted to one row per column.
+ *
+ * Scale shape: Spark plans the multiple exact `count(distinct)`s via the
+ * Expand operator — the scan is read once and expanded |cols|+1 ways into
+ * one shuffled aggregation (the standard multi-distinct plan; each expanded
+ * row carries a single column's value, so the shuffle is narrow). That is
+ * the exact-answer path, and the one the battery oracle checks. At
+ * 100 TB-wide profiles where exact distincts aren't worth it, swap
+ * `count_distinct` for `approx_count_distinct` below — the plan collapses
+ * to one partial-aggregated pass with constant-size HLL state and no
+ * Expand; everything else is unchanged.
+ *
+ * min/max are computed on the NATIVE type (so numeric columns order
+ * numerically) and emitted as strings to give every column one schema.
+ */
+object Profiling {
+
+  def summarize(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "profile needs at least one column")
+    cols.foreach(c => require(df.columns.contains(c), s"no such column: $c"))
+    val aggs: Seq[Column] =
+      count(lit(1)).as("__n_rows") +: cols.flatMap { c =>
+        Seq(
+          count(col(c)).as(s"__nn_$c"), // non-null count
+          count_distinct(col(c)).as(s"__nd_$c"),
+          min(col(c)).cast("string").as(s"__mn_$c"),
+          max(col(c)).cast("string").as(s"__mx_$c"))
+      }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val perCol = cols.map { c =>
+      struct(
+        lit(c).as("column"),
+        col("__n_rows").as("n_rows"),
+        (col("__n_rows") - col(s"__nn_$c")).as("n_nulls"),
+        col(s"__nd_$c").as("n_distinct"),
+        col(s"__mn_$c").as("min_str"),
+        col(s"__mx_$c").as("max_str"))
+    }
+    one.select(explode(array(perCol: _*)).as("m")).select(col("m.*"))
+  }
+}

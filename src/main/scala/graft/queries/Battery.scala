@@ -339,6 +339,12 @@ object Battery {
           sum(col("doc_id")).as("id_sum"))
     }),
 
+    // one-pass corpus profile (rows/nulls/exact distincts/native-order
+    // min-max per column) — the oracle recomputes every cell per column
+    "q115_profile" -> ((s, d) =>
+      graft.operators.Profiling.summarize(
+        docs(s, d), Seq("doc_id", "text", "lang", "source", "n_chars"))),
+
     // full transitive dedup clusters over THREE twin copies: every exact-text
     // group forms one component whose min label must propagate through the
     // connected-components fixpoint
@@ -1769,6 +1775,26 @@ object Battery {
         |      ORDER BY substring(md5(CAST(doc_id AS VARCHAR)),1,8) ASC, doc_id ASC) AS rn
         |  FROM documents)
         |WHERE rn <= 5 GROUP BY url_domain""".stripMargin,
+    // per-column profile replayed cell by cell (documents has no nulls;
+    // the null-count arithmetic is the same COUNT(*)-COUNT(col) form)
+    "q115_profile" ->
+      """SELECT 'doc_id' AS "column", COUNT(*) AS n_rows,
+        |  COUNT(*) - COUNT(doc_id) AS n_nulls,
+        |  COUNT(DISTINCT doc_id) AS n_distinct,
+        |  CAST(MIN(doc_id) AS VARCHAR) AS min_str, CAST(MAX(doc_id) AS VARCHAR) AS max_str
+        |FROM documents
+        |UNION ALL
+        |SELECT 'text', COUNT(*), COUNT(*) - COUNT(text), COUNT(DISTINCT text),
+        |  MIN(text), MAX(text) FROM documents
+        |UNION ALL
+        |SELECT 'lang', COUNT(*), COUNT(*) - COUNT(lang), COUNT(DISTINCT lang),
+        |  MIN(lang), MAX(lang) FROM documents
+        |UNION ALL
+        |SELECT 'source', COUNT(*), COUNT(*) - COUNT(source), COUNT(DISTINCT source),
+        |  MIN(source), MAX(source) FROM documents
+        |UNION ALL
+        |SELECT 'n_chars', COUNT(*), COUNT(*) - COUNT(n_chars), COUNT(DISTINCT n_chars),
+        |  CAST(MIN(n_chars) AS VARCHAR), CAST(MAX(n_chars) AS VARCHAR) FROM documents""".stripMargin,
     "q27_ngram_jaccard" ->
       """WITH ids AS (
         |  SELECT doc_id AS id, text, 0 AS v FROM documents

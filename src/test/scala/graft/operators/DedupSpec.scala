@@ -237,6 +237,30 @@ class DedupSpec extends SparkSpec {
     assert(cols === fresh.columns.toSeq)
   }
 
+  test("dropAgainstSignatures: persisted signature table gives identical results") {
+    import spark.implicits._
+    val corpus = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog"),
+      (11L, "completely different content about spark engines and parquet files"))
+      .toDF("doc_id", "text")
+    val fresh = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog"),
+      (101L, "a genuinely novel document about distributed joins"))
+      .toDF("doc_id", "text")
+    // round-trip the signature table through parquet, the deployment shape
+    val dir = java.nio.file.Files.createTempDirectory("graft_sigs_").toString
+    Dedup.corpusSignatures(corpus, "doc_id", "text", shingleN = 3, numPerms = 32)
+      .write.mode("overwrite").parquet(dir)
+    val viaSigs = Dedup.dropAgainstSignatures(fresh,
+        spark.read.parquet(dir), "doc_id", "text",
+        shingleN = 3, numPerms = 32, bands = 16)
+      .select("doc_id").as[Long].collect().toSet
+    val direct = Dedup.dropAgainstCorpus(fresh, corpus, "doc_id", "text",
+        shingleN = 3, numPerms = 32, bands = 16)
+      .select("doc_id").as[Long].collect().toSet
+    assert(viaSigs === direct && viaSigs === Set(101L))
+  }
+
   test("dropAgainstCorpus threshold: disjoint-word twins never match") {
     import spark.implicits._
     // md5-word construction (the battery's twinCopy): same doc rebuilt from
