@@ -32,18 +32,7 @@ object Dedup {
    */
   def exact(df: DataFrame, idCol: String, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "exact dedup needs at least one content column")
-    // Single column: fingerprint the raw value. Multi-column: length-prefix
-    // each value so column boundaries are unambiguous -- a separator-joined
-    // concat would merge ("x y","z") with ("x","y z"), silently deleting
-    // distinct rows as duplicates; nulls get an explicit -1 length marker.
-    val fp =
-      if (cols.size == 1) md5(col(cols.head).cast("string"))
-      else md5(concat(cols.flatMap { c =>
-        val v = col(c).cast("string")
-        Seq(coalesce(length(v), lit(-1)).cast("string"), lit(":"),
-          coalesce(v, lit("")), lit(";"))
-      }: _*))
-    df.withColumn("fp", fp)
+    df.withColumn("fp", contentFingerprint(cols))
       .groupBy(col("fp"))
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
   }
@@ -357,7 +346,12 @@ object Dedup {
   }
 
   /** Length-prefixed content fingerprint shared by [[exact]] and the
-   *  incremental variants (see [[exact]] for the boundary-ambiguity note). */
+   *  incremental variants — ONE definition so the two paths can never
+   *  diverge on what counts as "the same content". Single column:
+   *  fingerprint the raw value. Multi-column: length-prefix each value so
+   *  column boundaries are unambiguous — a separator-joined concat would
+   *  merge ("x y","z") with ("x","y z"), silently deleting distinct rows
+   *  as duplicates; nulls get an explicit -1 length marker. */
   private def contentFingerprint(cols: Seq[String]): Column =
     if (cols.size == 1) md5(col(cols.head).cast("string"))
     else md5(concat(cols.flatMap { c =>
@@ -437,8 +431,15 @@ object Dedup {
     require(numPerms % bands == 0,
       s"bands ($bands) must divide numPerms ($numPerms)")
     val rowsPerBand = numPerms / bands
+    // both signature tables feed TWO subtrees (band explode + verification
+    // rejoin); persist them so the text is scanned and the O(perms×shingles)
+    // minhash computed ONCE per side — the signature table (id + sig,
+    // ~25× smaller than text) is exactly the artifact a production
+    // deployment keeps on disk anyway (see corpusSignatures)
     val sigsNew = signatures(newDocs, idCol, textCol, shingleN, numPerms)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val sigsOld = corpusSigs.select(col("id"), col("sig"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     def banded(sigs: DataFrame): DataFrame = sigs.select(col("id"),
       posexplode(graft.functions.BandHashes(col("sig"), bands, rowsPerBand))
         .as(Seq("band", "band_hash")))

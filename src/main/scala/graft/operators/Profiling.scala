@@ -26,23 +26,26 @@ object Profiling {
   def summarize(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "profile needs at least one column")
     cols.foreach(c => require(df.columns.contains(c), s"no such column: $c"))
+    // backtick-quote every reference: a literal column name containing a
+    // dot would otherwise parse as struct-field access and fail resolution
+    def q(name: String): Column = col(s"`$name`")
     val aggs: Seq[Column] =
       count(lit(1)).as("__n_rows") +: cols.flatMap { c =>
         Seq(
-          count(col(c)).as(s"__nn_$c"), // non-null count
-          count_distinct(col(c)).as(s"__nd_$c"),
-          min(col(c)).cast("string").as(s"__mn_$c"),
-          max(col(c)).cast("string").as(s"__mx_$c"))
+          count(q(c)).as(s"__nn_$c"), // non-null count
+          count_distinct(q(c)).as(s"__nd_$c"),
+          min(q(c)).cast("string").as(s"__mn_$c"),
+          max(q(c)).cast("string").as(s"__mx_$c"))
       }
     val one = df.agg(aggs.head, aggs.tail: _*)
     val perCol = cols.map { c =>
       struct(
         lit(c).as("column"),
         col("__n_rows").as("n_rows"),
-        (col("__n_rows") - col(s"__nn_$c")).as("n_nulls"),
-        col(s"__nd_$c").as("n_distinct"),
-        col(s"__mn_$c").as("min_str"),
-        col(s"__mx_$c").as("max_str"))
+        (col("__n_rows") - q(s"__nn_$c")).as("n_nulls"),
+        q(s"__nd_$c").as("n_distinct"),
+        q(s"__mn_$c").as("min_str"),
+        q(s"__mx_$c").as("max_str"))
     }
     one.select(explode(array(perCol: _*)).as("m")).select(col("m.*"))
   }

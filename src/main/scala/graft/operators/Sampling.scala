@@ -168,9 +168,8 @@ object Sampling {
     // range so no extra copy fires
     val th = perSource(w => lit(thresholdHex(w - math.floor(w))))
       .otherwise(lit("00000000"))
-    val extraKey = keys.map(col(_).cast("string")) ++
-      Seq(lit("epoch"), full.cast("string"))
-    val extra = (substring(md5(concat_ws("|", extraKey: _*)), 1, 8) < th).cast("int")
+    val extra =
+      (hashHex(keys.map(col) ++ Seq(lit("epoch"), full)) < th).cast("int")
     val copies = full + extra
     // bounded literal sequence + filter (NOT sequence(0, n-1): Spark infers
     // a negative step when n-1 < 0 instead of yielding an empty array)
@@ -217,10 +216,13 @@ object Sampling {
       outCol: String = "cum_cost"): DataFrame = {
     require(orderCols.nonEmpty, "need at least one ordering column")
     require(budget >= 0, s"budget must be non-negative, got $budget")
+    require(!df.columns.contains(outCol),
+      s"input already has a '$outCol' column — pass a different outCol")
     val spark = df.sparkSession
     val nParts = spark.sessionState.conf.numShufflePartitions
     // persist the ranged+sorted layout: the totals job and the prefix job
-    // must see the IDENTICAL partitioning (and the shuffle runs once)
+    // must see the IDENTICAL partitioning (and the shuffle runs once);
+    // released below once the budget-bounded result is materialized
     val ranged = df.repartitionByRange(nParts, orderCols: _*)
       .sortWithinPartitions(orderCols: _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -277,7 +279,14 @@ object Sampling {
         }
       }
     }
-    spark.createDataFrame(prefixed, outSchema)
+    // materialize the budget-bounded selection NOW (localCheckpoint: one
+    // extra job over rows that are ≤ budget by construction), so the full
+    // ranged corpus — the dominant dataset — can be released immediately
+    // instead of staying pinned in the cache for the session's lifetime
+    val out = spark.createDataFrame(prefixed, outSchema)
+      .localCheckpoint(eager = true)
+    ranged.unpersist(blocking = false)
+    out
   }
 
   /**
