@@ -153,6 +153,31 @@ class SamplingSpec extends SparkSpec {
     assert(all === Map(1L -> 5L, 2L -> 10L, 3L -> 15L))
   }
 
+  test("takeByBudget fuzz: random data and budgets match the driver-side prefix") {
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 8) {
+      val n = 1 + rnd.nextInt(300)
+      val rows = (1L to n).map(i =>
+        (i, rnd.nextInt(20).toLong, rnd.nextInt(10).toLong))
+      val total = rows.map(_._2).sum
+      val budget = trial match {
+        case 1 => 0L
+        case 2 => total // everything
+        case _ => rnd.nextLong(total + 2)
+      }
+      val df = rows.toDF("id", "cost", "prio")
+      val got = Sampling.takeByBudget(df, "cost", budget,
+        Seq(col("prio").asc, col("id").desc))
+        .select("id", "cum_cost").as[(Long, Long)].collect().toMap
+      var cum = 0L
+      val expect = rows.sortBy { case (id, _, p) => (p, -id) }
+        .flatMap { case (id, c, _) =>
+          cum += c; if (cum <= budget) Some(id -> cum) else None
+        }.toMap
+      assert(got === expect, s"trial $trial n=$n budget=$budget")
+    }
+  }
+
   test("takeByBudget rejects negative costs loudly") {
     val df = Seq((1L, 5L), (2L, -1L)).toDF("id", "cost")
     val e = intercept[Exception] {
