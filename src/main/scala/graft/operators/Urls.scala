@@ -47,17 +47,34 @@ object Urls {
   def host(url: Column): Column =
     regexp_replace(regexp_replace(hostPort(url), ":[0-9]+$", ""), "^(www\\.)+", "")
 
+  /** The common two-label public suffixes, so `shop.example.co.uk` →
+   *  `example.co.uk` instead of `co.uk`. A full public-suffix list is a
+   *  data file away and slots into the same expression; this literal set
+   *  covers the dominant multi-part registries while keeping the
+   *  expression self-contained (no runtime lookup, fully codegen'd). */
+  val MultiPartSuffixes: Seq[String] = Seq(
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "me.uk", "net.uk",
+    "com.au", "net.au", "org.au", "edu.au", "gov.au",
+    "co.jp", "ne.jp", "or.jp", "ac.jp", "go.jp",
+    "com.br", "net.br", "org.br", "gov.br",
+    "com.cn", "net.cn", "org.cn", "gov.cn",
+    "co.in", "net.in", "org.in", "co.kr", "or.kr", "go.kr",
+    "com.mx", "com.ar", "com.tr", "co.za", "com.sg", "com.hk",
+    "com.tw", "co.nz", "net.nz", "org.nz", "co.id", "com.my")
+
   /**
-   * Registrable domain by the last-two-labels heuristic (`a.b.site.com` →
-   * `site.com`). A full public-suffix-list walk (for `co.uk`-style suffixes)
-   * is a data file away and slots into the same expression; the heuristic is
-   * the standard corpus-curation default and keeps the expression
-   * self-contained. Single-label hosts (e.g. `localhost`) pass through.
+   * Registrable domain: last two host labels, or last THREE when the last
+   * two are a known multi-part public suffix ([[MultiPartSuffixes]] —
+   * `a.b.site.com` → `site.com`, `shop.example.co.uk` → `example.co.uk`).
+   * Single-label hosts (e.g. `localhost`) and bare suffixes pass through.
    */
   def domain(url: Column): Column = {
     val h = host(url)
     val lastTwo = regexp_extract(h, "([^.]+\\.[^.]+)$", 1)
-    when(lastTwo === "", h).otherwise(lastTwo)
+    val lastThree = regexp_extract(h, "([^.]+\\.[^.]+\\.[^.]+)$", 1)
+    when(lastTwo === "", h)
+      .when(lastTwo.isin(MultiPartSuffixes: _*) && lastThree =!= "", lastThree)
+      .otherwise(lastTwo)
   }
 
   /** Canonical URL per the contract above. */

@@ -75,6 +75,16 @@ class UrlsSpec extends SparkSpec {
     assert(dom("http://www.site.com/x") === "site.com")
   }
 
+  test("domain respects multi-part public suffixes") {
+    assert(dom("https://shop.example.co.uk/x") === "example.co.uk")
+    assert(dom("https://WWW.Example.CO.UK/x") === "example.co.uk")
+    assert(dom("https://a.b.site.com.au") === "site.com.au")
+    // a bare multi-part suffix has no registrable label above it
+    assert(dom("https://co.uk/") === "co.uk")
+    // plain TLDs keep the two-label rule
+    assert(dom("https://deep.sub.site.org/x") === "site.org")
+  }
+
   test("withUrlParts + capPerGroup composition caps per canonical domain") {
     val docs = (1L to 40L).map { i =>
       (i, s"HTTP://WWW.D${i % 4}.com/page/$i?utm_source=x")
