@@ -8,22 +8,24 @@ import org.apache.spark.sql.functions._
  * it" step: per-column row/null/distinct counts and min/max, computed in
  * a SINGLE aggregation over one scan and melted to one row per column.
  *
- * Scale shape: Spark plans the multiple exact `count(distinct)`s via the
- * Expand operator — the scan is read once and expanded |cols|+1 ways into
- * one shuffled aggregation (the standard multi-distinct plan; each expanded
- * row carries a single column's value, so the shuffle is narrow). That is
- * the exact-answer path, and the one the battery oracle checks. At
- * 100 TB-wide profiles where exact distincts aren't worth it, swap
- * `count_distinct` for `approx_count_distinct` below — the plan collapses
- * to one partial-aggregated pass with constant-size HLL state and no
- * Expand; everything else is unchanged.
+ * Scale shape: with `exactDistinct = true` (default, the battery-oracled
+ * path) Spark plans the multiple exact `count(distinct)`s via the Expand
+ * operator — the scan is read once and expanded |cols|+1 ways into one
+ * shuffled aggregation (the standard multi-distinct plan; each expanded
+ * row carries a single column's value, so the shuffle is narrow). With
+ * `exactDistinct = false` the distincts become `approx_count_distinct`
+ * (HLL++, deterministic) and the plan collapses to one partial-aggregated
+ * pass with constant-size sketch state and no Expand — the right call for
+ * 100 TB-wide profiles where ±2% on n_distinct is fine; every other cell
+ * stays exact.
  *
  * min/max are computed on the NATIVE type (so numeric columns order
  * numerically) and emitted as strings to give every column one schema.
  */
 object Profiling {
 
-  def summarize(df: DataFrame, cols: Seq[String]): DataFrame = {
+  def summarize(
+      df: DataFrame, cols: Seq[String], exactDistinct: Boolean = true): DataFrame = {
     require(cols.nonEmpty, "profile needs at least one column")
     cols.foreach(c => require(df.columns.contains(c), s"no such column: $c"))
     // backtick-quote every reference: a literal column name containing a
@@ -33,7 +35,8 @@ object Profiling {
       count(lit(1)).as("__n_rows") +: cols.flatMap { c =>
         Seq(
           count(q(c)).as(s"__nn_$c"), // non-null count
-          count_distinct(q(c)).as(s"__nd_$c"),
+          (if (exactDistinct) count_distinct(q(c))
+           else approx_count_distinct(q(c))).as(s"__nd_$c"),
           min(q(c)).cast("string").as(s"__mn_$c"),
           max(q(c)).cast("string").as(s"__mx_$c"))
       }
