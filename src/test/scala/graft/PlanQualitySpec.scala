@@ -302,6 +302,42 @@ class PlanQualitySpec extends SparkSpec {
       s"PII pass fell out of codegen:\n$plan")
   }
 
+  test("round-7 per-row operators are pure codegen: zero exchanges") {
+    import org.apache.spark.sql.functions.{col, concat, lit}
+    val docs = graft.tables.Tables.documents(spark, sf)
+    // HTML strip
+    val strip = graft.operators.TextAnalysis.withStrippedHtml(
+      docs.withColumn("html", concat(lit("<p>"), col("text"), lit("</p>"))), "html")
+      .queryExecution.executedPlan.toString
+    assert(!strip.contains("Exchange"), s"stripHtml must not shuffle:\n$strip")
+    assert(strip.linesIterator.next().trim.startsWith("*("),
+      s"stripHtml fell out of codegen:\n$strip")
+    // URL parts
+    val urls = graft.operators.Urls.withUrlParts(
+      docs.withColumn("url",
+        concat(lit("https://www.example"), col("doc_id"), lit(".com/a"))), "url")
+      .queryExecution.executedPlan.toString
+    assert(!urls.contains("Exchange"), s"withUrlParts must not shuffle:\n$urls")
+    // epoch upsampling: explode stays in-stage, no shuffle
+    val up = graft.operators.Sampling.upsampleSources(
+      docs, "source", Seq("doc_id"), Map("src0" -> 2.5, "src1" -> 0.5))
+      .queryExecution.executedPlan.toString
+    assert(!up.contains("Exchange"), s"upsampleSources must not shuffle:\n$up")
+    assert(up.contains("Generate"), s"expected in-stage explode in:\n$up")
+  }
+
+  test("approx profiling plans one pass: no Expand, no multi-distinct") {
+    val docs = graft.tables.Tables.documents(spark, sf)
+    val approx = graft.operators.Profiling.summarize(
+      docs, Seq("doc_id", "source"), exactDistinct = false)
+      .queryExecution.executedPlan.toString
+    assert(!approx.contains("Expand"), s"approx profile must not Expand:\n$approx")
+    val exact = graft.operators.Profiling.summarize(docs, Seq("doc_id", "source"))
+      .queryExecution.executedPlan.toString
+    assert(exact.contains("Expand"), // the documented multi-distinct shape
+      s"exact profile should use the Expand multi-distinct plan:\n$exact")
+  }
+
   test("chunking is pure codegen: zero exchanges, explode stays in-stage") {
     val docs = graft.tables.Tables.documents(spark, sf)
     val plan = graft.operators.Chunking.chunk(docs, Seq("doc_id"), "text", 64, 16)
