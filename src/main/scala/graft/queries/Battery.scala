@@ -345,6 +345,32 @@ object Battery {
       graft.operators.Profiling.summarize(
         docs(s, d), Seq("doc_id", "text", "lang", "source", "n_chars"))),
 
+    // composed WEB-CURATION pipeline over the round-7 operators: raw
+    // crawled page (constructed) -> stripHtml -> URL canonicalize + domain
+    // -> per-domain cap -> token estimate on the CLEANED text -> global
+    // token-budget selection. The oracle replays every stage in closed
+    // form — the same whole-chain contract as q87/q104.
+    "q116_web_pipeline" -> ((s, d) => {
+      val id = col("doc_id").cast("string")
+      val html = concat(
+        lit("<html><head><title>Doc "), id,
+        lit("</title><script>if (x < 2) { y(); }</script></head><body>"),
+        lit("<!-- chrome --><h1>Title "), id, lit("</h1>\n<p>"), col("text"),
+        lit("</p>&nbsp;<b>Bold&amp;Co</b></body></html>"))
+      val url = concat(lit("HTTPS://WWW.Example"), (col("doc_id") % 40).cast("string"),
+        lit(".COM/Docs/"), id, lit("?utm_source=x&id="), id)
+      val page = docs(s, d).withColumn("html", html).withColumn("url", url)
+      val cleaned = Urls.withUrlParts(
+        TextAnalysis.withStrippedHtml(page, "html"), "url")
+      val capped = Sampling.capPerGroup(cleaned, Seq("url_domain"), Seq("doc_id"), n = 8)
+        .withColumn("est_tokens",
+          ceil(length(col("text_plain")) / 4.0).cast("long"))
+      Sampling.takeByBudget(capped, "est_tokens", 8000L,
+        Seq(col("n_chars").desc, col("doc_id").asc))
+        .select(col("doc_id"), col("url_domain"), col("est_tokens"),
+          col("cum_cost"))
+    }),
+
     // full transitive dedup clusters over THREE twin copies: every exact-text
     // group forms one component whose min label must propagate through the
     // connected-components fixpoint
@@ -1795,6 +1821,25 @@ object Battery {
         |UNION ALL
         |SELECT 'n_chars', COUNT(*), COUNT(*) - COUNT(n_chars), COUNT(DISTINCT n_chars),
         |  CAST(MIN(n_chars) AS VARCHAR), CAST(MAX(n_chars) AS VARCHAR) FROM documents""".stripMargin,
+    // whole-chain replay: strip result in closed form, domain arithmetic,
+    // md5-rank cap, token estimate, global cumulative budget
+    "q116_web_pipeline" ->
+      """WITH p AS (
+        |  SELECT doc_id, n_chars,
+        |    'example' || CAST(doc_id % 40 AS VARCHAR) || '.com' AS url_domain,
+        |    CAST(ceil(length('Doc ' || CAST(doc_id AS VARCHAR) || ' Title ' ||
+        |      CAST(doc_id AS VARCHAR) || ' ' || text || ' Bold&Co') / 4.0) AS BIGINT)
+        |      AS est_tokens,
+        |    row_number() OVER (PARTITION BY doc_id % 40
+        |      ORDER BY substring(md5(CAST(doc_id AS VARCHAR)),1,8) ASC, doc_id ASC) AS rn
+        |  FROM documents),
+        |surv AS (SELECT * FROM p WHERE rn <= 8),
+        |c AS (
+        |  SELECT doc_id, url_domain, est_tokens,
+        |    SUM(est_tokens) OVER (ORDER BY n_chars DESC, doc_id) AS cum
+        |  FROM surv)
+        |SELECT doc_id, url_domain, est_tokens, CAST(cum AS BIGINT) AS cum_cost
+        |FROM c WHERE cum <= 8000""".stripMargin,
     "q27_ngram_jaccard" ->
       """WITH ids AS (
         |  SELECT doc_id AS id, text, 0 AS v FROM documents
