@@ -106,6 +106,47 @@ object TextAnalysis {
   }
 
   /**
+   * Winnowing document fingerprint (the MOSS rolling-hash scheme): hash
+   * every k-char gram, take the minimum of each w-wide sliding window of
+   * gram hashes, and keep the sorted distinct minima. Two documents
+   * sharing a sufficiently long substring are GUARANTEED to share a
+   * selected hash (the winnowing coverage property), which plain
+   * whole-document fingerprints ([[withFingerprint]]) cannot offer —
+   * the standard primitive for overlap/plagiarism-style detection.
+   *
+   * Engine-portable by construction: the gram hash is the first 32 bits
+   * of md5 (any md5-bearing engine agrees — the battery oracle replays
+   * the whole selection in DuckDB), and selection is pure array
+   * expressions: per-row, zero shuffle. O(grams × w) comparisons per
+   * document; for huge documents a native monotonic-deque expression
+   * (O(grams)) slots in behind this same signature, the MinHash
+   * HOF→native precedent.
+   *
+   * Documents shorter than k chars fingerprint as their whole-text hash.
+   */
+  def winnowingFingerprint(text: Column, k: Int = 8, w: Int = 4): Column = {
+    require(k >= 2, s"gram size k must be >= 2, got $k")
+    require(w >= 1, s"window w must be >= 1, got $w")
+    val nGrams = length(text) - (k - 1)
+    val grams = when(nGrams >= 1,
+      transform(sequence(lit(1), nGrams), i => text.substr(i, lit(k))))
+      .otherwise(array(text))
+    val hashes = transform(grams,
+      g => conv(substring(md5(g), 1, 8), 16, 10).cast("long"))
+    val m = size(hashes)
+    val mins = when(m >= w,
+      transform(sequence(lit(1), m - (w - 1)),
+        j => array_min(slice(hashes, j, lit(w)))))
+      .otherwise(array(array_min(hashes)))
+    array_sort(array_distinct(mins))
+  }
+
+  def withWinnowing(
+      df: DataFrame, textCol: String, k: Int = 8, w: Int = 4,
+      outCol: String = "winnow_fp"): DataFrame =
+    df.withColumn(outCol, winnowingFingerprint(col(textCol), k, w))
+
+  /**
    * HTML/markup removal — the first pass over crawled web text before any
    * quality scoring or dedup sees it. Pure regexp_replace/replace chain
    * (whole-stage codegen, zero shuffle, linear in bytes):

@@ -371,6 +371,16 @@ object Battery {
           col("cum_cost"))
     }),
 
+    // winnowing (MOSS rolling-hash) fingerprint: the DuckDB oracle replays
+    // gram hashing (32-bit md5 prefix) and the sliding-window minima
+    // selection list-for-list; output string-joined (the comparer cannot
+    // sort raw list cells, the q35 bytearray lesson)
+    "q117_winnowing" -> ((s, d) =>
+      TextAnalysis.withWinnowing(docs(s, d), "text", k = 8, w = 4)
+        .select(col("doc_id"),
+          array_join(transform(col("winnow_fp"), v => v.cast("string")), ",")
+            .as("winnow_fp"))),
+
     // full transitive dedup clusters over THREE twin copies: every exact-text
     // group forms one component whose min label must propagate through the
     // connected-components fixpoint
@@ -1840,6 +1850,25 @@ object Battery {
         |  FROM surv)
         |SELECT doc_id, url_domain, est_tokens, CAST(cum AS BIGINT) AS cum_cost
         |FROM c WHERE cum <= 8000""".stripMargin,
+    // gram hashes + window minima replayed with DuckDB list functions
+    "q117_winnowing" ->
+      """WITH g AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(text) >= 8
+        |      THEN list_transform(range(1, length(text) - 8 + 2),
+        |             i -> CAST('0x' || substr(md5(substr(text, CAST(i AS INT), 8)), 1, 8) AS BIGINT))
+        |      ELSE [CAST('0x' || substr(md5(text), 1, 8) AS BIGINT)] END AS h
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(h) >= 4
+        |      THEN list_transform(range(1, len(h) - 4 + 2),
+        |             j -> list_min(h[CAST(j AS INT):CAST(j + 3 AS INT)]))
+        |      ELSE [list_min(h)] END AS mins
+        |  FROM g)
+        |SELECT doc_id,
+        |  array_to_string(list_sort(list_distinct(mins)), ',') AS winnow_fp
+        |FROM m""".stripMargin,
     "q27_ngram_jaccard" ->
       """WITH ids AS (
         |  SELECT doc_id AS id, text, 0 AS v FROM documents

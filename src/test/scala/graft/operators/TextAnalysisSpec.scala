@@ -71,6 +71,46 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(5L)._3 > got(5L)._2)
   }
 
+  test("winnowing fingerprint matches a scala reference implementation") {
+    def ref(text: String, k: Int, w: Int): Seq[Long] = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      def h(s: String): Long = {
+        val d = md.digest(s.getBytes("UTF-8"))
+        java.lang.Long.parseLong(d.take(4).map("%02x".format(_)).mkString, 16)
+      }
+      val grams =
+        if (text.length >= k) (0 to text.length - k).map(i => text.substring(i, i + k))
+        else Seq(text)
+      val hs = grams.map(h)
+      val mins =
+        if (hs.length >= w) (0 to hs.length - w).map(j => hs.slice(j, j + w).min)
+        else Seq(hs.min)
+      mins.distinct.sorted
+    }
+    val texts = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "short"), // < k: whole-text gram
+      (3L, "aaaaaaaaaaaa"), // degenerate repeats collapse to one hash
+      (4L, "exactly8"))
+    val got = texts.toDF("id", "text")
+      .select(col("id"), TextAnalysis.winnowingFingerprint(col("text"), 8, 4))
+      .as[(Long, Seq[Long])].collect().toMap
+    texts.foreach { case (id, t) => assert(got(id) === ref(t, 8, 4), s"id=$id") }
+  }
+
+  test("winnowing guarantees shared hashes for shared substrings") {
+    val common = "this exact shared passage is long enough to survive windowing"
+    val df = Seq(
+      (1L, s"prefix one $common suffix alpha"),
+      (2L, s"a completely different lead-in $common and tail"),
+      (3L, "no overlap with the others at all, entirely disjoint prose"))
+      .toDF("id", "text")
+    val fp = TextAnalysis.withWinnowing(df, "text")
+      .select("id", "winnow_fp").as[(Long, Seq[Long])].collect().toMap
+    assert(fp(1L).toSet.intersect(fp(2L).toSet).nonEmpty) // coverage property
+    assert(fp(1L).toSet.intersect(fp(3L).toSet).isEmpty)
+  }
+
   test("stripHtml removes script/style/comments/tags, decodes entities, collapses ws") {
     def strip(h: String): String =
       Seq(h).toDF("html").select(TextAnalysis.stripHtml(col("html"))).as[String].head()
