@@ -178,6 +178,13 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("takeByBudget on an empty input returns an empty frame with the out column") {
+    val empty = Seq.empty[(Long, Long)].toDF("id", "cost")
+    val got = Sampling.takeByBudget(empty, "cost", 100L, Seq(col("id").asc))
+    assert(got.columns.toSeq === Seq("id", "cost", "cum_cost"))
+    assert(got.count() === 0)
+  }
+
   test("takeByBudget rejects negative costs loudly") {
     val df = Seq((1L, 5L), (2L, -1L)).toDF("id", "cost")
     val e = intercept[Exception] {

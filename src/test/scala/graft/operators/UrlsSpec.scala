@@ -39,6 +39,14 @@ class UrlsSpec extends SparkSpec {
     assert(norm("http://www.www.site.com/x") === "http://site.com/x")
   }
 
+  test("null urls propagate as null through every extractor") {
+    val row = Seq((1L, null: String)).toDF("id", "url")
+      .select(Urls.normalize(col("url")), Urls.host(col("url")),
+        Urls.domain(col("url")), Urls.scheme(col("url")))
+      .collect()(0)
+    assert((0 to 3).forall(row.isNullAt))
+  }
+
   test("normalize is idempotent on arbitrary inputs (fuzz)") {
     val inputs =
       // structured: every combination of the rule-triggering pieces
