@@ -448,6 +448,10 @@ object Dedup {
         col("n.band") === col("c.band") && col("n.band_hash") === col("c.band_hash"))
       .select(col("n.id").as("new_id"), col("c.id").as("corpus_id"))
       .distinct()
+    // matched ids are bounded by |increment|: materialize them NOW
+    // (eager localCheckpoint) so both signature caches — the corpus one
+    // scales with the snapshot — release at return instead of staying
+    // pinned for the session (same discipline as takeByBudget)
     val matched = cand
       .join(sigsNew.select(col("id").as("new_id"), col("sig").as("sig_n")), "new_id")
       .join(sigsOld.select(col("id").as("corpus_id"), col("sig").as("sig_c")), "corpus_id")
@@ -455,6 +459,9 @@ object Dedup {
         aggregate(zip_with(col("sig_n"), col("sig_c"), (x, y) => when(x === y, 1).otherwise(0)),
           lit(0), (acc, v) => acc + v).cast("double") / numPerms >= minEstJaccard)
       .select(col("new_id").as(idCol)).distinct()
+      .localCheckpoint(eager = true)
+    sigsNew.unpersist(blocking = false)
+    sigsOld.unpersist(blocking = false)
     newDocs.join(matched, Seq(idCol), "left_anti")
   }
 
