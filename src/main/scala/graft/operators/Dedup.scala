@@ -465,6 +465,48 @@ object Dedup {
     newDocs.join(matched, Seq(idCol), "left_anti")
   }
 
+  /**
+   * Substring-overlap pairs via winnowing fingerprints
+   * ([[TextAnalysis.winnowingFingerprint]]): candidates share at least one
+   * selected window-minimum hash (the winnowing coverage guarantee: any
+   * sufficiently long shared substring forces a shared selection), scored
+   * by CONTAINMENT — |A∩B| / min(|A|,|B|) — so a short document quoted
+   * wholesale inside a long one scores ~1.0 where symmetric Jaccard
+   * (MinHash, [[minhashPairs]]) would dilute it toward 0. The
+   * contained-passage detector of curation pipelines.
+   *
+   * Same shuffle discipline as [[candidatePairs]]: the explode carries
+   * (id, 8-byte hash) only, candidates `distinct()` before the
+   * fingerprint rejoin, and the pair list — output-bounded — is
+   * materialized so the fingerprint cache releases at return.
+   */
+  def winnowingOverlapPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 8,
+      w: Int = 4,
+      minContainment: Double = 0.5): DataFrame = {
+    val fps = df.select(col(idCol).as("id"),
+      TextAnalysis.winnowingFingerprint(col(textCol), k, w).as("fp"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val keyed = fps.select(col("id"), explode(col("fp")).as("wh"))
+    val cand = keyed.as("a").join(keyed.as("b"),
+        col("a.wh") === col("b.wh") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    val pairs = cand
+      .join(fps.select(col("id").as("id_a"), col("fp").as("fp_a")), "id_a")
+      .join(fps.select(col("id").as("id_b"), col("fp").as("fp_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        (size(array_intersect(col("fp_a"), col("fp_b"))).cast("double") /
+          least(size(col("fp_a")), size(col("fp_b")))).as("containment"))
+      .filter(col("containment") >= minContainment)
+      .localCheckpoint(eager = true)
+    fps.unpersist(blocking = false)
+    pairs
+  }
+
   // ---------- line-level corpus dedup (C4-style boilerplate removal) ----
 
   /**

@@ -116,29 +116,18 @@ object TextAnalysis {
    *
    * Engine-portable by construction: the gram hash is the first 32 bits
    * of md5 (any md5-bearing engine agrees — the battery oracle replays
-   * the whole selection in DuckDB), and selection is pure array
-   * expressions: per-row, zero shuffle. O(grams × w) comparisons per
-   * document; for huge documents a native monotonic-deque expression
-   * (O(grams)) slots in behind this same signature, the MinHash
-   * HOF→native precedent.
+   * the whole selection in DuckDB with list functions). Implemented as
+   * the native one-pass expression [[graft.functions.WinnowFingerprint]]
+   * — the equivalent higher-order-function formulation evaluates one
+   * interpreted md5 PER GRAM and stalled the sf0.1 overlap join (the
+   * round-1 MinHash lesson); per-row, zero shuffle either way.
    *
    * Documents shorter than k chars fingerprint as their whole-text hash.
    */
   def winnowingFingerprint(text: Column, k: Int = 8, w: Int = 4): Column = {
     require(k >= 2, s"gram size k must be >= 2, got $k")
     require(w >= 1, s"window w must be >= 1, got $w")
-    val nGrams = length(text) - (k - 1)
-    val grams = when(nGrams >= 1,
-      transform(sequence(lit(1), nGrams), i => text.substr(i, lit(k))))
-      .otherwise(array(text))
-    val hashes = transform(grams,
-      g => conv(substring(md5(g), 1, 8), 16, 10).cast("long"))
-    val m = size(hashes)
-    val mins = when(m >= w,
-      transform(sequence(lit(1), m - (w - 1)),
-        j => array_min(slice(hashes, j, lit(w)))))
-      .otherwise(array(array_min(hashes)))
-    array_sort(array_distinct(mins))
+    graft.functions.WinnowFingerprint(text, k, w)
   }
 
   def withWinnowing(

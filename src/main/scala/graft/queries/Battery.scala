@@ -381,6 +381,15 @@ object Battery {
           array_join(transform(col("winnow_fp"), v => v.cast("string")), ",")
             .as("winnow_fp"))),
 
+    // winnowing-overlap pairs on the twin corpus: identical texts share the
+    // whole fingerprint (containment exactly 1.0); distinct md5-word texts
+    // can only chance-share a handful of 32-bit grams, far below the 0.5
+    // containment gate — so the surviving pairs reduce to text equality
+    "q118_winnow_overlap" -> ((s, d) =>
+      Dedup.winnowingOverlapPairs(
+        twinCopy(s, d, 0).unionByName(twinCopy(s, d, 1)), "doc_id", "text",
+        k = 8, w = 4, minContainment = 0.5)),
+
     // full transitive dedup clusters over THREE twin copies: every exact-text
     // group forms one component whose min label must propagate through the
     // connected-components fixpoint
@@ -1869,6 +1878,13 @@ object Battery {
         |SELECT doc_id,
         |  array_to_string(list_sort(list_distinct(mins)), ',') AS winnow_fp
         |FROM m""".stripMargin,
+    // identical twin texts -> containment exactly 1.0; nothing else survives
+    "q118_winnow_overlap" ->
+      """WITH ids AS (
+        |  SELECT doc_id AS id, text FROM documents
+        |  UNION ALL SELECT doc_id + 1000000, text FROM documents)
+        |SELECT a.id AS id_a, b.id AS id_b, CAST(1.0 AS DOUBLE) AS containment
+        |FROM ids a JOIN ids b ON a.text = b.text AND a.id < b.id""".stripMargin,
     "q27_ngram_jaccard" ->
       """WITH ids AS (
         |  SELECT doc_id AS id, text, 0 AS v FROM documents

@@ -277,6 +277,23 @@ class DedupSpec extends SparkSpec {
     assert(got === Set(201L, 202L)) // identical twins drop, disjoint twins stay
   }
 
+  test("winnowingOverlapPairs: containment catches contained passages Jaccard dilutes") {
+    import spark.implicits._
+    val passage = "this exact shared passage is long enough to survive the windowing pass"
+    val corpus = Seq(
+      (1L, passage), // the short doc IS the passage
+      (2L, s"a very long surrounding document that quotes $passage verbatim and then " +
+        "continues with a great deal of entirely unrelated material about other topics"),
+      (3L, "completely disjoint prose with no quoted passage anywhere in it at all"))
+      .toDF("doc_id", "text")
+    val got = Dedup.winnowingOverlapPairs(corpus, "doc_id", "text",
+      k = 8, w = 4, minContainment = 0.5)
+      .as[(Long, Long, Double)].collect().map(p => (p._1, p._2) -> p._3).toMap
+    // doc 1 contained in doc 2: containment of the smaller fingerprint is high
+    assert(got.contains((1L, 2L)) && got((1L, 2L)) >= 0.5)
+    assert(!got.keys.exists { case (a, b) => a == 3L || b == 3L })
+  }
+
   test("dropFrequentLines: regex-special separators are treated literally") {
     import spark.implicits._
     val docs = (1L to 4L).map(i => (i, s"AD. body $i. AD")).toDF("doc_id", "text")
