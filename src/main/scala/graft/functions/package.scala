@@ -110,6 +110,11 @@ package object functions {
       new ExpressionInfo(classOf[DotProductI8].getName, "dot_i8"),
       (exprs: Seq[Expression]) => DotProductI8(exprs(0), exprs(1)))
     registry.registerFunction(
+      FunctionIdentifier("winnow_fp"),
+      new ExpressionInfo(classOf[WinnowFingerprint].getName, "winnow_fp"),
+      (exprs: Seq[Expression]) =>
+        WinnowFingerprint(exprs(0), intArg(exprs(1)), intArg(exprs(2))))
+    registry.registerFunction(
       FunctionIdentifier("uuid_bin"),
       new ExpressionInfo(classOf[org.apache.spark.sql.catalyst.expressions.Unhex].getName,
         "uuid_bin"),

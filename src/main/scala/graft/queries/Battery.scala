@@ -390,6 +390,19 @@ object Battery {
         twinCopy(s, d, 0).unionByName(twinCopy(s, d, 1)), "doc_id", "text",
         k = 8, w = 4, minContainment = 0.5)),
 
+    // JSONL ingestion round-trip (explicit schema, FAILFAST): the corpus
+    // dumped to JSON lines and read back through Ingest must be
+    // byte-identical to the parquet original — string escaping, unicode,
+    // and numeric fidelity all ride on this identity oracle
+    "q119_jsonl_ingest" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft_jsonl_")
+        .toString + "/docs"
+      docs(s, d).write.json(dir)
+      graft.sources.Ingest.jsonl(s, dir, docs(s, d).schema)
+        .select(col("doc_id"), col("text"), col("lang"), col("source"),
+          col("n_chars"))
+    }),
+
     // full transitive dedup clusters over THREE twin copies: every exact-text
     // group forms one component whose min label must propagate through the
     // connected-components fixpoint
@@ -1885,6 +1898,9 @@ object Battery {
         |  UNION ALL SELECT doc_id + 1000000, text FROM documents)
         |SELECT a.id AS id_a, b.id AS id_b, CAST(1.0 AS DOUBLE) AS containment
         |FROM ids a JOIN ids b ON a.text = b.text AND a.id < b.id""".stripMargin,
+    // identity: the JSONL round-trip must reproduce the source table
+    "q119_jsonl_ingest" ->
+      """SELECT doc_id, text, lang, source, n_chars FROM documents""",
     "q27_ngram_jaccard" ->
       """WITH ids AS (
         |  SELECT doc_id AS id, text, 0 AS v FROM documents

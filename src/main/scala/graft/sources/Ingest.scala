@@ -1,0 +1,71 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/**
+ * Ingestion readers for the raw formats training corpora actually arrive
+ * in — JSONL and CSV — with the contracts that matter at 100 TB baked in
+ * rather than left to defaults:
+ *
+ *  - EXPLICIT schema, never inference: `inferSchema` is a full extra pass
+ *    over the corpus before the real read, and on messy crawl data it
+ *    infers a different schema per day, silently breaking appends.
+ *  - FAILFAST by default: a malformed record aborts the job with the bad
+ *    line in the error, instead of Spark's default PERMISSIVE nulling —
+ *    at corpus scale, silent nulls are unnoticed data loss. Deliberately
+ *    lossy ingestion opts in via [[jsonlPermissive]]/[[csvPermissive]],
+ *    which KEEP the corrupt record in `_corrupt_record` so the reject
+ *    stream can be quarantined and counted rather than dropped.
+ *  - multiline off (the default): one record per line keeps the format
+ *    splittable — a multiline JSON/CSV file cannot be split across tasks
+ *    and serializes the whole file through one core.
+ *
+ * Downstream is the normal pipeline: clean → curate → token-sorted graft
+ * write ([[graft.write.TokenSortedWriter]]).
+ */
+object Ingest {
+
+  def jsonl(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).option("mode", "FAILFAST").json(path)
+
+  /** Lossy path: corrupt lines land in `_corrupt_record` (schema must NOT
+   *  already contain that column), clean fields parse as usual. Spark
+   *  refuses a query that reads ONLY the corrupt column from raw files —
+   *  cache() the parsed frame before splitting it into clean/reject
+   *  streams (which a quarantine pass wants anyway: one parse, two
+   *  outputs). */
+  def jsonlPermissive(
+      spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read
+      .schema(schema.add("_corrupt_record", org.apache.spark.sql.types.StringType))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(path)
+
+  def csv(
+      spark: SparkSession,
+      path: String,
+      schema: StructType,
+      header: Boolean = true,
+      delimiter: String = ","): DataFrame =
+    spark.read.schema(schema)
+      .option("mode", "FAILFAST")
+      .option("header", header)
+      .option("sep", delimiter)
+      .csv(path)
+
+  def csvPermissive(
+      spark: SparkSession,
+      path: String,
+      schema: StructType,
+      header: Boolean = true,
+      delimiter: String = ","): DataFrame =
+    spark.read
+      .schema(schema.add("_corrupt_record", org.apache.spark.sql.types.StringType))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .option("header", header)
+      .option("sep", delimiter)
+      .csv(path)
+}

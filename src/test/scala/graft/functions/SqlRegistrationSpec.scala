@@ -23,7 +23,8 @@ class SqlRegistrationSpec extends SparkSpec {
         dot_i8(array(CAST(3 AS TINYINT), CAST(-2 AS TINYINT)),
                array(CAST(5 AS TINYINT), CAST(7 AS TINYINT))) AS di8,
         image_dims(unhex('474946383961200150014A')).width AS gif_w,
-        hex(graft_random_token(42L)) AS rtk
+        hex(graft_random_token(42L)) AS rtk,
+        size(winnow_fp('the quick brown fox jumps', 8, 4)) AS n_winnow
     """).head()
     // token(1) is a published Cassandra constant
     assert(row.getLong(0) == -4069959284402364209L)
@@ -42,5 +43,6 @@ class SqlRegistrationSpec extends SparkSpec {
       graft.token.RandomToken.tokenBytes16(
         graft.token.RandomToken.tokenOf(Seq(Long.box(42L))))
         .map("%02X".format(_)).mkString)
+    assert(row.getInt(12) > 0 && row.getInt(12) <= 15) // <= nWindows minima
   }
 }
