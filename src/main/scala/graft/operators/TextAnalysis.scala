@@ -171,6 +171,40 @@ object TextAnalysis {
     df.withColumn(outCol, stripHtml(col(htmlCol)))
 
   /**
+   * Markdown removal — HTML's sibling pass for the other dominant crawled
+   * text format. Same architecture as [[stripHtml]]: a codegen
+   * regexp_replace chain, zero shuffle, ending in the whitespace normal
+   * form. Rules, in application order (each is one pass):
+   *
+   *  1. fence lines (``` …) removed, fenced CONTENT kept — code is
+   *     trainable text, the fences are markup;
+   *  2. images `![alt](url)` → alt, BEFORE links (an image is a link with
+   *     a prefix); links `[text](url)` → text; inline code loses its
+   *     backticks;
+   *  3. ATX headers lose the leading `#`s, blockquotes the leading `>`;
+   *     horizontal-rule lines (`---`/`===`/`___`) removed;
+   *  4. `*`/`**`/`***` emphasis and `~~` strikethrough markers removed.
+   *     Underscore emphasis is deliberately LEFT ALONE: `_` is ubiquitous
+   *     inside identifiers (snake_case) and stripping it corrupts code-
+   *     bearing corpora — the standard conservative choice.
+   */
+  def stripMarkdown(text: Column): Column = {
+    val noFence = regexp_replace(text, "(?m)^```[^\n]*$", " ")
+    val noImg = regexp_replace(noFence, "!\\[([^\\]]*)\\]\\([^)]*\\)", "$1")
+    val noLink = regexp_replace(noImg, "\\[([^\\]]*)\\]\\([^)]*\\)", "$1")
+    val noCode = regexp_replace(noLink, "`([^`]*)`", "$1")
+    val noHead = regexp_replace(noCode, "(?m)^#{1,6}[ \\t]+", "")
+    val noQuote = regexp_replace(noHead, "(?m)^[ \\t]*>[ \\t]?", "")
+    val noHr = regexp_replace(noQuote, "(?m)^(-{3,}|={3,}|_{3,})[ \\t]*$", " ")
+    val noEmph = regexp_replace(regexp_replace(noHr, "\\*{1,3}", ""), "~~", "")
+    trim(regexp_replace(noEmph, "\\s+", " "))
+  }
+
+  def withStrippedMarkdown(
+      df: DataFrame, mdCol: String, outCol: String = "text_plain"): DataFrame =
+    df.withColumn(outCol, stripMarkdown(col(mdCol)))
+
+  /**
    * Intra-document repetition: the fraction of duplicated word n-grams
    * (`1 - distinct/total`) — the Gopher-style "repeated n-gram" quality
    * signal used to drop boilerplate/looping documents before training.

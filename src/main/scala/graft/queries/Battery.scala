@@ -403,6 +403,21 @@ object Battery {
           col("n_chars"))
     }),
 
+    // Markdown stripping over constructed pages exercising every rule:
+    // headers, blockquotes, fences (content kept), links, images, inline
+    // code, emphasis, hr. Closed-form oracle like q110.
+    "q120_markdown_strip" -> ((s, d) => {
+      val id = col("doc_id").cast("string")
+      val md = concat(
+        lit("# Doc "), id, lit("\n\n> intro quote\n\n**Summary** of *item* "),
+        id, lit(": see [ref "), id, lit("](http://example"), id,
+        lit(".com/x) and ![fig "), id, lit("](img.png)\n\n---\n\n```\n"),
+        col("text"), lit("\n```\n\n`tail_code` ~~old~~ end"))
+      TextAnalysis.withStrippedMarkdown(
+          docs(s, d).withColumn("md", md), "md")
+        .select(col("doc_id"), col("text_plain"))
+    }),
+
     // full transitive dedup clusters over THREE twin copies: every exact-text
     // group forms one component whose min label must propagate through the
     // connected-components fixpoint
@@ -1901,6 +1916,15 @@ object Battery {
     // identity: the JSONL round-trip must reproduce the source table
     "q119_jsonl_ingest" ->
       """SELECT doc_id, text, lang, source, n_chars FROM documents""",
+    // closed-form expected plain text for the constructed markdown page
+    "q120_markdown_strip" ->
+      """SELECT doc_id,
+        |  'Doc ' || CAST(doc_id AS VARCHAR)
+        |    || ' intro quote Summary of item ' || CAST(doc_id AS VARCHAR)
+        |    || ': see ref ' || CAST(doc_id AS VARCHAR)
+        |    || ' and fig ' || CAST(doc_id AS VARCHAR) || ' '
+        |    || text || ' tail_code old end' AS text_plain
+        |FROM documents""".stripMargin,
     "q27_ngram_jaccard" ->
       """WITH ids AS (
         |  SELECT doc_id AS id, text, 0 AS v FROM documents

@@ -142,6 +142,22 @@ class TextAnalysisSpec extends SparkSpec {
     assert(fp(1L) === fp(2L)) // case+ws-invariant fingerprint agrees post-strip
   }
 
+  test("stripMarkdown removes markup, keeps content, protects snake_case") {
+    def strip(m: String): String =
+      Seq(m).toDF("md").select(TextAnalysis.stripMarkdown(col("md"))).as[String].head()
+    assert(strip("# Title\n\nBody **bold** and *ital* text") === "Title Body bold and ital text")
+    assert(strip("See [the docs](http://x.com/a) and ![alt text](img.png)")
+      === "See the docs and alt text")
+    assert(strip("```scala\nval x = 1\n```\nafter") === "val x = 1 after")
+    assert(strip("`inline code` rest") === "inline code rest")
+    assert(strip("> quoted line\n> more") === "quoted line more")
+    assert(strip("before\n---\nafter") === "before after")
+    assert(strip("~~struck~~ plain") === "struck plain")
+    // underscore emphasis untouched: snake_case must survive
+    assert(strip("call some_function_name here") === "call some_function_name here")
+    assert(strip("   ") === "")
+  }
+
   test("fingerprint is invariant to case and extra whitespace") {
     val variants = Seq(
       (1L, "Hello   World"),
