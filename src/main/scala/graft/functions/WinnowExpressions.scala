@@ -56,21 +56,36 @@ case class WinnowFingerprint(child: Expression, k: Int, w: Int)
 
 object WinnowFingerprint {
 
-  /** Shared eval for interpreted and generated code paths. */
+  private val digest = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /**
+   * Shared eval for interpreted and generated code paths. Grams are k-BYTE
+   * windows of the UTF-8 encoding (the [[NgramMd5Hashes]] convention):
+   * digesting `bytes[i, i+k)` directly avoids both the per-gram
+   * substring/getBytes allocations and the UTF-16 surrogate-splitting a
+   * char-based window would suffer on non-BMP text (a split emoji encodes
+   * as '?' and collapses distinct grams). On ASCII text byte windows and
+   * character windows coincide — which is what the DuckDB oracle replays.
+   */
   def compute(u: UTF8String, k: Int, w: Int): ArrayData = {
-    val s = u.toString
-    val md = java.security.MessageDigest.getInstance("MD5")
-    def hash32(g: String): Long = {
-      val d = md.digest(g.getBytes(StandardCharsets.UTF_8))
+    val bytes = u.getBytes
+    val md = digest.get()
+    def hash32(from: Int, len: Int): Long = {
+      md.reset()
+      md.update(bytes, from, len)
+      val d = md.digest()
       ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
         ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
     }
-    val nGrams = if (s.length >= k) s.length - k + 1 else 1
+    val nGrams = if (bytes.length >= k) bytes.length - k + 1 else 1
     val hs = new Array[Long](nGrams)
-    if (s.length >= k) {
+    if (bytes.length >= k) {
       var i = 0
-      while (i < nGrams) { hs(i) = hash32(s.substring(i, i + k)); i += 1 }
-    } else hs(0) = hash32(s)
+      while (i < nGrams) { hs(i) = hash32(i, k); i += 1 }
+    } else hs(0) = hash32(0, bytes.length)
     val nWins = if (nGrams >= w) nGrams - w + 1 else 1
     val mins = new Array[Long](nWins)
     if (nGrams >= w) {

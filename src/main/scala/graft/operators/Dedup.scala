@@ -479,6 +479,13 @@ object Dedup {
    * (id, 8-byte hash) only, candidates `distinct()` before the
    * fingerprint rejoin, and the pair list — output-bounded — is
    * materialized so the fingerprint cache releases at return.
+   *
+   * `minFingerprint` excludes documents whose fingerprint has fewer
+   * selected hashes (very short docs collapse to ONE hash, so a single
+   * chance 32-bit collision would score containment exactly 1.0 — at
+   * crawl scale that manufactures thousands of perfect-score false
+   * pairs). Containment over a tiny hash set is not evidence of a shared
+   * passage; route short docs through exact/MinHash dedup instead.
    */
   def winnowingOverlapPairs(
       df: DataFrame,
@@ -486,9 +493,11 @@ object Dedup {
       textCol: String,
       k: Int = 8,
       w: Int = 4,
-      minContainment: Double = 0.5): DataFrame = {
+      minContainment: Double = 0.5,
+      minFingerprint: Int = 2): DataFrame = {
     val fps = df.select(col(idCol).as("id"),
       TextAnalysis.winnowingFingerprint(col(textCol), k, w).as("fp"))
+      .filter(size(col("fp")) >= minFingerprint)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val keyed = fps.select(col("id"), explode(col("fp")).as("wh"))
     val cand = keyed.as("a").join(keyed.as("b"),

@@ -16,8 +16,10 @@ import org.apache.spark.sql.functions._
  * `exactDistinct = false` the distincts become `approx_count_distinct`
  * (HLL++, deterministic) and the plan collapses to one partial-aggregated
  * pass with constant-size sketch state and no Expand — the right call for
- * 100 TB-wide profiles where ±2% on n_distinct is fine; every other cell
- * stays exact.
+ * 100 TB-wide profiles where a few percent error on n_distinct is fine
+ * (`approxRsd` sets the target relative standard deviation, default
+ * Spark's 0.05; tighter rsd = bigger sketch); every other cell stays
+ * exact.
  *
  * min/max are computed on the NATIVE type (so numeric columns order
  * numerically) and emitted as strings to give every column one schema.
@@ -25,7 +27,8 @@ import org.apache.spark.sql.functions._
 object Profiling {
 
   def summarize(
-      df: DataFrame, cols: Seq[String], exactDistinct: Boolean = true): DataFrame = {
+      df: DataFrame, cols: Seq[String], exactDistinct: Boolean = true,
+      approxRsd: Double = 0.05): DataFrame = {
     require(cols.nonEmpty, "profile needs at least one column")
     cols.foreach(c => require(df.columns.contains(c), s"no such column: $c"))
     // backtick-quote every reference: a literal column name containing a
@@ -36,7 +39,7 @@ object Profiling {
         Seq(
           count(q(c)).as(s"__nn_$c"), // non-null count
           (if (exactDistinct) count_distinct(q(c))
-           else approx_count_distinct(q(c))).as(s"__nd_$c"),
+           else approx_count_distinct(q(c), approxRsd)).as(s"__nd_$c"),
           min(q(c)).cast("string").as(s"__mn_$c"),
           max(q(c)).cast("string").as(s"__mx_$c"))
       }

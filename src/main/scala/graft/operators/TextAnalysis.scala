@@ -176,28 +176,39 @@ object TextAnalysis {
    * regexp_replace chain, zero shuffle, ending in the whitespace normal
    * form. Rules, in application order (each is one pass):
    *
-   *  1. fence lines (``` …) removed, fenced CONTENT kept — code is
-   *     trainable text, the fences are markup;
-   *  2. images `![alt](url)` → alt, BEFORE links (an image is a link with
-   *     a prefix); links `[text](url)` → text; inline code loses its
-   *     backticks;
+   *  1. the document splits on fence lines (``` …) into alternating
+   *     prose/code segments: fenced CONTENT is kept VERBATIM — code is
+   *     trainable text, and running the marker passes over it would
+   *     corrupt it (`**kwargs` → `kwargs`, a bash `# comment` → bare
+   *     text). Only the fences themselves disappear. An unclosed fence
+   *     runs to the end of the document (CommonMark), so its content
+   *     stays verbatim;
+   *  2. within prose segments: images `![alt](url)` → alt, BEFORE links
+   *     (an image is a link with a prefix); links `[text](url)` → text;
+   *     inline code loses its backticks;
    *  3. ATX headers lose the leading `#`s, blockquotes the leading `>`;
    *     horizontal-rule lines (`---`/`===`/`___`) removed;
    *  4. `*`/`**`/`***` emphasis and `~~` strikethrough markers removed.
    *     Underscore emphasis is deliberately LEFT ALONE: `_` is ubiquitous
-   *     inside identifiers (snake_case) and stripping it corrupts code-
-   *     bearing corpora — the standard conservative choice.
+   *     inside identifiers (snake_case) and stripping it corrupts code
+   *     even outside fences — the standard conservative choice.
    */
   def stripMarkdown(text: Column): Column = {
-    val noFence = regexp_replace(text, "(?m)^```[^\n]*$", " ")
-    val noImg = regexp_replace(noFence, "!\\[([^\\]]*)\\]\\([^)]*\\)", "$1")
-    val noLink = regexp_replace(noImg, "\\[([^\\]]*)\\]\\([^)]*\\)", "$1")
-    val noCode = regexp_replace(noLink, "`([^`]*)`", "$1")
-    val noHead = regexp_replace(noCode, "(?m)^#{1,6}[ \\t]+", "")
-    val noQuote = regexp_replace(noHead, "(?m)^[ \\t]*>[ \\t]?", "")
-    val noHr = regexp_replace(noQuote, "(?m)^(-{3,}|={3,}|_{3,})[ \\t]*$", " ")
-    val noEmph = regexp_replace(regexp_replace(noHr, "\\*{1,3}", ""), "~~", "")
-    trim(regexp_replace(noEmph, "\\s+", " "))
+    def stripProse(seg: Column): Column = {
+      val noImg = regexp_replace(seg, "!\\[([^\\]]*)\\]\\([^)]*\\)", "$1")
+      val noLink = regexp_replace(noImg, "\\[([^\\]]*)\\]\\([^)]*\\)", "$1")
+      val noCode = regexp_replace(noLink, "`([^`]*)`", "$1")
+      val noHead = regexp_replace(noCode, "(?m)^#{1,6}[ \\t]+", "")
+      val noQuote = regexp_replace(noHead, "(?m)^[ \\t]*>[ \\t]?", "")
+      val noHr = regexp_replace(noQuote, "(?m)^(-{3,}|={3,}|_{3,})[ \\t]*$", " ")
+      regexp_replace(regexp_replace(noHr, "\\*{1,3}", ""), "~~", "")
+    }
+    // split on fence lines -> segments alternate prose (even index) and
+    // fenced code (odd index); only prose gets the marker passes
+    val segments = split(text, "(?m)^```[^\n]*$")
+    val stripped = transform(segments,
+      (seg, i) => when(i % 2 === 1, seg).otherwise(stripProse(seg)))
+    trim(regexp_replace(array_join(stripped, " "), "\\s+", " "))
   }
 
   def withStrippedMarkdown(

@@ -158,6 +158,19 @@ class TextAnalysisSpec extends SparkSpec {
     assert(strip("   ") === "")
   }
 
+  test("stripMarkdown keeps fenced code VERBATIM: *, #, > inside fences survive") {
+    def strip(m: String): String =
+      Seq(m).toDF("md").select(TextAnalysis.stripMarkdown(col("md"))).as[String].head()
+    assert(strip("intro\n```python\ndef f(**kwargs):\n    pass  # comment\n```\noutro")
+      === "intro def f(**kwargs): pass # comment outro")
+    assert(strip("```\nint *p = &x;\ncmd > /dev/null\n```")
+      === "int *p = &x; cmd > /dev/null")
+    // outside fences the same markers ARE markdown and get stripped
+    assert(strip("# Header\n**bold**") === "Header bold")
+    // unclosed fence runs to end of document (CommonMark): stays verbatim
+    assert(strip("a\n```\ncode **kept**?") === "a code **kept**?")
+  }
+
   test("fingerprint is invariant to case and extra whitespace") {
     val variants = Seq(
       (1L, "Hello   World"),
