@@ -269,4 +269,61 @@ object EventStreams {
             writetimeMicros = Some(id)))
       }
       .start()
+
+  /**
+   * Streaming corpus ingestion with CROSS-BATCH incremental near-dup
+   * dedup: each micro-batch drops documents that near-duplicate anything
+   * already accepted (via the persisted MinHash signature table,
+   * [[graft.operators.Dedup.dropAgainstSignatures]]), writes the
+   * survivors to `outDir`, and appends the survivors' signatures to
+   * `sigDir` — so batch N+1 dedups against everything batches 1..N kept.
+   * The signature table is exactly the artifact
+   * [[graft.operators.Dedup.corpusSignatures]] persists for batch
+   * pipelines: streaming and batch ingestion share one dedup state.
+   *
+   * Replay semantics: a re-delivered micro-batch (failure recovery)
+   * re-appends the same `(batch_id, id, sig)` signature rows; reads
+   * dedupe on `id`, so duplicated state rows change nothing, and the
+   * survivor parquet lands under the same deterministic content — the
+   * same idempotency-by-construction as [[writeGraftStream]]. Dedup
+   * WITHIN a micro-batch is intentionally not performed here (contract
+   * matches `dropAgainstCorpus`): run [[graft.operators.Dedup.dropNearDuplicates]]
+   * on the batch inside a custom foreachBatch if in-batch dups matter.
+   */
+  def dedupIngestStream(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      outDir: String,
+      sigDir: String,
+      checkpointDir: String,
+      shingleN: Int = 3,
+      numPerms: Int = 64,
+      bands: Int = 16,
+      minEstJaccard: Double = 0.5): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val spark = batch.sparkSession
+        val haveSigs = new java.io.File(sigDir).exists()
+        val clean =
+          if (!haveSigs) batch.toDF()
+          else {
+            val sigs = spark.read.parquet(sigDir)
+              .dropDuplicates("id") // replayed batches re-append state rows
+              .select(col("id"), col("sig"))
+            graft.operators.Dedup.dropAgainstSignatures(
+              batch.toDF(), sigs, idCol, textCol,
+              shingleN, numPerms, bands, minEstJaccard)
+          }
+        // write survivors first: if the job dies between the two writes,
+        // the replay re-drops against the OLD signature set and rewrites
+        // the same survivors — never loses accepted docs
+        clean.write.mode(org.apache.spark.sql.SaveMode.Append).parquet(outDir)
+        graft.operators.Dedup.corpusSignatures(clean, idCol, textCol, shingleN, numPerms)
+          .withColumn("batch_id", lit(id))
+          .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(sigDir)
+      }
+      .start()
 }

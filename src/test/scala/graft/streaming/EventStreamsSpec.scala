@@ -248,6 +248,38 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedupIngestStream: cross-batch near-dup dedup against the signature table") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val base = java.nio.file.Files.createTempDirectory("graft_dis_").toString
+    val q = EventStreams.dedupIngestStream(
+      mem.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      s"$base/out", s"$base/sigs", s"$base/ckpt",
+      shingleN = 3, numPerms = 32, bands = 16)
+    try {
+      mem.addData(
+        (1L, "the quick brown fox jumps over the lazy dog"),
+        (2L, "completely different content about spark engines and parquet files"))
+      q.processAllAvailable()
+      mem.addData(
+        (10L, "the quick brown fox jumps over the lazy dog"), // dup of batch-1 doc
+        (11L, "a genuinely novel document about distributed joins"))
+      q.processAllAvailable()
+      mem.addData(
+        (20L, "a genuinely novel document about distributed joins"), // dup of batch-2 SURVIVOR
+        (21L, "yet another fresh document mentioning bulk analytics reads"))
+      q.processAllAvailable()
+      val kept = spark.read.parquet(s"$base/out")
+        .select("doc_id").as[Long].collect().toSet
+      assert(kept === Set(1L, 2L, 11L, 21L)) // cross-batch dups 10 and 20 dropped
+      // the signature table carries exactly the survivors
+      val sigIds = spark.read.parquet(s"$base/sigs")
+        .select("id").as[Long].collect().toSet
+      assert(sigIds === kept)
+    } finally q.stop()
+  }
+
   test("streaming dedup drops re-delivered events inside the watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
