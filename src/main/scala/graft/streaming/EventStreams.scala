@@ -281,14 +281,20 @@ object EventStreams {
    * [[graft.operators.Dedup.corpusSignatures]] persists for batch
    * pipelines: streaming and batch ingestion share one dedup state.
    *
-   * Replay semantics: a re-delivered micro-batch (failure recovery)
-   * re-appends the same `(batch_id, id, sig)` signature rows; reads
-   * dedupe on `id`, so duplicated state rows change nothing, and the
-   * survivor parquet lands under the same deterministic content — the
-   * same idempotency-by-construction as [[writeGraftStream]]. Dedup
-   * WITHIN a micro-batch is intentionally not performed here (contract
-   * matches `dropAgainstCorpus`): run [[graft.operators.Dedup.dropNearDuplicates]]
-   * on the batch inside a custom foreachBatch if in-batch dups matter.
+   * Replay semantics — AT-LEAST-ONCE on the survivor parquet, exact on
+   * the dedup state: a re-delivered micro-batch re-reads the signature
+   * state as of before the batch (survivors write FIRST, so a crash
+   * between the two writes replays against the old set), recomputes the
+   * identical survivor rows, and re-appends them — accepted documents are
+   * never lost and never admit their duplicates, but a crash replay can
+   * land the same survivor rows twice in `outDir`. Consumers dedupe on
+   * `idCol` at read (one `dropDuplicates`), or route the output through
+   * [[writeGraftStream]]'s LWW table for exactly-once materialization.
+   * State-side, replayed `(batch_id, id, sig)` rows are collapsed by the
+   * id-dedup on read. Dedup WITHIN a micro-batch is intentionally not
+   * performed (contract matches `dropAgainstCorpus`): run
+   * [[graft.operators.Dedup.dropNearDuplicates]] on the batch inside a
+   * custom foreachBatch if in-batch dups matter.
    */
   def dedupIngestStream(
       docs: DataFrame,
