@@ -202,9 +202,10 @@ object Sampling {
    *
    * The per-partition pass is genuine imperative per-partition logic (a
    * running accumulator with early exit), i.e. the documented
-   * `mapPartitions` case. Costs must be non-negative (throws otherwise —
-   * a negative cost would invalidate both the early exit and selection
-   * monotonicity). `orderCols` must be a TOTAL order (append a unique id
+   * `mapPartitions` case. Costs must be non-null and non-negative (throws
+   * otherwise — a negative cost would invalidate both the early exit and
+   * selection monotonicity, and a silent null→0 would let null-cost rows
+   * ride along for free instead of surfacing the data problem). `orderCols` must be a TOTAL order (append a unique id
    * as the last key): cross-partition ties would otherwise make the
    * boundary content nondeterministic.
    */
@@ -228,7 +229,10 @@ object Sampling {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val costIdx = ranged.schema.fieldIndex(costCol)
     def costOf(r: org.apache.spark.sql.Row): Long = {
-      if (r.isNullAt(costIdx)) 0L
+      if (r.isNullAt(costIdx))
+        throw new IllegalArgumentException(
+          s"takeByBudget needs non-null costs: found a null '$costCol' — " +
+            "coalesce or filter null-cost rows explicitly before selection")
       else {
         val c = r.get(costIdx) match {
           case l: java.lang.Long => l.longValue()

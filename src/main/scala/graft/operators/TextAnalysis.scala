@@ -176,7 +176,9 @@ object TextAnalysis {
    * regexp_replace chain, zero shuffle, ending in the whitespace normal
    * form. Rules, in application order (each is one pass):
    *
-   *  1. the document splits on fence lines (``` …) into alternating
+   *  1. the document splits on fence lines (``` …, up to 3 leading
+   *     spaces/tabs per CommonMark — fences indented inside lists or
+   *     blockquotes still count) into alternating
    *     prose/code segments: fenced CONTENT is kept VERBATIM — code is
    *     trainable text, and running the marker passes over it would
    *     corrupt it (`**kwargs` → `kwargs`, a bash `# comment` → bare
@@ -205,7 +207,7 @@ object TextAnalysis {
     }
     // split on fence lines -> segments alternate prose (even index) and
     // fenced code (odd index); only prose gets the marker passes
-    val segments = split(text, "(?m)^```[^\n]*$")
+    val segments = split(text, "(?m)^[ \t]{0,3}```[^\n]*$")
     val stripped = transform(segments,
       (seg, i) => when(i % 2 === 1, seg).otherwise(stripProse(seg)))
     trim(regexp_replace(array_join(stripped, " "), "\\s+", " "))

@@ -312,7 +312,13 @@ object EventStreams {
       .outputMode(OutputMode.Append)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
         val spark = batch.sparkSession
-        val haveSigs = new java.io.File(sigDir).exists()
+        // resolve through the Hadoop FS API: sigDir can be any Spark URI
+        // (hdfs://, s3a://, file:) — a java.io.File check would be false
+        // for every non-local scheme and silently disable cross-batch dedup
+        val sigPath = new org.apache.hadoop.fs.Path(sigDir)
+        val haveSigs = sigPath
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .exists(sigPath)
         val clean =
           if (!haveSigs) batch.toDF()
           else {

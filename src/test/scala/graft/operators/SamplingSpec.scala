@@ -194,4 +194,15 @@ class SamplingSpec extends SparkSpec {
       Iterator.iterate(t)(_.getCause).takeWhile(_ != null).map(_.getMessage).toSeq
     assert(rootChain(e).exists(m => m != null && m.contains("non-negative")))
   }
+
+  test("takeByBudget rejects null costs loudly (no silent free rides)") {
+    val df = Seq((1L, java.lang.Long.valueOf(5L)), (2L, null: java.lang.Long))
+      .toDF("id", "cost")
+    val e = intercept[Exception] {
+      Sampling.takeByBudget(df, "cost", 10L, Seq(col("id").asc)).count()
+    }
+    def rootChain(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).map(_.getMessage).toSeq
+    assert(rootChain(e).exists(m => m != null && m.contains("non-null")))
+  }
 }

@@ -169,6 +169,11 @@ class TextAnalysisSpec extends SparkSpec {
     assert(strip("# Header\n**bold**") === "Header bold")
     // unclosed fence runs to end of document (CommonMark): stays verbatim
     assert(strip("a\n```\ncode **kept**?") === "a code **kept**?")
+    // fences indented up to 3 spaces (CommonMark, common inside lists)
+    // still open/close a code block; their content stays verbatim
+    assert(strip("- item\n  ```py\n  x = a ** b  # pow\n  ```\nafter")
+      === "- item x = a ** b # pow after")
+    assert(strip("   ```\n**raw**\n   ```") === "**raw**")
   }
 
   test("fingerprint is invariant to case and extra whitespace") {
