@@ -525,15 +525,25 @@ object Dedup {
    * headers/footers) is deleted from every document; remaining lines keep
    * their original order and separator.
    *
-   * 100 TB shape — the corpus text never shuffles and never re-groups:
+   * 100 TB shape — the corpus text never shuffles and never re-groups on
+   * the common path:
    *  1. the document-frequency aggregation carries ONLY xxhash64(line)
    *     (8 B/row after an in-row `array_distinct`, map-side combined);
-   *  2. the frequent set (bounded by totalLines/minDocs — boilerplate is
-   *     small by definition) collapses to ONE broadcast row holding the
-   *     hash array;
-   *  3. the rewrite is a pure per-row `filter`/`array_join` expression over
+   *     the frequent set is materialized small (hashes only) and COUNTED
+   *     before any plan touches the corpus;
+   *  2. at or below `maxBroadcastLines` (the common case — boilerplate is
+   *     bounded by totalLines/minDocs and small by definition) it
+   *     collapses to ONE broadcast row holding the hash array, and the
+   *     rewrite is a pure per-row `filter`/`array_join` expression over
    *     that broadcast membership — zero exchanges on the corpus, order
-   *     preserved for free because documents are never exploded.
+   *     preserved for free because documents are never exploded;
+   *  3. ABOVE the threshold (adversarial data / very low `minDocs`, where
+   *     the single-row array would be a multi-GB driver+executor bomb)
+   *     the guard switches to a distributed membership join: each
+   *     document's DISTINCT line hashes (8 B/row, never the text) join
+   *     the frequent set, regroup to a per-document hit array — bounded
+   *     by that document's own line count — and rejoin the corpus by id.
+   *     Costs one corpus shuffle; survives a frequent set of any size.
    *
    * Membership is by 64-bit hash: a non-boilerplate line is misdropped only
    * on an xxhash64 collision with a frequent line (P ≈ |frequent| · 2⁻⁶⁴ per
@@ -544,20 +554,45 @@ object Dedup {
       idCol: String,
       textCol: String,
       minDocs: Long,
-      sep: String = "\n"): DataFrame = {
+      sep: String = "\n",
+      maxBroadcastLines: Long = 10L * 1000 * 1000): DataFrame = {
     require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    require(maxBroadcastLines >= 0,
+      s"maxBroadcastLines must be non-negative, got $maxBroadcastLines")
     val lineArr = split(col(textCol), java.util.regex.Pattern.quote(sep))
-    val frequent = df
+    // hashes only — 8 B/row; localCheckpoint cuts lineage so the count and
+    // the downstream membership plan both reuse one materialization
+    val freq = df
       .select(explode(array_distinct(transform(lineArr, l => xxhash64(l)))).as("lh"))
       .groupBy(col("lh")).agg(count(lit(1)).as("dfreq"))
       .filter(col("dfreq") >= minDocs)
-      .agg(collect_list(col("lh")).as("__graft_freq_lines"))
-    df.crossJoin(broadcast(frequent))
-      .withColumn(s"${textCol}_clean",
-        array_join(
-          filter(lineArr, l => !array_contains(col("__graft_freq_lines"), xxhash64(l))),
-          sep))
-      .drop("__graft_freq_lines")
+      .select(col("lh"))
+      .localCheckpoint(eager = true)
+    val nFrequent = freq.count()
+    if (nFrequent <= maxBroadcastLines) {
+      val frequent = freq.agg(collect_list(col("lh")).as("__graft_freq_lines"))
+      df.crossJoin(broadcast(frequent))
+        .withColumn(s"${textCol}_clean",
+          array_join(
+            filter(lineArr, l => !array_contains(col("__graft_freq_lines"), xxhash64(l))),
+            sep))
+        .drop("__graft_freq_lines")
+    } else {
+      val hits = df
+        .select(col(idCol).as("__graft_fl_id"),
+          explode(array_distinct(transform(lineArr, l => xxhash64(l)))).as("lh"))
+        .join(freq, "lh")
+        .groupBy(col("__graft_fl_id"))
+        .agg(collect_set(col("lh")).as("__graft_doc_freq"))
+      df.join(hits, df(idCol) === hits("__graft_fl_id"), "left")
+        .withColumn(s"${textCol}_clean",
+          when(col("__graft_doc_freq").isNull, col(textCol))
+            .otherwise(array_join(
+              filter(lineArr,
+                l => !array_contains(col("__graft_doc_freq"), xxhash64(l))),
+              sep)))
+        .drop("__graft_fl_id", "__graft_doc_freq")
+    }
   }
 
   // ---------- SimHash ----------

@@ -387,6 +387,22 @@ class PlanQualitySpec extends SparkSpec {
       s"document rows must not be exploded on the output path:\n$plan")
   }
 
+  test("line dedup guard: oversized frequent set joins instead of broadcasting one row") {
+    // every doc shares a boilerplate line -> the frequent set is non-empty,
+    // so maxBroadcastLines = 0 forces the guard branch
+    val docs = spark.range(20)
+      .selectExpr("id AS doc_id", "concat('BOILER\\n', 'body ', id) AS text")
+    val plan = graft.operators.Dedup.dropFrequentLines(
+        docs, "doc_id", "text", minDocs = 2L, maxBroadcastLines = 0L)
+      .queryExecution.executedPlan.toString
+    // the single-row collect_list array must NOT appear anywhere — that is
+    // the construct that OOMs on an adversarial frequent set
+    assert(!plan.contains("collect_list") && !plan.contains("__graft_freq_lines"),
+      s"guard path must not collapse the frequent set to one row:\n$plan")
+    // membership arrives as per-document hit arrays through a real join
+    assert(plan.contains("__graft_doc_freq"), s"per-doc membership expected:\n$plan")
+  }
+
   test("image metadata decode is pure codegen: zero exchanges") {
     val docs = graft.tables.Tables.documents(spark, sf)
       .withColumn("blob", col("text").cast("binary"))

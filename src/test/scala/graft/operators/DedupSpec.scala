@@ -197,6 +197,29 @@ class DedupSpec extends SparkSpec {
     assert(collapsed(99L) == "")
   }
 
+  test("dropFrequentLines guard: oversized frequent set takes the join path, same result") {
+    import spark.implicits._
+    val docs = (1L to 10L).map { i =>
+      val body = s"unique body line $i"
+      val rare = if (i <= 2) "\nrare pair line" else ""
+      (i, s"COMMON HEADER\n$body\nCOMMON FOOTER$rare")
+    }.toDF("doc_id", "text")
+    // maxBroadcastLines = 0 forces every run through the guard branch
+    val guarded = Dedup.dropFrequentLines(
+      docs, "doc_id", "text", minDocs = 3L, maxBroadcastLines = 0L)
+    // identical semantics to the broadcast path
+    val out = guarded.select("doc_id", "text_clean").as[(Long, String)].collect().toMap
+    assert(out(1L) == "unique body line 1\nrare pair line")
+    assert(out(5L) == "unique body line 5")
+    assert(out.size == 10)
+    // and the plan really is the membership join, not the single-row array
+    val plan = guarded.queryExecution.executedPlan.toString
+    assert(!plan.contains("__graft_freq_lines"),
+      s"guard branch must not build the single-row broadcast array:\n$plan")
+    assert(plan.contains("__graft_doc_freq"),
+      s"guard branch must carry per-document hit arrays:\n$plan")
+  }
+
   test("dropExactAgainstCorpus drops only content already in the corpus") {
     import spark.implicits._
     val corpus = Seq(
