@@ -290,11 +290,32 @@ object EventStreams {
    * land the same survivor rows twice in `outDir`. Consumers dedupe on
    * `idCol` at read (one `dropDuplicates`), or route the output through
    * [[writeGraftStream]]'s LWW table for exactly-once materialization.
-   * State-side, replayed `(batch_id, id, sig)` rows are collapsed by the
-   * id-dedup on read. Dedup WITHIN a micro-batch is intentionally not
-   * performed (contract matches `dropAgainstCorpus`): run
-   * [[graft.operators.Dedup.dropNearDuplicates]] on the batch inside a
-   * custom foreachBatch if in-batch dups matter.
+   * State-side, a replayed batch can re-append its `(batch_id, id, sig)`
+   * rows only when the crash fell between the two writes — so duplicate
+   * state rows always share the HIGHEST persisted `batch_id`, and the
+   * per-batch replay dedup is scoped to that tail batch alone: earlier
+   * batches stream through the band probe untouched instead of the whole
+   * table shuffling through a `dropDuplicates` every micro-batch.
+   *
+   * `dedupWithinBatch = true` additionally runs
+   * [[graft.operators.Dedup.dropNearDuplicates]] on the batch BEFORE the
+   * corpus probe — the daily-increment pipeline's new-vs-new pass — so
+   * intra-batch duplicate groups keep their min-id document and only that
+   * survivor is checked (and recorded) against the corpus. Default false:
+   * the base contract matches `dropAgainstCorpus` (new-vs-old only).
+   *
+   * `compactEvery = N` rewrites the signature state id-deduped every N
+   * batches, bounding the state-size growth that replayed tail batches
+   * would otherwise accumulate forever. The rewrite is a two-phase swap
+   * (write `<sigDir>.compact.tmp` with its `_SUCCESS` marker, delete the
+   * old dir, rename into place) with crash recovery at the next batch
+   * start: a complete tmp finishes the swap, an incomplete one is
+   * discarded — at no point is the only copy of the state a partial
+   * write. Compaction replay is idempotent (re-compacting a compacted
+   * table is a no-op), and because a replayed batch's own signatures are
+   * already in the compacted state, its documents self-match and the
+   * replay appends nothing new — the same survivors-first argument as
+   * the uncompacted path. Default 0: never compact.
    */
   def dedupIngestStream(
       docs: DataFrame,
@@ -306,7 +327,10 @@ object EventStreams {
       shingleN: Int = 3,
       numPerms: Int = 64,
       bands: Int = 16,
-      minEstJaccard: Double = 0.5): org.apache.spark.sql.streaming.StreamingQuery =
+      minEstJaccard: Double = 0.5,
+      dedupWithinBatch: Boolean = false,
+      compactEvery: Int = 0): org.apache.spark.sql.streaming.StreamingQuery = {
+    require(compactEvery >= 0, s"compactEvery must be >= 0, got $compactEvery")
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode(OutputMode.Append)
@@ -316,17 +340,37 @@ object EventStreams {
         // (hdfs://, s3a://, file:) — a java.io.File check would be false
         // for every non-local scheme and silently disable cross-batch dedup
         val sigPath = new org.apache.hadoop.fs.Path(sigDir)
-        val haveSigs = sigPath
-          .getFileSystem(spark.sparkContext.hadoopConfiguration)
-          .exists(sigPath)
+        val tmpPath = new org.apache.hadoop.fs.Path(sigDir + ".compact.tmp")
+        val fs = sigPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        // crash recovery for an interrupted compaction swap: a COMPLETE tmp
+        // (its _SUCCESS marker committed) supersedes whatever the swap left
+        // behind; an incomplete tmp is a dead partial write — discard it
+        if (fs.exists(tmpPath)) {
+          if (fs.exists(new org.apache.hadoop.fs.Path(tmpPath, "_SUCCESS"))) {
+            if (fs.exists(sigPath)) fs.delete(sigPath, true)
+            fs.rename(tmpPath, sigPath)
+          } else fs.delete(tmpPath, true)
+        }
+        val haveSigs = fs.exists(sigPath)
+        val incoming =
+          if (dedupWithinBatch)
+            graft.operators.Dedup.dropNearDuplicates(
+              batch.toDF(), idCol, textCol, shingleN, numPerms, bands, minEstJaccard)
+          else batch.toDF()
         val clean =
-          if (!haveSigs) batch.toDF()
+          if (!haveSigs) incoming
           else {
-            val sigs = spark.read.parquet(sigDir)
-              .dropDuplicates("id") // replayed batches re-append state rows
+            val state = spark.read.parquet(sigDir)
+            // replayed rows always carry the max batch_id (batches commit in
+            // order; only the uncommitted tail can re-append) — dedup THAT
+            // batch only, the rest of the state streams through unshuffled
+            val maxBatch = state.agg(max(col("batch_id"))).head.getLong(0)
+            val sigs = state.filter(col("batch_id") < maxBatch)
+              .unionByName(
+                state.filter(col("batch_id") === maxBatch).dropDuplicates("id"))
               .select(col("id"), col("sig"))
             graft.operators.Dedup.dropAgainstSignatures(
-              batch.toDF(), sigs, idCol, textCol,
+              incoming, sigs, idCol, textCol,
               shingleN, numPerms, bands, minEstJaccard)
           }
         // write survivors first: if the job dies between the two writes,
@@ -336,6 +380,19 @@ object EventStreams {
         graft.operators.Dedup.corpusSignatures(clean, idCol, textCol, shingleN, numPerms)
           .withColumn("batch_id", lit(id))
           .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(sigDir)
+        if (compactEvery > 0 && id > 0 && id % compactEvery == 0) {
+          // two-phase swap; the tmp write materializes BEFORE anything is
+          // deleted, and the recovery block above completes or discards it
+          // after a crash. batch_id is kept so tail-scoping keeps working.
+          spark.read.parquet(sigDir)
+            .dropDuplicates("id")
+            .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+            .parquet(tmpPath.toString)
+          fs.delete(sigPath, true)
+          fs.rename(tmpPath, sigPath)
+        }
+        ()
       }
       .start()
+  }
 }

@@ -280,6 +280,75 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedupIngestStream: compaction keeps dedup exact and leaves id-unique state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val base = java.nio.file.Files.createTempDirectory("graft_disc_").toString
+    // file: URI exercises the Hadoop-FS existence/recovery path end-to-end;
+    // compactEvery = 2 rewrites the state between batch 2 and batch 3
+    val q = EventStreams.dedupIngestStream(
+      mem.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      s"$base/out", s"file:$base/sigs", s"$base/ckpt",
+      shingleN = 3, numPerms = 32, bands = 16, compactEvery = 2)
+    try {
+      mem.addData(
+        (1L, "the quick brown fox jumps over the lazy dog"),
+        (2L, "completely different content about spark engines and parquet files"))
+      q.processAllAvailable()
+      mem.addData(
+        (10L, "the quick brown fox jumps over the lazy dog"), // dup of batch-1 doc
+        (11L, "a genuinely novel document about distributed joins"))
+      q.processAllAvailable() // batch id 1... batches are 0-indexed; add a third
+      mem.addData(
+        (20L, "a genuinely novel document about distributed joins"), // dup of batch-2 survivor
+        (21L, "yet another fresh document mentioning bulk analytics reads"))
+      q.processAllAvailable()
+      mem.addData(
+        (30L, "yet another fresh document mentioning bulk analytics reads"), // dup POST-compaction
+        (31L, "and one more entirely new page about token range math"))
+      q.processAllAvailable()
+      val kept = spark.read.parquet(s"$base/out")
+        .select("doc_id").as[Long].collect().toSet
+      assert(kept === Set(1L, 2L, 11L, 21L, 31L))
+      // compaction left exactly one state row per survivor, no tmp debris
+      val state = spark.read.parquet(s"$base/sigs")
+      assert(state.select("id").as[Long].collect().toSet === kept)
+      assert(state.count() === kept.size)
+      assert(!new java.io.File(s"$base/sigs.compact.tmp").exists())
+    } finally q.stop()
+  }
+
+  test("dedupIngestStream: dedupWithinBatch keeps one survivor per intra-batch group") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val base = java.nio.file.Files.createTempDirectory("graft_disw_").toString
+    val q = EventStreams.dedupIngestStream(
+      mem.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      s"$base/out", s"$base/sigs", s"$base/ckpt",
+      shingleN = 3, numPerms = 32, bands = 16, dedupWithinBatch = true)
+    try {
+      mem.addData(
+        (1L, "the quick brown fox jumps over the lazy dog"),
+        (2L, "the quick brown fox jumps over the lazy dog"), // in-batch dup of 1
+        (3L, "completely different content about spark engines and parquet files"))
+      q.processAllAvailable()
+      mem.addData(
+        (10L, "the quick brown fox jumps over the lazy dog"),  // cross-batch dup
+        (11L, "a genuinely novel document about distributed joins"),
+        (12L, "a genuinely novel document about distributed joins")) // in-batch dup of 11
+      q.processAllAvailable()
+      val kept = spark.read.parquet(s"$base/out")
+        .select("doc_id").as[Long].collect().toSet
+      // min-id survivor per in-batch group; cross-batch dups dropped
+      assert(kept === Set(1L, 3L, 11L))
+      val sigIds = spark.read.parquet(s"$base/sigs")
+        .select("id").as[Long].collect().toSet
+      assert(sigIds === kept)
+    } finally q.stop()
+  }
+
   test("streaming dedup drops re-delivered events inside the watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
