@@ -403,6 +403,26 @@ object Battery {
           col("n_chars"))
     }),
 
+    // CSV ingestion round-trip (explicit schema, FAILFAST, splittable):
+    // the corpus plus a constructed column full of CSV landmines —
+    // embedded delimiters, double quotes, unicode — dumped to CSV and
+    // read back through Ingest must reproduce the source exactly. The
+    // closed-form oracle recomputes the tricky column in DuckDB, so the
+    // whole quote-escape round trip rides on the hash gate. Embedded
+    // NEWLINES are deliberately absent: they are out of contract for the
+    // splittable reader (Ingest.csv docs).
+    "q121_csv_ingest" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft_csv_")
+        .toString + "/docs"
+      val adversarial = docs(s, d).withColumn("tricky",
+        concat(lit("a,b \"qu\"oted\" — ünïcodé ✓ "), col("lang"),
+          lit(", t,,railing\"")))
+      adversarial.write.option("header", true).csv(dir)
+      graft.sources.Ingest.csv(s, dir, adversarial.schema)
+        .select(col("doc_id"), col("text"), col("lang"), col("source"),
+          col("n_chars"), col("tricky"))
+    }),
+
     // Markdown stripping over constructed pages exercising every rule:
     // headers, blockquotes, fences (content kept), links, images, inline
     // code, emphasis, hr. Closed-form oracle like q110.
@@ -1916,6 +1936,12 @@ object Battery {
     // identity: the JSONL round-trip must reproduce the source table
     "q119_jsonl_ingest" ->
       """SELECT doc_id, text, lang, source, n_chars FROM documents""",
+    // identity + closed-form tricky column: the CSV quote-escape round
+    // trip must reproduce embedded delimiters, quotes and unicode exactly
+    "q121_csv_ingest" ->
+      """SELECT doc_id, text, lang, source, n_chars,
+        |  'a,b "qu"oted" — ünïcodé ✓ ' || lang || ', t,,railing"' AS tricky
+        |FROM documents""".stripMargin,
     // closed-form expected plain text for the constructed markdown page
     "q120_markdown_strip" ->
       """SELECT doc_id,

@@ -43,6 +43,12 @@ object Ingest {
       .option("columnNameOfCorruptRecord", "_corrupt_record")
       .json(path)
 
+  /** Splittable CSV read: quoting covers embedded delimiters, quotes and
+   *  unicode (q121 pins the round trip by hash), but embedded NEWLINES in
+   *  a field are out of contract — they require `multiline`, which
+   *  serializes each file through one core. Strip or escape newlines at
+   *  write time (Spark's CSV writer quotes them, but only a multiline
+   *  reader can get them back). */
   def csv(
       spark: SparkSession,
       path: String,

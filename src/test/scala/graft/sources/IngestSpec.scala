@@ -56,4 +56,33 @@ class IngestSpec extends SparkSpec {
       .as[(Long, String)].collect().toSet
     assert(back === rows.toSet)
   }
+
+  test("csv honors a custom delimiter; fields containing it still round-trip") {
+    val rows = Seq((1L, "tab\there and unicodé ✓"), (2L, "comma, is plain under tabs"))
+    val dir = tmp("tsv") + "/data"
+    rows.toDF("id", "text").write
+      .option("header", true).option("sep", "\t").csv(dir)
+    val back = Ingest.csv(spark, dir, schema, delimiter = "\t")
+      .as[(Long, String)].collect().toSet
+    assert(back === rows.toSet)
+  }
+
+  test("csv FAILFAST aborts on a malformed row; permissive quarantines it") {
+    val dir = tmp("badcsv")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "part-0.csv"),
+      "id,text\n1,ok\nnot_a_long,broken\n2,also ok\n")
+    val e = intercept[Exception] {
+      Ingest.csv(spark, dir, schema).collect()
+    }
+    def chain(t: Throwable) =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).toSeq
+    assert(chain(e).exists(c => c.getClass.getName.contains("Malformed") ||
+      (c.getMessage != null && c.getMessage.contains("FAILFAST"))))
+    val parsed = Ingest.csvPermissive(spark, dir, schema).cache()
+    val bad = parsed.filter("_corrupt_record IS NOT NULL")
+    assert(bad.count() === 1)
+    assert(parsed.filter("_corrupt_record IS NULL").count() === 2)
+    parsed.unpersist()
+  }
 }
