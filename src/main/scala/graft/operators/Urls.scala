@@ -47,33 +47,44 @@ object Urls {
   def host(url: Column): Column =
     regexp_replace(regexp_replace(hostPort(url), ":[0-9]+$", ""), "^(www\\.)+", "")
 
-  /** The common two-label public suffixes, so `shop.example.co.uk` →
-   *  `example.co.uk` instead of `co.uk`. A full public-suffix list is a
-   *  data file away and slots into the same expression; this literal set
-   *  covers the dominant multi-part registries while keeping the
-   *  expression self-contained (no runtime lookup, fully codegen'd). */
-  val MultiPartSuffixes: Seq[String] = Seq(
-    "co.uk", "org.uk", "ac.uk", "gov.uk", "me.uk", "net.uk",
-    "com.au", "net.au", "org.au", "edu.au", "gov.au",
-    "co.jp", "ne.jp", "or.jp", "ac.jp", "go.jp",
-    "com.br", "net.br", "org.br", "gov.br",
-    "com.cn", "net.cn", "org.cn", "gov.cn",
-    "co.in", "net.in", "org.in", "co.kr", "or.kr", "go.kr",
-    "com.mx", "com.ar", "com.tr", "co.za", "com.sg", "com.hk",
-    "com.tw", "co.nz", "net.nz", "org.nz", "co.id", "com.my")
+  /** Multi-label public-suffix rules, loaded once at class-load from the
+   *  bundled resource `graft/public_suffixes.txt` — a curated snapshot of
+   *  the public suffix list's dominant registry rules (~1000 entries: the
+   *  full second-level registries of .uk/.il/.pl/.jp/.br/.cn/… including
+   *  prefecture/province/state suffixes, plus a small private-hosting
+   *  section where a subdomain is an independent publisher, e.g.
+   *  `github.io`). The rules compile into the same static `isin`
+   *  expression as before (Catalyst folds a large `isin` to a hash-set
+   *  `InSet`, still whole-stage codegen, zero runtime lookups). Wildcard
+   *  (`*.x`) and exception (`!y.x`) rules of a handful of small
+   *  registries are not represented; extending coverage is one line in
+   *  the resource file. */
+  val PublicSuffixes: Seq[String] = {
+    val in = getClass.getResourceAsStream("/graft/public_suffixes.txt")
+    require(in != null, "graft/public_suffixes.txt missing from classpath")
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+      .map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#")).toVector
+    finally in.close()
+  }
+  private val twoLabelSuffixes = PublicSuffixes.filter(_.count(_ == '.') == 1)
+  private val threeLabelSuffixes = PublicSuffixes.filter(_.count(_ == '.') == 2)
 
   /**
-   * Registrable domain: last two host labels, or last THREE when the last
-   * two are a known multi-part public suffix ([[MultiPartSuffixes]] —
-   * `a.b.site.com` → `site.com`, `shop.example.co.uk` → `example.co.uk`).
+   * Registrable domain: the longest matching public suffix
+   * ([[PublicSuffixes]]) plus one more label — `a.b.site.com` →
+   * `site.com`, `shop.example.co.uk` → `example.co.uk`,
+   * `cdn.assets.s3.amazonaws.com` → `assets.s3.amazonaws.com`.
    * Single-label hosts (e.g. `localhost`) and bare suffixes pass through.
    */
   def domain(url: Column): Column = {
     val h = host(url)
     val lastTwo = regexp_extract(h, "([^.]+\\.[^.]+)$", 1)
     val lastThree = regexp_extract(h, "([^.]+\\.[^.]+\\.[^.]+)$", 1)
+    val lastFour = regexp_extract(h, "([^.]+(\\.[^.]+){3})$", 1)
     when(lastTwo === "", h)
-      .when(lastTwo.isin(MultiPartSuffixes: _*) && lastThree =!= "", lastThree)
+      .when(lastThree.isin(threeLabelSuffixes: _*) && lastFour =!= "", lastFour)
+      .when(lastThree.isin(threeLabelSuffixes: _*), h)
+      .when(lastTwo.isin(twoLabelSuffixes: _*) && lastThree =!= "", lastThree)
       .otherwise(lastTwo)
   }
 

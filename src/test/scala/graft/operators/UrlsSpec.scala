@@ -93,6 +93,26 @@ class UrlsSpec extends SparkSpec {
     assert(dom("https://deep.sub.site.org/x") === "site.org")
   }
 
+  test("domain covers the bundled public-suffix snapshot beyond the old literal set") {
+    // registries the round-7 40-entry literal set missed
+    assert(dom("https://example.com.pl/x") === "example.com.pl")
+    assert(dom("https://www.example.co.il/x") === "example.co.il")
+    assert(dom("https://shop.example.waw.pl") === "example.waw.pl")
+    assert(dom("https://x.example.tokyo.jp") === "example.tokyo.jp")
+    assert(dom("https://a.example.ca.us") === "example.ca.us")
+    assert(dom("https://sub.example.gob.mx") === "example.gob.mx")
+    // private hosting section: each subdomain is its own publisher
+    assert(dom("https://alice.github.io/repo") === "alice.github.io")
+    assert(dom("https://a.b.blogspot.com") === "b.blogspot.com")
+    // three-label suffix: registrable is suffix + one label
+    assert(dom("https://cdn.assets.s3.amazonaws.com/k") === "assets.s3.amazonaws.com")
+    assert(dom("https://s3.amazonaws.com/bucket") === "s3.amazonaws.com")
+    // sanity on the loaded rules: non-empty, lowercase, no wildcard tokens
+    assert(Urls.PublicSuffixes.size > 500)
+    assert(Urls.PublicSuffixes.forall(s =>
+      s == s.toLowerCase && !s.contains("*") && !s.contains("!") && s.contains(".")))
+  }
+
   test("withUrlParts + capPerGroup composition caps per canonical domain") {
     val docs = (1L to 40L).map { i =>
       (i, s"HTTP://WWW.D${i % 4}.com/page/$i?utm_source=x")
