@@ -89,13 +89,21 @@ object WinnowFingerprint {
     val nWins = if (nGrams >= w) nGrams - w + 1 else 1
     val mins = new Array[Long](nWins)
     if (nGrams >= w) {
-      var j = 0
-      while (j < nWins) {
-        var m = Long.MaxValue
-        var t = j
-        while (t < j + w) { if (hs(t) < m) m = hs(t); t += 1 }
-        mins(j) = m
-        j += 1
+      // monotonic-deque sliding minimum: O(nGrams) for any w (each index
+      // is pushed and popped at most once), replacing the naive O(n·w)
+      // rescan — same values, fuzz-pinned against the naive formulation
+      // in WinnowFuzzSpec
+      val dq = new Array[Int](nGrams) // gram indices, hs strictly increasing
+      var head = 0
+      var tail = 0 // deque is dq[head, tail)
+      var i = 0
+      while (i < nGrams) {
+        while (tail > head && hs(dq(tail - 1)) >= hs(i)) tail -= 1
+        dq(tail) = i
+        tail += 1
+        if (dq(head) <= i - w) head += 1
+        if (i >= w - 1) mins(i - w + 1) = hs(dq(head))
+        i += 1
       }
     } else {
       var m = Long.MaxValue
