@@ -72,6 +72,52 @@ class ListingCacheSpec extends SparkSpec {
     assert(TokenPruner.fullWalks.get() <= w1 + 1, "cache on again: warm listing cached")
   }
 
+  test("out-of-band deep edit: cache goes stale (documented), cache=false sees it") {
+    // The root fingerprint covers root children + the manifest/deletes dirs.
+    // An edit TWO levels down (inside graft_p_a=*/graft_p_b=*/) changes no
+    // root-level mtime and no manifest file — the documented blind spot.
+    // graft.listing.cache=false is the contract for such deployments.
+    val dir = Files.createTempDirectory("graft_cache4_").toString + "/t"
+    import spark.implicits._
+    val df = Seq((1L, "x", "p", 1L), (2L, "x", "q", 2L), (3L, "y", "p", 3L))
+      .toDF("id", "a", "b", "v")
+    TokenSortedWriter.write(df, schema, dir, SaveMode.Append,
+      TokenSortedWriter.WriteConf(numPartitions = 1, keepTokenColumn = true,
+        partitionBy = Seq("a", "b")))
+    TokenPruner.invalidateListing(dir)
+    val cold = TokenPruner.listFiles(spark, dir)
+
+    // out-of-band surgery: clone a leaf data file under a new name; only
+    // the LEAF dir's mtime changes, which the root listing cannot see
+    val leaf = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      .filter(p => p.toString.endsWith(".parquet") && p.toString.contains("graft_p_b="))
+      .findFirst().get()
+    java.nio.file.Files.copy(leaf, leaf.getParent.resolve("zz-oob-copy.parquet"))
+
+    // warm cache: the stale listing is returned — the documented behavior
+    val stale = TokenPruner.listFiles(spark, dir)
+    assert(stale.length == cold.length,
+      "blind spot: a deep out-of-band file must be invisible to the warm cache")
+
+    // cache off: every listing walks, the new file is planned
+    spark.conf.set("graft.listing.cache", "false")
+    try {
+      val fresh = TokenPruner.listFiles(spark, dir)
+      assert(fresh.length == cold.length + 1,
+        "cache=false must see the out-of-band file")
+      assert(fresh.map(_.path).exists(_.endsWith("zz-oob-copy.parquet")))
+      // end-to-end: the scan row count includes the cloned file's rows
+      val n = spark.read.format("graft").option("path", dir).option("pk", "id")
+        .load().count()
+      assert(n == df.count() + spark.read.parquet(leaf.toString).count(),
+        "scan with cache=false must read the out-of-band rows")
+    } finally spark.conf.unset("graft.listing.cache")
+
+    // explicit invalidation is the cache-on remedy after out-of-band surgery
+    TokenPruner.invalidateListing(dir)
+    assert(TokenPruner.listFiles(spark, dir).length == cold.length + 1)
+  }
+
   test("dir-partitioned layout: appends into existing partition dirs are seen") {
     val dir = Files.createTempDirectory("graft_cache2_").toString + "/t"
     import spark.implicits._
