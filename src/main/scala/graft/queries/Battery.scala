@@ -512,6 +512,21 @@ object Battery {
         .select(col("doc_id"), col("text_clean"))
     }),
 
+    // the SAME construction through the guard branch (maxBroadcastLines=0
+    // forces the distributed membership join that replaces the single-row
+    // broadcast array on adversarial frequent sets) — identical semantics,
+    // identical oracle, so the fallback path carries its own hash gate
+    "q122_line_dedup_guarded" -> ((s, d) => {
+      val nl = lit("\n")
+      val decorated = docs(s, d).select(col("doc_id"),
+        concat(lit("START COMMON HEADER"), nl, col("text"), nl,
+          when(col("doc_id") % 2 === 0, lit("PROMO LINE"))
+            .otherwise(concat(lit("FOOTER "), col("source")))).as("text"))
+      Dedup.dropFrequentLines(decorated, "doc_id", "text", minDocs = 50L,
+          maxBroadcastLines = 0L)
+        .select(col("doc_id"), col("text_clean"))
+    }),
+
     // ---- similarity search --------------------------------------------
     "q29_ann_brute_topk" -> ((s, d) =>
       Similarity.bruteForceTopK(
@@ -2307,6 +2322,23 @@ object Battery {
         |  CAST((ds // (channels * 2)) * 1000 // sample_rate AS BIGINT) AS duration_ms
         |FROM p""".stripMargin,
     "q102_line_dedup" ->
+      """WITH d AS (
+        |  SELECT doc_id, 'START COMMON HEADER' || chr(10) || text || chr(10) ||
+        |    (CASE WHEN doc_id % 2 = 0 THEN 'PROMO LINE' ELSE 'FOOTER ' || source END) AS t
+        |  FROM documents),
+        |lines AS (
+        |  SELECT doc_id, unnest(string_split(t, chr(10))) AS line FROM d),
+        |freq AS (
+        |  SELECT line FROM (
+        |    SELECT line, count(DISTINCT doc_id) AS c FROM lines GROUP BY 1)
+        |  WHERE c >= 50),
+        |fset AS (SELECT coalesce(list(line), []) AS fl FROM freq)
+        |SELECT doc_id,
+        |  array_to_string(list_filter(string_split(t, chr(10)),
+        |    x -> NOT list_contains(fl, x)), chr(10)) AS text_clean
+        |FROM d, fset""".stripMargin,
+    // same oracle as q102: the guard branch must be semantically invisible
+    "q122_line_dedup_guarded" ->
       """WITH d AS (
         |  SELECT doc_id, 'START COMMON HEADER' || chr(10) || text || chr(10) ||
         |    (CASE WHEN doc_id % 2 = 0 THEN 'PROMO LINE' ELSE 'FOOTER ' || source END) AS t
