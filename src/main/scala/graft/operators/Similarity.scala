@@ -339,6 +339,100 @@ object Similarity {
     df.join(losers, Seq(idCol), "left_anti")
   }
 
+  /**
+   * The persisted-artifact side of incremental embedding dedup: (id, vec,
+   * nrm, bits) with the multi-table sign-LSH bit pattern of each corpus
+   * vector. Like [[Dedup.corpusSignatures]] for text: computed once when
+   * the snapshot lands, persisted next to it (parquet), appended to as
+   * increments are accepted, and handed to every subsequent
+   * [[dropVectorsAgainstSignatures]] call — per-batch dedup cost then
+   * scales with the increment, not with corpus recompute. The (planes,
+   * tables) used to build and to probe must match; both ends live here.
+   */
+  def vectorSignatures(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      planes: Int = 8,
+      tables: Int = 4): DataFrame = {
+    require(planes * tables <= 63, "planes*tables must fit in a long bit pattern")
+    corpus.select(col(idCol).as("id"), col(vecCol).as("vec"),
+      norm_f32(col(vecCol)).as("nrm"),
+      signBucket(col(vecCol), planes * tables).as("bits"))
+  }
+
+  /**
+   * Incremental embedding near-dup dedup: drop rows of `newVecs` whose
+   * vector has cosine ≥ `minCosine` with ANY already-ingested corpus
+   * vector, WITHOUT re-clustering the corpus — the vector twin of
+   * [[Dedup.dropAgainstSignatures]], sharing its scale shape:
+   *
+   *  - the corpus contributes only its signature table ((id, vec, nrm,
+   *    bits) — [[vectorSignatures]], persistable so corpus vectors are
+   *    never re-normed or re-bucketed per batch);
+   *  - the band probe is increment-buckets ⋈ corpus-buckets per LSH table
+   *    (16 B/exploded row each side); the small side is the increment, so
+   *    Spark broadcasts it and the corpus streams through unshuffled;
+   *  - candidates `distinct()` on (new id, corpus id) BEFORE the exact
+   *    cosine rescore (the [[Dedup.candidatePairs]] collision-collapse
+   *    discipline); matched new ids — bounded by |increment| — are
+   *    materialized eagerly so both signature caches release at return,
+   *    then drive one broadcast-friendly anti-join.
+   *
+   * An EXACT duplicate (identical vector) is always caught: identical
+   * vectors share every bucket in every table, so recall loss applies only
+   * to near-dups below cosine 1.0 — raise `tables` to close that gap.
+   * Corpus rows are never dropped, moved, or re-labeled.
+   */
+  def dropVectorsAgainstSignatures(
+      newVecs: DataFrame,
+      corpusSigs: DataFrame,
+      idCol: String,
+      vecCol: String,
+      minCosine: Double,
+      planes: Int = 8,
+      tables: Int = 4): DataFrame = {
+    require(planes * tables <= 63, "planes*tables must fit in a long bit pattern")
+    val sigsNew = vectorSignatures(newVecs, idCol, vecCol, planes, tables)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val sigsOld = corpusSigs.select(col("id"), col("vec"), col("nrm"), col("bits"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    def keyed(sigs: DataFrame): DataFrame = sigs.select(col("id"),
+      explode(transform(sequence(lit(0), lit(tables - 1)), t =>
+        struct(t.as("t"),
+          call_function("shiftright", col("bits"), (t * planes).cast("int"))
+            .bitwiseAND(lit((1L << planes) - 1)).as("bucket")))).as("bk"))
+      .select(col("id"), col("bk.t").as("t"), col("bk.bucket").as("bucket"))
+    val cand = keyed(sigsNew).as("n")
+      .join(keyed(sigsOld).as("c"),
+        col("n.t") === col("c.t") && col("n.bucket") === col("c.bucket"))
+      .select(col("n.id").as("new_id"), col("c.id").as("corpus_id"))
+      .distinct()
+    val matched = cand
+      .join(sigsNew.select(col("id").as("new_id"), col("vec").as("vn"), col("nrm").as("nn")), "new_id")
+      .join(sigsOld.select(col("id").as("corpus_id"), col("vec").as("vc"), col("nrm").as("nc")), "corpus_id")
+      .filter(safeCosine(dot_f32(col("vn"), col("vc")), col("nn"), col("nc")) >= minCosine)
+      .select(col("new_id")).distinct()
+      .localCheckpoint(eager = true)
+    sigsNew.unpersist(blocking = false)
+    sigsOld.unpersist(blocking = false)
+    newVecs.join(matched.withColumnRenamed("new_id", idCol), Seq(idCol), "left_anti")
+  }
+
+  /** [[dropVectorsAgainstSignatures]] deriving the corpus signatures on the
+   *  fly — the one-shot convenience twin of [[Dedup.dropAgainstCorpus]]. */
+  def dropVectorsAgainstCorpus(
+      newVecs: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      minCosine: Double,
+      planes: Int = 8,
+      tables: Int = 4): DataFrame =
+    dropVectorsAgainstSignatures(newVecs,
+      vectorSignatures(corpus, idCol, vecCol, planes, tables),
+      idCol, vecCol, minCosine, planes, tables)
+
   def lshNearDupPairs(
       df: DataFrame,
       idCol: String,

@@ -528,6 +528,23 @@ object Battery {
     }),
 
     // ---- similarity search --------------------------------------------
+    // incremental EMBEDDING dedup against an ingested corpus — the vector
+    // twin of q108/q113: the increment is exact twins of every corpus
+    // vector (cosine 1.0; identical vectors share every LSH bucket, so
+    // recall is guaranteed, not probabilistic) plus REVERSED vectors
+    // (max reversed-vs-corpus cosine over the testdata is 0.62 at every
+    // sf — measured, far under the 0.9 threshold). Survivors must be
+    // exactly the reversed half; the oracle is closed-form.
+    "q123_incremental_vec_dedup" -> ((s, d) => {
+      val e = emb(s, d).select(col("vec_id"), col("embedding"), col("label"))
+      val newVecs =
+        e.select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"), col("label"))
+          .unionByName(e.select((col("vec_id") + 2000000L).as("vec_id"),
+            reverse(col("embedding")).as("embedding"), col("label")))
+      Similarity.dropVectorsAgainstCorpus(newVecs, e, "vec_id", "embedding",
+          minCosine = 0.9)
+        .select(col("vec_id"), col("label"))
+    }),
     "q29_ann_brute_topk" -> ((s, d) =>
       Similarity.bruteForceTopK(
           emb(s, d), emb(s, d).filter(col("vec_id") < 3L), "vec_id", "embedding", k = 10)
@@ -2337,6 +2354,9 @@ object Battery {
         |  array_to_string(list_filter(string_split(t, chr(10)),
         |    x -> NOT list_contains(fl, x)), chr(10)) AS text_clean
         |FROM d, fset""".stripMargin,
+    // closed-form: exact twins are dropped, reversed vectors survive
+    "q123_incremental_vec_dedup" ->
+      """SELECT vec_id + 2000000 AS vec_id, label FROM embeddings""",
     // same oracle as q102: the guard branch must be semantically invisible
     "q122_line_dedup_guarded" ->
       """WITH d AS (

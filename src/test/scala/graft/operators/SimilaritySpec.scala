@@ -187,6 +187,40 @@ class SimilaritySpec extends SparkSpec {
     assert(lsh.nonEmpty, "expected the near-identical cluster pairs to be found")
   }
 
+  test("dropVectorsAgainstCorpus: corpus near-dups dropped, novel vectors kept") {
+    // increment: an exact twin of 0 (cos 1.0), a near-dup of 10 (cos ~0.995),
+    // and a genuinely novel direction
+    val newVecs = Seq(
+      (100L, Array(1.0f, 0.0f, 0.0f, 0.0f)),     // exact dup of 0 -> dropped
+      (101L, Array(0.0f, 1.0f, 0.05f, 0.0f)),    // near-dup of 10 -> dropped
+      (102L, Array(0.5f, 0.5f, 0.5f, 0.5f)))     // novel -> kept
+      .toDF("vec_id", "embedding")
+    val kept = Similarity.dropVectorsAgainstCorpus(
+        newVecs, vecs, "vec_id", "embedding", minCosine = 0.95, planes = 4, tables = 8)
+      .select("vec_id").as[Long].collect().toSet
+    assert(kept === Set(102L))
+    // corpus is untouched; the increment is the only side filtered
+    assert(vecs.count() === 6)
+  }
+
+  test("dropVectorsAgainstSignatures: persisted signature table gives identical results") {
+    val newVecs = Seq(
+      (100L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (102L, Array(0.5f, 0.5f, 0.5f, 0.5f)))
+      .toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("graft_vsig_").toString + "/sigs"
+    Similarity.vectorSignatures(vecs, "vec_id", "embedding", planes = 4, tables = 8)
+      .write.parquet(dir)
+    val viaSigs = Similarity.dropVectorsAgainstSignatures(
+        newVecs, spark.read.parquet(dir), "vec_id", "embedding",
+        minCosine = 0.95, planes = 4, tables = 8)
+      .select("vec_id").as[Long].collect().toSet
+    val direct = Similarity.dropVectorsAgainstCorpus(
+        newVecs, vecs, "vec_id", "embedding", minCosine = 0.95, planes = 4, tables = 8)
+      .select("vec_id").as[Long].collect().toSet
+    assert(viaSigs === direct && viaSigs === Set(102L))
+  }
+
   test("IVF training is deterministic and ivfTopK recall covers the near cluster") {
     val c1 = Similarity.trainIvfCentroids(vecs, "vec_id", "embedding", k = 2, iters = 2)
     val c2 = Similarity.trainIvfCentroids(vecs, "vec_id", "embedding", k = 2, iters = 2)
