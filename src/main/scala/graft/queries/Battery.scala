@@ -423,6 +423,23 @@ object Battery {
           col("n_chars"), col("tricky"))
     }),
 
+    // WET (Common Crawl extracted-text) round trip: the corpus exported as
+    // multi-member-gzip WET through the distributed writer and read back
+    // through the streaming record parser must reproduce every document
+    // exactly — Content-Length byte framing, multi-byte UTF-8, embedded
+    // newlines and empty documents all ride on this identity oracle
+    "q124_wet_ingest" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft_wet_")
+        .toString + "/wet"
+      val src = docs(s, d).select(
+        concat(lit("http://corpus.local/doc/"),
+          col("doc_id").cast("string")).as("uri"),
+        col("text"))
+      graft.sources.Warc.writeWet(src, "uri", "text", dir, gzip = true)
+      graft.sources.Warc.readWet(s, dir)
+        .select(col("target_uri"), col("text"))
+    }),
+
     // Markdown stripping over constructed pages exercising every rule:
     // headers, blockquotes, fences (content kept), links, images, inline
     // code, emphasis, hr. Closed-form oracle like q110.
@@ -1968,6 +1985,11 @@ object Battery {
     // identity: the JSONL round-trip must reproduce the source table
     "q119_jsonl_ingest" ->
       """SELECT doc_id, text, lang, source, n_chars FROM documents""",
+    // identity: the WET export/ingest round trip must reproduce the corpus
+    "q124_wet_ingest" ->
+      """SELECT 'http://corpus.local/doc/' || CAST(doc_id AS VARCHAR) AS target_uri,
+        |       text
+        |FROM documents""".stripMargin,
     // identity + closed-form tricky column: the CSV quote-escape round
     // trip must reproduce embedded delimiters, quotes and unicode exactly
     "q121_csv_ingest" ->
