@@ -81,6 +81,72 @@ object TextAnalysis {
   }
 
   /**
+   * Model-based quality scoring — the CCNet/fastText-style linear filter
+   * that sits after the heuristic features ([[withQuality]]) in a web
+   * pipeline: `logit = bias + Σ_token weight(lower(token))`, tokens split
+   * on single spaces (the [[withQuality]] convention), unknown tokens
+   * weigh 0; `outCol` is the logit and `outCol_p` the sigmoid.
+   *
+   * The model ships as ONE `typedLit` map literal — a single Catalyst
+   * object in the task binary (broadcast once per stage), NOT per-entry
+   * generated code — so real filter vocabularies (100k terms ≈ a few MB)
+   * ride the plan and the score is one codegen `aggregate` over the token
+   * array: zero shuffle, zero extra scans, corpus processed at scan
+   * speed. For a model too large even for the task binary, use
+   * [[scoreLinearJoin]].
+   *
+   * Exactness contract: with weights on an exact binary grid (integers,
+   * halves, quarters...) the double sum is order-independent, so both
+   * strategies and any SQL engine produce bit-identical logits (the q125
+   * oracle rides on this). The sigmoid column is NOT order-sensitive
+   * (one exp of an exact logit) but engines' `exp` may differ in the
+   * last ulp — hash-gated comparisons should use the logit.
+   */
+  def scoreLinear(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      weights: Map[String, Double],
+      bias: Double = 0.0,
+      outCol: String = "lin_score"): DataFrame = {
+    require(weights.nonEmpty, "scoreLinear needs a non-empty weight map")
+    val wmap = typedLit(weights)
+    df.withColumn(outCol,
+        aggregate(split(lower(col(textCol)), " "), lit(bias),
+          (acc, w) => acc + coalesce(element_at(wmap, w), lit(0.0))))
+      .withColumn(s"${outCol}_p",
+        lit(1.0) / (lit(1.0) + exp(-col(outCol))))
+  }
+
+  /**
+   * [[scoreLinear]] for a model too large to ship in the plan: the
+   * weights become a broadcast-joined table (ONE copy per executor), the
+   * corpus contributes only exploded (id, token) pairs — document text
+   * never enters a shuffle — and the result is the narrow (idCol,
+   * outCol, outCol_p) score table. Downstream filters semi-join it
+   * rather than re-attaching scores to full rows (re-attaching would
+   * shuffle the corpus, which is exactly what this variant avoids).
+   */
+  def scoreLinearJoin(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      weights: Map[String, Double],
+      bias: Double = 0.0,
+      outCol: String = "lin_score"): DataFrame = {
+    require(weights.nonEmpty, "scoreLinearJoin needs a non-empty weight map")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val wdf = weights.toSeq.toDF("__w_word", "__w_weight")
+    df.select(col(idCol), explode(split(lower(col(textCol)), " ")).as("__w_tok"))
+      .join(broadcast(wdf), col("__w_tok") === col("__w_word"), "left")
+      .groupBy(col(idCol))
+      .agg((sum(coalesce(col("__w_weight"), lit(0.0))) + bias).as(outCol))
+      .withColumn(s"${outCol}_p",
+        lit(1.0) / (lit(1.0) + exp(-col(outCol))))
+  }
+
+  /**
    * Token counting: whitespace tokens plus a BPE-ish estimate from a
    * tokenizer-style regex (letter runs / digit runs / single punctuation),
    * plus the chars/4 rule-of-thumb.

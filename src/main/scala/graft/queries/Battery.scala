@@ -423,6 +423,17 @@ object Battery {
           col("n_chars"), col("tricky"))
     }),
 
+    // model-based quality filter (CCNet/fastText-style linear scorer):
+    // exact-binary-grid weights make the double sum order-independent, so
+    // the logit hash-matches the DuckDB recompute exactly; the oracle IS
+    // the model spelled out in SQL
+    "q125_linear_quality" -> ((s, d) =>
+      TextAnalysis.scoreLinear(docs(s, d), "doc_id", "text",
+          weights = Map("the" -> 2.0, "scan" -> -1.0, "join" -> 1.5,
+            "hash" -> 0.5, "window" -> -0.25, "spark" -> 3.0),
+          bias = 0.25)
+        .select(col("doc_id"), col("lin_score"))),
+
     // WET (Common Crawl extracted-text) round trip: the corpus exported as
     // multi-member-gzip WET through the distributed writer and read back
     // through the streaming record parser must reproduce every document
@@ -1985,6 +1996,16 @@ object Battery {
     // identity: the JSONL round-trip must reproduce the source table
     "q119_jsonl_ingest" ->
       """SELECT doc_id, text, lang, source, n_chars FROM documents""",
+    // the linear model spelled out in SQL; every weight on an exact binary
+    // grid so the sum is order-independent and bit-identical across engines
+    "q125_linear_quality" ->
+      """SELECT doc_id,
+        |  0.25 + coalesce(list_sum(list_transform(string_split(lower(text), ' '),
+        |    w -> (CASE w WHEN 'the' THEN 2.0 WHEN 'scan' THEN -1.0
+        |                 WHEN 'join' THEN 1.5 WHEN 'hash' THEN 0.5
+        |                 WHEN 'window' THEN -0.25 WHEN 'spark' THEN 3.0
+        |                 ELSE 0.0 END)::DOUBLE)), 0.0) AS lin_score
+        |FROM documents""".stripMargin,
     // identity: the WET export/ingest round trip must reproduce the corpus
     "q124_wet_ingest" ->
       """SELECT 'http://corpus.local/doc/' || CAST(doc_id AS VARCHAR) AS target_uri,

@@ -414,6 +414,28 @@ class PlanQualitySpec extends SparkSpec {
     assert(plan.linesIterator.next().startsWith("*("), s"expected codegen span in:\n$plan")
   }
 
+  test("linear quality scorer: literal-map path is pure codegen, zero exchanges") {
+    val docs = graft.tables.Tables.documents(spark, sf)
+    val plan = graft.operators.TextAnalysis.scoreLinear(
+        docs, "doc_id", "text",
+        Map("the" -> 2.0, "scan" -> -1.0, "spark" -> 3.0), bias = 0.25)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"plan-literal model must score at scan speed, no shuffle:\n$plan")
+    // the join strategy broadcasts the model, never shuffles the corpus
+    val big = graft.operators.TextAnalysis.scoreLinearJoin(
+        docs, "doc_id", "text",
+        Map("the" -> 2.0, "scan" -> -1.0, "spark" -> 3.0), bias = 0.25)
+      .queryExecution.executedPlan.toString
+    assert(big.contains("BroadcastExchange"),
+      s"join-strategy model must broadcast:\n$big")
+    val exchangeLines = big.linesIterator
+      .filter(l => l.contains("Exchange") && !l.contains("BroadcastExchange"))
+      .mkString("\n")
+    assert(!exchangeLines.contains("text"),
+      s"corpus text in a shuffle of the join-strategy scorer:\n$exchangeLines")
+  }
+
   test("random-ring write plans exactly one range exchange, like the murmur3 ring") {
     import spark.implicits._
     val df = (1L to 1000L).map(i => (i, s"v$i")).toDF("k", "v")

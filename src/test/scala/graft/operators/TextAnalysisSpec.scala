@@ -176,6 +176,37 @@ class TextAnalysisSpec extends SparkSpec {
     assert(strip("   ```\n**raw**\n   ```") === "**raw**")
   }
 
+  test("scoreLinear: hand-checked logits, case-insensitive, unknown words weigh 0") {
+    val df = Seq(
+      (1L, "the Spark scan"),          // 2.0 + 3.0 - 1.0 + bias
+      (2L, "unknown words only"),      // bias
+      (3L, ""))                        // one empty token -> bias
+      .toDF("doc_id", "text")
+    val w = Map("the" -> 2.0, "spark" -> 3.0, "scan" -> -1.0)
+    val out = TextAnalysis.scoreLinear(df, "doc_id", "text", w, bias = 0.25)
+      .select("doc_id", "lin_score").as[(Long, Double)].collect().toMap
+    assert(out === Map(1L -> 4.25, 2L -> 0.25, 3L -> 0.25))
+    val p = TextAnalysis.scoreLinear(df, "doc_id", "text", w, bias = 0.25)
+      .select("doc_id", "lin_score_p").as[(Long, Double)].collect().toMap
+    assert(p(1L) > 0.98 && math.abs(p(2L) - 1.0 / (1.0 + math.exp(-0.25))) < 1e-12)
+  }
+
+  test("scoreLinear: plan-literal and broadcast-join strategies agree exactly") {
+    val df = Seq(
+      (1L, "the fast scan joins the hash window"),
+      (2L, "spark spark spark"),
+      (3L, "nothing matches here"))
+      .toDF("doc_id", "text")
+    val w = Map("the" -> 2.0, "scan" -> -1.0, "hash" -> 0.5,
+      "window" -> -0.25, "spark" -> 3.0)
+    val planLit = TextAnalysis.scoreLinear(df, "doc_id", "text", w, bias = 0.5)
+      .select("doc_id", "lin_score").as[(Long, Double)].collect().toMap
+    val join = TextAnalysis.scoreLinearJoin(df, "doc_id", "text", w, bias = 0.5)
+      .select("doc_id", "lin_score").as[(Long, Double)].collect().toMap
+    assert(planLit === join)
+    assert(planLit(2L) === 9.5 && planLit(3L) === 0.5)
+  }
+
   test("fingerprint is invariant to case and extra whitespace") {
     val variants = Seq(
       (1L, "Hello   World"),
