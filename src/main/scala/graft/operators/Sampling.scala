@@ -178,6 +178,60 @@ object Sampling {
   }
 
   /**
+   * Temperature-based mixture weights — the standard multi-source
+   * training-mix knob: source `s` with `c_s` rows gets expected share
+   * ∝ `c_s^alpha` of `targetRows`, i.e. per-row weight
+   * `w_s = targetRows * c_s^(alpha-1) / Σ_s' c_s'^alpha`. `alpha = 1`
+   * keeps natural proportions (uniform downsample), `alpha = 0` gives
+   * every source an equal budget, between rebalances smoothly (the
+   * "temperature" of the mixture). Counts come from one tiny aggregate
+   * collected to the driver — #sources entries, the same
+   * adjudicated-small-state class as the IVF centroids.
+   *
+   * Exactness: `alpha = 0` and `alpha = 1` use closed forms built ONLY
+   * from correctly-rounded IEEE divisions, so any engine reproduces the
+   * weights bit-identically (q126's oracle recomputes them in SQL).
+   * Generic `alpha` goes through `pow`, which libms only guarantee to
+   * ~1 ulp — fine for real mixing, not for a hash-gated oracle.
+   */
+  def temperatureWeights(
+      df: DataFrame,
+      sourceCol: String,
+      alpha: Double,
+      targetRows: Long): Map[String, Double] = {
+    require(targetRows > 0, s"targetRows must be positive, got $targetRows")
+    val counts: Map[String, Long] = df.groupBy(col(sourceCol))
+      .count().collect()
+      .map(r => r.get(0).toString -> r.getLong(1)).toMap
+    require(counts.nonEmpty, s"no rows to mix (empty $sourceCol aggregate)")
+    if (alpha == 0.0) {
+      val m = targetRows.toDouble / counts.size
+      counts.map { case (s, c) => s -> m / c }
+    } else if (alpha == 1.0) {
+      val w = targetRows.toDouble / counts.values.sum
+      counts.map { case (s, _) => s -> w }
+    } else {
+      val z = counts.values.toSeq.sorted.map(c => math.pow(c.toDouble, alpha)).sum
+      counts.map { case (s, c) =>
+        s -> targetRows * math.pow(c.toDouble, alpha - 1.0) / z }
+    }
+  }
+
+  /** [[upsampleSources]] driven by [[temperatureWeights]]: resample every
+   *  source to its `count^alpha` share of `targetRows` in one pass —
+   *  deterministic md5-keyed copies, zero shuffle beyond the one tiny
+   *  count aggregate. */
+  def mixByTemperature(
+      df: DataFrame,
+      sourceCol: String,
+      keys: Seq[String],
+      alpha: Double,
+      targetRows: Long,
+      epochCol: String = "epoch"): DataFrame =
+    upsampleSources(df, sourceCol, keys,
+      temperatureWeights(df, sourceCol, alpha, targetRows), epochCol)
+
+  /**
    * Global budgeted selection: keep rows in priority order until a cost
    * budget is exhausted — "take the best documents until the token budget
    * is full", the final selection step of corpus assembly. Appends the

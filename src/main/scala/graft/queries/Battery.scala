@@ -317,6 +317,16 @@ object Battery {
         .select(col("doc_id"), col("source"), col("n_chars"),
           col("epoch").cast("long").as("epoch"))),
 
+    // temperature mixing at alpha = 0 (equal budget per source): weights
+    // derive from the data's own lang counts through IEEE-exact divisions
+    // only, so the oracle recomputes count -> weight -> md5 threshold ->
+    // copies entirely in SQL and the whole knob is hash-checked
+    "q126_temperature_mix" -> ((s, d) =>
+      Sampling.mixByTemperature(docs(s, d), "lang", Seq("doc_id"),
+          alpha = 0.0, targetRows = 1000L)
+        .select(col("doc_id"), col("lang"),
+          col("epoch").cast("long").as("epoch"))),
+
     // the EXACT incremental path over the same twin construction as q108:
     // the fingerprint anti-join must drop copy-1 (texts already in the
     // corpus) and keep all of copy-2 (disjoint word sets)
@@ -1915,6 +1925,27 @@ object Battery {
         |  FROM w)
         |SELECT doc_id, source, n_chars, unnest(range(0, n)) AS epoch
         |FROM x""".stripMargin,
+    // count -> alpha=0 weight (two exact divisions) -> md5 threshold ->
+    // copies: the full temperature-mix path replayed in SQL
+    "q126_temperature_mix" ->
+      """WITH c AS (
+        |  SELECT lang AS l, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM documents GROUP BY lang),
+        |j AS (
+        |  SELECT d.doc_id, d.lang,
+        |    (CAST(1000 AS DOUBLE) / (SELECT COUNT(*) FROM c)) / c.n AS wt
+        |  FROM documents d JOIN c ON d.lang = c.l),
+        |t AS (
+        |  SELECT doc_id, lang, CAST(FLOOR(wt) AS BIGINT) AS fl,
+        |    printf('%08x', CAST(FLOOR((wt - FLOOR(wt)) * 4294967296.0) AS BIGINT)) AS th
+        |  FROM j),
+        |x AS (
+        |  SELECT doc_id, lang,
+        |    fl + CASE WHEN substr(md5(CAST(doc_id AS VARCHAR) || '|epoch|'
+        |                             || CAST(fl AS VARCHAR)), 1, 8) < th
+        |              THEN 1 ELSE 0 END AS nn
+        |  FROM t)
+        |SELECT doc_id, lang, unnest(range(0, nn)) AS epoch FROM x""".stripMargin,
     // exact-fingerprint variant of the q108 construction: same survivor set
     "q113_incremental_exact" ->
       """SELECT doc_id + 2000000 AS doc_id, source, n_chars FROM documents""",

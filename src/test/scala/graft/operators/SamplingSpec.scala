@@ -123,6 +123,36 @@ class SamplingSpec extends SparkSpec {
     assert(out.collect().toSet === run().collect().toSet)
   }
 
+  test("temperatureWeights: exact closed forms at alpha 0 and 1, smooth between") {
+    val df = ((1L to 40L).map(i => (i, "big")) ++ (41L to 50L).map(i => (i, "small")))
+      .toDF("id", "src")
+    // alpha = 1: natural proportions -> one uniform rate
+    val w1 = Sampling.temperatureWeights(df, "src", alpha = 1.0, targetRows = 25L)
+    assert(w1 === Map("big" -> 0.5, "small" -> 0.5))
+    // alpha = 0: equal budget per source -> small source upweighted
+    val w0 = Sampling.temperatureWeights(df, "src", alpha = 0.0, targetRows = 20L)
+    assert(w0 === Map("big" -> 10.0 / 40.0, "small" -> 10.0 / 10.0))
+    // 0 < alpha < 1 rebalances monotonically: small's weight between its
+    // alpha=1 and alpha=0 values, and expected totals still sum to target
+    val wh = Sampling.temperatureWeights(df, "src", alpha = 0.5, targetRows = 20L)
+    assert(wh("small") > wh("big"))
+    assert(wh("small") < w0("small") * 2 && wh("small") > 0.4)
+    val expected = 40.0 * wh("big") + 10.0 * wh("small")
+    assert(math.abs(expected - 20.0) < 1e-9)
+  }
+
+  test("mixByTemperature: whole-weight copies exact, fractional deterministic") {
+    val df = ((1L to 40L).map(i => (i, "big")) ++ (41L to 50L).map(i => (i, "small")))
+      .toDF("id", "src")
+    def run() = Sampling.mixByTemperature(df, "src", Seq("id"),
+      alpha = 0.0, targetRows = 20L)
+    val out = run()
+    val by = out.groupBy("src").count().as[(String, Long)].collect().toMap
+    assert(by("small") === 10L) // weight exactly 1.0: every row once
+    assert(by("big") > 2 && by("big") < 18) // rate 0.25, deterministic subset
+    assert(out.collect().toSet === run().collect().toSet)
+  }
+
   test("takeByBudget keeps the exact global prefix in priority order") {
     val df = (1L to 100L).map(i => (i, 10L + i % 7, i % 13)).toDF("id", "cost", "prio")
     val got = Sampling.takeByBudget(df, "cost", 300L,
