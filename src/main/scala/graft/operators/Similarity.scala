@@ -465,4 +465,165 @@ object Similarity {
         (dot_f32(col("va"), col("vb")) / (col("na") * col("nb"))).as("score"))
       .filter(col("score") >= minCosine)
   }
+
+  // ---- product quantization ------------------------------------------
+
+  /**
+   * Train PQ codebooks: the vector splits into `m` subvectors of `d/m`
+   * dims; each subspace gets its own `ksub`-centroid codebook via Lloyd
+   * iterations — all `m` subspaces train in ONE distributed job per
+   * iteration (rows explode to (sub, id, subvec) once). Seeds are the
+   * `ksub` corpus vectors with smallest `xxhash64(id)` (the
+   * [[trainIvfCentroids]] discipline), split subspace-wise. Assignment
+   * maximizes the INNER PRODUCT (not min-L2): that makes the encoded
+   * reconstruction the argmax of its own vector's ADC score — the
+   * self-consistency property [[pqTopK]]'s recall guarantee for exact
+   * twins (and the q127 oracle) rides on. An emptied cluster keeps its
+   * previous centroid. The model is m × ksub × (d/m) floats of driver
+   * state — e.g. 8×16×8 = 4 KB; at 100 TB train on a sampled fraction.
+   */
+  def trainPqCodebooks(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      m: Int,
+      ksub: Int = 16,
+      iters: Int = 2): Array[Array[Array[Float]]] = {
+    require(m >= 1 && ksub >= 2 && ksub <= 256, s"need 1 <= m, 2 <= ksub <= 256: m=$m ksub=$ksub")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val d = df.select(size(col(vecCol))).head().getInt(0)
+    require(d % m == 0, s"vector dim $d must divide into m=$m subspaces")
+    val dsub = d / m
+    def subSlices(vec: Column): Column =
+      transform(sequence(lit(0), lit(m - 1)), s =>
+        struct(s.as("sub"), slice(vec, s * dsub + 1, lit(dsub)).as("svec")))
+    val subs = df.select(col(idCol).as("id"), explode(subSlices(col(vecCol))).as("x"))
+      .select(col("x.sub").as("sub"), col("id"), col("x.svec").as("svec"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var codebooks: Array[Array[Array[Float]]] = df
+      .orderBy(xxhash64(col(idCol)).asc, col(idCol).asc).limit(ksub)
+      .select(col(vecCol)).collect()
+      .map(_.getSeq[Float](0).toArray)
+      .map(v => Array.tabulate(m)(s => v.slice(s * dsub, (s + 1) * dsub)))
+      .transpose // ksub × m → m × ksub
+      .map(_.toArray)
+    var it = 0
+    while (it < iters) {
+      val cbDf = broadcast(codebooks.zipWithIndex.flatMap { case (cs, s) =>
+        cs.zipWithIndex.map { case (c, cid) => (s, cid, c) }
+      }.toSeq.toDF("sub", "cid", "cvec"))
+      val w = Window.partitionBy(col("sub"), col("id"))
+        .orderBy(col("cscore").desc, col("cid").asc)
+      val assigned = subs.join(cbDf, "sub")
+        .select(col("sub"), col("id"), col("svec"), col("cid"),
+          dot_f32(col("svec"), col("cvec")).as("cscore"))
+        .withColumn("crank", row_number().over(w))
+        .filter(col("crank") === 1)
+      val means = assigned
+        .select(col("sub"), col("cid"),
+          posexplode(col("svec")).as(Seq("pos", "component")))
+        .groupBy(col("sub"), col("cid"), col("pos"))
+        .agg(avg(col("component")).as("mu"))
+        .collect()
+        .groupBy(r => (r.getInt(0), r.getInt(1)))
+        .map { case ((s, cid), rows) =>
+          (s, cid, rows.sortBy(_.getInt(2)).map(_.getDouble(3).toFloat)) }
+      val next = codebooks.map(_.map(identity)) // empty clusters keep position
+      means.foreach { case (s, cid, c) => next(s)(cid) = c }
+      codebooks = next
+      it += 1
+    }
+    subs.unpersist(blocking = false)
+    codebooks
+  }
+
+  private def cbLit(codebooks: Array[Array[Array[Float]]]): Column =
+    typedLit(codebooks.map(_.map(_.toSeq).toSeq).toSeq)
+
+  /** Sub-dot as one codegen'd fold (float, fixed left-to-right order — the
+   *  SAME expression encodes corpus rows and builds query LUTs, so scores
+   *  compare exactly and assignment ties break identically). */
+  private def subDot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0f), (acc, x) => acc + x)
+
+  /**
+   * PQ-encode: each vector becomes `m` bytes (stored offset-128 so
+   * ksub ≤ 256 fits a signed byte) — a 64-dim float row shrinks 256 B →
+   * 8 B, the artifact a 100 TB ANN scan actually reads. Pure codegen,
+   * zero shuffle; the codebook rides the plan as one `typedLit`.
+   */
+  def pqEncode(
+      df: DataFrame,
+      vecCol: String,
+      codebooks: Array[Array[Array[Float]]],
+      outCol: String = "pq_codes"): DataFrame = {
+    val m = codebooks.length
+    val dsub = codebooks(0)(0).length
+    val cb = cbLit(codebooks)
+    df.withColumn(outCol,
+      transform(sequence(lit(0), lit(m - 1)), s => {
+        val scores = transform(element_at(cb, s + 1),
+          c => subDot(slice(col(vecCol), s * dsub + 1, lit(dsub)), c))
+        (array_position(scores, array_max(scores)) - 1 - 128).cast("byte")
+      }))
+  }
+
+  /**
+   * PQ ANN (asymmetric distance computation): the corpus is scanned as
+   * (id, m-byte codes) ONLY — each query carries a precomputed
+   * `m × ksub` lookup table of sub-dots, so the approximate score per
+   * row is `m` array lookups, no float vectors in the hot scan at all.
+   * Top `k·rescoreFactor` per query by ADC score, then candidates —
+   * bounded by #queries · k · rescoreFactor — broadcast back against
+   * the full-vector corpus for the exact-cosine rescore: the corpus is
+   * never shuffled; the only exchange carries narrow (query, id, score)
+   * tuples. Exact-twin recall is 1.0 by the [[trainPqCodebooks]]
+   * self-consistency property; general recall is bounded in the spec
+   * against brute force.
+   */
+  def pqTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      codebooks: Array[Array[Array[Float]]],
+      rescoreFactor: Int = 4): DataFrame = {
+    require(rescoreFactor >= 1, "rescoreFactor must be >= 1")
+    val m = codebooks.length
+    val ksub = codebooks(0).length
+    val dsub = codebooks(0)(0).length
+    val cb = cbLit(codebooks)
+    val lut = flatten(transform(sequence(lit(0), lit(m - 1)), s =>
+      transform(element_at(cb, s + 1),
+        c => subDot(slice(col("qvec"), s * dsub + 1, lit(dsub)), c))))
+    val q = broadcast(
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
+          norm_f32(col(vecCol)).as("qnrm"))
+        .withColumn("lut", lut))
+    val codes = pqEncode(
+      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("nvec")),
+      "nvec", codebooks).drop("nvec")
+    val ascore = aggregate(sequence(lit(0), lit(m - 1)), lit(0.0f),
+      (acc, s) => acc + element_at(col("lut"),
+        s * ksub + element_at(col("pq_codes"), s + 1).cast("int") + lit(128) + 1))
+    val wa = Window.partitionBy(col("query_id"))
+      .orderBy(col("ascore").desc, col("neighbor_id").asc)
+    val candidates = codes.join(q, col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"), ascore.as("ascore"))
+      .withColumn("arank", row_number().over(wa))
+      .filter(col("arank") <= k * rescoreFactor)
+      .select(col("query_id"), col("neighbor_id"))
+    val rescored = corpus
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("nvec"),
+        norm_f32(col(vecCol)).as("nnrm"))
+      .join(broadcast(candidates), "neighbor_id")
+      .join(q.select(col("query_id"), col("qvec"), col("qnrm")), "query_id")
+      .select(col("query_id"), col("neighbor_id"),
+        safeCosine(dot_f32(col("qvec"), col("nvec")), col("qnrm"), col("nnrm")).as("score"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    rescored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
 }

@@ -622,6 +622,26 @@ object Battery {
         .select(col("query_id"), col("neighbor_id"), col("rank"))
     }),
 
+    // PQ ANN with the twin oracle: a twin encodes to the query's own codes
+    // (identical bytes through the same argmax), and max-inner-product
+    // sub-assignment makes the twin's ADC self-score the per-query maximum,
+    // so all 10 twins are guaranteed candidates; the exact rescore then
+    // ranks them 1..10 by id (cosine 1.0 vs < 1). rescoreFactor 8 leaves
+    // room for corpus vectors that TIE the maximal ADC score (coarse codes
+    // quantize many vectors onto few score values).
+    "q127_ann_pq" -> ((s, d) => {
+      val e = emb(s, d).select(col("vec_id"), col("embedding"))
+      val qs = e.filter(col("vec_id") < 3L)
+      val twins = qs.select(col("vec_id"), col("embedding"),
+          explode(sequence(lit(1L), lit(10L))).as("j"))
+        .select((col("vec_id") + col("j") * 100000L).as("vec_id"), col("embedding"))
+      val cb = Similarity.trainPqCodebooks(e, "vec_id", "embedding",
+        m = 8, ksub = 16, iters = 1)
+      Similarity.pqTopK(e.unionByName(twins), qs, "vec_id", "embedding",
+          k = 10, cb, rescoreFactor = 8)
+        .select(col("query_id"), col("neighbor_id"), col("rank"))
+    }),
+
     // IVF ANN with the twin oracle: a twin is assigned to the centroid
     // nearest the query vector (identical bytes → identical argmin), and the
     // query always probes that cell first (nprobe >= 1), so the 10 twins are
@@ -2339,6 +2359,13 @@ object Battery {
         |FROM embeddings q, range(1, 11) t(j)
         |WHERE q.vec_id < 3""".stripMargin,
     "q92_ann_quantized" ->
+      """SELECT q.vec_id AS query_id,
+        |       q.vec_id + 100000 * t.j AS neighbor_id,
+        |       t.j AS rank
+        |FROM embeddings q, range(1, 11) t(j)
+        |WHERE q.vec_id < 3""".stripMargin,
+    // same twin closed form as q92: ten exact twins sweep ranks 1..10
+    "q127_ann_pq" ->
       """SELECT q.vec_id AS query_id,
         |       q.vec_id + 100000 * t.j AS neighbor_id,
         |       t.j AS rank

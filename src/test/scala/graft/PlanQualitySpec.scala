@@ -436,6 +436,22 @@ class PlanQualitySpec extends SparkSpec {
       s"corpus text in a shuffle of the join-strategy scorer:\n$exchangeLines")
   }
 
+  test("PQ ANN: no shuffle ever carries a float vector — narrow tuples only") {
+    import spark.implicits._
+    val vecs = (0L until 64L).map(i =>
+      (i, Array.tabulate(8)(j => ((i + j) % 7).toFloat))).toDF("vec_id", "embedding")
+    val cb = graft.operators.Similarity.trainPqCodebooks(
+      vecs, "vec_id", "embedding", m = 2, ksub = 4, iters = 1)
+    val plan = graft.operators.Similarity.pqTopK(
+        vecs, vecs.filter(col("vec_id") < 2L), "vec_id", "embedding", k = 3, cb)
+      .queryExecution.executedPlan.toString
+    val shuffles = plan.linesIterator
+      .filter(l => l.contains("Exchange") && !l.contains("BroadcastExchange"))
+      .mkString("\n")
+    assert(!shuffles.contains("vec") && !shuffles.contains("embedding"),
+      s"vector column in a PQ shuffle:\n$shuffles")
+  }
+
   test("random-ring write plans exactly one range exchange, like the murmur3 ring") {
     import spark.implicits._
     val df = (1L to 1000L).map(i => (i, s"v$i")).toDF("k", "v")

@@ -221,6 +221,39 @@ class SimilaritySpec extends SparkSpec {
     assert(viaSigs === direct && viaSigs === Set(102L))
   }
 
+  test("PQ: codebook shape, m-byte codes, encode determinism") {
+    val cb = Similarity.trainPqCodebooks(vecs, "vec_id", "embedding", m = 2, ksub = 2, iters = 2)
+    assert(cb.length === 2 && cb.forall(_.length === 2) && cb.forall(_.forall(_.length === 2)))
+    val codes = Similarity.pqEncode(vecs, "embedding", cb)
+      .select("vec_id", "pq_codes").as[(Long, Seq[Byte])].collect().toMap
+    assert(codes.values.forall(_.length === 2))
+    val again = Similarity.pqEncode(vecs, "embedding", cb)
+      .select("vec_id", "pq_codes").as[(Long, Seq[Byte])].collect().toMap
+    assert(codes === again)
+    // identical vectors encode to identical codes
+    val twin = Seq((100L, Array(1.0f, 0.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val tCodes = Similarity.pqEncode(twin, "embedding", cb)
+      .select("pq_codes").as[Seq[Byte]].head()
+    assert(tCodes === codes(0L))
+  }
+
+  test("pqTopK: exact-twin recall 1.0 and top-k agrees with brute force on the fixture") {
+    val cb = Similarity.trainPqCodebooks(vecs, "vec_id", "embedding", m = 2, ksub = 4, iters = 2)
+    // twin query: its source must come back rank 1 with cosine 1.0
+    val q = Seq((100L, Array(0.0f, 1.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val top = Similarity.pqTopK(vecs, q, "vec_id", "embedding", k = 3, cb)
+      .select("neighbor_id", "rank").as[(Long, Int)].collect().toMap
+    assert(top.find(_._2 == 1).map(_._1) === Some(10L))
+    // full-fixture recall vs brute force at k=3 (rescoreFactor covers all 6)
+    val qs = vecs.filter($"vec_id" < 3L)
+    val pq = Similarity.pqTopK(vecs, qs, "vec_id", "embedding", k = 3, cb, rescoreFactor = 2)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val brute = Similarity.bruteForceTopK(vecs, qs, "vec_id", "embedding", k = 3)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (pq intersect brute).size.toDouble / brute.size
+    assert(recall >= 0.8, s"PQ recall $recall vs brute force")
+  }
+
   test("IVF training is deterministic and ivfTopK recall covers the near cluster") {
     val c1 = Similarity.trainIvfCentroids(vecs, "vec_id", "embedding", k = 2, iters = 2)
     val c2 = Similarity.trainIvfCentroids(vecs, "vec_id", "embedding", k = 2, iters = 2)
