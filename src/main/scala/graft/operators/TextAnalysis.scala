@@ -104,7 +104,6 @@ object TextAnalysis {
    */
   def scoreLinear(
       df: DataFrame,
-      idCol: String,
       textCol: String,
       weights: Map[String, Double],
       bias: Double = 0.0,

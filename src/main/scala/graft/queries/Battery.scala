@@ -438,7 +438,7 @@ object Battery {
     // the logit hash-matches the DuckDB recompute exactly; the oracle IS
     // the model spelled out in SQL
     "q125_linear_quality" -> ((s, d) =>
-      TextAnalysis.scoreLinear(docs(s, d), "doc_id", "text",
+      TextAnalysis.scoreLinear(docs(s, d), "text",
           weights = Map("the" -> 2.0, "scan" -> -1.0, "join" -> 1.5,
             "hash" -> 0.5, "window" -> -0.25, "spark" -> 3.0),
           bias = 0.25)
@@ -459,6 +459,35 @@ object Battery {
       graft.sources.Warc.writeWet(src, "uri", "text", dir, gzip = true)
       graft.sources.Warc.readWet(s, dir)
         .select(col("target_uri"), col("text"))
+    }),
+
+    // composed WET pipeline — the RefinedWeb-style loop end-to-end on the
+    // round-8 surface: export the corpus as multi-member-gzip WET, ingest
+    // it back, score with the linear quality model, threshold, then fill a
+    // global token budget best-first. The oracle replays every stage
+    // closed-form (identity ingest + the q125 model + the naive cumulative
+    // window), so the whole chain is hash-gated.
+    "q128_wet_pipeline" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft_wetpipe_")
+        .toString + "/wet"
+      val src = docs(s, d).select(
+        concat(lit("http://corpus.local/doc/"),
+          col("doc_id").cast("string")).as("uri"),
+        col("text"))
+      graft.sources.Warc.writeWet(src, "uri", "text", dir, gzip = true)
+      val ing = graft.sources.Warc.readWet(s, dir)
+        .select(col("target_uri"), col("text"))
+      val scored = TextAnalysis.scoreLinear(ing, "text",
+          weights = Map("the" -> 2.0, "scan" -> -1.0, "join" -> 1.5,
+            "hash" -> 0.5, "window" -> -0.25, "spark" -> 3.0),
+          bias = 0.25)
+        .filter(col("lin_score") > 4.0)
+        .withColumn("est_tokens",
+          ceil(length(col("text")).cast("double") / 4.0).cast("long"))
+      Sampling.takeByBudget(scored, "est_tokens", 8000L,
+          Seq(col("lin_score").desc, col("target_uri").asc))
+        .select(col("target_uri"), col("lin_score"), col("est_tokens"),
+          col("cum_cost"))
     }),
 
     // Markdown stripping over constructed pages exercising every rule:
@@ -2057,6 +2086,27 @@ object Battery {
         |                 WHEN 'window' THEN -0.25 WHEN 'spark' THEN 3.0
         |                 ELSE 0.0 END)::DOUBLE)), 0.0) AS lin_score
         |FROM documents""".stripMargin,
+    // every stage replayed closed-form: identity ingest, the q125 model,
+    // the threshold, and the naive global cumulative window
+    "q128_wet_pipeline" ->
+      """WITH w AS (
+        |  SELECT 'http://corpus.local/doc/' || CAST(doc_id AS VARCHAR) AS target_uri,
+        |    text,
+        |    0.25 + coalesce(list_sum(list_transform(string_split(lower(text), ' '),
+        |      tk -> (CASE tk WHEN 'the' THEN 2.0 WHEN 'scan' THEN -1.0
+        |                     WHEN 'join' THEN 1.5 WHEN 'hash' THEN 0.5
+        |                     WHEN 'window' THEN -0.25 WHEN 'spark' THEN 3.0
+        |                     ELSE 0.0 END)::DOUBLE)), 0.0) AS lin_score
+        |  FROM documents),
+        |f AS (SELECT * FROM w WHERE lin_score > 4.0),
+        |c AS (
+        |  SELECT target_uri, lin_score,
+        |    CAST(ceil(length(text) / 4.0) AS BIGINT) AS est_tokens,
+        |    SUM(CAST(ceil(length(text) / 4.0) AS BIGINT))
+        |      OVER (ORDER BY lin_score DESC, target_uri) AS cum
+        |  FROM f)
+        |SELECT target_uri, lin_score, est_tokens, CAST(cum AS BIGINT) AS cum_cost
+        |FROM c WHERE cum <= 8000""".stripMargin,
     // identity: the WET export/ingest round trip must reproduce the corpus
     "q124_wet_ingest" ->
       """SELECT 'http://corpus.local/doc/' || CAST(doc_id AS VARCHAR) AS target_uri,

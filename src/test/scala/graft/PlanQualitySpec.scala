@@ -417,7 +417,7 @@ class PlanQualitySpec extends SparkSpec {
   test("linear quality scorer: literal-map path is pure codegen, zero exchanges") {
     val docs = graft.tables.Tables.documents(spark, sf)
     val plan = graft.operators.TextAnalysis.scoreLinear(
-        docs, "doc_id", "text",
+        docs, "text",
         Map("the" -> 2.0, "scan" -> -1.0, "spark" -> 3.0), bias = 0.25)
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"),

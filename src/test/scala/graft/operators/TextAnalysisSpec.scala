@@ -183,10 +183,10 @@ class TextAnalysisSpec extends SparkSpec {
       (3L, ""))                        // one empty token -> bias
       .toDF("doc_id", "text")
     val w = Map("the" -> 2.0, "spark" -> 3.0, "scan" -> -1.0)
-    val out = TextAnalysis.scoreLinear(df, "doc_id", "text", w, bias = 0.25)
+    val out = TextAnalysis.scoreLinear(df, "text", w, bias = 0.25)
       .select("doc_id", "lin_score").as[(Long, Double)].collect().toMap
     assert(out === Map(1L -> 4.25, 2L -> 0.25, 3L -> 0.25))
-    val p = TextAnalysis.scoreLinear(df, "doc_id", "text", w, bias = 0.25)
+    val p = TextAnalysis.scoreLinear(df, "text", w, bias = 0.25)
       .select("doc_id", "lin_score_p").as[(Long, Double)].collect().toMap
     assert(p(1L) > 0.98 && math.abs(p(2L) - 1.0 / (1.0 + math.exp(-0.25))) < 1e-12)
   }
@@ -199,7 +199,7 @@ class TextAnalysisSpec extends SparkSpec {
       .toDF("doc_id", "text")
     val w = Map("the" -> 2.0, "scan" -> -1.0, "hash" -> 0.5,
       "window" -> -0.25, "spark" -> 3.0)
-    val planLit = TextAnalysis.scoreLinear(df, "doc_id", "text", w, bias = 0.5)
+    val planLit = TextAnalysis.scoreLinear(df, "text", w, bias = 0.5)
       .select("doc_id", "lin_score").as[(Long, Double)].collect().toMap
     val join = TextAnalysis.scoreLinearJoin(df, "doc_id", "text", w, bias = 0.5)
       .select("doc_id", "lin_score").as[(Long, Double)].collect().toMap
