@@ -145,6 +145,41 @@ object Warc {
       }
   }
 
+  /**
+   * Streaming WET ingestion: a Structured Streaming source over a
+   * directory where WET shards arrive (the continuous-crawl deployment —
+   * new `.wet.gz` files land, each micro-batch parses the new arrivals).
+   * Built on Spark's `binaryFile` file-streaming source, so discovery,
+   * exactly-once file tracking, and `maxFilesPerTrigger` throttling are
+   * the engine's own; the parse is the same FAILFAST record walk as
+   * [[read]]. Feed the result straight into
+   * [[graft.streaming.EventStreams.dedupIngestStream]] for the full
+   * ingest-and-dedup loop (spec-proven composition).
+   *
+   * One honest difference from the batch reader: `binaryFile` delivers a
+   * whole file per row, so a shard is held in memory while parsed —
+   * size streaming shards like micro-batches (MBs), not like the 1 GB
+   * archival files the batch path streams through.
+   */
+  def readWetStream(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val binarySchema = StructType(Seq(
+      StructField("path", StringType),
+      StructField("modificationTime", TimestampType),
+      StructField("length", LongType),
+      StructField("content", BinaryType)))
+    spark.readStream.format("binaryFile").schema(binarySchema).load(dir)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (path, bytes) =>
+        records(new java.io.ByteArrayInputStream(bytes), path)
+          .filter(_.warc_type == "conversion")
+          .map(r => (r.record_id, r.target_uri, r.warc_date,
+            new String(r.payload, UTF_8)))
+      }
+      .toDF("record_id", "target_uri", "warc_date", "text")
+  }
+
   /** Streaming record iterator over one (possibly multi-member-gzip) WARC
    *  stream. O(record) memory; FAILFAST with `source` + record index. */
   def records(in0: InputStream, source: String): Iterator[WarcRecord] = {

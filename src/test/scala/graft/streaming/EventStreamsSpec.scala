@@ -349,6 +349,45 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming WET ingestion: arriving shards flow through cross-batch dedup") {
+    import spark.implicits._
+    import java.nio.charset.StandardCharsets.UTF_8
+    import java.nio.file.{Files, Paths}
+    def wetBytes(docs: (String, String)*): Array[Byte] =
+      docs.flatMap { case (uri, text) =>
+        val body = text.getBytes(UTF_8)
+        (s"WARC/1.0\r\nWARC-Type: conversion\r\n" +
+          s"WARC-Target-URI: $uri\r\nWARC-Date: 2026-01-01T00:00:00Z\r\n" +
+          s"WARC-Record-ID: <urn:t:$uri>\r\n" +
+          s"Content-Length: ${body.length}\r\n\r\n").getBytes(UTF_8) ++
+          body ++ "\r\n\r\n".getBytes(UTF_8)
+      }.toArray
+    val base = java.nio.file.Files.createTempDirectory("graft_wetstream_").toString
+    val wetDir = s"$base/arrivals"; Files.createDirectories(Paths.get(wetDir))
+    val q = EventStreams.dedupIngestStream(
+      graft.sources.Warc.readWetStream(spark, wetDir)
+        .select(col("target_uri"), col("text")),
+      "target_uri", "text",
+      s"$base/out", s"$base/sigs", s"$base/ckpt",
+      shingleN = 3, numPerms = 32, bands = 16)
+    try {
+      Files.write(Paths.get(wetDir, "shard-0001.wet"), wetBytes(
+        "http://a/1" -> "the quick brown fox jumps over the lazy dog",
+        "http://a/2" -> "completely different content about spark engines and parquet files"))
+      q.processAllAvailable()
+      Files.write(Paths.get(wetDir, "shard-0002.wet"), wetBytes(
+        "http://b/1" -> "the quick brown fox jumps over the lazy dog", // dup of shard-1 doc
+        "http://b/2" -> "a genuinely novel document about distributed joins"))
+      q.processAllAvailable()
+      val kept = spark.read.parquet(s"$base/out")
+        .select("target_uri").as[String].collect().toSet
+      assert(kept === Set("http://a/1", "http://a/2", "http://b/2"))
+      val sigIds = spark.read.parquet(s"$base/sigs")
+        .select("id").as[String].collect().toSet
+      assert(sigIds === kept)
+    } finally q.stop()
+  }
+
   test("streaming dedup drops re-delivered events inside the watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
