@@ -107,6 +107,32 @@ class WarcSpec extends SparkSpec {
     assert(wet.toList === List("kept"))
   }
 
+  test("fuzz: arbitrary bytes either parse or fail loudly — never hang, loop, or OOM") {
+    val rnd = new scala.util.Random(20260813)
+    // pure-random buffers plus mutated valid records (the nastier class)
+    val valid = record("conversion", "http://f", "fuzz seed body".getBytes(UTF_8))
+    val cases = (1 to 200).map { i =>
+      if (i % 3 == 0) {
+        val b = valid.clone()
+        val pos = rnd.nextInt(b.length)
+        b(pos) = rnd.nextInt(256).toByte
+        b
+      } else {
+        val b = new Array[Byte](rnd.nextInt(300))
+        rnd.nextBytes(b); b
+      }
+    }
+    cases.zipWithIndex.foreach { case (bytes, i) =>
+      try {
+        val rs = Warc.records(new ByteArrayInputStream(bytes), s"fuzz-$i").toList
+        rs.foreach(r => assert(r.payload != null))
+      } catch {
+        case _: IllegalArgumentException => // the documented FAILFAST contract
+        case _: java.io.IOException =>     // corrupt gzip magic-byte prefixes
+      }
+    }
+  }
+
   test("writeWet: null text aborts the export (FAILFAST)") {
     val docs = Seq(("http://a", "ok"), ("http://b", null))
       .toDF("uri", "text")
