@@ -294,6 +294,23 @@ object Battery {
         .select(col("doc_id"), col("text_plain"))
     }),
 
+    // raw-crawl extraction: a WARC response payload (HTTP status line +
+    // headers + CRLFCRLF + HTML body) split at the FIRST separator, body
+    // stripped to plain text — the Common Crawl response-record chain,
+    // oracled closed-form like q110. The body contains its own CRLF pair
+    // to prove only the first separator splits.
+    "q129_http_extract" -> ((s, d) => {
+      val id = col("doc_id").cast("string")
+      val payload = concat(
+        lit("HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=UTF-8\r\n"),
+        lit("X-Crawl: graft\r\n\r\n"),
+        lit("<html><body><h1>Doc "), id, lit("</h1>\r\n\r\n<p>"), col("text"),
+        lit("</p></body></html>"))
+      docs(s, d).select(col("doc_id"),
+        TextAnalysis.stripHtml(
+          graft.sources.Warc.httpBody(payload.cast("binary"))).as("text_plain"))
+    }),
+
     // global token-budget selection: biggest documents first until the
     // budget fills. The Spark side is the DISTRIBUTED two-pass prefix sum
     // (range exchange + broadcast offsets — no single-partition window);
@@ -1945,6 +1962,12 @@ object Battery {
       """SELECT doc_id,
         |  'Doc ' || CAST(doc_id AS VARCHAR) || ' Title ' || CAST(doc_id AS VARCHAR)
         |    || ' ' || text || ' Bold&Co <tag> "q''' AS text_plain
+        |FROM documents""".stripMargin,
+    // closed form: headers dropped at the first CRLFCRLF, HTML stripped,
+    // the body's own CRLF pair collapses to whitespace
+    "q129_http_extract" ->
+      """SELECT doc_id,
+        |  'Doc ' || CAST(doc_id AS VARCHAR) || ' ' || text AS text_plain
         |FROM documents""".stripMargin,
     // the naive global-window formulation the distributed prefix sum must match
     "q111_budget_select" ->

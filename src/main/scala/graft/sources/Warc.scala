@@ -7,7 +7,7 @@ import java.util.zip.{GZIPInputStream, GZIPOutputStream}
 import org.apache.hadoop.fs.Path
 import org.apache.spark.TaskContext
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 /**
@@ -143,6 +143,22 @@ object Warc {
           } finally out.close()
         }
       }
+  }
+
+  /**
+   * The HTTP body of a raw WARC `response` record payload: Common Crawl
+   * response records wrap the fetched document in the full HTTP response
+   * (status line + headers + CRLFCRLF + body); this splits at the FIRST
+   * `\r\n\r\n` — later CRLF pairs belong to the body. A payload with no
+   * separator (already bare, or a header-only 304) passes through whole.
+   * Pure codegen on the scan; compose with
+   * [[graft.operators.TextAnalysis.stripHtml]] for the raw-crawl →
+   * plain-text chain (q129 oracles the composition closed-form).
+   */
+  def httpBody(payload: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val s = decode(payload, "UTF-8")
+    val pos = instr(s, "\r\n\r\n")
+    when(pos > 0, s.substr(pos + lit(4), length(s))).otherwise(s)
   }
 
   /**

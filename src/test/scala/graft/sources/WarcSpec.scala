@@ -133,6 +133,17 @@ class WarcSpec extends SparkSpec {
     }
   }
 
+  test("httpBody splits at the FIRST CRLFCRLF only; separator-free payloads pass through") {
+    def body(s: String): String =
+      Seq(s).toDF("p")
+        .select(Warc.httpBody(col("p").cast("binary"))).as[String].head()
+    assert(body("HTTP/1.1 200 OK\r\nX: y\r\n\r\n<html>hi</html>") === "<html>hi</html>")
+    // CRLF pairs INSIDE the body belong to the body
+    assert(body("HTTP/1.1 200 OK\r\n\r\nline1\r\n\r\nline2") === "line1\r\n\r\nline2")
+    assert(body("no separator at all") === "no separator at all")
+    assert(body("HTTP/1.1 304 Not Modified\r\nX: y\r\n\r\n") === "")
+  }
+
   test("writeWet: null text aborts the export (FAILFAST)") {
     val docs = Seq(("http://a", "ok"), ("http://b", null))
       .toDF("uri", "text")
