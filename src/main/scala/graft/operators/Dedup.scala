@@ -345,6 +345,42 @@ object Dedup {
         fp === col("__graft_fp"), "left_anti")
   }
 
+  /**
+   * [[dropExactAgainstCorpus]] with a Bloom-filter prefilter — the
+   * steady-state shape when the corpus fingerprint set is too large to
+   * broadcast and the batch is small: most batch rows are genuinely new,
+   * and proving that should not cost a shuffle against a billion-row set.
+   *
+   *  1. the corpus fingerprints aggregate into ONE compact sketch
+   *     ([[Bloom.build]] — map-side combined, ~1 B/doc at the default
+   *     10 bits/item, collected once to the driver);
+   *  2. batch rows the sketch clears (`mightContain = false` — NO false
+   *     negatives) are exactly new and skip the join entirely;
+   *  3. only the "might" rows — true matches plus the ≈0.9% false
+   *     positives — take the exact fingerprint anti-join, so the join's
+   *     probe side shrinks from |batch| to |dupes| + ε.
+   *
+   * Results are EXACTLY [[dropExactAgainstCorpus]]'s (the q132 oracle is
+   * the q113 oracle); the sketch only re-routes work. `expectedCorpusRows`
+   * sizes the sketch — pass the known corpus cardinality in production
+   * (a count is one extra corpus action otherwise).
+   */
+  def dropExactAgainstCorpusBloom(
+      newDocs: DataFrame,
+      corpus: DataFrame,
+      cols: Seq[String],
+      expectedCorpusRows: Long = -1L,
+      bitsPerItem: Int = 10): DataFrame = {
+    require(cols.nonEmpty, "incremental exact dedup needs at least one content column")
+    val fp = contentFingerprint(cols)
+    val items = if (expectedCorpusRows > 0) expectedCorpusRows
+      else math.max(corpus.count(), 1L)
+    val sketch = Bloom.build(corpus.toDF(), fp, items, bitsPerItem)
+    val mc = Bloom.mightContain(sketch, fp)
+    newDocs.filter(!mc)
+      .unionByName(dropExactAgainstCorpus(newDocs.filter(mc), corpus, cols))
+  }
+
   /** Length-prefixed content fingerprint shared by [[exact]] and the
    *  incremental variants — ONE definition so the two paths can never
    *  diverge on what counts as "the same content". Single column:

@@ -282,6 +282,108 @@ object TextAnalysis {
       df: DataFrame, mdCol: String, outCol: String = "text_plain"): DataFrame =
     df.withColumn(outCol, stripMarkdown(col(mdCol)))
 
+  /** The required-stopword list of the Gopher rules (Rae et al. 2021,
+   *  appendix A1.1): a document must contain at least `minStopwordHits`
+   *  of these to pass. The SQL oracle uses the same list. */
+  val GopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /**
+   * Gopher-style quality rule flags (Rae et al. 2021, appendix A1.1) — the
+   * standard heuristic filter battery a web corpus passes before model-based
+   * scoring ([[scoreLinear]]) and dedup see it. One integer flag per rule
+   * plus the conjunction, so a pipeline can either hard-filter
+   * (`gopher_pass = 1`) or keep the flags as features:
+   *
+   *  - `flag_words`    — word count within [minWords, maxWords];
+   *  - `flag_word_len` — mean word length within [minMeanWordLen,
+   *    maxMeanWordLen], compared as `min·words ≤ Σlen ≤ max·words` — exact
+   *    integer cross-multiplication, no division, no float grid;
+   *  - `flag_symbol`   — `#` and `...` occurrences ≤ maxSymbolWordRatio ×
+   *    words (the "symbol-to-word ratio" rule);
+   *  - `flag_bullet`   — lines starting with a bullet (`- `, `* `, `• `)
+   *    ≤ maxBulletLineFrac of all lines;
+   *  - `flag_ellipsis` — lines ending in `...` ≤ maxEllipsisLineFrac;
+   *  - `flag_alpha`    — words containing at least one [A-Za-z] character
+   *    ≥ minAlphaWordFrac of all words;
+   *  - `flag_stop`     — at least `minStopwordHits` distinct
+   *    [[GopherStopwords]] present (whole-word, space-padded matching).
+   *
+   * Pure per-row codegen expressions (split / HOF filter / length-delta
+   * counting), zero shuffle — corpus processed at scan speed like the rest
+   * of this object. All comparisons are integer-exact or single IEEE
+   * multiplications, so any engine replays them bit-identically (the q130
+   * oracle recomputes every flag in DuckDB with list lambdas).
+   */
+  def withGopherFlags(
+      df: DataFrame,
+      textCol: String,
+      minWords: Int = 50,
+      maxWords: Int = 100000,
+      minMeanWordLen: Int = 3,
+      maxMeanWordLen: Int = 10,
+      maxSymbolWordRatio: Double = 0.1,
+      maxBulletLineFrac: Double = 0.9,
+      maxEllipsisLineFrac: Double = 0.3,
+      minAlphaWordFrac: Double = 0.8,
+      minStopwordHits: Int = 2): DataFrame = {
+    require(minWords >= 1 && maxWords >= minWords,
+      s"word bounds out of order: [$minWords, $maxWords]")
+    require(minMeanWordLen >= 1 && maxMeanWordLen >= minMeanWordLen,
+      s"mean-word-length bounds out of order: [$minMeanWordLen, $maxMeanWordLen]")
+    val t = col(textCol)
+    val toks = split(t, " ")
+    val words = size(toks)
+    val sumLen = aggregate(toks, lit(0), (acc, w) => acc + length(w))
+    val symbols = occ(t, "#") + occ(t, "...")
+    val lines = split(t, "\n")
+    val nLines = size(lines)
+    val bulletLines = size(filter(lines,
+      l => l.startsWith("- ") || l.startsWith("* ") || l.startsWith("• ")))
+    val ellipsisLines = size(filter(lines, l => l.endsWith("...")))
+    val alphaWords = size(filter(toks, w => w.rlike("[A-Za-z]")))
+    val padded = concat(lit(" "), lower(t), lit(" "))
+    val stopHits = GopherStopwords
+      .map(sw => when(occ(padded, s" $sw ") > 0, 1).otherwise(0))
+      .reduce(_ + _)
+    def flag(c: Column): Column = when(c, 1).otherwise(0)
+    df.withColumn("n_words", words.cast("long"))
+      .withColumn("flag_words", flag(words >= minWords && words <= maxWords))
+      .withColumn("flag_word_len",
+        flag(sumLen >= lit(minMeanWordLen) * words && sumLen <= lit(maxMeanWordLen) * words))
+      .withColumn("flag_symbol", flag(symbols <= lit(maxSymbolWordRatio) * words))
+      .withColumn("flag_bullet", flag(bulletLines <= lit(maxBulletLineFrac) * nLines))
+      .withColumn("flag_ellipsis", flag(ellipsisLines <= lit(maxEllipsisLineFrac) * nLines))
+      .withColumn("flag_alpha", flag(alphaWords >= lit(minAlphaWordFrac) * words))
+      .withColumn("flag_stop", flag(stopHits >= minStopwordHits))
+      .withColumn("gopher_pass",
+        flag(col("flag_words") === 1 && col("flag_word_len") === 1 &&
+          col("flag_symbol") === 1 && col("flag_bullet") === 1 &&
+          col("flag_ellipsis") === 1 && col("flag_alpha") === 1 &&
+          col("flag_stop") === 1))
+  }
+
+  /** Hard-filter composition of [[withGopherFlags]]: rows passing every
+   *  rule, flag columns dropped — the shape a curation chain consumes. */
+  def filterGopher(
+      df: DataFrame,
+      textCol: String,
+      minWords: Int = 50,
+      maxWords: Int = 100000,
+      minMeanWordLen: Int = 3,
+      maxMeanWordLen: Int = 10,
+      maxSymbolWordRatio: Double = 0.1,
+      maxBulletLineFrac: Double = 0.9,
+      maxEllipsisLineFrac: Double = 0.3,
+      minAlphaWordFrac: Double = 0.8,
+      minStopwordHits: Int = 2): DataFrame =
+    withGopherFlags(df, textCol, minWords, maxWords, minMeanWordLen,
+      maxMeanWordLen, maxSymbolWordRatio, maxBulletLineFrac,
+      maxEllipsisLineFrac, minAlphaWordFrac, minStopwordHits)
+      .filter(col("gopher_pass") === 1)
+      .drop("n_words", "flag_words", "flag_word_len", "flag_symbol",
+        "flag_bullet", "flag_ellipsis", "flag_alpha", "flag_stop", "gopher_pass")
+
   /**
    * Intra-document repetition: the fraction of duplicated word n-grams
    * (`1 - distinct/total`) — the Gopher-style "repeated n-gram" quality

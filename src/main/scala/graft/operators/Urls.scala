@@ -109,6 +109,42 @@ object Urls {
     when(sch === "", u).otherwise(rebuilt)
   }
 
+  /**
+   * Domain blocklist filtering — the UT1/URL-category-list pass of a web
+   * curation pipeline: drop every page whose HOST or REGISTRABLE DOMAIN
+   * (after the [[host]]/[[domain]] canonicalization: lowercased, port and
+   * `www.` stripped) appears in the blocklist. Listing a registrable
+   * domain blocks the whole site including subdomains-by-way-of-domain;
+   * listing a full host (e.g. `bad.example.com`) blocks only that host.
+   *
+   * 100 TB shape: real category lists run to millions of entries, far past
+   * what an `isin` literal plan can carry — the list becomes a broadcast
+   * table (ONE copy per executor) and membership is two broadcast
+   * anti-joins (host key, then domain key). The corpus never shuffles and
+   * text never moves; entries are lowercased/deduped once on the tiny side.
+   */
+  def dropBlockedDomains(df: DataFrame, urlCol: String, blocked: DataFrame,
+      entryCol: String): DataFrame = {
+    val b = broadcast(
+      blocked.select(lower(trim(col(entryCol))).as("__graft_blocked")).distinct())
+    df.withColumn("__graft_bl_host", host(col(urlCol)))
+      .withColumn("__graft_bl_dom", domain(col(urlCol)))
+      .join(b, col("__graft_bl_host") === col("__graft_blocked"), "left_anti")
+      .join(b, col("__graft_bl_dom") === col("__graft_blocked"), "left_anti")
+      .drop("__graft_bl_host", "__graft_bl_dom")
+  }
+
+  /** [[dropBlockedDomains]] for an in-memory list (tests, small policies). */
+  def dropBlockedDomains(df: DataFrame, urlCol: String,
+      blocked: Seq[String]): DataFrame = {
+    if (blocked.isEmpty) df
+    else {
+      val spark = df.sparkSession
+      import spark.implicits._
+      dropBlockedDomains(df, urlCol, blocked.toDF("entry"), "entry")
+    }
+  }
+
   /** Adds `url_norm`, `url_host`, `url_domain`, `url_scheme` next to
    *  `urlCol` — the columns downstream dedup/capping/mixing key on. */
   def withUrlParts(df: DataFrame, urlCol: String): DataFrame = {

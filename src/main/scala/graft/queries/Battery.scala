@@ -353,6 +353,15 @@ object Battery {
         twinCopy(s, d, 0), Seq("text"))
         .select(col("doc_id"), col("source"), col("n_chars"))),
 
+    // the Bloom-prefiltered incremental path must produce EXACTLY the q113
+    // survivor set (no false negatives; false positives only re-route rows
+    // through the exact anti-join) — same twin construction, same oracle
+    "q132_incremental_exact_bloom" -> ((s, d) =>
+      Dedup.dropExactAgainstCorpusBloom(
+        twinCopy(s, d, 1).unionByName(twinCopy(s, d, 2, perm = 8 until 16)),
+        twinCopy(s, d, 0), Seq("text"))
+        .select(col("doc_id"), col("source"), col("n_chars"))),
+
     // URL ops feeding curation: canonical domain (closed-form constructible)
     // -> deterministic per-domain cap -> per-domain aggregate
     "q114_domain_cap" -> ((s, d) => {
@@ -460,6 +469,44 @@ object Battery {
             "hash" -> 0.5, "window" -> -0.25, "spark" -> 3.0),
           bias = 0.25)
         .select(col("doc_id"), col("lin_score"))),
+
+    // Gopher rule-filter flags (Rae et al. appendix A1.1) over constructed
+    // variants: a bullets-heavy doc, a symbol/ellipsis-heavy doc, and a
+    // too-short doc exercise the failing branches the whitespace-normal
+    // fixture cannot reach; the oracle replays the construction AND every
+    // flag comparison with DuckDB list lambdas
+    "q130_gopher_quality" -> ((s, d) => {
+      val v = col("doc_id") % 5
+      val text2 = when(v === 0, concat(col("text"), lit(
+          "\n- one\n- two\n- three\n- four\n- five\n- six\n- seven\n- eight\n- nine\n- ten")))
+        .when(v === 1, concat(lit("# # # # # # # # # # # # "), col("text"),
+          lit(" more words ...")))
+        .when(v === 2, lit("tiny doc ..."))
+        .otherwise(col("text"))
+      TextAnalysis.withGopherFlags(
+          docs(s, d).withColumn("text", text2), "text",
+          minWords = 20, minStopwordHits = 1)
+        .select(col("doc_id"), col("n_words"), col("flag_words"),
+          col("flag_word_len"), col("flag_symbol"), col("flag_bullet"),
+          col("flag_ellipsis"), col("flag_alpha"), col("flag_stop"),
+          col("gopher_pass"))
+    }),
+
+    // UT1-style domain blocklist: listed registrable domains block the
+    // whole site (bare + subdomain hosts), a listed full host blocks only
+    // itself — both membership keys replayed closed-form in the oracle
+    "q131_blocklist" -> ((s, d) => {
+      val id = col("doc_id")
+      val url = concat(lit("https://"),
+        when(id % 3 === 1, lit("sub.")).otherwise(lit("")),
+        lit("example"), (id % 50).cast("string"), lit(".com/page/"),
+        id.cast("string"))
+      val pages = docs(s, d).withColumn("url", url)
+      Urls.dropBlockedDomains(pages, "url",
+          Seq("example7.com", "example13.com", "sub.example4.com"))
+        .select(id, Urls.host(col("url")).as("url_host"),
+          Urls.domain(col("url")).as("url_domain"))
+    }),
 
     // WET (Common Crawl extracted-text) round trip: the corpus exported as
     // multi-member-gzip WET through the distributed writer and read back
@@ -2018,8 +2065,77 @@ object Battery {
         |              THEN 1 ELSE 0 END AS nn
         |  FROM t)
         |SELECT doc_id, lang, unnest(range(0, nn)) AS epoch FROM x""".stripMargin,
+    // the Gopher rule battery replayed flag by flag: same construction,
+    // same integer cross-multiplications, same list-lambda counts
+    "q130_gopher_quality" ->
+      """WITH v AS (
+        |  SELECT doc_id,
+        |    CASE CAST(doc_id % 5 AS INTEGER)
+        |      WHEN 0 THEN text || chr(10) || '- one' || chr(10) || '- two'
+        |        || chr(10) || '- three' || chr(10) || '- four' || chr(10) || '- five'
+        |        || chr(10) || '- six' || chr(10) || '- seven' || chr(10) || '- eight'
+        |        || chr(10) || '- nine' || chr(10) || '- ten'
+        |      WHEN 1 THEN '# # # # # # # # # # # # ' || text || ' more words ...'
+        |      WHEN 2 THEN 'tiny doc ...'
+        |      ELSE text END AS t
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id,
+        |    string_split(t, ' ') AS toks,
+        |    string_split(t, chr(10)) AS lns,
+        |    (length(t) - length(replace(t, '#', ''))) / 1
+        |      + (length(t) - length(replace(t, '...', ''))) / 3 AS symbols,
+        |    ' ' || lower(t) || ' ' AS p
+        |  FROM v),
+        |g AS (
+        |  SELECT doc_id,
+        |    CAST(len(toks) AS BIGINT) AS n_words,
+        |    CASE WHEN len(toks) >= 20 AND len(toks) <= 100000
+        |         THEN 1 ELSE 0 END AS flag_words,
+        |    CASE WHEN list_sum(list_transform(toks, x -> length(x))) >= 3 * len(toks)
+        |          AND list_sum(list_transform(toks, x -> length(x))) <= 10 * len(toks)
+        |         THEN 1 ELSE 0 END AS flag_word_len,
+        |    CASE WHEN symbols <= 0.1 * len(toks) THEN 1 ELSE 0 END AS flag_symbol,
+        |    CASE WHEN len(list_filter(lns,
+        |           x -> x LIKE '- %' OR x LIKE '* %' OR x LIKE '• %')) <= 0.9 * len(lns)
+        |         THEN 1 ELSE 0 END AS flag_bullet,
+        |    CASE WHEN len(list_filter(lns, x -> x LIKE '%...')) <= 0.3 * len(lns)
+        |         THEN 1 ELSE 0 END AS flag_ellipsis,
+        |    CASE WHEN len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]')))
+        |           >= 0.8 * len(toks)
+        |         THEN 1 ELSE 0 END AS flag_alpha,
+        |    CASE WHEN (CASE WHEN length(p) > length(replace(p, ' the ', '')) THEN 1 ELSE 0 END
+        |       + CASE WHEN length(p) > length(replace(p, ' be ', '')) THEN 1 ELSE 0 END
+        |       + CASE WHEN length(p) > length(replace(p, ' to ', '')) THEN 1 ELSE 0 END
+        |       + CASE WHEN length(p) > length(replace(p, ' of ', '')) THEN 1 ELSE 0 END
+        |       + CASE WHEN length(p) > length(replace(p, ' and ', '')) THEN 1 ELSE 0 END
+        |       + CASE WHEN length(p) > length(replace(p, ' that ', '')) THEN 1 ELSE 0 END
+        |       + CASE WHEN length(p) > length(replace(p, ' have ', '')) THEN 1 ELSE 0 END
+        |       + CASE WHEN length(p) > length(replace(p, ' with ', '')) THEN 1 ELSE 0 END) >= 1
+        |         THEN 1 ELSE 0 END AS flag_stop
+        |  FROM f)
+        |SELECT doc_id, n_words, flag_words, flag_word_len, flag_symbol,
+        |  flag_bullet, flag_ellipsis, flag_alpha, flag_stop,
+        |  flag_words * flag_word_len * flag_symbol * flag_bullet
+        |    * flag_ellipsis * flag_alpha * flag_stop AS gopher_pass
+        |FROM g""".stripMargin,
+    // blocklist membership replayed on both keys: host NOT IN and
+    // registrable domain NOT IN the same three-entry list
+    "q131_blocklist" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 1 THEN 'sub.' ELSE '' END
+        |      || 'example' || CAST(doc_id % 50 AS VARCHAR) || '.com' AS url_host,
+        |    'example' || CAST(doc_id % 50 AS VARCHAR) || '.com' AS url_domain
+        |  FROM documents)
+        |SELECT doc_id, url_host, url_domain FROM u
+        |WHERE url_host NOT IN ('example7.com', 'example13.com', 'sub.example4.com')
+        |  AND url_domain NOT IN ('example7.com', 'example13.com', 'sub.example4.com')""".stripMargin,
     // exact-fingerprint variant of the q108 construction: same survivor set
     "q113_incremental_exact" ->
+      """SELECT doc_id + 2000000 AS doc_id, source, n_chars FROM documents""",
+    // Bloom prefilter is exact end-to-end: identical survivor set to q113
+    "q132_incremental_exact_bloom" ->
       """SELECT doc_id + 2000000 AS doc_id, source, n_chars FROM documents""",
     // domain in closed form + the capPerGroup md5-rank replay (q93 pattern)
     "q114_domain_cap" ->

@@ -237,6 +237,32 @@ class DedupSpec extends SparkSpec {
     assert(got === Set(101L, 102L))
   }
 
+  test("dropExactAgainstCorpusBloom matches the exact path on a hostile mix") {
+    import spark.implicits._
+    // 200-doc corpus; batch = 50 corpus dups + 150 novel docs, so the
+    // sketch must clear most rows and the anti-join must catch every dup
+    val corpus = (0L until 200L).map(i => (i, s"corpus document number $i body"))
+      .toDF("doc_id", "text")
+    val batch = ((0L until 50L).map(i => (1000L + i, s"corpus document number ${i * 3} body")) ++
+      (0L until 150L).map(i => (2000L + i, s"novel batch document $i payload")))
+      .toDF("doc_id", "text")
+    val exact = Dedup.dropExactAgainstCorpus(batch, corpus, Seq("text"))
+      .select("doc_id").as[Long].collect().toSet
+    val bloom = Dedup.dropExactAgainstCorpusBloom(batch, corpus, Seq("text"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(bloom === exact)
+    // every batch dup targets i*3 < 200, so all 50 drop; 150 novel survive
+    assert(exact === (0L until 150L).map(2000L + _).toSet)
+  }
+
+  test("bloom sketch has no false negatives over its aggregated keys") {
+    import spark.implicits._
+    val keys = (0L until 500L).map(i => Tuple1(s"key-$i")).toDF("k")
+    val sketch = Bloom.build(keys, col("k"), expectedItems = 500L)
+    val probed = keys.filter(Bloom.mightContain(sketch, col("k"))).count()
+    assert(probed === 500L) // every aggregated key must probe true
+  }
+
   test("dropAgainstCorpus drops near-dups of corpus docs, keeps novel docs") {
     import spark.implicits._
     val corpus = Seq(

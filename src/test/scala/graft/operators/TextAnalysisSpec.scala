@@ -207,6 +207,58 @@ class TextAnalysisSpec extends SparkSpec {
     assert(planLit(2L) === 9.5 && planLit(3L) === 0.5)
   }
 
+  // Gopher rules — expectations hand-computed per rule, not derived from
+  // the implementation, so a flag regression cannot rewrite them.
+  test("gopher flags: a clean prose document passes every rule") {
+    val df = Seq((1L, "the quick brown foxes jumped over the fence and " +
+      "that horse ran with speed of light")).toDF("doc_id", "text")
+    val row = TextAnalysis.withGopherFlags(df, "text", minWords = 5).head()
+    // 16 words, Σlen 67 within [48, 160], no symbols/bullets/ellipsis,
+    // all words alphabetic, stopwords the/and/that/with/of >= 2
+    assert(row.getAs[Long]("n_words") === 16L)
+    for (f <- Seq("flag_words", "flag_word_len", "flag_symbol", "flag_bullet",
+        "flag_ellipsis", "flag_alpha", "flag_stop", "gopher_pass"))
+      assert(row.getAs[Int](f) === 1, f)
+  }
+
+  test("gopher flags: each rule fails on its own adversarial fixture") {
+    val df = Seq(
+      (1L, "one two three"),                          // too few words (min 5)
+      (2L, "intro line\n- a\n- b\n- c"),              // 3 of 4 lines bulleted
+      (3L, "# # # # word word"),                      // 4 symbols on 6 words
+      (4L, "to be continued...\nmore soon..."),       // every line ends ...
+      (5L, "12345 67890 99 the cat"),                 // 2/5 alphabetic words
+      (6L, "extraordinarily incomprehensibilities"),  // mean word len > 10
+      (7L, "zebra quail xylem verdant"))              // zero stopwords
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.withGopherFlags(df, "text",
+        minWords = 5, maxBulletLineFrac = 0.5, minStopwordHits = 2)
+      .select(col("doc_id"), col("flag_words"), col("flag_bullet"),
+        col("flag_symbol"), col("flag_ellipsis"), col("flag_alpha"),
+        col("flag_word_len"), col("flag_stop"), col("gopher_pass"))
+      .as[(Long, Int, Int, Int, Int, Int, Int, Int, Int)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(got(1L)._2 === 0, "flag_words")
+    assert(got(2L)._3 === 0, "flag_bullet")
+    assert(got(3L)._4 === 0, "flag_symbol")
+    assert(got(4L)._5 === 0, "flag_ellipsis")
+    assert(got(5L)._6 === 0, "flag_alpha")
+    assert(got(6L)._7 === 0, "flag_word_len")
+    assert(got(7L)._8 === 0, "flag_stop")
+    assert(got.values.forall(_._9 === 0), "no fixture passes")
+  }
+
+  test("filterGopher keeps passers only and drops the flag columns") {
+    val df = Seq(
+      (1L, "the quick brown foxes jumped over the fence and " +
+        "that horse ran with speed of light"),
+      (2L, "one two three"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.filterGopher(df, "text", minWords = 5)
+    assert(got.columns.toSeq === Seq("doc_id", "text"))
+    assert(got.select("doc_id").as[Long].collect().toSeq === Seq(1L))
+  }
+
   test("fingerprint is invariant to case and extra whitespace") {
     val variants = Seq(
       (1L, "Hello   World"),

@@ -113,6 +113,34 @@ class UrlsSpec extends SparkSpec {
       s == s.toLowerCase && !s.contains("*") && !s.contains("!") && s.contains(".")))
   }
 
+  test("dropBlockedDomains: domain entries block the site, host entries one host") {
+    val pages = Seq(
+      (1L, "https://bad.com/a"),                 // blocked by domain
+      (2L, "https://www.BAD.com:443/b"),         // same after canonicalization
+      (3L, "https://cdn.bad.com/c"),             // subdomain of a blocked domain
+      (4L, "https://evil.example.com/d"),        // blocked by full host
+      (5L, "https://example.com/e"),             // bare site of that host survives
+      (6L, "https://other.example.com/f"),       // sibling host survives
+      (7L, "https://good.com/g"),                // unrelated survives
+      (8L, "not-a-url"))                         // no scheme: host "" never matches
+      .toDF("doc_id", "url")
+    val kept = Urls.dropBlockedDomains(pages, "url",
+        Seq("BAD.com", "evil.example.com"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(5L, 6L, 7L, 8L))
+  }
+
+  test("dropBlockedDomains: empty list is a no-op, DataFrame list form agrees") {
+    val pages = Seq((1L, "https://x.com/a"), (2L, "https://y.com/b"))
+      .toDF("doc_id", "url")
+    assert(Urls.dropBlockedDomains(pages, "url", Seq.empty[String])
+      .count() === 2L)
+    val listDf = Seq("y.com").toDF("entry")
+    val kept = Urls.dropBlockedDomains(pages, "url", listDf, "entry")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(1L))
+  }
+
   test("withUrlParts + capPerGroup composition caps per canonical domain") {
     val docs = (1L to 40L).map { i =>
       (i, s"HTTP://WWW.D${i % 4}.com/page/$i?utm_source=x")
