@@ -631,6 +631,88 @@ object Dedup {
     }
   }
 
+  // ---------- duplicated-span removal (exact-substring dedup) -----------
+
+  /**
+   * Exact duplicated-SPAN removal — the "deduplicate inside documents"
+   * family (Lee et al. 2022, "Deduplicating Training Data Makes Language
+   * Models Better"): any run of `k` consecutive word tokens whose k-gram
+   * occurs at least `minCount` times ACROSS THE WHOLE CORPUS (counting
+   * every occurrence, intra-document repeats included) is deleted from
+   * every document; uncovered tokens keep their order and single-space
+   * joining. Document-level dedup ([[exact]], [[dropNearDuplicates]])
+   * cannot touch this case: two long distinct articles quoting the same
+   * boilerplate paragraph both survive, but the paragraph itself should
+   * appear in the training set once per genuinely novel context, not
+   * thousands of times.
+   *
+   * Distributed shape — the suffix-array construction of the paper is
+   * replaced by hash counting, the same trade [[dropFrequentLines]] makes
+   * for lines:
+   *  1. each document emits its k-gram XXHASH64 values with positions
+   *     (12 B/row, never gram text) — one codegen pass over the corpus;
+   *  2. one hash aggregation counts occurrences (map-side combined);
+   *     frequent hashes (`count >= minCount`) survive — a set bounded by
+   *     corpus repetition, not corpus size;
+   *  3. gram rows rejoin the frequent set (broadcast when it fits) and
+   *     regroup per document into a start-position array — bounded by the
+   *     document's own length;
+   *  4. the rewrite is a per-row expression over (tokens, starts): covered
+   *     indices expand as `[s, s+k-1]` intervals, kept tokens re-join.
+   *     The corpus text itself shuffles ONCE (the id-rejoin of step 4);
+   *     at 100 TB pre-bucketing the corpus by id makes that a local join.
+   *
+   * Membership is by 64-bit hash: a span is misdropped only on an xxhash64
+   * collision with a frequent gram (P ≈ |frequent| · 2⁻⁶⁴ per distinct
+   * gram — the accepted-risk class of the MinHash family). Documents
+   * shorter than `k` tokens pass through untouched.
+   */
+  def removeDuplicateSpans(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 10,
+      minCount: Long = 2L,
+      sep: String = " ",
+      outCol: String = "text_clean"): DataFrame = {
+    require(k >= 2, s"span gram size k must be >= 2, got $k")
+    require(minCount >= 2, s"minCount must be >= 2, got $minCount")
+    val toks = split(col(textCol), java.util.regex.Pattern.quote(sep))
+    val n = size(toks)
+    val gramStructs = when(n >= k,
+      transform(sequence(lit(1), n - (k - 1)),
+        i => struct(i.as("pos"),
+          xxhash64(array_join(slice(toks, i, lit(k)), sep)).as("gh"))))
+      .otherwise(array().cast("array<struct<pos:int,gh:bigint>>"))
+    // the gram table feeds TWO subtrees (the count and the rejoin): persist
+    // so the corpus gram pass runs once, then materialize the hit list —
+    // bounded by documents-with-covered-spans, id + int positions only —
+    // eagerly so the cache releases before the corpus-wide rewrite runs
+    val grams = df.select(col(idCol).as("__graft_sp_id"),
+        explode(gramStructs).as("g"))
+      .select(col("__graft_sp_id"), col("g.pos").as("pos"), col("g.gh").as("gh"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val frequent = grams.groupBy(col("gh"))
+      .agg(count(lit(1)).as("c")).filter(col("c") >= minCount)
+      .select(col("gh"))
+    val hits = grams.join(frequent, "gh")
+      .groupBy(col("__graft_sp_id"))
+      .agg(collect_set(col("pos")).as("__graft_sp_starts"))
+      .localCheckpoint(eager = true)
+    grams.unpersist(blocking = false)
+    val joined = df.join(hits, df(idCol) === hits("__graft_sp_id"), "left")
+    val covered = array_distinct(flatten(
+      transform(col("__graft_sp_starts"), s => sequence(s, s + (k - 1)))))
+    val kept = transform(
+      filter(sequence(lit(1), n), i => !array_contains(covered, i)),
+      i => element_at(toks, i))
+    joined
+      .withColumn(outCol,
+        when(col("__graft_sp_starts").isNull, col(textCol))
+          .otherwise(array_join(kept, sep)))
+      .drop("__graft_sp_id", "__graft_sp_starts")
+  }
+
   // ---------- SimHash ----------
 
   /**

@@ -96,6 +96,40 @@ object Sampling {
       .drop("__graft_cap_rn")
   }
 
+  /**
+   * EXACT stratified sampling: keep `ceil(fraction × |stratum|)` rows per
+   * stratum, chosen by deterministic md5 rank. [[hashSample]] hits the
+   * fraction only in expectation — a small stratum can lose every row to
+   * hash luck, which is precisely what stratification must not do; this
+   * variant guarantees every non-empty stratum keeps at least one row and
+   * the per-stratum proportions are exact, at the cost of one window
+   * exchange (same shuffle shape and same md5-rank tie-break discipline as
+   * [[capPerGroup]]; a pathologically giant stratum sorts on one partition
+   * — the capPerGroup caveat applies unchanged).
+   *
+   * Cross-engine exactness: `fraction × count` is one IEEE multiply and
+   * `ceil` of it is engine-independent, so the oracle replays the boundary
+   * row for row.
+   */
+  def sampleFractionPerGroup(
+      df: DataFrame,
+      groupCols: Seq[String],
+      keys: Seq[String],
+      fraction: Double): DataFrame = {
+    require(fraction > 0.0 && fraction <= 1.0,
+      s"fraction must be in (0, 1], got $fraction")
+    require(groupCols.nonEmpty, "need at least one group column")
+    val part = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*)
+    val ordered = part
+      .orderBy((hashHex(keys.map(col)).asc +: keys.map(col(_).asc)): _*)
+    df.withColumn("__graft_sf_rn", row_number().over(ordered))
+      .withColumn("__graft_sf_cnt", count(lit(1)).over(part))
+      .filter(col("__graft_sf_rn") <=
+        ceil(lit(fraction) * col("__graft_sf_cnt")))
+      .drop("__graft_sf_rn", "__graft_sf_cnt")
+  }
+
   /** 0-15 value of the `i`-th (1-based) hex digit of `hexCol`, via ascii()
    *  arithmetic — portable (DuckDB/Spark/any SQL engine with ascii();
    *  no engine-specific hex parsing). */

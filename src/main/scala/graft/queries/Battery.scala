@@ -492,6 +492,31 @@ object Battery {
           col("gopher_pass"))
     }),
 
+    // exact duplicated-SPAN removal (Lee et al.): a 12-token boilerplate
+    // suffix shared by half the corpus and a per-doc TRIPLED 5-token phrase
+    // (self-overlapping 10-grams) must both vanish; raw docs pass through.
+    // The oracle replays the WHOLE computation — gram counting, coverage
+    // expansion, token rewrite — in DuckDB, so even coincidental fixture
+    // 10-gram repeats stay in agreement.
+    "q133_span_dedup" -> ((s, d) => {
+      val id = col("doc_id").cast("string")
+      val boiler = lit("subscribe to our newsletter for updates and follow us on social media")
+      val phrase = concat_ws(" ", (1 to 5).map(j => concat(lit(s"p${j}x"), id)): _*)
+      val m = col("doc_id") % 4
+      val text2 = when(m === 0 || m === 1, concat_ws(" ", col("text"), boiler))
+        .when(m === 2, concat_ws(" ", col("text"), phrase, phrase, phrase))
+        .otherwise(col("text"))
+      Dedup.removeDuplicateSpans(docs(s, d).withColumn("text", text2),
+          "doc_id", "text", k = 10, minCount = 2L)
+        .select(col("doc_id"), col("text_clean"))
+    }),
+
+    // exact stratified sampling: ceil(0.3 · |lang stratum|) docs per
+    // language by md5 rank — the window replay is the oracle
+    "q134_stratified_sample" -> ((s, d) =>
+      Sampling.sampleFractionPerGroup(docs(s, d), Seq("lang"), Seq("doc_id"), 0.3)
+        .select(col("doc_id"), col("lang"))),
+
     // UT1-style domain blocklist: listed registrable domains block the
     // whole site (bare + subdomain hosts), a listed full host blocks only
     // itself — both membership keys replayed closed-form in the oracle
@@ -2119,6 +2144,55 @@ object Battery {
         |  flag_words * flag_word_len * flag_symbol * flag_bullet
         |    * flag_ellipsis * flag_alpha * flag_stop AS gopher_pass
         |FROM g""".stripMargin,
+    // full replay of span dedup: construct, emit positioned 10-grams,
+    // count, cover [s, s+9] intervals, rewrite surviving tokens in order
+    "q133_span_dedup" ->
+      """WITH ph AS (
+        |  SELECT doc_id,
+        |    'p1x' || CAST(doc_id AS VARCHAR) || ' p2x' || CAST(doc_id AS VARCHAR)
+        |      || ' p3x' || CAST(doc_id AS VARCHAR) || ' p4x' || CAST(doc_id AS VARCHAR)
+        |      || ' p5x' || CAST(doc_id AS VARCHAR) AS p5
+        |  FROM documents),
+        |v AS (
+        |  SELECT d.doc_id,
+        |    CASE CAST(d.doc_id % 4 AS INTEGER)
+        |      WHEN 0 THEN d.text || ' subscribe to our newsletter for updates and follow us on social media'
+        |      WHEN 1 THEN d.text || ' subscribe to our newsletter for updates and follow us on social media'
+        |      WHEN 2 THEN d.text || ' ' || ph.p5 || ' ' || ph.p5 || ' ' || ph.p5
+        |      ELSE d.text END AS t
+        |  FROM documents d JOIN ph USING (doc_id)),
+        |d2 AS (SELECT doc_id, t, string_split(t, ' ') AS toks FROM v),
+        |g0 AS (
+        |  SELECT doc_id, toks,
+        |    unnest(range(1, len(toks) - 10 + 2)) AS pos
+        |  FROM d2),
+        |g AS (
+        |  SELECT doc_id, pos,
+        |    array_to_string(toks[pos:pos+9], ' ') AS gram
+        |  FROM g0),
+        |f AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(*) >= 2),
+        |hit AS (SELECT DISTINCT g.doc_id, g.pos FROM g JOIN f USING (gram)),
+        |covx AS (SELECT doc_id, unnest(range(pos, pos + 10)) AS ci FROM hit),
+        |cov AS (SELECT doc_id, list(DISTINCT ci) AS cover FROM covx GROUP BY doc_id)
+        |SELECT d2.doc_id,
+        |  CASE WHEN cov.cover IS NULL THEN d2.t
+        |       ELSE COALESCE(array_to_string(
+        |         list_transform(
+        |           list_filter(range(1, len(d2.toks) + 1),
+        |             i -> NOT list_contains(cov.cover, i)),
+        |           i -> d2.toks[i]), ' '), '')
+        |  END AS text_clean
+        |FROM d2 LEFT JOIN cov ON d2.doc_id = cov.doc_id""".stripMargin,
+    // md5-rank window replay with the identical ceil boundary
+    "q134_stratified_sample" ->
+      """SELECT doc_id, lang FROM (
+        |  SELECT doc_id, lang,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) ASC,
+        |               doc_id ASC) AS rn,
+        |    COUNT(*) OVER (PARTITION BY lang) AS cnt
+        |  FROM documents)
+        |WHERE rn <= ceil(0.3 * cnt)""".stripMargin,
     // blocklist membership replayed on both keys: host NOT IN and
     // registrable domain NOT IN the same three-entry list
     "q131_blocklist" ->

@@ -263,6 +263,52 @@ class DedupSpec extends SparkSpec {
     assert(probed === 500L) // every aggregated key must probe true
   }
 
+  test("removeDuplicateSpans cuts shared spans, keeps the unique remainder") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta one two"),
+      (2L, "alpha beta gamma delta nine ten"),
+      (3L, "totally unrelated words here"))
+      .toDF("doc_id", "text")
+    val got = Dedup.removeDuplicateSpans(docs, "doc_id", "text", k = 3)
+      .select("doc_id", "text_clean").as[(Long, String)].collect().toMap
+    // frequent 3-grams: "alpha beta gamma", "beta gamma delta" -> starts
+    // {1,2} cover tokens 1..4 in both docs; doc 3 has no repeated gram
+    assert(got(1L) === "one two")
+    assert(got(2L) === "nine ten")
+    assert(got(3L) === "totally unrelated words here")
+  }
+
+  test("removeDuplicateSpans: intra-document repetition counts toward minCount") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "x y x y x y"),                // self-overlapping grams repeat
+      (2L, "a b c d e f"))                // all grams unique
+      .toDF("doc_id", "text")
+    val got = Dedup.removeDuplicateSpans(docs, "doc_id", "text", k = 3)
+      .select("doc_id", "text_clean").as[(Long, String)].collect().toMap
+    assert(got(1L) === "") // every window start repeats -> whole doc covered
+    assert(got(2L) === "a b c d e f")
+  }
+
+  test("removeDuplicateSpans: short docs pass through, minCount is honored") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "tiny doc"),                   // < k tokens: span-invisible
+      (2L, "tiny doc"),                   // exact twin, still untouched
+      (3L, "p q r s t"),
+      (4L, "p q r s t"))                  // twins: grams occur twice only
+      .toDF("doc_id", "text")
+    val twice = Dedup.removeDuplicateSpans(docs, "doc_id", "text", k = 3)
+      .select("doc_id", "text_clean").as[(Long, String)].collect().toMap
+    assert(twice(1L) === "tiny doc" && twice(2L) === "tiny doc")
+    assert(twice(3L) === "" && twice(4L) === "")
+    val thrice = Dedup.removeDuplicateSpans(docs, "doc_id", "text",
+        k = 3, minCount = 3L)
+      .select("doc_id", "text_clean").as[(Long, String)].collect().toMap
+    assert(thrice(3L) === "p q r s t" && thrice(4L) === "p q r s t")
+  }
+
   test("dropAgainstCorpus drops near-dups of corpus docs, keeps novel docs") {
     import spark.implicits._
     val corpus = Seq(

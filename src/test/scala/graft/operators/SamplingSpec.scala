@@ -69,6 +69,24 @@ class SamplingSpec extends SparkSpec {
     assert(cap10.join(capped, Seq("id"), "left_anti").count() == 0)
   }
 
+  test("sampleFractionPerGroup: exact ceil proportions, tiny strata keep a row") {
+    val df = ((1L to 10L).map(i => (i, "big")) ++
+      (11L to 14L).map(i => (i, "mid")) ++
+      Seq((15L, "solo"))).toDF("id", "grp")
+    val got = Sampling.sampleFractionPerGroup(df, Seq("grp"), Seq("id"), 0.5)
+    val by = got.groupBy("grp").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(by === Map("big" -> 5L, "mid" -> 2L, "solo" -> 1L))
+    // determinism + monotonicity: a larger fraction keeps a superset
+    val half2 = Sampling.sampleFractionPerGroup(df, Seq("grp"), Seq("id"), 0.5)
+    assert(got.select("id").except(half2.select("id")).count() === 0)
+    val most = Sampling.sampleFractionPerGroup(df, Seq("grp"), Seq("id"), 0.8)
+    assert(got.join(most, Seq("id"), "left_anti").count() === 0)
+    // fraction 1.0 keeps everything
+    assert(Sampling.sampleFractionPerGroup(df, Seq("grp"), Seq("id"), 1.0)
+      .count() === 15L)
+  }
+
   test("mixSources: per-source fractions, unknown sources dropped") {
     val df = (1L to 3000L).map(i => (i, s"src${i % 3}")).toDF("id", "src")
     val mixed = Sampling.mixSources(df, "src", Seq("id"),
