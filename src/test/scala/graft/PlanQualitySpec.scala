@@ -403,6 +403,61 @@ class PlanQualitySpec extends SparkSpec {
     assert(plan.contains("__graft_doc_freq"), s"per-doc membership expected:\n$plan")
   }
 
+  test("gopher rule flags are pure codegen: zero exchanges") {
+    val docs = graft.tables.Tables.documents(spark, sf)
+    val plan = graft.operators.TextAnalysis.withGopherFlags(docs, "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"gopher flags must not shuffle:\n$plan")
+    assert(plan.linesIterator.next().trim.startsWith("*("),
+      s"gopher flags fell out of codegen:\n$plan")
+  }
+
+  test("domain blocklist plans broadcast anti-joins, never a nested-loop product") {
+    val docs = graft.tables.Tables.documents(spark, sf)
+      .withColumn("url", concat(lit("https://example"),
+        (col("doc_id") % 40).cast("string"), lit(".com/p/"),
+        col("doc_id").cast("string")))
+    val plan = graft.operators.Urls.dropBlockedDomains(docs, "url",
+        Seq("example7.com", "bad.example8.com"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastExchange"),
+      s"blocklist must arrive by broadcast:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"blocklist membership must be equi-joins:\n$plan")
+    // the only hash exchange is the tiny list's own distinct(); the corpus
+    // (text/doc_id) never enters one
+    val exchangeLines = plan.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).mkString("\n")
+    assert(!exchangeLines.contains("text") && !exchangeLines.contains("doc_id"),
+      s"corpus shuffled for a broadcast membership test:\n$exchangeLines")
+  }
+
+  test("span dedup shuffles positioned gram hashes only, never document text") {
+    val docs = spark.range(30).selectExpr("id AS doc_id",
+      "concat('shared prefix tokens here words ', id) AS text")
+    val plan = graft.operators.Dedup.removeDuplicateSpans(
+        docs, "doc_id", "text", k = 3)
+      .queryExecution.executedPlan.toString
+    // the gram-count stage runs eagerly inside the operator (the hit list
+    // is localCheckpoint'd), so the returned plan shows only the rewrite:
+    // the checkpointed (id, starts) table must arrive by BROADCAST and the
+    // corpus text must never enter an exchange
+    val exchangeLines = plan.linesIterator.filter(_.contains("Exchange")).mkString("\n")
+    assert(!exchangeLines.contains("text"), s"text column in shuffle:\n$exchangeLines")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"hit list should broadcast back onto the corpus:\n$plan")
+  }
+
+  test("stratified sampling plans exactly one hash exchange on the stratum") {
+    val docs = graft.tables.Tables.documents(spark, sf)
+    val plan = graft.operators.Sampling.sampleFractionPerGroup(
+        docs, Seq("lang"), Seq("doc_id"), 0.3)
+      .queryExecution.executedPlan.toString
+    val hashExchanges = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(hashExchanges === 1,
+      s"expected ONE stratum exchange, got $hashExchanges:\n$plan")
+  }
+
   test("image metadata decode is pure codegen: zero exchanges") {
     val docs = graft.tables.Tables.documents(spark, sf)
       .withColumn("blob", col("text").cast("binary"))
