@@ -36,33 +36,67 @@ object Tables {
 
   /** Load one test table with role metadata attached.
    *
-   *  `events.parquet` carries TIMESTAMP(NANOS) which Spark's parquet reader
-   *  rejects outright ([PARQUET_TYPE_ILLEGAL]); we read nanos as long via
-   *  the legacy flag and rebuild a microsecond TimestampType column with
-   *  floor(ns/1000) — the same truncation DuckDB's `CAST(ts AS TIMESTAMP)`
-   *  applies, so oracle comparisons stay bit-aligned. */
+   *  `events.parquet` has shipped with different physical encodings for `ts`
+   *  across driver fixture refreshes, so the loader branches on the RESOLVED
+   *  Spark type instead of assuming one encoding (see [[loadEvents]]). */
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val df =
-      if (name == "events") {
-        import org.apache.spark.sql.functions.expr
-        // scope the legacy nanos flag to THIS read and restore it after:
-        // leaving it set would make every later TIMESTAMP(NANOS) read in the
-        // session silently surface raw longs instead of failing fast
-        val key = "spark.sql.legacy.parquet.nanosAsLong"
-        val prev = spark.conf.getOption(key)
-        spark.conf.set(key, "true")
-        try {
-          val raw = spark.read.parquet(path(sfDir, name))
-          // force plan RESOLUTION while the flag is on; execution reads the
-          // already-resolved schema
-          raw.schema
-          raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-        } finally prev match {
-          case Some(v) => spark.conf.set(key, v)
-          case None => spark.conf.unset(key)
-        }
-      } else spark.read.parquet(path(sfDir, name))
+      if (name == "events") loadEvents(spark, path(sfDir, name))
+      else spark.read.parquet(path(sfDir, name))
     schemas.get(name).map(_.annotate(df)).getOrElse(df)
+  }
+
+  /** Load the events table, normalizing `ts` to session-zone TimestampType
+   *  whatever the parquet file's physical encoding:
+   *
+   *   - TIMESTAMP(MICROS, isAdjustedToUTC=false) → resolves as TimestampNTZ;
+   *     cast to TimestampType (session zone is UTC, so wall-clock semantics
+   *     are identical and DuckDB's `CAST(ts AS TIMESTAMP)` oracle agrees).
+   *   - TIMESTAMP(MICROS, isAdjustedToUTC=true) → already TimestampType.
+   *   - TIMESTAMP(NANOS) → rejected outright by the reader
+   *     ([PARQUET_TYPE_ILLEGAL]); retry with the legacy nanosAsLong flag
+   *     scoped to resolution, then rebuild micros with floor(ns/1000) — the
+   *     same truncation DuckDB applies, so oracles stay bit-aligned. */
+  private def loadEvents(spark: SparkSession, p: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    val raw =
+      try spark.read.parquet(p)
+      catch {
+        case e: Exception if chainMentionsNanos(e) =>
+          // scope the legacy nanos flag to THIS read and restore it after:
+          // leaving it set would make every later TIMESTAMP(NANOS) read in
+          // the session silently surface raw longs instead of failing fast
+          val key = "spark.sql.legacy.parquet.nanosAsLong"
+          val prev = spark.conf.getOption(key)
+          spark.conf.set(key, "true")
+          try {
+            val r = spark.read.parquet(p)
+            // force plan RESOLUTION while the flag is on; execution reads
+            // the already-resolved schema
+            r.schema
+            r
+          } finally prev match {
+            case Some(v) => spark.conf.set(key, v)
+            case None => spark.conf.unset(key)
+          }
+      }
+    raw.schema("ts").dataType match {
+      case LongType         => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType    => raw
+      case other =>
+        throw new IllegalStateException(
+          s"events.ts: unsupported parquet encoding resolved as $other")
+    }
+  }
+
+  private def chainMentionsNanos(e: Throwable): Boolean = {
+    Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(8).exists { t =>
+      val m = Option(t.getMessage).getOrElse("")
+      m.contains("NANOS") || m.contains("nanosAsLong") ||
+        m.contains("PARQUET_TYPE_ILLEGAL") || m.contains("Illegal Parquet type")
+    }
   }
 
   def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
