@@ -115,6 +115,10 @@ package object functions {
       (exprs: Seq[Expression]) =>
         WinnowFingerprint(exprs(0), intArg(exprs(1)), intArg(exprs(2))))
     registry.registerFunction(
+      FunctionIdentifier("http_body"),
+      new ExpressionInfo(classOf[HttpBodyExtract].getName, "http_body"),
+      (exprs: Seq[Expression]) => new HttpBodyExtract(exprs.head))
+    registry.registerFunction(
       FunctionIdentifier("uuid_bin"),
       new ExpressionInfo(classOf[org.apache.spark.sql.catalyst.expressions.Unhex].getName,
         "uuid_bin"),

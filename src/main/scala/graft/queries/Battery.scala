@@ -299,6 +299,27 @@ object Battery {
     // stripped to plain text — the Common Crawl response-record chain,
     // oracled closed-form like q110. The body contains its own CRLF pair
     // to prove only the first separator splits.
+    // chunked transfer-encoding round trip: each document is re-encoded as
+    // a chunked HTTP response (64-char chunks, hex byte-count size lines)
+    // entirely in builtin column functions, then httpBody reassembles it —
+    // the identity oracle proves the de-chunk walk is exact, including the
+    // byte-vs-char size accounting on multi-byte text (octet_length drives
+    // the size lines; the walk counts raw bytes).
+    "q135_http_chunked" -> ((s, d) => {
+      val text = col("text")
+      val n = greatest(ceil(length(text) / 64.0).cast("int"), lit(1))
+      val chunks = transform(sequence(lit(1), n), i =>
+        text.substr((i - lit(1)) * lit(64) + lit(1), lit(64)))
+      val encoded = concat(
+        lit("HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n" +
+          "Transfer-Encoding: chunked\r\n\r\n"),
+        array_join(transform(chunks, c =>
+          concat(lower(hex(octet_length(c))), lit("\r\n"), c, lit("\r\n"))), ""),
+        lit("0\r\n\r\n"))
+      docs(s, d).select(col("doc_id"),
+        graft.sources.Warc.httpBody(encoded.cast("binary")).as("text_plain"))
+    }),
+
     "q129_http_extract" -> ((s, d) => {
       val id = col("doc_id").cast("string")
       val payload = concat(
@@ -2037,6 +2058,11 @@ object Battery {
         |FROM documents""".stripMargin,
     // closed form: headers dropped at the first CRLFCRLF, HTML stripped,
     // the body's own CRLF pair collapses to whitespace
+    // identity: the chunk-encode is lossless by construction, so de-chunk
+    // must reproduce the text byte-for-byte
+    "q135_http_chunked" ->
+      """SELECT doc_id, text AS text_plain
+        |FROM documents""".stripMargin,
     "q129_http_extract" ->
       """SELECT doc_id,
         |  'Doc ' || CAST(doc_id AS VARCHAR) || ' ' || text AS text_plain

@@ -149,17 +149,22 @@ object Warc {
    * The HTTP body of a raw WARC `response` record payload: Common Crawl
    * response records wrap the fetched document in the full HTTP response
    * (status line + headers + CRLFCRLF + body); this splits at the FIRST
-   * `\r\n\r\n` — later CRLF pairs belong to the body. A payload with no
-   * separator (already bare, or a header-only 304) passes through whole.
-   * Pure codegen on the scan; compose with
+   * `\r\n\r\n` — later CRLF pairs belong to the body — and, when the
+   * header block declares `Transfer-Encoding: chunked`, reassembles the
+   * chunk-data spans (hex size lines and per-chunk CRLFs removed, trailers
+   * dropped). A payload with no separator (already bare, or a header-only
+   * 304) passes through whole. Codegen'd native expression
+   * ([[graft.functions.HttpBodyExtract]] — the de-chunk walk is a
+   * data-dependent loop no built-in composition expresses); compose with
    * [[graft.operators.TextAnalysis.stripHtml]] for the raw-crawl →
-   * plain-text chain (q129 oracles the composition closed-form).
+   * plain-text chain (q129 oracles the split+strip composition
+   * closed-form; q135 oracles the de-chunk round trip). The walk runs on
+   * the raw payload BYTES and decodes UTF-8 only after reassembly — chunk
+   * sizes count bytes, and a codepoint split across chunks must rejoin
+   * before decode.
    */
-  def httpBody(payload: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
-    val s = decode(payload, "UTF-8")
-    val pos = instr(s, "\r\n\r\n")
-    when(pos > 0, s.substr(pos + lit(4), length(s))).otherwise(s)
-  }
+  def httpBody(payload: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    graft.functions.HttpBodyExtract(payload)
 
   /**
    * Streaming WET ingestion: a Structured Streaming source over a

@@ -507,6 +507,25 @@ class PlanQualitySpec extends SparkSpec {
       s"vector column in a PQ shuffle:\n$shuffles")
   }
 
+  test("PQ ANN: ADC rank filter plans WindowGroupLimit (local top-k before exchange)") {
+    import spark.implicits._
+    val vecs = (0L until 64L).map(i =>
+      (i, Array.tabulate(8)(j => ((i + j) % 7).toFloat))).toDF("vec_id", "embedding")
+    val cb = graft.operators.Similarity.trainPqCodebooks(
+      vecs, "vec_id", "embedding", m = 2, ksub = 4, iters = 1)
+    val plan = graft.operators.Similarity.pqTopK(
+        vecs, vecs.filter(col("vec_id") < 2L), "vec_id", "embedding", k = 3, cb)
+      .queryExecution.executedPlan.toString
+    // both rank windows (ADC candidate cut and final exact-rescore cut) must
+    // run a partial per-partition top-k BEFORE their exchange, so the shuffle
+    // carries at most k·rescoreFactor rows per query per map partition — the
+    // property that keeps the n·q scored set from ever being globally sorted
+    val partials = plan.linesIterator.count(l =>
+      l.contains("WindowGroupLimit") && l.contains("Partial"))
+    assert(partials >= 2,
+      s"expected partial WindowGroupLimit for both rank cuts, got $partials:\n$plan")
+  }
+
   test("random-ring write plans exactly one range exchange, like the murmur3 ring") {
     import spark.implicits._
     val df = (1L to 1000L).map(i => (i, s"v$i")).toDF("k", "v")

@@ -144,6 +144,47 @@ class WarcSpec extends SparkSpec {
     assert(body("HTTP/1.1 304 Not Modified\r\nX: y\r\n\r\n") === "")
   }
 
+  test("httpBody reassembles Transfer-Encoding: chunked responses") {
+    def body(s: String): String =
+      Seq(s).toDF("p")
+        .select(Warc.httpBody(col("p").cast("binary"))).as[String].head()
+    // two chunks + terminator, CRLFs inside chunk data preserved
+    assert(body("HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n" +
+      "6\r\nhello \r\n7\r\nchunked\r\n0\r\n\r\n") === "hello chunked")
+    // case-insensitive header + value, chunk extension ignored, hex > 9
+    assert(body("HTTP/1.1 200 OK\r\ntransfer-encoding: ChUnKeD\r\n\r\n" +
+      "b;ext=1\r\n0123456789a\r\n0\r\n\r\n") === "0123456789a")
+    // trailers after the 0-chunk are dropped
+    assert(body("HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n" +
+      "1\r\na\r\n2\r\nbc\r\n0\r\nTrailer: x\r\n\r\n") === "abc")
+    // truncated final chunk keeps the bytes that arrived
+    assert(body("HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n" +
+      "ff\r\ntruncated") === "truncated")
+    // malformed size line falls back to the raw body, not null
+    assert(body("HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n" +
+      "zz\r\nraw") === "zz\r\nraw")
+    // a body MENTIONING the header is not chunked (header block only)
+    assert(body("HTTP/1.1 200 OK\r\nX: y\r\n\r\n" +
+      "Transfer-Encoding: chunked\r\n5\r\nwords") ===
+      "Transfer-Encoding: chunked\r\n5\r\nwords")
+  }
+
+  test("httpBody dechunks BEFORE decoding: split multi-byte codepoints rejoin") {
+    // é is 0xC3 0xA9 in UTF-8; frame each byte as its own chunk — the
+    // ASCII chunk framing sits BETWEEN the halves, so decode-then-dechunk
+    // would yield U+FFFD twice. The walk must run on raw bytes.
+    val head = "HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n"
+      .getBytes("US-ASCII")
+    val frame1 = "1\r\n".getBytes("US-ASCII")
+    val crlf = "\r\n".getBytes("US-ASCII")
+    val term = "0\r\n\r\n".getBytes("US-ASCII")
+    val payload = head ++ frame1 ++ Array(0xC3.toByte) ++ crlf ++
+      frame1 ++ Array(0xA9.toByte) ++ crlf ++ term
+    val out = Seq(Tuple1(payload)).toDF("p")
+      .select(Warc.httpBody(col("p"))).as[String].head()
+    assert(out === "é")
+  }
+
   test("writeWet: null text aborts the export (FAILFAST)") {
     val docs = Seq(("http://a", "ok"), ("http://b", null))
       .toDF("uri", "text")
