@@ -41,24 +41,32 @@ object Urls {
   def hostPort(url: Column): Column =
     lower(regexp_extract(trim(url), SchemeRe + "([^/?#]*)", 2))
 
+  /** Leading-`www.` strip pattern: drops repeated `www.` prefixes
+   *  (`www.www.x.com` canonicalizes like `x.com`) but only while at least
+   *  two labels remain — `www.ck` (a PSL-exception registrable domain:
+   *  the Cook Islands' main site) must NOT collapse to the bare TLD `ck`.
+   *  The lookahead keeps the replace idempotent. */
+  private val WwwStrip = "^(www\\.)+(?=[^.]+\\.)"
+
   /** Lowercased host: authority minus any `:port` and leading `www.`
-   *  prefixes (repeated — `www.www.x.com` canonicalizes like `x.com`, and
-   *  normalization stays idempotent). */
+   *  prefixes (see [[WwwStrip]]). */
   def host(url: Column): Column =
-    regexp_replace(regexp_replace(hostPort(url), ":[0-9]+$", ""), "^(www\\.)+", "")
+    regexp_replace(regexp_replace(hostPort(url), ":[0-9]+$", ""), WwwStrip, "")
 
   /** Multi-label public-suffix rules, loaded once at class-load from the
    *  bundled resource `graft/public_suffixes.txt` — a curated snapshot of
-   *  the public suffix list's dominant registry rules (~1000 entries: the
+   *  the public suffix list's dominant registry rules (~1100 entries: the
    *  full second-level registries of .uk/.il/.pl/.jp/.br/.cn/… including
    *  prefecture/province/state suffixes, plus a small private-hosting
    *  section where a subdomain is an independent publisher, e.g.
-   *  `github.io`). The rules compile into the same static `isin`
-   *  expression as before (Catalyst folds a large `isin` to a hash-set
-   *  `InSet`, still whole-stage codegen, zero runtime lookups). Wildcard
-   *  (`*.x`) and exception (`!y.x`) rules of a handful of small
-   *  registries are not represented; extending coverage is one line in
-   *  the resource file. */
+   *  `github.io`), in the list's own syntax: literal rules, wildcard
+   *  rules (`*.x` — every single label directly under `x` is a public
+   *  suffix), and exception rules (`!y.x` — `y.x` is NOT a suffix despite
+   *  a covering wildcard; it is itself a registrable domain). The rules
+   *  compile into one static `when`/`isin` chain (Catalyst folds a large
+   *  `isin` to a hash-set `InSet`, still whole-stage codegen, zero
+   *  runtime lookups); extending coverage is one line in the resource
+   *  file. */
   val PublicSuffixes: Seq[String] = {
     val in = getClass.getResourceAsStream("/graft/public_suffixes.txt")
     require(in != null, "graft/public_suffixes.txt missing from classpath")
@@ -66,24 +74,59 @@ object Urls {
       .map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#")).toVector
     finally in.close()
   }
-  private val twoLabelSuffixes = PublicSuffixes.filter(_.count(_ == '.') == 1)
-  private val threeLabelSuffixes = PublicSuffixes.filter(_.count(_ == '.') == 2)
+  private def labels(s: String): Int = s.count(_ == '.') + 1
+  private val literalRules = PublicSuffixes.filter(r => !r.startsWith("*.") && !r.startsWith("!"))
+  private val twoLabelSuffixes = literalRules.filter(labels(_) == 2)
+  private val threeLabelSuffixes = literalRules.filter(labels(_) == 3)
+  // wildcard BASES by label count: `*.ck` → base "ck" (suffix = 2 labels),
+  // `*.kobe.jp` → base "kobe.jp" (suffix = 3), `*.compute.amazonaws.com`
+  // → base (suffix = 4)
+  private val wildcardBases = PublicSuffixes.filter(_.startsWith("*.")).map(_.drop(2))
+  private val wild1 = wildcardBases.filter(labels(_) == 1)
+  private val wild2 = wildcardBases.filter(labels(_) == 2)
+  private val wild3 = wildcardBases.filter(labels(_) == 3)
+  // exception NAMES: the name is itself a registrable domain
+  private val exceptionNames = PublicSuffixes.filter(_.startsWith("!")).map(_.drop(1))
+  private val exc2 = exceptionNames.filter(labels(_) == 2)
+  private val exc3 = exceptionNames.filter(labels(_) == 3)
+
+  /** `c ∈ set`, folding the empty set to false (isin of nothing). */
+  private def inSet(c: Column, set: Seq[String]): Column =
+    if (set.isEmpty) lit(false) else c.isin(set: _*)
 
   /**
-   * Registrable domain: the longest matching public suffix
-   * ([[PublicSuffixes]]) plus one more label — `a.b.site.com` →
-   * `site.com`, `shop.example.co.uk` → `example.co.uk`,
-   * `cdn.assets.s3.amazonaws.com` → `assets.s3.amazonaws.com`.
-   * Single-label hosts (e.g. `localhost`) and bare suffixes pass through.
+   * Registrable domain per the public suffix list algorithm: the longest
+   * matching rule wins, exception rules beat wildcards — `a.b.site.com` →
+   * `site.com`, `shop.example.co.uk` → `example.co.uk`, `a.b.ck` →
+   * `a.b.ck` (wildcard `*.ck`), `sub.city.kobe.jp` → `city.kobe.jp`
+   * (exception `!city.kobe.jp` under `*.kobe.jp`). Single-label hosts
+   * (e.g. `localhost`) and bare suffixes pass through.
    */
   def domain(url: Column): Column = {
     val h = host(url)
+    val tld = regexp_extract(h, "([^.]+)$", 1)
     val lastTwo = regexp_extract(h, "([^.]+\\.[^.]+)$", 1)
     val lastThree = regexp_extract(h, "([^.]+\\.[^.]+\\.[^.]+)$", 1)
     val lastFour = regexp_extract(h, "([^.]+(\\.[^.]+){3})$", 1)
+    val lastFive = regexp_extract(h, "([^.]+(\\.[^.]+){4})$", 1)
     when(lastTwo === "", h)
+      // exceptions first (they defeat any covering wildcard): the name
+      // itself is the registrable domain of every host at or under it
+      .when(inSet(lastTwo, exc2), lastTwo)
+      .when(inSet(lastThree, exc3), lastThree)
+      // wildcard 3-label base → 4-label suffix → 5-label registrable
+      .when(inSet(lastThree, wild3) && lastFive =!= "", lastFive)
+      .when(inSet(lastThree, wild3) && lastFour =!= "", h) // bare wildcard suffix
+      // wildcard 2-label base → 3-label suffix → 4-label registrable
+      .when(inSet(lastTwo, wild2) && lastFour =!= "", lastFour)
+      .when(inSet(lastTwo, wild2) && lastThree =!= "", h)
+      // literal 3-label suffixes
       .when(lastThree.isin(threeLabelSuffixes: _*) && lastFour =!= "", lastFour)
       .when(lastThree.isin(threeLabelSuffixes: _*), h)
+      // wildcard 1-label base → 2-label suffix → 3-label registrable
+      .when(inSet(tld, wild1) && lastThree =!= "", lastThree)
+      .when(inSet(tld, wild1), h) // ≥2 labels here, so `x.ck` is a bare suffix
+      // literal 2-label suffixes
       .when(lastTwo.isin(twoLabelSuffixes: _*) && lastThree =!= "", lastThree)
       .otherwise(lastTwo)
   }
@@ -97,7 +140,7 @@ object Urls {
     val hpNoDefault = when(sch === "http", regexp_replace(hp, ":80$", ""))
       .when(sch === "https", regexp_replace(hp, ":443$", ""))
       .otherwise(hp)
-    val authority = regexp_replace(hpNoDefault, "^(www\\.)+", "")
+    val authority = regexp_replace(hpNoDefault, WwwStrip, "")
     val rest = regexp_extract(noFrag, SchemeRe + "[^/?#]*([/?][^#]*)?", 2)
     val path = regexp_replace(regexp_extract(rest, "^([^?]*)", 1), "/+$", "")
     val query = regexp_extract(rest, "\\?(.*)$", 1)

@@ -107,10 +107,37 @@ class UrlsSpec extends SparkSpec {
     // three-label suffix: registrable is suffix + one label
     assert(dom("https://cdn.assets.s3.amazonaws.com/k") === "assets.s3.amazonaws.com")
     assert(dom("https://s3.amazonaws.com/bucket") === "s3.amazonaws.com")
-    // sanity on the loaded rules: non-empty, lowercase, no wildcard tokens
+    // sanity on the loaded rules: non-empty, lowercase, PSL-syntax only
     assert(Urls.PublicSuffixes.size > 500)
     assert(Urls.PublicSuffixes.forall(s =>
-      s == s.toLowerCase && !s.contains("*") && !s.contains("!") && s.contains(".")))
+      s == s.toLowerCase && s.contains(".") &&
+        (!s.contains("*") || s.startsWith("*.")) &&
+        (!s.contains("!") || s.startsWith("!"))))
+  }
+
+  test("domain applies PSL wildcard and exception rules") {
+    // `*.ck`: every label under ck is a public suffix → registrable is
+    // suffix + one label
+    assert(dom("https://www.a.b.ck/x") === "a.b.ck")
+    assert(dom("https://deep.sub.a.b.ck/x") === "a.b.ck")
+    // a bare wildcard suffix has no registrable label above it
+    assert(dom("https://b.ck/") === "b.ck")
+    // `!www.ck` defeats `*.ck`: www.ck is itself registrable
+    assert(dom("https://www.ck/") === "www.ck")
+    assert(dom("https://sub.www.ck/") === "www.ck")
+    // jp designated cities: `*.kobe.jp` with `!city.kobe.jp`
+    assert(dom("https://x.ward.kobe.jp/") === "x.ward.kobe.jp")
+    assert(dom("https://a.x.ward.kobe.jp/") === "x.ward.kobe.jp")
+    assert(dom("https://city.kobe.jp/") === "city.kobe.jp")
+    assert(dom("https://www.city.kobe.jp/") === "city.kobe.jp")
+    // other wholly-wildcard registries
+    assert(dom("https://example.com.bd/") === "example.com.bd")
+    assert(dom("https://www.example.gov.mm/") === "example.gov.mm")
+    // private-section wildcard: each compute zone is its own publisher
+    assert(dom("https://vm.us-east-1.compute.amazonaws.com/") ===
+      "vm.us-east-1.compute.amazonaws.com")
+    // literal rules unaffected by wildcard machinery
+    assert(dom("https://shop.example.co.uk/x") === "example.co.uk")
   }
 
   test("dropBlockedDomains: domain entries block the site, host entries one host") {
