@@ -55,9 +55,12 @@ object Bench {
     // stop BEFORE printing so no executor/context shutdown log line can land
     // after the JSON — the harness parses the last line of stdout
     spark.stop()
+    // the FULL untruncated per-query map goes to the file (round-8 lesson:
+    // the stdout tail-capture silently dropped 24 fast queries from the
+    // adjudication record); only stdout is length-bounded
     try {
       val w = new java.io.PrintWriter("BENCH_SELF.json")
-      try w.println(line) finally w.close()
+      try w.println(render(results.toSeq.sortBy(-_._2))) finally w.close()
     } catch { case _: Throwable => () }
     println(line)
   }

@@ -78,7 +78,20 @@ object TokenSortedWriter {
       // dir pruning, and the scan prunes directories purely from pushed
       // filters (see `TokenPruner.allowsDir`). Within each directory the
       // layout is the usual token-sorted one.
-      partitionBy: Seq[String] = Nil)
+      partitionBy: Seq[String] = Nil,
+      // Per-column parquet bloom filters (the reference's per-SSTable bloom
+      // probe analog, `SSTableReader.java:303-306`, completing P5 for
+      // NON-token point lookups): token-sorting gives exact min/max
+      // row-group pruning on pk/token, but a high-cardinality non-key
+      // column (url hash, uuid, ...) is uniformly spread across every file
+      // — stats prune nothing. A bloom filter per listed column lets the
+      // vectorized parquet reader drop whole row groups on pushed `=`/IN
+      // filters at ~1 byte/row cost. Opt-in because blooms inflate footers;
+      // list only columns that serve point lookups.
+      bloomFilterColumns: Seq[String] = Nil,
+      // expected distinct values per bloom column (sizes the filter);
+      // 0 = parquet's default NDV
+      bloomFilterNdv: Long = 0L)
 
   /** Directory-key twin of a partitioned column (see `WriteConf.partitionBy`). */
   def partCol(c: String): String = s"graft_p_$c"
@@ -195,7 +208,16 @@ object TokenSortedWriter {
       writer.option("maxRecordsPerFile", conf.maxRecordsPerFile) else writer
     val w3 = if (conf.partitionBy.nonEmpty)
       w2.partitionBy(conf.partitionBy.map(partCol): _*) else w2
-    w3.parquet(path)
+    // parquet picks these up from the write options → hadoop conf
+    // (`parquet.bloom.filter.enabled#<col>`); spec-verified against the
+    // written footers in TokenSortedWriterSpec
+    val w4 = conf.bloomFilterColumns.foldLeft(w3) { (w, c) =>
+      val en = w.option(s"parquet.bloom.filter.enabled#$c", "true")
+      if (conf.bloomFilterNdv > 0)
+        en.option(s"parquet.bloom.filter.expected.ndv#$c", conf.bloomFilterNdv)
+      else en
+    }
+    w4.parquet(path)
     // record planning stats for the new files while their footers are hot —
     // scans then plan from the manifest in O(1) driver IO (S3 at 100 TB)
     Manifest.appendFor(df.sparkSession, path,

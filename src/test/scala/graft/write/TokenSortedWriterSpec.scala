@@ -6,6 +6,8 @@ import graft.token.Murmur3Token
 import org.apache.spark.sql.SaveMode
 import org.apache.spark.sql.functions._
 
+import scala.jdk.CollectionConverters._
+
 class TokenSortedWriterSpec extends SparkSpec {
   import spark.implicits._
 
@@ -120,5 +122,48 @@ class TokenSortedWriterSpec extends SparkSpec {
       TokenSortedWriter.WriteConf(numPartitions = 2, maxRecordsPerFile = 300L))
     val files = new java.io.File(dir).listFiles().count(_.getName.endsWith(".parquet"))
     assert(files >= 7, s"expected >= ceil(2000/300) files, got $files")
+  }
+
+  test("bloomFilterColumns writes per-column parquet bloom filters the reader probes " +
+    "(per-SSTable bloom analog for non-token point lookups)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_bloom_").toString + "/t"
+    // v is high-cardinality and UNCORRELATED with the token sort order —
+    // min/max stats cannot prune it; only a bloom filter can
+    val df = (0L until 4000L).map(i => (i, 0, s"u-${i * 2654435761L}"))
+      .toDF("pk", "ck", "v")
+    TokenSortedWriter.write(df, schema, dir, SaveMode.Append,
+      TokenSortedWriter.WriteConf(numPartitions = 2,
+        bloomFilterColumns = Seq("v"), bloomFilterNdv = 4000L))
+    // 1. the written footers carry a bloom filter for v (and none for ck)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val parquetFiles = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .filter(_.getPath.getName.endsWith(".parquet"))
+    assert(parquetFiles.nonEmpty)
+    parquetFiles.foreach { f =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile
+        .fromPath(f.getPath, spark.sparkContext.hadoopConfiguration)
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try {
+        val rg = reader.getFooter.getBlocks.get(0)
+        val byPath = rg.getColumns.asScala.map(c =>
+          c.getPath.toDotString -> c).toMap
+        assert(reader.getBloomFilterDataReader(rg)
+          .readBloomFilter(byPath("v")) != null,
+          s"no bloom filter for v in ${f.getPath.getName}")
+        assert(reader.getBloomFilterDataReader(rg)
+          .readBloomFilter(byPath("ck")) == null,
+          "bloom filters must be opt-in per column")
+      } finally reader.close()
+    }
+    // 2. a point filter on v is pushed to the scan (the probe's trigger)
+    val back = TokenSortedWriter.read(spark, schema, dir).filter(col("v") === "u-2654435761")
+    val scan = back.queryExecution.executedPlan.toString
+    assert(scan.contains("PushedFilters") && scan.contains("v"),
+      s"point filter on v not pushed:\n$scan")
+    assert(back.count() === 1L)
+    // 3. and a miss probe returns empty without error
+    assert(TokenSortedWriter.read(spark, schema, dir)
+      .filter(col("v") === "not-there").count() === 0L)
   }
 }
