@@ -656,7 +656,17 @@ object Dedup {
    *     corpus repetition, not corpus size;
    *  3. gram rows rejoin the frequent set (broadcast when it fits) and
    *     regroup per document into a start-position array — bounded by the
-   *     document's own length;
+   *     document's own length. With `bloomPrefilter` set (the 100 TB
+   *     mostly-unique-corpus regime, where the frequent set outgrows a
+   *     broadcast and the rejoin would sort-merge-shuffle EVERY gram row):
+   *     the frequent set is materialized and counted first — empty
+   *     short-circuits to a pass-through rewrite — and a Bloom sketch of
+   *     it ([[Bloom]], no-false-negative contract) clears non-frequent
+   *     gram rows map-side on the cached gram table before the join
+   *     shuffle; false positives are removed by the exact join, so output
+   *     is hash-identical (spec-gated). Off by default: when the frequent
+   *     set broadcasts anyway, the sketch's extra actions only add
+   *     latency;
    *  4. the rewrite is a per-row expression over (tokens, starts): covered
    *     indices expand as `[s, s+k-1]` intervals, kept tokens re-join.
    *     The corpus text itself shuffles ONCE (the id-rejoin of step 4);
@@ -674,7 +684,8 @@ object Dedup {
       k: Int = 10,
       minCount: Long = 2L,
       sep: String = " ",
-      outCol: String = "text_clean"): DataFrame = {
+      outCol: String = "text_clean",
+      bloomPrefilter: Boolean = false): DataFrame = {
     require(k >= 2, s"span gram size k must be >= 2, got $k")
     require(minCount >= 2, s"minCount must be >= 2, got $minCount")
     val toks = split(col(textCol), java.util.regex.Pattern.quote(sep))
@@ -692,10 +703,26 @@ object Dedup {
         explode(gramStructs).as("g"))
       .select(col("__graft_sp_id"), col("g.pos").as("pos"), col("g.gh").as("gh"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val frequent = grams.groupBy(col("gh"))
+    val frequent0 = grams.groupBy(col("gh"))
       .agg(count(lit(1)).as("c")).filter(col("c") >= minCount)
       .select(col("gh"))
-    val hits = grams.join(frequent, "gh")
+    val probed =
+      if (!bloomPrefilter) grams.join(frequent0, "gh")
+      else {
+        val frequent = frequent0.localCheckpoint(eager = true)
+        val nFrequent = frequent.count()
+        if (nFrequent == 0L) {
+          // fully-unique corpus: nothing to remove, and no reason to touch
+          // the gram table again
+          grams.unpersist(blocking = false)
+          return df.withColumn(outCol, col(textCol))
+        }
+        // 10 bits/item ≈ 0.9% FP; Spark's maxNumBits conf clamps extreme
+        // sets — a clamp only raises FP, the exact join keeps semantics
+        val sketch = Bloom.build(frequent, col("gh"), nFrequent)
+        grams.filter(Bloom.mightContain(sketch, col("gh"))).join(frequent, "gh")
+      }
+    val hits = probed
       .groupBy(col("__graft_sp_id"))
       .agg(collect_set(col("pos")).as("__graft_sp_starts"))
       .localCheckpoint(eager = true)

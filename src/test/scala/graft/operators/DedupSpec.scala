@@ -309,6 +309,32 @@ class DedupSpec extends SparkSpec {
     assert(thrice(3L) === "p q r s t" && thrice(4L) === "p q r s t")
   }
 
+  test("removeDuplicateSpans: bloomPrefilter path is output-identical " +
+    "(no-false-negative contract) and short-circuits a unique corpus") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val boiler = "all rights reserved contact us for details about licensing terms"
+    val docs = (1L to 60L).map { i =>
+      val words = Seq.fill(12)(s"w${rnd.nextInt(500)}-$i").mkString(" ")
+      (i, if (i % 3 == 0) s"$words $boiler" else words)
+    }.toDF("doc_id", "text")
+    val plain = Dedup.removeDuplicateSpans(docs, "doc_id", "text", k = 4)
+      .select("doc_id", "text_clean").as[(Long, String)].collect().toMap
+    val bloomed = Dedup.removeDuplicateSpans(docs, "doc_id", "text", k = 4,
+        bloomPrefilter = true)
+      .select("doc_id", "text_clean").as[(Long, String)].collect().toMap
+    assert(bloomed === plain)
+    // spans actually got cut (the test isn't vacuous)
+    assert((1L to 60L).filter(_ % 3 == 0).forall(i => !plain(i).contains("reserved")))
+    // fully-unique corpus: the prefilter branch short-circuits pass-through
+    val unique = (1L to 20L).map(i =>
+      (i, Seq.tabulate(10)(j => s"u$i-$j").mkString(" "))).toDF("doc_id", "text")
+    val out = Dedup.removeDuplicateSpans(unique, "doc_id", "text", k = 4,
+        bloomPrefilter = true)
+      .select("doc_id", "text_clean").as[(Long, String)].collect().toMap
+    assert((1L to 20L).forall(i => out(i) === Seq.tabulate(10)(j => s"u$i-$j").mkString(" ")))
+  }
+
   test("dropAgainstCorpus drops near-dups of corpus docs, keeps novel docs") {
     import spark.implicits._
     val corpus = Seq(
