@@ -408,4 +408,140 @@ object TextAnalysis {
         lit(1.0) - size(array_distinct(grams)).cast("double") / size(grams).cast("double"))
         .otherwise(lit(0.0)))
   }
+
+  // ---------- Gopher repetition battery (§A1.1 repetition filters) -------
+
+  /** Word n-grams of `text` (space-tokenized, same convention as
+   *  [[withRepetition]]); empty array when the document is shorter than n. */
+  private def wordGrams(text: Column, n: Int): Column = {
+    val toks = split(text, " ")
+    when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => array_join(slice(toks, i, lit(n)), " ")))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Fraction of elements that duplicate an earlier one:
+   *  `(total - distinct) / total`, 0 on empty. One division, so the DuckDB
+   *  oracle reproduces the exact double. */
+  private def dupFrac(arr: Column): Column = {
+    val t = size(arr)
+    when(t === 0, lit(0.0))
+      .otherwise((t - size(array_distinct(arr))).cast("double") / t.cast("double"))
+  }
+
+  /** Character-weighted twin of [[dupFrac]] with an explicit denominator:
+   *  duplicated characters = Σ len over all occurrences − Σ len over
+   *  distinct values (occurrences beyond the first, counted without
+   *  overlap dedup — the convention the oracle replays). */
+  private def dupCharFrac(arr: Column, denomChars: Column): Column = {
+    val tot = aggregate(arr, lit(0L), (a, x) => a + length(x).cast("long"))
+    val dis = aggregate(array_distinct(arr), lit(0L),
+      (a, x) => a + length(x).cast("long"))
+    when(denomChars === 0, lit(0.0))
+      .otherwise(least(lit(1.0),
+        (tot - dis).cast("double") / denomChars.cast("double")))
+  }
+
+  /** Characters covered by the most frequent n-gram (`count × gram length`,
+   *  ties by larger char product) over the document's char count; 0 when no
+   *  gram repeats. One sorted-run fold — O(grams) per row, no per-distinct
+   *  rescan of the array. */
+  private def topGramCharFrac(text: Column, n: Int): Column = {
+    val s = array_sort(wordGrams(text, n))
+    val st = aggregate(s,
+      struct(lit("").as("prev"), lit(0L).as("run"),
+        lit(0L).as("bestCnt"), lit(0L).as("bestChars")),
+      (acc, x) => {
+        val run2 = when(x === acc.getField("prev"), acc.getField("run") + 1)
+          .otherwise(lit(1L))
+        val cand = run2 * length(x).cast("long")
+        struct(x.as("prev"), run2.as("run"),
+          greatest(acc.getField("bestCnt"), run2).as("bestCnt"),
+          when(run2 > acc.getField("bestCnt"), cand)
+            .when(run2 === acc.getField("bestCnt"),
+              greatest(acc.getField("bestChars"), cand))
+            .otherwise(acc.getField("bestChars")).as("bestChars"))
+      })
+    when(length(text) === 0 || st.getField("bestCnt") < 2, lit(0.0))
+      .otherwise(least(lit(1.0),
+        st.getField("bestChars").cast("double") / length(text).cast("double")))
+  }
+
+  /**
+   * Gopher repetition filters (Rae et al. 2021, appendix A1.1) — the
+   * intra-document repetition battery that complements the
+   * [[withGopherFlags]] shape rules: looping generations, boilerplate
+   * walls, and copy-paste spam show up as duplicate lines/paragraphs and
+   * top-heavy n-gram mass long before any cross-document dedup runs.
+   *
+   * Emitted per document (all ratios are single divisions of integer
+   * counts, so an external engine reproduces the exact doubles):
+   *  - `dup_line_frac` / `dup_line_char_frac` — lines (split on `\n`,
+   *    empties dropped) duplicating an earlier line, by count and by
+   *    character mass over the line characters;
+   *  - `dup_para_frac` / `dup_para_char_frac` — same over paragraphs
+   *    (split on `\n\n`);
+   *  - `top_<n>gram_char_frac` for each n in `topNs` — characters covered
+   *    by the most frequent word n-gram over the document's characters
+   *    (0 unless some n-gram repeats; capped at 1 — overlapping
+   *    occurrences are counted, not deduped);
+   *  - `dup_<n>gram_char_frac` for each n in `dupNs` — characters in
+   *    n-gram occurrences beyond each gram's first, over the document's
+   *    characters (capped at 1);
+   *  - `rep_pass` — 1 iff every metric is at or below its Gopher
+   *    threshold.
+   *
+   * Zero exchanges: every metric is a per-row expression (the plan gate
+   * lives in PlanQualitySpec next to the q130 shape battery).
+   */
+  def withRepetitionFlags(
+      df: DataFrame,
+      textCol: String,
+      maxDupLineFrac: Double = 0.30,
+      maxDupLineCharFrac: Double = 0.20,
+      maxDupParaFrac: Double = 0.30,
+      maxDupParaCharFrac: Double = 0.20,
+      topNs: Seq[(Int, Double)] =
+        Seq(2 -> 0.20, 3 -> 0.18, 4 -> 0.16),
+      dupNs: Seq[(Int, Double)] =
+        Seq(5 -> 0.15, 6 -> 0.14, 7 -> 0.13, 8 -> 0.12, 9 -> 0.11, 10 -> 0.10))
+      : DataFrame = {
+    require(topNs.forall(_._1 >= 2) && dupNs.forall(_._1 >= 2),
+      "n-gram sizes must be >= 2")
+    val t = col(textCol)
+    val lines = filter(split(t, "\n"), l => l =!= "")
+    val lineChars = aggregate(lines, lit(0L), (a, x) => a + length(x).cast("long"))
+    val paras = filter(split(t, "\n\n"), p => p =!= "")
+    val paraChars = aggregate(paras, lit(0L), (a, x) => a + length(x).cast("long"))
+    val base = df
+      .withColumn("dup_line_frac", dupFrac(lines))
+      .withColumn("dup_line_char_frac", dupCharFrac(lines, lineChars))
+      .withColumn("dup_para_frac", dupFrac(paras))
+      .withColumn("dup_para_char_frac", dupCharFrac(paras, paraChars))
+    val withTop = topNs.foldLeft(base) { case (d, (n, _)) =>
+      d.withColumn(s"top_${n}gram_char_frac", topGramCharFrac(t, n))
+    }
+    val withDup = dupNs.foldLeft(withTop) { case (d, (n, _)) =>
+      d.withColumn(s"dup_${n}gram_char_frac",
+        dupCharFrac(wordGrams(t, n), length(t).cast("long")))
+    }
+    val checks =
+      Seq(col("dup_line_frac") <= maxDupLineFrac,
+        col("dup_line_char_frac") <= maxDupLineCharFrac,
+        col("dup_para_frac") <= maxDupParaFrac,
+        col("dup_para_char_frac") <= maxDupParaCharFrac) ++
+      topNs.map { case (n, mx) => col(s"top_${n}gram_char_frac") <= mx } ++
+      dupNs.map { case (n, mx) => col(s"dup_${n}gram_char_frac") <= mx }
+    withDup.withColumn("rep_pass",
+      when(checks.reduce(_ && _), 1).otherwise(0))
+  }
+
+  /** Keep only documents passing [[withRepetitionFlags]]' thresholds. */
+  def filterRepetition(df: DataFrame, textCol: String): DataFrame = {
+    val flagged = withRepetitionFlags(df, textCol)
+    flagged.filter(col("rep_pass") === 1)
+      .drop(flagged.columns.filter(c => c.endsWith("_frac") || c == "rep_pass")
+        .filterNot(df.columns.contains): _*)
+  }
 }

@@ -299,6 +299,32 @@ object Battery {
     // stripped to plain text — the Common Crawl response-record chain,
     // oracled closed-form like q110. The body contains its own CRLF pair
     // to prove only the first separator splits.
+    // Gopher repetition battery (Rae et al. A1.1): line/paragraph structure
+    // and repetition spam are synthesized deterministically by doc_id — dup
+    // lines (%4=0), dup paragraphs (%4=1), a looping 2-gram (%4=2), raw
+    // (%4=3) — and every metric is replayed flag-by-flag in the oracle as
+    // single divisions of integer counts, so the doubles hash-match.
+    "q136_gopher_repetition" -> ((s, d) => {
+      val m4 = pmod(col("doc_id"), lit(4))
+      val variant = when(m4 === 0,
+          concat(col("text"),
+            lit("\nsign up today\nsign up today\nsign up today")))
+        .when(m4 === 1,
+          concat(col("text"),
+            lit("\n\nlimited time promotional offer block" +
+              "\n\nlimited time promotional offer block")))
+        .when(m4 === 2,
+          concat(col("text"), lit(" buy now buy now buy now buy now")))
+        .otherwise(col("text"))
+      TextAnalysis.withRepetitionFlags(
+          docs(s, d).select(col("doc_id"), variant.as("t")), "t",
+          topNs = Seq(2 -> 0.20, 3 -> 0.18), dupNs = Seq(5 -> 0.15))
+        .select(col("doc_id"), col("dup_line_frac"), col("dup_line_char_frac"),
+          col("dup_para_frac"), col("dup_para_char_frac"),
+          col("top_2gram_char_frac"), col("top_3gram_char_frac"),
+          col("dup_5gram_char_frac"), col("rep_pass"))
+    }),
+
     // chunked transfer-encoding round trip: each document is re-encoded as
     // a chunked HTTP response (64-char chunks, hex byte-count size lines)
     // entirely in builtin column functions, then httpBody reassembles it —
@@ -2058,6 +2084,85 @@ object Battery {
         |FROM documents""".stripMargin,
     // closed form: headers dropped at the first CRLFCRLF, HTML stripped,
     // the body's own CRLF pair collapses to whitespace
+    // every repetition metric as a single division of integer counts; the
+    // top-gram pick replays the (count, char-product) tie-break via window
+    "q136_gopher_repetition" ->
+      """WITH v AS (
+        |  SELECT doc_id,
+        |    CASE CAST(doc_id % 4 AS INTEGER)
+        |      WHEN 0 THEN text || chr(10) || 'sign up today' || chr(10) ||
+        |                  'sign up today' || chr(10) || 'sign up today'
+        |      WHEN 1 THEN text || chr(10) || chr(10) ||
+        |                  'limited time promotional offer block' ||
+        |                  chr(10) || chr(10) ||
+        |                  'limited time promotional offer block'
+        |      WHEN 2 THEN text || ' buy now buy now buy now buy now'
+        |      ELSE text END AS t
+        |  FROM documents),
+        |ln AS (SELECT doc_id, l FROM
+        |  (SELECT doc_id, unnest(string_split(t, chr(10))) AS l FROM v)
+        |  WHERE l <> ''),
+        |la AS (SELECT doc_id, count(*) AS n, count(DISTINCT l) AS nd,
+        |              sum(length(l)) AS ch FROM ln GROUP BY doc_id),
+        |ld AS (SELECT doc_id, sum(length(l)) AS chd FROM
+        |  (SELECT DISTINCT doc_id, l FROM ln) GROUP BY doc_id),
+        |pa AS (SELECT doc_id, p FROM
+        |  (SELECT doc_id, unnest(string_split(t, chr(10) || chr(10))) AS p FROM v)
+        |  WHERE p <> ''),
+        |paa AS (SELECT doc_id, count(*) AS n, count(DISTINCT p) AS nd,
+        |               sum(length(p)) AS ch FROM pa GROUP BY doc_id),
+        |pad AS (SELECT doc_id, sum(length(p)) AS chd FROM
+        |  (SELECT DISTINCT doc_id, p FROM pa) GROUP BY doc_id),
+        |w AS (SELECT doc_id, length(t) AS tc, string_split(t, ' ') AS wl FROM v),
+        |g2 AS (SELECT doc_id, array_to_string(wl[i:i+1], ' ') AS g FROM
+        |  (SELECT doc_id, wl, unnest(range(1, len(wl))) AS i FROM w)),
+        |c2 AS (SELECT doc_id, count(*) AS cnt, count(*) * length(g) AS chars
+        |       FROM g2 GROUP BY doc_id, g),
+        |t2 AS (SELECT doc_id, cnt, chars, row_number() OVER
+        |  (PARTITION BY doc_id ORDER BY cnt DESC, chars DESC) AS rn FROM c2),
+        |g3 AS (SELECT doc_id, array_to_string(wl[i:i+2], ' ') AS g FROM
+        |  (SELECT doc_id, wl, unnest(range(1, len(wl) - 1)) AS i FROM w)),
+        |c3 AS (SELECT doc_id, count(*) AS cnt, count(*) * length(g) AS chars
+        |       FROM g3 GROUP BY doc_id, g),
+        |t3 AS (SELECT doc_id, cnt, chars, row_number() OVER
+        |  (PARTITION BY doc_id ORDER BY cnt DESC, chars DESC) AS rn FROM c3),
+        |g5 AS (SELECT doc_id, array_to_string(wl[i:i+4], ' ') AS g FROM
+        |  (SELECT doc_id, wl, unnest(range(1, len(wl) - 3)) AS i FROM w)),
+        |a5 AS (SELECT doc_id, sum(length(g)) AS tot FROM g5 GROUP BY doc_id),
+        |d5 AS (SELECT doc_id, sum(length(g)) AS dis FROM
+        |  (SELECT DISTINCT doc_id, g FROM g5) GROUP BY doc_id),
+        |m AS (SELECT w.doc_id,
+        |  CAST(la.n - la.nd AS DOUBLE) / CAST(la.n AS DOUBLE) AS dup_line_frac,
+        |  least(1.0, CAST(la.ch - ld.chd AS DOUBLE) / CAST(la.ch AS DOUBLE))
+        |    AS dup_line_char_frac,
+        |  CAST(paa.n - paa.nd AS DOUBLE) / CAST(paa.n AS DOUBLE) AS dup_para_frac,
+        |  least(1.0, CAST(paa.ch - pad.chd AS DOUBLE) / CAST(paa.ch AS DOUBLE))
+        |    AS dup_para_char_frac,
+        |  CASE WHEN t2.cnt >= 2 THEN
+        |    least(1.0, CAST(t2.chars AS DOUBLE) / CAST(w.tc AS DOUBLE))
+        |    ELSE 0.0 END AS top_2gram_char_frac,
+        |  CASE WHEN t3.cnt >= 2 THEN
+        |    least(1.0, CAST(t3.chars AS DOUBLE) / CAST(w.tc AS DOUBLE))
+        |    ELSE 0.0 END AS top_3gram_char_frac,
+        |  COALESCE(least(1.0,
+        |    CAST(a5.tot - d5.dis AS DOUBLE) / CAST(w.tc AS DOUBLE)), 0.0)
+        |    AS dup_5gram_char_frac
+        |  FROM w
+        |  JOIN la USING (doc_id) JOIN ld USING (doc_id)
+        |  JOIN paa USING (doc_id) JOIN pad USING (doc_id)
+        |  LEFT JOIN t2 ON t2.doc_id = w.doc_id AND t2.rn = 1
+        |  LEFT JOIN t3 ON t3.doc_id = w.doc_id AND t3.rn = 1
+        |  LEFT JOIN a5 ON a5.doc_id = w.doc_id
+        |  LEFT JOIN d5 ON d5.doc_id = w.doc_id)
+        |SELECT doc_id, dup_line_frac, dup_line_char_frac, dup_para_frac,
+        |  dup_para_char_frac, top_2gram_char_frac, top_3gram_char_frac,
+        |  dup_5gram_char_frac,
+        |  CASE WHEN dup_line_frac <= 0.30 AND dup_line_char_frac <= 0.20
+        |        AND dup_para_frac <= 0.30 AND dup_para_char_frac <= 0.20
+        |        AND top_2gram_char_frac <= 0.20 AND top_3gram_char_frac <= 0.18
+        |        AND dup_5gram_char_frac <= 0.15
+        |       THEN 1 ELSE 0 END AS rep_pass
+        |FROM m""".stripMargin,
     // identity: the chunk-encode is lossless by construction, so de-chunk
     // must reproduce the text byte-for-byte
     "q135_http_chunked" ->

@@ -491,6 +491,14 @@ class PlanQualitySpec extends SparkSpec {
       s"corpus text in a shuffle of the join-strategy scorer:\n$exchangeLines")
   }
 
+  test("Gopher repetition battery: per-row expressions only, zero exchanges") {
+    val docs = graft.tables.Tables.documents(spark, sf)
+    val plan = graft.operators.TextAnalysis.withRepetitionFlags(docs, "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"repetition metrics must run at scan speed, no shuffle:\n$plan")
+  }
+
   test("PQ ANN: no shuffle ever carries a float vector — narrow tuples only") {
     import spark.implicits._
     val vecs = (0L until 64L).map(i =>

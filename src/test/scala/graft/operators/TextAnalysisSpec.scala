@@ -271,4 +271,51 @@ class TextAnalysisSpec extends SparkSpec {
     assert(fps(1L) === fps(2L) && fps(2L) === fps(3L))
     assert(fps(1L) !== fps(4L))
   }
+
+  test("withRepetitionFlags: duplicate line/paragraph fractions, hand-computed") {
+    val df = Seq(
+      (1L, "a b\na b\nc d"),                 // line "a b" repeats
+      (2L, "para one x\n\npara one x\n\npz") // paragraph repeats
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.withRepetitionFlags(df, "text")
+      .select("doc_id", "dup_line_frac", "dup_line_char_frac",
+        "dup_para_frac", "dup_para_char_frac")
+      .as[(Long, Double, Double, Double, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4, r._5)).toMap
+    // doc 1: 3 lines, 2 distinct → 1/3 by count; 9 chars, 3 dup → 1/3
+    assert(got(1L) === ((1.0 / 3, 3.0 / 9, 0.0, 0.0)))
+    // doc 2: paragraphs ["para one x","para one x","pz"] → 1/3 by count,
+    // 10/22 by chars; its LINES also duplicate ("para one x" twice of 3)
+    assert(got(2L)._3 === 1.0 / 3)
+    assert(got(2L)._4 === 10.0 / 22)
+    assert(got(2L)._1 === 1.0 / 3)
+  }
+
+  test("withRepetitionFlags: top n-gram char fraction, ties and caps") {
+    val df = Seq(
+      (1L, "x y x y x y"),        // "x y" ×3 → 9 chars of 11
+      (2L, "u v w z"),            // no repeated 2-gram → 0
+      (3L, "p q r s t p q r s t p q r s t")) // 5-gram mass caps at 1
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.withRepetitionFlags(df, "text",
+        topNs = Seq(2 -> 0.20), dupNs = Seq(5 -> 0.15))
+      .select("doc_id", "top_2gram_char_frac", "dup_5gram_char_frac", "rep_pass")
+      .as[(Long, Double, Double, Int)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(got(1L)._1 === 9.0 / 11)
+    assert(got(2L)._1 === 0.0)
+    // doc 3: 11 5-grams, 5 distinct → dup char mass 6×9=54 over 29 chars → cap
+    assert(got(3L)._2 === 1.0)
+    assert(got(1L)._3 === 0 && got(2L)._3 === 1 && got(3L)._3 === 0)
+  }
+
+  test("filterRepetition keeps clean docs and drops loopers, schema preserved") {
+    val df = Seq(
+      (1L, "a perfectly ordinary sentence with no internal repetition at all"),
+      (2L, "buy now buy now buy now buy now buy now buy now buy now"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.filterRepetition(df, "text")
+    assert(got.columns.toSeq === Seq("doc_id", "text"))
+    assert(got.select("doc_id").as[Long].collect().toSeq === Seq(1L))
+  }
 }
