@@ -299,6 +299,28 @@ object Battery {
     // stripped to plain text — the Common Crawl response-record chain,
     // oracled closed-form like q110. The body contains its own CRLF pair
     // to prove only the first separator splits.
+    // PSL wildcard/exception registrable-domain extraction: six URL tiers
+    // synthesized by doc_id cover wildcard-1 (*.ck), the jp-city exception
+    // (!city.kobe.jp), wildcard-2 (*.kobe.jp), the www-strip bare-TLD
+    // guard (www.ck), the private-section wildcard-3
+    // (*.compute.amazonaws.com), and a literal registry (co.uk). The
+    // oracle states each tier's registrable domain CLOSED-FORM from the
+    // construction, so the when/InSet chain is checked against intent,
+    // not against a replay of itself.
+    "q137_psl_wildcards" -> ((s, d) => {
+      val id = col("doc_id").cast("string")
+      val m6 = pmod(col("doc_id"), lit(6))
+      val url = when(m6 === 0, concat(lit("https://sub.a"), id, lit(".b"), id, lit(".ck/p")))
+        .when(m6 === 1, lit("https://x.city.kobe.jp/p"))
+        .when(m6 === 2, concat(lit("https://a.ward"), id, lit(".kobe.jp/p")))
+        .when(m6 === 3, lit("https://www.ck/p"))
+        .when(m6 === 4, concat(lit("https://vm"), id, lit(".zone.compute.amazonaws.com/p")))
+        .otherwise(concat(lit("https://www.shop.example"), id, lit(".co.uk/p")))
+      docs(s, d).select(col("doc_id"), url.as("url"))
+        .select(col("doc_id"), Urls.host(col("url")).as("url_host"),
+          Urls.domain(col("url")).as("url_domain"))
+    }),
+
     // Gopher repetition battery (Rae et al. A1.1): line/paragraph structure
     // and repetition spam are synthesized deterministically by doc_id — dup
     // lines (%4=0), dup paragraphs (%4=1), a looping 2-gram (%4=2), raw
@@ -2084,6 +2106,30 @@ object Battery {
         |FROM documents""".stripMargin,
     // closed form: headers dropped at the first CRLFCRLF, HTML stripped,
     // the body's own CRLF pair collapses to whitespace
+    // closed-form expected host+domain per construction tier
+    "q137_psl_wildcards" ->
+      """SELECT doc_id,
+        |  CASE CAST(doc_id % 6 AS INTEGER)
+        |    WHEN 0 THEN 'sub.a' || CAST(doc_id AS VARCHAR) || '.b' ||
+        |                CAST(doc_id AS VARCHAR) || '.ck'
+        |    WHEN 1 THEN 'x.city.kobe.jp'
+        |    WHEN 2 THEN 'a.ward' || CAST(doc_id AS VARCHAR) || '.kobe.jp'
+        |    WHEN 3 THEN 'www.ck'
+        |    WHEN 4 THEN 'vm' || CAST(doc_id AS VARCHAR) ||
+        |                '.zone.compute.amazonaws.com'
+        |    ELSE 'shop.example' || CAST(doc_id AS VARCHAR) || '.co.uk'
+        |  END AS url_host,
+        |  CASE CAST(doc_id % 6 AS INTEGER)
+        |    WHEN 0 THEN 'a' || CAST(doc_id AS VARCHAR) || '.b' ||
+        |                CAST(doc_id AS VARCHAR) || '.ck'
+        |    WHEN 1 THEN 'city.kobe.jp'
+        |    WHEN 2 THEN 'a.ward' || CAST(doc_id AS VARCHAR) || '.kobe.jp'
+        |    WHEN 3 THEN 'www.ck'
+        |    WHEN 4 THEN 'vm' || CAST(doc_id AS VARCHAR) ||
+        |                '.zone.compute.amazonaws.com'
+        |    ELSE 'example' || CAST(doc_id AS VARCHAR) || '.co.uk'
+        |  END AS url_domain
+        |FROM documents""".stripMargin,
     // every repetition metric as a single division of integer counts; the
     // top-gram pick replays the (count, char-product) tie-break via window
     "q136_gopher_repetition" ->
