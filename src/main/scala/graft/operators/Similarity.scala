@@ -319,6 +319,61 @@ object Similarity {
    *  pairs ≥ `minCosine`, transitive clusters come from the adaptive
    *  [[Dedup.connectedComponents]] over edge-touched ids only, and the
    *  corpus moves once through an anti-join against the losers. */
+  /**
+   * SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+   * web-scale through semantic deduplication"): semantic near-duplicate
+   * removal by k-means clustering + within-cluster cosine pruning. Where
+   * [[dropNearDupVectors]] mines candidates with sign-LSH (recall bounded
+   * by bit-pattern collisions), SemDeDup makes the candidate set EXACT
+   * within each cluster: every pair sharing a centroid is scored, so
+   * recall inside a cluster is 1.0 and the probabilistic step moves
+   * entirely into the clustering granularity (two near-dups only escape
+   * if k-means separates them — exact twins never are: identical vectors
+   * score identically against every centroid and share the
+   * deterministic tie-break).
+   *
+   * Drop rule (deterministic, oracle-replayable): a vector is dropped iff
+   * some SAME-CLUSTER vector with a SMALLER id has cosine ≥ `minCosine`
+   * to it — the "keep the earliest representative" greedy of the paper's
+   * per-cluster sweep, without the ε-ball chaining ambiguity.
+   *
+   * 100 TB shape: the centroid model is driver-state (k×d floats, like
+   * every trained index here — train on a sample via `centroids`);
+   * assignment is a broadcast nested-loop + rank (vectors never shuffle
+   * for assignment); the ONLY corpus shuffle is the within-cluster
+   * self-join keyed by cid. Pairwise work is Σ|cluster|² — pick k so
+   * clusters stay 10³-10⁴ (the paper's regime); skew in cluster sizes is
+   * the knob to watch, not corpus size.
+   */
+  def semDedup(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      minCosine: Double,
+      iters: Int = 2,
+      centroids: Option[Array[(Int, Array[Float])]] = None): DataFrame = {
+    require(minCosine > 0.0 && minCosine <= 1.0,
+      s"minCosine must be in (0, 1], got $minCosine")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val model = centroids.getOrElse(trainIvfCentroids(df, idCol, vecCol, k, iters))
+    val cDf = broadcast(model.toSeq.toDF("cid", "cvec"))
+    val assigned = assignToCentroid(
+        df.select(col(idCol).as("id"), col(vecCol).as("vec")), cDf)
+      .select(col("id"), col("vec"), col("cid"), norm_f32(col("vec")).as("nrm"))
+    val a = assigned.select(col("cid"), col("id").as("id_a"),
+      col("vec").as("vec_a"), col("nrm").as("nrm_a"))
+    val b = assigned.select(col("cid"), col("id").as("id_b"),
+      col("vec").as("vec_b"), col("nrm").as("nrm_b"))
+    val losers = a.join(b, Seq("cid"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(safeCosine(dot_f32(col("vec_a"), col("vec_b")),
+        col("nrm_a"), col("nrm_b")) >= minCosine)
+      .select(col("id_b").as(idCol)).distinct()
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
   def dropNearDupVectors(
       df: DataFrame,
       idCol: String,

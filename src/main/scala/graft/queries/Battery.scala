@@ -774,6 +774,22 @@ object Battery {
       Similarity.bruteForceTopK(
           emb(s, d), emb(s, d).filter(col("vec_id") < 3L), "vec_id", "embedding", k = 10)
         .select(col("query_id"), col("neighbor_id"), col("rank"))),
+    // SemDeDup with the twin oracle: exact twins (id + 1000000) of vectors
+    // with vec_id % 5 == 0 assign to their original's cluster by
+    // construction (identical vectors share every centroid score and the
+    // tie-break) and score cosine 1.0 >= 0.99 against an earlier id, so
+    // every twin is dropped; the corpus itself has no 0.99-cosine pair
+    // (measured max 0.513 at sf0.01), so all originals survive. The
+    // survivors are therefore closed-form: exactly the original corpus.
+    "q138_semdedup" -> ((s, d) => {
+      val e = emb(s, d).select(col("vec_id"), col("embedding"), col("label"))
+      val twins = e.filter(col("vec_id") % 5 === 0)
+        .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"),
+          col("label"))
+      Similarity.semDedup(e.unionByName(twins), "vec_id", "embedding",
+          k = 8, minCosine = 0.99, iters = 1)
+        .select(col("vec_id"), col("label"))
+    }),
     // LSH top-k, oracled by the twin construction (the embedding-space
     // analog of q25/q26's text twins): 10 exact copies of each query vector
     // join the corpus at id offsets j*100000. Identical vectors share every
@@ -2106,6 +2122,9 @@ object Battery {
         |FROM documents""".stripMargin,
     // closed form: headers dropped at the first CRLFCRLF, HTML stripped,
     // the body's own CRLF pair collapses to whitespace
+    // twins dropped, originals survive — closed-form
+    "q138_semdedup" ->
+      """SELECT vec_id, label FROM embeddings""",
     // closed-form expected host+domain per construction tier
     "q137_psl_wildcards" ->
       """SELECT doc_id,

@@ -166,6 +166,34 @@ class SimilaritySpec extends SparkSpec {
     assert(!survivors.contains(1L) && !survivors.contains(2L))
   }
 
+  test("semDedup: within-cluster near-dups collapse to the earliest id, " +
+    "isolated vectors and cross-cluster pairs survive") {
+    // k=1 makes the within-cluster sweep the EXACT pairwise sweep, so the
+    // outcome is deterministic regardless of centroid seeding: x-cluster
+    // {0,1,2} (pairwise cos ≥ 0.98 to 0) keeps 0, y-cluster {10,11} keeps
+    // 10, the isolated 20 survives. (With k>1 a cluster boundary may
+    // legitimately separate near-dups — that's the paper's granularity
+    // knob, covered by the twin assertion below.)
+    val survivors = Similarity.semDedup(vecs, "vec_id", "embedding",
+      k = 1, minCosine = 0.98)
+      .select("vec_id").as[Long].collect().toSet
+    assert(survivors === Set(0L, 10L, 20L))
+    // exact twins are recall-1.0 by construction: identical vectors share
+    // every centroid score and the tie-break, hence the cluster
+    val twins = vecs.unionByName(
+      vecs.filter(col("vec_id") === 20L)
+        .select((col("vec_id") + 100L).as("vec_id"), col("embedding")))
+    val s2 = Similarity.semDedup(twins, "vec_id", "embedding",
+      k = 3, minCosine = 0.999)
+      .select("vec_id").as[Long].collect().toSet
+    assert(s2.contains(20L) && !s2.contains(120L))
+    // a looser threshold never drops MORE than a tighter one (same k)
+    val tight = Similarity.semDedup(vecs, "vec_id", "embedding",
+      k = 1, minCosine = 0.9999)
+      .select("vec_id").as[Long].collect().toSet
+    assert(survivors.subsetOf(tight))
+  }
+
   test("nearDupPairs surfaces the tightest pair first") {
     val top = Similarity.nearDupPairs(vecs, "vec_id", "embedding", topN = 1)
       .select("id_a", "id_b").as[(Long, Long)].head()
