@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.model.CqlSchema
-import graft.operators.{Dedup, Multimodal, Normalize, Sampling, Similarity, TextAnalysis, Urls}
+import graft.operators.{CountLm, Dedup, Multimodal, Normalize, Sampling, Similarity, TextAnalysis, Urls}
 import graft.tables.Tables
 import graft.write.TokenSortedWriter
 import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
@@ -299,6 +299,26 @@ object Battery {
     // stripped to plain text — the Common Crawl response-record chain,
     // oracled closed-form like q110. The body contains its own CRLF pair
     // to prove only the first separator splits.
+    // CCNet selection loop with exact-rational LM scoring: train unigram +
+    // bigram counts on the documents, score a VARIANT corpus (every third
+    // doc gains one unseen token, so OOV and score shifts are exercised),
+    // bucket against fixed thresholds. Every emitted double is a single
+    // division of integer sums — the oracle retrains the same counts in
+    // SQL and reproduces the values bit-for-bit.
+    "q139_ccnet_lm_buckets" -> ((s, d) => {
+      val corpus = docs(s, d)
+      val model = CountLm.train(corpus, "text")
+      val variant = corpus.select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(3)) === 0,
+            concat(col("text"), lit(" xqz"), col("doc_id").cast("string")))
+          .otherwise(col("text")).as("t"))
+      CountLm.withScoreBuckets(
+          CountLm.score(variant, "doc_id", "t", model),
+          "lm_score", Seq(0.0333, 0.0334), Seq("tail", "middle", "head"))
+        .select(col("doc_id"), col("lm_score"), col("lm_oov_frac"),
+          col("lm_bigram_hit_frac"), col("lm_bucket"))
+    }),
+
     // PSL wildcard/exception registrable-domain extraction: six URL tiers
     // synthesized by doc_id cover wildcard-1 (*.ck), the jp-city exception
     // (!city.kobe.jp), wildcard-2 (*.kobe.jp), the www-strip bare-TLD
@@ -2122,6 +2142,47 @@ object Battery {
         |FROM documents""".stripMargin,
     // closed form: headers dropped at the first CRLFCRLF, HTML stripped,
     // the body's own CRLF pair collapses to whitespace
+    // retrain the counts in SQL; every double is one division of integers
+    "q139_ccnet_lm_buckets" ->
+      """WITH v AS (
+        |  SELECT doc_id,
+        |    CASE WHEN CAST(doc_id % 3 AS INTEGER) = 0
+        |      THEN text || ' xqz' || CAST(doc_id AS VARCHAR)
+        |      ELSE text END AS t
+        |  FROM documents),
+        |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |        FROM documents),
+        |tc AS (SELECT term, count(*) AS cnt FROM tok GROUP BY term),
+        |tot AS (SELECT sum(cnt) AS n, count(*) AS v FROM tc),
+        |bg0 AS (SELECT doc_id, wl, unnest(range(1, len(wl))) AS i FROM
+        |  (SELECT doc_id, string_split(text, ' ') AS wl FROM documents)),
+        |bgt AS (SELECT wl[i] || ' ' || wl[i+1] AS bg, count(*) AS cnt
+        |        FROM bg0 GROUP BY 1),
+        |st AS (SELECT doc_id, unnest(string_split(t, ' ')) AS term FROM v),
+        |sa AS (SELECT st.doc_id, count(*) AS n,
+        |              sum(COALESCE(tc.cnt, 0)) AS sumc,
+        |              sum(CASE WHEN tc.cnt IS NULL THEN 1 ELSE 0 END) AS oov
+        |       FROM st LEFT JOIN tc USING (term) GROUP BY st.doc_id),
+        |sb0 AS (SELECT doc_id, wl, unnest(range(1, len(wl))) AS i FROM
+        |  (SELECT doc_id, string_split(t, ' ') AS wl FROM v)),
+        |sb AS (SELECT sb0.doc_id,
+        |         sum(CASE WHEN bgt.bg IS NOT NULL THEN 1 ELSE 0 END) AS hits
+        |       FROM sb0 LEFT JOIN bgt
+        |         ON bgt.bg = sb0.wl[i] || ' ' || sb0.wl[i+1]
+        |       GROUP BY sb0.doc_id),
+        |m AS (SELECT sa.doc_id,
+        |  CAST(sa.sumc + sa.n AS DOUBLE) /
+        |    CAST(sa.n * (tot.n + tot.v) AS DOUBLE) AS lm_score,
+        |  CAST(sa.oov AS DOUBLE) / CAST(sa.n AS DOUBLE) AS lm_oov_frac,
+        |  CASE WHEN sa.n < 2 THEN 0.0
+        |       ELSE CAST(COALESCE(sb.hits, 0) AS DOUBLE) /
+        |            CAST(sa.n - 1 AS DOUBLE) END AS lm_bigram_hit_frac
+        |  FROM sa CROSS JOIN tot LEFT JOIN sb ON sb.doc_id = sa.doc_id)
+        |SELECT doc_id, lm_score, lm_oov_frac, lm_bigram_hit_frac,
+        |  CASE WHEN lm_score < 0.0333 THEN 'tail'
+        |       WHEN lm_score < 0.0334 THEN 'middle'
+        |       ELSE 'head' END AS lm_bucket
+        |FROM m""".stripMargin,
     // twins dropped, originals survive — closed-form
     "q138_semdedup" ->
       """SELECT vec_id, label FROM embeddings""",

@@ -1,0 +1,76 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class CountLmSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val corpus = Seq(
+    (1L, "the cat sat"),
+    (2L, "the dog sat"),
+    (3L, "the cat ran"))
+    .toDF("doc_id", "text")
+
+  test("train: counts, totals, deterministic vocab cap") {
+    val m = CountLm.train(corpus, "text")
+    val terms = m.terms.as[(String, Long)].collect().toMap
+    // the×3, cat×2, sat×2, dog×1, ran×1
+    assert(terms === Map("the" -> 3L, "cat" -> 2L, "sat" -> 2L,
+      "dog" -> 1L, "ran" -> 1L))
+    assert(m.totalTokens === 9L && m.vocabSize === 5L)
+    val bgs = m.bigrams.as[(String, Long)].collect().toMap
+    assert(bgs === Map("the cat" -> 2L, "the dog" -> 1L, "cat sat" -> 1L,
+      "dog sat" -> 1L, "cat ran" -> 1L))
+    // cap keeps top-k by (cnt desc, value asc): k=2 → the, cat
+    val capped = CountLm.train(corpus, "text", maxVocab = 2)
+    assert(capped.terms.as[(String, Long)].collect().toMap ===
+      Map("the" -> 3L, "cat" -> 2L))
+    assert(capped.totalTokens === 5L && capped.vocabSize === 2L)
+  }
+
+  test("score: hand-computed mean add-one probability, oov, bigram hits") {
+    val m = CountLm.train(corpus, "text") // N=9, V=5 → denom base 14
+    val docs = Seq(
+      (10L, "the cat sat"),   // sumC=3+2+2=7, n=3 → (7+3)/(3·14)=10/42
+      (11L, "zebra the"),     // sumC=0+3=3, n=2, oov=1 → (3+2)/(2·14)=5/28
+      (12L, "zebra"))         // all-oov single token → (0+1)/(1·14)
+      .toDF("doc_id", "text")
+    val got = CountLm.score(docs, "doc_id", "text", m)
+      .select("doc_id", "lm_score", "lm_oov_frac", "lm_bigram_hit_frac")
+      .as[(Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(got(10L) === ((10.0 / 42, 0.0, 1.0)))   // both bigrams attested
+    assert(got(11L) === ((5.0 / 28, 1.0 / 2, 0.0))) // "zebra the" unattested
+    assert(got(12L) === ((1.0 / 14, 1.0, 0.0)))     // n<2 → bigram frac 0
+  }
+
+  test("scoreJoin is output-identical to the literal-map path") {
+    val m = CountLm.train(corpus, "text")
+    val docs = Seq(
+      (10L, "the cat sat"), (11L, "zebra the"), (12L, "zebra"),
+      (13L, "the dog sat the dog sat"))
+      .toDF("doc_id", "text")
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select("doc_id", "lm_score", "lm_oov_frac", "lm_bigram_hit_frac")
+      .as[(Long, Double, Double, Double)].collect().sortBy(_._1).toSeq
+    assert(canon(CountLm.scoreJoin(docs, "doc_id", "text", m)) ===
+      canon(CountLm.score(docs, "doc_id", "text", m)))
+  }
+
+  test("withScoreBuckets: boundary comparisons, head/middle/tail") {
+    val df = Seq((1L, 0.1), (2L, 0.5), (3L, 0.9)).toDF("doc_id", "s")
+    val got = CountLm.withScoreBuckets(df, "s", Seq(0.3, 0.7),
+        Seq("tail", "middle", "head"))
+      .select("doc_id", "lm_bucket").as[(Long, String)].collect().toMap
+    assert(got === Map(1L -> "tail", 2L -> "middle", 3L -> "head"))
+  }
+
+  test("literal-map scoring is zero-exchange on the corpus (plan gate)") {
+    val m = CountLm.train(corpus, "text")
+    val plan = CountLm.score(corpus, "doc_id", "text", m)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"plan-literal LM must score at scan speed:\n$plan")
+  }
+}
