@@ -100,9 +100,11 @@ object ScaleUp {
       d.withColumn("vec_id", col("vec_id") + lit(spans("vec") * r))
     }.write.mode(SaveMode.Overwrite).parquet(s"$dst/embeddings.parquet")
 
-    // events carry TIMESTAMP(NANOS): read the nanos as raw longs and write
-    // a plain INT64 column — Tables.events reads either representation
-    // through the same `timestamp_micros(ts div 1000)` rebuild
+    // events have shipped as TIMESTAMP(NANOS) and TIMESTAMP(MICROS,NTZ)
+    // across fixture refreshes: the legacy flag makes a NANOS file read as
+    // raw longs (and is a no-op for MICROS) — either way the replica's ts
+    // encoding round-trips through a representation Tables.loadEvents
+    // normalizes (INT64 → nanos rebuild, NTZ → cast, UTC → pass-through)
     val key = "spark.sql.legacy.parquet.nanosAsLong"
     val prev = spark.conf.getOption(key)
     spark.conf.set(key, "true")
