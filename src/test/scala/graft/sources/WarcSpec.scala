@@ -169,6 +169,29 @@ class WarcSpec extends SparkSpec {
       "Transfer-Encoding: chunked\r\n5\r\nwords")
   }
 
+  test("httpBody fuzz: arbitrary bytes never throw, hang, or return null for " +
+    "non-null input") {
+    val rnd = new scala.util.Random(97)
+    val frames = Seq("\r\n", "\r\n\r\n", "Transfer-Encoding: chunked",
+      "0\r\n", "ff\r\n", ";ext\r\n")
+    val payloads = (1 to 200).map { i =>
+      val base = Array.fill(rnd.nextInt(64))(rnd.nextInt(256).toByte)
+      // splice HTTP-ish framing into half the cases so the chunked walk
+      // actually engages instead of bailing at the header check
+      if (i % 2 == 0) {
+        val f = frames(rnd.nextInt(frames.size)).getBytes("ISO-8859-1")
+        val at = if (base.isEmpty) 0 else rnd.nextInt(base.length)
+        base.take(at) ++ f ++ base.drop(at)
+      } else base
+    }
+    val out = payloads.zipWithIndex.map { case (p, i) => (i.toLong, p) }
+      .toDF("id", "p")
+      .select(col("id"), Warc.httpBody(col("p")).as("b"))
+      .as[(Long, String)].collect()
+    assert(out.length === 200)
+    assert(out.forall(_._2 != null), "null output for non-null payload")
+  }
+
   test("httpBody dechunks BEFORE decoding: split multi-byte codepoints rejoin") {
     // é is 0xC3 0xA9 in UTF-8; frame each byte as its own chunk — the
     // ASCII chunk framing sits BETWEEN the halves, so decode-then-dechunk
