@@ -97,6 +97,44 @@ object Sampling {
   }
 
   /**
+   * Leakage-safe dataset split: assign train/val/test by NEAR-DUP CLUSTER,
+   * not by document. A plain [[deterministicSplit]] on doc id puts a
+   * training document's near-twin into the eval split with probability
+   * `1 − w_train` — exactly the test-set contamination Lee et al. 2022
+   * measure as inflating eval scores. Here every document first gets a
+   * MinHash+LSH connected-component label ([[Dedup.minhashPairs]] →
+   * [[Dedup.connectedComponents]], cluster = min member id), and the md5
+   * split hash is keyed on the CLUSTER label — so a whole near-dup family
+   * lands on one side of the split by construction, and documents with no
+   * near-dup (cluster = own id) split exactly as [[deterministicSplit]]
+   * would.
+   *
+   * Same scale shape as the dedup it reuses: 24 B/row band join for pair
+   * mining, adaptive CC (driver union-find below the edge threshold), and
+   * the final assignment is one narrow (id, cluster) join + a pure hash
+   * expression — the corpus text shuffles nowhere.
+   */
+  def splitLeakageSafe(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      splits: Seq[(String, Double)],
+      shingleN: Int = 3,
+      numPerms: Int = 64,
+      bands: Int = 16,
+      minEstJaccard: Double = 0.5,
+      outCol: String = "split"): DataFrame = {
+    val pairs = Dedup.minhashPairs(df, idCol, textCol,
+        shingleN, numPerms, bands, minEstJaccard)
+      .select(col("id_a"), col("id_b"))
+    val labels = Dedup.connectedComponents(df.select(col(idCol).as("id")), pairs)
+      .select(col("id"), col("cluster").as("__graft_ls_cluster"))
+    val keyed = df.join(labels, df(idCol) === labels("id")).drop("id")
+    deterministicSplit(keyed, Seq("__graft_ls_cluster"), splits, outCol)
+      .drop("__graft_ls_cluster")
+  }
+
+  /**
    * EXACT stratified sampling: keep `ceil(fraction × |stratum|)` rows per
    * stratum, chosen by deterministic md5 rank. [[hashSample]] hits the
    * fraction only in expectation — a small stratum can lose every row to

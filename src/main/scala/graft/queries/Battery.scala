@@ -299,6 +299,17 @@ object Battery {
     // stripped to plain text — the Common Crawl response-record chain,
     // oracled closed-form like q110. The body contains its own CRLF pair
     // to prove only the first separator splits.
+    // leakage-safe split over the twin corpus: clusters are the exact-text
+    // groups (disjoint md5-word sets keep cross-group Jaccard at 0), so
+    // the oracle recomputes cluster = min original doc_id per text group
+    // and replays the identical md5 hash + hex thresholds — every near-dup
+    // family provably lands on one side of train/val/test
+    "q140_leakage_safe_split" -> ((s, d) =>
+      Sampling.splitLeakageSafe(
+        twinCopy(s, d, 0).unionByName(twinCopy(s, d, 1)), "doc_id", "text",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .select(col("doc_id"), col("source"), col("split"))),
+
     // CCNet selection loop with exact-rational LM scoring: train unigram +
     // bigram counts on the documents, score a VARIANT corpus (every third
     // doc gains one unseen token, so OOV and score shifts are exercised),
@@ -2142,6 +2153,20 @@ object Battery {
         |FROM documents""".stripMargin,
     // closed form: headers dropped at the first CRLFCRLF, HTML stripped,
     // the body's own CRLF pair collapses to whitespace
+    // cluster = min original doc_id per text group; thresholds are
+    // Sampling.thresholdHex(0.8) = cccccccc and thresholdHex(0.9) = e6666666
+    "q140_leakage_safe_split" ->
+      """WITH m AS (SELECT text, MIN(doc_id) AS mn FROM documents GROUP BY text),
+        |u AS (SELECT d.doc_id + k.o AS doc_id, d.source, m.mn
+        |      FROM documents d JOIN m ON d.text = m.text,
+        |           (VALUES (0), (1000000)) k(o))
+        |SELECT doc_id, source,
+        |  CASE WHEN substring(md5(CAST(mn AS VARCHAR)), 1, 8) < 'cccccccc'
+        |         THEN 'train'
+        |       WHEN substring(md5(CAST(mn AS VARCHAR)), 1, 8) < 'e6666666'
+        |         THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM u""".stripMargin,
     // retrain the counts in SQL; every double is one division of integers
     "q139_ccnet_lm_buckets" ->
       """WITH v AS (

@@ -253,4 +253,31 @@ class SamplingSpec extends SparkSpec {
       Iterator.iterate(t)(_.getCause).takeWhile(_ != null).map(_.getMessage).toSeq
     assert(rootChain(e).exists(m => m != null && m.contains("non-null")))
   }
+
+  test("splitLeakageSafe: a near-dup family never straddles the split") {
+    import spark.implicits._
+    // three exact-dup families + singletons with mutually disjoint words
+    val docs = (0L until 30L).map { i =>
+      val fam = i % 10
+      val text =
+        if (fam < 3) s"family$fam alpha$fam beta$fam gamma$fam delta$fam " * 3
+        else s"solo$i-${"x" * (i.toInt % 5)} w1-$i w2-$i w3-$i w4-$i w5-$i"
+      (i, text.trim)
+    }.toDF("doc_id", "text")
+    val split = Sampling.splitLeakageSafe(docs, "doc_id", "text",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(split.size === 30)
+    // families {0,10,20},{1,11,21},{2,12,22} each land on ONE side
+    (0L until 3L).foreach { f =>
+      assert(Set(split(f), split(f + 10), split(f + 20)).size === 1,
+        s"family $f straddles the split")
+    }
+    // singletons split exactly as the plain doc-keyed split would
+    val plain = Sampling.deterministicSplit(
+        docs.filter(col("doc_id") >= 3 && col("doc_id") % 10 >= 3),
+        Seq("doc_id"), Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    plain.foreach { case (id, s) => assert(split(id) === s, s"singleton $id") }
+  }
 }
