@@ -299,6 +299,23 @@ object Battery {
     // stripped to plain text — the Common Crawl response-record chain,
     // oracled closed-form like q110. The body contains its own CRLF pair
     // to prove only the first separator splits.
+    // Z-order layout round trip: events written under the bit-interleaved
+    // (user_id, event_id) clustering key, read back through the graft
+    // source with a band filter on EACH dimension — results must equal the
+    // plain SQL filter (file pruning on both axes is gated in ZOrderSpec;
+    // this pins that the layout never changes answers)
+    "q141_zorder_band" -> ((s, d) => {
+      val schema = Tables.schemas("events")
+      val out = java.nio.file.Files.createTempDirectory("graft_zorder_")
+        .toString + "/events"
+      TokenSortedWriter.write(ev(s, d), schema, out, SaveMode.Append,
+        TokenSortedWriter.WriteConf(numPartitions = 8,
+          zorderBy = Seq("user_id", "event_id")))
+      TokenSortedWriter.read(s, schema, out)
+        .filter(col("user_id") <= 200L && col("event_id") <= 5000L)
+        .select(col("user_id"), col("event_id"), col("event_type"), col("value"))
+    }),
+
     // leakage-safe split over the twin corpus: clusters are the exact-text
     // groups (disjoint md5-word sets keep cross-group Jaccard at 0), so
     // the oracle recomputes cluster = min original doc_id per text group
@@ -2153,6 +2170,11 @@ object Battery {
         |FROM documents""".stripMargin,
     // closed form: headers dropped at the first CRLFCRLF, HTML stripped,
     // the body's own CRLF pair collapses to whitespace
+    // layout is invisible to results: the plain filter is the oracle
+    "q141_zorder_band" ->
+      """SELECT user_id, event_id, event_type, value
+        |FROM events
+        |WHERE user_id <= 200 AND event_id <= 5000""".stripMargin,
     // cluster = min original doc_id per text group; thresholds are
     // Sampling.thresholdHex(0.8) = cccccccc and thresholdHex(0.9) = e6666666
     "q140_leakage_safe_split" ->

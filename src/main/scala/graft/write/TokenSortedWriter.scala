@@ -79,6 +79,18 @@ object TokenSortedWriter {
       // filters (see `TokenPruner.allowsDir`). Within each directory the
       // layout is the usual token-sorted one.
       partitionBy: Seq[String] = Nil,
+      // Z-ORDER layout (alternative to the token sort, for multi-dimension
+      // pruning): 2-4 integral columns are normalized to 16-bit ranks and
+      // bit-interleaved into one clustering key; files then cover NARROW
+      // min/max ranges on EVERY listed column simultaneously, so the
+      // existing stats pruning (`TokenPruner.allowsStats` — any integral
+      // column, pk or not) skips files for filters on any single
+      // dimension. A token-sorted layout can only do this for the token
+      // axis; a zordered one trades the clustered no-shuffle read (files
+      // are no longer token-disjoint, so that path self-disqualifies —
+      // by design) for pruning on several axes. Mutually exclusive with
+      // ringSplits and partitionBy.
+      zorderBy: Seq[String] = Nil,
       // Per-column parquet bloom filters (the reference's per-SSTable bloom
       // probe analog, `SSTableReader.java:303-306`, completing P5 for
       // NON-token point lookups): token-sorting gives exact min/max
@@ -171,6 +183,66 @@ object TokenSortedWriter {
       (conf.partitionBy.map(partCol) ++ (TokenCol +: schema.primaryKey)).map(qcol): _*)
   }
 
+  /** Z-order clustering key column (dropped before write unless kept for
+   *  debugging via keepTokenColumn). */
+  val ZOrderCol = "_graft_zorder"
+
+  /**
+   * Z-order layout: every `zorderBy` column is normalized to a 16-bit rank
+   * over its GLOBAL [min, max] (one aggregation action — the same class of
+   * driver state as range-partition boundaries), the ranks are
+   * bit-interleaved into one long, and the data range-partitions + sorts
+   * on that key. Consecutive zkeys are near each other in EVERY dimension,
+   * so each output file's footer min/max is narrow on every listed column
+   * and [[graft.sources.TokenPruner.allowsStats]] prunes files for
+   * single-column filters on any axis.
+   *
+   * Normalization runs through doubles (rank = floor((v-min)/span·65535)):
+   * exact as a RANK only while the span fits double precision — beyond
+   * 2^53 adjacent values may share ranks, which coarsens clustering but
+   * never affects correctness (pruning reads the true footer stats, not
+   * the ranks). Nulls rank 0. Integral columns only (the stats-pruning
+   * surface).
+   */
+  def zorderSorted(df: DataFrame, conf: WriteConf): DataFrame = {
+    val cols = conf.zorderBy
+    require(cols.size >= 2 && cols.size <= 4,
+      s"zorderBy needs 2-4 columns, got ${cols.size}")
+    cols.foreach { c =>
+      val dt = df.schema(CqlSchema.unquoted(c)).dataType
+      require(dt == org.apache.spark.sql.types.LongType ||
+        dt == org.apache.spark.sql.types.IntegerType ||
+        dt == org.apache.spark.sql.types.ShortType ||
+        dt == org.apache.spark.sql.types.ByteType,
+        s"zorderBy column $c must be integral, got $dt")
+    }
+    val aggCols = cols.flatMap(c =>
+      Seq(min(qcol(c)).cast("long"), max(qcol(c)).cast("long")))
+    val bounds = df.agg(aggCols.head, aggCols.tail: _*).head()
+    val ranks = cols.zipWithIndex.map { case (c, i) =>
+      if (bounds.isNullAt(2 * i)) lit(0L) // all-null column
+      else {
+        val (mn, mx) = (bounds.getLong(2 * i), bounds.getLong(2 * i + 1))
+        val span = math.max(1.0, mx.toDouble - mn.toDouble)
+        least(lit(65535L), greatest(lit(0L),
+          floor((coalesce(qcol(c).cast("long"), lit(mn)) - lit(mn))
+            .cast("double") / lit(span) * lit(65535.0)).cast("long")))
+      }
+    }
+    val d = ranks.size
+    val zkey = (0 until 16).foldLeft(lit(0L)) { (acc, b) =>
+      ranks.zipWithIndex.foldLeft(acc) { case (a, (r, i)) =>
+        a.bitwiseOR(shiftleft(shiftright(r, b).bitwiseAND(lit(1L)), b * d + i))
+      }
+    }
+    val withZ = df.withColumn(ZOrderCol, zkey)
+    val parted =
+      if (conf.numPartitions > 0)
+        withZ.repartitionByRange(conf.numPartitions, qcol(ZOrderCol))
+      else withZ.repartitionByRange(qcol(ZOrderCol))
+    parted.sortWithinPartitions(qcol(ZOrderCol))
+  }
+
   /** Exact ring placement: partition i = splitRing(n)(i), NOT sampled
    *  boundaries. The one RDD round-trip in the engine — DataFrame range
    *  repartitioning cannot pin exact split points, and exactness is the
@@ -201,8 +273,14 @@ object TokenSortedWriter {
     }
     require(conf.partitionBy.isEmpty || conf.ringSplits == 0,
       "partitionBy and ringSplits are mutually exclusive layouts")
-    val sorted = tokenSorted(withWriteOptions(df, conf), schema, conf)
-    val out = if (conf.keepTokenColumn) sorted else sorted.drop(TokenCol)
+    require(conf.zorderBy.isEmpty ||
+      (conf.partitionBy.isEmpty && conf.ringSplits == 0),
+      "zorderBy is mutually exclusive with partitionBy and ringSplits")
+    val sorted =
+      if (conf.zorderBy.nonEmpty) zorderSorted(withWriteOptions(df, conf), conf)
+      else tokenSorted(withWriteOptions(df, conf), schema, conf)
+    val out = if (conf.keepTokenColumn) sorted
+      else sorted.drop(TokenCol).drop(ZOrderCol)
     val writer = out.write.mode(mode)
     val w2 = if (conf.maxRecordsPerFile > 0)
       writer.option("maxRecordsPerFile", conf.maxRecordsPerFile) else writer

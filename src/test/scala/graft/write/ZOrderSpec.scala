@@ -1,0 +1,98 @@
+package graft.write
+
+import graft.SparkSpec
+import graft.model.CqlSchema
+import graft.sources.TokenPruner
+import org.apache.spark.sql.SaveMode
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.sources.{And, GreaterThanOrEqual, LessThanOrEqual}
+
+/** Z-order layout: files must carry NARROW footer ranges on every listed
+ *  dimension, so the existing stats pruning skips files for filters on ANY
+ *  single column — the property a token/single-column sort cannot give. */
+class ZOrderSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val schema = CqlSchema("zt", Seq("a"))
+
+  // two independent uniform dimensions; a 1-D sort on either would leave
+  // the OTHER column's per-file range at full width
+  private def grid = {
+    val rnd = new scala.util.Random(3)
+    Seq.fill(20000)((rnd.nextInt(1024).toLong, rnd.nextInt(1024).toLong,
+      rnd.nextDouble())).toDF("a", "b", "v")
+  }
+
+  private def bandFilter(c: String, lo: Long, hi: Long) =
+    And(GreaterThanOrEqual(c, lo), LessThanOrEqual(c, hi))
+
+  test("zorder write prunes files on BOTH dimensions; token sort only on one") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_zo_").toString + "/zt"
+    val df = grid
+    TokenSortedWriter.write(df, schema, dir, SaveMode.Append,
+      TokenSortedWriter.WriteConf(numPartitions = 16, zorderBy = Seq("a", "b")))
+    val files = TokenPruner.listFiles(spark, dir)
+    assert(files.length === 16)
+    assert(files.forall(_.tokenRange.isEmpty), "zorder layout has no token stats")
+    // an eighth-width band on EITHER dimension plans well under half the files
+    val prunedA = TokenPruner.prune(spark, files,
+      Array(bandFilter("a", 0L, 127L)), schema)
+    val prunedB = TokenPruner.prune(spark, files,
+      Array(bandFilter("b", 0L, 127L)), schema)
+    assert(prunedA.length <= files.length / 2,
+      s"a-band kept ${prunedA.length}/${files.length}")
+    assert(prunedB.length <= files.length / 2,
+      s"b-band kept ${prunedB.length}/${files.length}")
+    // a 2-D cell prunes harder than either band alone
+    val prunedAB = TokenPruner.prune(spark, files,
+      Array(bandFilter("a", 0L, 127L), bandFilter("b", 0L, 127L)), schema)
+    assert(prunedAB.length <= math.min(prunedA.length, prunedB.length))
+    // correctness end-to-end: pruned reads return exactly the band
+    val back = TokenSortedWriter.read(spark, schema, dir)
+    assert(back.filter(col("a") <= 127L).count() ===
+      df.filter(col("a") <= 127L).count())
+    assert(back.filter(col("b") <= 127L).count() ===
+      df.filter(col("b") <= 127L).count())
+    assert(back.count() === 20000L)
+    // contrast: the token-sorted layout scatters BOTH dims across all files
+    val tdir = java.nio.file.Files.createTempDirectory("graft_zo_t_").toString + "/zt"
+    TokenSortedWriter.write(df, schema, tdir, SaveMode.Append,
+      TokenSortedWriter.WriteConf(numPartitions = 16))
+    val tfiles = TokenPruner.listFiles(spark, tdir)
+    val tPrunedB = TokenPruner.prune(spark, tfiles,
+      Array(bandFilter("b", 0L, 127L)), schema)
+    assert(tPrunedB.length === tfiles.length,
+      "token sort cannot prune on a non-key dimension")
+  }
+
+  test("zorder rejects non-integral columns and conflicting layouts") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_zo_bad_").toString
+    intercept[IllegalArgumentException] {
+      TokenSortedWriter.write(grid, schema, s"$dir/t1", SaveMode.Append,
+        TokenSortedWriter.WriteConf(zorderBy = Seq("a", "v")))
+    }
+    intercept[IllegalArgumentException] {
+      TokenSortedWriter.write(grid, schema, s"$dir/t2", SaveMode.Append,
+        TokenSortedWriter.WriteConf(zorderBy = Seq("a", "b"), ringSplits = 4))
+    }
+    intercept[IllegalArgumentException] {
+      TokenSortedWriter.write(grid, schema, s"$dir/t3", SaveMode.Append,
+        TokenSortedWriter.WriteConf(zorderBy = Seq("a")))
+    }
+  }
+
+  test("zorder interleave: adjacent keys stay adjacent in both dims (locality)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_zo_loc_").toString + "/zt"
+    TokenSortedWriter.write(grid, schema, dir, SaveMode.Append,
+      TokenSortedWriter.WriteConf(numPartitions = 16, zorderBy = Seq("a", "b"),
+        keepTokenColumn = true))
+    // per-file (a, b) spans: sum of normalized areas must be far below
+    // nFiles (a random split would give ~nFiles × full area)
+    val spans = spark.read.parquet(dir)
+      .groupBy(input_file_name())
+      .agg(((max(col("a")) - min(col("a"))).cast("double") / 1023.0 *
+        ((max(col("b")) - min(col("b"))).cast("double") / 1023.0)).as("area"))
+      .select(sum(col("area"))).head().getDouble(0)
+    assert(spans < 16 * 0.5, s"total normalized area $spans — no 2-D locality")
+  }
+}
