@@ -307,6 +307,86 @@ object Dedup {
       maxHamming: Int = 3): DataFrame =
     dropByPairs(df, idCol, simhashPairs(df, idCol, textCol, maxHamming))
 
+  // ---------- containment (asymmetric doc-in-doc) ----------------------
+
+  /**
+   * Exact shingle containment C(A→B) = |S(A) ∩ S(B)| / |S(A)| over the
+   * distinct word-`shingleN`-shingle sets S — the asymmetric complement of
+   * Jaccard resemblance (Broder's resemblance-vs-containment distinction):
+   * a short document quoted wholesale inside a much larger one scores
+   * C ≈ 1 while its Jaccard stays near |S(A)|/|S(B)| ≈ 0, so
+   * resemblance-based near-dup passes ([[minhashPairs]]) never see it.
+   *
+   * Shape: inverted-index self-join on the 8-byte shingle hash — only
+   * (id, hash) pairs shuffle, never text. Join output per shingle is df²,
+   * so frequent boilerplate shingles dominate cost at scale;
+   * `maxShingleDf` cuts shingles appearing in more than that many
+   * documents BEFORE the join (the standard stop-shingle cut: a shingle
+   * shared by thousands of documents is boilerplate and carries no
+   * containment signal). The cut applies to BOTH the numerator and
+   * |S(A)|, keeping the ratio's meaning "fraction of A's distinctive
+   * content found in B"; documents whose every shingle is cut emit no
+   * pairs.
+   *
+   * Returns (id_a, id_b, inter, size_a, size_b, containment): A's content
+   * found in B, both directions present (the measure is asymmetric),
+   * filtered to containment >= minContainment. The division is a single
+   * IEEE double op of two exact counts — engine-portable.
+   */
+  def containmentPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 3,
+      minContainment: Double = 0.8,
+      maxShingleDf: Option[Int] = None): DataFrame = {
+    val sh0 = df.select(col(idCol).as("id"),
+      explode(shingleHashes(col(textCol), shingleN)).as("h"))
+    val sh = maxShingleDf match {
+      case Some(cap) =>
+        require(cap >= 1, s"maxShingleDf must be >= 1, got $cap")
+        val frequent = sh0.groupBy(col("h")).agg(count(lit(1)).as("df"))
+          .filter(col("df") > cap).select(col("h"))
+        sh0.join(frequent, Seq("h"), "left_anti")
+      case None => sh0
+    }
+    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+    val inter = sh.as("a").join(sh.as("b"),
+        col("a.h") === col("b.h") && col("a.id") =!= col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("id").as("id_a"), col("sz").as("size_a")), "id_a")
+      .join(sizes.select(col("id").as("id_b"), col("sz").as("size_b")), "id_b")
+      .select(col("id_a"), col("id_b"), col("inter"), col("size_a"), col("size_b"),
+        (col("inter").cast("double") / col("size_a").cast("double")).as("containment"))
+      .filter(col("containment") >= minContainment)
+  }
+
+  /**
+   * Drop documents mostly contained in a LARGER document: for each
+   * containment pair A→B with C(A→B) >= minContainment, A is dropped iff
+   * B is strictly greater under the (distinct-shingle-count, id desc)
+   * total order. Orienting every drop along a strict total order makes
+   * the relation acyclic, so the order-maximal member of any
+   * mutual-containment family always survives (equal shingle sets keep
+   * the min id — consistent with the near-dup survivors elsewhere).
+   */
+  def dropContained(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 3,
+      minContainment: Double = 0.9,
+      maxShingleDf: Option[Int] = None): DataFrame = {
+    val losers =
+      containmentPairs(df, idCol, textCol, shingleN, minContainment, maxShingleDf)
+        .filter(col("size_b") > col("size_a") ||
+          (col("size_b") === col("size_a") && col("id_b") < col("id_a")))
+        .select(col("id_a").as(idCol)).distinct()
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** Shared drop core: edge list → connected components over touched
    * vertices only → broadcast-friendly anti-join of the loser ids. */
   private def dropByPairs(df: DataFrame, idCol: String, pairsDf: DataFrame): DataFrame = {

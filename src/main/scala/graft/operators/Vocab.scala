@@ -66,6 +66,73 @@ object Vocab {
    *
    * Output columns: idCol, word, tf_count, df, tf, idf, score.
    */
+  /**
+   * BM25 retrieval: top-k documents per query under Okapi BM25
+   * (Robertson/Sparck-Jones; the `+1` idf smoothing is the Lucene variant,
+   * so idf > 0 always and per-term contributions are strictly positive):
+   *
+   *   idf(t)      = ln(1 + (N - df + 0.5) / (df + 0.5))
+   *   contrib(t,d) = idf(t) * tf * (k1+1) / (tf + k1 * (1 - b + b * dl/avgdl))
+   *   score(q,d)  = Σ_{t ∈ q} contrib(t,d)
+   *
+   * Scale shape:
+   *  - the corpus side is aggregated ONCE into (doc, word, tf) — the same
+   *    map-side-combined explode as [[tfIdf]]; doc length and df both derive
+   *    from that aggregate, never from a second corpus scan;
+   *  - the query-term table is tiny and BROADCAST to the tf table, so the
+   *    corpus never shuffles on the join — only matched (query, doc, term)
+   *    rows (a small fraction at realistic query counts) flow into the final
+   *    per-(query, doc) aggregation;
+   *  - N and avgdl ride in as broadcast one-row cross joins;
+   *  - top-k per query is a rank-limit window: Spark plans WindowGroupLimit
+   *    (per-partition top-k before the exchange), never a global sort.
+   *
+   * Cross-engine determinism: the naive double sum over query terms is
+   * order-dependent, so each per-term contribution (a deterministic IEEE
+   * expression of the integers tf/df/dl/N and constants) is cast to
+   * `decimal(22,7)` first — the decimal sum is exact and order-independent,
+   * and 1-ulp `ln` skew between engines sits ~1e-16 relative, far inside the
+   * 5e-8 rounding grid. The final score re-emerges as the nearest double of
+   * that exact decimal in every engine. Ties rank by document id.
+   *
+   * Output: queryIdCol, idCol, rank, score, n_matched, tf_sum.
+   */
+  def bm25TopK(
+      corpus: DataFrame, idCol: String, textCol: String,
+      queries: DataFrame, queryIdCol: String, queryTextCol: String,
+      k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(k > 0, "k must be positive")
+    val perDoc = explodeTerms(corpus, idCol, textCol)
+      .groupBy(col(idCol), col("word")).agg(count(lit(1)).as("tf"))
+    val dlen = perDoc.groupBy(col(idCol)).agg(sum(col("tf")).as("dl"))
+    val dfreq = perDoc.groupBy(col("word")).agg(count(lit(1)).as("df"))
+    val stats = corpus.agg(count(lit(1)).as("__n"))
+      .crossJoin(dlen.agg(avg(col("dl").cast("double")).as("__avgdl")))
+    val qterms = explodeTerms(queries, queryIdCol, queryTextCol).distinct()
+    val idf = log(lit(1.0) +
+      (col("__n").cast("double") - col("df").cast("double") + lit(0.5)) /
+        (col("df").cast("double") + lit(0.5)))
+    val tfD = col("tf").cast("double")
+    val sat = tfD * lit(k1 + 1.0) /
+      (tfD + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl").cast("double") / col("__avgdl")))
+    val contrib = (idf * sat).cast("decimal(22,7)")
+    val scored = perDoc
+      .join(broadcast(qterms), "word")
+      .join(dfreq, "word")
+      .join(dlen, idCol)
+      .crossJoin(broadcast(stats))
+      .groupBy(col(queryIdCol), col(idCol))
+      .agg(sum(contrib).cast("double").as("score"),
+        count(lit(1)).as("n_matched"),
+        sum(col("tf")).as("tf_sum"))
+    val w = Window.partitionBy(col(queryIdCol))
+      .orderBy(col("score").desc, col(idCol).asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(queryIdCol), col(idCol), col("rank"),
+        col("score"), col("n_matched"), col("tf_sum"))
+  }
+
   def tfIdf(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val terms = explodeTerms(df, idCol, textCol)
     val perDoc = terms.groupBy(col(idCol), col("word"))

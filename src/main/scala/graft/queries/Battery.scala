@@ -55,6 +55,21 @@ object Battery {
   private def dsum(c: Column, scale: Int = 6): Column =
     sum(c.cast(s"decimal(18,$scale)")).cast("double")
 
+  /** Corpus for the containment queries (q143/q144): every document plus a
+   *  fragment twin holding its first max(⌊tokens/2⌋, 3) words. The
+   *  fragment's distinct shingle set is a SUBSET of its source's, so
+   *  fragment→source containment is exactly 1 in both engines (a source
+   *  shorter than the floor just yields an identical twin — mutual
+   *  containment, handled by the equal-set tie-break). */
+  private def containmentCorpus(s: SparkSession, d: String): DataFrame = {
+    val t = docs(s, d)
+    val toks = split(col("text"), " ")
+    val frag = concat_ws(" ",
+      slice(toks, lit(1), greatest(floor(size(toks) / lit(2)).cast("int"), lit(3))))
+    t.select(col("doc_id"), col("text"))
+      .unionByName(t.select((col("doc_id") + lit(TwinOff)).as("doc_id"), frag.as("text")))
+  }
+
   // =====================================================================
   // queries
   // =====================================================================
@@ -299,6 +314,39 @@ object Battery {
     // stripped to plain text — the Common Crawl response-record chain,
     // oracled closed-form like q110. The body contains its own CRLF pair
     // to prove only the first separator splits.
+    // BM25 retrieval: four fixed keyword queries against the corpus, top-10
+    // docs each. Per-term contributions are decimal(22,7)-rounded before the
+    // sum (order-independent, 1-ulp ln skew far inside the grid), so score,
+    // rank, and the exact count columns all hash-match the DuckDB replay.
+    "q142_bm25" -> ((s, d) => {
+      import s.implicits._
+      val qs = Seq(
+        (0L, "spark join filter"), (1L, "merge sort row"),
+        (2L, "stream window agg"), (3L, "customer query the data"))
+        .toDF("query_id", "qtext")
+      graft.operators.Vocab.bm25TopK(
+        docs(s, d), "doc_id", "text", qs, "query_id", "qtext", k = 10)
+    }),
+
+    // shingle containment (asymmetric doc-in-doc): every doc paired with a
+    // fragment twin carrying its first half — fragment→source containment
+    // is exactly 1 (subset shingle sets), source→fragment stays under the
+    // threshold. The oracle replays the distinct 3-shingle string sets and
+    // the inverted-index intersection in closed SQL form.
+    "q143_containment" -> ((s, d) =>
+      graft.operators.Dedup.containmentPairs(
+        containmentCorpus(s, d), "doc_id", "text",
+        shingleN = 3, minContainment = 0.8)),
+
+    // containment-driven drop: fragments die (their container is strictly
+    // larger), equal-set families keep the min id; survivors replayed by
+    // the oracle via the same (size, id) orientation rule
+    "q144_drop_contained" -> ((s, d) =>
+      graft.operators.Dedup.dropContained(
+        containmentCorpus(s, d), "doc_id", "text",
+        shingleN = 3, minContainment = 0.9)
+        .select(col("doc_id"))),
+
     // Z-order layout round trip: events written under the bit-interleaved
     // (user_id, event_id) clustering key, read back through the graft
     // source with a band filter on EACH dimension — results must equal the
@@ -2170,6 +2218,107 @@ object Battery {
         |FROM documents""".stripMargin,
     // closed form: headers dropped at the first CRLFCRLF, HTML stripped,
     // the body's own CRLF pair collapses to whitespace
+    // containment replay: distinct 3-shingle STRING sets stand in for the
+    // engine's 64-bit shingle hashes (injective up to xxhash64 collisions —
+    // negligible at battery scale); fragment construction mirrors
+    // containmentCorpus (DuckDB // = Spark floor-div; list_slice caps at
+    // list end exactly like Spark slice)
+    "q143_containment" ->
+      """WITH base AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000,
+        |    array_to_string(list_slice(string_split(text, ' '), 1,
+        |      greatest(len(string_split(text, ' ')) // 2, 3)), ' ')
+        |  FROM documents),
+        |tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM base),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    array_to_string(list_slice(w, CAST(i AS INT), CAST(i AS INT) + 2), ' ') AS s
+        |  FROM tok, UNNEST(range(1, len(w) - 1)) AS t(i)
+        |  WHERE len(w) >= 3
+        |  UNION
+        |  SELECT doc_id, array_to_string(w, ' ') FROM tok WHERE len(w) < 3),
+        |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id <> b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT i.id_a, i.id_b, i.inter, sa.sz AS size_a, sb.sz AS size_b,
+        |  CAST(i.inter AS DOUBLE) / CAST(sa.sz AS DOUBLE) AS containment
+        |FROM inter i
+        |JOIN sizes sa ON sa.doc_id = i.id_a
+        |JOIN sizes sb ON sb.doc_id = i.id_b
+        |WHERE CAST(i.inter AS DOUBLE) / CAST(sa.sz AS DOUBLE) >= 0.8""".stripMargin,
+    // survivors under the same (size, id desc) drop orientation
+    "q144_drop_contained" ->
+      """WITH base AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000,
+        |    array_to_string(list_slice(string_split(text, ' '), 1,
+        |      greatest(len(string_split(text, ' ')) // 2, 3)), ' ')
+        |  FROM documents),
+        |tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM base),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    array_to_string(list_slice(w, CAST(i AS INT), CAST(i AS INT) + 2), ' ') AS s
+        |  FROM tok, UNNEST(range(1, len(w) - 1)) AS t(i)
+        |  WHERE len(w) >= 3
+        |  UNION
+        |  SELECT doc_id, array_to_string(w, ' ') FROM tok WHERE len(w) < 3),
+        |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id <> b.doc_id
+        |  GROUP BY 1, 2),
+        |losers AS (
+        |  SELECT DISTINCT p.id_a
+        |  FROM pairs p
+        |  JOIN sizes sa ON sa.doc_id = p.id_a
+        |  JOIN sizes sb ON sb.doc_id = p.id_b
+        |  WHERE CAST(p.inter AS DOUBLE) / CAST(sa.sz AS DOUBLE) >= 0.9
+        |    AND (sb.sz > sa.sz OR (sb.sz = sa.sz AND p.id_b < p.id_a)))
+        |SELECT b.doc_id FROM base b
+        |WHERE NOT EXISTS (SELECT 1 FROM losers l WHERE l.id_a = b.doc_id)""".stripMargin,
+    // BM25 replay: same per-term decimal(22,7) rounding before the sum;
+    // COUNT/SUM cast back to BIGINT (DuckDB SUM(BIGINT) → HUGEINT → float64
+    // would kind-clash the driver hash)
+    "q142_bm25" ->
+      """WITH q(query_id, qtext) AS (VALUES
+        |    (CAST(0 AS BIGINT), 'spark join filter'),
+        |    (CAST(1 AS BIGINT), 'merge sort row'),
+        |    (CAST(2 AS BIGINT), 'stream window agg'),
+        |    (CAST(3 AS BIGINT), 'customer query the data')),
+        |t AS (SELECT doc_id, word FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+        |  WHERE length(word) > 0),
+        |perdoc AS (SELECT doc_id, word, COUNT(*) AS tf FROM t GROUP BY 1, 2),
+        |dlen AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM perdoc GROUP BY 1),
+        |dfreq AS (SELECT word, COUNT(*) AS df FROM perdoc GROUP BY 1),
+        |stats AS (SELECT (SELECT COUNT(*) FROM documents) AS n,
+        |                 (SELECT AVG(CAST(dl AS DOUBLE)) FROM dlen) AS avgdl),
+        |qt AS (SELECT DISTINCT query_id, word FROM (
+        |    SELECT query_id, unnest(string_split(qtext, ' ')) AS word FROM q)),
+        |contrib AS (
+        |  SELECT qt.query_id, p.doc_id, p.tf,
+        |    CAST(ln(1 + (CAST(s.n AS DOUBLE) - CAST(f.df AS DOUBLE) + 0.5)
+        |               / (CAST(f.df AS DOUBLE) + 0.5))
+        |      * (CAST(p.tf AS DOUBLE) * 2.2)
+        |      / (CAST(p.tf AS DOUBLE)
+        |         + 1.2 * (0.25 + 0.75 * CAST(l.dl AS DOUBLE) / s.avgdl))
+        |      AS DECIMAL(22,7)) AS c
+        |  FROM perdoc p
+        |  JOIN qt USING (word) JOIN dfreq f USING (word)
+        |  JOIN dlen l USING (doc_id) CROSS JOIN stats s),
+        |sc AS (SELECT query_id, doc_id, CAST(SUM(c) AS DOUBLE) AS score,
+        |         COUNT(*) AS n_matched, CAST(SUM(tf) AS BIGINT) AS tf_sum
+        |       FROM contrib GROUP BY 1, 2),
+        |rk AS (SELECT *, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+        |  FROM sc)
+        |SELECT query_id, doc_id, rank, score, n_matched, tf_sum
+        |FROM rk WHERE rank <= 10""".stripMargin,
     // layout is invisible to results: the plain filter is the oracle
     "q141_zorder_band" ->
       """SELECT user_id, event_id, event_type, value

@@ -105,6 +105,45 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.dropBySimhash(docs, "doc_id", "text").columns.toSeq == docs.columns.toSeq)
   }
 
+  test("containmentPairs: fragment fully contained, asymmetry, stop-shingle cut") {
+    val corpus = Seq(
+      (1L, "a b c d e f g h i j"),          // 8 distinct 3-shingles
+      (2L, "a b c d e"),                    // prefix of 1 → C(2→1)=1, |S|=3
+      (3L, "x y z w v"),                    // unrelated
+      (4L, "x y z w v")                     // exact dup of 3 → mutual C=1
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.containmentPairs(corpus, "doc_id", "text",
+        shingleN = 3, minContainment = 0.8)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) ->
+        (r.getAs[Long]("inter"), r.getAs[Long]("size_a"), r.getAs[Long]("size_b"),
+         r.getAs[Double]("containment"))).toMap
+    assert(pairs((2L, 1L)) == ((3L, 3L, 8L, 1.0)))   // fragment → source
+    assert(!pairs.contains((1L, 2L)))                // source → fragment: 3/8 < 0.8
+    assert(pairs((3L, 4L)) == ((3L, 3L, 3L, 1.0)))   // exact dups both ways
+    assert(pairs((4L, 3L))._4 == 1.0)
+    assert(!pairs.keys.exists { case (a, b) => Set(a, b) == Set(1L, 3L) })
+
+    // stop-shingle cut: capping df at 1 removes every shared shingle, so
+    // no containment evidence survives
+    val cut = Dedup.containmentPairs(corpus, "doc_id", "text",
+      shingleN = 3, minContainment = 0.1, maxShingleDf = Some(1))
+    assert(cut.count() == 0L)
+  }
+
+  test("dropContained: containee dies, container survives, equal sets keep min id") {
+    val corpus = Seq(
+      (1L, "a b c d e f g h i j"),
+      (2L, "a b c d e"),          // contained in 1 (larger) → dropped
+      (3L, "x y z w v"),
+      (4L, "x y z w v"),          // equal set as 3 → min id 3 survives
+      (5L, "p q r s t")           // singleton
+    ).toDF("doc_id", "text")
+    val kept = Dedup.dropContained(corpus, "doc_id", "text",
+        shingleN = 3, minContainment = 0.9)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(1L, 3L, 5L))
+  }
+
   test("connectedComponents finds transitive clusters the one-hop pass misses") {
     import spark.implicits._
     // chain 1-2-3 (transitive), pair 10-11, isolated 20

@@ -39,6 +39,38 @@ class VocabSpec extends SparkSpec {
     assert(rows.getAs[Double]("score") == (2.0 / 5.0) * StrictMath.log(3.0 / 2.0))
   }
 
+  test("bm25TopK: hand-checked score, rank order, k cap, tie-break") {
+    val qs = Seq((10L, "cat"), (11L, "sat dog"), (12L, "zzz")).toDF("qid", "qtext")
+    val out = Vocab.bm25TopK(corpus, "doc_id", "text", qs, "qid", "qtext", k = 2)
+      .collect().groupBy(_.getAs[Long]("qid"))
+
+    // query "cat": docs 1 (tf=1, dl=6) and 3 (tf=2, dl=5); df=2, N=3, avgdl=14/3
+    val cat = out(10L).sortBy(_.getAs[Int]("rank"))
+    assert(cat.map(_.getAs[Long]("doc_id")).toSeq == Seq(3L, 1L))
+    def bm25(tf: Double, df: Double, dl: Double): BigDecimal = {
+      val idf = StrictMath.log(1.0 + (3.0 - df + 0.5) / (df + 0.5))
+      val s = idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / (14.0 / 3.0)))
+      BigDecimal(s).setScale(7, BigDecimal.RoundingMode.HALF_UP)
+    }
+    assert(cat.head.getAs[Double]("score") == bm25(2, 2, 5).toDouble)
+    assert(cat.head.getAs[Long]("n_matched") == 1L && cat.head.getAs[Long]("tf_sum") == 2L)
+
+    // query "sat dog": doc 2 matches both terms (score sums), doc 1 only "sat"
+    val sd = out(11L).sortBy(_.getAs[Int]("rank"))
+    assert(sd.map(_.getAs[Long]("doc_id")).toSeq == Seq(2L, 1L))
+    assert(sd.head.getAs[Long]("n_matched") == 2L)
+    assert(sd.head.getAs[Double]("score") ==
+      (bm25(1, 2, 3) + bm25(1, 1, 3)).toDouble)
+
+    // no corpus doc contains "zzz" → query absent entirely
+    assert(!out.contains(12L))
+
+    // k cap: with k=1 only rank 1 survives per query
+    val capped = Vocab.bm25TopK(corpus, "doc_id", "text", qs, "qid", "qtext", k = 1)
+    assert(capped.count() == 2L)
+    assert(capped.filter(col("rank") > 1).count() == 0L)
+  }
+
   test("tfIdf: a corpus-wide word scores zero, a unique word scores highest in its doc") {
     val scored = Vocab.tfIdf(corpus, "doc_id", "text")
     val everywhere = scored.filter(col("word") === "sat" && col("doc_id") === 2L).head()
