@@ -347,6 +347,100 @@ object Battery {
         shingleN = 3, minContainment = 0.9)
         .select(col("doc_id"))),
 
+    // snapshot (time-travel) read: corpus committed as snapshot v1, an
+    // id-shifted increment committed as v2 — the v1 pin must return EXACTLY
+    // the original corpus (identity oracle), proving the pinned scan plans
+    // only v1's files while the live dir holds both batches
+    "q145_snapshot_read" -> ((s, d) => {
+      val out = java.nio.file.Files.createTempDirectory("graft_snapq_")
+        .toString + "/documents"
+      val schema = CqlSchema("documents", Seq("doc_id"))
+      val base = docs(s, d).select(
+        col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
+      val conf = TokenSortedWriter.WriteConf(numPartitions = 4, snapshot = true)
+      TokenSortedWriter.write(base, schema, out, SaveMode.Append, conf)
+      TokenSortedWriter.write(
+        base.withColumn("doc_id", col("doc_id") + lit(TwinOff)),
+        schema, out, SaveMode.Append, conf)
+      s.read.format("graft").option("path", out).option("pk", "doc_id")
+        .option("snapshotVersion", "1").load()
+        .select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
+    }),
+
+    // snapshot change feed: rows appended between v1 and v2, read from
+    // EXACTLY the files v2 added (incremental consumption — IO proportional
+    // to the increment, no rescan, no updated_at predicate); the oracle is
+    // the increment itself in closed form
+    "q147_change_feed" -> ((s, d) => {
+      val out = java.nio.file.Files.createTempDirectory("graft_cf_")
+        .toString + "/documents"
+      val schema = CqlSchema("documents", Seq("doc_id"))
+      val base = docs(s, d).select(col("doc_id"), col("text"), col("source"), col("n_chars"))
+      val conf = TokenSortedWriter.WriteConf(numPartitions = 4, snapshot = true)
+      TokenSortedWriter.write(base, schema, out, SaveMode.Append, conf)
+      TokenSortedWriter.write(
+        base.withColumn("doc_id", col("doc_id") + lit(TwinOff)),
+        schema, out, SaveMode.Append, conf)
+      graft.write.Snapshots.readChanges(s, out, 1L, 2L)
+        .select(col("doc_id"), col("text"), col("source"))
+    }),
+
+    // incremental aggregate maintenance over the change feed: stored v1
+    // aggregate + aggregate of the v1→v2 delta must EQUAL the direct
+    // aggregate over v2 — the exactness of file-level change capture,
+    // checked end-to-end (the oracle aggregates the doubled corpus)
+    "q148_incremental_agg" -> ((s, d) => {
+      val out = java.nio.file.Files.createTempDirectory("graft_ia_")
+        .toString + "/documents"
+      val schema = CqlSchema("documents", Seq("doc_id"))
+      val base = docs(s, d).select(col("doc_id"), col("text"), col("source"), col("n_chars"))
+      val conf = TokenSortedWriter.WriteConf(numPartitions = 4, snapshot = true)
+      TokenSortedWriter.write(base, schema, out, SaveMode.Append, conf)
+      TokenSortedWriter.write(
+        base.withColumn("doc_id", col("doc_id") + lit(TwinOff)),
+        schema, out, SaveMode.Append, conf)
+      def agg(df: DataFrame) = df.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+      val stored = agg(s.read.format("graft").option("path", out)
+        .option("pk", "doc_id").option("snapshotVersion", "1").load())
+      val delta = agg(graft.write.Snapshots.readChanges(s, out, 1L, 2L))
+      stored.unionByName(delta).groupBy(col("source"))
+        .agg(sum(col("n_docs")).as("n_docs"), sum(col("total_chars")).as("total_chars"))
+    }),
+
+    // in-place compaction through the snapshot log: two LWW generations plus
+    // a partition tombstone fold into one fresh generation INSIDE the table
+    // dir (commitRewrite + vacuum), and the post-compaction clustered read
+    // aggregates with no LWW re-shuffle — the oracle replays version
+    // precedence and the tombstone in SQL (q71's twin, without the dst-dir
+    // move)
+    "q146_compact_inplace" -> ((s, d) => {
+      val schema = Tables.schemas("lineitem")
+      val dir = java.nio.file.Files.createTempDirectory("graft_cmpip_")
+        .toString + "/lineitem"
+      val base = li(s, d)
+      TokenSortedWriter.write(base, schema, dir, SaveMode.Append,
+        TokenSortedWriter.WriteConf(numPartitions = 4, keepTokenColumn = true,
+          writetimeMicros = Some(1000L)))
+      TokenSortedWriter.write(
+        base.filter(col("l_orderkey") % 10 === 0)
+          .withColumn("l_quantity", col("l_quantity") + 100.0),
+        schema, dir, SaveMode.Append,
+        TokenSortedWriter.WriteConf(numPartitions = 2, keepTokenColumn = true,
+          writetimeMicros = Some(2000L)))
+      TokenSortedWriter.writeDeletes(
+        base.filter(col("l_orderkey") % 7 === 3).select(col("l_orderkey")),
+        schema, dir, writetimeMicros = Some(3000L))
+      TokenSortedWriter.compactInPlace(s, schema, dir,
+        TokenSortedWriter.WriteConf(numPartitions = 4))
+      s.read.format("graft")
+        .option("path", dir).option("pk", "l_orderkey").option("ck", "l_linenumber")
+        .option("clustered", "true").load()
+        .groupBy(col("l_orderkey")).agg(
+          count(lit(1)).as("n_lines"),
+          dsum(col("l_quantity"), 2).as("sum_qty"))
+    }),
+
     // Z-order layout round trip: events written under the bit-interleaved
     // (user_id, event_id) clustering key, read back through the graft
     // source with a band filter on EACH dimension — results must equal the
@@ -2319,6 +2413,38 @@ object Battery {
         |  FROM sc)
         |SELECT query_id, doc_id, rank, score, n_matched, tf_sum
         |FROM rk WHERE rank <= 10""".stripMargin,
+    // the v1→v2 delta IS the shifted increment
+    "q147_change_feed" ->
+      """SELECT doc_id + 1000000 AS doc_id, text, source FROM documents""",
+    // stored + delta = direct aggregate over the doubled corpus
+    "q148_incremental_agg" ->
+      """SELECT source, CAST(2 * COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(2 * SUM(n_chars) AS BIGINT) AS total_chars
+        |FROM documents GROUP BY source""".stripMargin,
+    // q71's replay plus the tombstone: keys ≡ 3 (mod 7) deleted outright
+    "q146_compact_inplace" ->
+      """WITH versions AS (
+        |  SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity, l_extendedprice,
+        |         l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate, 1000 AS wt
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity + 100, l_extendedprice,
+        |         l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate, 2000 AS wt
+        |  FROM lineitem WHERE l_orderkey % 10 = 0),
+        |latest AS (
+        |  SELECT * FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY l_orderkey, l_linenumber
+        |      ORDER BY wt DESC, l_partkey DESC, l_suppkey DESC, l_quantity DESC,
+        |               l_extendedprice DESC, l_discount DESC, l_tax DESC, l_returnflag DESC,
+        |               l_linestatus DESC, l_shipdate DESC) AS rn
+        |    FROM versions) WHERE rn = 1),
+        |alive AS (SELECT * FROM latest WHERE l_orderkey % 7 <> 3)
+        |SELECT l_orderkey, COUNT(*) AS n_lines,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM alive GROUP BY l_orderkey""".stripMargin,
+    // the v1 pin IS the original corpus
+    "q145_snapshot_read" ->
+      "SELECT doc_id, text, lang, source, n_chars FROM documents",
     // layout is invisible to results: the plain filter is the oracle
     "q141_zorder_band" ->
       """SELECT user_id, event_id, event_type, value

@@ -88,22 +88,33 @@ class GraftDataSource extends TableProvider with DataSourceRegister
     // tolerate a missing path: the write path resolves the table before the
     // first file exists (DataFrameWriter.save → getTableFromProvider), and
     // the returned schema is unused by the V1 write fallback
-    try {
-      // mergeSchema: appends may evolve the schema (e.g. a later write adds
-      // the writetime/TTL feature columns) — the union schema is the table
-      val full = spark.read.option("mergeSchema", "true").parquet(pathOf(options)).schema
-      // `graft_p_*` are directory-key TWINS of real data columns (see
-      // WriteConf.partitionBy) — partition inference surfaces them here, but
-      // the data column itself lives in every file; the table schema is the
-      // file schema. Only strip a graft_p_X whose data column X actually
-      // exists (the twin invariant) — a user column that merely happens to
-      // carry the prefix must stay visible.
+    // strip engine columns: `_graft_token`, and `graft_p_*` directory-key
+    // TWINS of real data columns (see WriteConf.partitionBy) — partition
+    // inference surfaces the twins, but the data column itself lives in
+    // every file; the table schema is the file schema. Only strip a
+    // graft_p_X whose data column X actually exists (the twin invariant) —
+    // a user column that merely happens to carry the prefix must stay
+    // visible.
+    def strip(full: StructType): StructType = {
       val names = full.fields.map(_.name).toSet
       val prefix = TokenSortedWriter.partCol("")
       StructType(full.fields.filterNot(f => f.name == TokenSortedWriter.TokenCol
         || (f.name.startsWith(prefix) && names.contains(f.name.substring(prefix.length)))))
+    }
+    try {
+      // mergeSchema: appends may evolve the schema (e.g. a later write adds
+      // the writetime/TTL feature columns) — the union schema is the table
+      strip(spark.read.option("mergeSchema", "true").parquet(pathOf(options)).schema)
     } catch {
-      case _: org.apache.spark.sql.AnalysisException => new StructType()
+      case _: org.apache.spark.sql.AnalysisException =>
+        // a compacted-in-place table keeps its data under `gen-<uuid>/`
+        // subdirs, which plain parquet partition discovery rejects (non
+        // key=value dir names) — recursiveFileLookup sees the files and
+        // skips discovery; dir-partitioned (key=value) tables never reach
+        // this fallback, so graft_p twin stripping above still governs them
+        try strip(spark.read.option("mergeSchema", "true")
+          .option("recursiveFileLookup", "true").parquet(pathOf(options)).schema)
+        catch { case _: org.apache.spark.sql.AnalysisException => new StructType() }
     }
   }
 
@@ -242,7 +253,9 @@ class GraftTable(
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     GraftDataSource.validateReadTypes(tableOptions)
     GraftDataSource.validateReadTypes(options)
-    new GraftScanBuilder(dir, annotated, cql, options.getBoolean("clustered", false))
+    val pin = Option(options.get("snapshotVersion"))
+      .orElse(Option(tableOptions.get("snapshotVersion")))
+    new GraftScanBuilder(dir, annotated, cql, options.getBoolean("clustered", false), pin)
   }
 
   override def newWriteBuilder(
@@ -284,7 +297,8 @@ class GraftScanBuilder(
     dir: String,
     annotated: StructType,
     cql: CqlSchema,
-    clustered: Boolean = false)
+    clustered: Boolean = false,
+    snapshotPin: Option[String] = None)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownLimit
     with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
@@ -315,7 +329,9 @@ class GraftScanBuilder(
     // the SAME snapshot is validated against AND captured into the scan: a
     // file appended between planning and execution can neither crash the
     // stats lookup nor silently shift the answer off the validated set
-    val files = TokenPruner.listFiles(SparkSession.active, dir)
+    val listed = TokenPruner.listFiles(SparkSession.active, dir)
+    val files = snapshotPin.fold(listed)(
+      graft.write.Snapshots.filterListing(SparkSession.active, dir, _, listed))
     def eligible(n: String): Boolean = {
       val ok = annotated.fields.find(_.name == n).map(_.dataType).exists {
         case org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType |
@@ -371,7 +387,8 @@ class GraftScanBuilder(
   override def build(): Scan =
     statsOps match {
       case Some((ops, files)) => new GraftStatsScan(dir, ops, files)
-      case None => new GraftScan(dir, annotated, required, pushed, cql, clustered, limit)
+      case None =>
+        new GraftScan(dir, annotated, required, pushed, cql, clustered, limit, snapshotPin)
     }
 }
 
@@ -454,7 +471,8 @@ class GraftScan(
     pushed: Array[Filter],
     cql: CqlSchema,
     clustered: Boolean = false,
-    limit: Option[Int] = None)
+    limit: Option[Int] = None,
+    snapshotPin: Option[String] = None)
     extends Scan with Batch with SupportsReportStatistics with SupportsRuntimeFiltering
     with org.apache.spark.sql.graftshim.ClusterReportingScan {
 
@@ -463,7 +481,8 @@ class GraftScan(
   override def description(): String = {
     val keys = TokenPruner.keyTokens(effectivePushed, cql)
     s"GraftScan dir=$dir pk=${cql.partitionKeys.mkString(",")} " +
-      s"pushedKeyTokens=${keys.map(_.size).getOrElse(-1)} files=${prunedFiles.length}"
+      s"pushedKeyTokens=${keys.map(_.size).getOrElse(-1)} files=${prunedFiles.length}" +
+      snapshotPin.map(v => s" snapshot=$v").getOrElse("")
   }
 
   private lazy val spark = SparkSession.active
@@ -495,8 +514,12 @@ class GraftScan(
   private def prunedFiles: Array[TokenPruner.FileMeta] = {
     var files = cachedPruned
     if (files == null) {
-      val all = TokenPruner.listFiles(spark, dir)
-      listedCount = all.length
+      val listed = TokenPruner.listFiles(spark, dir)
+      // snapshot pin restricts planning to the committed file set BEFORE any
+      // pruning; a recorded file absent from the listing fails the scan
+      val all = snapshotPin.fold(listed)(
+        graft.write.Snapshots.filterListing(spark, dir, _, listed))
+      listedCount = listed.length
       files = TokenPruner.prune(spark, all, effectivePushed, cql)
       // LIMIT planning: with no filters anywhere, any n rows satisfy an
       // unordered limit — plan only enough files (manifest/footer row
@@ -586,8 +609,13 @@ class GraftScan(
   /** Streaming: new-file arrival micro-batches over the same planning and
    *  decode stack (pushdown, manifest listing, vectorized parquet). */
   override def toMicroBatchStream(checkpointLocation: String)
-      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    // a stream tails the LIVE table by definition; a pinned version would
+    // either never produce data or silently ignore the pin — fail fast
+    snapshotPin.foreach(v => throw new IllegalArgumentException(
+      s"snapshotVersion=$v is a batch-read pin; streaming reads tail the live table"))
     new GraftMicroBatchStream(spark, dir, fullFileSchema, required, pushed, cql)
+  }
 
   /** Exact post-pruning statistics so Catalyst sizes joins correctly
    *  (the analog of the reference's `Sizing`/partition-size estimation,

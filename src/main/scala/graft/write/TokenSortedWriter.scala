@@ -3,6 +3,7 @@ package graft.write
 import graft.functions.graft_token
 import graft.model.CqlSchema.qcol
 import graft.model.CqlSchema
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -103,7 +104,17 @@ object TokenSortedWriter {
       bloomFilterColumns: Seq[String] = Nil,
       // expected distinct values per bloom column (sizes the filter);
       // 0 = parquet's default NDV
-      bloomFilterNdv: Long = 0L)
+      bloomFilterNdv: Long = 0L,
+      // Snapshot-log commit (see [[Snapshots]]): after the files land, the
+      // write commits a new snapshot version listing the table's complete
+      // live file set, enabling pinned time-travel reads
+      // (`snapshotVersion` source option) and atomic visibility of the
+      // whole batch to snapshot readers. Append-only: a snapshotted write
+      // rejects SaveMode.Overwrite, because the parquet committer
+      // physically deletes prior files and would invalidate every earlier
+      // snapshot — logical replacement is [[Snapshots.commitRewrite]]
+      // (compaction path) followed by [[Snapshots.vacuum]].
+      snapshot: Boolean = false)
 
   /** Directory-key twin of a partitioned column (see `WriteConf.partitionBy`). */
   def partCol(c: String): String = s"graft_p_$c"
@@ -276,6 +287,23 @@ object TokenSortedWriter {
     require(conf.zorderBy.isEmpty ||
       (conf.partitionBy.isEmpty && conf.ringSplits == 0),
       "zorderBy is mutually exclusive with partitionBy and ringSplits")
+    if (conf.snapshot && mode == SaveMode.Overwrite)
+      throw new IllegalArgumentException(
+        "snapshot commits reject SaveMode.Overwrite: the parquet committer deletes " +
+          "prior files, invalidating every earlier snapshot — compact to a rewrite " +
+          "commit (Snapshots.commitRewrite) and vacuum instead")
+    // pre-write file census for the snapshot delta (fresh walk, never the
+    // listing cache — a concurrent invalidation there must not leak files
+    // into this commit's "added" set)
+    val preSnapshot: Set[String] =
+      if (!conf.snapshot) Set.empty
+      else {
+        val p = new Path(path)
+        val fs = p.getFileSystem(df.sparkSession.sessionState.newHadoopConf())
+        if (!fs.exists(p)) Set.empty
+        else graft.sources.TokenPruner.listDataFiles(fs, fs.makeQualified(p))
+          .map(_.getPath.toString).toSet
+      }
     val sorted =
       if (conf.zorderBy.nonEmpty) zorderSorted(withWriteOptions(df, conf), conf)
       else tokenSorted(withWriteOptions(df, conf), schema, conf)
@@ -300,6 +328,13 @@ object TokenSortedWriter {
     // scans then plan from the manifest in O(1) driver IO (S3 at 100 TB)
     Manifest.appendFor(df.sparkSession, path,
       if (conf.ringSplits > 0) Some(conf.ringSplits) else None)
+    if (conf.snapshot) {
+      val p = new Path(path)
+      val fs = p.getFileSystem(df.sparkSession.sessionState.newHadoopConf())
+      val added = graft.sources.TokenPruner.listDataFiles(fs, fs.makeQualified(p))
+        .map(_.getPath.toString).filterNot(preSnapshot).toSeq
+      Snapshots.commitAppend(df.sparkSession, path, added)
+    }
   }
 
   /**
@@ -525,6 +560,81 @@ object TokenSortedWriter {
     // through as a data column; writetime is re-stamped from itself so later
     // appends to dstPath still merge by time correctly.
     write(normalized, schema, dstPath, SaveMode.Append, outConf)
+  }
+
+  /**
+   * In-place compaction via the snapshot log ([[Snapshots]]): fold the
+   * table's generations into one fresh generation INSIDE the same table
+   * dir, commit it as a rewrite snapshot, and vacuum to `vacuumRetain`
+   * versions — no table move, no repoint, and (at retain 1) the live
+   * listing equals the compacted generation when the call returns.
+   *
+   * Protocol (each step safe to die after):
+   *  1. digest-verify the source files (same corruption gate as [[compact]]);
+   *  2. snapshot the CURRENT listing ([[Snapshots.commitAppend]] of the live
+   *     set) — the pre-compaction state becomes a committed version, so the
+   *     later vacuum is AUTHORIZED to reclaim its files once it expires
+   *     (vacuum never deletes files no snapshot ever referenced);
+   *  3. write the normalized fold (LWW + statics + tombstones + TTL) as a
+   *     fresh token-sorted generation under `<dir>/gen-<uuid>/`, and record
+   *     its stats in the TABLE-root manifest;
+   *  4. [[Snapshots.commitRewrite]]: the new snapshot lists ONLY the fresh
+   *     generation — snapshot readers cut over atomically; pinned readers
+   *     of older versions keep their files;
+   *  5. [[Snapshots.vacuum]] to `vacuumRetain` (default 1 = reclaim
+   *     everything pre-compaction immediately; larger values keep
+   *     time-travel windows open at the cost of disk until a later vacuum).
+   *
+   * The `_graft_deletes` tombstones are NOT removed: a tombstone must keep
+   * suppressing out-of-order re-inserts with older writetimes (the
+   * gc-grace analog) — re-applying it to the compacted data is a no-op
+   * anti-join against keys that are already gone.
+   *
+   * Returns the committed rewrite version.
+   */
+  def compactInPlace(
+      spark: SparkSession,
+      schema: CqlSchema,
+      dir: String,
+      conf: WriteConf = WriteConf(),
+      vacuumRetain: Int = 1): Long = {
+    val corrupt = Manifest.verifyDigests(spark, dir)
+    if (corrupt.nonEmpty) {
+      throw new java.io.IOException(
+        s"compactInPlace aborted: ${corrupt.length} file(s) fail xxhash64 digest " +
+          s"verification: ${corrupt.take(5).mkString(", ")}")
+    }
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val root = fs.makeQualified(p)
+    val live = graft.sources.TokenPruner.listDataFiles(fs, root)
+      .map(_.getPath.toString).toSeq
+    // census commit only when the log does not already describe the live
+    // set — a log-current table must not burn a version on a duplicate
+    // (vacuum would then expire the REAL pre-compaction pin a step early)
+    val logCurrent = Snapshots.latestVersion(spark, dir)
+      .exists(v => Snapshots.files(spark, dir, v).toSet == live.toSet)
+    if (!logCurrent) Snapshots.commitAppend(spark, dir, live)
+
+    val normalized = readNormalized(spark, schema, dir, keepFeatureColumns = true)
+    val carryWt = normalized.columns.contains(WritetimeCol)
+    val outConf = conf.copy(
+      keepTokenColumn = true, snapshot = false,
+      writetimeColumn = if (carryWt) Some(WritetimeCol) else conf.writetimeColumn,
+      writetimeMicros = None, ttlColumn = None, ttlSeconds = None)
+    val gen = s"$dir/gen-${java.util.UUID.randomUUID().toString.take(12)}"
+    write(normalized, schema, gen, SaveMode.Append, outConf)
+    // stats for the fresh generation belong in the TABLE-root manifest (the
+    // gen subdir got its own during write — root listing never reads it)
+    Manifest.appendFor(spark, dir,
+      if (outConf.ringSplits > 0) Some(outConf.ringSplits) else None)
+    val genFiles = graft.sources.TokenPruner
+      .listDataFiles(fs, fs.makeQualified(new Path(gen)))
+      .map(_.getPath.toString).toSeq
+    val version = Snapshots.commitRewrite(spark, dir, genFiles)
+    Snapshots.vacuum(spark, dir, vacuumRetain)
+    graft.sources.TokenPruner.invalidateListing(dir)
+    version
   }
 
   /** Range-tombstone purge: drop rows whose pk matches and whose first

@@ -180,6 +180,31 @@ class PlanQualitySpec extends SparkSpec {
     assert(plan3.contains("Exchange"))
   }
 
+  test("compactInPlace restores the clustered no-shuffle agg (q146 plan gate)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_cmpip_plan_").toString + "/t"
+    val schema = CqlSchema("t", Seq("id"))
+    val df = (1L to 2000L).map(i => (i, i % 7)).toDF("id", "grp")
+    TokenSortedWriter.write(df, schema, dir, SaveMode.Append,
+      TokenSortedWriter.WriteConf(numPartitions = 4, keepTokenColumn = true,
+        writetimeMicros = Some(1000L)))
+    TokenSortedWriter.write(df.filter($"id" <= 200L), schema, dir, SaveMode.Append,
+      TokenSortedWriter.WriteConf(numPartitions = 2, keepTokenColumn = true,
+        writetimeMicros = Some(2000L)))
+    def aggPlan(): String = spark.read.format("graft")
+      .option("path", dir).option("pk", "id").option("clustered", "true").load()
+      .groupBy(col("id")).agg(count(lit(1)).as("n"))
+      .queryExecution.executedPlan.toString
+    // overlapping generations disqualify the claim...
+    assert(aggPlan().contains("Exchange"))
+    TokenSortedWriter.compactInPlace(spark, schema, dir,
+      TokenSortedWriter.WriteConf(numPartitions = 4))
+    // ...and the in-place fold restores it: disjoint files, zero exchange
+    val after = aggPlan()
+    assert(!after.contains("Exchange"),
+      s"post-compactInPlace groupBy(pk) must not shuffle:\n$after")
+  }
+
   test("readNormalized over a single-write layout plans ZERO exchanges (LWW included)") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_norm_clus_").toString + "/t"
@@ -532,6 +557,25 @@ class PlanQualitySpec extends SparkSpec {
       l.contains("WindowGroupLimit") && l.contains("Partial"))
     assert(partials >= 2,
       s"expected partial WindowGroupLimit for both rank cuts, got $partials:\n$plan")
+  }
+
+  test("BM25: rank cut plans partial WindowGroupLimit; query terms broadcast") {
+    import spark.implicits._
+    val corpus = (0L until 200L).map(i => (i, s"w${i % 11} w${i % 7} w${i % 5} common"))
+      .toDF("doc_id", "text")
+    val qs = Seq((0L, "w1 common"), (1L, "w2 w3")).toDF("query_id", "qtext")
+    val plan = graft.operators.Vocab.bm25TopK(
+        corpus, "doc_id", "text", qs, "query_id", "qtext", k = 5)
+      .queryExecution.executedPlan.toString
+    // the top-k per query must cut per-partition before its exchange — the
+    // scored (query, doc) set is never globally sorted
+    assert(plan.linesIterator.exists(l =>
+      l.contains("WindowGroupLimit") && l.contains("Partial")),
+      s"expected partial WindowGroupLimit for the BM25 rank cut:\n$plan")
+    // the query-term join must arrive by broadcast: the corpus tf table
+    // never shuffles on the term join
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected broadcast query-term join:\n$plan")
   }
 
   test("random-ring write plans exactly one range exchange, like the murmur3 ring") {
