@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
@@ -47,18 +46,46 @@ object CountLm {
 
   private def toks(text: Column): Column = split(text, " ")
 
+  /**
+   * Distributed top-`k` of a `(key, cnt)` count table by
+   * `(cnt desc, key asc)` — the vocabulary head cut.
+   *
+   * A bare `row_number().over(Window.orderBy(...))` has no partition key:
+   * Spark moves EVERY distinct term — billions of bigrams at web scale —
+   * into ONE partition to rank it. Neither path here ever does that:
+   *  - `k` at or under the engine's top-K threshold (the common case: a
+   *    vocabulary cap must stay broadcast-scale anyway) plans as
+   *    `TakeOrderedAndProject` — each partition keeps a k-bounded priority
+   *    queue and the driver streams the per-partition queues into one
+   *    merged queue of ≤ k narrow `(key, cnt)` rows. No exchange at all;
+   *    plan-gated by PlanQualitySpec.
+   *  - larger `k` reuses [[Sampling.takeByBudget]]'s two-pass
+   *    range-exchange prefix sum with unit cost: one range shuffle on the
+   *    order, per-partition row counts broadcast as start offsets, and
+   *    partitions whose offset already exceeds `k` short-circuit without
+   *    reading a row.
+   */
+  def capTopK(counts: DataFrame, key: String, k: Int): DataFrame = {
+    require(k > 0, s"capTopK needs a positive k, got $k")
+    val order = Seq(col("cnt").desc, col(key).asc)
+    if (k <= counts.sparkSession.sessionState.conf.topKSortFallbackThreshold)
+      counts.sort(order: _*).limit(k)
+    else
+      Sampling.takeByBudget(
+          counts.withColumn("__graft_lm_one", lit(1L)),
+          "__graft_lm_one", k.toLong, order)
+        .drop("__graft_lm_one", "cum_cost")
+  }
+
   /** Train unigram + bigram counts from `corpus.textCol` (space-tokenized,
    *  the engine-wide convention). `maxVocab > 0` keeps the top terms and
    *  bigrams by `(count desc, value asc)` — the head-truncation every real
-   *  LM applies, with a deterministic tie-break. */
+   *  LM applies, with a deterministic tie-break — via the distributed
+   *  [[capTopK]] (never a single-partition global window). */
   def train(corpus: DataFrame, textCol: String, maxVocab: Int = 0): Model = {
     val t = toks(col(textCol))
     def cap(df: DataFrame, key: String): DataFrame =
-      if (maxVocab <= 0) df
-      else df.withColumn("__graft_lm_rank",
-          row_number().over(Window.orderBy(col("cnt").desc, col(key).asc)))
-        .filter(col("__graft_lm_rank") <= maxVocab)
-        .drop("__graft_lm_rank")
+      if (maxVocab <= 0) df else capTopK(df, key, maxVocab)
     val terms = cap(
       corpus.select(explode(t).as("term"))
         .groupBy(col("term")).agg(count(lit(1)).as("cnt")), "term")

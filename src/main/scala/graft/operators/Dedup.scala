@@ -323,7 +323,11 @@ object Dedup {
    * `maxShingleDf` cuts shingles appearing in more than that many
    * documents BEFORE the join (the standard stop-shingle cut: a shingle
    * shared by thousands of documents is boilerplate and carries no
-   * containment signal). The cut applies to BOTH the numerator and
+   * containment signal). The cut is DEFAULT-ON at 10⁴ — one boilerplate
+   * shingle shared by 10⁶ documents would otherwise emit 10¹² join rows,
+   * and no realistic containment signal rides on a shingle that common.
+   * Callers who truly want the uncut quadratic measure must say so with
+   * an explicit `Int.MaxValue`. The cut applies to BOTH the numerator and
    * |S(A)|, keeping the ratio's meaning "fraction of A's distinctive
    * content found in B"; documents whose every shingle is cut emit no
    * pairs.
@@ -339,16 +343,14 @@ object Dedup {
       textCol: String,
       shingleN: Int = 3,
       minContainment: Double = 0.8,
-      maxShingleDf: Option[Int] = None): DataFrame = {
+      maxShingleDf: Int = 10000): DataFrame = {
+    require(maxShingleDf >= 1, s"maxShingleDf must be >= 1, got $maxShingleDf")
     val sh0 = df.select(col(idCol).as("id"),
       explode(shingleHashes(col(textCol), shingleN)).as("h"))
-    val sh = maxShingleDf match {
-      case Some(cap) =>
-        require(cap >= 1, s"maxShingleDf must be >= 1, got $cap")
-        val frequent = sh0.groupBy(col("h")).agg(count(lit(1)).as("df"))
-          .filter(col("df") > cap).select(col("h"))
-        sh0.join(frequent, Seq("h"), "left_anti")
-      case None => sh0
+    val sh = if (maxShingleDf == Int.MaxValue) sh0 else {
+      val frequent = sh0.groupBy(col("h")).agg(count(lit(1)).as("df"))
+        .filter(col("df") > maxShingleDf).select(col("h"))
+      sh0.join(frequent, Seq("h"), "left_anti")
     }
     val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("sz"))
     val inter = sh.as("a").join(sh.as("b"),
@@ -378,7 +380,7 @@ object Dedup {
       textCol: String,
       shingleN: Int = 3,
       minContainment: Double = 0.9,
-      maxShingleDf: Option[Int] = None): DataFrame = {
+      maxShingleDf: Int = 10000): DataFrame = {
     val losers =
       containmentPairs(df, idCol, textCol, shingleN, minContainment, maxShingleDf)
         .filter(col("size_b") > col("size_a") ||

@@ -578,6 +578,23 @@ class PlanQualitySpec extends SparkSpec {
       s"expected broadcast query-term join:\n$plan")
   }
 
+  test("CountLm vocab cap: TakeOrderedAndProject, never a single-partition window") {
+    import spark.implicits._
+    val counts = (0 until 500).map(i => (s"t$i", (i % 9).toLong + 1L))
+      .toDF("term", "cnt").repartition(8)
+    val plan = graft.operators.CountLm.capTopK(counts, "term", 100)
+      .queryExecution.executedPlan.toString
+    // the head cut must be the per-partition bounded-priority-queue plan:
+    // no global Window rank, no exchange of the full count table into one
+    // partition — the round-9 scale-killer this gate pins shut
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"expected TakeOrderedAndProject for the vocab cap:\n$plan")
+    assert(!plan.contains("Window"),
+      s"vocab cap must not plan a global Window:\n$plan")
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"vocab cap must not exchange the count table into one partition:\n$plan")
+  }
+
   test("random-ring write plans exactly one range exchange, like the murmur3 ring") {
     import spark.implicits._
     val df = (1L to 1000L).map(i => (i, s"v$i")).toDF("k", "v")

@@ -66,6 +66,32 @@ class CountLmSpec extends SparkSpec {
     assert(got === Map(1L -> "tail", 2L -> "middle", 3L -> "head"))
   }
 
+  test("capTopK: both paths agree with a local sort, incl. past the top-K threshold") {
+    // 200 keys, zipf-ish counts with heavy ties so the (cnt desc, key asc)
+    // tie-break is actually exercised at the cut boundary
+    val counts = (0 until 200).map(i => (f"t$i%03d", (i % 7).toLong + 1L))
+      .toDF("term", "cnt").repartition(8)
+    val expected = counts.collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .sortBy { case (k, c) => (-c, k) }
+    def got(df: org.apache.spark.sql.DataFrame) =
+      df.as[(String, Long)].collect().sortBy { case (k, c) => (-c, k) }.toSeq
+    for (k <- Seq(1, 13, 50, 200, 500)) {
+      assert(got(CountLm.capTopK(counts, "term", k)) ===
+        expected.take(k).toSeq, s"TakeOrdered path, k=$k")
+    }
+    // force the large-k path (range-exchange two-pass) by shrinking the
+    // engine threshold — scoped, restored in finally
+    val conf = "spark.sql.execution.topKSortFallbackThreshold"
+    val prev = spark.conf.get(conf)
+    try {
+      spark.conf.set(conf, "10")
+      for (k <- Seq(13, 50, 200))
+        assert(got(CountLm.capTopK(counts, "term", k)) ===
+          expected.take(k).toSeq, s"two-pass path, k=$k")
+    } finally spark.conf.set(conf, prev)
+  }
+
   test("literal-map scoring is zero-exchange on the corpus (plan gate)") {
     val m = CountLm.train(corpus, "text")
     val plan = CountLm.score(corpus, "doc_id", "text", m)

@@ -126,8 +126,38 @@ class DedupSpec extends SparkSpec {
     // stop-shingle cut: capping df at 1 removes every shared shingle, so
     // no containment evidence survives
     val cut = Dedup.containmentPairs(corpus, "doc_id", "text",
-      shingleN = 3, minContainment = 0.1, maxShingleDf = Some(1))
+      shingleN = 3, minContainment = 0.1, maxShingleDf = 1)
     assert(cut.count() == 0L)
+  }
+
+  test("containment stop-shingle cut: boilerplate excluded from numerator AND |S(A)|") {
+    // every doc carries the boilerplate 3-gram "common tail here" (df=5);
+    // docs 1/2 additionally share genuine content (1 is a prefix of 2)
+    val corpus = Seq(
+      (1L, "a1 a2 common tail here"),            // S = {a1a2c, a2ct, cth}
+      (2L, "a1 a2 common tail here b1 b2 b3"),   // superset of 1's shingles
+      (3L, "c1 c2 common tail here"),
+      (4L, "d1 d2 common tail here"),
+      (5L, "e1 e2 common tail here")
+    ).toDF("doc_id", "text")
+    val cut = Dedup.containmentPairs(corpus, "doc_id", "text",
+        shingleN = 3, minContainment = 0.1, maxShingleDf = 2)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) ->
+        (r.getAs[Long]("inter"), r.getAs[Long]("size_a"),
+         r.getAs[Double]("containment"))).toMap
+    // the cut must hit numerator and denominator CONSISTENTLY: doc 1 keeps
+    // 2 of its 3 shingles, both found in 2 → C(1→2) stays exactly 1.0
+    assert(cut((1L, 2L)) == ((2L, 2L, 1.0)))
+    // docs 3/4/5 share ONLY the boilerplate shingle — with it cut they have
+    // no containment evidence at all, even at a 0.1 threshold
+    assert(!cut.keys.exists { case (a, b) => a >= 3L && b >= 3L })
+
+    // explicit opt-out restores the uncut quadratic measure: 3→4 scores 1/3
+    val uncut = Dedup.containmentPairs(corpus, "doc_id", "text",
+        shingleN = 3, minContainment = 0.1, maxShingleDf = Int.MaxValue)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) ->
+        r.getAs[Double]("containment")).toMap
+    assert(math.abs(uncut((3L, 4L)) - 1.0 / 3.0) < 1e-15)
   }
 
   test("dropContained: containee dies, container survives, equal sets keep min id") {
