@@ -330,8 +330,8 @@ class GraftScanBuilder(
     // file appended between planning and execution can neither crash the
     // stats lookup nor silently shift the answer off the validated set
     val listed = TokenPruner.listFiles(SparkSession.active, dir)
-    val files = snapshotPin.fold(listed)(
-      graft.write.Snapshots.filterListing(SparkSession.active, dir, _, listed))
+    val files = graft.write.Snapshots.resolveListing(
+      SparkSession.active, dir, snapshotPin, listed)
     def eligible(n: String): Boolean = {
       val ok = annotated.fields.find(_.name == n).map(_.dataType).exists {
         case org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType |
@@ -515,10 +515,11 @@ class GraftScan(
     var files = cachedPruned
     if (files == null) {
       val listed = TokenPruner.listFiles(spark, dir)
-      // snapshot pin restricts planning to the committed file set BEFORE any
-      // pruning; a recorded file absent from the listing fails the scan
-      val all = snapshotPin.fold(listed)(
-        graft.write.Snapshots.filterListing(spark, dir, _, listed))
+      // snapshot resolution BEFORE any pruning: explicit pin → that version;
+      // unpinned but the table has a log → latest snapshot (a live listing
+      // can hold a half-landed batch or both generations of a rewrite);
+      // a recorded file absent from the listing fails the scan
+      val all = graft.write.Snapshots.resolveListing(spark, dir, snapshotPin, listed)
       listedCount = listed.length
       files = TokenPruner.prune(spark, all, effectivePushed, cql)
       // LIMIT planning: with no filters anywhere, any n rows satisfy an

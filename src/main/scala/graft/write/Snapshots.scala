@@ -22,12 +22,15 @@ import org.apache.spark.sql.SparkSession
  *
  * Each snapshot lists the COMPLETE live data-file set at that version
  * (relative paths — the log survives a table move, like the manifest).
- * Commit is an optimistic create-exclusive of the next version file: two
- * racing writers both compute v(N+1), the filesystem accepts exactly one
- * `create(overwrite = false)`, and the loser re-reads the winner's set and
- * retries on v(N+2) — appends therefore linearize without a lock service
- * on any store with atomic exclusive create (HDFS; object stores with
- * conditional put).
+ * Commit is an optimistic exclusive create of the next version file: two
+ * racing writers both compute v(N+1), the store accepts exactly one, and
+ * the loser re-reads the winner's set and retries on v(N+2) — appends
+ * therefore linearize without a lock service. The exclusive create is
+ * dispatched per store class (see `createExclusive`): HDFS-family/ABFS/GCS
+ * use the store's atomic create, local tables commit by POSIX hard link
+ * (atomic cross-process, unlike RawLocalFileSystem's check-then-create),
+ * and stores without an atomicity guarantee (s3a) are REFUSED unless the
+ * caller opts into single-driver semantics via [[AllowNonAtomicConf]].
  *
  * Contracts:
  *  - the log is ADDITIVE metadata: a table without snapshots behaves
@@ -48,11 +51,24 @@ object Snapshots {
   private val Magic = "graft-snapshot"
   private val MaxCommitAttempts = 20
 
-  /** In-JVM commit mutex per table root. The exclusive create below is the
-   *  cross-process guard, but it is only atomic on stores that implement it
-   *  (HDFS; object stores with conditional put) — LocalFileSystem's
-   *  check-then-create is racy, and the overwhelmingly common case of two
-   *  committers is two jobs of ONE driver, which this stripe serializes. */
+  /** Session conf escape hatch: accept a non-atomic exclusive create on a
+   *  store outside [[AtomicCreateSchemes]] (single-driver deployments where
+   *  the in-JVM mutex is the real guard). Without it, committing on such a
+   *  store fails loudly — a silent double-commit loses files from the log. */
+  val AllowNonAtomicConf = "spark.graft.snapshots.allowNonAtomicCommit"
+
+  /** Stores whose `create(overwrite = false)` is genuinely atomic
+   *  (server-side exclusive create / conditional put): HDFS family, ABFS
+   *  (If-None-Match precondition), GCS (generation-0 precondition). s3a is
+   *  deliberately ABSENT — its create is check-then-create, so two DRIVERS
+   *  can both win a version; `file` is handled separately below with a
+   *  POSIX hard-link commit that IS atomic cross-process. */
+  private val AtomicCreateSchemes =
+    Set("hdfs", "viewfs", "webhdfs", "swebhdfs", "abfs", "abfss", "gs")
+
+  /** In-JVM commit mutex per table root: serializes the common case of two
+   *  committing jobs in ONE driver, so the filesystem race path below only
+   *  arbitrates genuinely concurrent drivers. */
   private val commitLocks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
   private val VFile = """v(\d{12})\.txt""".r
@@ -90,7 +106,7 @@ object Snapshots {
     readFiles(f, root, version)
   }
 
-  private def readFiles(f: FileSystem, root: Path, version: Long): Seq[String] = {
+  private def readText(f: FileSystem, root: Path, version: Long): String = {
     val p = vPath(root, version)
     if (!f.exists(p))
       throw new IllegalArgumentException(
@@ -104,11 +120,24 @@ object Snapshots {
       in.readFully(0, bytes)
       new String(bytes, StandardCharsets.UTF_8)
     } finally in.close()
-    val lines = text.linesIterator.toSeq
-    require(lines.nonEmpty && lines.head.startsWith(Magic + "\t"),
+    require(text.startsWith(Magic + "\t"),
       s"corrupt snapshot file $p: missing header")
-    lines.tail.filter(_.nonEmpty).map(rel => new Path(root, rel).toString)
+    text
   }
+
+  private def readFiles(f: FileSystem, root: Path, version: Long): Seq[String] =
+    readText(f, root, version).linesIterator.drop(1)
+      .filter(_.nonEmpty).map(rel => new Path(root, rel).toString).toSeq
+
+  /** Commit wall-clock (epoch millis) recorded in a version's header — the
+   *  age [[vacuum]]'s `keepCommittedWithinMs` retains by. */
+  def commitTimeMillis(spark: SparkSession, dir: String, version: Long): Long = {
+    val (f, root) = fs(spark, dir)
+    headerTime(f, root, version)
+  }
+
+  private def headerTime(f: FileSystem, root: Path, version: Long): Long =
+    readText(f, root, version).linesIterator.next().split('\t')(3).toLong
 
   /** Append-commit: next version = parent's files ∪ `added`. Retries the
    *  optimistic create against concurrent committers. Returns the committed
@@ -125,11 +154,61 @@ object Snapshots {
   private def commitLoop(spark: SparkSession, dir: String)(
       next: Seq[String] => Seq[String]): Long = {
     val (f, root) = fs(spark, dir)
+    val allowUnsafe =
+      spark.conf.getOption(AllowNonAtomicConf).exists(_.trim.toBoolean)
     val lock = commitLocks.computeIfAbsent(root.toString, _ => new Object)
-    lock.synchronized { commitLoopLocked(f, root, dir)(next) }
+    lock.synchronized { commitLoopLocked(f, root, dir, allowUnsafe)(next) }
   }
 
-  private def commitLoopLocked(f: FileSystem, root: Path, dir: String)(
+  /** Exclusive create of one version file — THE commit point. Dispatch by
+   *  store class so losing a race is always loud, never a double-commit:
+   *   - `file`: POSIX `link(2)` publish — the bytes are fully written to a
+   *     temp file first, then hard-linked to the version name; link fails
+   *     EEXIST atomically (RawLocalFileSystem's `create(overwrite=false)`
+   *     is check-then-create and can double-commit across processes).
+   *     Readers never observe a half-written version file.
+   *   - [[AtomicCreateSchemes]]: the store's own atomic exclusive create.
+   *   - anything else (s3a …): refused unless [[AllowNonAtomicConf]] is
+   *     set — the caller must either bring a conditional-put store or
+   *     explicitly accept single-driver-only semantics. */
+  private[write] def createExclusive(
+      f: FileSystem, target: Path, bytes: Array[Byte], allowUnsafe: Boolean): Unit = {
+    val scheme = Option(target.toUri.getScheme).getOrElse("file")
+    if (scheme == "file") {
+      val nioTarget = java.nio.file.Paths.get(target.toUri)
+      java.nio.file.Files.createDirectories(nioTarget.getParent)
+      val tmp = java.nio.file.Files.createTempFile(
+        nioTarget.getParent, ".commit-", ".tmp")
+      try {
+        java.nio.file.Files.write(tmp, bytes)
+        try java.nio.file.Files.createLink(nioTarget, tmp)
+        catch {
+          case _: java.nio.file.FileAlreadyExistsException =>
+            throw new FileAlreadyExistsException(target.toString)
+          case _: UnsupportedOperationException =>
+            // no hard links on this mount: O_CREAT|O_EXCL is still atomic
+            java.nio.file.Files.write(nioTarget, bytes,
+              java.nio.file.StandardOpenOption.CREATE_NEW)
+        }
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          throw new FileAlreadyExistsException(target.toString)
+      } finally java.nio.file.Files.deleteIfExists(tmp)
+    } else if (AtomicCreateSchemes.contains(scheme) || allowUnsafe) {
+      val out = f.create(target, false)
+      try out.write(bytes) finally out.close()
+    } else {
+      throw new UnsupportedOperationException(
+        s"snapshot commit needs atomic exclusive create, which scheme '$scheme' " +
+          "does not guarantee (check-then-create lets two drivers win the same " +
+          "version, silently losing files from the log). Commit on a conditional-" +
+          s"put store (${AtomicCreateSchemes.mkString("/")}), or accept single-" +
+          s"driver-only semantics explicitly with spark.conf.set(\"$AllowNonAtomicConf\", \"true\")")
+    }
+  }
+
+  private def commitLoopLocked(
+      f: FileSystem, root: Path, dir: String, allowUnsafe: Boolean)(
       next: Seq[String] => Seq[String]): Long = {
     var attempt = 0
     while (attempt < MaxCommitAttempts) {
@@ -148,14 +227,16 @@ object Snapshots {
         .distinct.sorted.foreach(r => body.append(r).append('\n'))
       try {
         // exclusive create IS the commit: exactly one writer wins a version
-        val out = f.create(vPath(root, version), false)
-        try out.write(body.toString.getBytes(StandardCharsets.UTF_8))
-        finally out.close()
+        createExclusive(f, vPath(root, version),
+          body.toString.getBytes(StandardCharsets.UTF_8), allowUnsafe)
         return version
       } catch {
+        // both collision shapes fall through to the loop exit on the last
+        // attempt, so exhaustion always surfaces as the diagnostic below
+        // rather than a raw store exception
         case _: FileAlreadyExistsException => () // lost the race — re-read, retry
-        case e: java.io.IOException if attempt < MaxCommitAttempts &&
-            Option(e.getMessage).exists(_.contains("already exists")) => ()
+        case e: java.io.IOException
+            if Option(e.getMessage).exists(_.contains("already exists")) => ()
       }
     }
     throw new IllegalStateException(
@@ -171,14 +252,31 @@ object Snapshots {
    * must not eat data it was never told about. After a vacuum following a
    * [[commitRewrite]], the live listing equals the latest snapshot again,
    * so default (listing-driven) reads and snapshot reads agree.
-   * Returns the deleted data-file paths.
+   *
+   * `keepCommittedWithinMs > 0` ADDITIONALLY retains every snapshot
+   * committed within that wall-clock window, regardless of count: a
+   * count-only policy exposes pinned readers to the COMMIT RATE (a busy
+   * table can burn through `keepLast` versions while one long job is still
+   * mid-read), while an age bound turns the exposure into a wall-time
+   * guarantee — "any read that finishes within N hours of its pin is
+   * safe". Returns the deleted data-file paths.
    */
-  def vacuum(spark: SparkSession, dir: String, keepLast: Int): Seq[String] = {
+  def vacuum(
+      spark: SparkSession,
+      dir: String,
+      keepLast: Int,
+      keepCommittedWithinMs: Long = 0L): Seq[String] = {
     require(keepLast >= 1, "vacuum must retain at least the latest snapshot")
     val (f, root) = fs(spark, dir)
     val last = latest(f, root).getOrElse(return Nil)
     val all = (1L to last).filter(v => f.exists(vPath(root, v)))
-    val (drop, keep) = all.partition(_ <= last - keepLast)
+    val ageProtected: Long => Boolean =
+      if (keepCommittedWithinMs <= 0) _ => false
+      else {
+        val cutoff = System.currentTimeMillis() - keepCommittedWithinMs
+        v => headerTime(f, root, v) >= cutoff
+      }
+    val (drop, keep) = all.partition(v => v <= last - keepLast && !ageProtected(v))
     if (drop.isEmpty) return Nil
     val keptFiles = keep.flatMap(readFiles(f, root, _)).toSet
     val doomed = drop.flatMap(readFiles(f, root, _)).distinct
@@ -217,6 +315,13 @@ object Snapshots {
    * rewrite/compaction landed in between), file-level provenance can no
    * longer equate "new files" with "new rows" — the call fails loudly
    * rather than double-count rows that compaction rewrote into fresh files.
+   *
+   * Rows are the RAW APPENDED VERSIONS, exactly as written: no LWW
+   * collapse, no tombstone application — a feed consumer that needs merged
+   * rows joins the feed keys back through a normalized read. Engine
+   * bookkeeping columns (`_graft_token` for `keepTokenColumn` layouts and
+   * friends) ARE stripped: they describe the write layout, not the data,
+   * and leaking them would make the feed schema depend on write options.
    */
   def readChanges(
       spark: SparkSession, dir: String, fromVersion: Long, toVersion: Long)
@@ -230,14 +335,47 @@ object Snapshots {
           s"(${removed.length} file(s) removed, e.g. ${removed.head}) — file-level " +
           "change capture is only sound over append lineage; consume up to the " +
           "rewrite, then restart from it")
-    if (added.isEmpty) {
-      // zero changed rows, but keep the TABLE schema on the empty frame
-      val (f, root) = fs(spark, dir)
-      val toFiles = if (toVersion == 0L) Nil else readFiles(f, root, toVersion)
-      if (toFiles.isEmpty) spark.emptyDataFrame
-      else spark.read.parquet(toFiles: _*).limit(0)
-    } else spark.read.parquet(added: _*)
+    val raw =
+      if (added.isEmpty) {
+        // zero changed rows, but keep the TABLE schema on the empty frame
+        val (f, root) = fs(spark, dir)
+        val toFiles = if (toVersion == 0L) Nil else readFiles(f, root, toVersion)
+        if (toFiles.isEmpty) spark.emptyDataFrame
+        else spark.read.parquet(toFiles: _*).limit(0)
+      } else spark.read.parquet(added: _*)
+    stripEngineColumns(raw)
   }
+
+  private[graft] def stripEngineColumns(
+      df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val engine = df.columns.filter(_.startsWith("_graft_"))
+    engine.foldLeft(df)(_.drop(_))
+  }
+
+  /**
+   * Resolve the file set a scan plans from. An explicit pin filters to that
+   * version; with NO pin, a table that HAS a snapshot log defaults to its
+   * LATEST snapshot — the live listing can transiently hold a half-landed
+   * concurrent batch, and after a [[commitRewrite]] vacuumed with
+   * `keepLast > 1` it holds BOTH generations at once, so a listing-driven
+   * read would silently double-count every rewritten row. Raw
+   * listing-driven planning remains (a) the only mode for tables with no
+   * log and (b) an explicit opt-in via `snapshotVersion=listing` (e.g. to
+   * see out-of-band files the log was never told about).
+   */
+  def resolveListing(
+      spark: SparkSession,
+      dir: String,
+      pin: Option[String],
+      all: Array[graft.sources.TokenPruner.FileMeta])
+      : Array[graft.sources.TokenPruner.FileMeta] =
+    pin.map(_.trim.toLowerCase) match {
+      case Some("listing") => all
+      case Some(p) => filterListing(spark, dir, p, all)
+      case None =>
+        if (latestVersion(spark, dir).isEmpty) all
+        else filterListing(spark, dir, "latest", all)
+    }
 
   /** Resolve a pinned version ("latest" or a number) against the log and
    *  restrict `all` (the live listing) to that snapshot's files. A recorded

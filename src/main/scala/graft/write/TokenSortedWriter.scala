@@ -292,17 +292,27 @@ object TokenSortedWriter {
         "snapshot commits reject SaveMode.Overwrite: the parquet committer deletes " +
           "prior files, invalidating every earlier snapshot — compact to a rewrite " +
           "commit (Snapshots.commitRewrite) and vacuum instead")
-    // pre-write file census for the snapshot delta (fresh walk, never the
-    // listing cache — a concurrent invalidation there must not leak files
-    // into this commit's "added" set)
-    val preSnapshot: Set[String] =
-      if (!conf.snapshot) Set.empty
+    // Snapshotted writes land in a hidden per-batch staging dir and are then
+    // moved into the table root, so the committed "added" set is EXACTLY the
+    // files THIS job wrote — a whole-table listing diff would absorb any
+    // concurrent writer's files that landed between its two walks, blurring
+    // per-batch atomicity. Dot-prefixed dirs are invisible to every lister
+    // (ours, Spark's, an oracle glob), so a crashed staging dir never
+    // pollutes reads; the move is a per-file rename (metadata op on
+    // HDFS/local, server-side copy on object stores — the documented cost of
+    // exact provenance without a custom commit protocol).
+    val snapshotTarget: Option[Path] =
+      if (!conf.snapshot) None
       else {
-        val p = new Path(path)
-        val fs = p.getFileSystem(df.sparkSession.sessionState.newHadoopConf())
-        if (!fs.exists(p)) Set.empty
-        else graft.sources.TokenPruner.listDataFiles(fs, fs.makeQualified(p))
-          .map(_.getPath.toString).toSet
+        if (mode == SaveMode.ErrorIfExists) {
+          val p = new Path(path)
+          val fsx = p.getFileSystem(df.sparkSession.sessionState.newHadoopConf())
+          if (fsx.exists(p))
+            throw new IllegalArgumentException(
+              s"path $path already exists (SaveMode.ErrorIfExists)")
+        }
+        Some(new Path(path,
+          s".graft_staging/${java.util.UUID.randomUUID().toString.take(16)}"))
       }
     val sorted =
       if (conf.zorderBy.nonEmpty) zorderSorted(withWriteOptions(df, conf), conf)
@@ -323,18 +333,43 @@ object TokenSortedWriter {
         en.option(s"parquet.bloom.filter.expected.ndv#$c", conf.bloomFilterNdv)
       else en
     }
-    w4.parquet(path)
+    w4.parquet(snapshotTarget.map(_.toString).getOrElse(path))
+    val added: Seq[String] = snapshotTarget match {
+      case None => Nil
+      case Some(stage0) =>
+        val p = new Path(path)
+        val fs = p.getFileSystem(df.sparkSession.sessionState.newHadoopConf())
+        val root = fs.makeQualified(p)
+        val stage = fs.makeQualified(stage0)
+        // move data files root-ward preserving any partition-dir layout;
+        // _SUCCESS and other committer artifacts stay behind and die with
+        // the staging dir
+        def walk(d: Path): Seq[Path] =
+          fs.listStatus(d).toSeq.flatMap { s =>
+            if (s.isDirectory) walk(s.getPath)
+            else if (s.getPath.getName.endsWith(".parquet")) Seq(s.getPath)
+            else Nil
+          }
+        val stagePrefix = stage.toString.stripSuffix("/") + "/"
+        val moved = walk(stage).map { src =>
+          val rel = src.toString.stripPrefix(stagePrefix)
+          val dst = new Path(root, rel)
+          Option(dst.getParent).foreach(fs.mkdirs(_))
+          if (!fs.rename(src, dst))
+            throw new java.io.IOException(
+              s"snapshot staging move failed: $src -> $dst")
+          dst.toString
+        }
+        fs.delete(stage, true)
+        graft.sources.TokenPruner.invalidateListing(path)
+        moved
+    }
     // record planning stats for the new files while their footers are hot —
     // scans then plan from the manifest in O(1) driver IO (S3 at 100 TB)
     Manifest.appendFor(df.sparkSession, path,
       if (conf.ringSplits > 0) Some(conf.ringSplits) else None)
-    if (conf.snapshot) {
-      val p = new Path(path)
-      val fs = p.getFileSystem(df.sparkSession.sessionState.newHadoopConf())
-      val added = graft.sources.TokenPruner.listDataFiles(fs, fs.makeQualified(p))
-        .map(_.getPath.toString).filterNot(preSnapshot).toSeq
+    if (conf.snapshot)
       Snapshots.commitAppend(df.sparkSession, path, added)
-    }
   }
 
   /**
@@ -584,6 +619,11 @@ object TokenSortedWriter {
    *  5. [[Snapshots.vacuum]] to `vacuumRetain` (default 1 = reclaim
    *     everything pre-compaction immediately; larger values keep
    *     time-travel windows open at the cost of disk until a later vacuum).
+   *     At retain > 1 the live LISTING holds both generations, but reads
+   *     stay correct: unpinned graft-source reads of a snapshotted table
+   *     plan from the latest snapshot ([[Snapshots.resolveListing]]), never
+   *     the raw listing — spec-covered against the double-count that a
+   *     listing-driven read would produce.
    *
    * The `_graft_deletes` tombstones are NOT removed: a tombstone must keep
    * suppressing out-of-order re-inserts with older writetimes (the

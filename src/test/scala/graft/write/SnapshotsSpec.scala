@@ -39,7 +39,8 @@ class SnapshotsSpec extends SparkSpec {
     // pinned content, not just count: v1 has exactly ids 0-9
     assert(readPin(dir, "1").select("id").as[Long].collect().sorted.toSeq ==
       (0L until 10L))
-    // unpinned read = live listing (unchanged default behavior)
+    // unpinned read of a snapshotted table = latest snapshot (which here
+    // equals the live listing — both batches committed)
     val live = spark.read.format("graft").option("path", dir)
       .option("pk", "id").load()
     assert(live.count() == 15L)
@@ -91,9 +92,12 @@ class SnapshotsSpec extends SparkSpec {
     val v1Files = Snapshots.files(spark, dir, 1L)
     assert(Snapshots.commitRewrite(spark, dir, v1Files) == 3L)
     assert(readPin(dir, "3").count() == 10L)
-    // live listing still sees the logically-removed files
+    // an UNPINNED read follows the latest snapshot, not the raw listing —
+    // the logically-removed files are invisible even before the vacuum
     assert(spark.read.format("graft").option("path", dir).option("pk", "id")
-      .load().count() == 15L)
+      .load().count() == 10L)
+    // the raw-listing view remains an explicit opt-in
+    assert(readPin(dir, "listing").count() == 15L)
 
     // vacuum to the latest snapshot: v2-only files are deleted, old
     // snapshot files dropped
@@ -176,6 +180,94 @@ class SnapshotsSpec extends SparkSpec {
     // v1 still readable (its files survived), latest is the fold
     assert(readPin(dir, "1").count() == 8L)
     assert(readPin(dir, "latest").count() == 8L)
+    // the UNPINNED read must NOT double-count: the live listing holds both
+    // generations (retain 2 kept v1's files), but planning follows the
+    // latest snapshot — 8 rows, not 16
+    assert(spark.read.format("graft").option("path", dir).option("pk", "id")
+      .load().count() == 8L)
+    // the raw listing really does hold both generations (the hazard is real)
+    assert(readPin(dir, "listing").count() == 16L)
+  }
+
+  test("vacuum keepCommittedWithinMs: age window protects what count alone would drop") {
+    val dir = freshDir()
+    writeSnap(rows(0 until 6), dir)   // v1
+    writeSnap(rows(6 until 9), dir)   // v2
+    writeSnap(rows(9 until 11), dir)  // v3
+    // count-only retention would drop v1+v2; the age window (all three
+    // committed milliseconds ago) protects them
+    assert(Snapshots.vacuum(spark, dir, keepLast = 1,
+      keepCommittedWithinMs = 3600 * 1000L).isEmpty)
+    assert(readPin(dir, "1").count() == 6L) // pin inside the window survives
+    // with the window disabled, count-only retention applies: v1/v2's log
+    // entries drop (no data files die — append lineage keeps them all live
+    // in v3), and the old pin is gone
+    Snapshots.vacuum(spark, dir, keepLast = 1)
+    intercept[Exception](readPin(dir, "1").count())
+    assert(readPin(dir, "3").count() == 11L)
+  }
+
+  test("snapshot added-set is the batch's own files: out-of-band files never absorbed") {
+    val dir = freshDir()
+    writeSnap(rows(0 until 5), dir) // v1
+    // a foreign writer drops a parquet file into the table dir between
+    // snapshotted batches (or: a concurrent non-snapshot append lands)
+    rows(100 until 103).write.mode(SaveMode.Append).parquet(dir)
+    writeSnap(rows(5 until 8), dir) // v2 — must NOT absorb the foreign file
+    val v2 = readPin(dir, "2").select("id").as[Long].collect().sorted.toSeq
+    assert(v2 == (0L until 8L), s"foreign rows leaked into the snapshot: $v2")
+    // the foreign file is still on disk and visible to a listing read
+    assert(readPin(dir, "listing").count() == 11L)
+  }
+
+  test("change feed strips engine columns from keepTokenColumn layouts") {
+    val dir = freshDir()
+    val conf = TokenSortedWriter.WriteConf(
+      numPartitions = 2, snapshot = true, keepTokenColumn = true)
+    TokenSortedWriter.write(rows(0 until 5), schema, dir, SaveMode.Append, conf)
+    TokenSortedWriter.write(rows(5 until 8), schema, dir, SaveMode.Append, conf)
+    val feed = Snapshots.readChanges(spark, dir, 1L, 2L)
+    assert(!feed.columns.exists(_.startsWith("_graft_")),
+      s"engine columns leaked into the change feed: ${feed.columns.mkString(",")}")
+    assert(feed.select("id").as[Long].collect().sorted.toSeq == (5L until 8L))
+  }
+
+  test("commit refuses non-atomic stores; local commit publishes atomically") {
+    val fs = new org.apache.hadoop.fs.Path("/tmp")
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    // scheme without an atomic exclusive create → loud refusal naming the fix
+    val e = intercept[UnsupportedOperationException] {
+      Snapshots.createExclusive(fs,
+        new org.apache.hadoop.fs.Path("s3a://bucket/t/_graft_snapshots/v1.txt"),
+        "x".getBytes, allowUnsafe = false)
+    }
+    assert(e.getMessage.contains("s3a") &&
+      e.getMessage.contains(Snapshots.AllowNonAtomicConf))
+
+    // local scheme: two raw racers (bypassing the in-JVM commit mutex) on the
+    // SAME version file — exactly one wins, the loser sees the collision
+    val d = Files.createTempDirectory("graft_excl_")
+    val target = new org.apache.hadoop.fs.Path(
+      fs.makeQualified(new org.apache.hadoop.fs.Path(d.toString)), "v1.txt")
+    val wins = new java.util.concurrent.atomic.AtomicInteger()
+    val losses = new java.util.concurrent.atomic.AtomicInteger()
+    val threads = (0 until 8).map { i =>
+      new Thread(() =>
+        try {
+          Snapshots.createExclusive(fs, target,
+            s"graft-snapshot\t1\t1\t0\t-\nwinner$i\n".getBytes, allowUnsafe = false)
+          wins.incrementAndGet()
+        } catch {
+          case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
+            losses.incrementAndGet()
+        })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(wins.get() == 1 && losses.get() == 7)
+    // the winner's content is complete (atomic publish, no torn write)
+    val content = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(target.toUri)))
+    assert(content.startsWith("graft-snapshot\t") && content.endsWith("\n"))
   }
 
   test("readChanges: exact increments, empty range, rewrite barrier") {
