@@ -408,6 +408,36 @@ object Battery {
         .agg(sum(col("n_docs")).as("n_docs"), sum(col("total_chars")).as("total_chars"))
     }),
 
+    // change-feed STREAM: the snapshot log as the micro-batch offset ledger
+    // (version = offset) — a real streaming query (AvailableNow) consumes
+    // two committed increments as exact per-version batches, skipping the
+    // v1 history via startingVersion; the oracle is both increments in
+    // closed form (EventStreamsSpec proves the rewrite barrier and the
+    // batch-twin equality)
+    "q149_change_feed_stream" -> ((s, d) => {
+      val out = java.nio.file.Files.createTempDirectory("graft_cfsq_")
+        .toString + "/documents"
+      val schema = CqlSchema("documents", Seq("doc_id"))
+      val base = docs(s, d).select(col("doc_id"), col("text"), col("source"))
+      val conf = TokenSortedWriter.WriteConf(numPartitions = 4, snapshot = true)
+      TokenSortedWriter.write(base, schema, out, SaveMode.Append, conf) // v1
+      TokenSortedWriter.write(
+        base.withColumn("doc_id", col("doc_id") + lit(TwinOff)),
+        schema, out, SaveMode.Append, conf)                             // v2
+      TokenSortedWriter.write(
+        base.withColumn("doc_id", col("doc_id") + lit(2L * TwinOff)),
+        schema, out, SaveMode.Append, conf)                             // v3
+      val qname = "graft_cf_q149_" +
+        java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+      val q = s.readStream.format("graft")
+        .option("path", out).option("pk", "doc_id")
+        .option("changeFeed", "true").option("startingVersion", "1").load()
+        .writeStream.format("memory").queryName(qname)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      try q.awaitTermination() finally q.stop()
+      s.table(qname).select(col("doc_id"), col("text"), col("source"))
+    }),
+
     // in-place compaction through the snapshot log: two LWW generations plus
     // a partition tombstone fold into one fresh generation INSIDE the table
     // dir (commitRewrite + vacuum), and the post-compaction clustered read
@@ -2416,6 +2446,11 @@ object Battery {
     // the v1→v2 delta IS the shifted increment
     "q147_change_feed" ->
       """SELECT doc_id + 1000000 AS doc_id, text, source FROM documents""",
+    // the v2 and v3 increments, exactly once each
+    "q149_change_feed_stream" ->
+      """SELECT doc_id + 1000000 AS doc_id, text, source FROM documents
+        |UNION ALL
+        |SELECT doc_id + 2000000 AS doc_id, text, source FROM documents""".stripMargin,
     // stored + delta = direct aggregate over the doubled corpus
     "q148_incremental_agg" ->
       """SELECT source, CAST(2 * COUNT(*) AS BIGINT) AS n_docs,

@@ -255,7 +255,17 @@ class GraftTable(
     GraftDataSource.validateReadTypes(options)
     val pin = Option(options.get("snapshotVersion"))
       .orElse(Option(tableOptions.get("snapshotVersion")))
-    new GraftScanBuilder(dir, annotated, cql, options.getBoolean("clustered", false), pin)
+    // changeFeed=true (streaming): snapshot-version offset ledger; the
+    // optional startingVersion is the version the feed starts AFTER
+    val changeFeed =
+      if (options.getBoolean("changeFeed", false) ||
+          tableOptions.getBoolean("changeFeed", false))
+        Some(Option(options.get("startingVersion"))
+          .orElse(Option(tableOptions.get("startingVersion")))
+          .map(_.trim.toLong).getOrElse(0L))
+      else None
+    new GraftScanBuilder(dir, annotated, cql,
+      options.getBoolean("clustered", false), pin, changeFeed)
   }
 
   override def newWriteBuilder(
@@ -298,7 +308,8 @@ class GraftScanBuilder(
     annotated: StructType,
     cql: CqlSchema,
     clustered: Boolean = false,
-    snapshotPin: Option[String] = None)
+    snapshotPin: Option[String] = None,
+    changeFeed: Option[Long] = None)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownLimit
     with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
@@ -388,7 +399,8 @@ class GraftScanBuilder(
     statsOps match {
       case Some((ops, files)) => new GraftStatsScan(dir, ops, files)
       case None =>
-        new GraftScan(dir, annotated, required, pushed, cql, clustered, limit, snapshotPin)
+        new GraftScan(dir, annotated, required, pushed, cql, clustered, limit,
+          snapshotPin, changeFeed)
     }
 }
 
@@ -472,7 +484,8 @@ class GraftScan(
     cql: CqlSchema,
     clustered: Boolean = false,
     limit: Option[Int] = None,
-    snapshotPin: Option[String] = None)
+    snapshotPin: Option[String] = None,
+    changeFeed: Option[Long] = None)
     extends Scan with Batch with SupportsReportStatistics with SupportsRuntimeFiltering
     with org.apache.spark.sql.graftshim.ClusterReportingScan {
 
@@ -607,15 +620,23 @@ class GraftScan(
   }
   override def createReaderFactory(): PartitionReaderFactory = delegate.createReaderFactory()
 
-  /** Streaming: new-file arrival micro-batches over the same planning and
-   *  decode stack (pushdown, manifest listing, vectorized parquet). */
+  /** Streaming: micro-batches over the same planning and decode stack
+   *  (pushdown, manifest listing, vectorized parquet). Default mode tails
+   *  new-file arrival; `changeFeed=true` switches to the snapshot-log
+   *  ledger (version = offset — exact, rewrite-aware increments). */
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
     // a stream tails the LIVE table by definition; a pinned version would
     // either never produce data or silently ignore the pin — fail fast
     snapshotPin.foreach(v => throw new IllegalArgumentException(
       s"snapshotVersion=$v is a batch-read pin; streaming reads tail the live table"))
-    new GraftMicroBatchStream(spark, dir, fullFileSchema, required, pushed, cql)
+    changeFeed match {
+      case Some(startAfter) =>
+        new GraftChangeFeedStream(
+          spark, dir, fullFileSchema, required, pushed, cql, startAfter)
+      case None =>
+        new GraftMicroBatchStream(spark, dir, fullFileSchema, required, pushed, cql)
+    }
   }
 
   /** Exact post-pruning statistics so Catalyst sizes joins correctly

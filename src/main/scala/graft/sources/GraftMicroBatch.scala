@@ -79,3 +79,81 @@ class GraftMicroBatchStream(
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
 }
+
+/**
+ * Snapshot-log change-feed micro-batches (`changeFeed=true` read option):
+ * the offset ledger IS the table's committed snapshot version — batch N
+ * reads exactly the files the version range `(start, end]` ADDED to the
+ * log ([[graft.write.Snapshots.diff]]).
+ *
+ * Versus the listing-tail stream above:
+ *  - offsets are O(1) (one long) instead of O(#files);
+ *  - increments are EXACT: a half-landed concurrent batch's files are
+ *    invisible until their commit, so a micro-batch can never split a
+ *    write batch in two or read a file the log never heard of;
+ *  - REWRITE-AWARE: when a compaction ([[graft.write.Snapshots.commitRewrite]])
+ *    lands mid-stream, a listing tail would silently re-deliver every
+ *    rewritten row as "new"; this stream detects removed files in the
+ *    version range and fails loudly with a restart point — the exact
+ *    contract of [[graft.write.Snapshots.readChanges]], which is this
+ *    stream's one-shot batch twin (spec-proven equal).
+ *
+ * `startingVersion` = the version the feed starts AFTER (0 = deliver from
+ * the table's first commit). Uncommitted (out-of-band) files never appear.
+ */
+class GraftChangeFeedStream(
+    spark: SparkSession,
+    dir: String,
+    dataSchema: StructType,
+    required: StructType,
+    pushed: Array[Filter],
+    cql: CqlSchema,
+    startingVersion: Long) extends MicroBatchStream {
+
+  private case class VersionOffset(version: Long) extends Offset {
+    override def json(): String = s"""{"version":$version}"""
+  }
+
+  override def initialOffset(): Offset = VersionOffset(startingVersion)
+
+  override def latestOffset(): Offset = VersionOffset(
+    graft.write.Snapshots.latestVersion(spark, dir).getOrElse(startingVersion))
+
+  override def deserializeOffset(json: String): Offset = {
+    val m = """"version"\s*:\s*(\d+)""".r.findFirstMatchIn(json)
+    require(m.isDefined, s"bad graft change-feed offset: $json")
+    VersionOffset(m.get.group(1).toLong)
+  }
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val from = start.asInstanceOf[VersionOffset].version
+    val to = end.asInstanceOf[VersionOffset].version
+    if (to <= from) return Array.empty
+    val (added, removed) = graft.write.Snapshots.diff(spark, dir, from, to)
+    if (removed.nonEmpty)
+      throw new IllegalStateException(
+        s"change feed on $dir: versions $from→$to cross a rewrite commit " +
+          s"(${removed.length} file(s) removed, e.g. ${removed.head}) — restart " +
+          s"the stream with startingVersion=$to after reconciling downstream " +
+          "state (rewritten rows would otherwise re-deliver as new)")
+    if (added.isEmpty) return Array.empty
+    val metas = TokenPruner.listFiles(spark, dir).map(m => m.path -> m).toMap
+    val missing = added.filterNot(metas.contains)
+    if (missing.nonEmpty)
+      throw new IllegalStateException(
+        s"change feed on $dir: ${missing.length} file(s) of versions $from→$to " +
+          s"are gone from the live listing (vacuumed past retention?); first: " +
+          s"${missing.head} — an increment must never silently shrink")
+    val pruned = TokenPruner.prune(spark, added.map(metas).toArray, pushed, cql)
+    if (pruned.isEmpty) Array.empty
+    else ParquetScanBridge.parquetBatch(
+      spark, pruned.map(_.path).toSeq, dataSchema, required, pushed).planInputPartitions()
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    ParquetScanBridge.parquetBatch(spark, Seq.empty, dataSchema, required, pushed)
+      .createReaderFactory()
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}

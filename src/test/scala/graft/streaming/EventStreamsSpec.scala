@@ -388,6 +388,79 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("changeFeed stream: snapshot version = offset; exact, rewrite-aware increments") {
+    import spark.implicits._
+    import graft.model.CqlSchema
+    import graft.write.{Snapshots, TokenSortedWriter}
+    val dir = java.nio.file.Files.createTempDirectory("graft_cfs_").toString + "/docs"
+    val schema = CqlSchema("docs", Seq("id"))
+    def writeSnap(ids: Range): Unit =
+      TokenSortedWriter.write(ids.map(i => (i.toLong, s"v$i")).toDF("id", "payload"),
+        schema, dir, org.apache.spark.sql.SaveMode.Append,
+        TokenSortedWriter.WriteConf(numPartitions = 2, snapshot = true))
+
+    writeSnap(0 until 5) // v1
+    val stream = spark.readStream.format("graft")
+      .option("path", dir).option("pk", "id")
+      .option("changeFeed", "true").load()
+    assert(stream.isStreaming)
+    val q = stream.writeStream.format("memory").queryName("cf_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("cf_out").count() == 5L)
+      // two more committed versions — each arrives exactly once
+      writeSnap(5 until 9)  // v2
+      writeSnap(9 until 12) // v3
+      q.processAllAvailable()
+      def got(): Seq[Long] =
+        spark.table("cf_out").select("id").as[Long].collect().sorted.toSeq
+      assert(got() == (0L until 12L))
+      // batch twin: the one-shot change feed over the same version range
+      // delivers the same rows
+      assert(Snapshots.readChanges(spark, dir, 0L, 3L)
+        .select("id").as[Long].collect().sorted.toSeq == got())
+      // an out-of-band file (never committed to the log) stays invisible
+      Seq((100L, "oob")).toDF("id", "payload")
+        .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(dir)
+      q.processAllAvailable()
+      assert(got() == (0L until 12L))
+      // a rewrite mid-stream fails LOUDLY instead of re-delivering
+      Snapshots.commitRewrite(spark, dir, Snapshots.files(spark, dir, 3L).take(1))
+      val e = intercept[Exception](q.processAllAvailable())
+      def messages(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+      assert(messages(e).exists(_.contains("rewrite")), messages(e).mkString(" | "))
+    } finally q.stop()
+  }
+
+  test("changeFeed stream: startingVersion skips history, equals the batch feed") {
+    import spark.implicits._
+    import graft.model.CqlSchema
+    import graft.write.{Snapshots, TokenSortedWriter}
+    val dir = java.nio.file.Files.createTempDirectory("graft_cfsv_").toString + "/docs"
+    val schema = CqlSchema("docs", Seq("id"))
+    def writeSnap(ids: Range): Unit =
+      TokenSortedWriter.write(ids.map(i => (i.toLong, s"v$i")).toDF("id", "payload"),
+        schema, dir, org.apache.spark.sql.SaveMode.Append,
+        TokenSortedWriter.WriteConf(numPartitions = 2, snapshot = true))
+    writeSnap(0 until 6)  // v1 — history the feed must skip
+    writeSnap(6 until 9)  // v2
+    writeSnap(9 until 10) // v3
+    val q = spark.readStream.format("graft")
+      .option("path", dir).option("pk", "id")
+      .option("changeFeed", "true").option("startingVersion", "1").load()
+      .writeStream.format("memory").queryName("cf_sv_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("cf_sv_out").select("id").as[Long].collect().sorted.toSeq
+      assert(got == (6L until 10L))
+      assert(Snapshots.readChanges(spark, dir, 1L, 3L)
+        .select("id").as[Long].collect().sorted.toSeq == got)
+    } finally q.stop()
+  }
+
   test("streaming dedup drops re-delivered events inside the watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
