@@ -408,6 +408,26 @@ object Battery {
         .agg(sum(col("n_docs")).as("n_docs"), sum(col("total_chars")).as("total_chars"))
     }),
 
+    // Z-order over a STRING dimension: sampled-quantile rank normalization
+    // (common-prefix strip + byte-image + approxQuantile cuts) clusters the
+    // string axis so string predicates prune files via footer string stats
+    // (ZOrderSpec measures the pruning; this is the round-trip oracle —
+    // note byte-wise string order: 'src12' sorts between 'src1' and 'src2')
+    "q150_zorder_string_band" -> ((s, d) => {
+      val schema = CqlSchema("documents", Seq("doc_id"))
+      val out = java.nio.file.Files.createTempDirectory("graft_zos_")
+        .toString + "/documents"
+      TokenSortedWriter.write(
+        docs(s, d).select(col("doc_id"), col("source"), col("n_chars")),
+        schema, out, SaveMode.Append,
+        TokenSortedWriter.WriteConf(numPartitions = 8,
+          zorderBy = Seq("source", "n_chars")))
+      TokenSortedWriter.read(s, schema, out)
+        .filter(col("source") >= "src0" && col("source") <= "src12" &&
+          col("n_chars") <= 300L)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+    }),
+
     // change-feed STREAM: the snapshot log as the micro-batch offset ledger
     // (version = offset) — a real streaming query (AvailableNow) consumes
     // two committed increments as exact per-version batches, skipping the
@@ -2446,6 +2466,9 @@ object Battery {
     // the v1→v2 delta IS the shifted increment
     "q147_change_feed" ->
       """SELECT doc_id + 1000000 AS doc_id, text, source FROM documents""",
+    "q150_zorder_string_band" ->
+      """SELECT doc_id, source, n_chars FROM documents
+        |WHERE source >= 'src0' AND source <= 'src12' AND n_chars <= 300""".stripMargin,
     // the v2 and v3 increments, exactly once each
     "q149_change_feed_stream" ->
       """SELECT doc_id + 1000000 AS doc_id, text, source FROM documents

@@ -707,7 +707,14 @@ object TokenPruner {
       /** xxhash64 of the file's full contents, recorded at write time (the
        *  reference digests every written SSTable, `SortedSSTableWriter
        *  .java:67-327`); None for pre-digest or externally-added files. */
-      digest: Option[Long] = None)
+      digest: Option[Long] = None,
+      /** Per-column min/max for STRING columns (UTF8-annotated binary) —
+       *  lets file-level pruning serve string predicates, which a Z-order
+       *  layout over a string dimension makes narrow per file. Ordering is
+       *  unsigned byte-wise over the UTF-8 encoding (Spark's UTF8String
+       *  order AND modern parquet's UTF8 stats order). Empty for manifests
+       *  written before the format carried it (conservative: no pruning). */
+      strRanges: Map[String, (String, String)] = Map.empty)
 
   /** =/IN values pushed per pk column. Pushed attribute names arrive
    *  back-quoted when they need quoting (`EqualTo(\`user id\`, 1)`), so
@@ -878,12 +885,40 @@ object TokenPruner {
             col -> (hits.map(_._2._1).min, hits.map(_._2._2).max)
         }
       }
+      val stringCols: Set[String] =
+        reader.getFileMetaData.getSchema.getColumns.asScala.filter { c =>
+          c.getPrimitiveType.getLogicalTypeAnnotation match {
+            case _: org.apache.parquet.schema.LogicalTypeAnnotation.StringLogicalTypeAnnotation => true
+            case _ => false
+          }
+        }.map(_.getPath.mkString(".")).toSet
+      val strRanges: Map[String, (String, String)] = {
+        val perCol = blocks.flatMap { b =>
+          b.getColumns.asScala.flatMap { c =>
+            val st = c.getStatistics
+            if (st == null || !st.hasNonNullValue ||
+                !stringCols.contains(c.getPath.toDotString)) None
+            else (st.genericGetMin, st.genericGetMax) match {
+              case (mn: org.apache.parquet.io.api.Binary,
+                    mx: org.apache.parquet.io.api.Binary) =>
+                Some(c.getPath.toDotString ->
+                  (mn.toStringUsingUTF8, mx.toStringUsingUTF8))
+              case _ => None
+            }
+          }
+        }
+        perCol.groupBy(_._1).collect {
+          case (col, hits) if hits.size == blocks.size =>
+            col -> (hits.map(_._2._1).min(utf8Ordering),
+              hits.map(_._2._2).max(utf8Ordering))
+        }
+      }
       val hasToken = footer.getFileMetaData.getSchema.getFields.asScala
         .exists(_.getName == TokenSortedWriter.TokenCol)
       val tokenRange = if (hasToken) longRanges.get(TokenSortedWriter.TokenCol) else None
       val uncompressed = blocks.map(_.getTotalByteSize).sum
       FileMeta(path.toString, len, uncompressed, rows, hasToken, tokenRange,
-        longRanges - TokenSortedWriter.TokenCol)
+        longRanges - TokenSortedWriter.TokenCol, strRanges = strRanges)
     } finally reader.close()
   }
 
@@ -973,6 +1008,19 @@ object TokenPruner {
     }
   }
 
+  /** Unsigned byte-wise comparison of UTF-8 encodings — the ONE string
+   *  order every layer here agrees on: Spark's `UTF8String.compareTo`,
+   *  parquet's UTF8 stats sort order, and the manifest round-trip.
+   *  `String.compareTo` (UTF-16 code units) differs above the BMP and must
+   *  never be used for pruning decisions. */
+  private[graft] def cmpUtf8(a: String, b: String): Int =
+    java.util.Arrays.compareUnsigned(
+      a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      b.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+  private[graft] val utf8Ordering: Ordering[String] =
+    (a: String, b: String) => cmpUtf8(a, b)
+
   /** Can a file's integral-column [min,max] stats satisfy this filter?
    *  Sound by construction: a file is excluded only when NO non-null value
    *  inside its recorded range could match. Stats cover non-null values
@@ -994,33 +1042,74 @@ object TokenPruner {
       case _ => None
     }
     def range(c: String): Option[(Long, Long)] = f.pkRanges.get(uq(c))
+    // string bounds as (cmp(v, min), cmp(v, max)) — None when there are no
+    // string stats for the column or the value is not a string (keep)
+    def strCmp(c: String, v: Any): Option[(Int, Int)] =
+      (f.strRanges.get(uq(c)), v) match {
+        case (Some((mn, mx)), s: String) => Some((cmpUtf8(s, mn), cmpUtf8(s, mx)))
+        case _ => None
+      }
     filter match {
       case EqualTo(c, v) => (range(c), asLong(v)) match {
         case (Some((mn, mx)), Some(x)) => x >= mn && x <= mx
-        case _ => true
+        case _ => strCmp(c, v) match {
+          case Some((dmn, dmx)) => dmn >= 0 && dmx <= 0
+          case None => true
+        }
       }
       case In(c, vs) => range(c) match {
         case Some((mn, mx)) =>
           val longs = vs.flatMap(asLong)
           // any non-integral value in the IN list defeats evaluation: keep
           longs.length < vs.length || longs.exists(x => x >= mn && x <= mx)
-        case None => true
+        case None => f.strRanges.get(uq(c)) match {
+          case Some((smn, smx)) =>
+            val strs = vs.collect { case s: String => s }
+            strs.length < vs.length ||
+              strs.exists(s => cmpUtf8(s, smn) >= 0 && cmpUtf8(s, smx) <= 0)
+          case None => true
+        }
       }
       case GreaterThan(c, v) => (range(c), asLong(v)) match {
         case (Some((_, mx)), Some(x)) => mx > x
-        case _ => true
+        case _ => strCmp(c, v) match {
+          case Some((_, dmx)) => dmx < 0 // file max > v
+          case None => true
+        }
       }
       case GreaterThanOrEqual(c, v) => (range(c), asLong(v)) match {
         case (Some((_, mx)), Some(x)) => mx >= x
-        case _ => true
+        case _ => strCmp(c, v) match {
+          case Some((_, dmx)) => dmx <= 0
+          case None => true
+        }
       }
       case LessThan(c, v) => (range(c), asLong(v)) match {
         case (Some((mn, _)), Some(x)) => mn < x
-        case _ => true
+        case _ => strCmp(c, v) match {
+          case Some((dmn, _)) => dmn > 0 // file min < v
+          case None => true
+        }
       }
       case LessThanOrEqual(c, v) => (range(c), asLong(v)) match {
         case (Some((mn, _)), Some(x)) => mn <= x
-        case _ => true
+        case _ => strCmp(c, v) match {
+          case Some((dmn, _)) => dmn >= 0
+          case None => true
+        }
+      }
+      case StringStartsWith(c, p) => f.strRanges.get(uq(c)) match {
+        // strings with prefix p form the interval [p, next(p)): the file can
+        // match only if max >= p (full-string compare — any prefixed string
+        // is >= p) AND min's first |p| BYTES are <= p (min is the floor of
+        // every value; a min whose prefix already exceeds p excludes all)
+        case Some((mn, mx)) =>
+          val pb = p.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val mnb = mn.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val mnPrefix = java.util.Arrays.copyOfRange(mnb, 0, math.min(pb.length, mnb.length))
+          cmpUtf8(p, mx) <= 0 &&
+            java.util.Arrays.compareUnsigned(mnPrefix, pb) <= 0
+        case None => true
       }
       case And(l, r) => allowsStats(f, l) && allowsStats(f, r)
       case Or(l, r) => allowsStats(f, l) || allowsStats(f, r)

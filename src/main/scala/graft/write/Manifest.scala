@@ -112,8 +112,22 @@ object Manifest {
     val ranges = m.pkRanges.toSeq.sortBy(_._1)
       .map { case (c, (mn, mx)) => s"${escapeCol(c)}=$mn:$mx" }.mkString(";")
     val dig = m.digest.map(_.toString).getOrElse("-")
-    s"$rel\t${m.sizeBytes}\t${m.uncompressedBytes}\t${m.rows}\t${m.hasTokenColumn}\t$tok\t$ranges\t$ring\t$dig"
+    // string min/max ride base64-encoded (UTF-8 bytes): arbitrary content —
+    // delimiters, newlines, NULs — survives the TSV round-trip; '-' = none
+    val strs =
+      if (m.strRanges.isEmpty) "-"
+      else m.strRanges.toSeq.sortBy(_._1)
+        .map { case (c, (mn, mx)) => s"${escapeCol(c)}=${b64(mn)}:${b64(mx)}" }
+        .mkString(";")
+    s"$rel\t${m.sizeBytes}\t${m.uncompressedBytes}\t${m.rows}\t${m.hasTokenColumn}\t$tok\t$ranges\t$ring\t$dig\t$strs"
   }
+
+  private def b64(s: String): String =
+    java.util.Base64.getEncoder.encodeToString(
+      s.getBytes(StandardCharsets.UTF_8))
+
+  private def unb64(s: String): String =
+    new String(java.util.Base64.getDecoder.decode(s), StandardCharsets.UTF_8)
 
   /** Column names are percent-escaped in the `col=min:max;...` field so a
    *  quoted CQL identifier containing any delimiter (`;` `=` `:` tab `%`)
@@ -139,8 +153,11 @@ object Manifest {
 
   private def parse(root: Path, l: String): Option[FileMeta] = {
     val parts = l.split("\t", -1)
-    // 8 = original format; 10 = + nominal ring range; 11 = + content digest
-    if (parts.length != 8 && parts.length != 10 && parts.length != 11) return None
+    // 8 = original format; 10 = + nominal ring range; 11 = + content digest;
+    // 12 = + string-column ranges (older rows parse with strRanges empty —
+    // conservative: no string pruning for files recorded pre-format)
+    if (parts.length != 8 && parts.length != 10 && parts.length != 11 &&
+        parts.length != 12) return None
     try {
       def range(a: String, b: String): Option[(Long, Long)] =
         if (a == "-" || b == "-") None else Some((a.toLong, b.toLong))
@@ -160,8 +177,20 @@ object Manifest {
       }.toMap
       val ring = if (parts.length >= 10) range(parts(8), parts(9)) else None
       val digest = if (parts.length >= 11 && parts(10) != "-") Some(parts(10).toLong) else None
+      val strRanges: Map[String, (String, String)] =
+        if (parts.length < 12 || parts(11) == "-") Map.empty
+        else parts(11).split(";").filter(_.nonEmpty).flatMap { kv =>
+          kv.split("=", 2) match {
+            case Array(c, r) => r.split(":", 2) match {
+              case Array(mn, mx) => Some(unescapeCol(c) -> (unb64(mn), unb64(mx)))
+              case _ => None
+            }
+            case _ => None
+          }
+        }.toMap
       Some(FileMeta(new Path(root, parts(0)).toString, parts(1).toLong, parts(2).toLong,
-        parts(3).toLong, parts(4).toBoolean, tokenRange, ranges, ring, digest))
+        parts(3).toLong, parts(4).toBoolean, tokenRange, ranges, ring, digest,
+        strRanges))
       // the manifest is a CACHE: any malformed line (bit rot, partial write,
       // manual edit) is dropped so the file falls back to a footer read —
       // a corrupt manifest must never fail the scan

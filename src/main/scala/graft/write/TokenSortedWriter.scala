@@ -4,7 +4,7 @@ import graft.functions.graft_token
 import graft.model.CqlSchema.qcol
 import graft.model.CqlSchema
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 /**
@@ -212,32 +212,93 @@ object TokenSortedWriter {
    * exact as a RANK only while the span fits double precision — beyond
    * 2^53 adjacent values may share ranks, which coarsens clustering but
    * never affects correctness (pruning reads the true footer stats, not
-   * the ranks). Nulls rank 0. Integral columns only (the stats-pruning
-   * surface).
+   * the ranks). Nulls rank 0.
+   *
+   * Dimension types and their rank images:
+   *  - integral: the value itself over global [min, max];
+   *  - date / timestamp: epoch days (`unix_date`) / micros (`unix_micros`)
+   *    over the same linear path;
+   *  - string: the global min/max strings fix the corpus' common UTF-8
+   *    byte prefix; each value maps to the unsigned integer of its next 7
+   *    bytes after that prefix (zero-padded — order-preserving in Spark's
+   *    unsigned byte-wise string order), then ranks by SAMPLED QUANTILE
+   *    boundaries of that image (256 buckets, one `approxQuantile` pass,
+   *    bucket lookup = a balanced when-tree, 8 codegen compares/row). A
+   *    linear min-to-max map would waste nearly the whole rank space on
+   *    byte-distribution gaps (text concentrates in a sliver of the 256^7
+   *    image space); quantile ranks give every bucket equal data mass, so
+   *    files get NARROW string footer ranges and string predicates prune
+   *    on this axis through `FileMeta.strRanges`.
    */
   def zorderSorted(df: DataFrame, conf: WriteConf): DataFrame = {
+    import org.apache.spark.sql.types._
     val cols = conf.zorderBy
     require(cols.size >= 2 && cols.size <= 4,
       s"zorderBy needs 2-4 columns, got ${cols.size}")
-    cols.foreach { c =>
-      val dt = df.schema(CqlSchema.unquoted(c)).dataType
-      require(dt == org.apache.spark.sql.types.LongType ||
-        dt == org.apache.spark.sql.types.IntegerType ||
-        dt == org.apache.spark.sql.types.ShortType ||
-        dt == org.apache.spark.sql.types.ByteType,
-        s"zorderBy column $c must be integral, got $dt")
+    val dts: Map[String, DataType] =
+      cols.map(c => c -> df.schema(CqlSchema.unquoted(c)).dataType).toMap
+    // long-valued image of a dimension, None for strings (prefix-ranked below)
+    def numExpr(c: String): Option[Column] = dts(c) match {
+      case LongType | IntegerType | ShortType | ByteType => Some(qcol(c).cast("long"))
+      case DateType => Some(unix_date(qcol(c)).cast("long"))
+      case TimestampType => Some(unix_micros(qcol(c)))
+      case _ => None
     }
-    val aggCols = cols.flatMap(c =>
-      Seq(min(qcol(c)).cast("long"), max(qcol(c)).cast("long")))
+    cols.foreach { c =>
+      require(numExpr(c).isDefined || dts(c) == StringType,
+        s"zorderBy column $c must be integral, date, timestamp or string, got ${dts(c)}")
+    }
+    val aggCols = cols.flatMap { c =>
+      numExpr(c) match {
+        case Some(e) => Seq(min(e).cast("long"), max(e).cast("long"))
+        case None => Seq(min(qcol(c)), max(qcol(c)))
+      }
+    }
     val bounds = df.agg(aggCols.head, aggCols.tail: _*).head()
+    def linearRank(vExpr: Column, mn: Long, mx: Long): Column = {
+      val span = math.max(1.0, mx.toDouble - mn.toDouble)
+      least(lit(65535L), greatest(lit(0L),
+        floor((coalesce(vExpr, lit(mn)) - lit(mn))
+          .cast("double") / lit(span) * lit(65535.0)).cast("long")))
+    }
     val ranks = cols.zipWithIndex.map { case (c, i) =>
       if (bounds.isNullAt(2 * i)) lit(0L) // all-null column
-      else {
-        val (mn, mx) = (bounds.getLong(2 * i), bounds.getLong(2 * i + 1))
-        val span = math.max(1.0, mx.toDouble - mn.toDouble)
-        least(lit(65535L), greatest(lit(0L),
-          floor((coalesce(qcol(c).cast("long"), lit(mn)) - lit(mn))
-            .cast("double") / lit(span) * lit(65535.0)).cast("long")))
+      else numExpr(c) match {
+        case Some(e) =>
+          linearRank(e, bounds.getLong(2 * i), bounds.getLong(2 * i + 1))
+        case None =>
+          val utf8 = java.nio.charset.StandardCharsets.UTF_8
+          val mnB = bounds.getString(2 * i).getBytes(utf8)
+          val mxB = bounds.getString(2 * i + 1).getBytes(utf8)
+          var p = 0
+          while (p < mnB.length && p < mxB.length && mnB(p) == mxB(p)) p += 1
+          // unsigned integer of bytes [p, p+7), zero-padded — 56 bits keeps
+          // the long positive and the rank math inside double precision
+          val vExpr = conv(hex(rpad(
+            substring(qcol(c).cast("binary"), p + 1, 7), 7, Array[Byte](0))),
+            16, 10).cast("long")
+          // sampled quantile boundaries of the image (255 cut points =
+          // 256 equal-mass buckets; relativeError 1e-3 ≈ exact at file
+          // granularity). Degenerate distributions dedup to fewer cuts.
+          val cuts = df.select(vExpr.cast("double").as("__graft_zimg"))
+            .na.drop("all")
+            .stat.approxQuantile("__graft_zimg",
+              (1 until 256).map(_ / 256.0).toArray, 0.001)
+            .map(_.toLong).distinct.sorted
+          if (cuts.isEmpty) lit(0L)
+          else {
+            // balanced when-tree binary search: rank = #cuts <= v, O(log n)
+            // compares per row, pure codegen, no exchange
+            def bucket(v: Column, lo: Int, hi: Int): Column =
+              if (lo == hi) lit(lo.toLong)
+              else {
+                val mid = (lo + hi) / 2
+                when(v >= cuts(mid), bucket(v, mid + 1, hi))
+                  .otherwise(bucket(v, lo, mid))
+              }
+            (bucket(coalesce(vExpr, lit(Long.MinValue)), 0, cuts.length) *
+              lit(65535L)) / lit(cuts.length.toLong)
+          }
       }
     }
     val d = ranks.size

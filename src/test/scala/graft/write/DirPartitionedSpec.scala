@@ -90,12 +90,20 @@ class DirPartitionedSpec extends SparkSpec {
     val hit = graftRead.filter(col("v") === 10L).collect()
     assert(hit.map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq ==
       Seq((1L, "view", 10L)))
-    // predicates the stats genuinely can't evaluate keep every file:
-    // a non-integral comparison value, and a prefix filter neither the dir
-    // keys nor the [min,max] stats understand
+    // a predicate the stats genuinely can't evaluate keeps every file:
+    // a string comparison value against an integral-stats column
     assert(TokenPruner.prune(spark, all, Array(EqualTo("v", "10")), schema).length == all.length)
+    // prefix filters prune through string footer stats ([p, next-prefix)
+    // interval vs per-file string [min,max]): 'scr' keeps only the scroll
+    // files, a no-match prefix drops everything, and results stay correct
+    val pre = TokenPruner.prune(spark, all,
+      Array(StringStartsWith("etype", "scr")), schema)
+    assert(pre.nonEmpty &&
+      pre.forall(f => TokenPruner.dirValues(f.path)("etype").contains("scroll")))
     assert(TokenPruner.prune(spark, all,
-      Array(StringStartsWith("etype", "scr")), schema).length == all.length)
+      Array(StringStartsWith("etype", "zz")), schema).isEmpty)
+    assert(graftRead.filter(col("etype").startsWith("scr")).count() ==
+      graftRead.filter(col("etype") === "scroll").count())
   }
 
   test("multi-column dir partitioning: nested dirs, compound pruning, stats aggregates") {

@@ -81,6 +81,70 @@ class ZOrderSpec extends SparkSpec {
     }
   }
 
+  test("zorder on (string, long): both axes prune; prefix filter prunes too") {
+    import org.apache.spark.sql.sources.{EqualTo, StringStartsWith}
+    val rnd = new scala.util.Random(7)
+    // realistic string dim: shared URL-ish prefix the rank normalization
+    // must strip, then a spreading suffix
+    val df = Seq.fill(20000)((rnd.nextLong(),
+        f"https://host/${rnd.nextInt(1024)}%04d/page", rnd.nextInt(1024).toLong))
+      .toDF("a", "s", "b")
+    val dir = java.nio.file.Files.createTempDirectory("graft_zo_s_").toString + "/zt"
+    TokenSortedWriter.write(df, schema, dir, SaveMode.Append,
+      TokenSortedWriter.WriteConf(numPartitions = 16, zorderBy = Seq("s", "b")))
+    val files = TokenPruner.listFiles(spark, dir)
+    assert(files.length === 16)
+    assert(files.forall(_.strRanges.contains("s")), "string stats missing")
+    // an eighth-width band on EITHER axis plans well under half the files
+    val sBand = And(GreaterThanOrEqual("s", "https://host/0000/page"),
+      LessThanOrEqual("s", "https://host/0127/page"))
+    val prunedS = TokenPruner.prune(spark, files, Array(sBand), schema)
+    val prunedB = TokenPruner.prune(spark, files,
+      Array(bandFilter("b", 0L, 127L)), schema)
+    assert(prunedS.length <= files.length / 2,
+      s"s-band kept ${prunedS.length}/${files.length}")
+    assert(prunedB.length <= files.length / 2,
+      s"b-band kept ${prunedB.length}/${files.length}")
+    // point lookup and prefix predicates prune at least as hard as the band
+    val prunedEq = TokenPruner.prune(spark, files,
+      Array(EqualTo("s", "https://host/0063/page")), schema)
+    assert(prunedEq.length <= prunedS.length)
+    val prunedPre = TokenPruner.prune(spark, files,
+      Array(StringStartsWith("s", "https://host/00")), schema)
+    assert(prunedPre.length <= files.length / 2,
+      s"prefix kept ${prunedPre.length}/${files.length}")
+    // correctness end-to-end: pruned reads return exactly the band
+    val back = TokenSortedWriter.read(spark, schema, dir)
+    assert(back.filter(col("s") <= "https://host/0127/page").count() ===
+      df.filter(col("s") <= "https://host/0127/page").count())
+    assert(back.filter(col("s").startsWith("https://host/00")).count() ===
+      df.filter(col("s").startsWith("https://host/00")).count())
+    assert(back.count() === 20000L)
+  }
+
+  test("zorder on (timestamp, long): accepts the type, round-trips, clusters time") {
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val rnd = new scala.util.Random(11)
+    val df = Seq.fill(20000)((rnd.nextLong(),
+        new java.sql.Timestamp(base + rnd.nextInt(86400) * 1000L),
+        rnd.nextInt(1024).toLong))
+      .toDF("a", "ts", "b")
+    val dir = java.nio.file.Files.createTempDirectory("graft_zo_ts_").toString + "/zt"
+    TokenSortedWriter.write(df, schema, dir, SaveMode.Append,
+      TokenSortedWriter.WriteConf(numPartitions = 16, zorderBy = Seq("ts", "b")))
+    val back = TokenSortedWriter.read(spark, schema, dir)
+    assert(back.count() === 20000L)
+    val cut = new java.sql.Timestamp(base + 3 * 3600 * 1000L)
+    assert(back.filter(col("ts") <= cut).count() === df.filter(col("ts") <= cut).count())
+    // time clustering: per-file ts spans must be narrow (Z-locality on the
+    // time axis), so parquet row-group stats serve time-band scans
+    val spanSec = spark.read.parquet(dir)
+      .groupBy(input_file_name())
+      .agg(((unix_micros(max(col("ts"))) - unix_micros(min(col("ts")))) / 1000000L).as("span"))
+      .agg(avg(col("span"))).head().getDouble(0)
+    assert(spanSec < 86400.0 / 2, s"mean per-file ts span ${spanSec}s — no time locality")
+  }
+
   test("zorder interleave: adjacent keys stay adjacent in both dims (locality)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_zo_loc_").toString + "/zt"
     TokenSortedWriter.write(grid, schema, dir, SaveMode.Append,
