@@ -52,30 +52,14 @@ object CountLm {
    *
    * A bare `row_number().over(Window.orderBy(...))` has no partition key:
    * Spark moves EVERY distinct term — billions of bigrams at web scale —
-   * into ONE partition to rank it. Neither path here ever does that:
-   *  - `k` at or under the engine's top-K threshold (the common case: a
-   *    vocabulary cap must stay broadcast-scale anyway) plans as
-   *    `TakeOrderedAndProject` — each partition keeps a k-bounded priority
-   *    queue and the driver streams the per-partition queues into one
-   *    merged queue of ≤ k narrow `(key, cnt)` rows. No exchange at all;
-   *    plan-gated by PlanQualitySpec.
-   *  - larger `k` reuses [[Sampling.takeByBudget]]'s two-pass
-   *    range-exchange prefix sum with unit cost: one range shuffle on the
-   *    order, per-partition row counts broadcast as start offsets, and
-   *    partitions whose offset already exceeds `k` short-circuit without
-   *    reading a row.
+   * into ONE partition to rank it. This delegates to
+   * [[Sampling.topKByOrder]] instead (TakeOrderedAndProject for
+   * broadcast-scale `k`, plan-gated in PlanQualitySpec; two-pass
+   * range-exchange cut past the engine's top-K threshold) — never a
+   * single-partition sort.
    */
-  def capTopK(counts: DataFrame, key: String, k: Int): DataFrame = {
-    require(k > 0, s"capTopK needs a positive k, got $k")
-    val order = Seq(col("cnt").desc, col(key).asc)
-    if (k <= counts.sparkSession.sessionState.conf.topKSortFallbackThreshold)
-      counts.sort(order: _*).limit(k)
-    else
-      Sampling.takeByBudget(
-          counts.withColumn("__graft_lm_one", lit(1L)),
-          "__graft_lm_one", k.toLong, order)
-        .drop("__graft_lm_one", "cum_cost")
-  }
+  def capTopK(counts: DataFrame, key: String, k: Int): DataFrame =
+    Sampling.topKByOrder(counts, k, Seq(col("cnt").desc, col(key).asc))
 
   /** Train unigram + bigram counts from `corpus.textCol` (space-tokenized,
    *  the engine-wide convention). `maxVocab > 0` keeps the top terms and
@@ -189,6 +173,79 @@ object CountLm {
             (col("n") - 1).cast("double")))
       .drop("__graft_lm_id", "n", "sumC", "oov", "hits")
   }
+
+  /** Mean add-one token probability under a term map — the `lm_score`
+   *  statistic alone, shared by the DSIR weighting below (no bigram work). */
+  private def unigramScoreCol(
+      t: Column, termMap: Column, totalTokens: Long, vocabSize: Long): Column = {
+    val n = size(t).cast("long")
+    val sumC = aggregate(t, lit(0L),
+      (acc, w) => acc + coalesce(element_at(termMap, w), lit(0L)))
+    when(n === 0, lit(0.0)).otherwise(
+      (sumC + n).cast("double") /
+        (n * lit(totalTokens + vocabSize)).cast("double"))
+  }
+
+  /**
+   * DSIR-style importance weighting (Xie et al. 2023, "Data Selection for
+   * Language Models via Importance Resampling"): score every candidate
+   * under a TARGET-domain model and a RAW-pool model and weight by the
+   * ratio — documents that look more like the target than like the pool
+   * rank up. DSIR proper builds hashed-bigram multinomials and resamples
+   * with Gumbel noise on the log-ratio; this keeps the architecture (two
+   * count models trained once on their corpora, candidates scored at scan
+   * speed) with the engine's rational statistics: `weight =
+   * lm_score_target / lm_score_raw`, one IEEE division of two
+   * already-exact scores, so any engine reproduces the doubles
+   * bit-for-bit. (The noisy resampling variant is one Gumbel column away;
+   * left out so selection stays an exact-oracle ranking.) Both term maps
+   * ride as plan literals — zero exchanges on the candidate corpus
+   * (plan-gated); models past `maxBroadcastTerms` fall back to two
+   * [[scoreJoin]] passes whose integer partial sums are order-free, so
+   * the weights are identical (spec-gated).
+   */
+  def importanceWeights(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      target: Model,
+      raw: Model,
+      maxBroadcastTerms: Int = 100000,
+      outCol: String = "dsir_weight"): DataFrame = {
+    def ratio(st: Column, sr: Column): Column =
+      when(sr === 0.0, lit(0.0)).otherwise(st / sr)
+    if (target.terms.count() <= maxBroadcastTerms &&
+        raw.terms.count() <= maxBroadcastTerms) {
+      def termMap(m: Model): Column = typedLit(
+        m.terms.collect().map(r => r.getString(0) -> r.getLong(1)).toMap)
+      val t = toks(col(textCol))
+      df.withColumn(outCol, ratio(
+        unigramScoreCol(t, termMap(target), target.totalTokens, target.vocabSize),
+        unigramScoreCol(t, termMap(raw), raw.totalTokens, raw.vocabSize)))
+    } else {
+      val st = scoreJoin(df, idCol, textCol, target)
+        .withColumnRenamed("lm_score", "__graft_dsir_t")
+        .drop("lm_oov_frac", "lm_bigram_hit_frac")
+      scoreJoin(st, idCol, textCol, raw)
+        .withColumn(outCol, ratio(col("__graft_dsir_t"), col("lm_score")))
+        .drop("__graft_dsir_t", "lm_score", "lm_oov_frac", "lm_bigram_hit_frac")
+    }
+  }
+
+  /** DSIR selection: the `k` most target-like candidates by
+   *  `(dsir_weight desc, id asc)` — [[Sampling.topKByOrder]], so the scored
+   *  corpus is never globally sorted into one partition. */
+  def selectByImportance(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      target: Model,
+      raw: Model,
+      k: Int,
+      maxBroadcastTerms: Int = 100000): DataFrame =
+    Sampling.topKByOrder(
+      importanceWeights(df, idCol, textCol, target, raw, maxBroadcastTerms),
+      k, Seq(col("dsir_weight").desc, col(idCol).asc))
 
   /** CCNet-style selection: assign each row a bucket label by comparing
    *  `scoreCol` against ascending `boundaries` (score < b₀ → labels(0),

@@ -420,6 +420,38 @@ object Sampling {
   }
 
   /**
+   * Distributed top-k under an arbitrary TOTAL order — "the k best rows"
+   * without ever sorting the table into one partition (the scale trap of a
+   * bare `orderBy().limit()` materialized through a global Window).
+   *
+   *  - `k` at or under the engine's top-K threshold (the common case)
+   *    plans as `TakeOrderedAndProject`: each partition keeps a k-bounded
+   *    priority queue and the driver streams the per-partition queues into
+   *    one merged queue — no exchange at all;
+   *  - larger `k` reuses [[takeByBudget]]'s two-pass range-exchange prefix
+   *    sum with unit cost: one range shuffle on the order, per-partition
+   *    counts broadcast as start offsets, partitions past `k`
+   *    short-circuit.
+   *
+   * `orderCols` must be a TOTAL order (append a unique id as the last
+   * key): cross-partition ties would otherwise make the boundary content
+   * nondeterministic.
+   */
+  def topKByOrder(df: DataFrame, k: Int, orderCols: Seq[Column]): DataFrame = {
+    require(k > 0, s"topKByOrder needs a positive k, got $k")
+    require(orderCols.nonEmpty, "need at least one ordering column")
+    if (k <= df.sparkSession.sessionState.conf.topKSortFallbackThreshold)
+      df.sort(orderCols: _*).limit(k)
+    else {
+      require(!df.columns.contains("__graft_topk_one"),
+        "input already has a '__graft_topk_one' column")
+      takeByBudget(df.withColumn("__graft_topk_one", lit(1L)),
+        "__graft_topk_one", k.toLong, orderCols, outCol = "__graft_topk_cum")
+        .drop("__graft_topk_one", "__graft_topk_cum")
+    }
+  }
+
+  /**
    * Per-source mixing: keep a different deterministic fraction of each
    * source (the "dataset mixture weights" step of corpus assembly — e.g.
    * keep 100% of books, 10% of web). Rows whose source has no entry are

@@ -408,6 +408,22 @@ object Battery {
         .agg(sum(col("n_docs")).as("n_docs"), sum(col("total_chars")).as("total_chars"))
     }),
 
+    // DSIR importance selection (Xie et al. 2023): target model = the
+    // src0-2 slice, raw model = the whole pool; candidates scored at scan
+    // speed by two plan-literal count models, weight = one IEEE division
+    // of two exact add-one unigram scores, selection = distributed top-k
+    // (TakeOrderedAndProject / two-pass range cut — never a global
+    // single-partition sort). The oracle retrains both count models and
+    // replays the three divisions verbatim.
+    "q151_dsir_select" -> ((s, d) => {
+      val corpus = docs(s, d)
+      val target = CountLm.train(
+        corpus.filter(col("source").isin("src0", "src1", "src2")), "text")
+      val raw = CountLm.train(corpus, "text")
+      CountLm.selectByImportance(corpus, "doc_id", "text", target, raw, k = 150)
+        .select(col("doc_id"), col("dsir_weight"))
+    }),
+
     // Z-order over a STRING dimension: sampled-quantile rank normalization
     // (common-prefix strip + byte-image + approxQuantile cuts) clusters the
     // string axis so string predicates prune files via footer string stats
@@ -2469,6 +2485,29 @@ object Battery {
     "q150_zorder_string_band" ->
       """SELECT doc_id, source, n_chars FROM documents
         |WHERE source >= 'src0' AND source <= 'src12' AND n_chars <= 300""".stripMargin,
+    // retrain both unigram models, replay the exact three-division weight
+    "q151_dsir_select" ->
+      """WITH tt AS (SELECT unnest(string_split(text, ' ')) AS term
+        |            FROM documents WHERE source IN ('src0','src1','src2')),
+        |ttc AS (SELECT term, count(*) AS cnt FROM tt GROUP BY term),
+        |ttot AS (SELECT sum(cnt) AS n, count(*) AS v FROM ttc),
+        |rt AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+        |rtc AS (SELECT term, count(*) AS cnt FROM rt GROUP BY term),
+        |rtot AS (SELECT sum(cnt) AS n, count(*) AS v FROM rtc),
+        |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |sc AS (SELECT tok.doc_id, count(*) AS n,
+        |         sum(COALESCE(ttc.cnt, 0)) AS sumt,
+        |         sum(COALESCE(rtc.cnt, 0)) AS sumr
+        |       FROM tok LEFT JOIN ttc USING (term) LEFT JOIN rtc USING (term)
+        |       GROUP BY tok.doc_id),
+        |w AS (SELECT sc.doc_id,
+        |        (CAST(sc.sumt + sc.n AS DOUBLE) /
+        |           CAST(sc.n * (ttot.n + ttot.v) AS DOUBLE)) /
+        |        (CAST(sc.sumr + sc.n AS DOUBLE) /
+        |           CAST(sc.n * (rtot.n + rtot.v) AS DOUBLE)) AS dsir_weight
+        |      FROM sc CROSS JOIN ttot CROSS JOIN rtot)
+        |SELECT doc_id, dsir_weight FROM w
+        |ORDER BY dsir_weight DESC, doc_id ASC LIMIT 150""".stripMargin,
     // the v2 and v3 increments, exactly once each
     "q149_change_feed_stream" ->
       """SELECT doc_id + 1000000 AS doc_id, text, source FROM documents

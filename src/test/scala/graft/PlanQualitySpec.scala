@@ -578,6 +578,19 @@ class PlanQualitySpec extends SparkSpec {
       s"expected broadcast query-term join:\n$plan")
   }
 
+  test("DSIR importance weighting: plan-literal models, zero exchanges on candidates") {
+    import spark.implicits._
+    val corpus = (0L until 50L).map(i => (i, s"w${i % 7} w${i % 5} common"))
+      .toDF("doc_id", "text")
+    val target = graft.operators.CountLm.train(corpus.filter(col("doc_id") < 10L), "text")
+    val raw = graft.operators.CountLm.train(corpus, "text")
+    val plan = graft.operators.CountLm.importanceWeights(
+        corpus, "doc_id", "text", target, raw)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"literal-map DSIR weighting must score at scan speed:\n$plan")
+  }
+
   test("CountLm vocab cap: TakeOrderedAndProject, never a single-partition window") {
     import spark.implicits._
     val counts = (0 until 500).map(i => (s"t$i", (i % 9).toLong + 1L))

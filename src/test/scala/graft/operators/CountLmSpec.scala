@@ -92,6 +92,47 @@ class CountLmSpec extends SparkSpec {
     } finally spark.conf.set(conf, prev)
   }
 
+  test("importanceWeights: hand-computed target/raw ratio; join fallback identical") {
+    val target = CountLm.train(Seq((1L, "the cat sat")).toDF("doc_id", "text"), "text")
+    val raw = CountLm.train(corpus, "text") // N=9, V=5 → base 14
+    val cands = Seq((10L, "the cat ran"), (11L, "zebra"), (12L, ""))
+      .toDF("doc_id", "text")
+    val got = CountLm.importanceWeights(cands, "doc_id", "text", target, raw)
+      .select("doc_id", "dsir_weight").as[(Long, Double)].collect().toMap
+    // target: N=3, V=3 → base 6; "the cat ran": sumC_T=1+1+0=2, n=3 → 5/18
+    // raw: sumC_R=3+2+1=6 → 9/42; weight computed the code's way
+    assert(got(10L) === (5.0 / 18.0) / (9.0 / 42.0))
+    // all-oov single token: T → 1/6, R → 1/14
+    assert(got(11L) === (1.0 / 6.0) / (1.0 / 14.0))
+    // "" tokenizes to ONE empty token (the engine-wide split convention,
+    // identical to score()) — an all-OOV singleton, same weight as zebra
+    assert(got(12L) === got(11L))
+    // broadcast-join fallback (maxBroadcastTerms = 0) reproduces the
+    // literal-map doubles bit-for-bit (integer partial sums are order-free)
+    val viaJoin = CountLm.importanceWeights(cands, "doc_id", "text", target, raw,
+        maxBroadcastTerms = 0)
+      .select("doc_id", "dsir_weight").as[(Long, Double)].collect().toMap
+    assert(viaJoin === got)
+  }
+
+  test("selectByImportance: deterministic top-k by (weight desc, id asc)") {
+    val target = CountLm.train(Seq((1L, "the cat sat")).toDF("doc_id", "text"), "text")
+    val raw = CountLm.train(corpus, "text")
+    // hand-ranked: zebra (all-OOV singleton, add-one smoothing under the
+    // tiny target vocab inflates it) 14/6·… = 2.33 > "the cat sat" twins
+    // (6/18)/(10/42) = 1.4 > "the cat ran" (5/18)/(9/42) ≈ 1.296
+    val cands = Seq((10L, "the cat sat"), (11L, "the cat ran"),
+      (12L, "zebra"), (13L, "the cat sat"))
+      .toDF("doc_id", "text")
+    val top3 = CountLm.selectByImportance(cands, "doc_id", "text", target, raw, k = 3)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(top3 == Seq(10L, 12L, 13L)) // 11 is the one excluded
+    // the 1.4-weight tie between 10 and 13 breaks by id asc at k = 2
+    val top2 = CountLm.selectByImportance(cands, "doc_id", "text", target, raw, k = 2)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(top2 == Seq(10L, 12L))
+  }
+
   test("literal-map scoring is zero-exchange on the corpus (plan gate)") {
     val m = CountLm.train(corpus, "text")
     val plan = CountLm.score(corpus, "doc_id", "text", m)
