@@ -480,6 +480,30 @@ object Battery {
     // aggregates with no LWW re-shuffle — the oracle replays version
     // precedence and the tombstone in SQL (q71's twin, without the dst-dir
     // move)
+    // incremental-merge read: the rows an increment touched, as the table
+    // resolves them NOW — feed keys (v1→v2) left-semi join the normalized
+    // (LWW) read, so a downstream mirror refreshes only the touched keys
+    // with IO proportional to the increment; the oracle states the winning
+    // versions closed-form (every touched row's quantity carries the +100)
+    "q152_incremental_merge" -> ((s, d) => {
+      val schema = Tables.schemas("lineitem")
+      val dir = java.nio.file.Files.createTempDirectory("graft_icm_")
+        .toString + "/lineitem"
+      val base = li(s, d)
+      TokenSortedWriter.write(base, schema, dir, SaveMode.Append,
+        TokenSortedWriter.WriteConf(numPartitions = 4, keepTokenColumn = true,
+          writetimeMicros = Some(1000L), snapshot = true))
+      TokenSortedWriter.write(
+        base.filter(col("l_orderkey") % 10 === 0)
+          .withColumn("l_quantity", col("l_quantity") + 100.0),
+        schema, dir, SaveMode.Append,
+        TokenSortedWriter.WriteConf(numPartitions = 2, keepTokenColumn = true,
+          writetimeMicros = Some(2000L), snapshot = true))
+      TokenSortedWriter.readChangesMerged(s, schema, dir, 1L, 2L)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_extendedprice"), col("l_returnflag"))
+    }),
+
     "q146_compact_inplace" -> ((s, d) => {
       val schema = Tables.schemas("lineitem")
       val dir = java.nio.file.Files.createTempDirectory("graft_cmpip_")
@@ -2485,6 +2509,27 @@ object Battery {
     "q150_zorder_string_band" ->
       """SELECT doc_id, source, n_chars FROM documents
         |WHERE source >= 'src0' AND source <= 'src12' AND n_chars <= 300""".stripMargin,
+    // q146's LWW replay restricted to the touched keys: every surviving
+    // row is a writetime-2000 (+100) version, and duplicate (ok, ln) pairs
+    // in the synthetic data collapse by the same deterministic tie-break
+    "q152_incremental_merge" ->
+      """WITH versions AS (
+        |  SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity, l_extendedprice,
+        |         l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate, 1000 AS wt
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity + 100, l_extendedprice,
+        |         l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate, 2000 AS wt
+        |  FROM lineitem WHERE l_orderkey % 10 = 0),
+        |latest AS (
+        |  SELECT * FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY l_orderkey, l_linenumber
+        |      ORDER BY wt DESC, l_partkey DESC, l_suppkey DESC, l_quantity DESC,
+        |               l_extendedprice DESC, l_discount DESC, l_tax DESC, l_returnflag DESC,
+        |               l_linestatus DESC, l_shipdate DESC) AS rn
+        |    FROM versions) WHERE rn = 1)
+        |SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_returnflag
+        |FROM latest WHERE l_orderkey % 10 = 0""".stripMargin,
     // retrain both unigram models, replay the exact three-division weight
     "q151_dsir_select" ->
       """WITH tt AS (SELECT unnest(string_split(text, ' ')) AS term

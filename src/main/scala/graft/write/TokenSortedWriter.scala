@@ -659,6 +659,34 @@ object TokenSortedWriter {
   }
 
   /**
+   * Current MERGED state of the rows a snapshot-version range touched —
+   * the incremental-maintenance read. [[Snapshots.readChanges]] rows are
+   * raw appended versions (no LWW collapse, no tombstones); a pipeline
+   * maintaining a downstream mirror instead needs "the rows whose primary
+   * key appeared in the increment, as the table resolves them NOW". This
+   * reads the feed once for its DISTINCT primary-key set (narrow columns
+   * only) and left-semi joins the normalized read on that key — the semi
+   * join broadcasts whenever the touched key set fits (typical for a
+   * daily increment against a 100 TB table), and the normalized scan
+   * keeps its pushdown/clustered-layout properties. Keys whose rows were
+   * deleted since (tombstones) simply don't appear — recover them with an
+   * anti join of the feed keys against the result if the mirror needs
+   * explicit deletes.
+   */
+  def readChangesMerged(
+      spark: SparkSession,
+      schema: CqlSchema,
+      dir: String,
+      fromVersion: Long,
+      toVersion: Long,
+      nowMicros: Option[Long] = None): DataFrame = {
+    val touched = Snapshots.readChanges(spark, dir, fromVersion, toVersion)
+      .select(schema.primaryKey.map(qcol): _*).distinct()
+    readNormalized(spark, schema, dir, nowMicros)
+      .join(touched, schema.primaryKey, "left_semi")
+  }
+
+  /**
    * In-place compaction via the snapshot log ([[Snapshots]]): fold the
    * table's generations into one fresh generation INSIDE the same table
    * dir, commit it as a rewrite snapshot, and vacuum to `vacuumRetain`

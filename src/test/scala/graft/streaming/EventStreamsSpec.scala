@@ -434,6 +434,44 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("changeFeed → dedupIngestStream: the incremental dedup loop on exact increments") {
+    import spark.implicits._
+    import graft.model.CqlSchema
+    import graft.write.TokenSortedWriter
+    val base = java.nio.file.Files.createTempDirectory("graft_cfdd_").toString
+    val dir = s"$base/docs"
+    val schema = CqlSchema("docs", Seq("doc_id"))
+    def writeSnap(rows: Seq[(Long, String)]): Unit =
+      TokenSortedWriter.write(rows.toDF("doc_id", "text"), schema, dir,
+        org.apache.spark.sql.SaveMode.Append,
+        TokenSortedWriter.WriteConf(numPartitions = 2, snapshot = true))
+    writeSnap(Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "completely different content about spark engines and parquet files")))
+    // the committed snapshot log drives the dedup loop: each version is one
+    // exact micro-batch, so the signature table grows per COMMIT, never per
+    // half-landed file
+    val stream = spark.readStream.format("graft")
+      .option("path", dir).option("pk", "doc_id")
+      .option("changeFeed", "true").load()
+      .select(col("doc_id"), col("text"))
+    val q = EventStreams.dedupIngestStream(stream, "doc_id", "text",
+      s"$base/out", s"$base/sigs", s"$base/ckpt",
+      shingleN = 3, numPerms = 32, bands = 16)
+    try {
+      q.processAllAvailable()
+      writeSnap(Seq(
+        (10L, "the quick brown fox jumps over the lazy dog"), // dup of v1 doc
+        (11L, "a genuinely novel document about distributed joins")))
+      q.processAllAvailable()
+      val kept = spark.read.parquet(s"$base/out")
+        .select("doc_id").as[Long].collect().toSet
+      assert(kept === Set(1L, 2L, 11L)) // cross-version dup 10 dropped
+      assert(spark.read.parquet(s"$base/sigs")
+        .select("id").as[Long].collect().toSet === kept)
+    } finally q.stop()
+  }
+
   test("changeFeed stream: startingVersion skips history, equals the batch feed") {
     import spark.implicits._
     import graft.model.CqlSchema

@@ -295,6 +295,25 @@ class SnapshotsSpec extends SparkSpec {
     assert(e.getMessage.contains("rewrite"))
   }
 
+  test("readChangesMerged: touched keys resolve through LWW; deleted keys vanish") {
+    val dir = freshDir()
+    def conf(wt: Long) = TokenSortedWriter.WriteConf(numPartitions = 2,
+      snapshot = true, keepTokenColumn = true, writetimeMicros = Some(wt))
+    TokenSortedWriter.write(
+      (0 until 10).map(i => (i.toLong, s"old$i")).toDF("id", "payload"),
+      schema, dir, SaveMode.Append, conf(1000L)) // v1
+    TokenSortedWriter.write(
+      (0 until 5).map(i => (i.toLong, s"new$i")).toDF("id", "payload"),
+      schema, dir, SaveMode.Append, conf(2000L)) // v2: rewrites ids 0-4
+    TokenSortedWriter.writeDeletes(
+      Seq(4L).toDF("id"), schema, dir, writetimeMicros = Some(3000L))
+    val merged = TokenSortedWriter.readChangesMerged(spark, schema, dir, 1L, 2L)
+      .select("id", "payload").as[(Long, String)].collect().toMap
+    // only the touched keys, at their CURRENT resolution: LWW winners for
+    // 0-3, and the since-deleted key 4 is absent (no raw pre-LWW versions)
+    assert(merged === (0 until 4).map(i => i.toLong -> s"new$i").toMap)
+  }
+
   test("streaming read rejects a snapshot pin") {
     val dir = freshDir()
     writeSnap(rows(0 until 4), dir)
