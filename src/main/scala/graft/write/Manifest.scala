@@ -80,6 +80,11 @@ object Manifest {
     try out.write(metas.map(line(root, _)).mkString("", "\n", "\n")
       .getBytes(StandardCharsets.UTF_8))
     finally out.close()
+    // opportunistic fold: bounds cold plan-time manifest reads to
+    // O(CompactThreshold) driver round-trips however many batches ever land
+    val fragCount = fs.listStatus(new Path(root, Dir))
+      .count(_.getPath.getName.endsWith(".tsv"))
+    if (fragCount > CompactThreshold) compact(spark, tableDir)
   }
 
   /** All manifest entries for a table dir, keyed by absolute file path.
@@ -91,18 +96,56 @@ object Manifest {
     if (!fs.exists(dir)) return Map.empty
     val acc = mutable.Map.empty[String, FileMeta]
     fs.listStatus(dir).filter(_.getPath.getName.endsWith(".tsv")).sortBy(_.getPath.getName)
-      .foreach { mf =>
-        val in = fs.open(mf.getPath)
-        val text = try {
-          val bytes = new Array[Byte](mf.getLen.toInt)
-          in.readFully(0, bytes)
-          new String(bytes, StandardCharsets.UTF_8)
-        } finally in.close()
-        text.linesIterator.filter(_.nonEmpty).foreach { l =>
-          parse(tableDir, l).foreach(m => acc(m.path) = m)
-        }
-      }
+      .foreach(mf => readOne(fs, tableDir, mf.getPath)
+        .foreach(m => acc(m.path) = m))
     acc.toMap
+  }
+
+  private def readOne(fs: FileSystem, tableDir: Path, mf: Path): Seq[FileMeta] = {
+    val in = fs.open(mf)
+    val text = try {
+      val bytes = new Array[Byte](fs.getFileStatus(mf).getLen.toInt)
+      in.readFully(0, bytes)
+      new String(bytes, StandardCharsets.UTF_8)
+    } finally in.close()
+    text.linesIterator.filter(_.nonEmpty).flatMap(parse(tableDir, _)).toSeq
+  }
+
+  /** How many manifest fragments [[appendFor]] tolerates before folding
+   *  them — bounds cold plan-time driver round-trips to O(64) per table
+   *  regardless of how many write batches ever landed. */
+  private[write] val CompactThreshold = 64
+
+  /**
+   * Fold every manifest fragment into ONE file. The append protocol writes
+   * `manifest-<uuid>.tsv` per batch, so a long-lived table otherwise
+   * accumulates one driver round-trip per HISTORICAL write at cold plan
+   * time — 100k batches of a year-old table would mean 100k sequential
+   * opens before the first scan plans. Crash-safe at every step: the
+   * merged file is written first, then exactly the fragments that were
+   * read are deleted (a crash in between leaves duplicate entries, which
+   * [[read]] merges by path — per-path content is deterministic). Safe
+   * against a concurrent append: its fresh fragment is not in the read
+   * set, so it is never deleted. Returns the number of fragments folded.
+   */
+  def compact(spark: SparkSession, tableDir: String): Int = {
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = new Path(tableDir).getFileSystem(conf)
+    val root = fs.makeQualified(new Path(tableDir))
+    val dir = new Path(root, Dir)
+    if (!fs.exists(dir)) return 0
+    val frags = fs.listStatus(dir).filter(_.getPath.getName.endsWith(".tsv"))
+      .sortBy(_.getPath.getName)
+    if (frags.length <= 1) return 0
+    val acc = mutable.Map.empty[String, FileMeta]
+    frags.foreach(f => readOne(fs, root, f.getPath).foreach(m => acc(m.path) = m))
+    val out = fs.create(new Path(root,
+      s"$Dir/manifest-${java.util.UUID.randomUUID().toString.take(12)}.tsv"), false)
+    try out.write(acc.values.toSeq.sortBy(_.path).map(line(root, _))
+      .mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    frags.foreach(f => fs.delete(f.getPath, false))
+    frags.length
   }
 
   private def line(root: Path, m: FileMeta): String = {
