@@ -247,6 +247,152 @@ object CountLm {
       importanceWeights(df, idCol, textCol, target, raw, maxBroadcastTerms),
       k, Seq(col("dsir_weight").desc, col(idCol).asc))
 
+  /**
+   * Derived statistics for interpolated Kneser-Ney scoring, computed
+   * entirely from the trained bigram table (self-consistent under a
+   * capped vocabulary — marginals of the CAPPED table, not raw corpus
+   * counts):
+   *  - `contexts`: per left word w1, `ctot` = Σ c(w1 ·) and `ncont` =
+   *    N1+(w1 ·) (distinct continuations);
+   *  - `rights`: per right word w2, `nleft` = N1+(· w2) (distinct left
+   *    contexts) — the Kneser-Ney continuation count;
+   *  - `bigramTypes` / `rightTypes`: distinct bigram / right-word type
+   *    totals, the continuation-distribution denominators.
+   */
+  final case class KnModel(
+      bigrams: DataFrame,  // (bg: string, cnt: long)
+      contexts: DataFrame, // (w1: string, ctot: long, ncont: long)
+      rights: DataFrame,   // (w2: string, nleft: long)
+      bigramTypes: Long,
+      rightTypes: Long)
+
+  /** One aggregation pass over the (already counted, possibly capped)
+   *  bigram table — never over the corpus. */
+  def deriveKn(model: Model): KnModel = {
+    val parts = model.bigrams.select(col("bg"), col("cnt"),
+      split(col("bg"), " ").as("w"))
+      .select(col("bg"), col("cnt"),
+        element_at(col("w"), 1).as("w1"), element_at(col("w"), 2).as("w2"))
+    val contexts = parts.groupBy(col("w1")).agg(
+      sum(col("cnt")).as("ctot"), count(lit(1)).as("ncont"))
+      .localCheckpoint(eager = true)
+    val rights = parts.groupBy(col("w2")).agg(count(lit(1)).as("nleft"))
+      .localCheckpoint(eager = true)
+    val totals = parts.agg(count(lit(1)).as("b"),
+      count_distinct(col("w2")).as("r")).head()
+    KnModel(model.bigrams, contexts, rights, totals.getLong(0), totals.getLong(1))
+  }
+
+  /**
+   * Interpolated Kneser-Ney bigram log-probability per document — the
+   * ACTUAL CCNet/KenLM scoring shape (Kneser & Ney 1995; CCNet scores
+   * with a KN-smoothed KenLM), engine-reproducible despite the `ln`:
+   *
+   *   P(w2|w1) = (max(c(w1w2) − D, 0) + D · N1+(w1·) · Pc(w2)) / c(w1·)
+   *   unseen w1 → Pc(w2);   Pc(w2) = (N1+(·w2) + 1) / (B + R)   (add-one)
+   *
+   * with D = 0.75. Appended: `kn_logprob` = Σ ln P over adjacent bigrams
+   * and `kn_bigrams` = the bigram count. Each per-bigram ln is a double
+   * in a FIXED expression order, rounded to DECIMAL(22,7) BEFORE the sum
+   * — the q142/BM25 discipline: the rounding absorbs any last-ulp
+   * cross-engine `ln` wobble, and the decimal sum is exact and
+   * order-independent, so the total is bit-reproducible from the counts
+   * alone.
+   *
+   * Physical shape mirrors [[score]]: models at or under
+   * `maxBroadcastTerms` ride as plan literals and the whole score is one
+   * per-row array fold — ZERO corpus exchanges; larger models take
+   * [[scoreKnJoin]] (exploded narrow rows, broadcast joins, decimal
+   * partial sums — text never shuffles). Paths are bit-identical
+   * (spec-gated).
+   */
+  def scoreKn(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      kn: KnModel,
+      maxBroadcastTerms: Int = 100000): DataFrame = {
+    val nBg = kn.bigrams.count()
+    val nCtx = kn.contexts.count()
+    if (nBg <= maxBroadcastTerms && nCtx <= maxBroadcastTerms) {
+      val bgMap = typedLit(
+        kn.bigrams.collect().map(r => r.getString(0) -> r.getLong(1)).toMap)
+      val ctxMap = typedLit(kn.contexts.collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap)
+      val rightMap = typedLit(
+        kn.rights.collect().map(r => r.getString(0) -> r.getLong(1)).toMap)
+      val t = toks(col(textCol))
+      val n = size(t).cast("long")
+      def termAt(i: Column): Column = {
+        val w1 = element_at(t, i)
+        val w2 = element_at(t, i + 1)
+        val bg = concat_ws(" ", w1, w2)
+        knTerm(element_at(bgMap, bg),
+          element_at(ctxMap, w1).getField("_1"),
+          element_at(ctxMap, w1).getField("_2"),
+          element_at(rightMap, w2),
+          kn.bigramTypes, kn.rightTypes)
+      }
+      val total = when(n >= 2,
+          aggregate(sequence(lit(1), (n - 1).cast("int")),
+            lit(java.math.BigDecimal.ZERO).cast("decimal(22,7)"),
+            (acc, i) => (acc + termAt(i)).cast("decimal(22,7)")))
+        .otherwise(lit(java.math.BigDecimal.ZERO).cast("decimal(22,7)"))
+      df.withColumn("kn_logprob", total.cast("double"))
+        .withColumn("kn_bigrams", greatest(n - 1, lit(0L)))
+    } else scoreKnJoin(df, idCol, textCol, kn)
+  }
+
+  /** The per-bigram DECIMAL(22,7) ln-probability term, shared verbatim by
+   *  both physical paths (and replayed by the q157 oracle): every input
+   *  is a nullable count column, D = 0.75, add-one continuation floor. */
+  private def knTerm(
+      c: Column, ctot: Column, ncont: Column, nleft: Column,
+      bigramTypes: Long, rightTypes: Long): Column = {
+    val pcont = (coalesce(nleft, lit(0L)) + lit(1L)).cast("double") /
+      lit(bigramTypes + rightTypes).cast("double")
+    val p = when(ctot.isNull, pcont).otherwise(
+      (greatest(coalesce(c, lit(0L)).cast("double") - lit(0.75), lit(0.0)) +
+        lit(0.75) * ncont.cast("double") * pcont) / ctot.cast("double"))
+    log(p).cast("decimal(22,7)")
+  }
+
+  /** Join-strategy Kneser-Ney for models past the plan-literal threshold:
+   *  (id, w1, w2) rows broadcast-join the three stat tables, the decimal
+   *  terms partial-sum per document (exact, order-free), and the corpus
+   *  rejoins by id — every exchanged row is narrow, text never shuffles. */
+  def scoreKnJoin(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      kn: KnModel): DataFrame = {
+    val t = toks(col(textCol))
+    val pairs = df.select(col(idCol).as("__graft_kn_id"),
+      explode(when(size(t) >= 2,
+        transform(sequence(lit(1), size(t) - 1),
+          i => struct(element_at(t, i).as("w1"), element_at(t, i + 1).as("w2"))))
+        .otherwise(array().cast("array<struct<w1:string,w2:string>>"))).as("p"))
+      .select(col("__graft_kn_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val scored = pairs
+      .join(broadcast(kn.bigrams
+        .select(split(col("bg"), " ").as("w"), col("cnt"))
+        .select(element_at(col("w"), 1).as("w1"),
+          element_at(col("w"), 2).as("w2"), col("cnt"))), Seq("w1", "w2"), "left")
+      .join(broadcast(kn.contexts), Seq("w1"), "left")
+      .join(broadcast(kn.rights), Seq("w2"), "left")
+      .select(col("__graft_kn_id"),
+        knTerm(col("cnt"), col("ctot"), col("ncont"), col("nleft"),
+          kn.bigramTypes, kn.rightTypes).as("term"))
+      .groupBy(col("__graft_kn_id"))
+      .agg(sum(col("term")).cast("decimal(22,7)").as("kn_sum"),
+        count(lit(1)).as("kn_n"))
+    df.join(scored, df(idCol) === scored("__graft_kn_id"), "left")
+      .withColumn("kn_logprob",
+        coalesce(col("kn_sum").cast("double"), lit(0.0)))
+      .withColumn("kn_bigrams", coalesce(col("kn_n"), lit(0L)))
+      .drop("__graft_kn_id", "kn_sum", "kn_n")
+  }
+
   /** CCNet-style selection: assign each row a bucket label by comparing
    *  `scoreCol` against ascending `boundaries` (score < b₀ → labels(0),
    *  < b₁ → labels(1), …, else labels.last). Fixed thresholds — derived

@@ -681,4 +681,76 @@ object Similarity {
       .orderBy(col("score").desc, col("neighbor_id").asc)
     rescored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
+
+  /**
+   * Deterministic ±1/√k sign matrix for [[randomProject]]: component
+   * (j, i) is +1 when the high nibble of md5("j:i") is < 8, else −1 — a
+   * Rademacher Johnson-Lindenstrauss projection (Achlioptas 2003: ±1
+   * entries preserve pairwise distances with the same guarantee as
+   * Gaussian ones). md5-derived so an external engine can replay the
+   * exact matrix from the seed strings alone (no RNG state to ship).
+   */
+  def projectionSigns(outDim: Int, inDim: Int): Array[Array[Double]] =
+    Array.tabulate(outDim, inDim) { (j, i) =>
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$j:$i".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      if (((h(0) >> 4) & 0xf) < 8) 1.0 else -1.0
+    }
+
+  /**
+   * Johnson-Lindenstrauss random projection: `array<float>` of `inDim`
+   * down to `array<double>` of `outDim`, projected[j] =
+   * (Σᵢ sign(j,i)·vec[i]) / √outDim with the deterministic
+   * [[projectionSigns]] matrix.
+   *
+   * THE scale lever for every embedding operator here: sign-LSH bucketing,
+   * IVF/k-means assignment and SemDeDup all pay O(d) per dot product, so
+   * projecting 768-dim web-corpus embeddings to 64 first cuts that work
+   * 12× while JL keeps relative distances within ε ≈ √(8·ln n / k). The
+   * projection itself is a narrow map — the matrix is a plan literal,
+   * nothing shuffles, nothing is collected.
+   *
+   * Two physical paths, bit-identical results (spec-pinned): output dims
+   * up to `unrollMaxTerms` total terms are UNROLLED into a codegen'd
+   * left-to-right sum chain; larger matrices switch to a higher-order
+   * `aggregate` over the same literal matrix (same 0.0-seeded left fold,
+   * so the same IEEE result). The threshold is deliberately low: past a
+   * few hundred terms the unrolled chain overflows janino's method-size
+   * limit and Spark drops the WHOLE stage to interpreted mode — the HOF
+   * loop is slower per element but keeps the surrounding stage codegen'd.
+   * Float components widen to double exactly; ±1 multiplication is exact;
+   * summation order is fixed — an external engine replaying the same
+   * order reproduces the doubles bit-for-bit (the q155 oracle does
+   * exactly that).
+   */
+  def randomProject(
+      df: DataFrame,
+      vecCol: String,
+      inDim: Int,
+      outDim: Int,
+      unrollMaxTerms: Int = 256): DataFrame = {
+    require(inDim > 0 && outDim > 0, "dims must be positive")
+    val signs = projectionSigns(outDim, inDim)
+    val scale = math.sqrt(outDim.toDouble)
+    val v = col(vecCol)
+    val proj: Column =
+      if (outDim * inDim <= unrollMaxTerms) {
+        array((0 until outDim).map { j =>
+          val sum = (0 until inDim).foldLeft(lit(0.0)) { (acc, i) =>
+            acc + element_at(v, i + 1).cast("double") * lit(signs(j)(i))
+          }
+          (sum / lit(scale)).as(s"p$j")
+        }: _*)
+      } else {
+        val m = typedLit(signs.map(_.toSeq).toSeq)
+        array((0 until outDim).map { j =>
+          val row = element_at(m, j + 1)
+          val sum = aggregate(sequence(lit(0), lit(inDim - 1)), lit(0.0),
+            (acc, i) => acc + element_at(v, i + 1).cast("double") *
+              element_at(row, i + 1))
+          (sum / lit(scale)).as(s"p$j")
+        }: _*)
+      }
+    df.withColumn("projected", proj)
+  }
 }

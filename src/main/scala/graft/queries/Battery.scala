@@ -2112,6 +2112,85 @@ object Battery {
         substring(col("text"), 1, 31).as("name"))
       graft.operators.Fuzzy.selfJoinByEditDistance(
         base.unionByName(variants), "id", "name", maxDist = 1, blockPrefix = 8)
+    }),
+
+    // snapshot restore (rollback): v1 = corpus, v2 = a bad twin append,
+    // restore(1) commits v3 whose live set is exactly v1's — the UNPINNED
+    // read (which plans from the latest snapshot) must return the original
+    // corpus, proving rollback is one metadata commit, never a data rewrite
+    "q153_snapshot_restore" -> ((s, d) => {
+      val out = java.nio.file.Files.createTempDirectory("graft_restore_")
+        .toString + "/documents"
+      val schema = CqlSchema("documents", Seq("doc_id"))
+      val base = docs(s, d).select(
+        col("doc_id"), col("text"), col("source"), col("n_chars"))
+      val conf = TokenSortedWriter.WriteConf(numPartitions = 4, snapshot = true)
+      TokenSortedWriter.write(base, schema, out, SaveMode.Append, conf) // v1
+      TokenSortedWriter.write(
+        base.withColumn("doc_id", col("doc_id") + lit(TwinOff)),
+        schema, out, SaveMode.Append, conf)                             // v2 (bad batch)
+      graft.write.Snapshots.restore(s, out, 1L)                         // v3 = v1
+      s.read.format("graft").option("path", out).option("pk", "doc_id").load()
+        .select(col("doc_id"), col("text"), col("source"), col("n_chars"))
+    }),
+
+    // schema evolution across append batches: batch 1 predates the
+    // `n_chars` column, batch 2 carries it — the read resolves the UNION
+    // schema (mergeSchema), old rows null-fill the new column, and the
+    // snapshot log versions both batches (a 100 TB table's schema evolves;
+    // re-writing history to add a column is not an option)
+    "q154_schema_evolution" -> ((s, d) => {
+      val out = java.nio.file.Files.createTempDirectory("graft_schevo_")
+        .toString + "/documents"
+      val schema = CqlSchema("documents", Seq("doc_id"))
+      val base = docs(s, d)
+      val conf = TokenSortedWriter.WriteConf(numPartitions = 4, snapshot = true)
+      TokenSortedWriter.write(
+        base.select(col("doc_id"), col("text"), col("source")),
+        schema, out, SaveMode.Append, conf)
+      TokenSortedWriter.write(
+        base.select((col("doc_id") + lit(TwinOff)).as("doc_id"),
+          col("text"), col("source"), col("n_chars")),
+        schema, out, SaveMode.Append, conf)
+      s.read.format("graft").option("path", out).option("pk", "doc_id").load()
+        .select(col("doc_id"), col("text"), col("source"), col("n_chars"))
+    }),
+
+    // Johnson-Lindenstrauss projection 64→16 with the md5-derived ±1/√k
+    // matrix: a narrow plan-literal map (zero shuffle, zero collect) whose
+    // doubles the oracle reproduces BIT-FOR-BIT by replaying the same
+    // signs and the same left-to-right summation order (exploded to
+    // (vec_id, dim, pval) scalar rows — the battery never hashes raw
+    // array columns)
+    "q155_random_projection" -> ((s, d) =>
+      Similarity.randomProject(
+          emb(s, d).filter(col("vec_id") < 200L), "embedding",
+          inDim = 64, outDim = 16)
+        .select(col("vec_id"), posexplode(col("projected")).as(Seq("dim", "pval")))),
+
+    // interpolated Kneser-Ney bigram scoring (the real CCNet/KenLM shape):
+    // model = the src0-2 slice's bigram table and its KN marginals, every
+    // doc scored by Σ ln P_kn over adjacent bigrams — per-bigram doubles
+    // in fixed order, DECIMAL(22,7)-rounded BEFORE the exact sum (the
+    // q142 discipline), so DuckDB retrains the counts and replays the
+    // logs bit-for-bit
+    "q157_kneser_ney" -> ((s, d) => {
+      val corpus = docs(s, d)
+      val kn = CountLm.deriveKn(CountLm.train(
+        corpus.filter(col("source").isin("src0", "src1", "src2")), "text"))
+      CountLm.scoreKn(corpus, "doc_id", "text", kn)
+        .select(col("doc_id"), col("kn_logprob"), col("kn_bigrams"))
+    }),
+
+    // ORC interchange round trip: corpus → zstd ORC → explicit-schema read
+    // back (splittable, schema-pinned) — results must be the identity
+    "q156_orc_roundtrip" -> ((s, d) => {
+      val out = java.nio.file.Files.createTempDirectory("graft_orc_")
+        .toString + "/documents_orc"
+      val base = docs(s, d).select(
+        col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
+      graft.sources.Ingest.writeOrc(base, out)
+      graft.sources.Ingest.orc(s, out, base.schema)
     })
   )
 
@@ -3728,8 +3807,79 @@ object Battery {
         |  ON substring(a.name, 1, 8) = substring(b.name, 1, 8)
         | AND a.id < b.id
         | AND abs(length(a.name) - length(b.name)) <= 1
-        |WHERE levenshtein(a.name, b.name) <= 1""".stripMargin
+        |WHERE levenshtein(a.name, b.name) <= 1""".stripMargin,
+    // restore(1) makes the latest snapshot = the original corpus
+    "q153_snapshot_restore" ->
+      "SELECT doc_id, text, source, n_chars FROM documents",
+    // union schema: batch-1 rows null-fill the later column
+    "q154_schema_evolution" ->
+      """SELECT doc_id, text, source, CAST(NULL AS BIGINT) AS n_chars
+        |FROM documents
+        |UNION ALL
+        |SELECT doc_id + 1000000 AS doc_id, text, source, n_chars
+        |FROM documents""".stripMargin,
+    // the exact JL doubles: same md5-parity signs, same 0.0-seeded
+    // left-to-right sum, same /sqrt(16) — bit-identical by IEEE
+    "q155_random_projection" -> randomProjectionOracle,
+    // layout/format is invisible to results: identity
+    "q156_orc_roundtrip" ->
+      "SELECT doc_id, text, lang, source, n_chars FROM documents",
+    // retrain the KN marginals from the same slice and replay each
+    // per-bigram term in the EXACT expression order of CountLm.knTerm
+    // (pcont division, greatest-discount, 0.75·ncont·pcont product,
+    // /ctot, ln, DECIMAL(22,7) round), then the exact decimal sum
+    "q157_kneser_ney" ->
+      """WITH tw AS (SELECT string_split(text, ' ') AS w FROM documents
+        |            WHERE source IN ('src0', 'src1', 'src2')),
+        |tbg AS (SELECT w[i] AS w1, w[i + 1] AS w2 FROM (
+        |    SELECT w, unnest(generate_series(1, len(w) - 1)) AS i FROM tw)),
+        |bgc AS (SELECT w1, w2, COUNT(*) AS cnt FROM tbg GROUP BY 1, 2),
+        |ctx AS (SELECT w1, CAST(SUM(cnt) AS BIGINT) AS ctot, COUNT(*) AS ncont
+        |        FROM bgc GROUP BY 1),
+        |rts AS (SELECT w2, COUNT(*) AS nleft FROM bgc GROUP BY 1),
+        |tot AS (SELECT COUNT(*) + COUNT(DISTINCT w2) AS br FROM bgc),
+        |db AS (SELECT doc_id, w[i] AS w1, w[i + 1] AS w2 FROM (
+        |    SELECT doc_id, w, unnest(generate_series(1, len(w) - 1)) AS i FROM (
+        |      SELECT doc_id, string_split(text, ' ') AS w FROM documents))),
+        |terms AS (
+        |  SELECT db.doc_id,
+        |    CAST(ln(CASE WHEN ctx.ctot IS NULL
+        |      THEN CAST(COALESCE(rts.nleft, 0) + 1 AS DOUBLE)
+        |           / CAST(tot.br AS DOUBLE)
+        |      ELSE (greatest(CAST(COALESCE(bgc.cnt, 0) AS DOUBLE) - 0.75, 0.0)
+        |            + 0.75 * CAST(ctx.ncont AS DOUBLE)
+        |              * (CAST(COALESCE(rts.nleft, 0) + 1 AS DOUBLE)
+        |                 / CAST(tot.br AS DOUBLE)))
+        |           / CAST(ctx.ctot AS DOUBLE) END)
+        |      AS DECIMAL(22,7)) AS term
+        |  FROM db
+        |  LEFT JOIN bgc ON db.w1 = bgc.w1 AND db.w2 = bgc.w2
+        |  LEFT JOIN ctx ON db.w1 = ctx.w1
+        |  LEFT JOIN rts ON db.w2 = rts.w2
+        |  CROSS JOIN tot),
+        |agg AS (SELECT doc_id, CAST(SUM(term) AS DOUBLE) AS kn_logprob,
+        |               COUNT(*) AS kn_bigrams
+        |        FROM terms GROUP BY 1)
+        |SELECT d.doc_id, COALESCE(a.kn_logprob, 0.0) AS kn_logprob,
+        |       CAST(COALESCE(a.kn_bigrams, 0) AS BIGINT) AS kn_bigrams
+        |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id""".stripMargin
   )
+
+  /** The q155 oracle, generated from the SAME md5-parity rule the Scala
+   *  matrix uses ([[Similarity.projectionSigns]]): one SELECT per output
+   *  dim, each an unrolled `(0.0 + s·v[1] + … + s·v[64]) / sqrt(16.0)`
+   *  sum whose association order matches the Spark fold exactly. */
+  private def randomProjectionOracle: String = {
+    val signs = Similarity.projectionSigns(16, 64)
+    (0 until 16).map { j =>
+      val terms = (0 until 64).map { i =>
+        s"${if (signs(j)(i) > 0) "1.0" else "-1.0"} * CAST(embedding[${i + 1}] AS DOUBLE)"
+      }.mkString(" + ")
+      s"SELECT vec_id, CAST($j AS INT) AS dim, " +
+        s"CAST((0.0 + $terms) / sqrt(16.0) AS DOUBLE) AS pval " +
+        "FROM embeddings WHERE vec_id < 200"
+    }.mkString("\nUNION ALL\n")
+  }
 
   /** Flagship end-to-end pipeline for the driver's smoke check: LWW-normalize
    *  lineitem, join dimensions (broadcast), aggregate revenue. */

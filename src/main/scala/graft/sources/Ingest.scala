@@ -61,6 +61,21 @@ object Ingest {
       .option("sep", delimiter)
       .csv(path)
 
+  /** Columnar interchange with ORC-based warehouses (Hive/Trino lakes):
+   *  explicit schema like every reader here — ORC carries its own schema
+   *  per file, and pinning one makes day-over-day appends drift-proof
+   *  (missing columns null in, extra columns are refused by name). ORC is
+   *  splittable and predicate/pruning-capable like parquet, so a corpus
+   *  landed as ORC can be curated IN PLACE and only the survivors
+   *  rewritten to the graft layout. */
+  def orc(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).orc(path)
+
+  /** ORC export (one well-compressed interchange copy; zstd like the
+   *  parquet side). */
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").option("compression", "zstd").orc(path)
+
   def csvPermissive(
       spark: SparkSession,
       path: String,

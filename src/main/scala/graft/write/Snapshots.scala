@@ -288,6 +288,52 @@ object Snapshots {
     doomed
   }
 
+  /**
+   * Rollback: commit a NEW version whose live file set is exactly that of
+   * `toVersion` — history is never rewritten (the bad versions stay
+   * readable under their pins until vacuumed), the table's LATEST simply
+   * becomes the old content again. This is the operational undo for a bad
+   * batch: at 100 TB, re-deriving yesterday's table is a full-table job,
+   * while restore is one metadata commit. Fails loudly if any file of
+   * `toVersion` has already been vacuumed (a restore must never resurrect
+   * a partial table). Returns the new version number.
+   */
+  def restore(spark: SparkSession, dir: String, toVersion: Long): Long = {
+    val (f, root) = fs(spark, dir)
+    val want = readFiles(f, root, toVersion)
+    val gone = want.filterNot(p => f.exists(new Path(p)))
+    if (gone.nonEmpty)
+      throw new IllegalStateException(
+        s"restore to v$toVersion of $dir impossible: ${gone.length} of its " +
+          s"${want.length} file(s) were vacuumed or deleted out-of-band " +
+          s"(first missing: ${gone.head})")
+    val v = commitRewrite(spark, dir, want)
+    graft.sources.TokenPruner.invalidateListing(dir)
+    v
+  }
+
+  /**
+   * Timestamp time travel: the highest version committed at or before
+   * `tsMillis` (Delta's `TIMESTAMP AS OF` shape, against this log's
+   * header commit times). Throws if the table has no snapshot log or no
+   * version is that old — "as of before the table existed" must not
+   * silently mean "latest".
+   */
+  def versionAsOf(spark: SparkSession, dir: String, tsMillis: Long): Long = {
+    val (f, root) = fs(spark, dir)
+    val last = latest(f, root).getOrElse(throw new IllegalArgumentException(
+      s"versionAsOf: $dir has no snapshot log"))
+    val retained = (1L to last).filter(v => f.exists(vPath(root, v)))
+    val vs = retained.filter(v => headerTime(f, root, v) <= tsMillis)
+    if (vs.isEmpty)
+      throw new IllegalArgumentException(
+        s"versionAsOf: no snapshot of $dir committed at or before $tsMillis " +
+          "(earliest retained commit: " +
+          retained.headOption.map(v => headerTime(f, root, v).toString)
+            .getOrElse("none") + ")")
+    vs.max
+  }
+
   /** File-level diff of two committed versions: (added, removed) absolute
    *  paths going `fromVersion` → `toVersion`. Version 0 = empty table, so
    *  `diff(spark, dir, 0, v)` is the full file set of v. */

@@ -140,4 +140,55 @@ class CountLmSpec extends SparkSpec {
     assert(!plan.contains("Exchange"),
       s"plan-literal LM must score at scan speed:\n$plan")
   }
+
+  test("deriveKn: marginals of the capped bigram table, hand-checked") {
+    // corpus "a b a" twice → bigrams: "a b"×2, "b a"×2
+    val c = Seq((1L, "a b a"), (2L, "a b a")).toDF("doc_id", "text")
+    val kn = CountLm.deriveKn(CountLm.train(c, "text"))
+    val ctx = kn.contexts.as[(String, Long, Long)].collect()
+      .map { case (k, v1, v2) => k -> ((v1, v2)) }.toMap
+    assert(ctx === Map("a" -> ((2L, 1L)), "b" -> ((2L, 1L))))
+    assert(kn.rights.as[(String, Long)].collect().toMap ===
+      Map("a" -> 1L, "b" -> 1L))
+    assert(kn.bigramTypes === 2L && kn.rightTypes === 2L)
+  }
+
+  test("scoreKn: hand-computed interpolated KN log-probability") {
+    // model: "a b a" → bigrams "a b"×1, "b a"×1; ctx a→(1,1), b→(1,1);
+    // rights a→1, b→1; B=2, R=2 → B+R=4
+    val kn = CountLm.deriveKn(CountLm.train(
+      Seq((1L, "a b a")).toDF("doc_id", "text"), "text"))
+    val scored = CountLm.scoreKn(
+      Seq((1L, "a b c"), (2L, "x"), (3L, "z q")).toDF("doc_id", "text"),
+      "doc_id", "text", kn)
+      .select($"doc_id", $"kn_logprob", $"kn_bigrams")
+      .as[(Long, Double, Long)].collect().sortBy(_._1)
+    // doc 1: (a,b) seen: pcont(b)=(1+1)/4=0.5, p=(0.25+0.75·1·0.5)/1=0.625
+    //        (b,c) ctx seen, bigram unseen: pcont(c)=(0+1)/4=0.25,
+    //              p=(0+0.75·1·0.25)/1=0.1875
+    val expect1 = BigDecimal(math.log(0.625)).setScale(7, BigDecimal.RoundingMode.HALF_UP) +
+      BigDecimal(math.log(0.1875)).setScale(7, BigDecimal.RoundingMode.HALF_UP)
+    assert(scored(0)._2 === expect1.toDouble && scored(0)._3 === 2L)
+    // doc 2: no bigrams → 0.0
+    assert(scored(1)._2 === 0.0 && scored(1)._3 === 0L)
+    // doc 3: (z,q) unseen ctx → backoff pcont(q)=(0+1)/4=0.25
+    val expect3 = BigDecimal(math.log(0.25)).setScale(7, BigDecimal.RoundingMode.HALF_UP)
+    assert(scored(2)._2 === expect3.toDouble && scored(2)._3 === 1L)
+  }
+
+  test("scoreKnJoin is bit-identical to the literal path; literal path zero-exchange") {
+    val c = (0L until 60L).map(i =>
+      (i, s"w${i % 7} w${i % 5} w${i % 3} common end${i % 2}"))
+      .toDF("doc_id", "text")
+    val kn = CountLm.deriveKn(CountLm.train(c.filter($"doc_id" < 20L), "text"))
+    def collectOf(df: org.apache.spark.sql.DataFrame) =
+      df.select($"doc_id", $"kn_logprob", $"kn_bigrams")
+        .as[(Long, Double, Long)].collect().sortBy(_._1).toSeq
+    val lit = CountLm.scoreKn(c, "doc_id", "text", kn)
+    val join = CountLm.scoreKnJoin(c, "doc_id", "text", kn)
+    assert(collectOf(lit) == collectOf(join))
+    val plan = lit.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"plan-literal KN must score at scan speed:\n$plan")
+  }
 }

@@ -295,4 +295,53 @@ class SimilaritySpec extends SparkSpec {
       .select("neighbor_id", "rank").as[(Long, Int)].collect().sortBy(_._2)
     assert(got.toSeq == brute.toSeq)
   }
+
+  test("projectionSigns: deterministic ±1 from md5 parity, roughly balanced") {
+    val s1 = Similarity.projectionSigns(8, 32)
+    val s2 = Similarity.projectionSigns(8, 32)
+    assert(s1.map(_.toSeq).toSeq == s2.map(_.toSeq).toSeq)
+    assert(s1.flatten.forall(v => v == 1.0 || v == -1.0))
+    val pos = s1.flatten.count(_ > 0)
+    assert(pos > 64 && pos < 192, s"suspiciously unbalanced sign matrix: $pos/256 positive")
+  }
+
+  test("randomProject: unrolled and HOF paths are bit-identical") {
+    val rnd = new scala.util.Random(7)
+    val df = (0 until 40).map { i =>
+      (i.toLong, Array.fill(24)(rnd.nextFloat() * 2f - 1f))
+    }.toDF("vec_id", "embedding")
+    def run(threshold: Int) = Similarity
+      .randomProject(df, "embedding", inDim = 24, outDim = 6,
+        unrollMaxTerms = threshold)
+      .select($"vec_id", $"projected")
+      .as[(Long, Seq[Double])].collect().sortBy(_._1).toSeq
+    val unrolled = run(24 * 6) // takes the unrolled branch
+    val hof = run(1)           // forces the aggregate branch
+    assert(unrolled == hof)    // Seq[Double] == is bitwise for non-NaN
+    assert(unrolled.forall(_._2.length == 6))
+  }
+
+  test("randomProject: JL preserves relative similarity structure") {
+    // two tight clusters far apart in 64-dim: after 64→16 projection,
+    // within-cluster cosine must stay far above cross-cluster cosine
+    val rnd = new scala.util.Random(11)
+    def around(center: Array[Float]) =
+      center.map(c => c + (rnd.nextFloat() - 0.5f) * 0.05f)
+    val c1 = Array.fill(64)(rnd.nextFloat() * 2f - 1f)
+    val c2 = Array.fill(64)(rnd.nextFloat() * 2f - 1f)
+    val df = ((0 until 10).map(i => (i.toLong, around(c1), 0)) ++
+      (10 until 20).map(i => (i.toLong, around(c2), 1)))
+      .toDF("vec_id", "embedding", "cluster")
+    val proj = Similarity.randomProject(df, "embedding", inDim = 64, outDim = 16)
+      .select($"vec_id", $"cluster", $"projected".cast("array<float>").as("embedding"))
+    val a = proj.select($"vec_id".as("ida"), $"cluster".as("ca"), $"embedding".as("va"))
+    val b = proj.select($"vec_id".as("idb"), $"cluster".as("cb"), $"embedding".as("vb"))
+    val pairs = a.join(b, $"ida" < $"idb")
+      .select($"ca" === $"cb", Similarity.cosine($"va", $"vb"))
+      .as[(Boolean, Double)].collect()
+    val within = pairs.filter(_._1).map(_._2)
+    val cross = pairs.filterNot(_._1).map(_._2)
+    assert(within.min > cross.max,
+      s"projection lost cluster structure: within.min=${within.min} cross.max=${cross.max}")
+  }
 }

@@ -85,4 +85,19 @@ class IngestSpec extends SparkSpec {
     assert(parsed.filter("_corrupt_record IS NULL").count() === 2)
     parsed.unpersist()
   }
+
+  test("orc round-trips exactly; pinned schema null-fills a missing column") {
+    val dir = tmp("orc") + "/t"
+    val rows = Seq((1L, "héllo \"q\" ,;\t"), (2L, null), (3L, "plain"))
+    Ingest.writeOrc(rows.toDF("id", "text"), dir)
+    val back = Ingest.orc(spark, dir, schema)
+      .as[(Long, Option[String])].collect().sortBy(_._1).toSeq
+    assert(back == rows.map { case (i, t) => (i, Option(t)) })
+    // schema pinning: asking for a column the files lack nulls it in
+    // (day-over-day appends where the schema grew)
+    val widened = schema.add(StructField("extra", LongType))
+    val w = Ingest.orc(spark, dir, widened)
+      .as[(Long, Option[String], Option[Long])].collect()
+    assert(w.length == 3 && w.forall(_._3.isEmpty))
+  }
 }

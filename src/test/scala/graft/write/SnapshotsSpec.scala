@@ -314,6 +314,63 @@ class SnapshotsSpec extends SparkSpec {
     assert(merged === (0 until 4).map(i => i.toLong -> s"new$i").toMap)
   }
 
+  test("restore: latest becomes the old content via one metadata commit; history intact") {
+    val dir = freshDir()
+    writeSnap(rows(0 until 10), dir)          // v1
+    writeSnap(rows(10 until 15), dir)         // v2 — the "bad batch"
+    val v = Snapshots.restore(spark, dir, 1L) // v3 = v1's file set
+    assert(v == 3L)
+    // unpinned read plans from the latest snapshot = the restored content
+    val unpinned = spark.read.format("graft").option("path", dir)
+      .option("pk", "id").load()
+    assert(unpinned.select("id").as[Long].collect().sorted.toSeq ==
+      (0L until 10L))
+    // nothing was deleted: the bad version stays readable under its pin
+    assert(readPin(dir, "2").count() == 15L)
+    // restore of a vacuumed version fails loudly, not partially (the
+    // vacuum drops the snapshot FILE itself, so the loud failure is the
+    // unknown-version one)
+    writeSnap(rows(15 until 16), dir)         // v4 (adds a file)
+    Snapshots.vacuum(spark, dir, keepLast = 1)
+    val e = intercept[RuntimeException] { Snapshots.restore(spark, dir, 2L) }
+    assert(e.getMessage.contains("vacuumed"))
+  }
+
+  test("versionAsOf: highest commit at-or-before ts; too-early ts fails loudly") {
+    val dir = freshDir()
+    writeSnap(rows(0 until 3), dir)           // v1
+    val t1 = Snapshots.commitTimeMillis(spark, dir, 1L)
+    writeSnap(rows(3 until 6), dir)           // v2
+    val t2 = Snapshots.commitTimeMillis(spark, dir, 2L)
+    assert(Snapshots.versionAsOf(spark, dir, t2) == 2L)
+    assert(Snapshots.versionAsOf(spark, dir, Long.MaxValue) == 2L)
+    if (t1 < t2) assert(Snapshots.versionAsOf(spark, dir, t2 - 1) == 1L)
+    val e = intercept[IllegalArgumentException] {
+      Snapshots.versionAsOf(spark, dir, t1 - 1)
+    }
+    assert(e.getMessage.contains("no snapshot"))
+    // and the resolved version feeds a pinned read
+    assert(readPin(dir, Snapshots.versionAsOf(spark, dir, t1).toString)
+      .count() == 3L)
+  }
+
+  test("schema evolution across appends: union schema, old rows null-fill") {
+    val dir = freshDir()
+    writeSnap(rows(0 until 5), dir)           // (id, payload)
+    TokenSortedWriter.write(
+      (5 until 8).map(i => (i.toLong, s"v$i", i * 10L)).toDF("id", "payload", "extra"),
+      schema, dir, SaveMode.Append,
+      TokenSortedWriter.WriteConf(numPartitions = 2, snapshot = true))
+    val df = spark.read.format("graft").option("path", dir)
+      .option("pk", "id").load()
+    assert(df.columns.toSet == Set("id", "payload", "extra"))
+    val byId = df.select("id", "extra").as[(Long, Option[Long])].collect().toMap
+    assert((0 until 5).forall(i => byId(i.toLong).isEmpty))
+    assert((5 until 8).forall(i => byId(i.toLong).contains(i * 10L)))
+    // and the pre-evolution pin still reads with its own rows present
+    assert(readPin(dir, "1").count() == 5L)
+  }
+
   test("streaming read rejects a snapshot pin") {
     val dir = freshDir()
     writeSnap(rows(0 until 4), dir)
