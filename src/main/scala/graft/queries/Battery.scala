@@ -2168,6 +2168,64 @@ object Battery {
           inDim = 64, outDim = 16)
         .select(col("vec_id"), posexplode(col("projected")).as(Seq("dim", "pval")))),
 
+    // rewrite-crossing CDC: base (wt 1000) + updates/inserts (wt 2000) +
+    // deletes (wt 3000), then compactInPlace — a rewrite commit that
+    // file-level readChanges must REFUSE; diffRows compares the resolved
+    // pinned states instead, with the tombstone horizon at the consumer's
+    // sync point so the deletes SURFACE as ops rather than retro-erasing
+    // from both sides. Oracle replays both resolutions and the full outer
+    // classification in SQL.
+    "q159_snapshot_diff" -> ((s, d) => {
+      val schema = Tables.schemas("lineitem")
+      val dir = java.nio.file.Files.createTempDirectory("graft_sdiff_")
+        .toString + "/lineitem"
+      val base = li(s, d)
+      TokenSortedWriter.write(base, schema, dir, SaveMode.Append,
+        TokenSortedWriter.WriteConf(numPartitions = 4, keepTokenColumn = true,
+          writetimeMicros = Some(1000L), snapshot = true))              // v1
+      TokenSortedWriter.write(
+        base.filter(col("l_orderkey") % 10 === 0)
+          .withColumn("l_quantity", col("l_quantity") + 100.0),
+        schema, dir, SaveMode.Append,
+        TokenSortedWriter.WriteConf(numPartitions = 2, keepTokenColumn = true,
+          writetimeMicros = Some(2000L), snapshot = true))              // v2
+      TokenSortedWriter.write(
+        base.filter(col("l_orderkey") % 10 === 5)
+          .withColumn("l_orderkey", col("l_orderkey") + 30000000L),
+        schema, dir, SaveMode.Append,
+        TokenSortedWriter.WriteConf(numPartitions = 2, keepTokenColumn = true,
+          writetimeMicros = Some(2000L), snapshot = true))              // v3
+      TokenSortedWriter.writeDeletes(
+        base.filter(col("l_orderkey") % 7 === 3).select(col("l_orderkey")),
+        schema, dir, writetimeMicros = Some(3000L))
+      val latest = TokenSortedWriter.compactInPlace(s, schema, dir,
+        TokenSortedWriter.WriteConf(numPartitions = 4), vacuumRetain = 10)
+      TokenSortedWriter.diffRows(s, schema, dir, 1L, latest,
+          fromTombstoneHorizonMicros = Some(1500L))
+        .select(col("l_orderkey"), col("l_linenumber"), col("op"),
+          col("l_quantity"), col("l_returnflag"))
+    }),
+
+    // the JL scale path composed end-to-end: 64→16 projection feeding
+    // sign-LSH ANN. Exact twins project to IDENTICAL vectors (same plan
+    // literal, same fold), so they share the query's bucket at any plane
+    // count and tie at cosine 1.0 — ranks 1..10 are the twins in id
+    // order, the q30 closed form, now at a quarter of the per-vector
+    // dot-product cost
+    "q158_ann_projected" -> ((s, d) => {
+      val e = emb(s, d).select(col("vec_id"), col("embedding"))
+      val qs = e.filter(col("vec_id") < 3L)
+      val twins = qs.select(col("vec_id"), col("embedding"),
+          explode(sequence(lit(1L), lit(10L))).as("j"))
+        .select((col("vec_id") + col("j") * 100000L).as("vec_id"), col("embedding"))
+      def proj(df: DataFrame): DataFrame =
+        Similarity.randomProject(df, "embedding", inDim = 64, outDim = 16)
+          .select(col("vec_id"), col("projected").cast("array<float>").as("embedding"))
+      Similarity.lshTopK(proj(e.unionByName(twins)), proj(qs),
+          "vec_id", "embedding", k = 10, planes = 6)
+        .select(col("query_id"), col("neighbor_id"), col("rank"))
+    }),
+
     // interpolated Kneser-Ney bigram scoring (the real CCNet/KenLM shape):
     // model = the src0-2 slice's bigram table and its KN marginals, every
     // doc scored by Σ ln P_kn over adjacent bigrams — per-bigram doubles
@@ -3824,6 +3882,60 @@ object Battery {
     // layout/format is invisible to results: identity
     "q156_orc_roundtrip" ->
       "SELECT doc_id, text, lang, source, n_chars FROM documents",
+    // both resolutions replayed (q152's LWW collapse), then the full
+    // outer classification: deletes from the horizon-scoped from-state,
+    // updates iff a value column differs, inserts from the shifted batch
+    "q159_snapshot_diff" ->
+      """WITH base AS (
+        |  SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity, l_extendedprice,
+        |         l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate, 1000 AS wt
+        |  FROM lineitem),
+        |upd AS (
+        |  SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity + 100, l_extendedprice,
+        |         l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate, 2000 AS wt
+        |  FROM lineitem WHERE l_orderkey % 10 = 0),
+        |ins AS (
+        |  SELECT l_orderkey + 30000000, l_partkey, l_suppkey, l_linenumber, l_quantity, l_extendedprice,
+        |         l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate, 2000 AS wt
+        |  FROM lineitem WHERE l_orderkey % 10 = 5),
+        |vto AS (SELECT * FROM base UNION ALL SELECT * FROM upd UNION ALL SELECT * FROM ins),
+        |lto AS (SELECT * FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY l_orderkey, l_linenumber
+        |      ORDER BY wt DESC, l_partkey DESC, l_suppkey DESC, l_quantity DESC,
+        |               l_extendedprice DESC, l_discount DESC, l_tax DESC, l_returnflag DESC,
+        |               l_linestatus DESC, l_shipdate DESC) AS rn
+        |    FROM vto) WHERE rn = 1),
+        |tstate AS (SELECT * FROM lto
+        |           WHERE NOT (l_orderkey % 7 = 3 AND l_orderkey < 30000000)),
+        |fstate AS (SELECT * FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY l_orderkey, l_linenumber
+        |      ORDER BY wt DESC, l_partkey DESC, l_suppkey DESC, l_quantity DESC,
+        |               l_extendedprice DESC, l_discount DESC, l_tax DESC, l_returnflag DESC,
+        |               l_linestatus DESC, l_shipdate DESC) AS rn
+        |    FROM base) WHERE rn = 1),
+        |d AS (
+        |  SELECT COALESCE(f.l_orderkey, t.l_orderkey) AS l_orderkey,
+        |         COALESCE(f.l_linenumber, t.l_linenumber) AS l_linenumber,
+        |         CASE WHEN t.l_orderkey IS NULL THEN 'delete'
+        |              WHEN f.l_orderkey IS NULL THEN 'insert'
+        |              ELSE 'update' END AS op,
+        |         CASE WHEN t.l_orderkey IS NULL THEN f.l_quantity
+        |              ELSE t.l_quantity END AS l_quantity,
+        |         CASE WHEN t.l_orderkey IS NULL THEN f.l_returnflag
+        |              ELSE t.l_returnflag END AS l_returnflag,
+        |         f.l_quantity IS DISTINCT FROM t.l_quantity AS qty_changed
+        |  FROM fstate f FULL OUTER JOIN tstate t
+        |    ON f.l_orderkey = t.l_orderkey AND f.l_linenumber = t.l_linenumber)
+        |SELECT l_orderkey, l_linenumber, op, l_quantity, l_returnflag
+        |FROM d WHERE op <> 'update' OR qty_changed""".stripMargin,
+    // same twin closed form as q30, surviving the projection: identical
+    // inputs project identically, cosine 1.0 beats every original
+    "q158_ann_projected" ->
+      """SELECT q.vec_id AS query_id,
+        |       q.vec_id + 100000 * t.j AS neighbor_id,
+        |       t.j AS rank
+        |FROM embeddings q, range(1, 11) t(j)
+        |WHERE q.vec_id < 3""".stripMargin,
     // retrain the KN marginals from the same slice and replay each
     // per-bigram term in the EXACT expression order of CountLm.knTerm
     // (pcont division, greatest-discount, 0.75·ncont·pcont product,

@@ -531,8 +531,10 @@ object TokenSortedWriter {
       schema: CqlSchema,
       path: String,
       nowMicros: Option[Long] = None,
-      keepFeatureColumns: Boolean = false): DataFrame = {
-    var df = spark.read.format("graft")
+      keepFeatureColumns: Boolean = false,
+      snapshotVersion: Option[String] = None,
+      tombstonesAsOfMicros: Option[Long] = None): DataFrame = {
+    val reader = spark.read.format("graft")
       .option("path", path)
       .option("pk", schema.partitionKeys.mkString(","))
       .option("ck", schema.clusteringKeys.mkString(","))
@@ -542,6 +544,7 @@ object TokenSortedWriter {
       // layout then needs zero shuffles (S2 reported partitioning; the scan
       // silently disqualifies itself on overlapping multi-append layouts)
       .option("clustered", "true")
+    var df = snapshotVersion.fold(reader)(v => reader.option("snapshotVersion", v))
       .load()
 
     // 0. static columns resolve per PARTITION over the raw multi-version
@@ -574,7 +577,16 @@ object TokenSortedWriter {
     val delPath = new org.apache.hadoop.fs.Path(path, DeletesDir)
     val fs = delPath.getFileSystem(spark.sessionState.newHadoopConf())
     if (fs.exists(delPath)) {
-      val deletes0 = spark.read.option("mergeSchema", "true").parquet(delPath.toString)
+      val deletesAll = spark.read.option("mergeSchema", "true").parquet(delPath.toString)
+      // time-scoped tombstones: a PINNED state reconstruction (diffRows'
+      // from-side) must not let deletes that landed AFTER the pin
+      // retro-erase rows the downstream consumer synced before the delete
+      // existed. Unstamped tombstones carry no time and stay in effect.
+      val deletes0 = tombstonesAsOfMicros match {
+        case Some(h) if deletesAll.columns.contains(WritetimeCol) =>
+          deletesAll.filter(col(WritetimeCol).isNull || col(WritetimeCol) <= h)
+        case _ => deletesAll
+      }
       val pk = schema.partitionKeys
       // range tombstones are marked by a non-null ck bound; split them off
       // before the point-tombstone dispatch (mergeSchema gives every row the
@@ -684,6 +696,70 @@ object TokenSortedWriter {
       .select(schema.primaryKey.map(qcol): _*).distinct()
     readNormalized(spark, schema, dir, nowMicros)
       .join(touched, schema.primaryKey, "left_semi")
+  }
+
+  /**
+   * Row-level semantic diff of two RESOLVED snapshot states — the CDC
+   * escape hatch for ranges the file-level feed refuses: readChanges
+   * fails loudly across a rewrite commit (compaction breaks file-level
+   * provenance), while this compares the states themselves, so it works
+   * across ANY lineage. Output: primary key + `op` ('insert' | 'update'
+   * | 'delete') + value columns (post-image for insert/update, pre-image
+   * for delete). Unchanged rows are omitted.
+   *
+   * Tombstone time-scoping: deletes retro-apply to pinned reads (a
+   * tombstone is newer than the rows it kills), so with no horizon a key
+   * deleted BETWEEN the versions vanishes from BOTH sides and no
+   * 'delete' op surfaces. A consumer that synced at `fromVersion` passes
+   * `fromTombstoneHorizonMicros` = the writetime horizon of its sync;
+   * the from-state then resurrects what the consumer actually holds and
+   * the diff emits the 'delete'. Unstamped tombstones carry no time and
+   * always apply.
+   *
+   * Cost/scale: two pinned normalized scans + one full outer join on the
+   * primary key (both sides token-sorted → clustered layouts co-locate;
+   * the join shuffles at most both states' narrow resolved rows — no
+   * per-file bookkeeping, no version walk). Schema evolution between the
+   * versions is handled by null-padding the missing columns on either
+   * side; a column added between versions therefore reports every
+   * carrying row as an update, which IS the semantic truth.
+   */
+  def diffRows(
+      spark: SparkSession,
+      schema: CqlSchema,
+      dir: String,
+      fromVersion: Long,
+      toVersion: Long,
+      fromTombstoneHorizonMicros: Option[Long] = None,
+      nowMicros: Option[Long] = None): DataFrame = {
+    require(fromVersion <= toVersion,
+      s"diffRows: fromVersion $fromVersion > toVersion $toVersion")
+    val pk = schema.primaryKey
+    val from = readNormalized(spark, schema, dir, nowMicros,
+      snapshotVersion = Some(fromVersion.toString),
+      tombstonesAsOfMicros = fromTombstoneHorizonMicros)
+    val to = readNormalized(spark, schema, dir, nowMicros,
+      snapshotVersion = Some(toVersion.toString))
+    val vals = (from.columns ++ to.columns).distinct.toSeq
+      .filterNot(pk.contains).filterNot(_.startsWith("_graft_"))
+    def side(df: DataFrame, tag: String) = {
+      val padded = vals.foldLeft(df)((d, c) =>
+        if (d.columns.contains(c)) d else d.withColumn(c, lit(null)))
+      padded.select((pk.map(qcol) ++ vals.map(c => qcol(c).as(s"__$tag$c")) :+
+        lit(true).as(s"__present_$tag")): _*)
+    }
+    val joined = side(from, "a_").join(side(to, "b_"), pk, "full_outer")
+    val changed =
+      if (vals.isEmpty) lit(false)
+      else vals.map(c => !(col(s"__a_$c") <=> col(s"__b_$c"))).reduce(_ || _)
+    val op = when(col("__present_b_").isNull, lit("delete"))
+      .when(col("__present_a_").isNull, lit("insert"))
+      .otherwise(lit("update"))
+    joined
+      .filter(col("__present_a_").isNull || col("__present_b_").isNull || changed)
+      .select((pk.map(qcol) :+ op.as("op")) ++
+        vals.map(c => when(col("__present_b_").isNull, col(s"__a_$c"))
+          .otherwise(col(s"__b_$c")).as(c)): _*)
   }
 
   /**

@@ -371,6 +371,41 @@ class SnapshotsSpec extends SparkSpec {
     assert(readPin(dir, "1").count() == 5L)
   }
 
+  test("diffRows: insert/update/delete across a rewrite; horizon surfaces deletes") {
+    val dir = freshDir()
+    def writeWt(df: DataFrame, wt: Long): Unit =
+      TokenSortedWriter.write(df, schema, dir, SaveMode.Append,
+        TokenSortedWriter.WriteConf(numPartitions = 2, keepTokenColumn = true,
+          writetimeMicros = Some(wt), snapshot = true))
+    writeWt(rows(0 until 6), 1000L)
+    writeWt(Seq((1L, "updated")).toDF("id", "payload"), 2000L)      // update id 1
+    writeWt(Seq((10L, "new")).toDF("id", "payload"), 2000L)         // insert id 10
+    TokenSortedWriter.writeDeletes(
+      Seq(Tuple1(3L)).toDF("id"), schema, dir, writetimeMicros = Some(3000L))
+    val latest = TokenSortedWriter.compactInPlace(spark, schema, dir,
+      TokenSortedWriter.WriteConf(numPartitions = 2), vacuumRetain = 10)
+
+    // readChanges across the rewrite refuses (file provenance broken)
+    intercept[IllegalStateException] {
+      Snapshots.readChanges(spark, dir, 1L, latest)
+    }
+
+    // with the sync-point horizon, the delete SURFACES with its pre-image
+    val d = TokenSortedWriter.diffRows(spark, schema, dir, 1L, latest,
+        fromTombstoneHorizonMicros = Some(1500L))
+      .select("id", "op", "payload").as[(Long, String, String)]
+      .collect().sortBy(_._1).toSeq
+    assert(d == Seq((1L, "update", "updated"), (3L, "delete", "v3"),
+      (10L, "insert", "new")))
+
+    // without a horizon the tombstone retro-applies to BOTH pins: the
+    // delete vanishes from the diff (documented), the rest is unchanged
+    val d2 = TokenSortedWriter.diffRows(spark, schema, dir, 1L, latest)
+      .select("id", "op", "payload").as[(Long, String, String)]
+      .collect().sortBy(_._1).toSeq
+    assert(d2 == Seq((1L, "update", "updated"), (10L, "insert", "new")))
+  }
+
   test("streaming read rejects a snapshot pin") {
     val dir = freshDir()
     writeSnap(rows(0 until 4), dir)
