@@ -2168,6 +2168,37 @@ object Battery {
           inDim = 64, outDim = 16)
         .select(col("vec_id"), posexplode(col("projected")).as(Seq("dim", "pval")))),
 
+    // continuous downstream rollup: three committed source versions stream
+    // through the change feed into an LWW-maintained aggregate table
+    // (writetime = version offset, replay-proof fold) — the final
+    // normalized read must equal the direct aggregate over all three
+    // increments, which IS the closed-form oracle
+    "q160_stream_agg_maintain" -> ((s, d) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_sagg_").toString
+      val src = root + "/documents"
+      val down = root + "/agg"
+      val schema = CqlSchema("documents", Seq("doc_id"))
+      val aggSchema = CqlSchema("agg", Seq("source"))
+      val base = docs(s, d).select(col("doc_id"), col("source"), col("n_chars"))
+      val conf = TokenSortedWriter.WriteConf(numPartitions = 4, snapshot = true)
+      TokenSortedWriter.write(base, schema, src, SaveMode.Append, conf)
+      TokenSortedWriter.write(
+        base.withColumn("doc_id", col("doc_id") + lit(TwinOff)),
+        schema, src, SaveMode.Append, conf)
+      TokenSortedWriter.write(
+        base.withColumn("doc_id", col("doc_id") + lit(2L * TwinOff)),
+        schema, src, SaveMode.Append, conf)
+      val feed = s.readStream.format("graft")
+        .option("path", src).option("pk", "doc_id")
+        .option("changeFeed", "true").option("startingVersion", "0").load()
+      val q = graft.streaming.EventStreams.maintainAggStream(
+        feed, Seq("source"), Seq("n_chars"), aggSchema, down, root + "/ckpt",
+        trigger = Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()))
+      try q.awaitTermination() finally q.stop()
+      TokenSortedWriter.readNormalized(s, aggSchema, down)
+        .select(col("source"), col("n_rows"), col("sum_n_chars"))
+    }),
+
     // rewrite-crossing CDC: base (wt 1000) + updates/inserts (wt 2000) +
     // deletes (wt 3000), then compactInPlace — a rewrite commit that
     // file-level readChanges must REFUSE; diffRows compares the resolved
@@ -3882,6 +3913,11 @@ object Battery {
     // layout/format is invisible to results: identity
     "q156_orc_roundtrip" ->
       "SELECT doc_id, text, lang, source, n_chars FROM documents",
+    // three identical-distribution increments → 3× the direct aggregate
+    "q160_stream_agg_maintain" ->
+      """SELECT source, CAST(3 * COUNT(*) AS BIGINT) AS n_rows,
+        |       CAST(3 * SUM(n_chars) AS BIGINT) AS sum_n_chars
+        |FROM documents GROUP BY source""".stripMargin,
     // both resolutions replayed (q152's LWW collapse), then the full
     // outer classification: deletes from the horizon-scoped from-state,
     // updates iff a value column differs, inserts from the shifted batch

@@ -317,6 +317,77 @@ object EventStreams {
    * replay appends nothing new — the same survivors-first argument as
    * the uncompacted path. Default 0: never compact.
    */
+  /**
+   * Continuous downstream-aggregate maintenance: the change-feed stream
+   * ([[graft.sources.GraftChangeFeedStream]], version = offset) feeds a
+   * running per-key aggregate (`n_rows` + `sum_<col>` for each of
+   * `sumCols`) materialized as an LWW graft table — the streaming twin of
+   * the q148 batch pattern, closing the loop from "a batch landed on the
+   * source table" to "the downstream rollup reflects it" with IO
+   * proportional to the increment.
+   *
+   * Exactly-once folding under micro-batch replay: each batch folds its
+   * delta into the PRIOR state — the LWW-resolved table restricted to
+   * `writetime < batchId + 1`, so a replayed batch never sees its own
+   * earlier (possibly partial) write — and writes the folded rows with
+   * `writetime = batchId + 1`. A replay therefore recomputes bit-identical
+   * rows at the same writetime, and the LWW read collapses the duplicates
+   * deterministically. Sums must be over integral columns (exact,
+   * order-free); double sums would be order-dependent — cast to decimal
+   * upstream if needed.
+   *
+   * 100 TB shape: the delta aggregate is one map-side-combined pass over
+   * the increment only; the prior state is one table read of the ROLLUP
+   * (keys × versions, tiny next to the source); the fold shuffles only
+   * (key, counters) rows.
+   */
+  def maintainAggStream(
+      feed: DataFrame,
+      keyCols: Seq[String],
+      sumCols: Seq[String],
+      schema: graft.model.CqlSchema,
+      path: String,
+      checkpointDir: String,
+      numPartitions: Int = 1,
+      trigger: Option[org.apache.spark.sql.streaming.Trigger] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val writer0 = feed.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append)
+    val writer = trigger.fold(writer0)(writer0.trigger)
+    val outCols = "n_rows" +: sumCols.map(c => s"sum_$c")
+    writer.foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+      val spark = batch.sparkSession
+      val wt = id + 1L
+      val firstAgg = count(lit(1)).as("n_rows")
+      val restAgg = sumCols.map(c => sum(col(c)).as(s"sum_$c"))
+      val delta = batch.toDF().groupBy(keyCols.map(col): _*)
+        .agg(firstAgg, restAgg: _*)
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val folded =
+        if (!fs.exists(p)) delta
+        else {
+          val wtCol = graft.write.TokenSortedWriter.WritetimeCol
+          val prior = graft.operators.Normalize.latestWriteWinsAgg(
+              graft.write.TokenSortedWriter.read(spark, schema, path)
+                .filter(col(wtCol) < wt),
+              keyCols, Seq(wtCol))
+            .select((keyCols ++ outCols).map(col): _*)
+          prior.unionByName(delta).groupBy(keyCols.map(col): _*)
+            .agg(sum(col("n_rows")).as("n_rows"),
+              sumCols.map(c => sum(col(s"sum_$c")).as(s"sum_$c")): _*)
+        }
+      graft.write.TokenSortedWriter.write(
+        folded, schema, path, org.apache.spark.sql.SaveMode.Append,
+        graft.write.TokenSortedWriter.WriteConf(
+          numPartitions = numPartitions, keepTokenColumn = true,
+          writetimeMicros = Some(wt)))
+      ()
+    }.start()
+  }
+
   def dedupIngestStream(
       docs: DataFrame,
       idCol: String,

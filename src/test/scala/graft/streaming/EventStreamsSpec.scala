@@ -499,6 +499,46 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("maintainAggStream: rollup tracks commits across restarts, replay-proof fold") {
+    import spark.implicits._
+    import graft.model.CqlSchema
+    import graft.write.TokenSortedWriter
+    val root = java.nio.file.Files.createTempDirectory("graft_magg_").toString
+    val dir = root + "/docs"
+    val down = root + "/rollup"
+    val schema = CqlSchema("docs", Seq("id"))
+    val aggSchema = CqlSchema("rollup", Seq("grp"))
+    def writeSnap(rows: Seq[(Long, String, Long)]): Unit =
+      TokenSortedWriter.write(rows.toDF("id", "grp", "n"),
+        schema, dir, org.apache.spark.sql.SaveMode.Append,
+        TokenSortedWriter.WriteConf(numPartitions = 2, snapshot = true))
+    def run(): Unit = {
+      val feed = spark.readStream.format("graft")
+        .option("path", dir).option("pk", "id")
+        .option("changeFeed", "true").option("startingVersion", "0").load()
+      val q = EventStreams.maintainAggStream(feed, Seq("grp"), Seq("n"),
+        aggSchema, down, root + "/ckpt",
+        trigger = Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()))
+      try q.awaitTermination() finally q.stop()
+    }
+    def rollup(): Map[String, (Long, Long)] =
+      TokenSortedWriter.readNormalized(spark, aggSchema, down)
+        .select($"grp", $"n_rows", $"sum_n").as[(String, Long, Long)]
+        .collect().map { case (g, a, b) => g -> ((a, b)) }.toMap
+
+    writeSnap(Seq((1L, "a", 10L), (2L, "a", 20L), (3L, "b", 5L))) // v1
+    writeSnap(Seq((4L, "b", 7L)))                                 // v2
+    run()
+    assert(rollup() === Map("a" -> ((2L, 30L)), "b" -> ((2L, 12L))))
+
+    // a later commit + restart with the SAME checkpoint processes only the
+    // increment and folds it into the persisted rollup
+    writeSnap(Seq((5L, "a", 100L), (6L, "c", 1L)))                // v3
+    run()
+    assert(rollup() === Map(
+      "a" -> ((3L, 130L)), "b" -> ((2L, 12L)), "c" -> ((1L, 1L))))
+  }
+
   test("streaming dedup drops re-delivered events inside the watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
