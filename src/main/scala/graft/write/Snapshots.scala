@@ -147,17 +147,41 @@ object Snapshots {
 
   /** Rewrite-commit: next version's file set is exactly `fileSet`
    *  (compaction / logical overwrite — replaced files stay on disk for
-   *  older snapshots until [[vacuum]]). */
-  def commitRewrite(spark: SparkSession, dir: String, fileSet: Seq[String]): Long =
-    commitLoop(spark, dir)(_ => fileSet)
+   *  older snapshots until [[vacuum]]).
+   *
+   *  `expectedParent` is the optimistic-concurrency guard every rewrite
+   *  SHOULD pass (Delta's conflict-detection shape): the version whose
+   *  state the rewrite was computed FROM. A rewrite is only sound against
+   *  that exact parent — if a concurrent append committed in between, a
+   *  blind rewrite would publish a file set that silently DROPS the
+   *  appended files from the log (and a later vacuum would delete them:
+   *  data loss, not just staleness). With the guard, the late rewrite
+   *  fails loudly and the caller recomputes against the new head. Omitted
+   *  = last-writer-wins (single-writer deployments only). */
+  def commitRewrite(
+      spark: SparkSession,
+      dir: String,
+      fileSet: Seq[String],
+      expectedParent: Option[Long] = None): Long =
+    commitLoop(spark, dir, expectedParent)(_ => fileSet)
 
-  private def commitLoop(spark: SparkSession, dir: String)(
+  /** Thrown when [[commitRewrite]]'s `expectedParent` no longer heads the
+   *  log — a concurrent commit landed after the rewrite's source state was
+   *  read. The rewrite must be recomputed from the current head. */
+  final class ConcurrentCommitException(msg: String)
+    extends IllegalStateException(msg)
+
+  private def commitLoop(
+      spark: SparkSession, dir: String,
+      expectedParent: Option[Long] = None)(
       next: Seq[String] => Seq[String]): Long = {
     val (f, root) = fs(spark, dir)
     val allowUnsafe =
       spark.conf.getOption(AllowNonAtomicConf).exists(_.trim.toBoolean)
     val lock = commitLocks.computeIfAbsent(root.toString, _ => new Object)
-    lock.synchronized { commitLoopLocked(f, root, dir, allowUnsafe)(next) }
+    lock.synchronized {
+      commitLoopLocked(f, root, dir, allowUnsafe, expectedParent)(next)
+    }
   }
 
   /** Exclusive create of one version file — THE commit point. Dispatch by
@@ -208,12 +232,21 @@ object Snapshots {
   }
 
   private def commitLoopLocked(
-      f: FileSystem, root: Path, dir: String, allowUnsafe: Boolean)(
+      f: FileSystem, root: Path, dir: String, allowUnsafe: Boolean,
+      expectedParent: Option[Long] = None)(
       next: Seq[String] => Seq[String]): Long = {
     var attempt = 0
     while (attempt < MaxCommitAttempts) {
       attempt += 1
       val parent = latest(f, root)
+      expectedParent.foreach { want =>
+        if (!parent.contains(want))
+          throw new ConcurrentCommitException(
+            s"rewrite of $dir was computed against v$want but the log head is " +
+              s"now v${parent.getOrElse(0L)} — a concurrent commit landed; " +
+              "recompute the rewrite from the current head (committing anyway " +
+              "would drop the concurrent files from the log)")
+      }
       val base = parent.map(readFiles(f, root, _)).getOrElse(Nil)
       val version = parent.getOrElse(0L) + 1
       val body = new StringBuilder()
@@ -332,6 +365,33 @@ object Snapshots {
           retained.headOption.map(v => headerTime(f, root, v).toString)
             .getOrElse("none") + ")")
     vs.max
+  }
+
+  /**
+   * One row per RETAINED version, oldest first: version, commit wall-clock
+   * (epoch millis), parent version (null for the root), file count, and
+   * whether the commit was a rewrite (its parent's set is not a subset) —
+   * the `DESCRIBE HISTORY` analog, driver-side metadata only (the log is
+   * one small file per version; no data IO).
+   */
+  def history(spark: SparkSession, dir: String)
+      : Seq[(Long, Long, Option[Long], Int, Boolean)] = {
+    val (f, root) = fs(spark, dir)
+    val last = latest(f, root).getOrElse(return Nil)
+    val retained = (1L to last).filter(v => f.exists(vPath(root, v)))
+    retained.map { v =>
+      val text = readText(f, root, v)
+      val header = text.linesIterator.next().split('\t')
+      val ts = header(3).toLong
+      val parent = header(4) match { case "-" => None; case p => Some(p.toLong) }
+      val files = text.linesIterator.drop(1).filter(_.nonEmpty).toSeq
+      val rewrite = parent.exists { p =>
+        if (!f.exists(vPath(root, p))) false // parent vacuumed: unknowable
+        else !readFiles(f, root, p).map(relativize(root, _))
+          .forall(files.map(relativize(root, _)).toSet)
+      }
+      (v, ts, parent, files.size, rewrite)
+    }
   }
 
   /** File-level diff of two committed versions: (added, removed) absolute

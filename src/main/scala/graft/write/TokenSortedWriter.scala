@@ -820,8 +820,16 @@ object TokenSortedWriter {
     val logCurrent = Snapshots.latestVersion(spark, dir)
       .exists(v => Snapshots.files(spark, dir, v).toSet == live.toSet)
     if (!logCurrent) Snapshots.commitAppend(spark, dir, live)
+    // the version the fold is computed FROM — the rewrite commit below
+    // carries it as its optimistic-concurrency guard: an append landing
+    // mid-compaction makes the rewrite fail loudly instead of silently
+    // dropping the appended files from the log
+    val sourceVersion = Snapshots.latestVersion(spark, dir).get
 
-    val normalized = readNormalized(spark, schema, dir, keepFeatureColumns = true)
+    // pinned to sourceVersion: the fold's scan and its concurrency guard
+    // name the SAME state even if a concurrent append lands mid-write
+    val normalized = readNormalized(spark, schema, dir, keepFeatureColumns = true,
+      snapshotVersion = Some(sourceVersion.toString))
     val carryWt = normalized.columns.contains(WritetimeCol)
     val outConf = conf.copy(
       keepTokenColumn = true, snapshot = false,
@@ -836,7 +844,8 @@ object TokenSortedWriter {
     val genFiles = graft.sources.TokenPruner
       .listDataFiles(fs, fs.makeQualified(new Path(gen)))
       .map(_.getPath.toString).toSeq
-    val version = Snapshots.commitRewrite(spark, dir, genFiles)
+    val version = Snapshots.commitRewrite(spark, dir, genFiles,
+      expectedParent = Some(sourceVersion))
     Snapshots.vacuum(spark, dir, vacuumRetain)
     graft.sources.TokenPruner.invalidateListing(dir)
     version

@@ -406,6 +406,40 @@ class SnapshotsSpec extends SparkSpec {
     assert(d2 == Seq((1L, "update", "updated"), (10L, "insert", "new")))
   }
 
+  test("commitRewrite conflict guard: a concurrent append fails the rewrite loudly") {
+    val dir = freshDir()
+    writeSnap(rows(0 until 6), dir)                        // v1
+    val head = Snapshots.latestVersion(spark, dir).get
+    val keep = Snapshots.files(spark, dir, head)
+    writeSnap(rows(6 until 8), dir)                        // v2 — the racing append
+    // a rewrite computed against v1 must refuse: committing would publish a
+    // set WITHOUT v2's files, and vacuum would then delete them (data loss)
+    val e = intercept[Snapshots.ConcurrentCommitException] {
+      Snapshots.commitRewrite(spark, dir, keep, expectedParent = Some(head))
+    }
+    assert(e.getMessage.contains("concurrent commit"))
+    // and nothing was committed: the head is still v2 with all its files
+    assert(Snapshots.latestVersion(spark, dir).contains(2L))
+    assert(readPin(dir, "latest").count() == 8L)
+    // recomputed against the current head it goes through
+    val v = Snapshots.commitRewrite(spark, dir,
+      Snapshots.files(spark, dir, 2L), expectedParent = Some(2L))
+    assert(v == 3L)
+  }
+
+  test("history: versions, parents, file counts, rewrite flag") {
+    val dir = freshDir()
+    writeSnap(rows(0 until 4), dir)                        // v1
+    writeSnap(rows(4 until 6), dir)                        // v2 (append)
+    TokenSortedWriter.compactInPlace(spark, schema, dir,
+      TokenSortedWriter.WriteConf(numPartitions = 2), vacuumRetain = 10)
+    val h = Snapshots.history(spark, dir)
+    assert(h.map(_._1) == Seq(1L, 2L, 3L))
+    assert(h.map(_._3) == Seq(None, Some(1L), Some(2L)))
+    assert(h.map(_._5) == Seq(false, false, true))         // only the compaction rewrites
+    assert(h.forall(_._4 > 0) && h.map(_._2).sorted == h.map(_._2))
+  }
+
   test("streaming read rejects a snapshot pin") {
     val dir = freshDir()
     writeSnap(rows(0 until 4), dir)
