@@ -683,6 +683,54 @@ object Similarity {
   }
 
   /**
+   * Element-wise mean of an `array<float>` column per group — centroid
+   * computation (label centroids, chunk→document embedding pooling,
+   * cluster summaries). Spark has no array-wise aggregate builtin, and a
+   * naive `collect_list` + driver fold would centralize every vector;
+   * this stays distributed AND engine-exact:
+   *
+   *   explode to (key, pos, value) → one hash aggregation on (key, pos)
+   *   with DECIMAL(22,7) sums (the engine-wide discipline: components
+   *   round at 1e-7, TEN decimal digits above a double's own granularity,
+   *   so engines never disagree on the rounding — a finer scale like
+   *   (28,12) was measured to hit cross-engine half-way rounding
+   *   disagreements — and the decimal sum then has ONE value regardless
+   *   of partitioning or order)
+   *   → one final per-key fold packs positions back into an array.
+   *
+   * Mean = decimal sum / count computed in DOUBLE (one IEEE division per
+   * component). Output column `mean_vec`: `array<double>` of `dim`.
+   * Rows whose vector is null or shorter than `dim` are rejected up
+   * front (a silent partial mean is the one unacceptable outcome).
+   *
+   * 100 TB shape: the only exchange carries (key, pos, decimal) — 16-24
+   * bytes/component, map-side combined; no vector ever moves whole, no
+   * driver collect. Groups scale to any count; `dim` multiplies the
+   * exploded row count, so a 768-dim corpus shuffles 768 narrow rows per
+   * vector ONCE.
+   */
+  def meanVectors(
+      df: DataFrame,
+      keyCols: Seq[String],
+      vecCol: String,
+      dim: Int): DataFrame = {
+    require(keyCols.nonEmpty && dim > 0, "need at least one key and dim > 0")
+    val bad = df.filter(col(vecCol).isNull || size(col(vecCol)) < dim)
+    require(bad.isEmpty,
+      s"meanVectors: input has null or shorter-than-$dim '$vecCol' rows")
+    val keyCs = keyCols.map(col)
+    df.select(keyCs :+ posexplode(slice(col(vecCol), 1, dim)): _*)
+      .select(keyCs ++ Seq(col("pos"),
+        col("col").cast("double").cast("decimal(22,7)").as("v")): _*)
+      .groupBy(keyCs :+ col("pos"): _*)
+      .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+      .groupBy(keyCs: _*)
+      .agg(array_sort(collect_list(struct(col("pos"),
+        (col("s").cast("double") / col("n").cast("double")).as("m")))).as("pm"))
+      .select(keyCs :+ transform(col("pm"), e => e.getField("m")).as("mean_vec"): _*)
+  }
+
+  /**
    * Deterministic ±1/√k sign matrix for [[randomProject]]: component
    * (j, i) is +1 when the high nibble of md5("j:i") is < 8, else −1 — a
    * Rademacher Johnson-Lindenstrauss projection (Achlioptas 2003: ±1

@@ -2168,6 +2168,14 @@ object Battery {
           inDim = 64, outDim = 16)
         .select(col("vec_id"), posexplode(col("projected")).as(Seq("dim", "pval")))),
 
+    // distributed per-group centroids: element-wise mean over the
+    // embedding column via (key, pos, DECIMAL) explode — exact order-free
+    // sums, one narrow exchange, no vector ever moves whole; the oracle
+    // replays the same decimal accumulation and the one IEEE division
+    "q161_mean_vectors" -> ((s, d) =>
+      Similarity.meanVectors(emb(s, d), Seq("label"), "embedding", dim = 64)
+        .select(col("label"), posexplode(col("mean_vec")).as(Seq("dim", "mval")))),
+
     // continuous downstream rollup: three committed source versions stream
     // through the change feed into an LWW-maintained aggregate table
     // (writetime = version offset, replay-proof fold) — the final
@@ -3913,6 +3921,17 @@ object Battery {
     // layout/format is invisible to results: identity
     "q156_orc_roundtrip" ->
       "SELECT doc_id, text, lang, source, n_chars FROM documents",
+    // same decimal(22,7) component accumulation, same double division
+    "q161_mean_vectors" ->
+      """WITH e AS (SELECT label, i, embedding FROM (
+        |    SELECT label, unnest(generate_series(1, 64)) AS i, embedding
+        |    FROM embeddings)),
+        |c AS (SELECT label, i - 1 AS dim,
+        |        CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(22,7)) AS v
+        |      FROM e)
+        |SELECT label, CAST(dim AS INT) AS dim,
+        |       CAST(SUM(v) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mval
+        |FROM c GROUP BY label, dim""".stripMargin,
     // three identical-distribution increments → 3× the direct aggregate
     "q160_stream_agg_maintain" ->
       """SELECT source, CAST(3 * COUNT(*) AS BIGINT) AS n_rows,

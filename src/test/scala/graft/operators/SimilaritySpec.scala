@@ -296,6 +296,29 @@ class SimilaritySpec extends SparkSpec {
     assert(got.toSeq == brute.toSeq)
   }
 
+  test("meanVectors: hand-computed centroids; loud on null/short vectors") {
+    val df = Seq(
+      (1L, "a", Array(1.0f, 2.0f)),
+      (2L, "a", Array(3.0f, 6.0f)),
+      (3L, "b", Array(10.0f, 0.0f))).toDF("id", "grp", "vec")
+    val got = Similarity.meanVectors(df, Seq("grp"), "vec", dim = 2)
+      .select($"grp", $"mean_vec").as[(String, Seq[Double])]
+      .collect().toMap
+    assert(got === Map("a" -> Seq(2.0, 4.0), "b" -> Seq(10.0, 0.0)))
+    // a 3-dim corpus pooled at dim=2 uses the prefix (documented slice)
+    val sliced = Similarity.meanVectors(
+      Seq((1L, "x", Array(2.0f, 4.0f, 99.0f))).toDF("id", "grp", "vec"),
+      Seq("grp"), "vec", dim = 2)
+      .select($"mean_vec").as[Seq[Double]].head()
+    assert(sliced == Seq(2.0, 4.0))
+    val e = intercept[IllegalArgumentException] {
+      Similarity.meanVectors(
+        Seq((1L, "a", Array(1.0f)), (2L, "a", null.asInstanceOf[Array[Float]]))
+          .toDF("id", "grp", "vec"), Seq("grp"), "vec", dim = 2)
+    }
+    assert(e.getMessage.contains("null or shorter"))
+  }
+
   test("projectionSigns: deterministic ±1 from md5 parity, roughly balanced") {
     val s1 = Similarity.projectionSigns(8, 32)
     val s2 = Similarity.projectionSigns(8, 32)

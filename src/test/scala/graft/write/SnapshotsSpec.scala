@@ -406,6 +406,21 @@ class SnapshotsSpec extends SparkSpec {
     assert(d2 == Seq((1L, "update", "updated"), (10L, "insert", "new")))
   }
 
+  test("diffRows: a column added between versions null-pads and reports updates") {
+    val dir = freshDir()
+    writeSnap(rows(0 until 3), dir)                        // v1: (id, payload)
+    TokenSortedWriter.write(
+      Seq((1L, "v1", 42L)).toDF("id", "payload", "extra"), // v2 adds `extra`
+      schema, dir, SaveMode.Append,
+      TokenSortedWriter.WriteConf(numPartitions = 1, keepTokenColumn = true,
+        writetimeMicros = Some(2000L), snapshot = true))
+    val d = TokenSortedWriter.diffRows(spark, schema, dir, 1L, 2L)
+      .select("id", "op", "payload", "extra")
+      .as[(Long, String, String, Option[Long])].collect().toSeq
+    // only id 1 changed: its `extra` went null→42 (payload unchanged)
+    assert(d == Seq((1L, "update", "v1", Some(42L))))
+  }
+
   test("commitRewrite conflict guard: a concurrent append fails the rewrite loudly") {
     val dir = freshDir()
     writeSnap(rows(0 until 6), dir)                        // v1
