@@ -298,7 +298,8 @@ object Snapshots {
       spark: SparkSession,
       dir: String,
       keepLast: Int,
-      keepCommittedWithinMs: Long = 0L): Seq[String] = {
+      keepCommittedWithinMs: Long = 0L,
+      dryRun: Boolean = false): Seq[String] = {
     require(keepLast >= 1, "vacuum must retain at least the latest snapshot")
     val (f, root) = fs(spark, dir)
     val last = latest(f, root).getOrElse(return Nil)
@@ -314,6 +315,7 @@ object Snapshots {
     val keptFiles = keep.flatMap(readFiles(f, root, _)).toSet
     val doomed = drop.flatMap(readFiles(f, root, _)).distinct
       .filterNot(keptFiles)
+    if (dryRun) return doomed // report what WOULD go; touch nothing
     doomed.foreach(p => f.delete(new Path(p), false))
     drop.foreach(v => f.delete(vPath(root, v), false))
     // stale listing signatures would resurrect deleted files from cache
@@ -483,10 +485,11 @@ object Snapshots {
         else filterListing(spark, dir, "latest", all)
     }
 
-  /** Resolve a pinned version ("latest" or a number) against the log and
-   *  restrict `all` (the live listing) to that snapshot's files. A recorded
-   *  file missing from the listing fails the scan — a pin must never
-   *  silently shrink. */
+  /** Resolve a pinned version ("latest", a number, or "asof:<epochMillis>"
+   *  — the `TIMESTAMP AS OF` spelling, resolved via [[versionAsOf]])
+   *  against the log and restrict `all` (the live listing) to that
+   *  snapshot's files. A recorded file missing from the listing fails the
+   *  scan — a pin must never silently shrink. */
   def filterListing(
       spark: SparkSession,
       dir: String,
@@ -497,6 +500,8 @@ object Snapshots {
     val version = pinned.trim.toLowerCase match {
       case "latest" => latest(f, root).getOrElse(throw new IllegalArgumentException(
         s"snapshotVersion=latest but $dir has no snapshot log"))
+      case asof if asof.startsWith("asof:") =>
+        versionAsOf(spark, dir, asof.stripPrefix("asof:").trim.toLong)
       case n => n.toLong
     }
     val want = readFiles(f, root, version).toSet

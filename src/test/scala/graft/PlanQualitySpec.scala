@@ -608,6 +608,37 @@ class PlanQualitySpec extends SparkSpec {
       s"vocab cap must not exchange the count table into one partition:\n$plan")
   }
 
+  test("JL projection is a pure map: zero exchanges on either physical path") {
+    import spark.implicits._
+    val df = (0L until 50L).map(i => (i, Array.fill(16)(i.toFloat)))
+      .toDF("vec_id", "embedding")
+    for (threshold <- Seq(16 * 4, 1)) { // unrolled branch, then HOF branch
+      val plan = graft.operators.Similarity
+        .randomProject(df, "embedding", inDim = 16, outDim = 4,
+          unrollMaxTerms = threshold)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"projection must not shuffle (threshold=$threshold):\n$plan")
+    }
+  }
+
+  test("meanVectors: no exchange ever carries the vector column") {
+    import spark.implicits._
+    val df = (0L until 60L).map(i => (i, s"g${i % 3}", Array.fill(8)(i.toFloat)))
+      .toDF("id", "grp", "vec").repartition(4)
+    val plan = graft.operators.Similarity.meanVectors(df, Seq("grp"), "vec", 8)
+      .queryExecution.executedPlan.toString
+    // the vector explodes to narrow (key, pos, decimal) rows BEFORE any
+    // shuffle: every Exchange line must be free of the vec attribute
+    val exchanges = plan.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.nonEmpty)
+    assert(exchanges.forall(l => !l.contains("vec#")),
+      s"an exchange carries the whole vector:\n$plan")
+    // and the per-(key,pos) aggregation is map-side combined (partial agg)
+    assert(plan.contains("partial_sum") || plan.contains("HashAggregate"),
+      s"expected partial aggregation before the shuffle:\n$plan")
+  }
+
   test("random-ring write plans exactly one range exchange, like the murmur3 ring") {
     import spark.implicits._
     val df = (1L to 1000L).map(i => (i, s"v$i")).toDF("k", "v")

@@ -406,6 +406,27 @@ class SnapshotsSpec extends SparkSpec {
     assert(d2 == Seq((1L, "update", "updated"), (10L, "insert", "new")))
   }
 
+  test("asof pin and vacuum dry run") {
+    val dir = freshDir()
+    writeSnap(rows(0 until 4), dir)                        // v1
+    val t1 = Snapshots.commitTimeMillis(spark, dir, 1L)
+    writeSnap(rows(4 until 9), dir)                        // v2
+    // TIMESTAMP AS OF through the SOURCE option (resolves via versionAsOf)
+    assert(readPin(dir, s"asof:$t1").count() == 4L)
+    assert(readPin(dir, s"asof:${System.currentTimeMillis() + 60000}").count() == 9L)
+    // a rewrite keeping only v2's delta gives v1 exclusive files to reclaim
+    val v1Files = Snapshots.files(spark, dir, 1L).toSet
+    val delta = Snapshots.files(spark, dir, 2L).filterNot(v1Files)
+    Snapshots.commitRewrite(spark, dir, delta, expectedParent = Some(2L)) // v3
+    // dry run reports v1's exclusive files without touching anything
+    val doomed = Snapshots.vacuum(spark, dir, keepLast = 1, dryRun = true)
+    assert(doomed.toSet == v1Files)
+    assert(readPin(dir, "1").count() == 4L)                // v1 still readable
+    val real = Snapshots.vacuum(spark, dir, keepLast = 1)
+    assert(real.sorted == doomed.sorted)                   // the dry run told the truth
+    intercept[Exception] { readPin(dir, "1").count() }
+  }
+
   test("diffRows: a column added between versions null-pads and reports updates") {
     val dir = freshDir()
     writeSnap(rows(0 until 3), dir)                        // v1: (id, payload)
