@@ -290,9 +290,11 @@ object Dedup {
       shingleN: Int = 3,
       numPerms: Int = 64,
       bands: Int = 16,
-      minEstJaccard: Double = 0.5): DataFrame =
+      minEstJaccard: Double = 0.5,
+      keepBy: Seq[Column] = Nil): DataFrame =
     dropByPairs(df, idCol,
-      minhashPairs(df, idCol, textCol, shingleN, numPerms, bands, minEstJaccard))
+      minhashPairs(df, idCol, textCol, shingleN, numPerms, bands, minEstJaccard),
+      keepBy)
 
   /**
    * Near-dup removal with SimHash candidate mining instead of MinHash —
@@ -391,7 +393,20 @@ object Dedup {
 
   /** Shared drop core: edge list → connected components over touched
    * vertices only → broadcast-friendly anti-join of the loser ids. */
-  private def dropByPairs(df: DataFrame, idCol: String, pairsDf: DataFrame): DataFrame = {
+  /** Cluster-then-anti-join collapse shared by every near-dup dropper.
+   *
+   *  Survivor selection: with `keepBy` empty, each connected component
+   *  keeps its MIN-id document (the historical contract every closed-form
+   *  oracle relies on). A non-empty `keepBy` ranks each component by
+   *  those expressions (evaluated against `df`'s columns) with the id as
+   *  the final tie-break — the RefinedWeb-style "keep the best version"
+   *  policy (longest, highest quality score, preferred source) instead of
+   *  an arbitrary id accident. The ranking window partitions by cluster
+   *  label — per-component work, never a global sort; only (id, cluster,
+   *  ordering-attrs) rows move, never text. */
+  private def dropByPairs(
+      df: DataFrame, idCol: String, pairsDf: DataFrame,
+      keepBy: Seq[Column] = Nil): DataFrame = {
     // The edge list fans out into several actions (CC's size probe, the
     // touched-vertex set, the final anti-join); persist it so the LSH mining
     // pass over the corpus runs ONCE, not once per action. MEMORY_AND_DISK
@@ -402,7 +417,16 @@ object Dedup {
     val touched = pairs.select(col("id_a").as("id"))
       .union(pairs.select(col("id_b").as("id"))).distinct()
     val labels = connectedComponents(touched, pairs)
-    val losers = labels.filter(col("cluster") =!= col("id")).select(col("id").as(idCol))
+    val losers =
+      if (keepBy.isEmpty)
+        labels.filter(col("cluster") =!= col("id")).select(col("id").as(idCol))
+      else {
+        val ranked = df.join(labels, df(idCol) === labels("id"))
+          .withColumn("__graft_dd_rank", row_number().over(
+            org.apache.spark.sql.expressions.Window.partitionBy(col("cluster"))
+              .orderBy(keepBy :+ col("id").asc: _*)))
+        ranked.filter(col("__graft_dd_rank") > 1).select(col("id").as(idCol))
+      }
     df.join(losers, Seq(idCol), "left_anti")
   }
 

@@ -2168,6 +2168,19 @@ object Battery {
           inDim = 64, outDim = 16)
         .select(col("vec_id"), posexplode(col("projected")).as(Seq("dim", "pval")))),
 
+    // quality-aware dedup survivor selection (RefinedWeb's "keep the best
+    // version", not the min-id accident): twin corpus clusters = exact
+    // text-equality groups; keepBy ranks each cluster by (quality desc,
+    // id asc) with quality = doc_id % 7 — the oracle replays the ranking
+    // closed-form over the same construction
+    "q162_dedup_keep_best" -> ((s, d) => {
+      val u = twinCopy(s, d, 0).unionByName(twinCopy(s, d, 1))
+        .withColumn("q", col("doc_id") % 7)
+      Dedup.dropNearDuplicates(u, "doc_id", "text",
+          keepBy = Seq(col("q").desc))
+        .select(col("doc_id"), col("q"))
+    }),
+
     // distributed per-group centroids: element-wise mean over the
     // embedding column via (key, pos, DECIMAL) explode — exact order-free
     // sums, one narrow exchange, no vector ever moves whole; the oracle
@@ -3921,6 +3934,16 @@ object Battery {
     // layout/format is invisible to results: identity
     "q156_orc_roundtrip" ->
       "SELECT doc_id, text, lang, source, n_chars FROM documents",
+    // clusters = exact ORIGINAL-text groups across both copies (q140's
+    // twin argument); winner = row_number 1 by (q desc, doc_id asc)
+    "q162_dedup_keep_best" ->
+      """WITH u AS (SELECT d.doc_id + k.o AS doc_id, d.text AS otext,
+        |                  (d.doc_id + k.o) % 7 AS q
+        |           FROM documents d, (VALUES (0), (1000000)) k(o)),
+        |w AS (SELECT doc_id, q, row_number() OVER (
+        |        PARTITION BY otext ORDER BY q DESC, doc_id ASC) AS rn
+        |      FROM u)
+        |SELECT doc_id, q FROM w WHERE rn = 1""".stripMargin,
     // same decimal(22,7) component accumulation, same double division
     "q161_mean_vectors" ->
       """WITH e AS (SELECT label, i, embedding FROM (

@@ -61,6 +61,25 @@ class DedupSpec extends SparkSpec {
     assert(full.columns.toSeq == docs.columns.toSeq)
   }
 
+  test("dropNearDuplicates keepBy: the cluster keeps the BEST doc, not the min id") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta", 10L),
+      (2L, "alpha beta gamma delta epsilon zeta", 99L), // best quality, higher id
+      (3L, "alpha beta gamma delta epsilon zeta", 99L), // quality tie → lower id wins
+      (9L, "unrelated words entirely different text here", 1L))
+      .toDF("doc_id", "text", "quality")
+    val best = Dedup.dropNearDuplicates(corpus, "doc_id", "text",
+        numPerms = 32, bands = 16, minEstJaccard = 0.9,
+        keepBy = Seq($"quality".desc))
+      .select("doc_id").as[Long].collect().toSet
+    assert(best == Set(2L, 9L)) // 2 beats 3 on id tie-break, 1 on quality
+    // default contract unchanged: min id survives
+    val dflt = Dedup.dropNearDuplicates(corpus, "doc_id", "text",
+        numPerms = 32, bands = 16, minEstJaccard = 0.9)
+      .select("doc_id").as[Long].collect().toSet
+    assert(dflt == Set(1L, 9L))
+  }
+
   test("simhash: identical text equal, near-dup within small hamming distance") {
     def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
     val hs = Dedup.withSimhash(docs, "text").select("doc_id", "simhash")
