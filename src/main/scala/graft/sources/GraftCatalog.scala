@@ -72,7 +72,22 @@ class GraftCatalog extends TableCatalog {
     fs(dir).exists(metaPath(dir))
   }
 
-  override def loadTable(ident: Identifier): Table = {
+  override def loadTable(ident: Identifier): Table = loadPinned(ident, None)
+
+  /** SQL time travel — `SELECT … FROM cat.t VERSION AS OF 3`. The version
+   *  string resolves against the table's snapshot log exactly like the
+   *  `snapshotVersion` source option ("latest" and "asof:<millis>" pins
+   *  included). */
+  override def loadTable(ident: Identifier, version: String): Table =
+    loadPinned(ident, Some(version))
+
+  /** SQL time travel — `… TIMESTAMP AS OF <ts>`. Spark hands MICROseconds
+   *  since epoch; the log's commit times are millis ([[graft.write.
+   *  Snapshots.versionAsOf]] resolves the floor version). */
+  override def loadTable(ident: Identifier, timestamp: Long): Table =
+    loadPinned(ident, Some(s"asof:${timestamp / 1000L}"))
+
+  private def loadPinned(ident: Identifier, pin: Option[String]): Table = {
     val dir = dirFor(ident)
     val f = fs(dir)
     if (!f.exists(metaPath(dir))) throw new NoSuchTableException(ident)
@@ -80,6 +95,7 @@ class GraftCatalog extends TableCatalog {
     val opts = new util.HashMap[String, String]()
     pairs.foreach { case (k, v) => opts.put(k, v) }
     opts.put("path", dir.toString)
+    pin.foreach(p => opts.put("snapshotVersion", p))
     val options = new CaseInsensitiveStringMap(opts)
     val cql = GraftDataSource.cqlFrom(options, schema)
     new GraftTable(dir.toString, GraftDataSource.annotateStruct(cql, schema), cql, options)
@@ -108,6 +124,7 @@ class GraftCatalog extends TableCatalog {
       opt("static").map("static" -> _) ++
       opt("partitions").map("partitions" -> _) ++
       opt("maxRecordsPerFile").map("maxRecordsPerFile" -> _) ++
+      opt("snapshot").map("snapshot" -> _) ++ // snapshotted INSERTs → time travel
       (if (dirCols.nonEmpty) Seq("partitionBy" -> dirCols.mkString(",")) else Nil)
     val dir = dirFor(ident)
     val f = fs(dir)

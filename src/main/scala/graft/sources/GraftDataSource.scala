@@ -145,6 +145,7 @@ class GraftDataSource extends TableProvider with DataSourceRegister
       maxRecordsPerFile = options.getLong("maxRecordsPerFile", 0L),
       allowOverwrite = options.getBoolean("allowOverwrite", false),
       keepTokenColumn = options.getBoolean("keepToken", true),
+      snapshot = options.getBoolean("snapshot", false),
       partitionBy = Option(options.get("partitionBy"))
         .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil))
     TokenSortedWriter.write(data, cql, pathOf(options), mode, conf)
@@ -285,6 +286,7 @@ class GraftTable(
                 maxRecordsPerFile = tableOptions.getLong("maxRecordsPerFile", 0L),
                 allowOverwrite = tableOptions.getBoolean("allowOverwrite", false),
                 keepTokenColumn = tableOptions.getBoolean("keepToken", true),
+                snapshot = tableOptions.getBoolean("snapshot", false),
                 partitionBy = Option(tableOptions.get("partitionBy"))
                   .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil))
               val mode = if (overwrite) SaveMode.Overwrite else SaveMode.Append

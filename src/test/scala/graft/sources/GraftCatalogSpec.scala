@@ -74,4 +74,28 @@ class GraftCatalogSpec extends SparkSpec {
       spark.sql(s"CREATE TABLE $catName.db.once (id BIGINT) USING graft OPTIONS (pk 'id')")
     } finally spark.sql(s"DROP TABLE $catName.db.once")
   }
+
+  test("SQL time travel: VERSION AS OF and TIMESTAMP AS OF through the catalog") {
+    spark.sql(s"""CREATE TABLE $catName.db.tt (id BIGINT, v BIGINT)
+                 |USING graft OPTIONS (pk 'id', partitions '2', snapshot 'true')""".stripMargin)
+    spark.sql(s"INSERT INTO $catName.db.tt SELECT id, id FROM range(0, 10) AS r(id)")
+    spark.sql(s"INSERT INTO $catName.db.tt SELECT id, id FROM range(10, 25) AS r(id)")
+    val dir = spark.conf.get(s"spark.sql.catalog.$catName.base") + "/db/tt"
+    assert(graft.write.Snapshots.latestVersion(spark, dir).contains(2L))
+
+    def cnt(sql: String): Long = spark.sql(sql).head().getLong(0)
+    assert(cnt(s"SELECT count(*) FROM $catName.db.tt VERSION AS OF 1") == 10L)
+    assert(cnt(s"SELECT count(*) FROM $catName.db.tt VERSION AS OF 2") == 25L)
+    assert(cnt(s"SELECT count(*) FROM $catName.db.tt") == 25L)
+    // TIMESTAMP AS OF: pin at v1's commit instant (session tz is UTC)
+    val t1 = graft.write.Snapshots.commitTimeMillis(spark, dir, 1L)
+    val iso = java.time.Instant.ofEpochMilli(t1).toString.replace("T", " ").stripSuffix("Z")
+    assert(cnt(
+      s"SELECT count(*) FROM $catName.db.tt TIMESTAMP AS OF '$iso'") == 10L)
+    // a pre-table timestamp fails loudly, never silently returns latest
+    intercept[Exception] {
+      cnt(s"SELECT count(*) FROM $catName.db.tt TIMESTAMP AS OF '1999-01-01 00:00:00'")
+    }
+    spark.sql(s"DROP TABLE $catName.db.tt")
+  }
 }

@@ -159,4 +159,32 @@ class ZOrderSpec extends SparkSpec {
       .select(sum(col("area"))).head().getDouble(0)
     assert(spans < 16 * 0.5, s"total normalized area $spans — no 2-D locality")
   }
+
+  test("layout maintenance: unclustered appends degrade pruning, compactInPlace(zorderBy) restores it") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_zo_m_").toString + "/zt"
+    val df = grid
+    TokenSortedWriter.write(df, schema, dir, SaveMode.Append,
+      TokenSortedWriter.WriteConf(numPartitions = 8, zorderBy = Seq("a", "b")))
+    // daily appends land token-sorted (no zorder): their files span the
+    // full (a, b) grid and the band filter cannot skip them
+    val inc = df.withColumn("a", col("a") + 2048L) // disjoint ids, same b spread
+    TokenSortedWriter.write(inc, schema, dir, SaveMode.Append,
+      TokenSortedWriter.WriteConf(numPartitions = 8))
+    val degraded = TokenPruner.prune(spark, TokenPruner.listFiles(spark, dir),
+      Array(bandFilter("b", 0L, 127L)), schema)
+    assert(degraded.length > 8, // every appended file survives the b-band
+      s"expected the appended files to defeat b-pruning, kept ${degraded.length}")
+    // one in-place re-cluster restores two-axis pruning over the WHOLE table
+    TokenSortedWriter.compactInPlace(spark, schema, dir,
+      TokenSortedWriter.WriteConf(numPartitions = 16, zorderBy = Seq("a", "b")))
+    val files = TokenPruner.listFiles(spark, dir)
+    val restored = TokenPruner.prune(spark, files,
+      Array(bandFilter("b", 0L, 127L)), schema)
+    assert(restored.length <= files.length / 2,
+      s"b-band kept ${restored.length}/${files.length} after re-cluster")
+    // and no rows were lost or duplicated by the maintenance pass (the
+    // graft source lists the gen-* layout; a flat parquet read cannot)
+    assert(spark.read.format("graft").option("path", dir).option("pk", "a")
+      .load().count() === 40000L)
+  }
 }
