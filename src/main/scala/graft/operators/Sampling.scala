@@ -473,4 +473,77 @@ object Sampling {
     }.get.otherwise(lit("00000000"))
     df.filter(h < th)
   }
+
+  /**
+   * Contrastive (anchor, positive, negative) triplet mining — the
+   * training-data assembly step for embedding/retrieval models
+   * (sentence-transformers-style weak supervision): positives are
+   * near-duplicates, negatives are deterministic pseudo-random picks.
+   *
+   *  - POSITIVE: the anchor's smallest-id near-dup cluster-mate
+   *    ([[graft.operators.Dedup.minhashPairs]] edges → connected
+   *    components). Only documents with at least one near-dup anchor a
+   *    triplet — singletons have no positive and emit nothing.
+   *  - NEGATIVE: the NEXT document on the [[shuffleOrder]] ring (md5
+   *    shard + in-shard position, wrapping within the shard) — a
+   *    reproducible uniform pick with no `rand()`, no global sort and no
+   *    cross join; engines replay it from the md5 alone. A negative that
+   *    lands inside the anchor's own cluster (astronomically rare unless
+   *    the corpus is tiny) is dropped rather than silently kept — a
+   *    false negative poisons a contrastive batch.
+   *
+   * For HARD negatives, compose with ANN instead: take
+   * [[graft.operators.Similarity.lshTopK]] neighbors and exclude the
+   * near-dup cluster — same shapes, corpus never moves whole.
+   *
+   * 100 TB: LSH mining dominates (the same cost as dedup itself); the
+   * ring adds one narrow (shard-keyed) window and two id-only joins.
+   */
+  def mineContrastiveTriplets(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 3,
+      numPerms: Int = 64,
+      bands: Int = 16,
+      minEstJaccard: Double = 0.5): DataFrame = {
+    val pairs = graft.operators.Dedup
+      .minhashPairs(df, idCol, textCol, shingleN, numPerms, bands, minEstJaccard)
+      .select(col("id_a"), col("id_b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val touched = pairs.select(col("id_a").as("id"))
+      .union(pairs.select(col("id_b").as("id"))).distinct()
+    val labels = graft.operators.Dedup.connectedComponents(touched, pairs)
+    // positive = min cluster-mate ≠ anchor: cluster label for everyone but
+    // the label-holder, who pairs with the cluster's second-smallest id
+    val second = labels.filter(col("id") =!= col("cluster"))
+      .groupBy(col("cluster")).agg(min(col("id")).as("second_id"))
+    val positives = labels.join(second, Seq("cluster"))
+      .select(col("id").as("anchor_id"),
+        when(col("id") === col("cluster"), col("second_id"))
+          .otherwise(col("cluster")).as("positive_id"),
+        col("cluster").as("__graft_ct_cluster"))
+    // negative = ring-next within the md5 shard (wrap at the shard end)
+    val ring = shuffleOrder(df.select(col(idCol)), Seq(idCol))
+      .select(col(idCol).as("__graft_ct_id"), col("shard"), col("pos"))
+    val withMax = ring.withColumn("__graft_ct_max", max(col("pos")).over(
+      org.apache.spark.sql.expressions.Window.partitionBy(col("shard"))))
+    val nexts = withMax.select(col("__graft_ct_id").as("negative_id"),
+      col("shard").as("__graft_ct_nshard"), col("pos").as("__graft_ct_npos"))
+    val trip = withMax
+      .withColumn("__graft_ct_want",
+        when(col("pos") === col("__graft_ct_max"), lit(1)).otherwise(col("pos") + 1))
+      .join(nexts, col("shard") === col("__graft_ct_nshard") &&
+        col("__graft_ct_want") === col("__graft_ct_npos"))
+      .select(col("__graft_ct_id").as("anchor_id"), col("negative_id"))
+      .join(positives, Seq("anchor_id"))
+    // drop self-negatives (single-row shards) and in-cluster negatives
+    val negLabel = labels.select(col("id").as("negative_id"),
+      col("cluster").as("__graft_ct_ncluster"))
+    trip.join(negLabel, Seq("negative_id"), "left")
+      .filter(col("negative_id") =!= col("anchor_id"))
+      .filter(col("__graft_ct_ncluster").isNull ||
+        col("__graft_ct_ncluster") =!= col("__graft_ct_cluster"))
+      .select(col("anchor_id"), col("positive_id"), col("negative_id"))
+  }
 }

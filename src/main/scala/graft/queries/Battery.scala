@@ -2168,6 +2168,17 @@ object Battery {
           inDim = 64, outDim = 16)
         .select(col("vec_id"), posexplode(col("projected")).as(Seq("dim", "pval")))),
 
+    // contrastive triplet mining for embedding-model training data:
+    // positives = near-dup cluster mates (twin construction → exact text
+    // groups), negatives = the reproducible md5-ring next pick; the
+    // oracle replays cluster mates, the q98 shard/pos ring, the wrap,
+    // and both exclusion rules in closed SQL
+    "q163_triplet_mining" -> ((s, d) => {
+      val u = twinCopy(s, d, 0).unionByName(twinCopy(s, d, 1))
+      Sampling.mineContrastiveTriplets(u, "doc_id", "text")
+        .select(col("anchor_id"), col("positive_id"), col("negative_id"))
+    }),
+
     // quality-aware dedup survivor selection (RefinedWeb's "keep the best
     // version", not the min-id accident): twin corpus clusters = exact
     // text-equality groups; keepBy ranks each cluster by (quality desc,
@@ -3934,6 +3945,42 @@ object Battery {
     // layout/format is invisible to results: identity
     "q156_orc_roundtrip" ->
       "SELECT doc_id, text, lang, source, n_chars FROM documents",
+    // positives: min cluster-mate per exact-otext group; negatives: the
+    // q98 md5 shard/pos ring's next-with-wrap; same exclusions
+    "q163_triplet_mining" ->
+      """WITH u AS (SELECT d.doc_id + k.o AS doc_id, d.text AS otext
+        |           FROM documents d, (VALUES (0), (1000000)) k(o)),
+        |cl AS (SELECT doc_id, otext,
+        |         MIN(doc_id) OVER (PARTITION BY otext) AS cluster FROM u),
+        |sec AS (SELECT otext, MIN(doc_id) AS second_id FROM cl
+        |        WHERE doc_id <> cluster GROUP BY otext),
+        |p AS (SELECT cl.doc_id AS anchor_id,
+        |        CASE WHEN cl.doc_id = cl.cluster THEN sec.second_id
+        |             ELSE cl.cluster END AS positive_id,
+        |        cl.otext
+        |      FROM cl JOIN sec ON cl.otext = sec.otext),
+        |h AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS dig FROM u),
+        |sh AS (SELECT doc_id, dig,
+        |  (CASE WHEN ascii(substring(dig, 1, 1)) >= 97
+        |        THEN ascii(substring(dig, 1, 1)) - 87
+        |        ELSE ascii(substring(dig, 1, 1)) - 48 END) * 16 +
+        |  (CASE WHEN ascii(substring(dig, 2, 1)) >= 97
+        |        THEN ascii(substring(dig, 2, 1)) - 87
+        |        ELSE ascii(substring(dig, 2, 1)) - 48 END) AS shard
+        |  FROM h),
+        |r AS (SELECT doc_id, shard, row_number() OVER (
+        |        PARTITION BY shard ORDER BY dig ASC, doc_id ASC) AS pos
+        |      FROM sh),
+        |m AS (SELECT shard, MAX(pos) AS mx FROM r GROUP BY shard),
+        |n AS (SELECT r.doc_id AS anchor_id, r2.doc_id AS negative_id
+        |      FROM r JOIN m ON r.shard = m.shard
+        |      JOIN r r2 ON r2.shard = r.shard
+        |       AND r2.pos = CASE WHEN r.pos = m.mx THEN 1 ELSE r.pos + 1 END),
+        |t AS (SELECT p.anchor_id, p.positive_id, n.negative_id, p.otext
+        |      FROM p JOIN n ON p.anchor_id = n.anchor_id)
+        |SELECT anchor_id, positive_id, negative_id
+        |FROM t JOIN u un ON t.negative_id = un.doc_id
+        |WHERE t.negative_id <> t.anchor_id AND un.otext <> t.otext""".stripMargin,
     // clusters = exact ORIGINAL-text groups across both copies (q140's
     // twin argument); winner = row_number 1 by (q desc, doc_id asc)
     "q162_dedup_keep_best" ->

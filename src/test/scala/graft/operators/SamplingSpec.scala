@@ -280,4 +280,39 @@ class SamplingSpec extends SparkSpec {
       .select("doc_id", "split").as[(Long, String)].collect().toMap
     plain.foreach { case (id, s) => assert(split(id) === s, s"singleton $id") }
   }
+
+  test("mineContrastiveTriplets: cluster positives, ring negatives, exclusions") {
+    // two exact-dup clusters {1,2,3} and {10,11}; 20 singleton docs for
+    // ring mass (no positives → no triplets of their own)
+    val corpus = (Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta epsilon"),
+      (3L, "alpha beta gamma delta epsilon"),
+      (10L, "omega psi chi phi upsilon"),
+      (11L, "omega psi chi phi upsilon")) ++
+      (100L until 120L).map(i => (i, s"unique${i}a unique${i}b unique${i}c unique${i}d")))
+      .toDF("doc_id", "text")
+    val t = Sampling.mineContrastiveTriplets(corpus, "doc_id", "text",
+        minEstJaccard = 0.9)
+      .as[(Long, Long, Long)].collect().toSeq
+    val byAnchor = t.map(x => x._1 -> x).toMap
+    // every clustered doc anchors at most one triplet; positives exact
+    assert(t.map(_._1).distinct.size == t.size)
+    assert(byAnchor.get(1L).forall(_._2 == 2L)) // label-holder pairs with 2nd-min
+    assert(byAnchor.get(2L).forall(_._2 == 1L))
+    assert(byAnchor.get(3L).forall(_._2 == 1L))
+    assert(byAnchor.get(10L).forall(_._2 == 11L))
+    assert(byAnchor.get(11L).forall(_._2 == 10L))
+    // no singleton anchors, no self-negatives, no in-cluster negatives
+    assert(t.forall(x => Set(1L, 2L, 3L, 10L, 11L).contains(x._1)))
+    assert(t.forall(x => x._3 != x._1 && x._3 != x._2))
+    val clusterOf = Map(1L -> 1, 2L -> 1, 3L -> 1, 10L -> 2, 11L -> 2)
+    assert(t.forall(x =>
+      !clusterOf.contains(x._3) || clusterOf(x._3) != clusterOf(x._1)))
+    // determinism: a re-run mines the identical triplet set
+    val t2 = Sampling.mineContrastiveTriplets(corpus, "doc_id", "text",
+        minEstJaccard = 0.9)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(t.sorted == t2.sorted)
+  }
 }
