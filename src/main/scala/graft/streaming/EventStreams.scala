@@ -349,8 +349,10 @@ object EventStreams {
       path: String,
       checkpointDir: String,
       numPartitions: Int = 1,
-      trigger: Option[org.apache.spark.sql.streaming.Trigger] = None)
+      trigger: Option[org.apache.spark.sql.streaming.Trigger] = None,
+      compactEvery: Int = 0)
       : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(compactEvery >= 0, s"compactEvery must be >= 0, got $compactEvery")
     val writer0 = feed.writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode(OutputMode.Append)
@@ -370,20 +372,40 @@ object EventStreams {
         if (!fs.exists(p)) delta
         else {
           val wtCol = graft.write.TokenSortedWriter.WritetimeCol
+          // graft-source read, not a flat parquet read: it lists the
+          // compacted gen-* layout, resolves the snapshot log if one
+          // exists, and keeps the engine's writetime column exposed
+          val raw = spark.read.format("graft")
+            .option("path", path)
+            .option("pk", schema.partitionKeys.mkString(","))
+            .load()
           val prior = graft.operators.Normalize.latestWriteWinsAgg(
-              graft.write.TokenSortedWriter.read(spark, schema, path)
-                .filter(col(wtCol) < wt),
+              raw.filter(col(wtCol) < wt),
               keyCols, Seq(wtCol))
             .select((keyCols ++ outCols).map(col): _*)
           prior.unionByName(delta).groupBy(keyCols.map(col): _*)
             .agg(sum(col("n_rows")).as("n_rows"),
               sumCols.map(c => sum(col(s"sum_$c")).as(s"sum_$c")): _*)
         }
+      // snapshot = true on EVERY fold write: compactEvery's rewrite gives
+      // the rollup a snapshot log, and once a table has one, unpinned
+      // graft reads resolve to its LATEST version — a non-snapshotted
+      // append after a compaction would be invisible to the next batch's
+      // prior-state read. Committing each fold keeps log and listing in
+      // step (a replayed batch's duplicate version is benign: identical
+      // rows at the same writetime, collapsed by LWW).
       graft.write.TokenSortedWriter.write(
         folded, schema, path, org.apache.spark.sql.SaveMode.Append,
         graft.write.TokenSortedWriter.WriteConf(
           numPartitions = numPartitions, keepTokenColumn = true,
-          writetimeMicros = Some(wt)))
+          writetimeMicros = Some(wt), snapshot = true))
+      // the rollup accumulates one LWW version per batch forever; fold the
+      // history down every N batches so prior-state reads stay O(keys),
+      // not O(keys × batches). The compaction carries winning writetimes,
+      // so the replay-proof `writetime < batchId + 1` filter still holds.
+      if (compactEvery > 0 && id > 0 && id % compactEvery == 0)
+        graft.write.TokenSortedWriter.compactInPlace(spark, schema, path,
+          graft.write.TokenSortedWriter.WriteConf(numPartitions = numPartitions))
       ()
     }.start()
   }

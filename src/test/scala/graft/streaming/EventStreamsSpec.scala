@@ -539,6 +539,40 @@ class EventStreamsSpec extends SparkSpec {
       "a" -> ((3L, 130L)), "b" -> ((2L, 12L)), "c" -> ((1L, 1L))))
   }
 
+  test("maintainAggStream compactEvery: history folds down, rollup stays exact across restarts") {
+    import spark.implicits._
+    import graft.model.CqlSchema
+    import graft.write.TokenSortedWriter
+    val root = java.nio.file.Files.createTempDirectory("graft_maggc_").toString
+    val dir = root + "/docs"
+    val down = root + "/rollup"
+    val schema = CqlSchema("docs", Seq("id"))
+    val aggSchema = CqlSchema("rollup", Seq("grp"))
+    def writeSnap(rows: Seq[(Long, String, Long)]): Unit =
+      TokenSortedWriter.write(rows.toDF("id", "grp", "n"),
+        schema, dir, org.apache.spark.sql.SaveMode.Append,
+        TokenSortedWriter.WriteConf(numPartitions = 2, snapshot = true))
+    def run(): Unit = {
+      val feed = spark.readStream.format("graft")
+        .option("path", dir).option("pk", "id")
+        .option("changeFeed", "true").option("startingVersion", "0").load()
+      val q = EventStreams.maintainAggStream(feed, Seq("grp"), Seq("n"),
+        aggSchema, down, root + "/ckpt", compactEvery = 1,
+        trigger = Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()))
+      try q.awaitTermination() finally q.stop()
+    }
+    writeSnap(Seq((1L, "a", 10L), (2L, "b", 5L)))  // v1
+    writeSnap(Seq((3L, "a", 1L)))                  // v2
+    run()
+    writeSnap(Seq((4L, "a", 100L), (5L, "c", 7L))) // v3 after a compaction ran
+    run()
+    val rollup = TokenSortedWriter.readNormalized(spark, aggSchema, down)
+      .select($"grp", $"n_rows", $"sum_n").as[(String, Long, Long)]
+      .collect().map { case (g, a, b) => g -> ((a, b)) }.toMap
+    assert(rollup === Map(
+      "a" -> ((3L, 111L)), "b" -> ((1L, 5L)), "c" -> ((1L, 7L))))
+  }
+
   test("streaming dedup drops re-delivered events inside the watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
