@@ -243,7 +243,69 @@ class GraftTable(
     cql: CqlSchema,
     tableOptions: CaseInsensitiveStringMap = CaseInsensitiveStringMap.empty())
     extends Table with SupportsRead
-    with org.apache.spark.sql.connector.catalog.SupportsWrite {
+    with org.apache.spark.sql.connector.catalog.SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDelete {
+
+  /** SQL `DELETE FROM t WHERE …` — accepted only when the predicate is a
+   *  conjunction of `=`/`IN` (plus redundant `IS NOT NULL`) covering the
+   *  FULL partition key, the same all-or-nothing rule the reference
+   *  applies to pushdown (`DataLayer.unsupportedPushDownFilters`): a pk
+   *  delete removes every row of those partitions via file-pruned
+   *  copy-on-write ([[graft.write.TokenSortedWriter.deleteRowsWhere]]).
+   *  Anything else — non-key columns, ranges, clustering-key conditions —
+   *  is refused so Spark reports DELETE unsupported rather than this
+   *  table guessing. Returns None when unsupported; Some(keyRows) with
+   *  one Row per pk combination otherwise (cartesian over IN lists,
+   *  capped loudly). */
+  private def deleteKeyRows(filters: Array[org.apache.spark.sql.sources.Filter])
+      : Option[Seq[org.apache.spark.sql.Row]] = {
+    import org.apache.spark.sql.sources.{And => FAnd, EqualTo, In, IsNotNull}
+    def unq(a: String): String = a.stripPrefix("`").stripSuffix("`").replace("``", "`")
+    def flat(f: org.apache.spark.sql.sources.Filter)
+        : Seq[org.apache.spark.sql.sources.Filter] = f match {
+      case FAnd(l, r) => flat(l) ++ flat(r)
+      case o => Seq(o)
+    }
+    val pk = cql.partitionKeys
+    val byCol = scala.collection.mutable.LinkedHashMap[String, Seq[Any]]()
+    filters.toSeq.flatMap(flat).foreach {
+      case IsNotNull(a) if pk.contains(unq(a)) => () // implied by pk
+      case EqualTo(a, v) if pk.contains(unq(a)) && !byCol.contains(unq(a)) =>
+        byCol += unq(a) -> Seq(v)
+      case In(a, vs) if pk.contains(unq(a)) && !byCol.contains(unq(a)) =>
+        byCol += unq(a) -> vs.toSeq
+      case _ => return None
+    }
+    if (pk.exists(!byCol.contains(_))) return None
+    val combos = pk.map(byCol).foldLeft(Seq(Seq.empty[Any])) {
+      (acc, vals) => acc.flatMap(prefix => vals.map(prefix :+ _))
+    }
+    if (combos.length > 100000)
+      throw new IllegalArgumentException(
+        s"DELETE key cartesian product has ${combos.length} combinations (max 100000) — " +
+          "split the statement")
+    Some(combos.map(org.apache.spark.sql.Row.fromSeq))
+  }
+
+  override def canDeleteWhere(
+      filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
+    deleteKeyRows(filters).isDefined
+
+  override def deleteWhere(
+      filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
+    val rows = deleteKeyRows(filters).getOrElse(throw new IllegalArgumentException(
+      s"DELETE on graft table $dir supports only =/IN predicates covering the full " +
+        s"partition key (${cql.partitionKeys.mkString(", ")})"))
+    val spark = SparkSession.active
+    val pkFields = StructType(cql.partitionKeys.map(n =>
+      annotated.fields.find(_.name == n).getOrElse(
+        throw new IllegalStateException(s"pk column $n missing from schema"))))
+    val keys = spark.createDataFrame(
+      new java.util.ArrayList(scala.jdk.CollectionConverters
+        .SeqHasAsJava(rows).asJava), pkFields)
+    graft.write.TokenSortedWriter.deleteRowsWhere(spark, cql, dir, filters, keys)
+    ()
+  }
 
   override def name(): String = s"graft.`$dir`"
   override def schema(): StructType = annotated

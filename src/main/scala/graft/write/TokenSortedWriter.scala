@@ -763,6 +763,91 @@ object TokenSortedWriter {
   }
 
   /**
+   * Copy-on-write partition-key deletes — the physical backing for SQL
+   * `DELETE FROM t WHERE pk …` ([[graft.sources.GraftTable]]'s
+   * `SupportsDelete`): rewrite ONLY the files that can contain the keys,
+   * minus their rows, and cut the listing over.
+   *
+   * Shape at scale: `filters` (the SQL predicate) prune the file set
+   * through the SAME token/footer/bloom machinery as a read — deleting
+   * 10 keys from a 100 TB table rewrites ~10 files, never the table. One
+   * file → one replacement in the same directory (per-file token
+   * disjointness and sort order survive, so clustered no-shuffle plans
+   * keep qualifying); a file whose every row dies gets no replacement.
+   *
+   * Snapshot-logged tables cut over with an atomic [[Snapshots
+   * .commitRewrite]] guarded by `expectedParent` (concurrent append →
+   * loud refusal, rerun the DELETE) and KEEP the old files for pinned
+   * readers until vacuum; log-less tables fall back to write-then-delete
+   * (briefly both visible — the log is the atomicity seam, documented).
+   *
+   * Restrictions (loud, never silent): dir-partitioned layouts are
+   * rejected (a replacement must land in the right partition dir — not
+   * wired yet), and the keys must be PARTITION keys — a pk delete
+   * removes every row of that partition, the tombstone semantic.
+   * Returns the number of rows removed.
+   */
+  def deleteRowsWhere(
+      spark: SparkSession,
+      schema: CqlSchema,
+      dir: String,
+      filters: Array[org.apache.spark.sql.sources.Filter],
+      keys: DataFrame): Long = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val root = fs.makeQualified(p)
+    val listed = graft.sources.TokenPruner.listFiles(spark, dir)
+    val head = Snapshots.latestVersion(spark, dir)
+    val live = Snapshots.resolveListing(spark, dir, None, listed)
+    require(!live.exists(f =>
+        graft.sources.TokenPruner.dirValues(f.path).nonEmpty),
+      s"copy-on-write delete does not support dir-partitioned layouts ($dir)")
+    val affected = graft.sources.TokenPruner.prune(spark, live, filters, schema)
+    if (affected.isEmpty) return 0L
+    val keyDf = broadcast(keys.select(schema.partitionKeys.map(qcol): _*))
+    var removed = 0L
+    val replacements = scala.collection.mutable.Map[String, Option[String]]()
+    affected.foreach { meta =>
+      val original = spark.read.parquet(meta.path)
+      val kept = original.join(keyDf, schema.partitionKeys, "left_anti")
+      val keptN = kept.count()
+      removed += meta.rows - keptN
+      if (keptN == meta.rows) {
+        // pruning was conservative; nothing in this file actually matches
+        replacements += meta.path -> Some(meta.path)
+      } else if (keptN == 0L) {
+        replacements += meta.path -> None
+      } else {
+        val tmp = new Path(root, s".delete-${java.util.UUID.randomUUID().toString.take(12)}")
+        kept.coalesce(1).write.parquet(tmp.toString)
+        val part = fs.listStatus(tmp).map(_.getPath)
+          .find(_.getName.endsWith(".parquet"))
+          .getOrElse(throw new IllegalStateException(s"no parquet part under $tmp"))
+        val dest = new Path(new Path(meta.path).getParent,
+          s"part-cow-${java.util.UUID.randomUUID().toString.take(12)}.parquet")
+        if (!fs.rename(part, dest))
+          throw new IllegalStateException(s"rename $part -> $dest failed")
+        fs.delete(tmp, true)
+        replacements += meta.path -> Some(dest.toString)
+      }
+    }
+    if (removed == 0L) return 0L
+    Manifest.appendFor(spark, dir) // stats+digests for the replacement files
+    val newLive = live.map(_.path).flatMap(pth =>
+      replacements.getOrElse(pth, Some(pth)))
+    if (head.isDefined) {
+      Snapshots.commitRewrite(spark, dir, newLive.toSeq, expectedParent = head)
+    } else {
+      replacements.foreach {
+        case (old, rep) if !rep.contains(old) => fs.delete(new Path(old), false)
+        case _ => ()
+      }
+    }
+    graft.sources.TokenPruner.invalidateListing(dir)
+    removed
+  }
+
+  /**
    * In-place compaction via the snapshot log ([[Snapshots]]): fold the
    * table's generations into one fresh generation INSIDE the same table
    * dir, commit it as a rewrite snapshot, and vacuum to `vacuumRetain`

@@ -75,6 +75,39 @@ class GraftCatalogSpec extends SparkSpec {
     } finally spark.sql(s"DROP TABLE $catName.db.once")
   }
 
+  test("SQL DELETE FROM: copy-on-write pk deletes, unsupported predicates loud") {
+    spark.sql(s"""CREATE TABLE $catName.db.del (id BIGINT, v BIGINT)
+                 |USING graft OPTIONS (pk 'id', partitions '4', snapshot 'true')""".stripMargin)
+    spark.sql(s"INSERT INTO $catName.db.del SELECT id, id * 2 FROM range(0, 100) AS r(id)")
+    def cnt: Long =
+      spark.sql(s"SELECT count(*) FROM $catName.db.del").head().getLong(0)
+    assert(cnt == 100L)
+    spark.sql(s"DELETE FROM $catName.db.del WHERE id = 7")
+    assert(cnt == 99L)
+    spark.sql(s"DELETE FROM $catName.db.del WHERE id IN (1, 2, 3, 7)") // 7 again: no-op
+    assert(cnt == 96L)
+    assert(spark.sql(s"SELECT id FROM $catName.db.del WHERE id <= 8 ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq == Seq(0L, 4L, 5L, 6L, 8L))
+    // the pre-delete snapshot is still pinnable (copy-on-write, not erase)
+    val dir = spark.conf.get(s"spark.sql.catalog.$catName.base") + "/db/del"
+    val v1 = spark.read.format("graft").option("path", dir)
+      .option("pk", "id").option("snapshotVersion", "1").load()
+    assert(v1.count() == 100L)
+    // non-pk and range predicates must be refused, not guessed
+    intercept[Exception] { spark.sql(s"DELETE FROM $catName.db.del WHERE v = 10") }
+    intercept[Exception] { spark.sql(s"DELETE FROM $catName.db.del WHERE id < 50") }
+    assert(cnt == 96L)
+    spark.sql(s"DROP TABLE $catName.db.del")
+
+    // log-less table: same SQL, write-then-delete swap
+    spark.sql(s"""CREATE TABLE $catName.db.del2 (id BIGINT, v BIGINT)
+                 |USING graft OPTIONS (pk 'id', partitions '2')""".stripMargin)
+    spark.sql(s"INSERT INTO $catName.db.del2 SELECT id, id FROM range(0, 50) AS r(id)")
+    spark.sql(s"DELETE FROM $catName.db.del2 WHERE id IN (0, 49)")
+    assert(spark.sql(s"SELECT count(*) FROM $catName.db.del2").head().getLong(0) == 48L)
+    spark.sql(s"DROP TABLE $catName.db.del2")
+  }
+
   test("SQL time travel: VERSION AS OF and TIMESTAMP AS OF through the catalog") {
     spark.sql(s"""CREATE TABLE $catName.db.tt (id BIGINT, v BIGINT)
                  |USING graft OPTIONS (pk 'id', partitions '2', snapshot 'true')""".stripMargin)
