@@ -291,6 +291,26 @@ class GraftTable(
       filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
     deleteKeyRows(filters).isDefined
 
+  /** SQL `TRUNCATE TABLE`: on a snapshot-logged table, one atomic
+   *  empty-set rewrite — pinned readers keep their history until vacuum,
+   *  exactly like compaction. A log-less table physically deletes its
+   *  data files (the log is the atomicity/history seam; without one,
+   *  truncate is as irreversible as anywhere else). */
+  override def truncateTable(): Boolean = {
+    val spark = SparkSession.active
+    import org.apache.hadoop.fs.Path
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (graft.write.Snapshots.latestVersion(spark, dir).isDefined) {
+      graft.write.Snapshots.commitRewrite(spark, dir, Nil)
+    } else {
+      TokenPruner.listDataFiles(fs, fs.makeQualified(p))
+        .foreach(s => fs.delete(s.getPath, false))
+    }
+    TokenPruner.invalidateListing(dir)
+    true
+  }
+
   override def deleteWhere(
       filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
     val rows = deleteKeyRows(filters).getOrElse(throw new IllegalArgumentException(

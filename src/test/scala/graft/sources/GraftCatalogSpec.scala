@@ -108,6 +108,27 @@ class GraftCatalogSpec extends SparkSpec {
     spark.sql(s"DROP TABLE $catName.db.del2")
   }
 
+  test("SQL TRUNCATE TABLE: snapshotted tables keep pinnable history, log-less erase") {
+    spark.sql(s"""CREATE TABLE $catName.db.tr (id BIGINT) USING graft
+                 |OPTIONS (pk 'id', partitions '2', snapshot 'true')""".stripMargin)
+    spark.sql(s"INSERT INTO $catName.db.tr SELECT id FROM range(0, 30) AS r(id)")
+    spark.sql(s"TRUNCATE TABLE $catName.db.tr")
+    assert(spark.sql(s"SELECT count(*) FROM $catName.db.tr").head().getLong(0) == 0L)
+    // INSERT after truncate works, and the pre-truncate version is pinnable
+    spark.sql(s"INSERT INTO $catName.db.tr SELECT id FROM range(100, 105) AS r(id)")
+    assert(spark.sql(s"SELECT count(*) FROM $catName.db.tr").head().getLong(0) == 5L)
+    val dir = spark.conf.get(s"spark.sql.catalog.$catName.base") + "/db/tr"
+    assert(spark.read.format("graft").option("path", dir).option("pk", "id")
+      .option("snapshotVersion", "1").load().count() == 30L)
+    spark.sql(s"DROP TABLE $catName.db.tr")
+
+    spark.sql(s"CREATE TABLE $catName.db.tr2 (id BIGINT) USING graft OPTIONS (pk 'id')")
+    spark.sql(s"INSERT INTO $catName.db.tr2 SELECT id FROM range(0, 10) AS r(id)")
+    spark.sql(s"TRUNCATE TABLE $catName.db.tr2")
+    assert(spark.sql(s"SELECT count(*) FROM $catName.db.tr2").head().getLong(0) == 0L)
+    spark.sql(s"DROP TABLE $catName.db.tr2")
+  }
+
   test("SQL time travel: VERSION AS OF and TIMESTAMP AS OF through the catalog") {
     spark.sql(s"""CREATE TABLE $catName.db.tt (id BIGINT, v BIGINT)
                  |USING graft OPTIONS (pk 'id', partitions '2', snapshot 'true')""".stripMargin)
