@@ -781,10 +781,11 @@ object TokenSortedWriter {
    * readers until vacuum; log-less tables fall back to write-then-delete
    * (briefly both visible — the log is the atomicity seam, documented).
    *
-   * Restrictions (loud, never silent): dir-partitioned layouts are
-   * rejected (a replacement must land in the right partition dir — not
-   * wired yet), and the keys must be PARTITION keys — a pk delete
-   * removes every row of that partition, the tombstone semantic.
+   * Dir-partitioned layouts work unchanged: a replacement lands beside
+   * its original, i.e. inside the same `graft_p_*` partition dir, so dir
+   * pruning stays sound. Keys must be PARTITION keys — a pk delete
+   * removes every row of that partition, the tombstone semantic (a
+   * clustering-key condition is refused upstream, never approximated).
    * Returns the number of rows removed.
    */
   def deleteRowsWhere(
@@ -799,9 +800,9 @@ object TokenSortedWriter {
     val listed = graft.sources.TokenPruner.listFiles(spark, dir)
     val head = Snapshots.latestVersion(spark, dir)
     val live = Snapshots.resolveListing(spark, dir, None, listed)
-    require(!live.exists(f =>
-        graft.sources.TokenPruner.dirValues(f.path).nonEmpty),
-      s"copy-on-write delete does not support dir-partitioned layouts ($dir)")
+    // dir-partitioned layouts work unchanged: each replacement lands in
+    // its original's parent, i.e. the same graft_p_* partition dir, so
+    // dir pruning keeps seeing the rows it should
     val affected = graft.sources.TokenPruner.prune(spark, live, filters, schema)
     if (affected.isEmpty) return 0L
     val keyDf = broadcast(keys.select(schema.partitionKeys.map(qcol): _*))

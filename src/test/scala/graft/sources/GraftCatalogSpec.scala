@@ -108,6 +108,24 @@ class GraftCatalogSpec extends SparkSpec {
     spark.sql(s"DROP TABLE $catName.db.del2")
   }
 
+  test("SQL DELETE on a dir-partitioned table: replacements stay in their partition dirs") {
+    spark.sql(s"""CREATE TABLE $catName.db.deld (id BIGINT, cat STRING, v BIGINT)
+                 |USING graft PARTITIONED BY (cat)
+                 |OPTIONS (pk 'id', partitions '2', snapshot 'true')""".stripMargin)
+    spark.sql(s"INSERT INTO $catName.db.deld " +
+      "SELECT id, CASE WHEN id % 2 = 0 THEN 'even' ELSE 'odd' END, id FROM range(0, 40) AS r(id)")
+    spark.sql(s"DELETE FROM $catName.db.deld WHERE id IN (4, 5, 6)")
+    assert(spark.sql(s"SELECT count(*) FROM $catName.db.deld").head().getLong(0) == 37L)
+    assert(spark.sql(
+      s"SELECT count(*) FROM $catName.db.deld WHERE cat = 'even'").head().getLong(0) == 18L)
+    // every live file still sits under a graft_p_cat partition dir
+    val dir = spark.conf.get(s"spark.sql.catalog.$catName.base") + "/db/deld"
+    val files = TokenPruner.listFiles(spark, dir)
+    assert(files.nonEmpty &&
+      files.forall(f => TokenPruner.dirValues(f.path).contains("cat")))
+    spark.sql(s"DROP TABLE $catName.db.deld")
+  }
+
   test("SQL TRUNCATE TABLE: snapshotted tables keep pinnable history, log-less erase") {
     spark.sql(s"""CREATE TABLE $catName.db.tr (id BIGINT) USING graft
                  |OPTIONS (pk 'id', partitions '2', snapshot 'true')""".stripMargin)
