@@ -440,7 +440,11 @@ object Sampling {
   def topKByOrder(df: DataFrame, k: Int, orderCols: Seq[Column]): DataFrame = {
     require(k > 0, s"topKByOrder needs a positive k, got $k")
     require(orderCols.nonEmpty, "need at least one ordering column")
-    if (k <= df.sparkSession.sessionState.conf.topKSortFallbackThreshold)
+    // STRICT: SparkStrategies plans TakeOrderedAndProject only for
+    // `limit < topKSortFallbackThreshold`; at equality the sort+limit
+    // formulation degrades to a global Sort + single-partition limit —
+    // exactly the plan this function exists to avoid
+    if (k < df.sparkSession.sessionState.conf.topKSortFallbackThreshold)
       df.sort(orderCols: _*).limit(k)
     else {
       require(!df.columns.contains("__graft_topk_one"),

@@ -715,11 +715,16 @@ object Similarity {
       vecCol: String,
       dim: Int): DataFrame = {
     require(keyCols.nonEmpty && dim > 0, "need at least one key and dim > 0")
-    val bad = df.filter(col(vecCol).isNull || size(col(vecCol)) < dim)
-    require(bad.isEmpty,
-      s"meanVectors: input has null or shorter-than-$dim '$vecCol' rows")
     val keyCs = keyCols.map(col)
-    df.select(keyCs :+ posexplode(slice(col(vecCol), 1, dim)): _*)
+    // validation rides INSIDE the one aggregation pass (raise_error at the
+    // offending row), not as an up-front filter().isEmpty probe — that
+    // probe is a second full scan of the input, 2x IO at corpus scale
+    val checked = when(col(vecCol).isNull || size(col(vecCol)) < dim,
+        raise_error(concat(
+          lit(s"meanVectors: null or shorter-than-$dim '$vecCol' row at key ("),
+          concat_ws(", ", keyCs.map(_.cast("string")): _*), lit(")"))))
+      .otherwise(slice(col(vecCol), 1, dim))
+    df.select(keyCs :+ posexplode(checked): _*)
       .select(keyCs ++ Seq(col("pos"),
         col("col").cast("double").cast("decimal(22,7)").as("v")): _*)
       .groupBy(keyCs :+ col("pos"): _*)

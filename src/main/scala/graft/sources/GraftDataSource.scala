@@ -260,7 +260,8 @@ class GraftTable(
   private def deleteKeyRows(filters: Array[org.apache.spark.sql.sources.Filter])
       : Option[Seq[org.apache.spark.sql.Row]] = {
     import org.apache.spark.sql.sources.{And => FAnd, EqualTo, In, IsNotNull}
-    def unq(a: String): String = a.stripPrefix("`").stripSuffix("`").replace("``", "`")
+    // the ONE normalization point for pushed attribute names — do not fork it
+    def unq(a: String): String = graft.model.CqlSchema.unquoted(a)
     def flat(f: org.apache.spark.sql.sources.Filter)
         : Seq[org.apache.spark.sql.sources.Filter] = f match {
       case FAnd(l, r) => flat(l) ++ flat(r)
@@ -301,8 +302,12 @@ class GraftTable(
     import org.apache.hadoop.fs.Path
     val p = new Path(dir)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    if (graft.write.Snapshots.latestVersion(spark, dir).isDefined) {
-      graft.write.Snapshots.commitRewrite(spark, dir, Nil)
+    val head = graft.write.Snapshots.latestVersion(spark, dir)
+    if (head.isDefined) {
+      // guard against a concurrent append: losing one INTO a truncate is
+      // arguably intent, but silently dropping it from the log (and later
+      // vacuuming its files) is not — fail loudly, rerun the TRUNCATE
+      graft.write.Snapshots.commitRewrite(spark, dir, Nil, expectedParent = head)
     } else {
       TokenPruner.listDataFiles(fs, fs.makeQualified(p))
         .foreach(s => fs.delete(s.getPath, false))

@@ -271,6 +271,115 @@ object EventStreams {
       .start()
 
   /**
+   * Continuous downstream-aggregate maintenance: the change-feed stream
+   * ([[graft.sources.GraftChangeFeedStream]], version = offset) feeds a
+   * running per-key aggregate (`n_rows` + `sum_<col>` for each of
+   * `sumCols`) materialized as an LWW graft table — the streaming twin of
+   * the q148 batch pattern, closing the loop from "a batch landed on the
+   * source table" to "the downstream rollup reflects it" with IO
+   * proportional to the increment.
+   *
+   * Exactly-once folding under micro-batch replay: each batch folds its
+   * delta into the PRIOR state — the LWW-resolved table restricted to
+   * `writetime < batchId + 1`, so a replayed batch never sees its own
+   * earlier (possibly partial) write — and writes the folded rows with
+   * `writetime = batchId + 1`. A replay therefore recomputes bit-identical
+   * rows at the same writetime, and the LWW read collapses the duplicates
+   * deterministically. Sums must be over integral columns (exact,
+   * order-free); double sums would be order-dependent — cast to decimal
+   * upstream if needed.
+   *
+   * 100 TB shape: the delta aggregate is one map-side-combined pass over
+   * the increment only; the prior state is one table read of the ROLLUP
+   * (keys × versions, tiny next to the source); the fold shuffles only
+   * (key, counters) rows. `compactEvery = N` folds the version history
+   * down in place every N batches so prior reads stay O(keys) instead of
+   * O(keys × batches) — the compaction runs at batch START and SKIPS
+   * itself whenever a write from the replaying batch already landed
+   * (body comment spells out the tie it would otherwise create).
+   */
+  def maintainAggStream(
+      feed: DataFrame,
+      keyCols: Seq[String],
+      sumCols: Seq[String],
+      schema: graft.model.CqlSchema,
+      path: String,
+      checkpointDir: String,
+      numPartitions: Int = 1,
+      trigger: Option[org.apache.spark.sql.streaming.Trigger] = None,
+      compactEvery: Int = 0)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(compactEvery >= 0, s"compactEvery must be >= 0, got $compactEvery")
+    val writer0 = feed.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append)
+    val writer = trigger.fold(writer0)(writer0.trigger)
+    val outCols = "n_rows" +: sumCols.map(c => s"sum_$c")
+    writer.foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+      val spark = batch.sparkSession
+      val wt = id + 1L
+      val firstAgg = count(lit(1)).as("n_rows")
+      val restAgg = sumCols.map(c => sum(col(c)).as(s"sum_$c"))
+      val delta = batch.toDF().groupBy(keyCols.map(col): _*)
+        .agg(firstAgg, restAgg: _*)
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      // compaction runs at batch START, and ONLY when no write from this
+      // very batch already landed (a crash after the write but before the
+      // checkpoint commit replays the batch): compacting then would fold
+      // the replayed attempt's wt = id+1 rows into the single surviving
+      // version, the `writetime < id+1` prior read would see NOTHING, and
+      // the re-fold would write delta-only rows tying the cumulative ones
+      // at the same writetime. Skipping costs one deferred compaction;
+      // folding history whose winning writetimes are all ≤ id is safe.
+      if (compactEvery > 0 && id > 0 && id % compactEvery == 0 && fs.exists(p)) {
+        val wtCol = graft.write.TokenSortedWriter.WritetimeCol
+        val maxWt = spark.read.format("graft")
+          .option("path", path)
+          .option("pk", schema.partitionKeys.mkString(","))
+          .load()
+          .agg(max(col(wtCol))).head()
+        if (maxWt.isNullAt(0) || maxWt.getLong(0) < wt)
+          graft.write.TokenSortedWriter.compactInPlace(spark, schema, path,
+            graft.write.TokenSortedWriter.WriteConf(numPartitions = numPartitions))
+      }
+      val folded =
+        if (!fs.exists(p)) delta
+        else {
+          val wtCol = graft.write.TokenSortedWriter.WritetimeCol
+          // graft-source read, not a flat parquet read: it lists the
+          // compacted gen-* layout, resolves the snapshot log if one
+          // exists, and keeps the engine's writetime column exposed
+          val raw = spark.read.format("graft")
+            .option("path", path)
+            .option("pk", schema.partitionKeys.mkString(","))
+            .load()
+          val prior = graft.operators.Normalize.latestWriteWinsAgg(
+              raw.filter(col(wtCol) < wt),
+              keyCols, Seq(wtCol))
+            .select((keyCols ++ outCols).map(col): _*)
+          prior.unionByName(delta).groupBy(keyCols.map(col): _*)
+            .agg(sum(col("n_rows")).as("n_rows"),
+              sumCols.map(c => sum(col(s"sum_$c")).as(s"sum_$c")): _*)
+        }
+      // snapshot = true on EVERY fold write: compactEvery's rewrite gives
+      // the rollup a snapshot log, and once a table has one, unpinned
+      // graft reads resolve to its LATEST version — a non-snapshotted
+      // append after a compaction would be invisible to the next batch's
+      // prior-state read. Committing each fold keeps log and listing in
+      // step (a replayed batch's duplicate version is benign: identical
+      // rows at the same writetime, collapsed by LWW).
+      graft.write.TokenSortedWriter.write(
+        folded, schema, path, org.apache.spark.sql.SaveMode.Append,
+        graft.write.TokenSortedWriter.WriteConf(
+          numPartitions = numPartitions, keepTokenColumn = true,
+          writetimeMicros = Some(wt), snapshot = true))
+      ()
+    }.start()
+  }
+
+  /**
    * Streaming corpus ingestion with CROSS-BATCH incremental near-dup
    * dedup: each micro-batch drops documents that near-duplicate anything
    * already accepted (via the persisted MinHash signature table,
@@ -317,99 +426,6 @@ object EventStreams {
    * replay appends nothing new — the same survivors-first argument as
    * the uncompacted path. Default 0: never compact.
    */
-  /**
-   * Continuous downstream-aggregate maintenance: the change-feed stream
-   * ([[graft.sources.GraftChangeFeedStream]], version = offset) feeds a
-   * running per-key aggregate (`n_rows` + `sum_<col>` for each of
-   * `sumCols`) materialized as an LWW graft table — the streaming twin of
-   * the q148 batch pattern, closing the loop from "a batch landed on the
-   * source table" to "the downstream rollup reflects it" with IO
-   * proportional to the increment.
-   *
-   * Exactly-once folding under micro-batch replay: each batch folds its
-   * delta into the PRIOR state — the LWW-resolved table restricted to
-   * `writetime < batchId + 1`, so a replayed batch never sees its own
-   * earlier (possibly partial) write — and writes the folded rows with
-   * `writetime = batchId + 1`. A replay therefore recomputes bit-identical
-   * rows at the same writetime, and the LWW read collapses the duplicates
-   * deterministically. Sums must be over integral columns (exact,
-   * order-free); double sums would be order-dependent — cast to decimal
-   * upstream if needed.
-   *
-   * 100 TB shape: the delta aggregate is one map-side-combined pass over
-   * the increment only; the prior state is one table read of the ROLLUP
-   * (keys × versions, tiny next to the source); the fold shuffles only
-   * (key, counters) rows.
-   */
-  def maintainAggStream(
-      feed: DataFrame,
-      keyCols: Seq[String],
-      sumCols: Seq[String],
-      schema: graft.model.CqlSchema,
-      path: String,
-      checkpointDir: String,
-      numPartitions: Int = 1,
-      trigger: Option[org.apache.spark.sql.streaming.Trigger] = None,
-      compactEvery: Int = 0)
-      : org.apache.spark.sql.streaming.StreamingQuery = {
-    require(compactEvery >= 0, s"compactEvery must be >= 0, got $compactEvery")
-    val writer0 = feed.writeStream
-      .option("checkpointLocation", checkpointDir)
-      .outputMode(OutputMode.Append)
-    val writer = trigger.fold(writer0)(writer0.trigger)
-    val outCols = "n_rows" +: sumCols.map(c => s"sum_$c")
-    writer.foreachBatch {
-        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
-      val spark = batch.sparkSession
-      val wt = id + 1L
-      val firstAgg = count(lit(1)).as("n_rows")
-      val restAgg = sumCols.map(c => sum(col(c)).as(s"sum_$c"))
-      val delta = batch.toDF().groupBy(keyCols.map(col): _*)
-        .agg(firstAgg, restAgg: _*)
-      val p = new org.apache.hadoop.fs.Path(path)
-      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val folded =
-        if (!fs.exists(p)) delta
-        else {
-          val wtCol = graft.write.TokenSortedWriter.WritetimeCol
-          // graft-source read, not a flat parquet read: it lists the
-          // compacted gen-* layout, resolves the snapshot log if one
-          // exists, and keeps the engine's writetime column exposed
-          val raw = spark.read.format("graft")
-            .option("path", path)
-            .option("pk", schema.partitionKeys.mkString(","))
-            .load()
-          val prior = graft.operators.Normalize.latestWriteWinsAgg(
-              raw.filter(col(wtCol) < wt),
-              keyCols, Seq(wtCol))
-            .select((keyCols ++ outCols).map(col): _*)
-          prior.unionByName(delta).groupBy(keyCols.map(col): _*)
-            .agg(sum(col("n_rows")).as("n_rows"),
-              sumCols.map(c => sum(col(s"sum_$c")).as(s"sum_$c")): _*)
-        }
-      // snapshot = true on EVERY fold write: compactEvery's rewrite gives
-      // the rollup a snapshot log, and once a table has one, unpinned
-      // graft reads resolve to its LATEST version — a non-snapshotted
-      // append after a compaction would be invisible to the next batch's
-      // prior-state read. Committing each fold keeps log and listing in
-      // step (a replayed batch's duplicate version is benign: identical
-      // rows at the same writetime, collapsed by LWW).
-      graft.write.TokenSortedWriter.write(
-        folded, schema, path, org.apache.spark.sql.SaveMode.Append,
-        graft.write.TokenSortedWriter.WriteConf(
-          numPartitions = numPartitions, keepTokenColumn = true,
-          writetimeMicros = Some(wt), snapshot = true))
-      // the rollup accumulates one LWW version per batch forever; fold the
-      // history down every N batches so prior-state reads stay O(keys),
-      // not O(keys × batches). The compaction carries winning writetimes,
-      // so the replay-proof `writetime < batchId + 1` filter still holds.
-      if (compactEvery > 0 && id > 0 && id % compactEvery == 0)
-        graft.write.TokenSortedWriter.compactInPlace(spark, schema, path,
-          graft.write.TokenSortedWriter.WriteConf(numPartitions = numPartitions))
-      ()
-    }.start()
-  }
-
   def dedupIngestStream(
       docs: DataFrame,
       idCol: String,

@@ -102,12 +102,22 @@ object Manifest {
   }
 
   private def readOne(fs: FileSystem, tableDir: Path, mf: Path): Seq[FileMeta] = {
-    val in = fs.open(mf)
+    // a fragment may vanish between listing and open: a concurrent
+    // appendFor crossed CompactThreshold and folded it into the merged
+    // file (compact() deletes exactly the fragments it already merged).
+    // The stats are still present via that merged file on the NEXT read,
+    // and a manifest miss only costs a footer-read fallback — skipping is
+    // correct, crashing the scan is not.
     val text = try {
-      val bytes = new Array[Byte](fs.getFileStatus(mf).getLen.toInt)
-      in.readFully(0, bytes)
-      new String(bytes, StandardCharsets.UTF_8)
-    } finally in.close()
+      val in = fs.open(mf)
+      try {
+        val bytes = new Array[Byte](fs.getFileStatus(mf).getLen.toInt)
+        in.readFully(0, bytes)
+        new String(bytes, StandardCharsets.UTF_8)
+      } finally in.close()
+    } catch {
+      case _: java.io.FileNotFoundException => return Nil
+    }
     text.linesIterator.filter(_.nonEmpty).flatMap(parse(tableDir, _)).toSeq
   }
 

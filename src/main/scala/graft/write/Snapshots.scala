@@ -136,8 +136,31 @@ object Snapshots {
     headerTime(f, root, version)
   }
 
+  /** First line only — vacuum's age filter, versionAsOf, and history call
+   *  this per retained version, and a version file can list 100k+ data
+   *  files; decoding megabytes to parse one header field would make every
+   *  metadata query O(total log bytes). */
+  private def headerLine(f: FileSystem, root: Path, version: Long): String = {
+    val p = vPath(root, version)
+    if (!f.exists(p))
+      throw new IllegalArgumentException(
+        s"snapshot v$version does not exist under $root (latest: " +
+          s"${latest(f, root).map(_.toString).getOrElse("none")}) — " +
+          "it was never committed or was vacuumed past retention")
+    val in = f.open(p)
+    try {
+      val buf = new Array[Byte](4096) // headers are tens of bytes
+      val n = in.read(buf)
+      val upto = (0 until math.max(n, 0)).find(i => buf(i) == '\n').getOrElse(math.max(n, 0))
+      val line = new String(buf, 0, upto, StandardCharsets.UTF_8)
+      require(line.startsWith(Magic + "\t"),
+        s"corrupt snapshot file $p: missing header")
+      line
+    } finally in.close()
+  }
+
   private def headerTime(f: FileSystem, root: Path, version: Long): Long =
-    readText(f, root, version).linesIterator.next().split('\t')(3).toLong
+    headerLine(f, root, version).split('\t')(3).toLong
 
   /** Append-commit: next version = parent's files ∪ `added`. Retries the
    *  optimistic create against concurrent committers. Returns the committed
@@ -335,6 +358,10 @@ object Snapshots {
    */
   def restore(spark: SparkSession, dir: String, toVersion: Long): Long = {
     val (f, root) = fs(spark, dir)
+    // the head we are undoing TO-FROM is the rewrite's concurrency guard:
+    // an append landing mid-restore must fail the commit loudly, or its
+    // files would vanish from the log and be vacuumed later (data loss)
+    val head = latest(f, root)
     val want = readFiles(f, root, toVersion)
     val gone = want.filterNot(p => f.exists(new Path(p)))
     if (gone.nonEmpty)
@@ -342,7 +369,7 @@ object Snapshots {
         s"restore to v$toVersion of $dir impossible: ${gone.length} of its " +
           s"${want.length} file(s) were vacuumed or deleted out-of-band " +
           s"(first missing: ${gone.head})")
-    val v = commitRewrite(spark, dir, want)
+    val v = commitRewrite(spark, dir, want, expectedParent = head)
     graft.sources.TokenPruner.invalidateListing(dir)
     v
   }

@@ -365,12 +365,18 @@ object TokenSortedWriter {
     val snapshotTarget: Option[Path] =
       if (!conf.snapshot) None
       else {
-        if (mode == SaveMode.ErrorIfExists) {
+        // the staging dir is always fresh, so the parquet writer can no
+        // longer see the REAL target — ErrorIfExists AND Ignore semantics
+        // must be re-applied against the table path by hand, or Ignore
+        // would silently append where the caller asked for a no-op
+        if (mode == SaveMode.ErrorIfExists || mode == SaveMode.Ignore) {
           val p = new Path(path)
           val fsx = p.getFileSystem(df.sparkSession.sessionState.newHadoopConf())
-          if (fsx.exists(p))
+          if (fsx.exists(p)) {
+            if (mode == SaveMode.Ignore) return
             throw new IllegalArgumentException(
               s"path $path already exists (SaveMode.ErrorIfExists)")
+          }
         }
         Some(new Path(path,
           s".graft_staging/${java.util.UUID.randomUUID().toString.take(16)}"))
@@ -810,7 +816,11 @@ object TokenSortedWriter {
     val replacements = scala.collection.mutable.Map[String, Option[String]]()
     affected.foreach { meta =>
       val original = spark.read.parquet(meta.path)
+      // persisted: the count probe and the replacement write otherwise
+      // each re-read the file and re-run the anti-join (2x IO per file)
       val kept = original.join(keyDf, schema.partitionKeys, "left_anti")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
       val keptN = kept.count()
       removed += meta.rows - keptN
       if (keptN == meta.rows) {
@@ -831,6 +841,7 @@ object TokenSortedWriter {
         fs.delete(tmp, true)
         replacements += meta.path -> Some(dest.toString)
       }
+      } finally kept.unpersist()
     }
     if (removed == 0L) return 0L
     Manifest.appendFor(spark, dir) // stats+digests for the replacement files

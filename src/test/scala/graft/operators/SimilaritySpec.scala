@@ -311,12 +311,17 @@ class SimilaritySpec extends SparkSpec {
       Seq("grp"), "vec", dim = 2)
       .select($"mean_vec").as[Seq[Double]].head()
     assert(sliced == Seq(2.0, 4.0))
-    val e = intercept[IllegalArgumentException] {
+    // validation fires in-pass at action time (raise_error, no extra scan)
+    val e = intercept[Exception] {
       Similarity.meanVectors(
         Seq((1L, "a", Array(1.0f)), (2L, "a", null.asInstanceOf[Array[Float]]))
           .toDF("id", "grp", "vec"), Seq("grp"), "vec", dim = 2)
+        .collect()
     }
-    assert(e.getMessage.contains("null or shorter"))
+    def chain(t: Throwable) =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).toSeq
+    assert(chain(e).exists(c =>
+      c.getMessage != null && c.getMessage.contains("null or shorter")))
   }
 
   test("projectionSigns: deterministic ±1 from md5 parity, roughly balanced") {
