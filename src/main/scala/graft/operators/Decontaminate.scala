@@ -63,4 +63,46 @@ object Decontaminate {
       n: Int = 8): DataFrame =
     corpus.join(contaminatedIds(corpus, probe, idCol, textCol, n),
       Seq(idCol), "left_anti")
+
+  /**
+   * N-gram novelty profile — the duplication/memorization-risk metric:
+   * per document, the fraction of its n-gram occurrences whose gram
+   * appears in NO other document of the corpus (document frequency 1).
+   * Novelty ≈ 1 is fresh content; ≈ 0 is boilerplate or copied spans —
+   * the per-document complement of span dedup's corpus-wide view, used
+   * to rank what duplication-driven memorization a model would see from
+   * each document (Lee et al. 2022 measure duplication exactly through
+   * these cross-document n-gram frequencies).
+   *
+   * Output: (idCol, `n_grams`, `novel_grams`, `novelty`); a document
+   * shorter than `n` tokens has zero grams and novelty 1.0 (nothing to
+   * duplicate).
+   *
+   * Scale shape: the only corpus-wide exchange carries (id, 16-char
+   * gram hash) pairs — text never moves; gram document frequencies are
+   * one map-side-combined aggregation of the DISTINCT (id, gram) pairs;
+   * the per-document fold regroups by id. Same shuffle class as span
+   * dedup, linear in corpus gram count.
+   */
+  def noveltyScores(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 8): DataFrame = {
+    val g = grams(df, idCol, textCol, n)
+    val dfreq = g.distinct()
+      .groupBy(col("gram")).agg(count(lit(1)).as("gdf"))
+    val per = g.join(dfreq, "gram")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("gdf") === 1, 1L).otherwise(0L)).as("novel_grams"))
+    df.select(col(idCol))
+      .join(per, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("novel_grams"), lit(0L)).as("novel_grams"),
+        when(col("n_grams").isNull, lit(1.0))
+          .otherwise(col("novel_grams").cast("double") /
+            col("n_grams").cast("double")).as("novelty"))
+  }
 }

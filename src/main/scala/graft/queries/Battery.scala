@@ -2168,6 +2168,19 @@ object Battery {
           inDim = 64, outDim = 16)
         .select(col("vec_id"), posexplode(col("projected")).as(Seq("dim", "pval")))),
 
+    // n-gram novelty profile (memorization-risk metric): exact duplicates
+    // of the %5 slice drive those docs' (and their originals') shared
+    // grams to document-frequency 2 — novelty collapses for them, stays
+    // high elsewhere; the oracle replays the md5 grams, the DISTINCT
+    // document frequencies, and the per-doc occurrence fold verbatim
+    "q164_ngram_novelty" -> ((s, d) => {
+      val base = docs(s, d).select(col("doc_id"), col("text"))
+      val corpus = base.unionByName(
+        base.filter(col("doc_id") % 5 === 0)
+          .select((col("doc_id") + lit(TwinOff)).as("doc_id"), col("text")))
+      graft.operators.Decontaminate.noveltyScores(corpus, "doc_id", "text", n = 8)
+    }),
+
     // contrastive triplet mining for embedding-model training data:
     // positives = near-dup cluster mates (twin construction → exact text
     // groups), negatives = the reproducible md5-ring next pick; the
@@ -3945,6 +3958,29 @@ object Battery {
     // layout/format is invisible to results: identity
     "q156_orc_roundtrip" ->
       "SELECT doc_id, text, lang, source, n_chars FROM documents",
+    // q86's gram pipeline + DISTINCT-doc frequencies + occurrence fold
+    "q164_ngram_novelty" ->
+      """WITH u AS (SELECT doc_id, text FROM documents
+        |           UNION ALL
+        |           SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 5 = 0),
+        |t AS (SELECT doc_id, string_split(text, ' ') AS w FROM u),
+        |g AS (SELECT doc_id,
+        |    substring(md5(array_to_string(
+        |      w[CAST(i AS BIGINT):CAST(i AS BIGINT)+7], ' ')),1,16) AS gram
+        |  FROM t, UNNEST(range(1, len(w)-6)) AS u2(i) WHERE len(w) >= 8),
+        |dfq AS (SELECT gram, COUNT(*) AS gdf FROM (
+        |    SELECT DISTINCT doc_id, gram FROM g) GROUP BY gram),
+        |per AS (SELECT g.doc_id, COUNT(*) AS n_grams,
+        |         CAST(SUM(CASE WHEN dfq.gdf = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |           AS novel_grams
+        |        FROM g JOIN dfq USING (gram) GROUP BY g.doc_id)
+        |SELECT u.doc_id,
+        |  CAST(COALESCE(p.n_grams, 0) AS BIGINT) AS n_grams,
+        |  CAST(COALESCE(p.novel_grams, 0) AS BIGINT) AS novel_grams,
+        |  CASE WHEN p.n_grams IS NULL THEN 1.0
+        |       ELSE CAST(p.novel_grams AS DOUBLE) / CAST(p.n_grams AS DOUBLE)
+        |  END AS novelty
+        |FROM u LEFT JOIN per p ON u.doc_id = p.doc_id""".stripMargin,
     // positives: min cluster-mate per exact-otext group; negatives: the
     // q98 md5 shard/pos ring's next-with-wrap; same exclusions
     "q163_triplet_mining" ->

@@ -639,6 +639,23 @@ class PlanQualitySpec extends SparkSpec {
       s"expected partial aggregation before the shuffle:\n$plan")
   }
 
+  test("diffRows: pk-keyed equi-join of two pinned scans, never a nested-loop product") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_pq_diff_").toString + "/t"
+    val schema = CqlSchema("t", Seq("id"))
+    def w(ids: Range): Unit = TokenSortedWriter.write(
+      ids.map(i => (i.toLong, s"v$i")).toDF("id", "payload"), schema, dir,
+      org.apache.spark.sql.SaveMode.Append,
+      TokenSortedWriter.WriteConf(numPartitions = 2, snapshot = true))
+    w(0 until 50); w(50 until 60)
+    val plan = TokenSortedWriter.diffRows(spark, schema, dir, 1L, 2L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"diff must be a keyed equi-join:\n$plan")
+    assert(plan.contains("FullOuter"), s"expected a full outer join:\n$plan")
+  }
+
   test("random-ring write plans exactly one range exchange, like the murmur3 ring") {
     import spark.implicits._
     val df = (1L to 1000L).map(i => (i, s"v$i")).toDF("k", "v")

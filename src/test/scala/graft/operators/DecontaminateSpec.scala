@@ -73,4 +73,22 @@ class DecontaminateSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
       s"expected a broadcast semi-join:\n$plan")
   }
+
+  test("noveltyScores: duplicated docs collapse, fresh docs stay 1.0, short docs default") {
+    val c = Seq(
+      (1L, "a b c d e f g h i j"),       // shares grams with 2 → novelty 0
+      (2L, "a b c d e f g h i j"),       // exact duplicate
+      (3L, "k l m n o p q r s t"),       // unique → novelty 1.0
+      (4L, "x y z"),                     // < 8 tokens → no grams, novelty 1.0
+      (5L, "w w w w w w w w w w w w"))   // self-repeated gram, single doc → novel
+      .toDF("doc_id", "text")
+    val got = Decontaminate.noveltyScores(c, "doc_id", "text", n = 8)
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, 3L, 0L, 0.0)))  // 10 tokens → 3 grams, all shared
+    assert(got(2L) == ((2L, 3L, 0L, 0.0)))
+    assert(got(3L) == ((3L, 3L, 3L, 1.0)))
+    assert(got(4L) == ((4L, 0L, 0L, 1.0)))
+    // within-doc repetition is NOT cross-document duplication: df stays 1
+    assert(got(5L)._4 == 1.0 && got(5L)._2 == 5L)
+  }
 }
