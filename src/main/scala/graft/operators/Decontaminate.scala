@@ -96,6 +96,51 @@ object Decontaminate {
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_grams"),
         sum(when(col("gdf") === 1, 1L).otherwise(0L)).as("novel_grams"))
+    noveltyOutput(df, idCol, per)
+  }
+
+  /** Persisted artifact for incremental novelty: (gram, gdf) document
+   *  frequencies over a corpus — write once per snapshot, probe per
+   *  increment ([[noveltyAgainstFrequencies]]), exactly the role the
+   *  signature table plays for incremental near-dup dedup. */
+  def gramFrequencies(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 8): DataFrame =
+    grams(df, idCol, textCol, n).distinct()
+      .groupBy(col("gram")).agg(count(lit(1)).as("gdf"))
+
+  /**
+   * Novelty of NEW documents against an EXISTING corpus's persisted
+   * [[gramFrequencies]]: a new doc's gram occurrence is novel iff the
+   * corpus never saw the gram. The daily-increment complement of
+   * [[noveltyScores]] — cost is one join of the INCREMENT's grams
+   * against the frequency table (broadcast when the table fits, gram-
+   * keyed shuffle otherwise), never a corpus rescan: the 100 TB corpus
+   * was read once, when its frequencies were built. Same output shape
+   * as [[noveltyScores]].
+   */
+  def noveltyAgainstFrequencies(
+      newDocs: DataFrame,
+      freqs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 8): DataFrame = {
+    val per = grams(newDocs, idCol, textCol, n)
+      .join(freqs.select(col("gram")).withColumn("__seen", lit(1)),
+        Seq("gram"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("__seen").isNull, 1L).otherwise(0L)).as("novel_grams"))
+    noveltyOutput(newDocs, idCol, per)
+  }
+
+  /** Shared tail: re-attach zero-gram (shorter than n tokens) documents
+   *  with novelty 1.0 and emit the (id, n_grams, novel_grams, novelty)
+   *  contract. */
+  private def noveltyOutput(
+      df: DataFrame, idCol: String, per: DataFrame): DataFrame =
     df.select(col(idCol))
       .join(per, Seq(idCol), "left")
       .select(col(idCol),
@@ -104,5 +149,4 @@ object Decontaminate {
         when(col("n_grams").isNull, lit(1.0))
           .otherwise(col("novel_grams").cast("double") /
             col("n_grams").cast("double")).as("novelty"))
-  }
 }

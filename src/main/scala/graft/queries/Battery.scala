@@ -2168,6 +2168,23 @@ object Battery {
           inDim = 64, outDim = 16)
         .select(col("vec_id"), posexplode(col("projected")).as(Seq("dim", "pval")))),
 
+    // incremental novelty: the increment's grams probe the PERSISTED
+    // corpus frequency table (no corpus rescan). Exact-copy docs score
+    // 0.0 (every gram seen) unless too short to gram; md5-word twins
+    // carry exactly one 8-gram the corpus cannot contain → 1.0 — both
+    // closed-form from the construction
+    "q165_incremental_novelty" -> ((s, d) => {
+      val base = docs(s, d)
+      val freqs = graft.operators.Decontaminate.gramFrequencies(
+        base, "doc_id", "text", n = 8)
+      val copies = base.filter(col("doc_id") % 3 === 0)
+        .select((col("doc_id") + lit(3L * TwinOff)).as("doc_id"), col("text"))
+      val twins = twinCopy(s, d, 4).filter(col("doc_id") % 3 === 1)
+        .select(col("doc_id"), col("text"))
+      graft.operators.Decontaminate.noveltyAgainstFrequencies(
+        copies.unionByName(twins), freqs, "doc_id", "text", n = 8)
+    }),
+
     // n-gram novelty profile (memorization-risk metric): exact duplicates
     // of the %5 slice drive those docs' (and their originals') shared
     // grams to document-frequency 2 — novelty collapses for them, stays
@@ -3958,6 +3975,19 @@ object Battery {
     // layout/format is invisible to results: identity
     "q156_orc_roundtrip" ->
       "SELECT doc_id, text, lang, source, n_chars FROM documents",
+    // closed form from the construction: copies have every gram in the
+    // corpus table (novelty 0 when gram-able), twins one unseen gram
+    "q165_incremental_novelty" ->
+      """SELECT doc_id + 3000000 AS doc_id,
+        |  CAST(greatest(len(string_split(text, ' ')) - 7, 0) AS BIGINT) AS n_grams,
+        |  CAST(0 AS BIGINT) AS novel_grams,
+        |  CASE WHEN len(string_split(text, ' ')) >= 8 THEN 0.0 ELSE 1.0 END AS novelty
+        |FROM documents WHERE doc_id % 3 = 0
+        |UNION ALL
+        |SELECT doc_id + 4000000 AS doc_id,
+        |  CAST(1 AS BIGINT) AS n_grams, CAST(1 AS BIGINT) AS novel_grams,
+        |  1.0 AS novelty
+        |FROM documents WHERE (doc_id + 4000000) % 3 = 1""".stripMargin,
     // q86's gram pipeline + DISTINCT-doc frequencies + occurrence fold
     "q164_ngram_novelty" ->
       """WITH u AS (SELECT doc_id, text FROM documents

@@ -91,4 +91,23 @@ class DecontaminateSpec extends SparkSpec {
     // within-doc repetition is NOT cross-document duplication: df stays 1
     assert(got(5L)._4 == 1.0 && got(5L)._2 == 5L)
   }
+
+  test("noveltyAgainstFrequencies: increment probes the persisted table, no corpus rescan") {
+    val corpusDf = Seq(
+      (1L, "a b c d e f g h i j"),
+      (2L, "k l m n o p q r s t")).toDF("doc_id", "text")
+    val freqs = Decontaminate.gramFrequencies(corpusDf, "doc_id", "text", n = 8)
+    val inc = Seq(
+      (10L, "a b c d e f g h i j"),       // all grams known → 0.0
+      (11L, "z1 z2 z3 z4 z5 z6 z7 z8"),   // one unseen gram → 1.0
+      (12L, "c d e f g h i j k l"),       // 1 of 3 grams ("c..j") known → 2/3 novel
+      (13L, "x y"))                       // too short → 1.0, zero grams
+      .toDF("doc_id", "text")
+    val got = Decontaminate.noveltyAgainstFrequencies(inc, freqs, "doc_id", "text", n = 8)
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(got(10L) == ((10L, 3L, 0L, 0.0)))
+    assert(got(11L) == ((11L, 1L, 1L, 1.0)))
+    assert(got(12L) == ((12L, 3L, 2L, 2.0 / 3.0)))
+    assert(got(13L) == ((13L, 0L, 0L, 1.0)))
+  }
 }
