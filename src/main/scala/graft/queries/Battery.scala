@@ -2173,6 +2173,53 @@ object Battery {
     // 0.0 (every gram seen) unless too short to gram; md5-word twins
     // carry exactly one 8-gram the corpus cannot contain → 1.0 — both
     // closed-form from the construction
+    // SQL UPDATE through the group-based copy-on-write row-level operation
+    // (SupportsRowLevelOperations → RewriteUpdateTable → ReplaceData):
+    // build a snapshotted catalog table from documents, UPDATE a
+    // predicate slice, read the committed result back through the catalog.
+    // The oracle replays the final state closed-form over the source.
+    "q166_sql_update" -> ((s, d) => {
+      val cat = "gdml" + java.util.UUID.randomUUID().toString.take(8)
+      val base = java.nio.file.Files.createTempDirectory("graft_dml_").toString
+      s.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.base", base)
+      s.sql(s"CREATE TABLE $cat.db.docs (doc_id BIGINT, source STRING, n_chars BIGINT) " +
+        "USING graft OPTIONS (pk 'doc_id', partitions '4', snapshot 'true')")
+      docs(s, d).select(col("doc_id"), col("source"), col("n_chars"))
+        .createOrReplaceTempView("q166_docs")
+      s.sql(s"INSERT INTO $cat.db.docs SELECT doc_id, source, n_chars FROM q166_docs")
+      s.sql(s"UPDATE $cat.db.docs SET n_chars = n_chars + 100000 " +
+        "WHERE source = 'src3' OR doc_id % 7 = 0")
+      s.table(s"$cat.db.docs").select(col("doc_id"), col("source"), col("n_chars"))
+    }),
+
+    // SQL MERGE INTO with all three action kinds (matched-delete,
+    // matched-update, not-matched-insert) in ONE atomic commit — the
+    // lakehouse upsert loop. Target = even docs, source = every third doc
+    // with a shifted length; the oracle replays the row algebra in SQL.
+    "q167_sql_merge" -> ((s, d) => {
+      val cat = "gdml" + java.util.UUID.randomUUID().toString.take(8)
+      val base = java.nio.file.Files.createTempDirectory("graft_dml_").toString
+      s.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.base", base)
+      s.sql(s"CREATE TABLE $cat.db.docs (doc_id BIGINT, source STRING, n_chars BIGINT) " +
+        "USING graft OPTIONS (pk 'doc_id', partitions '4', snapshot 'true')")
+      docs(s, d).filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .createOrReplaceTempView("q167_target")
+      docs(s, d).filter(col("doc_id") % 3 === 0)
+        .select(col("doc_id"), (col("n_chars") + lit(7L)).as("nc"))
+        .createOrReplaceTempView("q167_src")
+      s.sql(s"INSERT INTO $cat.db.docs SELECT doc_id, source, n_chars FROM q167_target")
+      s.sql(
+        s"""MERGE INTO $cat.db.docs AS t USING q167_src AS s ON t.doc_id = s.doc_id
+           |WHEN MATCHED AND s.nc % 10 = 0 THEN DELETE
+           |WHEN MATCHED THEN UPDATE SET n_chars = s.nc
+           |WHEN NOT MATCHED THEN INSERT (doc_id, source, n_chars)
+           |  VALUES (s.doc_id, 'merged', s.nc)""".stripMargin)
+      s.table(s"$cat.db.docs").select(col("doc_id"), col("source"), col("n_chars"))
+    }),
+
     "q165_incremental_novelty" -> ((s, d) => {
       val base = docs(s, d)
       val freqs = graft.operators.Decontaminate.gramFrequencies(
@@ -3975,6 +4022,25 @@ object Battery {
     // layout/format is invisible to results: identity
     "q156_orc_roundtrip" ->
       "SELECT doc_id, text, lang, source, n_chars FROM documents",
+    // the post-UPDATE state, closed-form over the source rows
+    "q166_sql_update" ->
+      """SELECT doc_id, source,
+        |  CASE WHEN source = 'src3' OR doc_id % 7 = 0
+        |       THEN n_chars + 100000 ELSE n_chars END AS n_chars
+        |FROM documents""".stripMargin,
+    // the post-MERGE state: matched rows with nc % 10 = 0 deleted, other
+    // matches updated, unmatched source rows inserted under 'merged'
+    "q167_sql_merge" ->
+      """WITH t AS (SELECT doc_id, source, n_chars FROM documents WHERE doc_id % 2 = 0),
+        |s AS (SELECT doc_id, n_chars + 7 AS nc FROM documents WHERE doc_id % 3 = 0)
+        |SELECT t.doc_id, t.source,
+        |  CASE WHEN s.doc_id IS NOT NULL THEN s.nc ELSE t.n_chars END AS n_chars
+        |FROM t LEFT JOIN s ON t.doc_id = s.doc_id
+        |WHERE s.doc_id IS NULL OR s.nc % 10 <> 0
+        |UNION ALL
+        |SELECT s.doc_id, 'merged' AS source, s.nc AS n_chars
+        |FROM s LEFT JOIN t ON s.doc_id = t.doc_id
+        |WHERE t.doc_id IS NULL""".stripMargin,
     // closed form from the construction: copies have every gram in the
     // corpus table (novelty 0 when gram-able), twins one unseen gram
     "q165_incremental_novelty" ->

@@ -244,7 +244,17 @@ class GraftTable(
     tableOptions: CaseInsensitiveStringMap = CaseInsensitiveStringMap.empty())
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite
-    with org.apache.spark.sql.connector.catalog.SupportsDelete {
+    with org.apache.spark.sql.connector.catalog.SupportsDelete
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
+
+  /** SQL `UPDATE` / `MERGE INTO` / predicate `DELETE` via group-based
+   *  copy-on-write ([[GraftRowLevelOperation]]; file = group). Full-pk
+   *  `DELETE` keeps taking the metadata fast path ([[deleteWhere]] —
+   *  Spark's `OptimizeMetadataOnlyDeleteFromTable` prefers it). */
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
+    new GraftRowLevelOperationBuilder(dir, annotated, cql, tableOptions, info)
 
   /** SQL `DELETE FROM t WHERE …` — accepted only when the predicate is a
    *  conjunction of `=`/`IN` (plus redundant `IS NOT NULL`) covering the

@@ -1,0 +1,375 @@
+package graft.sources
+
+import java.util.UUID
+
+import graft.model.CqlSchema
+import graft.write.{Manifest, Snapshots, TokenSortedWriter}
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{SaveMode, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics, SupportsRuntimeFiltering}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RowLevelOperation, RowLevelOperationBuilder, RowLevelOperationInfo, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.connector.write.RowLevelOperation.Command
+import org.apache.spark.sql.graftshim.{ParquetScanBridge, ParquetWriteBridge}
+import org.apache.spark.sql.sources.Filter
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/**
+ * Group-based (copy-on-write) row-level operations — the connector half of
+ * Spark's SQL `UPDATE` / `MERGE INTO` / predicate `DELETE` rewrites
+ * (`RewriteUpdateTable` / `RewriteMergeIntoTable` /
+ * `RewriteDeleteFromTable`). The granularity of a "group" here is one data
+ * FILE: Catalyst rewrites the statement into a [[GraftRowLevelScan]] of the
+ * files that may contain matching rows plus a write of those files'
+ * transformed content; [[GraftReplaceDataWrite.commit]] then atomically
+ * swaps exactly the scanned files for the rewritten ones through the
+ * snapshot log ([[Snapshots.commitRewrite]], `expectedParent`-guarded — a
+ * concurrent append makes the DML fail loudly rather than silently dropping
+ * the appended files).
+ *
+ * Scale shape: group determination rides the SAME pruning machinery as a
+ * read — static pushdown (token / file stats, [[TokenPruner.prune]]) plus
+ * Spark's runtime group filtering (`RowLevelOperationRuntimeGroupFiltering`
+ * plants a dynamic pk-IN filter on [[GraftRowLevelScan.filter]], DPP-style),
+ * so `UPDATE t SET … WHERE pk = k` on a 100 TB table rewrites one file.
+ * Two invariants keep pruning sound at file granularity:
+ *
+ *  - pruning decisions are per-FILE ONLY: a pruned file provably holds no
+ *    matching row, so leaving it untouched is correct;
+ *  - NO data filter reaches the parquet reader (unlike a normal scan): a
+ *    row-group skipped by a pushed predicate would silently VANISH from the
+ *    rewrite — every surviving file is read whole, and rows that don't
+ *    match the condition are copied back verbatim by Catalyst's rewrite.
+ *
+ * The replacement files are re-laid-out through [[TokenSortedWriter]]
+ * (token-sorted, manifest/digest-recorded, dir-partition aware), so the
+ * clustered no-shuffle read property and per-file token pruning survive
+ * DML — staged task output is an intermediate only.
+ *
+ * The reference has no DML surface at all (SSTables are immutable and
+ * Cassandra updates are LWW appends, which this engine also supports via
+ * writetime writes); this is lakehouse-grade parity the reference delegates
+ * to the database server.
+ */
+class GraftRowLevelOperationBuilder(
+    dir: String,
+    annotated: StructType,
+    cql: CqlSchema,
+    tableOptions: CaseInsensitiveStringMap,
+    info: RowLevelOperationInfo) extends RowLevelOperationBuilder {
+  override def build(): RowLevelOperation =
+    new GraftRowLevelOperation(dir, annotated, cql, tableOptions, info.command)
+}
+
+class GraftRowLevelOperation(
+    dir: String,
+    annotated: StructType,
+    cql: CqlSchema,
+    tableOptions: CaseInsensitiveStringMap,
+    cmd: Command) extends RowLevelOperation {
+
+  /** Snapshot version the scan resolved its listing from (None = no log):
+   *  both the read pin and the commit's optimistic-concurrency guard, so
+   *  the rewrite provably replaces the state it was computed from. */
+  @volatile private[sources] var sourceVersion: Option[Long] = None
+  @volatile private[sources] var sourcePinned: Boolean = false
+
+  /** The files the row-level scan FINALLY planned (post static + runtime
+   *  pruning) — the groups the commit must replace. Driver-side state:
+   *  `planInputPartitions` runs on the driver, commit reads it there. */
+  @volatile private[sources] var scannedFiles: Array[String] = Array.empty
+
+  override def command(): Command = cmd
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftRowLevelScanBuilder(this, dir, annotated, cql)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new GraftReplaceDataWrite(this, dir, annotated, cql, tableOptions, info)
+
+  override def description(): String = s"GraftRowLevelOperation[$cmd] dir=$dir"
+}
+
+/** Accepts filter/column pushdown like a normal scan builder, but filters
+ *  are used for file pruning ONLY (all of them are returned as residuals —
+ *  Spark re-evaluates the full condition in the rewritten plan). */
+class GraftRowLevelScanBuilder(
+    op: GraftRowLevelOperation,
+    dir: String,
+    annotated: StructType,
+    cql: CqlSchema)
+    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+
+  private var pushed: Array[Filter] = Array.empty
+  private var required: StructType = annotated
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters
+    filters // every filter stays a residual: pruning is per-file, never per-row
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit = {
+    val keep = requiredSchema.fieldNames.toSet
+    required = StructType(annotated.fields.filter(f => keep.contains(f.name)))
+  }
+
+  override def build(): Scan = new GraftRowLevelScan(op, dir, annotated, required, pushed, cql)
+}
+
+class GraftRowLevelScan(
+    op: GraftRowLevelOperation,
+    dir: String,
+    dataSchema: StructType,
+    required: StructType,
+    pushed: Array[Filter],
+    cql: CqlSchema)
+    extends Scan with Batch with SupportsReportStatistics with SupportsRuntimeFiltering {
+
+  private lazy val spark = SparkSession.active
+
+  private var runtime: Array[Filter] = Array.empty
+  @volatile private var cachedPruned: Array[TokenPruner.FileMeta] = _
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"GraftRowLevelScan dir=$dir files=${prunedFiles.length} " +
+      s"version=${op.sourceVersion.map(_.toString).getOrElse("listing")}"
+
+  override def filterAttributes(): Array[NamedReference] =
+    cql.partitionKeys.map(n => Expressions.column(CqlSchema.quoted(n))).toArray
+
+  override def filter(filters: Array[Filter]): Unit = {
+    runtime = filters
+    cachedPruned = null
+  }
+
+  /** Live set pinned to the log head observed FIRST (then resolved with an
+   *  explicit pin) — the ordering makes the commit guard exact: a commit
+   *  racing past between the two steps fails the DML loudly instead of
+   *  letting it replace files it never read. */
+  private def prunedFiles: Array[TokenPruner.FileMeta] = {
+    var files = cachedPruned
+    if (files == null) {
+      if (!op.sourcePinned) {
+        op.sourceVersion = Snapshots.latestVersion(spark, dir)
+        op.sourcePinned = true
+      }
+      val listed = TokenPruner.listFiles(spark, dir)
+      val all = Snapshots.resolveListing(
+        spark, dir, op.sourceVersion.map(_.toString), listed)
+      files = TokenPruner.prune(spark, all, pushed ++ runtime, cql)
+      cachedPruned = files
+    }
+    files
+  }
+
+  /** Files may carry `_graft_token` beyond the table schema. */
+  private lazy val fullFileSchema: StructType = {
+    val withToken = prunedFiles.headOption.exists(_.hasTokenColumn)
+    if (withToken && !dataSchema.fieldNames.contains(TokenSortedWriter.TokenCol))
+      StructType(dataSchema.fields :+ StructField(TokenSortedWriter.TokenCol, LongType))
+    else dataSchema
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val files = prunedFiles
+    // the groups the write must replace — exactly what this plan reads
+    op.scannedFiles = files.map(_.path)
+    ParquetScanBridge.parquetBatch(
+      spark, files.map(_.path).toSeq, fullFileSchema, required,
+      Array.empty /* never filter rows: see class doc */)
+      .planInputPartitions()
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    ParquetScanBridge.parquetBatch(
+      spark, prunedFiles.map(_.path).toSeq, fullFileSchema, required, Array.empty)
+      .createReaderFactory()
+
+  override def estimateStatistics(): Statistics = new Statistics {
+    private val bytes = prunedFiles.map(f => math.max(f.uncompressedBytes, f.sizeBytes)).sum
+    private val rowsN = prunedFiles.map(_.rows).sum
+    override def sizeInBytes: java.util.OptionalLong = java.util.OptionalLong.of(bytes)
+    override def numRows: java.util.OptionalLong = java.util.OptionalLong.of(rowsN)
+  }
+}
+
+/** One staged parquet file per non-empty task. */
+private[sources] final case class GraftStagedFile(path: Option[String], rows: Long)
+  extends WriterCommitMessage
+
+private[sources] class GraftStagingWriterFactory(
+    stagingDir: String,
+    factory: org.apache.spark.sql.execution.datasources.OutputWriterFactory,
+    conf: org.apache.spark.util.SerializableConfiguration,
+    schema: StructType) extends DataWriterFactory {
+
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new DataWriter[InternalRow] {
+      private var writer: org.apache.spark.sql.execution.datasources.OutputWriter = _
+      private var path: String = _
+      private var rows = 0L
+      // Spark's group-based rewrites prepend `__row_operation`
+      // (RowDeltaUtils.OPERATION_COLUMN) to the ReplaceData query and only
+      // strip it via ReplaceDataProjections when the operation declares
+      // metadata attributes — with none declared, the raw (op, data…) row
+      // arrives here and the mutable projection below skips the tag.
+      private lazy val opTagged = org.apache.spark.sql.catalyst.ProjectingInternalRow(
+        schema, 1 to schema.length)
+
+      override def write(record: InternalRow): Unit = {
+        val out =
+          if (record.numFields == schema.length) record
+          else {
+            require(record.numFields == schema.length + 1,
+              s"row-level staging: row has ${record.numFields} fields, schema has " +
+                s"${schema.length} (${schema.fieldNames.mkString(",")})")
+            val op = record.getInt(0)
+            require(op == 5 || op == 6, // WRITE / WRITE_WITH_METADATA
+              s"unexpected __row_operation $op in a ReplaceData write")
+            opTagged.project(record)
+            opTagged
+          }
+        if (writer == null) { // lazy: empty tasks stage nothing
+          path = s"$stagingDir/part-$partitionId-$taskId-" +
+            s"${UUID.randomUUID().toString.take(8)}.parquet"
+          writer = ParquetWriteBridge.openWriter(
+            factory, conf.value, path, schema, partitionId, taskId)
+        }
+        writer.write(out)
+        rows += 1
+      }
+
+      override def commit(): WriterCommitMessage = {
+        if (writer != null) writer.close()
+        GraftStagedFile(Option(path), rows)
+      }
+
+      override def abort(): Unit = {
+        if (writer != null) {
+          writer.close()
+          val p = new Path(path)
+          p.getFileSystem(conf.value).delete(p, false)
+        }
+      }
+
+      override def close(): Unit = ()
+    }
+}
+
+/**
+ * The ReplaceData write: tasks stage their rows as plain parquet under a
+ * hidden `.rowlevel-*` dir (via Spark's own parquet writer stack,
+ * [[ParquetWriteBridge]] — the commit coordinator de-dupes speculative
+ * attempts, and only COMMITTED task files are read back); the driver-side
+ * commit then re-lays the staged rows out through [[TokenSortedWriter]]
+ * and cuts the table over:
+ *
+ *  - snapshot-logged table: new generation under `gen-*`, then ONE atomic
+ *    [[Snapshots.commitRewrite]] of (live − scanned + generation), guarded
+ *    by the scan's source version — pinned readers keep history, vacuum
+ *    reclaims later;
+ *  - log-less table: replacements land beside the originals, then the
+ *    scanned files are deleted (briefly both visible — the log is the
+ *    atomicity seam, same documented contract as [[TokenSortedWriter
+ *    .deleteRowsWhere]]).
+ *
+ * The double write (staging + layout pass) is the price of preserving the
+ * token-sorted layout without asking Spark to shuffle by a token it cannot
+ * express; DML touches few files by construction, so the staged volume is
+ * the affected-group volume, not the table.
+ */
+class GraftReplaceDataWrite(
+    op: GraftRowLevelOperation,
+    dir: String,
+    annotated: StructType,
+    cql: CqlSchema,
+    tableOptions: CaseInsensitiveStringMap,
+    info: LogicalWriteInfo)
+    extends WriteBuilder with Write with BatchWrite {
+
+  private val stagingDir = s"$dir/.rowlevel-${info.queryId().take(8)}-" +
+    s"${UUID.randomUUID().toString.take(8)}"
+
+  override def build(): Write = this
+  override def toBatch: BatchWrite = this
+  override def description(): String = s"GraftReplaceDataWrite dir=$dir"
+
+  override def createBatchWriterFactory(pinfo: PhysicalWriteInfo): DataWriterFactory = {
+    val spark = SparkSession.active
+    val p = new Path(stagingDir)
+    p.getFileSystem(spark.sessionState.newHadoopConf()).mkdirs(p)
+    val (factory, conf) = ParquetWriteBridge.prepare(spark, info.schema())
+    new GraftStagingWriterFactory(stagingDir, factory, conf, info.schema())
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val spark = SparkSession.active
+    val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+    try {
+      val staged = messages.collect { case GraftStagedFile(Some(p), n) if n > 0 => p }
+      val scanned = op.scannedFiles
+      if (scanned.isEmpty && staged.isEmpty) return
+
+      // A rewrite expressed over TABLE columns would silently drop engine
+      // feature columns (writetime/TTL) from the affected files, corrupting
+      // LWW ordering for every surviving version — refuse loudly; LWW
+      // tables update by appending a newer-writetime version instead.
+      val affectedSchema =
+        if (scanned.isEmpty) StructType(Nil)
+        else spark.read.parquet(scanned.toIndexedSeq: _*).schema
+      val engineFeatures = Seq(TokenSortedWriter.WritetimeCol, TokenSortedWriter.ExpiresCol)
+        .filter(affectedSchema.fieldNames.contains)
+      if (engineFeatures.nonEmpty)
+        throw new UnsupportedOperationException(
+          s"row-level ${op.command()} on $dir would drop engine feature column(s) " +
+            s"${engineFeatures.mkString(", ")} from rewritten files; update LWW tables " +
+            "by writing a newer-writetime version (writetimeMicros/writetimeColumn)")
+
+      val replacement =
+        if (staged.isEmpty)
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], info.schema())
+        else spark.read.schema(info.schema()).parquet(staged.toIndexedSeq: _*)
+      val conf = TokenSortedWriter.WriteConf(
+        numPartitions = tableOptions.getInt("partitions", 0),
+        maxRecordsPerFile = tableOptions.getLong("maxRecordsPerFile", 0L),
+        keepTokenColumn = tableOptions.getBoolean("keepToken", true),
+        partitionBy = Option(tableOptions.get("partitionBy"))
+          .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil))
+
+      op.sourceVersion match {
+        case Some(v) =>
+          val gen = s"$dir/gen-${UUID.randomUUID().toString.take(12)}"
+          if (staged.nonEmpty) {
+            TokenSortedWriter.write(replacement, cql, gen, SaveMode.Append, conf)
+            Manifest.appendFor(spark, dir) // generation stats → table-root manifest
+          }
+          val genFiles =
+            if (staged.isEmpty) Seq.empty
+            else TokenPruner.listDataFiles(fs, fs.makeQualified(new Path(gen)))
+              .map(_.getPath.toString).toSeq
+          val scannedSet = scanned.toSet
+          val keep = Snapshots.files(spark, dir, v).filterNot(scannedSet.contains)
+          Snapshots.commitRewrite(spark, dir, keep ++ genFiles, expectedParent = Some(v))
+        case None =>
+          if (staged.nonEmpty)
+            TokenSortedWriter.write(replacement, cql, dir, SaveMode.Append, conf)
+          scanned.foreach(p => fs.delete(new Path(p), false))
+      }
+      TokenPruner.invalidateListing(dir)
+    } finally {
+      fs.delete(new Path(stagingDir), true)
+    }
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val spark = SparkSession.active
+    val p = new Path(stagingDir)
+    p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
+  }
+}

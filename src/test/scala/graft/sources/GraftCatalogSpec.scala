@@ -75,7 +75,7 @@ class GraftCatalogSpec extends SparkSpec {
     } finally spark.sql(s"DROP TABLE $catName.db.once")
   }
 
-  test("SQL DELETE FROM: copy-on-write pk deletes, unsupported predicates loud") {
+  test("SQL DELETE FROM: metadata pk deletes, group-based predicate deletes") {
     spark.sql(s"""CREATE TABLE $catName.db.del (id BIGINT, v BIGINT)
                  |USING graft OPTIONS (pk 'id', partitions '4', snapshot 'true')""".stripMargin)
     spark.sql(s"INSERT INTO $catName.db.del SELECT id, id * 2 FROM range(0, 100) AS r(id)")
@@ -93,10 +93,12 @@ class GraftCatalogSpec extends SparkSpec {
     val v1 = spark.read.format("graft").option("path", dir)
       .option("pk", "id").option("snapshotVersion", "1").load()
     assert(v1.count() == 100L)
-    // non-pk and range predicates must be refused, not guessed
-    intercept[Exception] { spark.sql(s"DELETE FROM $catName.db.del WHERE v = 10") }
-    intercept[Exception] { spark.sql(s"DELETE FROM $catName.db.del WHERE id < 50") }
-    assert(cnt == 96L)
+    // non-pk and range predicates now route through the group-based
+    // copy-on-write rewrite (RowLevelOpsSpec) instead of being refused
+    spark.sql(s"DELETE FROM $catName.db.del WHERE v = 10") // id = 5
+    assert(cnt == 95L)
+    spark.sql(s"DELETE FROM $catName.db.del WHERE id < 50")
+    assert(cnt == 50L)
     spark.sql(s"DROP TABLE $catName.db.del")
 
     // log-less table: same SQL, write-then-delete swap
