@@ -2173,6 +2173,27 @@ object Battery {
     // 0.0 (every gram seen) unless too short to gram; md5-word twins
     // carry exactly one 8-gram the corpus cannot contain → 1.0 — both
     // closed-form from the construction
+    // Top-k planning pushdown (SupportsPushDownTopN): three appended
+    // batches with disjoint id windows (the log-table shape), then
+    // `ORDER BY pk DESC LIMIT 20` — per-file min/max stats prune the plan
+    // to the newest batch's files (PlanQualitySpec gates the file count;
+    // this query oracles the VALUES). The layout is invisible to results.
+    "q168_topk_pushdown" -> ((s, d) => {
+      val out = java.nio.file.Files.createTempDirectory("graft_topk_").toString + "/t"
+      val schema = CqlSchema("documents", Seq("doc_id"))
+      val base = docs(s, d).select(col("doc_id"), col("source"), col("n_chars"))
+      val conf = TokenSortedWriter.WriteConf(numPartitions = 2, keepTokenColumn = true)
+      (0 until 3).foreach { b =>
+        TokenSortedWriter.write(
+          base.filter(col("doc_id") % 3 === b)
+            .withColumn("doc_id", col("doc_id") + lit(b * TwinOff)),
+          schema, out, SaveMode.Append, conf)
+      }
+      s.read.format("graft").option("path", out).option("pk", "doc_id").load()
+        .orderBy(col("doc_id").desc).limit(20)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+    }),
+
     // SQL UPDATE through the group-based copy-on-write row-level operation
     // (SupportsRowLevelOperations → RewriteUpdateTable → ReplaceData):
     // build a snapshotted catalog table from documents, UPDATE a
@@ -4022,6 +4043,13 @@ object Battery {
     // layout/format is invisible to results: identity
     "q156_orc_roundtrip" ->
       "SELECT doc_id, text, lang, source, n_chars FROM documents",
+    // the shifted-id union's top 20 by id — layout/pruning invisible
+    "q168_topk_pushdown" ->
+      """SELECT doc_id, source, n_chars FROM (
+        |  SELECT doc_id + (CAST(doc_id % 3 AS BIGINT) * 1000000) AS doc_id,
+        |         source, n_chars
+        |  FROM documents)
+        |ORDER BY doc_id DESC LIMIT 20""".stripMargin,
     // the post-UPDATE state, closed-form over the source rows
     "q166_sql_update" ->
       """SELECT doc_id, source,

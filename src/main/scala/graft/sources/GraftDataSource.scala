@@ -411,12 +411,39 @@ class GraftScanBuilder(
     changeFeed: Option[Long] = None)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownLimit
+    with org.apache.spark.sql.connector.read.SupportsPushDownTopN
     with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
 
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = annotated
   private var limit: Option[Int] = None
+  private var topN: Option[(String, Boolean, Int)] = None
   private var statsOps: Option[(Seq[GraftStatsScan.Op], Array[TokenPruner.FileMeta])] = None
+
+  /** Top-k planning hint (`ORDER BY pk LIMIT k`): per-file min/max stats
+   *  bound which files can possibly hold the k extreme rows, so an
+   *  unfiltered top-k over a 100 TB table plans a handful of files
+   *  instead of all of them. PARTIAL pushdown only — Spark still runs the
+   *  final TakeOrderedAndProject; the scan just stops feeding it files
+   *  that provably cannot contribute. Accepted only for a single-column
+   *  ordering on a PARTITION KEY column (pk values are non-null by the
+   *  table contract, so min/max stats — which ignore nulls — bound every
+   *  row; an arbitrary nullable column's NULLS FIRST rows would be
+   *  invisible to the stats and silently dropped). */
+  override def pushTopN(
+      orders: Array[org.apache.spark.sql.connector.expressions.SortOrder],
+      n: Int): Boolean = {
+    if (pushed.nonEmpty || limit.nonEmpty || orders.length != 1) return false
+    val o = orders(0)
+    val colName = o.expression() match {
+      case nr: NamedReference if nr.fieldNames.length == 1 => nr.fieldNames()(0)
+      case _ => return false
+    }
+    if (!cql.partitionKeys.contains(colName)) return false
+    topN = Some((colName,
+      o.direction() == org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING, n))
+    true
+  } // isPartiallyPushed (shared with LIMIT pushdown) is always true below
 
   /** Unfiltered, ungrouped COUNT(*)/MIN/MAX answer from planning metadata
    *  alone (manifest/footer row counts and column ranges) — zero data
@@ -499,7 +526,7 @@ class GraftScanBuilder(
       case Some((ops, files)) => new GraftStatsScan(dir, ops, files)
       case None =>
         new GraftScan(dir, annotated, required, pushed, cql, clustered, limit,
-          snapshotPin, changeFeed)
+          snapshotPin, changeFeed, topN)
     }
 }
 
@@ -584,7 +611,8 @@ class GraftScan(
     clustered: Boolean = false,
     limit: Option[Int] = None,
     snapshotPin: Option[String] = None,
-    changeFeed: Option[Long] = None)
+    changeFeed: Option[Long] = None,
+    topN: Option[(String, Boolean, Int)] = None)
     extends Scan with Batch with SupportsReportStatistics with SupportsRuntimeFiltering
     with org.apache.spark.sql.graftshim.ClusterReportingScan {
 
@@ -641,6 +669,30 @@ class GraftScan(
       limit.filter(_ => effectivePushed.isEmpty).foreach { n =>
         var acc = 0L
         files = files.takeWhile { f => val need = acc < n; acc += f.rows; need }
+      }
+      // Top-k planning (ORDER BY pk LIMIT k): per-file min/max stats give
+      // a sound value bound B — sort files by their upper bound (asc
+      // order; lower bound for desc), accumulate row counts until ≥ k:
+      // those files alone hold ≥ k rows with value ≤ B, so every one of
+      // the k smallest is ≤ B and any file whose min exceeds B cannot
+      // contribute. Ties at B stay planned (≤, not <). Disabled the
+      // moment any filter exists — row counts then no longer bound the
+      // MATCHING rows. The final TakeOrderedAndProject still runs
+      // (partial pushdown); this only shrinks its input.
+      topN.filter(_ => effectivePushed.isEmpty).foreach { case (c, asc, k) =>
+        if (files.nonEmpty && files.forall(_.pkRanges.contains(c))) {
+          def lo(f: TokenPruner.FileMeta) = f.pkRanges(c)._1
+          def hi(f: TokenPruner.FileMeta) = f.pkRanges(c)._2
+          val byBound = if (asc) files.sortBy(hi) else files.sortBy(f => -lo(f))
+          var acc = 0L
+          var bound = Option.empty[Long]
+          byBound.foreach { f =>
+            if (bound.isEmpty) { acc += f.rows; if (acc >= k) bound = Some(if (asc) hi(f) else lo(f)) }
+          }
+          bound.foreach { b =>
+            files = files.filter(f => if (asc) lo(f) <= b else hi(f) >= b)
+          }
+        }
       }
       cachedPruned = files
     }

@@ -64,6 +64,40 @@ class PlanQualitySpec extends SparkSpec {
     assert(plan.contains("files=1"), s"expected pruning to 1 file in:\n$plan")
   }
 
+  test("ORDER BY pk LIMIT k plans only files that can hold the top-k") {
+    val dir = Files.createTempDirectory("graft_topn_").toString + "/t"
+    import spark.implicits._
+    // four appended batches with disjoint, increasing id windows — the
+    // log-table shape: each batch's files share its narrow id range even
+    // though tokens spread uniformly
+    (0 until 4).foreach { b =>
+      TokenSortedWriter.write(
+        (b * 250L + 1L to b * 250L + 250L).map(i => (i, i * 2)).toDF("id", "v"),
+        CqlSchema("t", Seq("id")), dir, SaveMode.Append,
+        TokenSortedWriter.WriteConf(numPartitions = 2, keepTokenColumn = true))
+    }
+    val read = spark.read.format("graft").option("path", dir).option("pk", "id").load()
+    def filesPlanned(df: org.apache.spark.sql.DataFrame): Int =
+      "files=(\\d+)".r.findFirstMatchIn(df.queryExecution.executedPlan.toString)
+        .map(_.group(1).toInt).getOrElse(-1)
+    // latest-k: only the newest batch's 2 files can contribute
+    val latest = read.orderBy(col("id").desc).limit(5)
+    assert(filesPlanned(latest) == 2,
+      s"top-5 by id desc over 8 files must plan 2, got ${filesPlanned(latest)}")
+    assert(latest.collect().map(_.getLong(0)).toSeq == (996L to 1000L).reverse)
+    // ascending: the oldest batch
+    val first = read.orderBy(col("id")).limit(5)
+    assert(filesPlanned(first) == 2)
+    assert(first.collect().map(_.getLong(0)).toSeq == (1L to 5L))
+    // any filter disables the truncation (stats no longer bound matches)
+    val filtered = read.filter(col("v") > 100L).orderBy(col("id")).limit(5)
+    assert(filesPlanned(filtered) == 8,
+      s"filtered top-k must keep all files, got ${filesPlanned(filtered)}")
+    assert(filtered.collect().map(_.getLong(0)).toSeq == (51L to 55L))
+    // non-pk ordering is refused (nullable stats cannot bound NULLS FIRST)
+    assert(filesPlanned(read.orderBy(col("v")).limit(5)) == 8)
+  }
+
   test("LIMIT over an unfiltered graft scan plans only enough files to cover it") {
     val dir = Files.createTempDirectory("graft_limit_").toString + "/t"
     import spark.implicits._
