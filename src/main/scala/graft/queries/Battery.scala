@@ -2173,6 +2173,20 @@ object Battery {
     // 0.0 (every gram seen) unless too short to gram; md5-word twins
     // carry exactly one 8-gram the corpus cannot contain → 1.0 — both
     // closed-form from the construction
+    // Hybrid retrieval: BM25 (q142's operator) and exact cosine (q29's)
+    // both fetched to depth 20, fused by reciprocal rank fusion and cut to
+    // 10. The oracle replays both rankings and the fixed-order rrf sum —
+    // 1/(60+r) terms are integer-derived IEEE divisions, bit-identical in
+    // any engine; ranks tie-break by doc id throughout.
+    "q169_hybrid_rrf" -> ((s, d) => {
+      val corpus = docs(s, d).select(col("doc_id"), col("text"))
+        .join(emb(s, d).select(col("vec_id").as("doc_id"), col("embedding")), "doc_id")
+      val queries = corpus.filter(col("doc_id") < 4L)
+        .select(col("doc_id").as("query_id"), col("text").as("qtext"), col("embedding"))
+      graft.operators.Retrieval.hybridTopK(corpus, queries,
+        "doc_id", "text", "embedding", "query_id", "qtext", k = 10, depth = 20)
+    }),
+
     // Top-k planning pushdown (SupportsPushDownTopN): three appended
     // batches with disjoint id windows (the log-table shape), then
     // `ORDER BY pk DESC LIMIT 20` — per-file min/max stats prune the plan
@@ -4043,6 +4057,60 @@ object Battery {
     // layout/format is invisible to results: identity
     "q156_orc_roundtrip" ->
       "SELECT doc_id, text, lang, source, n_chars FROM documents",
+    // both retrieval legs replayed (q142 BM25 SQL at depth 20; q29 cosine
+    // ranking), then the closed-form rrf fold and per-query cut
+    "q169_hybrid_rrf" ->
+      """WITH corpus AS (
+        |  SELECT d.doc_id, d.text, e.embedding
+        |  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id),
+        |q AS (SELECT doc_id AS query_id, text AS qtext, embedding AS qemb
+        |      FROM corpus WHERE doc_id < 4),
+        |t AS (SELECT doc_id, word FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM corpus)
+        |  WHERE length(word) > 0),
+        |perdoc AS (SELECT doc_id, word, COUNT(*) AS tf FROM t GROUP BY 1, 2),
+        |dlen AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM perdoc GROUP BY 1),
+        |dfreq AS (SELECT word, COUNT(*) AS df FROM perdoc GROUP BY 1),
+        |stats AS (SELECT (SELECT COUNT(*) FROM corpus) AS n,
+        |                 (SELECT AVG(CAST(dl AS DOUBLE)) FROM dlen) AS avgdl),
+        |qt AS (SELECT DISTINCT query_id, word FROM (
+        |    SELECT query_id, unnest(string_split(qtext, ' ')) AS word FROM q)
+        |  WHERE length(word) > 0),
+        |contrib AS (
+        |  SELECT qt.query_id, p.doc_id,
+        |    CAST(ln(1 + (CAST(s.n AS DOUBLE) - CAST(f.df AS DOUBLE) + 0.5)
+        |               / (CAST(f.df AS DOUBLE) + 0.5))
+        |      * (CAST(p.tf AS DOUBLE) * 2.2)
+        |      / (CAST(p.tf AS DOUBLE)
+        |         + 1.2 * (0.25 + 0.75 * CAST(l.dl AS DOUBLE) / s.avgdl))
+        |      AS DECIMAL(22,7)) AS c
+        |  FROM perdoc p
+        |  JOIN qt USING (word) JOIN dfreq f USING (word)
+        |  JOIN dlen l USING (doc_id) CROSS JOIN stats s),
+        |sc AS (SELECT query_id, doc_id, CAST(SUM(c) AS DOUBLE) AS score
+        |       FROM contrib GROUP BY 1, 2),
+        |sparse AS (SELECT query_id, doc_id, rank FROM (
+        |    SELECT *, row_number() OVER (
+        |      PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+        |    FROM sc) WHERE rank <= 20),
+        |dense AS (SELECT query_id, doc_id, rank FROM (
+        |    SELECT q.query_id, c.doc_id, row_number() OVER (
+        |      PARTITION BY q.query_id
+        |      ORDER BY list_cosine_similarity(q.qemb, c.embedding) DESC,
+        |               c.doc_id ASC) AS rank
+        |    FROM q, corpus c) WHERE rank <= 20),
+        |fused AS (
+        |  SELECT COALESCE(s.query_id, de.query_id) AS query_id,
+        |         COALESCE(s.doc_id, de.doc_id) AS doc_id,
+        |         COALESCE(1.0 / (60.0 + CAST(s.rank AS DOUBLE)), 0.0)
+        |           + COALESCE(1.0 / (60.0 + CAST(de.rank AS DOUBLE)), 0.0)
+        |           AS rrf_score
+        |  FROM sparse s FULL OUTER JOIN dense de
+        |    ON s.query_id = de.query_id AND s.doc_id = de.doc_id)
+        |SELECT query_id, doc_id, rank, rrf_score FROM (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY rrf_score DESC, doc_id ASC) AS rank
+        |  FROM fused) WHERE rank <= 10""".stripMargin,
     // the shifted-id union's top 20 by id — layout/pruning invisible
     "q168_topk_pushdown" ->
       """SELECT doc_id, source, n_chars FROM (
