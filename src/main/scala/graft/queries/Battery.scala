@@ -2173,6 +2173,15 @@ object Battery {
     // 0.0 (every gram seen) unless too short to gram; md5-word twins
     // carry exactly one 8-gram the corpus cannot contain → 1.0 — both
     // closed-form from the construction
+    // Integer-grid k-means (Lloyd, 2 iterations, k=4, seeds = 4 lowest
+    // ids): quantization, exact integer distances, floor-division centroid
+    // updates, and argmin tie-breaks are all engine-portable — the oracle
+    // RETRAINS the whole loop in SQL and matches assignments and exact
+    // integer distances bit-for-bit (no twin construction needed).
+    "q170_kmeans" -> ((s, d) =>
+      graft.operators.Clustering.kMeansAssign(
+        emb(s, d), "vec_id", "embedding", k = 4, iters = 2)),
+
     // Hybrid retrieval: BM25 (q142's operator) and exact cosine (q29's)
     // both fetched to depth 20, fused by reciprocal rank fusion and cut to
     // 10. The oracle replays both rankings and the fixed-order rrf sum —
@@ -4057,6 +4066,46 @@ object Battery {
     // layout/format is invisible to results: identity
     "q156_orc_roundtrip" ->
       "SELECT doc_id, text, lang, source, n_chars FROM documents",
+    // the full 2-iteration Lloyd loop retrained in SQL on the same grid
+    "q170_kmeans" ->
+      """WITH v AS (
+        |  SELECT vec_id, CAST(g.i - 1 AS INTEGER) AS dim,
+        |         CAST(floor(CAST(embedding[CAST(g.i AS INTEGER)] AS DOUBLE)
+        |           * 1000000.0) AS BIGINT) AS q
+        |  FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS g(i)),
+        |seeds AS (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 4),
+        |c0 AS (SELECT CAST(dense_rank() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cl,
+        |              dim, q
+        |       FROM v WHERE vec_id IN (SELECT vec_id FROM seeds)),
+        |d1 AS (SELECT v.vec_id, c.cl, SUM((v.q - c.q) * (v.q - c.q)) AS dist
+        |       FROM v JOIN c0 c USING (dim) GROUP BY v.vec_id, c.cl),
+        |a1 AS (SELECT vec_id, cl FROM (
+        |    SELECT *, row_number() OVER (
+        |      PARTITION BY vec_id ORDER BY dist ASC, cl ASC) AS rn FROM d1)
+        |  WHERE rn = 1),
+        |m1 AS (SELECT a.cl, v.dim,
+        |         CAST(floor(CAST(SUM(v.q) AS DOUBLE) / COUNT(*)) AS BIGINT) AS q
+        |       FROM a1 a JOIN v USING (vec_id) GROUP BY a.cl, v.dim),
+        |c1 AS (SELECT c0.cl, c0.dim, COALESCE(m1.q, c0.q) AS q
+        |       FROM c0 LEFT JOIN m1 ON c0.cl = m1.cl AND c0.dim = m1.dim),
+        |d2 AS (SELECT v.vec_id, c.cl, SUM((v.q - c.q) * (v.q - c.q)) AS dist
+        |       FROM v JOIN c1 c USING (dim) GROUP BY v.vec_id, c.cl),
+        |m2 AS (SELECT a.cl, v.dim,
+        |         CAST(floor(CAST(SUM(v.q) AS DOUBLE) / COUNT(*)) AS BIGINT) AS q
+        |       FROM (SELECT vec_id, cl FROM (
+        |           SELECT *, row_number() OVER (
+        |             PARTITION BY vec_id ORDER BY dist ASC, cl ASC) AS rn FROM d2)
+        |         WHERE rn = 1) a
+        |       JOIN v USING (vec_id) GROUP BY a.cl, v.dim),
+        |c2 AS (SELECT c1.cl, c1.dim, COALESCE(m2.q, c1.q) AS q
+        |       FROM c1 LEFT JOIN m2 ON c1.cl = m2.cl AND c1.dim = m2.dim),
+        |d3 AS (SELECT v.vec_id, c.cl, SUM((v.q - c.q) * (v.q - c.q)) AS dist
+        |       FROM v JOIN c2 c USING (dim) GROUP BY v.vec_id, c.cl)
+        |SELECT vec_id, CAST(cl AS INTEGER) AS cluster,
+        |       CAST(dist AS BIGINT) AS dist FROM (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY vec_id ORDER BY dist ASC, cl ASC) AS rn FROM d3)
+        |WHERE rn = 1""".stripMargin,
     // both retrieval legs replayed (q142 BM25 SQL at depth 20; q29 cosine
     // ranking), then the closed-form rrf fold and per-query cut
     "q169_hybrid_rrf" ->
