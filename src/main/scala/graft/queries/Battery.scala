@@ -2173,6 +2173,34 @@ object Battery {
     // 0.0 (every gram seen) unless too short to gram; md5-word twins
     // carry exactly one 8-gram the corpus cannot contain → 1.0 — both
     // closed-form from the construction
+    // robots.txt (RFC 9309) admission: per-source hosts each publish a
+    // two-group policy; URLs fan over five path shapes by doc_id % 5. The
+    // engine PARSES the bodies and MATCHES the rules (groups, longest
+    // match, Allow-beats-Disallow, * and $ patterns, exact-vs-star agent
+    // selection); the oracle states the admissible outcomes closed-form.
+    "q171_robots" -> ((s, d) => {
+      val policy = "User-agent: graftbot\nDisallow: /private\nAllow: /private/pub\n\n" +
+        "User-agent: *\nDisallow: /*.json$\nDisallow: /tmp\n"
+      val hosts = docs(s, d).select(col("source")).distinct()
+        .select(concat(col("source"), lit(".example.com")).as("host"),
+          lit(policy).as("body"))
+      val rules = graft.operators.Robots.parseRules(hosts, "host", "body")
+      val urls = docs(s, d).select(col("doc_id"),
+        concat(lit("https://"), col("source"), lit(".example.com"),
+          when(col("doc_id") % 5 === 0, lit("/private/x"))
+            .when(col("doc_id") % 5 === 1, lit("/private/pub/y"))
+            .when(col("doc_id") % 5 === 2,
+              concat(lit("/data/"), col("doc_id"), lit(".json")))
+            .when(col("doc_id") % 5 === 3, lit("/tmp/z"))
+            .otherwise(lit("/ok/page"))).as("url"))
+      val named = graft.operators.Robots.evaluate(urls, "url", rules, "graftbot")
+        .select(col("doc_id"), col("allowed").as("allowed_named"))
+      val star = graft.operators.Robots.evaluate(urls, "url", rules, "otherbot")
+        .select(col("doc_id").as("__d"), col("allowed").as("allowed_star"))
+      named.join(star, col("doc_id") === col("__d"))
+        .select(col("doc_id"), col("allowed_named"), col("allowed_star"))
+    }),
+
     // Integer-grid k-means (Lloyd, 2 iterations, k=4, seeds = 4 lowest
     // ids): quantization, exact integer distances, floor-division centroid
     // updates, and argmin tie-breaks are all engine-portable — the oracle
@@ -4066,6 +4094,14 @@ object Battery {
     // layout/format is invisible to results: identity
     "q156_orc_roundtrip" ->
       "SELECT doc_id, text, lang, source, n_chars FROM documents",
+    // RFC 9309 outcomes stated closed-form over the five path shapes:
+    // named group blocks only /private (with /private/pub re-allowed);
+    // the star group blocks *.json$ and /tmp
+    "q171_robots" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 5 = 0 THEN FALSE ELSE TRUE END AS allowed_named,
+        |  CASE WHEN doc_id % 5 IN (2, 3) THEN FALSE ELSE TRUE END AS allowed_star
+        |FROM documents""".stripMargin,
     // the full 2-iteration Lloyd loop retrained in SQL on the same grid
     "q170_kmeans" ->
       """WITH v AS (
