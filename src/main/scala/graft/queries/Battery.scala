@@ -2173,6 +2173,26 @@ object Battery {
     // 0.0 (every gram seen) unless too short to gram; md5-word twins
     // carry exactly one 8-gram the corpus cannot contain → 1.0 — both
     // closed-form from the construction
+    // OPTIMIZE small-file bin-packing: eight micro-batch appends (one tiny
+    // file each) packed into one file by the layout-only rewrite through a
+    // guarded snapshot commit — rows must come back verbatim (identity
+    // oracle); OptimizeSpec separately gates file counts, disjointness,
+    // and the clustered no-shuffle property.
+    "q172_optimize_small_files" -> ((s, d) => {
+      val out = java.nio.file.Files.createTempDirectory("graft_optq_")
+        .toString + "/documents"
+      val schema = CqlSchema("documents", Seq("doc_id"))
+      val base = docs(s, d).select(
+        col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
+      val conf = TokenSortedWriter.WriteConf(numPartitions = 1, snapshot = true)
+      (0 until 8).foreach(b => TokenSortedWriter.write(
+        base.filter(col("doc_id") % 8 === b), schema, out, SaveMode.Append, conf))
+      TokenSortedWriter.optimizeSmallFiles(s, schema, out,
+        smallBytes = 64L << 20, targetBytes = 64L << 20)
+      s.read.format("graft").option("path", out).option("pk", "doc_id").load()
+        .select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
+    }),
+
     // robots.txt (RFC 9309) admission: per-source hosts each publish a
     // two-group policy; URLs fan over five path shapes by doc_id % 5. The
     // engine PARSES the bodies and MATCHES the rules (groups, longest
@@ -4093,6 +4113,9 @@ object Battery {
     "q155_random_projection" -> randomProjectionOracle,
     // layout/format is invisible to results: identity
     "q156_orc_roundtrip" ->
+      "SELECT doc_id, text, lang, source, n_chars FROM documents",
+    // layout maintenance is invisible to results: identity
+    "q172_optimize_small_files" ->
       "SELECT doc_id, text, lang, source, n_chars FROM documents",
     // RFC 9309 outcomes stated closed-form over the five path shapes:
     // named group blocks only /private (with /private/pub re-allowed);

@@ -948,6 +948,104 @@ object TokenSortedWriter {
     version
   }
 
+  /**
+   * OPTIMIZE: bin-pack SMALL files into fewer files without touching the
+   * rest of the table — the steady-state maintenance op for streaming /
+   * micro-batch ingestion, which accretes one small file per trigger
+   * until scan planning drowns in per-file overhead. Unlike
+   * [[compactInPlace]] this is LAYOUT-ONLY: rows are rewritten verbatim
+   * (no LWW collapse, no tombstone application, feature columns carried
+   * as-is), so the table's merge semantics are bit-identical before and
+   * after — it is always safe to run, on any schedule, without reasoning
+   * about time semantics.
+   *
+   * Candidates = live data files under `smallBytes`; within each
+   * partition directory they are packed, in token-min order, into bins of
+   * up to `targetBytes`; each bin of ≥ 2 files becomes one replacement
+   * file (re-sorted on the writer's (token, pk…, ck…) key — consecutive
+   * disjoint inputs yield a disjoint replacement, so a clustered layout
+   * stays clustered). Large files are never read. Cutover is one
+   * `expectedParent`-guarded [[Snapshots.commitRewrite]] on logged
+   * tables (pinned readers keep history; concurrent appends refuse
+   * loudly); log-less tables swap physically (documented dual-visibility
+   * window, as everywhere else).
+   *
+   * Returns the number of files packed away (0 = nothing to do).
+   */
+  def optimizeSmallFiles(
+      spark: SparkSession,
+      schema: CqlSchema,
+      dir: String,
+      smallBytes: Long = 32L << 20,
+      targetBytes: Long = 128L << 20): Long = {
+    require(smallBytes > 0 && targetBytes >= smallBytes,
+      "need 0 < smallBytes <= targetBytes")
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val root = fs.makeQualified(p)
+    val head = Snapshots.latestVersion(spark, dir)
+    val listed = graft.sources.TokenPruner.listFiles(spark, dir)
+    val live = Snapshots.resolveListing(spark, dir, head.map(_.toString), listed)
+
+    // pack only within (partition dir × exact file schema): generations can
+    // differ in feature columns (writetime/TTL), and a cross-schema read
+    // would null-fill or drop columns — a silent semantic change this
+    // layout-only op must never make. One driver footer read per candidate.
+    val candidates = live.filter(_.sizeBytes < smallBytes)
+    def schemaKey(path: String): String =
+      spark.read.parquet(path).schema.map(f => (f.name, f.dataType.sql)).mkString(";")
+    val bins = candidates
+      .groupBy(f => (new Path(f.path).getParent.toString, schemaKey(f.path)))
+      .toSeq.sortBy(_._1)
+      .flatMap { case (_, files) =>
+        val ordered = files.sortBy(f =>
+          (f.tokenRange.map(_._1).getOrElse(Long.MinValue), f.path))
+        val packed = scala.collection.mutable.ArrayBuffer(
+          scala.collection.mutable.ArrayBuffer.empty[graft.sources.TokenPruner.FileMeta])
+        var acc = 0L
+        ordered.foreach { f =>
+          if (packed.last.nonEmpty && acc + f.sizeBytes > targetBytes) {
+            packed += scala.collection.mutable.ArrayBuffer.empty; acc = 0L
+          }
+          packed.last += f; acc += f.sizeBytes
+        }
+        packed.filter(_.length >= 2).map(_.toSeq)
+      }
+    if (bins.isEmpty) return 0L
+
+    val replaced = scala.collection.mutable.ArrayBuffer.empty[String]
+    val fresh = scala.collection.mutable.ArrayBuffer.empty[String]
+    bins.foreach { bin =>
+      val raw = spark.read.parquet(bin.map(_.path): _*)
+      val sortCols =
+        (if (raw.columns.contains(TokenCol)) TokenCol +: schema.primaryKey
+         else schema.primaryKey).filter(raw.columns.contains).map(qcol)
+      val tmp = new Path(root, s".optimize-${java.util.UUID.randomUUID().toString.take(12)}")
+      raw.coalesce(1).sortWithinPartitions(sortCols: _*).write.parquet(tmp.toString)
+      val part = fs.listStatus(tmp).map(_.getPath)
+        .find(_.getName.endsWith(".parquet"))
+        .getOrElse(throw new IllegalStateException(s"no parquet part under $tmp"))
+      val dest = new Path(new Path(bin.head.path).getParent,
+        s"part-opt-${java.util.UUID.randomUUID().toString.take(12)}.parquet")
+      if (!fs.rename(part, dest))
+        throw new IllegalStateException(s"rename $part -> $dest failed")
+      fs.delete(tmp, true)
+      replaced ++= bin.map(_.path)
+      fresh += dest.toString
+    }
+    Manifest.appendFor(spark, dir) // stats + digests for the packed files
+    head match {
+      case Some(v) =>
+        val gone = replaced.toSet
+        val keep = Snapshots.files(spark, dir, v).filterNot(gone.contains)
+        Snapshots.commitRewrite(spark, dir, keep ++ fresh, expectedParent = Some(v))
+      case None =>
+        replaced.foreach(f => fs.delete(new Path(f), false))
+    }
+    graft.sources.TokenPruner.invalidateListing(dir)
+    replaced.length.toLong
+  }
+
   /** Range-tombstone purge: drop rows whose pk matches and whose first
    *  clustering key falls inside the tombstone's [min, max] (null bound =
    *  unbounded), subject to the same time rule as point tombstones. The
