@@ -119,6 +119,15 @@ package object functions {
       new ExpressionInfo(classOf[HttpBodyExtract].getName, "http_body"),
       (exprs: Seq[Expression]) => new HttpBodyExtract(exprs.head))
     registry.registerFunction(
+      FunctionIdentifier("unicode_normalize"),
+      new ExpressionInfo(classOf[UnicodeNormalize].getName, "unicode_normalize"),
+      (exprs: Seq[Expression]) => UnicodeNormalize(exprs(0),
+        exprs(1).eval(null) match {
+          case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+          case other => throw new IllegalArgumentException(
+            s"expected a form literal (NFC/NFD/NFKC/NFKD), got $other")
+        }))
+    registry.registerFunction(
       FunctionIdentifier("uuid_bin"),
       new ExpressionInfo(classOf[org.apache.spark.sql.catalyst.expressions.Unhex].getName,
         "uuid_bin"),

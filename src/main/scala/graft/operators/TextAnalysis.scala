@@ -538,6 +538,43 @@ object TextAnalysis {
   }
 
   /** Keep only documents passing [[withRepetitionFlags]]' thresholds. */
+  /**
+   * Unicode text normalization — the canonical-form pass run before
+   * tokenization, hashing, or dedup so that byte-different but
+   * render-identical strings collapse (NFC composes combining marks;
+   * typographic quotes/dashes and exotic spaces unify; stray control
+   * characters vanish). Steps, in order, all codegen'd:
+   *
+   *  1. NFC via [[graft.functions.UnicodeNormalize]] (UAX #15 — engine-
+   *     portable by spec; free on already-normalized text);
+   *  2. Unicode spaces (NBSP, en/em/figure/… U+2000-200B, narrow NBSP,
+   *     ideographic space) → ASCII space;
+   *  3. curly single/double quotes → ' / ", en/em/horizontal-bar dashes
+   *     and the minus sign → '-';
+   *  4. control characters other than \n and \t removed;
+   *  5. runs of spaces/tabs collapsed to one space, lines trimmed.
+   *
+   * Lossy by design and therefore SEPARATE: [[stripAccents]] (NFD →
+   * drop combining marks → NFC), for search keys and accent-insensitive
+   * dedup, never for text that will be trained on verbatim.
+   */
+  def normalizeUnicode(text: Column): Column = {
+    val nfc = graft.functions.UnicodeNormalize(text, "NFC")
+    val spaces = regexp_replace(nfc, "[\\u00A0\\u1680\\u2000-\\u200B\\u202F\\u205F\\u3000]", " ")
+    val quotes = regexp_replace(
+      regexp_replace(spaces, "[\\u2018\\u2019\\u201A\\u201B]", "'"),
+      "[\\u201C\\u201D\\u201E\\u201F]", "\"")
+    val dashes = regexp_replace(quotes, "[\\u2012\\u2013\\u2014\\u2015\\u2212]", "-")
+    val controls = regexp_replace(dashes, "[\\p{Cc}&&[^\\n\\t]]", "")
+    trim(regexp_replace(controls, "[ \\t]+", " "))
+  }
+
+  /** Accent folding: NFD, drop combining marks, recompose. */
+  def stripAccents(text: Column): Column =
+    graft.functions.UnicodeNormalize(
+      regexp_replace(graft.functions.UnicodeNormalize(text, "NFD"), "\\p{Mn}", ""),
+      "NFC")
+
   def filterRepetition(df: DataFrame, textCol: String): DataFrame = {
     val flagged = withRepetitionFlags(df, textCol)
     flagged.filter(col("rep_pass") === 1)

@@ -2173,6 +2173,21 @@ object Battery {
     // 0.0 (every gram seen) unless too short to gram; md5-word twins
     // carry exactly one 8-gram the corpus cannot contain → 1.0 — both
     // closed-form from the construction
+    // Unicode normalization: every doc decorated with a decomposed accent,
+    // curly quotes, a combining diaeresis, NBSP, an em dash, and a BEL —
+    // the engine normalizes (NFC + space/quote/dash folds + control strip
+    // + collapse) and accent-folds; the oracle replays with DuckDB's own
+    // unicode primitives (nfc_normalize / strip_accents / RE2 classes),
+    // so the hash match is a genuine cross-engine UAX #15 agreement.
+    "q173_unicode_normalize" -> ((s, d) => {
+      val deco = concat(
+        lit("Cafe\u0301 \u201Cnai\u0308ve\u201D\u00A0\u2014\u0007 "), col("text"))
+      val raw = docs(s, d).select(col("doc_id"), deco.as("raw"))
+      val norm = graft.operators.TextAnalysis.normalizeUnicode(col("raw"))
+      raw.select(col("doc_id"), norm.as("norm"),
+        graft.operators.TextAnalysis.stripAccents(norm).as("folded"))
+    }),
+
     // OPTIMIZE small-file bin-packing: eight micro-batch appends (one tiny
     // file each) packed into one file by the layout-only rewrite through a
     // guarded snapshot commit — rows must come back verbatim (identity
@@ -4114,6 +4129,29 @@ object Battery {
     // layout/format is invisible to results: identity
     "q156_orc_roundtrip" ->
       "SELECT doc_id, text, lang, source, n_chars FROM documents",
+    // the same decoration normalized with DuckDB's unicode primitives;
+    // BEL is stripped by codepoint (RE2 lacks Java's class intersection)
+    "q173_unicode_normalize" ->
+      """WITH raw AS (SELECT doc_id,
+        |  'Cafe' || chr(769) || ' ' || chr(8220) || 'nai' || chr(776) || 've'
+        |    || chr(8221) || chr(160) || chr(8212) || chr(7) || ' ' || text AS raw
+        |  FROM documents),
+        |n AS (SELECT doc_id,
+        |  trim(regexp_replace(
+        |    regexp_replace(
+        |      regexp_replace(
+        |        regexp_replace(
+        |          regexp_replace(
+        |            regexp_replace(nfc_normalize(raw),
+        |              '[\x{00A0}\x{1680}\x{2000}-\x{200B}\x{202F}\x{205F}\x{3000}]',
+        |              ' ', 'g'),
+        |            '[\x{2018}\x{2019}\x{201A}\x{201B}]', '''', 'g'),
+        |          '[\x{201C}\x{201D}\x{201E}\x{201F}]', '"', 'g'),
+        |        '[\x{2012}\x{2013}\x{2014}\x{2015}\x{2212}]', '-', 'g'),
+        |      '[\x{0007}]', '', 'g'),
+        |    '[ \t]+', ' ', 'g')) AS norm
+        |  FROM raw)
+        |SELECT doc_id, norm, strip_accents(norm) AS folded FROM n""".stripMargin,
     // layout maintenance is invisible to results: identity
     "q172_optimize_small_files" ->
       "SELECT doc_id, text, lang, source, n_chars FROM documents",
