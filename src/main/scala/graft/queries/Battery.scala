@@ -2173,6 +2173,36 @@ object Battery {
     // 0.0 (every gram seen) unless too short to gram; md5-word twins
     // carry exactly one 8-gram the corpus cannot contain → 1.0 — both
     // closed-form from the construction
+    // Cluster-balanced corpus sampling: topic clusters from the integer-
+    // grid k-means (q170) capped to 50 docs each by the reproducible
+    // md5-rank cap (q114's operator) — the anti-domination selection that
+    // keeps one mega-topic from swamping a training mix. The oracle
+    // retrains the clustering AND replays the cap ranking.
+    "q175_cluster_balanced" -> ((s, d) => {
+      val assigned = graft.operators.Clustering.kMeansAssign(
+        emb(s, d), "vec_id", "embedding", k = 4, iters = 2)
+      Sampling.capPerGroup(assigned.select(col("vec_id"), col("cluster")),
+        groupCols = Seq("cluster"), keys = Seq("vec_id"), n = 50)
+    }),
+
+    // `_graft_token` as a DSv2 metadata column: hidden from SELECT *, and
+    // when selected it must equal the recomputed murmur3 ring token for
+    // EVERY row — the query keeps only consistent rows, so any metadata
+    // plumbing fault drops rows and breaks the identity oracle.
+    "q174_metadata_token" -> ((s, d) => {
+      val out = java.nio.file.Files.createTempDirectory("graft_metaq_")
+        .toString + "/documents"
+      val schema = CqlSchema("documents", Seq("doc_id"))
+      TokenSortedWriter.write(
+        docs(s, d).select(col("doc_id"), col("source"), col("n_chars")),
+        schema, out, SaveMode.Append,
+        TokenSortedWriter.WriteConf(numPartitions = 4, keepTokenColumn = true))
+      graft.functions.registerAll(s)
+      s.read.format("graft").option("path", out).option("pk", "doc_id").load()
+        .filter(col("_graft_token") === expr("graft_token(doc_id)"))
+        .select(col("doc_id"), col("source"), col("n_chars"))
+    }),
+
     // Unicode normalization: every doc decorated with a decomposed accent,
     // curly quotes, a combining diaeresis, NBSP, an em dash, and a BEL —
     // the engine normalizes (NFC + space/quote/dash folds + control strip
@@ -4129,6 +4159,53 @@ object Battery {
     // layout/format is invisible to results: identity
     "q156_orc_roundtrip" ->
       "SELECT doc_id, text, lang, source, n_chars FROM documents",
+    // q170's retrained assignment + the q114 md5-rank cap per cluster
+    "q175_cluster_balanced" ->
+      """WITH v AS (
+        |  SELECT vec_id, CAST(g.i - 1 AS INTEGER) AS dim,
+        |         CAST(floor(CAST(embedding[CAST(g.i AS INTEGER)] AS DOUBLE)
+        |           * 1000000.0) AS BIGINT) AS q
+        |  FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS g(i)),
+        |seeds AS (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 4),
+        |c0 AS (SELECT CAST(dense_rank() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cl,
+        |              dim, q
+        |       FROM v WHERE vec_id IN (SELECT vec_id FROM seeds)),
+        |d1 AS (SELECT v.vec_id, c.cl, SUM((v.q - c.q) * (v.q - c.q)) AS dist
+        |       FROM v JOIN c0 c USING (dim) GROUP BY v.vec_id, c.cl),
+        |a1 AS (SELECT vec_id, cl FROM (
+        |    SELECT *, row_number() OVER (
+        |      PARTITION BY vec_id ORDER BY dist ASC, cl ASC) AS rn FROM d1)
+        |  WHERE rn = 1),
+        |m1 AS (SELECT a.cl, v.dim,
+        |         CAST(floor(CAST(SUM(v.q) AS DOUBLE) / COUNT(*)) AS BIGINT) AS q
+        |       FROM a1 a JOIN v USING (vec_id) GROUP BY a.cl, v.dim),
+        |c1 AS (SELECT c0.cl, c0.dim, COALESCE(m1.q, c0.q) AS q
+        |       FROM c0 LEFT JOIN m1 ON c0.cl = m1.cl AND c0.dim = m1.dim),
+        |d2 AS (SELECT v.vec_id, c.cl, SUM((v.q - c.q) * (v.q - c.q)) AS dist
+        |       FROM v JOIN c1 c USING (dim) GROUP BY v.vec_id, c.cl),
+        |m2 AS (SELECT a.cl, v.dim,
+        |         CAST(floor(CAST(SUM(v.q) AS DOUBLE) / COUNT(*)) AS BIGINT) AS q
+        |       FROM (SELECT vec_id, cl FROM (
+        |           SELECT *, row_number() OVER (
+        |             PARTITION BY vec_id ORDER BY dist ASC, cl ASC) AS rn FROM d2)
+        |         WHERE rn = 1) a
+        |       JOIN v USING (vec_id) GROUP BY a.cl, v.dim),
+        |c2 AS (SELECT c1.cl, c1.dim, COALESCE(m2.q, c1.q) AS q
+        |       FROM c1 LEFT JOIN m2 ON c1.cl = m2.cl AND c1.dim = m2.dim),
+        |d3 AS (SELECT v.vec_id, c.cl, SUM((v.q - c.q) * (v.q - c.q)) AS dist
+        |       FROM v JOIN c2 c USING (dim) GROUP BY v.vec_id, c.cl),
+        |asg AS (SELECT vec_id, CAST(cl AS INTEGER) AS cluster FROM (
+        |    SELECT *, row_number() OVER (
+        |      PARTITION BY vec_id ORDER BY dist ASC, cl ASC) AS rn FROM d3)
+        |  WHERE rn = 1)
+        |SELECT vec_id, cluster FROM (
+        |  SELECT vec_id, cluster, row_number() OVER (PARTITION BY cluster
+        |    ORDER BY substring(md5(CAST(vec_id AS VARCHAR)), 1, 8) ASC,
+        |             vec_id ASC) AS rn
+        |  FROM asg) WHERE rn <= 50""".stripMargin,
+    // every row's stored token matches its recomputed token: identity
+    "q174_metadata_token" ->
+      "SELECT doc_id, source, n_chars FROM documents",
     // the same decoration normalized with DuckDB's unicode primitives;
     // BEL is stripped by codepoint (RE2 lacks Java's class intersection)
     "q173_unicode_normalize" ->

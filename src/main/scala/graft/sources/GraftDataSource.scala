@@ -245,7 +245,27 @@ class GraftTable(
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete
-    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
+
+  /** `_graft_token` as a DSv2 METADATA column: `SELECT *` never sees it,
+   *  but a query can ask for the ring position (debugging skew, building
+   *  co-location keys, auditing pruning) without the source leaking the
+   *  engine column into normal schemas. Nullable: files written without
+   *  `keepTokenColumn` have no stored token and read as null (the
+   *  metadata reflects the LAYOUT, it is not recomputed — recompute with
+   *  the SQL function `graft_token(pk…)` when you need the value
+   *  regardless of layout). */
+  override def metadataColumns()
+      : Array[org.apache.spark.sql.connector.catalog.MetadataColumn] = Array(
+    new org.apache.spark.sql.connector.catalog.MetadataColumn {
+      override def name(): String = TokenSortedWriter.TokenCol
+      override def dataType(): org.apache.spark.sql.types.DataType =
+        org.apache.spark.sql.types.LongType
+      override def isNullable: Boolean = true
+      override def comment(): String =
+        "murmur3 ring token this row was laid out under (null on token-less layouts)"
+    })
 
   /** SQL `UPDATE` / `MERGE INTO` / predicate `DELETE` via group-based
    *  copy-on-write ([[GraftRowLevelOperation]]; file = group). Full-pk
