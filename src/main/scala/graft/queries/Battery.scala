@@ -2173,6 +2173,27 @@ object Battery {
     // 0.0 (every gram seen) unless too short to gram; md5-word twins
     // carry exactly one 8-gram the corpus cannot contain → 1.0 — both
     // closed-form from the construction
+    // SQL schema evolution: ADD COLUMNS mid-life — rows inserted before
+    // the alter read null for the new column, rows after carry values;
+    // the oracle states the split closed-form. (Catalog-level twin of the
+    // source-level evolution already pinned by q154.)
+    "q176_sql_add_column" -> ((s, d) => {
+      val cat = "gevo" + java.util.UUID.randomUUID().toString.take(8)
+      val base = java.nio.file.Files.createTempDirectory("graft_evoq_").toString
+      s.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.base", base)
+      s.sql(s"CREATE TABLE $cat.db.docs (doc_id BIGINT, source STRING) " +
+        "USING graft OPTIONS (pk 'doc_id', partitions '2')")
+      docs(s, d).select(col("doc_id"), col("source"), col("n_chars"))
+        .createOrReplaceTempView("q176_docs")
+      s.sql(s"INSERT INTO $cat.db.docs " +
+        "SELECT doc_id, source FROM q176_docs WHERE doc_id % 2 = 0")
+      s.sql(s"ALTER TABLE $cat.db.docs ADD COLUMNS (n_chars BIGINT)")
+      s.sql(s"INSERT INTO $cat.db.docs " +
+        "SELECT doc_id, source, n_chars FROM q176_docs WHERE doc_id % 2 = 1")
+      s.table(s"$cat.db.docs").select(col("doc_id"), col("source"), col("n_chars"))
+    }),
+
     // Cluster-balanced corpus sampling: topic clusters from the integer-
     // grid k-means (q170) capped to 50 docs each by the reproducible
     // md5-rank cap (q114's operator) — the anti-domination selection that
@@ -4159,6 +4180,11 @@ object Battery {
     // layout/format is invisible to results: identity
     "q156_orc_roundtrip" ->
       "SELECT doc_id, text, lang, source, n_chars FROM documents",
+    // pre-alter rows have no stored value for the added column
+    "q176_sql_add_column" ->
+      """SELECT doc_id, source,
+        |  CASE WHEN doc_id % 2 = 0 THEN NULL ELSE n_chars END AS n_chars
+        |FROM documents""".stripMargin,
     // q170's retrained assignment + the q114 md5-rank cap per cluster
     "q175_cluster_balanced" ->
       """WITH v AS (

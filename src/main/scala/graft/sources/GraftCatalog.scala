@@ -94,11 +94,13 @@ class GraftCatalog extends TableCatalog {
     val (schema, pairs) = GraftCatalog.readMeta(f, metaPath(dir))
     val opts = new util.HashMap[String, String]()
     pairs.foreach { case (k, v) => opts.put(k, v) }
-    opts.put("path", dir.toString)
+    // external tables point at their LOCATION; managed tables at the
+    // catalog-owned dir the descriptor lives in
+    opts.put("path", pairs.toMap.getOrElse("location", dir.toString))
     pin.foreach(p => opts.put("snapshotVersion", p))
     val options = new CaseInsensitiveStringMap(opts)
     val cql = GraftDataSource.cqlFrom(options, schema)
-    new GraftTable(dir.toString, GraftDataSource.annotateStruct(cql, schema), cql, options)
+    new GraftTable(opts.get("path"), GraftDataSource.annotateStruct(cql, schema), cql, options)
   }
 
   override def createTable(
@@ -125,6 +127,11 @@ class GraftCatalog extends TableCatalog {
       opt("partitions").map("partitions" -> _) ++
       opt("maxRecordsPerFile").map("maxRecordsPerFile" -> _) ++
       opt("snapshot").map("snapshot" -> _) ++ // snapshotted INSERTs → time travel
+      // `CREATE TABLE … LOCATION '<dir>'` = EXTERNAL table: the catalog
+      // holds only the descriptor; data lives (and stays, through DROP)
+      // at the given path — the standard way to register a directory a
+      // bulk job already wrote
+      opt("location").map("location" -> _) ++
       (if (dirCols.nonEmpty) Seq("partitionBy" -> dirCols.mkString(",")) else Nil)
     val dir = dirFor(ident)
     val f = fs(dir)
@@ -133,9 +140,62 @@ class GraftCatalog extends TableCatalog {
     loadTable(ident)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "graft tables are immutable layouts; create a new table and compact into it")
+  /** Schema evolution in SQL — the subset that is SAFE on a name-mapped
+   *  parquet layout without rewriting data:
+   *
+   *   - `ADD COLUMNS (c T)` (nullable, top-level, appended): existing
+   *     files simply read null for the new column (q154 proved the scan
+   *     path; this makes it a one-statement SQL operation);
+   *   - `DROP COLUMN c` for non-key columns: the meta schema shrinks, the
+   *     stale bytes in old files are pruned away by every future scan.
+   *
+   *  Renames and type changes are REFUSED: parquet columns resolve by
+   *  name, so a rename would silently disconnect existing data and a type
+   *  change would corrupt it — the two failure modes a metadata-only
+   *  alter must never allow. Property changes other than these are
+   *  likewise refused loudly.
+   *
+   *  Name-mapping corollary (documented, not hidden): re-ADDing a column
+   *  NAME that was previously dropped resurrects the old files' stored
+   *  values for rows that still carry them (the engine has no field-id
+   *  indirection to sever them). Compact first if the old bytes must not
+   *  come back. */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    import org.apache.spark.sql.connector.catalog.TableChange._
+    val dir = dirFor(ident)
+    val f = fs(dir)
+    if (!f.exists(metaPath(dir))) throw new NoSuchTableException(ident)
+    val (schema0, pairs) = GraftCatalog.readMeta(f, metaPath(dir))
+    val keyCols = pairs.toMap.get("pk").toSeq.flatMap(_.split(',')).map(_.trim) ++
+      pairs.toMap.get("ck").toSeq.flatMap(_.split(',')).map(_.trim)
+    val schema = changes.foldLeft(schema0) { (s, change) =>
+      change match {
+        case a: AddColumn =>
+          require(a.fieldNames.length == 1,
+            s"only top-level ADD COLUMNS supported, got ${a.fieldNames.mkString(".")}")
+          require(a.isNullable,
+            s"added column ${a.fieldNames.head} must be nullable (existing rows have no value)")
+          require(!s.fieldNames.contains(a.fieldNames.head),
+            s"column ${a.fieldNames.head} already exists")
+          StructType(s.fields :+ org.apache.spark.sql.types.StructField(
+            a.fieldNames.head, a.dataType, nullable = true))
+        case d: DeleteColumn =>
+          require(d.fieldNames.length == 1,
+            s"only top-level DROP COLUMN supported, got ${d.fieldNames.mkString(".")}")
+          val name = d.fieldNames.head
+          require(!keyCols.contains(name),
+            s"cannot drop key column $name (it drives the token layout)")
+          require(s.fieldNames.contains(name), s"no such column $name")
+          StructType(s.fields.filterNot(_.name == name))
+        case other => throw new UnsupportedOperationException(
+          s"graft tables support only ADD COLUMNS / DROP COLUMN alters " +
+            s"(parquet name-mapping makes renames and type changes data-corrupting), got $other")
+      }
+    }
+    f.delete(metaPath(dir), false)
+    GraftCatalog.writeMeta(f, metaPath(dir), schema, pairs)
+    loadTable(ident)
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     val dir = dirFor(ident)
