@@ -2173,6 +2173,27 @@ object Battery {
     // 0.0 (every gram seen) unless too short to gram; md5-word twins
     // carry exactly one 8-gram the corpus cannot contain → 1.0 — both
     // closed-form from the construction
+    // Named snapshot tag: v1 tagged "baseline", an increment committed as
+    // v2, a vacuum run that would reclaim v1 by count — the tag protects
+    // it, and the `tag:` pin must read EXACTLY the original corpus
+    // (identity oracle) while the live head holds both batches.
+    "q177_snapshot_tag" -> ((s, d) => {
+      val out = java.nio.file.Files.createTempDirectory("graft_tagq_")
+        .toString + "/documents"
+      val schema = CqlSchema("documents", Seq("doc_id"))
+      val base = docs(s, d).select(col("doc_id"), col("source"), col("n_chars"))
+      val conf = TokenSortedWriter.WriteConf(numPartitions = 4, snapshot = true)
+      TokenSortedWriter.write(base, schema, out, SaveMode.Append, conf)
+      TokenSortedWriter.write(
+        base.withColumn("doc_id", col("doc_id") + lit(TwinOff)),
+        schema, out, SaveMode.Append, conf)
+      graft.write.Snapshots.tag(s, out, "baseline", 1L)
+      graft.write.Snapshots.vacuum(s, out, keepLast = 1)
+      s.read.format("graft").option("path", out).option("pk", "doc_id")
+        .option("snapshotVersion", "tag:baseline").load()
+        .select(col("doc_id"), col("source"), col("n_chars"))
+    }),
+
     // SQL schema evolution: ADD COLUMNS mid-life — rows inserted before
     // the alter read null for the new column, rows after carry values;
     // the oracle states the split closed-form. (Catalog-level twin of the
@@ -4180,6 +4201,9 @@ object Battery {
     // layout/format is invisible to results: identity
     "q156_orc_roundtrip" ->
       "SELECT doc_id, text, lang, source, n_chars FROM documents",
+    // the tagged version IS the original corpus: identity
+    "q177_snapshot_tag" ->
+      "SELECT doc_id, source, n_chars FROM documents",
     // pre-alter rows have no stored value for the added column
     "q176_sql_add_column" ->
       """SELECT doc_id, source,

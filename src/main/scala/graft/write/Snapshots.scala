@@ -76,6 +76,59 @@ object Snapshots {
   private def vPath(root: Path, version: Long): Path =
     new Path(root, f"$Dir/v$version%012d.txt")
 
+  private val TagName = "[a-z0-9][a-z0-9._-]{0,63}".r
+  private def tagPath(root: Path, name: String): Path =
+    new Path(root, s"$Dir/tag-$name.txt")
+
+  /** Named pin into the log (`snapshotVersion=tag:<name>` resolves it;
+   *  [[vacuum]] never reclaims a tagged version) — the reproducibility
+   *  handle for "the exact corpus this model trained on". Tags are
+   *  immutable: re-pointing requires [[deleteTag]] first, so a name can
+   *  never silently move under a reader. Names are lowercase
+   *  `[a-z0-9._-]`, max 64 chars (pin strings are case-folded). */
+  def tag(spark: SparkSession, dir: String, name: String, version: Long): Unit = {
+    require(TagName.matches(name), s"invalid tag name '$name' (want [a-z0-9._-], 1-64)")
+    val (f, root) = fs(spark, dir)
+    require(f.exists(vPath(root, version)),
+      s"cannot tag $dir@v$version: no such committed version")
+    val p = tagPath(root, name)
+    if (f.exists(p)) throw new IllegalStateException(
+      s"tag '$name' already exists on $dir; deleteTag it first to re-point")
+    val out = f.create(p, false)
+    try out.write(version.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  def deleteTag(spark: SparkSession, dir: String, name: String): Boolean = {
+    val (f, root) = fs(spark, dir)
+    f.delete(tagPath(root, name), false)
+  }
+
+  /** All tags, name → version, name-sorted. */
+  def tags(spark: SparkSession, dir: String): Seq[(String, Long)] = {
+    val (f, root) = fs(spark, dir)
+    val logDir = new Path(root, Dir)
+    if (!f.exists(logDir)) return Nil
+    f.listStatus(logDir).map(_.getPath.getName).collect {
+      case n if n.startsWith("tag-") && n.endsWith(".txt") =>
+        val p = new Path(logDir, n)
+        val in = f.open(p)
+        val v = try {
+          val len = f.getFileStatus(p).getLen.toInt
+          val bytes = new Array[Byte](len)
+          in.readFully(0, bytes)
+          new String(bytes, java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+        } finally in.close()
+        n.stripPrefix("tag-").stripSuffix(".txt") -> v
+    }.toSeq.sortBy(_._1)
+  }
+
+  private def resolveTag(spark: SparkSession, dir: String, name: String): Long =
+    tags(spark, dir).collectFirst { case (n, v) if n == name => v }
+      .getOrElse(throw new IllegalArgumentException(
+        s"snapshotVersion=tag:$name but $dir has no such tag " +
+          s"(existing: ${tags(spark, dir).map(_._1).mkString(", ")})"))
+
   private def fs(spark: SparkSession, dir: String): (FileSystem, Path) = {
     val p = new Path(dir)
     val f = p.getFileSystem(spark.sessionState.newHadoopConf())
@@ -333,7 +386,11 @@ object Snapshots {
         val cutoff = System.currentTimeMillis() - keepCommittedWithinMs
         v => headerTime(f, root, v) >= cutoff
       }
-    val (drop, keep) = all.partition(v => v <= last - keepLast && !ageProtected(v))
+    // tagged versions are pinned by name — count/age policies never
+    // reclaim them (delete the tag to release)
+    val tagged = tags(spark, dir).map(_._2).toSet
+    val (drop, keep) = all.partition(v =>
+      v <= last - keepLast && !ageProtected(v) && !tagged.contains(v))
     if (drop.isEmpty) return Nil
     val keptFiles = keep.flatMap(readFiles(f, root, _)).toSet
     val doomed = drop.flatMap(readFiles(f, root, _)).distinct
@@ -529,6 +586,8 @@ object Snapshots {
         s"snapshotVersion=latest but $dir has no snapshot log"))
       case asof if asof.startsWith("asof:") =>
         versionAsOf(spark, dir, asof.stripPrefix("asof:").trim.toLong)
+      case t if t.startsWith("tag:") =>
+        resolveTag(spark, dir, t.stripPrefix("tag:").trim)
       case n => n.toLong
     }
     val want = readFiles(f, root, version).toSet

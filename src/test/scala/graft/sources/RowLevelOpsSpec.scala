@@ -79,6 +79,25 @@ class RowLevelOpsSpec extends SparkSpec {
       s"expected exactly one replaced file, kept ${kept.size} of ${before.size}")
   }
 
+  test("runtime group filtering: subquery condition prunes files at execution") {
+    val dir = createLogged("rgf")
+    val v0 = Snapshots.latestVersion(spark, dir).get
+    val before = Snapshots.files(spark, dir, v0)
+    // one target id via a subquery — statically unpushable, so the only
+    // way the rewrite touches fewer than all files is Spark's
+    // RowLevelOperationRuntimeGroupFiltering planting a dynamic pk filter
+    // on the row-level scan (SupportsRuntimeFiltering)
+    spark.range(37, 38).toDF("key").createOrReplaceTempView("rgf_keys")
+    spark.sql(s"UPDATE $catName.db.rgf SET v = -7 " +
+      "WHERE id IN (SELECT key FROM rgf_keys)")
+    assert(spark.table(s"$catName.db.rgf").filter(col("v") === -7L).count() == 1L)
+    val after = Snapshots.files(spark, dir, Snapshots.latestVersion(spark, dir).get)
+    val kept = after.toSet.intersect(before.toSet)
+    assert(before.size - kept.size == 1,
+      s"runtime group filter should leave ${before.size - 1} files untouched, " +
+        s"kept ${kept.size} of ${before.size}")
+  }
+
   test("MERGE INTO: update + insert + delete actions in one statement") {
     val dir = createLogged("mrg", rows = 100)
     spark.range(1, 31).selectExpr(
