@@ -2173,6 +2173,30 @@ object Battery {
     // 0.0 (every gram seen) unless too short to gram; md5-word twins
     // carry exactly one 8-gram the corpus cannot contain → 1.0 — both
     // closed-form from the construction
+    // Streaming backfill under admission control: the corpus lands as four
+    // files, a maxFilesPerTrigger=1 AvailableNow stream drains it in four
+    // bounded micro-batches into a memory sink — the union of the batches
+    // must be EXACTLY the corpus (identity oracle); StreamAdmissionSpec
+    // separately pins batch counts and the pinned-backlog contract.
+    "q178_stream_backfill" -> ((s, d) => {
+      val out = java.nio.file.Files.createTempDirectory("graft_admq_")
+        .toString + "/documents"
+      val schema = CqlSchema("documents", Seq("doc_id"))
+      val base = docs(s, d).select(col("doc_id"), col("source"), col("n_chars"))
+      (0 until 4).foreach(b => TokenSortedWriter.write(
+        base.filter(col("doc_id") % 4 === b), schema, out, SaveMode.Append,
+        TokenSortedWriter.WriteConf(numPartitions = 1)))
+      val sink = "q178_sink_" + java.util.UUID.randomUUID().toString.take(8)
+      val q = s.readStream.format("graft")
+        .option("path", out).option("pk", "doc_id")
+        .option("maxFilesPerTrigger", "1").load()
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      try q.awaitTermination() finally q.stop()
+      s.table(sink).select(col("doc_id"), col("source"), col("n_chars"))
+    }),
+
     // Named snapshot tag: v1 tagged "baseline", an increment committed as
     // v2, a vacuum run that would reclaim v1 by count — the tag protects
     // it, and the `tag:` pin must read EXACTLY the original corpus
@@ -4201,6 +4225,9 @@ object Battery {
     // layout/format is invisible to results: identity
     "q156_orc_roundtrip" ->
       "SELECT doc_id, text, lang, source, n_chars FROM documents",
+    // bounded drain reorders nothing: identity
+    "q178_stream_backfill" ->
+      "SELECT doc_id, source, n_chars FROM documents",
     // the tagged version IS the original corpus: identity
     "q177_snapshot_tag" ->
       "SELECT doc_id, source, n_chars FROM documents",

@@ -192,8 +192,7 @@ class GraftCatalog extends TableCatalog {
             s"(parquet name-mapping makes renames and type changes data-corrupting), got $other")
       }
     }
-    f.delete(metaPath(dir), false)
-    GraftCatalog.writeMeta(f, metaPath(dir), schema, pairs)
+    GraftCatalog.writeMeta(f, metaPath(dir), schema, pairs, overwrite = true)
     loadTable(ident)
   }
 
@@ -218,13 +217,17 @@ class GraftCatalog extends TableCatalog {
 object GraftCatalog {
   val MetaFile = "_graft_table.meta"
 
-  /** Line 1: Spark schema JSON. Following lines: key<TAB>value pairs. */
+  /** Line 1: Spark schema JSON. Following lines: key<TAB>value pairs.
+   *  `overwrite = true` (alters) truncate-writes in place — a mid-write
+   *  crash can leave a torn descriptor, but never the missing-file state
+   *  a delete-then-recreate would risk (the table stays discoverable). */
   private[sources] def writeMeta(
       f: org.apache.hadoop.fs.FileSystem,
       p: Path,
       schema: StructType,
-      pairs: Seq[(String, String)]): Unit = {
-    val out = f.create(p, false)
+      pairs: Seq[(String, String)],
+      overwrite: Boolean = false): Unit = {
+    val out = f.create(p, overwrite)
     try out.write((schema.json +: pairs.map { case (k, v) => s"$k\t$v" })
       .mkString("", "\n", "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()

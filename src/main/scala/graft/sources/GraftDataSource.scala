@@ -382,8 +382,14 @@ class GraftTable(
           .orElse(Option(tableOptions.get("startingVersion")))
           .map(_.trim.toLong).getOrElse(0L))
       else None
+    val maxFilesPerTrigger =
+      Option(options.get("maxFilesPerTrigger"))
+        .orElse(Option(tableOptions.get("maxFilesPerTrigger")))
+        .map(_.trim.toInt)
+    maxFilesPerTrigger.foreach(n => require(n > 0,
+      s"maxFilesPerTrigger must be positive, got $n"))
     new GraftScanBuilder(dir, annotated, cql,
-      options.getBoolean("clustered", false), pin, changeFeed)
+      options.getBoolean("clustered", false), pin, changeFeed, maxFilesPerTrigger)
   }
 
   override def newWriteBuilder(
@@ -428,7 +434,8 @@ class GraftScanBuilder(
     cql: CqlSchema,
     clustered: Boolean = false,
     snapshotPin: Option[String] = None,
-    changeFeed: Option[Long] = None)
+    changeFeed: Option[Long] = None,
+    maxFilesPerTrigger: Option[Int] = None)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownLimit
     with org.apache.spark.sql.connector.read.SupportsPushDownTopN
@@ -546,7 +553,7 @@ class GraftScanBuilder(
       case Some((ops, files)) => new GraftStatsScan(dir, ops, files)
       case None =>
         new GraftScan(dir, annotated, required, pushed, cql, clustered, limit,
-          snapshotPin, changeFeed, topN)
+          snapshotPin, changeFeed, topN, maxFilesPerTrigger)
     }
 }
 
@@ -632,7 +639,8 @@ class GraftScan(
     limit: Option[Int] = None,
     snapshotPin: Option[String] = None,
     changeFeed: Option[Long] = None,
-    topN: Option[(String, Boolean, Int)] = None)
+    topN: Option[(String, Boolean, Int)] = None,
+    maxFilesPerTrigger: Option[Int] = None)
     extends Scan with Batch with SupportsReportStatistics with SupportsRuntimeFiltering
     with org.apache.spark.sql.graftshim.ClusterReportingScan {
 
@@ -806,7 +814,8 @@ class GraftScan(
         new GraftChangeFeedStream(
           spark, dir, fullFileSchema, required, pushed, cql, startAfter)
       case None =>
-        new GraftMicroBatchStream(spark, dir, fullFileSchema, required, pushed, cql)
+        new GraftMicroBatchStream(spark, dir, fullFileSchema, required, pushed, cql,
+          maxFilesPerTrigger)
     }
   }
 

@@ -34,7 +34,43 @@ class GraftMicroBatchStream(
     dataSchema: StructType,
     required: StructType,
     pushed: Array[Filter],
-    cql: CqlSchema) extends MicroBatchStream {
+    cql: CqlSchema,
+    maxFilesPerTrigger: Option[Int] = None)
+    extends MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+
+  // ---- admission control (SupportsAdmissionControl): a stream pointed at
+  // an EXISTING table must not deliver the whole backlog as one micro-batch
+  // — `maxFilesPerTrigger` caps each batch (path-sorted, so the split is
+  // deterministic under restart), and Trigger.AvailableNow pins the target
+  // listing once so the bounded batches drain exactly the backlog that
+  // existed at start and then stop.
+  @volatile private var availableNowTarget: Option[Set[String]] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowTarget = Some(listedFiles().keySet)
+
+  override def getDefaultReadLimit
+      : org.apache.spark.sql.connector.read.streaming.ReadLimit = {
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    maxFilesPerTrigger.map(ReadLimit.maxFiles).getOrElse(ReadLimit.allAvailable())
+  }
+
+  override def latestOffset(
+      start: Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset = {
+    val seen = start.asInstanceOf[FileOffset].files
+    val all = availableNowTarget.getOrElse(listedFiles().keySet)
+    val unseen = (all -- seen).toSeq.sorted
+    val take = limit match {
+      case mf: org.apache.spark.sql.connector.read.streaming.ReadMaxFiles =>
+        unseen.take(mf.maxFiles)
+      case _ => unseen
+    }
+    FileOffset(seen ++ take)
+  }
+
+  override def reportLatestOffset(): Offset = FileOffset(listedFiles().keySet)
 
   private case class FileOffset(files: Set[String]) extends Offset {
     // URL-encoding keeps arbitrary path bytes JSON-safe without a parser dep
