@@ -165,13 +165,16 @@ class GraftChangeFeedStream(
     val from = start.asInstanceOf[VersionOffset].version
     val to = end.asInstanceOf[VersionOffset].version
     if (to <= from) return Array.empty
-    val (added, removed) = graft.write.Snapshots.diff(spark, dir, from, to)
-    if (removed.nonEmpty)
-      throw new IllegalStateException(
-        s"change feed on $dir: versions $from→$to cross a rewrite commit " +
-          s"(${removed.length} file(s) removed, e.g. ${removed.head}) — restart " +
-          s"the stream with startingVersion=$to after reconciling downstream " +
-          "state (rewritten rows would otherwise re-deliver as new)")
+    // shared walk with the batch twin: layout-only rewrites (OPTIMIZE) are
+    // skipped — the stream rides straight across them; a LOGICAL rewrite
+    // still fails loudly with the restart point
+    val added = try graft.write.Snapshots.changedFiles(spark, dir, from, to)
+    catch {
+      case e: IllegalStateException =>
+        throw new IllegalStateException(
+          s"change feed on $dir: ${e.getMessage}; restart the stream with " +
+            s"startingVersion=$to after reconciling downstream state", e)
+    }
     if (added.isEmpty) return Array.empty
     val metas = TokenPruner.listFiles(spark, dir).map(m => m.path -> m).toMap
     val missing = added.filterNot(metas.contains)

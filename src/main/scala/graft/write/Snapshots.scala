@@ -215,6 +215,15 @@ object Snapshots {
   private def headerTime(f: FileSystem, root: Path, version: Long): Long =
     headerLine(f, root, version).split('\t')(3).toLong
 
+  /** True when version `v` was committed as a LAYOUT-ONLY rewrite
+   *  (OPTIMIZE bin-packing): bytes moved, logical rows identical — change
+   *  capture skips it. Pre-marker commits (5-column header) are never
+   *  layout-only. */
+  private def isLayoutOnly(f: FileSystem, root: Path, version: Long): Boolean = {
+    val cols = headerLine(f, root, version).split('\t')
+    cols.length > 5 && cols(5) == "layout"
+  }
+
   /** Append-commit: next version = parent's files ∪ `added`. Retries the
    *  optimistic create against concurrent committers. Returns the committed
    *  version. */
@@ -238,8 +247,9 @@ object Snapshots {
       spark: SparkSession,
       dir: String,
       fileSet: Seq[String],
-      expectedParent: Option[Long] = None): Long =
-    commitLoop(spark, dir, expectedParent)(_ => fileSet)
+      expectedParent: Option[Long] = None,
+      layoutOnly: Boolean = false): Long =
+    commitLoop(spark, dir, expectedParent, layoutOnly)(_ => fileSet)
 
   /** Thrown when [[commitRewrite]]'s `expectedParent` no longer heads the
    *  log — a concurrent commit landed after the rewrite's source state was
@@ -249,14 +259,15 @@ object Snapshots {
 
   private def commitLoop(
       spark: SparkSession, dir: String,
-      expectedParent: Option[Long] = None)(
+      expectedParent: Option[Long] = None,
+      layoutOnly: Boolean = false)(
       next: Seq[String] => Seq[String]): Long = {
     val (f, root) = fs(spark, dir)
     val allowUnsafe =
       spark.conf.getOption(AllowNonAtomicConf).exists(_.trim.toBoolean)
     val lock = commitLocks.computeIfAbsent(root.toString, _ => new Object)
     lock.synchronized {
-      commitLoopLocked(f, root, dir, allowUnsafe, expectedParent)(next)
+      commitLoopLocked(f, root, dir, allowUnsafe, expectedParent, layoutOnly)(next)
     }
   }
 
@@ -309,7 +320,8 @@ object Snapshots {
 
   private def commitLoopLocked(
       f: FileSystem, root: Path, dir: String, allowUnsafe: Boolean,
-      expectedParent: Option[Long] = None)(
+      expectedParent: Option[Long] = None,
+      layoutOnly: Boolean = false)(
       next: Seq[String] => Seq[String]): Long = {
     var attempt = 0
     while (attempt < MaxCommitAttempts) {
@@ -328,7 +340,12 @@ object Snapshots {
       val body = new StringBuilder()
         .append(Magic).append('\t').append(1).append('\t').append(version)
         .append('\t').append(System.currentTimeMillis())
-        .append('\t').append(parent.map(_.toString).getOrElse("-")).append('\n')
+        .append('\t').append(parent.map(_.toString).getOrElse("-"))
+        // 6th header column: "layout" marks a rewrite that repacked bytes
+        // without changing logical rows (OPTIMIZE) — change capture may
+        // skip it; "-" for every logical commit. Readers index columns
+        // positionally, so appending stays backward-compatible.
+        .append('\t').append(if (layoutOnly) "layout" else "-").append('\n')
       // qualify before relativizing: callers hand in paths from different
       // producers (listings, inputFiles) whose URI spellings differ
       // (file:/ vs file:///) for the same file
@@ -515,18 +532,64 @@ object Snapshots {
    * friends) ARE stripped: they describe the write layout, not the data,
    * and leaking them would make the feed schema depend on write options.
    */
+  /**
+   * The files whose rows constitute the logical changes over
+   * `(fromVersion, toVersion]` — the shared walk behind [[readChanges]]
+   * and the change-feed stream. Per-version when the version files are
+   * all retained: each version's own diff is checked, LAYOUT-ONLY
+   * rewrites (OPTIMIZE — bytes repacked, rows identical) are SKIPPED
+   * with their originals delivered instead, and any LOGICAL rewrite
+   * still fails loudly. When intermediate versions were vacuumed the
+   * endpoint diff is the fallback (sound only for pure append lineage —
+   * same loud failure otherwise). Originals repacked-then-vacuumed
+   * while the consumer lagged also fail loudly, naming the retention
+   * knobs.
+   */
+  def changedFiles(
+      spark: SparkSession, dir: String, fromVersion: Long, toVersion: Long)
+      : Seq[String] = {
+    require(fromVersion <= toVersion,
+      s"changedFiles: fromVersion $fromVersion > toVersion $toVersion")
+    if (fromVersion == toVersion) return Nil
+    val (f, root) = fs(spark, dir)
+    def crossing(from: Long, to: Long, removed: Seq[String]): Nothing =
+      throw new IllegalStateException(
+        s"readChanges $from→$to crosses a rewrite commit " +
+          s"(${removed.length} file(s) removed, e.g. ${removed.head}) — file-level " +
+          "change capture is only sound over append lineage; consume up to the " +
+          "rewrite, then restart from it")
+    val versions = (fromVersion + 1) to toVersion
+    val walkable = versions.forall(v => f.exists(vPath(root, v))) &&
+      (fromVersion == 0L || f.exists(vPath(root, fromVersion)))
+    val added =
+      if (!walkable) {
+        val (a, r) = diff(spark, dir, fromVersion, toVersion)
+        if (r.nonEmpty) crossing(fromVersion, toVersion, r)
+        a
+      } else {
+        versions.flatMap { v =>
+          val (a, r) = diff(spark, dir, v - 1, v)
+          if (isLayoutOnly(f, root, v)) Nil // repack: rows already delivered via originals
+          else { if (r.nonEmpty) crossing(v - 1, v, r); a }
+        }
+      }
+    val missing = added.filterNot(p => f.exists(new Path(p)))
+    if (missing.nonEmpty)
+      throw new IllegalStateException(
+        s"readChanges $fromVersion→$toVersion: ${missing.length} changed file(s) " +
+          s"were repacked and vacuumed while the consumer lagged (e.g. " +
+          s"${missing.head}) — raise vacuum retention (keepLast / " +
+          "keepCommittedWithin) to cover the consumer's lag, or restart the " +
+          s"feed from version $toVersion")
+    added.distinct.sorted
+  }
+
   def readChanges(
       spark: SparkSession, dir: String, fromVersion: Long, toVersion: Long)
       : org.apache.spark.sql.DataFrame = {
     require(fromVersion <= toVersion,
       s"readChanges: fromVersion $fromVersion > toVersion $toVersion")
-    val (added, removed) = diff(spark, dir, fromVersion, toVersion)
-    if (removed.nonEmpty)
-      throw new IllegalStateException(
-        s"readChanges $fromVersion→$toVersion crosses a rewrite commit " +
-          s"(${removed.length} file(s) removed, e.g. ${removed.head}) — file-level " +
-          "change capture is only sound over append lineage; consume up to the " +
-          "rewrite, then restart from it")
+    val added = changedFiles(spark, dir, fromVersion, toVersion)
     val raw =
       if (added.isEmpty) {
         // zero changed rows, but keep the TABLE schema on the empty frame

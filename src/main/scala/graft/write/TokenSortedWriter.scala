@@ -1038,7 +1038,9 @@ object TokenSortedWriter {
       case Some(v) =>
         val gone = replaced.toSet
         val keep = Snapshots.files(spark, dir, v).filterNot(gone.contains)
-        Snapshots.commitRewrite(spark, dir, keep ++ fresh, expectedParent = Some(v))
+        // layoutOnly: change capture skips this commit (rows identical)
+        Snapshots.commitRewrite(spark, dir, keep ++ fresh,
+          expectedParent = Some(v), layoutOnly = true)
       case None =>
         replaced.foreach(f => fs.delete(new Path(f), false))
     }

@@ -111,6 +111,47 @@ class OptimizeSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"clustered agg must stay shuffle-free:\n$plan")
   }
 
+  test("change capture rides across OPTIMIZE; logical rewrites still refuse") {
+    val dir = dirFor("feed")
+    val schema = CqlSchema("t", Seq("id"))
+    val conf = TokenSortedWriter.WriteConf(numPartitions = 2, snapshot = true)
+    TokenSortedWriter.write((1L to 50L).map(i => (i, i)).toDF("id", "v"),
+      schema, dir, SaveMode.Append, conf) // v1
+    TokenSortedWriter.write((51L to 80L).map(i => (i, i)).toDF("id", "v"),
+      schema, dir, SaveMode.Append, conf) // v2
+    assert(TokenSortedWriter.optimizeSmallFiles(
+      spark, schema, dir, smallBytes = 1L << 20, targetBytes = 8L << 20) == 4L) // v3
+    TokenSortedWriter.write((81L to 90L).map(i => (i, i)).toDF("id", "v"),
+      schema, dir, SaveMode.Append, conf) // v4
+    assert(Snapshots.latestVersion(spark, dir).contains(4L))
+    // full range: every row exactly once, the repack invisible
+    val all = Snapshots.readChanges(spark, dir, 0L, 4L)
+      .select(col("id")).collect().map(_.getLong(0)).sorted
+    assert(all.toSeq == (1L to 90L))
+    // tail range after the repack: just the v4 increment
+    assert(Snapshots.readChanges(spark, dir, 3L, 4L).count() == 10L)
+    // range (1, 4]: v2 + v4, with v3 skipped
+    assert(Snapshots.readChanges(spark, dir, 1L, 4L)
+      .select(col("id")).collect().map(_.getLong(0)).sorted.toSeq ==
+      ((51L to 80L) ++ (81L to 90L)))
+    // the streaming twin rides across the repack too
+    val sink = "opt_feed_sink"
+    val q = spark.readStream.format("graft")
+      .option("path", dir).option("pk", "id")
+      .option("changeFeed", "true").option("startingVersion", "0").load()
+      .writeStream.format("memory").queryName(sink).outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    try q.awaitTermination() finally q.stop()
+    assert(spark.table(sink).select(col("id")).collect()
+      .map(_.getLong(0)).sorted.toSeq == (1L to 90L))
+    // a LOGICAL rewrite (compaction collapses versions) still fails loudly
+    TokenSortedWriter.compactInPlace(spark, schema, dir, vacuumRetain = 10) // v5+
+    val e = intercept[IllegalStateException] {
+      Snapshots.readChanges(spark, dir, 4L, Snapshots.latestVersion(spark, dir).get)
+    }
+    assert(e.getMessage.contains("rewrite"), e.getMessage)
+  }
+
   test("dir-partitioned: replacements stay inside their partition dirs") {
     val dir = dirFor("dirs")
     val schema = CqlSchema("t", Seq("id"))
