@@ -460,7 +460,11 @@ class GraftScanBuilder(
   override def pushTopN(
       orders: Array[org.apache.spark.sql.connector.expressions.SortOrder],
       n: Int): Boolean = {
-    if (pushed.nonEmpty || limit.nonEmpty || orders.length != 1) return false
+    if (pushed.nonEmpty || limit.nonEmpty || orders.isEmpty) return false
+    // multi-column orderings prune on the LEADING column alone — sound: a
+    // file whose leading-column range lies strictly beyond the bound
+    // cannot contain any top-k row regardless of tie-break columns (ties
+    // AT the bound stay planned)
     val o = orders(0)
     val colName = o.expression() match {
       case nr: NamedReference if nr.fieldNames.length == 1 => nr.fieldNames()(0)

@@ -497,6 +497,46 @@ object Snapshots {
     }
   }
 
+  /**
+   * Garbage-collect ORPHANS: data files in the table directory that NO
+   * retained snapshot references — debris from writer crashes between
+   * file materialization and the log commit, or from aborted DML staging
+   * cleanup races. [[vacuum]] can never touch these (it only reclaims
+   * files that expired snapshots referenced); without this they leak
+   * forever. Logged tables only (on a log-less table every file is
+   * "unreferenced" and this would erase the table — refused loudly).
+   * `olderThanMs` is the in-flight-write guard: a file younger than the
+   * horizon may belong to a commit that hasn't landed yet, so it is
+   * never touched — size the horizon well above the longest write job.
+   * Out-of-band files a deployment reads via `snapshotVersion=listing`
+   * count as orphans too — [[commitAppend]] them into the log before
+   * running this GC. Returns the deleted (or, with `dryRun`, the
+   * would-be-deleted) paths.
+   */
+  def vacuumOrphans(
+      spark: SparkSession,
+      dir: String,
+      olderThanMs: Long,
+      dryRun: Boolean = false): Seq[String] = {
+    require(olderThanMs >= 0, "olderThanMs must be non-negative")
+    val (f, root) = fs(spark, dir)
+    val last = latest(f, root).getOrElse(throw new IllegalStateException(
+      s"vacuumOrphans on $dir: table has no snapshot log — every file would " +
+        "count as an orphan; this GC is only sound against a log"))
+    val referenced = (1L to last).filter(v => f.exists(vPath(root, v)))
+      .flatMap(readFiles(f, root, _)).toSet
+    val cutoff = System.currentTimeMillis() - olderThanMs
+    val orphans = graft.sources.TokenPruner.listDataFiles(f, root)
+      .filter(s => !referenced.contains(s.getPath.toString) &&
+        s.getModificationTime < cutoff)
+      .map(_.getPath.toString).toSeq.sorted
+    if (!dryRun) {
+      orphans.foreach(p => f.delete(new Path(p), false))
+      if (orphans.nonEmpty) graft.sources.TokenPruner.invalidateListing(dir)
+    }
+    orphans
+  }
+
   /** File-level diff of two committed versions: (added, removed) absolute
    *  paths going `fromVersion` → `toVersion`. Version 0 = empty table, so
    *  `diff(spark, dir, 0, v)` is the full file set of v. */

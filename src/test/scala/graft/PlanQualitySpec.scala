@@ -96,6 +96,12 @@ class PlanQualitySpec extends SparkSpec {
     assert(filtered.collect().map(_.getLong(0)).toSeq == (51L to 55L))
     // non-pk ordering is refused (nullable stats cannot bound NULLS FIRST)
     assert(filesPlanned(read.orderBy(col("v")).limit(5)) == 8)
+    // multi-column ordering prunes on the leading pk column alone
+    val multi = read.orderBy(col("id").desc, col("v").asc).limit(5)
+    assert(filesPlanned(multi) == 2, s"leading-column bound must prune, got ${filesPlanned(multi)}")
+    assert(multi.collect().map(_.getLong(0)).toSeq == (996L to 1000L).reverse)
+    // a non-pk LEADING column refuses even with a pk tie-break
+    assert(filesPlanned(read.orderBy(col("v"), col("id")).limit(5)) == 8)
   }
 
   test("LIMIT over an unfiltered graft scan plans only enough files to cover it") {
