@@ -2173,6 +2173,37 @@ object Battery {
     // 0.0 (every gram seen) unless too short to gram; md5-word twins
     // carry exactly one 8-gram the corpus cannot contain → 1.0 — both
     // closed-form from the construction
+    // Integer-grid PageRank (2 iterations, 85/100 damping) over a
+    // deterministic multi-edge link graph derived from doc ids — the
+    // domain-authority signal for seed ranking / corpus weighting. Exact
+    // integer mass, floor-division shares: the oracle replays BOTH
+    // iterations bit-for-bit, like the k-means loop.
+    "q180_pagerank" -> ((s, d) => {
+      val e = docs(s, d).select(
+        (col("doc_id") % 50).as("src"),
+        ((col("doc_id") * 7 + 3) % 50).as("dst"))
+      graft.operators.Graphs.pageRank(e, "src", "dst", iters = 2)
+    }),
+
+    // SQL INSERT OVERWRITE: full corpus committed, then atomically
+    // replaced by a derived slice through ONE guarded snapshot cutover —
+    // the final table IS the overwrite query (closed-form oracle), and
+    // the pre-overwrite version stays pinnable (spec-gated).
+    "q179_insert_overwrite" -> ((s, d) => {
+      val cat = "gow" + java.util.UUID.randomUUID().toString.take(8)
+      val base = java.nio.file.Files.createTempDirectory("graft_owq_").toString
+      s.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.base", base)
+      s.sql(s"CREATE TABLE $cat.db.docs (doc_id BIGINT, source STRING, n_chars BIGINT) " +
+        "USING graft OPTIONS (pk 'doc_id', partitions '4', snapshot 'true')")
+      docs(s, d).select(col("doc_id"), col("source"), col("n_chars"))
+        .createOrReplaceTempView("q179_docs")
+      s.sql(s"INSERT INTO $cat.db.docs SELECT doc_id, source, n_chars FROM q179_docs")
+      s.sql(s"INSERT OVERWRITE $cat.db.docs " +
+        "SELECT doc_id, source, n_chars + 1000 FROM q179_docs WHERE doc_id % 3 = 0")
+      s.table(s"$cat.db.docs").select(col("doc_id"), col("source"), col("n_chars"))
+    }),
+
     // Streaming backfill under admission control: the corpus lands as four
     // files, a maxFilesPerTrigger=1 AvailableNow stream drains it in four
     // bounded micro-batches into a memory sink — the union of the batches
@@ -4225,6 +4256,38 @@ object Battery {
     // layout/format is invisible to results: identity
     "q156_orc_roundtrip" ->
       "SELECT doc_id, text, lang, source, n_chars FROM documents",
+    // both PageRank iterations retrained in SQL on the same integer grid
+    "q180_pagerank" ->
+      """WITH e AS (SELECT doc_id % 50 AS src, (doc_id * 7 + 3) % 50 AS dst
+        |           FROM documents),
+        |verts AS (SELECT DISTINCT v FROM (
+        |    SELECT src AS v FROM e UNION ALL SELECT dst AS v FROM e)),
+        |nn AS (SELECT COUNT(*) AS n FROM verts),
+        |deg AS (SELECT src, COUNT(*) AS d FROM e GROUP BY src),
+        |p0 AS (SELECT v, 1000000000000 // n AS pr FROM verts, nn),
+        |s1 AS (SELECT e.dst,
+        |         CAST(floor(CAST(p.pr AS DOUBLE) / d.d) AS BIGINT) AS share
+        |       FROM e JOIN p0 p ON e.src = p.v JOIN deg d ON e.src = d.src),
+        |in1 AS (SELECT dst, CAST(SUM(share) AS BIGINT) AS i FROM s1 GROUP BY dst),
+        |p1 AS (SELECT v,
+        |         (SELECT 1000000000000 * 15 // (100 * n) FROM nn)
+        |           + CAST(floor((85 * COALESCE(i, 0)) / 100) AS BIGINT) AS pr
+        |       FROM verts LEFT JOIN in1 ON verts.v = in1.dst),
+        |s2 AS (SELECT e.dst,
+        |         CAST(floor(CAST(p.pr AS DOUBLE) / d.d) AS BIGINT) AS share
+        |       FROM e JOIN p1 p ON e.src = p.v JOIN deg d ON e.src = d.src),
+        |in2 AS (SELECT dst, CAST(SUM(share) AS BIGINT) AS i FROM s2 GROUP BY dst),
+        |p2 AS (SELECT v,
+        |         (SELECT 1000000000000 * 15 // (100 * n) FROM nn)
+        |           + CAST(floor((85 * COALESCE(i, 0)) / 100) AS BIGINT) AS pr
+        |       FROM verts LEFT JOIN in2 ON verts.v = in2.dst)
+        |SELECT v AS vertex, CAST(pr AS BIGINT) AS pr,
+        |       row_number() OVER (ORDER BY pr DESC, v ASC) AS rank
+        |FROM p2""".stripMargin,
+    // the overwrite replaces everything with its own query's rows
+    "q179_insert_overwrite" ->
+      """SELECT doc_id, source, n_chars + 1000 AS n_chars
+        |FROM documents WHERE doc_id % 3 = 0""".stripMargin,
     // bounded drain reorders nothing: identity
     "q178_stream_backfill" ->
       "SELECT doc_id, source, n_chars FROM documents",

@@ -366,7 +366,7 @@ class GraftTable(
   override def schema(): StructType = annotated
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
-      TableCapability.V1_BATCH_WRITE)
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     GraftDataSource.validateReadTypes(tableOptions)
@@ -398,7 +398,18 @@ class GraftTable(
     // the DSv2 write path (INSERT INTO / writeTo) must reject counters the
     // same way the V1 createRelation path does
     GraftDataSource.validateWriteTypes(tableOptions)
-    new org.apache.spark.sql.connector.write.WriteBuilder {
+    new org.apache.spark.sql.connector.write.WriteBuilder
+        with org.apache.spark.sql.connector.write.SupportsTruncate {
+      private var overwriteAll = false
+      /** SQL `INSERT OVERWRITE`: on a snapshot-logged table this becomes
+       *  ONE atomic logical overwrite ([[TokenSortedWriter
+       *  .overwriteLogged]] — fresh generation + guarded log cutover,
+       *  pinned history intact); log-less tables keep the reference
+       *  sink's Overwrite rejection unless `allowOverwrite` opts into
+       *  the destructive physical path. */
+      override def truncate(): org.apache.spark.sql.connector.write.WriteBuilder = {
+        overwriteAll = true; this
+      }
       override def build(): org.apache.spark.sql.connector.write.V1Write =
         new org.apache.spark.sql.connector.write.V1Write {
           override def toInsertableRelation
@@ -412,8 +423,15 @@ class GraftTable(
                 snapshot = tableOptions.getBoolean("snapshot", false),
                 partitionBy = Option(tableOptions.get("partitionBy"))
                   .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil))
-              val mode = if (overwrite) SaveMode.Overwrite else SaveMode.Append
-              TokenSortedWriter.write(data, cql, dir, mode, conf)
+              val ow = overwrite || overwriteAll
+              if (ow && graft.write.Snapshots
+                  .latestVersion(data.sparkSession, dir).isDefined) {
+                TokenSortedWriter.overwriteLogged(data, cql, dir, conf)
+                ()
+              } else {
+                val mode = if (ow) SaveMode.Overwrite else SaveMode.Append
+                TokenSortedWriter.write(data, cql, dir, mode, conf)
+              }
             }
         }
     }

@@ -949,6 +949,43 @@ object TokenSortedWriter {
   }
 
   /**
+   * Atomic logical overwrite through the snapshot log — the physical
+   * backing for SQL `INSERT OVERWRITE` on a snapshot-logged table: the
+   * replacement lands as a fresh generation beside the old one, and a
+   * single `expectedParent`-guarded [[Snapshots.commitRewrite]] cuts the
+   * table over. Readers never observe a half-state (pinned readers keep
+   * the old version until vacuum), and a concurrent commit refuses the
+   * overwrite loudly instead of silently vanishing. Log-less tables keep
+   * the reference sink's Overwrite rejection (opt in via
+   * `allowOverwrite` for the destructive physical path). Returns the
+   * committed version.
+   */
+  def overwriteLogged(
+      df: DataFrame,
+      schema: CqlSchema,
+      dir: String,
+      conf: WriteConf = WriteConf()): Long = {
+    val spark = df.sparkSession
+    val head = Snapshots.latestVersion(spark, dir).getOrElse(
+      throw new IllegalStateException(
+        s"overwriteLogged: $dir has no snapshot log — atomic logical overwrite " +
+          "needs one (write with snapshot=true), or opt into the physical " +
+          "overwrite via allowOverwrite"))
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val gen = s"$dir/gen-${java.util.UUID.randomUUID().toString.take(12)}"
+    write(df, schema, gen, SaveMode.Append, conf.copy(snapshot = false))
+    Manifest.appendFor(spark, dir)
+    val genFiles = graft.sources.TokenPruner
+      .listDataFiles(fs, fs.makeQualified(new Path(gen)))
+      .map(_.getPath.toString).toSeq
+    val version = Snapshots.commitRewrite(spark, dir, genFiles,
+      expectedParent = Some(head))
+    graft.sources.TokenPruner.invalidateListing(dir)
+    version
+  }
+
+  /**
    * OPTIMIZE: bin-pack SMALL files into fewer files without touching the
    * rest of the table — the steady-state maintenance op for streaming /
    * micro-batch ingestion, which accretes one small file per trigger

@@ -48,6 +48,42 @@ class CatalogEvolutionSpec extends SparkSpec {
     }
   }
 
+  test("INSERT OVERWRITE: atomic logical overwrite on logged tables, refused log-less") {
+    spark.sql(s"CREATE TABLE $catName.db.ow (id BIGINT, v BIGINT) " +
+      "USING graft OPTIONS (pk 'id', partitions '2', snapshot 'true')")
+    spark.sql(s"INSERT INTO $catName.db.ow SELECT id, id FROM range(1, 101) AS r(id)")
+    val dir = spark.conf.get(s"spark.sql.catalog.$catName.base") + "/db/ow"
+    val v0 = graft.write.Snapshots.latestVersion(spark, dir).get
+    spark.sql(s"INSERT OVERWRITE $catName.db.ow SELECT id, -id FROM range(1, 11) AS r(id)")
+    val t = spark.table(s"$catName.db.ow")
+    assert(t.count() == 10L && t.agg(max(col("v"))).head().getLong(0) == -1L)
+    // one commit; the pre-overwrite state is still pinnable
+    assert(graft.write.Snapshots.latestVersion(spark, dir).contains(v0 + 1))
+    val pinned = spark.read.format("graft").option("path", dir)
+      .option("pk", "id").option("snapshotVersion", v0.toString).load()
+    assert(pinned.count() == 100L)
+    // log-less: Overwrite stays refused (reference sink parity)
+    spark.sql(s"CREATE TABLE $catName.db.ow2 (id BIGINT, v BIGINT) " +
+      "USING graft OPTIONS (pk 'id')")
+    spark.sql(s"INSERT INTO $catName.db.ow2 VALUES (1, 1)")
+    intercept[Exception] {
+      spark.sql(s"INSERT OVERWRITE $catName.db.ow2 VALUES (2, 2)")
+    }
+    assert(spark.table(s"$catName.db.ow2").count() == 1L)
+  }
+
+  test("CTAS: CREATE TABLE AS SELECT lands token-sorted through the catalog") {
+    spark.sql(s"""CREATE TABLE $catName.db.ctas USING graft OPTIONS (pk 'id')
+                 |AS SELECT id, id * 7 AS v FROM range(1, 201) AS r(id)""".stripMargin)
+    val t = spark.table(s"$catName.db.ctas")
+    assert(t.count() == 200L)
+    assert(t.filter(col("id") === 3L).head().getLong(1) == 21L)
+    val dir = spark.conf.get(s"spark.sql.catalog.$catName.base") + "/db/ctas"
+    val files = TokenPruner.listFiles(spark, dir)
+    assert(files.nonEmpty && files.forall(_.tokenRange.isDefined),
+      "CTAS output must carry the token layout")
+  }
+
   test("external LOCATION: register an existing graft dir; DROP keeps data") {
     val dataDir = Files.createTempDirectory("graft_ext_").toString + "/t"
     TokenSortedWriter.write((1L to 100L).map(i => (i, i * 5)).toDF("id", "v"),
