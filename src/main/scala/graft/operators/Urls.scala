@@ -197,4 +197,26 @@ object Urls {
       .withColumn("url_domain", domain(u))
       .withColumn("url_scheme", scheme(u))
   }
+
+  /** Canonical-URL dedup — the first dedup pass of every crawl pipeline:
+   *  documents whose URLs [[normalize]] to the same canonical form are one
+   *  page fetched many ways (scheme/host case, `www.`, default ports,
+   *  tracking params, fragments, trailing slash), and only one survives.
+   *  Survivor = lowest `keepBy` (default: the id — "first crawled wins"
+   *  under monotonic ids); `url_norm` rides along on the output. One hash
+   *  exchange on the canonical URL; the normalization itself is the pure
+   *  codegen chain of [[normalize]], so the corpus moves exactly once. */
+  def dropDuplicateUrls(
+      df: DataFrame,
+      idCol: String,
+      urlCol: String,
+      keepBy: Seq[Column] = Nil): DataFrame = {
+    val order = if (keepBy.nonEmpty) keepBy :+ col(idCol).asc else Seq(col(idCol).asc)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("url_norm")).orderBy(order: _*)
+    df.withColumn("url_norm", normalize(col(urlCol)))
+      .withColumn("__url_rn", row_number().over(w))
+      .filter(col("__url_rn") === 1)
+      .drop("__url_rn")
+  }
 }

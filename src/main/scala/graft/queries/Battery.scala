@@ -2173,6 +2173,27 @@ object Battery {
     // 0.0 (every gram seen) unless too short to gram; md5-word twins
     // carry exactly one 8-gram the corpus cannot contain → 1.0 — both
     // closed-form from the construction
+    // Canonical-URL dedup: five docs per canonical page, each fetched
+    // through different noise (scheme/host case, www, :443, utm params,
+    // fragments) — normalization collapses them and the lowest id
+    // survives. The oracle replays the canonical form and the survivor
+    // rule closed-form.
+    "q181_url_dedup" -> ((s, d) => {
+      val id = col("doc_id")
+      val k = (id % 100).cast("string")
+      val url = concat(
+        when(id % 2 === 0, lit("HTTPS://")).otherwise(lit("https://")),
+        when(id % 2 === 1, lit("WWW.")).otherwise(lit("")),
+        lit("Site"), k, lit(".COM"),
+        when(id % 7 === 0, lit(":443")).otherwise(lit("")),
+        lit("/p/"), k,
+        when(id % 3 === 0, lit("?utm_source=x&utm_id=9")).otherwise(lit("")),
+        when(id % 5 === 0, lit("#frag")).otherwise(lit("")))
+      Urls.dropDuplicateUrls(
+          docs(s, d).withColumn("url", url), "doc_id", "url")
+        .select(col("doc_id"), col("url_norm"))
+    }),
+
     // Integer-grid PageRank (2 iterations, 85/100 damping) over a
     // deterministic multi-edge link graph derived from doc ids — the
     // domain-authority signal for seed ranking / corpus weighting. Exact
@@ -4256,6 +4277,13 @@ object Battery {
     // layout/format is invisible to results: identity
     "q156_orc_roundtrip" ->
       "SELECT doc_id, text, lang, source, n_chars FROM documents",
+    // survivors are the first doc of each canonical key (doc_id < 100),
+    // and the canonical form is stated closed-form
+    "q181_url_dedup" ->
+      """SELECT doc_id,
+        |  'https://site' || CAST(doc_id % 100 AS VARCHAR) || '.com/p/'
+        |    || CAST(doc_id % 100 AS VARCHAR) AS url_norm
+        |FROM documents WHERE doc_id < 100""".stripMargin,
     // both PageRank iterations retrained in SQL on the same integer grid
     "q180_pagerank" ->
       """WITH e AS (SELECT doc_id % 50 AS src, (doc_id * 7 + 3) % 50 AS dst

@@ -168,6 +168,27 @@ class UrlsSpec extends SparkSpec {
     assert(kept === Set(1L))
   }
 
+  test("dropDuplicateUrls: noise collapses, min id survives, keepBy overrides") {
+    val pages = Seq(
+      (1L, "https://a.com/p", 5L),
+      (2L, "HTTPS://WWW.A.com:443/p?utm_source=z#x", 9L), // same canonical
+      (3L, "https://a.com/p/", 1L), // trailing slash: same canonical
+      (4L, "https://b.com/q", 2L)).toDF("doc_id", "url", "quality")
+    val kept = Urls.dropDuplicateUrls(pages, "doc_id", "url")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(1L, 4L), s"min id per canonical, got $kept")
+    // quality-aware survivor selection
+    val best = Urls.dropDuplicateUrls(pages, "doc_id", "url",
+        keepBy = Seq(col("quality").desc))
+      .select("doc_id").as[Long].collect().toSet
+    assert(best === Set(2L, 4L), s"highest quality per canonical, got $best")
+    // plan: exactly one exchange — the canonical-url window
+    val plan = Urls.dropDuplicateUrls(pages, "doc_id", "url")
+      .queryExecution.executedPlan.toString
+    assert(plan.linesIterator.count(_.trim.startsWith("Exchange")) <= 1,
+      s"url dedup must shuffle the corpus at most once:\n$plan")
+  }
+
   test("withUrlParts + capPerGroup composition caps per canonical domain") {
     val docs = (1L to 40L).map { i =>
       (i, s"HTTP://WWW.D${i % 4}.com/page/$i?utm_source=x")
