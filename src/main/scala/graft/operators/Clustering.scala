@@ -57,9 +57,17 @@ object Clustering {
         .map(_.getSeq[Long](0).toArray)
       require(centroids.length == k, s"need at least $k vectors, got ${centroids.length}")
       val dim = centroids.head.length
+      // ragged vectors would zip_with into null distances and a null
+      // cluster — validate IN-PASS (the meanVectors pattern) instead of
+      // paying a second scan or failing cryptically downstream
+      val checked = q.withColumn("__q",
+        when(size(col("__q")) === dim, col("__q"))
+          .otherwise(raise_error(concat(
+            lit(s"kMeansAssign: vector with dimension <> $dim at "),
+            col(idCol).cast("string")))))
       var it = 0
       while (it < iters) {
-        val assigned = q.withColumn("__cl", argminCluster(col("__q"), centroids))
+        val assigned = checked.withColumn("__cl", argminCluster(col("__q"), centroids))
         val means = assigned
           .select(col("__cl"), posexplode(col("__q")).as(Seq("__dim", "__qv")))
           .groupBy(col("__cl"), col("__dim"))
@@ -76,7 +84,7 @@ object Clustering {
       }
       val last = argminCluster(col("__q"), centroids)
       val dists = distances(col("__q"), centroids)
-      q.withColumn("cluster", last)
+      checked.withColumn("cluster", last)
         .withColumn("dist", element_at(dists, col("cluster") + lit(1)))
         .select(col(idCol), col("cluster"), col("dist"))
     } finally q.unpersist()

@@ -46,14 +46,17 @@ object Graphs {
       dampDen: Long = 100L): DataFrame = {
     require(iters >= 1 && scale > 0 && dampDen > 0 && dampNum >= 0 && dampNum <= dampDen,
       "need iters >= 1, scale > 0, 0 <= dampNum <= dampDen")
+    // the edge and vertex tables are referenced once per iteration in the
+    // RETURNED lazy plan — at bench scale recomputing the narrow
+    // projections is cheaper than managing cache lifetime across the
+    // caller's actions; a 100 TB deployment persists `edges` itself once
+    // (pre-partitioned by src) before calling in
     val e = edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      val vertices = e.select(col("__src").as("__v"))
-        .unionByName(e.select(col("__dst").as("__v"))).distinct()
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val n = vertices.count()
-      require(n > 0, "pageRank needs at least one edge")
+    val vertices = e.select(col("__src").as("__v"))
+      .unionByName(e.select(col("__dst").as("__v"))).distinct()
+    val n = vertices.count()
+    require(n > 0, "pageRank needs at least one edge")
+    locally {
       val outdeg = e.groupBy(col("__src")).agg(count(lit(1)).as("__deg"))
       val baseTerm = scale * (dampDen - dampNum) / (dampDen * n) // exact long math
       var pr = vertices.withColumn("__pr", lit(scale / n))
@@ -80,6 +83,6 @@ object Graphs {
       // a single-partition window over |V| rows, not over edges
       pr.withColumn("rank", row_number().over(w))
         .select(col("__v").as("vertex"), col("__pr").as("pr"), col("rank"))
-    } finally e.unpersist()
+    }
   }
 }

@@ -1027,12 +1027,33 @@ object TokenSortedWriter {
     // pack only within (partition dir × exact file schema): generations can
     // differ in feature columns (writetime/TTL), and a cross-schema read
     // would null-fill or drop columns — a silent semantic change this
-    // layout-only op must never make. One driver footer read per candidate.
+    // layout-only op must never make. Footer-only probes, bounded-parallel
+    // (the TokenPruner.readFootersParallel shape — 10k candidates cost one
+    // pooled footer sweep, not 10k serial DataFrame constructions).
     val candidates = live.filter(_.sizeBytes < smallBytes)
-    def schemaKey(path: String): String =
-      spark.read.parquet(path).schema.map(f => (f.name, f.dataType.sql)).mkString(";")
+    val hconf = spark.sessionState.newHadoopConf()
+    def schemaKey(path: String): String = {
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile
+        .fromPath(new Path(path), hconf)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try r.getFooter.getFileMetaData.getSchema.toString finally r.close()
+    }
+    val schemaKeys: Map[String, String] =
+      if (candidates.isEmpty) Map.empty
+      else {
+        val pool = java.util.concurrent.Executors
+          .newFixedThreadPool(math.min(16, candidates.length))
+        try {
+          import scala.jdk.CollectionConverters._
+          val tasks = candidates.toSeq.map(m =>
+            new java.util.concurrent.Callable[(String, String)] {
+              override def call(): (String, String) = m.path -> schemaKey(m.path)
+            })
+          pool.invokeAll(tasks.asJava).asScala.map(_.get()).toMap
+        } finally pool.shutdown()
+      }
     val bins = candidates
-      .groupBy(f => (new Path(f.path).getParent.toString, schemaKey(f.path)))
+      .groupBy(f => (new Path(f.path).getParent.toString, schemaKeys(f.path)))
       .toSeq.sortBy(_._1)
       .flatMap { case (_, files) =>
         val ordered = files.sortBy(f =>
