@@ -2173,6 +2173,31 @@ object Battery {
     // 0.0 (every gram seen) unless too short to gram; md5-word twins
     // carry exactly one 8-gram the corpus cannot contain → 1.0 — both
     // closed-form from the construction
+    // DESCRIBE HISTORY surface: two appends, an OPTIMIZE repack, another
+    // append — the history DataFrame must carry the exact lineage
+    // (versions, parents, file counts, rewrite vs layout-only flags),
+    // stated closed-form by the oracle (commit timestamps excluded — the
+    // one non-deterministic column).
+    "q182_history" -> ((s, d) => {
+      val out = java.nio.file.Files.createTempDirectory("graft_histq_")
+        .toString + "/documents"
+      val schema = CqlSchema("documents", Seq("doc_id"))
+      val base = docs(s, d).select(col("doc_id"), col("source"), col("n_chars"))
+      val conf = TokenSortedWriter.WriteConf(numPartitions = 2, snapshot = true)
+      TokenSortedWriter.write(base.filter(col("doc_id") % 2 === 0),
+        schema, out, SaveMode.Append, conf)
+      TokenSortedWriter.write(base.filter(col("doc_id") % 2 === 1),
+        schema, out, SaveMode.Append, conf)
+      TokenSortedWriter.optimizeSmallFiles(s, schema, out,
+        smallBytes = 64L << 20, targetBytes = 64L << 20)
+      TokenSortedWriter.write(
+        base.withColumn("doc_id", col("doc_id") + lit(TwinOff)),
+        schema, out, SaveMode.Append, conf)
+      graft.write.Snapshots.historyDf(s, out)
+        .select(col("version"), col("parent"), col("n_files"),
+          col("rewrite"), col("layout_only"))
+    }),
+
     // Canonical-URL dedup: five docs per canonical page, each fetched
     // through different noise (scheme/host case, www, :443, utm params,
     // fragments) — normalization collapses them and the lowest id
@@ -4277,6 +4302,17 @@ object Battery {
     // layout/format is invisible to results: identity
     "q156_orc_roundtrip" ->
       "SELECT doc_id, text, lang, source, n_chars FROM documents",
+    // the lineage is fully determined by the construction
+    "q182_history" ->
+      """SELECT CAST(version AS BIGINT) AS version,
+        |       CAST(parent AS BIGINT) AS parent,
+        |       CAST(n_files AS INTEGER) AS n_files, rewrite, layout_only
+        |FROM (VALUES
+        |  (1, NULL, 2, FALSE, FALSE),
+        |  (2, 1, 4, FALSE, FALSE),
+        |  (3, 2, 1, TRUE, TRUE),
+        |  (4, 3, 3, FALSE, FALSE))
+        |  AS t(version, parent, n_files, rewrite, layout_only)""".stripMargin,
     // survivors are the first doc of each canonical key (doc_id < 100),
     // and the canonical form is stated closed-form
     "q181_url_dedup" ->

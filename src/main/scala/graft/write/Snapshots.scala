@@ -477,6 +477,18 @@ object Snapshots {
    * the `DESCRIBE HISTORY` analog, driver-side metadata only (the log is
    * one small file per version; no data IO).
    */
+  /** [[history]] as a queryable DataFrame — the `DESCRIBE HISTORY`
+   *  surface, with the layout-only flag exposed so operators can tell
+   *  repacks from logical rewrites. Driver-side metadata only. */
+  def historyDf(spark: SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    val (f, root) = fs(spark, dir)
+    val rows = history(spark, dir).map { case (v, ts, parent, n, rewrite) =>
+      (v, new java.sql.Timestamp(ts), parent, n, rewrite, isLayoutOnly(f, root, v))
+    }
+    import spark.implicits._
+    rows.toDF("version", "committed_at", "parent", "n_files", "rewrite", "layout_only")
+  }
+
   def history(spark: SparkSession, dir: String)
       : Seq[(Long, Long, Option[Long], Int, Boolean)] = {
     val (f, root) = fs(spark, dir)

@@ -84,6 +84,22 @@ class CatalogEvolutionSpec extends SparkSpec {
       "CTAS output must carry the token layout")
   }
 
+  test("SQL namespace DDL: CREATE/SHOW/DROP NAMESPACE over catalog dirs") {
+    spark.sql(s"CREATE NAMESPACE $catName.marts")
+    val shown = spark.sql(s"SHOW NAMESPACES IN $catName")
+      .collect().map(_.getString(0)).toSet
+    assert(shown.contains("marts"), s"got $shown")
+    spark.sql(s"CREATE TABLE $catName.marts.t1 (id BIGINT, v BIGINT) " +
+      "USING graft OPTIONS (pk 'id')")
+    spark.sql(s"INSERT INTO $catName.marts.t1 VALUES (1, 10)")
+    assert(spark.table(s"$catName.marts.t1").count() == 1L)
+    // non-empty namespace refuses a plain drop, cascade removes it
+    intercept[Exception] { spark.sql(s"DROP NAMESPACE $catName.marts") }
+    spark.sql(s"DROP NAMESPACE $catName.marts CASCADE")
+    assert(!spark.sql(s"SHOW NAMESPACES IN $catName")
+      .collect().map(_.getString(0)).contains("marts"))
+  }
+
   test("external LOCATION: register an existing graft dir; DROP keeps data") {
     val dataDir = Files.createTempDirectory("graft_ext_").toString + "/t"
     TokenSortedWriter.write((1L to 100L).map(i => (i, i * 5)).toDF("id", "v"),
