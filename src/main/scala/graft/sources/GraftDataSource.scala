@@ -388,8 +388,15 @@ class GraftTable(
         .map(_.trim.toInt)
     maxFilesPerTrigger.foreach(n => require(n > 0,
       s"maxFilesPerTrigger must be positive, got $n"))
+    val maxBytesPerTrigger =
+      Option(options.get("maxBytesPerTrigger"))
+        .orElse(Option(tableOptions.get("maxBytesPerTrigger")))
+        .map(_.trim.toLong)
+    maxBytesPerTrigger.foreach(n => require(n > 0,
+      s"maxBytesPerTrigger must be positive, got $n"))
     new GraftScanBuilder(dir, annotated, cql,
-      options.getBoolean("clustered", false), pin, changeFeed, maxFilesPerTrigger)
+      options.getBoolean("clustered", false), pin, changeFeed,
+      maxFilesPerTrigger, maxBytesPerTrigger)
   }
 
   override def newWriteBuilder(
@@ -453,7 +460,8 @@ class GraftScanBuilder(
     clustered: Boolean = false,
     snapshotPin: Option[String] = None,
     changeFeed: Option[Long] = None,
-    maxFilesPerTrigger: Option[Int] = None)
+    maxFilesPerTrigger: Option[Int] = None,
+    maxBytesPerTrigger: Option[Long] = None)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownLimit
     with org.apache.spark.sql.connector.read.SupportsPushDownTopN
@@ -575,7 +583,7 @@ class GraftScanBuilder(
       case Some((ops, files)) => new GraftStatsScan(dir, ops, files)
       case None =>
         new GraftScan(dir, annotated, required, pushed, cql, clustered, limit,
-          snapshotPin, changeFeed, topN, maxFilesPerTrigger)
+          snapshotPin, changeFeed, topN, maxFilesPerTrigger, maxBytesPerTrigger)
     }
 }
 
@@ -662,7 +670,8 @@ class GraftScan(
     snapshotPin: Option[String] = None,
     changeFeed: Option[Long] = None,
     topN: Option[(String, Boolean, Int)] = None,
-    maxFilesPerTrigger: Option[Int] = None)
+    maxFilesPerTrigger: Option[Int] = None,
+    maxBytesPerTrigger: Option[Long] = None)
     extends Scan with Batch with SupportsReportStatistics with SupportsRuntimeFiltering
     with org.apache.spark.sql.graftshim.ClusterReportingScan {
 
@@ -837,7 +846,7 @@ class GraftScan(
           spark, dir, fullFileSchema, required, pushed, cql, startAfter)
       case None =>
         new GraftMicroBatchStream(spark, dir, fullFileSchema, required, pushed, cql,
-          maxFilesPerTrigger)
+          maxFilesPerTrigger, maxBytesPerTrigger)
     }
   }
 

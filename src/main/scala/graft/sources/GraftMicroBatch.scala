@@ -35,7 +35,8 @@ class GraftMicroBatchStream(
     required: StructType,
     pushed: Array[Filter],
     cql: CqlSchema,
-    maxFilesPerTrigger: Option[Int] = None)
+    maxFilesPerTrigger: Option[Int] = None,
+    maxBytesPerTrigger: Option[Long] = None)
     extends MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
@@ -53,19 +54,42 @@ class GraftMicroBatchStream(
   override def getDefaultReadLimit
       : org.apache.spark.sql.connector.read.streaming.ReadLimit = {
     import org.apache.spark.sql.connector.read.streaming.ReadLimit
-    maxFilesPerTrigger.map(ReadLimit.maxFiles).getOrElse(ReadLimit.allAvailable())
+    val limits =
+      maxFilesPerTrigger.map(ReadLimit.maxFiles).toSeq ++
+        maxBytesPerTrigger.map(ReadLimit.maxBytes).toSeq
+    limits match {
+      case Seq() => ReadLimit.allAvailable()
+      case Seq(one) => one
+      case many => ReadLimit.compositeLimit(many.toArray)
+    }
   }
 
   override def latestOffset(
       start: Offset,
       limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset = {
+    import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, ReadLimit, ReadMaxBytes, ReadMaxFiles}
     val seen = start.asInstanceOf[FileOffset].files
-    val all = availableNowTarget.getOrElse(listedFiles().keySet)
+    val metas = listedFiles()
+    val all = availableNowTarget.getOrElse(metas.keySet)
     val unseen = (all -- seen).toSeq.sorted
-    val take = limit match {
-      case mf: org.apache.spark.sql.connector.read.streaming.ReadMaxFiles =>
-        unseen.take(mf.maxFiles)
-      case _ => unseen
+    def flat(l: ReadLimit): Seq[ReadLimit] = l match {
+      case c: CompositeReadLimit => c.getReadLimits.toSeq.flatMap(flat)
+      case o => Seq(o)
+    }
+    val parts = flat(limit)
+    val fileCap = parts.collectFirst { case f: ReadMaxFiles => f.maxFiles() }
+    val byteCap = parts.collectFirst { case b: ReadMaxBytes => b.maxBytes() }
+    var take = fileCap.map(unseen.take).getOrElse(unseen)
+    byteCap.foreach { cap =>
+      // at least one file always admits, else a single over-cap file
+      // would wedge the stream forever
+      var acc = 0L
+      take = take.takeWhile { p =>
+        val sz = metas.get(p).map(_.sizeBytes).getOrElse(0L)
+        val first = acc == 0L
+        acc += sz
+        first || acc <= cap
+      }
     }
     FileOffset(seen ++ take)
   }

@@ -55,6 +55,39 @@ class StreamAdmissionSpec extends SparkSpec {
     assert(spark.table("adm_counts2").head().getLong(0) == 61L)
   }
 
+  test("maxBytesPerTrigger bounds batches by size; an over-cap file still admits") {
+    val dir = Files.createTempDirectory("graft_adm_b_").toString + "/t"
+    val schema = CqlSchema("t", Seq("id"))
+    (0 until 4).foreach { b =>
+      TokenSortedWriter.write(
+        (1L to 200L).map(i => (b * 1000L + i, s"payload-$i")).toDF("id", "v"),
+        schema, dir, SaveMode.Append, TokenSortedWriter.WriteConf(numPartitions = 1))
+    }
+    val oneFile = TokenPruner.listFiles(spark, dir).map(_.sizeBytes).max
+    // cap below a single file: each batch must still make progress (1 file)
+    val q = spark.readStream.format("graft")
+      .option("path", dir).option("pk", "id")
+      .option("maxBytesPerTrigger", (oneFile / 2).toString).load()
+      .groupBy().count()
+      .writeStream.format("memory").queryName("adm_bytes")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(spark.table("adm_bytes").head().getLong(0) == 800L)
+    val batches = q.recentProgress.filter(_.numInputRows > 0)
+    assert(batches.length == 4,
+      s"an under-file cap admits one file per batch, got ${batches.length}")
+    // generous cap packs two files per batch
+    val q2 = spark.readStream.format("graft")
+      .option("path", dir).option("pk", "id")
+      .option("maxBytesPerTrigger", (oneFile * 2).toString).load()
+      .groupBy().count()
+      .writeStream.format("memory").queryName("adm_bytes2")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q2.awaitTermination()
+    assert(spark.table("adm_bytes2").head().getLong(0) == 800L)
+    assert(q2.recentProgress.count(_.numInputRows > 0) == 2)
+  }
+
   test("without the option a single batch still delivers everything") {
     val dir = Files.createTempDirectory("graft_adm_all_").toString + "/t"
     val schema = CqlSchema("t", Seq("id"))
