@@ -17,20 +17,31 @@ import org.apache.spark.sql.functions._
  *   share_t(u) = ⌊pr_t(u) / outdeg(u)⌋            (per multi-edge)
  *   pr_{t+1}(v) = ⌊scale·(dden−dnum) / (dden·N)⌋
  *               + ⌊dnum · Σ_{u→v} share_t(u) / dden⌋
+ *               [+ ⌊dnum · D_t / (dden·N)⌋  when conserveDanglingMass]
  *
  * Multi-edges count: outdeg is edge multiplicity and each parallel edge
  * carries one share — link counts ARE the weight. Dangling mass (vertices
- * with no out-edges) is dropped, the standard simplification; totals are
- * not conserved but the RANKING — the thing pipelines consume — is the
- * fixture-stable quantity. Floor quantization error per step is < 1 unit
- * of `scale` = 1e-12 of total mass at the default.
+ * with no out-edges) is DROPPED by default, the standard simplification;
+ * `conserveDanglingMass = true` spreads each step's dangling total D_t
+ * uniformly instead (one extra map-side-combined aggregate per iteration
+ * — an anti-join of ranks against outdeg reduced to ONE long), for uses
+ * where rank MASS matters, not just the ordering. Floor quantization
+ * error per step is < 1 unit of `scale` = 1e-12 of total mass at the
+ * default.
  *
  * Scale shape: one distinct-vertex pass, one outdeg aggregate, then per
  * iteration ONE hash join of edges to the current rank table (narrow:
  * (src, dst) and (vertex, pr) longs only) and ONE map-side-combined sum
  * on dst — the textbook two-exchange PageRank step; at 100 TB
  * pre-partition edges by src once and every iteration's join reuses that
- * layout. Driver state: two scalars (N and the base term).
+ * layout. Driver state: two scalars (N and the base term) plus, under
+ * conservation, one long per iteration. The FINAL ranking is the
+ * [[Sampling.takeByBudget]] range-exchange prefix rank — fully
+ * distributed, never a single-partition window over the vertex table (a
+ * web crawl has 10⁸-10⁹ hosts). Deep iteration counts truncate lineage
+ * with an eager localCheckpoint per step (same discipline as
+ * [[Dedup]]'s connectedComponents), so the plan does not grow with
+ * `iters`.
  */
 object Graphs {
 
@@ -43,7 +54,8 @@ object Graphs {
       iters: Int = 2,
       scale: Long = 1000000000000L,
       dampNum: Long = 85L,
-      dampDen: Long = 100L): DataFrame = {
+      dampDen: Long = 100L,
+      conserveDanglingMass: Boolean = false): DataFrame = {
     require(iters >= 1 && scale > 0 && dampDen > 0 && dampNum >= 0 && dampNum <= dampDen,
       "need iters >= 1, scale > 0, 0 <= dampNum <= dampDen")
     // the edge and vertex tables are referenced once per iteration in the
@@ -56,6 +68,10 @@ object Graphs {
       .unionByName(e.select(col("__dst").as("__v"))).distinct()
     val n = vertices.count()
     require(n > 0, "pageRank needs at least one edge")
+    // default 2 iterations stay a pure lazy plan (cheap to recompute, no
+    // cache lifetime to manage); deeper loops would grow the plan
+    // super-linearly — truncate per step instead
+    val truncateLineage = iters > 2
     locally {
       val outdeg = e.groupBy(col("__src")).agg(count(lit(1)).as("__deg"))
       val baseTerm = scale * (dampDen - dampNum) / (dampDen * n) // exact long math
@@ -69,20 +85,32 @@ object Graphs {
           // engine (a bare cast would truncate here but ROUND in others)
           .select(col("__dst"), floor(col("__pr") / col("__deg")).cast("long").as("__share"))
         val inflow = shares.groupBy(col("__dst")).agg(sum(col("__share")).as("__in"))
+        // dangling mass: total pr on vertices with no out-edges — one
+        // anti-join reduced map-side to a single long on the driver
+        val danglingTerm: Long =
+          if (!conserveDanglingMass) 0L
+          else {
+            val d = pr.join(outdeg.withColumnRenamed("__src", "__v"), Seq("__v"), "left_anti")
+              .agg(coalesce(sum(col("__pr")), lit(0L))).head.getLong(0)
+            dampNum * d / (dampDen * n) // exact long math, same grid as baseTerm
+          }
         pr = vertices
           .join(inflow.withColumnRenamed("__dst", "__v"), Seq("__v"), "left")
           .select(col("__v"),
-            (lit(baseTerm) +
+            (lit(baseTerm + danglingTerm) +
               floor(lit(dampNum) * coalesce(col("__in"), lit(0L)) / lit(dampDen))
                 .cast("long")).as("__pr"))
+        if (truncateLineage) pr = pr.localCheckpoint(eager = true)
         it += 1
       }
-      val w = org.apache.spark.sql.expressions.Window
-        .orderBy(col("__pr").desc, col("__v").asc)
-      // the final rank is a global ordering of the (small) vertex table —
-      // a single-partition window over |V| rows, not over edges
-      pr.withColumn("rank", row_number().over(w))
-        .select(col("__v").as("vertex"), col("__pr").as("pr"), col("rank"))
+      // distributed global rank: range exchange on (pr desc, v asc) + the
+      // takeByBudget prefix machinery with unit cost and an unbounded
+      // budget = exact row_number, no single-partition Exchange anywhere
+      Sampling.takeByBudget(
+          pr.withColumn("__one", lit(1L)), "__one", Long.MaxValue,
+          Seq(col("__pr").desc, col("__v").asc), outCol = "__rank")
+        .select(col("__v").as("vertex"), col("__pr").as("pr"),
+          col("__rank").cast("int").as("rank"))
     }
   }
 }

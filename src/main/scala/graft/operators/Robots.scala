@@ -57,7 +57,11 @@ object Robots {
         (col("directive") === "allow").as("allow"), col("value").as("pattern"))
       .withColumn("pattern_len", length(col("pattern")))
       .withColumn("regex", patternRegex(col("pattern")))
-    agents.join(rules, Seq("host", "group_id"))
+    // LEFT join: a group whose agent line is followed by no rules still
+    // exists per RFC 9309 §2.2.1 ("matched empty group" = allow all) — it
+    // survives as one marker row with null rule fields so [[evaluate]]'s
+    // exact-group detection sees it and suppresses the `*` fallback
+    agents.join(rules, Seq("host", "group_id"), "left")
       .select(col("host"), col("group_id"), col("agent"),
         col("allow"), col("pattern"), col("pattern_len"), col("regex"))
   }
@@ -89,12 +93,19 @@ object Robots {
       userAgent: String): DataFrame = {
     val ua = userAgent.toLowerCase
     // does the host have an exact product-token group for this agent?
+    // ([[parseRules]] keeps rule-less groups as marker rows, so an empty
+    // exact group correctly suppresses the * fallback)
     val hostHasExact = rules.groupBy(col("host"))
       .agg(max(when(col("agent") === lit(ua), true).otherwise(false)).as("has_exact"))
+    // __robots_-prefix every rule column BEFORE joining into the caller's
+    // URL frame — a corpus that already carries host/allow/pattern/regex
+    // columns must not hit an ambiguous-reference failure
     val applicable = rules.join(hostHasExact, "host")
       .filter(col("agent") === lit(ua) ||
         (col("agent") === "*" && !col("has_exact")))
-      .select(col("host"), col("allow"), col("pattern"), col("pattern_len"), col("regex"))
+      .select(col("host").as("__robots_host"), col("allow").as("__robots_allow"),
+        col("pattern").as("__robots_pattern"),
+        col("pattern_len").as("__robots_len"), col("regex").as("__robots_regex"))
     val withParts = urls
       .withColumn("__host", Urls.host(col(urlCol)))
       .withColumn("__path",
@@ -104,18 +115,20 @@ object Robots {
           lit("/")))
     val matched = withParts
       .withColumn("__uid", monotonically_increasing_id()) // duplicate-URL safe
-      .join(broadcast(applicable), col("__host") === col("host"), "left")
+      .join(broadcast(applicable), col("__host") === col("__robots_host"), "left")
       .withColumn("__hit",
-        col("regex").isNotNull && regexp_like(col("__path"), col("regex")))
+        col("__robots_regex").isNotNull &&
+          regexp_like(col("__path"), col("__robots_regex")))
     // longest pattern wins; Allow beats Disallow at equal length; no hit ⇒ allow
     val w = Window.partitionBy(col("__uid"))
-      .orderBy(col("__hit").desc, col("pattern_len").desc, col("allow").desc)
+      .orderBy(col("__hit").desc, col("__robots_len").desc, col("__robots_allow").desc)
     matched
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
-      .withColumn("allowed", when(col("__hit"), col("allow")).otherwise(lit(true)))
-      .withColumn("matched_pattern", when(col("__hit"), col("pattern")))
-      .drop("host", "allow", "pattern", "pattern_len", "regex",
-        "__host", "__path", "__hit", "__rn", "__uid")
+      .withColumn("allowed",
+        when(col("__hit"), col("__robots_allow")).otherwise(lit(true)))
+      .withColumn("matched_pattern", when(col("__hit"), col("__robots_pattern")))
+      .drop("__robots_host", "__robots_allow", "__robots_pattern",
+        "__robots_len", "__robots_regex", "__host", "__path", "__hit", "__rn", "__uid")
   }
 }

@@ -48,7 +48,10 @@ class GraftCatalog extends TableCatalog
     val b = new Path(base)
     val f = fs(b)
     if (!f.exists(b)) return Array.empty
-    f.listStatus(b).filter(_.isDirectory)
+    // same table-dir exclusion as the nested overload: a table created
+    // without a namespace (base/<name>) is a table, not a namespace
+    f.listStatus(b).filter(s => s.isDirectory &&
+        !f.exists(new Path(s.getPath, GraftCatalog.MetaFile)))
       .map(s => Array(s.getPath.getName))
   }
 
@@ -229,8 +232,11 @@ class GraftCatalog extends TableCatalog
     val f = fs(dir)
     if (!f.exists(metaPath(dir))) throw new NoSuchTableException(ident)
     val (schema0, pairs) = GraftCatalog.readMeta(f, metaPath(dir))
+    // dir-partition columns are as load-bearing as keys: dropping one would
+    // leave a stale partitionBy option and break every subsequent INSERT
     val keyCols = pairs.toMap.get("pk").toSeq.flatMap(_.split(',')).map(_.trim) ++
-      pairs.toMap.get("ck").toSeq.flatMap(_.split(',')).map(_.trim)
+      pairs.toMap.get("ck").toSeq.flatMap(_.split(',')).map(_.trim) ++
+      pairs.toMap.get("partitionBy").toSeq.flatMap(_.split(',')).map(_.trim)
     val schema = changes.foldLeft(schema0) { (s, change) =>
       change match {
         case a: AddColumn =>
@@ -240,6 +246,9 @@ class GraftCatalog extends TableCatalog
             s"added column ${a.fieldNames.head} must be nullable (existing rows have no value)")
           require(!s.fieldNames.contains(a.fieldNames.head),
             s"column ${a.fieldNames.head} already exists")
+          require(a.position() == null,
+            s"ADD COLUMNS FIRST/AFTER is not supported (new columns append; " +
+              s"parquet resolves by name, so order is cosmetic here)")
           StructType(s.fields :+ org.apache.spark.sql.types.StructField(
             a.fieldNames.head, a.dataType, nullable = true))
         case d: DeleteColumn =>

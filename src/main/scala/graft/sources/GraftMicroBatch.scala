@@ -84,11 +84,15 @@ class GraftMicroBatchStream(
       // at least one file always admits, else a single over-cap file
       // would wedge the stream forever
       var acc = 0L
+      var admitted = 0 // explicit count: zero-size admissions must not let a
+      //                  later over-cap file masquerade as "first"
       take = take.takeWhile { p =>
         val sz = metas.get(p).map(_.sizeBytes).getOrElse(0L)
-        val first = acc == 0L
+        val first = admitted == 0
         acc += sz
-        first || acc <= cap
+        val ok = first || acc <= cap
+        if (ok) admitted += 1
+        ok
       }
     }
     FileOffset(seen ++ take)

@@ -696,6 +696,30 @@ class PlanQualitySpec extends SparkSpec {
     assert(plan.contains("FullOuter"), s"expected a full outer join:\n$plan")
   }
 
+  test("PageRank final rank is distributed: never a single-partition window") {
+    import spark.implicits._
+    val edges = (0L until 400L).map(i => (i % 100, (i * 7 + 3) % 100))
+      .toDF("src", "dst").repartition(8)
+    val got = graft.operators.Graphs.pageRank(edges, "src", "dst", iters = 2)
+    // the ranked output rides takeByBudget's range-exchange layout — an
+    // un-partitioned row_number window (the round-11 scale-killer this
+    // gate pins shut) would collapse EVERY vertex into one partition
+    val perPart = got.rdd
+      .mapPartitionsWithIndex((pid, it) => Iterator((pid, it.size)))
+      .collect().filter(_._2 > 0)
+    assert(perPart.length > 1,
+      s"all ${got.count()} ranked vertices landed in one partition: " +
+        s"${perPart.mkString(",")} — the rank is not distributed")
+    // and the range machinery it delegates to never plans SinglePartition
+    val ranged = (0L until 500L).map(i => (i, i % 7)).toDF("v", "pr").repartition(8)
+      .repartitionByRange(32, col("pr").desc, col("v").asc)
+      .sortWithinPartitions(col("pr").desc, col("v").asc)
+    val plan = ranged.queryExecution.executedPlan.toString
+    assert(plan.contains("rangepartitioning") &&
+      !plan.contains("Exchange SinglePartition"),
+      s"rank layout must be a range exchange:\n$plan")
+  }
+
   test("random-ring write plans exactly one range exchange, like the murmur3 ring") {
     import spark.implicits._
     val df = (1L to 1000L).map(i => (i, s"v$i")).toDF("k", "v")

@@ -35,6 +35,45 @@ class GraphsSpec extends SparkSpec {
     assert(got.filter(col("vertex") === 3L).count() == 1L)
   }
 
+  test("distributed rank is the exact global row_number over (pr desc, vertex asc)") {
+    val edges = (0L until 300L).map(i => (i % 60, (i * 11 + 5) % 60)).toDF("src", "dst")
+    val got = Graphs.pageRank(edges, "src", "dst", iters = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val expected = got.sortBy { case (v, pr, _) => (-pr, v) }
+      .zipWithIndex.map { case ((v, pr, _), i) => (v, pr, i + 1) }
+    assert(got.sortBy(_._1).toSeq == expected.sortBy(_._1).toSeq,
+      "rank must equal the driver-side row_number under the same total order")
+  }
+
+  test("deep iteration counts (lineage-truncated path) stay deterministic") {
+    val edges = (0L until 100L).map(i => (i % 25, (i * 3 + 1) % 25)).toDF("src", "dst")
+    val a = Graphs.pageRank(edges, "src", "dst", iters = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sortBy(_._1)
+    val b = Graphs.pageRank(edges, "src", "dst", iters = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sortBy(_._1)
+    assert(a.toSeq == b.toSeq)
+  }
+
+  test("conserveDanglingMass: identical with no dangling vertices, more mass with") {
+    // a full cycle — no dangling vertex, D_t = 0, variants must agree exactly
+    val cycle = (0L until 10L).map(i => (i, (i + 1) % 10)).toDF("src", "dst")
+    val off = Graphs.pageRank(cycle, "src", "dst", iters = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val on = Graphs.pageRank(cycle, "src", "dst", iters = 3,
+        conserveDanglingMass = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    assert(off.toSeq == on.toSeq, "no dangling mass ⇒ the option is a no-op")
+    // a chain — vertex 3 dangles; conserving redistributes its mass
+    val chain = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val totalOff = Graphs.pageRank(chain, "src", "dst", iters = 2)
+      .agg(sum(col("pr"))).head.getLong(0)
+    val totalOn = Graphs.pageRank(chain, "src", "dst", iters = 2,
+        conserveDanglingMass = true)
+      .agg(sum(col("pr"))).head.getLong(0)
+    assert(totalOn > totalOff, s"conservation must keep more mass: $totalOn vs $totalOff")
+    assert(totalOn <= 1000000000000L, "floors only lose mass — never exceed the grid")
+  }
+
   test("mass bookkeeping: every pr carries at least the base term") {
     val edges = (0L until 20L).map(i => (i, (i * 3 + 1) % 20)).toDF("src", "dst")
     val prs = Graphs.pageRank(edges, "src", "dst", iters = 2)

@@ -73,6 +73,35 @@ class RobotsSpec extends SparkSpec {
     assert(got.forall(_._3 == null), "default allows carry no matched pattern")
   }
 
+  test("RFC 9309 matched empty group: an exact UA group with zero rules allows " +
+      "everything and suppresses the * fallback") {
+    // the trailing UA line heads a group that ends at EOF with zero rules
+    // (consecutive UA lines merge per RFC 9309, so the empty group must
+    // come after a rule-bearing one)
+    val b = "User-agent: *\nDisallow: /\n\nUser-agent: graftbot\n"
+    val r = Robots.parseRules(Seq(("e.example", b)).toDF("host", "body"), "host", "body")
+    val urls = Seq("https://e.example/anything").toDF("url")
+    // graftbot's group EXISTS but is empty ⇒ allow-all, NOT the * Disallow:/
+    val named = Robots.evaluate(urls, "url", r, "graftbot")
+      .collect().map(x => x.getString(0) -> x.getBoolean(1)).toMap
+    assert(named("https://e.example/anything"),
+      "the matched empty group must allow, not fall through to *")
+    // an agent with no group still gets the * group
+    val star = Robots.evaluate(urls, "url", r, "otherbot")
+      .collect().map(x => x.getString(0) -> x.getBoolean(1)).toMap
+    assert(!star("https://e.example/anything"))
+  }
+
+  test("URL frames that already carry rule-table column names evaluate cleanly") {
+    val urls = Seq(("https://a.example/tmp/x", "mine.example", "keep", 7))
+      .toDF("url", "host", "pattern", "pattern_len") // collide on purpose
+    val got = Robots.evaluate(urls, "url", rules, "anybot").collect()
+    assert(got.length == 1 && !got.head.getAs[Boolean]("allowed"))
+    // the caller's columns survive untouched
+    assert(got.head.getAs[String]("host") == "mine.example")
+    assert(got.head.getAs[Int]("pattern_len") == 7)
+  }
+
   test("duplicate URLs each keep a verdict; plan broadcasts the rules side") {
     val urls = Seq.fill(3)("https://a.example/tmp/x").toDF("url")
     val out = Robots.evaluate(urls, "url", rules, "anybot")
