@@ -57,17 +57,37 @@ object Retrieval {
       .select(col(queryIdCol), col(idCol), col("rank"), col("rrf_score"))
   }
 
+  /** The dense leg's contract: (corpus(id, vec), queries(id, vec), idCol,
+   *  vecCol, k) → (query_id, neighbor_id, rank) per-query top-k. Built-ins
+   *  below wrap each [[Similarity]] ANN tier; anything matching the shape
+   *  plugs in. */
+  type DenseRetriever = (DataFrame, DataFrame, String, String, Int) => DataFrame
+
+  /** Exact brute-force cosine — the small-corpus default. */
+  val DenseExact: DenseRetriever = (c, q, id, vec, k) =>
+    Similarity.bruteForceTopK(c, q, id, vec, k, excludeSelf = false)
+
+  /** Sign-LSH bucketed cosine — the 100 TB path: only bucket-colliding
+   *  pairs score ([[Similarity.lshTopK]]'s shape notes). */
+  def denseLsh(planes: Int = 8, probeHamming: Int = 1): DenseRetriever =
+    (c, q, id, vec, k) => Similarity.lshTopK(c, q, id, vec, k, planes, probeHamming)
+
+  /** int8-quantized scan with exact float rescore —
+   *  [[Similarity.quantizedTopK]]. */
+  def denseQuantized(rescoreFactor: Int = 4): DenseRetriever =
+    (c, q, id, vec, k) => Similarity.quantizedTopK(c, q, id, vec, k, rescoreFactor)
+
   /**
-   * End-to-end hybrid top-k: BM25 over `textCol` fused with exact cosine
+   * End-to-end hybrid top-k: BM25 over `textCol` fused with dense cosine
    * over `vecCol`, both fetched to `depth` (fetch more than you keep — the
    * standard fusion practice so a document strong in one modality can
    * surface), then rrf-cut to `k`. `queries` must carry `queryIdCol`,
    * `queryTextCol`, and `vecCol`. Self-matches are NOT excluded — a query
    * drawn from the corpus fuses to itself at rank 1, which the caller can
-   * drop. For corpora where brute-force cosine is too hot, fuse
-   * [[Similarity.lshTopK]]/[[Similarity.quantizedTopK]] output through
-   * [[rrfFuse]] directly — the fusion contract only needs (query, id,
-   * rank) tables.
+   * drop. The dense leg is pluggable: [[DenseExact]] (default) for small
+   * corpora, [[denseLsh]]/[[denseQuantized]] where a brute-force scan is
+   * too hot — the fusion contract only needs (query, id, rank) tables, so
+   * swapping tiers never changes the pipeline shape.
    */
   def hybridTopK(
       corpus: DataFrame,
@@ -79,17 +99,18 @@ object Retrieval {
       queryTextCol: String,
       k: Int,
       depth: Int = 0,
-      rrfK: Int = 60): DataFrame = {
+      rrfK: Int = 60,
+      dense: DenseRetriever = DenseExact): DataFrame = {
     val d = if (depth > 0) depth else 2 * k
     val sparse = Vocab.bm25TopK(
       corpus.select(col(idCol), col(textCol)), idCol, textCol,
       queries.select(col(queryIdCol), col(queryTextCol)), queryIdCol, queryTextCol, k = d)
       .select(col(queryIdCol), col(idCol), col("rank"))
-    val dense = Similarity.bruteForceTopK(
+    val denseRanks = dense(
       corpus.select(col(idCol), col(vecCol)),
       queries.select(col(queryIdCol).as(idCol), col(vecCol)),
-      idCol, vecCol, k = d, excludeSelf = false)
+      idCol, vecCol, d)
       .select(col("query_id").as(queryIdCol), col("neighbor_id").as(idCol), col("rank"))
-    rrfFuse(Seq(sparse, dense), queryIdCol, idCol, k, rrfK)
+    rrfFuse(Seq(sparse, denseRanks), queryIdCol, idCol, k, rrfK)
   }
 }

@@ -2173,6 +2173,80 @@ object Battery {
     // 0.0 (every gram seen) unless too short to gram; md5-word twins
     // carry exactly one 8-gram the corpus cannot contain → 1.0 — both
     // closed-form from the construction
+    // Conserving PageRank: sources 0..39 only, so vertices 40..49 DANGLE —
+    // conserveDanglingMass redistributes each step's dangling total
+    // uniformly on the same integer grid. The oracle replays BOTH
+    // iterations including the dangling aggregate bit-for-bit.
+    "q183_pagerank_dangling" -> ((s, d) => {
+      val e = docs(s, d).select(
+        (col("doc_id") % 40).as("src"),
+        ((col("doc_id") * 3 + 1) % 50).as("dst"))
+      graft.operators.Graphs.pageRank(e, "src", "dst", iters = 2,
+        conserveDanglingMass = true)
+    }),
+
+    // Merge-on-read DML: the same UPDATE algebra as q166 plus a DELETE,
+    // executed as deletion vectors + re-insert generations (zero base-file
+    // rewrites — the query ASSERTS the file set survived both statements).
+    // The oracle states the final table closed-form.
+    "q184_mor_dml" -> ((s, d) => {
+      val cat = "gmor" + java.util.UUID.randomUUID().toString.take(8)
+      val base = java.nio.file.Files.createTempDirectory("graft_morq_").toString
+      s.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.base", base)
+      s.sql(s"CREATE TABLE $cat.db.docs (doc_id BIGINT, source STRING, n_chars BIGINT) " +
+        "USING graft OPTIONS (pk 'doc_id', partitions '4', snapshot 'true', " +
+        "dmlMode 'merge-on-read')")
+      docs(s, d).select(col("doc_id"), col("source"), col("n_chars"))
+        .createOrReplaceTempView("q184_docs")
+      s.sql(s"INSERT INTO $cat.db.docs SELECT doc_id, source, n_chars FROM q184_docs")
+      val dir = s"$base/db/docs"
+      val v0 = graft.write.Snapshots.latestVersion(s, dir).get
+      val before = graft.write.Snapshots.files(s, dir, v0).toSet
+      s.sql(s"UPDATE $cat.db.docs SET n_chars = n_chars + 100000 " +
+        "WHERE source = 'src3' OR doc_id % 7 = 0")
+      s.sql(s"DELETE FROM $cat.db.docs WHERE doc_id % 11 = 5")
+      // merge-on-read contract: both DMLs kept every original base file
+      val now = graft.write.Snapshots.latestVersion(s, dir).get
+      val after = graft.write.Snapshots.files(s, dir, now).toSet
+      require(before.subsetOf(after),
+        s"merge-on-read DML rewrote base files: ${(before -- after).take(3)}")
+      require(graft.write.Snapshots.deletionVectors(s, dir, now).nonEmpty,
+        "merge-on-read DML produced no deletion vectors")
+      s.table(s"$cat.db.docs").select(col("doc_id"), col("source"), col("n_chars"))
+    }),
+
+    // Deletion-vector fold: merge-on-read DELETEs leave DVs on the small
+    // multi-append files, then OPTIMIZE bin-packs them — the packed bytes
+    // must materialize the deletions, the bindings must drop, and the
+    // commit stays layout-only (change capture rides across). The query
+    // asserts the structural facts; the oracle states the surviving rows.
+    "q185_dv_optimize" -> ((s, d) => {
+      val cat = "gdvo" + java.util.UUID.randomUUID().toString.take(8)
+      val base = java.nio.file.Files.createTempDirectory("graft_dvoq_").toString
+      s.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.base", base)
+      s.sql(s"CREATE TABLE $cat.db.docs (doc_id BIGINT, source STRING, n_chars BIGINT) " +
+        "USING graft OPTIONS (pk 'doc_id', partitions '2', snapshot 'true', " +
+        "dmlMode 'merge-on-read')")
+      docs(s, d).select(col("doc_id"), col("source"), col("n_chars"))
+        .createOrReplaceTempView("q185_docs")
+      // four small appends → bin-packable generations
+      (0 until 4).foreach(b => s.sql(
+        s"INSERT INTO $cat.db.docs SELECT doc_id, source, n_chars " +
+          s"FROM q185_docs WHERE doc_id % 4 = $b"))
+      s.sql(s"DELETE FROM $cat.db.docs WHERE doc_id % 9 = 2")
+      val dir = s"$base/db/docs"
+      val schema = CqlSchema("docs", Seq("doc_id"))
+      TokenSortedWriter.optimizeSmallFiles(s, schema, dir,
+        smallBytes = 64L << 20, targetBytes = 64L << 20)
+      val v = graft.write.Snapshots.latestVersion(s, dir).get
+      require(graft.write.Snapshots.deletionVectors(s, dir, v).isEmpty,
+        "OPTIMIZE must fold deletion vectors away")
+      s.read.format("graft").option("path", dir).option("pk", "doc_id").load()
+        .select(col("doc_id"), col("source"), col("n_chars"))
+    }),
+
     // DESCRIBE HISTORY surface: two appends, an OPTIMIZE repack, another
     // append — the history DataFrame must carry the exact lineage
     // (versions, parents, file counts, rewrite vs layout-only flags),
@@ -4551,6 +4625,53 @@ object Battery {
         |  CASE WHEN source = 'src3' OR doc_id % 7 = 0
         |       THEN n_chars + 100000 ELSE n_chars END AS n_chars
         |FROM documents""".stripMargin,
+    // both conserving iterations replayed: the dangling aggregate (verts
+    // 40..49 never appear as src) feeds a per-step uniform term on the
+    // same integer grid as the base term
+    "q183_pagerank_dangling" ->
+      """WITH e AS (SELECT doc_id % 40 AS src, (doc_id * 3 + 1) % 50 AS dst
+        |           FROM documents),
+        |verts AS (SELECT DISTINCT v FROM (
+        |    SELECT src AS v FROM e UNION ALL SELECT dst AS v FROM e)),
+        |nn AS (SELECT COUNT(*) AS n FROM verts),
+        |deg AS (SELECT src, COUNT(*) AS d FROM e GROUP BY src),
+        |srcs AS (SELECT DISTINCT src FROM e),
+        |p0 AS (SELECT v, 1000000000000 // n AS pr FROM verts, nn),
+        |dm1 AS (SELECT COALESCE(SUM(pr), 0) AS dm FROM p0
+        |        WHERE v NOT IN (SELECT src FROM srcs)),
+        |s1 AS (SELECT e.dst,
+        |         CAST(floor(CAST(p.pr AS DOUBLE) / d.d) AS BIGINT) AS share
+        |       FROM e JOIN p0 p ON e.src = p.v JOIN deg d ON e.src = d.src),
+        |in1 AS (SELECT dst, CAST(SUM(share) AS BIGINT) AS i FROM s1 GROUP BY dst),
+        |p1 AS (SELECT v,
+        |         (SELECT 1000000000000 * 15 // (100 * n) FROM nn)
+        |           + (SELECT (85 * dm) // (100 * n) FROM dm1, nn)
+        |           + CAST(floor((85 * COALESCE(i, 0)) / 100) AS BIGINT) AS pr
+        |       FROM verts LEFT JOIN in1 ON verts.v = in1.dst),
+        |dm2 AS (SELECT COALESCE(SUM(pr), 0) AS dm FROM p1
+        |        WHERE v NOT IN (SELECT src FROM srcs)),
+        |s2 AS (SELECT e.dst,
+        |         CAST(floor(CAST(p.pr AS DOUBLE) / d.d) AS BIGINT) AS share
+        |       FROM e JOIN p1 p ON e.src = p.v JOIN deg d ON e.src = d.src),
+        |in2 AS (SELECT dst, CAST(SUM(share) AS BIGINT) AS i FROM s2 GROUP BY dst),
+        |p2 AS (SELECT v,
+        |         (SELECT 1000000000000 * 15 // (100 * n) FROM nn)
+        |           + (SELECT (85 * dm) // (100 * n) FROM dm2, nn)
+        |           + CAST(floor((85 * COALESCE(i, 0)) / 100) AS BIGINT) AS pr
+        |       FROM verts LEFT JOIN in2 ON verts.v = in2.dst)
+        |SELECT v AS vertex, CAST(pr AS BIGINT) AS pr,
+        |       row_number() OVER (ORDER BY pr DESC, v ASC) AS rank
+        |FROM p2""".stripMargin,
+    // q166's update algebra plus the delete — executed as DVs + re-insert
+    // generations, final state identical to the statement algebra
+    "q184_mor_dml" ->
+      """SELECT doc_id, source,
+        |  CASE WHEN source = 'src3' OR doc_id % 7 = 0
+        |       THEN n_chars + 100000 ELSE n_chars END AS n_chars
+        |FROM documents WHERE doc_id % 11 <> 5""".stripMargin,
+    // the DV'd rows stay deleted through the bin-pack
+    "q185_dv_optimize" ->
+      "SELECT doc_id, source, n_chars FROM documents WHERE doc_id % 9 <> 2",
     // the post-MERGE state: matched rows with nc % 10 = 0 deleted, other
     // matches updated, unmatched source rows inserted under 'merged'
     "q167_sql_merge" ->

@@ -193,6 +193,7 @@ class GraftCatalog extends TableCatalog
       opt("partitions").map("partitions" -> _) ++
       opt("maxRecordsPerFile").map("maxRecordsPerFile" -> _) ++
       opt("snapshot").map("snapshot" -> _) ++ // snapshotted INSERTs → time travel
+      opt("dmlMode").map("dmlMode" -> _) ++ // copy-on-write | merge-on-read
       // `CREATE TABLE … LOCATION '<dir>'` = EXTERNAL table: the catalog
       // holds only the descriptor; data lives (and stays, through DROP)
       // at the given path — the standard way to register a directory a

@@ -159,6 +159,13 @@ class GraftDataSource extends TableProvider with DataSourceRegister
 }
 
 object GraftDataSource {
+  /** Computed DSv2 metadata columns: the physical coordinates a row lives
+   *  at — the row ID merge-on-read DML deletes by, and the provenance
+   *  columns audits select. Never stored; emitted by the position-aware
+   *  readers (requesting either forces whole-file row-based reads). */
+  val FileCol = "_graft_file"
+  val PosCol = "_graft_pos"
+
   /** Role mapping from options (`pk`, `ck` comma-separated), falling back to
    *  role metadata already present on the schema (the reference gets roles
    *  from the externally-declared CQL schema, `DataLayer.java:118-129`). */
@@ -265,16 +272,45 @@ class GraftTable(
       override def isNullable: Boolean = true
       override def comment(): String =
         "murmur3 ring token this row was laid out under (null on token-less layouts)"
+    },
+    // physical row coordinates — computed by the position-aware readers
+    // (whole-file row-based scan when requested); the merge-on-read DML
+    // row ID, and the provenance handle for audits
+    new org.apache.spark.sql.connector.catalog.MetadataColumn {
+      override def name(): String = GraftDataSource.FileCol
+      override def dataType(): org.apache.spark.sql.types.DataType =
+        org.apache.spark.sql.types.StringType
+      override def isNullable: Boolean = false
+      override def comment(): String = "data file this row was read from"
+    },
+    new org.apache.spark.sql.connector.catalog.MetadataColumn {
+      override def name(): String = GraftDataSource.PosCol
+      override def dataType(): org.apache.spark.sql.types.DataType =
+        org.apache.spark.sql.types.LongType
+      override def isNullable: Boolean = false
+      override def comment(): String =
+        "0-based physical row position within _graft_file (deleted rows counted)"
     })
 
-  /** SQL `UPDATE` / `MERGE INTO` / predicate `DELETE` via group-based
-   *  copy-on-write ([[GraftRowLevelOperation]]; file = group). Full-pk
+  /** SQL `UPDATE` / `MERGE INTO` / predicate `DELETE`: group-based
+   *  copy-on-write by default ([[GraftRowLevelOperation]]; file = group),
+   *  or positional deletion vectors with `dmlMode 'merge-on-read'`
+   *  ([[GraftDeltaOperation]] — O(changed rows) writes on snapshot-logged
+   *  tables, falling back to copy-on-write when there is no log). Full-pk
    *  `DELETE` keeps taking the metadata fast path ([[deleteWhere]] —
    *  Spark's `OptimizeMetadataOnlyDeleteFromTable` prefers it). */
   override def newRowLevelOperationBuilder(
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
       : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
-    new GraftRowLevelOperationBuilder(dir, annotated, cql, tableOptions, info)
+    Option(tableOptions.get("dmlMode")).map(_.trim.toLowerCase)
+      .getOrElse("copy-on-write") match {
+      case "copy-on-write" =>
+        new GraftRowLevelOperationBuilder(dir, annotated, cql, tableOptions, info)
+      case "merge-on-read" =>
+        new GraftDeltaOperationBuilder(dir, annotated, cql, tableOptions, info)
+      case other => throw new IllegalArgumentException(
+        s"unknown dmlMode '$other' (want copy-on-write or merge-on-read)")
+    }
 
   /** SQL `DELETE FROM t WHERE …` — accepted only when the predicate is a
    *  conjunction of `=`/`IN` (plus redundant `IS NOT NULL`) covering the
@@ -515,6 +551,11 @@ class GraftScanBuilder(
     import org.apache.spark.sql.connector.expressions.NamedReference
     import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
     if (agg.groupByExpressions.nonEmpty || pushed.nonEmpty || limit.nonEmpty) return None
+    // deletion vectors make footer row counts an OVERcount (they include
+    // logically deleted rows) — metadata-only answers are unsound until
+    // OPTIMIZE folds the DVs away
+    if (graft.write.Snapshots.dvsForPin(SparkSession.active, dir, snapshotPin).nonEmpty)
+      return None
     def name(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
       e match {
         case nr: NamedReference if nr.fieldNames.length == 1 => Some(nr.fieldNames()(0))
@@ -693,6 +734,8 @@ class GraftScan(
   private var runtime: Array[Filter] = Array.empty
   @volatile private var cachedPruned: Array[TokenPruner.FileMeta] = _
   @volatile private var cachedDelegate: Batch = _
+  @volatile private var cachedPosBatch: Batch = _
+  @volatile private var cachedDvs: Map[String, String] = _
 
   override def filterAttributes(): Array[NamedReference] =
     // Expressions.column SQL-parses the name — quote for exotic identifiers
@@ -702,6 +745,8 @@ class GraftScan(
     runtime = filters
     cachedPruned = null
     cachedDelegate = null
+    cachedPosBatch = null
+    cachedDvs = null
   }
 
   private def effectivePushed: Array[Filter] = pushed ++ runtime
@@ -721,11 +766,15 @@ class GraftScan(
       val all = graft.write.Snapshots.resolveListing(spark, dir, snapshotPin, listed)
       listedCount = listed.length
       files = TokenPruner.prune(spark, all, effectivePushed, cql)
+      // row-count-based planning shrinks (LIMIT / top-k) are unsound while
+      // deletion vectors hide rows inside files — footer counts overcount,
+      // so a shrink could plan too few files and silently drop results
+      val hasDvs = graft.write.Snapshots.dvsForPin(spark, dir, snapshotPin).nonEmpty
       // LIMIT planning: with no filters anywhere, any n rows satisfy an
       // unordered limit — plan only enough files (manifest/footer row
       // counts) instead of the whole table. Filters disable this (row
       // counts no longer bound the matching rows).
-      limit.filter(_ => effectivePushed.isEmpty).foreach { n =>
+      limit.filter(_ => effectivePushed.isEmpty && !hasDvs).foreach { n =>
         var acc = 0L
         files = files.takeWhile { f => val need = acc < n; acc += f.rows; need }
       }
@@ -738,7 +787,7 @@ class GraftScan(
       // moment any filter exists — row counts then no longer bound the
       // MATCHING rows. The final TakeOrderedAndProject still runs
       // (partial pushdown); this only shrinks its input.
-      topN.filter(_ => effectivePushed.isEmpty).foreach { case (c, asc, k) =>
+      topN.filter(_ => effectivePushed.isEmpty && !hasDvs).foreach { case (c, asc, k) =>
         if (files.nonEmpty && files.forall(_.pkRanges.contains(c))) {
           def lo(f: TokenPruner.FileMeta) = f.pkRanges(c)._1
           def hi(f: TokenPruner.FileMeta) = f.pkRanges(c)._2
@@ -777,12 +826,70 @@ class GraftScan(
       m("graftBytesPlanned", planned.map(_.sizeBytes).sum))
   }
 
+  // ---- merge-on-read state: deletion-vector bindings for the planned
+  // files, resolved at the SAME version as the file set, plus the computed
+  // metadata columns (_graft_file/_graft_pos). Either forces the affected
+  // files onto whole-file row-based readers (PositionAwareScan) — the
+  // documented MoR read tax until OPTIMIZE folds the DVs away; a table
+  // with no DVs and no metadata request never leaves the stock
+  // split/vectorized path.
+  private def dvMap: Map[String, String] = {
+    var m = cachedDvs
+    if (m == null) {
+      val planned = prunedFiles.map(_.path).toSet
+      m = graft.write.Snapshots.dvsForPin(spark, dir, snapshotPin)
+        .filter { case (base, _) => planned(base) }
+      cachedDvs = m
+    }
+    m
+  }
+
+  private lazy val metaFileRequested = required.fieldNames.contains(GraftDataSource.FileCol)
+  private lazy val metaPosRequested = required.fieldNames.contains(GraftDataSource.PosCol)
+  /** The schema the PARQUET readers produce: the computed metadata columns
+   *  are appended by the position-aware wrapper, never read from files.
+   *  They must be TRAILING in the requested schema (Spark puts DSv2
+   *  metadata output after data output; anything else is a planner bug we
+   *  want loud). */
+  private lazy val parquetRequired: StructType = {
+    val metaIdx = required.fields.zipWithIndex.collect {
+      case (f, i) if f.name == GraftDataSource.FileCol || f.name == GraftDataSource.PosCol => i
+    }
+    val dataLen = required.length - metaIdx.length
+    require(metaIdx.forall(_ >= dataLen),
+      s"metadata columns must trail the requested schema, got ${required.fieldNames.mkString(",")}")
+    StructType(required.fields.take(dataLen))
+  }
+
+  private def positionalMode: Boolean =
+    dvMap.nonEmpty || metaFileRequested || metaPosRequested
+
   private def delegate: Batch = {
     var d = cachedDelegate
     if (d == null) {
+      val paths =
+        if (!positionalMode) prunedFiles.map(_.path).toSeq
+        else if (metaFileRequested || metaPosRequested) Seq.empty // all positioned
+        else prunedFiles.map(_.path).filterNot(dvMap.contains).toSeq
       d = ParquetScanBridge.parquetBatch(
-        spark, prunedFiles.map(_.path).toSeq, fullFileSchema, required, effectivePushed)
+        spark, paths, fullFileSchema, parquetRequired, effectivePushed)
       cachedDelegate = d
+    }
+    d
+  }
+
+  /** Batch over the files that need position tracking — filter-FREE (all
+   *  graft filters are residual, so Spark re-applies them above; a parquet
+   *  row-group skip would shift every later position). */
+  private def positionedBatch: Batch = {
+    var d = cachedPosBatch
+    if (d == null) {
+      val paths =
+        if (metaFileRequested || metaPosRequested) prunedFiles.map(_.path).toSeq
+        else prunedFiles.map(_.path).filter(dvMap.contains).toSeq
+      d = ParquetScanBridge.parquetBatch(
+        spark, paths, fullFileSchema, parquetRequired, Array.empty)
+      cachedPosBatch = d
     }
     d
   }
@@ -803,7 +910,12 @@ class GraftScan(
    *  shared by two files would let one pk span both). Multi-append dirs
    *  overlap and correctly disqualify themselves. Opt-in (`clustered`
    *  option) because the claim forces whole-file input partitions. */
-  private lazy val clusteredLayout: Boolean = clustered && prunedFiles.nonEmpty && {
+  // the clustering claim pauses in positional mode: positioned partitions
+  // are whole-file too, but mixing them with the claim's physical wrapper
+  // is machinery this transitional state doesn't need — OPTIMIZE folds the
+  // DVs and the claim resumes
+  private lazy val clusteredLayout: Boolean = clustered && !positionalMode &&
+    prunedFiles.nonEmpty && {
     val ranges = prunedFiles.flatMap(_.tokenRange)
     ranges.length == prunedFiles.length && {
       val sorted = ranges.sortBy(_._1)
@@ -823,12 +935,27 @@ class GraftScan(
       f.ringSplit.map(_._1).orElse(f.tokenRange.map(_._1)).getOrElse(Long.MinValue)).toMap
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val planned = delegate.planInputPartitions()
-    if (clusteredLayout)
-      org.apache.spark.sql.graftshim.ClusteredScanUtil.wholeFilePartitions(planned, fileOrder)
-    else planned
+    if (!positionalMode) {
+      val planned = delegate.planInputPartitions()
+      if (clusteredLayout)
+        org.apache.spark.sql.graftshim.ClusteredScanUtil.wholeFilePartitions(planned, fileOrder)
+      else planned
+    } else {
+      val plain = delegate.planInputPartitions()
+      val positioned = org.apache.spark.sql.graftshim.PositionAwareScanUtil
+        .positionedPartitions(positionedBatch.planInputPartitions(), dvMap,
+          metaFileRequested, metaPosRequested)
+      plain ++ positioned
+    }
   }
-  override def createReaderFactory(): PartitionReaderFactory = delegate.createReaderFactory()
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    if (!positionalMode) delegate.createReaderFactory()
+    else new org.apache.spark.sql.graftshim.PositionAwareReaderFactory(
+      delegate.createReaderFactory(), positionedBatch.createReaderFactory(),
+      new org.apache.spark.util.SerializableConfiguration(
+        spark.sessionState.newHadoopConf()),
+      forceRowBased = true)
 
   /** Streaming: micro-batches over the same planning and decode stack
    *  (pushdown, manifest listing, vectorized parquet). Default mode tails

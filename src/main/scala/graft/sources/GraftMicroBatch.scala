@@ -132,8 +132,11 @@ class GraftMicroBatchStream(
     val batchFiles = (target -- seen).toArray.sorted.flatMap(metas.get)
     val pruned = TokenPruner.prune(spark, batchFiles, pushed, cql)
     if (pruned.isEmpty) Array.empty
-    else ParquetScanBridge.parquetBatch(
-      spark, pruned.map(_.path).toSeq, dataSchema, required, pushed).planInputPartitions()
+    else {
+      GraftMicroBatchStream.refuseDeletionVectors(spark, dir, pruned.map(_.path))
+      ParquetScanBridge.parquetBatch(
+        spark, pruned.map(_.path).toSeq, dataSchema, required, pushed).planInputPartitions()
+    }
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -142,6 +145,27 @@ class GraftMicroBatchStream(
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
+}
+
+object GraftMicroBatchStream {
+  /** The listing-tail stream delivers FILE CONTENT as the change unit; a
+   *  deletion vector on a to-be-delivered file would resurrect its deleted
+   *  rows into the stream. Fail loudly with the remediation (OPTIMIZE /
+   *  compaction folds DVs; the change-feed stream is unaffected — a DV
+   *  commit adds no files, and its append-capture contract documents that
+   *  deletes are not delivered). */
+  private[sources] def refuseDeletionVectors(
+      spark: SparkSession, dir: String, planned: Seq[String]): Unit = {
+    val dvs = graft.write.Snapshots.dvsForPin(spark, dir, None)
+    if (dvs.isEmpty) return
+    val hit = planned.filter(dvs.contains)
+    if (hit.nonEmpty)
+      throw new IllegalStateException(
+        s"streaming read of $dir: ${hit.length} planned file(s) carry deletion " +
+          s"vectors (merge-on-read DML landed, e.g. ${hit.head}) — a file-tail " +
+          "stream would deliver deleted rows. Run OPTIMIZE/compactInPlace to fold " +
+          "the DVs away, or consume the snapshot-log change feed (changeFeed=true)")
+  }
 }
 
 /**

@@ -68,18 +68,13 @@ class GraftRowLevelOperation(
     annotated: StructType,
     cql: CqlSchema,
     tableOptions: CaseInsensitiveStringMap,
-    cmd: Command) extends RowLevelOperation {
+    cmd: Command) extends RowLevelOperation with GraftRowLevelState {
 
-  /** Snapshot version the scan resolved its listing from (None = no log):
-   *  both the read pin and the commit's optimistic-concurrency guard, so
-   *  the rewrite provably replaces the state it was computed from. */
-  @volatile private[sources] var sourceVersion: Option[Long] = None
-  @volatile private[sources] var sourcePinned: Boolean = false
-
-  /** The files the row-level scan FINALLY planned (post static + runtime
-   *  pruning) — the groups the commit must replace. Driver-side state:
-   *  `planInputPartitions` runs on the driver, commit reads it there. */
-  @volatile private[sources] var scannedFiles: Array[String] = Array.empty
+  // GraftRowLevelState carries: the snapshot version the scan resolved its
+  // listing from (the read pin AND the commit's optimistic-concurrency
+  // guard) plus the files the scan finally planned (the groups the commit
+  // must replace) — `planInputPartitions` runs on the driver, commit reads
+  // the state there.
 
   override def command(): Command = cmd
 
@@ -96,10 +91,11 @@ class GraftRowLevelOperation(
  *  are used for file pruning ONLY (all of them are returned as residuals —
  *  Spark re-evaluates the full condition in the rewritten plan). */
 class GraftRowLevelScanBuilder(
-    op: GraftRowLevelOperation,
+    op: GraftRowLevelState,
     dir: String,
     annotated: StructType,
-    cql: CqlSchema)
+    cql: CqlSchema,
+    emitRowCoords: Boolean = false)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
 
   private var pushed: Array[Filter] = Array.empty
@@ -112,20 +108,34 @@ class GraftRowLevelScanBuilder(
   override def pushedFilters(): Array[Filter] = pushed
 
   override def pruneColumns(requiredSchema: StructType): Unit = {
-    val keep = requiredSchema.fieldNames.toSet
-    required = StructType(annotated.fields.filter(f => keep.contains(f.name)))
+    val byName = annotated.fields.map(f => f.name -> f).toMap
+    // keep the requested ORDER: the delta rewrite appends the row-ID
+    // metadata columns (_graft_file/_graft_pos) after the data columns
+    required = StructType(requiredSchema.fields.map(f => byName.getOrElse(f.name, f)))
   }
 
-  override def build(): Scan = new GraftRowLevelScan(op, dir, annotated, required, pushed, cql)
+  override def build(): Scan =
+    new GraftRowLevelScan(op, dir, annotated, required, pushed, cql, emitRowCoords)
+}
+
+/** The driver-side state a row-level scan shares with its write: the
+ *  pinned source version and the finally-planned groups. One trait, two
+ *  operations (copy-on-write [[GraftRowLevelOperation]] and merge-on-read
+ *  [[GraftDeltaOperation]]). */
+trait GraftRowLevelState {
+  @volatile private[sources] var sourceVersion: Option[Long] = None
+  @volatile private[sources] var sourcePinned: Boolean = false
+  @volatile private[sources] var scannedFiles: Array[String] = Array.empty
 }
 
 class GraftRowLevelScan(
-    op: GraftRowLevelOperation,
+    op: GraftRowLevelState,
     dir: String,
     dataSchema: StructType,
     required: StructType,
     pushed: Array[Filter],
-    cql: CqlSchema)
+    cql: CqlSchema,
+    emitRowCoords: Boolean = false)
     extends Scan with Batch with SupportsReportStatistics with SupportsRuntimeFiltering {
 
   private lazy val spark = SparkSession.active
@@ -175,20 +185,48 @@ class GraftRowLevelScan(
     else dataSchema
   }
 
+  /** DV bindings for the planned files at the pinned source version: a DML
+   *  over dv-carrying files must not see (CoW: re-stage) already-deleted
+   *  rows, and a delta DML needs physical coordinates regardless. */
+  private def dvMap: Map[String, String] = op.sourceVersion match {
+    case Some(v) =>
+      val planned = prunedFiles.map(_.path).toSet
+      Snapshots.deletionVectors(spark, dir, v).filter { case (b, _) => planned(b) }
+    case None => Map.empty
+  }
+
+  /** What the parquet readers produce — the computed row-coordinate
+   *  columns are appended by the position-aware wrapper. */
+  private lazy val parquetRequired: StructType = StructType(required.fields.filterNot(
+    f => f.name == GraftDataSource.FileCol || f.name == GraftDataSource.PosCol))
+
+  private def positionalMode: Boolean = emitRowCoords || dvMap.nonEmpty
+
   override def planInputPartitions(): Array[InputPartition] = {
     val files = prunedFiles
     // the groups the write must replace — exactly what this plan reads
     op.scannedFiles = files.map(_.path)
-    ParquetScanBridge.parquetBatch(
-      spark, files.map(_.path).toSeq, fullFileSchema, required,
+    val batch = ParquetScanBridge.parquetBatch(
+      spark, files.map(_.path).toSeq, fullFileSchema, parquetRequired,
       Array.empty /* never filter rows: see class doc */)
-      .planInputPartitions()
+    if (!positionalMode) batch.planInputPartitions()
+    else org.apache.spark.sql.graftshim.PositionAwareScanUtil.positionedPartitions(
+      batch.planInputPartitions(), dvMap,
+      emitFileCol = emitRowCoords && required.fieldNames.contains(GraftDataSource.FileCol),
+      emitPosCol = emitRowCoords && required.fieldNames.contains(GraftDataSource.PosCol))
   }
 
-  override def createReaderFactory(): PartitionReaderFactory =
-    ParquetScanBridge.parquetBatch(
-      spark, prunedFiles.map(_.path).toSeq, fullFileSchema, required, Array.empty)
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val inner = ParquetScanBridge.parquetBatch(
+      spark, prunedFiles.map(_.path).toSeq, fullFileSchema, parquetRequired, Array.empty)
       .createReaderFactory()
+    if (!positionalMode) inner
+    else new org.apache.spark.sql.graftshim.PositionAwareReaderFactory(
+      inner, inner,
+      new org.apache.spark.util.SerializableConfiguration(
+        spark.sessionState.newHadoopConf()),
+      forceRowBased = true)
+  }
 
   override def estimateStatistics(): Statistics = new Statistics {
     private val bytes = prunedFiles.map(f => math.max(f.uncompressedBytes, f.sizeBytes)).sum
@@ -202,6 +240,46 @@ class GraftRowLevelScan(
 private[sources] final case class GraftStagedFile(path: Option[String], rows: Long)
   extends WriterCommitMessage
 
+/** Lazily-opened per-task staging parquet file (via Spark's own parquet
+ *  writer stack) — shared by the copy-on-write ReplaceData writers and the
+ *  merge-on-read delta writers' insert leg. Empty tasks stage nothing. */
+private[sources] final class StagingParquetWriter(
+    stagingDir: String,
+    factory: org.apache.spark.sql.execution.datasources.OutputWriterFactory,
+    conf: org.apache.spark.util.SerializableConfiguration,
+    schema: StructType,
+    partitionId: Int,
+    taskId: Long) {
+  private var writer: org.apache.spark.sql.execution.datasources.OutputWriter = _
+  private var path: String = _
+  private var n = 0L
+
+  def write(row: InternalRow): Unit = {
+    if (writer == null) {
+      path = s"$stagingDir/part-$partitionId-$taskId-" +
+        s"${UUID.randomUUID().toString.take(8)}.parquet"
+      writer = ParquetWriteBridge.openWriter(
+        factory, conf.value, path, schema, partitionId, taskId)
+    }
+    writer.write(row)
+    n += 1
+  }
+
+  def rows: Long = n
+
+  /** Close and return the staged path (None when no row arrived). */
+  def finish(): Option[String] = {
+    if (writer != null) writer.close()
+    Option(path)
+  }
+
+  def abort(): Unit = if (writer != null) {
+    writer.close()
+    val p = new Path(path)
+    p.getFileSystem(conf.value).delete(p, false)
+  }
+}
+
 private[sources] class GraftStagingWriterFactory(
     stagingDir: String,
     factory: org.apache.spark.sql.execution.datasources.OutputWriterFactory,
@@ -210,9 +288,8 @@ private[sources] class GraftStagingWriterFactory(
 
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new DataWriter[InternalRow] {
-      private var writer: org.apache.spark.sql.execution.datasources.OutputWriter = _
-      private var path: String = _
-      private var rows = 0L
+      private val staging =
+        new StagingParquetWriter(stagingDir, factory, conf, schema, partitionId, taskId)
       // Spark's group-based rewrites prepend `__row_operation`
       // (RowDeltaUtils.OPERATION_COLUMN) to the ReplaceData query and only
       // strip it via ReplaceDataProjections when the operation declares
@@ -234,28 +311,15 @@ private[sources] class GraftStagingWriterFactory(
             opTagged.project(record)
             opTagged
           }
-        if (writer == null) { // lazy: empty tasks stage nothing
-          path = s"$stagingDir/part-$partitionId-$taskId-" +
-            s"${UUID.randomUUID().toString.take(8)}.parquet"
-          writer = ParquetWriteBridge.openWriter(
-            factory, conf.value, path, schema, partitionId, taskId)
-        }
-        writer.write(out)
-        rows += 1
+        staging.write(out)
       }
 
       override def commit(): WriterCommitMessage = {
-        if (writer != null) writer.close()
-        GraftStagedFile(Option(path), rows)
+        val rows = staging.rows
+        GraftStagedFile(staging.finish(), rows)
       }
 
-      override def abort(): Unit = {
-        if (writer != null) {
-          writer.close()
-          val p = new Path(path)
-          p.getFileSystem(conf.value).delete(p, false)
-        }
-      }
+      override def abort(): Unit = staging.abort()
 
       override def close(): Unit = ()
     }

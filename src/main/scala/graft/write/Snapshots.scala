@@ -60,11 +60,47 @@ object Snapshots {
   /** Stores whose `create(overwrite = false)` is genuinely atomic
    *  (server-side exclusive create / conditional put): HDFS family, ABFS
    *  (If-None-Match precondition), GCS (generation-0 precondition). s3a is
-   *  deliberately ABSENT — its create is check-then-create, so two DRIVERS
-   *  can both win a version; `file` is handled separately below with a
+   *  deliberately ABSENT from the static list — its plain create is
+   *  check-then-create, so two DRIVERS can both win a version — but S3
+   *  itself supports `If-None-Match` puts and Hadoop ≥ 3.4.2 exposes them
+   *  through the [[ConditionalCreateCap]] builder option, which the
+   *  dispatch below probes per store; `file` is handled separately with a
    *  POSIX hard-link commit that IS atomic cross-process. */
   private val AtomicCreateSchemes =
     Set("hdfs", "viewfs", "webhdfs", "swebhdfs", "abfs", "abfss", "gs")
+
+  /** HADOOP-19256 (`Options.CreateFileOptionKeys`): a store declaring this
+   *  PATH CAPABILITY performs `createFile(...).must(cap, false)` as a
+   *  server-side conditional PUT — S3's `If-None-Match: *` — committed at
+   *  `close()`, which throws on a lost race. That IS an atomic exclusive
+   *  create, so such stores (S3A with conditional writes enabled, and any
+   *  future store adopting the option) commit multi-driver-safe without
+   *  the [[AllowNonAtomicConf]] escape hatch. */
+  private[write] val ConditionalCreateCap = "fs.option.create.conditional.overwrite"
+
+  private def supportsConditionalCreate(f: FileSystem, target: Path): Boolean =
+    try f.hasPathCapability(target, ConditionalCreateCap)
+    catch { case _: Exception => false } // foreign-scheme probe quirks → no
+
+  /** Publish `bytes` at `target` via the store's conditional PUT. The
+   *  write happens at close(); a lost race surfaces there and is remapped
+   *  to the commit loop's collision type. Unrecognized IO failures
+   *  propagate — only a genuine precondition failure may count as "lost
+   *  the race" (anything else must not silently retry as if benign). */
+  private def conditionalCreate(f: FileSystem, target: Path, bytes: Array[Byte]): Unit =
+    try {
+      val out = f.createFile(target).must(ConditionalCreateCap, false).build()
+      out.write(bytes)
+      out.close()
+    } catch {
+      case e: FileAlreadyExistsException => throw e
+      case e: java.io.IOException
+          if e.getClass.getName.contains("RemoteFileChanged") ||
+            Option(e.getMessage).exists(m =>
+              m.contains("PreconditionFailed") || m.contains("412") ||
+                m.contains("already exists")) =>
+        throw new FileAlreadyExistsException(target.toString)
+    }
 
   /** In-JVM commit mutex per table root: serializes the common case of two
    *  committing jobs in ONE driver, so the filesystem race path below only
@@ -178,9 +214,54 @@ object Snapshots {
     text
   }
 
+  /** Body lines starting with this tab-delimited marker bind a DATA file
+   *  to its deletion vector for the version: `dv<TAB><rel base><TAB><rel
+   *  dv>`. All readers in this object skip/parse them positionally; plain
+   *  lines remain the data-file set, so pre-DV snapshots parse unchanged. */
+  private val DvMarker = "dv\t"
+
   private def readFiles(f: FileSystem, root: Path, version: Long): Seq[String] =
     readText(f, root, version).linesIterator.drop(1)
-      .filter(_.nonEmpty).map(rel => new Path(root, rel).toString).toSeq
+      .filter(l => l.nonEmpty && !l.startsWith(DvMarker))
+      .map(rel => new Path(root, rel).toString).toSeq
+
+  private def readDvs(f: FileSystem, root: Path, version: Long): Map[String, String] =
+    readText(f, root, version).linesIterator.drop(1)
+      .filter(_.startsWith(DvMarker))
+      .map { l =>
+        val cols = l.split('\t')
+        require(cols.length == 3, s"corrupt dv line in v$version: $l")
+        new Path(root, cols(1)).toString -> new Path(root, cols(2)).toString
+      }.toMap
+
+  /** (data file → deletion-vector file) bindings of one committed version
+   *  — empty for versions committed before any merge-on-read DML. */
+  def deletionVectors(spark: SparkSession, dir: String, version: Long)
+      : Map[String, String] = {
+    val (f, root) = fs(spark, dir)
+    readDvs(f, root, version)
+  }
+
+  /** The DV bindings a scan must apply, resolved the same way
+   *  [[resolveListing]] resolves its file set: explicit pin → that
+   *  version's bindings; no pin → latest snapshot's (none without a log).
+   *  `snapshotVersion=listing` also applies the LATEST bindings — listing
+   *  mode exists to see out-of-band FILES, not to resurrect deleted rows. */
+  def dvsForPin(spark: SparkSession, dir: String, pin: Option[String])
+      : Map[String, String] = {
+    val (f, root) = fs(spark, dir)
+    val version = pin.map(_.trim.toLowerCase) match {
+      case Some("listing") | None => latest(f, root).getOrElse(return Map.empty)
+      case Some(p) => p match {
+        case "latest" => latest(f, root).getOrElse(return Map.empty)
+        case asof if asof.startsWith("asof:") =>
+          versionAsOf(spark, dir, asof.stripPrefix("asof:").trim.toLong)
+        case t if t.startsWith("tag:") => resolveTag(spark, dir, t.stripPrefix("tag:").trim)
+        case n => n.toLong
+      }
+    }
+    readDvs(f, root, version)
+  }
 
   /** Commit wall-clock (epoch millis) recorded in a version's header — the
    *  age [[vacuum]]'s `keepCommittedWithinMs` retains by. */
@@ -224,11 +305,39 @@ object Snapshots {
     cols.length > 5 && cols(5) == "layout"
   }
 
-  /** Append-commit: next version = parent's files ∪ `added`. Retries the
+  /** Append-commit: next version = parent's files ∪ `added`; DV bindings
+   *  inherit unchanged (appends touch no existing file). Retries the
    *  optimistic create against concurrent committers. Returns the committed
    *  version. */
   def commitAppend(spark: SparkSession, dir: String, added: Seq[String]): Long =
-    commitLoop(spark, dir)(base => base ++ added.filterNot(base.toSet))
+    commitLoop(spark, dir) { case (base, dvs) =>
+      (base ++ added.filterNot(base.toSet), dvs)
+    }
+
+  /** Delta-commit (merge-on-read DML): next version = parent's files ∪
+   *  `added` (re-inserted UPDATE rows), with `dvUpdates` REPLACING the
+   *  parent's binding for each touched carrier (the new DV already unions
+   *  the old one — [[DeletionVectors.union]]). `expectedParent` carries
+   *  the same optimistic-concurrency contract as [[commitRewrite]]: DV
+   *  positions are only sound against the exact file state they were
+   *  computed from. */
+  def commitDeltas(
+      spark: SparkSession,
+      dir: String,
+      dvUpdates: Map[String, String],
+      added: Seq[String],
+      expectedParent: Option[Long]): Long = {
+    // qualify up front so carrier validation compares one path spelling
+    val (f, _) = fs(spark, dir)
+    def q(p: String): String = f.makeQualified(new Path(p)).toString
+    val qDv = dvUpdates.map { case (b, d) => q(b) -> q(d) }
+    val qAdded = added.map(q)
+    commitLoop(spark, dir, expectedParent) { case (base, dvs) =>
+      val files = base ++ qAdded.filterNot(base.toSet)
+      DeletionVectors.validateCarriers(qDv, files.toSet)
+      (files, dvs ++ qDv)
+    }
+  }
 
   /** Rewrite-commit: next version's file set is exactly `fileSet`
    *  (compaction / logical overwrite — replaced files stay on disk for
@@ -248,8 +357,17 @@ object Snapshots {
       dir: String,
       fileSet: Seq[String],
       expectedParent: Option[Long] = None,
-      layoutOnly: Boolean = false): Long =
-    commitLoop(spark, dir, expectedParent, layoutOnly)(_ => fileSet)
+      layoutOnly: Boolean = false,
+      dvOverride: Option[Map[String, String]] = None): Long =
+    commitLoop(spark, dir, expectedParent, layoutOnly) { case (_, dvs) =>
+      // DV bindings survive for KEPT files and drop with replaced ones —
+      // sound because every rewrite path reads its inputs with DVs applied
+      // ([[DeletionVectors.applyToRead]] / the DSv2 DV readers), so the
+      // replacement files have the deletions materialized. `dvOverride`
+      // (restore) installs an explicit historical binding set instead.
+      val kept = fileSet.toSet
+      (fileSet, dvOverride.getOrElse(dvs.filter { case (base, _) => kept(base) }))
+    }
 
   /** Thrown when [[commitRewrite]]'s `expectedParent` no longer heads the
    *  log — a concurrent commit landed after the rewrite's source state was
@@ -261,7 +379,8 @@ object Snapshots {
       spark: SparkSession, dir: String,
       expectedParent: Option[Long] = None,
       layoutOnly: Boolean = false)(
-      next: Seq[String] => Seq[String]): Long = {
+      next: (Seq[String], Map[String, String]) => (Seq[String], Map[String, String]))
+      : Long = {
     val (f, root) = fs(spark, dir)
     val allowUnsafe =
       spark.conf.getOption(AllowNonAtomicConf).exists(_.trim.toBoolean)
@@ -308,13 +427,19 @@ object Snapshots {
     } else if (AtomicCreateSchemes.contains(scheme) || allowUnsafe) {
       val out = f.create(target, false)
       try out.write(bytes) finally out.close()
+    } else if (supportsConditionalCreate(f, target)) {
+      // s3a (Hadoop ≥ 3.4.2 conditional writes) and future adopters:
+      // If-None-Match put — a real multi-driver guarantee, no escape hatch
+      conditionalCreate(f, target, bytes)
     } else {
       throw new UnsupportedOperationException(
         s"snapshot commit needs atomic exclusive create, which scheme '$scheme' " +
           "does not guarantee (check-then-create lets two drivers win the same " +
           "version, silently losing files from the log). Commit on a conditional-" +
-          s"put store (${AtomicCreateSchemes.mkString("/")}), or accept single-" +
-          s"driver-only semantics explicitly with spark.conf.set(\"$AllowNonAtomicConf\", \"true\")")
+          s"put store (${AtomicCreateSchemes.mkString("/")}, or any store " +
+          s"declaring the '$ConditionalCreateCap' capability — s3a with Hadoop " +
+          "3.4.2+ conditional writes), or accept single-driver-only semantics " +
+          s"explicitly with spark.conf.set(\"$AllowNonAtomicConf\", \"true\")")
     }
   }
 
@@ -322,7 +447,8 @@ object Snapshots {
       f: FileSystem, root: Path, dir: String, allowUnsafe: Boolean,
       expectedParent: Option[Long] = None,
       layoutOnly: Boolean = false)(
-      next: Seq[String] => Seq[String]): Long = {
+      next: (Seq[String], Map[String, String]) => (Seq[String], Map[String, String]))
+      : Long = {
     var attempt = 0
     while (attempt < MaxCommitAttempts) {
       attempt += 1
@@ -336,6 +462,7 @@ object Snapshots {
               "would drop the concurrent files from the log)")
       }
       val base = parent.map(readFiles(f, root, _)).getOrElse(Nil)
+      val baseDvs = parent.map(readDvs(f, root, _)).getOrElse(Map.empty[String, String])
       val version = parent.getOrElse(0L) + 1
       val body = new StringBuilder()
         .append(Magic).append('\t').append(1).append('\t').append(version)
@@ -349,8 +476,13 @@ object Snapshots {
       // qualify before relativizing: callers hand in paths from different
       // producers (listings, inputFiles) whose URI spellings differ
       // (file:/ vs file:///) for the same file
-      next(base).map(p => relativize(root, f.makeQualified(new Path(p)).toString))
-        .distinct.sorted.foreach(r => body.append(r).append('\n'))
+      val (nextFiles, nextDvs) = next(base, baseDvs)
+      def rel(p: String): String = relativize(root, f.makeQualified(new Path(p)).toString)
+      nextFiles.map(rel).distinct.sorted.foreach(r => body.append(r).append('\n'))
+      nextDvs.toSeq.map { case (b, d) => (rel(b), rel(d)) }.sorted
+        .foreach { case (b, d) =>
+          body.append(DvMarker).append(b).append('\t').append(d).append('\n')
+        }
       try {
         // exclusive create IS the commit: exactly one writer wins a version
         createExclusive(f, vPath(root, version),
@@ -410,8 +542,10 @@ object Snapshots {
       v <= last - keepLast && !ageProtected(v) && !tagged.contains(v))
     if (drop.isEmpty) return Nil
     val keptFiles = keep.flatMap(readFiles(f, root, _)).toSet
-    val doomed = drop.flatMap(readFiles(f, root, _)).distinct
-      .filterNot(keptFiles)
+    // DV files age out with the snapshots that bind them, same rule as data
+    val keptDvs = keep.flatMap(readDvs(f, root, _).values).toSet
+    val doomed = (drop.flatMap(readFiles(f, root, _)).distinct.filterNot(keptFiles) ++
+      drop.flatMap(readDvs(f, root, _).values).distinct.filterNot(keptDvs))
     if (dryRun) return doomed // report what WOULD go; touch nothing
     doomed.foreach(p => f.delete(new Path(p), false))
     drop.foreach(v => f.delete(vPath(root, v), false))
@@ -437,13 +571,17 @@ object Snapshots {
     // files would vanish from the log and be vacuumed later (data loss)
     val head = latest(f, root)
     val want = readFiles(f, root, toVersion)
-    val gone = want.filterNot(p => f.exists(new Path(p)))
+    val wantDvs = readDvs(f, root, toVersion)
+    val gone = (want ++ wantDvs.values).filterNot(p => f.exists(new Path(p)))
     if (gone.nonEmpty)
       throw new IllegalStateException(
         s"restore to v$toVersion of $dir impossible: ${gone.length} of its " +
           s"${want.length} file(s) were vacuumed or deleted out-of-band " +
           s"(first missing: ${gone.head})")
-    val v = commitRewrite(spark, dir, want, expectedParent = head)
+    // restore re-installs the historical DV bindings too — restoring files
+    // without their DVs would resurrect that version's deleted rows
+    val v = commitRewrite(spark, dir, want, expectedParent = head,
+      dvOverride = Some(wantDvs))
     graft.sources.TokenPruner.invalidateListing(dir)
     v
   }

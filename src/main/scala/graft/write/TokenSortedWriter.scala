@@ -812,18 +812,28 @@ object TokenSortedWriter {
     val affected = graft.sources.TokenPruner.prune(spark, live, filters, schema)
     if (affected.isEmpty) return 0L
     val keyDf = broadcast(keys.select(schema.partitionKeys.map(qcol): _*))
+    // merge-on-read state folds through this rewrite too: affected files
+    // read with their DVs applied (deleted rows neither counted nor
+    // re-staged), and the snapshot commit's kept-files filter drops the
+    // replaced files' stale bindings
+    val dvBindings = head
+      .map(v => Snapshots.deletionVectors(spark, dir, v))
+      .getOrElse(Map.empty[String, String])
     var removed = 0L
     val replacements = scala.collection.mutable.Map[String, Option[String]]()
     affected.foreach { meta =>
-      val original = spark.read.parquet(meta.path)
+      val original = DeletionVectors.applyToRead(spark, Seq(meta.path), dvBindings)
       // persisted: the count probe and the replacement write otherwise
       // each re-read the file and re-run the anti-join (2x IO per file)
       val kept = original.join(keyDf, schema.partitionKeys, "left_anti")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
+      // footer counts include DV'd rows — live count needs the applied read
+      val liveRows =
+        if (dvBindings.contains(meta.path)) original.count() else meta.rows
       val keptN = kept.count()
-      removed += meta.rows - keptN
-      if (keptN == meta.rows) {
+      removed += liveRows - keptN
+      if (keptN == liveRows) {
         // pruning was conservative; nothing in this file actually matches
         replacements += meta.path -> Some(meta.path)
       } else if (keptN == 0L) {
@@ -1071,10 +1081,18 @@ object TokenSortedWriter {
       }
     if (bins.isEmpty) return 0L
 
+    // deletion vectors on bin members FOLD here: the packed replacement
+    // reads with DVs applied, so its bytes materialize the deletions and
+    // the commit's kept-files filter drops the stale bindings. Logical
+    // rows are unchanged (the DV'd rows were already deleted), so the
+    // commit stays layout-only and change capture still rides across.
+    val dvBindings = head
+      .map(v => Snapshots.deletionVectors(spark, dir, v))
+      .getOrElse(Map.empty[String, String])
     val replaced = scala.collection.mutable.ArrayBuffer.empty[String]
     val fresh = scala.collection.mutable.ArrayBuffer.empty[String]
     bins.foreach { bin =>
-      val raw = spark.read.parquet(bin.map(_.path): _*)
+      val raw = DeletionVectors.applyToRead(spark, bin.map(_.path), dvBindings)
       val sortCols =
         (if (raw.columns.contains(TokenCol)) TokenCol +: schema.primaryKey
          else schema.primaryKey).filter(raw.columns.contains).map(qcol)

@@ -1,0 +1,137 @@
+package org.apache.spark.sql.graftshim
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{GenericInternalRow, JoinedRow}
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory}
+import org.apache.spark.sql.execution.datasources.FilePartition
+import org.apache.spark.sql.vectorized.ColumnarBatch
+import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.util.SerializableConfiguration
+
+/**
+ * Position-aware reading for the graft DSv2 source: whole-file, row-based
+ * partitions whose readers (a) SKIP positions listed in a deletion vector
+ * and (b) optionally APPEND `_graft_file` / `_graft_pos` metadata columns
+ * — the physical row coordinates merge-on-read DML deletes by.
+ *
+ * Positions are physical file coordinates: the wrapped partition must
+ * cover EXACTLY one whole file with its splits in offset order (see
+ * [[PositionAwareScanUtil.positionedPartitions]]), and the inner reader
+ * must run with NO parquet row filters (a row-group or page skipped by a
+ * pushed predicate would silently shift every later position). The graft
+ * source guarantees both: positioned batches are built filter-free — all
+ * graft filters are residual, so Spark re-applies them above the scan —
+ * and partitions come from [[ClusteredScanUtil.wholeFilePartitions]].
+ *
+ * Files WITHOUT a DV keep Spark's stock split/vectorized path untouched;
+ * the moment any positioned partition exists the whole scan reports
+ * row-based reads (Spark requires partition uniformity), which is the
+ * documented merge-on-read read tax until OPTIMIZE folds the DVs away.
+ */
+object PositionAwareScanUtil {
+
+  /** One whole-file partition per file of `planned`, tagged with the
+   *  file's path so the factory can bind its DV and metadata emission.
+   *  `planned` must come from a batch over exactly the wanted files. */
+  def positionedPartitions(
+      planned: Array[InputPartition],
+      dvByFile: Map[String, String],
+      emitFileCol: Boolean,
+      emitPosCol: Boolean): Array[InputPartition] =
+    ClusteredScanUtil.wholeFilePartitions(planned).map { p =>
+      val fp = p.asInstanceOf[FilePartition]
+      val path = fp.files.head.filePath.toPath.toString
+      PositionedPartition(fp, path, dvByFile.get(path), emitFileCol, emitPosCol)
+        : InputPartition
+    }
+}
+
+/** A whole-file partition + the per-file context its reader needs. */
+final case class PositionedPartition(
+    inner: FilePartition,
+    filePath: String,
+    dvPath: Option[String],
+    emitFileCol: Boolean,
+    emitPosCol: Boolean) extends InputPartition {
+  override def preferredLocations(): Array[String] = inner.preferredLocations()
+}
+
+/**
+ * Dispatching factory: [[PositionedPartition]]s read row-based through
+ * `positionedInner` (built filter-free) wrapped with DV skip + metadata
+ * append; every other partition goes straight to `plainInner`. When any
+ * positioned partition exists the scan must be planned row-based
+ * everywhere (`forceRowBased`) — Spark requires all partitions of one
+ * scan to agree on columnar support.
+ */
+class PositionAwareReaderFactory(
+    plainInner: PartitionReaderFactory,
+    positionedInner: PartitionReaderFactory,
+    conf: SerializableConfiguration,
+    forceRowBased: Boolean) extends PartitionReaderFactory {
+
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = p match {
+    case pp: PositionedPartition =>
+      val dv = pp.dvPath
+        .map(d => graft.write.DeletionVectors.read(
+          new Path(d).getFileSystem(conf.value), d))
+        .getOrElse(Array.empty[Long])
+      new PositionAwareReader(
+        positionedInner.createReader(pp.inner), dv, pp.filePath,
+        pp.emitFileCol, pp.emitPosCol)
+    case other => plainInner.createReader(other)
+  }
+
+  override def createColumnarReader(p: InputPartition): PartitionReader[ColumnarBatch] =
+    p match {
+      case _: PositionedPartition =>
+        throw new IllegalStateException(
+          "positioned graft partitions are row-based by construction")
+      case other => plainInner.createColumnarReader(other)
+    }
+
+  override def supportColumnarReads(p: InputPartition): Boolean =
+    !forceRowBased && (p match {
+      case _: PositionedPartition => false
+      case other => plainInner.supportColumnarReads(other)
+    })
+}
+
+/** Row reader over one whole file: counts PHYSICAL positions, skips the
+ *  DV'd ones, optionally appends (file, pos). The deleted-position probe
+ *  is a forward cursor — positions arrive non-decreasing, so the whole
+ *  scan pays O(rows + |dv|), never a per-row search. */
+class PositionAwareReader(
+    inner: PartitionReader[InternalRow],
+    deleted: Array[Long],
+    filePath: String,
+    emitFileCol: Boolean,
+    emitPosCol: Boolean) extends PartitionReader[InternalRow] {
+
+  private val cursor = new graft.write.DeletionVectors.Cursor(deleted)
+  private var pos = -1L
+  private val fileUtf8 = UTF8String.fromString(filePath)
+  private val metaRow = new GenericInternalRow(
+    (if (emitFileCol) 1 else 0) + (if (emitPosCol) 1 else 0))
+  private val joined = new JoinedRow
+
+  override def next(): Boolean = {
+    while (inner.next()) {
+      pos += 1
+      if (!cursor.deleted(pos)) return true
+    }
+    false
+  }
+
+  override def get(): InternalRow =
+    if (!emitFileCol && !emitPosCol) inner.get()
+    else {
+      var i = 0
+      if (emitFileCol) { metaRow.update(i, fileUtf8); i += 1 }
+      if (emitPosCol) metaRow.setLong(i, pos)
+      joined(inner.get(), metaRow)
+    }
+
+  override def close(): Unit = inner.close()
+}

@@ -70,4 +70,48 @@ class RetrievalSpec extends SparkSpec {
       l.contains("WindowGroupLimit") && l.contains("Partial")),
       s"expected partial WindowGroupLimit for the rrf cut:\n$plan")
   }
+
+  test("pluggable dense leg: swapped ANN retrievers reproduce the exact hybrid " +
+      "at recall-1 constructions") {
+    // positive-orthant vectors → every sign-LSH bucket is identical
+    // (single bucket ⇒ LSH scores the full corpus ⇒ recall 1); quantized
+    // with a rescore pool covering the corpus is exact by construction
+    val corpus = (0L until 24L).map { i =>
+      val text = s"w${i % 6} w${(i * 7) % 6} filler$i"
+      val vec = Array.tabulate(8)(j => 0.1f + (((i + 1) * (j + 3)) % 11).toFloat / 11f)
+      (i, text, vec)
+    }.toDF("id", "text", "vec")
+    // disjoint query ids: the ANN tiers exclude id-equal self matches,
+    // the exact tier is called without exclusion — disjointness makes all
+    // three legs see the identical candidate space
+    val queries = corpus.filter($"id" < 3L)
+      .select(($"id" + 1000L).as("qid"), $"text".as("qtext"), $"vec")
+    def run(dense: Retrieval.DenseRetriever) =
+      Retrieval.hybridTopK(corpus, queries, "id", "text", "vec",
+          "qid", "qtext", k = 5, dense = dense)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+        .sortBy(t => (t._1, t._3)).toSeq
+    val exact = run(Retrieval.DenseExact)
+    // rescoreFactor 5 ⇒ pool = 2k·5 = 50 > corpus ⇒ exact candidates
+    assert(run(Retrieval.denseQuantized(rescoreFactor = 5)) == exact,
+      "quantized leg at full-coverage rescore must reproduce the exact hybrid")
+
+    // LSH recall-1 construction: collinear vectors — scaling preserves
+    // every hyperplane sign, so ALL rows share one bucket (full candidate
+    // space) and cosine ties resolve identically by id
+    val collinear = (0L until 24L).map { i =>
+      val text = s"w${i % 6} w${(i * 7) % 6} filler$i"
+      (i, text, Array.tabulate(8)(j => (j + 1).toFloat * (i + 1)))
+    }.toDF("id", "text", "vec")
+    val cq = collinear.filter($"id" < 3L)
+      .select(($"id" + 1000L).as("qid"), $"text".as("qtext"), $"vec")
+    def runC(dense: Retrieval.DenseRetriever) =
+      Retrieval.hybridTopK(collinear, cq, "id", "text", "vec",
+          "qid", "qtext", k = 5, dense = dense)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+        .sortBy(t => (t._1, t._3)).toSeq
+    assert(runC(Retrieval.denseLsh(planes = 4, probeHamming = 0)) ==
+      runC(Retrieval.DenseExact),
+      "LSH leg on a single-bucket construction must reproduce the exact hybrid")
+  }
 }

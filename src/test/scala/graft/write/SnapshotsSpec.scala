@@ -232,6 +232,26 @@ class SnapshotsSpec extends SparkSpec {
     assert(feed.select("id").as[Long].collect().sorted.toSeq == (5L until 8L))
   }
 
+  test("conditional-put stores (HADOOP-19256 capability) commit without the escape hatch") {
+    val conf = spark.sessionState.newHadoopConf()
+    conf.set("fs.condput.impl", classOf[graft.write.CondPutFileSystem].getName)
+    val d = Files.createTempDirectory("graft_condput_")
+    val target = new org.apache.hadoop.fs.Path(s"condput://host$d/v1.txt")
+    val fs = target.getFileSystem(conf)
+    // capability declared → the dispatch takes the conditional PUT path
+    Snapshots.createExclusive(fs, target,
+      "graft-snapshot\t1\t1\t0\t-\nwinner\n".getBytes, allowUnsafe = false)
+    assert(new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$d/v1.txt"))).startsWith("graft-snapshot\t"))
+    // a lost race surfaces as the commit loop's collision type
+    intercept[org.apache.hadoop.fs.FileAlreadyExistsException] {
+      Snapshots.createExclusive(fs, target, "loser\n".getBytes, allowUnsafe = false)
+    }
+    // the failed put must not clobber the winner
+    assert(new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$d/v1.txt"))).contains("winner"))
+  }
+
   test("commit refuses non-atomic stores; local commit publishes atomically") {
     val fs = new org.apache.hadoop.fs.Path("/tmp")
       .getFileSystem(spark.sessionState.newHadoopConf())
