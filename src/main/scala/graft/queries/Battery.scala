@@ -2247,6 +2247,59 @@ object Battery {
         .select(col("doc_id"), col("source"), col("n_chars"))
     }),
 
+    // MERGE WITH SCHEMA EVOLUTION: the source carries a column the target
+    // lacks — one statement adds it (catalog alterTable, nullable append)
+    // AND runs the 2-action merge against the evolved schema. Oracle
+    // replays the row algebra with the evolved column closed-form.
+    "q187_merge_evolve" -> ((s, d) => {
+      val cat = "gmse" + java.util.UUID.randomUUID().toString.take(8)
+      val base = java.nio.file.Files.createTempDirectory("graft_mseq_").toString
+      s.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.base", base)
+      s.sql(s"CREATE TABLE $cat.db.docs (doc_id BIGINT, source STRING, n_chars BIGINT) " +
+        "USING graft OPTIONS (pk 'doc_id', partitions '4', snapshot 'true')")
+      docs(s, d).filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .createOrReplaceTempView("q187_target")
+      docs(s, d).filter(col("doc_id") % 3 === 0)
+        .select(col("doc_id"), (col("n_chars") + lit(7L)).as("nc"),
+          concat(lit("f"), (col("doc_id") % 4).cast("string")).as("flag"))
+        .createOrReplaceTempView("q187_src")
+      s.sql(s"INSERT INTO $cat.db.docs SELECT doc_id, source, n_chars FROM q187_target")
+      s.sql(
+        s"""MERGE WITH SCHEMA EVOLUTION INTO $cat.db.docs t
+           |USING q187_src s ON t.doc_id = s.doc_id
+           |WHEN MATCHED THEN UPDATE SET n_chars = s.nc, flag = s.flag
+           |WHEN NOT MATCHED THEN INSERT (doc_id, source, n_chars, flag)
+           |  VALUES (s.doc_id, 'merged', s.nc, s.flag)""".stripMargin)
+      s.table(s"$cat.db.docs")
+        .select(col("doc_id"), col("source"), col("n_chars"), col("flag"))
+    }),
+
+    // SQL RENAME COLUMN via name mapping: the physical parquet name never
+    // moves — a pre-rename generation and a post-rename insert read back
+    // through the SAME logical column (metadata-only evolution, zero
+    // rewrites). The oracle states the union closed-form.
+    "q186_rename_column" -> ((s, d) => {
+      val cat = "gren" + java.util.UUID.randomUUID().toString.take(8)
+      val base = java.nio.file.Files.createTempDirectory("graft_renq_").toString
+      s.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.base", base)
+      s.sql(s"CREATE TABLE $cat.db.docs (doc_id BIGINT, source STRING, n_chars BIGINT) " +
+        "USING graft OPTIONS (pk 'doc_id', partitions '2')")
+      docs(s, d).select(col("doc_id"), col("source"), col("n_chars"))
+        .createOrReplaceTempView("q186_docs")
+      s.sql(s"INSERT INTO $cat.db.docs SELECT doc_id, source, n_chars FROM q186_docs")
+      s.sql(s"ALTER TABLE $cat.db.docs RENAME COLUMN n_chars TO chars")
+      s.sql(s"INSERT INTO $cat.db.docs " +
+        "SELECT doc_id + 1000000, source, n_chars + 5 FROM q186_docs")
+      // filter pushdown on the renamed column must translate (and prune
+      // nothing away wrongly): count both generations through it
+      require(s.table(s"$cat.db.docs").filter(col("chars") >= 0).count() ==
+        2 * docs(s, d).count(), "renamed-column filter lost rows")
+      s.table(s"$cat.db.docs").select(col("doc_id"), col("source"), col("chars"))
+    }),
+
     // DESCRIBE HISTORY surface: two appends, an OPTIMIZE repack, another
     // append — the history DataFrame must carry the exact lineage
     // (versions, parents, file counts, rewrite vs layout-only flags),
@@ -4662,6 +4715,27 @@ object Battery {
         |SELECT v AS vertex, CAST(pr AS BIGINT) AS pr,
         |       row_number() OVER (ORDER BY pr DESC, v ASC) AS rank
         |FROM p2""".stripMargin,
+    // the evolved column: matched rows take the source value, pre-merge
+    // rows read NULL, inserted rows land under 'merged'
+    "q187_merge_evolve" ->
+      """WITH t AS (SELECT doc_id, source, n_chars FROM documents WHERE doc_id % 2 = 0),
+        |s AS (SELECT doc_id, n_chars + 7 AS nc,
+        |             'f' || CAST(doc_id % 4 AS VARCHAR) AS flag
+        |      FROM documents WHERE doc_id % 3 = 0)
+        |SELECT t.doc_id, t.source,
+        |  CASE WHEN s.doc_id IS NOT NULL THEN s.nc ELSE t.n_chars END AS n_chars,
+        |  CASE WHEN s.doc_id IS NOT NULL THEN s.flag ELSE NULL END AS flag
+        |FROM t LEFT JOIN s ON t.doc_id = s.doc_id
+        |UNION ALL
+        |SELECT s.doc_id, 'merged' AS source, s.nc AS n_chars, s.flag
+        |FROM s LEFT JOIN t ON s.doc_id = t.doc_id
+        |WHERE t.doc_id IS NULL""".stripMargin,
+    // both generations through the renamed logical column
+    "q186_rename_column" ->
+      """SELECT doc_id, source, n_chars AS chars FROM documents
+        |UNION ALL
+        |SELECT doc_id + 1000000 AS doc_id, source, n_chars + 5 AS chars
+        |FROM documents""".stripMargin,
     // q166's update algebra plus the delete — executed as DVs + re-insert
     // generations, final state identical to the statement algebra
     "q184_mor_dml" ->

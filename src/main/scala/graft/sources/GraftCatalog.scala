@@ -207,37 +207,43 @@ class GraftCatalog extends TableCatalog
     loadTable(ident)
   }
 
-  /** Schema evolution in SQL — the subset that is SAFE on a name-mapped
+  /** Schema evolution in SQL — every alter that is SAFE on a name-mapped
    *  parquet layout without rewriting data:
    *
    *   - `ADD COLUMNS (c T)` (nullable, top-level, appended): existing
    *     files simply read null for the new column (q154 proved the scan
-   *     path; this makes it a one-statement SQL operation);
+   *     path). Re-adding a previously DROPPED logical name gets a FRESH
+   *     physical name (`c__r<n>`), so the old files' stored bytes can
+   *     never resurrect — the field-id-style severing Delta/Iceberg get
+   *     from column mapping;
    *   - `DROP COLUMN c` for non-key columns: the meta schema shrinks, the
-   *     stale bytes in old files are pruned away by every future scan.
+   *     stale bytes in old files are pruned away by every future scan,
+   *     and the column's PHYSICAL name is recorded so a future re-add
+   *     cannot reconnect to it;
+   *   - `RENAME COLUMN a TO b` for non-key columns: metadata-only — the
+   *     physical parquet name stays what it always was (the `colmap`
+   *     logical→physical indirection; writes keep producing the physical
+   *     name, scans translate), so existing data stays connected and no
+   *     file is rewritten. Key / clustering / dir-partition columns
+   *     refuse (they drive the layout and the pruning stats).
    *
-   *  Renames and type changes are REFUSED: parquet columns resolve by
-   *  name, so a rename would silently disconnect existing data and a type
-   *  change would corrupt it — the two failure modes a metadata-only
-   *  alter must never allow. Property changes other than these are
-   *  likewise refused loudly.
-   *
-   *  Name-mapping corollary (documented, not hidden): re-ADDing a column
-   *  NAME that was previously dropped resurrects the old files' stored
-   *  values for rows that still carry them (the engine has no field-id
-   *  indirection to sever them). Compact first if the old bytes must not
-   *  come back. */
+   *  Type changes are REFUSED: a metadata-only type change corrupts
+   *  stored data. Property changes other than these are likewise refused
+   *  loudly. */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     import org.apache.spark.sql.connector.catalog.TableChange._
     val dir = dirFor(ident)
     val f = fs(dir)
     if (!f.exists(metaPath(dir))) throw new NoSuchTableException(ident)
-    val (schema0, pairs) = GraftCatalog.readMeta(f, metaPath(dir))
+    val (schema0, pairs0) = GraftCatalog.readMeta(f, metaPath(dir))
     // dir-partition columns are as load-bearing as keys: dropping one would
     // leave a stale partitionBy option and break every subsequent INSERT
-    val keyCols = pairs.toMap.get("pk").toSeq.flatMap(_.split(',')).map(_.trim) ++
-      pairs.toMap.get("ck").toSeq.flatMap(_.split(',')).map(_.trim) ++
-      pairs.toMap.get("partitionBy").toSeq.flatMap(_.split(',')).map(_.trim)
+    val keyCols = pairs0.toMap.get("pk").toSeq.flatMap(_.split(',')).map(_.trim) ++
+      pairs0.toMap.get("ck").toSeq.flatMap(_.split(',')).map(_.trim) ++
+      pairs0.toMap.get("partitionBy").toSeq.flatMap(_.split(',')).map(_.trim)
+    var colMap = GraftCatalog.parseColMap(pairs0.toMap.get("colmap"))
+    var droppedPhys = pairs0.toMap.get("droppedPhys").toSeq
+      .flatMap(_.split(';')).map(_.trim).filter(_.nonEmpty)
     val schema = changes.foldLeft(schema0) { (s, change) =>
       change match {
         case a: AddColumn =>
@@ -250,8 +256,18 @@ class GraftCatalog extends TableCatalog
           require(a.position() == null,
             s"ADD COLUMNS FIRST/AFTER is not supported (new columns append; " +
               s"parquet resolves by name, so order is cosmetic here)")
+          val name = a.fieldNames.head
+          // the default physical name is the logical one; if files may
+          // ever have stored that physical name (it was dropped, or a
+          // rename left it behind), mint a fresh one — severs old bytes
+          val taken = droppedPhys.toSet ++ colMap.values
+          if (taken.contains(name)) {
+            val fresh = Iterator.from(1).map(i => s"${name}__r$i")
+              .find(c => !taken.contains(c) && !s.fieldNames.contains(c)).get
+            colMap = colMap + (name -> fresh)
+          }
           StructType(s.fields :+ org.apache.spark.sql.types.StructField(
-            a.fieldNames.head, a.dataType, nullable = true))
+            name, a.dataType, nullable = true))
         case d: DeleteColumn =>
           require(d.fieldNames.length == 1,
             s"only top-level DROP COLUMN supported, got ${d.fieldNames.mkString(".")}")
@@ -259,12 +275,36 @@ class GraftCatalog extends TableCatalog
           require(!keyCols.contains(name),
             s"cannot drop key column $name (it drives the token layout)")
           require(s.fieldNames.contains(name), s"no such column $name")
+          // remember the physical name: a future re-add must not reconnect
+          droppedPhys = (droppedPhys :+ colMap.getOrElse(name, name)).distinct
+          colMap = colMap - name
           StructType(s.fields.filterNot(_.name == name))
+        case r: RenameColumn =>
+          require(r.fieldNames.length == 1,
+            s"only top-level RENAME COLUMN supported, got ${r.fieldNames.mkString(".")}")
+          val from = r.fieldNames.head
+          val to = r.newName
+          require(s.fieldNames.contains(from), s"no such column $from")
+          require(!s.fieldNames.contains(to), s"column $to already exists")
+          require(!keyCols.contains(from),
+            s"cannot rename key/partition column $from (it drives the token " +
+              "layout and the pruning statistics)")
+          // physical name NEVER moves: logical `to` now points at it
+          val phys = colMap.getOrElse(from, from)
+          colMap = colMap - from + (to -> phys)
+          StructType(s.fields.map(fld =>
+            if (fld.name == from) fld.copy(name = to) else fld))
         case other => throw new UnsupportedOperationException(
-          s"graft tables support only ADD COLUMNS / DROP COLUMN alters " +
-            s"(parquet name-mapping makes renames and type changes data-corrupting), got $other")
+          s"graft tables support only ADD COLUMNS / DROP COLUMN / RENAME COLUMN " +
+            s"alters (a metadata-only type change corrupts stored data), got $other")
       }
     }
+    // identity entries are noise — keep the descriptor minimal
+    colMap = colMap.filter { case (l, p) => l != p }
+    val carried = pairs0.filterNot(p => p._1 == "colmap" || p._1 == "droppedPhys")
+    val pairs = carried ++
+      (if (colMap.nonEmpty) Seq("colmap" -> GraftCatalog.renderColMap(colMap)) else Nil) ++
+      (if (droppedPhys.nonEmpty) Seq("droppedPhys" -> droppedPhys.mkString(";")) else Nil)
     GraftCatalog.writeMeta(f, metaPath(dir), schema, pairs, overwrite = true)
     loadTable(ident)
   }
@@ -289,6 +329,19 @@ class GraftCatalog extends TableCatalog
 
 object GraftCatalog {
   val MetaFile = "_graft_table.meta"
+
+  /** `colmap` pair codec: `logical=physical;logical=physical` — only
+   *  non-identity entries are stored. */
+  private[sources] def parseColMap(s: Option[String]): Map[String, String] =
+    s.toSeq.flatMap(_.split(';')).map(_.trim).filter(_.nonEmpty).map { e =>
+      e.split("=", 2) match {
+        case Array(l, p) => l -> p
+        case _ => throw new IllegalArgumentException(s"corrupt colmap entry: $e")
+      }
+    }.toMap
+
+  private[sources] def renderColMap(m: Map[String, String]): String =
+    m.toSeq.sorted.map { case (l, p) => s"$l=$p" }.mkString(";")
 
   /** Line 1: Spark schema JSON. Following lines: key<TAB>value pairs.
    *  `overwrite = true` (alters) truncate-writes in place — a mid-write

@@ -148,7 +148,9 @@ class GraftDataSource extends TableProvider with DataSourceRegister
       snapshot = options.getBoolean("snapshot", false),
       partitionBy = Option(options.get("partitionBy"))
         .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil))
-    TokenSortedWriter.write(data, cql, pathOf(options), mode, conf)
+    TokenSortedWriter.write(
+      GraftDataSource.renameColumns(data, GraftDataSource.colMapFrom(options)),
+      cql, pathOf(options), mode, conf)
     val outerSql = sqlContext
     val outSchema = data.schema
     new BaseRelation {
@@ -165,6 +167,60 @@ object GraftDataSource {
    *  readers (requesting either forces whole-file row-based reads). */
   val FileCol = "_graft_file"
   val PosCol = "_graft_pos"
+
+  // ---- column name mapping (`colmap` option, written by the catalog's
+  // RENAME COLUMN): logical→physical indirection in the Delta column-
+  // mapping style. Physical parquet names NEVER change after first write;
+  // renames move only the logical name, re-adds of dropped names mint
+  // fresh physical names. Scans translate schemas/filters logical→
+  // physical (rows are positional, so no per-row rename exists), writes
+  // rename the frame before the sink.
+
+  def colMapFrom(options: CaseInsensitiveStringMap): Map[String, String] =
+    GraftCatalog.parseColMap(Option(options.get("colmap")))
+
+  def renameStruct(s: StructType, m: Map[String, String]): StructType =
+    if (m.isEmpty) s
+    else StructType(s.fields.map(f => m.get(f.name).fold(f)(p => f.copy(name = p))))
+
+  def renameColumns(df: DataFrame, m: Map[String, String]): DataFrame =
+    m.foldLeft(df) { case (d, (l, p)) =>
+      if (d.columns.contains(l)) d.withColumnRenamed(l, p) else d
+    }
+
+  /** Translate a pushed filter's attribute names logical→physical. None =
+   *  a filter shape this translator doesn't know that REFERENCES a mapped
+   *  column — the caller drops it (pushdown/pruning are best-effort; the
+   *  residual copy above the scan keeps correctness). */
+  def renameFilter(f: Filter, m: Map[String, String]): Option[Filter] = {
+    import org.apache.spark.sql.sources._
+    if (m.isEmpty) return Some(f)
+    def n(a: String) = m.getOrElse(a, a)
+    f match {
+      case EqualTo(a, v) => Some(EqualTo(n(a), v))
+      case EqualNullSafe(a, v) => Some(EqualNullSafe(n(a), v))
+      case GreaterThan(a, v) => Some(GreaterThan(n(a), v))
+      case GreaterThanOrEqual(a, v) => Some(GreaterThanOrEqual(n(a), v))
+      case LessThan(a, v) => Some(LessThan(n(a), v))
+      case LessThanOrEqual(a, v) => Some(LessThanOrEqual(n(a), v))
+      case In(a, vs) => Some(In(n(a), vs))
+      case IsNull(a) => Some(IsNull(n(a)))
+      case IsNotNull(a) => Some(IsNotNull(n(a)))
+      case StringStartsWith(a, v) => Some(StringStartsWith(n(a), v))
+      case StringEndsWith(a, v) => Some(StringEndsWith(n(a), v))
+      case StringContains(a, v) => Some(StringContains(n(a), v))
+      case And(l, r) =>
+        for { a <- renameFilter(l, m); b <- renameFilter(r, m) } yield And(a, b)
+      case Or(l, r) =>
+        for { a <- renameFilter(l, m); b <- renameFilter(r, m) } yield Or(a, b)
+      case Not(c) => renameFilter(c, m).map(Not)
+      case other =>
+        if (other.references.exists(m.contains)) None else Some(other)
+    }
+  }
+
+  def renameFilters(fs: Array[Filter], m: Map[String, String]): Array[Filter] =
+    if (m.isEmpty) fs else fs.flatMap(renameFilter(_, m))
 
   /** Role mapping from options (`pk`, `ck` comma-separated), falling back to
    *  role metadata already present on the schema (the reference gets roles
@@ -402,7 +458,13 @@ class GraftTable(
   override def schema(): StructType = annotated
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
-      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
+      // `MERGE WITH SCHEMA EVOLUTION`: Spark computes the AddColumn set
+      // from the source's extra columns and routes it through the
+      // catalog's alterTable (top-level nullable adds — exactly the
+      // name-mapped-safe evolution GraftCatalog accepts); the merge then
+      // runs against the evolved schema in the same statement
+      TableCapability.AUTOMATIC_SCHEMA_EVOLUTION)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     GraftDataSource.validateReadTypes(tableOptions)
@@ -432,7 +494,8 @@ class GraftTable(
       s"maxBytesPerTrigger must be positive, got $n"))
     new GraftScanBuilder(dir, annotated, cql,
       options.getBoolean("clustered", false), pin, changeFeed,
-      maxFilesPerTrigger, maxBytesPerTrigger)
+      maxFilesPerTrigger, maxBytesPerTrigger,
+      GraftDataSource.colMapFrom(tableOptions))
   }
 
   override def newWriteBuilder(
@@ -457,7 +520,11 @@ class GraftTable(
         new org.apache.spark.sql.connector.write.V1Write {
           override def toInsertableRelation
               : org.apache.spark.sql.sources.InsertableRelation =
-            (data: DataFrame, overwrite: Boolean) => {
+            (incoming: DataFrame, overwrite: Boolean) => {
+              // logical → physical before the sink: files always store
+              // the stable physical names (see the colmap notes above)
+              val data = GraftDataSource.renameColumns(
+                incoming, GraftDataSource.colMapFrom(tableOptions))
               val conf = TokenSortedWriter.WriteConf(
                 numPartitions = tableOptions.getInt("partitions", 0),
                 maxRecordsPerFile = tableOptions.getLong("maxRecordsPerFile", 0L),
@@ -497,7 +564,8 @@ class GraftScanBuilder(
     snapshotPin: Option[String] = None,
     changeFeed: Option[Long] = None,
     maxFilesPerTrigger: Option[Int] = None,
-    maxBytesPerTrigger: Option[Long] = None)
+    maxBytesPerTrigger: Option[Long] = None,
+    colMap: Map[String, String] = Map.empty)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownLimit
     with org.apache.spark.sql.connector.read.SupportsPushDownTopN
@@ -568,6 +636,10 @@ class GraftScanBuilder(
     val files = graft.write.Snapshots.resolveListing(
       SparkSession.active, dir, snapshotPin, listed)
     def eligible(n: String): Boolean = {
+      // footer stats are keyed by PHYSICAL names; renamed columns are
+      // non-key by the catalog contract — conservatively decline rather
+      // than answer from a stale key
+      if (colMap.contains(n)) return false
       val ok = annotated.fields.find(_.name == n).map(_.dataType).exists {
         case org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType |
              org.apache.spark.sql.types.DateType | org.apache.spark.sql.types.ShortType |
@@ -624,7 +696,8 @@ class GraftScanBuilder(
       case Some((ops, files)) => new GraftStatsScan(dir, ops, files)
       case None =>
         new GraftScan(dir, annotated, required, pushed, cql, clustered, limit,
-          snapshotPin, changeFeed, topN, maxFilesPerTrigger, maxBytesPerTrigger)
+          snapshotPin, changeFeed, topN, maxFilesPerTrigger, maxBytesPerTrigger,
+          colMap)
     }
 }
 
@@ -712,7 +785,8 @@ class GraftScan(
     changeFeed: Option[Long] = None,
     topN: Option[(String, Boolean, Int)] = None,
     maxFilesPerTrigger: Option[Int] = None,
-    maxBytesPerTrigger: Option[Long] = None)
+    maxBytesPerTrigger: Option[Long] = None,
+    colMap: Map[String, String] = Map.empty)
     extends Scan with Batch with SupportsReportStatistics with SupportsRuntimeFiltering
     with org.apache.spark.sql.graftshim.ClusterReportingScan {
 
@@ -765,7 +839,7 @@ class GraftScan(
       // a recorded file absent from the listing fails the scan
       val all = graft.write.Snapshots.resolveListing(spark, dir, snapshotPin, listed)
       listedCount = listed.length
-      files = TokenPruner.prune(spark, all, effectivePushed, cql)
+      files = TokenPruner.prune(spark, all, physPushed, cql)
       // row-count-based planning shrinks (LIMIT / top-k) are unsound while
       // deletion vectors hide rows inside files — footer counts overcount,
       // so a shrink could plan too few files and silently drop results
@@ -846,11 +920,17 @@ class GraftScan(
 
   private lazy val metaFileRequested = required.fieldNames.contains(GraftDataSource.FileCol)
   private lazy val metaPosRequested = required.fieldNames.contains(GraftDataSource.PosCol)
-  /** The schema the PARQUET readers produce: the computed metadata columns
-   *  are appended by the position-aware wrapper, never read from files.
-   *  They must be TRAILING in the requested schema (Spark puts DSv2
-   *  metadata output after data output; anything else is a planner bug we
-   *  want loud). */
+  /** Pushed filters with attribute names translated to the files' PHYSICAL
+   *  column names (identity without a colmap). A def, NOT a lazy val:
+   *  runtime filters arrive after construction and must be seen. */
+  private def physPushed: Array[Filter] =
+    GraftDataSource.renameFilters(effectivePushed, colMap)
+  /** The schema the PARQUET readers produce — PHYSICAL names (rows are
+   *  positional, so `readSchema()` stays logical): the computed metadata
+   *  columns are appended by the position-aware wrapper, never read from
+   *  files. They must be TRAILING in the requested schema (Spark puts
+   *  DSv2 metadata output after data output; anything else is a planner
+   *  bug we want loud). */
   private lazy val parquetRequired: StructType = {
     val metaIdx = required.fields.zipWithIndex.collect {
       case (f, i) if f.name == GraftDataSource.FileCol || f.name == GraftDataSource.PosCol => i
@@ -858,7 +938,7 @@ class GraftScan(
     val dataLen = required.length - metaIdx.length
     require(metaIdx.forall(_ >= dataLen),
       s"metadata columns must trail the requested schema, got ${required.fieldNames.mkString(",")}")
-    StructType(required.fields.take(dataLen))
+    GraftDataSource.renameStruct(StructType(required.fields.take(dataLen)), colMap)
   }
 
   private def positionalMode: Boolean =
@@ -872,7 +952,7 @@ class GraftScan(
         else if (metaFileRequested || metaPosRequested) Seq.empty // all positioned
         else prunedFiles.map(_.path).filterNot(dvMap.contains).toSeq
       d = ParquetScanBridge.parquetBatch(
-        spark, paths, fullFileSchema, parquetRequired, effectivePushed)
+        spark, paths, fullFileSchema, parquetRequired, physPushed)
       cachedDelegate = d
     }
     d
@@ -894,14 +974,16 @@ class GraftScan(
     d
   }
 
-  /** Files may carry `_graft_token` beyond the table schema. */
+  /** Files may carry `_graft_token` beyond the table schema. PHYSICAL
+   *  names — what the parquet footers actually store. */
   private lazy val fullFileSchema: StructType = {
+    val physData = GraftDataSource.renameStruct(dataSchema, colMap)
     val withToken = prunedFiles.headOption.exists(_.hasTokenColumn)
-    if (withToken && !dataSchema.fieldNames.contains(TokenSortedWriter.TokenCol))
-      StructType(dataSchema.fields :+
+    if (withToken && !physData.fieldNames.contains(TokenSortedWriter.TokenCol))
+      StructType(physData.fields :+
         org.apache.spark.sql.types.StructField(TokenSortedWriter.TokenCol,
           org.apache.spark.sql.types.LongType))
-    else dataSchema
+    else physData
   }
 
   /** S2 reported partitioning (reference `CassandraScanBuilder.java:122`):
@@ -967,13 +1049,17 @@ class GraftScan(
     // either never produce data or silently ignore the pin — fail fast
     snapshotPin.foreach(v => throw new IllegalArgumentException(
       s"snapshotVersion=$v is a batch-read pin; streaming reads tail the live table"))
+    // streams read the files directly: physical names throughout (rows
+    // are positional, the stream's output schema stays logical upstream)
+    val physRequired = GraftDataSource.renameStruct(required, colMap)
+    val streamPushed = GraftDataSource.renameFilters(pushed, colMap)
     changeFeed match {
       case Some(startAfter) =>
         new GraftChangeFeedStream(
-          spark, dir, fullFileSchema, required, pushed, cql, startAfter)
+          spark, dir, fullFileSchema, physRequired, streamPushed, cql, startAfter)
       case None =>
-        new GraftMicroBatchStream(spark, dir, fullFileSchema, required, pushed, cql,
-          maxFilesPerTrigger, maxBytesPerTrigger)
+        new GraftMicroBatchStream(spark, dir, fullFileSchema, physRequired,
+          streamPushed, cql, maxFilesPerTrigger, maxBytesPerTrigger)
     }
   }
 

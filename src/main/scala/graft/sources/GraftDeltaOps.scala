@@ -95,7 +95,8 @@ class GraftDeltaOperation(
   override def representUpdateAsDeleteAndInsert(): Boolean = true
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftRowLevelScanBuilder(this, dir, annotated, cql, emitRowCoords = true)
+    new GraftRowLevelScanBuilder(this, dir, annotated, cql, emitRowCoords = true,
+      colMap = GraftDataSource.colMapFrom(tableOptions))
 
   override def newWriteBuilder(info: LogicalWriteInfo): DeltaWriteBuilder =
     new GraftDeltaWrite(this, dir, annotated, cql, tableOptions, info)
@@ -220,8 +221,10 @@ class GraftDeltaWrite(
       val genFiles: Seq[String] =
         if (staged.isEmpty) Nil
         else {
-          val replacement = spark.read.schema(info.schema())
-            .parquet(staged.toIndexedSeq: _*)
+          // staged = logical names; table files = stable physical names
+          val replacement = GraftDataSource.renameColumns(
+            spark.read.schema(info.schema()).parquet(staged.toIndexedSeq: _*),
+            GraftDataSource.colMapFrom(tableOptions))
           val conf = TokenSortedWriter.WriteConf(
             numPartitions = tableOptions.getInt("partitions", 0),
             maxRecordsPerFile = tableOptions.getLong("maxRecordsPerFile", 0L),

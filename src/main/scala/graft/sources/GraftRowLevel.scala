@@ -79,7 +79,8 @@ class GraftRowLevelOperation(
   override def command(): Command = cmd
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftRowLevelScanBuilder(this, dir, annotated, cql)
+    new GraftRowLevelScanBuilder(this, dir, annotated, cql,
+      colMap = GraftDataSource.colMapFrom(tableOptions))
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new GraftReplaceDataWrite(this, dir, annotated, cql, tableOptions, info)
@@ -95,7 +96,8 @@ class GraftRowLevelScanBuilder(
     dir: String,
     annotated: StructType,
     cql: CqlSchema,
-    emitRowCoords: Boolean = false)
+    emitRowCoords: Boolean = false,
+    colMap: Map[String, String] = Map.empty)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
 
   private var pushed: Array[Filter] = Array.empty
@@ -115,7 +117,7 @@ class GraftRowLevelScanBuilder(
   }
 
   override def build(): Scan =
-    new GraftRowLevelScan(op, dir, annotated, required, pushed, cql, emitRowCoords)
+    new GraftRowLevelScan(op, dir, annotated, required, pushed, cql, emitRowCoords, colMap)
 }
 
 /** The driver-side state a row-level scan shares with its write: the
@@ -135,7 +137,8 @@ class GraftRowLevelScan(
     required: StructType,
     pushed: Array[Filter],
     cql: CqlSchema,
-    emitRowCoords: Boolean = false)
+    emitRowCoords: Boolean = false,
+    colMap: Map[String, String] = Map.empty)
     extends Scan with Batch with SupportsReportStatistics with SupportsRuntimeFiltering {
 
   private lazy val spark = SparkSession.active
@@ -171,18 +174,21 @@ class GraftRowLevelScan(
       val listed = TokenPruner.listFiles(spark, dir)
       val all = Snapshots.resolveListing(
         spark, dir, op.sourceVersion.map(_.toString), listed)
-      files = TokenPruner.prune(spark, all, pushed ++ runtime, cql)
+      files = TokenPruner.prune(spark, all,
+        GraftDataSource.renameFilters(pushed ++ runtime, colMap), cql)
       cachedPruned = files
     }
     files
   }
 
-  /** Files may carry `_graft_token` beyond the table schema. */
+  /** Files may carry `_graft_token` beyond the table schema. PHYSICAL
+   *  names (colmap indirection — renames never move stored names). */
   private lazy val fullFileSchema: StructType = {
+    val physData = GraftDataSource.renameStruct(dataSchema, colMap)
     val withToken = prunedFiles.headOption.exists(_.hasTokenColumn)
-    if (withToken && !dataSchema.fieldNames.contains(TokenSortedWriter.TokenCol))
-      StructType(dataSchema.fields :+ StructField(TokenSortedWriter.TokenCol, LongType))
-    else dataSchema
+    if (withToken && !physData.fieldNames.contains(TokenSortedWriter.TokenCol))
+      StructType(physData.fields :+ StructField(TokenSortedWriter.TokenCol, LongType))
+    else physData
   }
 
   /** DV bindings for the planned files at the pinned source version: a DML
@@ -195,10 +201,12 @@ class GraftRowLevelScan(
     case None => Map.empty
   }
 
-  /** What the parquet readers produce — the computed row-coordinate
-   *  columns are appended by the position-aware wrapper. */
-  private lazy val parquetRequired: StructType = StructType(required.fields.filterNot(
-    f => f.name == GraftDataSource.FileCol || f.name == GraftDataSource.PosCol))
+  /** What the parquet readers produce (PHYSICAL names) — the computed
+   *  row-coordinate columns are appended by the position-aware wrapper. */
+  private lazy val parquetRequired: StructType = GraftDataSource.renameStruct(
+    StructType(required.fields.filterNot(
+      f => f.name == GraftDataSource.FileCol || f.name == GraftDataSource.PosCol)),
+    colMap)
 
   private def positionalMode: Boolean = emitRowCoords || dvMap.nonEmpty
 
@@ -399,11 +407,14 @@ class GraftReplaceDataWrite(
             s"${engineFeatures.mkString(", ")} from rewritten files; update LWW tables " +
             "by writing a newer-writetime version (writetimeMicros/writetimeColumn)")
 
-      val replacement =
+      // staged files hold LOGICAL names (Catalyst's rewrite schema); the
+      // final table files store the stable PHYSICAL names
+      val replacement = GraftDataSource.renameColumns(
         if (staged.isEmpty)
           spark.createDataFrame(
             spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], info.schema())
-        else spark.read.schema(info.schema()).parquet(staged.toIndexedSeq: _*)
+        else spark.read.schema(info.schema()).parquet(staged.toIndexedSeq: _*),
+        GraftDataSource.colMapFrom(tableOptions))
       val conf = TokenSortedWriter.WriteConf(
         numPartitions = tableOptions.getInt("partitions", 0),
         maxRecordsPerFile = tableOptions.getLong("maxRecordsPerFile", 0L),

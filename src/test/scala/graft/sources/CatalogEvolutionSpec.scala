@@ -34,7 +34,7 @@ class CatalogEvolutionSpec extends SparkSpec {
     assert(t.count() == 100L)
   }
 
-  test("DROP COLUMN removes a non-key column; key drops and renames refuse") {
+  test("DROP COLUMN removes a non-key column; key drops/renames and type changes refuse") {
     spark.sql(s"CREATE TABLE $catName.db.dc (id BIGINT, a BIGINT, b STRING) " +
       "USING graft OPTIONS (pk 'id', partitions '2')")
     spark.sql(s"INSERT INTO $catName.db.dc SELECT id, id, 'x' FROM range(1, 21) AS r(id)")
@@ -42,10 +42,62 @@ class CatalogEvolutionSpec extends SparkSpec {
     assert(spark.table(s"$catName.db.dc").columns.toSeq == Seq("id", "b"))
     assert(spark.table(s"$catName.db.dc").count() == 20L)
     intercept[Exception] { spark.sql(s"ALTER TABLE $catName.db.dc DROP COLUMN id") }
-    intercept[Exception] { spark.sql(s"ALTER TABLE $catName.db.dc RENAME COLUMN b TO c") }
+    intercept[Exception] { spark.sql(s"ALTER TABLE $catName.db.dc RENAME COLUMN id TO id2") }
     intercept[Exception] {
       spark.sql(s"ALTER TABLE $catName.db.dc ALTER COLUMN b TYPE BIGINT")
     }
+  }
+
+  test("RENAME COLUMN: metadata-only — old data stays connected, filters and " +
+      "writes translate, the physical name never moves") {
+    spark.sql(s"CREATE TABLE $catName.db.rn (id BIGINT, v BIGINT, s STRING) " +
+      "USING graft OPTIONS (pk 'id', partitions '2')")
+    spark.sql(s"INSERT INTO $catName.db.rn SELECT id, id * 10, concat('s', id) " +
+      "FROM range(1, 51) AS r(id)")
+    spark.sql(s"ALTER TABLE $catName.db.rn RENAME COLUMN v TO val")
+    val t = spark.table(s"$catName.db.rn")
+    assert(t.columns.toSeq == Seq("id", "val", "s"))
+    // pre-rename data reads through the new logical name
+    assert(t.filter(col("id") === 7L).select(col("val")).head().getLong(0) == 70L)
+    // filters on the renamed column (translated pushdown) stay correct
+    assert(t.filter(col("val") === 300L).select(col("id")).head().getLong(0) == 30L)
+    // writes after the rename land under the STABLE physical name and read back
+    spark.sql(s"INSERT INTO $catName.db.rn VALUES (1000, 9999, 'new')")
+    val t2 = spark.table(s"$catName.db.rn")
+    assert(t2.count() == 51L)
+    assert(t2.filter(col("id") === 1000L).select(col("val")).head().getLong(0) == 9999L)
+    // old AND new generations agree on the logical column
+    assert(t2.agg(sum(col("val"))).head().getLong(0) ==
+      (1L to 50L).map(_ * 10).sum + 9999L)
+    // chained rename keeps the chain connected
+    spark.sql(s"ALTER TABLE $catName.db.rn RENAME COLUMN val TO value")
+    assert(spark.table(s"$catName.db.rn")
+      .filter(col("value") === 70L).count() == 1L)
+    // the files still store the ORIGINAL physical name
+    val dir = spark.conf.get(s"spark.sql.catalog.$catName.base") + "/db/rn"
+    val raw = spark.read.parquet(TokenPruner.listFiles(spark, dir).map(_.path): _*)
+    assert(raw.columns.contains("v") && !raw.columns.contains("value"),
+      s"physical name must never move, got ${raw.columns.mkString(",")}")
+  }
+
+  test("re-ADD of a dropped name gets a fresh physical name: old bytes never resurrect") {
+    spark.sql(s"CREATE TABLE $catName.db.ra (id BIGINT, g BIGINT) " +
+      "USING graft OPTIONS (pk 'id', partitions '2')")
+    spark.sql(s"INSERT INTO $catName.db.ra SELECT id, id * 100 FROM range(1, 21) AS r(id)")
+    spark.sql(s"ALTER TABLE $catName.db.ra DROP COLUMN g")
+    spark.sql(s"ALTER TABLE $catName.db.ra ADD COLUMNS (g BIGINT)")
+    val t = spark.table(s"$catName.db.ra")
+    // the 20 old rows must read NULL — not the dropped generation's values
+    assert(t.filter(col("g").isNotNull).count() == 0L,
+      "dropped bytes resurrected through a re-added name")
+    spark.sql(s"INSERT INTO $catName.db.ra VALUES (100, 7)")
+    assert(spark.table(s"$catName.db.ra")
+      .filter(col("g").isNotNull).count() == 1L)
+    // rename-after-readd keeps the severing intact
+    spark.sql(s"ALTER TABLE $catName.db.ra RENAME COLUMN g TO h")
+    val t2 = spark.table(s"$catName.db.ra")
+    assert(t2.filter(col("h").isNotNull).count() == 1L)
+    assert(t2.filter(col("h") === 7L).select(col("id")).head().getLong(0) == 100L)
   }
 
   test("INSERT OVERWRITE: atomic logical overwrite on logged tables, refused log-less") {

@@ -156,6 +156,40 @@ class RowLevelOpsSpec extends SparkSpec {
     assert(Snapshots.latestVersion(spark, dir).isEmpty)
   }
 
+  test("MERGE WITH SCHEMA EVOLUTION: source-only columns auto-ALTER the target " +
+      "and the merge lands in one statement") {
+    val dir = createLogged("mse", rows = 20)
+    spark.sql(
+      """CREATE OR REPLACE TEMP VIEW mse_src AS
+        |SELECT id, v, tag FROM VALUES
+        |  (1L, 111L, 'a'), (2L, 222L, 'b'), (1001L, 5L, 'c')
+        |AS t(id, v, tag)""".stripMargin)
+    // without the evolution clause: unknown target column refuses loudly
+    intercept[Exception] {
+      spark.sql(
+        s"""MERGE INTO $catName.db.mse t USING mse_src s ON t.id = s.id
+           |WHEN MATCHED THEN UPDATE SET v = s.v, tag = s.tag
+           |WHEN NOT MATCHED THEN INSERT (id, cat, v, tag)
+           |  VALUES (s.id, 'new', s.v, s.tag)""".stripMargin)
+    }
+    spark.sql(
+      s"""MERGE WITH SCHEMA EVOLUTION INTO $catName.db.mse t
+         |USING mse_src s ON t.id = s.id
+         |WHEN MATCHED THEN UPDATE SET v = s.v, tag = s.tag
+         |WHEN NOT MATCHED THEN INSERT (id, cat, v, tag)
+         |  VALUES (s.id, 'new', s.v, s.tag)""".stripMargin)
+    val t = spark.table(s"$catName.db.mse")
+    assert(t.columns.toSeq == Seq("id", "cat", "v", "tag"),
+      s"schema must have evolved, got ${t.columns.mkString(",")}")
+    assert(t.count() == 21L)
+    val got = t.collect().map(r =>
+      r.getLong(0) -> ((r.getLong(2), Option(r.getString(3))))).toMap
+    assert(got(1L) == ((111L, Some("a"))) && got(2L) == ((222L, Some("b"))))
+    assert(got(1001L) == ((5L, Some("c"))))
+    // untouched pre-evolution rows read null for the new column
+    assert(got(3L)._2.isEmpty)
+  }
+
   test("row-level ops refuse tables carrying writetime feature columns") {
     spark.sql(s"CREATE TABLE $catName.db.wt (id BIGINT, v BIGINT) " +
       "USING graft OPTIONS (pk 'id')")
