@@ -51,7 +51,15 @@ object Colocated {
     val rRanges = nominalRanges(spark, rightDir)
     val left = clusteredRead(spark, leftDir, leftSchema)
     val right = clusteredRead(spark, rightDir, rightSchema)
-    if (lRanges.isEmpty || lRanges != rRanges) {
+    // a side carrying deletion vectors scans in positional mode (whole-file
+    // row-based partitions for the dv files, split partitions for the
+    // rest) — partition indexes no longer align with the ring splits, and
+    // a blind zip would join MISALIGNED ranges silently. Fall back to the
+    // planner until OPTIMIZE folds the DVs away.
+    val anyDvs =
+      graft.write.Snapshots.dvsForPin(spark, leftDir, None).nonEmpty ||
+        graft.write.Snapshots.dvsForPin(spark, rightDir, None).nonEmpty
+    if (anyDvs || lRanges.isEmpty || lRanges != rRanges) {
       // not provably co-located: correct fallback through the planner
       return left.join(right,
         leftSchema.partitionKeys.zip(rightSchema.partitionKeys)

@@ -238,8 +238,17 @@ class GraftDeltaWrite(
             .map(_.getPath.toString).toSeq
         }
 
-      Snapshots.commitDeltas(spark, dir, dvUpdates, genFiles,
+      try Snapshots.commitDeltas(spark, dir, dvUpdates, genFiles,
         expectedParent = Some(sourceVersion))
+      catch {
+        case e: Throwable =>
+          // the freshly written DVs are referenced by NOTHING if the
+          // commit lost — reclaim now rather than leaving garbage for the
+          // orphan GC (generation files stay for vacuumOrphans' horizon,
+          // matching the CoW path's crash contract)
+          dvUpdates.values.foreach(p => fs.delete(new Path(p), false))
+          throw e
+      }
       TokenPruner.invalidateListing(dir)
     } finally {
       fs.delete(new Path(stagingDir), true)

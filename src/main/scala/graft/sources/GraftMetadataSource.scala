@@ -40,6 +40,12 @@ import org.apache.spark.util.SerializableConfiguration
  * the reference's Index-only scan has (`DataLayer javadoc:233-243`). The
  * aggregate `groupBy(...).agg(sum(uncompressed_bytes))` over this table is
  * the partition-size query (battery q13-style) at metadata cost.
+ *
+ * This table reports PHYSICAL layout: rows hidden by merge-on-read
+ * deletion vectors still occupy their bytes and row-group counts until
+ * OPTIMIZE folds them — which is the number a capacity/layout audit
+ * wants. Logical row counts come from the main table path (whose
+ * metadata-count pushdown correctly disables itself while DVs exist).
  */
 class GraftMetadataSource extends TableProvider with DataSourceRegister {
 

@@ -673,18 +673,31 @@ object Snapshots {
     val last = latest(f, root).getOrElse(throw new IllegalStateException(
       s"vacuumOrphans on $dir: table has no snapshot log — every file would " +
         "count as an orphan; this GC is only sound against a log"))
-    val referenced = (1L to last).filter(v => f.exists(vPath(root, v)))
-      .flatMap(readFiles(f, root, _)).toSet
+    val retained = (1L to last).filter(v => f.exists(vPath(root, v)))
+    val referenced = retained.flatMap(readFiles(f, root, _)).toSet
     val cutoff = System.currentTimeMillis() - olderThanMs
     val orphans = graft.sources.TokenPruner.listDataFiles(f, root)
       .filter(s => !referenced.contains(s.getPath.toString) &&
         s.getModificationTime < cutoff)
       .map(_.getPath.toString).toSeq.sorted
+    // deletion-vector sidecars orbit the same lifecycle: a DV written by a
+    // delta commit that lost its race (or a crashed driver) is referenced
+    // by NO retained version and would otherwise leak in _graft_dv forever
+    // (data listings skip _-prefixed dirs by design)
+    val referencedDvs = retained.flatMap(readDvs(f, root, _).values).toSet
+    val dvDir = new Path(root, DeletionVectors.Dir)
+    val dvOrphans =
+      if (!f.exists(dvDir)) Nil
+      else f.listStatus(dvDir)
+        .filter(s => s.isFile && !referencedDvs.contains(s.getPath.toString) &&
+          s.getModificationTime < cutoff)
+        .map(_.getPath.toString).toSeq.sorted
+    val all = orphans ++ dvOrphans
     if (!dryRun) {
-      orphans.foreach(p => f.delete(new Path(p), false))
+      all.foreach(p => f.delete(new Path(p), false))
       if (orphans.nonEmpty) graft.sources.TokenPruner.invalidateListing(dir)
     }
-    orphans
+    all
   }
 
   /** File-level diff of two committed versions: (added, removed) absolute

@@ -720,6 +720,36 @@ class PlanQualitySpec extends SparkSpec {
       s"rank layout must be a range exchange:\n$plan")
   }
 
+  test("renamed-column filters translate into the parquet scan (colmap pushdown)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_cmap_").toString + "/t"
+    graft.write.TokenSortedWriter.write(
+      (1L to 500L).map(i => (i, i * 3)).toDF("id", "v"),
+      graft.model.CqlSchema("t", Seq("id")), dir,
+      org.apache.spark.sql.SaveMode.Append,
+      graft.write.TokenSortedWriter.WriteConf(numPartitions = 2))
+    // read the physically-named files through a logical rename v→val
+    val t = spark.read.format("graft").option("path", dir)
+      .option("pk", "id").option("colmap", "val=v")
+      .schema("id BIGINT, val BIGINT").load()
+    // end-to-end: the logical filter resolves against physical files
+    assert(t.filter(col("val") > 750L).count() == 250L)
+    assert(t.filter(col("val") === 300L).select(col("id")).head().getLong(0) == 100L)
+    // the translator itself: names move, values don't, composites recurse,
+    // unknown shapes referencing mapped columns DROP (pushdown is
+    // best-effort; residual re-eval keeps correctness)
+    import org.apache.spark.sql.sources._
+    val m = Map("val" -> "v")
+    assert(graft.sources.GraftDataSource.renameFilters(
+      Array[Filter](GreaterThan("val", 750L), EqualTo("id", 1L)), m).toSeq ==
+      Seq(GreaterThan("v", 750L), EqualTo("id", 1L)))
+    assert(graft.sources.GraftDataSource.renameFilter(
+      And(Or(IsNull("val"), In("val", Array(1L))), Not(LessThan("val", 0L))), m) ==
+      Some(And(Or(IsNull("v"), In("v", Array(1L))), Not(LessThan("v", 0L)))))
+    assert(graft.sources.GraftDataSource.renameFilter(
+      AlwaysTrue, m).contains(AlwaysTrue), "shapes not referencing mapped cols pass")
+  }
+
   test("random-ring write plans exactly one range exchange, like the murmur3 ring") {
     import spark.implicits._
     val df = (1L to 1000L).map(i => (i, s"v$i")).toDF("k", "v")

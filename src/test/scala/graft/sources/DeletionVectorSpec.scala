@@ -143,6 +143,66 @@ class DeletionVectorSpec extends SparkSpec {
     assert(spark.table(s"$catName.db.vac").count() == 198L)
   }
 
+  test("snapshot diff across a MoR delete reports the hidden rows as deletes") {
+    val dir = createLogged("diff")
+    val v0 = Snapshots.latestVersion(spark, dir).get
+    val coords = spark.table(s"$catName.db.diff")
+      .select(col("id"), col("_graft_file"), col("_graft_pos"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val (file, inFile) = coords.groupBy(_._2).head
+    val victims = inFile.filter(r => r._3 < 3L).map(_._1).toSet
+    val fs = fsOf(dir)
+    val dv = DeletionVectors.newDvPath(dir)
+    DeletionVectors.write(fs, dv, Array(0L, 1L, 2L))
+    val v1 = Snapshots.commitDeltas(spark, dir, Map(file -> dv), Nil, Some(v0))
+    // diffRows reads both pins through the source → DVs apply per version
+    val d = graft.write.TokenSortedWriter.diffRows(
+      spark, graft.model.CqlSchema("diff", Seq("id")), dir, v0, v1)
+    val deleted = d.filter(col("op") === "delete")
+      .select(col("id")).collect().map(_.getLong(0)).toSet
+    assert(deleted == victims, s"expected $victims, got $deleted")
+    assert(d.filter(col("op") =!= "delete").count() == 0L)
+  }
+
+  test("copy-on-write DML on a dv-carrying table does not resurrect hidden rows") {
+    // default dmlMode (CoW) + a manually committed DV: the rewrite reads
+    // the affected file with the DV applied, so the replacement file must
+    // not contain the hidden row
+    val dir = createLogged("cowdv", rows = 40, parts = 1)
+    val v0 = Snapshots.latestVersion(spark, dir).get
+    val coords = spark.table(s"$catName.db.cowdv")
+      .select(col("id"), col("_graft_file"), col("_graft_pos"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val (file, inFile) = coords.groupBy(_._2).head
+    val hidden = inFile.find(_._3 == 0L).get._1
+    val fs = fsOf(dir)
+    val dv = DeletionVectors.newDvPath(dir)
+    DeletionVectors.write(fs, dv, Array(0L))
+    Snapshots.commitDeltas(spark, dir, Map(file -> dv), Nil, Some(v0))
+    assert(spark.table(s"$catName.db.cowdv").count() == 39L)
+
+    spark.sql(s"UPDATE $catName.db.cowdv SET v = v + 1 WHERE cat = 'even'")
+
+    val t = spark.table(s"$catName.db.cowdv")
+    assert(t.count() == 39L, "CoW rewrite resurrected a DV-hidden row")
+    assert(t.filter(col("id") === hidden).count() == 0L)
+    // the rewrite replaced the dv-carrying file → binding dropped
+    val head = Snapshots.latestVersion(spark, dir).get
+    assert(Snapshots.deletionVectors(spark, dir, head).isEmpty)
+  }
+
+  test("vacuumOrphans reclaims DV files no retained version references") {
+    val dir = createLogged("odv")
+    val fs = fsOf(dir)
+    val stray = DeletionVectors.newDvPath(dir)
+    DeletionVectors.write(fs, stray, Array(5L)) // never committed
+    val gone = Snapshots.vacuumOrphans(spark, dir, olderThanMs = 0L)
+    assert(gone.contains(fs.makeQualified(new Path(stray)).toString),
+      s"stray dv must be collected, got $gone")
+    assert(!fs.exists(new Path(stray)))
+    assert(spark.table(s"$catName.db.odv").count() == 200L)
+  }
+
   test("commitDeltas refuses a DV bound to a file outside the committed set") {
     val dir = createLogged("refu")
     val v0 = Snapshots.latestVersion(spark, dir).get
