@@ -1070,10 +1070,28 @@ class GraftScan(
    *  in-memory estimate, and compressed bytes would let a highly-compressed
    *  table broadcast itself into an executor OOM. */
   override def estimateStatistics(): Statistics = new Statistics {
-    private val bytes = prunedFiles.map(f => math.max(f.uncompressedBytes, f.sizeBytes)).sum
-    private val rows = prunedFiles.map(_.rows).sum
+    // deletion vectors hide rows inside files: subtract their counts
+    // (header-only probe, one int per carrier) so AQE join sizing sees
+    // LIVE rows — footer counts alone would over-estimate a heavily
+    // deleted table and block broadcasts it qualifies for
+    private val deleted: Long =
+      if (dvMap.isEmpty) 0L
+      else {
+        val hconf = spark.sessionState.newHadoopConf()
+        dvMap.values.map { p =>
+          graft.write.DeletionVectors.count(
+            new org.apache.hadoop.fs.Path(p).getFileSystem(hconf), p)
+        }.sum
+      }
+    private val allRows = prunedFiles.map(_.rows).sum
+    private val liveRows = math.max(0L, allRows - deleted)
+    private val rawBytes = prunedFiles.map(f => math.max(f.uncompressedBytes, f.sizeBytes)).sum
+    // scale bytes by the live fraction (rows hidden ⇒ bytes never surface)
+    private val bytes =
+      if (deleted == 0L || allRows == 0L) rawBytes
+      else math.max(1L, (rawBytes.toDouble * liveRows / allRows).toLong)
     override def sizeInBytes: util.OptionalLong = util.OptionalLong.of(bytes)
-    override def numRows: util.OptionalLong = util.OptionalLong.of(rows)
+    override def numRows: util.OptionalLong = util.OptionalLong.of(liveRows)
   }
 }
 

@@ -64,6 +64,17 @@ object DeletionVectors {
     } finally in.close()
   }
 
+  /** Deleted-position COUNT from the 8-byte header alone — the cheap
+   *  driver-side probe statistics and compaction triggers want (no
+   *  position payload read). */
+  def count(fs: FileSystem, path: String): Long = {
+    val in = new DataInputStream(fs.open(new Path(path)))
+    try {
+      require(in.readInt() == Magic, s"not a graft deletion vector: $path")
+      in.readInt().toLong
+    } finally in.close()
+  }
+
   /** Sorted-ascending membership cursor: rows arrive in position order, so
    *  one forward pointer replaces per-row binary search. */
   final class Cursor(positions: Array[Long]) {

@@ -617,14 +617,18 @@ object Snapshots {
    */
   /** [[history]] as a queryable DataFrame — the `DESCRIBE HISTORY`
    *  surface, with the layout-only flag exposed so operators can tell
-   *  repacks from logical rewrites. Driver-side metadata only. */
+   *  repacks from logical rewrites, and the live deletion-vector binding
+   *  count so merge-on-read debt (the OPTIMIZE trigger) is visible per
+   *  version. Driver-side metadata only. */
   def historyDf(spark: SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
     val (f, root) = fs(spark, dir)
     val rows = history(spark, dir).map { case (v, ts, parent, n, rewrite) =>
-      (v, new java.sql.Timestamp(ts), parent, n, rewrite, isLayoutOnly(f, root, v))
+      (v, new java.sql.Timestamp(ts), parent, n, rewrite, isLayoutOnly(f, root, v),
+        readDvs(f, root, v).size)
     }
     import spark.implicits._
-    rows.toDF("version", "committed_at", "parent", "n_files", "rewrite", "layout_only")
+    rows.toDF("version", "committed_at", "parent", "n_files", "rewrite",
+      "layout_only", "n_dvs")
   }
 
   def history(spark: SparkSession, dir: String)

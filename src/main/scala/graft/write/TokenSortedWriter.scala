@@ -1024,9 +1024,12 @@ object TokenSortedWriter {
       schema: CqlSchema,
       dir: String,
       smallBytes: Long = 32L << 20,
-      targetBytes: Long = 128L << 20): Long = {
+      targetBytes: Long = 128L << 20,
+      maxDvFraction: Double = 0.2): Long = {
     require(smallBytes > 0 && targetBytes >= smallBytes,
       "need 0 < smallBytes <= targetBytes")
+    require(maxDvFraction > 0.0 && maxDvFraction <= 1.0,
+      s"maxDvFraction must be in (0, 1], got $maxDvFraction")
     val p = new Path(dir)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     val root = fs.makeQualified(p)
@@ -1040,8 +1043,21 @@ object TokenSortedWriter {
     // layout-only op must never make. Footer-only probes, bounded-parallel
     // (the TokenPruner.readFootersParallel shape — 10k candidates cost one
     // pooled footer sweep, not 10k serial DataFrame constructions).
-    val candidates = live.filter(_.sizeBytes < smallBytes)
+    // candidates: sub-threshold files PLUS any file (whatever its size)
+    // whose deletion vector hides more than `maxDvFraction` of its rows —
+    // the merge-on-read compaction trigger: a heavily-deleted large file
+    // pays its row-based positional read tax on every scan until the
+    // deletions are materialized away (DV counts are one header int each)
+    val headDvs = head
+      .map(v => Snapshots.deletionVectors(spark, dir, v))
+      .getOrElse(Map.empty[String, String])
     val hconf = spark.sessionState.newHadoopConf()
+    def dvHeavy(m: graft.sources.TokenPruner.FileMeta): Boolean =
+      headDvs.get(m.path).exists { dvp =>
+        m.rows > 0 && DeletionVectors.count(
+          new Path(dvp).getFileSystem(hconf), dvp).toDouble / m.rows > maxDvFraction
+      }
+    val candidates = live.filter(m => m.sizeBytes < smallBytes || dvHeavy(m))
     def schemaKey(path: String): String = {
       val in = org.apache.parquet.hadoop.util.HadoopInputFile
         .fromPath(new Path(path), hconf)
@@ -1077,7 +1093,9 @@ object TokenSortedWriter {
           }
           packed.last += f; acc += f.sizeBytes
         }
-        packed.filter(_.length >= 2).map(_.toSeq)
+        // a singleton bin is only worth rewriting when it folds deletions
+        // (plain small singles wait for siblings; dv-heavy files fold NOW)
+        packed.filter(b => b.length >= 2 || b.exists(dvHeavy)).map(_.toSeq)
       }
     if (bins.isEmpty) return 0L
 
@@ -1086,9 +1104,7 @@ object TokenSortedWriter {
     // the commit's kept-files filter drops the stale bindings. Logical
     // rows are unchanged (the DV'd rows were already deleted), so the
     // commit stays layout-only and change capture still rides across.
-    val dvBindings = head
-      .map(v => Snapshots.deletionVectors(spark, dir, v))
-      .getOrElse(Map.empty[String, String])
+    val dvBindings = headDvs
     val replaced = scala.collection.mutable.ArrayBuffer.empty[String]
     val fresh = scala.collection.mutable.ArrayBuffer.empty[String]
     bins.foreach { bin =>

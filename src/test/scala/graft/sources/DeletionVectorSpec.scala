@@ -100,6 +100,12 @@ class DeletionVectorSpec extends SparkSpec {
     val mid = spark.read.format("graft").option("path", dir).option("pk", "id")
       .option("snapshotVersion", v1.toString).load()
     assert(mid.count() == nAll - 1)
+    // DESCRIBE HISTORY shows the live binding count per version (the
+    // merge-on-read debt OPTIMIZE is meant to clear)
+    val dvCounts = Snapshots.historyDf(spark, dir)
+      .orderBy(col("version"))
+      .select(col("n_dvs")).collect().map(_.getInt(0)).toSeq
+    assert(dvCounts == Seq(0, 1, 1), s"got $dvCounts")
   }
 
   test("restore re-installs the historical DV bindings") {
@@ -201,6 +207,77 @@ class DeletionVectorSpec extends SparkSpec {
       s"stray dv must be collected, got $gone")
     assert(!fs.exists(new Path(stray)))
     assert(spark.table(s"$catName.db.odv").count() == 200L)
+  }
+
+  test("read-tax contract: clean tables keep columnar scans; a DV positions " +
+      "ONLY its carrier file") {
+    val dir = createLogged("tax")
+    // clean: the stock vectorized path (ColumnarToRow present in the plan)
+    val clean = spark.table(s"$catName.db.tax")
+    assert(clean.queryExecution.executedPlan.toString.contains("ColumnarToRow"),
+      "a table without DVs must keep the vectorized scan")
+    val files = clean.select(col("_graft_file")).distinct()
+      .collect().map(_.getString(0)).sorted
+    assert(files.length >= 4)
+    val v0 = Snapshots.latestVersion(spark, dir).get
+    val fs = fsOf(dir)
+    val dv = DeletionVectors.newDvPath(dir)
+    DeletionVectors.write(fs, dv, Array(0L))
+    Snapshots.commitDeltas(spark, dir, Map(files.head -> dv), Nil, Some(v0))
+    // DV present: the scan is row-based (partition uniformity), but only
+    // the carrier file becomes a whole-file positioned partition — clean
+    // files keep their split partitions
+    val scan = spark.read.format("graft").option("path", dir).option("pk", "id").load()
+    val plan = scan.queryExecution.executedPlan
+    assert(!plan.toString.contains("ColumnarToRow"),
+      "a dv-carrying scan plans row-based partitions")
+    val batchScan = plan.collectFirst {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }.get
+    val positioned = batchScan.inputPartitions.collect {
+      case p: org.apache.spark.sql.graftshim.PositionedPartition => p
+    }
+    assert(positioned.length == 1 && positioned.head.filePath == files.head,
+      s"exactly the carrier file positions, got ${positioned.map(_.filePath)}")
+    assert(batchScan.inputPartitions.length > 1,
+      "clean files must keep their own (split) partitions")
+    assert(scan.count() == 199L)
+  }
+
+  test("change feed across a DV-only commit: empty increment, no failure " +
+      "(append-capture contract — deletes are not delivered)") {
+    val dir = createLogged("feed")
+    val v0 = Snapshots.latestVersion(spark, dir).get
+    val file = spark.table(s"$catName.db.feed").select(col("_graft_file"))
+      .distinct().collect().map(_.getString(0)).sorted.head
+    val fs = fsOf(dir)
+    val dv = DeletionVectors.newDvPath(dir)
+    DeletionVectors.write(fs, dv, Array(0L))
+    val v1 = Snapshots.commitDeltas(spark, dir, Map(file -> dv), Nil, Some(v0))
+    assert(Snapshots.readChanges(spark, dir, v0, v1).count() == 0L)
+    // and a DV commit does NOT break later increments
+    spark.sql(s"INSERT INTO $catName.db.feed VALUES (9001, 'even', 0)")
+    val v2 = Snapshots.latestVersion(spark, dir).get
+    assert(Snapshots.readChanges(spark, dir, v0, v2)
+      .select(col("id")).collect().map(_.getLong(0)).toSeq == Seq(9001L))
+  }
+
+  test("file-tail streaming refuses dv-carrying plans loudly, naming the remediation") {
+    val dir = createLogged("stream")
+    val v0 = Snapshots.latestVersion(spark, dir).get
+    val file = spark.table(s"$catName.db.stream").select(col("_graft_file"))
+      .distinct().collect().map(_.getString(0)).sorted.head
+    val fs = fsOf(dir)
+    val dv = DeletionVectors.newDvPath(dir)
+    DeletionVectors.write(fs, dv, Array(0L))
+    Snapshots.commitDeltas(spark, dir, Map(file -> dv), Nil, Some(v0))
+    val e = intercept[IllegalStateException] {
+      GraftMicroBatchStream.refuseDeletionVectors(spark, dir, Seq(file))
+    }
+    assert(e.getMessage.contains("deletion") && e.getMessage.contains("OPTIMIZE"))
+    // files without a DV pass the guard
+    GraftMicroBatchStream.refuseDeletionVectors(spark, dir,
+      Seq(s"$dir/other-file.parquet"))
   }
 
   test("commitDeltas refuses a DV bound to a file outside the committed set") {

@@ -44,6 +44,43 @@ class OptimizeSpec extends SparkSpec {
       spark, schema, dir, smallBytes = big.sizeBytes, targetBytes = big.sizeBytes * 4) == 0L)
   }
 
+  test("dv-heavy files fold SOLO regardless of size (merge-on-read compaction trigger)") {
+    val dir = dirFor("dvheavy")
+    val schema = CqlSchema("t", Seq("id"))
+    // one generation, one file, snapshot-logged
+    TokenSortedWriter.write((1L to 2000L).map(i => (i, s"v$i")).toDF("id", "v"),
+      schema, dir, SaveMode.Append,
+      TokenSortedWriter.WriteConf(numPartitions = 1, snapshot = true))
+    val v0 = Snapshots.latestVersion(spark, dir).get
+    val file = Snapshots.files(spark, dir, v0).head
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    // hide 30% of the rows — above the default 20% trigger
+    val dv = DeletionVectors.newDvPath(dir)
+    DeletionVectors.write(fs, dv, (0L until 600L).toArray)
+    Snapshots.commitDeltas(spark, dir, Map(file -> dv), Nil, Some(v0))
+    // smallBytes tiny: the file does NOT qualify as small — only the DV
+    // fraction can bring it in, and it must fold as a singleton bin
+    val n = TokenSortedWriter.optimizeSmallFiles(spark, schema, dir,
+      smallBytes = 1L, targetBytes = 1L << 30)
+    assert(n == 1L, s"dv-heavy file must rewrite solo, replaced $n")
+    val head = Snapshots.latestVersion(spark, dir).get
+    assert(Snapshots.deletionVectors(spark, dir, head).isEmpty, "binding must drop")
+    val t = spark.read.format("graft").option("path", dir).option("pk", "id").load()
+    assert(t.count() == 1400L)
+    // and the scan is columnar again (read tax cleared)
+    assert(t.queryExecution.executedPlan.toString.contains("ColumnarToRow"))
+    // a BELOW-threshold DV does not trigger a solo rewrite
+    val v2 = Snapshots.latestVersion(spark, dir).get
+    val file2 = Snapshots.files(spark, dir, v2).head
+    val dv2 = DeletionVectors.newDvPath(dir)
+    DeletionVectors.write(fs, dv2, Array(0L, 1L)) // 2 of 1400 rows
+    Snapshots.commitDeltas(spark, dir, Map(file2 -> dv2), Nil, Some(v2))
+    assert(TokenSortedWriter.optimizeSmallFiles(spark, schema, dir,
+      smallBytes = 1L, targetBytes = 1L << 30) == 0L,
+      "a light DV must wait for siblings, not churn the file")
+  }
+
   test("layout-only: LWW versions and writetime generations survive verbatim") {
     val dir = dirFor("lww")
     val schema = CqlSchema("t", Seq("id"))
