@@ -2247,6 +2247,27 @@ object Battery {
         .select(col("doc_id"), col("source"), col("n_chars"))
     }),
 
+    // DESCRIBE DETAIL analog: current-state dashboard row (snapshot head,
+    // live files/rows, merge-on-read debt) after an insert + MoR DELETE —
+    // every emitted column is deterministic from the construction and the
+    // oracle states them closed-form (file/byte-level fields excluded).
+    "q188_table_detail" -> ((s, d) => {
+      val cat = "gdet" + java.util.UUID.randomUUID().toString.take(8)
+      val base = java.nio.file.Files.createTempDirectory("graft_detq_").toString
+      s.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.base", base)
+      s.sql(s"CREATE TABLE $cat.db.docs (doc_id BIGINT, source STRING, n_chars BIGINT) " +
+        "USING graft OPTIONS (pk 'doc_id', partitions '4', snapshot 'true', " +
+        "dmlMode 'merge-on-read')")
+      docs(s, d).select(col("doc_id"), col("source"), col("n_chars"))
+        .createOrReplaceTempView("q188_docs")
+      s.sql(s"INSERT INTO $cat.db.docs SELECT doc_id, source, n_chars FROM q188_docs")
+      s.sql(s"DELETE FROM $cat.db.docs WHERE doc_id % 6 = 1")
+      graft.write.Snapshots.tableDetail(s, s"$base/db/docs")
+        .select(col("version"), col("n_files"), col("n_rows"),
+          (col("n_dvs") > 0).as("has_dvs"), col("deleted_rows"))
+    }),
+
     // MERGE WITH SCHEMA EVOLUTION: the source carries a column the target
     // lacks — one statement adds it (catalog alterTable, nullable append)
     // AND runs the 2-action merge against the evolved schema. Oracle
@@ -4715,6 +4736,15 @@ object Battery {
         |SELECT v AS vertex, CAST(pr AS BIGINT) AS pr,
         |       row_number() OVER (ORDER BY pr DESC, v ASC) AS rank
         |FROM p2""".stripMargin,
+    // the detail row closed-form: v1 insert + v2 delete-as-DV; 4 token
+    // ring partitions → 4 files; rows/deletes from the predicate
+    "q188_table_detail" ->
+      """SELECT CAST(2 AS BIGINT) AS version, CAST(4 AS INTEGER) AS n_files,
+        |  CAST((SELECT COUNT(*) FROM documents WHERE doc_id % 6 <> 1) AS BIGINT)
+        |    AS n_rows,
+        |  TRUE AS has_dvs,
+        |  CAST((SELECT COUNT(*) FROM documents WHERE doc_id % 6 = 1) AS BIGINT)
+        |    AS deleted_rows""".stripMargin,
     // the evolved column: matched rows take the source value, pre-merge
     // rows read NULL, inserted rows land under 'merged'
     "q187_merge_evolve" ->

@@ -631,6 +631,30 @@ object Snapshots {
       "layout_only", "n_dvs")
   }
 
+  /** One-row `DESCRIBE DETAIL` analog: the table's CURRENT state at a
+   *  glance — snapshot head (null on log-less tables), live file count
+   *  and row/byte totals (manifest/footer stats — no data IO), live
+   *  deletion-vector bindings and the rows they hide (header-only
+   *  probes), and the tag count. The operational dashboard row: `n_dvs`
+   *  / `deleted_rows` say when to OPTIMIZE, `n_files` vs `bytes` say
+   *  when to bin-pack. */
+  def tableDetail(spark: SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    val (f, root) = fs(spark, dir)
+    val listed = graft.sources.TokenPruner.listFiles(spark, dir)
+    val head = latest(f, root)
+    val live = resolveListing(spark, dir, None, listed)
+    val dvs = head.map(readDvs(f, root, _)).getOrElse(Map.empty)
+    val deletedRows = dvs.values.map(p =>
+      DeletionVectors.count(new Path(p).getFileSystem(
+        spark.sessionState.newHadoopConf()), p)).sum
+    val rows = live.map(_.rows).sum - deletedRows
+    import spark.implicits._
+    Seq((dir, head, live.length, rows, live.map(_.sizeBytes).sum,
+      dvs.size, deletedRows, tags(spark, dir).size))
+      .toDF("location", "version", "n_files", "n_rows", "bytes",
+        "n_dvs", "deleted_rows", "n_tags")
+  }
+
   def history(spark: SparkSession, dir: String)
       : Seq[(Long, Long, Option[Long], Int, Boolean)] = {
     val (f, root) = fs(spark, dir)
