@@ -1024,9 +1024,14 @@ class GraftScan(
       else planned
     } else {
       val plain = delegate.planInputPartitions()
+      // coordinate columns append in the REQUESTED order (a projection may
+      // list pos before file)
+      val emitMeta = required.fields.collect {
+        case f if f.name == GraftDataSource.FileCol => "file"
+        case f if f.name == GraftDataSource.PosCol => "pos"
+      }.toSeq
       val positioned = org.apache.spark.sql.graftshim.PositionAwareScanUtil
-        .positionedPartitions(positionedBatch.planInputPartitions(), dvMap,
-          metaFileRequested, metaPosRequested)
+        .positionedPartitions(positionedBatch.planInputPartitions(), dvMap, emitMeta)
       plain ++ positioned
     }
   }

@@ -202,11 +202,21 @@ class GraftRowLevelScan(
   }
 
   /** What the parquet readers produce (PHYSICAL names) — the computed
-   *  row-coordinate columns are appended by the position-aware wrapper. */
-  private lazy val parquetRequired: StructType = GraftDataSource.renameStruct(
-    StructType(required.fields.filterNot(
-      f => f.name == GraftDataSource.FileCol || f.name == GraftDataSource.PosCol)),
-    colMap)
+   *  row-coordinate columns are appended by the position-aware wrapper,
+   *  so they must TRAIL the requested schema (Spark puts DSv2 metadata
+   *  output after data output; anything else is a planner bug we want
+   *  loud, not a silently shifted row layout). */
+  private lazy val parquetRequired: StructType = {
+    val metaIdx = required.fields.zipWithIndex.collect {
+      case (f, i) if f.name == GraftDataSource.FileCol ||
+        f.name == GraftDataSource.PosCol => i
+    }
+    val dataLen = required.length - metaIdx.length
+    require(metaIdx.forall(_ >= dataLen),
+      s"row-coordinate columns must trail the requested schema, got " +
+        required.fieldNames.mkString(","))
+    GraftDataSource.renameStruct(StructType(required.fields.take(dataLen)), colMap)
+  }
 
   private def positionalMode: Boolean = emitRowCoords || dvMap.nonEmpty
 
@@ -218,10 +228,17 @@ class GraftRowLevelScan(
       spark, files.map(_.path).toSeq, fullFileSchema, parquetRequired,
       Array.empty /* never filter rows: see class doc */)
     if (!positionalMode) batch.planInputPartitions()
-    else org.apache.spark.sql.graftshim.PositionAwareScanUtil.positionedPartitions(
-      batch.planInputPartitions(), dvMap,
-      emitFileCol = emitRowCoords && required.fieldNames.contains(GraftDataSource.FileCol),
-      emitPosCol = emitRowCoords && required.fieldNames.contains(GraftDataSource.PosCol))
+    else {
+      // coordinate columns append in the REQUESTED order
+      val emitMeta =
+        if (!emitRowCoords) Seq.empty[String]
+        else required.fields.collect {
+          case f if f.name == GraftDataSource.FileCol => "file"
+          case f if f.name == GraftDataSource.PosCol => "pos"
+        }.toSeq
+      org.apache.spark.sql.graftshim.PositionAwareScanUtil.positionedPartitions(
+        batch.planInputPartitions(), dvMap, emitMeta)
+    }
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {

@@ -33,18 +33,23 @@ object PositionAwareScanUtil {
 
   /** One whole-file partition per file of `planned`, tagged with the
    *  file's path so the factory can bind its DV and metadata emission.
-   *  `planned` must come from a batch over exactly the wanted files. */
+   *  `planned` must come from a batch over exactly the wanted files.
+   *  `emitMeta` lists the coordinate columns to APPEND in the exact order
+   *  the required schema requests them ("file"/"pos" tokens) — a query
+   *  may select `_graft_pos, _graft_file` reversed, and emitting in a
+   *  fixed order would swap the values. */
   def positionedPartitions(
       planned: Array[InputPartition],
       dvByFile: Map[String, String],
-      emitFileCol: Boolean,
-      emitPosCol: Boolean): Array[InputPartition] =
+      emitMeta: Seq[String]): Array[InputPartition] = {
+    require(emitMeta.forall(m => m == "file" || m == "pos"),
+      s"unknown coordinate column token in $emitMeta")
     ClusteredScanUtil.wholeFilePartitions(planned).map { p =>
       val fp = p.asInstanceOf[FilePartition]
       val path = fp.files.head.filePath.toPath.toString
-      PositionedPartition(fp, path, dvByFile.get(path), emitFileCol, emitPosCol)
-        : InputPartition
+      PositionedPartition(fp, path, dvByFile.get(path), emitMeta): InputPartition
     }
+  }
 }
 
 /** A whole-file partition + the per-file context its reader needs. */
@@ -52,8 +57,7 @@ final case class PositionedPartition(
     inner: FilePartition,
     filePath: String,
     dvPath: Option[String],
-    emitFileCol: Boolean,
-    emitPosCol: Boolean) extends InputPartition {
+    emitMeta: Seq[String]) extends InputPartition {
   override def preferredLocations(): Array[String] = inner.preferredLocations()
 }
 
@@ -78,8 +82,7 @@ class PositionAwareReaderFactory(
           new Path(d).getFileSystem(conf.value), d))
         .getOrElse(Array.empty[Long])
       new PositionAwareReader(
-        positionedInner.createReader(pp.inner), dv, pp.filePath,
-        pp.emitFileCol, pp.emitPosCol)
+        positionedInner.createReader(pp.inner), dv, pp.filePath, pp.emitMeta)
     case other => plainInner.createReader(other)
   }
 
@@ -99,21 +102,20 @@ class PositionAwareReaderFactory(
 }
 
 /** Row reader over one whole file: counts PHYSICAL positions, skips the
- *  DV'd ones, optionally appends (file, pos). The deleted-position probe
- *  is a forward cursor — positions arrive non-decreasing, so the whole
- *  scan pays O(rows + |dv|), never a per-row search. */
+ *  DV'd ones, optionally appends the coordinate columns in the REQUESTED
+ *  order (`emitMeta` tokens). The deleted-position probe is a forward
+ *  cursor — positions arrive non-decreasing, so the whole scan pays
+ *  O(rows + |dv|), never a per-row search. */
 class PositionAwareReader(
     inner: PartitionReader[InternalRow],
     deleted: Array[Long],
     filePath: String,
-    emitFileCol: Boolean,
-    emitPosCol: Boolean) extends PartitionReader[InternalRow] {
+    emitMeta: Seq[String]) extends PartitionReader[InternalRow] {
 
   private val cursor = new graft.write.DeletionVectors.Cursor(deleted)
   private var pos = -1L
   private val fileUtf8 = UTF8String.fromString(filePath)
-  private val metaRow = new GenericInternalRow(
-    (if (emitFileCol) 1 else 0) + (if (emitPosCol) 1 else 0))
+  private val metaRow = new GenericInternalRow(emitMeta.length)
   private val joined = new JoinedRow
 
   override def next(): Boolean = {
@@ -125,11 +127,13 @@ class PositionAwareReader(
   }
 
   override def get(): InternalRow =
-    if (!emitFileCol && !emitPosCol) inner.get()
+    if (emitMeta.isEmpty) inner.get()
     else {
       var i = 0
-      if (emitFileCol) { metaRow.update(i, fileUtf8); i += 1 }
-      if (emitPosCol) metaRow.setLong(i, pos)
+      emitMeta.foreach { m =>
+        if (m == "file") metaRow.update(i, fileUtf8) else metaRow.setLong(i, pos)
+        i += 1
+      }
       joined(inner.get(), metaRow)
     }
 

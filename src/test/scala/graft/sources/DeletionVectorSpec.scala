@@ -46,6 +46,15 @@ class DeletionVectorSpec extends SparkSpec {
     }
     // ids unique across files
     assert(rows.map(_._1).distinct.length == 200)
+    // REVERSED projection order: values must follow the requested order,
+    // never a fixed emit order (a swap would put a path in a long column)
+    val rev = spark.table(s"$catName.db.meta")
+      .select(col("_graft_pos"), col("id"), col("_graft_file"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val byId = rows.map(r => r._1 -> ((r._2, r._3))).toMap
+    rev.foreach { case (p, id, f) =>
+      assert(byId(id) == ((f, p)), s"reversed projection swapped values for id=$id")
+    }
   }
 
   test("a committed DV hides exactly its positions; time travel sees them all") {
