@@ -80,6 +80,48 @@ class CatalogEvolutionSpec extends SparkSpec {
       s"physical name must never move, got ${raw.columns.mkString(",")}")
   }
 
+  test("SQL DML on a renamed table: predicates and assignments translate " +
+      "through the mapping (copy-on-write and merge-on-read)") {
+    // copy-on-write
+    spark.sql(s"CREATE TABLE $catName.db.dmlrn (id BIGINT, v BIGINT) " +
+      "USING graft OPTIONS (pk 'id', partitions '2', snapshot 'true')")
+    spark.sql(s"INSERT INTO $catName.db.dmlrn SELECT id, id * 10 FROM range(1, 41) AS r(id)")
+    spark.sql(s"ALTER TABLE $catName.db.dmlrn RENAME COLUMN v TO val")
+    spark.sql(s"UPDATE $catName.db.dmlrn SET val = val + 5 WHERE val >= 300")
+    spark.sql(s"DELETE FROM $catName.db.dmlrn WHERE val = 100")
+    val got = spark.table(s"$catName.db.dmlrn").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == 39 && !got.contains(10L)) // val 100 = id 10 (update hit only >= 300)
+    assert(got(30L) == 305L && got(29L) == 290L)
+    // the physical name is still the original in every generation
+    val dir = spark.conf.get(s"spark.sql.catalog.$catName.base") + "/db/dmlrn"
+    val raw = spark.read.option("mergeSchema", "true")
+      .parquet(graft.write.Snapshots.files(spark, dir,
+        graft.write.Snapshots.latestVersion(spark, dir).get): _*)
+    assert(raw.columns.contains("v") && !raw.columns.contains("val"))
+
+    // merge-on-read: deletes become DVs, re-inserts land under the
+    // physical name, reads translate back
+    spark.sql(s"CREATE TABLE $catName.db.dmlrn2 (id BIGINT, v BIGINT) " +
+      "USING graft OPTIONS (pk 'id', partitions '2', snapshot 'true', " +
+      "dmlMode 'merge-on-read')")
+    spark.sql(s"INSERT INTO $catName.db.dmlrn2 SELECT id, id * 10 FROM range(1, 41) AS r(id)")
+    spark.sql(s"ALTER TABLE $catName.db.dmlrn2 RENAME COLUMN v TO val")
+    val dir2 = spark.conf.get(s"spark.sql.catalog.$catName.base") + "/db/dmlrn2"
+    val before = graft.write.Snapshots.files(spark, dir2,
+      graft.write.Snapshots.latestVersion(spark, dir2).get).toSet
+    spark.sql(s"UPDATE $catName.db.dmlrn2 SET val = 1 WHERE val = 200")
+    spark.sql(s"DELETE FROM $catName.db.dmlrn2 WHERE val = 300")
+    val head2 = graft.write.Snapshots.latestVersion(spark, dir2).get
+    assert(before.subsetOf(graft.write.Snapshots.files(spark, dir2, head2).toSet),
+      "merge-on-read DML must keep base files on a renamed table too")
+    assert(graft.write.Snapshots.deletionVectors(spark, dir2, head2).nonEmpty)
+    val got2 = spark.table(s"$catName.db.dmlrn2").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got2.size == 39 && !got2.contains(30L))
+    assert(got2(20L) == 1L && got2(19L) == 190L)
+  }
+
   test("re-ADD of a dropped name gets a fresh physical name: old bytes never resurrect") {
     spark.sql(s"CREATE TABLE $catName.db.ra (id BIGINT, g BIGINT) " +
       "USING graft OPTIONS (pk 'id', partitions '2')")

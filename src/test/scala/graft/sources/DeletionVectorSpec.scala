@@ -302,6 +302,24 @@ class DeletionVectorSpec extends SparkSpec {
     assert(e.getMessage.contains("not in the committed set"))
   }
 
+  test("tag pins resolve DV bindings of the tagged version") {
+    val dir = createLogged("tagdv")
+    val v0 = Snapshots.latestVersion(spark, dir).get
+    Snapshots.tag(spark, dir, "pre-dml", v0)
+    val file = spark.table(s"$catName.db.tagdv").select(col("_graft_file"))
+      .distinct().collect().map(_.getString(0)).sorted.head
+    val fs = fsOf(dir)
+    val dv = DeletionVectors.newDvPath(dir)
+    DeletionVectors.write(fs, dv, Array(0L, 1L))
+    val v1 = Snapshots.commitDeltas(spark, dir, Map(file -> dv), Nil, Some(v0))
+    Snapshots.tag(spark, dir, "post-dml", v1)
+    def read(pin: String) = spark.read.format("graft").option("path", dir)
+      .option("pk", "id").option("snapshotVersion", pin).load().count()
+    assert(read("tag:pre-dml") == 200L)
+    assert(read("tag:post-dml") == 198L)
+    assert(read("latest") == 198L)
+  }
+
   test("pk-pruned reads still apply the DV (pruning and hiding compose)") {
     val dir = createLogged("prune")
     val v0 = Snapshots.latestVersion(spark, dir).get
