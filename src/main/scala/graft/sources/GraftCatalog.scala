@@ -294,9 +294,25 @@ class GraftCatalog extends TableCatalog
           colMap = colMap - from + (to -> phys)
           StructType(s.fields.map(fld =>
             if (fld.name == from) fld.copy(name = to) else fld))
+        case u: UpdateColumnType =>
+          require(u.fieldNames.length == 1,
+            s"only top-level ALTER COLUMN TYPE supported, got ${u.fieldNames.mkString(".")}")
+          val name = u.fieldNames.head
+          require(s.fieldNames.contains(name), s"no such column $name")
+          require(!keyCols.contains(name),
+            s"cannot change the type of key/partition column $name — the pk byte " +
+              "serialization drives the murmur3 token layout and the pruning stats")
+          val cur = s(name).dataType
+          require(GraftCatalog.widensSafely(cur, u.newDataType()),
+            s"only value-preserving widenings are metadata-safe on stored parquet " +
+              s"(byte/short/int→wider integral or decimal(p,0), float→double, " +
+              s"date→timestamp_ntz); got $cur → ${u.newDataType()}")
+          StructType(s.fields.map(f =>
+            if (f.name == name) f.copy(dataType = u.newDataType()) else f))
         case other => throw new UnsupportedOperationException(
-          s"graft tables support only ADD COLUMNS / DROP COLUMN / RENAME COLUMN " +
-            s"alters (a metadata-only type change corrupts stored data), got $other")
+          s"graft tables support only ADD COLUMNS / DROP COLUMN / RENAME COLUMN / " +
+            s"widening ALTER COLUMN TYPE alters (any other metadata-only type " +
+            s"change corrupts stored data), got $other")
       }
     }
     // identity entries are noise — keep the descriptor minimal
@@ -342,6 +358,33 @@ object GraftCatalog {
 
   private[sources] def renderColMap(m: Map[String, String]): String =
     m.toSeq.sorted.map { case (l, p) => s"$l=$p" }.mkString(";")
+
+  /** Value-preserving widenings Spark 4's parquet readers evaluate
+   *  natively against narrower stored pages (probe-verified: the
+   *  vectorized reader upconverts per file, old generations read wide) —
+   *  the type-evolution subset that is METADATA-safe. Everything else
+   *  (narrowing, float→int, string↔anything, decimal rescale) would
+   *  corrupt or refuse at scan time and is rejected up front. */
+  private[sources] def widensSafely(
+      from: org.apache.spark.sql.types.DataType,
+      to: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    (from, to) match {
+      case (ByteType, ShortType | IntegerType | LongType) => true
+      case (ShortType, IntegerType | LongType) => true
+      case (IntegerType, LongType) => true
+      case (FloatType, DoubleType) => true
+      case (DateType, TimestampNTZType) => true
+      case (ByteType | ShortType | IntegerType | LongType, d: DecimalType) =>
+        d.scale == 0 && d.precision >= (from match {
+          case ByteType => 3
+          case ShortType => 5
+          case IntegerType => 10
+          case _ => 20
+        })
+      case _ => false
+    }
+  }
 
   /** Line 1: Spark schema JSON. Following lines: key<TAB>value pairs.
    *  `overwrite = true` (alters) truncate-writes in place — a mid-write

@@ -142,6 +142,38 @@ class CatalogEvolutionSpec extends SparkSpec {
     assert(t2.filter(col("h") === 7L).select(col("id")).head().getLong(0) == 100L)
   }
 
+  test("ALTER COLUMN TYPE: value-preserving widenings are metadata-only; " +
+      "narrowings, key columns and lossy changes refuse") {
+    spark.sql(s"CREATE TABLE $catName.db.wd (id BIGINT, n INT, f FLOAT, d DATE) " +
+      "USING graft OPTIONS (pk 'id', partitions '2')")
+    spark.sql(s"INSERT INTO $catName.db.wd SELECT id, CAST(id AS INT), " +
+      "CAST(id AS FLOAT) / 2, DATE'2020-01-01' FROM range(1, 31) AS r(id)")
+    spark.sql(s"ALTER TABLE $catName.db.wd ALTER COLUMN n TYPE BIGINT")
+    spark.sql(s"ALTER TABLE $catName.db.wd ALTER COLUMN f TYPE DOUBLE")
+    // old (narrow-stored) generation reads through the widened schema
+    val t = spark.table(s"$catName.db.wd")
+    assert(t.schema("n").dataType == org.apache.spark.sql.types.LongType)
+    assert(t.schema("f").dataType == org.apache.spark.sql.types.DoubleType)
+    assert(t.agg(sum(col("n"))).head().getLong(0) == (1L to 30L).sum)
+    assert(t.filter(col("f") === 7.5d).select(col("id")).head().getLong(0) == 15L)
+    // new generation writes wide; both read back together
+    spark.sql(s"INSERT INTO $catName.db.wd VALUES (100, 5000000000, 1.25, DATE'2021-01-01')")
+    val t2 = spark.table(s"$catName.db.wd")
+    assert(t2.count() == 31L)
+    assert(t2.filter(col("n") === 5000000000L).count() == 1L)
+    // int→decimal(p,0) widening reads exactly
+    spark.sql(s"CREATE TABLE $catName.db.wd2 (id BIGINT, n INT) " +
+      "USING graft OPTIONS (pk 'id')")
+    spark.sql(s"INSERT INTO $catName.db.wd2 VALUES (1, 123456789)")
+    spark.sql(s"ALTER TABLE $catName.db.wd2 ALTER COLUMN n TYPE DECIMAL(12,0)")
+    assert(spark.table(s"$catName.db.wd2").head().getDecimal(1).longValueExact == 123456789L)
+    // refusals: narrowing, lossy, key column, undersized decimal
+    intercept[Exception] { spark.sql(s"ALTER TABLE $catName.db.wd ALTER COLUMN n TYPE INT") }
+    intercept[Exception] { spark.sql(s"ALTER TABLE $catName.db.wd ALTER COLUMN f TYPE BIGINT") }
+    intercept[Exception] { spark.sql(s"ALTER TABLE $catName.db.wd ALTER COLUMN id TYPE DECIMAL(20,0)") }
+    intercept[Exception] { spark.sql(s"ALTER TABLE $catName.db.wd2 ALTER COLUMN n TYPE DECIMAL(8,0)") }
+  }
+
   test("INSERT OVERWRITE: atomic logical overwrite on logged tables, refused log-less") {
     spark.sql(s"CREATE TABLE $catName.db.ow (id BIGINT, v BIGINT) " +
       "USING graft OPTIONS (pk 'id', partitions '2', snapshot 'true')")
