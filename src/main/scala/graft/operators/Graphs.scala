@@ -24,7 +24,9 @@ import org.apache.spark.sql.functions._
  * with no out-edges) is DROPPED by default, the standard simplification;
  * `conserveDanglingMass = true` spreads each step's dangling total D_t
  * uniformly instead (one extra map-side-combined aggregate per iteration
- * — an anti-join of ranks against outdeg reduced to ONE long), for uses
+ * — an anti-join of ranks against outdeg reduced to ONE long; per-step
+ * lineage truncation keeps each such driver action at ONE join, never a
+ * replay of prior iterations), for uses
  * where rank MASS matters, not just the ordering. Floor quantization
  * error per step is < 1 unit of `scale` = 1e-12 of total mass at the
  * default.
@@ -70,8 +72,12 @@ object Graphs {
     require(n > 0, "pageRank needs at least one edge")
     // default 2 iterations stay a pure lazy plan (cheap to recompute, no
     // cache lifetime to manage); deeper loops would grow the plan
-    // super-linearly — truncate per step instead
-    val truncateLineage = iters > 2
+    // super-linearly — truncate per step instead. Conservation ALWAYS
+    // truncates past the first step: its per-iteration dangling aggregate
+    // is a driver action against the current `pr`, and without truncation
+    // each action would recompute every prior iteration's joins from
+    // scratch — O(iters²) joins even at the default iteration count
+    val truncateLineage = iters > 2 || (conserveDanglingMass && iters > 1)
     locally {
       val outdeg = e.groupBy(col("__src")).agg(count(lit(1)).as("__deg"))
       val baseTerm = scale * (dampDen - dampNum) / (dampDen * n) // exact long math

@@ -2268,6 +2268,67 @@ object Battery {
           (col("n_dvs") > 0).as("has_dvs"), col("deleted_rows"))
     }),
 
+    // Row-level change-data feed over merge-on-read DML: insert (v1) +
+    // UPDATE (v2, DV + re-insert generation) + DELETE (v3, DV-only) —
+    // readChangesWithDeletes delivers every row-level event tagged with
+    // _change_type/_commit_version: the UPDATE as its delete-preimage +
+    // insert-postimage pair, the DELETE's preimage reflecting the v2
+    // update. The oracle replays all four event classes closed-form.
+    "q189_change_data_feed" -> ((s, d) => {
+      val cat = "gcdf" + java.util.UUID.randomUUID().toString.take(8)
+      val base = java.nio.file.Files.createTempDirectory("graft_cdfq_").toString
+      s.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.base", base)
+      s.sql(s"CREATE TABLE $cat.db.docs (doc_id BIGINT, source STRING, n_chars BIGINT) " +
+        "USING graft OPTIONS (pk 'doc_id', partitions '4', snapshot 'true', " +
+        "dmlMode 'merge-on-read')")
+      docs(s, d).select(col("doc_id"), col("source"), col("n_chars"))
+        .createOrReplaceTempView("q189_docs")
+      s.sql(s"INSERT INTO $cat.db.docs SELECT doc_id, source, n_chars FROM q189_docs")
+      s.sql(s"UPDATE $cat.db.docs SET n_chars = n_chars + 100000 " +
+        "WHERE source = 'src3' OR doc_id % 7 = 0")
+      s.sql(s"DELETE FROM $cat.db.docs WHERE doc_id % 11 = 5")
+      val dir = s"$base/db/docs"
+      val head = graft.write.Snapshots.latestVersion(s, dir).get
+      require(head == 3L, s"expected insert/update/delete = v1/v2/v3, head is v$head")
+      // the append-capture feed must REFUSE the UPDATE's delta commit —
+      // re-inserts delivered as appends would be a duplicate-producing feed
+      val refused =
+        try { graft.write.Snapshots.readChanges(s, dir, 1L, 2L).count(); false }
+        catch { case e: IllegalStateException =>
+          e.getMessage.contains("readChangesWithDeletes") }
+      require(refused, "readChanges must refuse a MoR UPDATE commit")
+      graft.write.Snapshots.readChangesWithDeletes(s, dir, 0L, head)
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          col("_change_type"), col("_commit_version"))
+    }),
+
+    // The DSv2 CDC table mode (`changeFeedMode=rows`) over the same
+    // insert/UPDATE/DELETE construction as q189: the whole feed planned
+    // as tagged partitions — inserts from added files, delete preimages
+    // as whole-file positioned reads of the DV deltas (O(1)-byte tasks,
+    // DV paths not positions) — batch and streaming share the planner.
+    // Same closed-form oracle as the library twin.
+    "q190_cdf_source" -> ((s, d) => {
+      val cat = "gcds" + java.util.UUID.randomUUID().toString.take(8)
+      val base = java.nio.file.Files.createTempDirectory("graft_cdsq_").toString
+      s.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.base", base)
+      s.sql(s"CREATE TABLE $cat.db.docs (doc_id BIGINT, source STRING, n_chars BIGINT) " +
+        "USING graft OPTIONS (pk 'doc_id', partitions '4', snapshot 'true', " +
+        "dmlMode 'merge-on-read')")
+      docs(s, d).select(col("doc_id"), col("source"), col("n_chars"))
+        .createOrReplaceTempView("q190_docs")
+      s.sql(s"INSERT INTO $cat.db.docs SELECT doc_id, source, n_chars FROM q190_docs")
+      s.sql(s"UPDATE $cat.db.docs SET n_chars = n_chars + 100000 " +
+        "WHERE source = 'src3' OR doc_id % 7 = 0")
+      s.sql(s"DELETE FROM $cat.db.docs WHERE doc_id % 11 = 5")
+      s.read.format("graft").option("path", s"$base/db/docs")
+        .option("changeFeedMode", "rows").load()
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          col("_change_type"), col("_commit_version"))
+    }),
+
     // MERGE WITH SCHEMA EVOLUTION: the source carries a column the target
     // lacks — one statement adds it (catalog alterTable, nullable append)
     // AND runs the 2-action merge against the evolved schema. Oracle
@@ -4745,6 +4806,42 @@ object Battery {
         |  TRUE AS has_dvs,
         |  CAST((SELECT COUNT(*) FROM documents WHERE doc_id % 6 = 1) AS BIGINT)
         |    AS deleted_rows""".stripMargin,
+    // every row-level event closed-form: v1 inserts everything, v2's
+    // UPDATE predicate yields a delete(preimage)+insert(postimage) pair,
+    // v3's DELETE preimage carries the v2 update where both predicates hit
+    "q189_change_data_feed" ->
+      """SELECT doc_id, source, n_chars,
+        |  'insert' AS "_change_type", CAST(1 AS BIGINT) AS "_commit_version"
+        |FROM documents
+        |UNION ALL
+        |SELECT doc_id, source, n_chars, 'delete', CAST(2 AS BIGINT)
+        |FROM documents WHERE source = 'src3' OR doc_id % 7 = 0
+        |UNION ALL
+        |SELECT doc_id, source, n_chars + 100000, 'insert', CAST(2 AS BIGINT)
+        |FROM documents WHERE source = 'src3' OR doc_id % 7 = 0
+        |UNION ALL
+        |SELECT doc_id, source,
+        |  CASE WHEN source = 'src3' OR doc_id % 7 = 0
+        |       THEN n_chars + 100000 ELSE n_chars END,
+        |  'delete', CAST(3 AS BIGINT)
+        |FROM documents WHERE doc_id % 11 = 5""".stripMargin,
+    // the DSv2 CDC scan delivers the identical event set
+    "q190_cdf_source" ->
+      """SELECT doc_id, source, n_chars,
+        |  'insert' AS "_change_type", CAST(1 AS BIGINT) AS "_commit_version"
+        |FROM documents
+        |UNION ALL
+        |SELECT doc_id, source, n_chars, 'delete', CAST(2 AS BIGINT)
+        |FROM documents WHERE source = 'src3' OR doc_id % 7 = 0
+        |UNION ALL
+        |SELECT doc_id, source, n_chars + 100000, 'insert', CAST(2 AS BIGINT)
+        |FROM documents WHERE source = 'src3' OR doc_id % 7 = 0
+        |UNION ALL
+        |SELECT doc_id, source,
+        |  CASE WHEN source = 'src3' OR doc_id % 7 = 0
+        |       THEN n_chars + 100000 ELSE n_chars END,
+        |  'delete', CAST(3 AS BIGINT)
+        |FROM documents WHERE doc_id % 11 = 5""".stripMargin,
     // the evolved column: matched rows take the source value, pre-merge
     // rows read NULL, inserted rows land under 'merged'
     "q187_merge_evolve" ->

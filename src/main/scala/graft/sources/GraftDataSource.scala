@@ -123,6 +123,11 @@ class GraftDataSource extends TableProvider with DataSourceRegister
       partitioning: Array[Transform],
       properties: util.Map[String, String]): Table = {
     val options = new CaseInsensitiveStringMap(properties)
+    // changeFeedMode=rows: the row-level CDC surface (inserts + delete
+    // preimages, _change_type-tagged) — a read-only table over the same
+    // snapshot log, batch and micro-batch
+    if (GraftCdf.isRowMode(options))
+      return new GraftCdfTable(pathOf(options), schema, options)
     val cql = GraftDataSource.cqlFrom(options, schema)
     new GraftTable(pathOf(options), GraftDataSource.annotateStruct(cql, schema), cql, options)
   }
@@ -184,8 +189,16 @@ object GraftDataSource {
     else StructType(s.fields.map(f => m.get(f.name).fold(f)(p => f.copy(name = p))))
 
   def renameColumns(df: DataFrame, m: Map[String, String]): DataFrame =
-    m.foldLeft(df) { case (d, (l, p)) =>
-      if (d.columns.contains(l)) d.withColumnRenamed(l, p) else d
+    if (m.isEmpty) df
+    else {
+      // SIMULTANEOUS rename, mirroring renameStruct: a sequential
+      // withColumnRenamed fold breaks when one mapping's physical name
+      // equals another mapping's logical name (legal after a rename
+      // cycle, e.g. RENAME a TO tmp; RENAME b TO a; RENAME tmp TO b
+      // yields {a→b, b→a}) — an intermediate step would duplicate a
+      // column name and poison every subsequent write
+      val target = df.columns.map(c => m.getOrElse(c, c))
+      if (target.sameElements(df.columns)) df else df.toDF(target.toIndexedSeq: _*)
     }
 
   /** Translate a pushed filter's attribute names logical→physical. None =

@@ -151,9 +151,13 @@ object GraftMicroBatchStream {
   /** The listing-tail stream delivers FILE CONTENT as the change unit; a
    *  deletion vector on a to-be-delivered file would resurrect its deleted
    *  rows into the stream. Fail loudly with the remediation (OPTIMIZE /
-   *  compaction folds DVs; the change-feed stream is unaffected — a DV
-   *  commit adds no files, and its append-capture contract documents that
-   *  deletes are not delivered). */
+   *  compaction folds DVs). The change-feed stream handles MoR DML through
+   *  its shared [[graft.write.Snapshots.changedFiles]] walk instead: a
+   *  DV-only DELETE commit is an empty increment (append capture never
+   *  claimed deletes), while an UPDATE/MERGE delta commit — which DOES add
+   *  re-insert files — refuses loudly rather than deliver updated rows as
+   *  duplicate-producing inserts; row-level consumers read
+   *  [[graft.write.Snapshots.readChangesWithDeletes]]. */
   private[sources] def refuseDeletionVectors(
       spark: SparkSession, dir: String, planned: Seq[String]): Unit = {
     val dvs = graft.write.Snapshots.dvsForPin(spark, dir, None)
@@ -184,7 +188,12 @@ object GraftMicroBatchStream {
  *    rewritten row as "new"; this stream detects removed files in the
  *    version range and fails loudly with a restart point — the exact
  *    contract of [[graft.write.Snapshots.readChanges]], which is this
- *    stream's one-shot batch twin (spec-proven equal).
+ *    stream's one-shot batch twin (spec-proven equal);
+ *  - MERGE-ON-READ-AWARE: a DV-only DELETE commit is an empty increment
+ *    (append capture never claimed deletes); an UPDATE/MERGE delta commit
+ *    (re-insert files + DV re-binds) fails loudly instead of delivering
+ *    postimage rows as duplicate-producing inserts — row-level consumers
+ *    batch-read [[graft.write.Snapshots.readChangesWithDeletes]].
  *
  * `startingVersion` = the version the feed starts AFTER (0 = deliver from
  * the table's first commit). Uncommitted (out-of-band) files never appear.

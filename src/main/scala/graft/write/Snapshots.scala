@@ -94,11 +94,19 @@ object Snapshots {
       out.close()
     } catch {
       case e: FileAlreadyExistsException => throw e
+      // s3a's failed conditional write surfaces as RemoteFileChangedException
+      // — the one class that MEANS "precondition failed". Match it by name
+      // (no compile-time aws/s3a dep); for any other store's IOException,
+      // only count a precondition-looking MESSAGE as a lost race when it
+      // names the commit target — a 412 from an intermediate proxy or a
+      // nested "already exists" about a DIFFERENT path is a real failure
+      // and must propagate, not be silently remapped to a version collision
       case e: java.io.IOException
           if e.getClass.getName.contains("RemoteFileChanged") ||
             Option(e.getMessage).exists(m =>
-              m.contains("PreconditionFailed") || m.contains("412") ||
-                m.contains("already exists")) =>
+              (m.contains("PreconditionFailed") || m.contains("412") ||
+                m.contains("already exists")) &&
+                (m.contains(target.toString) || m.contains(target.getName))) =>
         throw new FileAlreadyExistsException(target.toString)
     }
 
@@ -233,6 +241,10 @@ object Snapshots {
         require(cols.length == 3, s"corrupt dv line in v$version: $l")
         new Path(root, cols(1)).toString -> new Path(root, cols(2)).toString
       }.toMap
+
+  /** [[readDvs]] tolerating version 0 (the empty pre-first-commit table). */
+  private def dvsAt(f: FileSystem, root: Path, version: Long): Map[String, String] =
+    if (version == 0L) Map.empty else readDvs(f, root, version)
 
   /** (data file → deletion-vector file) bindings of one committed version
    *  — empty for versions committed before any merge-on-read DML. */
@@ -762,6 +774,17 @@ object Snapshots {
    * bookkeeping columns (`_graft_token` for `keepTokenColumn` layouts and
    * friends) ARE stripped: they describe the write layout, not the data,
    * and leaking them would make the feed schema depend on write options.
+   *
+   * Merge-on-read DML in the range:
+   *  - a DV-ONLY commit (MoR DELETE — deletion vectors re-bound, zero
+   *    files added) is an EMPTY increment: append-capture never claimed
+   *    deletes, and skipping the commit delivers nothing wrong;
+   *  - a commit that both re-binds DVs AND adds files (MoR UPDATE/MERGE
+   *    re-insert generations) REFUSES loudly: delivering the re-inserts
+   *    as appends would present updated rows as brand-new inserts while
+   *    their paired positional deletes are silently dropped — a
+   *    duplicate-producing feed. Row-level consumers use
+   *    [[readChangesWithDeletes]], which delivers BOTH sides tagged.
    */
   /**
    * The files whose rows constitute the logical changes over
@@ -789,6 +812,15 @@ object Snapshots {
           s"(${removed.length} file(s) removed, e.g. ${removed.head}) — file-level " +
           "change capture is only sound over append lineage; consume up to the " +
           "rewrite, then restart from it")
+    def morUpdate(from: Long, to: Long, a: Seq[String]): Nothing =
+      throw new IllegalStateException(
+        s"readChanges $from→$to crosses a merge-on-read UPDATE/MERGE: the commit " +
+          s"adds ${a.length} re-insert file(s) AND re-binds deletion vectors, so " +
+          "delivering its files as appends would present updated rows as " +
+          "duplicate-producing inserts downstream (the paired positional deletes " +
+          "are not files). Consume row-level changes with " +
+          "Snapshots.readChangesWithDeletes (inserts + deletes, _change_type-" +
+          "tagged), or compact and restart the feed from the DML version")
     val versions = (fromVersion + 1) to toVersion
     val walkable = versions.forall(v => f.exists(vPath(root, v))) &&
       (fromVersion == 0L || f.exists(vPath(root, fromVersion)))
@@ -796,12 +828,24 @@ object Snapshots {
       if (!walkable) {
         val (a, r) = diff(spark, dir, fromVersion, toVersion)
         if (r.nonEmpty) crossing(fromVersion, toVersion, r)
+        if (a.nonEmpty && dvsAt(f, root, toVersion) != dvsAt(f, root, fromVersion))
+          morUpdate(fromVersion, toVersion, a)
         a
       } else {
         versions.flatMap { v =>
           val (a, r) = diff(spark, dir, v - 1, v)
           if (isLayoutOnly(f, root, v)) Nil // repack: rows already delivered via originals
-          else { if (r.nonEmpty) crossing(v - 1, v, r); a }
+          else {
+            if (r.nonEmpty) crossing(v - 1, v, r)
+            // DV-only commit (merge-on-read DELETE, zero files added): the
+            // append-capture feed's documented contract — nothing delivered
+            // here, deletes available via readChangesWithDeletes. A commit
+            // that BOTH adds files and re-binds DVs is a MoR UPDATE/MERGE
+            // and must not masquerade as an append.
+            if (a.nonEmpty && dvsAt(f, root, v) != dvsAt(f, root, v - 1))
+              morUpdate(v - 1, v, a)
+            a
+          }
         }
       }
     val missing = added.filterNot(p => f.exists(new Path(p)))
@@ -830,6 +874,155 @@ object Snapshots {
         else spark.read.parquet(toFiles: _*).limit(0)
       } else spark.read.parquet(added: _*)
     stripEngineColumns(raw)
+  }
+
+  /** CDC tag columns emitted by [[readChangesWithDeletes]] (the Delta
+   *  change-data-feed naming, so downstream consumers port verbatim). */
+  val ChangeTypeCol = "_change_type"
+  val CommitVersionCol = "_commit_version"
+
+  /** One commit's row-level changes: files it ADDED (rows = inserts) and
+   *  its deletion-vector re-binds (fresh deleted positions = the new DV's
+   *  positions minus the previous binding's — deletes). */
+  final case class DvDelta(carrier: String, dv: String, prevDv: Option[String])
+  final case class ChangeEvent(version: Long, added: Seq[String], dvDeltas: Seq[DvDelta])
+
+  /**
+   * The row-level change events of `(fromVersion, toVersion]` — the shared
+   * walk behind [[readChangesWithDeletes]] and the DSv2 CDC scan
+   * (`changeFeedMode=rows`). Layout-only commits are skipped, logical
+   * rewrites refuse, vacuumed version files refuse (per-version
+   * attribution is the point), and every referenced data/DV file is
+   * existence-checked so a lagging consumer fails loudly instead of
+   * reading a hole.
+   */
+  private[graft] def changeEvents(
+      spark: SparkSession, dir: String, fromVersion: Long, toVersion: Long)
+      : Seq[ChangeEvent] = {
+    require(fromVersion <= toVersion,
+      s"change feed: fromVersion $fromVersion > toVersion $toVersion")
+    if (fromVersion == toVersion) return Nil
+    val (f, root) = fs(spark, dir)
+    val versions = (fromVersion + 1) to toVersion
+    val needed = (if (fromVersion == 0L) Nil else Seq(fromVersion)) ++ versions
+    val gone = needed.filterNot(v => f.exists(vPath(root, v)))
+    if (gone.nonEmpty)
+      throw new IllegalStateException(
+        s"change feed $fromVersion→$toVersion: version file(s) " +
+          s"${gone.take(3).mkString(", ")} were vacuumed — row-level change " +
+          "capture needs per-version attribution (which commit deleted which " +
+          "row); raise vacuum retention (keepLast / keepCommittedWithin) to " +
+          s"cover the consumer's lag, or restart the feed from version $toVersion")
+    val events = versions.flatMap { v =>
+      if (isLayoutOnly(f, root, v)) None // repack (incl. DV fold): rows unchanged
+      else {
+        val (a, r) = diff(spark, dir, v - 1, v)
+        if (r.nonEmpty)
+          throw new IllegalStateException(
+            s"change feed ${v - 1}→$v crosses a logical rewrite " +
+              s"(${r.length} file(s) removed, e.g. ${r.head}) — row provenance " +
+              "is broken across it; consume up to the rewrite, then restart")
+        val prev = dvsAt(f, root, v - 1)
+        val dels = dvsAt(f, root, v).toSeq.sortBy(_._1).collect {
+          case (carrier, dv) if !prev.get(carrier).contains(dv) =>
+            DvDelta(carrier, dv, prev.get(carrier))
+        }
+        if (a.isEmpty && dels.isEmpty) None else Some(ChangeEvent(v, a, dels))
+      }
+    }
+    // a version's originals can be repacked-then-vacuumed while the
+    // consumer lagged even though the version FILES are all retained
+    val refs = events.flatMap(e =>
+      e.added ++ e.dvDeltas.flatMap(d => d.carrier +: d.dv +: d.prevDv.toSeq))
+    val missing = refs.distinct.filterNot(p => f.exists(new Path(p)))
+    if (missing.nonEmpty)
+      throw new IllegalStateException(
+        s"change feed $fromVersion→$toVersion: ${missing.length} referenced " +
+          s"file(s) were repacked and vacuumed while the consumer lagged (e.g. " +
+          s"${missing.head}) — raise vacuum retention (keepLast / " +
+          "keepCommittedWithin) to cover the consumer's lag, or restart the " +
+          s"feed from version $toVersion")
+    events
+  }
+
+  /**
+   * Row-level change-data feed over `(fromVersion, toVersion]` — the
+   * consumer for tables that take merge-on-read DML, where the file-level
+   * [[readChanges]] contract (appends only) no longer covers what happened.
+   * Returns the table's columns plus [[ChangeTypeCol]] (`insert` |
+   * `delete`) and [[CommitVersionCol]] (the commit that produced the
+   * change), one row per row-level event:
+   *
+   *  - files a commit ADDED deliver their rows as `insert` (a MoR UPDATE's
+   *    re-insert generation is the update's postimage);
+   *  - a commit's deletion-vector DELTA (positions in the new binding that
+   *    the parent's binding did not hide) delivers the carrier's rows at
+   *    exactly those physical positions as `delete` — the PREIMAGE content,
+   *    read from the immutable carrier via `_metadata.row_index`, one
+   *    broadcast join of the O(deleted rows) position set against the
+   *    affected carriers only (the table never rescans);
+   *  - an UPDATE therefore appears as its delete+insert pair at one
+   *    version, the upsert shape `MERGE`-style consumers apply directly;
+   *  - LAYOUT-ONLY rewrites (OPTIMIZE, including its DV fold) are skipped:
+   *    bytes moved, logical rows unchanged, no events;
+   *  - a LOGICAL rewrite still refuses loudly (same contract as
+   *    [[readChanges]] — file provenance broken, restart past it).
+   *
+   * Per-version attribution requires every version file in the range to be
+   * retained — vacuumed intermediates refuse with the retention knobs
+   * named (an endpoint diff cannot say WHICH commit deleted a row).
+   * A row inserted and later deleted inside the range yields both events,
+   * in commit order by [[CommitVersionCol]].
+   */
+  def readChangesWithDeletes(
+      spark: SparkSession, dir: String, fromVersion: Long, toVersion: Long)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col, lit}
+    require(fromVersion <= toVersion,
+      s"readChangesWithDeletes: fromVersion $fromVersion > toVersion $toVersion")
+    val (f, root) = fs(spark, dir)
+    def emptyFeed: org.apache.spark.sql.DataFrame = {
+      val toFiles = if (toVersion == 0L) Nil else readFiles(f, root, toVersion)
+      val base =
+        if (toFiles.isEmpty) spark.emptyDataFrame
+        else stripEngineColumns(spark.read.parquet(toFiles: _*).limit(0))
+      base.withColumn(ChangeTypeCol, lit("insert"))
+        .withColumn(CommitVersionCol, lit(0L)).limit(0)
+    }
+    if (fromVersion == toVersion) return emptyFeed
+    val events = changeEvents(spark, dir, fromVersion, toVersion)
+    if (events.isEmpty) return emptyFeed
+    val pieces = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.DataFrame]
+    events.foreach { e =>
+      if (e.added.nonEmpty)
+        pieces += stripEngineColumns(spark.read.parquet(e.added: _*))
+          .withColumn(ChangeTypeCol, lit("insert"))
+          .withColumn(CommitVersionCol, lit(e.version))
+    }
+    val delKeys: Seq[(String, Long, Long)] = events.flatMap { e =>
+      e.dvDeltas.flatMap { d =>
+        val old = d.prevDv.map(DeletionVectors.read(f, _)).getOrElse(Array.empty[Long]).toSet
+        DeletionVectors.read(f, d.dv).filterNot(old).map(p => (d.carrier, p, e.version))
+      }
+    }
+    if (delKeys.nonEmpty) {
+      val carriers = delKeys.map(_._1).distinct
+      import spark.implicits._
+      // O(deleted rows) broadcast key set against the affected carriers
+      // only; carrier side reads positions from parquet's own row index,
+      // so the preimage never shuffles
+      val keyDf = delKeys.toDF("__cdf_file", "__cdf_pos", CommitVersionCol)
+      val preimage = spark.read.parquet(carriers: _*)
+        .withColumn("__cdf_file", col("_metadata.file_path"))
+        .withColumn("__cdf_pos", col("_metadata.row_index"))
+        .join(broadcast(keyDf), Seq("__cdf_file", "__cdf_pos"))
+        .drop("__cdf_file", "__cdf_pos")
+      pieces += stripEngineColumns(preimage).withColumn(ChangeTypeCol, lit("delete"))
+    }
+    if (pieces.isEmpty) return emptyFeed // e.g. only content-identical re-binds
+    // allowMissingColumns: schema evolution inside the range — pre-evolution
+    // files lack the new columns, delivered as nulls
+    pieces.reduceLeft(_.unionByName(_, allowMissingColumns = true))
   }
 
   private[graft] def stripEngineColumns(
