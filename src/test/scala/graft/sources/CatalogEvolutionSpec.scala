@@ -122,6 +122,34 @@ class CatalogEvolutionSpec extends SparkSpec {
     assert(got2(20L) == 1L && got2(19L) == 190L)
   }
 
+  test("rename CYCLE (column swap): writes rename simultaneously — a " +
+      "sequential fold would collide on the {a->b, b->a} mapping") {
+    spark.sql(s"CREATE TABLE $catName.db.swp (id BIGINT, a BIGINT, b BIGINT) " +
+      "USING graft OPTIONS (pk 'id', partitions '2', snapshot 'true')")
+    spark.sql(s"INSERT INTO $catName.db.swp SELECT id, id * 2, id * 3 FROM range(1, 21) AS r(id)")
+    // the legal three-step swap: colmap ends as {a -> b, b -> a}
+    spark.sql(s"ALTER TABLE $catName.db.swp RENAME COLUMN a TO tmp")
+    spark.sql(s"ALTER TABLE $catName.db.swp RENAME COLUMN b TO a")
+    spark.sql(s"ALTER TABLE $catName.db.swp RENAME COLUMN tmp TO b")
+    // fields keep their physical ORDER; renames move names only — the
+    // logical schema after the swap reads (id, b, a)
+    assert(spark.table(s"$catName.db.swp").columns.toSeq == Seq("id", "b", "a"))
+    val t1 = spark.table(s"$catName.db.swp").collect()
+      .map(r => r.getLong(0) -> ((r.getAs[Long]("a"), r.getAs[Long]("b")))).toMap
+    assert(t1(4L) == ((12L, 8L)), "logical a/b must read the swapped physicals")
+    // a WRITE through the swapped mapping: the V1 sink renames the frame
+    // before writing — simultaneous, or the intermediate duplicate column
+    // poisons the insert
+    spark.sql(s"INSERT INTO $catName.db.swp (id, a, b) VALUES (100, 5, 7)")
+    // and a CoW UPDATE stages its rewrite through the same rename path
+    spark.sql(s"UPDATE $catName.db.swp SET a = a + 1000 WHERE id = 100")
+    val t2 = spark.table(s"$catName.db.swp").collect()
+      .map(r => r.getLong(0) -> ((r.getAs[Long]("a"), r.getAs[Long]("b")))).toMap
+    assert(t2(100L) == ((1005L, 7L)))
+    assert(t2(4L) == ((12L, 8L)), "pre-swap generations stay connected")
+    assert(t2.size == 21)
+  }
+
   test("re-ADD of a dropped name gets a fresh physical name: old bytes never resurrect") {
     spark.sql(s"CREATE TABLE $catName.db.ra (id BIGINT, g BIGINT) " +
       "USING graft OPTIONS (pk 'id', partitions '2')")

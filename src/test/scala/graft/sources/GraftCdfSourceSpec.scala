@@ -80,10 +80,15 @@ class GraftCdfSourceSpec extends SparkSpec {
     // tags-only projection
     val tags = cdf(dir).select(col("_change_type")).collect().map(_.getString(0))
     assert(tags.count(_ == "delete") == 1 && tags.count(_ == "insert") == 120)
-    // pruned scan must not read all columns
-    val plan = cdf(dir).select(col("id"), col("_change_type"))
-      .queryExecution.executedPlan.toString
-    assert(plan.contains("ReadSchema") || plan.nonEmpty)
+    // pruning reaches the CDC scan: its read schema is exactly the
+    // projection (the inner parquet read derives from the data half)
+    val pruned = cdf(dir).select(col("id"), col("_change_type"))
+    val scan = pruned.queryExecution.executedPlan.collectFirst {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b.scan
+    }.get
+    assert(scan.readSchema().fieldNames.toSeq == Seq("id", "_change_type"),
+      s"CDC scan must prune to the projection, read ${scan.readSchema().fieldNames.mkString(",")}")
+    assert(pruned.count() == 121)
   }
 
   test("CDC stream: version-ledger offsets deliver the UPDATE as its " +
@@ -135,6 +140,52 @@ class GraftCdfSourceSpec extends SparkSpec {
         .select(col("id"), col("_change_type")).collect()
         .map(r => (r.getLong(0), r.getString(1)))
       assert(rows.toSeq == Seq((11L, "delete")))
+    } finally q.stop()
+  }
+
+  test("end-to-end: CDC stream + foreachBatch MERGE keeps a mirror table " +
+      "equal to the source head across insert/update/delete") {
+    val dir = createMor("mirror", rows = 60)
+    spark.sql(s"CREATE TABLE $catName.db.mirror_dst (id BIGINT, cat STRING, v BIGINT) " +
+      "USING graft OPTIONS (pk 'id', partitions '2', snapshot 'true')")
+    val q = spark.readStream.format("graft")
+      .option("path", dir).option("changeFeedMode", "rows").load()
+      .writeStream.outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // last event per key wins: version ascending, and within one
+        // version the insert postimage beats its paired delete preimage
+        // ('insert' > 'delete' lexicographically — the pair IS an update)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("id"))
+          .orderBy(col("_commit_version").desc, col("_change_type").desc)
+        val latest = batch
+          .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+          .drop("__rn")
+        latest.createOrReplaceTempView("cdc_increment")
+        latest.sparkSession.sql(
+          s"""MERGE INTO $catName.db.mirror_dst t
+             |USING cdc_increment s ON t.id = s.id
+             |WHEN MATCHED AND s._change_type = 'delete' THEN DELETE
+             |WHEN MATCHED THEN UPDATE SET cat = s.cat, v = s.v
+             |WHEN NOT MATCHED AND s._change_type = 'insert'
+             |  THEN INSERT (id, cat, v) VALUES (s.id, s.cat, s.v)""".stripMargin)
+        ()
+      }.start()
+    def mirrorEqualsSource(): Unit = {
+      val src = spark.table(s"$catName.db.mirror").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sorted.toSeq
+      val dst = spark.table(s"$catName.db.mirror_dst").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sorted.toSeq
+      assert(dst == src)
+    }
+    try {
+      q.processAllAvailable()
+      mirrorEqualsSource()
+      spark.sql(s"UPDATE $catName.db.mirror SET v = v + 7 WHERE id % 5 = 2")
+      spark.sql(s"DELETE FROM $catName.db.mirror WHERE v % 30 = 0")
+      spark.sql(s"INSERT INTO $catName.db.mirror VALUES (500, 'even', 5000)")
+      q.processAllAvailable()
+      mirrorEqualsSource()
     } finally q.stop()
   }
 

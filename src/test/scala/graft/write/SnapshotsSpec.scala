@@ -252,6 +252,31 @@ class SnapshotsSpec extends SparkSpec {
       java.nio.file.Paths.get(s"$d/v1.txt"))).contains("winner"))
   }
 
+  test("conditional-put lost-race classification: a precondition failure " +
+      "naming the target is a collision; an unrelated 412 propagates") {
+    val conf = spark.sessionState.newHadoopConf()
+    conf.set("fs.condflaky.impl", classOf[graft.write.FlakyCondPutFileSystem].getName)
+    val d = Files.createTempDirectory("graft_condflaky_")
+    val target = new org.apache.hadoop.fs.Path(s"condflaky://host$d/v1.txt")
+    val fs = target.getFileSystem(conf)
+    // the store's own precondition failure about THIS path → lost race
+    graft.write.FlakyCondPutFileSystem.failureMessage =
+      "PUT {target}: 412 PreconditionFailed (If-None-Match: * did not hold)"
+    intercept[org.apache.hadoop.fs.FileAlreadyExistsException] {
+      Snapshots.createExclusive(fs, target, "x".getBytes, allowUnsafe = false)
+    }
+    // same-looking message about a DIFFERENT path (intermediate proxy,
+    // nested error) → a real store failure, must NOT be remapped to a
+    // version collision (a silent retry would mask data-path breakage)
+    graft.write.FlakyCondPutFileSystem.failureMessage =
+      "upstream proxy replied 412 PreconditionFailed for /unrelated/other/object"
+    val e = intercept[java.io.IOException] {
+      Snapshots.createExclusive(fs, target, "x".getBytes, allowUnsafe = false)
+    }
+    assert(!e.isInstanceOf[org.apache.hadoop.fs.FileAlreadyExistsException])
+    assert(e.getMessage.contains("/unrelated/other/object"))
+  }
+
   test("commit refuses non-atomic stores; local commit publishes atomically") {
     val fs = new org.apache.hadoop.fs.Path("/tmp")
       .getFileSystem(spark.sessionState.newHadoopConf())
