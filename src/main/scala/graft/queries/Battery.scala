@@ -2329,6 +2329,40 @@ object Battery {
           col("_change_type"), col("_commit_version"))
     }),
 
+    // SQL maintenance procedures (DSv2 ProcedureCatalog): the q185
+    // lifecycle driven entirely by CALL statements — tag the pre-OPTIMIZE
+    // head, bin-pack + fold DVs, vacuum to the head with the tag
+    // retained. In-query requires pin the structural facts; the oracle
+    // states the surviving rows.
+    "q191_sql_maintenance" -> ((s, d) => {
+      val cat = "gprc" + java.util.UUID.randomUUID().toString.take(8)
+      val base = java.nio.file.Files.createTempDirectory("graft_prcq_").toString
+      s.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.base", base)
+      s.sql(s"CREATE TABLE $cat.db.docs (doc_id BIGINT, source STRING, n_chars BIGINT) " +
+        "USING graft OPTIONS (pk 'doc_id', partitions '2', snapshot 'true', " +
+        "dmlMode 'merge-on-read')")
+      docs(s, d).select(col("doc_id"), col("source"), col("n_chars"))
+        .createOrReplaceTempView("q191_docs")
+      (0 until 4).foreach(b => s.sql(
+        s"INSERT INTO $cat.db.docs SELECT doc_id, source, n_chars " +
+          s"FROM q191_docs WHERE doc_id % 4 = $b"))
+      s.sql(s"DELETE FROM $cat.db.docs WHERE doc_id % 9 = 2")
+      val dir = s"$base/db/docs"
+      s.sql(s"CALL $cat.system.create_tag(table => 'db.docs', name => 'pre-opt')")
+      val opt = s.sql(s"CALL $cat.system.optimize(table => 'db.docs')").collect().head
+      require(opt.getLong(0) > 0L, "optimize must pack the small appends")
+      val v = graft.write.Snapshots.latestVersion(s, dir).get
+      require(graft.write.Snapshots.deletionVectors(s, dir, v).isEmpty,
+        "optimize must fold deletion vectors away")
+      s.sql(s"CALL $cat.system.vacuum(table => 'db.docs', keep_last => 1)")
+      // the tag survives vacuum and still resolves the pre-OPTIMIZE pin
+      require(s.read.format("graft").option("path", dir).option("pk", "doc_id")
+        .option("snapshotVersion", "tag:pre-opt").load().count() ==
+        s.table(s"$cat.db.docs").count(), "tagged pin must ride across OPTIMIZE")
+      s.table(s"$cat.db.docs").select(col("doc_id"), col("source"), col("n_chars"))
+    }),
+
     // MERGE WITH SCHEMA EVOLUTION: the source carries a column the target
     // lacks — one statement adds it (catalog alterTable, nullable append)
     // AND runs the 2-action merge against the evolved schema. Oracle
@@ -4825,6 +4859,9 @@ object Battery {
         |       THEN n_chars + 100000 ELSE n_chars END,
         |  'delete', CAST(3 AS BIGINT)
         |FROM documents WHERE doc_id % 11 = 5""".stripMargin,
+    // the CALL-driven lifecycle lands on the same surviving rows
+    "q191_sql_maintenance" ->
+      "SELECT doc_id, source, n_chars FROM documents WHERE doc_id % 9 <> 2",
     // the DSv2 CDC scan delivers the identical event set
     "q190_cdf_source" ->
       """SELECT doc_id, source, n_chars,

@@ -37,7 +37,43 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
  * gains, built entirely from the same GraftTable.
  */
 class GraftCatalog extends TableCatalog
-    with org.apache.spark.sql.connector.catalog.SupportsNamespaces {
+    with org.apache.spark.sql.connector.catalog.SupportsNamespaces
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
+
+  // ---- SQL maintenance procedures (`CALL cat.system.<proc>(…)`): the
+  // library maintenance entry points as one-statement SQL — see
+  // [[GraftProcedures]] for the surface and contracts
+
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure = {
+    require(ident.namespace.toSeq == Seq("system"),
+      s"procedures live under the 'system' namespace, got ${ident.namespace.mkString(".")}")
+    GraftProcedures.load(this, ident.name)
+  }
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.toSeq == Seq("system"))
+      GraftProcedures.list.map(Identifier.of(Array("system"), _))
+    else Array.empty
+
+  /** Resolve a procedure's `table` argument (`<ns>.<name>` or a bare
+   *  name) to the table dir (external LOCATION honored) and its key
+   *  layout. Key columns are rename-refused, so the descriptor's pk/ck
+   *  names are physical — safe for the rewrite procedures. */
+  private[sources] def resolveMaintenance(tableArg: String)
+      : (String, graft.model.CqlSchema) = {
+    val parts = tableArg.split('.').toSeq.filter(_.nonEmpty)
+    require(parts.nonEmpty, s"bad table argument '$tableArg' (want '<ns>.<name>')")
+    val ident = Identifier.of(parts.init.toArray, parts.last)
+    val dir = dirFor(ident)
+    val f = fs(dir)
+    if (!f.exists(metaPath(dir))) throw new NoSuchTableException(ident)
+    val (schema, pairs) = GraftCatalog.readMeta(f, metaPath(dir))
+    val opts = new util.HashMap[String, String]()
+    pairs.foreach { case (k, v) => opts.put(k, v) }
+    val dirStr = pairs.toMap.getOrElse("location", dir.toString)
+    (dirStr, GraftDataSource.cqlFrom(new CaseInsensitiveStringMap(opts), schema))
+  }
 
   // ---- namespaces = directories under the base (SQL CREATE/SHOW/DROP
   // NAMESPACE); no metadata beyond existence — a namespace IS its dir

@@ -1,0 +1,197 @@
+package graft.sources
+
+import graft.model.CqlSchema
+import graft.write.{Snapshots, TokenSortedWriter}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.types.{BooleanType, DataType, DoubleType, IntegerType, LongType, StringType, StructField, StructType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * SQL stored procedures for table maintenance (`CALL cat.system.<proc>`
+ * — the Iceberg/Delta operational surface, on Spark 4's DSv2
+ * `ProcedureCatalog` SPI): the library maintenance entry points
+ * ([[TokenSortedWriter.optimizeSmallFiles]], [[TokenSortedWriter
+ * .compactInPlace]], [[Snapshots.vacuum]]/[[Snapshots.vacuumOrphans]],
+ * tags, [[Snapshots.restore]]) become one-statement SQL, so an operator
+ * schedules OPTIMIZE/VACUUM from plain SQL tooling with no Scala on the
+ * classpath:
+ *
+ *   CALL cat.system.optimize(table => 'db.docs')
+ *   CALL cat.system.vacuum(table => 'db.docs', keep_last => 3)
+ *   CALL cat.system.create_tag(table => 'db.docs', name => 'train-v1')
+ *   CALL cat.system.restore(table => 'db.docs', version => 4)
+ *
+ * Each procedure is an ACTION: it runs at CALL time on the driver,
+ * commits through the same snapshot-log paths as the library calls
+ * (atomic exclusive create, concurrency-guarded), and returns its result
+ * as one local scan — a version number, reclaimed paths, a tag binding.
+ * The `table` argument is `<namespace>.<name>` (or a bare name) within
+ * the SAME catalog the CALL names; key layout (pk/ck) for the rewrite
+ * procedures comes from the table descriptor, never guessed.
+ */
+private[sources] object GraftProcedures {
+
+  def list: Array[String] = Array(
+    "optimize", "compact", "vacuum", "vacuum_orphans",
+    "create_tag", "delete_tag", "restore")
+
+  def load(catalog: GraftCatalog, name: String): UnboundProcedure =
+    name.toLowerCase match {
+      case "optimize" => new Optimize(catalog)
+      case "compact" => new Compact(catalog)
+      case "vacuum" => new Vacuum(catalog)
+      case "vacuum_orphans" => new VacuumOrphans(catalog)
+      case "create_tag" => new CreateTag(catalog)
+      case "delete_tag" => new DeleteTag(catalog)
+      case "restore" => new Restore(catalog)
+      case other => throw new IllegalArgumentException(
+        s"unknown procedure system.$other (have: ${list.mkString(", ")})")
+    }
+
+  private def in(name: String, t: DataType): ProcedureParameter =
+    ProcedureParameter.in(name, t).build()
+  private def in(name: String, t: DataType, default: String): ProcedureParameter =
+    ProcedureParameter.in(name, t).defaultValue(default).build()
+
+  private def row(values: Any*): InternalRow =
+    new GenericInternalRow(values.toArray)
+
+  /** Shared scaffold: parameters in, one local result scan out. */
+  private abstract class MaintenanceProcedure(
+      catalog: GraftCatalog,
+      override val name: String) extends UnboundProcedure with BoundProcedure {
+
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def isDeterministic: Boolean = false
+
+    def outputSchema: StructType
+    def run(spark: SparkSession, dir: String, cql: CqlSchema, input: InternalRow)
+        : Array[InternalRow]
+
+    /** First parameter of every procedure: the table, '<ns>.<name>'. */
+    protected def tableParam: ProcedureParameter = in("table", StringType)
+
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val spark = SparkSession.active
+      val (dir, cql) = catalog.resolveMaintenance(input.getUTF8String(0).toString)
+      val out = run(spark, dir, cql, input)
+      val schema = outputSchema
+      java.util.Collections.singletonList[Scan](new LocalScan {
+        override def rows(): Array[InternalRow] = out
+        override def readSchema(): StructType = schema
+        override def description(): String = s"graft system.$name result"
+      }).iterator()
+    }
+  }
+
+  /** OPTIMIZE: bin-pack small files (and fold heavy deletion vectors) —
+   *  layout-only commit, logical rows unchanged. */
+  private final class Optimize(catalog: GraftCatalog)
+      extends MaintenanceProcedure(catalog, "optimize") {
+    override def parameters(): Array[ProcedureParameter] = Array(
+      tableParam,
+      in("small_bytes", LongType, (32L << 20).toString),
+      in("target_bytes", LongType, (128L << 20).toString),
+      in("max_dv_fraction", DoubleType, "0.2"))
+    override val outputSchema: StructType = StructType(Seq(
+      StructField("packed_files", LongType, nullable = false),
+      StructField("version", LongType, nullable = true)))
+    override def run(spark: SparkSession, dir: String, cql: CqlSchema,
+        input: InternalRow): Array[InternalRow] = {
+      val packed = TokenSortedWriter.optimizeSmallFiles(spark, cql, dir,
+        smallBytes = input.getLong(1), targetBytes = input.getLong(2),
+        maxDvFraction = input.getDouble(3))
+      Array(row(packed, Snapshots.latestVersion(spark, dir).map(Long.box).orNull))
+    }
+  }
+
+  /** Compact-in-place: LWW merge + tombstone fold, fresh generation. */
+  private final class Compact(catalog: GraftCatalog)
+      extends MaintenanceProcedure(catalog, "compact") {
+    override def parameters(): Array[ProcedureParameter] = Array(
+      tableParam, in("vacuum_retain", IntegerType, "1"))
+    override val outputSchema: StructType = StructType(Seq(
+      StructField("version", LongType, nullable = false)))
+    override def run(spark: SparkSession, dir: String, cql: CqlSchema,
+        input: InternalRow): Array[InternalRow] =
+      Array(row(TokenSortedWriter.compactInPlace(spark, cql, dir,
+        vacuumRetain = input.getInt(1))))
+  }
+
+  private final class Vacuum(catalog: GraftCatalog)
+      extends MaintenanceProcedure(catalog, "vacuum") {
+    override def parameters(): Array[ProcedureParameter] = Array(
+      tableParam, in("keep_last", IntegerType),
+      in("keep_committed_within_ms", LongType, "0"),
+      in("dry_run", BooleanType, "false"))
+    override val outputSchema: StructType = StructType(Seq(
+      StructField("path", StringType, nullable = false)))
+    override def run(spark: SparkSession, dir: String, cql: CqlSchema,
+        input: InternalRow): Array[InternalRow] =
+      Snapshots.vacuum(spark, dir, input.getInt(1), input.getLong(2),
+        input.getBoolean(3)).map(p => row(UTF8String.fromString(p))).toArray
+  }
+
+  private final class VacuumOrphans(catalog: GraftCatalog)
+      extends MaintenanceProcedure(catalog, "vacuum_orphans") {
+    override def parameters(): Array[ProcedureParameter] = Array(
+      tableParam, in("older_than_ms", LongType),
+      in("dry_run", BooleanType, "false"))
+    override val outputSchema: StructType = StructType(Seq(
+      StructField("path", StringType, nullable = false)))
+    override def run(spark: SparkSession, dir: String, cql: CqlSchema,
+        input: InternalRow): Array[InternalRow] =
+      Snapshots.vacuumOrphans(spark, dir, input.getLong(1), input.getBoolean(2))
+        .map(p => row(UTF8String.fromString(p))).toArray
+  }
+
+  /** Tag = reproducibility pin; version -1 (default) pins the head. */
+  private final class CreateTag(catalog: GraftCatalog)
+      extends MaintenanceProcedure(catalog, "create_tag") {
+    override def parameters(): Array[ProcedureParameter] = Array(
+      tableParam, in("name", StringType), in("version", LongType, "-1"))
+    override val outputSchema: StructType = StructType(Seq(
+      StructField("name", StringType, nullable = false),
+      StructField("version", LongType, nullable = false)))
+    override def run(spark: SparkSession, dir: String, cql: CqlSchema,
+        input: InternalRow): Array[InternalRow] = {
+      val v = input.getLong(2) match {
+        case -1L => Snapshots.latestVersion(spark, dir).getOrElse(
+          throw new IllegalArgumentException(
+            s"create_tag: $dir has no committed snapshot to tag"))
+        case v => v
+      }
+      val tagName = input.getUTF8String(1).toString
+      Snapshots.tag(spark, dir, tagName, v)
+      Array(row(UTF8String.fromString(tagName), v))
+    }
+  }
+
+  private final class DeleteTag(catalog: GraftCatalog)
+      extends MaintenanceProcedure(catalog, "delete_tag") {
+    override def parameters(): Array[ProcedureParameter] = Array(
+      tableParam, in("name", StringType))
+    override val outputSchema: StructType = StructType(Seq(
+      StructField("deleted", BooleanType, nullable = false)))
+    override def run(spark: SparkSession, dir: String, cql: CqlSchema,
+        input: InternalRow): Array[InternalRow] =
+      Array(row(Snapshots.deleteTag(spark, dir, input.getUTF8String(1).toString)))
+  }
+
+  /** Operational undo: head becomes the old content via ONE metadata
+   *  commit (history intact, concurrency-guarded). */
+  private final class Restore(catalog: GraftCatalog)
+      extends MaintenanceProcedure(catalog, "restore") {
+    override def parameters(): Array[ProcedureParameter] = Array(
+      tableParam, in("version", LongType))
+    override val outputSchema: StructType = StructType(Seq(
+      StructField("new_version", LongType, nullable = false)))
+    override def run(spark: SparkSession, dir: String, cql: CqlSchema,
+        input: InternalRow): Array[InternalRow] =
+      Array(row(Snapshots.restore(spark, dir, input.getLong(1))))
+  }
+}
