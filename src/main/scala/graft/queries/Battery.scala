@@ -2363,6 +2363,37 @@ object Battery {
       s.table(s"$cat.db.docs").select(col("doc_id"), col("source"), col("n_chars"))
     }),
 
+    // Native streaming sink: a graft→graft streaming pipeline — the
+    // change-feed stream (version-ledger offsets) feeds
+    // writeStream.format("graft"), each micro-batch landing through the
+    // bulk pipeline with an exactly-once txn marker committed atomically
+    // with its snapshot version. Two source commits → the sink table
+    // equals the source; the oracle states the full content.
+    "q192_stream_sink" -> ((s, d) => {
+      val base = java.nio.file.Files.createTempDirectory("graft_ssnk_").toString
+      val src = s"$base/src"; val dst = s"$base/dst"; val cp = s"$base/cp"
+      val schema = graft.model.CqlSchema("src", Seq("doc_id"))
+      val conf = graft.write.TokenSortedWriter.WriteConf(
+        numPartitions = 2, snapshot = true)
+      val cols = docs(s, d).select(col("doc_id"), col("source"), col("n_chars"))
+      graft.write.TokenSortedWriter.write(cols.filter(col("doc_id") % 2 === 0),
+        schema, src, SaveMode.Append, conf)
+      graft.write.TokenSortedWriter.write(cols.filter(col("doc_id") % 2 === 1),
+        schema, src, SaveMode.Append, conf)
+      val q = s.readStream.format("graft")
+        .option("path", src).option("pk", "doc_id").option("changeFeed", "true").load()
+        .writeStream.format("graft")
+        .option("path", dst).option("pk", "doc_id")
+        .option("snapshot", "true").option("partitions", "2")
+        .option("checkpointLocation", cp)
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append).start()
+      try q.processAllAvailable() finally q.stop()
+      require(graft.write.Snapshots.streamTxn(s, dst, cp).nonEmpty,
+        "the sink must record its txn progress marker")
+      s.read.format("graft").option("path", dst).option("pk", "doc_id").load()
+        .select(col("doc_id"), col("source"), col("n_chars"))
+    }),
+
     // MERGE WITH SCHEMA EVOLUTION: the source carries a column the target
     // lacks — one statement adds it (catalog alterTable, nullable append)
     // AND runs the 2-action merge against the evolved schema. Oracle
@@ -4862,6 +4893,9 @@ object Battery {
     // the CALL-driven lifecycle lands on the same surviving rows
     "q191_sql_maintenance" ->
       "SELECT doc_id, source, n_chars FROM documents WHERE doc_id % 9 <> 2",
+    // the streamed mirror equals the source
+    "q192_stream_sink" ->
+      "SELECT doc_id, source, n_chars FROM documents",
     // the DSv2 CDC scan delivers the identical event set
     "q190_cdf_source" ->
       """SELECT doc_id, source, n_chars,

@@ -71,9 +71,26 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
  * reported so Catalyst/AQE pick broadcast joins correctly.
  */
 class GraftDataSource extends TableProvider with DataSourceRegister
-    with CreatableRelationProvider {
+    with CreatableRelationProvider
+    with org.apache.spark.sql.sources.StreamSinkProvider {
 
   override def shortName(): String = "graft"
+
+  /** `writeStream.format("graft")`: the table does not advertise
+   *  STREAMING_WRITE, so Spark falls back to this V1 sink — micro-batches
+   *  through the bulk write pipeline with an exactly-once txn marker in
+   *  the snapshot log ([[GraftStreamSink]]). */
+  override def createSink(
+      sqlContext: SQLContext,
+      parameters: Map[String, String],
+      partitionColumns: Seq[String],
+      outputMode: org.apache.spark.sql.streaming.OutputMode)
+      : org.apache.spark.sql.execution.streaming.Sink = {
+    require(partitionColumns.isEmpty,
+      "graft streaming sink takes layout from its own options " +
+        "(partitionBy/ringSplits), not partitionBy() on the writer")
+    new GraftStreamSink(parameters, outputMode)
+  }
 
   override def supportsExternalMetadata(): Boolean = true
 

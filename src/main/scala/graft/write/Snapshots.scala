@@ -228,10 +228,34 @@ object Snapshots {
    *  lines remain the data-file set, so pre-DV snapshots parse unchanged. */
   private val DvMarker = "dv\t"
 
+  /** Body lines binding a streaming writer's progress to the version:
+   *  `txn<TAB><appId><TAB><epochId>` — the Delta `txn` action shape. The
+   *  latest epoch per appId INHERITS across every commit (appends, DML,
+   *  rewrites), so a replayed micro-batch can always see whether it
+   *  already landed, however much maintenance ran in between. */
+  private val TxnMarker = "txn\t"
+
   private def readFiles(f: FileSystem, root: Path, version: Long): Seq[String] =
     readText(f, root, version).linesIterator.drop(1)
-      .filter(l => l.nonEmpty && !l.startsWith(DvMarker))
+      .filter(l => l.nonEmpty && !l.startsWith(DvMarker) && !l.startsWith(TxnMarker))
       .map(rel => new Path(root, rel).toString).toSeq
+
+  private def readTxns(f: FileSystem, root: Path, version: Long): Map[String, Long] =
+    readText(f, root, version).linesIterator.drop(1)
+      .filter(_.startsWith(TxnMarker))
+      .map { l =>
+        val cols = l.split('\t')
+        require(cols.length == 3, s"corrupt txn line in v$version: $l")
+        cols(1) -> cols(2).toLong
+      }.toMap
+
+  /** The highest epoch `appId` has committed to this table, per the HEAD
+   *  version — the streaming sink's replay guard ([[commitAppend]]'s
+   *  `txn`). None = no log or no batch from this writer yet. */
+  def streamTxn(spark: SparkSession, dir: String, appId: String): Option[Long] = {
+    val (f, root) = fs(spark, dir)
+    latest(f, root).flatMap(v => readTxns(f, root, v).get(appId))
+  }
 
   private def readDvs(f: FileSystem, root: Path, version: Long): Map[String, String] =
     readText(f, root, version).linesIterator.drop(1)
@@ -322,9 +346,22 @@ object Snapshots {
    *  optimistic create against concurrent committers. Returns the committed
    *  version. */
   def commitAppend(spark: SparkSession, dir: String, added: Seq[String]): Long =
-    commitLoop(spark, dir) { case (base, dvs) =>
+    commitAppend(spark, dir, added, None)
+
+  /** Append-commit carrying a streaming-writer progress marker: the
+   *  committed version records `txn appId epochId` (replacing the app's
+   *  previous marker — see [[TxnMarker]]), so a replayed micro-batch
+   *  checks [[streamTxn]] and skips instead of duplicating its rows. */
+  def commitAppend(
+      spark: SparkSession, dir: String, added: Seq[String],
+      txn: Option[(String, Long)]): Long = {
+    txn.foreach { case (appId, _) =>
+      require(appId.nonEmpty && !appId.exists(c => c == '\t' || c == '\n' || c == '\r'),
+        s"txn appId must be non-empty and tab/newline-free, got '$appId'") }
+    commitLoop(spark, dir, txnUpdate = txn) { case (base, dvs) =>
       (base ++ added.filterNot(base.toSet), dvs)
     }
+  }
 
   /** Delta-commit (merge-on-read DML): next version = parent's files ∪
    *  `added` (re-inserted UPDATE rows), with `dvUpdates` REPLACING the
@@ -390,7 +427,8 @@ object Snapshots {
   private def commitLoop(
       spark: SparkSession, dir: String,
       expectedParent: Option[Long] = None,
-      layoutOnly: Boolean = false)(
+      layoutOnly: Boolean = false,
+      txnUpdate: Option[(String, Long)] = None)(
       next: (Seq[String], Map[String, String]) => (Seq[String], Map[String, String]))
       : Long = {
     val (f, root) = fs(spark, dir)
@@ -398,7 +436,7 @@ object Snapshots {
       spark.conf.getOption(AllowNonAtomicConf).exists(_.trim.toBoolean)
     val lock = commitLocks.computeIfAbsent(root.toString, _ => new Object)
     lock.synchronized {
-      commitLoopLocked(f, root, dir, allowUnsafe, expectedParent, layoutOnly)(next)
+      commitLoopLocked(f, root, dir, allowUnsafe, expectedParent, layoutOnly, txnUpdate)(next)
     }
   }
 
@@ -458,7 +496,8 @@ object Snapshots {
   private def commitLoopLocked(
       f: FileSystem, root: Path, dir: String, allowUnsafe: Boolean,
       expectedParent: Option[Long] = None,
-      layoutOnly: Boolean = false)(
+      layoutOnly: Boolean = false,
+      txnUpdate: Option[(String, Long)] = None)(
       next: (Seq[String], Map[String, String]) => (Seq[String], Map[String, String]))
       : Long = {
     var attempt = 0
@@ -495,6 +534,13 @@ object Snapshots {
         .foreach { case (b, d) =>
           body.append(DvMarker).append(b).append('\t').append(d).append('\n')
         }
+      // streaming-progress markers INHERIT across every commit (the update,
+      // if any, replaces its app's entry): maintenance between micro-batches
+      // must never erase a writer's replay guard
+      val baseTxns = parent.map(readTxns(f, root, _)).getOrElse(Map.empty[String, Long])
+      (baseTxns ++ txnUpdate).toSeq.sorted.foreach { case (a, e) =>
+        body.append(TxnMarker).append(a).append('\t').append(e).append('\n')
+      }
       try {
         // exclusive create IS the commit: exactly one writer wins a version
         createExclusive(f, vPath(root, version),
@@ -677,7 +723,8 @@ object Snapshots {
       val header = text.linesIterator.next().split('\t')
       val ts = header(3).toLong
       val parent = header(4) match { case "-" => None; case p => Some(p.toLong) }
-      val files = text.linesIterator.drop(1).filter(_.nonEmpty).toSeq
+      val files = text.linesIterator.drop(1)
+        .filter(l => l.nonEmpty && !l.startsWith(TxnMarker)).toSeq
       val rewrite = parent.exists { p =>
         if (!f.exists(vPath(root, p))) false // parent vacuumed: unknowable
         else !readFiles(f, root, p).map(relativize(root, _))

@@ -114,7 +114,12 @@ object TokenSortedWriter {
       // physically deletes prior files and would invalidate every earlier
       // snapshot — logical replacement is [[Snapshots.commitRewrite]]
       // (compaction path) followed by [[Snapshots.vacuum]].
-      snapshot: Boolean = false)
+      snapshot: Boolean = false,
+      // Streaming-writer progress marker committed WITH the snapshot
+      // version ((appId, epochId) — the Delta `txn` action shape): the
+      // native streaming sink's exactly-once guard. Requires snapshot=true
+      // (the marker lives in the log).
+      streamTxn: Option[(String, Long)] = None)
 
   /** Directory-key twin of a partitioned column (see `WriteConf.partitionBy`). */
   def partCol(c: String): String = s"graft_p_$c"
@@ -436,7 +441,9 @@ object TokenSortedWriter {
     Manifest.appendFor(df.sparkSession, path,
       if (conf.ringSplits > 0) Some(conf.ringSplits) else None)
     if (conf.snapshot)
-      Snapshots.commitAppend(df.sparkSession, path, added)
+      Snapshots.commitAppend(df.sparkSession, path, added, conf.streamTxn)
+    else require(conf.streamTxn.isEmpty,
+      "streamTxn requires snapshot=true: the replay guard lives in the log")
   }
 
   /**
