@@ -37,7 +37,7 @@ private[sources] object GraftProcedures {
 
   def list: Array[String] = Array(
     "optimize", "compact", "vacuum", "vacuum_orphans",
-    "create_tag", "delete_tag", "restore")
+    "create_tag", "delete_tag", "restore", "detail", "history")
 
   def load(catalog: GraftCatalog, name: String): UnboundProcedure =
     name.toLowerCase match {
@@ -48,6 +48,8 @@ private[sources] object GraftProcedures {
       case "create_tag" => new CreateTag(catalog)
       case "delete_tag" => new DeleteTag(catalog)
       case "restore" => new Restore(catalog)
+      case "detail" => new Detail(catalog)
+      case "history" => new History(catalog)
       case other => throw new IllegalArgumentException(
         s"unknown procedure system.$other (have: ${list.mkString(", ")})")
     }
@@ -180,6 +182,45 @@ private[sources] object GraftProcedures {
     override def run(spark: SparkSession, dir: String, cql: CqlSchema,
         input: InternalRow): Array[InternalRow] =
       Array(row(Snapshots.deleteTag(spark, dir, input.getUTF8String(1).toString)))
+  }
+
+  /** Lift a metadata DataFrame into the procedure-result shape: the
+   *  schema plus its collected catalyst rows (metadata frames are
+   *  driver-tiny by construction — one row / O(retained versions)). */
+  private def collected(df: org.apache.spark.sql.DataFrame)
+      : (StructType, Array[InternalRow]) =
+    (df.schema, df.queryExecution.executedPlan.executeCollect())
+
+  /** `DESCRIBE DETAIL` analog: the one-row current-state dashboard
+   *  ([[Snapshots.tableDetail]] — head version, live files/rows/bytes,
+   *  merge-on-read debt, tag count). */
+  private final class Detail(catalog: GraftCatalog)
+      extends MaintenanceProcedure(catalog, "detail") {
+    override def parameters(): Array[ProcedureParameter] = Array(tableParam)
+    private var schema: StructType = new StructType()
+    override def outputSchema: StructType = schema
+    override def run(spark: SparkSession, dir: String, cql: CqlSchema,
+        input: InternalRow): Array[InternalRow] = {
+      val (s, rows) = collected(Snapshots.tableDetail(spark, dir))
+      schema = s
+      rows
+    }
+  }
+
+  /** `DESCRIBE HISTORY` analog: one row per retained version
+   *  ([[Snapshots.historyDf]] — commit time, parent, file/DV counts,
+   *  rewrite + layout-only flags). */
+  private final class History(catalog: GraftCatalog)
+      extends MaintenanceProcedure(catalog, "history") {
+    override def parameters(): Array[ProcedureParameter] = Array(tableParam)
+    private var schema: StructType = new StructType()
+    override def outputSchema: StructType = schema
+    override def run(spark: SparkSession, dir: String, cql: CqlSchema,
+        input: InternalRow): Array[InternalRow] = {
+      val (s, rows) = collected(Snapshots.historyDf(spark, dir))
+      schema = s
+      rows
+    }
   }
 
   /** Operational undo: head becomes the old content via ONE metadata

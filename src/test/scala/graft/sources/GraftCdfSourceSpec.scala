@@ -143,6 +143,21 @@ class GraftCdfSourceSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("plan: the DSv2 CDC batch read is scans + union only — zero exchanges " +
+      "(insert partitions + positioned delete partitions, nothing shuffles)") {
+    val dir = createMor("plan0")
+    spark.sql(s"UPDATE $catName.db.plan0 SET v = v + 1 WHERE id % 4 = 1")
+    spark.sql(s"DELETE FROM $catName.db.plan0 WHERE v % 40 = 0")
+    val df = cdf(dir)
+    val plan = df.queryExecution.executedPlan
+    val exchanges = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.Exchange => e
+    }
+    assert(exchanges.isEmpty,
+      s"CDC read must not shuffle, found: ${exchanges.map(_.nodeName).mkString(",")}")
+    assert(df.count() > 0)
+  }
+
   test("end-to-end: CDC stream + foreachBatch MERGE keeps a mirror table " +
       "equal to the source head across insert/update/delete") {
     val dir = createMor("mirror", rows = 60)

@@ -105,6 +105,22 @@ class GraftProceduresSpec extends SparkSpec {
     assert(spark.table(s"$catName.db.orp").count() == 20L)
   }
 
+  test("CALL system.detail / system.history: the DESCRIBE analogs as SQL") {
+    val dir = createMor("desc", appends = 2, rows = 40)
+    spark.sql(s"DELETE FROM $catName.db.desc WHERE v % 40 = 0")
+    val detail = spark.sql(
+      s"CALL $catName.system.detail(table => 'db.desc')").collect()
+    assert(detail.length == 1)
+    val d = detail.head
+    assert(d.getAs[Long]("version") == 3L)
+    assert(d.getAs[Long]("n_rows") == (1L to 40L).count(i => (i * 10) % 40 != 0))
+    assert(d.getAs[Long]("deleted_rows") == (1L to 40L).count(i => (i * 10) % 40 == 0))
+    val hist = spark.sql(
+      s"CALL $catName.system.history(table => 'db.desc')").collect()
+    assert(hist.map(_.getAs[Long]("version")).sorted.toSeq == Seq(1L, 2L, 3L))
+    assert(hist.count(_.getAs[Int]("n_dvs") > 0) == 1)
+  }
+
   test("unknown procedure and wrong namespace fail loudly; SHOW PROCEDURES lists") {
     createMor("meta", appends = 1, rows = 5)
     def messages(t: Throwable): Seq[String] =
