@@ -2363,6 +2363,37 @@ object Battery {
       s.table(s"$cat.db.docs").select(col("doc_id"), col("source"), col("n_chars"))
     }),
 
+    // Copy-on-write CDC (changeFeedCow): the q189 event algebra on a
+    // COPY-ON-WRITE table — the DML rewrites whole file groups, and the
+    // recorded _graft_cdc sidecars (committed atomically with each
+    // rewrite) let the row-level feed ride across where a CDC-less CoW
+    // table must refuse. Identical closed-form oracle to q189: the two
+    // DML engines produce the same row-level events.
+    "q193_cdf_cow" -> ((s, d) => {
+      val cat = "gcow" + java.util.UUID.randomUUID().toString.take(8)
+      val base = java.nio.file.Files.createTempDirectory("graft_cowq_").toString
+      s.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.base", base)
+      s.sql(s"CREATE TABLE $cat.db.docs (doc_id BIGINT, source STRING, n_chars BIGINT) " +
+        "USING graft OPTIONS (pk 'doc_id', partitions '4', snapshot 'true', " +
+        "changeFeedCow 'true')")
+      docs(s, d).select(col("doc_id"), col("source"), col("n_chars"))
+        .createOrReplaceTempView("q193_docs")
+      s.sql(s"INSERT INTO $cat.db.docs SELECT doc_id, source, n_chars FROM q193_docs")
+      s.sql(s"UPDATE $cat.db.docs SET n_chars = n_chars + 100000 " +
+        "WHERE source = 'src3' OR doc_id % 7 = 0")
+      s.sql(s"DELETE FROM $cat.db.docs WHERE doc_id % 11 = 5")
+      val dir = s"$base/db/docs"
+      val head = graft.write.Snapshots.latestVersion(s, dir).get
+      require(head == 3L, s"expected insert/update/delete = v1/v2/v3, head is v$head")
+      require(graft.write.Snapshots.changeDataFiles(s, dir, 2L).nonEmpty &&
+        graft.write.Snapshots.changeDataFiles(s, dir, 3L).nonEmpty,
+        "each CoW DML must record its change-data sidecar")
+      graft.write.Snapshots.readChangesWithDeletes(s, dir, 0L, head)
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          col("_change_type"), col("_commit_version"))
+    }),
+
     // Native streaming sink: a graft→graft streaming pipeline — the
     // change-feed stream (version-ledger offsets) feeds
     // writeStream.format("graft"), each micro-batch landing through the
@@ -4896,6 +4927,24 @@ object Battery {
     // the streamed mirror equals the source
     "q192_stream_sink" ->
       "SELECT doc_id, source, n_chars FROM documents",
+    // identical event algebra to q189 — a CoW DML engine recording CDC
+    // sidecars must emit the same row-level events as the MoR engine
+    "q193_cdf_cow" ->
+      """SELECT doc_id, source, n_chars,
+        |  'insert' AS "_change_type", CAST(1 AS BIGINT) AS "_commit_version"
+        |FROM documents
+        |UNION ALL
+        |SELECT doc_id, source, n_chars, 'delete', CAST(2 AS BIGINT)
+        |FROM documents WHERE source = 'src3' OR doc_id % 7 = 0
+        |UNION ALL
+        |SELECT doc_id, source, n_chars + 100000, 'insert', CAST(2 AS BIGINT)
+        |FROM documents WHERE source = 'src3' OR doc_id % 7 = 0
+        |UNION ALL
+        |SELECT doc_id, source,
+        |  CASE WHEN source = 'src3' OR doc_id % 7 = 0
+        |       THEN n_chars + 100000 ELSE n_chars END,
+        |  'delete', CAST(3 AS BIGINT)
+        |FROM documents WHERE doc_id % 11 = 5""".stripMargin,
     // the DSv2 CDC scan delivers the identical event set
     "q190_cdf_source" ->
       """SELECT doc_id, source, n_chars,

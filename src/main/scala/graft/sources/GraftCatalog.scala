@@ -230,6 +230,8 @@ class GraftCatalog extends TableCatalog
       opt("maxRecordsPerFile").map("maxRecordsPerFile" -> _) ++
       opt("snapshot").map("snapshot" -> _) ++ // snapshotted INSERTs → time travel
       opt("dmlMode").map("dmlMode" -> _) ++ // copy-on-write | merge-on-read
+      // CoW DML records row-level change-data sidecars (CDC across rewrites)
+      opt("changeFeedCow").map("changeFeedCow" -> _) ++
       // `CREATE TABLE … LOCATION '<dir>'` = EXTERNAL table: the catalog
       // holds only the descriptor; data lives (and stays, through DROP)
       // at the given path — the standard way to register a directory a

@@ -108,18 +108,46 @@ object GraftCdf {
           parts += CdfDeletePartition(fp, d.dv, d.prevDv, e.version, emit)
         }
       }
+      if (e.cdcFiles.nonEmpty) {
+        // recorded change-data sidecars (CoW DML): `_change_type` is a
+        // stored column, any split shape is fine
+        val (sData, sRequired) = storedSchemas(physData, physRequired, emit)
+        ParquetScanBridge.parquetBatch(spark, e.cdcFiles, sData, sRequired, Array.empty)
+          .planInputPartitions()
+          .foreach(p => parts += org.apache.spark.sql.graftshim.CdfStoredPartition(
+            p.asInstanceOf[FilePartition], e.version, emit.contains("version")))
+      }
     }
     parts.result()
+  }
+
+  /** Sidecar file schema (data columns + stored `_change_type`) and its
+   *  pruned read schema for the requested projection. */
+  private def storedSchemas(
+      physData: StructType,
+      physRequired: StructType,
+      emit: Seq[String]): (StructType, StructType) = {
+    val typeField = cdcFields(0)
+    val sData = StructType(physData.fields :+ typeField)
+    val sRequired =
+      if (emit.contains("type")) StructType(physRequired.fields :+ typeField)
+      else physRequired
+    (sData, sRequired)
   }
 
   private[sources] def readerFactory(
       spark: SparkSession,
       physData: StructType,
-      physRequired: StructType): PartitionReaderFactory =
+      physRequired: StructType,
+      emit: Seq[String]): PartitionReaderFactory = {
+    val (sData, sRequired) = storedSchemas(physData, physRequired, emit)
     new CdfReaderFactory(
       ParquetScanBridge.parquetBatch(spark, Seq.empty, physData, physRequired, Array.empty)
         .createReaderFactory(),
+      ParquetScanBridge.parquetBatch(spark, Seq.empty, sData, sRequired, Array.empty)
+        .createReaderFactory(),
       new SerializableConfiguration(spark.sessionState.newHadoopConf()))
+  }
 }
 
 /** Read-only CDC table: the data schema plus the two CDC tag columns. */
@@ -200,7 +228,7 @@ class GraftCdfScan(
     override def planInputPartitions(): Array[InputPartition] =
       GraftCdf.planPartitions(spark, dir, startAfter, end, physData, physRequired, emit)
     override def createReaderFactory(): PartitionReaderFactory =
-      GraftCdf.readerFactory(spark, physData, physRequired)
+      GraftCdf.readerFactory(spark, physData, physRequired, emit)
   }
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
@@ -247,7 +275,7 @@ class GraftCdfStream(
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    GraftCdf.readerFactory(spark, physData, physRequired)
+    GraftCdf.readerFactory(spark, physData, physRequired, emit)
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()

@@ -452,7 +452,12 @@ class GraftReplaceDataWrite(
               .map(_.getPath.toString).toSeq
           val scannedSet = scanned.toSet
           val keep = Snapshots.files(spark, dir, v).filterNot(scannedSet.contains)
-          Snapshots.commitRewrite(spark, dir, keep ++ genFiles, expectedParent = Some(v))
+          val cdcFiles =
+            if (!tableOptions.getBoolean("changeFeedCow", false)) Nil
+            else GraftCowChangeData.record(
+              spark, dir, cql, v, scanned.toSeq, replacement)
+          Snapshots.commitRewrite(spark, dir, keep ++ genFiles,
+            expectedParent = Some(v), cdcFiles = cdcFiles)
         case None =>
           if (staged.nonEmpty)
             TokenSortedWriter.write(replacement, cql, dir, SaveMode.Append, conf)

@@ -235,10 +235,36 @@ object Snapshots {
    *  already landed, however much maintenance ran in between. */
   private val TxnMarker = "txn\t"
 
+  /** Body lines referencing a commit's CHANGE-DATA files:
+   *  `cdc<TAB><rel path>` — row-level events (delete preimages + insert
+   *  postimages, `_change_type`-tagged) a copy-on-write DML recorded for
+   *  the rewrite it committed (the Delta `_change_data` design). Unlike
+   *  [[TxnMarker]] lines these are PER-COMMIT, never inherited: they
+   *  describe exactly one version's row-level delta, and the change feed
+   *  delivers them INSTEAD of refusing at that rewrite. */
+  private val CdcMarker = "cdc\t"
+
+  /** Sidecar dir for CDC files (underscore prefix keeps it invisible to
+   *  data listings, like [[DeletionVectors.Dir]]). */
+  val CdcDir = "_graft_cdc"
+
   private def readFiles(f: FileSystem, root: Path, version: Long): Seq[String] =
     readText(f, root, version).linesIterator.drop(1)
-      .filter(l => l.nonEmpty && !l.startsWith(DvMarker) && !l.startsWith(TxnMarker))
+      .filter(l => l.nonEmpty && !l.startsWith(DvMarker) && !l.startsWith(TxnMarker) &&
+        !l.startsWith(CdcMarker))
       .map(rel => new Path(root, rel).toString).toSeq
+
+  private def readCdcs(f: FileSystem, root: Path, version: Long): Seq[String] =
+    readText(f, root, version).linesIterator.drop(1)
+      .filter(_.startsWith(CdcMarker))
+      .map(l => new Path(root, l.substring(CdcMarker.length)).toString).toSeq
+
+  /** The change-data files a version's commit recorded (empty for
+   *  appends, delta commits, and CDC-less rewrites). */
+  def changeDataFiles(spark: SparkSession, dir: String, version: Long): Seq[String] = {
+    val (f, root) = fs(spark, dir)
+    readCdcs(f, root, version)
+  }
 
   private def readTxns(f: FileSystem, root: Path, version: Long): Map[String, Long] =
     readText(f, root, version).linesIterator.drop(1)
@@ -407,8 +433,9 @@ object Snapshots {
       fileSet: Seq[String],
       expectedParent: Option[Long] = None,
       layoutOnly: Boolean = false,
-      dvOverride: Option[Map[String, String]] = None): Long =
-    commitLoop(spark, dir, expectedParent, layoutOnly) { case (_, dvs) =>
+      dvOverride: Option[Map[String, String]] = None,
+      cdcFiles: Seq[String] = Nil): Long =
+    commitLoop(spark, dir, expectedParent, layoutOnly, cdcAdds = cdcFiles) { case (_, dvs) =>
       // DV bindings survive for KEPT files and drop with replaced ones —
       // sound because every rewrite path reads its inputs with DVs applied
       // ([[DeletionVectors.applyToRead]] / the DSv2 DV readers), so the
@@ -428,7 +455,8 @@ object Snapshots {
       spark: SparkSession, dir: String,
       expectedParent: Option[Long] = None,
       layoutOnly: Boolean = false,
-      txnUpdate: Option[(String, Long)] = None)(
+      txnUpdate: Option[(String, Long)] = None,
+      cdcAdds: Seq[String] = Nil)(
       next: (Seq[String], Map[String, String]) => (Seq[String], Map[String, String]))
       : Long = {
     val (f, root) = fs(spark, dir)
@@ -436,7 +464,8 @@ object Snapshots {
       spark.conf.getOption(AllowNonAtomicConf).exists(_.trim.toBoolean)
     val lock = commitLocks.computeIfAbsent(root.toString, _ => new Object)
     lock.synchronized {
-      commitLoopLocked(f, root, dir, allowUnsafe, expectedParent, layoutOnly, txnUpdate)(next)
+      commitLoopLocked(f, root, dir, allowUnsafe, expectedParent, layoutOnly,
+        txnUpdate, cdcAdds)(next)
     }
   }
 
@@ -497,7 +526,8 @@ object Snapshots {
       f: FileSystem, root: Path, dir: String, allowUnsafe: Boolean,
       expectedParent: Option[Long] = None,
       layoutOnly: Boolean = false,
-      txnUpdate: Option[(String, Long)] = None)(
+      txnUpdate: Option[(String, Long)] = None,
+      cdcAdds: Seq[String] = Nil)(
       next: (Seq[String], Map[String, String]) => (Seq[String], Map[String, String]))
       : Long = {
     var attempt = 0
@@ -540,6 +570,11 @@ object Snapshots {
       val baseTxns = parent.map(readTxns(f, root, _)).getOrElse(Map.empty[String, Long])
       (baseTxns ++ txnUpdate).toSeq.sorted.foreach { case (a, e) =>
         body.append(TxnMarker).append(a).append('\t').append(e).append('\n')
+      }
+      // change-data references are PER-COMMIT: exactly this version's
+      // row-level delta, never inherited
+      cdcAdds.map(rel).distinct.sorted.foreach { r =>
+        body.append(CdcMarker).append(r).append('\n')
       }
       try {
         // exclusive create IS the commit: exactly one writer wins a version
@@ -600,10 +635,13 @@ object Snapshots {
       v <= last - keepLast && !ageProtected(v) && !tagged.contains(v))
     if (drop.isEmpty) return Nil
     val keptFiles = keep.flatMap(readFiles(f, root, _)).toSet
-    // DV files age out with the snapshots that bind them, same rule as data
+    // DV and change-data files age out with the snapshots that reference
+    // them, same rule as data
     val keptDvs = keep.flatMap(readDvs(f, root, _).values).toSet
+    val keptCdcs = keep.flatMap(readCdcs(f, root, _)).toSet
     val doomed = (drop.flatMap(readFiles(f, root, _)).distinct.filterNot(keptFiles) ++
-      drop.flatMap(readDvs(f, root, _).values).distinct.filterNot(keptDvs))
+      drop.flatMap(readDvs(f, root, _).values).distinct.filterNot(keptDvs) ++
+      drop.flatMap(readCdcs(f, root, _)).distinct.filterNot(keptCdcs))
     if (dryRun) return doomed // report what WOULD go; touch nothing
     doomed.foreach(p => f.delete(new Path(p), false))
     drop.foreach(v => f.delete(vPath(root, v), false))
@@ -724,7 +762,8 @@ object Snapshots {
       val ts = header(3).toLong
       val parent = header(4) match { case "-" => None; case p => Some(p.toLong) }
       val files = text.linesIterator.drop(1)
-        .filter(l => l.nonEmpty && !l.startsWith(TxnMarker)).toSeq
+        .filter(l => l.nonEmpty && !l.startsWith(TxnMarker) && !l.startsWith(CdcMarker))
+        .toSeq
       val rewrite = parent.exists { p =>
         if (!f.exists(vPath(root, p))) false // parent vacuumed: unknowable
         else !readFiles(f, root, p).map(relativize(root, _))
@@ -779,7 +818,20 @@ object Snapshots {
         .filter(s => s.isFile && !referencedDvs.contains(s.getPath.toString) &&
           s.getModificationTime < cutoff)
         .map(_.getPath.toString).toSeq.sorted
-    val all = orphans ++ dvOrphans
+    // change-data sidecars from aborted/lost-race CoW DMLs leak the same
+    // way (cdc-<uuid>/ subdirs under _graft_cdc)
+    val referencedCdcs = retained.flatMap(readCdcs(f, root, _)).toSet
+    val cdcRoot = new Path(root, CdcDir)
+    def walkCdc(d: Path): Seq[org.apache.hadoop.fs.FileStatus] =
+      f.listStatus(d).toSeq.flatMap(st =>
+        if (st.isDirectory) walkCdc(st.getPath) else Seq(st))
+    val cdcOrphans =
+      if (!f.exists(cdcRoot)) Nil
+      else walkCdc(cdcRoot)
+        .filter(st => !referencedCdcs.contains(st.getPath.toString) &&
+          st.getModificationTime < cutoff)
+        .map(_.getPath.toString).sorted
+    val all = orphans ++ dvOrphans ++ cdcOrphans
     if (!dryRun) {
       all.foreach(p => f.delete(new Path(p), false))
       if (orphans.nonEmpty) graft.sources.TokenPruner.invalidateListing(dir)
@@ -858,7 +910,9 @@ object Snapshots {
         s"readChanges $from→$to crosses a rewrite commit " +
           s"(${removed.length} file(s) removed, e.g. ${removed.head}) — file-level " +
           "change capture is only sound over append lineage; consume up to the " +
-          "rewrite, then restart from it")
+          "rewrite, then restart from it (row-level consumers: " +
+          "readChangesWithDeletes rides across CoW DML rewrites on tables with " +
+          "changeFeedCow 'true')")
     def morUpdate(from: Long, to: Long, a: Seq[String]): Nothing =
       throw new IllegalStateException(
         s"readChanges $from→$to crosses a merge-on-read UPDATE/MERGE: the commit " +
@@ -932,7 +986,11 @@ object Snapshots {
    *  its deletion-vector re-binds (fresh deleted positions = the new DV's
    *  positions minus the previous binding's — deletes). */
   final case class DvDelta(carrier: String, dv: String, prevDv: Option[String])
-  final case class ChangeEvent(version: Long, added: Seq[String], dvDeltas: Seq[DvDelta])
+  final case class ChangeEvent(
+      version: Long,
+      added: Seq[String],
+      dvDeltas: Seq[DvDelta],
+      cdcFiles: Seq[String] = Nil)
 
   /**
    * The row-level change events of `(fromVersion, toVersion]` — the shared
@@ -964,23 +1022,35 @@ object Snapshots {
       if (isLayoutOnly(f, root, v)) None // repack (incl. DV fold): rows unchanged
       else {
         val (a, r) = diff(spark, dir, v - 1, v)
-        if (r.nonEmpty)
-          throw new IllegalStateException(
-            s"change feed ${v - 1}→$v crosses a logical rewrite " +
-              s"(${r.length} file(s) removed, e.g. ${r.head}) — row provenance " +
-              "is broken across it; consume up to the rewrite, then restart")
-        val prev = dvsAt(f, root, v - 1)
-        val dels = dvsAt(f, root, v).toSeq.sortBy(_._1).collect {
-          case (carrier, dv) if !prev.get(carrier).contains(dv) =>
-            DvDelta(carrier, dv, prev.get(carrier))
+        val cdc = readCdcs(f, root, v)
+        if (cdc.nonEmpty)
+          // a CDC-recording rewrite (copy-on-write DML with changeFeedCow):
+          // the recorded events ARE this version's row-level delta; the
+          // rewritten generation files must NOT additionally appear as
+          // inserts (they re-carry unchanged rows)
+          Some(ChangeEvent(v, Nil, Nil, cdc))
+        else {
+          if (r.nonEmpty)
+            throw new IllegalStateException(
+              s"change feed ${v - 1}→$v crosses a logical rewrite " +
+                s"(${r.length} file(s) removed, e.g. ${r.head}) — row provenance " +
+                "is broken across it; consume up to the rewrite, then restart " +
+                "(copy-on-write DML records row-level events when the table " +
+                "sets changeFeedCow 'true')")
+          val prev = dvsAt(f, root, v - 1)
+          val dels = dvsAt(f, root, v).toSeq.sortBy(_._1).collect {
+            case (carrier, dv) if !prev.get(carrier).contains(dv) =>
+              DvDelta(carrier, dv, prev.get(carrier))
+          }
+          if (a.isEmpty && dels.isEmpty) None else Some(ChangeEvent(v, a, dels))
         }
-        if (a.isEmpty && dels.isEmpty) None else Some(ChangeEvent(v, a, dels))
       }
     }
     // a version's originals can be repacked-then-vacuumed while the
     // consumer lagged even though the version FILES are all retained
     val refs = events.flatMap(e =>
-      e.added ++ e.dvDeltas.flatMap(d => d.carrier +: d.dv +: d.prevDv.toSeq))
+      e.added ++ e.cdcFiles ++
+        e.dvDeltas.flatMap(d => d.carrier +: d.dv +: d.prevDv.toSeq))
     val missing = refs.distinct.filterNot(p => f.exists(new Path(p)))
     if (missing.nonEmpty)
       throw new IllegalStateException(
@@ -1044,6 +1114,10 @@ object Snapshots {
       if (e.added.nonEmpty)
         pieces += stripEngineColumns(spark.read.parquet(e.added: _*))
           .withColumn(ChangeTypeCol, lit("insert"))
+          .withColumn(CommitVersionCol, lit(e.version))
+      if (e.cdcFiles.nonEmpty)
+        // recorded change-data rows already carry _change_type
+        pieces += stripEngineColumns(spark.read.parquet(e.cdcFiles: _*))
           .withColumn(CommitVersionCol, lit(e.version))
     }
     val delKeys: Seq[(String, Long, Long)] = events.flatMap { e =>

@@ -48,15 +48,30 @@ final case class CdfDeletePartition(
   override def preferredLocations(): Array[String] = inner.preferredLocations()
 }
 
-/** Dispatching factory over one row-based parquet inner factory (schema-
- *  bound, not file-set-bound — insert and delete partitions share it). */
+/** Rows of a commit's RECORDED change-data sidecar (copy-on-write DML
+ *  with `changeFeedCow`): `_change_type` is a stored column of the file,
+ *  so the reader appends only the version tag (when projected). */
+final case class CdfStoredPartition(
+    inner: FilePartition,
+    version: Long,
+    emitVersion: Boolean) extends InputPartition {
+  override def preferredLocations(): Array[String] = inner.preferredLocations()
+}
+
+/** Dispatching factory over two row-based parquet inner factories
+ *  (schema-bound, not file-set-bound): `inner` reads data files,
+ *  `innerStored` reads CDC sidecars (data schema + `_change_type`). */
 class CdfReaderFactory(
     inner: PartitionReaderFactory,
+    innerStored: PartitionReaderFactory,
     conf: SerializableConfiguration) extends PartitionReaderFactory {
 
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = p match {
     case t: CdfTaggedPartition =>
       new CdfTagReader(inner.createReader(t.inner), "insert", t.version, t.emit)
+    case s: CdfStoredPartition =>
+      new CdfTagReader(innerStored.createReader(s.inner), "insert", s.version,
+        if (s.emitVersion) Seq("version") else Nil)
     case d: CdfDeletePartition =>
       val fs = new Path(d.dvPath).getFileSystem(conf.value)
       val now = graft.write.DeletionVectors.read(fs, d.dvPath)

@@ -1,0 +1,154 @@
+package graft.write
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import graft.sources.GraftCatalog
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Copy-on-write CDC (`changeFeedCow 'true'`): row-level DML derives and
+ *  records its events as `_graft_cdc` sidecars in the same atomic
+ *  commit, and the change feed rides across the rewrite delivering
+ *  exactly those events — where a CDC-less CoW table must refuse. */
+class ChangeDataFeedCowSpec extends SparkSpec {
+
+  private lazy val catName: String = {
+    val base = Files.createTempDirectory("graft_cdfw_").toString
+    spark.conf.set("spark.sql.catalog.cdfw", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.cdfw.base", base)
+    "cdfw"
+  }
+  private def baseDir: String = spark.conf.get(s"spark.sql.catalog.$catName.base")
+
+  private def createCow(name: String, rows: Int = 100): String = {
+    spark.sql(s"""CREATE TABLE $catName.db.$name (id BIGINT, cat STRING, v BIGINT)
+                 |USING graft OPTIONS (pk 'id', partitions '3', snapshot 'true',
+                 |changeFeedCow 'true')""".stripMargin)
+    spark.sql(s"INSERT INTO $catName.db.$name " +
+      s"SELECT id, CASE WHEN id % 2 = 0 THEN 'even' ELSE 'odd' END, id * 10 " +
+      s"FROM range(1, ${rows + 1}) AS r(id)")
+    s"$baseDir/db/$name"
+  }
+
+  private def feed(dir: String, from: Long, to: Long): Array[(Long, Long, String, Long)] =
+    Snapshots.readChangesWithDeletes(spark, dir, from, to)
+      .select(col("id"), col("v"), col(Snapshots.ChangeTypeCol),
+        col(Snapshots.CommitVersionCol))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+
+  test("CoW UPDATE records its delete+insert pairs; the feed rides across " +
+      "the rewrite; append capture still refuses (naming the option)") {
+    val dir = createCow("upd")
+    val v1 = Snapshots.latestVersion(spark, dir).get
+    spark.sql(s"UPDATE $catName.db.upd SET v = v + 500000 WHERE id % 10 = 4")
+    val v2 = Snapshots.latestVersion(spark, dir).get
+    assert(Snapshots.changeDataFiles(spark, dir, v2).nonEmpty, "cdc sidecar recorded")
+    val rows = feed(dir, v1, v2)
+    val touched = (1L to 100L).filter(_ % 10 == 4)
+    assert(rows.filter(_._3 == "delete").map(_._1).sorted.toSeq == touched)
+    assert(rows.filter(_._3 == "insert").map(_._1).sorted.toSeq == touched)
+    rows.foreach { case (id, v, t, cv) =>
+      assert(cv == v2)
+      assert(v == (if (t == "delete") id * 10 else id * 10 + 500000))
+    }
+    // the DSv2 CDC source delivers the identical event set
+    val viaSource = spark.read.format("graft").option("path", dir)
+      .option("changeFeedMode", "rows").option("startingVersion", v1.toString).load()
+      .select(col("id"), col("v"), col("_change_type"), col("_commit_version"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    assert(viaSource.sorted.toSeq == rows.sorted.toSeq)
+    // file-level append capture cannot deliver deletes — still refuses
+    val e = intercept[IllegalStateException] {
+      Snapshots.readChanges(spark, dir, v1, v2).count()
+    }
+    assert(e.getMessage.contains("changeFeedCow"))
+  }
+
+  test("CoW DELETE and MERGE: the full event matrix, carried rows silent") {
+    val dir = createCow("mrg", rows = 60)
+    val v1 = Snapshots.latestVersion(spark, dir).get
+    spark.sql(s"DELETE FROM $catName.db.mrg WHERE v % 70 = 0") // ids 7,14,...
+    val v2 = Snapshots.latestVersion(spark, dir).get
+    val dels = feed(dir, v1, v2)
+    assert(dels.forall(r => r._3 == "delete" && r._4 == v2))
+    assert(dels.map(_._1).sorted.toSeq == (1L to 60L).filter(_ % 7 == 0))
+
+    spark.range(58, 66).selectExpr("id", "'merged' AS cat", "id AS nv")
+      .createOrReplaceTempView("mrg_src")
+    spark.sql(
+      s"""MERGE INTO $catName.db.mrg t USING mrg_src s ON t.id = s.id
+         |WHEN MATCHED AND s.id % 2 = 0 THEN UPDATE SET v = s.nv
+         |WHEN MATCHED THEN DELETE
+         |WHEN NOT MATCHED THEN INSERT (id, cat, v) VALUES (s.id, s.cat, s.nv)""".stripMargin)
+    val v3 = Snapshots.latestVersion(spark, dir).get
+    val ev = feed(dir, v2, v3).toSeq
+    // matched evens 58,60 updated (59 was… 58,59,60 exist; 61..65 inserted;
+    // 56 deleted earlier? ids ≤ 60 exist minus multiples of 7)
+    val existing = (1L to 60L).filterNot(_ % 7 == 0).toSet
+    val matchedEven = (58L to 60L).filter(i => existing(i) && i % 2 == 0)
+    val matchedOdd = (58L to 60L).filter(i => existing(i) && i % 2 == 1)
+    val inserted = (61L to 65L)
+    assert(ev.filter(r => r._3 == "insert" && r._1 > 60L).map(_._1).sorted == inserted,
+      s"inserted: $ev")
+    matchedEven.foreach { i =>
+      assert(ev.contains((i, i * 10, "delete", v3)) && ev.contains((i, i, "insert", v3)),
+        s"update pair for $i in $ev")
+    }
+    matchedOdd.foreach { i =>
+      assert(ev.contains((i, i * 10, "delete", v3)) &&
+        !ev.exists(r => r._1 == i && r._3 == "insert"), s"pure delete for $i")
+    }
+    // carried rows emit nothing
+    assert(ev.forall(r => r._1 >= 58L))
+  }
+
+  test("no-op UPDATE records an empty sidecar: zero events, no refusal") {
+    val dir = createCow("noop", rows = 30)
+    val v1 = Snapshots.latestVersion(spark, dir).get
+    spark.sql(s"UPDATE $catName.db.noop SET v = v WHERE id % 3 = 0")
+    val v2 = Snapshots.latestVersion(spark, dir).get
+    assert(v2 == v1 + 1)
+    assert(Snapshots.changeDataFiles(spark, dir, v2).nonEmpty,
+      "even a no-op DML must reference a sidecar so the feed can ride across")
+    assert(feed(dir, v1, v2).isEmpty)
+    // and the range keeps flowing across it
+    spark.sql(s"INSERT INTO $catName.db.noop VALUES (9001, 'even', 1)")
+    val v3 = Snapshots.latestVersion(spark, dir).get
+    assert(feed(dir, v1, v3).map(_._1).toSeq == Seq(9001L))
+  }
+
+  test("vacuum reclaims dropped versions' sidecars; a lagging feed refuses " +
+      "with the retention knobs") {
+    val dir = createCow("vac", rows = 20)
+    spark.sql(s"UPDATE $catName.db.vac SET v = 0 WHERE id % 4 = 1")
+    val vCdc = Snapshots.latestVersion(spark, dir).get
+    val cdcFiles = Snapshots.changeDataFiles(spark, dir, vCdc)
+    assert(cdcFiles.nonEmpty)
+    spark.sql(s"INSERT INTO $catName.db.vac VALUES (901, 'odd', 1)")
+    spark.sql(s"INSERT INTO $catName.db.vac VALUES (902, 'even', 2)")
+    Snapshots.vacuum(spark, dir, keepLast = 1)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    cdcFiles.foreach(p => assert(
+      !fs.exists(new org.apache.hadoop.fs.Path(p)), s"vacuum kept sidecar $p"))
+    val e = intercept[IllegalStateException] {
+      feed(dir, 0L, Snapshots.latestVersion(spark, dir).get)
+    }
+    assert(e.getMessage.contains("vacuumed"))
+  }
+
+  test("without changeFeedCow a CoW DML rewrite still refuses the feed") {
+    spark.sql(s"""CREATE TABLE $catName.db.plain (id BIGINT, v BIGINT)
+                 |USING graft OPTIONS (pk 'id', partitions '2', snapshot 'true')"""
+      .stripMargin)
+    spark.sql(s"INSERT INTO $catName.db.plain SELECT id, id FROM range(1, 21) AS r(id)")
+    val dir = s"$baseDir/db/plain"
+    val v1 = Snapshots.latestVersion(spark, dir).get
+    spark.sql(s"UPDATE $catName.db.plain SET v = 0 WHERE v % 5 = 3")
+    val v2 = Snapshots.latestVersion(spark, dir).get
+    assert(Snapshots.changeDataFiles(spark, dir, v2).isEmpty)
+    val e = intercept[IllegalStateException] { feed(dir, v1, v2) }
+    assert(e.getMessage.contains("logical rewrite"))
+  }
+}
