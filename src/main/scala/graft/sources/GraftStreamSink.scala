@@ -70,8 +70,16 @@ class GraftStreamSink(
 
   override def name(): String = s"graft-sink:$dir"
 
+  /** Highest epoch this sink KNOWS is committed. One log consultation per
+   *  sink lifetime (the first batch after start/restart); afterwards our
+   *  own successful commits advance it — sound because an appId has one
+   *  live writer by construction (the checkpoint serializes the query). */
+  @volatile private var knownCommitted: Option[Long] = None
+
   override def addBatch(batchId: Long, data: Dataset[Row]): Unit = {
-    if (Snapshots.streamTxn(data.sparkSession, dir, appId).exists(_ >= batchId)) {
+    if (knownCommitted.isEmpty)
+      knownCommitted = Snapshots.streamTxn(data.sparkSession, dir, appId)
+    if (knownCommitted.exists(_ >= batchId)) {
       logInfo(s"graft sink $dir: batch $batchId already committed for $appId — " +
         "replay skipped (exactly-once)")
       return
@@ -94,5 +102,6 @@ class GraftStreamSink(
     TokenSortedWriter.write(
       GraftDataSource.renameColumns(batch, GraftDataSource.colMapFrom(options)),
       cql, dir, SaveMode.Append, conf)
+    knownCommitted = Some(batchId)
   }
 }

@@ -75,10 +75,16 @@ class GraftStreamSinkSpec extends SparkSpec {
     sink.addBatch(1L, Seq((3L, 30L)).toDF("id", "v"))
     assert(Snapshots.streamTxn(spark, dir, cp).contains(1L))
     // maintenance between batches must not erase the replay guard:
-    // OPTIMIZE commits a layout-only version — the txn marker inherits
+    // OPTIMIZE commits a layout-only version — the txn marker inherits.
+    // A FRESH sink instance (= restarted query) must see it in the LOG,
+    // not an in-memory cache
     TokenSortedWriter.optimizeSmallFiles(spark, CqlSchema("t", Seq("id")), dir,
       smallBytes = 64L << 20, targetBytes = 64L << 20)
-    sink.addBatch(1L, Seq((3L, 30L)).toDF("id", "v")) // replay after OPTIMIZE
+    val restarted = new GraftStreamSink(
+      Map("path" -> dir, "pk" -> "id", "snapshot" -> "true",
+        "partitions" -> "2", "checkpointLocation" -> cp),
+      OutputMode.Append())
+    restarted.addBatch(1L, Seq((3L, 30L)).toDF("id", "v")) // replay after OPTIMIZE
     val rows = spark.read.format("graft").option("path", dir).option("pk", "id")
       .load().select(col("id")).collect().map(_.getLong(0)).sorted.toSeq
     assert(rows == Seq(1L, 2L, 3L), s"replay after maintenance duplicated: $rows")

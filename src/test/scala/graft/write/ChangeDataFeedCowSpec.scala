@@ -138,6 +138,55 @@ class ChangeDataFeedCowSpec extends SparkSpec {
     assert(e.getMessage.contains("vacuumed"))
   }
 
+  test("the CDC STREAM rides across a CoW DML rewrite, delivering the " +
+      "recorded events at their version") {
+    import org.apache.spark.sql.streaming.OutputMode
+    val dir = createCow("stream", rows = 40)
+    val q = spark.readStream.format("graft")
+      .option("path", dir).option("changeFeedMode", "rows").load()
+      .writeStream.format("memory").queryName("cow_cdc_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("cow_cdc_out").count() == 40L)
+      spark.sql(s"UPDATE $catName.db.stream SET v = v + 3 WHERE id % 8 = 2")
+      q.processAllAvailable()
+      val ev = spark.table("cow_cdc_out")
+        .filter(col("_commit_version") === 2L)
+        .select(col("id"), col("v"), col("_change_type"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+      val touched = (1L to 40L).filter(_ % 8 == 2)
+      assert(ev == touched.flatMap(i =>
+        Seq((i, i * 10, "delete"), (i, i * 10 + 3, "insert"))).toSet)
+    } finally q.stop()
+  }
+
+  test("preimages apply the source version's deletion vectors: a row a " +
+      "prior MoR-style delta hid must not resurrect into the CDC events") {
+    val dir = createCow("mixdv", rows = 50)
+    val v1 = Snapshots.latestVersion(spark, dir).get
+    // hide one physical row via a directly-committed DV (the MoR primitive)
+    val coord = spark.read.format("graft").option("path", dir).option("pk", "id")
+      .load().select(col("id"), col("_graft_file"), col("_graft_pos"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .minBy(_._1)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val dv = DeletionVectors.newDvPath(dir)
+    DeletionVectors.write(fs, dv, Array(coord._3))
+    Snapshots.commitDeltas(spark, dir, Map(coord._2 -> dv), Nil, Some(v1))
+    val hiddenId = coord._1
+    // a CoW UPDATE touching every group: the hidden row must appear in NO
+    // event (it was already logically deleted before this DML)
+    spark.sql(s"UPDATE $catName.db.mixdv SET v = v + 1 WHERE id % 2 = ${hiddenId % 2}")
+    val head = Snapshots.latestVersion(spark, dir).get
+    val ev = feed(dir, head - 1, head)
+    assert(!ev.exists(_._1 == hiddenId),
+      s"DV-hidden row $hiddenId resurrected into CDC events: " +
+        ev.filter(_._1 == hiddenId).mkString(","))
+    assert(ev.nonEmpty)
+  }
+
   test("without changeFeedCow a CoW DML rewrite still refuses the feed") {
     spark.sql(s"""CREATE TABLE $catName.db.plain (id BIGINT, v BIGINT)
                  |USING graft OPTIONS (pk 'id', partitions '2', snapshot 'true')"""

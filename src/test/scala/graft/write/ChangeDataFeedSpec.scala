@@ -144,6 +144,32 @@ class ChangeDataFeedSpec extends SparkSpec {
     assert(e.getMessage.contains("keepLast"))
   }
 
+  test("schema evolution mid-range: pre-evolution events read null for " +
+      "the new column, post-evolution events carry values") {
+    val dir = createMor("evo", rows = 20)
+    spark.sql(s"ALTER TABLE $catName.db.evo ADD COLUMNS (tag STRING)")
+    spark.sql(s"INSERT INTO $catName.db.evo VALUES (900, 'even', 0, 't9')")
+    spark.sql(s"UPDATE $catName.db.evo SET v = 1, tag = 'u' WHERE id = 900")
+    val head = Snapshots.latestVersion(spark, dir).get
+    val rows = Snapshots.readChangesWithDeletes(spark, dir, 0L, head)
+      .select(col("id"), col("tag"), col(Snapshots.ChangeTypeCol),
+        col(Snapshots.CommitVersionCol))
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)), r.getString(2), r.getLong(3)))
+    // the 20 pre-evolution inserts: null tag
+    assert(rows.count(r => r._1 <= 20L && r._2.isEmpty && r._3 == "insert") == 20)
+    // post-evolution: insert t9, then the update pair (preimage t9 → postimage u)
+    val e900 = rows.filter(_._1 == 900L).sortBy(r => (r._4, r._3))
+    assert(e900.map(r => (r._2, r._3)).toSeq ==
+      Seq((Some("t9"), "insert"), (Some("t9"), "delete"), (Some("u"), "insert")),
+      s"got ${e900.toSeq}")
+    // the DSv2 source agrees (its data schema is the evolved table schema)
+    val viaSource = spark.read.format("graft").option("path", dir)
+      .option("changeFeedMode", "rows").load()
+      .select(col("id"), col("tag"), col("_change_type"), col("_commit_version"))
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)), r.getString(2), r.getLong(3)))
+    assert(viaSource.sorted.toSeq == rows.sorted.toSeq)
+  }
+
   test("empty range and no-event range return the tagged empty frame " +
       "with the table schema") {
     val dir = createMor("empt")
