@@ -2369,6 +2369,49 @@ object Battery {
     // rewrite) let the row-level feed ride across where a CDC-less CoW
     // table must refuse. Identical closed-form oracle to q189: the two
     // DML engines produce the same row-level events.
+    // Table constraints (DSv2 SUPPORT_TABLE_CONSTRAINT): an inline CHECK
+    // admits the conforming corpus and refuses a violating INSERT before
+    // anything commits; ADD CONSTRAINT validation-scans existing data
+    // (an impossible constraint refuses, persisting nothing); the CHECK
+    // guards the DML rewrite too. The oracle states the surviving table
+    // closed-form — only the admitted writes ever landed.
+    "q194_check_constraints" -> ((s, d) => {
+      val cat = "gcns" + java.util.UUID.randomUUID().toString.take(8)
+      val base = java.nio.file.Files.createTempDirectory("graft_cnsq_").toString
+      s.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.base", base)
+      s.sql(s"CREATE TABLE $cat.db.docs (doc_id BIGINT, source STRING, n_chars BIGINT, " +
+        "CONSTRAINT chars_pos CHECK (n_chars > 0)) " +
+        "USING graft OPTIONS (pk 'doc_id', partitions '2', snapshot 'true')")
+      docs(s, d).select(col("doc_id"), col("source"), col("n_chars"))
+        .createOrReplaceTempView("q194_docs")
+      s.sql(s"INSERT INTO $cat.db.docs SELECT doc_id, source, n_chars FROM q194_docs")
+      val n = s.table(s"$cat.db.docs").count()
+      val refusedInsert =
+        try { s.sql(s"INSERT INTO $cat.db.docs VALUES (-1, 'bad', 0)"); false }
+        catch { case e: Exception => e.getMessage.contains("chars_pos") }
+      require(refusedInsert, "a violating INSERT must fail naming the CHECK")
+      require(s.table(s"$cat.db.docs").count() == n,
+        "a refused INSERT must not commit rows")
+      // validation scan over existing data: a satisfiable CHECK admits…
+      s.sql(s"ALTER TABLE $cat.db.docs ADD CONSTRAINT src_known " +
+        "CHECK (source IS NOT NULL)")
+      // …an impossible one refuses and persists nothing
+      val refusedAdd =
+        try { s.sql(s"ALTER TABLE $cat.db.docs ADD CONSTRAINT impossible " +
+          "CHECK (n_chars > 100000000)"); false }
+        catch { case _: Exception => true }
+      require(refusedAdd, "ADD CONSTRAINT must validate existing data")
+      // the CHECK rides the CoW rewrite: a violating UPDATE refuses whole
+      val refusedUpdate =
+        try { s.sql(s"UPDATE $cat.db.docs SET n_chars = -n_chars " +
+          "WHERE doc_id % 5 = 0"); false }
+        catch { case e: Exception => e.getMessage.contains("chars_pos") }
+      require(refusedUpdate, "a violating UPDATE must fail naming the CHECK")
+      s.sql(s"UPDATE $cat.db.docs SET n_chars = n_chars + 1 WHERE doc_id % 5 = 0")
+      s.table(s"$cat.db.docs").select(col("doc_id"), col("source"), col("n_chars"))
+    }),
+
     "q193_cdf_cow" -> ((s, d) => {
       val cat = "gcow" + java.util.UUID.randomUUID().toString.take(8)
       val base = java.nio.file.Files.createTempDirectory("graft_cowq_").toString
@@ -4921,6 +4964,13 @@ object Battery {
         |       THEN n_chars + 100000 ELSE n_chars END,
         |  'delete', CAST(3 AS BIGINT)
         |FROM documents WHERE doc_id % 11 = 5""".stripMargin,
+    // only the admitted writes ever landed: the full corpus (all
+    // n_chars > 0), the refused INSERT/UPDATE absent, the admitted
+    // UPDATE applied
+    "q194_check_constraints" ->
+      """SELECT doc_id, source,
+        |  CASE WHEN doc_id % 5 = 0 THEN n_chars + 1 ELSE n_chars END AS n_chars
+        |FROM documents""".stripMargin,
     // the CALL-driven lifecycle lands on the same surviving rows
     "q191_sql_maintenance" ->
       "SELECT doc_id, source, n_chars FROM documents WHERE doc_id % 9 <> 2",

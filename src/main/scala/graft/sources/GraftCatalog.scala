@@ -40,6 +40,14 @@ class GraftCatalog extends TableCatalog
     with org.apache.spark.sql.connector.catalog.SupportsNamespaces
     with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
 
+  /** Opts into `CREATE TABLE (…, CONSTRAINT …)` / `ALTER TABLE ADD|DROP
+   *  CONSTRAINT` — see [[GraftTableConstraints]] for the contract (stock
+   *  Spark enforces; the catalog persists and guards). */
+  override def capabilities()
+      : util.Set[org.apache.spark.sql.connector.catalog.TableCatalogCapability] =
+    util.EnumSet.of(org.apache.spark.sql.connector.catalog
+      .TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT)
+
   // ---- SQL maintenance procedures (`CALL cat.system.<proc>(…)`): the
   // library maintenance entry points as one-statement SQL — see
   // [[GraftProcedures]] for the surface and contracts
@@ -245,6 +253,29 @@ class GraftCatalog extends TableCatalog
     loadTable(ident)
   }
 
+  /** `CREATE TABLE (…, CONSTRAINT …)`: the TableInfo create — same path
+   *  as the classic overload, plus constraint admission + persistence.
+   *  The table is born empty, so whatever validation status Spark hands
+   *  us is trivially honest. */
+  override def createTable(
+      ident: Identifier,
+      info: org.apache.spark.sql.connector.catalog.TableInfo): Table = {
+    val table = createTable(ident, info.schema, info.partitions, info.properties)
+    if (info.constraints() != null && info.constraints().nonEmpty) {
+      val stored = info.constraints().toSeq
+        .map(GraftTableConstraints.fromConnector(_, info.schema))
+      require(stored.map(_.name.toLowerCase).distinct.size == stored.size,
+        s"duplicate constraint names in CREATE TABLE $ident")
+      val dir = dirFor(ident)
+      val f = fs(dir)
+      val (schema, pairs) = GraftCatalog.readMeta(f, metaPath(dir))
+      GraftCatalog.writeMeta(f, metaPath(dir), schema,
+        pairs :+ ("constraints" -> GraftTableConstraints.render(stored)),
+        overwrite = true)
+      loadTable(ident)
+    } else table
+  }
+
   /** Schema evolution in SQL — every alter that is SAFE on a name-mapped
    *  parquet layout without rewriting data:
    *
@@ -282,8 +313,30 @@ class GraftCatalog extends TableCatalog
     var colMap = GraftCatalog.parseColMap(pairs0.toMap.get("colmap"))
     var droppedPhys = pairs0.toMap.get("droppedPhys").toSeq
       .flatMap(_.split(';')).map(_.trim).filter(_.nonEmpty)
+    var constraints = GraftTableConstraints.parseOption(pairs0.toMap.get("constraints"))
+    // a schema change that touches a column some constraint references
+    // would leave the stored predicate pointing at nothing (or at the
+    // wrong data under a type change) — refuse; DROP CONSTRAINT first
+    def requireUnconstrained(col: String, what: String): Unit = {
+      val holders = constraints.filter(_.refs.exists(_.equalsIgnoreCase(col)))
+      require(holders.isEmpty,
+        s"cannot $what column $col — constraint(s) ${holders.map(_.name).mkString(", ")} " +
+          s"reference it; DROP CONSTRAINT first")
+    }
     val schema = changes.foldLeft(schema0) { (s, change) =>
       change match {
+        case ac: AddConstraint =>
+          val stored = GraftTableConstraints.fromConnector(ac.constraint(), s)
+          require(!constraints.exists(_.name.equalsIgnoreCase(stored.name)),
+            s"constraint ${stored.name} already exists on $ident")
+          constraints = constraints :+ stored
+          s
+        case dc: DropConstraint =>
+          val exists = constraints.exists(_.name.equalsIgnoreCase(dc.name))
+          if (!exists && !dc.ifExists)
+            throw new IllegalArgumentException(s"no such constraint ${dc.name} on $ident")
+          constraints = constraints.filterNot(_.name.equalsIgnoreCase(dc.name))
+          s
         case a: AddColumn =>
           require(a.fieldNames.length == 1,
             s"only top-level ADD COLUMNS supported, got ${a.fieldNames.mkString(".")}")
@@ -313,6 +366,7 @@ class GraftCatalog extends TableCatalog
           require(!keyCols.contains(name),
             s"cannot drop key column $name (it drives the token layout)")
           require(s.fieldNames.contains(name), s"no such column $name")
+          requireUnconstrained(name, "drop")
           // remember the physical name: a future re-add must not reconnect
           droppedPhys = (droppedPhys :+ colMap.getOrElse(name, name)).distinct
           colMap = colMap - name
@@ -327,6 +381,7 @@ class GraftCatalog extends TableCatalog
           require(!keyCols.contains(from),
             s"cannot rename key/partition column $from (it drives the token " +
               "layout and the pruning statistics)")
+          requireUnconstrained(from, "rename")
           // physical name NEVER moves: logical `to` now points at it
           val phys = colMap.getOrElse(from, from)
           colMap = colMap - from + (to -> phys)
@@ -340,6 +395,7 @@ class GraftCatalog extends TableCatalog
           require(!keyCols.contains(name),
             s"cannot change the type of key/partition column $name — the pk byte " +
               "serialization drives the murmur3 token layout and the pruning stats")
+          requireUnconstrained(name, "change the type of")
           val cur = s(name).dataType
           require(GraftCatalog.widensSafely(cur, u.newDataType()),
             s"only value-preserving widenings are metadata-safe on stored parquet " +
@@ -355,10 +411,13 @@ class GraftCatalog extends TableCatalog
     }
     // identity entries are noise — keep the descriptor minimal
     colMap = colMap.filter { case (l, p) => l != p }
-    val carried = pairs0.filterNot(p => p._1 == "colmap" || p._1 == "droppedPhys")
+    val carried = pairs0.filterNot(p =>
+      p._1 == "colmap" || p._1 == "droppedPhys" || p._1 == "constraints")
     val pairs = carried ++
       (if (colMap.nonEmpty) Seq("colmap" -> GraftCatalog.renderColMap(colMap)) else Nil) ++
-      (if (droppedPhys.nonEmpty) Seq("droppedPhys" -> droppedPhys.mkString(";")) else Nil)
+      (if (droppedPhys.nonEmpty) Seq("droppedPhys" -> droppedPhys.mkString(";")) else Nil) ++
+      (if (constraints.nonEmpty)
+        Seq("constraints" -> GraftTableConstraints.render(constraints)) else Nil)
     GraftCatalog.writeMeta(f, metaPath(dir), schema, pairs, overwrite = true)
     loadTable(ident)
   }

@@ -341,6 +341,16 @@ class GraftTable(
     with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
     with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
 
+  /** Constraints the catalog descriptor carries (see
+   *  [[GraftTableConstraints]]). Reporting them here is what arms stock
+   *  Spark: `ResolveTableConstraints` turns the enforced CHECKs into
+   *  `CheckInvariant` write guards on every V2 write path (INSERT /
+   *  ReplaceData / WriteDelta); PK and UNIQUE surface in DESCRIBE. */
+  override def constraints()
+      : Array[org.apache.spark.sql.connector.catalog.constraints.Constraint] =
+    GraftTableConstraints.parseOption(Option(tableOptions.get("constraints")))
+      .map(_.toConnector).toArray
+
   /** `_graft_token` as a DSv2 METADATA column: `SELECT *` never sees it,
    *  but a query can ask for the ring position (debugging skew, building
    *  co-location keys, auditing pruning) without the source leaking the
