@@ -2369,6 +2369,67 @@ object Battery {
     // rewrite) let the row-level feed ride across where a CDC-less CoW
     // table must refuse. Identical closed-form oracle to q189: the two
     // DML engines produce the same row-level events.
+    // SQL CLUSTER BY (the q141 Z-order layout declared in DDL): INSERTs
+    // into the clustered catalog table land Z-ordered files, the band
+    // query prunes on both axes (gated: a band on either clustering
+    // column must plan under half the files), and the result matches the
+    // plain closed-form SELECT.
+    "q196_sql_cluster_by" -> ((s, d) => {
+      val cat = "gcly" + java.util.UUID.randomUUID().toString.take(8)
+      val base = java.nio.file.Files.createTempDirectory("graft_clyq_").toString
+      s.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.base", base)
+      s.sql(s"CREATE TABLE $cat.db.ev (user_id BIGINT, event_id BIGINT, " +
+        "event_type STRING, value DOUBLE) " +
+        "USING graft CLUSTER BY (user_id, event_id) " +
+        "OPTIONS (pk 'event_id', partitions '16', snapshot 'true')")
+      ev(s, d).select(col("user_id"), col("event_id"), col("event_type"), col("value"))
+        .createOrReplaceTempView("q196_events")
+      s.sql(s"INSERT INTO $cat.db.ev SELECT * FROM q196_events")
+      val dir = s"$base/db/ev"
+      // eighth-of-range bands on each axis — scale-free selectivity, and
+      // the oracle derives the identical cutoffs from the same min/max
+      val b = s.table("q196_events").agg(
+        min(col("user_id")), max(col("user_id")),
+        min(col("event_id")), max(col("event_id"))).head()
+      val uHi = b.getLong(0) + (b.getLong(1) - b.getLong(0)) / 8
+      val eHi = b.getLong(2) + (b.getLong(3) - b.getLong(2)) / 8
+      val files = graft.sources.TokenPruner.listFiles(s, dir)
+      val sch = graft.model.CqlSchema("ev", Seq("event_id"))
+      def kept(c: String, hi: Long) = graft.sources.TokenPruner.prune(s, files,
+        Array(org.apache.spark.sql.sources.LessThanOrEqual(c, hi)), sch).length
+      require(kept("user_id", uHi) <= files.length / 2 &&
+        kept("event_id", eHi) <= files.length / 2,
+        s"CLUSTER BY must prune on both axes " +
+          s"(${kept("user_id", uHi)}/${kept("event_id", eHi)} of ${files.length})")
+      s.table(s"$cat.db.ev")
+        .filter(col("user_id") <= uHi && col("event_id") <= eHi)
+        .select(col("user_id"), col("event_id"), col("event_type"), col("value"))
+    }),
+
+    // Column DEFAULT values (SUPPORT_COLUMN_DEFAULT_VALUE): declared in
+    // CREATE TABLE, changed mid-stream with ALTER COLUMN SET DEFAULT —
+    // stock ResolveDefaultColumns fills the omitted columns at write
+    // time, so the two insert waves land different defaults. The oracle
+    // restates both waves closed-form.
+    "q195_column_defaults" -> ((s, d) => {
+      val cat = "gdef" + java.util.UUID.randomUUID().toString.take(8)
+      val base = java.nio.file.Files.createTempDirectory("graft_defq_").toString
+      s.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.base", base)
+      s.sql(s"CREATE TABLE $cat.db.docs (doc_id BIGINT, source STRING DEFAULT 'unknown', " +
+        "score BIGINT DEFAULT 0) " +
+        "USING graft OPTIONS (pk 'doc_id', partitions '2', snapshot 'true')")
+      docs(s, d).select(col("doc_id"), col("source"))
+        .createOrReplaceTempView("q195_docs")
+      s.sql(s"INSERT INTO $cat.db.docs (doc_id, source) " +
+        "SELECT doc_id, source FROM q195_docs WHERE doc_id % 2 = 0")
+      s.sql(s"ALTER TABLE $cat.db.docs ALTER COLUMN score SET DEFAULT 100")
+      s.sql(s"INSERT INTO $cat.db.docs (doc_id) " +
+        "SELECT doc_id FROM q195_docs WHERE doc_id % 2 = 1")
+      s.table(s"$cat.db.docs").select(col("doc_id"), col("source"), col("score"))
+    }),
+
     // Table constraints (DSv2 SUPPORT_TABLE_CONSTRAINT): an inline CHECK
     // admits the conforming corpus and refuses a violating INSERT before
     // anything commits; ADD CONSTRAINT validation-scans existing data
@@ -4964,6 +5025,23 @@ object Battery {
         |       THEN n_chars + 100000 ELSE n_chars END,
         |  'delete', CAST(3 AS BIGINT)
         |FROM documents WHERE doc_id % 11 = 5""".stripMargin,
+    // the DDL-declared Z-order lands the same rows the plain scan selects
+    // (identical eighth-of-range cutoffs, derived from the same min/max)
+    "q196_sql_cluster_by" ->
+      """WITH b AS (SELECT min(user_id) AS umn, max(user_id) AS umx,
+        |                  min(event_id) AS emn, max(event_id) AS emx
+        |           FROM events)
+        |SELECT user_id, event_id, event_type, value
+        |FROM events, b
+        |WHERE user_id <= umn + (umx - umn) // 8
+        |  AND event_id <= emn + (emx - emn) // 8""".stripMargin,
+    // the two insert waves land the default in force at their write time
+    "q195_column_defaults" ->
+      """SELECT doc_id, source, CAST(0 AS BIGINT) AS score
+        |FROM documents WHERE doc_id % 2 = 0
+        |UNION ALL
+        |SELECT doc_id, 'unknown', CAST(100 AS BIGINT)
+        |FROM documents WHERE doc_id % 2 = 1""".stripMargin,
     // only the admitted writes ever landed: the full corpus (all
     // n_chars > 0), the refused INSERT/UPDATE absent, the admitted
     // UPDATE applied

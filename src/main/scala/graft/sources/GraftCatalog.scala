@@ -42,11 +42,22 @@ class GraftCatalog extends TableCatalog
 
   /** Opts into `CREATE TABLE (…, CONSTRAINT …)` / `ALTER TABLE ADD|DROP
    *  CONSTRAINT` — see [[GraftTableConstraints]] for the contract (stock
-   *  Spark enforces; the catalog persists and guards). */
+   *  Spark enforces; the catalog persists and guards) — and into column
+   *  DEFAULT values (`c INT DEFAULT 7`, `ALTER COLUMN c SET/DROP
+   *  DEFAULT`). Defaults live in the schema JSON's field metadata
+   *  (`CURRENT_DEFAULT`/`EXISTS_DEFAULT`, the stock encoding), so the
+   *  descriptor round-trips them for free and the analyzer's
+   *  `ResolveDefaultColumns` fills omitted columns / DEFAULT keywords at
+   *  write time. `ADD COLUMNS (c T DEFAULT …)` is refused: rows already
+   *  on disk would need a reader-side fill our null-reading scan does
+   *  not perform — the same refusal Delta ships. */
   override def capabilities()
       : util.Set[org.apache.spark.sql.connector.catalog.TableCatalogCapability] =
-    util.EnumSet.of(org.apache.spark.sql.connector.catalog
-      .TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT)
+    util.EnumSet.of(
+      org.apache.spark.sql.connector.catalog
+        .TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT,
+      org.apache.spark.sql.connector.catalog
+        .TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
 
   // ---- SQL maintenance procedures (`CALL cat.system.<proc>(…)`): the
   // library maintenance entry points as one-statement SQL — see
@@ -225,12 +236,25 @@ class GraftCatalog extends TableCatalog
     val pk = opt("pk").getOrElse(throw new IllegalArgumentException(
       s"CREATE TABLE $ident requires OPTIONS (pk '<cols>') — the partition key drives " +
         "the token layout"))
-    val dirCols = partitions.toSeq.map {
-      case t if t.name == "identity" && t.references.length == 1 =>
-        t.references()(0).fieldNames.mkString(".")
-      case other => throw new IllegalArgumentException(
-        s"only identity PARTITIONED BY columns are supported (token hashing is built in), got $other")
-    }
+    // `CLUSTER BY (a, b)` arrives as a ClusterByTransform among the
+    // partition transforms — it maps to the Z-order write layout
+    // ([[graft.write.TokenSortedWriter.zorderSorted]]): files cover
+    // narrow min/max ranges on EVERY clustering column, so stats pruning
+    // works on each axis
+    val clusterCols = partitions.toSeq.collect {
+      case org.apache.spark.sql.connector.expressions.ClusterByTransform(refs) =>
+        refs.map(_.fieldNames.mkString("."))
+    }.flatten
+    val dirCols = partitions.toSeq
+      .filter(!_.isInstanceOf[org.apache.spark.sql.connector.expressions.ClusterByTransform])
+      .map {
+        case t if t.name == "identity" && t.references.length == 1 =>
+          t.references()(0).fieldNames.mkString(".")
+        case other => throw new IllegalArgumentException(
+          s"only identity PARTITIONED BY columns are supported (token hashing is built in), got $other")
+      }
+    if (clusterCols.nonEmpty)
+      GraftCatalog.validateClusterBy(clusterCols, schema, dirCols)
     val pairs = Seq("pk" -> pk) ++
       opt("ck").map("ck" -> _) ++
       opt("static").map("static" -> _) ++
@@ -245,7 +269,8 @@ class GraftCatalog extends TableCatalog
       // at the given path — the standard way to register a directory a
       // bulk job already wrote
       opt("location").map("location" -> _) ++
-      (if (dirCols.nonEmpty) Seq("partitionBy" -> dirCols.mkString(",")) else Nil)
+      (if (dirCols.nonEmpty) Seq("partitionBy" -> dirCols.mkString(",")) else Nil) ++
+      (if (clusterCols.nonEmpty) Seq("zorderBy" -> clusterCols.mkString(",")) else Nil)
     val dir = dirFor(ident)
     val f = fs(dir)
     f.mkdirs(dir)
@@ -307,9 +332,14 @@ class GraftCatalog extends TableCatalog
     val (schema0, pairs0) = GraftCatalog.readMeta(f, metaPath(dir))
     // dir-partition columns are as load-bearing as keys: dropping one would
     // leave a stale partitionBy option and break every subsequent INSERT
-    val keyCols = pairs0.toMap.get("pk").toSeq.flatMap(_.split(',')).map(_.trim) ++
+    var zorder: Seq[String] = pairs0.toMap.get("zorderBy").toSeq
+      .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
+    // clustering columns guard like keys: their footer stats ARE the
+    // pruning index (re-cluster with CLUSTER BY NONE first to free them)
+    def keyCols = pairs0.toMap.get("pk").toSeq.flatMap(_.split(',')).map(_.trim) ++
       pairs0.toMap.get("ck").toSeq.flatMap(_.split(',')).map(_.trim) ++
-      pairs0.toMap.get("partitionBy").toSeq.flatMap(_.split(',')).map(_.trim)
+      pairs0.toMap.get("partitionBy").toSeq.flatMap(_.split(',')).map(_.trim) ++
+      zorder
     var colMap = GraftCatalog.parseColMap(pairs0.toMap.get("colmap"))
     var droppedPhys = pairs0.toMap.get("droppedPhys").toSeq
       .flatMap(_.split(';')).map(_.trim).filter(_.nonEmpty)
@@ -337,6 +367,16 @@ class GraftCatalog extends TableCatalog
             throw new IllegalArgumentException(s"no such constraint ${dc.name} on $ident")
           constraints = constraints.filterNot(_.name.equalsIgnoreCase(dc.name))
           s
+        case cb: ClusterBy =>
+          // `ALTER TABLE … CLUSTER BY (a, b)` / `CLUSTER BY NONE` — changes
+          // the layout of FUTURE writes; existing files keep their order
+          // (OPTIMIZE packs within-layout; a full re-cluster is a rewrite)
+          val cols = cb.clusteringColumns().map(_.fieldNames.mkString(".")).toSeq
+          if (cols.nonEmpty)
+            GraftCatalog.validateClusterBy(cols, s,
+              pairs0.toMap.get("partitionBy").toSeq.flatMap(_.split(',')).map(_.trim))
+          zorder = cols
+          s
         case a: AddColumn =>
           require(a.fieldNames.length == 1,
             s"only top-level ADD COLUMNS supported, got ${a.fieldNames.mkString(".")}")
@@ -347,6 +387,10 @@ class GraftCatalog extends TableCatalog
           require(a.position() == null,
             s"ADD COLUMNS FIRST/AFTER is not supported (new columns append; " +
               s"parquet resolves by name, so order is cosmetic here)")
+          require(a.defaultValue() == null,
+            s"ADD COLUMNS with a DEFAULT is not supported: rows already on " +
+              s"disk would need a reader-side fill (add the column, then " +
+              s"ALTER COLUMN ${a.fieldNames.head} SET DEFAULT … for future writes)")
           val name = a.fieldNames.head
           // the default physical name is the logical one; if files may
           // ever have stored that physical name (it was dropped, or a
@@ -387,6 +431,27 @@ class GraftCatalog extends TableCatalog
           colMap = colMap - from + (to -> phys)
           StructType(s.fields.map(fld =>
             if (fld.name == from) fld.copy(name = to) else fld))
+        case u: UpdateColumnDefaultValue =>
+          require(u.fieldNames.length == 1,
+            s"only top-level SET/DROP DEFAULT supported, got ${u.fieldNames.mkString(".")}")
+          val name = u.fieldNames.head
+          require(s.fieldNames.contains(name), s"no such column $name")
+          // future writes only (CURRENT_DEFAULT): every row already on disk
+          // physically stores this column, so the exists-default never
+          // applies and stays untouched
+          val sql = Option(u.newDefaultValue()).map(_.trim).filter(_.nonEmpty)
+          StructType(s.fields.map { fld =>
+            if (fld.name != name) fld
+            else {
+              val mb = new org.apache.spark.sql.types.MetadataBuilder()
+                .withMetadata(fld.metadata)
+              sql match {
+                case Some(d) => mb.putString("CURRENT_DEFAULT", d)
+                case None => mb.remove("CURRENT_DEFAULT")
+              }
+              fld.copy(metadata = mb.build())
+            }
+          })
         case u: UpdateColumnType =>
           require(u.fieldNames.length == 1,
             s"only top-level ALTER COLUMN TYPE supported, got ${u.fieldNames.mkString(".")}")
@@ -412,12 +477,14 @@ class GraftCatalog extends TableCatalog
     // identity entries are noise — keep the descriptor minimal
     colMap = colMap.filter { case (l, p) => l != p }
     val carried = pairs0.filterNot(p =>
-      p._1 == "colmap" || p._1 == "droppedPhys" || p._1 == "constraints")
+      p._1 == "colmap" || p._1 == "droppedPhys" || p._1 == "constraints" ||
+        p._1 == "zorderBy")
     val pairs = carried ++
       (if (colMap.nonEmpty) Seq("colmap" -> GraftCatalog.renderColMap(colMap)) else Nil) ++
       (if (droppedPhys.nonEmpty) Seq("droppedPhys" -> droppedPhys.mkString(";")) else Nil) ++
       (if (constraints.nonEmpty)
-        Seq("constraints" -> GraftTableConstraints.render(constraints)) else Nil)
+        Seq("constraints" -> GraftTableConstraints.render(constraints)) else Nil) ++
+      (if (zorder.nonEmpty) Seq("zorderBy" -> zorder.mkString(",")) else Nil)
     GraftCatalog.writeMeta(f, metaPath(dir), schema, pairs, overwrite = true)
     loadTable(ident)
   }
@@ -442,6 +509,30 @@ class GraftCatalog extends TableCatalog
 
 object GraftCatalog {
   val MetaFile = "_graft_table.meta"
+
+  /** CLUSTER BY admission: 2-4 existing top-level columns of a type the
+   *  Z-order rank image supports, not combined with directory
+   *  partitioning (the writer's documented exclusivity — each is a
+   *  layout). */
+  private[sources] def validateClusterBy(
+      cols: Seq[String], schema: StructType, dirCols: Seq[String]): Unit = {
+    import org.apache.spark.sql.types._
+    require(cols.size >= 2 && cols.size <= 4,
+      s"CLUSTER BY needs 2-4 columns (one-dimension clustering is the token " +
+        s"sort; bit-interleaving caps at 4 axes), got ${cols.size}")
+    require(dirCols.isEmpty,
+      "CLUSTER BY and PARTITIONED BY are mutually exclusive layouts")
+    cols.foreach { c =>
+      require(!c.contains("."), s"CLUSTER BY supports top-level columns only, got $c")
+      require(schema.fieldNames.contains(c), s"no such column $c")
+      val dt = schema(c).dataType
+      require(dt match {
+        case LongType | IntegerType | ShortType | ByteType |
+             DateType | TimestampType | StringType => true
+        case _ => false
+      }, s"CLUSTER BY column $c must be integral, date, timestamp or string, got $dt")
+    }
+  }
 
   /** `colmap` pair codec: `logical=physical;logical=physical` — only
    *  non-identity entries are stored. */

@@ -169,7 +169,8 @@ class GraftDataSource extends TableProvider with DataSourceRegister
       keepTokenColumn = options.getBoolean("keepToken", true),
       snapshot = options.getBoolean("snapshot", false),
       partitionBy = Option(options.get("partitionBy"))
-        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil))
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil),
+      zorderBy = GraftDataSource.zorderByFrom(options))
     TokenSortedWriter.write(
       GraftDataSource.renameColumns(data, GraftDataSource.colMapFrom(options)),
       cql, pathOf(options), mode, conf)
@@ -189,6 +190,12 @@ object GraftDataSource {
    *  readers (requesting either forces whole-file row-based reads). */
   val FileCol = "_graft_file"
   val PosCol = "_graft_pos"
+
+  /** `zorderBy` option (written by the catalog's CLUSTER BY): csv column
+   *  list driving the Z-order write layout. */
+  def zorderByFrom(options: CaseInsensitiveStringMap): Seq[String] =
+    Option(options.get("zorderBy"))
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
 
   // ---- column name mapping (`colmap` option, written by the catalog's
   // RENAME COLUMN): logical→physical indirection in the Delta column-
@@ -572,7 +579,8 @@ class GraftTable(
                 keepTokenColumn = tableOptions.getBoolean("keepToken", true),
                 snapshot = tableOptions.getBoolean("snapshot", false),
                 partitionBy = Option(tableOptions.get("partitionBy"))
-                  .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil))
+                  .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil),
+                zorderBy = GraftDataSource.zorderByFrom(tableOptions))
               val ow = overwrite || overwriteAll
               if (ow && graft.write.Snapshots
                   .latestVersion(data.sparkSession, dir).isDefined) {

@@ -1116,8 +1116,12 @@ object TokenSortedWriter {
     val fresh = scala.collection.mutable.ArrayBuffer.empty[String]
     bins.foreach { bin =>
       val raw = DeletionVectors.applyToRead(spark, bin.map(_.path), dvBindings)
+      // clustered (Z-ordered) files carry the interleaved key — packing
+      // re-sorts by IT so the packed file keeps narrow per-axis footer
+      // stats; token-sorted files keep the token/pk order
       val sortCols =
-        (if (raw.columns.contains(TokenCol)) TokenCol +: schema.primaryKey
+        (if (raw.columns.contains(ZOrderCol)) Seq(ZOrderCol)
+         else if (raw.columns.contains(TokenCol)) TokenCol +: schema.primaryKey
          else schema.primaryKey).filter(raw.columns.contains).map(qcol)
       val tmp = new Path(root, s".optimize-${java.util.UUID.randomUUID().toString.take(12)}")
       raw.coalesce(1).sortWithinPartitions(sortCols: _*).write.parquet(tmp.toString)
