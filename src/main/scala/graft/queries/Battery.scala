@@ -2369,6 +2369,38 @@ object Battery {
     // rewrite) let the row-level feed ride across where a CDC-less CoW
     // table must refuse. Identical closed-form oracle to q189: the two
     // DML engines produce the same row-level events.
+    // Row tracking (_graft_row_id — the Delta baseRowId design): stable
+    // per-row ids allocated at commit from a log-carried high-water mark,
+    // MATERIALIZED into every rewrite (CoW UPDATE, OPTIMIZE pack) so they
+    // survive DML and maintenance. The query captures ids before a
+    // CoW UPDATE + CALL optimize + DELETE lifecycle and emits, per
+    // surviving row, whether its id held — the oracle states TRUE for
+    // every survivor closed-form, so one moved id fails the hash.
+    "q197_row_tracking" -> ((s, d) => {
+      val cat = "grid" + java.util.UUID.randomUUID().toString.take(8)
+      val base = java.nio.file.Files.createTempDirectory("graft_ridq_").toString
+      s.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.base", base)
+      s.sql(s"CREATE TABLE $cat.db.docs (doc_id BIGINT, source STRING, n_chars BIGINT) " +
+        "USING graft OPTIONS (pk 'doc_id', partitions '2', snapshot 'true', " +
+        "rowTracking 'true')")
+      docs(s, d).select(col("doc_id"), col("source"), col("n_chars"))
+        .createOrReplaceTempView("q197_docs")
+      // two insert waves → small files for OPTIMIZE to pack
+      s.sql(s"INSERT INTO $cat.db.docs SELECT doc_id, source, n_chars " +
+        "FROM q197_docs WHERE doc_id % 2 = 0")
+      s.sql(s"INSERT INTO $cat.db.docs SELECT doc_id, source, n_chars " +
+        "FROM q197_docs WHERE doc_id % 2 = 1")
+      s.sql(s"SELECT doc_id, _graft_row_id AS rid0 FROM $cat.db.docs")
+        .createOrReplaceTempView("q197_ids0")
+      s.sql(s"UPDATE $cat.db.docs SET n_chars = n_chars + 7 WHERE doc_id % 3 = 1")
+      s.sql(s"CALL $cat.system.optimize(table => 'db.docs')")
+      s.sql(s"DELETE FROM $cat.db.docs WHERE doc_id % 10 = 4")
+      s.sql(s"""SELECT t.doc_id, t.source, t.n_chars,
+        | t._graft_row_id = i.rid0 AS id_stable
+        |FROM $cat.db.docs t JOIN q197_ids0 i ON t.doc_id = i.doc_id""".stripMargin)
+    }),
+
     // SQL CLUSTER BY (the q141 Z-order layout declared in DDL): INSERTs
     // into the clustered catalog table land Z-ordered files, the band
     // query prunes on both axes (gated: a band on either clustering
@@ -5025,6 +5057,12 @@ object Battery {
         |       THEN n_chars + 100000 ELSE n_chars END,
         |  'delete', CAST(3 AS BIGINT)
         |FROM documents WHERE doc_id % 11 = 5""".stripMargin,
+    // one moved row id would flip id_stable and fail the hash
+    "q197_row_tracking" ->
+      """SELECT doc_id, source,
+        |  CASE WHEN doc_id % 3 = 1 THEN n_chars + 7 ELSE n_chars END AS n_chars,
+        |  TRUE AS id_stable
+        |FROM documents WHERE doc_id % 10 <> 4""".stripMargin,
     // the DDL-declared Z-order lands the same rows the plain scan selects
     // (identical eighth-of-range cutoffs, derived from the same min/max)
     "q196_sql_cluster_by" ->

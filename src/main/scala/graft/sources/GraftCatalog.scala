@@ -264,6 +264,9 @@ class GraftCatalog extends TableCatalog
       opt("dmlMode").map("dmlMode" -> _) ++ // copy-on-write | merge-on-read
       // CoW DML records row-level change-data sidecars (CDC across rewrites)
       opt("changeFeedCow").map("changeFeedCow" -> _) ++
+      // stable per-row ids surviving OPTIMIZE and DML rewrites (snapshot
+      // required — validated at first write)
+      opt("rowTracking").map("rowTracking" -> _) ++
       // `CREATE TABLE … LOCATION '<dir>'` = EXTERNAL table: the catalog
       // holds only the descriptor; data lives (and stays, through DROP)
       // at the given path — the standard way to register a directory a

@@ -170,7 +170,8 @@ class GraftDataSource extends TableProvider with DataSourceRegister
       snapshot = options.getBoolean("snapshot", false),
       partitionBy = Option(options.get("partitionBy"))
         .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil),
-      zorderBy = GraftDataSource.zorderByFrom(options))
+      zorderBy = GraftDataSource.zorderByFrom(options),
+      rowTracking = options.getBoolean("rowTracking", false))
     TokenSortedWriter.write(
       GraftDataSource.renameColumns(data, GraftDataSource.colMapFrom(options)),
       cql, pathOf(options), mode, conf)
@@ -190,6 +191,11 @@ object GraftDataSource {
    *  readers (requesting either forces whole-file row-based reads). */
   val FileCol = "_graft_file"
   val PosCol = "_graft_pos"
+
+  /** Stable row id (row tracking): `coalesce(stored materialized id,
+   *  base-row-id + physical position)` — survives OPTIMIZE and DML
+   *  rewrites, unlike the physical `_graft_file`/`_graft_pos` pair. */
+  val RowIdCol = "_graft_row_id"
 
   /** `zorderBy` option (written by the catalog's CLUSTER BY): csv column
    *  list driving the Z-order write layout. */
@@ -393,7 +399,18 @@ class GraftTable(
       override def isNullable: Boolean = false
       override def comment(): String =
         "0-based physical row position within _graft_file (deleted rows counted)"
-    })
+    }) ++ (if (!tableOptions.getBoolean("rowTracking", false)) Array.empty[
+      org.apache.spark.sql.connector.catalog.MetadataColumn]
+    else Array[org.apache.spark.sql.connector.catalog.MetadataColumn](
+      new org.apache.spark.sql.connector.catalog.MetadataColumn {
+        override def name(): String = GraftDataSource.RowIdCol
+        override def dataType(): org.apache.spark.sql.types.DataType =
+          org.apache.spark.sql.types.LongType
+        override def isNullable: Boolean = false
+        override def comment(): String =
+          "stable row id (base + position, materialized across rewrites) — " +
+            "survives OPTIMIZE and DML"
+      }))
 
   /** SQL `UPDATE` / `MERGE INTO` / predicate `DELETE`: group-based
    *  copy-on-write by default ([[GraftRowLevelOperation]]; file = group),
@@ -580,7 +597,8 @@ class GraftTable(
                 snapshot = tableOptions.getBoolean("snapshot", false),
                 partitionBy = Option(tableOptions.get("partitionBy"))
                   .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil),
-                zorderBy = GraftDataSource.zorderByFrom(tableOptions))
+                zorderBy = GraftDataSource.zorderByFrom(tableOptions),
+                rowTracking = tableOptions.getBoolean("rowTracking", false))
               val ow = overwrite || overwriteAll
               if (ow && graft.write.Snapshots
                   .latestVersion(data.sparkSession, dir).isDefined) {
@@ -968,6 +986,7 @@ class GraftScan(
 
   private lazy val metaFileRequested = required.fieldNames.contains(GraftDataSource.FileCol)
   private lazy val metaPosRequested = required.fieldNames.contains(GraftDataSource.PosCol)
+  private lazy val metaRowIdRequested = required.fieldNames.contains(GraftDataSource.RowIdCol)
   /** Pushed filters with attribute names translated to the files' PHYSICAL
    *  column names (identity without a colmap). A def, NOT a lazy val:
    *  runtime filters arrive after construction and must be seen. */
@@ -981,7 +1000,9 @@ class GraftScan(
    *  bug we want loud). */
   private lazy val parquetRequired: StructType = {
     val metaIdx = required.fields.zipWithIndex.collect {
-      case (f, i) if f.name == GraftDataSource.FileCol || f.name == GraftDataSource.PosCol => i
+      case (f, i) if f.name == GraftDataSource.FileCol ||
+        f.name == GraftDataSource.PosCol ||
+        f.name == GraftDataSource.RowIdCol => i
     }
     val dataLen = required.length - metaIdx.length
     require(metaIdx.forall(_ >= dataLen),
@@ -989,15 +1010,24 @@ class GraftScan(
     GraftDataSource.renameStruct(StructType(required.fields.take(dataLen)), colMap)
   }
 
+  /** Rowid reads also fetch the stored materialized column (trailing, so
+   *  the position-aware reader can hide it): files without it read null
+   *  and fall back to base + position. */
+  private lazy val positionedParquetRequired: StructType =
+    if (!metaRowIdRequested) parquetRequired
+    else StructType(parquetRequired.fields :+ org.apache.spark.sql.types
+      .StructField(GraftDataSource.RowIdCol, org.apache.spark.sql.types.LongType))
+
   private def positionalMode: Boolean =
-    dvMap.nonEmpty || metaFileRequested || metaPosRequested
+    dvMap.nonEmpty || metaFileRequested || metaPosRequested || metaRowIdRequested
 
   private def delegate: Batch = {
     var d = cachedDelegate
     if (d == null) {
       val paths =
         if (!positionalMode) prunedFiles.map(_.path).toSeq
-        else if (metaFileRequested || metaPosRequested) Seq.empty // all positioned
+        else if (metaFileRequested || metaPosRequested || metaRowIdRequested)
+          Seq.empty // all positioned
         else prunedFiles.map(_.path).filterNot(dvMap.contains).toSeq
       d = ParquetScanBridge.parquetBatch(
         spark, paths, fullFileSchema, parquetRequired, physPushed)
@@ -1013,10 +1043,11 @@ class GraftScan(
     var d = cachedPosBatch
     if (d == null) {
       val paths =
-        if (metaFileRequested || metaPosRequested) prunedFiles.map(_.path).toSeq
+        if (metaFileRequested || metaPosRequested || metaRowIdRequested)
+          prunedFiles.map(_.path).toSeq
         else prunedFiles.map(_.path).filter(dvMap.contains).toSeq
       d = ParquetScanBridge.parquetBatch(
-        spark, paths, fullFileSchema, parquetRequired, Array.empty)
+        spark, paths, fullFileSchema, positionedParquetRequired, Array.empty)
       cachedPosBatch = d
     }
     d
@@ -1027,11 +1058,18 @@ class GraftScan(
   private lazy val fullFileSchema: StructType = {
     val physData = GraftDataSource.renameStruct(dataSchema, colMap)
     val withToken = prunedFiles.headOption.exists(_.hasTokenColumn)
-    if (withToken && !physData.fieldNames.contains(TokenSortedWriter.TokenCol))
-      StructType(physData.fields :+
-        org.apache.spark.sql.types.StructField(TokenSortedWriter.TokenCol,
-          org.apache.spark.sql.types.LongType))
-    else physData
+    val base =
+      if (withToken && !physData.fieldNames.contains(TokenSortedWriter.TokenCol))
+        StructType(physData.fields :+
+          org.apache.spark.sql.types.StructField(TokenSortedWriter.TokenCol,
+            org.apache.spark.sql.types.LongType))
+      else physData
+    // rewritten files of a row-tracked table materialize ids into this
+    // stored column; files without it read null (the base+pos path)
+    if (metaRowIdRequested && !base.fieldNames.contains(GraftDataSource.RowIdCol))
+      StructType(base.fields :+ org.apache.spark.sql.types.StructField(
+        GraftDataSource.RowIdCol, org.apache.spark.sql.types.LongType))
+    else base
   }
 
   /** S2 reported partitioning (reference `CassandraScanBuilder.java:122`):
@@ -1077,9 +1115,14 @@ class GraftScan(
       val emitMeta = required.fields.collect {
         case f if f.name == GraftDataSource.FileCol => "file"
         case f if f.name == GraftDataSource.PosCol => "pos"
+        case f if f.name == GraftDataSource.RowIdCol => "rowid"
       }.toSeq
+      val ridBases =
+        if (!metaRowIdRequested) Map.empty[String, Long]
+        else graft.write.Snapshots.ridsForPin(spark, dir, snapshotPin)
       val positioned = org.apache.spark.sql.graftshim.PositionAwareScanUtil
-        .positionedPartitions(positionedBatch.planInputPartitions(), dvMap, emitMeta)
+        .positionedPartitions(positionedBatch.planInputPartitions(), dvMap, emitMeta,
+          ridBases, storedRowIdTrails = metaRowIdRequested)
       plain ++ positioned
     }
   }

@@ -92,7 +92,20 @@ class GraftDeltaOperation(
     Expressions.column(GraftDataSource.FileCol),
     Expressions.column(GraftDataSource.PosCol))
 
-  override def representUpdateAsDeleteAndInsert(): Boolean = true
+  /** Row-tracked tables thread `_graft_row_id` as a metadata attribute
+   *  and keep UPDATE as one operation: `update(meta, id, row)` is the only
+   *  place the OLD row's stable id and the NEW values meet, so the
+   *  re-insert generation can materialize the id (a MoR UPDATE then moves
+   *  the row without renaming it — DELETE legs are positional and stable
+   *  for free). Untracked tables keep the delete+insert representation. */
+  private[sources] lazy val tracked: Boolean =
+    Snapshots.rowTracked(SparkSession.active, dir)
+
+  override def requiredMetadataAttributes(): Array[NamedReference] =
+    if (tracked) Array(Expressions.column(GraftDataSource.RowIdCol))
+    else Array.empty
+
+  override def representUpdateAsDeleteAndInsert(): Boolean = !tracked
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftRowLevelScanBuilder(this, dir, annotated, cql, emitRowCoords = true,
@@ -161,12 +174,22 @@ class GraftDeltaWrite(
   override def toBatch: DeltaBatchWrite = this
   override def description(): String = s"GraftDeltaWrite dir=$dir"
 
+  /** Staged-insert schema: the write schema plus, on tracked tables, the
+   *  materialized `_graft_row_id` (null for genuinely new rows — they get
+   *  base + position ids at commit, like any append). */
+  private def stagingSchema: StructType =
+    if (!op.tracked) info.schema()
+    else StructType(info.schema().fields :+
+      org.apache.spark.sql.types.StructField(
+        GraftDataSource.RowIdCol, org.apache.spark.sql.types.LongType))
+
   override def createBatchWriterFactory(pinfo: PhysicalWriteInfo): DeltaWriterFactory = {
     val spark = SparkSession.active
     val p = new Path(stagingDir)
     p.getFileSystem(spark.sessionState.newHadoopConf()).mkdirs(p)
-    val (factory, conf) = ParquetWriteBridge.prepare(spark, info.schema())
-    new GraftDeltaWriterFactory(stagingDir, factory, conf, info.schema())
+    val (factory, conf) = ParquetWriteBridge.prepare(spark, stagingSchema)
+    new GraftDeltaWriterFactory(stagingDir, factory, conf, stagingSchema,
+      withRowId = op.tracked)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -223,7 +246,7 @@ class GraftDeltaWrite(
         else {
           // staged = logical names; table files = stable physical names
           val replacement = GraftDataSource.renameColumns(
-            spark.read.schema(info.schema()).parquet(staged.toIndexedSeq: _*),
+            spark.read.schema(stagingSchema).parquet(staged.toIndexedSeq: _*),
             GraftDataSource.colMapFrom(tableOptions))
           val conf = TokenSortedWriter.WriteConf(
             numPartitions = tableOptions.getInt("partitions", 0),
@@ -266,7 +289,8 @@ private[sources] class GraftDeltaWriterFactory(
     stagingDir: String,
     factory: org.apache.spark.sql.execution.datasources.OutputWriterFactory,
     conf: org.apache.spark.util.SerializableConfiguration,
-    schema: StructType) extends DeltaWriterFactory {
+    schema: StructType,
+    withRowId: Boolean = false) extends DeltaWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long): DeltaWriter[InternalRow] =
     new DeltaWriter[InternalRow] {
@@ -274,6 +298,9 @@ private[sources] class GraftDeltaWriterFactory(
         new StagingParquetWriter(stagingDir, factory, conf, schema, partitionId, taskId)
       private val deletes = mutable.Map.empty[String, mutable.ArrayBuffer[Long]]
       private var nDeleted = 0L
+      private val ridCell =
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(1)
+      private val joined = new org.apache.spark.sql.catalyst.expressions.JoinedRow
 
       override def delete(meta: InternalRow, id: InternalRow): Unit = {
         // rowId order fixed by GraftDeltaOperation.rowId: (file, pos)
@@ -283,13 +310,24 @@ private[sources] class GraftDeltaWriterFactory(
       }
 
       override def update(meta: InternalRow, id: InternalRow, row: InternalRow): Unit = {
-        // representUpdateAsDeleteAndInsert = true, so Spark never calls
-        // this; implement it anyway as the exact equivalent
+        // tracked tables take THIS path (representUpdateAsDeleteAndInsert
+        // = false): the delete leg plus a re-insert that carries the OLD
+        // row's stable id (meta ordinal 0 = requiredMetadataAttributes)
         delete(meta, id)
-        insert(row)
+        if (!withRowId) insert(row)
+        else {
+          ridCell.setLong(0, meta.getLong(0))
+          staging.write(joined(row, ridCell))
+        }
       }
 
-      override def insert(row: InternalRow): Unit = staging.write(row)
+      override def insert(row: InternalRow): Unit =
+        if (!withRowId) staging.write(row)
+        else {
+          // a genuinely new row: null id → fresh base + position at commit
+          ridCell.setNullAt(0)
+          staging.write(joined(row, ridCell))
+        }
 
       override def commit(): WriterCommitMessage = {
         val shard =

@@ -78,6 +78,18 @@ class GraftRowLevelOperation(
 
   override def command(): Command = cmd
 
+  /** Row-tracked tables thread `_graft_row_id` through the whole rewrite:
+   *  the scan emits it (stored id, else base + position), Catalyst carries
+   *  it untouched past the UPDATE/MERGE projections, and the replacement
+   *  generation stores it — so a CoW DML moves every byte of a group
+   *  without moving one row id. */
+  private[sources] lazy val tracked: Boolean =
+    Snapshots.rowTracked(SparkSession.active, dir)
+
+  override def requiredMetadataAttributes(): Array[NamedReference] =
+    if (tracked) Array(Expressions.column(GraftDataSource.RowIdCol))
+    else Array.empty
+
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftRowLevelScanBuilder(this, dir, annotated, cql,
       colMap = GraftDataSource.colMapFrom(tableOptions))
@@ -186,9 +198,13 @@ class GraftRowLevelScan(
   private lazy val fullFileSchema: StructType = {
     val physData = GraftDataSource.renameStruct(dataSchema, colMap)
     val withToken = prunedFiles.headOption.exists(_.hasTokenColumn)
-    if (withToken && !physData.fieldNames.contains(TokenSortedWriter.TokenCol))
-      StructType(physData.fields :+ StructField(TokenSortedWriter.TokenCol, LongType))
-    else physData
+    val base =
+      if (withToken && !physData.fieldNames.contains(TokenSortedWriter.TokenCol))
+        StructType(physData.fields :+ StructField(TokenSortedWriter.TokenCol, LongType))
+      else physData
+    if (ridRequested && !base.fieldNames.contains(GraftDataSource.RowIdCol))
+      StructType(base.fields :+ StructField(GraftDataSource.RowIdCol, LongType))
+    else base
   }
 
   /** DV bindings for the planned files at the pinned source version: a DML
@@ -209,7 +225,8 @@ class GraftRowLevelScan(
   private lazy val parquetRequired: StructType = {
     val metaIdx = required.fields.zipWithIndex.collect {
       case (f, i) if f.name == GraftDataSource.FileCol ||
-        f.name == GraftDataSource.PosCol => i
+        f.name == GraftDataSource.PosCol ||
+        f.name == GraftDataSource.RowIdCol => i
     }
     val dataLen = required.length - metaIdx.length
     require(metaIdx.forall(_ >= dataLen),
@@ -218,32 +235,51 @@ class GraftRowLevelScan(
     GraftDataSource.renameStruct(StructType(required.fields.take(dataLen)), colMap)
   }
 
-  private def positionalMode: Boolean = emitRowCoords || dvMap.nonEmpty
+  /** Stable-id DML (row tracking): the rewrite carries `_graft_row_id` as
+   *  a required metadata attribute, so the scan emits it like the
+   *  physical coordinates — stored materialized id first, else the
+   *  log-bound base + position. */
+  private lazy val ridRequested: Boolean =
+    required.fieldNames.contains(GraftDataSource.RowIdCol)
+
+  private lazy val positionedParquetRequired: StructType =
+    if (!ridRequested) parquetRequired
+    else StructType(parquetRequired.fields :+ StructField(
+      GraftDataSource.RowIdCol, LongType))
+
+  private def positionalMode: Boolean =
+    emitRowCoords || dvMap.nonEmpty || ridRequested
 
   override def planInputPartitions(): Array[InputPartition] = {
     val files = prunedFiles
     // the groups the write must replace — exactly what this plan reads
     op.scannedFiles = files.map(_.path)
     val batch = ParquetScanBridge.parquetBatch(
-      spark, files.map(_.path).toSeq, fullFileSchema, parquetRequired,
+      spark, files.map(_.path).toSeq, fullFileSchema, positionedParquetRequired,
       Array.empty /* never filter rows: see class doc */)
     if (!positionalMode) batch.planInputPartitions()
     else {
       // coordinate columns append in the REQUESTED order
-      val emitMeta =
-        if (!emitRowCoords) Seq.empty[String]
-        else required.fields.collect {
-          case f if f.name == GraftDataSource.FileCol => "file"
-          case f if f.name == GraftDataSource.PosCol => "pos"
-        }.toSeq
+      val emitMeta = required.fields.collect {
+        case f if emitRowCoords && f.name == GraftDataSource.FileCol => "file"
+        case f if emitRowCoords && f.name == GraftDataSource.PosCol => "pos"
+        case f if f.name == GraftDataSource.RowIdCol => "rowid"
+      }.toSeq
+      val ridBases =
+        if (!ridRequested) Map.empty[String, Long]
+        else Snapshots.rowIdBindings(spark, dir, op.sourceVersion.getOrElse(
+          throw new IllegalStateException(
+            s"row-tracked DML scan on $dir needs a pinned source version")))
       org.apache.spark.sql.graftshim.PositionAwareScanUtil.positionedPartitions(
-        batch.planInputPartitions(), dvMap, emitMeta)
+        batch.planInputPartitions(), dvMap, emitMeta,
+        ridBases, storedRowIdTrails = ridRequested)
     }
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
     val inner = ParquetScanBridge.parquetBatch(
-      spark, prunedFiles.map(_.path).toSeq, fullFileSchema, parquetRequired, Array.empty)
+      spark, prunedFiles.map(_.path).toSeq, fullFileSchema,
+      positionedParquetRequired, Array.empty)
       .createReaderFactory()
     if (!positionalMode) inner
     else new org.apache.spark.sql.graftshim.PositionAwareReaderFactory(
@@ -309,35 +345,61 @@ private[sources] class GraftStagingWriterFactory(
     stagingDir: String,
     factory: org.apache.spark.sql.execution.datasources.OutputWriterFactory,
     conf: org.apache.spark.util.SerializableConfiguration,
-    schema: StructType) extends DataWriterFactory {
+    schema: StructType,
+    withRowId: Boolean = false) extends DataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new DataWriter[InternalRow] {
       private val staging =
         new StagingParquetWriter(stagingDir, factory, conf, schema, partitionId, taskId)
+      // data columns only — on tracked tables `schema` trails with the
+      // materialized row id, which arrives via the METADATA row
+      private val dataLen = if (withRowId) schema.length - 1 else schema.length
       // Spark's group-based rewrites prepend `__row_operation`
       // (RowDeltaUtils.OPERATION_COLUMN) to the ReplaceData query and only
       // strip it via ReplaceDataProjections when the operation declares
       // metadata attributes — with none declared, the raw (op, data…) row
       // arrives here and the mutable projection below skips the tag.
       private lazy val opTagged = org.apache.spark.sql.catalyst.ProjectingInternalRow(
-        schema, 1 to schema.length)
+        StructType(schema.fields.take(dataLen)), 1 to dataLen)
+      private val ridCell =
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(1)
+      private val joined = new org.apache.spark.sql.catalyst.expressions.JoinedRow
 
-      override def write(record: InternalRow): Unit = {
-        val out =
-          if (record.numFields == schema.length) record
-          else {
-            require(record.numFields == schema.length + 1,
-              s"row-level staging: row has ${record.numFields} fields, schema has " +
-                s"${schema.length} (${schema.fieldNames.mkString(",")})")
-            val op = record.getInt(0)
-            require(op == 5 || op == 6, // WRITE / WRITE_WITH_METADATA
-              s"unexpected __row_operation $op in a ReplaceData write")
-            opTagged.project(record)
-            opTagged
-          }
-        staging.write(out)
+      /** Metadata-projected path (the operation declared metadata
+       *  attributes — row tracking): `meta` holds the carried row id,
+       *  null for a MERGE-inserted row (fresh base + position at commit). */
+      override def write(meta: InternalRow, record: InternalRow): Unit = {
+        require(withRowId && meta.numFields == 1,
+          s"unexpected metadata row (${meta.numFields} fields) in a ReplaceData write")
+        if (meta.isNullAt(0)) ridCell.setNullAt(0)
+        else ridCell.setLong(0, meta.getLong(0))
+        staging.write(joined(dataOnly(record), ridCell))
       }
+
+      private def dataOnly(record: InternalRow): InternalRow = {
+        if (record.numFields == dataLen) record
+        else {
+          require(record.numFields == dataLen + 1,
+            s"row-level staging: row has ${record.numFields} fields, schema has " +
+              s"$dataLen data column(s) (${schema.fieldNames.mkString(",")})")
+          val op = record.getInt(0)
+          require(op == 5 || op == 6, // WRITE / WRITE_WITH_METADATA
+            s"unexpected __row_operation $op in a ReplaceData write")
+          opTagged.project(record)
+          opTagged
+        }
+      }
+
+      override def write(record: InternalRow): Unit =
+        if (!withRowId) staging.write(dataOnly(record))
+        else {
+          // metadata-less rows on a tracked table are the MERGE insert
+          // branch (tagged WRITE, not WRITE_WITH_METADATA): genuinely new
+          // rows — null id, fresh base + position at commit
+          ridCell.setNullAt(0)
+          staging.write(joined(dataOnly(record), ridCell))
+        }
 
       override def commit(): WriterCommitMessage = {
         val rows = staging.rows
@@ -388,12 +450,24 @@ class GraftReplaceDataWrite(
   override def toBatch: BatchWrite = this
   override def description(): String = s"GraftReplaceDataWrite dir=$dir"
 
+  /** On tracked tables the staged files trail with the materialized row
+   *  id, delivered through the metadata row — never through the write
+   *  schema (Spark strips declared metadata attrs from it). */
+  private def stagingSchema: StructType = {
+    require(!info.schema().fieldNames.contains(GraftDataSource.RowIdCol),
+      "ReplaceData write schema unexpectedly carries _graft_row_id")
+    if (!op.tracked) info.schema()
+    else StructType(info.schema().fields :+
+      StructField(GraftDataSource.RowIdCol, LongType))
+  }
+
   override def createBatchWriterFactory(pinfo: PhysicalWriteInfo): DataWriterFactory = {
     val spark = SparkSession.active
     val p = new Path(stagingDir)
     p.getFileSystem(spark.sessionState.newHadoopConf()).mkdirs(p)
-    val (factory, conf) = ParquetWriteBridge.prepare(spark, info.schema())
-    new GraftStagingWriterFactory(stagingDir, factory, conf, info.schema())
+    val (factory, conf) = ParquetWriteBridge.prepare(spark, stagingSchema)
+    new GraftStagingWriterFactory(stagingDir, factory, conf, stagingSchema,
+      withRowId = op.tracked)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -429,8 +503,8 @@ class GraftReplaceDataWrite(
       val replacement = GraftDataSource.renameColumns(
         if (staged.isEmpty)
           spark.createDataFrame(
-            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], info.schema())
-        else spark.read.schema(info.schema()).parquet(staged.toIndexedSeq: _*),
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], stagingSchema)
+        else spark.read.schema(stagingSchema).parquet(staged.toIndexedSeq: _*),
         GraftDataSource.colMapFrom(tableOptions))
       val conf = TokenSortedWriter.WriteConf(
         numPartitions = tableOptions.getInt("partitions", 0),
@@ -454,8 +528,10 @@ class GraftReplaceDataWrite(
           val keep = Snapshots.files(spark, dir, v).filterNot(scannedSet.contains)
           val cdcFiles =
             if (!tableOptions.getBoolean("changeFeedCow", false)) Nil
-            else GraftCowChangeData.record(
-              spark, dir, cql, v, scanned.toSeq, replacement)
+            // the carried row id is write plumbing, not a value column —
+            // events keep the table schema
+            else GraftCowChangeData.record(spark, dir, cql, v, scanned.toSeq,
+              replacement.drop(GraftDataSource.RowIdCol))
           Snapshots.commitRewrite(spark, dir, keep ++ genFiles,
             expectedParent = Some(v), cdcFiles = cdcFiles)
         case None =>

@@ -98,7 +98,8 @@ class GraftStreamSink(
       partitionBy = Option(options.get("partitionBy"))
         .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil),
       snapshot = true,
-      streamTxn = Some(appId -> batchId))
+      streamTxn = Some(appId -> batchId),
+      rowTracking = options.getBoolean("rowTracking", false))
     TokenSortedWriter.write(
       GraftDataSource.renameColumns(batch, GraftDataSource.colMapFrom(options)),
       cql, dir, SaveMode.Append, conf)

@@ -248,11 +248,70 @@ object Snapshots {
    *  data listings, like [[DeletionVectors.Dir]]). */
   val CdcDir = "_graft_cdc"
 
+  /** Body lines binding a data file to its BASE ROW ID (row tracking —
+   *  the Delta `baseRowId` design): `rid<TAB><rel file><TAB><base>`.
+   *  A row's stable id is `coalesce(stored _graft_row_id column,
+   *  base + physical position)`; bases are allocated from [[RidHwmMarker]]
+   *  so no id is ever reused, and rewrites MATERIALIZE carried rows' ids
+   *  into the replacement files. Bindings INHERIT like DV lines: every
+   *  version carries the full live map. */
+  private val RidMarker = "rid\t"
+
+  /** `ridhwm<TAB><next free row id>` — the allocation high-water mark.
+   *  Its PRESENCE is what marks a table row-tracked: the first commit of
+   *  a `rowTracking 'true'` table writes it, and every later commit (any
+   *  path) sees it in the parent and keeps allocating. Monotone across
+   *  restore (max of parent and restored marks). */
+  private val RidHwmMarker = "ridhwm\t"
+
+  /** Every non-data body line this format knows. */
+  private def isMarkerLine(l: String): Boolean =
+    l.startsWith(DvMarker) || l.startsWith(TxnMarker) ||
+      l.startsWith(CdcMarker) || l.startsWith(RidMarker) ||
+      l.startsWith(RidHwmMarker)
+
   private def readFiles(f: FileSystem, root: Path, version: Long): Seq[String] =
     readText(f, root, version).linesIterator.drop(1)
-      .filter(l => l.nonEmpty && !l.startsWith(DvMarker) && !l.startsWith(TxnMarker) &&
-        !l.startsWith(CdcMarker))
+      .filter(l => l.nonEmpty && !isMarkerLine(l))
       .map(rel => new Path(root, rel).toString).toSeq
+
+  private def readRids(f: FileSystem, root: Path, version: Long): Map[String, Long] =
+    readText(f, root, version).linesIterator.drop(1)
+      .filter(_.startsWith(RidMarker))
+      .map { l =>
+        val cols = l.split('\t')
+        require(cols.length == 3, s"corrupt rid line in v$version: $l")
+        new Path(root, cols(1)).toString -> cols(2).toLong
+      }.toMap
+
+  private def readRidHwm(f: FileSystem, root: Path, version: Long): Option[Long] =
+    readText(f, root, version).linesIterator.drop(1)
+      .find(_.startsWith(RidHwmMarker))
+      .map { l =>
+        val cols = l.split('\t')
+        require(cols.length == 2, s"corrupt ridhwm line in v$version: $l")
+        cols(1).toLong
+      }
+
+  /** (data file → base row id) bindings of one committed version. Empty
+   *  for tables without row tracking. */
+  def rowIdBindings(spark: SparkSession, dir: String, version: Long): Map[String, Long] = {
+    val (f, root) = fs(spark, dir)
+    if (version == 0L) Map.empty else readRids(f, root, version)
+  }
+
+  /** The next unallocated row id at `version` — `Some` iff the table is
+   *  row-tracked (the first commit wrote the mark). */
+  def rowIdHighWaterMark(spark: SparkSession, dir: String, version: Long): Option[Long] = {
+    val (f, root) = fs(spark, dir)
+    if (version == 0L) None else readRidHwm(f, root, version)
+  }
+
+  /** Whether the table's log head carries row tracking. */
+  def rowTracked(spark: SparkSession, dir: String): Boolean = {
+    val (f, root) = fs(spark, dir)
+    latest(f, root).exists(v => readRidHwm(f, root, v).isDefined)
+  }
 
   private def readCdcs(f: FileSystem, root: Path, version: Long): Seq[String] =
     readText(f, root, version).linesIterator.drop(1)
@@ -325,6 +384,25 @@ object Snapshots {
     readDvs(f, root, version)
   }
 
+  /** [[rowIdBindings]] resolved through the same pin grammar as
+   *  [[dvsForPin]] (listing/latest/asof:/tag:/version) — the scan-side
+   *  lookup. Empty map = not a row-tracked table (or no log). */
+  def ridsForPin(spark: SparkSession, dir: String, pin: Option[String])
+      : Map[String, Long] = {
+    val (f, root) = fs(spark, dir)
+    val version = pin.map(_.trim.toLowerCase) match {
+      case Some("listing") | None => latest(f, root).getOrElse(return Map.empty)
+      case Some(p) => p match {
+        case "latest" => latest(f, root).getOrElse(return Map.empty)
+        case asof if asof.startsWith("asof:") =>
+          versionAsOf(spark, dir, asof.stripPrefix("asof:").trim.toLong)
+        case t if t.startsWith("tag:") => resolveTag(spark, dir, t.stripPrefix("tag:").trim)
+        case n => n.toLong
+      }
+    }
+    readRids(f, root, version)
+  }
+
   /** Commit wall-clock (epoch millis) recorded in a version's header — the
    *  age [[vacuum]]'s `keepCommittedWithinMs` retains by. */
   def commitTimeMillis(spark: SparkSession, dir: String, version: Long): Long = {
@@ -380,11 +458,12 @@ object Snapshots {
    *  checks [[streamTxn]] and skips instead of duplicating its rows. */
   def commitAppend(
       spark: SparkSession, dir: String, added: Seq[String],
-      txn: Option[(String, Long)]): Long = {
+      txn: Option[(String, Long)],
+      rowTracking: Boolean = false): Long = {
     txn.foreach { case (appId, _) =>
       require(appId.nonEmpty && !appId.exists(c => c == '\t' || c == '\n' || c == '\r'),
         s"txn appId must be non-empty and tab/newline-free, got '$appId'") }
-    commitLoop(spark, dir, txnUpdate = txn) { case (base, dvs) =>
+    commitLoop(spark, dir, txnUpdate = txn, rowTracking = rowTracking) { case (base, dvs) =>
       (base ++ added.filterNot(base.toSet), dvs)
     }
   }
@@ -434,8 +513,10 @@ object Snapshots {
       expectedParent: Option[Long] = None,
       layoutOnly: Boolean = false,
       dvOverride: Option[Map[String, String]] = None,
-      cdcFiles: Seq[String] = Nil): Long =
-    commitLoop(spark, dir, expectedParent, layoutOnly, cdcAdds = cdcFiles) { case (_, dvs) =>
+      cdcFiles: Seq[String] = Nil,
+      ridOverride: Option[(Map[String, Long], Long)] = None): Long =
+    commitLoop(spark, dir, expectedParent, layoutOnly, cdcAdds = cdcFiles,
+      ridOverride = ridOverride) { case (_, dvs) =>
       // DV bindings survive for KEPT files and drop with replaced ones —
       // sound because every rewrite path reads its inputs with DVs applied
       // ([[DeletionVectors.applyToRead]] / the DSv2 DV readers), so the
@@ -456,7 +537,9 @@ object Snapshots {
       expectedParent: Option[Long] = None,
       layoutOnly: Boolean = false,
       txnUpdate: Option[(String, Long)] = None,
-      cdcAdds: Seq[String] = Nil)(
+      cdcAdds: Seq[String] = Nil,
+      rowTracking: Boolean = false,
+      ridOverride: Option[(Map[String, Long], Long)] = None)(
       next: (Seq[String], Map[String, String]) => (Seq[String], Map[String, String]))
       : Long = {
     val (f, root) = fs(spark, dir)
@@ -465,8 +548,30 @@ object Snapshots {
     val lock = commitLocks.computeIfAbsent(root.toString, _ => new Object)
     lock.synchronized {
       commitLoopLocked(f, root, dir, allowUnsafe, expectedParent, layoutOnly,
-        txnUpdate, cdcAdds)(next)
+        txnUpdate, cdcAdds, rowTracking, ridOverride)(next)
     }
+  }
+
+  /** Physical row counts (deleted positions included — base-id allocation
+   *  is positional) of freshly-committed files, from their footers only;
+   *  bounded-parallel like the OPTIMIZE candidate probe. */
+  private def footerRowCounts(f: FileSystem, paths: Seq[String]): Map[String, Long] = {
+    if (paths.isEmpty) return Map.empty
+    def rows(p: String): Long = {
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile
+        .fromPath(new Path(p), f.getConf)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try r.getRecordCount finally r.close()
+    }
+    val pool = java.util.concurrent.Executors
+      .newFixedThreadPool(math.min(16, paths.length))
+    try {
+      import scala.jdk.CollectionConverters._
+      val tasks = paths.map(p => new java.util.concurrent.Callable[(String, Long)] {
+        override def call(): (String, Long) = p -> rows(p)
+      })
+      pool.invokeAll(tasks.asJava).asScala.map(_.get()).toMap
+    } finally pool.shutdown()
   }
 
   /** Exclusive create of one version file — THE commit point. Dispatch by
@@ -527,7 +632,9 @@ object Snapshots {
       expectedParent: Option[Long] = None,
       layoutOnly: Boolean = false,
       txnUpdate: Option[(String, Long)] = None,
-      cdcAdds: Seq[String] = Nil)(
+      cdcAdds: Seq[String] = Nil,
+      rowTracking: Boolean = false,
+      ridOverride: Option[(Map[String, Long], Long)] = None)(
       next: (Seq[String], Map[String, String]) => (Seq[String], Map[String, String]))
       : Long = {
     var attempt = 0
@@ -575,6 +682,31 @@ object Snapshots {
       // row-level delta, never inherited
       cdcAdds.map(rel).distinct.sorted.foreach { r =>
         body.append(CdcMarker).append(r).append('\n')
+      }
+      // row tracking: bindings for live files inherit; files NEW to the
+      // log get bases allocated from the high-water mark (footer row
+      // counts of just-written files — O(added) cheap probes), which then
+      // bumps past them so no id is ever reused. Self-perpetuating: the
+      // parent's mark keeps every later commit path allocating; restore
+      // passes the historical bindings with a monotone mark.
+      val baseRids = parent.map(readRids(f, root, _)).getOrElse(Map.empty[String, Long])
+      val baseHwm = parent.flatMap(readRidHwm(f, root, _))
+      if (baseHwm.isDefined || rowTracking || ridOverride.isDefined) {
+        val qFiles = nextFiles.map(p => f.makeQualified(new Path(p)).toString).distinct
+        val (seedRids, seedHwm) = ridOverride match {
+          case Some((m, h)) => (m, math.max(h, baseHwm.getOrElse(0L)))
+          case None => (baseRids, baseHwm.getOrElse(0L))
+        }
+        val fresh = qFiles.filterNot(seedRids.contains).sorted
+        val counts = footerRowCounts(f, fresh)
+        var hwm = seedHwm
+        val assigned = fresh.map { p => val b = hwm; hwm += counts(p); p -> b }
+        val live = qFiles.toSet
+        val rids = seedRids.filter { case (p, _) => live(p) } ++ assigned
+        rids.toSeq.map { case (p, b) => (rel(p), b) }.sorted.foreach { case (r, b) =>
+          body.append(RidMarker).append(r).append('\t').append(b).append('\n')
+        }
+        body.append(RidHwmMarker).append(hwm).append('\n')
       }
       try {
         // exclusive create IS the commit: exactly one writer wins a version
@@ -675,9 +807,15 @@ object Snapshots {
           s"${want.length} file(s) were vacuumed or deleted out-of-band " +
           s"(first missing: ${gone.head})")
     // restore re-installs the historical DV bindings too — restoring files
-    // without their DVs would resurrect that version's deleted rows
+    // without their DVs would resurrect that version's deleted rows — and,
+    // on a row-tracked table, the historical BASE ROW IDS (rebinding the
+    // restored files fresh would renumber every row). The high-water mark
+    // stays monotone (max of then and now): ids minted after toVersion
+    // stay burned forever, never reissued.
+    val wantRids = readRids(f, root, toVersion)
+    val ridOv = readRidHwm(f, root, toVersion).map(h => (wantRids, h))
     val v = commitRewrite(spark, dir, want, expectedParent = head,
-      dvOverride = Some(wantDvs))
+      dvOverride = Some(wantDvs), ridOverride = ridOv)
     graft.sources.TokenPruner.invalidateListing(dir)
     v
   }
@@ -761,8 +899,10 @@ object Snapshots {
       val header = text.linesIterator.next().split('\t')
       val ts = header(3).toLong
       val parent = header(4) match { case "-" => None; case p => Some(p.toLong) }
+      // data lines only (a DV'd table's binding lines are not files — the
+      // pre-rid filter let them inflate n_changes)
       val files = text.linesIterator.drop(1)
-        .filter(l => l.nonEmpty && !l.startsWith(TxnMarker) && !l.startsWith(CdcMarker))
+        .filter(l => l.nonEmpty && !isMarkerLine(l))
         .toSeq
       val rewrite = parent.exists { p =>
         if (!f.exists(vPath(root, p))) false // parent vacuumed: unknowable

@@ -119,7 +119,13 @@ object TokenSortedWriter {
       // version ((appId, epochId) — the Delta `txn` action shape): the
       // native streaming sink's exactly-once guard. Requires snapshot=true
       // (the marker lives in the log).
-      streamTxn: Option[(String, Long)] = None)
+      streamTxn: Option[(String, Long)] = None,
+      // Row tracking (the Delta baseRowId design, [[Snapshots]] `rid`
+      // lines): the first commit marks the log and every commit allocates
+      // stable per-row ids (base + position, with rewrites materializing
+      // carried ids into a `_graft_row_id` column). Requires snapshot=true;
+      // self-perpetuating after the first commit.
+      rowTracking: Boolean = false)
 
   /** Directory-key twin of a partitioned column (see `WriteConf.partitionBy`). */
   def partCol(c: String): String = s"graft_p_$c"
@@ -441,9 +447,15 @@ object TokenSortedWriter {
     Manifest.appendFor(df.sparkSession, path,
       if (conf.ringSplits > 0) Some(conf.ringSplits) else None)
     if (conf.snapshot)
-      Snapshots.commitAppend(df.sparkSession, path, added, conf.streamTxn)
-    else require(conf.streamTxn.isEmpty,
-      "streamTxn requires snapshot=true: the replay guard lives in the log")
+      Snapshots.commitAppend(df.sparkSession, path, added, conf.streamTxn,
+        rowTracking = conf.rowTracking)
+    else {
+      require(conf.streamTxn.isEmpty,
+        "streamTxn requires snapshot=true: the replay guard lives in the log")
+      require(!conf.rowTracking,
+        "rowTracking requires snapshot=true: bases and the high-water mark " +
+          "live in the log")
+    }
   }
 
   /**
@@ -1114,8 +1126,48 @@ object TokenSortedWriter {
     val dvBindings = headDvs
     val replaced = scala.collection.mutable.ArrayBuffer.empty[String]
     val fresh = scala.collection.mutable.ArrayBuffer.empty[String]
+    // row-tracked tables: the packed replacement must carry every row's
+    // CURRENT id materialized (stored id if the source file was itself a
+    // rewrite, else its base + physical position) — base+pos is meaningless
+    // in the packed file, where rows from many sources interleave
+    val ridBases: Map[String, Long] =
+      head.map(v => Snapshots.rowIdBindings(spark, dir, v)).getOrElse(Map.empty)
+    def basename(p: String): String = new Path(p).getName
     bins.foreach { bin =>
-      val raw = DeletionVectors.applyToRead(spark, bin.map(_.path), dvBindings)
+      val tracked = ridBases.nonEmpty
+      val raw =
+        if (!tracked) DeletionVectors.applyToRead(spark, bin.map(_.path), dvBindings)
+        else {
+          import spark.implicits._
+          val rid = graft.sources.GraftDataSource.RowIdCol
+          // one multi-file read; per-file context (base, DV positions)
+          // joins back on the file NAME — unique within the table dir and
+          // immune to URI-spelling drift between listers
+          val raw0 = spark.read.parquet(bin.map(_.path): _*)
+          val basesDf = bin.map(m => (basename(m.path),
+            ridBases.getOrElse(m.path, throw new IllegalStateException(
+              s"row-tracked OPTIMIZE: no base binding for ${m.path}"))))
+            .toDF("__name", "__rid_base")
+          val stored: org.apache.spark.sql.Column =
+            if (raw0.columns.contains(rid)) col(rid) else lit(null).cast("long")
+          val withRid = raw0
+            .withColumn("__name",
+              substring_index(col("_metadata.file_path"), "/", -1))
+            .withColumn("__pos", col("_metadata.row_index"))
+            .join(broadcast(basesDf), Seq("__name"))
+            .withColumn("__rid_new", coalesce(stored, col("__rid_base") + col("__pos")))
+          val fsx = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+          val deletes = bin.filter(m => dvBindings.contains(m.path)).flatMap(m =>
+            DeletionVectors.read(fsx, dvBindings(m.path))
+              .map(p => (basename(m.path), p)))
+          val undeleted =
+            if (deletes.isEmpty) withRid
+            else withRid.join(
+              broadcast(deletes.toDF("__name", "__pos")),
+              Seq("__name", "__pos"), "left_anti")
+          undeleted.drop("__name", "__pos", "__rid_base", rid)
+            .withColumnRenamed("__rid_new", rid)
+        }
       // clustered (Z-ordered) files carry the interleaved key — packing
       // re-sorts by IT so the packed file keeps narrow per-axis footer
       // stats; token-sorted files keep the token/pk order

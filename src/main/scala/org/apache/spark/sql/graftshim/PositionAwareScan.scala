@@ -41,13 +41,24 @@ object PositionAwareScanUtil {
   def positionedPartitions(
       planned: Array[InputPartition],
       dvByFile: Map[String, String],
-      emitMeta: Seq[String]): Array[InputPartition] = {
-    require(emitMeta.forall(m => m == "file" || m == "pos"),
+      emitMeta: Seq[String],
+      rowIdBase: Map[String, Long] = Map.empty,
+      storedRowIdTrails: Boolean = false): Array[InputPartition] = {
+    require(emitMeta.forall(m => m == "file" || m == "pos" || m == "rowid"),
       s"unknown coordinate column token in $emitMeta")
+    require(!emitMeta.contains("rowid") || storedRowIdTrails,
+      "rowid emission needs the stored _graft_row_id column appended to the " +
+        "parquet read (materialized ids of rewritten files take precedence)")
     ClusteredScanUtil.wholeFilePartitions(planned).map { p =>
       val fp = p.asInstanceOf[FilePartition]
       val path = fp.files.head.filePath.toPath.toString
-      PositionedPartition(fp, path, dvByFile.get(path), emitMeta): InputPartition
+      val base = if (!emitMeta.contains("rowid")) None else Some(
+        rowIdBase.getOrElse(path, throw new IllegalStateException(
+          s"row-tracked read: file $path has no base-row-id binding in the " +
+            "snapshot log — it was written outside the tracked commit paths " +
+            "(out-of-band file drop?); re-commit it through the log")))
+      PositionedPartition(fp, path, dvByFile.get(path), emitMeta, base,
+        storedRowIdTrails): InputPartition
     }
   }
 }
@@ -57,7 +68,9 @@ final case class PositionedPartition(
     inner: FilePartition,
     filePath: String,
     dvPath: Option[String],
-    emitMeta: Seq[String]) extends InputPartition {
+    emitMeta: Seq[String],
+    rowIdBase: Option[Long] = None,
+    storedRowIdTrails: Boolean = false) extends InputPartition {
   override def preferredLocations(): Array[String] = inner.preferredLocations()
 }
 
@@ -82,7 +95,8 @@ class PositionAwareReaderFactory(
           new Path(d).getFileSystem(conf.value), d))
         .getOrElse(Array.empty[Long])
       new PositionAwareReader(
-        positionedInner.createReader(pp.inner), dv, pp.filePath, pp.emitMeta)
+        positionedInner.createReader(pp.inner), dv, pp.filePath, pp.emitMeta,
+        pp.rowIdBase, pp.storedRowIdTrails)
     case other => plainInner.createReader(other)
   }
 
@@ -110,13 +124,16 @@ class PositionAwareReader(
     inner: PartitionReader[InternalRow],
     deleted: Array[Long],
     filePath: String,
-    emitMeta: Seq[String]) extends PartitionReader[InternalRow] {
+    emitMeta: Seq[String],
+    rowIdBase: Option[Long] = None,
+    storedRowIdTrails: Boolean = false) extends PartitionReader[InternalRow] {
 
   private val cursor = new graft.write.DeletionVectors.Cursor(deleted)
   private var pos = -1L
   private val fileUtf8 = UTF8String.fromString(filePath)
   private val metaRow = new GenericInternalRow(emitMeta.length)
   private val joined = new JoinedRow
+  private var truncated: TruncatedRow = _
 
   override def next(): Boolean = {
     while (inner.next()) {
@@ -129,13 +146,61 @@ class PositionAwareReader(
   override def get(): InternalRow =
     if (emitMeta.isEmpty) inner.get()
     else {
+      val row = inner.get()
+      // when a stored `_graft_row_id` trails the parquet output it is an
+      // INPUT to the rowid computation, not a data column — hide it from
+      // the emitted row (the data prefix) and coalesce it into the meta
+      val dataLen = if (storedRowIdTrails) row.numFields - 1 else row.numFields
       var i = 0
       emitMeta.foreach { m =>
-        if (m == "file") metaRow.update(i, fileUtf8) else metaRow.setLong(i, pos)
+        m match {
+          case "file" => metaRow.update(i, fileUtf8)
+          case "pos" => metaRow.setLong(i, pos)
+          case "rowid" =>
+            val stored = !row.isNullAt(dataLen)
+            metaRow.setLong(i,
+              if (stored) row.getLong(dataLen) else rowIdBase.get + pos)
+        }
         i += 1
       }
-      joined(inner.get(), metaRow)
+      if (!storedRowIdTrails) joined(row, metaRow)
+      else {
+        if (truncated == null) truncated = new TruncatedRow(row, dataLen)
+        joined(truncated.set(row), metaRow)
+      }
     }
 
   override def close(): Unit = inner.close()
+}
+
+/** A zero-copy prefix view of an InternalRow — the trailing stored-rowid
+ *  input column must not leak into the output layout. */
+private[graftshim] class TruncatedRow(
+    private var row: InternalRow, n: Int) extends InternalRow {
+  def set(r: InternalRow): TruncatedRow = { row = r; this }
+  override def numFields: Int = n
+  override def setNullAt(i: Int): Unit = row.setNullAt(i)
+  override def update(i: Int, value: Any): Unit = row.update(i, value)
+  override def copy(): InternalRow = new TruncatedRow(row.copy(), n)
+  override def isNullAt(i: Int): Boolean = row.isNullAt(i)
+  override def getBoolean(i: Int): Boolean = row.getBoolean(i)
+  override def getByte(i: Int): Byte = row.getByte(i)
+  override def getShort(i: Int): Short = row.getShort(i)
+  override def getInt(i: Int): Int = row.getInt(i)
+  override def getLong(i: Int): Long = row.getLong(i)
+  override def getFloat(i: Int): Float = row.getFloat(i)
+  override def getDouble(i: Int): Double = row.getDouble(i)
+  override def getDecimal(i: Int, precision: Int, scale: Int) =
+    row.getDecimal(i, precision, scale)
+  override def getUTF8String(i: Int): UTF8String = row.getUTF8String(i)
+  override def getBinary(i: Int): Array[Byte] = row.getBinary(i)
+  override def getInterval(i: Int) = row.getInterval(i)
+  override def getStruct(i: Int, numFields: Int) = row.getStruct(i, numFields)
+  override def getArray(i: Int) = row.getArray(i)
+  override def getMap(i: Int) = row.getMap(i)
+  override def get(i: Int, dataType: org.apache.spark.sql.types.DataType): AnyRef =
+    row.get(i, dataType)
+  override def getVariant(i: Int) = row.getVariant(i)
+  override def getGeography(i: Int) = row.getGeography(i)
+  override def getGeometry(i: Int) = row.getGeometry(i)
 }
