@@ -2401,6 +2401,71 @@ object Battery {
         |FROM $cat.db.docs t JOIN q197_ids0 i ON t.doc_id = i.doc_id""".stripMargin)
     }),
 
+    // CDC replication (the APPLY CHANGES INTO pattern): the q190 source
+    // lifecycle's row-level feed consumed in two MONOTONE version ranges
+    // into a second graft table — each call collapses its increment to
+    // the latest event per key (one shuffle of the FEED, never the
+    // target) and lands one group-filtered MERGE. Exercises all three
+    // branches: range 1 inserts into empty, range 2 updates matched rows
+    // and deletes (including update-then-delete keys where the delete
+    // must win). The downstream replica's final state must equal the
+    // source's statement algebra — the q184 closed form.
+    "q198_apply_changes" -> ((s, d) => {
+      val cat = "gapc" + java.util.UUID.randomUUID().toString.take(8)
+      val base = java.nio.file.Files.createTempDirectory("graft_apcq_").toString
+      s.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.base", base)
+      s.sql(s"CREATE TABLE $cat.db.src (doc_id BIGINT, source STRING, n_chars BIGINT) " +
+        "USING graft OPTIONS (pk 'doc_id', partitions '4', snapshot 'true', " +
+        "dmlMode 'merge-on-read')")
+      s.sql(s"CREATE TABLE $cat.db.tgt (doc_id BIGINT, source STRING, n_chars BIGINT) " +
+        "USING graft OPTIONS (pk 'doc_id', partitions '4', snapshot 'true')")
+      docs(s, d).select(col("doc_id"), col("source"), col("n_chars"))
+        .createOrReplaceTempView("q198_docs")
+      s.sql(s"INSERT INTO $cat.db.src SELECT doc_id, source, n_chars FROM q198_docs")
+      s.sql(s"UPDATE $cat.db.src SET n_chars = n_chars + 100000 " +
+        "WHERE source = 'src3' OR doc_id % 7 = 0")
+      s.sql(s"DELETE FROM $cat.db.src WHERE doc_id % 11 = 5")
+      val dir = s"$base/db/src"
+      val head = graft.write.Snapshots.latestVersion(s, dir).get
+      graft.operators.Cdc.applyChanges(s, s"$cat.db.tgt",
+        graft.write.Snapshots.readChangesWithDeletes(s, dir, 0L, 1L), Seq("doc_id"))
+      graft.operators.Cdc.applyChanges(s, s"$cat.db.tgt",
+        graft.write.Snapshots.readChangesWithDeletes(s, dir, 1L, head), Seq("doc_id"))
+      s.table(s"$cat.db.tgt").select(col("doc_id"), col("source"), col("n_chars"))
+    }),
+
+    // The four-type change feed (update_preimage/update_postimage — the
+    // Delta CDF vocabulary): on a ROW-TRACKED merge-on-read table, a MoR
+    // UPDATE's delete+insert pair shares the row's stable id, so
+    // withRowIds + Cdc.pairUpdates retags the pair exactly — by row
+    // IDENTITY, not key heuristics. Pure deletes stay 'delete', the
+    // initial load stays 'insert'; the oracle states all four classes
+    // closed-form, so one mispaired event fails the hash.
+    "q199_cdf_typed" -> ((s, d) => {
+      val cat = "gtyp" + java.util.UUID.randomUUID().toString.take(8)
+      val base = java.nio.file.Files.createTempDirectory("graft_typq_").toString
+      s.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.base", base)
+      s.sql(s"CREATE TABLE $cat.db.docs (doc_id BIGINT, source STRING, n_chars BIGINT) " +
+        "USING graft OPTIONS (pk 'doc_id', partitions '4', snapshot 'true', " +
+        "dmlMode 'merge-on-read', rowTracking 'true')")
+      docs(s, d).select(col("doc_id"), col("source"), col("n_chars"))
+        .createOrReplaceTempView("q199_docs")
+      s.sql(s"INSERT INTO $cat.db.docs SELECT doc_id, source, n_chars FROM q199_docs")
+      s.sql(s"UPDATE $cat.db.docs SET n_chars = n_chars + 100000 " +
+        "WHERE source = 'src3' OR doc_id % 7 = 0")
+      s.sql(s"DELETE FROM $cat.db.docs WHERE doc_id % 11 = 5")
+      val dir = s"$base/db/docs"
+      val head = graft.write.Snapshots.latestVersion(s, dir).get
+      val feed = graft.write.Snapshots.readChangesWithDeletes(
+        s, dir, 0L, head, withRowIds = true)
+      graft.operators.Cdc.pairUpdates(
+          feed, Seq(graft.sources.GraftDataSource.RowIdCol))
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          col("_change_type"), col("_commit_version"))
+    }),
+
     // SQL CLUSTER BY (the q141 Z-order layout declared in DDL): INSERTs
     // into the clustered catalog table land Z-ordered files, the band
     // query prunes on both axes (gated: a band on either clustering
@@ -5050,6 +5115,29 @@ object Battery {
         |FROM documents WHERE source = 'src3' OR doc_id % 7 = 0
         |UNION ALL
         |SELECT doc_id, source, n_chars + 100000, 'insert', CAST(2 AS BIGINT)
+        |FROM documents WHERE source = 'src3' OR doc_id % 7 = 0
+        |UNION ALL
+        |SELECT doc_id, source,
+        |  CASE WHEN source = 'src3' OR doc_id % 7 = 0
+        |       THEN n_chars + 100000 ELSE n_chars END,
+        |  'delete', CAST(3 AS BIGINT)
+        |FROM documents WHERE doc_id % 11 = 5""".stripMargin,
+    // the CDC replica converges to the source's statement algebra
+    "q198_apply_changes" ->
+      """SELECT doc_id, source,
+        |  CASE WHEN source = 'src3' OR doc_id % 7 = 0
+        |       THEN n_chars + 100000 ELSE n_chars END AS n_chars
+        |FROM documents WHERE doc_id % 11 <> 5""".stripMargin,
+    // the update pair carries its retagged types; one mispairing fails
+    "q199_cdf_typed" ->
+      """SELECT doc_id, source, n_chars,
+        |  'insert' AS "_change_type", CAST(1 AS BIGINT) AS "_commit_version"
+        |FROM documents
+        |UNION ALL
+        |SELECT doc_id, source, n_chars, 'update_preimage', CAST(2 AS BIGINT)
+        |FROM documents WHERE source = 'src3' OR doc_id % 7 = 0
+        |UNION ALL
+        |SELECT doc_id, source, n_chars + 100000, 'update_postimage', CAST(2 AS BIGINT)
         |FROM documents WHERE source = 'src3' OR doc_id % 7 = 0
         |UNION ALL
         |SELECT doc_id, source,

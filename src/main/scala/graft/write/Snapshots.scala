@@ -1232,33 +1232,71 @@ object Snapshots {
    * in commit order by [[CommitVersionCol]].
    */
   def readChangesWithDeletes(
-      spark: SparkSession, dir: String, fromVersion: Long, toVersion: Long)
+      spark: SparkSession, dir: String, fromVersion: Long, toVersion: Long,
+      withRowIds: Boolean = false)
       : org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.functions.{broadcast, col, lit}
+    import org.apache.spark.sql.functions.{broadcast, coalesce, col, lit}
+    import spark.implicits._
     require(fromVersion <= toVersion,
       s"readChangesWithDeletes: fromVersion $fromVersion > toVersion $toVersion")
     val (f, root) = fs(spark, dir)
+    if (withRowIds)
+      require(rowTracked(spark, dir),
+        s"readChangesWithDeletes(withRowIds) on $dir: the table is not " +
+          "row-tracked — create or write it with rowTracking 'true' first")
+    val RidCol = graft.sources.GraftDataSource.RowIdCol
     def emptyFeed: org.apache.spark.sql.DataFrame = {
       val toFiles = if (toVersion == 0L) Nil else readFiles(f, root, toVersion)
       val base =
         if (toFiles.isEmpty) spark.emptyDataFrame
         else stripEngineColumns(spark.read.parquet(toFiles: _*).limit(0))
-      base.withColumn(ChangeTypeCol, lit("insert"))
-        .withColumn(CommitVersionCol, lit(0L)).limit(0)
+      val tagged = base.withColumn(ChangeTypeCol, lit("insert"))
+        .withColumn(CommitVersionCol, lit(0L))
+      (if (withRowIds) tagged.withColumn(RidCol, lit(null).cast("long"))
+       else tagged).limit(0)
     }
     if (fromVersion == toVersion) return emptyFeed
     val events = changeEvents(spark, dir, fromVersion, toVersion)
     if (events.isEmpty) return emptyFeed
+    // per-version (file → base row id) bindings, read once per event —
+    // identity for withRowIds: stored materialized id, else base + position
+    val ridsAt = scala.collection.mutable.Map.empty[Long, Map[String, Long]]
+    def basesFor(version: Long): Map[String, Long] =
+      ridsAt.getOrElseUpdate(version, readRids(f, root, version))
+    def ridFrom(raw: org.apache.spark.sql.DataFrame,
+        bases: Seq[(String, Long)]): org.apache.spark.sql.DataFrame = {
+      val stored =
+        if (raw.columns.contains(RidCol)) col(RidCol) else lit(null).cast("long")
+      val baseDf = bases.toDF("__cdf_rfile", "__cdf_base")
+      // materialize the metadata inputs BEFORE the join — `_metadata` is
+      // bound to the scan relation and unresolvable through a join
+      raw.withColumn("__cdf_rfile", col("_metadata.file_path"))
+        .withColumn("__cdf_rpos", col("_metadata.row_index"))
+        .withColumn("__cdf_stored", stored)
+        .join(broadcast(baseDf), Seq("__cdf_rfile"), "left_outer")
+        .withColumn("__cdf_rid", coalesce(
+          col("__cdf_stored"), col("__cdf_base") + col("__cdf_rpos")))
+        .drop("__cdf_rfile", "__cdf_rpos", "__cdf_stored", "__cdf_base")
+    }
     val pieces = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.DataFrame]
     events.foreach { e =>
-      if (e.added.nonEmpty)
-        pieces += stripEngineColumns(spark.read.parquet(e.added: _*))
+      if (e.added.nonEmpty) {
+        val raw = spark.read.parquet(e.added: _*)
+        val withRid =
+          if (!withRowIds) raw
+          else ridFrom(raw, basesFor(e.version).filter(kv => e.added.contains(kv._1)).toSeq)
+        pieces += stripEngineColumns(withRid)
           .withColumn(ChangeTypeCol, lit("insert"))
           .withColumn(CommitVersionCol, lit(e.version))
-      if (e.cdcFiles.nonEmpty)
-        // recorded change-data rows already carry _change_type
-        pieces += stripEngineColumns(spark.read.parquet(e.cdcFiles: _*))
+      }
+      if (e.cdcFiles.nonEmpty) {
+        // recorded change-data rows already carry _change_type; sidecars
+        // store no row ids (CoW pairs match by primary key instead)
+        val raw = stripEngineColumns(spark.read.parquet(e.cdcFiles: _*))
+        pieces += (if (withRowIds) raw.withColumn("__cdf_rid", lit(null).cast("long"))
+                   else raw)
           .withColumn(CommitVersionCol, lit(e.version))
+      }
     }
     val delKeys: Seq[(String, Long, Long)] = events.flatMap { e =>
       e.dvDeltas.flatMap { d =>
@@ -1268,22 +1306,40 @@ object Snapshots {
     }
     if (delKeys.nonEmpty) {
       val carriers = delKeys.map(_._1).distinct
-      import spark.implicits._
       // O(deleted rows) broadcast key set against the affected carriers
       // only; carrier side reads positions from parquet's own row index,
-      // so the preimage never shuffles
+      // so the preimage never shuffles. With row ids the key set also
+      // carries the carrier's base (driver-joined from the event's
+      // version bindings) — rid = stored id, else base + position.
       val keyDf = delKeys.toDF("__cdf_file", "__cdf_pos", CommitVersionCol)
-      val preimage = spark.read.parquet(carriers: _*)
+      val raw = spark.read.parquet(carriers: _*)
+      val storedRid =
+        if (raw.columns.contains(RidCol)) col(RidCol) else lit(null).cast("long")
+      var preimage = raw
         .withColumn("__cdf_file", col("_metadata.file_path"))
         .withColumn("__cdf_pos", col("_metadata.row_index"))
+        .withColumn("__cdf_stored", storedRid)
         .join(broadcast(keyDf), Seq("__cdf_file", "__cdf_pos"))
-        .drop("__cdf_file", "__cdf_pos")
-      pieces += stripEngineColumns(preimage).withColumn(ChangeTypeCol, lit("delete"))
+      if (withRowIds) {
+        val carrierBases = delKeys.map { case (c, _, v) => (c, v) }.distinct
+          .flatMap { case (c, v) => basesFor(v).get(c).map(b => c -> b) }
+          .distinct.toDF("__cdf_file2", "__cdf_base")
+        preimage = preimage
+          .join(broadcast(carrierBases),
+            col("__cdf_file") === col("__cdf_file2"), "left_outer")
+          .withColumn("__cdf_rid", coalesce(
+            col("__cdf_stored"), col("__cdf_base") + col("__cdf_pos")))
+          .drop("__cdf_file2", "__cdf_base")
+      }
+      pieces += stripEngineColumns(
+        preimage.drop("__cdf_file", "__cdf_pos", "__cdf_stored"))
+        .withColumn(ChangeTypeCol, lit("delete"))
     }
     if (pieces.isEmpty) return emptyFeed // e.g. only content-identical re-binds
     // allowMissingColumns: schema evolution inside the range — pre-evolution
     // files lack the new columns, delivered as nulls
-    pieces.reduceLeft(_.unionByName(_, allowMissingColumns = true))
+    val feed = pieces.reduceLeft(_.unionByName(_, allowMissingColumns = true))
+    if (withRowIds) feed.withColumnRenamed("__cdf_rid", RidCol) else feed
   }
 
   private[graft] def stripEngineColumns(
