@@ -2466,6 +2466,94 @@ object Battery {
           col("_change_type"), col("_commit_version"))
     }),
 
+    // IDENTITY columns (GENERATED ALWAYS AS IDENTITY — the Delta identity
+    // design): values allocated at write from the log-carried `idhwm`
+    // mark, dense per commit, two narrow jobs over the increment only.
+    // Values map to rows by physical partition order (not SQL-expressible),
+    // so the oracle pins the payload plus an `id_ok` boolean while
+    // in-query requires pin uniqueness + parity + bounds + count — which
+    // together force the exact dense id set, including the second wave
+    // continuing from the first wave's mark.
+    "q201_identity_columns" -> ((s, d) => {
+      val cat = "gidq" + java.util.UUID.randomUUID().toString.take(8)
+      val base = java.nio.file.Files.createTempDirectory("graft_idq_").toString
+      s.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.base", base)
+      s.sql(s"CREATE TABLE $cat.db.docs (" +
+        "id BIGINT GENERATED ALWAYS AS IDENTITY (START WITH 10 INCREMENT BY 2), " +
+        "orig_id BIGINT, source STRING, n_chars BIGINT) " +
+        "USING graft OPTIONS (pk 'id', partitions '3', snapshot 'true')")
+      docs(s, d).select(col("doc_id"), col("source"), col("n_chars"))
+        .createOrReplaceTempView("q201_docs")
+      s.sql(s"INSERT INTO $cat.db.docs (orig_id, source, n_chars) " +
+        "SELECT doc_id, source, n_chars FROM q201_docs WHERE doc_id % 2 = 0")
+      val n1 = s.table(s"$cat.db.docs").count()
+      val w1 = s.sql(s"SELECT min(id), max(id), count(DISTINCT id) FROM $cat.db.docs").head()
+      require(w1.getLong(0) == 10L && w1.getLong(1) == 10L + 2L * (n1 - 1) &&
+        w1.getLong(2) == n1, s"wave 1 must allocate dense ids 10..${10 + 2 * (n1 - 1)}")
+      s.sql(s"INSERT INTO $cat.db.docs (orig_id, source, n_chars) " +
+        "SELECT doc_id, source, n_chars FROM q201_docs WHERE doc_id % 2 = 1")
+      val n = s.table(s"$cat.db.docs").count()
+      val w2 = s.sql(s"SELECT min(id), max(id), count(DISTINCT id) FROM $cat.db.docs").head()
+      require(w2.getLong(0) == 10L && w2.getLong(1) == 10L + 2L * (n - 1) &&
+        w2.getLong(2) == n,
+        "wave 2 must continue from wave 1's mark with no gaps or reuse")
+      s.sql(s"""SELECT orig_id, source, n_chars,
+        | (id - 10) % 2 = 0 AND id >= 10 AND id <= 10 + 2 * (${n} - 1) AS id_ok
+        |FROM $cat.db.docs""".stripMargin)
+    }),
+
+    // GENERATED ALWAYS AS columns (the Delta generated-column design):
+    // `day DATE GENERATED ALWAYS AS (CAST(ts AS DATE))` + PARTITIONED BY
+    // (day) — INSERT computes the omitted column, and the scan DERIVES
+    // day-directory pruning from the query's TIMESTAMP range (monotone
+    // shape inference, [[graft.sources.GeneratedColumns.derive]]) without
+    // the query ever naming day. In-query gate: the derived conjunct
+    // prunes to ≤ half the files (the band keeps ~4 of 30 day dirs). At
+    // 100 TB this is scanning a week instead of the table when queries
+    // filter on the raw timestamp.
+    "q200_generated_columns" -> ((s, d) => {
+      val cat = "ggen" + java.util.UUID.randomUUID().toString.take(8)
+      val base = java.nio.file.Files.createTempDirectory("graft_genq_").toString
+      s.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.base", base)
+      s.sql(s"CREATE TABLE $cat.db.ev (event_id BIGINT, user_id BIGINT, " +
+        "ts TIMESTAMP, value DOUBLE, " +
+        "day DATE GENERATED ALWAYS AS (CAST(ts AS DATE))) " +
+        "USING graft PARTITIONED BY (day) " +
+        "OPTIONS (pk 'event_id', partitions '2', snapshot 'true')")
+      ev(s, d).select(col("event_id"), col("user_id"), col("ts"), col("value"))
+        .createOrReplaceTempView("q200_events")
+      s.sql(s"INSERT INTO $cat.db.ev (event_id, user_id, ts, value) " +
+        "SELECT event_id, user_id, ts, value FROM q200_events")
+      // scale-free upper-eighth band; the oracle derives the same cutoff
+      val b = s.table("q200_events")
+        .agg(unix_micros(min(col("ts"))), unix_micros(max(col("ts")))).head()
+      val cutoff = b.getLong(0) + (b.getLong(1) - b.getLong(0)) * 7L / 8L
+      val cutTs = new java.sql.Timestamp(cutoff / 1000L)
+      cutTs.setNanos((cutoff % 1000000L).toInt * 1000)
+      val dir = s"$base/db/ev"
+      val files = graft.sources.TokenPruner.listFiles(s, dir)
+      val meta = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"$dir/${graft.sources.GraftCatalog.MetaFile}")))
+      val schema = org.apache.spark.sql.types.DataType
+        .fromJson(meta.linesIterator.next())
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+      val pushed: Array[org.apache.spark.sql.sources.Filter] =
+        Array(org.apache.spark.sql.sources.GreaterThanOrEqual("ts", cutTs))
+      val derived = graft.sources.GeneratedColumns.derive(pushed, schema,
+        java.time.ZoneId.of(s.conf.get("spark.sql.session.timeZone")))
+      require(derived.nonEmpty, "the ts filter must derive a day conjunct")
+      val kept = graft.sources.TokenPruner.prune(s, files, pushed ++ derived,
+        graft.model.CqlSchema("ev", Seq("event_id"))).length
+      require(kept <= files.length / 2,
+        s"generated-column pruning kept $kept of ${files.length} files")
+      s.table(s"$cat.db.ev")
+        .filter(col("ts") >= timestamp_micros(lit(cutoff)))
+        .select(col("event_id"), col("user_id"),
+          col("day").cast("string").as("day"), col("value"))
+    }),
+
     // SQL CLUSTER BY (the q141 Z-order layout declared in DDL): INSERTs
     // into the clustered catalog table land Z-ordered files, the band
     // query prunes on both axes (gated: a band on either clustering
@@ -5122,6 +5210,18 @@ object Battery {
         |       THEN n_chars + 100000 ELSE n_chars END,
         |  'delete', CAST(3 AS BIGINT)
         |FROM documents WHERE doc_id % 11 = 5""".stripMargin,
+    // payload + id_ok TRUE; the in-query requires pin the exact id set
+    "q201_identity_columns" ->
+      """SELECT doc_id AS orig_id, source, n_chars, TRUE AS id_ok
+        |FROM documents""".stripMargin,
+    // the computed day column and the derived-pruned band, closed-form
+    "q200_generated_columns" ->
+      """WITH b AS (SELECT epoch_us(CAST(min(ts) AS TIMESTAMP)) AS mn,
+        |                  epoch_us(CAST(max(ts) AS TIMESTAMP)) AS mx FROM events)
+        |SELECT event_id, user_id,
+        |  CAST(CAST(CAST(ts AS TIMESTAMP) AS DATE) AS VARCHAR) AS day, value
+        |FROM events
+        |WHERE epoch_us(CAST(ts AS TIMESTAMP)) >= (SELECT mn + (mx - mn) * 7 // 8 FROM b)""".stripMargin,
     // the CDC replica converges to the source's statement algebra
     "q198_apply_changes" ->
       """SELECT doc_id, source,

@@ -57,7 +57,18 @@ class GraftCatalog extends TableCatalog
       org.apache.spark.sql.connector.catalog
         .TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT,
       org.apache.spark.sql.connector.catalog
-        .TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
+        .TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE,
+      // `c T GENERATED ALWAYS AS (expr)` — Spark validates the expression
+      // at CREATE and stores it in the field metadata the descriptor
+      // round-trips; the engine computes/validates at write and derives
+      // partition pruning from source-column filters ([[GeneratedColumns]])
+      org.apache.spark.sql.connector.catalog
+        .TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_GENERATED_COLUMNS,
+      // `c BIGINT GENERATED ALWAYS|BY DEFAULT AS IDENTITY (START WITH …
+      // INCREMENT BY …)` — the engine allocates at write from a
+      // log-carried per-column mark ([[IdentityColumns]])
+      org.apache.spark.sql.connector.catalog
+        .TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_IDENTITY_COLUMNS)
 
   // ---- SQL maintenance procedures (`CALL cat.system.<proc>(…)`): the
   // library maintenance entry points as one-statement SQL — see
@@ -255,6 +266,10 @@ class GraftCatalog extends TableCatalog
       }
     if (clusterCols.nonEmpty)
       GraftCatalog.validateClusterBy(clusterCols, schema, dirCols)
+    if (org.apache.spark.sql.catalyst.util.IdentityColumn.hasIdentityColumns(schema))
+      require(opt("snapshot").exists(_.trim.toBoolean),
+        s"CREATE TABLE $ident with IDENTITY column(s) requires OPTIONS " +
+          "(snapshot 'true') — the allocation mark lives in the snapshot log")
     val pairs = Seq("pk" -> pk) ++
       opt("ck").map("ck" -> _) ++
       opt("static").map("static" -> _) ++
@@ -288,7 +303,12 @@ class GraftCatalog extends TableCatalog
   override def createTable(
       ident: Identifier,
       info: org.apache.spark.sql.connector.catalog.TableInfo): Table = {
-    val table = createTable(ident, info.schema, info.partitions, info.properties)
+    // `GENERATED ALWAYS AS (expr)` arrives on the v2 Column objects but
+    // info.schema drops it — re-encode into field metadata so the
+    // descriptor persists it (the same key Spark's DDL uses elsewhere)
+    val table = createTable(ident,
+      GraftCatalog.withGenerationExpressions(info.schema, info.columns),
+      info.partitions, info.properties)
     if (info.constraints() != null && info.constraints().nonEmpty) {
       val stored = info.constraints().toSeq
         .map(GraftTableConstraints.fromConnector(_, info.schema))
@@ -512,6 +532,41 @@ class GraftCatalog extends TableCatalog
 
 object GraftCatalog {
   val MetaFile = "_graft_table.meta"
+
+  /** Re-encode v2 Column generation expressions AND identity specs into
+   *  field metadata — `TableInfo.schema` drops them, and the descriptor
+   *  persists the schema JSON, so without this they would vanish at
+   *  CREATE. The keys are the stock ones [[GeneratedColumns]] /
+   *  [[IdentityColumns]] read back. */
+  private[sources] def withGenerationExpressions(
+      schema: StructType,
+      columns: Array[org.apache.spark.sql.connector.catalog.Column]): StructType = {
+    val gens = columns.filter(_.generationExpression() != null)
+      .map(c => c.name -> c.generationExpression()).toMap
+    val idents = columns.filter(_.identityColumnSpec() != null)
+      .map(c => c.name -> c.identityColumnSpec()).toMap
+    if (gens.isEmpty && idents.isEmpty) schema
+    else StructType(schema.fields.map { f =>
+      val withGen = gens.get(f.name).map { sql =>
+        new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(f.metadata)
+          .putString(org.apache.spark.sql.catalyst.util.GeneratedColumn
+            .GENERATION_EXPRESSION_METADATA_KEY, sql)
+          .build()
+      }
+      val withId = idents.get(f.name).map { spec =>
+        val ic = org.apache.spark.sql.catalyst.util.IdentityColumn
+        new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(withGen.getOrElse(f.metadata))
+          .putLong(ic.IDENTITY_INFO_START, spec.getStart)
+          .putLong(ic.IDENTITY_INFO_STEP, spec.getStep)
+          .putBoolean(ic.IDENTITY_INFO_ALLOW_EXPLICIT_INSERT,
+            spec.isAllowExplicitInsert)
+          .build()
+      }
+      withId.orElse(withGen).map(m => f.copy(metadata = m)).getOrElse(f)
+    })
+  }
 
   /** CLUSTER BY admission: 2-4 existing top-level columns of a type the
    *  Z-order rank image supports, not combined with directory

@@ -585,10 +585,21 @@ class GraftTable(
           override def toInsertableRelation
               : org.apache.spark.sql.sources.InsertableRelation =
             (incoming: DataFrame, overwrite: Boolean) => {
+              // GENERATED ALWAYS AS: compute null/omitted values, validate
+              // provided ones — in the same projection, before renaming
+              val generated = GeneratedColumns.fill(incoming, annotated)
+              // IDENTITY columns: allocate the increment's null cells from
+              // the log-carried mark (two narrow jobs over the increment)
+              val (withIds, idUpdate) = IdentityColumns.assign(
+                incoming.sparkSession, generated, annotated, dir)
+              if (idUpdate.nonEmpty)
+                require(tableOptions.getBoolean("snapshot", false),
+                  s"identity columns on $dir require snapshot 'true' — the " +
+                    "allocation mark lives in the log")
               // logical → physical before the sink: files always store
               // the stable physical names (see the colmap notes above)
               val data = GraftDataSource.renameColumns(
-                incoming, GraftDataSource.colMapFrom(tableOptions))
+                withIds, GraftDataSource.colMapFrom(tableOptions))
               val conf = TokenSortedWriter.WriteConf(
                 numPartitions = tableOptions.getInt("partitions", 0),
                 maxRecordsPerFile = tableOptions.getLong("maxRecordsPerFile", 0L),
@@ -598,10 +609,15 @@ class GraftTable(
                 partitionBy = Option(tableOptions.get("partitionBy"))
                   .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil),
                 zorderBy = GraftDataSource.zorderByFrom(tableOptions),
-                rowTracking = tableOptions.getBoolean("rowTracking", false))
+                rowTracking = tableOptions.getBoolean("rowTracking", false),
+                identityUpdate = idUpdate)
               val ow = overwrite || overwriteAll
               if (ow && graft.write.Snapshots
                   .latestVersion(data.sparkSession, dir).isDefined) {
+                require(idUpdate.isEmpty || idUpdate.values.forall(u => u._1 == u._2),
+                  s"INSERT OVERWRITE allocating identity values on $dir is not " +
+                    "supported — provide explicit values (BY DEFAULT tables) or " +
+                    "append instead")
                 TokenSortedWriter.overwriteLogged(data, cql, dir, conf)
                 ()
               } else {
@@ -905,7 +921,13 @@ class GraftScan(
       // a recorded file absent from the listing fails the scan
       val all = graft.write.Snapshots.resolveListing(spark, dir, snapshotPin, listed)
       listedCount = listed.length
-      files = TokenPruner.prune(spark, all, physPushed, cql)
+      // GENERATED column inference: filters on a source column imply
+      // pruning-only conjuncts on its generated column (monotone shapes),
+      // so a timestamp range prunes `PARTITIONED BY (day)` directories
+      // without the query naming day. Never returned to Spark.
+      val derived = GraftDataSource.renameFilters(
+        GeneratedColumns.derive(effectivePushed, dataSchema, sessionZone), colMap)
+      files = TokenPruner.prune(spark, all, physPushed ++ derived, cql)
       // row-count-based planning shrinks (LIMIT / top-k) are unsound while
       // deletion vectors hide rows inside files — footer counts overcount,
       // so a shrink could plan too few files and silently drop results
@@ -992,6 +1014,11 @@ class GraftScan(
    *  runtime filters arrive after construction and must be seen. */
   private def physPushed: Array[Filter] =
     GraftDataSource.renameFilters(effectivePushed, colMap)
+  /** The session zone governs CAST(ts AS DATE) semantics — generated-column
+   *  derivation must map bounds in the same zone the expression uses. */
+  private def sessionZone: java.time.ZoneId =
+    try java.time.ZoneId.of(spark.conf.get("spark.sql.session.timeZone"))
+    catch { case _: Exception => java.time.ZoneId.systemDefault() }
   /** The schema the PARQUET readers produce — PHYSICAL names (rows are
    *  positional, so `readSchema()` stays logical): the computed metadata
    *  columns are appended by the position-aware wrapper, never read from

@@ -244,9 +244,13 @@ class GraftDeltaWrite(
       val genFiles: Seq[String] =
         if (staged.isEmpty) Nil
         else {
-          // staged = logical names; table files = stable physical names
+          // staged = logical names; table files = stable physical names.
+          // GENERATED columns recompute — a MoR UPDATE's re-insert may
+          // move a source column without naming its generated twin
           val replacement = GraftDataSource.renameColumns(
-            spark.read.schema(stagingSchema).parquet(staged.toIndexedSeq: _*),
+            IdentityColumns.refuseNulls(GeneratedColumns.recompute(
+              spark.read.schema(stagingSchema).parquet(staged.toIndexedSeq: _*),
+              annotated), annotated, s"delta ${op.command()}"),
             GraftDataSource.colMapFrom(tableOptions))
           val conf = TokenSortedWriter.WriteConf(
             numPartitions = tableOptions.getInt("partitions", 0),

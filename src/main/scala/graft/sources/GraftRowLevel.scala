@@ -499,12 +499,16 @@ class GraftReplaceDataWrite(
             "by writing a newer-writetime version (writetimeMicros/writetimeColumn)")
 
       // staged files hold LOGICAL names (Catalyst's rewrite schema); the
-      // final table files store the stable PHYSICAL names
+      // final table files store the stable PHYSICAL names. GENERATED
+      // columns recompute unconditionally — an UPDATE may move a source
+      // column without naming its generated twin
       val replacement = GraftDataSource.renameColumns(
-        if (staged.isEmpty)
-          spark.createDataFrame(
-            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], stagingSchema)
-        else spark.read.schema(stagingSchema).parquet(staged.toIndexedSeq: _*),
+        IdentityColumns.refuseNulls(GeneratedColumns.recompute(
+          if (staged.isEmpty)
+            spark.createDataFrame(
+              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], stagingSchema)
+          else spark.read.schema(stagingSchema).parquet(staged.toIndexedSeq: _*),
+          annotated), annotated, s"row-level ${op.command()}"),
         GraftDataSource.colMapFrom(tableOptions))
       val conf = TokenSortedWriter.WriteConf(
         numPartitions = tableOptions.getInt("partitions", 0),

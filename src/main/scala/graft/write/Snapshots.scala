@@ -264,11 +264,19 @@ object Snapshots {
    *  restore (max of parent and restored marks). */
   private val RidHwmMarker = "ridhwm\t"
 
+  /** `idhwm<TAB><column><TAB><next value>` — IDENTITY column allocation
+   *  marks (one line per identity column). Inherit like txn markers;
+   *  the allocating commit GUARDS its expected base mark and loses the
+   *  race loudly ([[ConcurrentCommitException]]) when a concurrent
+   *  writer consumed the same value range — identity values are baked
+   *  into data files, so a silent retry would duplicate them. */
+  private val IdHwmMarker = "idhwm\t"
+
   /** Every non-data body line this format knows. */
   private def isMarkerLine(l: String): Boolean =
     l.startsWith(DvMarker) || l.startsWith(TxnMarker) ||
       l.startsWith(CdcMarker) || l.startsWith(RidMarker) ||
-      l.startsWith(RidHwmMarker)
+      l.startsWith(RidHwmMarker) || l.startsWith(IdHwmMarker)
 
   private def readFiles(f: FileSystem, root: Path, version: Long): Seq[String] =
     readText(f, root, version).linesIterator.drop(1)
@@ -292,6 +300,24 @@ object Snapshots {
         require(cols.length == 2, s"corrupt ridhwm line in v$version: $l")
         cols(1).toLong
       }
+
+  private def readIdHwms(f: FileSystem, root: Path, version: Long): Map[String, Long] =
+    readText(f, root, version).linesIterator.drop(1)
+      .filter(_.startsWith(IdHwmMarker))
+      .map { l =>
+        val cols = l.split('\t')
+        require(cols.length == 3, s"corrupt idhwm line in v$version: $l")
+        cols(1) -> cols(2).toLong
+      }.toMap
+
+  /** IDENTITY allocation marks (column → next value) at `version` —
+   *  empty for tables without identity columns or before their first
+   *  allocating write. */
+  def identityHighWaterMarks(
+      spark: SparkSession, dir: String, version: Long): Map[String, Long] = {
+    val (f, root) = fs(spark, dir)
+    if (version == 0L) Map.empty else readIdHwms(f, root, version)
+  }
 
   /** (data file → base row id) bindings of one committed version. Empty
    *  for tables without row tracking. */
@@ -459,11 +485,13 @@ object Snapshots {
   def commitAppend(
       spark: SparkSession, dir: String, added: Seq[String],
       txn: Option[(String, Long)],
-      rowTracking: Boolean = false): Long = {
+      rowTracking: Boolean = false,
+      idUpdate: Map[String, (Long, Long)] = Map.empty): Long = {
     txn.foreach { case (appId, _) =>
       require(appId.nonEmpty && !appId.exists(c => c == '\t' || c == '\n' || c == '\r'),
         s"txn appId must be non-empty and tab/newline-free, got '$appId'") }
-    commitLoop(spark, dir, txnUpdate = txn, rowTracking = rowTracking) { case (base, dvs) =>
+    commitLoop(spark, dir, txnUpdate = txn, rowTracking = rowTracking,
+      idUpdate = idUpdate) { case (base, dvs) =>
       (base ++ added.filterNot(base.toSet), dvs)
     }
   }
@@ -539,7 +567,8 @@ object Snapshots {
       txnUpdate: Option[(String, Long)] = None,
       cdcAdds: Seq[String] = Nil,
       rowTracking: Boolean = false,
-      ridOverride: Option[(Map[String, Long], Long)] = None)(
+      ridOverride: Option[(Map[String, Long], Long)] = None,
+      idUpdate: Map[String, (Long, Long)] = Map.empty)(
       next: (Seq[String], Map[String, String]) => (Seq[String], Map[String, String]))
       : Long = {
     val (f, root) = fs(spark, dir)
@@ -548,7 +577,7 @@ object Snapshots {
     val lock = commitLocks.computeIfAbsent(root.toString, _ => new Object)
     lock.synchronized {
       commitLoopLocked(f, root, dir, allowUnsafe, expectedParent, layoutOnly,
-        txnUpdate, cdcAdds, rowTracking, ridOverride)(next)
+        txnUpdate, cdcAdds, rowTracking, ridOverride, idUpdate)(next)
     }
   }
 
@@ -634,7 +663,8 @@ object Snapshots {
       txnUpdate: Option[(String, Long)] = None,
       cdcAdds: Seq[String] = Nil,
       rowTracking: Boolean = false,
-      ridOverride: Option[(Map[String, Long], Long)] = None)(
+      ridOverride: Option[(Map[String, Long], Long)] = None,
+      idUpdate: Map[String, (Long, Long)] = Map.empty)(
       next: (Seq[String], Map[String, String]) => (Seq[String], Map[String, String]))
       : Long = {
     var attempt = 0
@@ -678,6 +708,23 @@ object Snapshots {
       (baseTxns ++ txnUpdate).toSeq.sorted.foreach { case (a, e) =>
         body.append(TxnMarker).append(a).append('\t').append(e).append('\n')
       }
+      // IDENTITY allocation marks inherit; the allocating commit guards
+      // the mark it allocated FROM — identity values are baked into the
+      // just-written files, so a lost race must fail loudly (the caller
+      // re-runs the whole write), never silently re-commit the same range
+      val baseIds = parent.map(readIdHwms(f, root, _)).getOrElse(Map.empty[String, Long])
+      idUpdate.foreach { case (c, (expectedBase, _)) =>
+        val cur = baseIds.getOrElse(c, expectedBase) // absent = first allocation
+        if (cur != expectedBase)
+          throw new ConcurrentCommitException(
+            s"identity allocation on $dir column '$c' lost a race: allocated from " +
+              s"next=$expectedBase but the log now records next=$cur — the written " +
+              "values may collide; re-run the write against the current head")
+      }
+      (baseIds ++ idUpdate.map { case (c, (_, n)) => c -> n }).toSeq.sorted
+        .foreach { case (c, n) =>
+          body.append(IdHwmMarker).append(c).append('\t').append(n).append('\n')
+        }
       // change-data references are PER-COMMIT: exactly this version's
       // row-level delta, never inherited
       cdcAdds.map(rel).distinct.sorted.foreach { r =>

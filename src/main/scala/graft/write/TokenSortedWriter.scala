@@ -125,7 +125,12 @@ object TokenSortedWriter {
       // stable per-row ids (base + position, with rewrites materializing
       // carried ids into a `_graft_row_id` column). Requires snapshot=true;
       // self-perpetuating after the first commit.
-      rowTracking: Boolean = false)
+      rowTracking: Boolean = false,
+      // IDENTITY column allocation to record with this commit:
+      // column → (next value the write allocated FROM, next value after).
+      // The commit fails ConcurrentCommit when the base mark moved —
+      // identity values are baked into the files ([[Snapshots]] `idhwm`).
+      identityUpdate: Map[String, (Long, Long)] = Map.empty)
 
   /** Directory-key twin of a partitioned column (see `WriteConf.partitionBy`). */
   def partCol(c: String): String = s"graft_p_$c"
@@ -448,13 +453,16 @@ object TokenSortedWriter {
       if (conf.ringSplits > 0) Some(conf.ringSplits) else None)
     if (conf.snapshot)
       Snapshots.commitAppend(df.sparkSession, path, added, conf.streamTxn,
-        rowTracking = conf.rowTracking)
+        rowTracking = conf.rowTracking, idUpdate = conf.identityUpdate)
     else {
       require(conf.streamTxn.isEmpty,
         "streamTxn requires snapshot=true: the replay guard lives in the log")
       require(!conf.rowTracking,
         "rowTracking requires snapshot=true: bases and the high-water mark " +
           "live in the log")
+      require(conf.identityUpdate.isEmpty,
+        "identity columns require snapshot=true: the allocation mark lives " +
+          "in the log")
     }
   }
 
