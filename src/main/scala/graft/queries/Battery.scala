@@ -2466,6 +2466,19 @@ object Battery {
           col("_change_type"), col("_commit_version"))
     }),
 
+    // Sessionization (graft.operators.Sessions): per-user inactivity-gap
+    // session split — ONE exchange on the user key, two codegen'd window
+    // passes (lag → strict-gap flag on epoch micros → running sum), then
+    // a per-session rollup the same partitioning already satisfies
+    // (SessionsSpec gates the one-exchange plan). Ties on ts break by
+    // event_id, so session indexes are a pure function of the data and
+    // the oracle replays the identical window algebra.
+    "q202_sessionization" -> ((s, d) => {
+      graft.operators.Sessions.sessionStats(
+        ev(s, d).select(col("user_id"), col("event_id"), col("ts")),
+        "user_id", "ts", "event_id", 1800L)
+    }),
+
     // IDENTITY columns (GENERATED ALWAYS AS IDENTITY — the Delta identity
     // design): values allocated at write from the log-carried `idhwm`
     // mark, dense per commit, two narrow jobs over the increment only.
@@ -5210,6 +5223,27 @@ object Battery {
         |       THEN n_chars + 100000 ELSE n_chars END,
         |  'delete', CAST(3 AS BIGINT)
         |FROM documents WHERE doc_id % 11 = 5""".stripMargin,
+    // identical window algebra: strict 30-min gap on epoch micros
+    "q202_sessionization" ->
+      """WITH f AS (
+        |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+        |    CASE WHEN lag(epoch_us(CAST(ts AS TIMESTAMP)))
+        |           OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |         OR epoch_us(CAST(ts AS TIMESTAMP))
+        |           - lag(epoch_us(CAST(ts AS TIMESTAMP)))
+        |             OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |           > 1800000000
+        |    THEN 1 ELSE 0 END AS st
+        |  FROM events),
+        |x AS (
+        |  SELECT user_id, us,
+        |    CAST(sum(st) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS session_idx
+        |  FROM f)
+        |SELECT user_id, session_idx, count(*) AS n_events,
+        |  max(us) - min(us) AS dur_us
+        |FROM x GROUP BY 1, 2""".stripMargin,
     // payload + id_ok TRUE; the in-query requires pin the exact id set
     "q201_identity_columns" ->
       """SELECT doc_id AS orig_id, source, n_chars, TRUE AS id_ok
