@@ -2466,6 +2466,60 @@ object Battery {
           col("_change_type"), col("_commit_version"))
     }),
 
+    // Predicate-scoped OPTIMIZE (CALL … optimize(predicate => '…')): the
+    // maintenance scope compiles through parse → resolve-against-
+    // descriptor → source-filter translation → generated-column widening,
+    // so a pure TIMESTAMP predicate packs exactly the matching generated
+    // day directories — at 100 TB you compact the partition that just
+    // ingested, never the table. In-query requires: matching day dirs
+    // pack to one file, non-matching dirs keep both generations; the
+    // commit is layout-only so the full table stays the closed form.
+    "q203_scoped_optimize" -> ((s, d) => {
+      val cat = "gsop" + java.util.UUID.randomUUID().toString.take(8)
+      val base = java.nio.file.Files.createTempDirectory("graft_sopq_").toString
+      s.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.base", base)
+      s.sql(s"CREATE TABLE $cat.db.ev (event_id BIGINT, user_id BIGINT, " +
+        "ts TIMESTAMP, value DOUBLE, " +
+        "day DATE GENERATED ALWAYS AS (CAST(ts AS DATE))) " +
+        "USING graft PARTITIONED BY (day) " +
+        "OPTIONS (pk 'event_id', partitions '1', snapshot 'true')")
+      ev(s, d).select(col("event_id"), col("user_id"), col("ts"), col("value"))
+        .createOrReplaceTempView("q203_events")
+      s.sql(s"INSERT INTO $cat.db.ev (event_id, user_id, ts, value) " +
+        "SELECT event_id, user_id, ts, value FROM q203_events")
+      s.sql(s"INSERT INTO $cat.db.ev (event_id, user_id, ts, value) " +
+        "SELECT event_id + 10000000, user_id, ts, value FROM q203_events")
+      // upper-eighth band (the q200 cutoff) as the maintenance scope
+      val b = s.table("q203_events")
+        .agg(unix_micros(min(col("ts"))), unix_micros(max(col("ts")))).head()
+      val cutoff = b.getLong(0) + (b.getLong(1) - b.getLong(0)) * 7L / 8L
+      val cutSql = java.time.Instant.ofEpochSecond(
+        cutoff / 1000000L, (cutoff % 1000000L) * 1000L)
+        .atZone(java.time.ZoneId.of(
+          s.conf.get("spark.sql.session.timeZone"))).toLocalDateTime.toString
+        .replace('T', ' ')
+      val dir = s"$base/db/ev"
+      val packed = s.sql(s"CALL $cat.system.optimize(table => 'db.ev', " +
+        s"predicate => \"ts >= TIMESTAMP'$cutSql'\")").collect().head.getLong(0)
+      require(packed >= 2, s"the matching day dirs must pack, packed=$packed")
+      val head = graft.write.Snapshots.latestVersion(s, dir).get
+      val byDay = graft.write.Snapshots.files(s, dir, head)
+        .groupBy(f => graft.sources.TokenPruner.dirValues(f).get("day").flatten)
+        .map { case (k, v) => k -> v.length }
+      val cutDay = java.sql.Date.valueOf(java.time.Instant.ofEpochSecond(
+        cutoff / 1000000L, (cutoff % 1000000L) * 1000L)
+        .atZone(java.time.ZoneId.of(
+          s.conf.get("spark.sql.session.timeZone"))).toLocalDate).toString
+      require(byDay.filter(_._1.exists(_ > cutDay)).values.forall(_ == 1),
+        s"every day dir strictly past the cutoff must be packed: $byDay")
+      require(byDay.filter(_._1.exists(_ < cutDay)).values.forall(_ == 2),
+        s"every day dir before the cutoff must keep both generations: $byDay")
+      s.table(s"$cat.db.ev")
+        .select(col("event_id"), col("user_id"),
+          col("day").cast("string").as("day"), col("value"))
+    }),
+
     // Sessionization (graft.operators.Sessions): per-user inactivity-gap
     // session split — ONE exchange on the user key, two codegen'd window
     // passes (lag → strict-gap flag on epoch micros → running sum), then
@@ -5223,6 +5277,15 @@ object Battery {
         |       THEN n_chars + 100000 ELSE n_chars END,
         |  'delete', CAST(3 AS BIGINT)
         |FROM documents WHERE doc_id % 11 = 5""".stripMargin,
+    // layout-only: both waves' full payload, whatever packed
+    "q203_scoped_optimize" ->
+      """SELECT event_id, user_id,
+        |  CAST(CAST(CAST(ts AS TIMESTAMP) AS DATE) AS VARCHAR) AS day, value
+        |FROM events
+        |UNION ALL
+        |SELECT event_id + 10000000, user_id,
+        |  CAST(CAST(CAST(ts AS TIMESTAMP) AS DATE) AS VARCHAR), value
+        |FROM events""".stripMargin,
     // identical window algebra: strict 30-min gap on epoch micros
     "q202_sessionization" ->
       """WITH f AS (

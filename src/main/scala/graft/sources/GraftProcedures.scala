@@ -59,6 +59,58 @@ private[sources] object GraftProcedures {
   private def in(name: String, t: DataType, default: String): ProcedureParameter =
     ProcedureParameter.in(name, t).defaultValue(default).build()
 
+  /** Compile a maintenance `predicate => '…'` string to source filters:
+   *  parse, split conjuncts, translate each — an unsupported shape
+   *  refuses loudly (a silently-dropped conjunct would compact MORE than
+   *  asked: correct but surprising) — then widen with generated-column
+   *  inference so a timestamp predicate scopes a generated-day layout. */
+  private[sources] def compileScope(
+      spark: SparkSession, dir: String, predicate: String)
+      : Array[org.apache.spark.sql.sources.Filter] = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.catalyst.expressions.{And => CAnd, AttributeReference, Expression}
+    // the descriptor schema resolves the predicate's columns (and feeds
+    // generated-column inference below)
+    val metaFile = new org.apache.hadoop.fs.Path(dir, GraftCatalog.MetaFile)
+    val f = metaFile.getFileSystem(spark.sessionState.newHadoopConf())
+    require(f.exists(metaFile),
+      s"optimize predicate: $dir has no table descriptor to resolve columns against")
+    val first = {
+      val in = f.open(metaFile)
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().next()
+      finally in.close()
+    }
+    val schema = org.apache.spark.sql.types.DataType.fromJson(first)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    val resolver = spark.sessionState.conf.resolver
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case CAnd(l, r) => conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+    val parsed = spark.sessionState.sqlParser.parseExpression(predicate)
+      .transformUp {
+        case a: UnresolvedAttribute if a.nameParts.length == 1 =>
+          val fld = schema.fields.find(f => resolver(f.name, a.nameParts.head))
+            .getOrElse(throw new IllegalArgumentException(
+              s"optimize predicate: unknown column '${a.name}' " +
+                s"(have: ${schema.fieldNames.mkString(", ")})"))
+          AttributeReference(fld.name, fld.dataType, fld.nullable)()
+      }
+    val fs = conjuncts(parsed).map { e =>
+      org.apache.spark.sql.graftshim.GraftShims.translateFilter(e)
+        .getOrElse(throw new IllegalArgumentException(
+          s"optimize predicate: unsupported conjunct '${e.sql}' — use " +
+            "column-vs-literal comparisons (=, <, <=, >, >=, IN, IS NULL, " +
+            "AND, OR, LIKE-prefix)"))
+    }.toArray
+    // widen with generated-column inference (a timestamp predicate scopes
+    // a generated-day layout)
+    val zone =
+      try java.time.ZoneId.of(spark.conf.get("spark.sql.session.timeZone"))
+      catch { case _: Exception => java.time.ZoneId.systemDefault() }
+    fs ++ GeneratedColumns.derive(fs, schema, zone)
+  }
+
   private def row(values: Any*): InternalRow =
     new GenericInternalRow(values.toArray)
 
@@ -91,22 +143,32 @@ private[sources] object GraftProcedures {
   }
 
   /** OPTIMIZE: bin-pack small files (and fold heavy deletion vectors) —
-   *  layout-only commit, logical rows unchanged. */
+   *  layout-only commit, logical rows unchanged. `predicate => '…'`
+   *  scopes the candidates to files that may hold matching rows (dir
+   *  keys, column stats, token ranges — plus generated-column inference,
+   *  so a timestamp predicate scopes a generated-day layout): at 100 TB
+   *  you compact the partition that just ingested, never the table. */
   private final class Optimize(catalog: GraftCatalog)
       extends MaintenanceProcedure(catalog, "optimize") {
     override def parameters(): Array[ProcedureParameter] = Array(
       tableParam,
       in("small_bytes", LongType, (32L << 20).toString),
       in("target_bytes", LongType, (128L << 20).toString),
-      in("max_dv_fraction", DoubleType, "0.2"))
+      in("max_dv_fraction", DoubleType, "0.2"),
+      in("predicate", StringType, "''"))
     override val outputSchema: StructType = StructType(Seq(
       StructField("packed_files", LongType, nullable = false),
       StructField("version", LongType, nullable = true)))
     override def run(spark: SparkSession, dir: String, cql: CqlSchema,
         input: InternalRow): Array[InternalRow] = {
+      val predicate =
+        if (input.isNullAt(4)) "" else input.getUTF8String(4).toString.trim
+      val scope =
+        if (predicate.isEmpty) None
+        else Some(GraftProcedures.compileScope(spark, dir, predicate))
       val packed = TokenSortedWriter.optimizeSmallFiles(spark, cql, dir,
         smallBytes = input.getLong(1), targetBytes = input.getLong(2),
-        maxDvFraction = input.getDouble(3))
+        maxDvFraction = input.getDouble(3), scope = scope)
       Array(row(packed, Snapshots.latestVersion(spark, dir).map(Long.box).orNull))
     }
   }

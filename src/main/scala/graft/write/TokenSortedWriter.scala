@@ -1052,7 +1052,8 @@ object TokenSortedWriter {
       dir: String,
       smallBytes: Long = 32L << 20,
       targetBytes: Long = 128L << 20,
-      maxDvFraction: Double = 0.2): Long = {
+      maxDvFraction: Double = 0.2,
+      scope: Option[Array[org.apache.spark.sql.sources.Filter]] = None): Long = {
     require(smallBytes > 0 && targetBytes >= smallBytes,
       "need 0 < smallBytes <= targetBytes")
     require(maxDvFraction > 0.0 && maxDvFraction <= 1.0,
@@ -1062,7 +1063,16 @@ object TokenSortedWriter {
     val root = fs.makeQualified(p)
     val head = Snapshots.latestVersion(spark, dir)
     val listed = graft.sources.TokenPruner.listFiles(spark, dir)
-    val live = Snapshots.resolveListing(spark, dir, head.map(_.toString), listed)
+    val liveAll = Snapshots.resolveListing(spark, dir, head.map(_.toString), listed)
+    // predicate scoping (CALL optimize(predicate => '…')): restrict
+    // candidates to files that MAY hold matching rows — dir keys, column
+    // stats, token ranges, all through the scan's own pruner. At 100 TB
+    // you compact the partition that just ingested, never the table.
+    // Sound trivially: packing any SUBSET of candidates is layout-only.
+    val live = scope.filter(_.nonEmpty) match {
+      case Some(fs0) => graft.sources.TokenPruner.prune(spark, liveAll, fs0, schema)
+      case None => liveAll
+    }
 
     // pack only within (partition dir × exact file schema): generations can
     // differ in feature columns (writetime/TTL), and a cross-schema read
