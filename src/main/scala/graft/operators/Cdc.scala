@@ -110,4 +110,40 @@ object Cdc {
            |  THEN INSERT ($ins) VALUES ($vals)""".stripMargin)
     } finally spark.catalog.dropTempView(view)
   }
+
+  /** Continuous replication: stream the source table's row-level change
+   *  feed (`changeFeedMode=rows` — O(1) version-ledger offsets) and
+   *  [[applyChanges]] each micro-batch into `targetTable`.
+   *
+   *  Delivery is effectively exactly-once: offsets checkpoint per batch,
+   *  and a replayed batch is IDEMPOTENT through the MERGE — re-applied
+   *  postimages update to the same values, re-applied deletes match
+   *  nothing, re-applied inserts hit WHEN MATCHED and update in place —
+   *  so at-least-once replay converges to the same replica state.
+   *
+   *  Within one micro-batch the collapse-to-latest handles multiple
+   *  commits (sequenced by `_commit_version`); across batches the ledger
+   *  delivers monotone version ranges — exactly [[applyChanges]]'s
+   *  ordering contract. */
+  def applyChangesStream(
+      spark: SparkSession,
+      sourceDir: String,
+      targetTable: String,
+      keys: Seq[String],
+      checkpointLocation: String,
+      startingVersion: Long = 0L): org.apache.spark.sql.streaming.StreamingQuery = {
+    val feed = spark.readStream.format("graft")
+      .option("path", sourceDir)
+      .option("changeFeedMode", "rows")
+      .option("startingVersion", startingVersion.toString)
+      .load()
+    feed.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          _: Long) =>
+        if (!batch.isEmpty)
+          applyChanges(batch.sparkSession, targetTable, batch.toDF(), keys)
+      }
+      .option("checkpointLocation", checkpointLocation)
+      .start()
+  }
 }

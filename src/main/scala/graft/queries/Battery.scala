@@ -2466,6 +2466,41 @@ object Battery {
           col("_change_type"), col("_commit_version"))
     }),
 
+    // Streaming APPLY CHANGES (Cdc.applyChangesStream): the q198 source
+    // lifecycle replicated CONTINUOUSLY — the row-level CDC stream
+    // (version-ledger offsets, O(1)) feeds foreachBatch applyChanges;
+    // a replayed batch is idempotent through the MERGE, so at-least-once
+    // delivery converges (effectively exactly-once). Two
+    // processAllAvailable rounds: initial load, then the UPDATE+DELETE
+    // increment — the replica must equal the source's statement algebra.
+    "q204_apply_changes_stream" -> ((s, d) => {
+      val cat = "gacs" + java.util.UUID.randomUUID().toString.take(8)
+      val base = java.nio.file.Files.createTempDirectory("graft_acsq_").toString
+      s.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.base", base)
+      s.sql(s"CREATE TABLE $cat.db.src (doc_id BIGINT, source STRING, n_chars BIGINT) " +
+        "USING graft OPTIONS (pk 'doc_id', partitions '4', snapshot 'true', " +
+        "dmlMode 'merge-on-read')")
+      s.sql(s"CREATE TABLE $cat.db.tgt (doc_id BIGINT, source STRING, n_chars BIGINT) " +
+        "USING graft OPTIONS (pk 'doc_id', partitions '4', snapshot 'true')")
+      docs(s, d).select(col("doc_id"), col("source"), col("n_chars"))
+        .createOrReplaceTempView("q204_docs")
+      s.sql(s"INSERT INTO $cat.db.src SELECT doc_id, source, n_chars FROM q204_docs")
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_acsq_ckpt_").toString
+      val q = graft.operators.Cdc.applyChangesStream(
+        s, s"$base/db/src", s"$cat.db.tgt", Seq("doc_id"), ckpt)
+      try {
+        q.processAllAvailable()
+        require(s.table(s"$cat.db.tgt").count() == s.table("q204_docs").count(),
+          "initial load must replicate every row")
+        s.sql(s"UPDATE $cat.db.src SET n_chars = n_chars + 100000 " +
+          "WHERE source = 'src3' OR doc_id % 7 = 0")
+        s.sql(s"DELETE FROM $cat.db.src WHERE doc_id % 11 = 5")
+        q.processAllAvailable()
+      } finally q.stop()
+      s.table(s"$cat.db.tgt").select(col("doc_id"), col("source"), col("n_chars"))
+    }),
+
     // Predicate-scoped OPTIMIZE (CALL … optimize(predicate => '…')): the
     // maintenance scope compiles through parse → resolve-against-
     // descriptor → source-filter translation → generated-column widening,
@@ -5277,6 +5312,12 @@ object Battery {
         |       THEN n_chars + 100000 ELSE n_chars END,
         |  'delete', CAST(3 AS BIGINT)
         |FROM documents WHERE doc_id % 11 = 5""".stripMargin,
+    // the streaming replica converges to the source's statement algebra
+    "q204_apply_changes_stream" ->
+      """SELECT doc_id, source,
+        |  CASE WHEN source = 'src3' OR doc_id % 7 = 0
+        |       THEN n_chars + 100000 ELSE n_chars END AS n_chars
+        |FROM documents WHERE doc_id % 11 <> 5""".stripMargin,
     // layout-only: both waves' full payload, whatever packed
     "q203_scoped_optimize" ->
       """SELECT event_id, user_id,

@@ -158,6 +158,61 @@ class CdcSpec extends SparkSpec {
     dels.foreach { case (id, rid) => assert(rid == rid0(id)) }
   }
 
+  test("applyChangesStream replicates continuously: the initial load, then " +
+      "live UPDATE/DELETE increments, converge the replica to the source") {
+    val (cat, base) = newCatalog()
+    spark.sql(s"CREATE TABLE $cat.db.ssrc (id BIGINT, v STRING) USING graft " +
+      "OPTIONS (pk 'id', partitions '2', snapshot 'true', dmlMode 'merge-on-read')")
+    spark.sql(s"CREATE TABLE $cat.db.stgt (id BIGINT, v STRING) USING graft " +
+      "OPTIONS (pk 'id', partitions '2', snapshot 'true')")
+    spark.sql(s"INSERT INTO $cat.db.ssrc SELECT id, CONCAT('v', id) " +
+      "FROM RANGE(20) AS r(id)")
+    val ckpt = Files.createTempDirectory("graft_cdcstream_ckpt_").toString
+    val q = Cdc.applyChangesStream(spark, s"$base/db/ssrc", s"$cat.db.stgt",
+      Seq("id"), ckpt)
+    try {
+      q.processAllAvailable()
+      assert(spark.table(s"$cat.db.stgt").count() == 20L)
+      spark.sql(s"UPDATE $cat.db.ssrc SET v = CONCAT(v, '+') WHERE id % 3 = 0")
+      spark.sql(s"DELETE FROM $cat.db.ssrc WHERE id % 5 = 1")
+      q.processAllAvailable()
+      val src = spark.table(s"$cat.db.ssrc").as[(Long, String)].collect().toSet
+      val tgt = spark.table(s"$cat.db.stgt").as[(Long, String)].collect().toSet
+      assert(tgt == src && src.contains((0L, "v0+")) && !src.exists(_._1 == 1L))
+    } finally q.stop()
+    // restart from the SAME checkpoint: nothing new → replica unchanged
+    val tgt0 = spark.table(s"$cat.db.stgt").as[(Long, String)].collect().toSet
+    val q2 = Cdc.applyChangesStream(spark, s"$base/db/ssrc", s"$cat.db.stgt",
+      Seq("id"), ckpt)
+    try {
+      q2.processAllAvailable()
+      assert(spark.table(s"$cat.db.stgt")
+        .as[(Long, String)].collect().toSet == tgt0)
+    } finally q2.stop()
+  }
+
+  test("applyChanges replay is idempotent: re-applying an already-applied " +
+      "range leaves the replica unchanged (the at-least-once safety net)") {
+    val (cat, base) = newCatalog()
+    spark.sql(s"CREATE TABLE $cat.db.rsrc (id BIGINT, v STRING) USING graft " +
+      "OPTIONS (pk 'id', partitions '2', snapshot 'true', dmlMode 'merge-on-read')")
+    spark.sql(s"CREATE TABLE $cat.db.rtgt (id BIGINT, v STRING) USING graft " +
+      "OPTIONS (pk 'id', partitions '2', snapshot 'true')")
+    spark.sql(s"INSERT INTO $cat.db.rsrc SELECT id, CONCAT('v', id) " +
+      "FROM RANGE(10) AS r(id)")
+    spark.sql(s"UPDATE $cat.db.rsrc SET v = 'u' WHERE id % 2 = 0")
+    spark.sql(s"DELETE FROM $cat.db.rsrc WHERE v = 'v3'") // non-key → MoR DV
+    val dir = s"$base/db/rsrc"
+    val head = Snapshots.latestVersion(spark, dir).get
+    val feed = Snapshots.readChangesWithDeletes(spark, dir, 0L, head)
+    Cdc.applyChanges(spark, s"$cat.db.rtgt", feed, Seq("id"))
+    val once = spark.table(s"$cat.db.rtgt").as[(Long, String)].collect().toSet
+    Cdc.applyChanges(spark, s"$cat.db.rtgt", feed, Seq("id")) // replay
+    val twice = spark.table(s"$cat.db.rtgt").as[(Long, String)].collect().toSet
+    assert(once == twice)
+    assert(once == spark.table(s"$cat.db.rsrc").as[(Long, String)].collect().toSet)
+  }
+
   test("readChangesWithDeletes(withRowIds) refuses an untracked table") {
     val (cat, base) = newCatalog()
     spark.sql(s"CREATE TABLE $cat.db.ut (id BIGINT) USING graft " +
