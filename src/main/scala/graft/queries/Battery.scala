@@ -2466,6 +2466,49 @@ object Battery {
           col("_change_type"), col("_commit_version"))
     }),
 
+    // SYNC IDENTITY (CALL … sync_identity): the repair after GENERATED
+    // BY DEFAULT explicit inserts outran the allocation mark — one raw
+    // aggregate over the live files re-seats the mark PAST every stored
+    // value (forward-only in step direction, race-guarded commit), and
+    // the next null-cell wave allocates from there. In-query requires
+    // pin the re-seated mark and the dense continuation; the oracle
+    // states payload + id_ok TRUE.
+    "q205_sync_identity" -> ((s, d) => {
+      val cat = "gsyi" + java.util.UUID.randomUUID().toString.take(8)
+      val base = java.nio.file.Files.createTempDirectory("graft_syiq_").toString
+      s.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.base", base)
+      s.sql(s"CREATE TABLE $cat.db.docs (" +
+        "id BIGINT GENERATED BY DEFAULT AS IDENTITY (START WITH 1 INCREMENT BY 1), " +
+        "orig_id BIGINT, source STRING, n_chars BIGINT) " +
+        "USING graft OPTIONS (pk 'id', partitions '3', snapshot 'true')")
+      docs(s, d).select(col("doc_id"), col("source"), col("n_chars"))
+        .createOrReplaceTempView("q205_docs")
+      // wave A: EXPLICIT ids far past the mark
+      s.sql(s"INSERT INTO $cat.db.docs (id, orig_id, source, n_chars) " +
+        "SELECT doc_id + 1000000, doc_id, source, n_chars " +
+        "FROM q205_docs WHERE doc_id % 2 = 0")
+      val sync = s.sql(s"CALL $cat.system.sync_identity(table => 'db.docs')")
+        .collect().head
+      val maxA = s.sql(s"SELECT max(id) FROM $cat.db.docs").head().getLong(0)
+      require(sync.getLong(2) == maxA + 1,
+        s"sync must re-seat to max+1 (${maxA + 1}), got ${sync.getLong(2)}")
+      // wave B: null cells allocate densely FROM the re-seated mark
+      // (1000499…), i.e. ABOVE the explicit band — no collision possible
+      s.sql(s"INSERT INTO $cat.db.docs (orig_id, source, n_chars) " +
+        "SELECT doc_id, source, n_chars FROM q205_docs WHERE doc_id % 2 = 1")
+      val b = s.sql(s"SELECT min(id), max(id), count(DISTINCT id), count(*) " +
+        s"FROM $cat.db.docs WHERE orig_id % 2 = 1").head()
+      val nB = b.getLong(3)
+      require(b.getLong(0) == maxA + 1 &&
+        b.getLong(1) == maxA + nB && b.getLong(2) == nB,
+        s"wave B must be dense from ${maxA + 1}: $b")
+      s.sql(s"""SELECT orig_id, source, n_chars,
+        | CASE WHEN orig_id % 2 = 0 THEN id = orig_id + 1000000
+        |      ELSE id BETWEEN ${maxA + 1} AND ${maxA + nB} END AS id_ok
+        |FROM $cat.db.docs""".stripMargin)
+    }),
+
     // Streaming APPLY CHANGES (Cdc.applyChangesStream): the q198 source
     // lifecycle replicated CONTINUOUSLY — the row-level CDC stream
     // (version-ledger offsets, O(1)) feeds foreachBatch applyChanges;
@@ -5312,6 +5355,10 @@ object Battery {
         |       THEN n_chars + 100000 ELSE n_chars END,
         |  'delete', CAST(3 AS BIGINT)
         |FROM documents WHERE doc_id % 11 = 5""".stripMargin,
+    // explicit wave above the watermark, generated wave below it
+    "q205_sync_identity" ->
+      """SELECT doc_id AS orig_id, source, n_chars, TRUE AS id_ok
+        |FROM documents""".stripMargin,
     // the streaming replica converges to the source's statement algebra
     "q204_apply_changes_stream" ->
       """SELECT doc_id, source,

@@ -37,7 +37,8 @@ private[sources] object GraftProcedures {
 
   def list: Array[String] = Array(
     "optimize", "compact", "vacuum", "vacuum_orphans",
-    "create_tag", "delete_tag", "restore", "detail", "history")
+    "create_tag", "delete_tag", "restore", "detail", "history",
+    "sync_identity")
 
   def load(catalog: GraftCatalog, name: String): UnboundProcedure =
     name.toLowerCase match {
@@ -50,6 +51,7 @@ private[sources] object GraftProcedures {
       case "restore" => new Restore(catalog)
       case "detail" => new Detail(catalog)
       case "history" => new History(catalog)
+      case "sync_identity" => new SyncIdentity(catalog)
       case other => throw new IllegalArgumentException(
         s"unknown procedure system.$other (have: ${list.mkString(", ")})")
     }
@@ -71,17 +73,9 @@ private[sources] object GraftProcedures {
     import org.apache.spark.sql.catalyst.expressions.{And => CAnd, AttributeReference, Expression}
     // the descriptor schema resolves the predicate's columns (and feeds
     // generated-column inference below)
-    val metaFile = new org.apache.hadoop.fs.Path(dir, GraftCatalog.MetaFile)
-    val f = metaFile.getFileSystem(spark.sessionState.newHadoopConf())
-    require(f.exists(metaFile),
-      s"optimize predicate: $dir has no table descriptor to resolve columns against")
-    val first = {
-      val in = f.open(metaFile)
-      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().next()
-      finally in.close()
-    }
-    val schema = org.apache.spark.sql.types.DataType.fromJson(first)
-      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    val schema = descriptorSchema(spark, dir).getOrElse(
+      throw new IllegalArgumentException(
+        s"optimize predicate: $dir has no table descriptor to resolve columns against"))
     val resolver = spark.sessionState.conf.resolver
     def conjuncts(e: Expression): Seq[Expression] = e match {
       case CAnd(l, r) => conjuncts(l) ++ conjuncts(r)
@@ -109,6 +103,25 @@ private[sources] object GraftProcedures {
       try java.time.ZoneId.of(spark.conf.get("spark.sql.session.timeZone"))
       catch { case _: Exception => java.time.ZoneId.systemDefault() }
     fs ++ GeneratedColumns.derive(fs, schema, zone)
+  }
+
+  /** The persisted descriptor schema (field metadata intact — generation
+   *  expressions, identity specs), or None for a log-less path table. */
+  private[sources] def descriptorSchema(
+      spark: SparkSession, dir: String)
+      : Option[org.apache.spark.sql.types.StructType] = {
+    val metaFile = new org.apache.hadoop.fs.Path(dir, GraftCatalog.MetaFile)
+    val f = metaFile.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!f.exists(metaFile)) None
+    else {
+      val first = {
+        val in = f.open(metaFile)
+        try scala.io.Source.fromInputStream(in, "UTF-8").getLines().next()
+        finally in.close()
+      }
+      Some(org.apache.spark.sql.types.DataType.fromJson(first)
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+    }
   }
 
   private def row(values: Any*): InternalRow =
@@ -170,6 +183,79 @@ private[sources] object GraftProcedures {
         smallBytes = input.getLong(1), targetBytes = input.getLong(2),
         maxDvFraction = input.getDouble(3), scope = scope)
       Array(row(packed, Snapshots.latestVersion(spark, dir).map(Long.box).orNull))
+    }
+  }
+
+  /** SYNC IDENTITY (the Delta `ALTER TABLE … SYNC IDENTITY` analog):
+   *  re-seat each identity column's allocation mark PAST every value the
+   *  table has ever stored — the repair after `GENERATED BY DEFAULT`
+   *  explicit inserts outran the mark. One raw aggregate over the live
+   *  files (deleted-but-DV-hidden rows INCLUDED on purpose: their values
+   *  were issued once; a safe mark clears everything ever written); the
+   *  mark only moves FORWARD in step direction, and the commit rides the
+   *  same concurrent-allocation guard as writes. */
+  private final class SyncIdentity(catalog: GraftCatalog)
+      extends MaintenanceProcedure(catalog, "sync_identity") {
+    override def parameters(): Array[ProcedureParameter] = Array(
+      tableParam, in("column", StringType, "''"))
+    override val outputSchema: StructType = StructType(Seq(
+      StructField("column", StringType, nullable = false),
+      StructField("old_next", LongType, nullable = false),
+      StructField("new_next", LongType, nullable = false)))
+    override def run(spark: SparkSession, dir: String, cql: CqlSchema,
+        input: InternalRow): Array[InternalRow] = {
+      val only =
+        if (input.isNullAt(1)) "" else input.getUTF8String(1).toString.trim
+      val schema = descriptorSchema(spark, dir).getOrElse(
+        throw new IllegalArgumentException(
+          s"sync_identity: $dir has no table descriptor"))
+      val all = IdentityColumns.specs(schema)
+      require(all.nonEmpty, s"sync_identity: $dir has no identity columns")
+      val specs =
+        if (only.isEmpty) all
+        else {
+          val hit = all.filter(_.name == only)
+          require(hit.nonEmpty, s"sync_identity: '$only' is not an identity " +
+            s"column (have: ${all.map(_.name).mkString(", ")})")
+          hit
+        }
+      val head = Snapshots.latestVersion(spark, dir).getOrElse(
+        throw new IllegalArgumentException(
+          s"sync_identity: $dir has no snapshot log"))
+      val marks = Snapshots.identityHighWaterMarks(spark, dir, head)
+      val listed = TokenPruner.listFiles(spark, dir)
+      val live = Snapshots.resolveListing(spark, dir, Some(head.toString), listed)
+      val extremes: Map[String, Option[Long]] =
+        if (live.isEmpty) specs.map(s => s.name -> None).toMap
+        else {
+          import org.apache.spark.sql.functions.{max => fmax, min => fmin, col}
+          val aggs = specs.map(s =>
+            (if (s.step > 0) fmax(col(CqlSchema.quoted(s.name)))
+             else fmin(col(CqlSchema.quoted(s.name)))).as(s.name))
+          val r = spark.read.parquet(live.map(_.path).toIndexedSeq: _*)
+            .agg(aggs.head, aggs.tail: _*).head()
+          specs.zipWithIndex.map { case (s, i) =>
+            s.name -> (if (r.isNullAt(i)) None else Some(r.getLong(i)))
+          }.toMap
+        }
+      val rows = specs.map { s =>
+        val cur = marks.getOrElse(s.name, s.start)
+        val next = extremes(s.name) match {
+          case Some(ext) =>
+            val candidate = ext + s.step
+            if (s.step > 0) math.max(cur, candidate) else math.min(cur, candidate)
+          case None => cur
+        }
+        (s.name, cur, next)
+      }
+      val moved = rows.collect { case (c, cur, next) if next != cur =>
+        c -> (cur, next)
+      }.toMap
+      if (moved.nonEmpty)
+        Snapshots.commitAppend(spark, dir, Nil, None, idUpdate = moved)
+      rows.map { case (c, cur, next) =>
+        row(UTF8String.fromString(c), cur, next)
+      }.toArray
     }
   }
 
