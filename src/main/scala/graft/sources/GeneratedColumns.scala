@@ -94,6 +94,25 @@ object GeneratedColumns {
       case _ => None
     }
   }
+  /** `date_format(src, '<iso prefix>')` for the chronological-prefix
+   *  patterns ('yyyy', 'yyyy-MM', 'yyyy-MM-dd', 'yyyy-MM-dd HH') — the
+   *  monthly/hourly STRING partition idiom. Monotone: lexicographic
+   *  order of these renderings IS chronological order. */
+  private final case class IsoFormat(src: String, pattern: String, zone: ZoneId)
+      extends Shape {
+    def rangeSafe = true
+    private val fmt = java.time.format.DateTimeFormatter.ofPattern(
+      pattern.replace("yyyy", "uuuu")) // proleptic year — matches Spark's rendering for CE
+    def map(v: Any): Option[Any] = v match {
+      case t: java.sql.Timestamp => Some(t.toInstant.atZone(zone).format(fmt))
+      case i: java.time.Instant => Some(i.atZone(zone).format(fmt))
+      case dt: java.time.LocalDateTime => Some(dt.format(fmt))
+      case d: java.sql.Date => Some(d.toLocalDate.atStartOfDay.format(fmt))
+      case d: LocalDate => Some(d.atStartOfDay.format(fmt))
+      case _ => None
+    }
+  }
+  private val IsoPatterns = Set("yyyy", "yyyy-MM", "yyyy-MM-dd", "yyyy-MM-dd HH")
 
   private def toLocalDate(v: Any, zone: ZoneId): Option[LocalDate] = v match {
     case t: java.sql.Timestamp => Some(t.toInstant.atZone(zone).toLocalDate)
@@ -132,6 +151,9 @@ object GeneratedColumns {
           if n > 0 => Some(Prefix(src, n))
       case Fn("left", Seq(Attr(src), Literal(n: Int, IntegerType))) if n > 0 =>
         Some(Prefix(src, n))
+      case Fn("date_format", Seq(Attr(src), Literal(p, _)))
+          if p != null && IsoPatterns(p.toString) =>
+        Some(IsoFormat(src, p.toString, zone))
       case _ => None
     } catch { case _: Exception => None }
 

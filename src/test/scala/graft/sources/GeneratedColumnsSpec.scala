@@ -130,6 +130,27 @@ class GeneratedColumnsSpec extends SparkSpec {
     assert(and.toSet == Set[Filter](EqualTo("pfx", "http")))
   }
 
+  test("derive: date_format with chronological-prefix patterns maps " +
+      "ranges (monthly string partitions); non-prefix patterns derive " +
+      "nothing") {
+    val schema = StructType(Seq(
+      StructField("ts", TimestampType),
+      StructField("ym", StringType, nullable = true,
+        new MetadataBuilder()
+          .putString("GENERATION_EXPRESSION", "date_format(ts, 'yyyy-MM')").build()),
+      StructField("dm", StringType, nullable = true,
+        new MetadataBuilder() // month-first: NOT chronological-prefix
+          .putString("GENERATION_EXPRESSION", "date_format(ts, 'MM-yyyy')").build())))
+    val t0 = java.sql.Timestamp.valueOf("2024-03-05 10:30:00")
+    val derived = GeneratedColumns.derive(
+      Array(GreaterThanOrEqual("ts", t0)), schema, zone)
+    assert(derived.toSet == Set[Filter](GreaterThanOrEqual("ym", "2024-03")),
+      s"got ${derived.toSeq}")
+    assert(GeneratedColumns.derive(
+      Array(EqualTo("ts", t0)), schema, zone).toSet ==
+      Set[Filter](EqualTo("ym", "2024-03")))
+  }
+
   test("a timestamp filter prunes GENERATED day partitions: the scan " +
       "plans only matching directories without the query naming day") {
     val (cat, base) = newCatalog()
