@@ -2391,8 +2391,19 @@ object Battery {
         "FROM q197_docs WHERE doc_id % 2 = 0")
       s.sql(s"INSERT INTO $cat.db.docs SELECT doc_id, source, n_chars " +
         "FROM q197_docs WHERE doc_id % 2 = 1")
-      s.sql(s"SELECT doc_id, _graft_row_id AS rid0 FROM $cat.db.docs")
-        .createOrReplaceTempView("q197_ids0")
+      // capture MATERIALIZED (a lazy view would re-resolve the scan
+      // AFTER the lifecycle below, making id_stable vacuously true)
+      locally {
+        val rows = s.sql(s"SELECT doc_id, _graft_row_id AS rid0 FROM $cat.db.docs")
+          .collect()
+        s.createDataFrame(java.util.Arrays.asList(rows: _*),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("doc_id",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("rid0",
+              org.apache.spark.sql.types.LongType))))
+          .createOrReplaceTempView("q197_ids0")
+      }
       s.sql(s"UPDATE $cat.db.docs SET n_chars = n_chars + 7 WHERE doc_id % 3 = 1")
       s.sql(s"CALL $cat.system.optimize(table => 'db.docs')")
       s.sql(s"DELETE FROM $cat.db.docs WHERE doc_id % 10 = 4")

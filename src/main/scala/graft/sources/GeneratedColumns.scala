@@ -36,11 +36,47 @@ import graft.model.CqlSchema
  */
 object GeneratedColumns {
 
+  /** The session zone the generation expressions were FIRST evaluated
+   *  under, recorded at CREATE in the field metadata. `CAST(ts AS DATE)`
+   *  renders a different day under a different session zone — a table
+   *  whose files mixed zones would have values the derivation (and the
+   *  expression itself) cannot reason about, so writes VALIDATE against
+   *  this and derivation maps bounds IN it. */
+  val ZoneKey = "GRAFT_GENERATION_ZONE"
+
   /** (column → generation SQL) for every generated field. */
   def expressions(schema: StructType): Seq[(String, String)] =
     schema.fields.toSeq.flatMap { f =>
       GeneratedColumn.getGenerationExpression(f).map(f.name -> _)
     }
+
+  private def zoneOf(f: StructField): Option[ZoneId] =
+    if (f.metadata.contains(ZoneKey))
+      Some(ZoneId.of(f.metadata.getString(ZoneKey)))
+    else None
+
+  /** The session zone, resolved the one way everywhere (scan derivation,
+   *  procedure scopes, write validation). */
+  def sessionZone(spark: org.apache.spark.sql.SparkSession): ZoneId =
+    try ZoneId.of(spark.conf.get("spark.sql.session.timeZone"))
+    catch { case _: Exception => ZoneId.systemDefault() }
+
+  /** Writes to a table with zone-recorded generated columns must run
+   *  under the SAME session zone the expressions were created under —
+   *  `CAST(ts AS DATE)` under a different zone would store days the
+   *  table's derivation (and every earlier file) disagrees with. */
+  private def validateZone(df: DataFrame, schema: StructType): Unit = {
+    val current = sessionZone(df.sparkSession)
+    schema.fields.foreach { f =>
+      zoneOf(f).foreach { created =>
+        require(created == current,
+          s"generated column ${f.name}: the session timeZone ($current) " +
+            s"differs from the zone the table's generation expressions were " +
+            s"created under ($created) — set spark.sql.session.timeZone to " +
+            s"'$created' for writes to this table")
+      }
+    }
+  }
 
   private def isGenerated(f: StructField): Boolean =
     GeneratedColumn.getGenerationExpression(f).isDefined
@@ -49,7 +85,8 @@ object GeneratedColumns {
    *  ones (null-safe equality, else `raise_error` inside the projection —
    *  single-pass). Column order is preserved; absent generated columns
    *  are appended in schema order. */
-  def fill(df: DataFrame, schema: StructType): DataFrame =
+  def fill(df: DataFrame, schema: StructType): DataFrame = {
+    if (hasAny(schema)) validateZone(df, schema)
     expressions(schema).foldLeft(df) { case (acc, (name, sql)) =>
       val computed = expr(sql).cast(schema(name).dataType)
       if (!acc.columns.contains(name)) acc.withColumn(name, computed)
@@ -60,14 +97,20 @@ object GeneratedColumns {
             s"GENERATED ALWAYS AS column $name: provided value %s != computed %s",
             col(name).cast("string"), computed.cast("string"))).cast(schema(name).dataType)))
     }
+  }
 
   /** Rewrite-side: a DML rewrite (UPDATE/MERGE) may change a source
    *  column without naming the generated one — recompute
    *  unconditionally so the invariant holds by construction. */
-  def recompute(df: DataFrame, schema: StructType): DataFrame =
+  def recompute(df: DataFrame, schema: StructType): DataFrame = {
+    if (hasAny(schema)) validateZone(df, schema)
     expressions(schema).foldLeft(df) { case (acc, (name, sql)) =>
       acc.withColumn(name, expr(sql).cast(schema(name).dataType))
     }
+  }
+
+  private def hasAny(schema: StructType): Boolean =
+    schema.fields.exists(isGenerated)
 
   // ---- read-side pruning inference ----------------------------------
 
@@ -162,8 +205,11 @@ object GeneratedColumns {
    *  implies f(x) >= f(v), so ranges weaken to the inclusive bound;
    *  equality maps exactly. Unrecognized shapes/values derive nothing. */
   def derive(pushed: Array[Filter], schema: StructType, zone: ZoneId): Array[Filter] = {
+    // a zone recorded at CREATE wins over the caller's session zone —
+    // bounds must map in the zone the stored values were rendered under
     val shapes: Seq[(String, Shape)] = expressions(schema).flatMap {
-      case (name, sql) => shapeOf(sql, zone).map(name -> _)
+      case (name, sql) =>
+        shapeOf(sql, zoneOf(schema(name)).getOrElse(zone)).map(name -> _)
     }
     if (shapes.isEmpty) return Array.empty
     val uq = CqlSchema.unquoted _

@@ -552,6 +552,11 @@ object GraftCatalog {
           .withMetadata(f.metadata)
           .putString(org.apache.spark.sql.catalyst.util.GeneratedColumn
             .GENERATION_EXPRESSION_METADATA_KEY, sql)
+          // record the CREATE-time session zone: writes validate against
+          // it and scan derivation maps bounds in it — zone-dependent
+          // expressions (CAST ts AS DATE) must never mix zones per file
+          .putString(GeneratedColumns.ZoneKey, GeneratedColumns
+            .sessionZone(org.apache.spark.sql.SparkSession.active).getId)
           .build()
       }
       val withId = idents.get(f.name).map { spec =>

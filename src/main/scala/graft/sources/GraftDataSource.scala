@@ -1015,10 +1015,10 @@ class GraftScan(
   private def physPushed: Array[Filter] =
     GraftDataSource.renameFilters(effectivePushed, colMap)
   /** The session zone governs CAST(ts AS DATE) semantics — generated-column
-   *  derivation must map bounds in the same zone the expression uses. */
-  private def sessionZone: java.time.ZoneId =
-    try java.time.ZoneId.of(spark.conf.get("spark.sql.session.timeZone"))
-    catch { case _: Exception => java.time.ZoneId.systemDefault() }
+   *  derivation must map bounds in the same zone the expression uses
+   *  (a CREATE-time zone recorded in the field metadata wins inside
+   *  [[GeneratedColumns.derive]]). */
+  private def sessionZone: java.time.ZoneId = GeneratedColumns.sessionZone(spark)
   /** The schema the PARQUET readers produce — PHYSICAL names (rows are
    *  positional, so `readSchema()` stays logical): the computed metadata
    *  columns are appended by the position-aware wrapper, never read from

@@ -99,10 +99,7 @@ private[sources] object GraftProcedures {
     }.toArray
     // widen with generated-column inference (a timestamp predicate scopes
     // a generated-day layout)
-    val zone =
-      try java.time.ZoneId.of(spark.conf.get("spark.sql.session.timeZone"))
-      catch { case _: Exception => java.time.ZoneId.systemDefault() }
-    fs ++ GeneratedColumns.derive(fs, schema, zone)
+    fs ++ GeneratedColumns.derive(fs, schema, GeneratedColumns.sessionZone(spark))
   }
 
   /** The persisted descriptor schema (field metadata intact — generation

@@ -279,34 +279,46 @@ object Snapshots {
       l.startsWith(RidHwmMarker) || l.startsWith(IdHwmMarker)
 
   private def readFiles(f: FileSystem, root: Path, version: Long): Seq[String] =
-    readText(f, root, version).linesIterator.drop(1)
+    parseFiles(readText(f, root, version), root)
+
+  private def parseFiles(text: String, root: Path): Seq[String] =
+    text.linesIterator.drop(1)
       .filter(l => l.nonEmpty && !isMarkerLine(l))
       .map(rel => new Path(root, rel).toString).toSeq
 
   private def readRids(f: FileSystem, root: Path, version: Long): Map[String, Long] =
-    readText(f, root, version).linesIterator.drop(1)
+    parseRids(readText(f, root, version), root)
+
+  private def parseRids(text: String, root: Path): Map[String, Long] =
+    text.linesIterator.drop(1)
       .filter(_.startsWith(RidMarker))
       .map { l =>
         val cols = l.split('\t')
-        require(cols.length == 3, s"corrupt rid line in v$version: $l")
+        require(cols.length == 3, s"corrupt rid line: $l")
         new Path(root, cols(1)).toString -> cols(2).toLong
       }.toMap
 
   private def readRidHwm(f: FileSystem, root: Path, version: Long): Option[Long] =
-    readText(f, root, version).linesIterator.drop(1)
+    parseRidHwm(readText(f, root, version))
+
+  private def parseRidHwm(text: String): Option[Long] =
+    text.linesIterator.drop(1)
       .find(_.startsWith(RidHwmMarker))
       .map { l =>
         val cols = l.split('\t')
-        require(cols.length == 2, s"corrupt ridhwm line in v$version: $l")
+        require(cols.length == 2, s"corrupt ridhwm line: $l")
         cols(1).toLong
       }
 
   private def readIdHwms(f: FileSystem, root: Path, version: Long): Map[String, Long] =
-    readText(f, root, version).linesIterator.drop(1)
+    parseIdHwms(readText(f, root, version))
+
+  private def parseIdHwms(text: String): Map[String, Long] =
+    text.linesIterator.drop(1)
       .filter(_.startsWith(IdHwmMarker))
       .map { l =>
         val cols = l.split('\t')
-        require(cols.length == 3, s"corrupt idhwm line in v$version: $l")
+        require(cols.length == 3, s"corrupt idhwm line: $l")
         cols(1) -> cols(2).toLong
       }.toMap
 
@@ -352,11 +364,14 @@ object Snapshots {
   }
 
   private def readTxns(f: FileSystem, root: Path, version: Long): Map[String, Long] =
-    readText(f, root, version).linesIterator.drop(1)
+    parseTxns(readText(f, root, version))
+
+  private def parseTxns(text: String): Map[String, Long] =
+    text.linesIterator.drop(1)
       .filter(_.startsWith(TxnMarker))
       .map { l =>
         val cols = l.split('\t')
-        require(cols.length == 3, s"corrupt txn line in v$version: $l")
+        require(cols.length == 3, s"corrupt txn line: $l")
         cols(1) -> cols(2).toLong
       }.toMap
 
@@ -369,11 +384,14 @@ object Snapshots {
   }
 
   private def readDvs(f: FileSystem, root: Path, version: Long): Map[String, String] =
-    readText(f, root, version).linesIterator.drop(1)
+    parseDvs(readText(f, root, version), root)
+
+  private def parseDvs(text: String, root: Path): Map[String, String] =
+    text.linesIterator.drop(1)
       .filter(_.startsWith(DvMarker))
       .map { l =>
         val cols = l.split('\t')
-        require(cols.length == 3, s"corrupt dv line in v$version: $l")
+        require(cols.length == 3, s"corrupt dv line: $l")
         new Path(root, cols(1)).toString -> new Path(root, cols(2)).toString
       }.toMap
 
@@ -679,8 +697,12 @@ object Snapshots {
               "recompute the rewrite from the current head (committing anyway " +
               "would drop the concurrent files from the log)")
       }
-      val base = parent.map(readFiles(f, root, _)).getOrElse(Nil)
-      val baseDvs = parent.map(readDvs(f, root, _)).getOrElse(Map.empty[String, String])
+      // ONE parent read per attempt — files, DVs, txn markers, rid
+      // bindings and both high-water-mark families all parse from it
+      // (version files are the hot-path IO on high-ingest tables)
+      val ptext = parent.map(readText(f, root, _))
+      val base = ptext.map(parseFiles(_, root)).getOrElse(Nil)
+      val baseDvs = ptext.map(parseDvs(_, root)).getOrElse(Map.empty[String, String])
       val version = parent.getOrElse(0L) + 1
       val body = new StringBuilder()
         .append(Magic).append('\t').append(1).append('\t').append(version)
@@ -704,7 +726,7 @@ object Snapshots {
       // streaming-progress markers INHERIT across every commit (the update,
       // if any, replaces its app's entry): maintenance between micro-batches
       // must never erase a writer's replay guard
-      val baseTxns = parent.map(readTxns(f, root, _)).getOrElse(Map.empty[String, Long])
+      val baseTxns = ptext.map(parseTxns).getOrElse(Map.empty[String, Long])
       (baseTxns ++ txnUpdate).toSeq.sorted.foreach { case (a, e) =>
         body.append(TxnMarker).append(a).append('\t').append(e).append('\n')
       }
@@ -712,7 +734,7 @@ object Snapshots {
       // the mark it allocated FROM — identity values are baked into the
       // just-written files, so a lost race must fail loudly (the caller
       // re-runs the whole write), never silently re-commit the same range
-      val baseIds = parent.map(readIdHwms(f, root, _)).getOrElse(Map.empty[String, Long])
+      val baseIds = ptext.map(parseIdHwms).getOrElse(Map.empty[String, Long])
       idUpdate.foreach { case (c, (expectedBase, _)) =>
         val cur = baseIds.getOrElse(c, expectedBase) // absent = first allocation
         if (cur != expectedBase)
@@ -736,8 +758,8 @@ object Snapshots {
       // bumps past them so no id is ever reused. Self-perpetuating: the
       // parent's mark keeps every later commit path allocating; restore
       // passes the historical bindings with a monotone mark.
-      val baseRids = parent.map(readRids(f, root, _)).getOrElse(Map.empty[String, Long])
-      val baseHwm = parent.flatMap(readRidHwm(f, root, _))
+      val baseRids = ptext.map(parseRids(_, root)).getOrElse(Map.empty[String, Long])
+      val baseHwm = ptext.flatMap(parseRidHwm)
       if (baseHwm.isDefined || rowTracking || ridOverride.isDefined) {
         val qFiles = nextFiles.map(p => f.makeQualified(new Path(p)).toString).distinct
         val (seedRids, seedHwm) = ridOverride match {
@@ -1331,7 +1353,9 @@ object Snapshots {
         val raw = spark.read.parquet(e.added: _*)
         val withRid =
           if (!withRowIds) raw
-          else ridFrom(raw, basesFor(e.version).filter(kv => e.added.contains(kv._1)).toSeq)
+          // look up per added path (the version's full binding map can be
+          // the whole table — never scan it per added file)
+          else ridFrom(raw, e.added.flatMap(p => basesFor(e.version).get(p).map(p -> _)))
         pieces += stripEngineColumns(withRid)
           .withColumn(ChangeTypeCol, lit("insert"))
           .withColumn(CommitVersionCol, lit(e.version))

@@ -1011,7 +1011,15 @@ object TokenSortedWriter {
     val p = new Path(dir)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     val gen = s"$dir/gen-${java.util.UUID.randomUUID().toString.take(12)}"
-    write(df, schema, gen, SaveMode.Append, conf.copy(snapshot = false))
+    // the STAGING write is log-less by design (the real commit is the
+    // rewrite below) — clear the log-coupled conf bits or their
+    // snapshot-required guards would refuse a legitimate overwrite.
+    // Row-id bases for the fresh generation allocate in commitRewrite's
+    // body (the parent's ridhwm self-perpetuates); identity marks
+    // inherit (the overwrite path never ALLOCATES — the caller guards)
+    write(df, schema, gen, SaveMode.Append,
+      conf.copy(snapshot = false, rowTracking = false,
+        identityUpdate = Map.empty, streamTxn = None))
     Manifest.appendFor(spark, dir)
     val genFiles = graft.sources.TokenPruner
       .listDataFiles(fs, fs.makeQualified(new Path(gen)))

@@ -130,6 +130,40 @@ class GeneratedColumnsSpec extends SparkSpec {
     assert(and.toSet == Set[Filter](EqualTo("pfx", "http")))
   }
 
+  test("zone safety: the CREATE-time session zone is recorded; a write " +
+      "under a different session zone refuses instead of storing days " +
+      "the table's derivation would disagree with") {
+    val (cat, base) = newCatalog()
+    spark.sql(s"CREATE TABLE $cat.db.z (id BIGINT, ts TIMESTAMP, " +
+      "day DATE GENERATED ALWAYS AS (CAST(ts AS DATE))) " +
+      "USING graft OPTIONS (pk 'id', partitions '1', snapshot 'true')")
+    val created = spark.conf.get("spark.sql.session.timeZone")
+    val sch = metaSchema(base, "z")
+    assert(sch("day").metadata.getString(GeneratedColumns.ZoneKey) ==
+      java.time.ZoneId.of(created).getId)
+    spark.sql(s"INSERT INTO $cat.db.z (id, ts) VALUES (1, TIMESTAMP'2024-01-01 10:00:00')")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "Australia/Sydney")
+      val e = intercept[Exception] {
+        spark.sql(s"INSERT INTO $cat.db.z (id, ts) VALUES " +
+          "(2, TIMESTAMP'2024-01-02 10:00:00')")
+      }
+      def chain(t: Throwable): List[Throwable] =
+        t :: Option(t.getCause).map(chain).getOrElse(Nil)
+      assert(chain(e).exists(t => Option(t.getMessage)
+        .exists(_.contains("session timeZone"))), s"got $e")
+      // derivation maps bounds in the RECORDED zone even when the session
+      // zone moved: a UTC-created day column keeps UTC day arithmetic
+      val t0 = java.sql.Timestamp.from(java.time.Instant.parse("2024-03-05T23:30:00Z"))
+      val derived = GeneratedColumns.derive(
+        Array(GreaterThanOrEqual("ts", t0)), sch,
+        GeneratedColumns.sessionZone(spark))
+      assert(derived.toSet == Set[Filter](
+        GreaterThanOrEqual("day", java.sql.Date.valueOf("2024-03-05"))),
+        s"got ${derived.toSeq} — Sydney arithmetic would have said 2024-03-06")
+    } finally spark.conf.set("spark.sql.session.timeZone", created)
+  }
+
   test("derive: date_format with chronological-prefix patterns maps " +
       "ranges (monthly string partitions); non-prefix patterns derive " +
       "nothing") {

@@ -54,6 +54,30 @@ class RowTrackingSpec extends SparkSpec {
       Snapshots.files(spark, dir, head).size, "every live file is bound")
   }
 
+  test("INSERT OVERWRITE on a tracked table: the fresh generation gets " +
+      "NEW ids past the mark (the staging write is log-less; allocation " +
+      "happens in the rewrite commit)") {
+    val dir = freshDir("ow")
+    val cat = "grow" + java.util.UUID.randomUUID().toString.take(8)
+    val base = Files.createTempDirectory("graft_ridow_").toString
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.base", base)
+    spark.sql(s"CREATE TABLE $cat.db.t (id BIGINT, v BIGINT) USING graft " +
+      "OPTIONS (pk 'id', partitions '2', snapshot 'true', rowTracking 'true')")
+    spark.sql(s"INSERT INTO $cat.db.t SELECT id, id FROM RANGE(10) AS r(id)")
+    spark.sql(s"INSERT OVERWRITE $cat.db.t SELECT id + 100, id FROM RANGE(5) AS r(id)")
+    val tdir = s"$base/db/t"
+    val ids = spark.read.format("graft").option("path", tdir).option("pk", "id")
+      .option("rowTracking", "true").load()
+      .select(col(graft.sources.GraftDataSource.RowIdCol))
+      .collect().map(_.getLong(0)).sorted
+    assert(ids.toSeq == (10L until 15L), s"overwrite generation must allocate " +
+      s"fresh ids past the first generation's 0..9, got ${ids.toSeq}")
+    val head = Snapshots.latestVersion(spark, tdir).get
+    assert(Snapshots.rowIdHighWaterMark(spark, tdir, head).contains(15L))
+  }
+
   test("tracking is self-perpetuating: a later PLAIN append (no option) " +
       "still allocates, because the parent carries the mark") {
     val dir = freshDir("perp")
