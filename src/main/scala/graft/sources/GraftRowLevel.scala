@@ -532,10 +532,10 @@ class GraftReplaceDataWrite(
           val keep = Snapshots.files(spark, dir, v).filterNot(scannedSet.contains)
           val cdcFiles =
             if (!tableOptions.getBoolean("changeFeedCow", false)) Nil
-            // the carried row id is write plumbing, not a value column —
-            // events keep the table schema
+            // the carried row id is threaded into the sidecar on tracked
+            // tables (identity pairing), never treated as a value column
             else GraftCowChangeData.record(spark, dir, cql, v, scanned.toSeq,
-              replacement.drop(GraftDataSource.RowIdCol))
+              replacement)
           Snapshots.commitRewrite(spark, dir, keep ++ genFiles,
             expectedParent = Some(v), cdcFiles = cdcFiles)
         case None =>

@@ -1362,10 +1362,19 @@ object Snapshots {
       }
       if (e.cdcFiles.nonEmpty) {
         // recorded change-data rows already carry _change_type; sidecars
-        // store no row ids (CoW pairs match by primary key instead)
-        val raw = stripEngineColumns(spark.read.parquet(e.cdcFiles: _*))
-        pieces += (if (withRowIds) raw.withColumn("__cdf_rid", lit(null).cast("long"))
-                   else raw)
+        // written by a row-TRACKED CoW DML also store the stable row id
+        // (delete preimages: the old row's id; insert postimages: the
+        // carried id, null for a genuinely new row — allocated only at
+        // commit), so identity pairing works on both DML engines.
+        // Tracked-before-the-feature sidecars lack the column → null ids
+        // (those events pair by key downstream, the documented fallback)
+        val raw0 = spark.read.parquet(e.cdcFiles: _*)
+        val withRid =
+          if (!withRowIds) raw0
+          else raw0.withColumn("__cdf_rid",
+            if (raw0.columns.contains(RidCol)) col(RidCol)
+            else lit(null).cast("long"))
+        pieces += stripEngineColumns(withRid)
           .withColumn(CommitVersionCol, lit(e.version))
       }
     }

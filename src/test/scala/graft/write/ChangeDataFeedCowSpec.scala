@@ -187,6 +187,78 @@ class ChangeDataFeedCowSpec extends SparkSpec {
     assert(ev.nonEmpty)
   }
 
+  test("row-TRACKED CoW DML threads stable row ids into the sidecar: rid " +
+      "pairing yields update semantics, ids survive the rewrite, and a " +
+      "genuinely new MERGE insert carries a null (commit-allocated) id") {
+    import graft.operators.Cdc
+    val R = graft.sources.GraftDataSource.RowIdCol
+    spark.sql(s"""CREATE TABLE $catName.db.rid (id BIGINT, cat STRING, v BIGINT)
+                 |USING graft OPTIONS (pk 'id', partitions '3', snapshot 'true',
+                 |changeFeedCow 'true', rowTracking 'true')""".stripMargin)
+    spark.sql(s"INSERT INTO $catName.db.rid SELECT id, 'c', id * 10 " +
+      "FROM range(1, 21) AS r(id)")
+    val dir = s"$baseDir/db/rid"
+    val rid0 = spark.sql(s"SELECT id, $R FROM $catName.db.rid")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val v1 = Snapshots.latestVersion(spark, dir).get
+    spark.sql(s"UPDATE $catName.db.rid SET v = v + 7 WHERE id % 5 = 2")
+    val v2 = Snapshots.latestVersion(spark, dir).get
+    val typed = Cdc.pairUpdates(
+      Snapshots.readChangesWithDeletes(spark, dir, v1, v2, withRowIds = true),
+      Seq(R))
+    val ev = typed.select(col("id"), col(R), col(Snapshots.ChangeTypeCol))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val touched = (1L to 20L).filter(_ % 5 == 2).toSet
+    assert(ev.count(_._3 == "update_preimage") == touched.size)
+    assert(ev.count(_._3 == "update_postimage") == touched.size)
+    assert(ev.length == 2 * touched.size, s"unexpected events: ${ev.toSeq}")
+    // both sides carry the row's ORIGINAL id — lineage across the CoW rewrite
+    ev.foreach { case (id, rid, _) => assert(rid == rid0(id), s"id=$id") }
+
+    // delete + brand-new insert in one MERGE: rid identity must NOT pair
+    // them even when values collide — old rid real, new rid null
+    spark.range(30, 33).selectExpr("id", "'c' AS cat", "id * 10 AS nv")
+      .createOrReplaceTempView("rid_src")
+    spark.sql(
+      s"""MERGE INTO $catName.db.rid t USING rid_src s ON t.id = s.id - 27
+         |WHEN MATCHED THEN DELETE
+         |WHEN NOT MATCHED THEN INSERT (id, cat, v) VALUES (s.id, s.cat, s.nv)""".stripMargin)
+    val v3 = Snapshots.latestVersion(spark, dir).get
+    val feed2 = Snapshots.readChangesWithDeletes(spark, dir, v2, v3, withRowIds = true)
+    val ev2 = Cdc.pairUpdates(feed2, Seq(R))
+      .select(col("id"), col(R), col(Snapshots.ChangeTypeCol))
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)), r.getString(2)))
+    assert(ev2.forall(e => e._3 == "delete" || e._3 == "insert"),
+      s"rid pairing fabricated an update from delete+new-insert: ${ev2.toSeq}")
+    val dels2 = ev2.filter(_._3 == "delete")
+    assert(dels2.map(_._1).sorted.toSeq == Seq(3L, 4L, 5L))
+    dels2.foreach { case (id, rid, _) => assert(rid.contains(rid0(id))) }
+    // sidecar inserts: id allocated only at commit → null in the event
+    assert(ev2.filter(_._3 == "insert").forall(_._2.isEmpty))
+    // but the TABLE's committed rows did get fresh unique ids
+    val after = spark.sql(s"SELECT id, $R FROM $catName.db.rid")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(after.map(_._2).distinct.length == after.length)
+    assert(after.filter(r => r._1 >= 30L).forall(r => !rid0.values.toSet(r._2)))
+  }
+
+  test("duplicate primary keys among the affected rows refuse (guard rides " +
+      "inside the single derivation action)") {
+    spark.sql(s"""CREATE TABLE $catName.db.dup (id BIGINT, v BIGINT)
+                 |USING graft OPTIONS (pk 'id', partitions '1', snapshot 'true',
+                 |changeFeedCow 'true')""".stripMargin)
+    spark.sql(s"INSERT INTO $catName.db.dup SELECT id, id FROM range(1, 6) AS r(id)")
+    spark.sql(s"INSERT INTO $catName.db.dup VALUES (3, 999)") // duplicate pk
+    val e = intercept[Throwable] {
+      spark.sql(s"UPDATE $catName.db.dup SET v = 0 WHERE id >= 1")
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("not unique per primary key")),
+      s"unexpected failure: ${msgs(e).mkString(" | ")}")
+  }
+
   test("without changeFeedCow a CoW DML rewrite still refuses the feed") {
     spark.sql(s"""CREATE TABLE $catName.db.plain (id BIGINT, v BIGINT)
                  |USING graft OPTIONS (pk 'id', partitions '2', snapshot 'true')"""
