@@ -197,6 +197,12 @@ object GraftDataSource {
    *  rewrites, unlike the physical `_graft_file`/`_graft_pos` pair. */
   val RowIdCol = "_graft_row_id"
 
+  /** Bounded in-engine retries for an identity-allocation write that lost
+   *  the log-mark race to a concurrent allocator (each retry re-reads the
+   *  mark, re-assigns, re-writes — a multi-writer ingest loop converges
+   *  without caller-side re-runs; exhaustion rethrows the race). */
+  val MaxIdentityWriteAttempts = 5
+
   /** `zorderBy` option (written by the catalog's CLUSTER BY): csv column
    *  list driving the Z-order write layout. */
   def zorderByFrom(options: CaseInsensitiveStringMap): Seq[String] =
@@ -588,41 +594,61 @@ class GraftTable(
               // GENERATED ALWAYS AS: compute null/omitted values, validate
               // provided ones — in the same projection, before renaming
               val generated = GeneratedColumns.fill(incoming, annotated)
-              // IDENTITY columns: allocate the increment's null cells from
-              // the log-carried mark (two narrow jobs over the increment)
-              val (withIds, idUpdate) = IdentityColumns.assign(
-                incoming.sparkSession, generated, annotated, dir)
-              if (idUpdate.nonEmpty)
-                require(tableOptions.getBoolean("snapshot", false),
-                  s"identity columns on $dir require snapshot 'true' — the " +
-                    "allocation mark lives in the log")
-              // logical → physical before the sink: files always store
-              // the stable physical names (see the colmap notes above)
-              val data = GraftDataSource.renameColumns(
-                withIds, GraftDataSource.colMapFrom(tableOptions))
-              val conf = TokenSortedWriter.WriteConf(
-                numPartitions = tableOptions.getInt("partitions", 0),
-                maxRecordsPerFile = tableOptions.getLong("maxRecordsPerFile", 0L),
-                allowOverwrite = tableOptions.getBoolean("allowOverwrite", false),
-                keepTokenColumn = tableOptions.getBoolean("keepToken", true),
-                snapshot = tableOptions.getBoolean("snapshot", false),
-                partitionBy = Option(tableOptions.get("partitionBy"))
-                  .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil),
-                zorderBy = GraftDataSource.zorderByFrom(tableOptions),
-                rowTracking = tableOptions.getBoolean("rowTracking", false),
-                identityUpdate = idUpdate)
               val ow = overwrite || overwriteAll
-              if (ow && graft.write.Snapshots
-                  .latestVersion(data.sparkSession, dir).isDefined) {
-                require(idUpdate.isEmpty || idUpdate.values.forall(u => u._1 == u._2),
-                  s"INSERT OVERWRITE allocating identity values on $dir is not " +
-                    "supported — provide explicit values (BY DEFAULT tables) or " +
-                    "append instead")
-                TokenSortedWriter.overwriteLogged(data, cql, dir, conf)
-                ()
-              } else {
-                val mode = if (ow) SaveMode.Overwrite else SaveMode.Append
-                TokenSortedWriter.write(data, cql, dir, mode, conf)
+              // IDENTITY allocation can lose the log-mark race to a
+              // concurrent allocator; the values are baked into the
+              // written files, so the only sound retry is re-read mark →
+              // re-assign → re-write. Bounded in-engine (Delta's shape):
+              // the failed attempt's files are already deleted by the
+              // writer's commit-race cleanup, so looping is clean.
+              var attempt = 0
+              var done = false
+              while (!done) {
+                attempt += 1
+                // IDENTITY columns: allocate the increment's null cells from
+                // the log-carried mark (two narrow jobs over the increment)
+                val (withIds, idUpdate) = IdentityColumns.assign(
+                  incoming.sparkSession, generated, annotated, dir)
+                if (idUpdate.nonEmpty)
+                  require(tableOptions.getBoolean("snapshot", false),
+                    s"identity columns on $dir require snapshot 'true' — the " +
+                      "allocation mark lives in the log")
+                // logical → physical before the sink: files always store
+                // the stable physical names (see the colmap notes above)
+                val data = GraftDataSource.renameColumns(
+                  withIds, GraftDataSource.colMapFrom(tableOptions))
+                val conf = TokenSortedWriter.WriteConf(
+                  numPartitions = tableOptions.getInt("partitions", 0),
+                  maxRecordsPerFile = tableOptions.getLong("maxRecordsPerFile", 0L),
+                  allowOverwrite = tableOptions.getBoolean("allowOverwrite", false),
+                  keepTokenColumn = tableOptions.getBoolean("keepToken", true),
+                  snapshot = tableOptions.getBoolean("snapshot", false),
+                  partitionBy = Option(tableOptions.get("partitionBy"))
+                    .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil),
+                  zorderBy = GraftDataSource.zorderByFrom(tableOptions),
+                  rowTracking = tableOptions.getBoolean("rowTracking", false),
+                  identityUpdate = idUpdate)
+                try {
+                  if (ow && graft.write.Snapshots
+                      .latestVersion(data.sparkSession, dir).isDefined) {
+                    require(idUpdate.isEmpty || idUpdate.values.forall(u => u._1 == u._2),
+                      s"INSERT OVERWRITE allocating identity values on $dir is not " +
+                        "supported — provide explicit values (BY DEFAULT tables) or " +
+                        "append instead")
+                    TokenSortedWriter.overwriteLogged(data, cql, dir, conf)
+                  } else {
+                    val mode = if (ow) SaveMode.Overwrite else SaveMode.Append
+                    TokenSortedWriter.write(data, cql, dir, mode, conf)
+                  }
+                  done = true
+                } catch {
+                  case e: graft.write.Snapshots.ConcurrentCommitException
+                      if idUpdate.nonEmpty &&
+                        attempt < GraftDataSource.MaxIdentityWriteAttempts &&
+                        Option(e.getMessage)
+                          .exists(_.contains("identity allocation")) =>
+                    () // lost the mark race — loop re-reads mark, re-assigns
+                }
               }
             }
         }
@@ -1384,20 +1410,31 @@ object TokenPruner {
     walk(p)
   }
 
+  /** `tolerant = true` SKIPS files that vanish between listing and the
+   *  footer read — a concurrent writer's commit-race cleanup or a vacuum
+   *  may legitimately delete an unreferenced file mid-pass. Callers that
+   *  treat footer stats as a best-effort cache (the manifest) pass true;
+   *  scan planning keeps the default and fails loudly. */
   private[graft] def readFootersParallel(
       conf: org.apache.hadoop.conf.Configuration,
-      files: Array[(Path, Long)]): Array[FileMeta] = {
+      files: Array[(Path, Long)],
+      tolerant: Boolean = false): Array[FileMeta] = {
     if (files.isEmpty) return Array.empty
-    if (files.length == 1) return files.map { case (p, l) => readFooterMeta(conf, p, l) }
+    def readOne(p: Path, l: Long): Option[FileMeta] =
+      if (!tolerant) Some(readFooterMeta(conf, p, l))
+      else try Some(readFooterMeta(conf, p, l))
+      catch { case _: java.io.FileNotFoundException => None }
+    if (files.length == 1)
+      return files.flatMap { case (p, l) => readOne(p, l) }
     val pool = java.util.concurrent.Executors.newFixedThreadPool(math.min(16, files.length))
     try {
       import scala.jdk.CollectionConverters._
       val tasks = files.toSeq.map { case (p, l) =>
-        new java.util.concurrent.Callable[FileMeta] {
-          override def call(): FileMeta = readFooterMeta(conf, p, l)
+        new java.util.concurrent.Callable[Option[FileMeta]] {
+          override def call(): Option[FileMeta] = readOne(p, l)
         }
       }
-      pool.invokeAll(tasks.asJava).asScala.map(_.get()).toArray
+      pool.invokeAll(tasks.asJava).asScala.flatMap(_.get()).toArray
     } finally pool.shutdown()
   }
 

@@ -61,20 +61,25 @@ object Manifest {
     val digests = digestAll(spark, fresh.map(_.getPath.toString))
     // bounded-parallel footer reads (the same pool the scan fallback uses) —
     // a large write lands many files and a sequential driver walk here would
-    // serialize the one O(#newFiles) step of the commit
+    // serialize the one O(#newFiles) step of the commit. Tolerant: a file
+    // another writer's commit-race cleanup (or a vacuum) deleted between
+    // our listing and this read simply gets no manifest row — the manifest
+    // is a cache, a miss only costs a later footer fallback
     val bases = TokenPruner
-      .readFootersParallel(conf, fresh.map(f => (f.getPath, f.getLen)))
+      .readFootersParallel(conf, fresh.map(f => (f.getPath, f.getLen)), tolerant = true)
       .map(m => m.path -> m).toMap
-    val metas = fresh.map { f =>
-      val base = bases(f.getPath.toString)
-      val nominal = splits.flatMap { rs =>
-        PartIndex.findFirstMatchIn(f.getPath.getName)
-          .map(_.group(1).toInt)
-          .filter(_ < rs.length)
-          .map(i => (rs(i).start, rs(i).end))
+    val metas = fresh.flatMap { f =>
+      bases.get(f.getPath.toString).map { base =>
+        val nominal = splits.flatMap { rs =>
+          PartIndex.findFirstMatchIn(f.getPath.getName)
+            .map(_.group(1).toInt)
+            .filter(_ < rs.length)
+            .map(i => (rs(i).start, rs(i).end))
+        }
+        base.copy(ringSplit = nominal, digest = digests.get(f.getPath.toString).flatten)
       }
-      base.copy(ringSplit = nominal, digest = digests.get(f.getPath.toString).flatten)
     }
+    if (metas.isEmpty) return
     val out = fs.create(new Path(root,
       s"$Dir/manifest-${java.util.UUID.randomUUID().toString.take(12)}.tsv"), false)
     try out.write(metas.map(line(root, _)).mkString("", "\n", "\n")

@@ -452,8 +452,22 @@ object TokenSortedWriter {
     Manifest.appendFor(df.sparkSession, path,
       if (conf.ringSplits > 0) Some(conf.ringSplits) else None)
     if (conf.snapshot)
-      Snapshots.commitAppend(df.sparkSession, path, added, conf.streamTxn,
+      try Snapshots.commitAppend(df.sparkSession, path, added, conf.streamTxn,
         rowTracking = conf.rowTracking, idUpdate = conf.identityUpdate)
+      catch {
+        case e: Snapshots.ConcurrentCommitException =>
+          // thrown strictly BEFORE the exclusive create — the commit
+          // definitively did not land, so the just-moved files are
+          // referenced by no version. Delete them: a retrying writer (or a
+          // log-less listing read) must never see the abandoned attempt.
+          // Stale manifest entries are harmless (listing drives; the
+          // manifest only supplies stats).
+          val p = new Path(path)
+          val fs = p.getFileSystem(df.sparkSession.sessionState.newHadoopConf())
+          added.foreach(a => fs.delete(new Path(a), false))
+          graft.sources.TokenPruner.invalidateListing(path)
+          throw e
+      }
     else {
       require(conf.streamTxn.isEmpty,
         "streamTxn requires snapshot=true: the replay guard lives in the log")
