@@ -10,7 +10,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.{NoSuchTableException, TableAlreadyExistsException}
 import org.apache.spark.sql.connector.catalog.{Identifier, Table, TableCatalog, TableChange}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.types.{DataType, Metadata, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 /**
@@ -410,10 +410,21 @@ class GraftCatalog extends TableCatalog
           require(a.position() == null,
             s"ADD COLUMNS FIRST/AFTER is not supported (new columns append; " +
               s"parquet resolves by name, so order is cosmetic here)")
-          require(a.defaultValue() == null,
-            s"ADD COLUMNS with a DEFAULT is not supported: rows already on " +
-              s"disk would need a reader-side fill (add the column, then " +
-              s"ALTER COLUMN ${a.fieldNames.head} SET DEFAULT … for future writes)")
+          // ADD COLUMNS … DEFAULT: record the write-time CURRENT_DEFAULT
+          // plus the read-time EXISTS_DEFAULT (folded literal) — rows in
+          // files written before the column existed read the default at
+          // scan time, per file, via Spark's own parquet readers (the
+          // Iceberg initial-default / Delta ADD COLUMN DEFAULT semantic)
+          val fieldMeta = Option(a.defaultValue()) match {
+            case None => Metadata.empty
+            case Some(dv) =>
+              require(dv.getValue != null,
+                s"ADD COLUMNS ${a.fieldNames.head} DEFAULT must be a " +
+                  "constant-foldable expression — rows already on disk read " +
+                  "the value FOLDED AT ADD TIME (the exists-default), which a " +
+                  "non-constant expression cannot provide")
+              ExistsDefaults.metadataFor(dv.getSql, dv.getValue)
+          }
           val name = a.fieldNames.head
           // the default physical name is the logical one; if files may
           // ever have stored that physical name (it was dropped, or a
@@ -425,7 +436,7 @@ class GraftCatalog extends TableCatalog
             colMap = colMap + (name -> fresh)
           }
           StructType(s.fields :+ org.apache.spark.sql.types.StructField(
-            name, a.dataType, nullable = true))
+            name, a.dataType, nullable = true, fieldMeta))
         case d: DeleteColumn =>
           require(d.fieldNames.length == 1,
             s"only top-level DROP COLUMN supported, got ${d.fieldNames.mkString(".")}")

@@ -206,8 +206,11 @@ class GraftCdfScan(
 
   private def spark = SparkSession.active
   private val (dataRequired, emit) = GraftCdf.splitRequired(required)
-  // files store PHYSICAL names (rows are positional, output stays logical)
-  private lazy val physRequired = GraftDataSource.renameStruct(dataRequired, colMap)
+  // files store PHYSICAL names (rows are positional, output stays
+  // logical); EXISTS_DEFAULT re-annotates from the table schema so CDC
+  // events read from pre-evolution files fill added-with-DEFAULT columns
+  private lazy val physRequired = GraftDataSource.renameStruct(
+    ExistsDefaults.overlay(dataRequired, fullSchema), colMap)
   private lazy val physData = GraftDataSource.renameStruct(
     StructType(fullSchema.fields.dropRight(GraftCdf.cdcFields.length)), colMap)
 

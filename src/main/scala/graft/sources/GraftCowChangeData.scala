@@ -78,15 +78,16 @@ private[sources] object GraftCowChangeData {
               org.apache.spark.sql.types.LongType))
           else dataSchema)
       else if (!tracked)
-        Snapshots.stripEngineColumns(
-          DeletionVectors.applyToRead(spark, scanned, dvs))
+        Snapshots.stripEngineColumns(DeletionVectors.applyToRead(
+          spark, scanned, dvs,
+          raw0 = Some(ExistsDefaults.read(spark, dir, scanned))))
       else {
         // derive the old rows' stable ids the same way the MoR feed does:
         // stored materialized id, else binding base + physical position.
         // `_metadata` is bound to the scan relation and unresolvable
         // through a join — materialize file/position FIRST, then apply
         // the DVs by (file, pos) and attach the bases
-        val raw = spark.read.parquet(scanned: _*)
+        val raw = ExistsDefaults.read(spark, dir, scanned)
         val fsys = new org.apache.hadoop.fs.Path(scanned.head)
           .getFileSystem(spark.sessionState.newHadoopConf())
         val stored =

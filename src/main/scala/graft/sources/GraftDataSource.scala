@@ -1060,7 +1060,12 @@ class GraftScan(
     val dataLen = required.length - metaIdx.length
     require(metaIdx.forall(_ >= dataLen),
       s"metadata columns must trail the requested schema, got ${required.fieldNames.mkString(",")}")
-    GraftDataSource.renameStruct(StructType(required.fields.take(dataLen)), colMap)
+    // re-annotate EXISTS_DEFAULT from the table schema (Spark lifts
+    // default metadata off relation output, so `required` arrives
+    // stripped): the parquet readers fill a column absent from a
+    // pre-evolution file with the folded default, per file
+    GraftDataSource.renameStruct(ExistsDefaults.overlay(
+      StructType(required.fields.take(dataLen)), dataSchema), colMap)
   }
 
   /** Rowid reads also fetch the stored materialized column (trailing, so

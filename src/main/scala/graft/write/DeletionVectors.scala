@@ -102,8 +102,12 @@ object DeletionVectors {
   def applyToRead(
       spark: SparkSession,
       files: Seq[String],
-      dvByFile: Map[String, String]): DataFrame = {
-    val raw = spark.read.parquet(files: _*)
+      dvByFile: Map[String, String],
+      raw0: Option[DataFrame] = None): DataFrame = {
+    // raw0: callers reading an evolved table pass the exists-default-aware
+    // frame ([[graft.sources.ExistsDefaults.read]]) so absent columns fill
+    // with their recorded default instead of null
+    val raw = raw0.getOrElse(spark.read.parquet(files: _*))
     val affected = files.filter(dvByFile.contains)
     if (affected.isEmpty) return raw
     val fs = new Path(files.head).getFileSystem(spark.sessionState.newHadoopConf())

@@ -1175,14 +1175,16 @@ object Snapshots {
     require(fromVersion <= toVersion,
       s"readChanges: fromVersion $fromVersion > toVersion $toVersion")
     val added = changedFiles(spark, dir, fromVersion, toVersion)
+    // exists-default-aware reads: rows captured from files written before
+    // an ADD COLUMNS … DEFAULT read the recorded default, per file
     val raw =
       if (added.isEmpty) {
         // zero changed rows, but keep the TABLE schema on the empty frame
         val (f, root) = fs(spark, dir)
         val toFiles = if (toVersion == 0L) Nil else readFiles(f, root, toVersion)
         if (toFiles.isEmpty) spark.emptyDataFrame
-        else spark.read.parquet(toFiles: _*).limit(0)
-      } else spark.read.parquet(added: _*)
+        else graft.sources.ExistsDefaults.read(spark, dir, toFiles).limit(0)
+      } else graft.sources.ExistsDefaults.read(spark, dir, added)
     stripEngineColumns(raw)
   }
 
@@ -1318,7 +1320,8 @@ object Snapshots {
       val toFiles = if (toVersion == 0L) Nil else readFiles(f, root, toVersion)
       val base =
         if (toFiles.isEmpty) spark.emptyDataFrame
-        else stripEngineColumns(spark.read.parquet(toFiles: _*).limit(0))
+        else stripEngineColumns(
+          graft.sources.ExistsDefaults.read(spark, dir, toFiles).limit(0))
       val tagged = base.withColumn(ChangeTypeCol, lit("insert"))
         .withColumn(CommitVersionCol, lit(0L))
       (if (withRowIds) tagged.withColumn(RidCol, lit(null).cast("long"))
@@ -1348,9 +1351,11 @@ object Snapshots {
         .drop("__cdf_rfile", "__cdf_rpos", "__cdf_stored", "__cdf_base")
     }
     val pieces = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.DataFrame]
+    // exists-default-aware raw reads throughout: pre-evolution files fill
+    // ADD COLUMNS … DEFAULT columns with the recorded value, per file
     events.foreach { e =>
       if (e.added.nonEmpty) {
-        val raw = spark.read.parquet(e.added: _*)
+        val raw = graft.sources.ExistsDefaults.read(spark, dir, e.added)
         val withRid =
           if (!withRowIds) raw
           // look up per added path (the version's full binding map can be
@@ -1368,7 +1373,7 @@ object Snapshots {
         // commit), so identity pairing works on both DML engines.
         // Tracked-before-the-feature sidecars lack the column → null ids
         // (those events pair by key downstream, the documented fallback)
-        val raw0 = spark.read.parquet(e.cdcFiles: _*)
+        val raw0 = graft.sources.ExistsDefaults.read(spark, dir, e.cdcFiles)
         val withRid =
           if (!withRowIds) raw0
           else raw0.withColumn("__cdf_rid",
@@ -1392,7 +1397,7 @@ object Snapshots {
       // carries the carrier's base (driver-joined from the event's
       // version bindings) — rid = stored id, else base + position.
       val keyDf = delKeys.toDF("__cdf_file", "__cdf_pos", CommitVersionCol)
-      val raw = spark.read.parquet(carriers: _*)
+      val raw = graft.sources.ExistsDefaults.read(spark, dir, carriers)
       val storedRid =
         if (raw.columns.contains(RidCol)) col(RidCol) else lit(null).cast("long")
       var preimage = raw

@@ -1175,15 +1175,21 @@ object TokenSortedWriter {
     def basename(p: String): String = new Path(p).getName
     bins.foreach { bin =>
       val tracked = ridBases.nonEmpty
+      // exists-default-aware, merged-schema read: packing a bin that mixes
+      // schema-evolution generations must neither drop a younger column
+      // (single-footer inference would) nor bake null over a recorded
+      // ADD COLUMNS default — the packed file materializes the fill
+      def binRead = graft.sources.ExistsDefaults.read(spark, dir, bin.map(_.path))
       val raw =
-        if (!tracked) DeletionVectors.applyToRead(spark, bin.map(_.path), dvBindings)
+        if (!tracked) DeletionVectors.applyToRead(
+          spark, bin.map(_.path), dvBindings, raw0 = Some(binRead))
         else {
           import spark.implicits._
           val rid = graft.sources.GraftDataSource.RowIdCol
           // one multi-file read; per-file context (base, DV positions)
           // joins back on the file NAME — unique within the table dir and
           // immune to URI-spelling drift between listers
-          val raw0 = spark.read.parquet(bin.map(_.path): _*)
+          val raw0 = binRead
           val basesDf = bin.map(m => (basename(m.path),
             ridBases.getOrElse(m.path, throw new IllegalStateException(
               s"row-tracked OPTIMIZE: no base binding for ${m.path}"))))

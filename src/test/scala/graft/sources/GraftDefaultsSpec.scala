@@ -72,18 +72,101 @@ class GraftDefaultsSpec extends SparkSpec {
       .head.getLong(1) == 6L)
   }
 
-  test("ADD COLUMNS with a DEFAULT refuses, naming the two-step path") {
+  test("ADD COLUMNS … DEFAULT: rows already on disk read the exists-default " +
+      "per file; stored values (including genuine nulls) are untouched; " +
+      "new omitted-column inserts get the current-default") {
     spark.sql(s"""CREATE TABLE $catName.db.addc (id BIGINT)
                  |USING graft OPTIONS (pk 'id', partitions '2', snapshot 'true')"""
       .stripMargin)
+    spark.sql(s"INSERT INTO $catName.db.addc SELECT id FROM range(1, 11) AS r(id)")
+    spark.sql(s"ALTER TABLE $catName.db.addc ADD COLUMNS (" +
+      "w BIGINT DEFAULT 3, lang STRING DEFAULT 'und')")
+    // pre-add files lack the columns physically → the recorded default
+    val old = spark.table(s"$catName.db.addc").filter(col("id") <= 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(old.length == 10 && old.forall(r => r._2 == 3L && r._3 == "und"))
+    // post-add: omitted → current-default; explicit NULL stays null
+    spark.sql(s"INSERT INTO $catName.db.addc (id) VALUES (20)")
+    spark.sql(s"INSERT INTO $catName.db.addc VALUES (21, NULL, 'en'), (22, 9, NULL)")
+    val got = spark.table(s"$catName.db.addc").filter(col("id") >= 20)
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)),
+        if (r.isNullAt(2)) None else Some(r.getString(2)))).toSet
+    assert(got == Set(
+      (20L, Some(3L), Some("und")),
+      (21L, None, Some("en")),
+      (22L, Some(9L), None)), s"got $got")
+    // filters evaluate against the filled value
+    assert(spark.table(s"$catName.db.addc").filter(col("w") === 3L).count() == 11L)
+    assert(spark.table(s"$catName.db.addc")
+      .filter(col("lang") === "und").count() == 11L)
+  }
+
+  test("exists-defaults survive OPTIMIZE (packing materializes the fill) " +
+      "and CoW DML (rewrites + CDC preimages read the default)") {
+    spark.sql(s"""CREATE TABLE $catName.db.life (id BIGINT, v BIGINT)
+                 |USING graft OPTIONS (pk 'id', partitions '2', snapshot 'true',
+                 |changeFeedCow 'true')""".stripMargin)
+    spark.sql(s"INSERT INTO $catName.db.life SELECT id, id FROM range(1, 9) AS r(id)")
+    spark.sql(s"ALTER TABLE $catName.db.life ADD COLUMNS (tag STRING DEFAULT 'old')")
+    spark.sql(s"INSERT INTO $catName.db.life VALUES (100, 100, 'new')")
+    spark.sql(s"CALL $catName.system.optimize(table => 'db.life')")
+    val packed = spark.table(s"$catName.db.life")
+      .collect().map(r => (r.getLong(0), r.getString(2))).toSet
+    assert(packed == ((1L to 8L).map(_ -> "old").toSet + (100L -> "new")),
+      s"got $packed")
+    // CoW UPDATE across the fill: preimages carry the default, postimages
+    // the (unchanged) filled value — and the rewrite materializes it
+    val base = spark.conf.get(s"spark.sql.catalog.$catName.base")
+    val dir = s"$base/db/life"
+    val v1 = graft.write.Snapshots.latestVersion(spark, dir).get
+    spark.sql(s"UPDATE $catName.db.life SET v = v + 1000 WHERE id % 4 = 2")
+    val v2 = graft.write.Snapshots.latestVersion(spark, dir).get
+    val ev = graft.write.Snapshots.readChangesWithDeletes(spark, dir, v1, v2)
+      .select(col("id"), col("tag"), col(graft.write.Snapshots.ChangeTypeCol))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(ev.nonEmpty && ev.forall(e => e._2 == (if (e._1 == 100L) "new" else "old")),
+      s"CDC events lost the exists-default: ${ev.toSeq}")
+    assert(spark.table(s"$catName.db.life")
+      .filter(col("tag") === "old").count() == 8L)
+  }
+
+  test("the change feed fills exists-defaults on pre-add insert events; " +
+      "a non-constant ADD COLUMNS DEFAULT refuses") {
+    spark.sql(s"""CREATE TABLE $catName.db.feed (id BIGINT, v BIGINT)
+                 |USING graft OPTIONS (pk 'id', partitions '1', snapshot 'true',
+                 |dmlMode 'merge-on-read')""".stripMargin)
+    spark.sql(s"INSERT INTO $catName.db.feed SELECT id, id FROM range(1, 6) AS r(id)")
+    spark.sql(s"ALTER TABLE $catName.db.feed ADD COLUMNS (q BIGINT DEFAULT 42)")
+    spark.sql(s"INSERT INTO $catName.db.feed VALUES (10, 10, 7)")
+    spark.sql(s"DELETE FROM $catName.db.feed WHERE v = 3") // MoR DV preimage
+    val base = spark.conf.get(s"spark.sql.catalog.$catName.base")
+    val dir = s"$base/db/feed"
+    val head = graft.write.Snapshots.latestVersion(spark, dir).get
+    val ev = graft.write.Snapshots.readChangesWithDeletes(spark, dir, 0L, head)
+      .select(col("id"), col("q"), col(graft.write.Snapshots.ChangeTypeCol))
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)), r.getString(2)))
+    // replayed history reads through the CURRENT schema: pre-add inserts
+    // and the DV delete preimage all fill 42; the post-add insert keeps 7
+    assert(ev.filter(_._1 <= 5L).forall(_._2.contains(42L)), s"got ${ev.toSeq}")
+    assert(ev.filter(_._1 == 10L).forall(_._2.contains(7L)))
+    assert(ev.count(_._3 == "delete") == 1 &&
+      ev.find(_._3 == "delete").get._2.contains(42L))
+    // the DSv2 CDC source agrees (scan-side overlay)
+    val viaSource = spark.read.format("graft").option("path", dir)
+      .option("changeFeedMode", "rows").option("startingVersion", "0").load()
+      .select(col("id"), col("q")).collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1))))
+    assert(viaSource.filter(_._1 <= 5L).forall(_._2.contains(42L)),
+      s"CDC source lost the fill: ${viaSource.toSeq}")
+
+    spark.sql(s"CREATE TABLE $catName.db.nc (id BIGINT) " +
+      "USING graft OPTIONS (pk 'id', partitions '1', snapshot 'true')")
     val e = intercept[Exception] {
-      spark.sql(s"ALTER TABLE $catName.db.addc ADD COLUMNS (w BIGINT DEFAULT 3)")
+      spark.sql(s"ALTER TABLE $catName.db.nc ADD COLUMNS (r DOUBLE DEFAULT rand())")
     }
-    assert(e.getMessage.contains("SET DEFAULT"), e.getMessage)
-    // the blessed two-step: add (nulls for old rows), then default new writes
-    spark.sql(s"ALTER TABLE $catName.db.addc ADD COLUMNS (w BIGINT)")
-    spark.sql(s"ALTER TABLE $catName.db.addc ALTER COLUMN w SET DEFAULT 3")
-    spark.sql(s"INSERT INTO $catName.db.addc (id) VALUES (1)")
-    assert(spark.table(s"$catName.db.addc").head.getLong(1) == 3L)
+    assert(IdentityColumnsSpec.chain(e).exists(t => Option(t.getMessage).exists(m =>
+      m.contains("constant") || m.contains("DEFAULT"))), s"got $e")
   }
 }
