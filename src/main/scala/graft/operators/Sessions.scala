@@ -52,6 +52,46 @@ object Sessions {
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
   }
 
+  /**
+   * STREAMING per-session rollup: Spark's `session_window` aggregate over
+   * a streaming frame — `(userCol, session_us [window start as epoch
+   * micros], n_events, dur_us)`. State is bounded by the watermark:
+   * a session closes (and, in Append mode, emits exactly once) when the
+   * watermark passes its end, so late events within `watermarkDelay`
+   * still merge while state stays O(open sessions), which is what makes
+   * the operator run forever at 100 TB/day ingest.
+   *
+   * Boundary semantics match the batch [[sessionize]]: an event at
+   * EXACTLY `gapSeconds` after the previous continues its session
+   * (`session_window` merges on `next.start <= session.end`, the same
+   * strict-`>`-splits rule — SessionsSpec pins it).
+   *
+   * Composes directly with the graft change-feed stream
+   * (`spark.readStream.format("graft")` — appends only) and any other
+   * streaming source; also runs on a batch frame (the grouping
+   * expression is mode-agnostic), which is how the battery oracles it.
+   */
+  def sessionStatsStream(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      gapSeconds: Long,
+      watermarkDelay: String = "0 seconds"): DataFrame = {
+    val marked =
+      if (events.isStreaming) events.withWatermark(tsCol, watermarkDelay)
+      else events
+    marked
+      .groupBy(col(userCol),
+        session_window(col(tsCol), s"$gapSeconds seconds"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        (unix_micros(max(col(tsCol))) - unix_micros(min(col(tsCol))))
+          .as("dur_us"))
+      .select(col(userCol),
+        unix_micros(col("session_window.start")).as("session_us"),
+        col("n_events"), col("dur_us"))
+  }
+
   /** Per-session rollup on top of [[sessionize]]: `(userCol, session_idx,
    *  n_events, dur_us)`. The rollup's clustering keys start with the
    *  window's partition key, so the user-hash exchange already satisfies

@@ -2484,6 +2484,77 @@ object Battery {
     // the next null-cell wave allocates from there. In-query requires
     // pin the re-seated mark and the dense continuation; the oracle
     // states payload + id_ok TRUE.
+    // STREAMING sessionization (Sessions.sessionStatsStream): the graft
+    // change-feed stream drives Spark's session_window aggregate — state
+    // bounded by the watermark, each closed session emitted exactly once
+    // in Append mode. A far-future sentinel wave closes the fixture's
+    // sessions deterministically; the oracle replays the identical
+    // gap algebra (strict > splits — session_window merges at exactly
+    // the gap, SessionsSpec pins the boundary) in SQL.
+    "q207_session_stream" -> ((s, d) => {
+      val cat = "gsst" + java.util.UUID.randomUUID().toString.take(8)
+      val base = java.nio.file.Files.createTempDirectory("graft_sstq_").toString
+      s.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.base", base)
+      s.sql(s"CREATE TABLE $cat.db.ev (event_id BIGINT, user_id BIGINT, " +
+        "ts TIMESTAMP) USING graft " +
+        "OPTIONS (pk 'event_id', partitions '4', snapshot 'true')")
+      ev(s, d).select(col("event_id"), col("user_id"), col("ts"))
+        .createOrReplaceTempView("q207_ev")
+      s.sql(s"INSERT INTO $cat.db.ev SELECT event_id, user_id, ts FROM q207_ev")
+      val sink = "q207_sessions_" + java.util.UUID.randomUUID().toString.take(8)
+      val q = graft.operators.Sessions.sessionStatsStream(
+        s.readStream.format("graft").option("path", s"$base/db/ev")
+          .option("pk", "event_id").load()
+          .select(col("user_id"), col("ts")),
+        "user_id", "ts", 1800L)
+        .writeStream.format("memory").queryName(sink)
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append).start()
+      try {
+        q.processAllAvailable()
+        // sentinel waves push the watermark past every fixture session's
+        // end; the no-data flush batches then emit the tail exactly once
+        s.sql(s"INSERT INTO $cat.db.ev VALUES " +
+          "(1000000001, -1, TIMESTAMP'2031-01-01 00:00:00')")
+        q.processAllAvailable()
+        s.sql(s"INSERT INTO $cat.db.ev VALUES " +
+          "(1000000002, -1, TIMESTAMP'2032-01-01 00:00:00')")
+        q.processAllAvailable()
+      } finally q.stop()
+      s.table(sink).filter(col("user_id") >= 0L)
+        .select(col("user_id"), col("session_us"), col("n_events"), col("dur_us"))
+    }),
+
+    // ADD COLUMNS … DEFAULT (exists-defaults — the Iceberg initial-default
+    // / Delta ADD COLUMN DEFAULT semantic): rows in files written BEFORE
+    // the add read the folded default at scan time, PER FILE, inside
+    // Spark's own parquet readers; post-add writes land explicit values;
+    // the fill survives OPTIMIZE packing (materialized) and a CoW DML
+    // rewrite. The oracle restates both waves closed-form.
+    "q206_exists_defaults" -> ((s, d) => {
+      val cat = "gexd" + java.util.UUID.randomUUID().toString.take(8)
+      val base = java.nio.file.Files.createTempDirectory("graft_exdq_").toString
+      s.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.base", base)
+      s.sql(s"CREATE TABLE $cat.db.docs (doc_id BIGINT, source STRING) " +
+        "USING graft OPTIONS (pk 'doc_id', partitions '2', snapshot 'true')")
+      docs(s, d).select(col("doc_id"), col("source"))
+        .createOrReplaceTempView("q206_docs")
+      // wave A lands BEFORE the columns exist
+      s.sql(s"INSERT INTO $cat.db.docs " +
+        "SELECT doc_id, source FROM q206_docs WHERE doc_id % 2 = 0")
+      s.sql(s"ALTER TABLE $cat.db.docs ADD COLUMNS (" +
+        "lang STRING DEFAULT 'und', score BIGINT DEFAULT 7)")
+      // wave B writes explicit values through the evolved schema
+      s.sql(s"INSERT INTO $cat.db.docs " +
+        "SELECT doc_id, source, 'en', doc_id FROM q206_docs WHERE doc_id % 2 = 1")
+      // the fill must survive packing (materialization) and a CoW rewrite
+      s.sql(s"CALL $cat.system.optimize(table => 'db.docs')")
+      s.sql(s"UPDATE $cat.db.docs SET score = score + 1 WHERE doc_id % 10 = 4")
+      s.table(s"$cat.db.docs")
+        .select(col("doc_id"), col("source"), col("lang"), col("score"))
+    }),
+
     "q205_sync_identity" -> ((s, d) => {
       val cat = "gsyi" + java.util.UUID.randomUUID().toString.take(8)
       val base = java.nio.file.Files.createTempDirectory("graft_syiq_").toString
@@ -5366,6 +5437,36 @@ object Battery {
         |       THEN n_chars + 100000 ELSE n_chars END,
         |  'delete', CAST(3 AS BIGINT)
         |FROM documents WHERE doc_id % 11 = 5""".stripMargin,
+    // the identical gap algebra: strict 30-min split on epoch micros,
+    // session keyed by its first event's timestamp
+    "q207_session_stream" ->
+      """WITH f AS (
+        |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+        |    CASE WHEN lag(epoch_us(CAST(ts AS TIMESTAMP)))
+        |           OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |         OR epoch_us(CAST(ts AS TIMESTAMP))
+        |           - lag(epoch_us(CAST(ts AS TIMESTAMP)))
+        |             OVER (PARTITION BY user_id ORDER BY ts)
+        |           > 1800000000
+        |    THEN 1 ELSE 0 END AS st
+        |  FROM events),
+        |x AS (
+        |  SELECT user_id, us,
+        |    sum(st) OVER (PARTITION BY user_id ORDER BY us
+        |                  ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM f)
+        |SELECT user_id, min(us) AS session_us,
+        |  count(*) AS n_events, max(us) - min(us) AS dur_us
+        |FROM x GROUP BY user_id, sid""".stripMargin,
+    // pre-add rows read the exists-default ('und', 7 — +1 where the CoW
+    // UPDATE landed); post-add rows keep their explicit values
+    "q206_exists_defaults" ->
+      """SELECT doc_id, source, 'und' AS lang,
+        |  CAST(CASE WHEN doc_id % 10 = 4 THEN 8 ELSE 7 END AS BIGINT) AS score
+        |FROM documents WHERE doc_id % 2 = 0
+        |UNION ALL
+        |SELECT doc_id, source, 'en', doc_id
+        |FROM documents WHERE doc_id % 2 = 1""".stripMargin,
     // explicit wave above the watermark, generated wave below it
     "q205_sync_identity" ->
       """SELECT doc_id AS orig_id, source, n_chars, TRUE AS id_ok
