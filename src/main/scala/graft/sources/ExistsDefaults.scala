@@ -75,8 +75,16 @@ object ExistsDefaults {
    * EVERY file with their default expression.
    */
   def read(spark: SparkSession, dir: String, files: Seq[String])
-      : org.apache.spark.sql.DataFrame = {
-    val defaults = physicalForDir(spark, dir)
+      : org.apache.spark.sql.DataFrame =
+    read(spark, physicalForDir(spark, dir), files)
+
+  /** [[read]] with the dir's defaults precomputed — callers that read
+   *  many file sets of one table (the change feed walks one set per
+   *  commit) resolve the descriptor ONCE, not per event. */
+  def read(
+      spark: SparkSession,
+      defaults: Map[String, (String, org.apache.spark.sql.types.DataType)],
+      files: Seq[String]): org.apache.spark.sql.DataFrame = {
     if (defaults.isEmpty || files.isEmpty) spark.read.parquet(files: _*)
     else {
       val merged = spark.read.option("mergeSchema", "true")

@@ -560,9 +560,10 @@ object Snapshots {
       layoutOnly: Boolean = false,
       dvOverride: Option[Map[String, String]] = None,
       cdcFiles: Seq[String] = Nil,
-      ridOverride: Option[(Map[String, Long], Long)] = None): Long =
+      ridOverride: Option[(Map[String, Long], Long)] = None,
+      idUpdate: Map[String, (Long, Long)] = Map.empty): Long =
     commitLoop(spark, dir, expectedParent, layoutOnly, cdcAdds = cdcFiles,
-      ridOverride = ridOverride) { case (_, dvs) =>
+      ridOverride = ridOverride, idUpdate = idUpdate) { case (_, dvs) =>
       // DV bindings survive for KEPT files and drop with replaced ones —
       // sound because every rewrite path reads its inputs with DVs applied
       // ([[DeletionVectors.applyToRead]] / the DSv2 DV readers), so the
@@ -840,9 +841,14 @@ object Snapshots {
     // them, same rule as data
     val keptDvs = keep.flatMap(readDvs(f, root, _).values).toSet
     val keptCdcs = keep.flatMap(readCdcs(f, root, _)).toSet
+    // out-of-root references (a shallow clone's view of its SOURCE's
+    // files) are never deleted — the source owns them; dropping a clone
+    // version only forgets the reference
+    val rootStr = root.toString.stripSuffix("/") + "/"
     val doomed = (drop.flatMap(readFiles(f, root, _)).distinct.filterNot(keptFiles) ++
       drop.flatMap(readDvs(f, root, _).values).distinct.filterNot(keptDvs) ++
       drop.flatMap(readCdcs(f, root, _)).distinct.filterNot(keptCdcs))
+      .filter(_.startsWith(rootStr))
     if (dryRun) return doomed // report what WOULD go; touch nothing
     doomed.foreach(p => f.delete(new Path(p), false))
     drop.foreach(v => f.delete(vPath(root, v), false))
@@ -861,6 +867,49 @@ object Snapshots {
    * `toVersion` has already been vacuumed (a restore must never resurrect
    * a partial table). Returns the new version number.
    */
+  /**
+   * SHALLOW CLONE (Delta's `CREATE TABLE … SHALLOW CLONE`): a
+   * metadata-only copy — the clone's v1 references the SOURCE's data
+   * files (plus its deletion vectors, row-id bindings/high-water mark
+   * and identity marks) by ABSOLUTE path, so cloning a 100 TB table is
+   * one small commit with zero data movement. The log format already
+   * round-trips out-of-root paths ([[relativize]] leaves them absolute),
+   * scan planning admits them with manifest/footer stats
+   * ([[filterListing]]), appends land under the clone, DML rewrites
+   * materialize affected foreign rows into clone-local generations, and
+   * the clone's [[vacuum]] never deletes out-of-root files (the source
+   * owns them). The documented trade, same as Delta: vacuuming the
+   * SOURCE past the cloned version breaks the clone loudly (missing-file
+   * refusals, never silent partial reads).
+   */
+  def shallowClone(
+      spark: SparkSession,
+      sourceDir: String,
+      targetDir: String,
+      version: Option[Long] = None): Long = {
+    val (sf, sroot) = fs(spark, sourceDir)
+    val head = latest(sf, sroot).getOrElse(throw new IllegalArgumentException(
+      s"shallowClone: $sourceDir has no snapshot log — only snapshot-logged " +
+        "tables clone (the clone IS a log commit)"))
+    val v = version.getOrElse(head)
+    require(v >= 1 && sf.exists(vPath(sroot, v)),
+      s"shallowClone: version $v of $sourceDir does not exist (vacuumed?)")
+    val (tf, troot) = fs(spark, targetDir)
+    require(latest(tf, troot).isEmpty,
+      s"shallowClone: $targetDir already has a snapshot log")
+    val files = readFiles(sf, sroot, v)
+    val missing = files.filterNot(p => sf.exists(new Path(p)))
+    require(missing.isEmpty,
+      s"shallowClone: v$v of $sourceDir references ${missing.length} missing " +
+        s"file(s) (first: ${missing.headOption.getOrElse("")})")
+    val rids = readRids(sf, sroot, v)
+    commitRewrite(spark, targetDir, files,
+      dvOverride = Some(readDvs(sf, sroot, v)),
+      ridOverride = readRidHwm(sf, sroot, v).map(h => (rids, h)),
+      idUpdate = identityHighWaterMarks(spark, sourceDir, v)
+        .map { case (c, m) => c -> (m, m) })
+  }
+
   def restore(spark: SparkSession, dir: String, toVersion: Long): Long = {
     val (f, root) = fs(spark, dir)
     // the head we are undoing TO-FROM is the rewrite's concurrency guard:
@@ -1353,9 +1402,11 @@ object Snapshots {
     val pieces = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.DataFrame]
     // exists-default-aware raw reads throughout: pre-evolution files fill
     // ADD COLUMNS … DEFAULT columns with the recorded value, per file
+    // (descriptor resolved ONCE, not per event)
+    val existsDefaults = graft.sources.ExistsDefaults.physicalForDir(spark, dir)
     events.foreach { e =>
       if (e.added.nonEmpty) {
-        val raw = graft.sources.ExistsDefaults.read(spark, dir, e.added)
+        val raw = graft.sources.ExistsDefaults.read(spark, existsDefaults, e.added)
         val withRid =
           if (!withRowIds) raw
           // look up per added path (the version's full binding map can be
@@ -1373,7 +1424,7 @@ object Snapshots {
         // commit), so identity pairing works on both DML engines.
         // Tracked-before-the-feature sidecars lack the column → null ids
         // (those events pair by key downstream, the documented fallback)
-        val raw0 = graft.sources.ExistsDefaults.read(spark, dir, e.cdcFiles)
+        val raw0 = graft.sources.ExistsDefaults.read(spark, existsDefaults, e.cdcFiles)
         val withRid =
           if (!withRowIds) raw0
           else raw0.withColumn("__cdf_rid",
@@ -1397,7 +1448,7 @@ object Snapshots {
       // carries the carrier's base (driver-joined from the event's
       // version bindings) — rid = stored id, else base + position.
       val keyDf = delKeys.toDF("__cdf_file", "__cdf_pos", CommitVersionCol)
-      val raw = graft.sources.ExistsDefaults.read(spark, dir, carriers)
+      val raw = graft.sources.ExistsDefaults.read(spark, existsDefaults, carriers)
       val storedRid =
         if (raw.columns.contains(RidCol)) col(RidCol) else lit(null).cast("long")
       var preimage = raw
@@ -1480,15 +1531,22 @@ object Snapshots {
       case n => n.toLong
     }
     val want = readFiles(f, root, version).toSet
-    val have = all.filter(m => want.contains(m.path))
-    if (have.length != want.size) {
-      val missing = (want -- have.map(_.path)).toSeq.sorted
+    // a SHALLOW CLONE's log references files OUTSIDE the table root
+    // (the source's data) — they can never appear in this dir's listing;
+    // admit them with manifest-first/footer stats instead
+    val rootStr = root.toString.stripSuffix("/") + "/"
+    val (local, foreign) = want.partition(_.startsWith(rootStr))
+    val have = all.filter(m => local.contains(m.path))
+    if (have.length != local.size) {
+      val missing = (local -- have.map(_.path)).toSeq.sorted
       throw new IllegalStateException(
         s"snapshot v$version of $dir references ${missing.length} file(s) absent " +
           s"from the live listing (vacuumed past retention or deleted out-of-band); " +
           s"first missing: ${missing.head}")
     }
-    have
+    if (foreign.isEmpty) have
+    else have ++ graft.sources.TokenPruner.foreignMetas(
+      spark, dir, foreign.toSeq.sorted)
   }
 
   private def relativize(root: Path, abs: String): String = {
