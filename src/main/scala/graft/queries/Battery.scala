@@ -2484,6 +2484,39 @@ object Battery {
     // the next null-cell wave allocates from there. In-query requires
     // pin the re-seated mark and the dense continuation; the oracle
     // states payload + id_ok TRUE.
+    // SHALLOW CLONE (CALL system.clone — Delta's CLONE as a procedure):
+    // a metadata-only fork whose v1 references the source's files by
+    // absolute path; zero data movement at ANY size (the in-query gate
+    // requires the clone dir holds no data files). Both sides then
+    // diverge through independent DML: the source's update must not leak
+    // into the fork, the fork's rewrites materialize clone-local. The
+    // oracle restates the fork's algebra closed-form.
+    "q208_shallow_clone" -> ((s, d) => {
+      val cat = "gcln" + java.util.UUID.randomUUID().toString.take(8)
+      val base = java.nio.file.Files.createTempDirectory("graft_clnq_").toString
+      s.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.base", base)
+      s.sql(s"CREATE TABLE $cat.db.src (doc_id BIGINT, source STRING, n_chars BIGINT) " +
+        "USING graft OPTIONS (pk 'doc_id', partitions '3', snapshot 'true')")
+      docs(s, d).select(col("doc_id"), col("source"), col("n_chars"))
+        .createOrReplaceTempView("q208_docs")
+      s.sql(s"INSERT INTO $cat.db.src SELECT doc_id, source, n_chars FROM q208_docs")
+      s.sql(s"CALL $cat.system.clone(source => 'db.src', target => 'db.fork')")
+      val fs = new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      require(graft.sources.TokenPruner.listDataFiles(fs,
+        fs.makeQualified(new org.apache.hadoop.fs.Path(s"$base/db/fork"))).isEmpty,
+        "shallow clone must move ZERO data files")
+      // diverge: source-side DML invisible to the fork, fork-side local
+      s.sql(s"UPDATE $cat.db.src SET n_chars = 0 WHERE doc_id % 2 = 0")
+      s.sql(s"UPDATE $cat.db.fork SET n_chars = n_chars + 5000 WHERE doc_id % 3 = 0")
+      s.sql(s"DELETE FROM $cat.db.fork WHERE doc_id % 11 = 7")
+      require(s.sql(s"SELECT count(*) FROM $cat.db.fork " +
+        "WHERE doc_id % 2 = 0 AND doc_id % 3 <> 0 AND n_chars = 0").head().getLong(0)
+        == 0L, "the source's post-clone UPDATE leaked into the fork")
+      s.table(s"$cat.db.fork").select(col("doc_id"), col("source"), col("n_chars"))
+    }),
+
     // STREAMING sessionization (Sessions.sessionStatsStream): the graft
     // change-feed stream drives Spark's session_window aggregate — state
     // bounded by the watermark, each closed session emitted exactly once
@@ -5437,6 +5470,11 @@ object Battery {
         |       THEN n_chars + 100000 ELSE n_chars END,
         |  'delete', CAST(3 AS BIGINT)
         |FROM documents WHERE doc_id % 11 = 5""".stripMargin,
+    // the fork's own algebra — the source's post-clone update absent
+    "q208_shallow_clone" ->
+      """SELECT doc_id, source,
+        |  CASE WHEN doc_id % 3 = 0 THEN n_chars + 5000 ELSE n_chars END AS n_chars
+        |FROM documents WHERE doc_id % 11 <> 7""".stripMargin,
     // the identical gap algebra: strict 30-min split on epoch micros,
     // session keyed by its first event's timestamp
     "q207_session_stream" ->

@@ -105,6 +105,51 @@ class GraftCatalog extends TableCatalog
     (dirStr, GraftDataSource.cqlFrom(new CaseInsensitiveStringMap(opts), schema))
   }
 
+  /** SHALLOW CLONE (CALL system.clone): create the TARGET's descriptor as
+   *  a verbatim copy of the source's — schema with ALL field metadata
+   *  (defaults, generation expressions, identity specs), pk/ck layout,
+   *  options, constraints, colmap, droppedPhys — then commit the
+   *  metadata-only snapshot referencing the source's files
+   *  ([[graft.write.Snapshots.shallowClone]]). Dir-partitioned sources
+   *  refuse: their partition values live in directory paths a foreign
+   *  reference cannot carry. An external LOCATION is not copied — the
+   *  clone's own writes land under the clone's dir. Returns (clone dir,
+   *  clone version = 1). */
+  private[sources] def cloneTable(
+      sourceArg: String,
+      targetArg: String,
+      version: Option[Long]): (String, Long) = {
+    def identOf(arg: String): Identifier = {
+      val parts = arg.split('.').toSeq.filter(_.nonEmpty)
+      require(parts.nonEmpty, s"bad table argument '$arg' (want '<ns>.<name>')")
+      Identifier.of(parts.init.toArray, parts.last)
+    }
+    val srcIdent = identOf(sourceArg)
+    val srcDir = dirFor(srcIdent)
+    val sf = fs(srcDir)
+    if (!sf.exists(metaPath(srcDir))) throw new NoSuchTableException(srcIdent)
+    val (schema, pairs) = GraftCatalog.readMeta(sf, metaPath(srcDir))
+    val pmap = pairs.toMap
+    require(!pmap.contains("partitionBy"),
+      s"clone: $sourceArg is dir-partitioned — partition values live in the " +
+        "directory paths, which an out-of-root reference cannot carry; " +
+        "copy it with CREATE TABLE … AS SELECT instead")
+    val srcData = pmap.getOrElse("location", srcDir.toString)
+    val tgtIdent = identOf(targetArg)
+    if (tableExists(tgtIdent)) throw new TableAlreadyExistsException(tgtIdent)
+    val tgtDir = dirFor(tgtIdent)
+    val tf = fs(tgtDir)
+    val pairsOut = ((pmap - "location") + ("snapshot" -> "true")).toSeq.sortBy(_._1)
+    GraftCatalog.writeMeta(tf, metaPath(tgtDir), schema, pairsOut)
+    val v =
+      try graft.write.Snapshots.shallowClone(
+        SparkSession.active, srcData, tgtDir.toString, version)
+      catch {
+        case e: Throwable => tf.delete(metaPath(tgtDir), false); throw e
+      }
+    (tgtDir.toString, v)
+  }
+
   // ---- namespaces = directories under the base (SQL CREATE/SHOW/DROP
   // NAMESPACE); no metadata beyond existence — a namespace IS its dir
   private def nsDir(namespace: Array[String]): Path =

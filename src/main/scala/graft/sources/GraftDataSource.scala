@@ -1415,6 +1415,39 @@ object TokenPruner {
     walk(p)
   }
 
+  /** FileMetas for snapshot-referenced files OUTSIDE the table root — a
+   *  SHALLOW CLONE's view of its source's data. The clone's own manifest
+   *  first; uncovered files footer-read ONCE and persisted as manifest
+   *  rows, so every later scan plans from the cache (same stats quality
+   *  as local files — token pruning and stats pushdown work unchanged).
+   *  A vanished foreign file fails loudly: the source was vacuumed past
+   *  the cloned version, and a silent partial read is never acceptable. */
+  def foreignMetas(
+      spark: SparkSession,
+      tableDir: String,
+      paths: Seq[String]): Seq[FileMeta] = {
+    val conf = spark.sessionState.newHadoopConf()
+    val rootPath = new Path(tableDir)
+    val rfs = rootPath.getFileSystem(conf)
+    val manifest = graft.write.Manifest.read(rfs, rfs.makeQualified(rootPath))
+    val (known, unknown) = paths.partition(manifest.contains)
+    val fromManifest = known.map(manifest)
+    if (unknown.isEmpty) return fromManifest
+    val statuses = unknown.map { p =>
+      val hp = new Path(p)
+      try (hp, hp.getFileSystem(conf).getFileStatus(hp).getLen)
+      catch {
+        case _: java.io.FileNotFoundException =>
+          throw new IllegalStateException(
+            s"clone $tableDir references $p which no longer exists — the " +
+              "source table was vacuumed or deleted past the cloned version")
+      }
+    }
+    val fresh = readFootersParallel(conf, statuses.toArray)
+    graft.write.Manifest.appendMetas(spark, tableDir, fresh.toIndexedSeq)
+    fromManifest ++ fresh
+  }
+
   /** `tolerant = true` SKIPS files that vanish between listing and the
    *  footer read — a concurrent writer's commit-race cleanup or a vacuum
    *  may legitimately delete an unreferenced file mid-pass. Callers that

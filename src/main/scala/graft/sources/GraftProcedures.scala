@@ -38,7 +38,7 @@ private[sources] object GraftProcedures {
   def list: Array[String] = Array(
     "optimize", "compact", "vacuum", "vacuum_orphans",
     "create_tag", "delete_tag", "restore", "detail", "history",
-    "sync_identity")
+    "sync_identity", "clone")
 
   def load(catalog: GraftCatalog, name: String): UnboundProcedure =
     name.toLowerCase match {
@@ -52,6 +52,7 @@ private[sources] object GraftProcedures {
       case "detail" => new Detail(catalog)
       case "history" => new History(catalog)
       case "sync_identity" => new SyncIdentity(catalog)
+      case "clone" => new Clone(catalog)
       case other => throw new IllegalArgumentException(
         s"unknown procedure system.$other (have: ${list.mkString(", ")})")
     }
@@ -370,6 +371,40 @@ private[sources] object GraftProcedures {
 
   /** Operational undo: head becomes the old content via ONE metadata
    *  commit (history intact, concurrency-guarded). */
+  /** SHALLOW CLONE (the Delta surface as a procedure — DSv2 ships no
+   *  CLONE statement): `CALL cat.system.clone(source => 'db.t',
+   *  target => 'db.t2' [, version => n])` — a metadata-only copy whose
+   *  v1 references the source's files; O(1) data movement at any table
+   *  size. See [[Snapshots.shallowClone]] for the read/maintenance
+   *  semantics and the documented source-vacuum trade. */
+  private final class Clone(catalog: GraftCatalog)
+      extends UnboundProcedure with BoundProcedure {
+    override val name: String = "clone"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def isDeterministic: Boolean = false
+    override def parameters(): Array[ProcedureParameter] = Array(
+      in("source", StringType), in("target", StringType),
+      in("version", LongType, "-1"))
+    private val outputSchema: StructType = StructType(Seq(
+      StructField("clone_location", StringType, nullable = false),
+      StructField("version", LongType, nullable = false)))
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val source = input.getUTF8String(0).toString
+      val target = input.getUTF8String(1).toString
+      val version =
+        if (input.isNullAt(2) || input.getLong(2) < 0) None
+        else Some(input.getLong(2))
+      val (dir, v) = catalog.cloneTable(source, target, version)
+      val out = Array(row(UTF8String.fromString(dir), v))
+      val schema = outputSchema
+      java.util.Collections.singletonList[Scan](new LocalScan {
+        override def rows(): Array[InternalRow] = out
+        override def readSchema(): StructType = schema
+        override def description(): String = "graft system.clone result"
+      }).iterator()
+    }
+  }
+
   private final class Restore(catalog: GraftCatalog)
       extends MaintenanceProcedure(catalog, "restore") {
     override def parameters(): Array[ProcedureParameter] = Array(

@@ -92,6 +92,23 @@ object Manifest {
     if (fragCount > CompactThreshold) compact(spark, tableDir)
   }
 
+  /** Persist manifest rows computed elsewhere — the shallow-clone path
+   *  records stats for FOREIGN (out-of-root) files its log references, so
+   *  the one-time footer read that admitted them becomes a manifest hit
+   *  on every later scan. Out-of-root rows keep their ABSOLUTE paths
+   *  ([[line]]'s relativize leaves them untouched) and survive
+   *  [[compact]] folds unchanged. */
+  def appendMetas(spark: SparkSession, tableDir: String, metas: Seq[FileMeta]): Unit = {
+    if (metas.isEmpty) return
+    val fs = new Path(tableDir).getFileSystem(spark.sessionState.newHadoopConf())
+    val root = fs.makeQualified(new Path(tableDir))
+    val out = fs.create(new Path(root,
+      s"$Dir/manifest-${java.util.UUID.randomUUID().toString.take(12)}.tsv"), false)
+    try out.write(metas.map(line(root, _)).mkString("", "\n", "\n")
+      .getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
   /** All manifest entries for a table dir, keyed by absolute file path.
    *  Entries for files that no longer exist are ignored by the caller
    *  (listing drives; the manifest only supplies stats). */

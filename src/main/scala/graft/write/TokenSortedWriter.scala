@@ -885,7 +885,14 @@ object TokenSortedWriter {
         val part = fs.listStatus(tmp).map(_.getPath)
           .find(_.getName.endsWith(".parquet"))
           .getOrElse(throw new IllegalStateException(s"no parquet part under $tmp"))
-        val dest = new Path(new Path(meta.path).getParent,
+        // a shallow clone's out-of-root (source-owned) original must not
+        // get a sibling written into the SOURCE's directory — its
+        // replacement materializes under the clone root instead
+        val parent0 = new Path(meta.path).getParent
+        val parent =
+          if (meta.path.startsWith(root.toString.stripSuffix("/") + "/")) parent0
+          else root
+        val dest = new Path(parent,
           s"part-cow-${java.util.UUID.randomUUID().toString.take(12)}.parquet")
         if (!fs.rename(part, dest))
           throw new IllegalStateException(s"rename $part -> $dest failed")
@@ -960,6 +967,20 @@ object TokenSortedWriter {
     val p = new Path(dir)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     val root = fs.makeQualified(p)
+    // listing-driven fold: a shallow clone's out-of-root (source-owned)
+    // files are invisible to the listing, so the rewrite would silently
+    // drop their rows — refuse; DML materializes foreign rows locally
+    val rootStr = root.toString.stripSuffix("/") + "/"
+    Snapshots.latestVersion(spark, dir).foreach { head =>
+      val foreign = Snapshots.files(spark, dir, head)
+        .filterNot(_.startsWith(rootStr))
+      if (foreign.nonEmpty)
+        throw new UnsupportedOperationException(
+          s"compactInPlace on $dir: the snapshot references ${foreign.length} " +
+            s"out-of-root file(s) (a shallow clone of its source, e.g. " +
+            s"${foreign.head}) — the listing-driven fold cannot see them; " +
+            "rewrite the rows local first (DML) or compact the SOURCE")
+    }
     val live = graft.sources.TokenPruner.listDataFiles(fs, root)
       .map(_.getPath.toString).toSeq
     // census commit only when the log does not already describe the live
@@ -1085,7 +1106,13 @@ object TokenSortedWriter {
     val root = fs.makeQualified(p)
     val head = Snapshots.latestVersion(spark, dir)
     val listed = graft.sources.TokenPruner.listFiles(spark, dir)
+    // OPTIMIZE never packs a shallow clone's out-of-root (source-owned)
+    // files: the packed output would land in the SOURCE's directory, and
+    // on dir-partitioned sources the partition value lives in the path.
+    // Foreign rows materialize into clone-local files through DML instead.
+    val rootStr = root.toString.stripSuffix("/") + "/"
     val liveAll = Snapshots.resolveListing(spark, dir, head.map(_.toString), listed)
+      .filter(_.path.startsWith(rootStr))
     // predicate scoping (CALL optimize(predicate => '…')): restrict
     // candidates to files that MAY hold matching rows — dir keys, column
     // stats, token ranges, all through the scan's own pruner. At 100 TB

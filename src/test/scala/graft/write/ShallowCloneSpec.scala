@@ -1,0 +1,166 @@
+package graft.write
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import graft.sources.GraftCatalog
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+
+/** SHALLOW CLONE (`CALL cat.system.clone`): metadata-only copy whose v1
+ *  references the SOURCE's files by absolute path — zero data movement,
+ *  clone-local writes/DML, vacuum ownership boundaries, and the loud
+ *  source-vacuum failure mode. */
+class ShallowCloneSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val catName: String = {
+    val base = Files.createTempDirectory("graft_clone_").toString
+    spark.conf.set("spark.sql.catalog.cln", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.cln.base", base)
+    "cln"
+  }
+  private def baseDir: String = spark.conf.get(s"spark.sql.catalog.$catName.base")
+  private def fsOf(dir: String) =
+    new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+  private def dataFiles(dir: String): Set[String] = {
+    val fs = fsOf(dir)
+    graft.sources.TokenPruner
+      .listDataFiles(fs, fs.makeQualified(new Path(dir)))
+      .map(_.getPath.toString).toSet
+  }
+
+  test("clone equals the source at the cloned version (deletion vectors " +
+      "included), moves zero data files, and later source writes do not " +
+      "leak into it") {
+    spark.sql(s"CREATE TABLE $catName.db.src (id BIGINT, v BIGINT) USING graft " +
+      "OPTIONS (pk 'id', partitions '3', snapshot 'true', dmlMode 'merge-on-read')")
+    spark.sql(s"INSERT INTO $catName.db.src SELECT id, id * 10 FROM range(1, 41) AS r(id)")
+    spark.sql(s"DELETE FROM $catName.db.src WHERE v % 70 = 0") // MoR: DVs
+    val srcState = spark.table(s"$catName.db.src").as[(Long, Long)].collect().toSet
+    val out = spark.sql(s"CALL $catName.system.clone(" +
+      s"source => 'db.src', target => 'db.copy')").collect().head
+    assert(out.getLong(1) == 1L)
+    // zero data movement: the clone dir holds no data files of its own
+    assert(dataFiles(s"$baseDir/db/copy").isEmpty)
+    assert(spark.table(s"$catName.db.copy").as[(Long, Long)].collect().toSet
+      == srcState)
+    // divergence: a later source write is invisible to the clone
+    spark.sql(s"INSERT INTO $catName.db.src VALUES (900, 9000)")
+    assert(spark.table(s"$catName.db.copy").count() == srcState.size)
+    // pk pushdown prunes the clone's FOREIGN files like local ones
+    // (manifest/footer stats admitted by planning)
+    val all = graft.sources.TokenPruner.listFiles(spark, s"$baseDir/db/src")
+    assert(spark.sql(s"SELECT v FROM $catName.db.copy WHERE id = 8").count() == 1)
+    assert(all.length > 1, "fixture needs multiple files for the pruning claim")
+  }
+
+  test("DML on the clone materializes locally: the source's files and " +
+      "content stay byte-identical; clone vacuum deletes nothing foreign") {
+    spark.sql(s"CREATE TABLE $catName.db.s2 (id BIGINT, v BIGINT) USING graft " +
+      "OPTIONS (pk 'id', partitions '2', snapshot 'true')")
+    spark.sql(s"INSERT INTO $catName.db.s2 SELECT id, id FROM range(1, 31) AS r(id)")
+    val srcDir = s"$baseDir/db/s2"
+    val srcFiles = dataFiles(srcDir)
+    spark.sql(s"CALL $catName.system.clone(source => 'db.s2', target => 'db.c2')")
+    spark.sql(s"UPDATE $catName.db.c2 SET v = v + 1000 WHERE id % 3 = 0")
+    val cloneDir = s"$baseDir/db/c2"
+    // the rewrite landed clone-LOCAL generation files
+    assert(dataFiles(cloneDir).nonEmpty)
+    assert(dataFiles(srcDir) == srcFiles, "DML on the clone touched source files")
+    val expect = (1L to 30L).map(i => (i, if (i % 3 == 0) i + 1000 else i)).toSet
+    assert(spark.table(s"$catName.db.c2").as[(Long, Long)].collect().toSet == expect)
+    assert(spark.table(s"$catName.db.s2").as[(Long, Long)].collect().toSet ==
+      (1L to 30L).map(i => (i, i)).toSet)
+    // vacuum the clone to 1 version: the pre-DML version's FOREIGN refs
+    // are forgotten, never deleted — the source still reads
+    Snapshots.vacuum(spark, cloneDir, keepLast = 1)
+    assert(dataFiles(srcDir) == srcFiles, "clone vacuum deleted source files")
+    assert(spark.table(s"$catName.db.s2").count() == 30L)
+    assert(spark.table(s"$catName.db.c2").as[(Long, Long)].collect().toSet == expect)
+  }
+
+  test("OPTIMIZE on a clone packs only clone-local files; compactInPlace " +
+      "refuses while foreign references remain") {
+    spark.sql(s"CREATE TABLE $catName.db.s3 (id BIGINT, v BIGINT) USING graft " +
+      "OPTIONS (pk 'id', partitions '2', snapshot 'true')")
+    spark.sql(s"INSERT INTO $catName.db.s3 SELECT id, id FROM range(1, 21) AS r(id)")
+    spark.sql(s"CALL $catName.system.clone(source => 'db.s3', target => 'db.c3')")
+    val srcDir = s"$baseDir/db/s3"
+    val cloneDir = s"$baseDir/db/c3"
+    val srcFiles = dataFiles(srcDir)
+    // two small clone-local appends → packable
+    spark.sql(s"INSERT INTO $catName.db.c3 VALUES (100, 100)")
+    spark.sql(s"INSERT INTO $catName.db.c3 VALUES (101, 101)")
+    spark.sql(s"CALL $catName.system.optimize(table => 'db.c3', " +
+      "small_bytes => 33554432, target_bytes => 134217728)")
+    assert(dataFiles(srcDir) == srcFiles, "OPTIMIZE on the clone wrote into the source dir")
+    assert(spark.table(s"$catName.db.c3").count() == 22L)
+    val e = intercept[UnsupportedOperationException] {
+      TokenSortedWriter.compactInPlace(spark,
+        graft.model.CqlSchema("c3", Seq("id")), cloneDir)
+    }
+    assert(e.getMessage.contains("out-of-root"))
+  }
+
+  test("identity marks and row-tracking state carry: clone inserts allocate " +
+      "PAST the source's marks, ids keep their source values") {
+    spark.sql(s"CREATE TABLE $catName.db.s4 (" +
+      "id BIGINT GENERATED ALWAYS AS IDENTITY, v STRING) USING graft " +
+      "OPTIONS (pk 'id', partitions '1', snapshot 'true', rowTracking 'true')")
+    spark.sql(s"INSERT INTO $catName.db.s4 (v) VALUES ('a'), ('b'), ('c')")
+    val R = graft.sources.GraftDataSource.RowIdCol
+    val srcRids = spark.sql(s"SELECT id, $R FROM $catName.db.s4")
+      .as[(Long, Long)].collect().toMap
+    spark.sql(s"CALL $catName.system.clone(source => 'db.s4', target => 'db.c4')")
+    val cloneRids = spark.sql(s"SELECT id, $R FROM $catName.db.c4")
+      .as[(Long, Long)].collect().toMap
+    assert(cloneRids == srcRids, "row ids must survive the clone")
+    spark.sql(s"INSERT INTO $catName.db.c4 (v) VALUES ('d')")
+    val ids = spark.sql(s"SELECT id FROM $catName.db.c4").as[Long].collect().sorted
+    assert(ids.toSeq == Seq(1L, 2L, 3L, 4L),
+      s"clone identity must continue from the source's mark: ${ids.toSeq}")
+  }
+
+  test("vacuuming the SOURCE past the cloned version breaks the clone " +
+      "LOUDLY; a dir-partitioned source refuses to clone") {
+    spark.sql(s"CREATE TABLE $catName.db.s5 (id BIGINT, v BIGINT) USING graft " +
+      "OPTIONS (pk 'id', partitions '1', snapshot 'true')")
+    spark.sql(s"INSERT INTO $catName.db.s5 SELECT id, id FROM range(1, 11) AS r(id)")
+    spark.sql(s"CALL $catName.system.clone(source => 'db.s5', target => 'db.c5')")
+    // a source rewrite + vacuum deletes the cloned generation
+    spark.sql(s"CALL $catName.system.compact(table => 'db.s5')")
+    Snapshots.vacuum(spark, s"$baseDir/db/s5", keepLast = 1)
+    val e = intercept[Exception] { spark.table(s"$catName.db.c5").count() }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(m => m.contains("no longer exists") ||
+      m.contains("vacuumed")), s"want a loud missing-file refusal, got: ${msgs(e)}")
+
+    spark.sql(s"CREATE TABLE $catName.db.s6 (id BIGINT, ts TIMESTAMP, " +
+      "day DATE GENERATED ALWAYS AS (CAST(ts AS DATE))) " +
+      "USING graft PARTITIONED BY (day) " +
+      "OPTIONS (pk 'id', partitions '1', snapshot 'true')")
+    val e2 = intercept[Exception] {
+      spark.sql(s"CALL $catName.system.clone(source => 'db.s6', target => 'db.c6')")
+    }
+    assert(msgs(e2).exists(_.contains("dir-partitioned")), s"got: ${msgs(e2)}")
+  }
+
+  test("the clone's change feed starts at v1 = the full cloned content; " +
+      "clone-side DML events flow from there") {
+    spark.sql(s"CREATE TABLE $catName.db.s7 (id BIGINT, v BIGINT) USING graft " +
+      "OPTIONS (pk 'id', partitions '1', snapshot 'true', dmlMode 'merge-on-read')")
+    spark.sql(s"INSERT INTO $catName.db.s7 SELECT id, id FROM range(1, 6) AS r(id)")
+    spark.sql(s"CALL $catName.system.clone(source => 'db.s7', target => 'db.c7')")
+    spark.sql(s"DELETE FROM $catName.db.c7 WHERE v = 3")
+    val dir = s"$baseDir/db/c7"
+    val head = Snapshots.latestVersion(spark, dir).get
+    val ev = Snapshots.readChangesWithDeletes(spark, dir, 0L, head)
+      .select(col("id"), col(Snapshots.ChangeTypeCol), col(Snapshots.CommitVersionCol))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(ev.filter(_._2 == "insert").map(_._1).sorted.toSeq == (1L to 5L))
+    assert(ev.filter(_._2 == "insert").forall(_._3 == 1L))
+    assert(ev.filter(_._2 == "delete").toSeq == Seq((3L, "delete", head)))
+  }
+}
