@@ -23,9 +23,9 @@ import org.apache.spark.sql.types.{Metadata, MetadataBuilder, StructField, Struc
  * off relation schemas (v2 `Column.defaultValue()`), so the pruned
  * schema a scan receives is stripped — [[overlay]] re-annotates it from
  * the table's descriptor schema before the parquet readers see it.
- * Engine-internal raw reads (change-feed alignment, CoW preimage
- * derivation, OPTIMIZE bin-packing) fill absent columns via [[fillFor]]
- * instead of `lit(null)`.
+ * Engine-internal raw reads (change-feed pieces, CoW preimage
+ * derivation, OPTIMIZE bin-packing) go through [[read]], which carries
+ * the same per-file semantics to `spark.read.parquet` call sites.
  */
 object ExistsDefaults {
 
@@ -36,17 +36,6 @@ object ExistsDefaults {
     schema.fields.iterator.collect {
       case f if f.metadata.contains(Key) => f.name -> f.metadata.getString(Key)
     }.toMap
-
-  /** The table descriptor's schema for a dir, when the dir is
-   *  catalog-managed (path-API tables have no descriptor → None). The
-   *  descriptor is the ONE place default/generation metadata survives —
-   *  relation schemas are stripped. */
-  def schemaForDir(spark: SparkSession, dir: String): Option[StructType] = {
-    val p = new Path(dir, GraftCatalog.MetaFile)
-    val f = p.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!f.exists(p)) None
-    else Some(GraftCatalog.readMeta(f, p)._1)
-  }
 
   /** Exists-defaults for a dir keyed by PHYSICAL column name (what raw
    *  parquet reads produce): name → (folded literal SQL, declared type).
@@ -80,15 +69,23 @@ object ExistsDefaults {
 
   /** [[read]] with the dir's defaults precomputed — callers that read
    *  many file sets of one table (the change feed walks one set per
-   *  commit) resolve the descriptor ONCE, not per event. */
+   *  commit) resolve the descriptor ONCE, not per event.
+   *
+   *  `homogeneous = true` asserts every file shares one schema (a single
+   *  commit's files, a schema-keyed OPTIMIZE bin): inference then reads
+   *  ONE footer on the driver instead of running the distributed
+   *  mergeSchema job — only genuinely mixed-generation sets (the feed's
+   *  cross-commit delete carriers, a CoW DML's scanned set) pay it. */
   def read(
       spark: SparkSession,
       defaults: Map[String, (String, org.apache.spark.sql.types.DataType)],
-      files: Seq[String]): org.apache.spark.sql.DataFrame = {
+      files: Seq[String],
+      homogeneous: Boolean = false): org.apache.spark.sql.DataFrame = {
     if (defaults.isEmpty || files.isEmpty) spark.read.parquet(files: _*)
     else {
-      val merged = spark.read.option("mergeSchema", "true")
-        .parquet(files: _*).schema
+      val merged =
+        if (homogeneous) spark.read.parquet(files.head).schema
+        else spark.read.option("mergeSchema", "true").parquet(files: _*).schema
       val annotated = StructType(merged.fields.map { f =>
         defaults.get(f.name) match {
           case Some((sql, _)) if !f.metadata.contains(Key) =>
@@ -120,15 +117,6 @@ object ExistsDefaults {
       }
     })
   }
-
-  /** The value an ABSENT column reads as: its exists-default when one is
-   *  recorded, else null — engine-internal schema alignment must use
-   *  this instead of `lit(null)` or it silently erases the default. */
-  def fillFor(f: StructField, defaults: Map[String, String]): Column =
-    defaults.get(f.name) match {
-      case Some(sql) => expr(sql).cast(f.dataType)
-      case None => lit(null).cast(f.dataType)
-    }
 
   /** Field metadata for a freshly ADDED column with a DEFAULT: the
    *  write-time CURRENT_DEFAULT (original SQL) plus the read-time

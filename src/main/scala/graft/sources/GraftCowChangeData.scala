@@ -162,9 +162,25 @@ private[sources] object GraftCowChangeData {
       .unionByName(unpack("__cdc_n", "__cdc_nrid", "insert"))
 
     val stage = s"$dir/${Snapshots.CdcDir}/cdc-${java.util.UUID.randomUUID().toString.take(12)}"
-    cdc.write.parquet(stage)
     val p = new org.apache.hadoop.fs.Path(stage)
     val fsys = p.getFileSystem(spark.sessionState.newHadoopConf())
+    try cdc.write.parquet(stage)
+    catch {
+      case e: Throwable =>
+        // the write IS the derivation action — the dup-key guard (and any
+        // other failure) aborts mid-write, so the partial stage dir must
+        // not accumulate (vacuum only reclaims log-referenced files).
+        // Surface the guard's refusal under its original contract.
+        fsys.delete(p, true)
+        def chain(t: Throwable): List[Throwable] =
+          if (t == null) Nil else t :: chain(t.getCause)
+        chain(e).collectFirst {
+          case t if Option(t.getMessage)
+              .exists(_.contains("not unique per primary key")) =>
+            throw new UnsupportedOperationException(t.getMessage, e)
+        }
+        throw e
+    }
     def list(): Seq[String] = fsys.listStatus(fsys.makeQualified(p))
       .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
       .map(_.getPath.toString).toSeq

@@ -1444,7 +1444,11 @@ object TokenPruner {
       }
     }
     val fresh = readFootersParallel(conf, statuses.toArray)
-    graft.write.Manifest.appendMetas(spark, tableDir, fresh.toIndexedSeq)
+    // persist is BEST-EFFORT: scan planning must work for read-only
+    // clients (a clone readable by everyone, manifest-writable by its
+    // owner) — a failed append only re-costs the footer reads next scan
+    try graft.write.Manifest.appendMetas(spark, tableDir, fresh.toIndexedSeq)
+    catch { case _: java.io.IOException | _: SecurityException => () }
     fromManifest ++ fresh
   }
 

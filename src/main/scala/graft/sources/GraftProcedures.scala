@@ -369,8 +369,6 @@ private[sources] object GraftProcedures {
     }
   }
 
-  /** Operational undo: head becomes the old content via ONE metadata
-   *  commit (history intact, concurrency-guarded). */
   /** SHALLOW CLONE (the Delta surface as a procedure — DSv2 ships no
    *  CLONE statement): `CALL cat.system.clone(source => 'db.t',
    *  target => 'db.t2' [, version => n])` — a metadata-only copy whose
@@ -405,6 +403,8 @@ private[sources] object GraftProcedures {
     }
   }
 
+  /** Operational undo: head becomes the old content via ONE metadata
+   *  commit (history intact, concurrency-guarded). */
   private final class Restore(catalog: GraftCatalog)
       extends MaintenanceProcedure(catalog, "restore") {
     override def parameters(): Array[ProcedureParameter] = Array(

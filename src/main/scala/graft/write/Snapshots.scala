@@ -561,9 +561,11 @@ object Snapshots {
       dvOverride: Option[Map[String, String]] = None,
       cdcFiles: Seq[String] = Nil,
       ridOverride: Option[(Map[String, Long], Long)] = None,
-      idUpdate: Map[String, (Long, Long)] = Map.empty): Long =
+      idUpdate: Map[String, (Long, Long)] = Map.empty,
+      expectEmpty: Boolean = false): Long =
     commitLoop(spark, dir, expectedParent, layoutOnly, cdcAdds = cdcFiles,
-      ridOverride = ridOverride, idUpdate = idUpdate) { case (_, dvs) =>
+      ridOverride = ridOverride, idUpdate = idUpdate,
+      expectEmpty = expectEmpty) { case (_, dvs) =>
       // DV bindings survive for KEPT files and drop with replaced ones —
       // sound because every rewrite path reads its inputs with DVs applied
       // ([[DeletionVectors.applyToRead]] / the DSv2 DV readers), so the
@@ -587,7 +589,8 @@ object Snapshots {
       cdcAdds: Seq[String] = Nil,
       rowTracking: Boolean = false,
       ridOverride: Option[(Map[String, Long], Long)] = None,
-      idUpdate: Map[String, (Long, Long)] = Map.empty)(
+      idUpdate: Map[String, (Long, Long)] = Map.empty,
+      expectEmpty: Boolean = false)(
       next: (Seq[String], Map[String, String]) => (Seq[String], Map[String, String]))
       : Long = {
     val (f, root) = fs(spark, dir)
@@ -596,7 +599,7 @@ object Snapshots {
     val lock = commitLocks.computeIfAbsent(root.toString, _ => new Object)
     lock.synchronized {
       commitLoopLocked(f, root, dir, allowUnsafe, expectedParent, layoutOnly,
-        txnUpdate, cdcAdds, rowTracking, ridOverride, idUpdate)(next)
+        txnUpdate, cdcAdds, rowTracking, ridOverride, idUpdate, expectEmpty)(next)
     }
   }
 
@@ -683,13 +686,21 @@ object Snapshots {
       cdcAdds: Seq[String] = Nil,
       rowTracking: Boolean = false,
       ridOverride: Option[(Map[String, Long], Long)] = None,
-      idUpdate: Map[String, (Long, Long)] = Map.empty)(
+      idUpdate: Map[String, (Long, Long)] = Map.empty,
+      expectEmpty: Boolean = false)(
       next: (Seq[String], Map[String, String]) => (Seq[String], Map[String, String]))
       : Long = {
     var attempt = 0
     while (attempt < MaxCommitAttempts) {
       attempt += 1
       val parent = latest(f, root)
+      // "expect NO parent" (shallow clone's first commit): a concurrent
+      // first commit must fail THIS caller loudly, never be silently
+      // superseded by a retried clone landing as its child
+      if (expectEmpty && parent.isDefined)
+        throw new ConcurrentCommitException(
+          s"commit on $dir expected an EMPTY log but found v${parent.get} — " +
+            "a concurrent writer created the table first")
       expectedParent.foreach { want =>
         if (!parent.contains(want))
           throw new ConcurrentCommitException(
@@ -844,11 +855,10 @@ object Snapshots {
     // out-of-root references (a shallow clone's view of its SOURCE's
     // files) are never deleted — the source owns them; dropping a clone
     // version only forgets the reference
-    val rootStr = root.toString.stripSuffix("/") + "/"
     val doomed = (drop.flatMap(readFiles(f, root, _)).distinct.filterNot(keptFiles) ++
       drop.flatMap(readDvs(f, root, _).values).distinct.filterNot(keptDvs) ++
       drop.flatMap(readCdcs(f, root, _)).distinct.filterNot(keptCdcs))
-      .filter(_.startsWith(rootStr))
+      .filter(underRoot(root, _))
     if (dryRun) return doomed // report what WOULD go; touch nothing
     doomed.foreach(p => f.delete(new Path(p), false))
     drop.foreach(v => f.delete(vPath(root, v), false))
@@ -907,7 +917,11 @@ object Snapshots {
       dvOverride = Some(readDvs(sf, sroot, v)),
       ridOverride = readRidHwm(sf, sroot, v).map(h => (rids, h)),
       idUpdate = identityHighWaterMarks(spark, sourceDir, v)
-        .map { case (c, m) => c -> (m, m) })
+        .map { case (c, m) => c -> (m, m) },
+      // the emptiness pre-check above is check-then-act; the guard must
+      // hold INSIDE the committed attempt or a racing first commit to
+      // the target is silently superseded
+      expectEmpty = true)
   }
 
   def restore(spark: SparkSession, dir: String, toVersion: Long): Long = {
@@ -1406,7 +1420,8 @@ object Snapshots {
     val existsDefaults = graft.sources.ExistsDefaults.physicalForDir(spark, dir)
     events.foreach { e =>
       if (e.added.nonEmpty) {
-        val raw = graft.sources.ExistsDefaults.read(spark, existsDefaults, e.added)
+        val raw = graft.sources.ExistsDefaults.read(
+          spark, existsDefaults, e.added, homogeneous = true)
         val withRid =
           if (!withRowIds) raw
           // look up per added path (the version's full binding map can be
@@ -1424,7 +1439,8 @@ object Snapshots {
         // commit), so identity pairing works on both DML engines.
         // Tracked-before-the-feature sidecars lack the column → null ids
         // (those events pair by key downstream, the documented fallback)
-        val raw0 = graft.sources.ExistsDefaults.read(spark, existsDefaults, e.cdcFiles)
+        val raw0 = graft.sources.ExistsDefaults.read(
+          spark, existsDefaults, e.cdcFiles, homogeneous = true)
         val withRid =
           if (!withRowIds) raw0
           else raw0.withColumn("__cdf_rid",
@@ -1534,8 +1550,7 @@ object Snapshots {
     // a SHALLOW CLONE's log references files OUTSIDE the table root
     // (the source's data) — they can never appear in this dir's listing;
     // admit them with manifest-first/footer stats instead
-    val rootStr = root.toString.stripSuffix("/") + "/"
-    val (local, foreign) = want.partition(_.startsWith(rootStr))
+    val (local, foreign) = want.partition(underRoot(root, _))
     val have = all.filter(m => local.contains(m.path))
     if (have.length != local.size) {
       val missing = (local -- have.map(_.path)).toSeq.sorted
@@ -1553,4 +1568,12 @@ object Snapshots {
     val rootStr = root.toString.stripSuffix("/") + "/"
     if (abs.startsWith(rootStr)) abs.substring(rootStr.length) else abs
   }
+
+  /** Is `path` under the table root? The ONE spelling of the
+   *  out-of-root test every clone-aware site shares ([[vacuum]]'s
+   *  delete scope, [[filterListing]]'s foreign admission, the
+   *  maintenance guards) — paths compare as qualified URI strings, the
+   *  same spelling [[relativize]] keys on, so the sites cannot diverge. */
+  def underRoot(root: Path, path: String): Boolean =
+    path.startsWith(root.toString.stripSuffix("/") + "/")
 }

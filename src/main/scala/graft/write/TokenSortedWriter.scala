@@ -888,9 +888,8 @@ object TokenSortedWriter {
         // a shallow clone's out-of-root (source-owned) original must not
         // get a sibling written into the SOURCE's directory — its
         // replacement materializes under the clone root instead
-        val parent0 = new Path(meta.path).getParent
         val parent =
-          if (meta.path.startsWith(root.toString.stripSuffix("/") + "/")) parent0
+          if (Snapshots.underRoot(root, meta.path)) new Path(meta.path).getParent
           else root
         val dest = new Path(parent,
           s"part-cow-${java.util.UUID.randomUUID().toString.take(12)}.parquet")
@@ -970,10 +969,9 @@ object TokenSortedWriter {
     // listing-driven fold: a shallow clone's out-of-root (source-owned)
     // files are invisible to the listing, so the rewrite would silently
     // drop their rows — refuse; DML materializes foreign rows locally
-    val rootStr = root.toString.stripSuffix("/") + "/"
     Snapshots.latestVersion(spark, dir).foreach { head =>
       val foreign = Snapshots.files(spark, dir, head)
-        .filterNot(_.startsWith(rootStr))
+        .filterNot(Snapshots.underRoot(root, _))
       if (foreign.nonEmpty)
         throw new UnsupportedOperationException(
           s"compactInPlace on $dir: the snapshot references ${foreign.length} " +
@@ -1110,9 +1108,8 @@ object TokenSortedWriter {
     // files: the packed output would land in the SOURCE's directory, and
     // on dir-partitioned sources the partition value lives in the path.
     // Foreign rows materialize into clone-local files through DML instead.
-    val rootStr = root.toString.stripSuffix("/") + "/"
     val liveAll = Snapshots.resolveListing(spark, dir, head.map(_.toString), listed)
-      .filter(_.path.startsWith(rootStr))
+      .filter(m => Snapshots.underRoot(root, m.path))
     // predicate scoping (CALL optimize(predicate => '…')): restrict
     // candidates to files that MAY hold matching rows — dir keys, column
     // stats, token ranges, all through the scan's own pruner. At 100 TB
@@ -1200,13 +1197,15 @@ object TokenSortedWriter {
     val ridBases: Map[String, Long] =
       head.map(v => Snapshots.rowIdBindings(spark, dir, v)).getOrElse(Map.empty)
     def basename(p: String): String = new Path(p).getName
+    // exists-default-aware reads: a bin of pre-evolution files must not
+    // bake null over a recorded ADD COLUMNS default — the packed file
+    // materializes the fill. Defaults resolved once; bins are
+    // schema-keyed → homogeneous, ONE footer decides each bin's shape
+    val existsDefaults = graft.sources.ExistsDefaults.physicalForDir(spark, dir)
     bins.foreach { bin =>
       val tracked = ridBases.nonEmpty
-      // exists-default-aware, merged-schema read: packing a bin that mixes
-      // schema-evolution generations must neither drop a younger column
-      // (single-footer inference would) nor bake null over a recorded
-      // ADD COLUMNS default — the packed file materializes the fill
-      def binRead = graft.sources.ExistsDefaults.read(spark, dir, bin.map(_.path))
+      def binRead = graft.sources.ExistsDefaults.read(
+        spark, existsDefaults, bin.map(_.path), homogeneous = true)
       val raw =
         if (!tracked) DeletionVectors.applyToRead(
           spark, bin.map(_.path), dvBindings, raw0 = Some(binRead))

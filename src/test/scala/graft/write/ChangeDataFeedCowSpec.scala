@@ -257,6 +257,12 @@ class ChangeDataFeedCowSpec extends SparkSpec {
       if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
     assert(msgs(e).exists(_.contains("not unique per primary key")),
       s"unexpected failure: ${msgs(e).mkString(" | ")}")
+    // the aborted derivation must not leave a partial sidecar stage
+    // behind (vacuum only reclaims log-referenced files)
+    val cdcDir = new org.apache.hadoop.fs.Path(s"$baseDir/db/dup", Snapshots.CdcDir)
+    val fs = cdcDir.getFileSystem(spark.sessionState.newHadoopConf())
+    assert(!fs.exists(cdcDir) || fs.listStatus(cdcDir).isEmpty,
+      "failed DML left a cdc stage dir behind")
   }
 
   test("without changeFeedCow a CoW DML rewrite still refuses the feed") {
