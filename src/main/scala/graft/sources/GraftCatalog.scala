@@ -118,7 +118,10 @@ class GraftCatalog extends TableCatalog
   private[sources] def cloneTable(
       sourceArg: String,
       targetArg: String,
-      version: Option[Long]): (String, Long) = {
+      version: Option[Long],
+      tag: Option[String] = None): (String, Long) = {
+    require(version.isEmpty || tag.isEmpty,
+      "clone: give version OR tag, not both")
     def identOf(arg: String): Identifier = {
       val parts = arg.split('.').toSeq.filter(_.nonEmpty)
       require(parts.nonEmpty, s"bad table argument '$arg' (want '<ns>.<name>')")
@@ -140,10 +143,17 @@ class GraftCatalog extends TableCatalog
     val tgtDir = dirFor(tgtIdent)
     val tf = fs(tgtDir)
     val pairsOut = ((pmap - "location") + ("snapshot" -> "true")).toSeq.sortBy(_._1)
+    // resolve the pin BEFORE the target descriptor exists — a bad tag
+    // must refuse leaving nothing behind
+    val pin = tag match {
+      case Some(t) => Some(graft.write.Snapshots.tagVersion(
+        SparkSession.active, srcData, t))
+      case None => version
+    }
     GraftCatalog.writeMeta(tf, metaPath(tgtDir), schema, pairsOut)
     val v =
       try graft.write.Snapshots.shallowClone(
-        SparkSession.active, srcData, tgtDir.toString, version)
+        SparkSession.active, srcData, tgtDir.toString, pin)
       catch {
         case e: Throwable => tf.delete(metaPath(tgtDir), false); throw e
       }

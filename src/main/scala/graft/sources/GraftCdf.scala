@@ -27,6 +27,7 @@ import org.apache.spark.util.SerializableConfiguration
  *   spark.read.format("graft").option("path", dir)
  *     .option("changeFeedMode", "rows")
  *     .option("startingVersion", "2")          // feed starts AFTER v2
+ *     .option("startingTimestamp", "2024-01-01 00:00:00") // or by time
  *     .option("endingVersion", "7")            // batch only; default head
  *     .load()
  *
@@ -172,7 +173,19 @@ class GraftCdfTable(
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     def opt(key: String): Option[String] =
       Option(options.get(key)).orElse(Option(tableOptions.get(key))).map(_.trim)
-    val startAfter = opt("startingVersion").map(_.toLong).getOrElse(0L)
+    require(!(opt("startingVersion").isDefined && opt("startingTimestamp").isDefined),
+      "changeFeedMode=rows: give startingVersion OR startingTimestamp, not both")
+    // startingTimestamp (the Delta CDF option): deliver every commit
+    // whose wall-clock is AFTER the timestamp — the at-or-before version
+    // is the consumer's assumed baseline, so the feed starts after it.
+    // A timestamp before the first retained commit starts from 0 (all).
+    val startAfter = opt("startingTimestamp") match {
+      case Some(ts) =>
+        val millis = java.sql.Timestamp.valueOf(ts.replace('T', ' ')).getTime
+        try Snapshots.versionAsOf(SparkSession.active, dir, millis)
+        catch { case _: IllegalArgumentException => 0L }
+      case None => opt("startingVersion").map(_.toLong).getOrElse(0L)
+    }
     val endingVersion = opt("endingVersion").map(_.toLong)
     new GraftCdfScanBuilder(dir, schema(), startAfter, endingVersion,
       GraftDataSource.colMapFrom(tableOptions))

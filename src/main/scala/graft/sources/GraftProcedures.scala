@@ -382,7 +382,7 @@ private[sources] object GraftProcedures {
     override def isDeterministic: Boolean = false
     override def parameters(): Array[ProcedureParameter] = Array(
       in("source", StringType), in("target", StringType),
-      in("version", LongType, "-1"))
+      in("version", LongType, "-1"), in("tag", StringType, "''"))
     private val outputSchema: StructType = StructType(Seq(
       StructField("clone_location", StringType, nullable = false),
       StructField("version", LongType, nullable = false)))
@@ -392,7 +392,10 @@ private[sources] object GraftProcedures {
       val version =
         if (input.isNullAt(2) || input.getLong(2) < 0) None
         else Some(input.getLong(2))
-      val (dir, v) = catalog.cloneTable(source, target, version)
+      val tag =
+        if (input.isNullAt(3)) None
+        else Option(input.getUTF8String(3).toString.trim).filter(_.nonEmpty)
+      val (dir, v) = catalog.cloneTable(source, target, version, tag)
       val out = Array(row(UTF8String.fromString(dir), v))
       val schema = outputSchema
       java.util.Collections.singletonList[Scan](new LocalScan {

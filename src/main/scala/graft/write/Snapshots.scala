@@ -167,6 +167,11 @@ object Snapshots {
     }.toSeq.sortBy(_._1)
   }
 
+  /** The version a tag names, or a loud refusal listing what exists —
+   *  the public face of tag resolution (clone-by-tag, tooling). */
+  def tagVersion(spark: SparkSession, dir: String, name: String): Long =
+    resolveTag(spark, dir, name)
+
   private def resolveTag(spark: SparkSession, dir: String, name: String): Long =
     tags(spark, dir).collectFirst { case (n, v) if n == name => v }
       .getOrElse(throw new IllegalArgumentException(

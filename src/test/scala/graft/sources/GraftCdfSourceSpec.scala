@@ -71,6 +71,27 @@ class GraftCdfSourceSpec extends SparkSpec {
     assert(e.getMessage.contains("beyond the log head"))
   }
 
+  test("startingTimestamp resolves the consumer's baseline by wall-clock: " +
+      "commits after it deliver, commits at-or-before are the assumed state") {
+    val dir = createMor("byts", rows = 20)
+    val t1 = Snapshots.history(spark, dir).find(_._1 == 1L).get._2
+    Thread.sleep(15) // separate v2's wall-clock from v1's
+    spark.sql(s"UPDATE $catName.db.byts SET v = 0 WHERE id = 5") // v2
+    // a timestamp at v1's commit → v1 is the baseline → feed = v2 only
+    val after1 = canon(cdf(dir, "startingTimestamp" ->
+      new java.sql.Timestamp(t1).toString))
+    assert(after1.nonEmpty && after1.forall(_._4 == 2L), s"got $after1")
+    // a timestamp before the first retained commit → everything
+    val all = canon(cdf(dir, "startingTimestamp" -> "2000-01-01 00:00:00"))
+    assert(all.exists(_._4 == 1L) && all.exists(_._4 == 2L))
+    // both starting options together refuse
+    val e = intercept[Exception] {
+      cdf(dir, "startingVersion" -> "1",
+        "startingTimestamp" -> "2000-01-01 00:00:00").count()
+    }
+    assert(e.getMessage.contains("not both"))
+  }
+
   test("column pruning: data-only, tags-only, and full projections all read") {
     val dir = createMor("prune")
     spark.sql(s"DELETE FROM $catName.db.prune WHERE v = 70")

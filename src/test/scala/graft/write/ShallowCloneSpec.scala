@@ -147,6 +147,37 @@ class ShallowCloneSpec extends SparkSpec {
     assert(msgs(e2).exists(_.contains("dir-partitioned")), s"got: ${msgs(e2)}")
   }
 
+  test("clone pins by VERSION or by TAG (release fork); both-given and " +
+      "unknown tags refuse before creating anything") {
+    spark.sql(s"CREATE TABLE $catName.db.s8 (id BIGINT, v BIGINT) USING graft " +
+      "OPTIONS (pk 'id', partitions '1', snapshot 'true')")
+    spark.sql(s"INSERT INTO $catName.db.s8 VALUES (1, 10), (2, 20)") // v1
+    spark.sql(s"CALL $catName.system.create_tag(table => 'db.s8', name => 'rel')")
+    spark.sql(s"INSERT INTO $catName.db.s8 VALUES (3, 30)")          // v2
+    spark.sql(s"CALL $catName.system.clone(source => 'db.s8', " +
+      "target => 'db.c8', tag => 'rel')")
+    assert(spark.table(s"$catName.db.c8").as[(Long, Long)].collect().toSet ==
+      Set((1L, 10L), (2L, 20L)))
+    spark.sql(s"CALL $catName.system.clone(source => 'db.s8', " +
+      "target => 'db.c8v', version => 2)")
+    assert(spark.table(s"$catName.db.c8v").count() == 3L)
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    val e = intercept[Exception] {
+      spark.sql(s"CALL $catName.system.clone(source => 'db.s8', " +
+        "target => 'db.c8x', version => 1, tag => 'rel')")
+    }
+    assert(msgs(e).exists(_.contains("not both")))
+    val e2 = intercept[Exception] {
+      spark.sql(s"CALL $catName.system.clone(source => 'db.s8', " +
+        "target => 'db.c8y', tag => 'nope')")
+    }
+    assert(msgs(e2).exists(_.contains("no such tag")))
+    // the refused clones left no descriptor behind
+    assert(!spark.catalog.tableExists(s"$catName.db.c8x"))
+    assert(!spark.catalog.tableExists(s"$catName.db.c8y"))
+  }
+
   test("the clone's change feed starts at v1 = the full cloned content; " +
       "clone-side DML events flow from there") {
     spark.sql(s"CREATE TABLE $catName.db.s7 (id BIGINT, v BIGINT) USING graft " +
