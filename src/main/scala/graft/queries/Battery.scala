@@ -2484,6 +2484,33 @@ object Battery {
     // the next null-cell wave allocates from there. In-query requires
     // pin the re-seated mark and the dense continuation; the oracle
     // states payload + id_ok TRUE.
+    // REPLACE TABLE / CREATE OR REPLACE … AS SELECT (RTAS): the full
+    // swap-in-place lifecycle — a populated table is replaced wholesale
+    // by a new definition + content in one statement (the overwrite of
+    // the freshly-created EMPTY table is an append; non-empty log-less
+    // dirs keep the reference sink's Overwrite rejection). The oracle
+    // restates the final replacement closed-form.
+    "q209_replace_table" -> ((s, d) => {
+      val cat = "grpl" + java.util.UUID.randomUUID().toString.take(8)
+      val base = java.nio.file.Files.createTempDirectory("graft_rplq_").toString
+      s.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.base", base)
+      docs(s, d).select(col("doc_id"), col("source"), col("n_chars"))
+        .createOrReplaceTempView("q209_docs")
+      s.sql(s"CREATE TABLE $cat.db.docs USING graft " +
+        "OPTIONS (pk 'doc_id', partitions '2', snapshot 'true') " +
+        "AS SELECT doc_id, source FROM q209_docs WHERE doc_id % 4 = 0")
+      val before = s.table(s"$cat.db.docs").count()
+      s.sql(s"""CREATE OR REPLACE TABLE $cat.db.docs USING graft
+        |OPTIONS (pk 'doc_id', partitions '3', snapshot 'true')
+        |AS SELECT doc_id, source, n_chars FROM q209_docs
+        |WHERE doc_id % 2 = 1""".stripMargin)
+      require(s.table(s"$cat.db.docs").columns.length == 3 &&
+        s.table(s"$cat.db.docs").count() != before,
+        "REPLACE must swap both schema and content")
+      s.table(s"$cat.db.docs").select(col("doc_id"), col("source"), col("n_chars"))
+    }),
+
     // SHALLOW CLONE (CALL system.clone — Delta's CLONE as a procedure):
     // a metadata-only fork whose v1 references the source's files by
     // absolute path; zero data movement at ANY size (the in-query gate
@@ -5470,6 +5497,9 @@ object Battery {
         |       THEN n_chars + 100000 ELSE n_chars END,
         |  'delete', CAST(3 AS BIGINT)
         |FROM documents WHERE doc_id % 11 = 5""".stripMargin,
+    // the replacement's definition, the original's rows gone wholesale
+    "q209_replace_table" ->
+      "SELECT doc_id, source, n_chars FROM documents WHERE doc_id % 2 = 1",
     // the fork's own algebra — the source's post-clone update absent
     "q208_shallow_clone" ->
       """SELECT doc_id, source,

@@ -186,7 +186,16 @@ class GraftCdfTable(
         catch { case _: IllegalArgumentException => 0L }
       case None => opt("startingVersion").map(_.toLong).getOrElse(0L)
     }
-    val endingVersion = opt("endingVersion").map(_.toLong)
+    require(!(opt("endingVersion").isDefined && opt("endingTimestamp").isDefined),
+      "changeFeedMode=rows: give endingVersion OR endingTimestamp, not both")
+    // endingTimestamp: the last commit at-or-before the wall-clock bounds
+    // the batch range (inclusive) — the snapshot a time traveler reads
+    val endingVersion = opt("endingTimestamp") match {
+      case Some(ts) =>
+        val millis = java.sql.Timestamp.valueOf(ts.replace('T', ' ')).getTime
+        Some(Snapshots.versionAsOf(SparkSession.active, dir, millis))
+      case None => opt("endingVersion").map(_.toLong)
+    }
     new GraftCdfScanBuilder(dir, schema(), startAfter, endingVersion,
       GraftDataSource.colMapFrom(tableOptions))
   }

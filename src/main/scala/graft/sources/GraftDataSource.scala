@@ -637,7 +637,18 @@ class GraftTable(
                         "append instead")
                     TokenSortedWriter.overwriteLogged(data, cql, dir, conf)
                   } else {
-                    val mode = if (ow) SaveMode.Overwrite else SaveMode.Append
+                    // overwriting NOTHING is an append: REPLACE TABLE …
+                    // AS SELECT truncates the freshly-created (empty)
+                    // table before its first write — only a non-empty
+                    // log-less dir keeps the reference sink's Overwrite
+                    // rejection (physical destruction needs the opt-in)
+                    val fsp = new org.apache.hadoop.fs.Path(dir)
+                    val pfs = fsp.getFileSystem(
+                      data.sparkSession.sessionState.newHadoopConf())
+                    val empty = ow && (!pfs.exists(fsp) ||
+                      TokenPruner.listDataFiles(pfs, fsp).isEmpty)
+                    val mode =
+                      if (ow && !empty) SaveMode.Overwrite else SaveMode.Append
                     TokenSortedWriter.write(data, cql, dir, mode, conf)
                   }
                   done = true

@@ -411,11 +411,24 @@ private[sources] object GraftProcedures {
   private final class Restore(catalog: GraftCatalog)
       extends MaintenanceProcedure(catalog, "restore") {
     override def parameters(): Array[ProcedureParameter] = Array(
-      tableParam, in("version", LongType))
+      tableParam, in("version", LongType, "-1"),
+      in("timestamp", StringType, "''"))
     override val outputSchema: StructType = StructType(Seq(
       StructField("new_version", LongType, nullable = false)))
     override def run(spark: SparkSession, dir: String, cql: CqlSchema,
-        input: InternalRow): Array[InternalRow] =
-      Array(row(Snapshots.restore(spark, dir, input.getLong(1))))
+        input: InternalRow): Array[InternalRow] = {
+      val version =
+        if (input.isNullAt(1) || input.getLong(1) < 0) None else Some(input.getLong(1))
+      val ts =
+        if (input.isNullAt(2)) None
+        else Option(input.getUTF8String(2).toString.trim).filter(_.nonEmpty)
+      require(version.isDefined ^ ts.isDefined,
+        "restore: give version OR timestamp (exactly one)")
+      // RESTORE TO TIMESTAMP = restore to the snapshot a time traveler
+      // at that wall-clock would read (last commit at-or-before)
+      val target = version.getOrElse(Snapshots.versionAsOf(spark, dir,
+        java.sql.Timestamp.valueOf(ts.get.replace('T', ' ')).getTime))
+      Array(row(Snapshots.restore(spark, dir, target)))
+    }
   }
 }

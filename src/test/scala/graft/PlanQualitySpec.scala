@@ -64,6 +64,59 @@ class PlanQualitySpec extends SparkSpec {
     assert(plan.contains("files=1"), s"expected pruning to 1 file in:\n$plan")
   }
 
+  test("exists-defaults keep the plan lean: filters still push, the " +
+      "defaulted column rides the requested parquet schema (reader-side " +
+      "fill), and token pruning still drops files") {
+    val base = Files.createTempDirectory("graft_plan_exd_").toString
+    spark.conf.set("spark.sql.catalog.pexd",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.pexd.base", base)
+    spark.sql("CREATE TABLE pexd.db.t (id BIGINT, v BIGINT) USING graft " +
+      "OPTIONS (pk 'id', partitions '4', snapshot 'true')")
+    spark.sql("INSERT INTO pexd.db.t SELECT id, id FROM range(1, 401) AS r(id)")
+    spark.sql("ALTER TABLE pexd.db.t ADD COLUMNS (tag STRING DEFAULT 'old')")
+    val df = spark.table("pexd.db.t")
+      .filter(col("id") === 7L).select(col("id"), col("tag"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("pushedKeyTokens=1"),
+      s"pk pushdown lost under exists-defaults:\n$plan")
+    // the fill happens INSIDE the reader (no engine-side projection): the
+    // defaulted column is simply part of the scan's pruned output, and
+    // the unprojected `v` is not
+    val scanLine = plan.linesIterator.find(_.contains("BatchScan")).getOrElse("")
+    val out = scanLine.substring(scanLine.indexOf('['), scanLine.indexOf(']') + 1)
+    assert(out.contains("tag") && !out.contains("v#"),
+      s"defaulted column must ride the pruned scan output: $scanLine")
+    assert(df.collect().map(_.getString(1)).toSeq == Seq("old"))
+    // token pruning still plans a subset for the pk point lookup
+    val all = graft.sources.TokenPruner.listFiles(spark, s"$base/db/t")
+    val kept = graft.sources.TokenPruner.prune(spark, all,
+      Array(org.apache.spark.sql.sources.EqualTo("id", 7L)), CqlSchema("t", Seq("id")))
+    assert(kept.length < all.length, "token pruning must survive exists-defaults")
+  }
+
+  test("a shallow clone's scan token-prunes FOREIGN files: a pk point " +
+      "lookup plans a subset of the source-owned file set") {
+    val base = Files.createTempDirectory("graft_plan_cln_").toString
+    spark.conf.set("spark.sql.catalog.pcln",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.pcln.base", base)
+    spark.sql("CREATE TABLE pcln.db.s (id BIGINT, v BIGINT) USING graft " +
+      "OPTIONS (pk 'id', partitions '4', snapshot 'true')")
+    spark.sql("INSERT INTO pcln.db.s SELECT id, id FROM range(1, 401) AS r(id)")
+    spark.sql("CALL pcln.system.clone(source => 'db.s', target => 'db.c')")
+    val df = spark.table("pcln.db.c").filter(col("id") === 7L)
+    // the scan DESCRIPTION carries the planned file count — foreign files
+    // admitted with manifest/footer stats must still token-prune
+    val desc = df.queryExecution.executedPlan.toString
+      .linesIterator.find(_.contains("GraftScan")).getOrElse("")
+    val planned = "files=(\\d+)".r.findFirstMatchIn(desc).map(_.group(1).toInt)
+    val total = graft.write.Snapshots.files(spark, s"$base/db/c", 1L).length
+    assert(planned.exists(p => p > 0 && p < total),
+      s"clone scan must prune foreign files (planned=$planned of $total): $desc")
+    assert(df.count() == 1L)
+  }
+
   test("ORDER BY pk LIMIT k plans only files that can hold the top-k") {
     val dir = Files.createTempDirectory("graft_topn_").toString + "/t"
     import spark.implicits._

@@ -238,6 +238,42 @@ class CatalogEvolutionSpec extends SparkSpec {
       "CTAS output must carry the token layout")
   }
 
+  test("REPLACE TABLE swaps schema+content; CREATE OR REPLACE … AS SELECT " +
+      "lands (overwriting a freshly-created EMPTY table is an append); " +
+      "the physical-overwrite rejection still guards non-empty dirs") {
+    spark.sql(s"CREATE TABLE $catName.db.rp (id BIGINT, v BIGINT) USING graft " +
+      "OPTIONS (pk 'id', partitions '2', snapshot 'true')")
+    spark.sql(s"INSERT INTO $catName.db.rp VALUES (1, 10), (2, 20)")
+    spark.sql(s"REPLACE TABLE $catName.db.rp (id BIGINT, w STRING) USING graft " +
+      "OPTIONS (pk 'id', partitions '2', snapshot 'true')")
+    assert(spark.table(s"$catName.db.rp").schema.fieldNames.toSeq == Seq("id", "w"))
+    assert(spark.table(s"$catName.db.rp").count() == 0L)
+    spark.sql(s"INSERT INTO $catName.db.rp VALUES (5, 'five')")
+    assert(spark.table(s"$catName.db.rp").count() == 1L)
+
+    spark.sql(s"""CREATE OR REPLACE TABLE $catName.db.rtas USING graft
+                 |OPTIONS (pk 'id', partitions '2', snapshot 'true')
+                 |AS SELECT id, id * 3 AS n FROM range(1, 11) AS r(id)""".stripMargin)
+    assert(spark.table(s"$catName.db.rtas").count() == 10L)
+    // replace-in-place: the second RTAS swaps content wholesale
+    spark.sql(s"""CREATE OR REPLACE TABLE $catName.db.rtas USING graft
+                 |OPTIONS (pk 'id', partitions '2', snapshot 'true')
+                 |AS SELECT id, id AS n FROM range(1, 4) AS r(id)""".stripMargin)
+    assert(spark.table(s"$catName.db.rtas")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set((1L, 1L), (2L, 2L), (3L, 3L)))
+    // a NON-empty log-less dir still refuses a physical overwrite
+    val dir = java.nio.file.Files.createTempDirectory("graft_owrj_").toString + "/t"
+    import spark.implicits._
+    Seq((1L, 1L)).toDF("id", "v").write.format("graft")
+      .option("pk", "id").mode("append").save(dir)
+    val e = intercept[Exception] {
+      Seq((2L, 2L)).toDF("id", "v").write.format("graft")
+        .option("pk", "id").mode("overwrite").save(dir)
+    }
+    assert(e.getMessage.contains("allowOverwrite"), e.getMessage)
+  }
+
   test("SQL namespace DDL: CREATE/SHOW/DROP NAMESPACE over catalog dirs") {
     spark.sql(s"CREATE NAMESPACE $catName.marts")
     val shown = spark.sql(s"SHOW NAMESPACES IN $catName")

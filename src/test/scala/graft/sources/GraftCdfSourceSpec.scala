@@ -90,6 +90,10 @@ class GraftCdfSourceSpec extends SparkSpec {
         "startingTimestamp" -> "2000-01-01 00:00:00").count()
     }
     assert(e.getMessage.contains("not both"))
+    // endingTimestamp bounds the range at the time-traveler's snapshot
+    val upTo1 = canon(cdf(dir, "startingTimestamp" -> "2000-01-01 00:00:00",
+      "endingTimestamp" -> new java.sql.Timestamp(t1).toString))
+    assert(upTo1.nonEmpty && upTo1.forall(_._4 == 1L), s"got $upTo1")
   }
 
   test("column pruning: data-only, tags-only, and full projections all read") {

@@ -92,6 +92,16 @@ class GraftProceduresSpec extends SparkSpec {
       s"version => $v1)").collect().head.getLong(0)
     assert(nv > v1 + 1)
     assert(spark.table(s"$catName.db.rst").count() == 30L)
+    // RESTORE TO TIMESTAMP: the wall-clock of the 31-row head restores it
+    val t31 = Snapshots.history(spark, dir).find(_._1 == v1 + 1).get._2
+    spark.sql(s"CALL $catName.system.restore(table => 'db.rst', " +
+      s"timestamp => '${new java.sql.Timestamp(t31)}')")
+    assert(spark.table(s"$catName.db.rst").count() == 31L)
+    // neither or both selectors refuse
+    val e = intercept[Exception] {
+      spark.sql(s"CALL $catName.system.restore(table => 'db.rst')")
+    }
+    assert(e.getMessage.contains("exactly one"), e.getMessage)
   }
 
   test("CALL system.vacuum_orphans sweeps uncommitted debris (dry_run first)") {
