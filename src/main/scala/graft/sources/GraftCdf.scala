@@ -175,14 +175,15 @@ class GraftCdfTable(
       Option(options.get(key)).orElse(Option(tableOptions.get(key))).map(_.trim)
     require(!(opt("startingVersion").isDefined && opt("startingTimestamp").isDefined),
       "changeFeedMode=rows: give startingVersion OR startingTimestamp, not both")
-    // startingTimestamp (the Delta CDF option): deliver every commit
-    // whose wall-clock is AFTER the timestamp — the at-or-before version
-    // is the consumer's assumed baseline, so the feed starts after it.
+    // startingTimestamp (the Delta CDF option, INCLUSIVE at the boundary:
+    // commits AT or after the timestamp deliver): the baseline is the
+    // last version committed STRICTLY BEFORE the timestamp, and the feed
+    // starts after it. Session-zone parsing, like every Spark timestamp.
     // A timestamp before the first retained commit starts from 0 (all).
     val startAfter = opt("startingTimestamp") match {
       case Some(ts) =>
-        val millis = java.sql.Timestamp.valueOf(ts.replace('T', ' ')).getTime
-        try Snapshots.versionAsOf(SparkSession.active, dir, millis)
+        val millis = Snapshots.parseTimestampMillis(SparkSession.active, ts)
+        try Snapshots.versionAsOf(SparkSession.active, dir, millis - 1L)
         catch { case _: IllegalArgumentException => 0L }
       case None => opt("startingVersion").map(_.toLong).getOrElse(0L)
     }
@@ -191,9 +192,8 @@ class GraftCdfTable(
     // endingTimestamp: the last commit at-or-before the wall-clock bounds
     // the batch range (inclusive) — the snapshot a time traveler reads
     val endingVersion = opt("endingTimestamp") match {
-      case Some(ts) =>
-        val millis = java.sql.Timestamp.valueOf(ts.replace('T', ' ')).getTime
-        Some(Snapshots.versionAsOf(SparkSession.active, dir, millis))
+      case Some(ts) => Some(Snapshots.versionAsOf(SparkSession.active, dir,
+        Snapshots.parseTimestampMillis(SparkSession.active, ts)))
       case None => opt("endingVersion").map(_.toLong)
     }
     new GraftCdfScanBuilder(dir, schema(), startAfter, endingVersion,

@@ -649,7 +649,15 @@ class GraftTable(
                       TokenPruner.listDataFiles(pfs, fsp).isEmpty)
                     val mode =
                       if (ow && !empty) SaveMode.Overwrite else SaveMode.Append
-                    TokenSortedWriter.write(data, cql, dir, mode, conf)
+                    // the emptiness probe is check-then-act: on a logged
+                    // table the COMMIT re-asserts it (expectEmpty), so two
+                    // racing overwrite-of-empty writers refuse instead of
+                    // silently unioning. Log-less empties keep plain-append
+                    // semantics (identical to legal concurrent appends).
+                    TokenSortedWriter.write(data, cql, dir, mode,
+                      if (empty && conf.snapshot)
+                        conf.copy(expectEmptyLog = true)
+                      else conf)
                   }
                   done = true
                 } catch {

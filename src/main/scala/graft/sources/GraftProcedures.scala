@@ -425,9 +425,10 @@ private[sources] object GraftProcedures {
       require(version.isDefined ^ ts.isDefined,
         "restore: give version OR timestamp (exactly one)")
       // RESTORE TO TIMESTAMP = restore to the snapshot a time traveler
-      // at that wall-clock would read (last commit at-or-before)
+      // at that wall-clock would read (last commit at-or-before,
+      // session-zone parsing)
       val target = version.getOrElse(Snapshots.versionAsOf(spark, dir,
-        java.sql.Timestamp.valueOf(ts.get.replace('T', ' ')).getTime))
+        Snapshots.parseTimestampMillis(spark, ts.get)))
       Array(row(Snapshots.restore(spark, dir, target)))
     }
   }

@@ -80,16 +80,32 @@ object Manifest {
       }
     }
     if (metas.isEmpty) return
-    val out = fs.create(new Path(root,
-      s"$Dir/manifest-${java.util.UUID.randomUUID().toString.take(12)}.tsv"), false)
-    try out.write(metas.map(line(root, _)).mkString("", "\n", "\n")
-      .getBytes(StandardCharsets.UTF_8))
-    finally out.close()
+    writeFragment(fs, root, metas)
     // opportunistic fold: bounds cold plan-time manifest reads to
     // O(CompactThreshold) driver round-trips however many batches ever land
     val fragCount = fs.listStatus(new Path(root, Dir))
       .count(_.getPath.getName.endsWith(".tsv"))
     if (fragCount > CompactThreshold) compact(spark, tableDir)
+  }
+
+  /** Write one manifest fragment; a FAILED write deletes the partial file
+   *  before rethrowing — a truncated line can still parse as a
+   *  plausible-but-wrong stat (e.g. a cut-short max) and silently
+   *  misprune every later scan. */
+  private def writeFragment(fs: FileSystem, root: Path, metas: Seq[FileMeta]): Unit = {
+    val p = new Path(root,
+      s"$Dir/manifest-${java.util.UUID.randomUUID().toString.take(12)}.tsv")
+    try {
+      val out = fs.create(p, false)
+      try out.write(metas.map(line(root, _)).mkString("", "\n", "\n")
+        .getBytes(StandardCharsets.UTF_8))
+      finally out.close()
+    } catch {
+      case e: Throwable =>
+        try fs.delete(p, false)
+        catch { case _: java.io.IOException => () }
+        throw e
+    }
   }
 
   /** Persist manifest rows computed elsewhere — the shallow-clone path
@@ -101,12 +117,7 @@ object Manifest {
   def appendMetas(spark: SparkSession, tableDir: String, metas: Seq[FileMeta]): Unit = {
     if (metas.isEmpty) return
     val fs = new Path(tableDir).getFileSystem(spark.sessionState.newHadoopConf())
-    val root = fs.makeQualified(new Path(tableDir))
-    val out = fs.create(new Path(root,
-      s"$Dir/manifest-${java.util.UUID.randomUUID().toString.take(12)}.tsv"), false)
-    try out.write(metas.map(line(root, _)).mkString("", "\n", "\n")
-      .getBytes(StandardCharsets.UTF_8))
-    finally out.close()
+    writeFragment(fs, fs.makeQualified(new Path(tableDir)), metas)
   }
 
   /** All manifest entries for a table dir, keyed by absolute file path.

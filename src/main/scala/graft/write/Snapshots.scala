@@ -172,6 +172,22 @@ object Snapshots {
   def tagVersion(spark: SparkSession, dir: String, name: String): Long =
     resolveTag(spark, dir, name)
 
+  /** Parse a user-facing timestamp argument (CDC starting/ending,
+   *  RESTORE TO TIMESTAMP) to epoch millis IN THE SESSION TIME ZONE —
+   *  Spark's own literal parser, so `spark.sql.session.timeZone`
+   *  governs exactly like every other timestamp the engine touches
+   *  (JVM-default parsing would silently shift the resolved version). */
+  def parseTimestampMillis(spark: SparkSession, s: String): Long = {
+    val zone = org.apache.spark.sql.catalyst.util.DateTimeUtils
+      .getZoneId(spark.sessionState.conf.sessionLocalTimeZone)
+    org.apache.spark.sql.catalyst.util.DateTimeUtils
+      .stringToTimestamp(org.apache.spark.unsafe.types.UTF8String.fromString(s), zone)
+      .map(_ / 1000L)
+      .getOrElse(throw new IllegalArgumentException(
+        s"cannot parse timestamp '$s' (want e.g. '2024-06-01 12:00:00', " +
+          "session-zone semantics)"))
+  }
+
   private def resolveTag(spark: SparkSession, dir: String, name: String): Long =
     tags(spark, dir).collectFirst { case (n, v) if n == name => v }
       .getOrElse(throw new IllegalArgumentException(
@@ -509,12 +525,13 @@ object Snapshots {
       spark: SparkSession, dir: String, added: Seq[String],
       txn: Option[(String, Long)],
       rowTracking: Boolean = false,
-      idUpdate: Map[String, (Long, Long)] = Map.empty): Long = {
+      idUpdate: Map[String, (Long, Long)] = Map.empty,
+      expectEmpty: Boolean = false): Long = {
     txn.foreach { case (appId, _) =>
       require(appId.nonEmpty && !appId.exists(c => c == '\t' || c == '\n' || c == '\r'),
         s"txn appId must be non-empty and tab/newline-free, got '$appId'") }
     commitLoop(spark, dir, txnUpdate = txn, rowTracking = rowTracking,
-      idUpdate = idUpdate) { case (base, dvs) =>
+      idUpdate = idUpdate, expectEmpty = expectEmpty) { case (base, dvs) =>
       (base ++ added.filterNot(base.toSet), dvs)
     }
   }
@@ -863,7 +880,7 @@ object Snapshots {
     val doomed = (drop.flatMap(readFiles(f, root, _)).distinct.filterNot(keptFiles) ++
       drop.flatMap(readDvs(f, root, _).values).distinct.filterNot(keptDvs) ++
       drop.flatMap(readCdcs(f, root, _)).distinct.filterNot(keptCdcs))
-      .filter(underRoot(root, _))
+      .filter(underRoot(root))
     if (dryRun) return doomed // report what WOULD go; touch nothing
     doomed.foreach(p => f.delete(new Path(p), false))
     drop.foreach(v => f.delete(vPath(root, v), false))
@@ -1425,8 +1442,12 @@ object Snapshots {
     val existsDefaults = graft.sources.ExistsDefaults.physicalForDir(spark, dir)
     events.foreach { e =>
       if (e.added.nonEmpty) {
+        // NOT homogeneous: one event's added files normally share a write
+        // schema, but a shallow clone's v1 (the whole source) spans every
+        // source generation — single-footer inference there would fill
+        // the default over stored values or drop younger columns
         val raw = graft.sources.ExistsDefaults.read(
-          spark, existsDefaults, e.added, homogeneous = true)
+          spark, existsDefaults, e.added)
         val withRid =
           if (!withRowIds) raw
           // look up per added path (the version's full binding map can be
@@ -1555,7 +1576,7 @@ object Snapshots {
     // a SHALLOW CLONE's log references files OUTSIDE the table root
     // (the source's data) — they can never appear in this dir's listing;
     // admit them with manifest-first/footer stats instead
-    val (local, foreign) = want.partition(underRoot(root, _))
+    val (local, foreign) = want.partition(underRoot(root))
     val have = all.filter(m => local.contains(m.path))
     if (have.length != local.size) {
       val missing = (local -- have.map(_.path)).toSeq.sorted
@@ -1579,6 +1600,12 @@ object Snapshots {
    *  delete scope, [[filterListing]]'s foreign admission, the
    *  maintenance guards) — paths compare as qualified URI strings, the
    *  same spelling [[relativize]] keys on, so the sites cannot diverge. */
-  def underRoot(root: Path, path: String): Boolean =
-    path.startsWith(root.toString.stripSuffix("/") + "/")
+  def underRoot(root: Path, path: String): Boolean = underRoot(root)(path)
+
+  /** Prefix-hoisted form for per-file loops: `Path.toString` rebuilds the
+   *  URI string every call — compute the prefix once per listing. */
+  def underRoot(root: Path): String => Boolean = {
+    val prefix = root.toString.stripSuffix("/") + "/"
+    p => p.startsWith(prefix)
+  }
 }

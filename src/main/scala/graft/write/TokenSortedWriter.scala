@@ -130,7 +130,12 @@ object TokenSortedWriter {
       // column → (next value the write allocated FROM, next value after).
       // The commit fails ConcurrentCommit when the base mark moved —
       // identity values are baked into the files ([[Snapshots]] `idhwm`).
-      identityUpdate: Map[String, (Long, Long)] = Map.empty)
+      identityUpdate: Map[String, (Long, Long)] = Map.empty,
+      // "This write replaces an EMPTY table" (REPLACE TABLE … AS SELECT's
+      // truncate of the freshly-created table): the commit refuses if any
+      // version landed since the emptiness check — two racing
+      // overwrite-of-empty writers must not silently union.
+      expectEmptyLog: Boolean = false)
 
   /** Directory-key twin of a partitioned column (see `WriteConf.partitionBy`). */
   def partCol(c: String): String = s"graft_p_$c"
@@ -453,7 +458,8 @@ object TokenSortedWriter {
       if (conf.ringSplits > 0) Some(conf.ringSplits) else None)
     if (conf.snapshot)
       try Snapshots.commitAppend(df.sparkSession, path, added, conf.streamTxn,
-        rowTracking = conf.rowTracking, idUpdate = conf.identityUpdate)
+        rowTracking = conf.rowTracking, idUpdate = conf.identityUpdate,
+        expectEmpty = conf.expectEmptyLog)
       catch {
         case e: Snapshots.ConcurrentCommitException =>
           // thrown strictly BEFORE the exclusive create — the commit
@@ -1108,8 +1114,9 @@ object TokenSortedWriter {
     // files: the packed output would land in the SOURCE's directory, and
     // on dir-partitioned sources the partition value lives in the path.
     // Foreign rows materialize into clone-local files through DML instead.
+    val inRoot = Snapshots.underRoot(root)
     val liveAll = Snapshots.resolveListing(spark, dir, head.map(_.toString), listed)
-      .filter(m => Snapshots.underRoot(root, m.path))
+      .filter(m => inRoot(m.path))
     // predicate scoping (CALL optimize(predicate => '…')): restrict
     // candidates to files that MAY hold matching rows — dir keys, column
     // stats, token ranges, all through the scan's own pruner. At 100 TB

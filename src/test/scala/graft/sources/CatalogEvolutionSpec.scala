@@ -272,6 +272,19 @@ class CatalogEvolutionSpec extends SparkSpec {
         .option("pk", "id").mode("overwrite").save(dir)
     }
     assert(e.getMessage.contains("allowOverwrite"), e.getMessage)
+    // the empty→append relaxation holds its guard INSIDE the commit: a
+    // version landing after the emptiness probe refuses instead of
+    // silently unioning two "overwrites of nothing"
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_owee_").toString + "/t"
+    graft.write.Snapshots.commitAppend(spark, dir2, Nil)
+    val e2 = intercept[graft.write.Snapshots.ConcurrentCommitException] {
+      graft.write.TokenSortedWriter.write(
+        Seq((1L, 1L)).toDF("id", "v"), graft.model.CqlSchema("t", Seq("id")),
+        dir2, org.apache.spark.sql.SaveMode.Append,
+        graft.write.TokenSortedWriter.WriteConf(
+          numPartitions = 1, snapshot = true, expectEmptyLog = true))
+    }
+    assert(e2.getMessage.contains("EMPTY log"), e2.getMessage)
   }
 
   test("SQL namespace DDL: CREATE/SHOW/DROP NAMESPACE over catalog dirs") {

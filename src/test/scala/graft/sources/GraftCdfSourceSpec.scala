@@ -77,9 +77,15 @@ class GraftCdfSourceSpec extends SparkSpec {
     val t1 = Snapshots.history(spark, dir).find(_._1 == 1L).get._2
     Thread.sleep(15) // separate v2's wall-clock from v1's
     spark.sql(s"UPDATE $catName.db.byts SET v = 0 WHERE id = 5") // v2
-    // a timestamp at v1's commit → v1 is the baseline → feed = v2 only
+    // INCLUSIVE boundary (Delta semantics): a timestamp EXACTLY at v2's
+    // commit delivers v2; one just after v1's commit delivers v2 only
+    val t2 = Snapshots.history(spark, dir).find(_._1 == 2L).get._2
+    val atV2 = canon(cdf(dir, "startingTimestamp" ->
+      new java.sql.Timestamp(t2).toString))
+    assert(atV2.nonEmpty && atV2.forall(_._4 == 2L),
+      s"exact-boundary commit must deliver: $atV2")
     val after1 = canon(cdf(dir, "startingTimestamp" ->
-      new java.sql.Timestamp(t1).toString))
+      new java.sql.Timestamp(t1 + 1).toString))
     assert(after1.nonEmpty && after1.forall(_._4 == 2L), s"got $after1")
     // a timestamp before the first retained commit → everything
     val all = canon(cdf(dir, "startingTimestamp" -> "2000-01-01 00:00:00"))

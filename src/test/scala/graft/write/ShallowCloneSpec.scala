@@ -147,6 +147,24 @@ class ShallowCloneSpec extends SparkSpec {
     assert(msgs(e2).exists(_.contains("dir-partitioned")), s"got: ${msgs(e2)}")
   }
 
+  test("the clone's v1 feed spans mixed source generations: stored values " +
+      "of a defaulted column survive (no single-footer inference), the " +
+      "pre-evolution rows fill the default") {
+    spark.sql(s"CREATE TABLE $catName.db.s9 (id BIGINT, v BIGINT) USING graft " +
+      "OPTIONS (pk 'id', partitions '1', snapshot 'true')")
+    spark.sql(s"INSERT INTO $catName.db.s9 SELECT id, id FROM range(1, 6) AS r(id)")
+    spark.sql(s"ALTER TABLE $catName.db.s9 ADD COLUMNS (tag STRING DEFAULT 'old')")
+    spark.sql(s"INSERT INTO $catName.db.s9 VALUES (100, 100, 'new')")
+    spark.sql(s"CALL $catName.system.clone(source => 'db.s9', target => 'db.c9')")
+    val dir = s"$baseDir/db/c9"
+    // the clone's v1 event set references BOTH generations in ONE commit
+    val ev = Snapshots.readChangesWithDeletes(spark, dir, 0L, 1L)
+      .select(col("id"), col("tag")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(ev == ((1L to 5L).map(_ -> "old").toSet + (100L -> "new")),
+      s"mixed-generation clone feed corrupted the defaulted column: $ev")
+  }
+
   test("clone pins by VERSION or by TAG (release fork); both-given and " +
       "unknown tags refuse before creating anything") {
     spark.sql(s"CREATE TABLE $catName.db.s8 (id BIGINT, v BIGINT) USING graft " +
