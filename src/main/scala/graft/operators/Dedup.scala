@@ -309,6 +309,50 @@ object Dedup {
       maxHamming: Int = 3): DataFrame =
     dropByPairs(df, idCol, simhashPairs(df, idCol, textCol, maxHamming))
 
+  // ---------- image near-dup (perceptual hash + Hamming LSH) -----------
+
+  /** 64-bit average hash of an image blob (REAL PNG/BMP pixel decode —
+   *  [[graft.functions.ImagePixels]]); null for undecodable bytes. */
+  def imageAHash(blob: Column): Column = graft.functions.ImageAHash(blob)
+
+  /** 64-bit difference hash (horizontal gradient sign) of an image blob. */
+  def imageDHash(blob: Column): Column = graft.functions.ImageDHash(blob)
+
+  /**
+   * Image near-dup pairs: decode pixels (real PNG/BMP decode), hash to 64
+   * bits (aHash by default, dHash optionally), then the same pigeonhole
+   * Hamming LSH as [[simhashPairs]]. Byte-different re-encodes of the same
+   * pixels (filter choice, IDAT chunking, PNG↔BMP, row order) collapse at
+   * Hamming 0; small edits land within a few bits.
+   *
+   * Scale shape: the blob column is touched exactly once, in the map-side
+   * hash projection — everything downstream (explode, self-join, verify)
+   * moves only (id, 8-byte hash). Undecodable blobs drop out of the pair
+   * mining (null hash), they are data, not errors.
+   */
+  def imageHashPairs(
+      df: DataFrame,
+      idCol: String,
+      blobCol: String,
+      maxHamming: Int = 3,
+      useDHash: Boolean = false): DataFrame = {
+    val h = if (useDHash) imageDHash(col(blobCol)) else imageAHash(col(blobCol))
+    hammingPairs(df.select(col(idCol).as("id"), h.as("sh")), maxHamming)
+  }
+
+  /**
+   * Image near-dup REMOVAL: keep the min-id image of every transitive
+   * perceptual-hash cluster, same cluster-then-anti-join shape as
+   * [[dropNearDuplicates]]. Undecodable blobs always survive (no hash ⇒
+   * no edges).
+   */
+  def dropNearDuplicateImages(
+      df: DataFrame,
+      idCol: String,
+      blobCol: String,
+      maxHamming: Int = 3): DataFrame =
+    dropByPairs(df, idCol, imageHashPairs(df, idCol, blobCol, maxHamming))
+
   // ---------- containment (asymmetric doc-in-doc) ----------------------
 
   /**
@@ -873,11 +917,24 @@ object Dedup {
       df: DataFrame,
       idCol: String,
       textCol: String,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3): DataFrame =
+    hammingPairs(
+      df.select(col(idCol).as("id"), simhash64(col(textCol)).as("sh")),
+      maxHamming)
+
+  /**
+   * Generic 64-bit-signature Hamming-LSH pair miner over a prepared
+   * (id, sh: long) frame — the pigeonhole core shared by [[simhashPairs]]
+   * (text) and [[imageHashPairs]] (perceptual image hashes). Exact: the
+   * block cover guarantees every pair within `maxHamming` collides on at
+   * least one bucket, and the final `bit_count(XOR)` verify is precise —
+   * no false positives or negatives at the hash level.
+   */
+  def hammingPairs(sigsIn: DataFrame, maxHamming: Int): DataFrame = {
     require(maxHamming >= 1 && maxHamming <= 31, s"maxHamming out of range: $maxHamming")
     val blocks = maxHamming + 1
     val bits = 64 / blocks
-    val sigs = df.select(col(idCol).as("id"), simhash64(col(textCol)).as("sh"))
+    val sigs = sigsIn.select(col("id"), col("sh")).filter(col("sh").isNotNull)
     // last block absorbs the remainder bits so the d+1 blocks cover all 64
     // (otherwise a differing uncovered bit voids the pigeonhole guarantee)
     val blockExprs: Seq[Column] = (0 until blocks).map { b =>

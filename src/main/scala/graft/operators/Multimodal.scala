@@ -15,11 +15,13 @@ import org.apache.spark.sql.types._
  *  - METADATA decode is REAL: container sniffing from magic bytes plus
  *    headers-only width/height/channels/format parsing of PNG/GIF/JPEG/BMP
  *    ([[graft.functions.ImageHeaders]], dependency-free, codegen'd).
- *  - PIXEL decode (luma, features) is STUBBED behind the [[ImageDecoder]]
- *    seam (this container has no codec libraries): [[StubDecoder]] produces
- *    deterministic fake features. The plumbing — schema contract,
- *    partition-wise batching, memory-bounded iteration — is real and
- *    tested; swapping in a JNI/JavaCV decoder is a one-class change.
+ *  - PIXEL decode is REAL for PNG and BMP ([[graft.functions.ImagePixels]]:
+ *    JDK Inflater, all five PNG filters, palette/gray/RGB/RGBA, both BMP
+ *    row orders) — [[PixelDecoder]] is the default. Formats that genuinely
+ *    need a codec library (JPEG/WebP entropy decode) stay behind the
+ *    [[ImageDecoder]] seam: [[StubDecoder]] produces deterministic fake
+ *    features for plumbing tests; swapping in a JNI/JavaCV decoder is a
+ *    one-class change.
  *
  * Scale notes (100 TB of blobs):
  *  - Metadata extraction (length, hash, magic sniffing) is pure Column
@@ -96,13 +98,34 @@ object Multimodal {
   /** Decoded-image feature contract. */
   final case class ImageFeatures(width: Int, height: Int, channels: Int, meanLuma: Double)
 
-  /** Pluggable decoder seam. Production impl would wrap a real codec. */
+  /** Pluggable decoder seam; null result = undecodable (rides along as
+   *  null features, never an exception). */
   trait ImageDecoder extends Serializable {
     def decode(bytes: Array[Byte]): ImageFeatures
   }
 
+  /** REAL decoder: PNG/BMP pixels via [[graft.functions.ImagePixels]]
+   *  (JDK-only inflate + unfilter), channels from the container header,
+   *  mean luma over the decoded grayscale. Null for formats that need an
+   *  entropy codec (JPEG/WebP) — plug a codec-backed [[ImageDecoder]] for
+   *  those. */
+  object PixelDecoder extends ImageDecoder {
+    override def decode(bytes: Array[Byte]): ImageFeatures = {
+      val img = graft.functions.ImagePixels.decodeLuma(bytes)
+      if (img == null) return null
+      val dims = graft.functions.ImageHeaders.parse(bytes)
+      var sum = 0L
+      var i = 0
+      while (i < img.luma.length) { sum += img.luma(i) & 0xff; i += 1 }
+      ImageFeatures(img.width, img.height,
+        if (dims == null) 1 else dims.channels,
+        if (img.luma.isEmpty) 0.0 else sum.toDouble / img.luma.length / 255.0)
+    }
+  }
+
   /** Deterministic fake decoder: features derived from content bytes so
-   *  tests are reproducible. Clearly a stub — DO NOT ship. */
+   *  plumbing tests are reproducible without any decodable payload.
+   *  Clearly a stub — DO NOT ship. */
   object StubDecoder extends ImageDecoder {
     override def decode(bytes: Array[Byte]): ImageFeatures = {
       val h = graft.token.Murmur3Token.token(bytes)
@@ -123,17 +146,17 @@ object Multimodal {
    * Iterator-to-iterator (lazy) — constant memory per task.
    */
   def decodeImages(df: DataFrame, blobCol: String,
-                   decoder: ImageDecoder = StubDecoder): DataFrame = {
+                   decoder: ImageDecoder = PixelDecoder): DataFrame = {
     val outSchema = StructType(df.schema.fields ++ featSchema.fields)
     val idx = df.schema.fieldIndex(blobCol)
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
     df.mapPartitions { rows =>
       rows.map { r =>
         val bytes = r.getAs[Array[Byte]](idx)
-        // null blobs are data, not exceptions: null features ride along
-        if (bytes == null) Row.fromSeq(r.toSeq ++ Seq[Any](null, null, null, null))
+        // null/undecodable blobs are data, not exceptions: null features
+        val f = if (bytes == null) null else decoder.decode(bytes)
+        if (f == null) Row.fromSeq(r.toSeq ++ Seq[Any](null, null, null, null))
         else {
-          val f = decoder.decode(bytes)
           // Seq[Any] — a bare Seq(int, int, int, double) would widen the ints
           // to Double and break the encoder's INT fields
           Row.fromSeq(r.toSeq ++ Seq[Any](f.width, f.height, f.channels, f.meanLuma))

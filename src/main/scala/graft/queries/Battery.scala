@@ -2490,6 +2490,96 @@ object Battery {
     // the freshly-created EMPTY table is an append; non-empty log-less
     // dirs keep the reference sink's Overwrite rejection). The oracle
     // restates the final replacement closed-form.
+    // REAL image pixel decode + perceptual near-dup (ImagePixels +
+    // Dedup.imageHashPairs): every document becomes an 8×8 grayscale image
+    // whose pixels plant the closed-form 64-bit pattern
+    // P = (doc_id%64)·0x0101010101010101 (docs with (doc_id div 7)%5 = 0
+    // additionally flip one pixel), encoded SEVEN byte-different ways —
+    // PNG filters None/Sub/Up/Average/Paeth (half with split IDAT) plus
+    // BMP bottom-up and top-down. The aHash must equal P EXACTLY (gating
+    // inflate, all five filter reconstructions, and both BMP row walks),
+    // and the Hamming-LSH near-dup mining must match the oracle's exact
+    // O(n²) bit_count self-join.
+    "q210_image_neardup" -> ((s, d) => {
+      import s.implicits._
+      import graft.functions.ImageCodec
+      val blobs = docs(s, d).select(col("doc_id")).as[Long].map { id =>
+        val g = (id % 64).toInt
+        val p0 = g.toLong * 0x0101010101010101L
+        val p = if ((id / 7) % 5 == 0) p0 ^ (1L << (id % 63).toInt) else p0
+        val px = Array.tabulate[Byte](64)(i =>
+          if (((p >>> (63 - i)) & 1L) == 1L) 255.toByte else 0)
+        val bytes = (id % 7).toInt match {
+          case 5 => ImageCodec.encodeBmpGray(8, 8, px)
+          case 6 => ImageCodec.encodeBmpGray(8, 8, px, topDown = true)
+          case f => ImageCodec.encodePng(8, 8, 1, px, filterType = f,
+            idatChunks = if (id % 2 == 0) 2 else 1)
+        }
+        (id, bytes)
+      }.toDF("doc_id", "blob")
+      val dups = Dedup.imageHashPairs(blobs, "doc_id", "blob", maxHamming = 3)
+        .select(col("id_b").as("doc_id")).distinct()
+        .withColumn("dup", lit(1))
+      blobs
+        .withColumn("__l", graft.functions.ImageLuma(col("blob")))
+        .withColumn("ahash", Dedup.imageAHash(col("blob")))
+        .join(dups, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("__l.width").as("img_w"),
+          col("__l.height").as("img_h"), col("ahash"),
+          coalesce(col("dup"), lit(0)).as("is_dup"))
+    }),
+
+    // dHash over 9×8 images: column 8 dark, columns 0–7 plant P — the
+    // horizontal-gradient hash then has the closed form
+    // (P & ~(P<<1) & ~M) | (P & M) with M = 0x0101010101010101 (row-end
+    // bits compare against the dark column), which the oracle computes
+    // with pure bit algebra. Same seven encoding variants as q210.
+    "q211_image_dhash" -> ((s, d) => {
+      import s.implicits._
+      import graft.functions.ImageCodec
+      val blobs = docs(s, d).select(col("doc_id")).as[Long].map { id =>
+        val p = (id % 64) * 0x0101010101010101L
+        val px = new Array[Byte](72)
+        var y = 0
+        while (y < 8) {
+          var x = 0
+          while (x < 8) {
+            px(y * 9 + x) =
+              if (((p >>> (63 - (y * 8 + x))) & 1L) == 1L) 255.toByte else 0
+            x += 1
+          }
+          y += 1
+        }
+        val bytes = (id % 7).toInt match {
+          case 5 => ImageCodec.encodeBmpGray(9, 8, px)
+          case 6 => ImageCodec.encodeBmpGray(9, 8, px, topDown = true)
+          case f => ImageCodec.encodePng(9, 8, 1, px, filterType = f)
+        }
+        (id, bytes)
+      }.toDF("doc_id", "blob")
+      blobs.select(col("doc_id"), Dedup.imageDHash(col("blob")).as("dhash"))
+    }),
+
+    // REAL PCM sample decode (AudioStats): WAV blobs carry 16-bit PCM whose
+    // samples are the closed form ((doc_id·31 + k·17) mod 65536) − 32768;
+    // the engine folds peak / exact Σs² / clipped / silent counts out of
+    // the bytes, the oracle replays the identical fold per doc via
+    // generate_series.
+    "q212_wav_stats" -> ((s, d) => {
+      import s.implicits._
+      import graft.functions.AudioCodec
+      val blobs = docs(s, d).select(col("doc_id")).as[Long].map { id =>
+        val n = (id % 100 + 40).toInt
+        val samples = Array.tabulate(n)(k => (((id * 31 + k * 17) % 65536) - 32768).toInt)
+        (id, AudioCodec.encodeWavPcm16(16000, 1, samples))
+      }.toDF("doc_id", "blob")
+      blobs.select(col("doc_id"),
+          graft.functions.AudioStats(col("blob"), 1000).as("__st"))
+        .select(col("doc_id"), col("__st.n_samples").as("n_samples"),
+          col("__st.peak").as("peak"), col("__st.sum_sq").as("sum_sq"),
+          col("__st.n_clipped").as("n_clipped"), col("__st.n_silent").as("n_silent"))
+    }),
+
     "q209_replace_table" -> ((s, d) => {
       val cat = "grpl" + java.util.UUID.randomUUID().toString.take(8)
       val base = java.nio.file.Files.createTempDirectory("graft_rplq_").toString
@@ -5497,6 +5587,44 @@ object Battery {
         |       THEN n_chars + 100000 ELSE n_chars END,
         |  'delete', CAST(3 AS BIGINT)
         |FROM documents WHERE doc_id % 11 = 5""".stripMargin,
+    // the planted pattern P is the aHash closed-form; near-dup ground
+    // truth is the exact O(n²) Hamming self-join over the same P values
+    "q210_image_neardup" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    CASE WHEN (doc_id // 7) % 5 = 0
+        |      THEN xor((doc_id % 64) * 72340172838076673,
+        |                1::BIGINT << CAST(doc_id % 63 AS INTEGER))
+        |      ELSE (doc_id % 64) * 72340172838076673 END AS ahash
+        |  FROM documents)
+        |SELECT a.doc_id, 8 AS img_w, 8 AS img_h, a.ahash,
+        |  CASE WHEN EXISTS (SELECT 1 FROM h b WHERE b.doc_id < a.doc_id
+        |    AND bit_count(xor(a.ahash, b.ahash)) <= 3) THEN 1 ELSE 0 END AS is_dup
+        |FROM h a""".stripMargin,
+    // pure bit algebra: gradient-sign of the planted row patterns
+    "q211_image_dhash" ->
+      """WITH h AS (
+        |  SELECT doc_id, (doc_id % 64) * 72340172838076673 AS p
+        |  FROM documents)
+        |SELECT doc_id,
+        |  ((p & ~(p << 1) & ~72340172838076673) | (p & 72340172838076673)) AS dhash
+        |FROM h""".stripMargin,
+    // the identical per-sample fold, replayed via generate_series
+    "q212_wav_stats" ->
+      """SELECT d.doc_id,
+        |  CAST(d.doc_id % 100 + 40 AS BIGINT) AS n_samples,
+        |  max(abs(s.v)) AS peak,
+        |  CAST(sum(s.v * s.v) AS BIGINT) AS sum_sq,
+        |  CAST(sum(CASE WHEN s.v = 32767 OR s.v = -32768 THEN 1 ELSE 0 END)
+        |       AS BIGINT) AS n_clipped,
+        |  CAST(sum(CASE WHEN abs(s.v) < 1000 THEN 1 ELSE 0 END)
+        |       AS BIGINT) AS n_silent
+        |FROM documents d
+        |JOIN (SELECT k, ((d2.doc_id * 31 + k * 17) % 65536) - 32768 AS v,
+        |             d2.doc_id AS did
+        |      FROM documents d2, generate_series(0, 139) t(k)) s
+        |  ON s.did = d.doc_id AND s.k < d.doc_id % 100 + 40
+        |GROUP BY d.doc_id""".stripMargin,
     // the replacement's definition, the original's rows gone wholesale
     "q209_replace_table" ->
       "SELECT doc_id, source, n_chars FROM documents WHERE doc_id % 2 = 1",

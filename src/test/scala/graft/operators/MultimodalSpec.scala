@@ -27,13 +27,20 @@ class MultimodalSpec extends SparkSpec {
   }
 
   test("decodeImages appends deterministic stub features, preserves columns") {
-    val out = Multimodal.decodeImages(blobs, "blob")
+    val out = Multimodal.decodeImages(blobs, "blob", Multimodal.StubDecoder)
     assert(out.columns.toSeq === Seq("id", "blob", "width", "height", "channels", "mean_luma"))
-    val twice = Multimodal.decodeImages(blobs, "blob")
+    val twice = Multimodal.decodeImages(blobs, "blob", Multimodal.StubDecoder)
       .select("id", "width", "height").as[(Long, Int, Int)].collect().toSet
     val once = out.select("id", "width", "height").as[(Long, Int, Int)].collect().toSet
     assert(once === twice)
     assert(once.forall { case (_, w, h) => w >= 64 && h >= 64 })
+  }
+
+  test("decodeImages default (real) decoder nulls out codec-less formats") {
+    // the fake jpeg/png fragments are undecodable without an entropy codec
+    val out = Multimodal.decodeImages(blobs, "blob")
+      .select("id", "width").collect()
+    assert(out.forall(_.isNullAt(1)))
   }
 
   test("sampleFrames fans out stride-sampled frame indexes per blob") {
