@@ -2490,6 +2490,81 @@ object Battery {
     // the freshly-created EMPTY table is an append; non-empty log-less
     // dirs keep the reference sink's Overwrite rejection). The oracle
     // restates the final replacement closed-form.
+    // SHALLOW CLONE of a DIR-PARTITIONED source (round-14 refusal lifted):
+    // partition values ride inside the absolute foreign paths
+    // (graft_p_source=… segments), so the clone prunes on the partition
+    // axis exactly like the source — gated in-query via
+    // TokenPruner.prune over the foreign metas — while still moving ZERO
+    // data files. Divergent DML on both sides, oracle replays the fork.
+    "q213_partitioned_clone" -> ((s, d) => {
+      val cat = "gpcl" + java.util.UUID.randomUUID().toString.take(8)
+      val base = java.nio.file.Files.createTempDirectory("graft_pclq_").toString
+      s.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.base", base)
+      s.sql(s"CREATE TABLE $cat.db.src (doc_id BIGINT, source STRING, " +
+        "n_chars BIGINT) USING graft PARTITIONED BY (source) " +
+        "OPTIONS (pk 'doc_id', partitions '2', snapshot 'true')")
+      docs(s, d).select(col("doc_id"), col("source"), col("n_chars"))
+        .createOrReplaceTempView("q213_docs")
+      s.sql(s"INSERT INTO $cat.db.src SELECT doc_id, source, n_chars FROM q213_docs")
+      s.sql(s"CALL $cat.system.clone(source => 'db.src', target => 'db.fork')")
+      val fs = new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      require(graft.sources.TokenPruner.listDataFiles(fs,
+        fs.makeQualified(new org.apache.hadoop.fs.Path(s"$base/db/fork"))).isEmpty,
+        "shallow clone must move ZERO data files")
+      // partition-axis pruning over the FOREIGN references
+      val foreign = graft.sources.TokenPruner
+        .listFiles(s, s"$base/db/src").map(_.path).toSeq
+      val metas = graft.sources.TokenPruner
+        .foreignMetas(s, s"$base/db/fork", foreign)
+      val pruned = graft.sources.TokenPruner.prune(s, metas.toArray,
+        Array(org.apache.spark.sql.sources.EqualTo("source", "src1")),
+        graft.model.CqlSchema("fork", Seq("doc_id")))
+      require(pruned.nonEmpty && pruned.length < metas.length,
+        s"partition pruning must drop whole foreign dirs: " +
+          s"${pruned.length}/${metas.length}")
+      s.sql(s"UPDATE $cat.db.src SET n_chars = 0 WHERE doc_id % 2 = 0")
+      s.sql(s"UPDATE $cat.db.fork SET n_chars = n_chars + 7000 " +
+        "WHERE source = 'src1'")
+      s.sql(s"DELETE FROM $cat.db.fork WHERE doc_id % 13 = 4")
+      require(s.sql(s"SELECT count(*) FROM $cat.db.fork " +
+        "WHERE doc_id % 2 = 0 AND source <> 'src1' AND n_chars = 0")
+        .head().getLong(0) == 0L,
+        "the source's post-clone UPDATE leaked into the fork")
+      s.table(s"$cat.db.fork").select(col("doc_id"), col("source"), col("n_chars"))
+    }),
+
+    // DEEP CLONE (CALL system.clone(deep => true)): distributed digest-
+    // verified copy of the pinned version's files into the clone root —
+    // total independence bought with one data pass. The in-query gate
+    // vacuums the SOURCE past the pin (the shallow-breaking event) and the
+    // deep clone must still read and accept DML.
+    "q214_deep_clone" -> ((s, d) => {
+      val cat = "gdcl" + java.util.UUID.randomUUID().toString.take(8)
+      val base = java.nio.file.Files.createTempDirectory("graft_dclq_").toString
+      s.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.base", base)
+      s.sql(s"CREATE TABLE $cat.db.src (doc_id BIGINT, source STRING, " +
+        "n_chars BIGINT) USING graft " +
+        "OPTIONS (pk 'doc_id', partitions '3', snapshot 'true')")
+      docs(s, d).select(col("doc_id"), col("source"), col("n_chars"))
+        .createOrReplaceTempView("q214_docs")
+      s.sql(s"INSERT INTO $cat.db.src SELECT doc_id, source, n_chars FROM q214_docs")
+      s.sql(s"CALL $cat.system.clone(source => 'db.src', target => 'db.fork', " +
+        "deep => true)")
+      val fs = new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      require(graft.sources.TokenPruner.listDataFiles(fs,
+        fs.makeQualified(new org.apache.hadoop.fs.Path(s"$base/db/fork"))).nonEmpty,
+        "deep clone must copy data files into the clone root")
+      // break every shallow reference: rewrite + vacuum the source
+      s.sql(s"CALL $cat.system.compact(table => 'db.src')")
+      graft.write.Snapshots.vacuum(s, s"$base/db/src", keepLast = 1)
+      s.sql(s"UPDATE $cat.db.fork SET n_chars = n_chars + 11 WHERE doc_id % 5 = 0")
+      s.table(s"$cat.db.fork").select(col("doc_id"), col("source"), col("n_chars"))
+    }),
+
     // REAL image pixel decode + perceptual near-dup (ImagePixels +
     // Dedup.imageHashPairs): every document becomes an 8×8 grayscale image
     // whose pixels plant the closed-form 64-bit pattern
@@ -5587,6 +5662,19 @@ object Battery {
         |       THEN n_chars + 100000 ELSE n_chars END,
         |  'delete', CAST(3 AS BIGINT)
         |FROM documents WHERE doc_id % 11 = 5""".stripMargin,
+    // the fork's algebra on the dir-partitioned clone — the source's
+    // post-clone update absent, the partition-predicate update applied
+    "q213_partitioned_clone" ->
+      """SELECT doc_id, source,
+        |  CASE WHEN source = 'src1' THEN n_chars + 7000 ELSE n_chars END
+        |    AS n_chars
+        |FROM documents WHERE doc_id % 13 <> 4""".stripMargin,
+    // the deep fork's own algebra, indifferent to the source's vacuum
+    "q214_deep_clone" ->
+      """SELECT doc_id, source,
+        |  CASE WHEN doc_id % 5 = 0 THEN n_chars + 11 ELSE n_chars END
+        |    AS n_chars
+        |FROM documents""".stripMargin,
     // the planted pattern P is the aHash closed-form; near-dup ground
     // truth is the exact O(n²) Hamming self-join over the same P values
     "q210_image_neardup" ->

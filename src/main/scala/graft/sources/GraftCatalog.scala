@@ -110,16 +110,18 @@ class GraftCatalog extends TableCatalog
    *  (defaults, generation expressions, identity specs), pk/ck layout,
    *  options, constraints, colmap, droppedPhys — then commit the
    *  metadata-only snapshot referencing the source's files
-   *  ([[graft.write.Snapshots.shallowClone]]). Dir-partitioned sources
-   *  refuse: their partition values live in directory paths a foreign
-   *  reference cannot carry. An external LOCATION is not copied — the
-   *  clone's own writes land under the clone's dir. Returns (clone dir,
+   *  ([[graft.write.Snapshots.shallowClone]]), or, with `deep = true`,
+   *  the DEEP copy ([[graft.write.Snapshots.deepClone]]: distributed
+   *  file copy, digest-verified, layout preserved) that survives source
+   *  vacuums. An external LOCATION is not copied — the clone's own
+   *  writes land under the clone's dir. Returns (clone dir,
    *  clone version = 1). */
   private[sources] def cloneTable(
       sourceArg: String,
       targetArg: String,
       version: Option[Long],
-      tag: Option[String] = None): (String, Long) = {
+      tag: Option[String] = None,
+      deep: Boolean = false): (String, Long) = {
     require(version.isEmpty || tag.isEmpty,
       "clone: give version OR tag, not both")
     def identOf(arg: String): Identifier = {
@@ -133,10 +135,11 @@ class GraftCatalog extends TableCatalog
     if (!sf.exists(metaPath(srcDir))) throw new NoSuchTableException(srcIdent)
     val (schema, pairs) = GraftCatalog.readMeta(sf, metaPath(srcDir))
     val pmap = pairs.toMap
-    require(!pmap.contains("partitionBy"),
-      s"clone: $sourceArg is dir-partitioned — partition values live in the " +
-        "directory paths, which an out-of-root reference cannot carry; " +
-        "copy it with CREATE TABLE … AS SELECT instead")
+    // dir-partitioned sources clone fine: the graft_p_<col>=<value> path
+    // segments ride inside the ABSOLUTE foreign references, so partition
+    // pruning on the clone re-derives them from the path exactly as it
+    // does for local files (TokenPruner.dirValues), and the data column
+    // itself lives in every file (the twin invariant)
     val srcData = pmap.getOrElse("location", srcDir.toString)
     val tgtIdent = identOf(targetArg)
     if (tableExists(tgtIdent)) throw new TableAlreadyExistsException(tgtIdent)
@@ -152,9 +155,12 @@ class GraftCatalog extends TableCatalog
     }
     GraftCatalog.writeMeta(tf, metaPath(tgtDir), schema, pairsOut)
     val v =
-      try graft.write.Snapshots.shallowClone(
-        SparkSession.active, srcData, tgtDir.toString, pin)
-      catch {
+      try {
+        if (deep) graft.write.Snapshots.deepClone(
+          SparkSession.active, srcData, tgtDir.toString, pin)
+        else graft.write.Snapshots.shallowClone(
+          SparkSession.active, srcData, tgtDir.toString, pin)
+      } catch {
         case e: Throwable => tf.delete(metaPath(tgtDir), false); throw e
       }
     (tgtDir.toString, v)

@@ -661,11 +661,9 @@ class GraftTable(
                   }
                   done = true
                 } catch {
-                  case e: graft.write.Snapshots.ConcurrentCommitException
+                  case _: graft.write.Snapshots.IdentityAllocationRaceException
                       if idUpdate.nonEmpty &&
-                        attempt < GraftDataSource.MaxIdentityWriteAttempts &&
-                        Option(e.getMessage)
-                          .exists(_.contains("identity allocation")) =>
+                        attempt < GraftDataSource.MaxIdentityWriteAttempts =>
                     () // lost the mark race — loop re-reads mark, re-assigns
                 }
               }
@@ -1441,6 +1439,18 @@ object TokenPruner {
    *  as local files — token pruning and stats pushdown work unchanged).
    *  A vanished foreign file fails loudly: the source was vacuumed past
    *  the cloned version, and a silent partial read is never acceptable. */
+  /** Session-scoped stats for OUT-OF-ROOT files (a clone's view of its
+   *  source): data files are immutable once written (generational names,
+   *  never modified in place), so path → meta pins safely for the JVM's
+   *  lifetime. Entries enter only after this session PROVED the file
+   *  exists (a footer read, or the manifest-row validation probe below) —
+   *  read-only clone clients, whose best-effort manifest persist fails,
+   *  then plan later scans without re-reading a single foreign footer. */
+  private val foreignMetaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, FileMeta]()
+
+  private[graft] def invalidateForeignCache(): Unit = foreignMetaCache.clear()
+
   def foreignMetas(
       spark: SparkSession,
       tableDir: String,
@@ -1448,10 +1458,28 @@ object TokenPruner {
     val conf = spark.sessionState.newHadoopConf()
     val rootPath = new Path(tableDir)
     val rfs = rootPath.getFileSystem(conf)
+    val (cached, rest0) = paths.partition(foreignMetaCache.containsKey)
+    val fromCache = cached.map(foreignMetaCache.get)
+    if (rest0.isEmpty) return fromCache
     val manifest = graft.write.Manifest.read(rfs, rfs.makeQualified(rootPath))
-    val (known, unknown) = paths.partition(manifest.contains)
+    val (known, unknown) = rest0.partition(manifest.contains)
+    if (known.nonEmpty) {
+      // manifest rows can be STALE (the source vacuumed past the cloned
+      // version after the row persisted): probe existence once per session
+      // per path — bounded-parallel — so staleness surfaces here as the
+      // clone-specific refusal, not as a raw executor FileNotFoundException
+      // mid-job. A source vacuumed AFTER this validation can still fail
+      // executor-side; that is the same documented trade as any pinned read.
+      val missing = graft.write.Snapshots.missingParallel(conf, known)
+      if (missing.nonEmpty)
+        throw new IllegalStateException(
+          s"clone $tableDir references ${missing.length} file(s) that no " +
+            s"longer exist (first: ${missing.head}) — the source table was " +
+            "vacuumed or deleted past the cloned version")
+      known.foreach(p => foreignMetaCache.put(p, manifest(p)))
+    }
     val fromManifest = known.map(manifest)
-    if (unknown.isEmpty) return fromManifest
+    if (unknown.isEmpty) return fromCache ++ fromManifest
     val statuses = unknown.map { p =>
       val hp = new Path(p)
       try (hp, hp.getFileSystem(conf).getFileStatus(hp).getLen)
@@ -1463,12 +1491,16 @@ object TokenPruner {
       }
     }
     val fresh = readFootersParallel(conf, statuses.toArray)
+    fresh.foreach(m => foreignMetaCache.put(m.path, m))
     // persist is BEST-EFFORT: scan planning must work for read-only
     // clients (a clone readable by everyone, manifest-writable by its
-    // owner) — a failed append only re-costs the footer reads next scan
+    // owner) — a failed append only re-costs the footer reads in the NEXT
+    // session. NonFatal, not just IOException: read-only FS wrappers throw
+    // UnsupportedOperation/AccessDenied RuntimeExceptions on create, and
+    // planning already holds the freshly read stats either way.
     try graft.write.Manifest.appendMetas(spark, tableDir, fresh.toIndexedSeq)
-    catch { case _: java.io.IOException | _: SecurityException => () }
-    fromManifest ++ fresh
+    catch { case scala.util.control.NonFatal(_) => () }
+    fromCache ++ fromManifest ++ fresh
   }
 
   /** `tolerant = true` SKIPS files that vanish between listing and the

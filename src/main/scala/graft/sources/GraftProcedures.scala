@@ -382,7 +382,8 @@ private[sources] object GraftProcedures {
     override def isDeterministic: Boolean = false
     override def parameters(): Array[ProcedureParameter] = Array(
       in("source", StringType), in("target", StringType),
-      in("version", LongType, "-1"), in("tag", StringType, "''"))
+      in("version", LongType, "-1"), in("tag", StringType, "''"),
+      in("deep", org.apache.spark.sql.types.BooleanType, "false"))
     private val outputSchema: StructType = StructType(Seq(
       StructField("clone_location", StringType, nullable = false),
       StructField("version", LongType, nullable = false)))
@@ -395,7 +396,8 @@ private[sources] object GraftProcedures {
       val tag =
         if (input.isNullAt(3)) None
         else Option(input.getUTF8String(3).toString.trim).filter(_.nonEmpty)
-      val (dir, v) = catalog.cloneTable(source, target, version, tag)
+      val deep = !input.isNullAt(4) && input.getBoolean(4)
+      val (dir, v) = catalog.cloneTable(source, target, version, tag, deep)
       val out = Array(row(UTF8String.fromString(dir), v))
       val schema = outputSchema
       java.util.Collections.singletonList[Scan](new LocalScan {

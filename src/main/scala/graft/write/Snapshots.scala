@@ -600,8 +600,15 @@ object Snapshots {
   /** Thrown when [[commitRewrite]]'s `expectedParent` no longer heads the
    *  log — a concurrent commit landed after the rewrite's source state was
    *  read. The rewrite must be recomputed from the current head. */
-  final class ConcurrentCommitException(msg: String)
+  class ConcurrentCommitException(msg: String)
     extends IllegalStateException(msg)
+
+  /** The identity-mark flavor of a lost commit race: the caller can retry
+   *  in-engine by re-reading the mark and re-assigning (see the identity
+   *  write loop in GraftDataSource) — a TYPED subclass so the retry match
+   *  never silently decays if the message wording changes. */
+  final class IdentityAllocationRaceException(msg: String)
+    extends ConcurrentCommitException(msg)
 
   private def commitLoop(
       spark: SparkSession, dir: String,
@@ -772,7 +779,7 @@ object Snapshots {
       idUpdate.foreach { case (c, (expectedBase, _)) =>
         val cur = baseIds.getOrElse(c, expectedBase) // absent = first allocation
         if (cur != expectedBase)
-          throw new ConcurrentCommitException(
+          throw new IdentityAllocationRaceException(
             s"identity allocation on $dir column '$c' lost a race: allocated from " +
               s"next=$expectedBase but the log now records next=$cur — the written " +
               "values may collide; re-run the write against the current head")
@@ -930,7 +937,7 @@ object Snapshots {
     require(latest(tf, troot).isEmpty,
       s"shallowClone: $targetDir already has a snapshot log")
     val files = readFiles(sf, sroot, v)
-    val missing = files.filterNot(p => sf.exists(new Path(p)))
+    val missing = missingParallel(spark.sessionState.newHadoopConf(), files)
     require(missing.isEmpty,
       s"shallowClone: v$v of $sourceDir references ${missing.length} missing " +
         s"file(s) (first: ${missing.headOption.getOrElse("")})")
@@ -943,6 +950,114 @@ object Snapshots {
       // the emptiness pre-check above is check-then-act; the guard must
       // hold INSIDE the committed attempt or a racing first commit to
       // the target is silently superseded
+      expectEmpty = true)
+  }
+
+  /**
+   * DEEP CLONE (Delta's `CREATE TABLE … CLONE` without SHALLOW): copy the
+   * pinned version's data files (and deletion vectors) INTO the target
+   * root — a distributed copy job, one task per file — then commit a
+   * normal v1 over the local copies. Costs a full data pass where
+   * [[shallowClone]] costs one commit, and buys total independence: the
+   * source can be vacuumed, rewritten or dropped and the deep clone still
+   * reads.
+   *
+   * Layout is preserved (each file keeps its source-root-relative path, so
+   * `graft_p_*` directory keys and generation names survive verbatim);
+   * copies are digest-verified against the source manifest's xxhash64
+   * where recorded (a silent transport corruption fails the clone, never
+   * lands in the log). Row-id bindings, the rid high-water mark and
+   * identity marks carry over with paths remapped.
+   */
+  def deepClone(
+      spark: SparkSession,
+      sourceDir: String,
+      targetDir: String,
+      version: Option[Long] = None): Long = {
+    val (sf, sroot) = fs(spark, sourceDir)
+    val head = latest(sf, sroot).getOrElse(throw new IllegalArgumentException(
+      s"deepClone: $sourceDir has no snapshot log — only snapshot-logged " +
+        "tables clone (the clone IS a log commit)"))
+    val v = version.getOrElse(head)
+    require(v >= 1 && sf.exists(vPath(sroot, v)),
+      s"deepClone: version $v of $sourceDir does not exist (vacuumed?)")
+    val (tf, troot) = fs(spark, targetDir)
+    require(latest(tf, troot).isEmpty,
+      s"deepClone: $targetDir already has a snapshot log")
+    val conf = spark.sessionState.newHadoopConf()
+    val files = readFiles(sf, sroot, v)
+    val dvs = readDvs(sf, sroot, v)
+    val all = (files ++ dvs.values).distinct
+    val missing = missingParallel(conf, all)
+    require(missing.isEmpty,
+      s"deepClone: v$v of $sourceDir references ${missing.length} missing " +
+        s"file(s) (first: ${missing.headOption.getOrElse("")})")
+    // destination mapping: source-root-relative paths re-root under the
+    // target; out-of-root references (the source is itself a shallow
+    // clone) flatten to a unique imported name — the deep clone owns
+    // EVERY byte it commits, that is the point
+    val srcPrefix = sroot.toString.stripSuffix("/") + "/"
+    val tgtPrefix = troot.toString.stripSuffix("/")
+    def qualify(p: String): String = sf.makeQualified(new Path(p)).toString
+    val mapping: Map[String, String] = all.map { p =>
+      val q = qualify(p)
+      val rel =
+        if (q.startsWith(srcPrefix)) q.substring(srcPrefix.length)
+        else {
+          val h = java.lang.Long.toUnsignedString(
+            net.jpountz.xxhash.XXHashFactory.fastestInstance().hash64()
+              .hash(q.getBytes(java.nio.charset.StandardCharsets.UTF_8), 0,
+                q.getBytes(java.nio.charset.StandardCharsets.UTF_8).length, 0L), 16)
+          s"imported-$h-${new Path(q).getName}"
+        }
+      q -> s"$tgtPrefix/$rel"
+    }.toMap
+    // expected digests from the source manifest (absent rows copy
+    // unverified — pre-digest layouts still deep-clone)
+    val expected: Map[String, Long] = Manifest.read(sf, sroot).collect {
+      case (p, m) if m.digest.isDefined => qualify(p) -> m.digest.get
+    }
+    val bc = spark.sparkContext.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(conf))
+    val expectedBc = spark.sparkContext.broadcast(expected)
+    val copies = mapping.toSeq.sortBy(_._1)
+    val failures = spark.sparkContext
+      .parallelize(copies, math.min(copies.length, 64))
+      .flatMap { case (src, dst) =>
+        val c = bc.value.value
+        val sp = new Path(src)
+        val dp = new Path(dst)
+        val dfs = dp.getFileSystem(c)
+        Option(dp.getParent).foreach(dfs.mkdirs(_))
+        org.apache.hadoop.fs.FileUtil.copy(sp.getFileSystem(c), sp, dfs, dp,
+          false, true, c)
+        expectedBc.value.get(src) match {
+          case Some(want) =>
+            val got = Manifest.digestFile(dfs, dp)
+            if (got != want) Some(s"$src -> $dst: digest $got != manifest $want")
+            else None
+          case None => None
+        }
+      }.collect()
+    if (failures.nonEmpty) {
+      // never leave a half-verified copy set behind a failed clone
+      copies.foreach { case (_, dst) => tf.delete(new Path(dst), false) }
+      throw new IllegalStateException(
+        s"deepClone: ${failures.length} copied file(s) failed digest " +
+          s"verification (first: ${failures.head})")
+    }
+    // manifest stats for the fresh local files while their footers are
+    // hot, then the normal v1 commit over them
+    Manifest.appendFor(spark, targetDir)
+    val rids = readRids(sf, sroot, v).map { case (p, b) =>
+      mapping.getOrElse(qualify(p), qualify(p)) -> b
+    }
+    commitRewrite(spark, targetDir, files.map(p => mapping(qualify(p))),
+      dvOverride = Some(dvs.map { case (b, d) =>
+        mapping(qualify(b)) -> mapping(qualify(d)) }),
+      ridOverride = readRidHwm(sf, sroot, v).map(h => (rids, h)),
+      idUpdate = identityHighWaterMarks(spark, sourceDir, v)
+        .map { case (c, m) => c -> (m, m) },
       expectEmpty = true)
   }
 
@@ -1588,6 +1703,35 @@ object Snapshots {
     if (foreign.isEmpty) have
     else have ++ graft.sources.TokenPruner.foreignMetas(
       spark, dir, foreign.toSeq.sorted)
+  }
+
+  /** Bounded-parallel existence probe (pool of ≤16, the
+   *  readFootersParallel shape): the tables worth validating file-by-file
+   *  are exactly the big ones — a serial exists() loop over ~100k object-
+   *  store paths is minutes of driver RPC latency. Paths resolve their own
+   *  FileSystem (a clone-of-a-clone's list mixes roots). */
+  private[graft] def missingParallel(
+      conf: org.apache.hadoop.conf.Configuration,
+      paths: Seq[String]): Seq[String] = {
+    def probe(p: String): Option[String] = {
+      val hp = new Path(p)
+      if (hp.getFileSystem(conf).exists(hp)) None else Some(p)
+    }
+    if (paths.isEmpty) Nil
+    else if (paths.length == 1) paths.flatMap(probe)
+    else {
+      val pool = java.util.concurrent.Executors
+        .newFixedThreadPool(math.min(16, paths.length))
+      try {
+        import scala.jdk.CollectionConverters._
+        val tasks = paths.map { p =>
+          new java.util.concurrent.Callable[Option[String]] {
+            override def call(): Option[String] = probe(p)
+          }
+        }
+        pool.invokeAll(tasks.asJava).asScala.flatMap(_.get()).toSeq
+      } finally pool.shutdown()
+    }
   }
 
   private def relativize(root: Path, abs: String): String = {

@@ -1063,8 +1063,20 @@ object TokenSortedWriter {
     val genFiles = graft.sources.TokenPruner
       .listDataFiles(fs, fs.makeQualified(new Path(gen)))
       .map(_.getPath.toString).toSeq
-    val version = Snapshots.commitRewrite(spark, dir, genFiles,
-      expectedParent = Some(head))
+    val version =
+      try Snapshots.commitRewrite(spark, dir, genFiles,
+        expectedParent = Some(head))
+      catch {
+        case e: Snapshots.ConcurrentCommitException =>
+          // same contract as the append path's cleanup above: the commit
+          // definitively did not land, so the staged generation is
+          // referenced by no version — delete it, or every lost race
+          // (including the identity-retry loop re-entering here) leaks a
+          // full unreferenced file set until vacuum_orphans
+          fs.delete(new Path(gen), true)
+          graft.sources.TokenPruner.invalidateListing(dir)
+          throw e
+      }
     graft.sources.TokenPruner.invalidateListing(dir)
     version
   }

@@ -22,4 +22,21 @@ object GraftShims {
   def translateFilter(e: Expression): Option[org.apache.spark.sql.sources.Filter] =
     org.apache.spark.sql.execution.datasources.DataSourceStrategy
       .translateFilter(e, supportNestedPredicatePushdown = true)
+
+  /** One parquet file's Spark-facing schema from its FOOTER, on the
+   *  driver — exactly Spark's own footer→schema conversion
+   *  (`ParquetToSparkSchemaConverter` under the session's SQLConf), no
+   *  Spark job. Drives the per-path schema cache that replaces one
+   *  distributed `mergeSchema` inference job per mixed-generation read. */
+  def footerSchema(
+      conf: org.apache.hadoop.conf.Configuration,
+      path: org.apache.hadoop.fs.Path): org.apache.spark.sql.types.StructType = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(path, conf))
+    try new org.apache.spark.sql.execution.datasources.parquet
+      .ParquetToSparkSchemaConverter(org.apache.spark.sql.internal.SQLConf.get)
+      .convert(reader.getFooter.getFileMetaData.getSchema)
+    finally reader.close()
+  }
 }

@@ -169,4 +169,45 @@ class GraftDefaultsSpec extends SparkSpec {
     assert(IdentityColumnsSpec.chain(e).exists(t => Option(t.getMessage).exists(m =>
       m.contains("constant") || m.contains("DEFAULT"))), s"got $e")
   }
+
+  test("mixed-generation exists-default reads infer from cached driver " +
+      "footer reads: ZERO Spark inference jobs, values identical to the " +
+      "distributed mergeSchema path") {
+    spark.sql(s"""CREATE TABLE $catName.db.gen (id BIGINT, v BIGINT)
+                 |USING graft OPTIONS (pk 'id', partitions '1',
+                 |snapshot 'true')""".stripMargin)
+    spark.sql(s"INSERT INTO $catName.db.gen SELECT id, id FROM range(1, 6) AS r(id)")
+    spark.sql(s"ALTER TABLE $catName.db.gen ADD COLUMNS (q BIGINT DEFAULT 42)")
+    spark.sql(s"INSERT INTO $catName.db.gen VALUES (10, 10, 7)")
+    spark.sql(s"INSERT INTO $catName.db.gen VALUES (11, 11, 8)")
+    val base = spark.conf.get(s"spark.sql.catalog.$catName.base")
+    val dir = s"$base/db/gen"
+    val files = graft.sources.TokenPruner.listFiles(spark, dir).map(_.path).toSeq
+    assert(files.length >= 3, "fixture needs a mixed-generation set")
+    val defaults = ExistsDefaults.physicalForDir(spark, dir)
+    assert(defaults.nonEmpty)
+    val expect = ((1L to 5L).map(i => (i, 42L)) ++ Seq((10L, 7L), (11L, 8L))).toSet
+
+    // warm the path cache, then count jobs across REPLAYED reads: schema
+    // inference must not launch a single Spark job per event
+    ExistsDefaults.read(spark, defaults, files)
+    val jobs = new java.util.concurrent.atomic.AtomicInteger()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val frames = (1 to 5).map(_ => ExistsDefaults.read(spark, defaults, files))
+      // listener delivery is async; a job START would enqueue promptly —
+      // give the bus a beat before asserting none arrived
+      Thread.sleep(500)
+      assert(jobs.get() == 0,
+        s"schema inference launched ${jobs.get()} Spark job(s) over 5 replays")
+      // and the values are exactly the mergeSchema semantics
+      assert(frames.head.select("id", "q").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet == expect)
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
 }

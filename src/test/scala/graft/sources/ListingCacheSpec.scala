@@ -133,4 +133,46 @@ class ListingCacheSpec extends SparkSpec {
     val warm = TokenPruner.listFiles(spark, dir)
     assert(warm.length == cold.length + 1, "deep append must be visible")
   }
+
+  test("foreign-meta session cache: later plans touch NO source IO (read-" +
+      "only clone clients stop re-reading foreign footers); stale manifest " +
+      "rows validate loudly") {
+    val src = Files.createTempDirectory("graft_fmc_").toString + "/src"
+    import spark.implicits._
+    TokenSortedWriter.write((1L to 500L).map(i => (i, i)).toDF("id", "v"),
+      schema, src, SaveMode.Append,
+      TokenSortedWriter.WriteConf(numPartitions = 2, keepTokenColumn = true))
+    val paths = TokenPruner.listFiles(spark, src).map(_.path).toSeq
+    assert(paths.length >= 2)
+    val clone = Files.createTempDirectory("graft_fmc_clone_").toString
+    val m1 = TokenPruner.foreignMetas(spark, clone, paths)
+    assert(m1.map(_.path).toSet == paths.toSet)
+    // delete the SOURCE files and the clone's freshly persisted manifest
+    // out-of-band: a second plan must be served ENTIRELY from the session
+    // cache — any footer read or existence probe would now throw
+    val fs = new org.apache.hadoop.fs.Path(src)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    paths.foreach(p => fs.delete(new org.apache.hadoop.fs.Path(p), false))
+    fs.delete(new org.apache.hadoop.fs.Path(clone), true)
+    val m2 = TokenPruner.foreignMetas(spark, clone, paths)
+    assert(m2.map(_.path).toSet == paths.toSet,
+      "warm foreign planning must not re-touch the source")
+
+    // manifest-known-but-vacuumed paths refuse LOUDLY at planning: persist
+    // a manifest row for a path, clear the session cache, delete the file
+    val src2 = Files.createTempDirectory("graft_fmc2_").toString + "/src"
+    TokenSortedWriter.write(Seq((1L, 1L)).toDF("id", "v"),
+      schema, src2, SaveMode.Append,
+      TokenSortedWriter.WriteConf(numPartitions = 1, keepTokenColumn = true))
+    val p2 = TokenPruner.listFiles(spark, src2).map(_.path).toSeq
+    val clone2 = Files.createTempDirectory("graft_fmc2_clone_").toString
+    TokenPruner.foreignMetas(spark, clone2, p2) // persists manifest rows
+    TokenPruner.invalidateForeignCache()
+    p2.foreach(p => fs.delete(new org.apache.hadoop.fs.Path(p), false))
+    val e = intercept[IllegalStateException] {
+      TokenPruner.foreignMetas(spark, clone2, p2)
+    }
+    assert(e.getMessage.contains("vacuumed"),
+      s"stale manifest rows must surface the clone-specific refusal: $e")
+  }
 }

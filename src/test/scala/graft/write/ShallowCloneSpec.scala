@@ -122,8 +122,10 @@ class ShallowCloneSpec extends SparkSpec {
       s"clone identity must continue from the source's mark: ${ids.toSeq}")
   }
 
-  test("vacuuming the SOURCE past the cloned version breaks the clone " +
-      "LOUDLY; a dir-partitioned source refuses to clone") {
+  private def msgs(t: Throwable): Seq[String] =
+    if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+
+  test("vacuuming the SOURCE past the cloned version breaks the clone LOUDLY") {
     spark.sql(s"CREATE TABLE $catName.db.s5 (id BIGINT, v BIGINT) USING graft " +
       "OPTIONS (pk 'id', partitions '1', snapshot 'true')")
     spark.sql(s"INSERT INTO $catName.db.s5 SELECT id, id FROM range(1, 11) AS r(id)")
@@ -132,19 +134,100 @@ class ShallowCloneSpec extends SparkSpec {
     spark.sql(s"CALL $catName.system.compact(table => 'db.s5')")
     Snapshots.vacuum(spark, s"$baseDir/db/s5", keepLast = 1)
     val e = intercept[Exception] { spark.table(s"$catName.db.c5").count() }
-    def msgs(t: Throwable): Seq[String] =
-      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
-    assert(msgs(e).exists(m => m.contains("no longer exists") ||
+    assert(msgs(e).exists(m => m.contains("no longer exist") ||
       m.contains("vacuumed")), s"want a loud missing-file refusal, got: ${msgs(e)}")
+  }
 
-    spark.sql(s"CREATE TABLE $catName.db.s6 (id BIGINT, ts TIMESTAMP, " +
-      "day DATE GENERATED ALWAYS AS (CAST(ts AS DATE))) " +
-      "USING graft PARTITIONED BY (day) " +
-      "OPTIONS (pk 'id', partitions '1', snapshot 'true')")
-    val e2 = intercept[Exception] {
-      spark.sql(s"CALL $catName.system.clone(source => 'db.s6', target => 'db.c6')")
-    }
-    assert(msgs(e2).exists(_.contains("dir-partitioned")), s"got: ${msgs(e2)}")
+  test("a dir-partitioned source clones: partition values ride in the " +
+      "foreign paths, pruning works on the partition axis, zero files move") {
+    spark.sql(s"CREATE TABLE $catName.db.s6 (id BIGINT, etype STRING, v BIGINT) " +
+      "USING graft PARTITIONED BY (etype) " +
+      "OPTIONS (pk 'id', partitions '2', snapshot 'true')")
+    spark.sql(s"INSERT INTO $catName.db.s6 " +
+      "SELECT id, CASE WHEN id % 2 = 0 THEN 'click' ELSE 'view' END, id * 10 " +
+      "FROM range(1, 41) AS r(id)")
+    spark.sql(s"CALL $catName.system.clone(source => 'db.s6', target => 'db.c6')")
+    assert(dataFiles(s"$baseDir/db/c6").isEmpty, "shallow clone must move zero files")
+    val expect = (1L to 40L)
+      .map(i => (i, if (i % 2 == 0) "click" else "view", i * 10)).toSet
+    assert(spark.table(s"$catName.db.c6").as[(Long, String, Long)].collect().toSet
+      == expect)
+    // partition-axis pruning on the clone's FOREIGN files: the graft_p_*
+    // path segments survive the absolute reference
+    val foreign = graft.sources.TokenPruner
+      .listFiles(spark, s"$baseDir/db/s6").map(_.path).toSeq
+    val metas = graft.sources.TokenPruner
+      .foreignMetas(spark, s"$baseDir/db/c6", foreign)
+    val pruned = graft.sources.TokenPruner.prune(spark, metas.toArray,
+      Array(org.apache.spark.sql.sources.EqualTo("etype", "click")),
+      graft.model.CqlSchema("c6", Seq("id")))
+    assert(pruned.nonEmpty && pruned.length < metas.length,
+      s"partition pruning must drop whole foreign dirs: ${pruned.length}/${metas.length}")
+    assert(pruned.forall(m =>
+      graft.sources.TokenPruner.dirValues(m.path).get("etype").contains(Some("click"))))
+    // filtered read through the table surface stays correct
+    assert(spark.sql(s"SELECT count(*) FROM $catName.db.c6 WHERE etype = 'view'")
+      .head().getLong(0) == 20L)
+    // divergence both ways, dir-partitioned writes land clone-local
+    spark.sql(s"UPDATE $catName.db.c6 SET v = 0 WHERE etype = 'click'")
+    assert(dataFiles(s"$baseDir/db/c6").nonEmpty)
+    assert(spark.table(s"$catName.db.s6").as[(Long, String, Long)].collect().toSet
+      == expect, "clone DML leaked into the dir-partitioned source")
+  }
+
+  test("deep clone copies files digest-verified, preserves dir layout, and " +
+      "survives a source vacuum that breaks the shallow clone") {
+    spark.sql(s"CREATE TABLE $catName.db.s10 (id BIGINT, etype STRING, v BIGINT) " +
+      "USING graft PARTITIONED BY (etype) " +
+      "OPTIONS (pk 'id', partitions '2', snapshot 'true')")
+    spark.sql(s"INSERT INTO $catName.db.s10 " +
+      "SELECT id, CASE WHEN id % 2 = 0 THEN 'a' ELSE 'b' END, id " +
+      "FROM range(1, 31) AS r(id)")
+    val expect = (1L to 30L)
+      .map(i => (i, if (i % 2 == 0) "a" else "b", i)).toSet
+    spark.sql(s"CALL $catName.system.clone(source => 'db.s10', " +
+      "target => 'db.shal10')")
+    val out = spark.sql(s"CALL $catName.system.clone(source => 'db.s10', " +
+      "target => 'db.deep10', deep => true)").collect().head
+    assert(out.getLong(1) == 1L)
+    val deepDir = s"$baseDir/db/deep10"
+    val copied = dataFiles(deepDir)
+    assert(copied.nonEmpty, "deep clone must copy data files")
+    assert(copied == dataFiles(s"$baseDir/db/s10")
+      .map(_.replace("/db/s10", "/db/deep10")),
+      "deep clone must preserve the source-relative layout (incl. graft_p_* dirs)")
+    assert(spark.table(s"$catName.db.deep10").as[(Long, String, Long)]
+      .collect().toSet == expect)
+    // rewrite + vacuum the source past the pin: the deep clone still
+    // reads, the shallow one fails loudly
+    spark.sql(s"CALL $catName.system.compact(table => 'db.s10')")
+    Snapshots.vacuum(spark, s"$baseDir/db/s10", keepLast = 1)
+    assert(spark.table(s"$catName.db.deep10").as[(Long, String, Long)]
+      .collect().toSet == expect, "deep clone must survive a source vacuum")
+    val e = intercept[Exception] { spark.table(s"$catName.db.shal10").count() }
+    assert(msgs(e).exists(m => m.contains("no longer exist") ||
+      m.contains("vacuumed")), s"got: ${msgs(e)}")
+    // and the deep clone is digest-covered in its own manifest
+    val fsd = fsOf(deepDir)
+    val man = Manifest.read(fsd, fsd.makeQualified(new Path(deepDir)))
+    assert(copied.forall(p => man.get(p).exists(_.digest.isDefined)),
+      "deep-cloned files must carry manifest digests")
+  }
+
+  test("deep clone carries deletion vectors and row ids") {
+    spark.sql(s"CREATE TABLE $catName.db.s11 (id BIGINT, v BIGINT) USING graft " +
+      "OPTIONS (pk 'id', partitions '2', snapshot 'true', " +
+      "dmlMode 'merge-on-read', rowTracking 'true')")
+    spark.sql(s"INSERT INTO $catName.db.s11 SELECT id, id * 10 FROM range(1, 41) AS r(id)")
+    spark.sql(s"DELETE FROM $catName.db.s11 WHERE v % 70 = 0") // MoR: DVs
+    val R = graft.sources.GraftDataSource.RowIdCol
+    val srcState = spark.sql(s"SELECT id, v, $R FROM $catName.db.s11")
+      .as[(Long, Long, Long)].collect().toSet
+    spark.sql(s"CALL $catName.system.clone(source => 'db.s11', " +
+      "target => 'db.deep11', deep => true)")
+    assert(spark.sql(s"SELECT id, v, $R FROM $catName.db.deep11")
+      .as[(Long, Long, Long)].collect().toSet == srcState,
+      "DVs and row ids must survive a deep clone")
   }
 
   test("the clone's v1 feed spans mixed source generations: stored values " +
