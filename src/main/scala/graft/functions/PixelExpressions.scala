@@ -320,6 +320,16 @@ object ImagePixels {
     java.lang.Long.valueOf(hash)
   }
 
+  /** Decode → box-resize → re-encode as a grayscale PNG (filter None,
+   *  default deflate): the thumbnail/proxy-generation step of a
+   *  multimodal pipeline, dependency-free end to end. Null in, null out;
+   *  undecodable bytes stay null data. */
+  def thumbnailPng(b: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    val img = decodeLuma(b)
+    if (img == null) null
+    else ImageCodec.encodePng(w, h, 1, resizeBox(img, w, h))
+  }
+
   val lumaSparkType: StructType = StructType(Seq(
     StructField("width", IntegerType, nullable = false),
     StructField("height", IntegerType, nullable = false),
@@ -445,6 +455,56 @@ case class ImageDHash(child: Expression) extends PerceptualHash {
 
 object ImageDHash {
   def apply(col: Column): Column = GraftShims.column(new ImageDHash(GraftShims.expression(col)))
+}
+
+/** `image_resize(blob, w, h)` → grayscale PNG thumbnail (binary), null if
+ *  undecodable — the brief's "resize" multimodal op as a pure codegen
+ *  expression: decode, integer box-average, re-encode, no codec library. */
+case class ImageResize(child: Expression, w: Int, h: Int) extends UnaryExpression {
+
+  require(w > 0 && h > 0 && w.toLong * h <= 16 * 1024 * 1024,
+    s"bad thumbnail dims: ${w}x$h")
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case BinaryType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case dt => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"image_resize needs a binary column, got $dt")
+    }
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) null
+    else ImagePixels.thumbnailPng(v.asInstanceOf[Array[Byte]], w, h)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    val cls = ImagePixels.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    ev.copy(code = code"""
+      |${c.code}
+      |byte[] ${ev.value} = null;
+      |boolean ${ev.isNull} = ${c.isNull};
+      |if (!${ev.isNull}) {
+      |  ${ev.value} = $cls.thumbnailPng(${c.value}, $w, $h);
+      |  ${ev.isNull} = ${ev.value} == null;
+      |}
+     """.stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "image_resize"
+}
+
+object ImageResize {
+  def apply(col: Column, w: Int, h: Int): Column =
+    GraftShims.column(new ImageResize(GraftShims.expression(col), w, h))
 }
 
 /**

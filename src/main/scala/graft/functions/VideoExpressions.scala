@@ -190,3 +190,163 @@ case class VideoMeta(child: Expression) extends UnaryExpression {
 object VideoMeta {
   def apply(col: Column): Column = GraftShims.column(new VideoMeta(GraftShims.expression(col)))
 }
+
+/**
+ * REAL frame count from the ISO BMFF sample tables: the first `trak`
+ * whose `mdia/hdlr` handler is 'vide' contributes its
+ * `mdia/minf/stbl/stsz` sample_count — the codec-free fact that makes
+ * frame-sample PLANNING honest (which frame indexes exist) even though
+ * frame pixel decode stays behind a codec seam. Null for non-MP4 bytes
+ * or MP4s with no video track.
+ */
+object Mp4Frames {
+
+  private def beU32(b: Array[Byte], i: Int): Long =
+    ((b(i) & 0xffL) << 24) | ((b(i + 1) & 0xffL) << 16) |
+      ((b(i + 2) & 0xffL) << 8) | (b(i + 3) & 0xffL)
+  private def beU64(b: Array[Byte], i: Int): Long =
+    (beU32(b, i) << 32) | beU32(b, i + 4)
+  private def boxType(b: Array[Byte], i: Int): String =
+    new String(b, i + 4, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+  /** Children of the byte range [start, end): (type, payloadStart, boxEnd).
+   *  Bounds-checked; a lying size terminates the walk (Nil tail). */
+  private def children(b: Array[Byte], start: Long, end: Long)
+      : Iterator[(String, Long, Long)] = new Iterator[(String, Long, Long)] {
+    private var i = start
+    override def hasNext: Boolean = i + 8 <= end
+    override def next(): (String, Long, Long) = {
+      var size = beU32(b, i.toInt)
+      var hdr = 8
+      if (size == 1L) {
+        if (i + 16 > end) { i = end; return ("", end, end) }
+        size = beU64(b, (i + 8).toInt); hdr = 16
+      } else if (size == 0L) size = end - i
+      if (size < hdr || i + size > end || size <= 0) { i = end; return ("", end, end) }
+      val out = (boxType(b, i.toInt), i + hdr, i + size)
+      i += size
+      out
+    }
+  }
+
+  private def child(b: Array[Byte], start: Long, end: Long, t: String)
+      : Option[(Long, Long)] =
+    children(b, start, end).collectFirst { case (`t`, s, e) => (s, e) }
+
+  def frameCount(b: Array[Byte]): java.lang.Long = {
+    if (b == null || b.length < 16 || boxType(b, 0) != "ftyp") return null
+    val moov = child(b, 0, b.length, "moov").getOrElse(return null)
+    for ((t, ts, te) <- children(b, moov._1, moov._2) if t == "trak") {
+      child(b, ts, te, "mdia").foreach { case (ms, me) =>
+        val isVideo = child(b, ms, me, "hdlr").exists { case (hs, _) =>
+          // hdlr payload: ver/flags(4) + pre_defined(4) + handler_type(4)
+          hs + 12 <= b.length && boxType(b, (hs + 4).toInt) == "vide"
+        }
+        if (isVideo) {
+          val count = for {
+            (ns, ne) <- child(b, ms, me, "minf")
+            (ss, se) <- child(b, ns, ne, "stbl")
+            (zs, ze) <- child(b, ss, se, "stsz")
+            // stsz payload: ver/flags(4) + sample_size(4) + sample_count(4)
+            if zs + 12 <= ze
+          } yield beU32(b, (zs + 8).toInt)
+          count.foreach(c => return java.lang.Long.valueOf(c))
+        }
+      }
+    }
+    null
+  }
+}
+
+/** `video_frames(blob)` → the first video track's stsz sample count
+ *  (long), null for non-MP4 bytes or no video track. */
+case class VideoFrames(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case BinaryType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case dt => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"video_frames needs a binary column, got $dt")
+    }
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) null
+    else {
+      val n = Mp4Frames.frameCount(v.asInstanceOf[Array[Byte]])
+      if (n == null) null else n.longValue()
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    val cls = Mp4Frames.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    val boxed = ctx.freshName("frameCount")
+    ev.copy(code = code"""
+      |${c.code}
+      |long ${ev.value} = 0L;
+      |boolean ${ev.isNull} = ${c.isNull};
+      |if (!${ev.isNull}) {
+      |  java.lang.Long $boxed = $cls.frameCount(${c.value});
+      |  ${ev.isNull} = $boxed == null;
+      |  if (!${ev.isNull}) ${ev.value} = $boxed.longValue();
+      |}
+     """.stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "video_frames"
+}
+
+object VideoFrames {
+  def apply(col: Column): Column = GraftShims.column(new VideoFrames(GraftShims.expression(col)))
+}
+
+/** Minimal ISO-BMFF writer (ftyp + moov{mvhd, trak{tkhd, mdia{hdlr(vide),
+ *  minf{stbl{stsz}}}}}) for derived-metadata pipelines and fixtures —
+ *  every box a full-size spec layout, parseable by [[Mp4Headers]] and
+ *  [[Mp4Frames]]. */
+object Mp4Codec {
+
+  private def box(typ: String, payload: Array[Byte]): Array[Byte] = {
+    val out = new Array[Byte](8 + payload.length)
+    val size = out.length
+    out(0) = (size >>> 24).toByte; out(1) = (size >>> 16).toByte
+    out(2) = (size >>> 8).toByte; out(3) = size.toByte
+    var i = 0
+    while (i < 4) { out(4 + i) = typ.charAt(i).toByte; i += 1 }
+    System.arraycopy(payload, 0, out, 8, payload.length)
+    out
+  }
+  private def be32(v: Long): Array[Byte] =
+    Array((v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+
+  def encode(timescale: Int, durationTicks: Long, width: Int, height: Int,
+             nFrames: Long, tail: Array[Byte] = Array.emptyByteArray): Array[Byte] = {
+    val ftyp = box("ftyp", "isom".getBytes("US-ASCII") ++ be32(0) ++
+      "isom".getBytes("US-ASCII"))
+    val mvhd = box("mvhd", be32(0) ++ be32(0) ++ be32(0) ++
+      be32(timescale) ++ be32(durationTicks) ++ new Array[Byte](80))
+    // unity matrix, 36 bytes: [a b u, c d v, x y w] row-major 16.16/2.30
+    val matrix = be32(0x00010000L) ++ new Array[Byte](12) ++
+      be32(0x00010000L) ++ new Array[Byte](12) ++ be32(0x40000000L)
+    val tkhd = box("tkhd", be32(3) ++ be32(0) ++ be32(0) ++ be32(1) ++
+      be32(0) ++ be32(durationTicks) ++ new Array[Byte](16) ++ matrix ++
+      be32(width.toLong << 16) ++ be32(height.toLong << 16))
+    val hdlr = box("hdlr", be32(0) ++ be32(0) ++
+      "vide".getBytes("US-ASCII") ++ new Array[Byte](13))
+    val stsz = box("stsz", be32(0) ++ be32(0) ++ be32(nFrames))
+    val stbl = box("stbl", stsz)
+    val minf = box("minf", stbl)
+    val mdia = box("mdia", hdlr ++ minf)
+    val trak = box("trak", tkhd ++ mdia)
+    val moov = box("moov", mvhd ++ trak)
+    ftyp ++ moov ++ tail
+  }
+}

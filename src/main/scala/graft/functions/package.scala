@@ -102,6 +102,39 @@ package object functions {
       new ExpressionInfo(classOf[VideoMeta].getName, "video_meta"),
       (exprs: Seq[Expression]) => new VideoMeta(exprs.head))
     registry.registerFunction(
+      FunctionIdentifier("video_frames"),
+      new ExpressionInfo(classOf[VideoFrames].getName, "video_frames"),
+      (exprs: Seq[Expression]) => new VideoFrames(exprs.head))
+    registry.registerFunction(
+      FunctionIdentifier("image_luma"),
+      new ExpressionInfo(classOf[ImageLuma].getName, "image_luma"),
+      (exprs: Seq[Expression]) => new ImageLuma(exprs.head))
+    registry.registerFunction(
+      FunctionIdentifier("image_ahash"),
+      new ExpressionInfo(classOf[ImageAHash].getName, "image_ahash"),
+      (exprs: Seq[Expression]) => new ImageAHash(exprs.head))
+    registry.registerFunction(
+      FunctionIdentifier("image_dhash"),
+      new ExpressionInfo(classOf[ImageDHash].getName, "image_dhash"),
+      (exprs: Seq[Expression]) => new ImageDHash(exprs.head))
+    def intLit(e: Expression, what: String): Int = e match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, _) => v.toInt
+      case other => throw new IllegalArgumentException(
+        s"$what must be an integer literal, got $other")
+    }
+    registry.registerFunction(
+      FunctionIdentifier("image_resize"),
+      new ExpressionInfo(classOf[ImageResize].getName, "image_resize"),
+      (exprs: Seq[Expression]) => new ImageResize(exprs.head,
+        intLit(exprs(1), "image_resize width"), intLit(exprs(2), "image_resize height")))
+    registry.registerFunction(
+      FunctionIdentifier("audio_stats"),
+      new ExpressionInfo(classOf[AudioStats].getName, "audio_stats"),
+      // audio_stats(blob, silenceBelow): the threshold folds to an int
+      (exprs: Seq[Expression]) => new AudioStats(exprs.head,
+        intLit(exprs(1), "audio_stats silence threshold")))
+    registry.registerFunction(
       FunctionIdentifier("sign_bucket"),
       new ExpressionInfo(classOf[SignBucketExpr].getName, "sign_bucket"),
       (exprs: Seq[Expression]) => SignBucketExpr(exprs(0), intArg(exprs(1))))

@@ -170,11 +170,32 @@ object Multimodal {
    * index (0, stride, 2·stride, … capped at maxFrames). The decode of the
    * frame itself is the same stub seam. Explode happens AFTER metadata-only
    * planning so a 100 TB video table fans out without re-reading blobs.
+   *
+   * This variant is the container-agnostic FALLBACK: frame count
+   * approximated from byte length. For MP4, [[sampleFramesMp4]] plans from
+   * the REAL sample table.
    */
   def sampleFrames(df: DataFrame, blobCol: String, stride: Int, maxFrames: Int): DataFrame = {
-    // Fake frame count derived from byte length (stub: real impl reads container header).
+    // Approximate frame count from byte length (container-agnostic fallback).
     val nFrames = least(greatest((length(col(blobCol)) / 1024).cast("int"), lit(1)), lit(10000))
     df.withColumn("frame_idx",
         explode(slice(sequence(lit(0), nFrames - 1, lit(stride)), 1, maxFrames)))
+  }
+
+  /**
+   * REAL frame sampling for MP4 blobs: the frame count is the first video
+   * track's `stsz` sample count ([[graft.functions.VideoFrames]] — the
+   * codec-free fact the container itself records), so the sampled indexes
+   * are exactly the frames a downstream decoder could seek. Non-MP4 /
+   * video-less blobs contribute NO rows (null fan-out — undecodable is
+   * data). Pure codegen expressions: zero shuffle, blobs read once.
+   */
+  def sampleFramesMp4(df: DataFrame, blobCol: String, stride: Int, maxFrames: Int): DataFrame = {
+    require(stride > 0 && maxFrames > 0, s"need stride/maxFrames > 0")
+    val nFrames = graft.functions.VideoFrames(col(blobCol))
+    df.withColumn("frame_idx",
+      explode(slice(
+        when(nFrames > 0, sequence(lit(0L), nFrames - 1, lit(stride.toLong))),
+        1, maxFrames)))
   }
 }

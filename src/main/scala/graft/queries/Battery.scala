@@ -2635,6 +2635,57 @@ object Battery {
       blobs.select(col("doc_id"), Dedup.imageDHash(col("blob")).as("dhash"))
     }),
 
+    // REAL image RESIZE (ImageResize — decode → integer box-average →
+    // re-encode PNG): 16×16 images built from 2×2-constant blocks, so the
+    // 8×8 thumbnail's pixels are EXACTLY the block values and its aHash is
+    // the same closed-form P — gating decode, the resampler's box
+    // arithmetic, the re-encode, and the second decode in one hash.
+    "q215_image_thumb" -> ((s, d) => {
+      import s.implicits._
+      import graft.functions.ImageCodec
+      val blobs = docs(s, d).select(col("doc_id")).as[Long].map { id =>
+        val p = (id % 64) * 0x0101010101010101L
+        val px = Array.tabulate[Byte](256) { i =>
+          val bx = (i % 16) / 2; val by = (i / 16) / 2
+          if (((p >>> (63 - (by * 8 + bx))) & 1L) == 1L) 255.toByte else 0
+        }
+        (id, ImageCodec.encodePng(16, 16, 1, px, filterType = (id % 5).toInt))
+      }.toDF("doc_id", "blob")
+      blobs
+        .withColumn("thumb", graft.functions.ImageResize(col("blob"), 8, 8))
+        .withColumn("__d", graft.functions.ImageDims(col("thumb")))
+        .select(col("doc_id"), col("__d.width").as("img_w"),
+          col("__d.height").as("img_h"),
+          graft.functions.ImageAHash(col("thumb")).as("ahash"))
+    }),
+
+    // REAL MP4 frame-sample planning (Mp4Frames / sampleFramesMp4): blobs
+    // carry full ISO-BMFF sample tables (moov/trak/mdia/hdlr(vide)/minf/
+    // stbl/stsz) built by Mp4Codec; the fan-out plans from the stsz sample
+    // COUNT the container records — the real frame indexes, not a byte-
+    // length guess. Every third doc is a WAV (no video track) and must
+    // contribute zero rows. VideoMeta fields ride along re-parsed from the
+    // same bytes.
+    "q216_mp4_frames" -> ((s, d) => {
+      import s.implicits._
+      import graft.functions.{AudioCodec, Mp4Codec}
+      val blobs = docs(s, d).select(col("doc_id")).as[Long].map { id =>
+        val blob =
+          if (id % 3 == 2) AudioCodec.encodeWavPcm16(8000, 1, Array(1, 2, 3))
+          else Mp4Codec.encode(
+            timescale = 1000, durationTicks = (id % 50 + 1) * 1000,
+            width = (id % 640 + 1).toInt, height = (id % 480 + 1).toInt,
+            nFrames = id % 97 + 1,
+            tail = ("x" * (id % 7 + 1).toInt).getBytes)
+        (id, blob)
+      }.toDF("doc_id", "blob")
+      graft.operators.Multimodal.sampleFramesMp4(blobs, "blob",
+          stride = 5, maxFrames = 12)
+        .withColumn("__vm", graft.functions.VideoMeta(col("blob")))
+        .select(col("doc_id"), col("frame_idx"),
+          col("__vm.duration_ms").as("vdur_ms"), col("__vm.width").as("vw"))
+    }),
+
     // REAL PCM sample decode (AudioStats): WAV blobs carry 16-bit PCM whose
     // samples are the closed form ((doc_id·31 + k·17) mod 65536) − 32768;
     // the engine folds peak / exact Σs² / clipped / silent counts out of
@@ -5697,6 +5748,20 @@ object Battery {
         |SELECT doc_id,
         |  ((p & ~(p << 1) & ~72340172838076673) | (p & 72340172838076673)) AS dhash
         |FROM h""".stripMargin,
+    // the stsz-planned fan-out: stride-5 indexes under the closed-form
+    // frame count, capped at 12; WAV docs (doc_id % 3 = 2) contribute none
+    "q216_mp4_frames" ->
+      """SELECT d.doc_id, CAST(t.r AS BIGINT) AS frame_idx,
+        |  (d.doc_id % 50 + 1) * 1000 AS vdur_ms,
+        |  CAST(d.doc_id % 640 + 1 AS INTEGER) AS vw
+        |FROM documents d, range(0, 60, 5) t(r)
+        |WHERE d.doc_id % 3 <> 2 AND t.r < d.doc_id % 97 + 1
+        |  AND t.r < 60""".stripMargin,
+    // the thumbnail of a block-constant image is the block pattern itself
+    "q215_image_thumb" ->
+      """SELECT doc_id, 8 AS img_w, 8 AS img_h,
+        |  (doc_id % 64) * 72340172838076673 AS ahash
+        |FROM documents""".stripMargin,
     // the identical per-sample fold, replayed via generate_series
     "q212_wav_stats" ->
       """SELECT d.doc_id,

@@ -122,4 +122,25 @@ class Mp4HeadersSpec extends SparkSpec {
     assert(rows("trak").contains(("isom", 1000L, 5000L, 640, 360)))
     assert(rows("txt").isEmpty)
   }
+
+  test("Mp4Codec round-trips through Mp4Headers AND Mp4Frames; frame " +
+      "sampling plans from the real stsz count") {
+    import spark.implicits._
+    val mp4 = Mp4Codec.encode(timescale = 600, durationTicks = 1800,
+      width = 320, height = 240, nFrames = 23, tail = "garbage".getBytes)
+    val m = Mp4Headers.parse(mp4)
+    assert(m.timescale == 600L && m.durationMs == 3000L &&
+      m.width == 320 && m.height == 240)
+    assert(Mp4Frames.frameCount(mp4).longValue == 23L)
+    // no video track (WAV), truncated mp4, foreign bytes: all null
+    assert(Mp4Frames.frameCount(AudioCodec.encodeWavPcm16(8000, 1, Array(1))) == null)
+    assert(Mp4Frames.frameCount(mp4.take(40)) == null)
+    assert(Mp4Frames.frameCount("junk".getBytes) == null)
+    // expression + honest sampler: stride-4 under count 23, cap 3 → 0,4,8;
+    // the undecodable row fans out to NOTHING
+    val df = Seq((1L, mp4), (2L, "junk".getBytes)).toDF("id", "blob")
+    val out = graft.operators.Multimodal.sampleFramesMp4(df, "blob", 4, 3)
+      .select("id", "frame_idx").as[(Long, Long)].collect().toSeq.sorted
+    assert(out == Seq((1L, 0L), (1L, 4L), (1L, 8L)))
+  }
 }

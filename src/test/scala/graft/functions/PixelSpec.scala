@@ -194,6 +194,30 @@ class PixelSpec extends SparkSpec {
     assert(kept === Set(1L, 5L, 6L))
   }
 
+  test("image_resize: thumbnail round-trips the box means; null data stays null") {
+    // 16x16 with 2x2-constant blocks → the 8x8 thumb IS the block values
+    val p = 0x5AA5_3CC3_0FF0_8118L
+    val px = Array.tabulate[Byte](256) { i =>
+      val bx = (i % 16) / 2; val by = (i / 16) / 2
+      if (((p >>> (63 - (by * 8 + bx))) & 1L) == 1L) 255.toByte else 0
+    }
+    val big = ImageCodec.encodePng(16, 16, 1, px, filterType = 1)
+    val df = Seq((1L, big), (2L, "junk".getBytes)).toDF("id", "blob")
+      .select(col("id"), ImageResize(col("blob"), 8, 8).as("t"))
+    val rows = df.collect().map(r => r.getLong(0) ->
+      (if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1))).toMap
+    assert(rows(2L) == null)
+    val thumb = ImagePixels.decodeLuma(rows(1L))
+    assert(thumb.width === 8 && thumb.height === 8)
+    assert(ImagePixels.ahash64(rows(1L)).longValue === p)
+    // non-uniform blocks: real averaging, floor division
+    val grad = Array.tabulate[Byte](256)(i => (i % 16 * 16).toByte)
+    val t2 = ImagePixels.decodeLuma(
+      ImagePixels.thumbnailPng(ImageCodec.encodeBmpGray(16, 16, grad), 8, 8))
+    // row-constant columns: mean of cols 2k,2k+1 = 16*(2k) + 8
+    assert((0 until 8).forall(k => (t2.luma(k) & 0xff) == 32 * k + 8), t2.luma.toSeq)
+  }
+
   test("decodeImages real decoder: PNG features, stub only on demand") {
     val px = patternPixels(0x0000_0000_FFFF_FFFFL) // half black, half white
     val df = Seq((1L, ImageCodec.encodePng(8, 8, 1, px)),

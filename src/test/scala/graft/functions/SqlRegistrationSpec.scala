@@ -45,4 +45,27 @@ class SqlRegistrationSpec extends SparkSpec {
         .map("%02X".format(_)).mkString)
     assert(row.getInt(12) > 0 && row.getInt(12) <= 15) // <= nWindows minima
   }
+
+  test("pixel/sample expressions are callable from SQL") {
+    graft.functions.registerAll(spark)
+    val p = 0x00FF_33CC_0F0F_5AA5L
+    val png = ImageCodec.encodePng(8, 8, 1,
+      Array.tabulate[Byte](64)(i => if (((p >>> (63 - i)) & 1L) == 1L) 255.toByte else 0),
+      filterType = 4)
+    val wav = AudioCodec.encodeWavPcm16(8000, 1, Array(0, 32767, -32768, 500))
+    val row = spark.sql(s"""
+      SELECT
+        image_ahash(unhex('${png.map("%02X".format(_)).mkString}')) AS ah,
+        image_luma(unhex('${png.map("%02X".format(_)).mkString}')).height AS h,
+        image_dhash(unhex('${png.map("%02X".format(_)).mkString}')) AS dh,
+        audio_stats(unhex('${wav.map("%02X".format(_)).mkString}'), 1000) AS st,
+        image_dims(image_resize(unhex('${png.map("%02X".format(_)).mkString}'), 4, 4)).width AS tw
+    """).head()
+    assert(row.getLong(0) == p)
+    assert(row.getInt(1) == 8)
+    assert(!row.isNullAt(2))
+    assert(row.getInt(4) == 4)
+    val st = row.getStruct(3)
+    assert(st.getLong(0) == 4L && st.getLong(1) == 32768L && st.getLong(3) == 2L)
+  }
 }
