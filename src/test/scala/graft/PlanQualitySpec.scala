@@ -803,6 +803,24 @@ class PlanQualitySpec extends SparkSpec {
       AlwaysTrue, m).contains(AlwaysTrue), "shapes not referencing mapped cols pass")
   }
 
+  test("pixel/sample expressions stay in WholeStageCodegen, zero exchanges") {
+    val blob = col("text").cast("binary")
+    val df = graft.tables.Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        graft.operators.Dedup.imageAHash(blob).as("ah"),
+        graft.functions.ImageResize(blob, 8, 8).as("thumb"),
+        graft.functions.VideoFrames(blob).as("nf"),
+        graft.functions.AudioStats(blob, 100).as("st"))
+    val plan = df.queryExecution.executedPlan.toString
+    // the "*(n)" prefix is the WholeStageCodegen stage marker
+    assert("""\*\(\d+\) Project""".r.findFirstIn(plan).isDefined,
+      s"projection fell out of whole-stage codegen:\n$plan")
+    assert(!plan.contains("Exchange"), s"a per-row projection must not shuffle:\n$plan")
+    // and the generated code actually compiles and runs (all-null results
+    // for text bytes — undecodable is data)
+    assert(df.collect().forall(r => r.isNullAt(1) && r.isNullAt(2) && r.isNullAt(3)))
+  }
+
   test("random-ring write plans exactly one range exchange, like the murmur3 ring") {
     import spark.implicits._
     val df = (1L to 1000L).map(i => (i, s"v$i")).toDF("k", "v")
