@@ -100,7 +100,10 @@ object ImagePixels {
       var off = 0
       while (off < rawLen && !inf.finished()) {
         val n = inf.inflate(raw, off, rawLen - off)
-        if (n == 0 && inf.needsInput()) return null // truncated stream
+        // n == 0 and not finished: truncated stream (needsInput) OR a
+        // preset-dictionary request (needsDictionary) — both are corrupt
+        // data here, and looping on either would hang the task forever
+        if (n == 0) return null
         off += n
       }
       if (off < rawLen) return null
@@ -193,6 +196,8 @@ object ImagePixels {
     if (bpp == 8) {
       var nPal = leI32(b, 46)
       if (nPal == 0) nPal = 256
+      // negative (lying bytes) or oversized counts are corrupt data
+      if (nPal < 0 || nPal > 256) return null
       val palOff = 14 + hdrSize
       if (palOff + 4L * nPal > b.length) return null
       palette = java.util.Arrays.copyOfRange(b, palOff, palOff + 4 * nPal)
@@ -223,7 +228,11 @@ object ImagePixels {
     Luma(width, height, lum)
   }
 
-  /** Decode PNG or BMP bytes to grayscale; null for anything else. */
+  /** Decode PNG or BMP bytes to grayscale; null for anything else.
+   *  Bounds violations from lying headers are corrupt DATA (null);
+   *  OutOfMemoryError is deliberately NOT caught — the MaxPixels cap
+   *  bounds honest allocations, and converting heap exhaustion into
+   *  "undecodable" would make dedup results depend on memory pressure. */
   def decodeLuma(b: Array[Byte]): Luma = {
     if (b == null || b.length < 2) return null
     try {
@@ -231,8 +240,7 @@ object ImagePixels {
       else if (b(0) == 'B' && b(1) == 'M') decodeBmp(b)
       else null
     } catch {
-      case _: ArrayIndexOutOfBoundsException | _: NegativeArraySizeException |
-           _: OutOfMemoryError => null
+      case _: ArrayIndexOutOfBoundsException | _: NegativeArraySizeException => null
     }
   }
 

@@ -238,9 +238,11 @@ object Mp4Frames {
     val moov = child(b, 0, b.length, "moov").getOrElse(return null)
     for ((t, ts, te) <- children(b, moov._1, moov._2) if t == "trak") {
       child(b, ts, te, "mdia").foreach { case (ms, me) =>
-        val isVideo = child(b, ms, me, "hdlr").exists { case (hs, _) =>
-          // hdlr payload: ver/flags(4) + pre_defined(4) + handler_type(4)
-          hs + 12 <= b.length && boxType(b, (hs + 4).toInt) == "vide"
+        val isVideo = child(b, ms, me, "hdlr").exists { case (hs, he) =>
+          // hdlr payload: ver/flags(4) + pre_defined(4) + handler_type(4);
+          // bound by the box's OWN end — a truncated hdlr must not read
+          // its sibling's bytes as a handler type
+          hs + 12 <= he && boxType(b, (hs + 4).toInt) == "vide"
         }
         if (isVideo) {
           val count = for {

@@ -192,7 +192,12 @@ object Multimodal {
    */
   def sampleFramesMp4(df: DataFrame, blobCol: String, stride: Int, maxFrames: Int): DataFrame = {
     require(stride > 0 && maxFrames > 0, s"need stride/maxFrames > 0")
-    val nFrames = graft.functions.VideoFrames(col(blobCol))
+    // cap the UNTRUSTED stsz count before sequence() materializes it: only
+    // indexes below stride*maxFrames survive the slice anyway, and a lying
+    // u32 count must not allocate a multi-GB array per row. least() skips
+    // nulls, so guard it — a null (non-video) count must STAY null.
+    val raw = graft.functions.VideoFrames(col(blobCol))
+    val nFrames = when(raw.isNotNull, least(raw, lit(stride.toLong * maxFrames)))
     df.withColumn("frame_idx",
       explode(slice(
         when(nFrames > 0, sequence(lit(0L), nFrames - 1, lit(stride.toLong))),

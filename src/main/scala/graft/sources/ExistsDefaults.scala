@@ -95,7 +95,15 @@ object ExistsDefaults {
   private def mergedFooterSchema(
       spark: SparkSession, files: Seq[String]): Option[StructType] = {
     val conf = spark.sessionState.newHadoopConf()
-    val misses = files.filterNot(footerSchemaCache.containsKey).distinct
+    // capture the session's SQLConf HERE (driver thread) — pool threads
+    // may not inherit the active session, and the converter's flags
+    // (binaryAsString, int96, NTZ inference, …) come from it. The cache
+    // key carries the same flags so two sessions with different parquet
+    // settings never share a converted schema.
+    val sqlConf = spark.sessionState.conf
+    val confKey = org.apache.spark.sql.graftshim.GraftShims.footerSchemaConfKey(sqlConf)
+    def cacheKey(p: String): String = p + "|" + confKey
+    val misses = files.filterNot(p => footerSchemaCache.containsKey(cacheKey(p))).distinct
     if (misses.nonEmpty) {
       val pool = java.util.concurrent.Executors
         .newFixedThreadPool(math.min(16, misses.length))
@@ -105,12 +113,17 @@ object ExistsDefaults {
           new java.util.concurrent.Callable[(String, StructType)] {
             override def call(): (String, StructType) =
               p -> org.apache.spark.sql.graftshim.GraftShims
-                .footerSchema(conf, new Path(p))
+                .footerSchema(conf, sqlConf, new Path(p))
           }
         }
         pool.invokeAll(tasks.asJava).asScala.foreach { f =>
-          val (p, s) = f.get(); footerSchemaCache.put(p, s)
+          val (p, s) = f.get(); footerSchemaCache.put(cacheKey(p), s)
         }
+      } catch {
+        // one transient FS hiccup or unreadable footer must not fail the
+        // read with a wrapped driver exception: fall back to the
+        // distributed mergeSchema job (Spark-side task retries included)
+        case scala.util.control.NonFatal(_) => return None
       } finally pool.shutdown()
     }
     // first-seen field order, new fields appended — Spark's merge order.
@@ -118,7 +131,7 @@ object ExistsDefaults {
     // nullability) or we fall back; top-level nullability then relaxes to
     // nullable like Spark's own inference (a column REQUIRED in one
     // generation can be absent/null in another).
-    val distinct = files.map(footerSchemaCache.get).distinct
+    val distinct = files.map(p => footerSchemaCache.get(cacheKey(p))).distinct
     distinct.tail.foldLeft(Option(distinct.head)) {
       case (None, _) => None
       case (Some(acc), s) =>

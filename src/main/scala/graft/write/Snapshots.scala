@@ -1021,7 +1021,10 @@ object Snapshots {
       new org.apache.spark.util.SerializableConfiguration(conf))
     val expectedBc = spark.sparkContext.broadcast(expected)
     val copies = mapping.toSeq.sortBy(_._1)
-    val failures = spark.sparkContext
+    // a valid version can reference ZERO files (a full-table DELETE):
+    // the deep clone is then just the empty v1 commit below
+    val failures = if (copies.isEmpty) Array.empty[String]
+    else spark.sparkContext
       .parallelize(copies, math.min(copies.length, 64))
       .flatMap { case (src, dst) =>
         val c = bc.value.value

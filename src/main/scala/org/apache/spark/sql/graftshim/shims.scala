@@ -25,18 +25,29 @@ object GraftShims {
 
   /** One parquet file's Spark-facing schema from its FOOTER, on the
    *  driver — exactly Spark's own footer→schema conversion
-   *  (`ParquetToSparkSchemaConverter` under the session's SQLConf), no
-   *  Spark job. Drives the per-path schema cache that replaces one
+   *  (`ParquetToSparkSchemaConverter` under the CALLER-captured SQLConf;
+   *  pool threads may not inherit the active session), no Spark job.
+   *  Drives the per-(path, conf) schema cache that replaces one
    *  distributed `mergeSchema` inference job per mixed-generation read. */
   def footerSchema(
       conf: org.apache.hadoop.conf.Configuration,
+      sqlConf: org.apache.spark.sql.internal.SQLConf,
       path: org.apache.hadoop.fs.Path): org.apache.spark.sql.types.StructType = {
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.HadoopInputFile
     val reader = ParquetFileReader.open(HadoopInputFile.fromPath(path, conf))
     try new org.apache.spark.sql.execution.datasources.parquet
-      .ParquetToSparkSchemaConverter(org.apache.spark.sql.internal.SQLConf.get)
+      .ParquetToSparkSchemaConverter(sqlConf)
       .convert(reader.getFooter.getFileMetaData.getSchema)
     finally reader.close()
   }
+
+  /** The SQLConf flags [[footerSchema]]'s conversion depends on, as a
+   *  cache-key fragment — sessions differing in any of them must not
+   *  share converted schemas. */
+  def footerSchemaConfKey(sqlConf: org.apache.spark.sql.internal.SQLConf): String =
+    Seq(sqlConf.isParquetBinaryAsString, sqlConf.isParquetINT96AsTimestamp,
+      sqlConf.caseSensitiveAnalysis, sqlConf.parquetInferTimestampNTZEnabled,
+      sqlConf.legacyParquetNanosAsLong, sqlConf.parquetFieldIdReadEnabled)
+      .mkString(",")
 }

@@ -818,7 +818,8 @@ class PlanQualitySpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"a per-row projection must not shuffle:\n$plan")
     // and the generated code actually compiles and runs (all-null results
     // for text bytes — undecodable is data)
-    assert(df.collect().forall(r => r.isNullAt(1) && r.isNullAt(2) && r.isNullAt(3)))
+    assert(df.collect().forall(r =>
+      r.isNullAt(1) && r.isNullAt(2) && r.isNullAt(3) && r.isNullAt(4)))
   }
 
   test("random-ring write plans exactly one range exchange, like the murmur3 ring") {

@@ -143,4 +143,36 @@ class Mp4HeadersSpec extends SparkSpec {
       .select("id", "frame_idx").as[(Long, Long)].collect().toSeq.sorted
     assert(out == Seq((1L, 0L), (1L, 4L), (1L, 8L)))
   }
+
+  test("hostile sample tables: a lying u32 stsz count caps (no multi-GB " +
+      "array per row); a truncated hdlr never reads its sibling's bytes") {
+    import spark.implicits._
+    // stsz sample_count = 4 billion: the fan-out must still be the sliced
+    // stride set, materializing at most stride*maxFrames indexes
+    val lying = Mp4Codec.encode(1000, 1000, 64, 64, nFrames = 4000000000L)
+    assert(Mp4Frames.frameCount(lying).longValue == 4000000000L)
+    val out = graft.operators.Multimodal
+      .sampleFramesMp4(Seq((1L, lying)).toDF("id", "blob"), "blob", 5, 12)
+      .select("frame_idx").as[Long].collect().toSeq
+    assert(out == (0L until 60L by 5L).toSeq)
+    // hdlr box shorter than the 12-byte handler offset, followed by a
+    // sibling whose TYPE spells 'vide': must not classify as video
+    def box(t: String, payload: Array[Byte]): Array[Byte] = {
+      val size = 8 + payload.length
+      Array((size >>> 24).toByte, (size >>> 16).toByte, (size >>> 8).toByte,
+        size.toByte) ++ t.getBytes("US-ASCII") ++ payload
+    }
+    val shortHdlr = box("hdlr", Array[Byte](0, 0, 0, 0)) // 4-byte payload
+    val videSibling = box("vide", new Array[Byte](8))
+    val stbl = box("stbl", box("stsz",
+      Array[Byte](0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 9)))
+    val mdia = box("mdia", shortHdlr ++ videSibling ++ box("minf", stbl))
+    val crafted = box("ftyp", "isom".getBytes ++ new Array[Byte](8)) ++
+      box("moov", box("mvhd",
+        Array[Byte](0, 0, 0, 0) ++ new Array[Byte](8) ++
+          Array[Byte](0, 0, 3, 0xE8.toByte) ++ new Array[Byte](84)) ++
+        box("trak", mdia))
+    assert(Mp4Frames.frameCount(crafted) == null,
+      "a truncated hdlr must not read the sibling box's type as a handler")
+  }
 }

@@ -104,6 +104,24 @@ class PixelSpec extends SparkSpec {
     }
   }
 
+  test("hostile bytes are null data, never a hang: FDICT zlib, lying BMP palette") {
+    // zlib FDICT: CMF=0x78 FLG=0x20 (checksum-valid, preset-dictionary bit
+    // set) — inflate() then returns 0 without needing input, which must
+    // bail out as corrupt data, not spin the task forever
+    val png = ImageCodec.encodePng(4, 4, 1, rndPixels(16, 3L))
+    // layout: sig(8) + IHDR box(25) + IDAT len/type(8) → zlib CMF at 41
+    assert(png(41) == 0x78.toByte, "fixture drifted: zlib CMF not at 41")
+    val fdict = png.clone(); fdict(42) = 0x20
+    assert(ImagePixels.decodeLuma(fdict) == null)
+    // 8-bit BMP whose color-count field lies as -1: must be null data,
+    // not an uncaught IllegalArgumentException from copyOfRange
+    val bmp = ImageCodec.encodeBmpGray(4, 4, rndPixels(16, 4L))
+    val badPal = bmp.clone()
+    badPal(28) = 8 // bpp 8 → palette expected
+    for (i <- 46 to 49) badPal(i) = 0xff.toByte // biClrUsed = -1
+    assert(ImagePixels.decodeLuma(badPal) == null)
+  }
+
   test("undecodable bytes are null data: truncated, corrupt, foreign") {
     val good = ImageCodec.encodePng(4, 4, 1, rndPixels(16, 1L))
     assert(ImagePixels.decodeLuma(good.take(20)) == null) // truncated mid-IHDR body

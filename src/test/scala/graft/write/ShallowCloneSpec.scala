@@ -214,6 +214,20 @@ class ShallowCloneSpec extends SparkSpec {
       "deep-cloned files must carry manifest digests")
   }
 
+  test("deep clone of an EMPTY snapshot (full-table delete) commits a " +
+      "readable empty v1") {
+    spark.sql(s"CREATE TABLE $catName.db.s12 (id BIGINT, v BIGINT) USING graft " +
+      "OPTIONS (pk 'id', partitions '1', snapshot 'true')")
+    spark.sql(s"INSERT INTO $catName.db.s12 VALUES (1, 1), (2, 2)")
+    spark.sql(s"DELETE FROM $catName.db.s12 WHERE v > 0") // zero files remain
+    assert(spark.table(s"$catName.db.s12").count() == 0L)
+    spark.sql(s"CALL $catName.system.clone(source => 'db.s12', " +
+      "target => 'db.deep12', deep => true)")
+    assert(spark.table(s"$catName.db.deep12").count() == 0L)
+    spark.sql(s"INSERT INTO $catName.db.deep12 VALUES (9, 9)")
+    assert(spark.table(s"$catName.db.deep12").count() == 1L)
+  }
+
   test("deep clone carries deletion vectors and row ids") {
     spark.sql(s"CREATE TABLE $catName.db.s11 (id BIGINT, v BIGINT) USING graft " +
       "OPTIONS (pk 'id', partitions '2', snapshot 'true', " +
