@@ -1012,42 +1012,44 @@ object Snapshots {
         }
       q -> s"$tgtPrefix/$rel"
     }.toMap
-    // expected digests from the source manifest (absent rows copy
-    // unverified — pre-digest layouts still deep-clone)
-    val expected: Map[String, Long] = Manifest.read(sf, sroot).collect {
-      case (p, m) if m.digest.isDefined => qualify(p) -> m.digest.get
-    }
-    val bc = spark.sparkContext.broadcast(
-      new org.apache.spark.util.SerializableConfiguration(conf))
-    val expectedBc = spark.sparkContext.broadcast(expected)
     val copies = mapping.toSeq.sortBy(_._1)
-    // a valid version can reference ZERO files (a full-table DELETE):
-    // the deep clone is then just the empty v1 commit below
-    val failures = if (copies.isEmpty) Array.empty[String]
-    else spark.sparkContext
-      .parallelize(copies, math.min(copies.length, 64))
-      .flatMap { case (src, dst) =>
-        val c = bc.value.value
-        val sp = new Path(src)
-        val dp = new Path(dst)
-        val dfs = dp.getFileSystem(c)
-        Option(dp.getParent).foreach(dfs.mkdirs(_))
-        org.apache.hadoop.fs.FileUtil.copy(sp.getFileSystem(c), sp, dfs, dp,
-          false, true, c)
-        expectedBc.value.get(src) match {
-          case Some(want) =>
-            val got = Manifest.digestFile(dfs, dp)
-            if (got != want) Some(s"$src -> $dst: digest $got != manifest $want")
-            else None
-          case None => None
-        }
-      }.collect()
-    if (failures.nonEmpty) {
-      // never leave a half-verified copy set behind a failed clone
-      copies.foreach { case (_, dst) => tf.delete(new Path(dst), false) }
-      throw new IllegalStateException(
-        s"deepClone: ${failures.length} copied file(s) failed digest " +
-          s"verification (first: ${failures.head})")
+    // a valid version can reference ZERO files (a full-table DELETE): the
+    // deep clone is then just the empty v1 commit below — skip the whole
+    // copy block, including the manifest read and the broadcasts it feeds
+    if (copies.nonEmpty) {
+      // expected digests from the source manifest (absent rows copy
+      // unverified — pre-digest layouts still deep-clone)
+      val expected: Map[String, Long] = Manifest.read(sf, sroot).collect {
+        case (p, m) if m.digest.isDefined => qualify(p) -> m.digest.get
+      }
+      val bc = spark.sparkContext.broadcast(
+        new org.apache.spark.util.SerializableConfiguration(conf))
+      val expectedBc = spark.sparkContext.broadcast(expected)
+      val failures = spark.sparkContext
+        .parallelize(copies, math.min(copies.length, 64))
+        .flatMap { case (src, dst) =>
+          val c = bc.value.value
+          val sp = new Path(src)
+          val dp = new Path(dst)
+          val dfs = dp.getFileSystem(c)
+          Option(dp.getParent).foreach(dfs.mkdirs(_))
+          org.apache.hadoop.fs.FileUtil.copy(sp.getFileSystem(c), sp, dfs, dp,
+            false, true, c)
+          expectedBc.value.get(src) match {
+            case Some(want) =>
+              val got = Manifest.digestFile(dfs, dp)
+              if (got != want) Some(s"$src -> $dst: digest $got != manifest $want")
+              else None
+            case None => None
+          }
+        }.collect()
+      if (failures.nonEmpty) {
+        // never leave a half-verified copy set behind a failed clone
+        copies.foreach { case (_, dst) => tf.delete(new Path(dst), false) }
+        throw new IllegalStateException(
+          s"deepClone: ${failures.length} copied file(s) failed digest " +
+            s"verification (first: ${failures.head})")
+      }
     }
     // manifest stats for the fresh local files while their footers are
     // hot, then the normal v1 commit over them
