@@ -196,6 +196,124 @@ object AudioSamples {
   }
 }
 
+/**
+ * 64-bit audio fingerprint over PCM16 samples: split the sample stream
+ * into 64 equal windows (integer boundaries, like the image resizer),
+ * take each window's mean |s| (floor), and set bit (63 − k) iff window k
+ * STRICTLY exceeds the overall mean |s| — an energy-envelope aHash.
+ * Length- and amplitude-scale-tolerant by construction (the threshold is
+ * relative), so byte-different re-encodes of the same envelope collide at
+ * Hamming 0 and feed the same [[graft.operators.Dedup.hammingPairs]]
+ * machinery as text and images. Null for non-PCM16 bytes or empty audio.
+ */
+object AudioFingerprint {
+
+  def ahash64(b: Array[Byte]): java.lang.Long = {
+    if (b == null || b.length < 44) return null
+    if (!((b(0) == 'R') && (b(1) == 'I') && (b(2) == 'F') && (b(3) == 'F') &&
+          (b(8) == 'W') && (b(9) == 'A') && (b(10) == 'V') && (b(11) == 'E'))) return null
+    // chunk walk (same contract as AudioSamples.statsRow)
+    var i = 12
+    var format = -1
+    var bits = -1
+    var dataOff = -1
+    var dataLen = -1L
+    while (i + 8 <= b.length && (format < 0 || dataOff < 0)) {
+      val size = (b(i + 4) & 0xffL) | ((b(i + 5) & 0xffL) << 8) |
+        ((b(i + 6) & 0xffL) << 16) | ((b(i + 7) & 0xffL) << 24)
+      if (b(i) == 'f' && b(i + 1) == 'm' && b(i + 2) == 't' && b(i + 3) == ' ') {
+        if (i + 8 + 16 > b.length) return null
+        format = (b(i + 8) & 0xff) | ((b(i + 9) & 0xff) << 8)
+        bits = (b(i + 22) & 0xff) | ((b(i + 23) & 0xff) << 8)
+      } else if (b(i) == 'd' && b(i + 1) == 'a' && b(i + 2) == 't' && b(i + 3) == 'a') {
+        dataOff = i + 8
+        dataLen = size
+      }
+      val step = 8L + size + (size & 1L)
+      if (step <= 0 || i + step > Int.MaxValue) return null
+      i += step.toInt
+    }
+    if (format != 1 || bits != 16 || dataOff < 0) return null
+    if (dataOff + dataLen > b.length) return null
+    val n = (dataLen / 2).toInt
+    if (n <= 0) return null
+    var total = 0L
+    val winSum = new Array[Long](64)
+    val winCnt = new Array[Long](64)
+    var k = 0
+    while (k < n) {
+      val s = (b(dataOff + 2 * k) & 0xff) | (b(dataOff + 2 * k + 1).toInt << 8)
+      val a = math.abs(s.toLong)
+      val w = (k.toLong * 64 / n).toInt
+      total += a
+      winSum(w) += a
+      winCnt(w) += 1
+      k += 1
+    }
+    val mean = total / n
+    var hash = 0L
+    var w = 0
+    while (w < 64) {
+      // empty windows (n < 64) read as silence: bit stays 0
+      val wMean = if (winCnt(w) == 0) 0L else winSum(w) / winCnt(w)
+      hash = (hash << 1) | (if (wMean > mean) 1L else 0L)
+      w += 1
+    }
+    java.lang.Long.valueOf(hash)
+  }
+}
+
+/** `audio_ahash(blob)` → 64-bit energy-envelope fingerprint (long), null
+ *  for non-PCM16 bytes. Same codegen shape as the image hashes. */
+case class AudioAHash(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case BinaryType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case dt => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"audio_ahash needs a binary column, got $dt")
+    }
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) null
+    else {
+      val h = AudioFingerprint.ahash64(v.asInstanceOf[Array[Byte]])
+      if (h == null) null else h.longValue()
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    val cls = AudioFingerprint.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    val boxed = ctx.freshName("audioHash")
+    ev.copy(code = code"""
+      |${c.code}
+      |long ${ev.value} = 0L;
+      |boolean ${ev.isNull} = ${c.isNull};
+      |if (!${ev.isNull}) {
+      |  java.lang.Long $boxed = $cls.ahash64(${c.value});
+      |  ${ev.isNull} = $boxed == null;
+      |  if (!${ev.isNull}) ${ev.value} = $boxed.longValue();
+      |}
+     """.stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "audio_ahash"
+}
+
+object AudioAHash {
+  def apply(col: Column): Column =
+    GraftShims.column(new AudioAHash(GraftShims.expression(col)))
+}
+
 /** `audio_stats(blob, silenceBelow)` → struct(n_samples, peak, sum_sq,
  *  n_clipped, n_silent) over 16-bit PCM samples; null for non-PCM16 WAV
  *  or foreign bytes. Same codegen shape as [[AudioMeta]]. */

@@ -129,6 +129,10 @@ package object functions {
       (exprs: Seq[Expression]) => new ImageResize(exprs.head,
         intLit(exprs(1), "image_resize width"), intLit(exprs(2), "image_resize height")))
     registry.registerFunction(
+      FunctionIdentifier("audio_ahash"),
+      new ExpressionInfo(classOf[AudioAHash].getName, "audio_ahash"),
+      (exprs: Seq[Expression]) => new AudioAHash(exprs.head))
+    registry.registerFunction(
       FunctionIdentifier("audio_stats"),
       new ExpressionInfo(classOf[AudioStats].getName, "audio_stats"),
       // audio_stats(blob, silenceBelow): the threshold folds to an int

@@ -958,6 +958,59 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /**
+   * BIPARTITE Hamming-LSH pairs: (new id, corpus id) within `maxHamming`,
+   * mined by the same pigeonhole block buckets but joined ACROSS the two
+   * frames — the incremental-ingest shape ([[dropAgainstSignatures]] for
+   * 64-bit perceptual/simhash signatures): the corpus side can be a
+   * PERSISTED signature table, so a day's increment dedups against 100 TB
+   * of history by shuffling only (id, 8-byte hash) pairs of both sides,
+   * never any payload, and never the corpus×corpus self-join.
+   */
+  def hammingPairsAgainst(
+      newSigs: DataFrame, corpusSigs: DataFrame, maxHamming: Int): DataFrame = {
+    require(maxHamming >= 1 && maxHamming <= 31, s"maxHamming out of range: $maxHamming")
+    val blocks = maxHamming + 1
+    val bits = 64 / blocks
+    def keyed(df: DataFrame): DataFrame = {
+      val sigs = df.select(col("id"), col("sh")).filter(col("sh").isNotNull)
+      val blockExprs: Seq[Column] = (0 until blocks).map { b =>
+        val width = if (b == blocks - 1) 64 - b * bits else bits
+        val shifted = call_function("shiftrightunsigned", col("sh"), lit(b * bits))
+        if (width >= 64) shifted else shifted.bitwiseAND(lit((1L << width) - 1))
+      }
+      sigs.select(col("id"), col("sh"),
+        posexplode(array(blockExprs: _*)).as(Seq("block", "block_val")))
+    }
+    keyed(newSigs).as("a").join(keyed(corpusSigs).as("b"),
+        col("a.block") === col("b.block") &&
+          col("a.block_val") === col("b.block_val"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).cast("int").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
+  /**
+   * Incremental IMAGE near-dup: drop incoming images whose perceptual
+   * hash lands within `maxHamming` of any corpus signature. `corpusSigs`
+   * is an (id, sh) frame — typically `withColumn("sh", imageAHash(blob))`
+   * persisted once and appended per ingest, so re-ingests never re-decode
+   * history. Survivors return with their full rows; undecodable incoming
+   * blobs always survive (null hash ⇒ no candidates).
+   */
+  def dropImagesAgainstSignatures(
+      df: DataFrame,
+      idCol: String,
+      blobCol: String,
+      corpusSigs: DataFrame,
+      maxHamming: Int = 3): DataFrame = {
+    val newSigs = df.select(col(idCol).as("id"), imageAHash(col(blobCol)).as("sh"))
+    val doomed = hammingPairsAgainst(newSigs, corpusSigs, maxHamming)
+      .select(col("id_a").as(idCol)).distinct()
+    df.join(doomed, Seq(idCol), "left_anti")
+  }
+
   // ---------- exact n-gram Jaccard on candidates ----------
 
   /**

@@ -2635,6 +2635,79 @@ object Battery {
       blobs.select(col("doc_id"), Dedup.imageDHash(col("blob")).as("dhash"))
     }),
 
+    // INCREMENTAL image dedup against a persisted signature corpus
+    // (Dedup.dropImagesAgainstSignatures — bipartite Hamming LSH): even
+    // doc_ids form the corpus (decoded ONCE into an (id, sh) signature
+    // frame, the thing a real pipeline persists), odd doc_ids are the
+    // incoming increment; an incoming image within Hamming ≤ 3 of ANY
+    // corpus signature drops. The oracle replays the exact bipartite
+    // bit_count predicate over the same closed-form patterns.
+    "q217_image_corpus_dedup" -> ((s, d) => {
+      import s.implicits._
+      import graft.functions.ImageCodec
+      // (2k, 2k+1) share a group, so every incoming (odd) image has a
+      // corpus twin; odd docs then diverge by doc_id%3 — 0: one flipped
+      // pixel (Hamming 1, drops), 1: the 5-bit spread mask M5 (Hamming 5
+      // from the twin and provably ≥7 from every other group — survives),
+      // 2: identical pixels re-encoded (Hamming 0, drops). A real
+      // drop/survive mix, exactly replayed by the oracle.
+      val m5 = (1L << 1) | (1L << 10) | (1L << 19) | (1L << 28) | (1L << 37)
+      def imgs(rows: org.apache.spark.sql.Dataset[Long]) = rows.map { id =>
+        val g = ((id / 2) % 64).toInt
+        val p0 = g.toLong * 0x0101010101010101L
+        val p =
+          if (id % 2 == 0) p0
+          else if (id % 3 == 0) p0 ^ (1L << (id % 63).toInt)
+          else if (id % 3 == 1) p0 ^ m5
+          else p0
+        val px = Array.tabulate[Byte](64)(i =>
+          if (((p >>> (63 - i)) & 1L) == 1L) 255.toByte else 0)
+        val bytes = (id % 7).toInt match {
+          case 5 => ImageCodec.encodeBmpGray(8, 8, px)
+          case 6 => ImageCodec.encodeBmpGray(8, 8, px, topDown = true)
+          case f => ImageCodec.encodePng(8, 8, 1, px, filterType = f)
+        }
+        (id, bytes)
+      }.toDF("doc_id", "blob")
+      val ids = docs(s, d).select(col("doc_id")).as[Long]
+      val corpus = imgs(ids.filter(col("doc_id") % 2 === 0))
+        .select(col("doc_id").as("id"), Dedup.imageAHash(col("blob")).as("sh"))
+      val incoming = imgs(ids.filter(col("doc_id") % 2 === 1))
+      Dedup.dropImagesAgainstSignatures(incoming, "doc_id", "blob", corpus, 3)
+        .select(col("doc_id"))
+    }),
+
+    // AUDIO near-dup fingerprint (AudioFingerprint.ahash64): PCM16 whose
+    // 64-window energy envelope plants the same closed-form P — windows
+    // with |s| = A vs silence; twins differ in LENGTH (n = 64·(doc_id%4+2)
+    // samples) and AMPLITUDE (A = doc_id%30000+1000) yet hash identically
+    // because the envelope threshold is relative. is_dup mined by the
+    // shared Hamming LSH, oracle replays the exact bit_count self-join.
+    "q218_audio_neardup" -> ((s, d) => {
+      import s.implicits._
+      import graft.functions.AudioCodec
+      val blobs = docs(s, d).select(col("doc_id")).as[Long].map { id =>
+        val g = (id % 64).toInt
+        val p0 = g.toLong * 0x0101010101010101L
+        val p = if ((id / 7) % 5 == 0) p0 ^ (1L << (id % 63).toInt) else p0
+        val m = (id % 4 + 2).toInt // samples per window
+        val amp = (id % 30000 + 1000).toInt
+        val samples = Array.tabulate(64 * m) { k =>
+          val bit = ((p >>> (63 - k / m)) & 1L) == 1L
+          if (bit) { if (k % 2 == 0) amp else -amp } else 0
+        }
+        (id, AudioCodec.encodeWavPcm16(16000, 1, samples))
+      }.toDF("doc_id", "blob")
+      val sigs = blobs.select(col("doc_id").as("id"),
+        graft.functions.AudioAHash(col("blob")).as("sh"))
+      val dups = Dedup.hammingPairs(sigs, maxHamming = 3)
+        .select(col("id_b").as("doc_id")).distinct().withColumn("dup", lit(1))
+      sigs.select(col("id").as("doc_id"), col("sh").as("ahash"))
+        .join(dups, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("ahash"),
+          coalesce(col("dup"), lit(0)).as("is_dup"))
+    }),
+
     // REAL image RESIZE (ImageResize — decode → integer box-average →
     // re-encode PNG): 16×16 images built from 2×2-constant blocks, so the
     // 8×8 thumbnail's pixels are EXACTLY the block values and its aHash is
@@ -5748,6 +5821,39 @@ object Battery {
         |SELECT doc_id,
         |  ((p & ~(p << 1) & ~72340172838076673) | (p & 72340172838076673)) AS dhash
         |FROM h""".stripMargin,
+    // bipartite ground truth: an odd doc survives iff NO even doc's
+    // pattern lands within Hamming 3 (M5 = bits {1,10,19,28,37})
+    "q217_image_corpus_dedup" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    CASE
+        |      WHEN doc_id % 2 = 0 THEN ((doc_id // 2) % 64) * 72340172838076673
+        |      WHEN doc_id % 3 = 0 THEN
+        |        xor(((doc_id // 2) % 64) * 72340172838076673,
+        |            1::BIGINT << CAST(doc_id % 63 AS INTEGER))
+        |      WHEN doc_id % 3 = 1 THEN
+        |        xor(((doc_id // 2) % 64) * 72340172838076673,
+        |            2 + 1024 + 524288 + 268435456 + 137438953472)
+        |      ELSE ((doc_id // 2) % 64) * 72340172838076673 END AS ahash
+        |  FROM documents)
+        |SELECT a.doc_id FROM h a
+        |WHERE a.doc_id % 2 = 1 AND NOT EXISTS (
+        |  SELECT 1 FROM h b WHERE b.doc_id % 2 = 0
+        |  AND bit_count(xor(a.ahash, b.ahash)) <= 3)""".stripMargin,
+    // the envelope hash IS the planted pattern, length/amplitude washed
+    // out by the relative threshold; dup ground truth as in q210
+    "q218_audio_neardup" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    CASE WHEN (doc_id // 7) % 5 = 0
+        |      THEN xor((doc_id % 64) * 72340172838076673,
+        |                1::BIGINT << CAST(doc_id % 63 AS INTEGER))
+        |      ELSE (doc_id % 64) * 72340172838076673 END AS ahash
+        |  FROM documents)
+        |SELECT a.doc_id, a.ahash,
+        |  CASE WHEN EXISTS (SELECT 1 FROM h b WHERE b.doc_id < a.doc_id
+        |    AND bit_count(xor(a.ahash, b.ahash)) <= 3) THEN 1 ELSE 0 END AS is_dup
+        |FROM h a""".stripMargin,
     // the stsz-planned fan-out: stride-5 indexes under the closed-form
     // frame count, capped at 12; WAV docs (doc_id % 3 = 2) contribute none
     "q216_mp4_frames" ->

@@ -236,6 +236,27 @@ class PixelSpec extends SparkSpec {
     assert((0 until 8).forall(k => (t2.luma(k) & 0xff) == 32 * k + 8), t2.luma.toSeq)
   }
 
+  test("bipartite image dedup against persisted signatures: near drops, " +
+      "far and undecodable survive, corpus never self-joins") {
+    val base = 0x0F0F_3C3C_55AA_0180L
+    def png(p: Long) = ImageCodec.encodePng(8, 8, 1, patternPixels(p))
+    val corpus = Seq(10L -> png(base), 11L -> png(~base & 0x7fff_ffff_ffff_ffffL))
+      .toDF("id", "blob")
+      .select(col("id"), Dedup.imageAHash(col("blob")).as("sh"))
+    val incoming = Seq(
+      1L -> png(base ^ 3L), // hamming 2 of corpus 10 → drops
+      2L -> png(base ^ 0x1111L), // hamming 4 → survives
+      3L -> "not an image".getBytes) // undecodable → survives
+      .toDF("id", "blob")
+    val kept = Dedup.dropImagesAgainstSignatures(incoming, "id", "blob", corpus, 3)
+      .select("id").as[Long].collect().toSet
+    assert(kept === Set(2L, 3L))
+    val pairs = Dedup.hammingPairsAgainst(
+      incoming.select(col("id"), Dedup.imageAHash(col("blob")).as("sh")), corpus, 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((1L, 10L)))
+  }
+
   test("decodeImages real decoder: PNG features, stub only on demand") {
     val px = patternPixels(0x0000_0000_FFFF_FFFFL) // half black, half white
     val df = Seq((1L, ImageCodec.encodePng(8, 8, 1, px)),
