@@ -152,8 +152,14 @@ object AudioSamples {
     StructField("n_clipped", LongType, nullable = false),
     StructField("n_silent", LongType, nullable = false)))
 
-  /** Shared eval for interpreted and generated code paths. */
-  def statsRow(b: Array[Byte], silenceBelow: Int): InternalRow = {
+  /**
+   * Locate the uncompressed-PCM16 sample payload: (dataOff, nSamples),
+   * or null for anything that is not 16-bit PCM WAV. The ONE RIFF walk
+   * every sample-level reader shares ([[statsRow]], [[AudioFingerprint]])
+   * — even-padded chunk stepping, lying-size overflow guards, and the
+   * PCM16 gate must not diverge between them.
+   */
+  private[functions] def locatePcm16(b: Array[Byte]): (Int, Int) = {
     if (b == null || b.length < 44) return null
     if (!tag(b, 0, "RIFF") || !tag(b, 8, "WAVE")) return null
     var i = 12
@@ -177,14 +183,25 @@ object AudioSamples {
     }
     if (format != 1 || bits != 16 || dataOff < 0) return null // PCM16 only
     if (dataOff + dataLen > b.length) return null
-    val n = (dataLen / 2).toInt
+    (dataOff, (dataLen / 2).toInt)
+  }
+
+  /** Sign-extending little-endian 16-bit sample read. */
+  private[functions] def sample16(b: Array[Byte], dataOff: Int, k: Int): Int =
+    (b(dataOff + 2 * k) & 0xff) | (b(dataOff + 2 * k + 1).toInt << 8)
+
+  /** Shared eval for interpreted and generated code paths. */
+  def statsRow(b: Array[Byte], silenceBelow: Int): InternalRow = {
+    val loc = locatePcm16(b)
+    if (loc == null) return null
+    val (dataOff, n) = loc
     var peak = 0L
     var sumSq = 0L
     var clipped = 0L
     var silent = 0L
     var k = 0
     while (k < n) {
-      val s = (b(dataOff + 2 * k) & 0xff) | (b(dataOff + 2 * k + 1).toInt << 8) // sign-extend hi
+      val s = sample16(b, dataOff, k)
       val a = math.abs(s.toLong)
       if (a > peak) peak = a
       sumSq += s.toLong * s
@@ -209,40 +226,16 @@ object AudioSamples {
 object AudioFingerprint {
 
   def ahash64(b: Array[Byte]): java.lang.Long = {
-    if (b == null || b.length < 44) return null
-    if (!((b(0) == 'R') && (b(1) == 'I') && (b(2) == 'F') && (b(3) == 'F') &&
-          (b(8) == 'W') && (b(9) == 'A') && (b(10) == 'V') && (b(11) == 'E'))) return null
-    // chunk walk (same contract as AudioSamples.statsRow)
-    var i = 12
-    var format = -1
-    var bits = -1
-    var dataOff = -1
-    var dataLen = -1L
-    while (i + 8 <= b.length && (format < 0 || dataOff < 0)) {
-      val size = (b(i + 4) & 0xffL) | ((b(i + 5) & 0xffL) << 8) |
-        ((b(i + 6) & 0xffL) << 16) | ((b(i + 7) & 0xffL) << 24)
-      if (b(i) == 'f' && b(i + 1) == 'm' && b(i + 2) == 't' && b(i + 3) == ' ') {
-        if (i + 8 + 16 > b.length) return null
-        format = (b(i + 8) & 0xff) | ((b(i + 9) & 0xff) << 8)
-        bits = (b(i + 22) & 0xff) | ((b(i + 23) & 0xff) << 8)
-      } else if (b(i) == 'd' && b(i + 1) == 'a' && b(i + 2) == 't' && b(i + 3) == 'a') {
-        dataOff = i + 8
-        dataLen = size
-      }
-      val step = 8L + size + (size & 1L)
-      if (step <= 0 || i + step > Int.MaxValue) return null
-      i += step.toInt
-    }
-    if (format != 1 || bits != 16 || dataOff < 0) return null
-    if (dataOff + dataLen > b.length) return null
-    val n = (dataLen / 2).toInt
+    val loc = AudioSamples.locatePcm16(b)
+    if (loc == null) return null
+    val (dataOff, n) = loc
     if (n <= 0) return null
     var total = 0L
     val winSum = new Array[Long](64)
     val winCnt = new Array[Long](64)
     var k = 0
     while (k < n) {
-      val s = (b(dataOff + 2 * k) & 0xff) | (b(dataOff + 2 * k + 1).toInt << 8)
+      val s = AudioSamples.sample16(b, dataOff, k)
       val a = math.abs(s.toLong)
       val w = (k.toLong * 64 / n).toInt
       total += a
@@ -264,48 +257,15 @@ object AudioFingerprint {
 }
 
 /** `audio_ahash(blob)` → 64-bit energy-envelope fingerprint (long), null
- *  for non-PCM16 bytes. Same codegen shape as the image hashes. */
-case class AudioAHash(child: Expression) extends UnaryExpression {
-
-  override def dataType: DataType = LongType
-  override def nullable: Boolean = true
-
-  override def checkInputDataTypes()
-      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
-    child.dataType match {
-      case BinaryType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
-      case dt => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-        s"audio_ahash needs a binary column, got $dt")
-    }
-
-  override def eval(input: InternalRow): Any = {
-    val v = child.eval(input)
-    if (v == null) null
-    else {
-      val h = AudioFingerprint.ahash64(v.asInstanceOf[Array[Byte]])
-      if (h == null) null else h.longValue()
-    }
-  }
-
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val c = child.genCode(ctx)
-    val cls = AudioFingerprint.getClass.getName.stripSuffix("$") + "$.MODULE$"
-    val boxed = ctx.freshName("audioHash")
-    ev.copy(code = code"""
-      |${c.code}
-      |long ${ev.value} = 0L;
-      |boolean ${ev.isNull} = ${c.isNull};
-      |if (!${ev.isNull}) {
-      |  java.lang.Long $boxed = $cls.ahash64(${c.value});
-      |  ${ev.isNull} = $boxed == null;
-      |  if (!${ev.isNull}) ${ev.value} = $boxed.longValue();
-      |}
-     """.stripMargin)
-  }
-
+ *  for non-PCM16 bytes. Shares the [[PerceptualHash]] expression shape
+ *  with the image hashes. */
+case class AudioAHash(child: Expression) extends PerceptualHash {
+  override protected def host: AnyRef = AudioFingerprint
+  override protected def method: String = "ahash64"
+  override protected def compute(b: Array[Byte]): java.lang.Long =
+    AudioFingerprint.ahash64(b)
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
-
   override def prettyName: String = "audio_ahash"
 }
 

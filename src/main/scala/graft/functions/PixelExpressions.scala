@@ -395,13 +395,17 @@ object ImageLuma {
   def apply(col: Column): Column = GraftShims.column(new ImageLuma(GraftShims.expression(col)))
 }
 
-/** Shared shape for the two 64-bit perceptual-hash expressions. */
+/** Shared shape for the 64-bit blob-hash expressions (image aHash/dHash,
+ *  the audio envelope hash): binary → nullable long, one static call in
+ *  codegen. */
 abstract class PerceptualHash extends UnaryExpression {
 
   override def dataType: DataType = LongType
   override def nullable: Boolean = true
 
-  /** Static method name on [[ImagePixels]] implementing the hash. */
+  /** Scala object hosting the static hash method (codegen call target). */
+  protected def host: AnyRef = ImagePixels
+  /** Static method name on [[host]] implementing the hash. */
   protected def method: String
   protected def compute(b: Array[Byte]): java.lang.Long
 
@@ -424,7 +428,7 @@ abstract class PerceptualHash extends UnaryExpression {
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val c = child.genCode(ctx)
-    val cls = ImagePixels.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    val cls = host.getClass.getName.stripSuffix("$") + "$.MODULE$"
     val boxed = ctx.freshName("boxedHash")
     ev.copy(code = code"""
       |${c.code}

@@ -930,20 +930,27 @@ object Dedup {
    * least one bucket, and the final `bit_count(XOR)` verify is precise —
    * no false positives or negatives at the hash level.
    */
-  def hammingPairs(sigsIn: DataFrame, maxHamming: Int): DataFrame = {
+  /** The d+1 disjoint pigeonhole block keys of a 64-bit signature: the
+   *  last block absorbs the remainder bits so the blocks cover all 64
+   *  (otherwise a differing uncovered bit voids the pigeonhole
+   *  guarantee). The ONE spelling both Hamming miners share — the cover
+   *  rule is correctness-critical and must not diverge. */
+  private def hammingBlockKeys(sh: Column, maxHamming: Int): Seq[Column] = {
     require(maxHamming >= 1 && maxHamming <= 31, s"maxHamming out of range: $maxHamming")
     val blocks = maxHamming + 1
     val bits = 64 / blocks
-    val sigs = sigsIn.select(col("id"), col("sh")).filter(col("sh").isNotNull)
-    // last block absorbs the remainder bits so the d+1 blocks cover all 64
-    // (otherwise a differing uncovered bit voids the pigeonhole guarantee)
-    val blockExprs: Seq[Column] = (0 until blocks).map { b =>
+    (0 until blocks).map { b =>
       val width = if (b == blocks - 1) 64 - b * bits else bits
-      val shifted = call_function("shiftrightunsigned", col("sh"), lit(b * bits))
+      val shifted = call_function("shiftrightunsigned", sh, lit(b * bits))
       if (width >= 64) shifted else shifted.bitwiseAND(lit((1L << width) - 1))
     }
+  }
+
+  def hammingPairs(sigsIn: DataFrame, maxHamming: Int): DataFrame = {
+    val sigs = sigsIn.select(col("id"), col("sh")).filter(col("sh").isNotNull)
     val keyed = sigs.select(col("id"),
-      posexplode(array(blockExprs: _*)).as(Seq("block", "block_val")))
+      posexplode(array(hammingBlockKeys(col("sh"), maxHamming): _*))
+        .as(Seq("block", "block_val")))
     val cand = keyed.as("a").join(keyed.as("b"),
         col("a.block") === col("b.block") &&
           col("a.block_val") === col("b.block_val") &&
@@ -969,18 +976,11 @@ object Dedup {
    */
   def hammingPairsAgainst(
       newSigs: DataFrame, corpusSigs: DataFrame, maxHamming: Int): DataFrame = {
-    require(maxHamming >= 1 && maxHamming <= 31, s"maxHamming out of range: $maxHamming")
-    val blocks = maxHamming + 1
-    val bits = 64 / blocks
     def keyed(df: DataFrame): DataFrame = {
       val sigs = df.select(col("id"), col("sh")).filter(col("sh").isNotNull)
-      val blockExprs: Seq[Column] = (0 until blocks).map { b =>
-        val width = if (b == blocks - 1) 64 - b * bits else bits
-        val shifted = call_function("shiftrightunsigned", col("sh"), lit(b * bits))
-        if (width >= 64) shifted else shifted.bitwiseAND(lit((1L << width) - 1))
-      }
       sigs.select(col("id"), col("sh"),
-        posexplode(array(blockExprs: _*)).as(Seq("block", "block_val")))
+        posexplode(array(hammingBlockKeys(col("sh"), maxHamming): _*))
+          .as(Seq("block", "block_val")))
     }
     keyed(newSigs).as("a").join(keyed(corpusSigs).as("b"),
         col("a.block") === col("b.block") &&
@@ -1004,8 +1004,14 @@ object Dedup {
       idCol: String,
       blobCol: String,
       corpusSigs: DataFrame,
-      maxHamming: Int = 3): DataFrame = {
-    val newSigs = df.select(col(idCol).as("id"), imageAHash(col(blobCol)).as("sh"))
+      maxHamming: Int = 3,
+      useDHash: Boolean = false): DataFrame = {
+    // BOTH ends of the signature contract are pinned here: probe with the
+    // SAME hash family the corpus was persisted with (`useDHash` mirrors
+    // [[imageHashPairs]]) — distances across families are meaningless and
+    // would drop/keep at random
+    val h = if (useDHash) imageDHash(col(blobCol)) else imageAHash(col(blobCol))
+    val newSigs = df.select(col(idCol).as("id"), h.as("sh"))
     val doomed = hammingPairsAgainst(newSigs, corpusSigs, maxHamming)
       .select(col("id_a").as(idCol)).distinct()
     df.join(doomed, Seq(idCol), "left_anti")
