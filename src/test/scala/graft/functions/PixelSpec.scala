@@ -212,6 +212,21 @@ class PixelSpec extends SparkSpec {
     assert(kept === Set(1L, 5L, 6L))
   }
 
+  test("cross-resolution twins collapse: the same picture at 16x16 and 8x8 " +
+      "hashes identically through the resize") {
+    val p = 0x1122_4488_CCEE_0770L
+    val small = ImageCodec.encodePng(8, 8, 1, patternPixels(p))
+    val big = ImageCodec.encodePng(16, 16, 1, Array.tabulate[Byte](256) { i =>
+      val bx = (i % 16) / 2; val by = (i / 16) / 2
+      if (((p >>> (63 - (by * 8 + bx))) & 1L) == 1L) 255.toByte else 0
+    })
+    assert(ImagePixels.ahash64(small).longValue === ImagePixels.ahash64(big).longValue)
+    val pairs = Dedup.imageHashPairs(
+      Seq(1L -> small, 2L -> big).toDF("id", "blob"), "id", "blob", 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((1L, 2L)))
+  }
+
   test("image_resize: thumbnail round-trips the box means; null data stays null") {
     // 16x16 with 2x2-constant blocks → the 8x8 thumb IS the block values
     val p = 0x5AA5_3CC3_0FF0_8118L
