@@ -307,7 +307,9 @@ object Dedup {
       idCol: String,
       textCol: String,
       maxHamming: Int = 3): DataFrame =
-    dropByPairs(df, idCol, simhashPairs(df, idCol, textCol, maxHamming))
+    dropByPairs(df, idCol, hammingEdges(
+      df.select(col(idCol).as("id"), simhash64(col(textCol)).as("sh")),
+      maxHamming))
 
   // ---------- image near-dup (perceptual hash + Hamming LSH) -----------
 
@@ -335,23 +337,29 @@ object Dedup {
       idCol: String,
       blobCol: String,
       maxHamming: Int = 3,
-      useDHash: Boolean = false): DataFrame = {
+      useDHash: Boolean = false,
+      maxBucket: Int = HammingBucketCap): DataFrame = {
     val h = if (useDHash) imageDHash(col(blobCol)) else imageAHash(col(blobCol))
-    hammingPairs(df.select(col(idCol).as("id"), h.as("sh")), maxHamming)
+    hammingPairs(df.select(col(idCol).as("id"), h.as("sh")), maxHamming, maxBucket)
   }
 
   /**
    * Image near-dup REMOVAL: keep the min-id image of every transitive
    * perceptual-hash cluster, same cluster-then-anti-join shape as
    * [[dropNearDuplicates]]. Undecodable blobs always survive (no hash ⇒
-   * no edges).
+   * no edges). Edges come from [[hammingEdges]] (star per identical-hash
+   * group + one edge per close hash pair), so a corpus where most
+   * duplicates are pixel-identical — the common case — feeds connected
+   * components O(n) edges, never a clique.
    */
   def dropNearDuplicateImages(
       df: DataFrame,
       idCol: String,
       blobCol: String,
       maxHamming: Int = 3): DataFrame =
-    dropByPairs(df, idCol, imageHashPairs(df, idCol, blobCol, maxHamming))
+    dropByPairs(df, idCol, hammingEdges(
+      df.select(col(idCol).as("id"), imageAHash(col(blobCol)).as("sh")),
+      maxHamming))
 
   // ---------- containment (asymmetric doc-in-doc) ----------------------
 
@@ -917,18 +925,20 @@ object Dedup {
       df: DataFrame,
       idCol: String,
       textCol: String,
-      maxHamming: Int = 3): DataFrame =
+      maxHamming: Int = 3,
+      maxBucket: Int = HammingBucketCap): DataFrame =
     hammingPairs(
       df.select(col(idCol).as("id"), simhash64(col(textCol)).as("sh")),
-      maxHamming)
+      maxHamming, maxBucket)
 
   /**
    * Generic 64-bit-signature Hamming-LSH pair miner over a prepared
    * (id, sh: long) frame — the pigeonhole core shared by [[simhashPairs]]
-   * (text) and [[imageHashPairs]] (perceptual image hashes). Exact: the
-   * block cover guarantees every pair within `maxHamming` collides on at
-   * least one bucket, and the final `bit_count(XOR)` verify is precise —
-   * no false positives or negatives at the hash level.
+   * (text) and [[imageHashPairs]] (perceptual image hashes). The block
+   * cover guarantees every pair within `maxHamming` collides on at least
+   * one bucket and the `bit_count(XOR)` verify is precise, so results are
+   * exact up to the [[HammingBucketCap]] stop-bucket cut (disable with
+   * `maxBucket = Int.MaxValue` for the uncut guarantee).
    */
   /** The d+1 disjoint pigeonhole block keys of a 64-bit signature: the
    *  last block absorbs the remainder bits so the blocks cover all 64
@@ -946,23 +956,110 @@ object Dedup {
     }
   }
 
-  def hammingPairs(sigsIn: DataFrame, maxHamming: Int): DataFrame = {
-    val sigs = sigsIn.select(col("id"), col("sh")).filter(col("sh").isNotNull)
-    val keyed = sigs.select(col("id"),
+  /**
+   * Default cap on DISTINCT signature values per pigeonhole bucket. The
+   * mining self-join emits up to k²/2 candidates for a bucket holding k
+   * distinct hash values, so one overstuffed bucket (a block value shared
+   * by a huge swath of the hash space) can dominate the whole mining pass.
+   * Buckets above the cap are dropped from NEAR-dup mining — like
+   * [[containmentPairs]]' default-on `maxShingleDf` stop-shingle cut —
+   * costing recall only for hash values colliding inside a bucket that
+   * common. Hamming-0 duplicates (the overwhelmingly common image-dup
+   * case: every blank thumbnail hashes to the SAME value) NEVER pass
+   * through mining — identical values pre-group before the bucket join —
+   * so the cap cannot lose an exact-signature twin. `Int.MaxValue`
+   * disables the cap.
+   */
+  val HammingBucketCap: Int = 10000
+
+  /** Close DISTINCT-hash pairs (sh_a < sh_b signed, 1 ≤ hamming ≤
+   *  maxHamming): the pigeonhole bucket join runs over distinct signature
+   *  VALUES only — duplicate multiplicity never amplifies the mining
+   *  join — with the [[HammingBucketCap]] frequency cut applied first.
+   *  The verify reads the sh columns carried through the join (no
+   *  re-join against the source, so an expensive signature projection
+   *  upstream is never re-evaluated here). */
+  private def closeHashPairs(
+      hashes: DataFrame, maxHamming: Int, maxBucket: Int): DataFrame = {
+    require(maxBucket >= 1, s"maxBucket must be >= 1, got $maxBucket")
+    val keyed = hashes.select(col("sh"),
       posexplode(array(hammingBlockKeys(col("sh"), maxHamming): _*))
         .as(Seq("block", "block_val")))
-    val cand = keyed.as("a").join(keyed.as("b"),
+    val mined = if (maxBucket == Int.MaxValue) keyed else {
+      val hot = keyed.groupBy(col("block"), col("block_val"))
+        .agg(count(lit(1)).as("__bf")).filter(col("__bf") > maxBucket)
+        .select(col("block"), col("block_val"))
+      keyed.join(hot, Seq("block", "block_val"), "left_anti")
+    }
+    mined.as("a").join(mined.as("b"),
         col("a.block") === col("b.block") &&
           col("a.block_val") === col("b.block_val") &&
-          col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+          col("a.sh") < col("b.sh"))
+      .select(col("a.sh").as("sh_a"), col("b.sh").as("sh_b"))
       .distinct()
-    cand
-      .join(sigs.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
-      .join(sigs.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
-      .select(col("id_a"), col("id_b"),
+      .select(col("sh_a"), col("sh_b"),
         bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("int").as("hamming"))
       .filter(col("hamming") <= maxHamming)
+  }
+
+  /** (id, sh) projection of a caller-shaped signature frame, persisted so
+   *  the signature expression (often a full blob decode) evaluates ONCE
+   *  no matter how many joins reference it downstream. 16 bytes/row —
+   *  negligible next to the corpus; MEMORY_AND_DISK like the edge-list
+   *  persists in [[dropByPairs]]/[[connectedComponents]]. */
+  private def persistedSigs(sigsIn: DataFrame): DataFrame =
+    sigsIn.select(col("id"), col("sh")).filter(col("sh").isNotNull)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+  def hammingPairs(sigsIn: DataFrame, maxHamming: Int,
+      maxBucket: Int = HammingBucketCap): DataFrame = {
+    val sigs = persistedSigs(sigsIn)
+    // Identical signatures pre-group: only distinct hash VALUES enter the
+    // pigeonhole mining join, so a degenerate value held by n documents
+    // (n blank images) contributes ONE mining row, not n·(d+1) exploded
+    // rows and C(n,2) candidate pairs. The Hamming-0 clique those twins
+    // owe the pair contract comes from a plain equi-self-join on sh —
+    // exactly the output rows, zero block-key amplification, no distinct.
+    val close = closeHashPairs(sigs.select(col("sh")).distinct(), maxHamming, maxBucket)
+    val cross = close
+      .join(sigs.select(col("id").as("__ida"), col("sh").as("sh_a")), "sh_a")
+      .join(sigs.select(col("id").as("__idb"), col("sh").as("sh_b")), "sh_b")
+      .select(least(col("__ida"), col("__idb")).as("id_a"),
+        greatest(col("__ida"), col("__idb")).as("id_b"), col("hamming"))
+    val twins = sigs.as("a").join(sigs.as("b"),
+        col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        lit(0).cast("int").as("hamming"))
+    twins.unionByName(cross)
+  }
+
+  /**
+   * Connectivity-equivalent edge set for the Hamming DROPPERS
+   * ([[dropBySimhash]], [[dropNearDuplicateImages]]): each group of
+   * IDENTICAL signatures contributes a STAR (min-id representative →
+   * member) instead of its C(n,2) clique, and each close distinct-hash
+   * pair contributes ONE representative-to-representative edge. Connected
+   * components — hence survivors — are identical to running
+   * [[connectedComponents]] over [[hammingPairs]]' full pair list, but
+   * the edge count is O(n + close hash pairs) instead of quadratic in
+   * duplicate multiplicity: a crawl with 10⁶ blank thumbnails emits 10⁶−1
+   * star edges, not 5·10¹¹ pairs.
+   */
+  private[operators] def hammingEdges(sigsIn: DataFrame, maxHamming: Int,
+      maxBucket: Int = HammingBucketCap): DataFrame = {
+    val sigs = persistedSigs(sigsIn)
+    val groups = sigs.groupBy(col("sh")).agg(min(col("id")).as("rep"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val close = closeHashPairs(groups.select(col("sh")), maxHamming, maxBucket)
+    val crossReps = close
+      .join(groups.select(col("sh").as("sh_a"), col("rep").as("__ra")), "sh_a")
+      .join(groups.select(col("sh").as("sh_b"), col("rep").as("__rb")), "sh_b")
+      .select(least(col("__ra"), col("__rb")).as("id_a"),
+        greatest(col("__ra"), col("__rb")).as("id_b"))
+    val star = sigs.join(groups, Seq("sh"))
+      .filter(col("id") =!= col("rep"))
+      .select(col("rep").as("id_a"), col("id").as("id_b"))
+    star.unionByName(crossReps)
   }
 
   /**
@@ -975,20 +1072,53 @@ object Dedup {
    * never any payload, and never the corpus×corpus self-join.
    */
   def hammingPairsAgainst(
-      newSigs: DataFrame, corpusSigs: DataFrame, maxHamming: Int): DataFrame = {
-    def keyed(df: DataFrame): DataFrame = {
-      val sigs = df.select(col("id"), col("sh")).filter(col("sh").isNotNull)
-      sigs.select(col("id"), col("sh"),
+      newSigs: DataFrame, corpusSigs: DataFrame, maxHamming: Int,
+      maxBucket: Int = HammingBucketCap): DataFrame = {
+    val a = persistedSigs(newSigs)
+    val b = persistedSigs(corpusSigs)
+    val closeH = closeHashesAgainst(
+      a.select(col("sh")).distinct(), b.select(col("sh")).distinct(),
+      maxHamming, maxBucket)
+    closeH
+      .join(a.select(col("id").as("id_a"), col("sh").as("sh_a")), "sh_a")
+      .join(b.select(col("id").as("id_b"), col("sh").as("sh_b")), "sh_b")
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
+  /** Bipartite close DISTINCT-hash pairs (sh_a from the new side, sh_b
+   *  from the corpus side, 0 ≤ hamming ≤ maxHamming): equal values match
+   *  by a plain equi-join (hamming 0, never through the bucket join);
+   *  near values mine through the pigeonhole buckets over distinct
+   *  hashes, each SIDE's bucket population capped at `maxBucket` (bucket
+   *  cost ≤ maxBucket² instead of |A|·|B| for a degenerate block value). */
+  private def closeHashesAgainst(
+      newHashes: DataFrame, corpusHashes: DataFrame,
+      maxHamming: Int, maxBucket: Int): DataFrame = {
+    require(maxBucket >= 1, s"maxBucket must be >= 1, got $maxBucket")
+    def keyed(hashes: DataFrame): DataFrame = {
+      val k = hashes.select(col("sh"),
         posexplode(array(hammingBlockKeys(col("sh"), maxHamming): _*))
           .as(Seq("block", "block_val")))
+      if (maxBucket == Int.MaxValue) k else {
+        val hot = k.groupBy(col("block"), col("block_val"))
+          .agg(count(lit(1)).as("__bf")).filter(col("__bf") > maxBucket)
+          .select(col("block"), col("block_val"))
+        k.join(hot, Seq("block", "block_val"), "left_anti")
+      }
     }
-    keyed(newSigs).as("a").join(keyed(corpusSigs).as("b"),
+    val exact = newHashes.join(corpusHashes.select(col("sh")), Seq("sh"), "left_semi")
+      .select(col("sh").as("sh_a"), col("sh").as("sh_b"),
+        lit(0).cast("int").as("hamming"))
+    val near = keyed(newHashes).as("a").join(keyed(corpusHashes).as("b"),
         col("a.block") === col("b.block") &&
-          col("a.block_val") === col("b.block_val"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).cast("int").as("hamming"))
-      .filter(col("hamming") <= maxHamming)
+          col("a.block_val") === col("b.block_val") &&
+          col("a.sh") =!= col("b.sh"))
+      .select(col("a.sh").as("sh_a"), col("b.sh").as("sh_b"))
       .distinct()
+      .select(col("sh_a"), col("sh_b"),
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("int").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+    exact.unionByName(near)
   }
 
   /**
@@ -1011,9 +1141,19 @@ object Dedup {
     // [[imageHashPairs]]) — distances across families are meaningless and
     // would drop/keep at random
     val h = if (useDHash) imageDHash(col(blobCol)) else imageAHash(col(blobCol))
-    val newSigs = df.select(col(idCol).as("id"), h.as("sh"))
-    val doomed = hammingPairsAgainst(newSigs, corpusSigs, maxHamming)
-      .select(col("id_a").as(idCol)).distinct()
+    val newSigs = persistedSigs(df.select(col(idCol).as("id"), h.as("sh")))
+    // Doom at the HASH level, not the pair level: the drop only needs "is
+    // this hash within maxHamming of ANY corpus hash", so the decision is
+    // a distinct-hash × distinct-hash mining pass plus one semi-join —
+    // 10⁶ incoming blanks against 10⁶ corpus blanks cost one hash match,
+    // not the 10¹² bipartite pair expansion the pair contract would owe.
+    val doomedHashes = closeHashesAgainst(
+      newSigs.select(col("sh")).distinct(),
+      corpusSigs.select(col("sh")).filter(col("sh").isNotNull).distinct(),
+      maxHamming, HammingBucketCap)
+      .select(col("sh_a").as("sh")).distinct()
+    val doomed = newSigs.join(doomedHashes, Seq("sh"), "left_semi")
+      .select(col("id").as(idCol))
     df.join(doomed, Seq(idCol), "left_anti")
   }
 

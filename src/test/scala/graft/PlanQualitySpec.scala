@@ -822,6 +822,25 @@ class PlanQualitySpec extends SparkSpec {
       r.isNullAt(1) && r.isNullAt(2) && r.isNullAt(3) && r.isNullAt(4)))
   }
 
+  test("hamming LSH mining decodes blobs once and mines distinct hashes only") {
+    import spark.implicits._
+    val blobs = (1L to 50L).map { i =>
+      (i, graft.functions.ImageCodec.encodePng(8, 8, 1,
+        Array.fill[Byte](64)((i % 3).toByte)))
+    }.toDF("id", "blob")
+    val pairs = graft.operators.Dedup.imageHashPairs(blobs, "id", "blob", maxHamming = 3)
+    pairs.collect() // materialize the signature cache
+    val plan = pairs.queryExecution.executedPlan.toString
+    // every downstream branch (distinct-hash mining, twin equi-join, the
+    // two expansion joins) must read the PERSISTED (id, sh) projection —
+    // the blob decode itself appears only inside the cache build, never
+    // in the consuming plan
+    assert(!plan.contains("image_ahash"),
+      s"blob decode leaked past the signature cache:\n$plan")
+    assert(plan.contains("InMemoryTableScan"),
+      s"signature reuse must go through the persisted projection:\n$plan")
+  }
+
   test("random-ring write plans exactly one range exchange, like the murmur3 ring") {
     import spark.implicits._
     val df = (1L to 1000L).map(i => (i, s"v$i")).toDF("k", "v")

@@ -512,4 +512,103 @@ class DedupSpec extends SparkSpec {
     // split: 'AD', 'body i', 'AD') -> both dropped, body kept
     assert(out(2L) == "body 2")
   }
+
+  // ------------- Hamming LSH skew guard (round-16 rewrite) ---------------
+
+  /** Mixed signature corpus: identical-hash groups (the mass-collision
+   *  regime), constructed near pairs at hamming 1-3, and far-apart rest. */
+  private def mixedSigs: Seq[(Long, Long)] = {
+    val rnd = new scala.util.Random(42)
+    val base = rnd.nextLong()
+    Seq(
+      (1L, base), (2L, base), (3L, base), // identical triple
+      (4L, base ^ 1L), // hamming 1 from the triple
+      (5L, base ^ ((1L << 5) | (1L << 40) | (1L << 63))), // hamming 3
+      (6L, base ^ 0xffL), // hamming 8 — never a pair
+      (7L, 0L), (8L, 0L) // second identical group, far from base
+    ) ++ (9L to 40L).map(i => (i, rnd.nextLong()))
+  }
+
+  private def brutePairs(sigs: Seq[(Long, Long)], d: Int): Set[(Long, Long, Int)] =
+    (for {
+      (a, sa) <- sigs; (b, sb) <- sigs if a < b
+      h = java.lang.Long.bitCount(sa ^ sb) if h <= d
+    } yield (a, b, h)).toSet
+
+  test("hammingPairs: exact brute-force parity, identical groups emit the clique") {
+    val sigs = mixedSigs.toDF("id", "sh")
+    val got = Dedup.hammingPairs(sigs, maxHamming = 3)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got === brutePairs(mixedSigs, 3))
+    // the identical triple's full clique is present at hamming 0
+    assert(got.contains((1L, 2L, 0)) && got.contains((1L, 3L, 0)) &&
+      got.contains((2L, 3L, 0)))
+    // no duplicate pair rows
+    val rows = Dedup.hammingPairs(sigs, maxHamming = 3).collect()
+    assert(rows.length == rows.map(r => (r.get(0), r.get(1))).distinct.length)
+  }
+
+  test("hammingPairs: string ids order lexicographically like the old id<id contract") {
+    val sigs = Seq(("b", 7L), ("a", 7L), ("c", 7L ^ 3L)).toDF("id", "sh")
+    val got = Dedup.hammingPairs(sigs, maxHamming = 3)
+      .as[(String, String, Int)].collect().toSet
+    assert(got === Set(("a", "b", 0), ("a", "c", 2), ("b", "c", 2)))
+  }
+
+  test("hammingEdges: components match hammingPairs'; degenerate corpus stays O(n)") {
+    val sigs = mixedSigs.toDF("id", "sh")
+    def components(pairs: org.apache.spark.sql.DataFrame): Map[Long, Long] = {
+      val touched = pairs.select(col("id_a").as("id"))
+        .union(pairs.select(col("id_b").as("id"))).distinct()
+      Dedup.connectedComponents(touched, pairs)
+        .as[(Long, Long)].collect().toMap
+    }
+    val viaCliques = components(Dedup.hammingPairs(sigs, 3).select("id_a", "id_b"))
+    val viaEdges = components(Dedup.hammingEdges(sigs, 3))
+    assert(viaEdges === viaCliques)
+    // 10^4 images all hashing to the SAME value (every blank thumbnail
+    // does): the clique formulation owes C(10^4,2) ~ 5*10^7 pairs; the
+    // star edge set is exactly n-1 rows, all anchored at the min id
+    val blanks = (1L to 10000L).map(i => (i, 0L)).toDF("id", "sh")
+    val star = Dedup.hammingEdges(blanks, 3).as[(Long, Long)].collect()
+    assert(star.length == 9999)
+    assert(star.forall(_._1 == 1L))
+    assert(star.map(_._2).toSet == (2L to 10000L).toSet)
+  }
+
+  test("hamming bucket cap cuts hot near-dup buckets but never hamming-0 twins") {
+    // 8 distinct hashes sharing the top 48 bits: blocks 1..3 (of the
+    // maxHamming=3 cover) are each one bucket holding all 8 values, block
+    // 0 values are pairwise distinct -> with maxBucket=3 every shared
+    // bucket is cut and NO near pair survives; the exact twin pair rides
+    // on the equi-join and must remain.
+    val near = (0 until 8).map(i => ((i + 1).toLong, (1L << i))) // hamming 2 apart
+    val sigs = (near ++ Seq((100L, 1L << 62), (101L, 1L << 62))).toDF("id", "sh")
+    val capped = Dedup.hammingPairs(sigs, maxHamming = 3, maxBucket = 3)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(capped === Set((100L, 101L, 0))) // twins survive, near mining cut
+    val uncut = Dedup.hammingPairs(sigs, maxHamming = 3, maxBucket = Int.MaxValue)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(uncut.size > 1 && uncut.contains((100L, 101L, 0)))
+    assert(uncut === brutePairs(near ++ Seq((100L, 1L << 62), (101L, 1L << 62)), 3))
+  }
+
+  test("hammingPairsAgainst: bipartite brute parity incl. equal-hash matches") {
+    val rnd = new scala.util.Random(7)
+    val base = rnd.nextLong()
+    val corpus = Seq((100L, base), (101L, base), (102L, base ^ 0xf0f0L)) ++
+      (103L to 120L).map(i => (i, rnd.nextLong()))
+    val incoming = Seq((1L, base), (2L, base ^ 1L), (3L, base ^ 0x7L),
+      (4L, base ^ 0xffL)) ++ (5L to 20L).map(i => (i, rnd.nextLong()))
+    val got = Dedup.hammingPairsAgainst(
+        incoming.toDF("id", "sh"), corpus.toDF("id", "sh"), maxHamming = 3)
+      .as[(Long, Long, Int)].collect().toSet
+    val want = (for {
+      (a, sa) <- incoming; (b, sb) <- corpus
+      h = java.lang.Long.bitCount(sa ^ sb) if h <= 3
+    } yield (a, b, h)).toSet
+    assert(got === want)
+    // the equal-hash matches came through (hamming 0, both corpus twins)
+    assert(got.contains((1L, 100L, 0)) && got.contains((1L, 101L, 0)))
+  }
 }
