@@ -36,7 +36,13 @@ object Mp4Headers {
   private def boxType(b: Array[Byte], i: Int): String =
     new String(b, i + 4, 4, java.nio.charset.StandardCharsets.US_ASCII)
 
-  def parse(b: Array[Byte]): Mp4Meta = {
+  def parse(b: Array[Byte]): Mp4Meta =
+    // corrupt bytes parse to null, never exceptions (same contract as
+    // [[Mp4Frames.frameCount]] and the image decoders)
+    try parseUnsafe(b)
+    catch { case _: IndexOutOfBoundsException => null }
+
+  private def parseUnsafe(b: Array[Byte]): Mp4Meta = {
     if (b == null || b.length < 16) return null
     if (boxType(b, 0) != "ftyp") return null
     val brand = new String(b, 8, 4, java.nio.charset.StandardCharsets.US_ASCII)
@@ -52,8 +58,14 @@ object Mp4Headers {
         size = beU64(b, i + 8); hdr = 16
       } else if (size == 0L) size = b.length.toLong - i // box runs to EOF
       if (size < hdr) return null
-      if (boxType(b, i) == "moov") { moov = i + hdr; moovEnd = math.min(i + size, b.length.toLong) }
-      if (i + size > Int.MaxValue) { if (moov < 0) return null }
+      // overflow-safe overrun test: `size > b.length - i` cannot wrap the
+      // way `i + size > …` does on a crafted 64-bit size near Long.MaxValue
+      val overruns = size > b.length.toLong - i
+      if (boxType(b, i) == "moov") {
+        moov = i + hdr
+        moovEnd = if (overruns) b.length.toLong else i + size
+      }
+      if (overruns) { if (moov < 0) return null }
       else i += size.toInt
       if (size <= 0) return null
     }
@@ -72,7 +84,9 @@ object Mp4Headers {
         if (j + 16 > moovEnd) return null
         size = beU64(b, j + 8); hdr = 16
       } else if (size == 0L) size = moovEnd - j
-      if (size < hdr) return null
+      // reject lying child sizes up front, overflow-safe (see the
+      // top-level walk): everything below may then index within j+size
+      if (size < hdr || size > moovEnd - j) return null
       val bt = boxType(b, j)
       if (bt == "mvhd" && ts < 0) {
         val ver = b(j + hdr) & 0xff
@@ -90,7 +104,7 @@ object Mp4Headers {
         // child walk for tkhd; a malformed trak voids only the dimensions
         // (mvhd metadata stays valid), matching the null-on-garbage contract
         // at the finest granularity the format allows
-        val trakEnd = math.min(j + size, moovEnd)
+        val trakEnd = j + size // validated against moovEnd above
         var k = j + hdr
         var ok = true
         while (ok && w < 0 && k + 8 <= trakEnd) {
@@ -100,7 +114,7 @@ object Mp4Headers {
             if (k + 16 > trakEnd) ok = false
             else { s2 = beU64(b, k + 8); h2 = 16 }
           } else if (s2 == 0L) s2 = trakEnd - k
-          if (!ok || s2 < h2 || k + s2 > trakEnd) ok = false
+          if (!ok || s2 < h2 || s2 > trakEnd - k) ok = false
           else {
             if (boxType(b, k) == "tkhd") {
               val ver = b(k + h2) & 0xff
@@ -121,8 +135,7 @@ object Mp4Headers {
           }
         }
       }
-      if (j + size > moovEnd) return null
-      j += size.toInt
+      j += size.toInt // within moovEnd by the guard above
     }
     if (ts <= 0) return null
     Mp4Meta(brand, ts, dur, dur * 1000L / ts, w, h)
@@ -222,7 +235,11 @@ object Mp4Frames {
         if (i + 16 > end) { i = end; return ("", end, end) }
         size = beU64(b, (i + 8).toInt); hdr = 16
       } else if (size == 0L) size = end - i
-      if (size < hdr || i + size > end || size <= 0) { i = end; return ("", end, end) }
+      // overflow-safe: a crafted 64-bit size near Long.MaxValue would make
+      // `i + size` wrap negative and slip past a `i + size > end` guard,
+      // walking wrapped offsets; `size > end - i` cannot overflow (both
+      // operands are valid in-range offsets)
+      if (size < hdr || size > end - i) { i = end; return ("", end, end) }
       val out = (boxType(b, i.toInt), i + hdr, i + size)
       i += size
       out
@@ -233,9 +250,17 @@ object Mp4Frames {
       : Option[(Long, Long)] =
     children(b, start, end).collectFirst { case (`t`, s, e) => (s, e) }
 
-  def frameCount(b: Array[Byte]): java.lang.Long = {
-    if (b == null || b.length < 16 || boxType(b, 0) != "ftyp") return null
-    val moov = child(b, 0, b.length, "moov").getOrElse(return null)
+  def frameCount(b: Array[Byte]): java.lang.Long =
+    // corrupt bytes decode to null, never exceptions: any residual
+    // index arithmetic slip on hostile box tables is corrupt DATA
+    try frameCountUnsafe(b)
+    catch { case _: IndexOutOfBoundsException => null }
+
+  /** The first video track's (mdia, stbl) byte ranges: trak whose
+   *  mdia/hdlr handler is 'vide', with its mdia/minf/stbl. */
+  private def videoTrack(b: Array[Byte]): Option[((Long, Long), (Long, Long))] = {
+    if (b == null || b.length < 16 || boxType(b, 0) != "ftyp") return None
+    val moov = child(b, 0, b.length, "moov").getOrElse(return None)
     for ((t, ts, te) <- children(b, moov._1, moov._2) if t == "trak") {
       child(b, ts, te, "mdia").foreach { case (ms, me) =>
         val isVideo = child(b, ms, me, "hdlr").exists { case (hs, he) =>
@@ -245,18 +270,234 @@ object Mp4Frames {
           hs + 12 <= he && boxType(b, (hs + 4).toInt) == "vide"
         }
         if (isVideo) {
-          val count = for {
+          for {
             (ns, ne) <- child(b, ms, me, "minf")
             (ss, se) <- child(b, ns, ne, "stbl")
-            (zs, ze) <- child(b, ss, se, "stsz")
-            // stsz payload: ver/flags(4) + sample_size(4) + sample_count(4)
-            if zs + 12 <= ze
-          } yield beU32(b, (zs + 8).toInt)
-          count.foreach(c => return java.lang.Long.valueOf(c))
+          } return Some(((ms, me), (ss, se)))
         }
       }
     }
-    null
+    None
+  }
+
+  /** Sample count from stsz (ver/flags + sample_size + sample_count) or
+   *  its compact stz2 sibling (ver/flags + reserved(3)+field_size(1) +
+   *  sample_count) — the count sits at payload+8 in BOTH layouts. */
+  private def sampleCount(b: Array[Byte], stbl: (Long, Long)): Option[Long] =
+    child(b, stbl._1, stbl._2, "stsz").orElse(child(b, stbl._1, stbl._2, "stz2"))
+      .collect { case (zs, ze) if zs + 12 <= ze => beU32(b, (zs + 8).toInt) }
+
+  private def frameCountUnsafe(b: Array[Byte]): java.lang.Long =
+    videoTrack(b).flatMap(t => sampleCount(b, t._2))
+      .map(java.lang.Long.valueOf).orNull
+
+  /** One planned frame sample: index, media start time (ms), and the
+   *  byte offset of its data in the container (-1 = offset tables
+   *  absent/unusable — surfaced as SQL null). */
+  final case class PlannedSample(idx: Long, tMs: Long, byteOff: Long)
+
+  /** Guard against lying u32/u64 table values: ticks past this are
+   *  treated as end-of-track, byte walks past this give no offset. 2^50
+   *  leaves ×1000 headroom in the ms conversions (2^60 < Long.MaxValue). */
+  private val MaxTicks = 1L << 50
+  private val MaxChunkWalk = 1 << 20
+
+  /**
+   * Media-TIME frame planning from the real sample tables: one sample per
+   * `strideMs` of media time — for each boundary k·strideMs the sample
+   * PLAYING at it (per `stts` run-length deltas and the `mdhd` media
+   * timescale), deduplicated, capped at `maxFrames`. Each plan entry
+   * carries the sample's own start time and, when the chunk tables
+   * (`stsc` + `stco`/`co64`) and size tables (`stsz` const/table or
+   * packed `stz2`) allow, the byte offset of its data — the seek a
+   * downstream decoder would issue. Closed-form arithmetic over the
+   * run-length tables: cost is O(runs + emitted frames), never a
+   * per-sample scan, so a lying billion-sample table cannot stall a task.
+   * Null for non-MP4 bytes, no video track, or missing stts/mdhd.
+   */
+  def samplePlan(b: Array[Byte], strideMs: Int, maxFrames: Int): Array[PlannedSample] =
+    try samplePlanUnsafe(b, strideMs, maxFrames)
+    catch { case _: IndexOutOfBoundsException => null }
+
+  private def samplePlanUnsafe(
+      b: Array[Byte], strideMs: Int, maxFrames: Int): Array[PlannedSample] = {
+    require(strideMs > 0 && strideMs <= 1000000 &&
+      maxFrames > 0 && maxFrames <= 1000000,
+      s"need 0 < maxFrames <= 1e6 and 0 < strideMs <= 1e6")
+    val (mdia, stbl) = videoTrack(b).getOrElse(return null)
+    // mdhd: ver/flags(4) + times (v0: 4+4, v1: 8+8) + timescale(4)
+    val timescale = child(b, mdia._1, mdia._2, "mdhd").flatMap { case (hs, he) =>
+      (b(hs.toInt) & 0xff) match {
+        case 0 if hs + 16 <= he => Some(beU32(b, (hs + 12).toInt))
+        case 1 if hs + 24 <= he => Some(beU32(b, (hs + 20).toInt))
+        case _ => None
+      }
+    }.getOrElse(return null)
+    if (timescale <= 0) return null
+    val n = sampleCount(b, stbl).getOrElse(return null)
+    if (n <= 0) return Array.empty
+    val (ts0, te0) = child(b, stbl._1, stbl._2, "stts").getOrElse(return null)
+    if (ts0 + 8 > te0) return null
+    val runsInBox = beU32(b, (ts0 + 4).toInt)
+    val runs = math.min(runsInBox, (te0 - ts0 - 8) / 8).toInt
+    if (runs <= 0) return null
+    val offsets = new SampleOffsets(b, stbl)
+    val out = new scala.collection.mutable.ArrayBuffer[PlannedSample](
+      math.min(maxFrames, 64))
+    var run = 0
+    var base = 0L // run start in media ticks
+    var idx0 = 0L // run first sample index
+    var k = 0L // next stride boundary ordinal
+    var done = false
+    while (!done && run < runs && out.length < maxFrames) {
+      val c = beU32(b, (ts0 + 8 + 8L * run).toInt)
+      val d = beU32(b, (ts0 + 12 + 8L * run).toInt)
+      if (c <= 0 || d <= 0) { run += 1 } // zero-length runs carry no time
+      else {
+        val runEnd = base + c * d
+        var inRun = true
+        while (inRun && out.length < maxFrames) {
+          // boundary k in media ticks, floor — exact for the common
+          // timescale-divides-1000 cases and monotone always
+          val tk = k * strideMs * timescale / 1000L
+          if (tk >= runEnd || tk >= MaxTicks) inRun = false
+          else {
+            val j = (tk - base) / d
+            val i = idx0 + j
+            if (i >= n) { inRun = false; done = true } // table shorter than stts
+            else {
+              val start = base + j * d
+              out += PlannedSample(i, start * 1000L / timescale, offsets.byteOff(i))
+              // skip every boundary inside this sample: smallest k with
+              // k·strideMs·timescale/1000 >= sample end (ceil division)
+              val e = start + d
+              k = (e * 1000L + strideMs.toLong * timescale - 1) /
+                (strideMs.toLong * timescale)
+            }
+          }
+        }
+        base = runEnd
+        idx0 += c
+        run += 1
+        if (base >= MaxTicks) done = true
+      }
+    }
+    out.toArray
+  }
+
+  /** Lazy accessors over the chunk/size tables: sample index → byte
+   *  offset of its data. -1 when any needed table is absent, truncated,
+   *  or the within-chunk walk exceeds [[MaxChunkWalk]]. */
+  private final class SampleOffsets(b: Array[Byte], stbl: (Long, Long)) {
+    // stsz: const size or u32 table; stz2: packed 4/8/16-bit table
+    private val stsz = child(b, stbl._1, stbl._2, "stsz")
+    private val stz2 = child(b, stbl._1, stbl._2, "stz2")
+    private val constSize: Long = stsz match {
+      case Some((zs, ze)) if zs + 12 <= ze => beU32(b, (zs + 4).toInt)
+      case _ => 0L
+    }
+    /** size of sample i, or -1 */
+    private def sampleSize(i: Long): Long = {
+      if (constSize > 0) return constSize
+      stsz match {
+        case Some((zs, ze)) =>
+          val off = zs + 12 + 4 * i
+          if (off + 4 <= ze) beU32(b, off.toInt) else -1L
+        case None => stz2 match {
+          case Some((zs, ze)) if zs + 12 <= ze =>
+            val fieldSize = b((zs + 7).toInt) & 0xff
+            fieldSize match {
+              case 4 => // packed nibbles, high nibble first
+                val off = zs + 12 + i / 2
+                if (off + 1 <= ze)
+                  if (i % 2 == 0) ((b(off.toInt) >> 4) & 0xf).toLong
+                  else (b(off.toInt) & 0xf).toLong
+                else -1L
+              case 8 =>
+                val off = zs + 12 + i
+                if (off + 1 <= ze) b(off.toInt) & 0xffL else -1L
+              case 16 =>
+                val off = zs + 12 + 2 * i
+                if (off + 2 <= ze)
+                  ((b(off.toInt) & 0xffL) << 8) | (b(off.toInt + 1) & 0xffL)
+                else -1L
+              case _ => -1L
+            }
+          case _ => -1L
+        }
+      }
+    }
+    // stsc: runs of (first_chunk 1-based, samples_per_chunk, desc_index)
+    private val stsc = child(b, stbl._1, stbl._2, "stsc")
+    // stco (u32) or co64 (u64) chunk offsets
+    private val stco = child(b, stbl._1, stbl._2, "stco")
+    private val co64 = child(b, stbl._1, stbl._2, "co64")
+    private def chunkOffset(chunk: Long): Long = {
+      stco match {
+        case Some((cs, ce)) =>
+          val off = cs + 8 + 4 * chunk
+          if (chunk < beU32(b, (cs + 4).toInt) && off + 4 <= ce)
+            beU32(b, off.toInt)
+          else -1L
+        case None => co64 match {
+          case Some((cs, ce)) =>
+            val off = cs + 8 + 8 * chunk
+            if (chunk < beU32(b, (cs + 4).toInt) && off + 8 <= ce) {
+              val v = beU64(b, off.toInt)
+              if (v < 0 || v >= MaxTicks) -1L else v
+            } else -1L
+          case None => -1L
+        }
+      }
+    }
+    /** byte offset of sample i's data, or -1 */
+    def byteOff(i: Long): Long = {
+      val (cs, ce) = stsc.getOrElse(return -1L)
+      if (cs + 8 > ce) return -1L
+      val entries = math.min(beU32(b, (cs + 4).toInt), (ce - cs - 8) / 12).toInt
+      if (entries <= 0) return -1L
+      // walk stsc runs: run r covers chunks first(r)..first(r+1)-1, each
+      // holding spc(r) samples — find the run containing sample i
+      var r = 0
+      var cum = 0L // samples before current run
+      var chunk = -1L
+      var within = -1L
+      var spcOfChunk = 0L
+      while (r < entries && chunk < 0) {
+        val first = beU32(b, (cs + 8 + 12L * r).toInt) // 1-based
+        val spc = beU32(b, (cs + 12 + 12L * r).toInt)
+        if (first <= 0 || spc <= 0) return -1L
+        val nextFirst =
+          if (r + 1 < entries) beU32(b, (cs + 20 + 12L * r).toInt)
+          else Long.MaxValue // open-ended last run
+        if (nextFirst <= first && r + 1 < entries) return -1L
+        val runChunks = nextFirst - first
+        val runSamples =
+          if (runChunks >= Long.MaxValue / spc) Long.MaxValue
+          else runChunks * spc
+        if (i - cum < runSamples) {
+          chunk = first - 1 + (i - cum) / spc
+          within = (i - cum) % spc
+          spcOfChunk = spc
+        } else {
+          cum += runSamples
+          r += 1
+        }
+      }
+      if (chunk < 0) return -1L
+      val co = chunkOffset(chunk)
+      if (co < 0) return -1L
+      if (within > MaxChunkWalk) return -1L
+      var off = co
+      var m = i - within
+      while (m < i) {
+        val sz = sampleSize(m)
+        if (sz < 0) return -1L
+        off += sz
+        m += 1
+      }
+      if (off < 0 || off >= MaxTicks) -1L else off
+    }
   }
 }
 
@@ -310,6 +551,75 @@ object VideoFrames {
   def apply(col: Column): Column = GraftShims.column(new VideoFrames(GraftShims.expression(col)))
 }
 
+/** Row/array bridge for [[Mp4Frames.samplePlan]] shared by the
+ *  interpreted and generated code paths of [[VideoSamplePlan]]. */
+object Mp4SamplePlanEval {
+  val elementType: StructType = StructType(Seq(
+    StructField("frame_idx", LongType, nullable = false),
+    StructField("t_ms", LongType, nullable = false),
+    StructField("byte_off", LongType, nullable = true)))
+
+  def planArray(b: Array[Byte], strideMs: Int, maxFrames: Int)
+      : org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val plan = Mp4Frames.samplePlan(b, strideMs, maxFrames)
+    if (plan == null) return null
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      plan.map[Any](p => new GenericInternalRow(Array[Any](
+        p.idx, p.tMs, if (p.byteOff < 0) null else p.byteOff))))
+  }
+}
+
+/** `video_sample_plan(blob, strideMs, maxFrames)` →
+ *  array<struct<frame_idx, t_ms, byte_off>> planned from the real sample
+ *  tables ([[Mp4Frames.samplePlan]]); null for non-MP4 bytes / no video
+ *  track / missing stts. byte_off is null when the chunk or size tables
+ *  don't cover the sample. */
+case class VideoSamplePlan(child: Expression, strideMs: Int, maxFrames: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType =
+    ArrayType(Mp4SamplePlanEval.elementType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case BinaryType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case dt => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"video_sample_plan needs a binary column, got $dt")
+    }
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) null
+    else Mp4SamplePlanEval.planArray(v.asInstanceOf[Array[Byte]], strideMs, maxFrames)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    val cls = Mp4SamplePlanEval.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    ev.copy(code = code"""
+      |${c.code}
+      |org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} = null;
+      |boolean ${ev.isNull} = ${c.isNull};
+      |if (!${ev.isNull}) {
+      |  ${ev.value} = $cls.planArray(${c.value}, $strideMs, $maxFrames);
+      |  ${ev.isNull} = ${ev.value} == null;
+      |}
+     """.stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "video_sample_plan"
+}
+
+object VideoSamplePlan {
+  def apply(col: Column, strideMs: Int, maxFrames: Int): Column =
+    GraftShims.column(new VideoSamplePlan(GraftShims.expression(col), strideMs, maxFrames))
+}
+
 /** Minimal ISO-BMFF writer (ftyp + moov{mvhd, trak{tkhd, mdia{hdlr(vide),
  *  minf{stbl{stsz}}}}}) for derived-metadata pipelines and fixtures —
  *  every box a full-size spec layout, parseable by [[Mp4Headers]] and
@@ -329,8 +639,25 @@ object Mp4Codec {
   private def be32(v: Long): Array[Byte] =
     Array((v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
 
+  /** Optional full sample-table layout for [[encode]] fixtures:
+   *  stts run-length deltas, one of three size-table encodings (const
+   *  stsz / u32 stsz table / packed stz2), and chunk maps (uniform stsc
+   *  runs + stco or co64 offsets). */
+  final case class SampleTables(
+      mediaTimescale: Int,
+      sttsRuns: Seq[(Long, Long)], // (sample_count, sample_delta)
+      constSampleSize: Long = 0, // > 0 → stsz with constant size
+      sampleSizes: Seq[Long] = Nil, // non-empty → per-sample table
+      stz2FieldSize: Int = 0, // 4/8/16 → sizes packed as stz2 instead
+      samplesPerChunk: Int = 0, // > 0 → stsc single uniform run
+      chunkOffsets: Seq[Long] = Nil, // stco entries
+      co64: Boolean = false) // write co64 (u64) instead of stco
+
+  private def be64(v: Long): Array[Byte] = be32(v >>> 32) ++ be32(v)
+
   def encode(timescale: Int, durationTicks: Long, width: Int, height: Int,
-             nFrames: Long, tail: Array[Byte] = Array.emptyByteArray): Array[Byte] = {
+             nFrames: Long, tail: Array[Byte] = Array.emptyByteArray,
+             tables: SampleTables = null): Array[Byte] = {
     val ftyp = box("ftyp", "isom".getBytes("US-ASCII") ++ be32(0) ++
       "isom".getBytes("US-ASCII"))
     val mvhd = box("mvhd", be32(0) ++ be32(0) ++ be32(0) ++
@@ -343,10 +670,57 @@ object Mp4Codec {
       be32(width.toLong << 16) ++ be32(height.toLong << 16))
     val hdlr = box("hdlr", be32(0) ++ be32(0) ++
       "vide".getBytes("US-ASCII") ++ new Array[Byte](13))
-    val stsz = box("stsz", be32(0) ++ be32(0) ++ be32(nFrames))
-    val stbl = box("stbl", stsz)
+    val stblBoxes: Array[Byte] =
+      if (tables == null) box("stsz", be32(0) ++ be32(0) ++ be32(nFrames))
+      else {
+        val t = tables
+        val stts = box("stts", be32(0) ++ be32(t.sttsRuns.length) ++
+          t.sttsRuns.flatMap { case (c, d) => be32(c) ++ be32(d) }.toArray)
+        val sizeBox =
+          if (t.stz2FieldSize > 0) {
+            val packed = t.stz2FieldSize match {
+              case 4 =>
+                t.sampleSizes.grouped(2).flatMap { g =>
+                  val hi = g.head.toInt & 0xf
+                  val lo = if (g.length > 1) g(1).toInt & 0xf else 0
+                  Seq(((hi << 4) | lo).toByte)
+                }.toArray
+              case 8 => t.sampleSizes.map(_.toByte).toArray
+              case 16 => t.sampleSizes.flatMap(s =>
+                Seq(((s >> 8) & 0xff).toByte, (s & 0xff).toByte)).toArray
+              case other => throw new IllegalArgumentException(
+                s"stz2 field size must be 4/8/16: $other")
+            }
+            // stz2 payload: ver/flags(4) + reserved(3) + field_size(1) +
+            // sample_count(4) + packed entries
+            box("stz2", be32(0) ++ Array[Byte](0, 0, 0) ++
+              Array(t.stz2FieldSize.toByte) ++
+              be32(t.sampleSizes.length) ++ packed)
+          } else if (t.sampleSizes.nonEmpty)
+            box("stsz", be32(0) ++ be32(0) ++ be32(t.sampleSizes.length) ++
+              t.sampleSizes.flatMap(be32).toArray)
+          else
+            box("stsz", be32(0) ++ be32(t.constSampleSize) ++ be32(nFrames))
+        val chunkBoxes =
+          if (t.samplesPerChunk <= 0) Array.emptyByteArray
+          else {
+            val stsc = box("stsc", be32(0) ++ be32(1) ++
+              be32(1) ++ be32(t.samplesPerChunk) ++ be32(1))
+            val offs =
+              if (t.co64) box("co64", be32(0) ++ be32(t.chunkOffsets.length) ++
+                t.chunkOffsets.flatMap(be64).toArray)
+              else box("stco", be32(0) ++ be32(t.chunkOffsets.length) ++
+                t.chunkOffsets.flatMap(be32).toArray)
+            stsc ++ offs
+          }
+        stts ++ sizeBox ++ chunkBoxes
+      }
+    val stbl = box("stbl", stblBoxes)
     val minf = box("minf", stbl)
-    val mdia = box("mdia", hdlr ++ minf)
+    val mdhdTs = if (tables == null) timescale else tables.mediaTimescale
+    val mdhd = box("mdhd", be32(0) ++ be32(0) ++ be32(0) ++
+      be32(mdhdTs) ++ be32(durationTicks) ++ be32(0x55c40000L).take(4))
+    val mdia = box("mdia", mdhd ++ hdlr ++ minf)
     val trak = box("trak", tkhd ++ mdia)
     val moov = box("moov", mvhd ++ trak)
     ftyp ++ moov ++ tail

@@ -129,6 +129,13 @@ package object functions {
       (exprs: Seq[Expression]) => new ImageResize(exprs.head,
         intLit(exprs(1), "image_resize width"), intLit(exprs(2), "image_resize height")))
     registry.registerFunction(
+      FunctionIdentifier("video_sample_plan"),
+      new ExpressionInfo(classOf[VideoSamplePlan].getName, "video_sample_plan"),
+      // video_sample_plan(blob, strideMs, maxFrames): both knobs fold to ints
+      (exprs: Seq[Expression]) => new VideoSamplePlan(exprs.head,
+        intLit(exprs(1), "video_sample_plan strideMs"),
+        intLit(exprs(2), "video_sample_plan maxFrames")))
+    registry.registerFunction(
       FunctionIdentifier("audio_ahash"),
       new ExpressionInfo(classOf[AudioAHash].getName, "audio_ahash"),
       (exprs: Seq[Expression]) => new AudioAHash(exprs.head))

@@ -1141,7 +1141,38 @@ object Dedup {
     // [[imageHashPairs]]) — distances across families are meaningless and
     // would drop/keep at random
     val h = if (useDHash) imageDHash(col(blobCol)) else imageAHash(col(blobCol))
-    val newSigs = persistedSigs(df.select(col(idCol).as("id"), h.as("sh")))
+    dropAgainstSignatures64(df, idCol, h, corpusSigs, maxHamming)
+  }
+
+  /**
+   * Incremental AUDIO near-dup: drop incoming audio whose energy-envelope
+   * fingerprint ([[graft.functions.AudioAHash]]) lands within
+   * `maxHamming` of any corpus signature — the audio twin of
+   * [[dropImagesAgainstSignatures]], sharing the same bipartite
+   * distinct-hash mining. `corpusSigs` is the persisted (id, sh) frame of
+   * ingested history (`withColumn("sh", audioAHash(blob))` persisted
+   * once), so re-ingests never re-decode PCM. Undecodable incoming blobs
+   * always survive (null fingerprint ⇒ no candidates).
+   */
+  def dropAudioAgainstSignatures(
+      df: DataFrame,
+      idCol: String,
+      blobCol: String,
+      corpusSigs: DataFrame,
+      maxHamming: Int = 3): DataFrame =
+    dropAgainstSignatures64(df, idCol,
+      graft.functions.AudioAHash(col(blobCol)), corpusSigs, maxHamming)
+
+  /** Shared 64-bit-signature against-corpus dropper: both hash-family
+   *  ends pinned by the caller — distances across families are
+   *  meaningless and would drop/keep at random. */
+  private def dropAgainstSignatures64(
+      df: DataFrame,
+      idCol: String,
+      sig: Column,
+      corpusSigs: DataFrame,
+      maxHamming: Int): DataFrame = {
+    val newSigs = persistedSigs(df.select(col(idCol).as("id"), sig.as("sh")))
     // Doom at the HASH level, not the pair level: the drop only needs "is
     // this hash within maxHamming of ANY corpus hash", so the decision is
     // a distinct-hash × distinct-hash mining pass plus one semi-join —

@@ -104,10 +104,11 @@ object Multimodal {
     def decode(bytes: Array[Byte]): ImageFeatures
   }
 
-  /** REAL decoder: PNG/BMP pixels via [[graft.functions.ImagePixels]]
-   *  (JDK-only inflate + unfilter), channels from the container header,
-   *  mean luma over the decoded grayscale. Null for formats that need an
-   *  entropy codec (JPEG/WebP) — plug a codec-backed [[ImageDecoder]] for
+  /** REAL decoder: PNG/BMP/GIF pixels via [[graft.functions.ImagePixels]]
+   *  (JDK-only inflate + unfilter + LZW) and JPEG via the JDK's bundled
+   *  ImageIO reader, channels from the container header, mean luma over
+   *  the decoded grayscale. Null only for formats outside the JDK's
+   *  reach (WebP/AVIF) — plug a codec-backed [[ImageDecoder]] for
    *  those. */
   object PixelDecoder extends ImageDecoder {
     override def decode(bytes: Array[Byte]): ImageFeatures = {
@@ -203,4 +204,25 @@ object Multimodal {
         when(nFrames > 0, sequence(lit(0L), nFrames - 1, lit(stride.toLong))),
         1, maxFrames)))
   }
+
+  /**
+   * Frame sampling by media TIME, not frame index: one row per `strideMs`
+   * of playback, planned from the full sample tables — `stts` run-length
+   * durations pick the sample playing at each stride boundary, `mdhd`
+   * supplies the media timescale, and `stsc` + `stco`/`co64` +
+   * `stsz`/`stz2` resolve each planned frame to the byte offset a decoder
+   * would seek ([[graft.functions.VideoSamplePlan]]). Emits (frame_idx,
+   * t_ms, byte_off) per sampled frame; byte_off is null when the offset
+   * tables don't cover the sample. Non-MP4 / video-less blobs contribute
+   * NO rows. Pure codegen planning — zero shuffle, blobs read once, cost
+   * O(table runs + emitted frames) per blob regardless of claimed counts.
+   */
+  def sampleFramesMp4ByTime(
+      df: DataFrame, blobCol: String, strideMs: Int, maxFrames: Int): DataFrame =
+    df.withColumn("__fp",
+        explode(graft.functions.VideoSamplePlan(col(blobCol), strideMs, maxFrames)))
+      .withColumn("frame_idx", col("__fp.frame_idx"))
+      .withColumn("t_ms", col("__fp.t_ms"))
+      .withColumn("byte_off", col("__fp.byte_off"))
+      .drop("__fp")
 }

@@ -2759,6 +2759,140 @@ object Battery {
           col("__vm.duration_ms").as("vdur_ms"), col("__vm.width").as("vw"))
     }),
 
+    // PNG corner coverage (Adam7 interlace + 16-bit depth): the q210
+    // planted pattern re-encoded through the corner layouts — interlaced
+    // 8-bit, plain 16-bit (noise in the ignored low bytes), 16-bit AND
+    // interlaced, and a plain Paeth-filtered control. aHash == P gates the
+    // 7-pass de-interlace scatter and the high-byte sample reduction.
+    "q222_png_corners" -> ((s, d) => {
+      import s.implicits._
+      import graft.functions.ImageCodec
+      val blobs = docs(s, d).select(col("doc_id")).as[Long].map { id =>
+        val p = (id % 64) * 0x0101010101010101L
+        val px = Array.tabulate[Byte](64)(i =>
+          if (((p >>> (63 - i)) & 1L) == 1L) 255.toByte else 0)
+        val px16 = new Array[Byte](128)
+        var i = 0
+        while (i < 64) {
+          px16(2 * i) = px(i)
+          px16(2 * i + 1) = ((id + i) % 251).toByte // low bytes must not matter
+          i += 1
+        }
+        val bytes = (id % 4).toInt match {
+          case 0 => ImageCodec.encodePng(8, 8, 1, px, filterType = (id % 5).toInt,
+            interlaced = true)
+          case 1 => ImageCodec.encodePng(8, 8, 1, px16, bitDepth = 16)
+          case 2 => ImageCodec.encodePng(8, 8, 1, px16, filterType = 4,
+            bitDepth = 16, interlaced = true)
+          case _ => ImageCodec.encodePng(8, 8, 1, px, filterType = 4)
+        }
+        (id, bytes)
+      }.toDF("doc_id", "blob")
+      blobs.select(col("doc_id"), Dedup.imageAHash(col("blob")).as("ahash"))
+    }),
+
+    // INCREMENTAL audio dedup against a persisted signature corpus
+    // (Dedup.dropAudioAgainstSignatures — the audio twin of q217): even
+    // doc_ids form the corpus (PCM decoded ONCE into (id, envelope-hash)
+    // signatures), odd doc_ids are the increment. Same provable mix as
+    // q217 — Hamming 0/1 twins drop, the 5-bit spread mask survives —
+    // but the hamming-0 twins here differ in BOTH length (window width m)
+    // and amplitude from their corpus partner, proving the drop rides the
+    // envelope fingerprint, not the bytes.
+    "q221_audio_corpus_dedup" -> ((s, d) => {
+      import s.implicits._
+      import graft.functions.AudioCodec
+      val m5 = (1L << 1) | (1L << 10) | (1L << 19) | (1L << 28) | (1L << 37)
+      def wavs(rows: org.apache.spark.sql.Dataset[Long]) = rows.map { id =>
+        val g = ((id / 2) % 64).toInt
+        val p0 = g.toLong * 0x0101010101010101L
+        val p =
+          if (id % 2 == 0) p0
+          else if (id % 3 == 0) p0 ^ (1L << (id % 63).toInt)
+          else if (id % 3 == 1) p0 ^ m5
+          else p0
+        val m = (id % 4 + 2).toInt // samples per window — varies per doc
+        val amp = (id % 30000 + 1000).toInt
+        val samples = Array.tabulate(64 * m) { k =>
+          val bit = ((p >>> (63 - k / m)) & 1L) == 1L
+          if (bit) { if (k % 2 == 0) amp else -amp } else 0
+        }
+        (id, AudioCodec.encodeWavPcm16(16000, 1, samples))
+      }.toDF("doc_id", "blob")
+      val ids = docs(s, d).select(col("doc_id")).as[Long]
+      val corpus = wavs(ids.filter(col("doc_id") % 2 === 0))
+        .select(col("doc_id").as("id"),
+          graft.functions.AudioAHash(col("blob")).as("sh"))
+      val incoming = wavs(ids.filter(col("doc_id") % 2 === 1))
+      Dedup.dropAudioAgainstSignatures(incoming, "doc_id", "blob", corpus, 3)
+        .select(col("doc_id"))
+    }),
+
+    // REAL media-TIME frame planning (VideoSamplePlan): blobs carry full
+    // sample tables — two-run stts (run lengths/deltas from doc_id), mdhd
+    // timescale 1000, sizes as const-stsz (even docs) or packed 8-bit
+    // stz2 (odd docs), chunks of 4 via stsc with stco or co64 (doc_id%3=0)
+    // offsets. The plan picks the sample PLAYING at each 4 ms boundary,
+    // dedups, caps at 8, and resolves each frame's byte offset; the
+    // oracle replays boundary→sample→offset with pure integer arithmetic.
+    // WAV docs (doc_id%10 = 7) contribute zero rows.
+    "q220_mp4_timeplan" -> ((s, d) => {
+      import s.implicits._
+      import graft.functions.{AudioCodec, Mp4Codec}
+      val blobs = docs(s, d).select(col("doc_id")).as[Long].map { id =>
+        val blob =
+          if (id % 10 == 7) AudioCodec.encodeWavPcm16(8000, 1, Array(3, 2, 1))
+          else {
+            val c1 = id % 5 + 2; val d1 = id % 7 + 2
+            val c2 = id % 4 + 1; val d2 = id % 9 + 1
+            val n = (c1 + c2).toInt
+            Mp4Codec.encode(
+              timescale = 1000, durationTicks = c1 * d1 + c2 * d2,
+              width = 64, height = 48, nFrames = n,
+              tables = Mp4Codec.SampleTables(
+                mediaTimescale = 1000,
+                sttsRuns = Seq((c1, d1), (c2, d2)),
+                constSampleSize = if (id % 2 == 0) id % 11 + 1 else 0,
+                sampleSizes =
+                  if (id % 2 == 0) Nil else (0 until n).map(j => (j % 5 + 1).toLong),
+                stz2FieldSize = if (id % 2 == 0) 0 else 8,
+                samplesPerChunk = 4,
+                chunkOffsets = (0 until 3).map(m => 4096 + id % 100 + m * 1000L),
+                co64 = id % 3 == 0))
+          }
+        (id, blob)
+      }.toDF("doc_id", "blob")
+      graft.operators.Multimodal.sampleFramesMp4ByTime(blobs, "blob",
+          strideMs = 4, maxFrames = 8)
+        .select(col("doc_id"), col("frame_idx"), col("t_ms"), col("byte_off"))
+    }),
+
+    // REAL GIF pixel decode (hand-rolled LZW, q210's closed-form oracle
+    // construction): every document becomes an 8×8 GIF planting
+    // P = (doc_id%64)·0x0101010101010101, interlaced for doc_id%2 = 1 —
+    // the aHash must equal P exactly, gating the LZW expansion, palette
+    // mapping, and the 4-pass de-interlace in one hash. A BMP twin of the
+    // same pixels proves cross-format collapse (xformat_hamming = 0).
+    "q219_image_gif" -> ((s, d) => {
+      import s.implicits._
+      import graft.functions.ImageCodec
+      val blobs = docs(s, d).select(col("doc_id")).as[Long].map { id =>
+        val p = (id % 64) * 0x0101010101010101L
+        val px = Array.tabulate[Byte](64)(i =>
+          if (((p >>> (63 - i)) & 1L) == 1L) 255.toByte else 0)
+        (id, ImageCodec.encodeGif(8, 8, px, interlaced = id % 2 == 1),
+          ImageCodec.encodeBmpGray(8, 8, px))
+      }.toDF("doc_id", "gif", "bmp")
+      blobs
+        .withColumn("__l", graft.functions.ImageLuma(col("gif")))
+        .select(col("doc_id"),
+          col("__l.width").as("img_w"), col("__l.height").as("img_h"),
+          Dedup.imageAHash(col("gif")).as("ahash"),
+          bit_count(Dedup.imageAHash(col("gif"))
+            .bitwiseXOR(Dedup.imageAHash(col("bmp"))))
+            .cast("int").as("xformat_hamming"))
+    }),
+
     // REAL PCM sample decode (AudioStats): WAV blobs carry 16-bit PCM whose
     // samples are the closed form ((doc_id·31 + k·17) mod 65536) − 32768;
     // the engine folds peak / exact Σs² / clipped / silent counts out of
@@ -5863,6 +5997,75 @@ object Battery {
         |FROM documents d, range(0, 60, 5) t(r)
         |WHERE d.doc_id % 3 <> 2 AND t.r < d.doc_id % 97 + 1
         |  AND t.r < 60""".stripMargin,
+    // the corner layouts all decode to the same planted pixels
+    "q222_png_corners" ->
+      """SELECT doc_id, (doc_id % 64) * 72340172838076673 AS ahash
+        |FROM documents""".stripMargin,
+    // bipartite ground truth identical to q217's: the envelope hash IS
+    // the planted pattern (length/amplitude wash out), so an odd doc
+    // survives iff no even doc's pattern lands within Hamming 3
+    "q221_audio_corpus_dedup" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    CASE
+        |      WHEN doc_id % 2 = 0 THEN ((doc_id // 2) % 64) * 72340172838076673
+        |      WHEN doc_id % 3 = 0 THEN
+        |        xor(((doc_id // 2) % 64) * 72340172838076673,
+        |            1::BIGINT << CAST(doc_id % 63 AS INTEGER))
+        |      WHEN doc_id % 3 = 1 THEN
+        |        xor(((doc_id // 2) % 64) * 72340172838076673,
+        |            2 + 1024 + 524288 + 268435456 + 137438953472)
+        |      ELSE ((doc_id // 2) % 64) * 72340172838076673 END AS ahash
+        |  FROM documents)
+        |SELECT a.doc_id FROM h a
+        |WHERE a.doc_id % 2 = 1 AND NOT EXISTS (
+        |  SELECT 1 FROM h b WHERE b.doc_id % 2 = 0
+        |  AND bit_count(xor(a.ahash, b.ahash)) <= 3)""".stripMargin,
+    // boundary -> sample -> byte offset, replayed in pure integer
+    // arithmetic: idx = which stts run the 4ms boundary lands in, start =
+    // that sample's own time, byte_off = chunk offset + within-chunk size
+    // prefix (const s for even docs, F(x)=15*(x//5)+partial(x%5) for the
+    // odd docs' j%5+1 stz2 sizes); first 8 distinct samples per doc
+    "q220_mp4_timeplan" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    doc_id % 5 + 2 AS c1, doc_id % 7 + 2 AS d1,
+        |    doc_id % 4 + 1 AS c2, doc_id % 9 + 1 AS d2,
+        |    doc_id % 11 + 1 AS s
+        |  FROM documents WHERE doc_id % 10 <> 7),
+        |b AS (
+        |  SELECT p.*, t.k * 4 AS t
+        |  FROM p, range(0, 100) t(k)
+        |  WHERE t.k * 4 < c1 * d1 + c2 * d2),
+        |m AS (
+        |  SELECT DISTINCT doc_id, c1, d1, c2, d2, s,
+        |    CASE WHEN t < c1 * d1 THEN t // d1
+        |         ELSE c1 + (t - c1 * d1) // d2 END AS idx
+        |  FROM b),
+        |e AS (
+        |  SELECT doc_id,
+        |    idx AS frame_idx,
+        |    CASE WHEN idx < c1 THEN idx * d1
+        |         ELSE c1 * d1 + (idx - c1) * d2 END AS t_ms,
+        |    4096 + doc_id % 100 + (idx // 4) * 1000
+        |      + CASE WHEN doc_id % 2 = 0 THEN (idx % 4) * s
+        |        ELSE (15 * (idx // 5)
+        |                + CASE idx % 5 WHEN 0 THEN 0 WHEN 1 THEN 1
+        |                  WHEN 2 THEN 3 WHEN 3 THEN 6 ELSE 10 END)
+        |             - (15 * ((idx - idx % 4) // 5)
+        |                + CASE (idx - idx % 4) % 5 WHEN 0 THEN 0 WHEN 1 THEN 1
+        |                  WHEN 2 THEN 3 WHEN 3 THEN 6 ELSE 10 END)
+        |        END AS byte_off,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY idx) AS rn
+        |  FROM m)
+        |SELECT doc_id, frame_idx, t_ms, byte_off
+        |FROM e WHERE rn <= 8""".stripMargin,
+    // the GIF aHash is the planted pattern; the BMP twin is bit-identical
+    "q219_image_gif" ->
+      """SELECT doc_id, 8 AS img_w, 8 AS img_h,
+        |  (doc_id % 64) * 72340172838076673 AS ahash,
+        |  0 AS xformat_hamming
+        |FROM documents""".stripMargin,
     // the thumbnail of a block-constant image is the block pattern itself
     "q215_image_thumb" ->
       """SELECT doc_id, 8 AS img_w, 8 AS img_h,

@@ -131,7 +131,12 @@ object ExistsDefaults {
     // nullability) or we fall back; top-level nullability then relaxes to
     // nullable like Spark's own inference (a column REQUIRED in one
     // generation can be absent/null in another).
-    val distinct = files.map(p => footerSchemaCache.get(cacheKey(p))).distinct
+    // The cache is WRITE-THROUGH only: a concurrent invalidateSchemaCache()
+    // between the miss-fill above and this read would return null — take
+    // the safe distributed-mergeSchema fallback instead of a driver NPE.
+    val fetched = files.map(p => footerSchemaCache.get(cacheKey(p)))
+    if (fetched.contains(null)) return None
+    val distinct = fetched.distinct
     distinct.tail.foldLeft(Option(distinct.head)) {
       case (None, _) => None
       case (Some(acc), s) =>

@@ -1026,7 +1026,12 @@ object Snapshots {
         new org.apache.spark.util.SerializableConfiguration(conf))
       val expectedBc = spark.sparkContext.broadcast(expected)
       val failures = spark.sparkContext
-        .parallelize(copies, math.min(copies.length, 64))
+        .parallelize(copies,
+          // one task per file, floored at 64 slices but scaling with the
+          // cluster: a flat 64 would under-drive a 1000-executor cluster
+          // copying ~100k files
+          math.min(copies.length,
+            math.max(64, spark.sparkContext.defaultParallelism)))
         .flatMap { case (src, dst) =>
           val c = bc.value.value
           val sp = new Path(src)

@@ -36,9 +36,17 @@ object GraftShims {
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.HadoopInputFile
     val reader = ParquetFileReader.open(HadoopInputFile.fromPath(path, conf))
-    try new org.apache.spark.sql.execution.datasources.parquet
-      .ParquetToSparkSchemaConverter(sqlConf)
-      .convert(reader.getFooter.getFileMetaData.getSchema)
+    // Mirror ParquetFileFormat.readSchemaFromFooter, not just the raw
+    // MessageType conversion: Spark's own inference PREFERS the Spark
+    // schema a writer serialized into footer key-value metadata
+    // (org.apache.spark.sql.parquet.row.metadata) — files whose logical
+    // Spark type differs from the raw conversion (char/varchar metadata,
+    // UDTs) must merge to the same schema the fallback path would infer.
+    try org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+      .readSchemaFromFooter(
+        new org.apache.parquet.hadoop.Footer(path, reader.getFooter),
+        new org.apache.spark.sql.execution.datasources.parquet
+          .ParquetToSparkSchemaConverter(sqlConf))
     finally reader.close()
   }
 

@@ -107,6 +107,31 @@ class Mp4HeadersSpec extends SparkSpec {
     })
   }
 
+  test("crafted 64-bit box sizes near Long.MaxValue cannot overflow the walk") {
+    // size32 == 1 → 64-bit extended size; a value near Long.MaxValue made
+    // the old `i + size > end` guard wrap negative and pass, walking
+    // wrapped offsets into an uncaught IndexOutOfBounds
+    def crafted(size64Hex: String): Array[Byte] = hexBytes(
+      "00000010 66747970 69736F6D 00000000" +
+        " 00000001 6D6F6F76 " + size64Hex + // moov with lying ext size
+        " 00000000")
+    for (s <- Seq("7FFFFFFFFFFFFFF0", "FFFFFFFFFFFFFFFF", "8000000000000000")) {
+      assert(Mp4Frames.frameCount(crafted(s)) == null)
+      assert(Mp4Headers.parse(crafted(s)) == null)
+    }
+    // same lie one level down: a moov whose trak-child claims an
+    // overflowing 64-bit size terminates the walk cleanly (null, no
+    // wrapped-offset reads, no loop)
+    val innerLie = hexBytes(
+      "00000010 66747970 69736F6D 00000000" +
+        " 00000088 6D6F6F76" +
+        " 0000006C 6D766864 00000000 00000000 00000000 000003E8 00001388" +
+        " " + "00" * 80 +
+        " 00000001 7472616B 7FFFFFFFFFFFFFF0 00000000")
+    assert(Mp4Frames.frameCount(innerLie) == null)
+    assert(Mp4Headers.parse(innerLie) == null)
+  }
+
   test("video_meta expression evaluates in a plan") {
     import spark.implicits._
     val rows = Seq(("v0", mp4v0), ("trak", mp4Trak), ("txt", "nope".getBytes))
