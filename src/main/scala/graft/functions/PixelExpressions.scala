@@ -470,21 +470,45 @@ object ImagePixels {
    */
   private def decodeJpeg(b: Array[Byte]): Luma = {
     require(imageIoReady)
-    val img =
-      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
-      catch { case _: java.io.IOException => null }
-    if (img == null) return null
-    val w = img.getWidth; val h = img.getHeight
-    if (w <= 0 || h <= 0 || w.toLong * h > MaxPixels) return null
-    val rgb = img.getRGB(0, 0, w, h, null, 0, w)
-    val lum = new Array[Byte](w * h)
-    var i = 0
-    while (i < lum.length) {
-      val v = rgb(i)
-      lum(i) = luma601((v >> 16) & 0xff, (v >> 8) & 0xff, v & 0xff)
-      i += 1
+    // Real-world hostile JPEGs make the JDK reader throw far beyond
+    // IOException — CMMException on corrupt ICC profiles,
+    // IllegalArgumentException on CMYK band mismatches, raw
+    // IndexOutOfBounds on malformed entropy data. All of it is corrupt
+    // DATA here; only genuinely-fatal errors (OOM, VM errors — which
+    // NonFatal excludes) may escape.
+    try {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(b))
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) { iis.close(); return null }
+      val reader = readers.next()
+      val img =
+        try {
+          reader.setInput(iis)
+          // enforce MaxPixels from the HEADER, before read() allocates:
+          // a tiny blob declaring 65500×65500 must not OOM the executor
+          val w = reader.getWidth(0); val h = reader.getHeight(0)
+          if (w <= 0 || h <= 0 || w.toLong * h > MaxPixels) return null
+          reader.read(0)
+        } finally {
+          reader.dispose()
+          iis.close()
+        }
+      if (img == null) return null
+      val w = img.getWidth; val h = img.getHeight
+      if (w <= 0 || h <= 0 || w.toLong * h > MaxPixels) return null
+      val rgb = img.getRGB(0, 0, w, h, null, 0, w)
+      val lum = new Array[Byte](w * h)
+      var i = 0
+      while (i < lum.length) {
+        val v = rgb(i)
+        lum(i) = luma601((v >> 16) & 0xff, (v >> 8) & 0xff, v & 0xff)
+        i += 1
+      }
+      Luma(w, h, lum)
+    } catch {
+      case scala.util.control.NonFatal(_) => null
     }
-    Luma(w, h, lum)
   }
 
   /** Decode PNG, BMP, GIF (hand-rolled, bit-pinned) or JPEG (JDK reader)

@@ -256,11 +256,15 @@ object Mp4Frames {
     try frameCountUnsafe(b)
     catch { case _: IndexOutOfBoundsException => null }
 
-  /** The first video track's (mdia, stbl) byte ranges: trak whose
-   *  mdia/hdlr handler is 'vide', with its mdia/minf/stbl. */
-  private def videoTrack(b: Array[Byte]): Option[((Long, Long), (Long, Long))] = {
-    if (b == null || b.length < 16 || boxType(b, 0) != "ftyp") return None
-    val moov = child(b, 0, b.length, "moov").getOrElse(return None)
+  /** ALL video tracks' (mdia, stbl) byte ranges, in file order: traks
+   *  whose mdia/hdlr handler is 'vide', each with its mdia/minf/stbl.
+   *  Returned as a list so callers can FALL THROUGH past a video trak
+   *  whose sample tables are stripped (a thumbnail/preview track ahead
+   *  of the real stream) — the pre-round-16 frameCount loop behavior. */
+  private def videoTracks(b: Array[Byte]): List[((Long, Long), (Long, Long))] = {
+    if (b == null || b.length < 16 || boxType(b, 0) != "ftyp") return Nil
+    val moov = child(b, 0, b.length, "moov").getOrElse(return Nil)
+    val out = List.newBuilder[((Long, Long), (Long, Long))]
     for ((t, ts, te) <- children(b, moov._1, moov._2) if t == "trak") {
       child(b, ts, te, "mdia").foreach { case (ms, me) =>
         val isVideo = child(b, ms, me, "hdlr").exists { case (hs, he) =>
@@ -273,11 +277,11 @@ object Mp4Frames {
           for {
             (ns, ne) <- child(b, ms, me, "minf")
             (ss, se) <- child(b, ns, ne, "stbl")
-          } return Some(((ms, me), (ss, se)))
+          } out += (((ms, me), (ss, se)))
         }
       }
     }
-    None
+    out.result()
   }
 
   /** Sample count from stsz (ver/flags + sample_size + sample_count) or
@@ -288,8 +292,8 @@ object Mp4Frames {
       .collect { case (zs, ze) if zs + 12 <= ze => beU32(b, (zs + 8).toInt) }
 
   private def frameCountUnsafe(b: Array[Byte]): java.lang.Long =
-    videoTrack(b).flatMap(t => sampleCount(b, t._2))
-      .map(java.lang.Long.valueOf).orNull
+    videoTracks(b).iterator.flatMap(t => sampleCount(b, t._2))
+      .nextOption().map(java.lang.Long.valueOf).orNull
 
   /** One planned frame sample: index, media start time (ms), and the
    *  byte offset of its data in the container (-1 = offset tables
@@ -324,7 +328,17 @@ object Mp4Frames {
     require(strideMs > 0 && strideMs <= 1000000 &&
       maxFrames > 0 && maxFrames <= 1000000,
       s"need 0 < maxFrames <= 1e6 and 0 < strideMs <= 1e6")
-    val (mdia, stbl) = videoTrack(b).getOrElse(return null)
+    // fall through past video traks with stripped tables to the first
+    // one that yields a plan — mirrors frameCount's track selection
+    videoTracks(b).iterator
+      .map { case (mdia, stbl) => planForTrack(b, mdia, stbl, strideMs, maxFrames) }
+      .collectFirst { case p if p != null => p }
+      .orNull
+  }
+
+  private def planForTrack(
+      b: Array[Byte], mdia: (Long, Long), stbl: (Long, Long),
+      strideMs: Int, maxFrames: Int): Array[PlannedSample] = {
     // mdhd: ver/flags(4) + times (v0: 4+4, v1: 8+8) + timescale(4)
     val timescale = child(b, mdia._1, mdia._2, "mdhd").flatMap { case (hs, he) =>
       (b(hs.toInt) & 0xff) match {

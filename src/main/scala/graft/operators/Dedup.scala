@@ -191,12 +191,18 @@ object Dedup {
       maxIter: Int = 10,
       localEdgeThreshold: Long = 1000000L): DataFrame = {
     // Persist before the size probe: the count, the local collect (or the
-    // iterative joins), and any caller-side reuse of `pairs` all read the
-    // materialized edges instead of re-running the mining that produced them.
+    // iterative joins) all read the materialized edges instead of
+    // re-running the mining that produced them. Unpersisted before
+    // returning — both branches end with MATERIALIZED labels (collected
+    // or checkpointed), so the cache entry would otherwise live in the
+    // CacheManager until session end, leaking one entry per mining call.
     val edgeList = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    if (edgeList.count() <= localEdgeThreshold)
-      return connectedComponentsLocal(vertices, edgeList)
+    if (edgeList.count() <= localEdgeThreshold) {
+      val result = connectedComponentsLocal(vertices, edgeList)
+      edgeList.unpersist(blocking = false)
+      return result
+    }
     val edges = edgeList
       .union(edgeList.select(col("dst").as("src"), col("src").as("dst")))
     var labels = vertices.select(col("id"), col("id").as("cluster"))
@@ -224,6 +230,7 @@ object Dedup {
     if (!converged) throw new IllegalStateException(
       s"connectedComponents did not converge within $maxIter iterations; " +
         "raise maxIter (component diameter exceeds the bound)")
+    edgeList.unpersist(blocking = false) // labels are checkpointed
     labels
   }
 
@@ -269,6 +276,11 @@ object Dedup {
     vertices.select(col("id"))
       .join(broadcast(labels), Seq("id"), "left")
       .select(col("id"), coalesce(col("__cc_cluster"), col("id")).as("cluster"))
+      // materialize: the result otherwise keeps referencing `vertices`
+      // (usually derived from the mined edges), and the caller unpersists
+      // those right after this returns — a lazy result would silently
+      // re-run the whole mining pass on every downstream action
+      .localCheckpoint(eager = true)
   }
 
   /**
@@ -306,10 +318,12 @@ object Dedup {
       df: DataFrame,
       idCol: String,
       textCol: String,
-      maxHamming: Int = 3): DataFrame =
-    dropByPairs(df, idCol, hammingEdges(
+      maxHamming: Int = 3): DataFrame = {
+    val (edges, cleanup) = hammingEdgesInternal(
       df.select(col(idCol).as("id"), simhash64(col(textCol)).as("sh")),
-      maxHamming))
+      maxHamming, HammingBucketCap)
+    dropByPairs(df, idCol, edges, Nil, cleanup)
+  }
 
   // ---------- image near-dup (perceptual hash + Hamming LSH) -----------
 
@@ -356,10 +370,12 @@ object Dedup {
       df: DataFrame,
       idCol: String,
       blobCol: String,
-      maxHamming: Int = 3): DataFrame =
-    dropByPairs(df, idCol, hammingEdges(
+      maxHamming: Int = 3): DataFrame = {
+    val (edges, cleanup) = hammingEdgesInternal(
       df.select(col(idCol).as("id"), imageAHash(col(blobCol)).as("sh")),
-      maxHamming))
+      maxHamming, HammingBucketCap)
+    dropByPairs(df, idCol, edges, Nil, cleanup)
+  }
 
   // ---------- containment (asymmetric doc-in-doc) ----------------------
 
@@ -458,17 +474,24 @@ object Dedup {
    *  ordering-attrs) rows move, never text. */
   private def dropByPairs(
       df: DataFrame, idCol: String, pairsDf: DataFrame,
-      keepBy: Seq[Column] = Nil): DataFrame = {
+      keepBy: Seq[Column] = Nil,
+      afterLabels: () => Unit = () => ()): DataFrame = {
     // The edge list fans out into several actions (CC's size probe, the
     // touched-vertex set, the final anti-join); persist it so the LSH mining
     // pass over the corpus runs ONCE, not once per action. MEMORY_AND_DISK
     // keeps lineage for executor-loss recovery (edge lists are tiny next to
-    // the corpus — a few bytes per near-dup pair).
+    // the corpus — a few bytes per near-dup pair). Once connectedComponents
+    // returns, its labels are MATERIALIZED (collected or checkpointed), so
+    // the edge cache — and, via `afterLabels`, any upstream signature
+    // caches the miner registered — can be dropped instead of leaking one
+    // CacheManager entry per dedup call for the rest of the session.
     val pairs = pairsDf.select(col("id_a"), col("id_b"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val touched = pairs.select(col("id_a").as("id"))
       .union(pairs.select(col("id_b").as("id"))).distinct()
     val labels = connectedComponents(touched, pairs)
+    pairs.unpersist(blocking = false)
+    afterLabels()
     val losers =
       if (keepBy.isEmpty)
         labels.filter(col("cluster") =!= col("id")).select(col("id").as(idCol))
@@ -979,18 +1002,24 @@ object Dedup {
    *  The verify reads the sh columns carried through the join (no
    *  re-join against the source, so an expensive signature projection
    *  upstream is never re-evaluated here). */
-  private def closeHashPairs(
-      hashes: DataFrame, maxHamming: Int, maxBucket: Int): DataFrame = {
+  /** The ONE spelling of the stop-bucket cut (symmetric and bipartite
+   *  miners must not diverge): drop (block, block_val) buckets holding
+   *  more than `maxBucket` distinct hashes from `keyed`. */
+  private def capBuckets(keyed: DataFrame, maxBucket: Int): DataFrame = {
     require(maxBucket >= 1, s"maxBucket must be >= 1, got $maxBucket")
-    val keyed = hashes.select(col("sh"),
-      posexplode(array(hammingBlockKeys(col("sh"), maxHamming): _*))
-        .as(Seq("block", "block_val")))
-    val mined = if (maxBucket == Int.MaxValue) keyed else {
+    if (maxBucket == Int.MaxValue) keyed else {
       val hot = keyed.groupBy(col("block"), col("block_val"))
         .agg(count(lit(1)).as("__bf")).filter(col("__bf") > maxBucket)
         .select(col("block"), col("block_val"))
       keyed.join(hot, Seq("block", "block_val"), "left_anti")
     }
+  }
+
+  private def closeHashPairs(
+      hashes: DataFrame, maxHamming: Int, maxBucket: Int): DataFrame = {
+    val mined = capBuckets(hashes.select(col("sh"),
+      posexplode(array(hammingBlockKeys(col("sh"), maxHamming): _*))
+        .as(Seq("block", "block_val"))), maxBucket)
     mined.as("a").join(mined.as("b"),
         col("a.block") === col("b.block") &&
           col("a.block_val") === col("b.block_val") &&
@@ -1006,7 +1035,10 @@ object Dedup {
    *  the signature expression (often a full blob decode) evaluates ONCE
    *  no matter how many joins reference it downstream. 16 bytes/row —
    *  negligible next to the corpus; MEMORY_AND_DISK like the edge-list
-   *  persists in [[dropByPairs]]/[[connectedComponents]]. */
+   *  persists in [[dropByPairs]]/[[connectedComponents]]. The droppers
+   *  unpersist these once their labels materialize; the raw pair miners
+   *  ([[hammingPairs]]/[[hammingPairsAgainst]]) return lazy frames whose
+   *  cache lives until the caller unpersists or the session ends. */
   private def persistedSigs(sigsIn: DataFrame): DataFrame =
     sigsIn.select(col("id"), col("sh")).filter(col("sh").isNotNull)
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -1046,7 +1078,14 @@ object Dedup {
    * star edges, not 5·10¹¹ pairs.
    */
   private[operators] def hammingEdges(sigsIn: DataFrame, maxHamming: Int,
-      maxBucket: Int = HammingBucketCap): DataFrame = {
+      maxBucket: Int = HammingBucketCap): DataFrame =
+    hammingEdgesInternal(sigsIn, maxHamming, maxBucket)._1
+
+  /** [[hammingEdges]] plus a cleanup hook that unpersists the signature
+   *  and group caches — for callers ([[dropByPairs]]) that materialize
+   *  the edges and can prove the caches are dead. */
+  private def hammingEdgesInternal(sigsIn: DataFrame, maxHamming: Int,
+      maxBucket: Int): (DataFrame, () => Unit) = {
     val sigs = persistedSigs(sigsIn)
     val groups = sigs.groupBy(col("sh")).agg(min(col("id")).as("rep"))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -1059,7 +1098,11 @@ object Dedup {
     val star = sigs.join(groups, Seq("sh"))
       .filter(col("id") =!= col("rep"))
       .select(col("rep").as("id_a"), col("id").as("id_b"))
-    star.unionByName(crossReps)
+    (star.unionByName(crossReps), () => {
+      groups.unpersist(blocking = false)
+      sigs.unpersist(blocking = false)
+      ()
+    })
   }
 
   /**
@@ -1094,18 +1137,10 @@ object Dedup {
   private def closeHashesAgainst(
       newHashes: DataFrame, corpusHashes: DataFrame,
       maxHamming: Int, maxBucket: Int): DataFrame = {
-    require(maxBucket >= 1, s"maxBucket must be >= 1, got $maxBucket")
-    def keyed(hashes: DataFrame): DataFrame = {
-      val k = hashes.select(col("sh"),
+    def keyed(hashes: DataFrame): DataFrame =
+      capBuckets(hashes.select(col("sh"),
         posexplode(array(hammingBlockKeys(col("sh"), maxHamming): _*))
-          .as(Seq("block", "block_val")))
-      if (maxBucket == Int.MaxValue) k else {
-        val hot = k.groupBy(col("block"), col("block_val"))
-          .agg(count(lit(1)).as("__bf")).filter(col("__bf") > maxBucket)
-          .select(col("block"), col("block_val"))
-        k.join(hot, Seq("block", "block_val"), "left_anti")
-      }
-    }
+          .as(Seq("block", "block_val"))), maxBucket)
     val exact = newHashes.join(corpusHashes.select(col("sh")), Seq("sh"), "left_semi")
       .select(col("sh").as("sh_a"), col("sh").as("sh_b"),
         lit(0).cast("int").as("hamming"))
@@ -1183,8 +1218,15 @@ object Dedup {
       corpusSigs.select(col("sh")).filter(col("sh").isNotNull).distinct(),
       maxHamming, HammingBucketCap)
       .select(col("sh_a").as("sh")).distinct()
+    // Materialize the doomed id set NOW (tiny: ids of this increment's
+    // drops) so the signature cache can be released immediately — the
+    // incremental droppers run once per ingest batch, and a persist left
+    // registered per batch would grow the CacheManager for the life of
+    // the session. localCheckpoint blocks are GC-cleaned with the frame.
     val doomed = newSigs.join(doomedHashes, Seq("sh"), "left_semi")
       .select(col("id").as(idCol))
+      .localCheckpoint(eager = true)
+    newSigs.unpersist(blocking = false)
     df.join(doomed, Seq(idCol), "left_anti")
   }
 

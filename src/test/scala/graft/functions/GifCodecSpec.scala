@@ -125,21 +125,56 @@ class GifCodecSpec extends SparkSpec {
     assert(hs.size == 1, s"cross-format twins split: $hs")
   }
 
+  test("hostile JPEGs: corruption never throws, lying headers never allocate") {
+    val img = new java.awt.image.BufferedImage(
+      32, 24, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 24; x <- 0 until 32) img.setRGB(x, y, (x * 8) << 16 | (y * 10))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    val valid = bos.toByteArray
+    assert(decode(valid) != null)
+    // the JDK reader throws CMMException / IllegalArgumentException /
+    // raw IndexOutOfBounds on real-world corrupt JPEGs — all must be
+    // null data, never a task-killing escape
+    val rnd = new scala.util.Random(6)
+    for (_ <- 0 until 500) {
+      val flip = valid.clone()
+      for (_ <- 0 to rnd.nextInt(4))
+        flip(rnd.nextInt(flip.length)) = rnd.nextInt(256).toByte
+      decode(flip) // must not throw
+      decode(java.util.Arrays.copyOf(valid, 3 + rnd.nextInt(valid.length - 3)))
+    }
+    // lying-but-valid dimensions: patch the SOF0 height/width to 65500 —
+    // the header cap must reject BEFORE ImageIO allocates the raster
+    val big = valid.clone()
+    var sof = -1
+    for (i <- 0 until big.length - 1)
+      if (sof < 0 && (big(i) & 0xff) == 0xff && (big(i + 1) & 0xff) == 0xc0) sof = i
+    assert(sof > 0, "no SOF0 marker in the fixture")
+    big(sof + 5) = 0xff.toByte; big(sof + 6) = 0xdc.toByte // height 65500
+    big(sof + 7) = 0xff.toByte; big(sof + 8) = 0xdc.toByte // width 65500
+    val t0 = System.nanoTime()
+    assert(decode(big) == null)
+    assert(System.nanoTime() - t0 < 2e9, "giant-dims JPEG was decoded, not rejected")
+  }
+
   test("corrupt GIF bytes decode to null, never throw") {
     val rnd = new scala.util.Random(5)
     val valid = ImageCodec.encodeGif(8, 8, Array.fill[Byte](64)(rnd.nextInt(256).toByte))
+    // any decode that survives corruption must at least be shape-consistent
+    def wellFormed(g: ImagePixels.Luma): Boolean =
+      g == null || g.luma.length == g.width * g.height
     for (trial <- 0 until 500) {
-      // truncations
-      assert(decode(java.util.Arrays.copyOf(valid, rnd.nextInt(valid.length))) == null
-        || true) // any non-throwing result is acceptable for truncations
+      // truncations: null or a shape-consistent partial parse, never a throw
+      assert(wellFormed(decode(java.util.Arrays.copyOf(valid, rnd.nextInt(valid.length)))))
       // bit flips: either null or a decoded image — never an exception
       val flip = valid.clone()
       flip(rnd.nextInt(flip.length)) = rnd.nextInt(256).toByte
-      decode(flip)
+      assert(wellFormed(decode(flip)))
       // random junk behind a GIF signature
       val junk = Array.fill[Byte](14 + rnd.nextInt(100))(rnd.nextInt(256).toByte)
       System.arraycopy("GIF89a".getBytes, 0, junk, 0, 6)
-      decode(junk)
+      assert(wellFormed(decode(junk)))
     }
   }
 }

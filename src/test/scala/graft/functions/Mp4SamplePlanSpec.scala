@@ -106,6 +106,44 @@ class Mp4SamplePlanSpec extends SparkSpec {
     })
   }
 
+  test("a stripped leading video trak falls through to the real stream") {
+    // two video traks: the first (a thumbnail/preview shape) carries an
+    // EMPTY stbl — no size table, no stts; the second is the real track.
+    // Both frameCount and samplePlan must skip to the second.
+    def box(typ: String, payload: Array[Byte]): Array[Byte] = {
+      val out = new Array[Byte](8 + payload.length)
+      val size = out.length
+      out(0) = (size >>> 24).toByte; out(1) = (size >>> 16).toByte
+      out(2) = (size >>> 8).toByte; out(3) = size.toByte
+      for (i <- 0 until 4) out(4 + i) = typ.charAt(i).toByte
+      System.arraycopy(payload, 0, out, 8, payload.length)
+      out
+    }
+    def be32(v: Long) = Array(
+      (v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+    val strippedTrak = box("trak", box("mdia",
+      box("hdlr", be32(0) ++ be32(0) ++ "vide".getBytes("US-ASCII") ++
+        new Array[Byte](13)) ++
+      box("minf", box("stbl", Array.emptyByteArray))))
+    val real = Mp4Codec.encode(1000, 1000, 64, 48, nFrames = 10,
+      tables = Mp4Codec.SampleTables(1000, Seq((10L, 100L)),
+        constSampleSize = 5, samplesPerChunk = 10, chunkOffsets = Seq(4096L)))
+    // splice: ftyp ++ moov[mvhd ++ strippedTrak ++ realTrak]
+    val ftypLen = 20 // Mp4Codec's ftyp: 8 header + 12 payload bytes
+    val moovPayload = java.util.Arrays.copyOfRange(real, ftypLen + 8, real.length)
+    val mvhdLen = 8 + 100 // Mp4Codec's mvhd: header + 20 + 80 payload
+    val mvhd = moovPayload.take(mvhdLen)
+    val realTrak = moovPayload.drop(mvhdLen)
+    val spliced = real.take(ftypLen) ++
+      box("moov", mvhd ++ strippedTrak ++ realTrak)
+    assert(Mp4Frames.frameCount(spliced) != null &&
+      Mp4Frames.frameCount(spliced).longValue == 10L,
+      "frameCount must fall through the stripped video trak")
+    val got = plan(spliced, 250, 10)
+    assert(got != null && got.map(_.idx).toSeq == Seq(0L, 2L, 5L, 7L),
+      "samplePlan must fall through the stripped video trak")
+  }
+
   test("lying stts counts cannot stall: cost is bounded by emitted frames") {
     // a run claiming 2^32-1 samples of 1 tick each: the plan walks
     // closed-form per emitted frame, so maxFrames bounds the work
