@@ -274,6 +274,95 @@ object AudioAHash {
     GraftShims.column(new AudioAHash(GraftShims.expression(col)))
 }
 
+/**
+ * 64-bit SPECTRAL audio fingerprint over PCM16 samples: split the stream
+ * into 16 equal windows and store, per window, the dominant frequency bin
+ * (Goertzel power at 1..4 cycles/window, strict argmax, 0 when the window
+ * carries no tonal energy) as a nibble — a tiny constellation fingerprint.
+ * Complements [[AudioFingerprint]]'s energy envelope: a gain change, DC
+ * shift, or re-encode that preserves PITCH keeps every nibble, while the
+ * envelope hash needs amplitude structure. One pass per (window, bin) over
+ * the samples — O(16·4·n) multiply-adds, still a single map-side codegen
+ * expression with only the (id, 8 B) hash ever shuffling.
+ *
+ * Determinism: the Goertzel recurrence is fixed-order IEEE double
+ * arithmetic, and the argmax only ever decides between powers that differ
+ * by ≥9× for any signal with a genuine dominant tone (square-wave
+ * harmonics fall off as 1/k²), so float rounding cannot flip a nibble on
+ * real content. Windows whose best power is below 1e-9 of the window
+ * energy read as atonal (nibble 0) — covers silence AND pure-DC windows,
+ * whose k≥1 bins are zero up to rounding noise.
+ *
+ * Null for non-PCM16 bytes or streams shorter than 8 samples/window
+ * (bin 4 must stay under Nyquist).
+ */
+object AudioSpectral {
+
+  val Windows = 16
+  val Bins = 4
+
+  def shash64(b: Array[Byte]): java.lang.Long = {
+    val loc = AudioSamples.locatePcm16(b)
+    if (loc == null) return null
+    val (dataOff, n) = loc
+    val m = n / Windows
+    if (m < 2 * Bins) return null
+    var hash = 0L
+    var w = 0
+    while (w < Windows) {
+      val off = w * m
+      var energy = 0.0
+      var j = 0
+      while (j < m) {
+        val s = AudioSamples.sample16(b, dataOff, off + j).toDouble
+        energy += s * s
+        j += 1
+      }
+      var bestBin = 0
+      var bestPow = 0.0
+      var k = 1
+      while (k <= Bins) {
+        val coeff = 2.0 * math.cos(2.0 * math.Pi * k / m)
+        var s1 = 0.0
+        var s2 = 0.0
+        j = 0
+        while (j < m) {
+          val s0 = AudioSamples.sample16(b, dataOff, off + j) + coeff * s1 - s2
+          s2 = s1
+          s1 = s0
+          j += 1
+        }
+        val pow = s1 * s1 + s2 * s2 - coeff * s1 * s2
+        if (pow > bestPow) { bestPow = pow; bestBin = k }
+        k += 1
+      }
+      if (bestPow <= energy * 1e-9) bestBin = 0
+      hash |= bestBin.toLong << (4 * w)
+      w += 1
+    }
+    java.lang.Long.valueOf(hash)
+  }
+}
+
+/** `audio_shash(blob)` → 64-bit spectral (dominant-bin) fingerprint, null
+ *  for non-PCM16 bytes. Nibble-packed, so near-dup mining feeds the same
+ *  [[graft.operators.Dedup.hammingPairs]] machinery (one window's bin
+ *  change flips ≤ 3 bits). */
+case class AudioSHash(child: Expression) extends PerceptualHash {
+  override protected def host: AnyRef = AudioSpectral
+  override protected def method: String = "shash64"
+  override protected def compute(b: Array[Byte]): java.lang.Long =
+    AudioSpectral.shash64(b)
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "audio_shash"
+}
+
+object AudioSHash {
+  def apply(col: Column): Column =
+    GraftShims.column(new AudioSHash(GraftShims.expression(col)))
+}
+
 /** `audio_stats(blob, silenceBelow)` → struct(n_samples, peak, sum_sq,
  *  n_clipped, n_silent) over 16-bit PCM samples; null for non-PCM16 WAV
  *  or foreign bytes. Same codegen shape as [[AudioMeta]]. */

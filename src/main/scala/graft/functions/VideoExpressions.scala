@@ -336,17 +336,21 @@ object Mp4Frames {
       .orNull
   }
 
-  private def planForTrack(
-      b: Array[Byte], mdia: (Long, Long), stbl: (Long, Long),
-      strideMs: Int, maxFrames: Int): Array[PlannedSample] = {
-    // mdhd: ver/flags(4) + times (v0: 4+4, v1: 8+8) + timescale(4)
-    val timescale = child(b, mdia._1, mdia._2, "mdhd").flatMap { case (hs, he) =>
+  /** Media timescale from mdhd (ver/flags(4) + times (v0: 4+4, v1: 8+8) +
+   *  timescale(4)), or -1 when absent/truncated. */
+  private def mediaTimescale(b: Array[Byte], mdia: (Long, Long)): Long =
+    child(b, mdia._1, mdia._2, "mdhd").flatMap { case (hs, he) =>
       (b(hs.toInt) & 0xff) match {
         case 0 if hs + 16 <= he => Some(beU32(b, (hs + 12).toInt))
         case 1 if hs + 24 <= he => Some(beU32(b, (hs + 20).toInt))
         case _ => None
       }
-    }.getOrElse(return null)
+    }.getOrElse(-1L)
+
+  private def planForTrack(
+      b: Array[Byte], mdia: (Long, Long), stbl: (Long, Long),
+      strideMs: Int, maxFrames: Int): Array[PlannedSample] = {
+    val timescale = mediaTimescale(b, mdia)
     if (timescale <= 0) return null
     val n = sampleCount(b, stbl).getOrElse(return null)
     if (n <= 0) return Array.empty
@@ -395,6 +399,93 @@ object Mp4Frames {
         run += 1
         if (base >= MaxTicks) done = true
       }
+    }
+    out.toArray
+  }
+
+  /**
+   * KEYFRAME planning from the `stss` sync-sample table: the samples a
+   * decoder can actually start at — the real "one thumbnail per shot" /
+   * "split at keyframes" primitive (frame extraction at arbitrary t must
+   * seek to the preceding sync sample first). Emits each sync sample's
+   * index, start time (stts + mdhd timescale) and byte offset, capped at
+   * `maxFrames`. Per ISO 14496-12, an ABSENT stss means every sample is a
+   * sync sample — then the plan is simply the first `maxFrames` samples.
+   * Entries are validated ascending and ≤ the sample count; a violation
+   * ends the plan (corrupt data, not an exception). One forward walk over
+   * the stts runs serves all entries: O(runs + emitted), never per-sample.
+   * Null for non-MP4 bytes, no video track, or missing stts/mdhd.
+   */
+  def keyframePlan(b: Array[Byte], maxFrames: Int): Array[PlannedSample] =
+    try {
+      require(maxFrames > 0 && maxFrames <= 1000000, "need 0 < maxFrames <= 1e6")
+      videoTracks(b).iterator
+        .map { case (mdia, stbl) => keyframesForTrack(b, mdia, stbl, maxFrames) }
+        .collectFirst { case p if p != null => p }
+        .orNull
+    } catch { case _: IndexOutOfBoundsException => null }
+
+  private def keyframesForTrack(
+      b: Array[Byte], mdia: (Long, Long), stbl: (Long, Long),
+      maxFrames: Int): Array[PlannedSample] = {
+    val timescale = mediaTimescale(b, mdia)
+    if (timescale <= 0) return null
+    val n = sampleCount(b, stbl).getOrElse(return null)
+    if (n <= 0) return Array.empty
+    val (ts0, te0) = child(b, stbl._1, stbl._2, "stts").getOrElse(return null)
+    if (ts0 + 8 > te0) return null
+    val runs = math.min(beU32(b, (ts0 + 4).toInt), (te0 - ts0 - 8) / 8).toInt
+    if (runs <= 0) return null
+    val offsets = new SampleOffsets(b, stbl)
+    // forward run cursor shared by all (ascending) sync indexes
+    var run = 0
+    var base = 0L
+    var idx0 = 0L
+    def startTicks(i: Long): Long = {
+      while (run < runs) {
+        val c = beU32(b, (ts0 + 8 + 8L * run).toInt)
+        val d = beU32(b, (ts0 + 12 + 8L * run).toInt)
+        if (c <= 0 || d <= 0) run += 1 // zero-length runs carry no time
+        else if (d != 0 && c > (MaxTicks - base) / d) return -1L // lying table
+        else if (i < idx0 + c) return base + (i - idx0) * d
+        else { base += c * d; idx0 += c; run += 1 }
+      }
+      -1L // stts covers fewer samples than stsz claims
+    }
+    val out = new scala.collection.mutable.ArrayBuffer[PlannedSample](
+      math.min(maxFrames, 64))
+    child(b, stbl._1, stbl._2, "stss") match {
+      case Some((ss, se)) =>
+        if (ss + 8 > se) return null
+        val cnt = math.min(beU32(b, (ss + 4).toInt), (se - ss - 8) / 4)
+        var e = 0L
+        var prev = 0L
+        var ok = true
+        while (ok && e < cnt && out.length < maxFrames) {
+          val num = beU32(b, (ss + 8 + 4 * e).toInt) // 1-based sample number
+          if (num <= prev || num > n) ok = false
+          else {
+            prev = num
+            val i = num - 1
+            val t = startTicks(i)
+            if (t < 0) ok = false
+            else {
+              out += PlannedSample(i, t * 1000L / timescale, offsets.byteOff(i))
+              e += 1
+            }
+          }
+        }
+      case None =>
+        var i = 0L
+        var ok = true
+        while (ok && i < n && out.length < maxFrames) {
+          val t = startTicks(i)
+          if (t < 0) ok = false
+          else {
+            out += PlannedSample(i, t * 1000L / timescale, offsets.byteOff(i))
+            i += 1
+          }
+        }
     }
     out.toArray
   }
@@ -634,6 +725,69 @@ object VideoSamplePlan {
     GraftShims.column(new VideoSamplePlan(GraftShims.expression(col), strideMs, maxFrames))
 }
 
+/** Row/array bridge for [[Mp4Frames.keyframePlan]] shared by the
+ *  interpreted and generated code paths of [[VideoKeyframes]]. */
+object Mp4KeyframeEval {
+  def keyframeArray(b: Array[Byte], maxFrames: Int)
+      : org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val plan = Mp4Frames.keyframePlan(b, maxFrames)
+    if (plan == null) return null
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      plan.map[Any](p => new GenericInternalRow(Array[Any](
+        p.idx, p.tMs, if (p.byteOff < 0) null else p.byteOff))))
+  }
+}
+
+/** `video_keyframes(blob, maxFrames)` →
+ *  array<struct<frame_idx, t_ms, byte_off>> of the stss sync samples
+ *  ([[Mp4Frames.keyframePlan]]; every sample when stss is absent, per
+ *  spec); null for non-MP4 bytes / no video track / missing stts. */
+case class VideoKeyframes(child: Expression, maxFrames: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType =
+    ArrayType(Mp4SamplePlanEval.elementType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case BinaryType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case dt => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"video_keyframes needs a binary column, got $dt")
+    }
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) null
+    else Mp4KeyframeEval.keyframeArray(v.asInstanceOf[Array[Byte]], maxFrames)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    val cls = Mp4KeyframeEval.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    ev.copy(code = code"""
+      |${c.code}
+      |org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} = null;
+      |boolean ${ev.isNull} = ${c.isNull};
+      |if (!${ev.isNull}) {
+      |  ${ev.value} = $cls.keyframeArray(${c.value}, $maxFrames);
+      |  ${ev.isNull} = ${ev.value} == null;
+      |}
+     """.stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "video_keyframes"
+}
+
+object VideoKeyframes {
+  def apply(col: Column, maxFrames: Int): Column =
+    GraftShims.column(new VideoKeyframes(GraftShims.expression(col), maxFrames))
+}
+
 /** Minimal ISO-BMFF writer (ftyp + moov{mvhd, trak{tkhd, mdia{hdlr(vide),
  *  minf{stbl{stsz}}}}}) for derived-metadata pipelines and fixtures —
  *  every box a full-size spec layout, parseable by [[Mp4Headers]] and
@@ -665,7 +819,8 @@ object Mp4Codec {
       stz2FieldSize: Int = 0, // 4/8/16 → sizes packed as stz2 instead
       samplesPerChunk: Int = 0, // > 0 → stsc single uniform run
       chunkOffsets: Seq[Long] = Nil, // stco entries
-      co64: Boolean = false) // write co64 (u64) instead of stco
+      co64: Boolean = false, // write co64 (u64) instead of stco
+      syncSamples: Seq[Long] = Nil) // stss entries (1-based sample numbers)
 
   private def be64(v: Long): Array[Byte] = be32(v >>> 32) ++ be32(v)
 
@@ -727,7 +882,11 @@ object Mp4Codec {
                 t.chunkOffsets.flatMap(be32).toArray)
             stsc ++ offs
           }
-        stts ++ sizeBox ++ chunkBoxes
+        val stss =
+          if (t.syncSamples.isEmpty) Array.emptyByteArray
+          else box("stss", be32(0) ++ be32(t.syncSamples.length) ++
+            t.syncSamples.flatMap(be32).toArray)
+        stts ++ sizeBox ++ chunkBoxes ++ stss
       }
     val stbl = box("stbl", stblBoxes)
     val minf = box("minf", stbl)

@@ -146,6 +146,23 @@ package object functions {
       (exprs: Seq[Expression]) => new AudioStats(exprs.head,
         intLit(exprs(1), "audio_stats silence threshold")))
     registry.registerFunction(
+      FunctionIdentifier("audio_shash"),
+      new ExpressionInfo(classOf[AudioSHash].getName, "audio_shash"),
+      (exprs: Seq[Expression]) => new AudioSHash(exprs.head))
+    registry.registerFunction(
+      FunctionIdentifier("mp3_meta"),
+      new ExpressionInfo(classOf[Mp3MetaExpr].getName, "mp3_meta"),
+      (exprs: Seq[Expression]) => new Mp3MetaExpr(exprs.head))
+    registry.registerFunction(
+      FunctionIdentifier("flac_meta"),
+      new ExpressionInfo(classOf[FlacMetaExpr].getName, "flac_meta"),
+      (exprs: Seq[Expression]) => new FlacMetaExpr(exprs.head))
+    registry.registerFunction(
+      FunctionIdentifier("video_keyframes"),
+      new ExpressionInfo(classOf[VideoKeyframes].getName, "video_keyframes"),
+      (exprs: Seq[Expression]) => new VideoKeyframes(exprs.head,
+        intLit(exprs(1), "video_keyframes maxFrames")))
+    registry.registerFunction(
       FunctionIdentifier("sign_bucket"),
       new ExpressionInfo(classOf[SignBucketExpr].getName, "sign_bucket"),
       (exprs: Seq[Expression]) => SignBucketExpr(exprs(0), intArg(exprs(1))))

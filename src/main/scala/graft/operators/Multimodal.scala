@@ -225,4 +225,24 @@ object Multimodal {
       .withColumn("t_ms", col("__fp.t_ms"))
       .withColumn("byte_off", col("__fp.byte_off"))
       .drop("__fp")
+
+  /**
+   * KEYFRAME sampling: one row per `stss` sync sample — the samples a
+   * decoder can seek to without reading anything earlier, i.e. the real
+   * "thumbnail per shot" / "split at keyframes" plan (arbitrary-time
+   * extraction must decode forward from the preceding keyframe anyway).
+   * When stss is absent every sample is a sync sample per ISO 14496-12
+   * and the plan is the first `maxFrames` samples. Emits (frame_idx,
+   * t_ms, byte_off) like [[sampleFramesMp4ByTime]]; non-MP4 / video-less
+   * blobs contribute NO rows. Pure codegen planning — zero shuffle, cost
+   * O(table runs + emitted frames) per blob.
+   */
+  def sampleKeyframesMp4(
+      df: DataFrame, blobCol: String, maxFrames: Int): DataFrame =
+    df.withColumn("__kf",
+        explode(graft.functions.VideoKeyframes(col(blobCol), maxFrames)))
+      .withColumn("frame_idx", col("__kf.frame_idx"))
+      .withColumn("t_ms", col("__kf.t_ms"))
+      .withColumn("byte_off", col("__kf.byte_off"))
+      .drop("__kf")
 }

@@ -2759,6 +2759,122 @@ object Battery {
           col("__vm.duration_ms").as("vdur_ms"), col("__vm.width").as("vw"))
     }),
 
+    // KEYFRAME planning from the stss sync-sample table
+    // (Multimodal.sampleKeyframesMp4): sync samples are every k-th frame,
+    // or stss is ABSENT for doc_id%6=0 — ISO 14496-12's every-sample-is-
+    // sync rule; frame times come from the single stts run. WAV docs
+    // (doc_id%6=5) contribute zero rows. The real "thumbnail per shot"
+    // plan: a decoder can only start at these samples.
+    "q223_mp4_keyframes" -> ((s, d) => {
+      import s.implicits._
+      import graft.functions.{AudioCodec, Mp4Codec}
+      val blobs = docs(s, d).select(col("doc_id")).as[Long].map { id =>
+        val blob =
+          if (id % 6 == 5) AudioCodec.encodeWavPcm16(8000, 1, Array(4, 5, 6))
+          else {
+            val n = id % 50 + 4
+            val delta = id % 9 + 1
+            val k = id % 5 + 2
+            val sync: Seq[Long] = if (id % 6 == 0) Nil else (1L to n by k)
+            Mp4Codec.encode(timescale = 1000, durationTicks = n * delta,
+              width = 32, height = 32, nFrames = n,
+              tables = Mp4Codec.SampleTables(
+                mediaTimescale = 1000,
+                sttsRuns = Seq((n, delta)),
+                constSampleSize = 7,
+                syncSamples = sync))
+          }
+        (id, blob)
+      }.toDF("doc_id", "blob")
+      graft.operators.Multimodal.sampleKeyframesMp4(blobs, "blob", maxFrames = 8)
+        .select(col("doc_id"), col("frame_idx"), col("t_ms"))
+    }),
+
+    // COMPRESSED-audio metadata (mp3_meta / flac_meta): the two dominant
+    // crawled audio formats, parsed headers-only from the public layouts —
+    // MP3 CBR frame math, Xing VBR frame counts, ID3v2 syncsafe skips;
+    // FLAC STREAMINFO 20+3+5+36-bit packing — unified with WAV under one
+    // coalesced schema. Every field has a closed form the oracle replays.
+    "q224_audio_formats" -> ((s, d) => {
+      import s.implicits._
+      import graft.functions.{AudioCodec, CodedAudioCodec}
+      val blobs = docs(s, d).select(col("doc_id")).as[Long].map { id =>
+        val m = id / 3
+        val blob = (id % 3).toInt match {
+          case 0 =>
+            CodedAudioCodec.encodeMp3(10, 3,
+              bitrateIdx = (m % 3 + 7).toInt, srIdx = (m % 2).toInt,
+              mono = m % 4 == 0, nFrames = (m % 20 + 2).toInt,
+              id3PadBytes = if (m % 7 == 0) (m % 300).toInt else -1,
+              xingFrames = if (m % 5 == 0) m % 997 + 5 else -1L)
+          case 1 =>
+            CodedAudioCodec.encodeFlac(
+              sampleRate = Array(44100, 48000, 22050, 16000)((m % 4).toInt),
+              channels = (m % 2 + 1).toInt, bits = (16 + (m % 2) * 8).toInt,
+              totalSamples = m % 100000 + 1000)
+          case _ =>
+            AudioCodec.encodeWavPcm16(8000, 1,
+              Array.tabulate((m % 50 + 10).toInt)(j => (j * 3) % 1000))
+        }
+        (id, blob)
+      }.toDF("doc_id", "blob")
+      blobs
+        .withColumn("__m3", graft.functions.Mp3MetaExpr(col("blob")))
+        .withColumn("__fl", graft.functions.FlacMetaExpr(col("blob")))
+        .withColumn("__wv", graft.functions.AudioMeta(col("blob")))
+        .select(col("doc_id"),
+          when(col("__m3").isNotNull, lit("mp3"))
+            .when(col("__fl").isNotNull, lit("flac"))
+            .otherwise(lit("wav")).as("fmt"),
+          coalesce(col("__m3.channels"), col("__fl.channels"),
+            col("__wv.channels")).as("channels"),
+          coalesce(col("__m3.sample_rate"), col("__fl.sample_rate"),
+            col("__wv.sample_rate")).as("sample_rate"),
+          coalesce(col("__m3.duration_ms"), col("__fl.duration_ms"),
+            col("__wv.duration_ms")).as("duration_ms"),
+          col("__m3.bitrate_kbps").as("bitrate_kbps"),
+          when(col("__m3").isNotNull, col("__m3.vbr").cast("int")).as("vbr"))
+    }),
+
+    // SPECTRAL dominant-bin fingerprint (audio_shash): PCM16 of 16 windows
+    // x 64 samples, window w planting a square wave at (doc_id+w)%4 ->
+    // {silence,1,2,4} cycles/window; square-wave harmonics fall off as
+    // 1/k^2 so the Goertzel argmax is exact and the packed hash has a
+    // closed form. Amplitude varies per doc and must wash out (the pitch
+    // constellation, not the envelope). is_dup mined by the shared
+    // Hamming LSH over the 4 identical-hash classes — the degenerate
+    // regime the skew guard grew for, here oracle-checked end to end.
+    "q225_audio_spectral" -> ((s, d) => {
+      import s.implicits._
+      import graft.functions.AudioCodec
+      val blobs = docs(s, d).select(col("doc_id")).as[Long].map { id =>
+        val amp = (id % 15000 + 1000).toInt
+        val samples = Array.tabulate(16 * 64) { k =>
+          val w = k / 64
+          val f = ((id + w) % 4).toInt match {
+            case 0 => 0
+            case 1 => 1
+            case 2 => 2
+            case _ => 4
+          }
+          if (f == 0) 0
+          else {
+            val p = 64 / f
+            if (k % 64 % p < p / 2) amp else -amp
+          }
+        }
+        (id, AudioCodec.encodeWavPcm16(16000, 1, samples))
+      }.toDF("doc_id", "blob")
+      val sigs = blobs.select(col("doc_id").as("id"),
+        graft.functions.AudioSHash(col("blob")).as("sh"))
+      val dups = Dedup.hammingPairs(sigs, maxHamming = 3)
+        .select(col("id_b").as("doc_id")).distinct().withColumn("dup", lit(1))
+      sigs.select(col("id").as("doc_id"), col("sh").as("shash"))
+        .join(dups, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("shash"),
+          coalesce(col("dup"), lit(0)).as("is_dup"))
+    }),
+
     // PNG corner coverage (Adam7 interlace + 16-bit depth): the q210
     // planted pattern re-encoded through the corner layouts — interlaced
     // 8-bit, plain 16-bit (noise in the ignored low bytes), 16-bit AND
@@ -6060,6 +6176,62 @@ object Battery {
         |  FROM m)
         |SELECT doc_id, frame_idx, t_ms, byte_off
         |FROM e WHERE rn <= 8""".stripMargin,
+    // sync samples are every k-th frame (every frame when stss is absent,
+    // doc_id%6=0); times from the single stts run; WAV docs emit nothing
+    "q223_mp4_keyframes" ->
+      """WITH p AS (
+        |  SELECT doc_id, doc_id % 50 + 4 AS n, doc_id % 9 + 1 AS delta,
+        |    CASE WHEN doc_id % 6 = 0 THEN 1 ELSE doc_id % 5 + 2 END AS k
+        |  FROM documents WHERE doc_id % 6 <> 5)
+        |SELECT p.doc_id, CAST(t.i * p.k AS BIGINT) AS frame_idx,
+        |  CAST(t.i * p.k * p.delta AS BIGINT) AS t_ms
+        |FROM p, range(0, 8) t(i)
+        |WHERE t.i < least(8, (p.n - 1) // p.k + 1)""".stripMargin,
+    // every field replayed from the format math: MP3 duration =
+    // frames*1152/sr (Xing frame count when planted), FLAC duration =
+    // total_samples/sr, WAV = n/8000
+    "q224_audio_formats" ->
+      """WITH p AS (SELECT doc_id, doc_id // 3 AS m FROM documents)
+        |SELECT doc_id,
+        |  CASE doc_id % 3 WHEN 0 THEN 'mp3' WHEN 1 THEN 'flac'
+        |    ELSE 'wav' END AS fmt,
+        |  CAST(CASE doc_id % 3
+        |    WHEN 0 THEN CASE WHEN m % 4 = 0 THEN 1 ELSE 2 END
+        |    WHEN 1 THEN m % 2 + 1
+        |    ELSE 1 END AS INTEGER) AS channels,
+        |  CAST(CASE doc_id % 3
+        |    WHEN 0 THEN CASE WHEN m % 2 = 0 THEN 44100 ELSE 48000 END
+        |    WHEN 1 THEN CASE m % 4 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+        |      WHEN 2 THEN 22050 ELSE 16000 END
+        |    ELSE 8000 END AS INTEGER) AS sample_rate,
+        |  CAST(CASE doc_id % 3
+        |    WHEN 0 THEN (CASE WHEN m % 5 = 0 THEN m % 997 + 5
+        |        ELSE m % 20 + 2 END) * 1152 * 1000
+        |      // (CASE WHEN m % 2 = 0 THEN 44100 ELSE 48000 END)
+        |    WHEN 1 THEN (m % 100000 + 1000) * 1000
+        |      // (CASE m % 4 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+        |         WHEN 2 THEN 22050 ELSE 16000 END)
+        |    ELSE (m % 50 + 10) * 1000 // 8000 END AS BIGINT) AS duration_ms,
+        |  CAST(CASE WHEN doc_id % 3 = 0 THEN
+        |    CASE m % 3 WHEN 0 THEN 96 WHEN 1 THEN 112 ELSE 128 END
+        |    END AS INTEGER) AS bitrate_kbps,
+        |  CAST(CASE WHEN doc_id % 3 = 0 THEN
+        |    CASE WHEN m % 5 = 0 THEN 1 ELSE 0 END END AS INTEGER) AS vbr
+        |FROM p""".stripMargin,
+    // the packed hash is the planted per-window bin sequence; dup ground
+    // truth is hash-class membership (cross-class Hamming >= 16)
+    "q225_audio_spectral" ->
+      """WITH b AS (
+        |  SELECT d.doc_id,
+        |    CAST(SUM(CAST(CASE ((d.doc_id + t.w) % 4) WHEN 0 THEN 0 WHEN 1 THEN 1
+        |      WHEN 2 THEN 2 ELSE 4 END AS BIGINT)
+        |      << CAST(4 * t.w AS INTEGER)) AS BIGINT) AS shash
+        |  FROM documents d, range(0, 16) t(w)
+        |  GROUP BY d.doc_id)
+        |SELECT a.doc_id, a.shash,
+        |  CASE WHEN EXISTS (SELECT 1 FROM b b2 WHERE b2.doc_id < a.doc_id
+        |    AND b2.doc_id % 4 = a.doc_id % 4) THEN 1 ELSE 0 END AS is_dup
+        |FROM b a""".stripMargin,
     // the GIF aHash is the planted pattern; the BMP twin is bit-identical
     "q219_image_gif" ->
       """SELECT doc_id, 8 AS img_w, 8 AS img_h,
