@@ -363,6 +363,123 @@ object AudioSHash {
     GraftShims.column(new AudioSHash(GraftShims.expression(col)))
 }
 
+/**
+ * Silence-based segmentation over PCM16 samples — the VAD-lite "split
+ * long audio at pauses" primitive of an ASR/TTS training pipeline: a
+ * segment is a maximal run containing no silence stretch of at least
+ * `minSilenceMs` (samples with |s| < `silenceBelow` are silent), trimmed
+ * to its first/last voiced sample. Shorter pauses stay inside their
+ * segment. One pass over the samples, output capped at `maxSegments`
+ * (further audio is ignored — callers chunk pathological inputs
+ * upstream); boundaries are reported in media milliseconds via the fmt
+ * chunk's sample rate. Null for non-PCM16 bytes.
+ */
+object AudioSegments {
+
+  val elementType: StructType = StructType(Seq(
+    StructField("start_ms", LongType, nullable = false),
+    StructField("end_ms", LongType, nullable = false)))
+
+  def segmentsArray(b: Array[Byte], silenceBelow: Int, minSilenceMs: Int,
+      maxSegments: Int): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val loc = AudioSamples.locatePcm16(b)
+    if (loc == null) return null
+    val meta = AudioHeaders.parse(b)
+    if (meta == null || meta.sampleRate <= 0 || meta.channels <= 0) return null
+    val (dataOff, n) = loc
+    val rate = meta.sampleRate.toLong
+    // multi-channel PCM interleaves frames; a frame is voiced when ANY
+    // channel is
+    val ch = meta.channels
+    val frames = n / ch
+    val minGap = math.max(1L, minSilenceMs * rate / 1000)
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    var curStart = -1L
+    var lastVoiced = -1L
+    var f = 0L
+    while (f < frames && out.length < maxSegments) {
+      var voiced = false
+      var c = 0
+      while (c < ch && !voiced) {
+        val s = AudioSamples.sample16(b, dataOff, (f * ch + c).toInt)
+        voiced = math.abs(s) >= silenceBelow
+        c += 1
+      }
+      if (voiced) {
+        if (curStart < 0) curStart = f
+        else if (f - lastVoiced - 1 >= minGap) {
+          out += ((curStart, lastVoiced + 1))
+          curStart = f
+        }
+        lastVoiced = f
+      }
+      f += 1
+    }
+    if (curStart >= 0 && out.length < maxSegments)
+      out += ((curStart, lastVoiced + 1))
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      out.map[Any] { case (s, e) => new GenericInternalRow(Array[Any](
+        s * 1000L / rate, e * 1000L / rate)) }.toArray)
+  }
+}
+
+/** `audio_segments(blob, silenceBelow, minSilenceMs, maxSegments)` →
+ *  array<struct<start_ms, end_ms>> of voiced segments; see
+ *  [[AudioSegments]]. */
+case class AudioSegmentsExpr(child: Expression, silenceBelow: Int,
+    minSilenceMs: Int, maxSegments: Int) extends UnaryExpression {
+
+  require(silenceBelow > 0 && minSilenceMs > 0 &&
+    maxSegments > 0 && maxSegments <= 1000000,
+    "need silenceBelow/minSilenceMs > 0 and 0 < maxSegments <= 1e6")
+
+  override def dataType: DataType =
+    ArrayType(AudioSegments.elementType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case BinaryType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case dt => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"audio_segments needs a binary column, got $dt")
+    }
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) null
+    else AudioSegments.segmentsArray(
+      v.asInstanceOf[Array[Byte]], silenceBelow, minSilenceMs, maxSegments)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    val cls = AudioSegments.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    ev.copy(code = code"""
+      |${c.code}
+      |org.apache.spark.sql.catalyst.util.GenericArrayData ${ev.value} = null;
+      |boolean ${ev.isNull} = ${c.isNull};
+      |if (!${ev.isNull}) {
+      |  ${ev.value} = $cls.segmentsArray(${c.value}, $silenceBelow,
+      |    $minSilenceMs, $maxSegments);
+      |  ${ev.isNull} = ${ev.value} == null;
+      |}
+     """.stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "audio_segments"
+}
+
+object AudioSegmentsExpr {
+  def apply(col: Column, silenceBelow: Int, minSilenceMs: Int,
+      maxSegments: Int): Column =
+    GraftShims.column(new AudioSegmentsExpr(GraftShims.expression(col),
+      silenceBelow, minSilenceMs, maxSegments))
+}
+
 /** `audio_stats(blob, silenceBelow)` → struct(n_samples, peak, sum_sq,
  *  n_clipped, n_silent) over 16-bit PCM samples; null for non-PCM16 WAV
  *  or foreign bytes. Same codegen shape as [[AudioMeta]]. */

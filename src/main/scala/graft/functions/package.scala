@@ -163,6 +163,31 @@ package object functions {
       (exprs: Seq[Expression]) => new VideoKeyframes(exprs.head,
         intLit(exprs(1), "video_keyframes maxFrames")))
     registry.registerFunction(
+      FunctionIdentifier("ogg_meta"),
+      new ExpressionInfo(classOf[OggMetaExpr].getName, "ogg_meta"),
+      (exprs: Seq[Expression]) => new OggMetaExpr(exprs.head))
+    registry.registerFunction(
+      FunctionIdentifier("mkv_meta"),
+      new ExpressionInfo(classOf[MkvMetaExpr].getName, "mkv_meta"),
+      (exprs: Seq[Expression]) => new MkvMetaExpr(exprs.head))
+    def boolLit(e: Expression, what: String): Boolean = e match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Boolean, _) => v
+      case other => throw new IllegalArgumentException(
+        s"$what must be a boolean literal, got $other")
+    }
+    registry.registerFunction(
+      FunctionIdentifier("subtitle_cues"),
+      new ExpressionInfo(classOf[SubtitleCuesExpr].getName, "subtitle_cues"),
+      (exprs: Seq[Expression]) => new SubtitleCuesExpr(exprs.head,
+        boolLit(exprs(1), "subtitle_cues requireVtt")))
+    registry.registerFunction(
+      FunctionIdentifier("audio_segments"),
+      new ExpressionInfo(classOf[AudioSegmentsExpr].getName, "audio_segments"),
+      (exprs: Seq[Expression]) => new AudioSegmentsExpr(exprs.head,
+        intLit(exprs(1), "audio_segments silenceBelow"),
+        intLit(exprs(2), "audio_segments minSilenceMs"),
+        intLit(exprs(3), "audio_segments maxSegments")))
+    registry.registerFunction(
       FunctionIdentifier("sign_bucket"),
       new ExpressionInfo(classOf[SignBucketExpr].getName, "sign_bucket"),
       (exprs: Seq[Expression]) => SignBucketExpr(exprs(0), intArg(exprs(1))))

@@ -245,4 +245,23 @@ object Multimodal {
       .withColumn("t_ms", col("__kf.t_ms"))
       .withColumn("byte_off", col("__kf.byte_off"))
       .drop("__kf")
+
+  /**
+   * Silence-based audio segmentation (VAD-lite): one row per voiced
+   * segment — a maximal sample run with no pause of `minSilenceMs` or
+   * longer — with (seg_idx, start_ms, end_ms) boundaries. The ASR/TTS
+   * pipeline step that turns hour-long recordings into trainable
+   * utterances; pair with [[graft.functions.SubtitleCues]] to align
+   * transcripts. Pure codegen per-row planning, zero shuffle; non-PCM16
+   * blobs contribute NO rows.
+   */
+  def segmentAudio(df: DataFrame, blobCol: String, silenceBelow: Int,
+      minSilenceMs: Int, maxSegments: Int): DataFrame =
+    df.select(df.columns.map(col) :+
+        posexplode(graft.functions.AudioSegmentsExpr(
+          col(blobCol), silenceBelow, minSilenceMs, maxSegments))
+          .as(Seq("seg_idx", "__seg")): _*)
+      .withColumn("start_ms", col("__seg.start_ms"))
+      .withColumn("end_ms", col("__seg.end_ms"))
+      .drop("__seg")
 }

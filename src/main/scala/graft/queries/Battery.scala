@@ -2875,6 +2875,164 @@ object Battery {
           coalesce(col("dup"), lit(0)).as("is_dup"))
     }),
 
+    // SUBTITLE cue extraction (subtitle_cues): WebVTT for even docs (with
+    // header, dot stamps, cue identifiers), SRT for odd (counter lines,
+    // comma stamps) — one shared parser, requireVtt=false accepts both.
+    // Cue boundaries and payloads are closed-form in doc_id.
+    "q226_subtitle_cues" -> ((s, d) => {
+      import s.implicits._
+      val subs = docs(s, d).select(col("doc_id")).as[Long].map { id =>
+        val n = (id % 5 + 1).toInt
+        def stamp(ms: Long, sep: Char): String = {
+          val h = ms / 3600000; val m = ms / 60000 % 60
+          val sec = ms / 1000 % 60; val frac = ms % 1000
+          f"$h%02d:$m%02d:$sec%02d$sep$frac%03d"
+        }
+        val cues = (0 until n).map { i =>
+          val start = i * 2000L + (id % 7) * 10
+          val end = start + 1000 + (id % 3) * 100
+          if (id % 2 == 0)
+            s"cue-ident-$i\n${stamp(start, '.')} --> ${stamp(end, '.')} align:start\ncue $id $i"
+          else
+            s"${i + 1}\n${stamp(start, ',')} --> ${stamp(end, ',')}\ncue $id $i"
+        }
+        val body = cues.mkString("\n\n")
+        (id, if (id % 2 == 0) "WEBVTT\n\n" + body else body)
+      }.toDF("doc_id", "sub")
+      subs.select(col("doc_id"),
+          explode(graft.functions.SubtitleCuesExpr(col("sub"), false)).as("c"))
+        .select(col("doc_id"), col("c.start_ms"), col("c.end_ms"),
+          col("c.text").as("cue_text"))
+    }),
+
+    // FRAME-CAPTION alignment — the composed VLM training-data op:
+    // stss keyframes (q223's planning) joined to WebVTT cues (q226's
+    // parser) on media time, producing (frame, caption) pairs without
+    // decoding a single video frame. Equi-join on doc_id with the time
+    // residual — co-partitioned, zero extra shuffle beyond the join.
+    "q227_frame_caption_align" -> ((s, d) => {
+      import s.implicits._
+      import graft.functions.Mp4Codec
+      val rows = docs(s, d).select(col("doc_id")).as[Long].map { id =>
+        val n = id % 40 + 10
+        val delta = id % 9 + 1
+        val k = id % 5 + 2
+        val blob = Mp4Codec.encode(timescale = 1000, durationTicks = n * delta,
+          width = 16, height = 16, nFrames = n,
+          tables = Mp4Codec.SampleTables(
+            mediaTimescale = 1000,
+            sttsRuns = Seq((n, delta)),
+            constSampleSize = 5,
+            syncSamples = 1L to n by k))
+        val nc = (id % 5 + 1).toInt
+        def stamp(ms: Long): String = {
+          val h = ms / 3600000; val m = ms / 60000 % 60
+          val sec = ms / 1000 % 60; val frac = ms % 1000
+          f"$h%02d:$m%02d:$sec%02d.$frac%03d"
+        }
+        val cues = (0 until nc).map { i =>
+          val start = i * 2000L + (id % 7) * 10
+          val end = start + 1000 + (id % 3) * 100
+          s"${stamp(start)} --> ${stamp(end)}\ncue $id $i"
+        }
+        (id, blob, "WEBVTT\n\n" + cues.mkString("\n\n"))
+      }.toDF("doc_id", "blob", "sub")
+      val kf = graft.operators.Multimodal
+        .sampleKeyframesMp4(rows.select(col("doc_id"), col("blob")), "blob", 8)
+        .select(col("doc_id"), col("frame_idx"), col("t_ms"))
+      val cues = rows.select(col("doc_id"),
+          explode(graft.functions.SubtitleCuesExpr(col("sub"), true)).as("c"))
+        .select(col("doc_id"), col("c.start_ms").as("cue_start"),
+          col("c.end_ms").as("cue_end"), col("c.text").as("cue_text"))
+      kf.join(cues, Seq("doc_id"))
+        .filter(col("t_ms") >= col("cue_start") && col("t_ms") < col("cue_end"))
+        .select(col("doc_id"), col("frame_idx"), col("t_ms"),
+          col("cue_start"), col("cue_text"))
+    }),
+
+    // OGG container metadata (ogg_meta): Vorbis ident headers for even
+    // docs, OpusHead for odd; duration from the LAST page's granule —
+    // PCM samples for Vorbis, 48 kHz minus pre-skip for Opus (RFC 7845).
+    "q228_ogg_meta" -> ((s, d) => {
+      import s.implicits._
+      import graft.functions.OggCodec
+      val blobs = docs(s, d).select(col("doc_id")).as[Long].map { id =>
+        val m = id / 2
+        val blob =
+          if (id % 2 == 0)
+            OggCodec.encodeVorbis(
+              channels = (m % 2 + 1).toInt,
+              sampleRate = Array(8000, 16000, 44100, 48000)((m % 4).toInt),
+              granule = m % 90000 + 1000,
+              dataPages = (m % 3 + 1).toInt)
+          else
+            OggCodec.encodeOpus(
+              channels = (m % 8 + 1).toInt,
+              preskip = (m % 500).toInt,
+              granule = m % 90000 + 1000,
+              dataPages = (m % 3 + 1).toInt)
+        (id, blob)
+      }.toDF("doc_id", "blob")
+      blobs.withColumn("__o", graft.functions.OggMetaExpr(col("blob")))
+        .select(col("doc_id"), col("__o.codec").as("codec"),
+          col("__o.channels").as("channels"),
+          col("__o.sample_rate").as("sample_rate"),
+          col("__o.duration_ms").as("duration_ms"))
+    }),
+
+    // MATROSKA/WebM metadata (mkv_meta): EBML varint walk — float
+    // Duration under TimestampScale, video dims, audio channels/rate;
+    // id%4 rotates video-only / audio-only / both / both-with-unknown-
+    // size-Segment (the streamed-file layout). Absent sides stay null.
+    "q229_mkv_meta" -> ((s, d) => {
+      import s.implicits._
+      import graft.functions.MkvCodec
+      val blobs = docs(s, d).select(col("doc_id")).as[Long].map { id =>
+        val dur = (id % 50000 + 500).toDouble
+        val video = Some(((id % 1920 + 16).toInt, (id % 1080 + 16).toInt))
+        val audio = Some(((id % 8 + 1).toInt, (id % 48000 + 4000).toDouble))
+        val blob = (id % 4).toInt match {
+          case 0 => MkvCodec.encode(dur, video = video)
+          case 1 => MkvCodec.encode(dur, audio = audio)
+          case 2 => MkvCodec.encode(dur, video = video, audio = audio)
+          case _ => MkvCodec.encode(dur, video = video, audio = audio,
+            unknownSizeSegment = true)
+        }
+        (id, blob)
+      }.toDF("doc_id", "blob")
+      blobs.withColumn("__m", graft.functions.MkvMetaExpr(col("blob")))
+        .select(col("doc_id"), col("__m.duration_ms").as("duration_ms"),
+          col("__m.width").as("vid_w"), col("__m.height").as("vid_h"),
+          col("__m.channels").as("channels"),
+          col("__m.sample_rate").as("sample_rate"))
+    }),
+
+    // SILENCE-based audio segmentation (Multimodal.segmentAudio, VAD-lite):
+    // each doc plants nseg voiced spans — two bursts bridged by a 10 ms
+    // pause (below the 30 ms gate: must NOT split) — separated by
+    // >= 30 ms silences (must split), behind a leading-silence prefix
+    // (must trim). All sample counts are multiples of 8 so the 8 kHz ->
+    // ms conversion is exact and the oracle replays pure arithmetic.
+    "q230_audio_segments" -> ((s, d) => {
+      import s.implicits._
+      import graft.functions.AudioCodec
+      val blobs = docs(s, d).select(col("doc_id")).as[Long].map { id =>
+        val amp = (id % 5000 + 1000).toInt
+        val g0 = ((id % 7) * 16).toInt
+        val v1 = (80 * (id % 5 + 1)).toInt
+        val gap = (240 + 160 * (id % 3)).toInt
+        val nseg = (id % 4 + 1).toInt
+        val segPattern = Array.fill(v1)(amp) ++ Array.fill(80)(0) ++
+          Array.fill(80)(-amp)
+        val samples = Array.fill(g0)(0) ++
+          (0 until nseg).flatMap(_ => segPattern ++ Array.fill(gap)(0))
+        (id, AudioCodec.encodeWavPcm16(8000, 1, samples))
+      }.toDF("doc_id", "blob")
+      graft.operators.Multimodal.segmentAudio(blobs, "blob",
+          silenceBelow = 100, minSilenceMs = 30, maxSegments = 8)
+        .select(col("doc_id"), col("seg_idx"), col("start_ms"), col("end_ms"))
+    }),
+
     // PNG corner coverage (Adam7 interlace + 16-bit depth): the q210
     // planted pattern re-encoded through the corner layouts — interlaced
     // 8-bit, plain 16-bit (noise in the ignored low bytes), 16-bit AND
@@ -6232,6 +6390,84 @@ object Battery {
         |  CASE WHEN EXISTS (SELECT 1 FROM b b2 WHERE b2.doc_id < a.doc_id
         |    AND b2.doc_id % 4 = a.doc_id % 4) THEN 1 ELSE 0 END AS is_dup
         |FROM b a""".stripMargin,
+    // cue boundaries and payloads are the planted closed forms, format-
+    // independent (VTT and SRT docs replay identically)
+    "q226_subtitle_cues" ->
+      """SELECT d.doc_id,
+        |  CAST(t.i * 2000 + (d.doc_id % 7) * 10 AS BIGINT) AS start_ms,
+        |  CAST(t.i * 2000 + (d.doc_id % 7) * 10
+        |    + 1000 + (d.doc_id % 3) * 100 AS BIGINT) AS end_ms,
+        |  'cue ' || d.doc_id || ' ' || t.i AS cue_text
+        |FROM documents d, range(0, 5) t(i)
+        |WHERE t.i < d.doc_id % 5 + 1""".stripMargin,
+    // keyframes (q223 closed form) x cue windows (q226 closed form),
+    // joined on media time
+    "q227_frame_caption_align" ->
+      """WITH p AS (
+        |  SELECT doc_id, doc_id % 40 + 10 AS n, doc_id % 9 + 1 AS delta,
+        |    doc_id % 5 + 2 AS k
+        |  FROM documents),
+        |kf AS (
+        |  SELECT doc_id, CAST(t.i * p.k AS BIGINT) AS frame_idx,
+        |    CAST(t.i * p.k * p.delta AS BIGINT) AS t_ms
+        |  FROM p, range(0, 8) t(i)
+        |  WHERE t.i < least(8, (p.n - 1) // p.k + 1)),
+        |cues AS (
+        |  SELECT d.doc_id, t.j,
+        |    CAST(t.j * 2000 + (d.doc_id % 7) * 10 AS BIGINT) AS cue_start,
+        |    CAST(t.j * 2000 + (d.doc_id % 7) * 10
+        |      + 1000 + (d.doc_id % 3) * 100 AS BIGINT) AS cue_end,
+        |    'cue ' || d.doc_id || ' ' || t.j AS cue_text
+        |  FROM documents d, range(0, 5) t(j)
+        |  WHERE t.j < d.doc_id % 5 + 1)
+        |SELECT kf.doc_id, kf.frame_idx, kf.t_ms, c.cue_start, c.cue_text
+        |FROM kf JOIN cues c USING (doc_id)
+        |WHERE kf.t_ms >= c.cue_start AND kf.t_ms < c.cue_end""".stripMargin,
+    // vorbis: granule PCM samples / rate; opus: (granule - preskip)/48k
+    "q228_ogg_meta" ->
+      """WITH p AS (SELECT doc_id, doc_id // 2 AS m FROM documents)
+        |SELECT doc_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'vorbis' ELSE 'opus' END AS codec,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN m % 2 + 1
+        |    ELSE m % 8 + 1 END AS INTEGER) AS channels,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN
+        |      CASE m % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+        |        WHEN 2 THEN 44100 ELSE 48000 END
+        |    ELSE 48000 END AS INTEGER) AS sample_rate,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN
+        |      (m % 90000 + 1000) * 1000 // (CASE m % 4 WHEN 0 THEN 8000
+        |        WHEN 1 THEN 16000 WHEN 2 THEN 44100 ELSE 48000 END)
+        |    ELSE greatest(0, m % 90000 + 1000 - m % 500) * 1000 // 48000
+        |    END AS BIGINT) AS duration_ms
+        |FROM p""".stripMargin,
+    // float duration at the default 1e6 scale is the tick count itself;
+    // absent track sides are NULL per the id%4 rotation
+    "q229_mkv_meta" ->
+      """SELECT doc_id,
+        |  CAST(doc_id % 50000 + 500 AS BIGINT) AS duration_ms,
+        |  CAST(CASE WHEN doc_id % 4 <> 1
+        |    THEN doc_id % 1920 + 16 END AS INTEGER) AS vid_w,
+        |  CAST(CASE WHEN doc_id % 4 <> 1
+        |    THEN doc_id % 1080 + 16 END AS INTEGER) AS vid_h,
+        |  CAST(CASE WHEN doc_id % 4 <> 0
+        |    THEN doc_id % 8 + 1 END AS INTEGER) AS channels,
+        |  CAST(CASE WHEN doc_id % 4 <> 0
+        |    THEN doc_id % 48000 + 4000 END AS INTEGER) AS sample_rate
+        |FROM documents""".stripMargin,
+    // planted spans: start = lead + j*(span+gap), end = start + span,
+    // all /8 exact at 8 kHz; the 10 ms intra-span pause never splits
+    "q230_audio_segments" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    (doc_id % 7) * 16 AS g0,
+        |    80 * (doc_id % 5 + 1) + 160 AS span,
+        |    240 + 160 * (doc_id % 3) AS gap,
+        |    doc_id % 4 + 1 AS nseg
+        |  FROM documents)
+        |SELECT doc_id, CAST(t.j AS INTEGER) AS seg_idx,
+        |  CAST((g0 + t.j * (span + gap)) // 8 AS BIGINT) AS start_ms,
+        |  CAST((g0 + t.j * (span + gap) + span) // 8 AS BIGINT) AS end_ms
+        |FROM p, range(0, 4) t(j) WHERE t.j < nseg""".stripMargin,
     // the GIF aHash is the planted pattern; the BMP twin is bit-identical
     "q219_image_gif" ->
       """SELECT doc_id, 8 AS img_w, 8 AS img_h,

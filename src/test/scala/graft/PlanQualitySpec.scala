@@ -822,6 +822,26 @@ class PlanQualitySpec extends SparkSpec {
       r.isNullAt(1) && r.isNullAt(2) && r.isNullAt(3) && r.isNullAt(4)))
   }
 
+  test("round-16 container/subtitle expressions stay in codegen, zero exchanges") {
+    val blob = col("text").cast("binary")
+    val df = graft.tables.Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        graft.functions.Mp3MetaExpr(blob).as("m3"),
+        graft.functions.FlacMetaExpr(blob).as("fl"),
+        graft.functions.OggMetaExpr(blob).as("og"),
+        graft.functions.MkvMetaExpr(blob).as("mk"),
+        graft.functions.AudioSHash(blob).as("sh"),
+        graft.functions.VideoKeyframes(blob, 8).as("kf"),
+        graft.functions.SubtitleCuesExpr(col("text"), true).as("cues"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert("""\*\(\d+\) Project""".r.findFirstIn(plan).isDefined,
+      s"projection fell out of whole-stage codegen:\n$plan")
+    assert(!plan.contains("Exchange"), s"a per-row projection must not shuffle:\n$plan")
+    // prose bytes are undecodable in every container format -> null; the
+    // VTT-gated cue parse is null too (no WEBVTT signature in the corpus)
+    assert(df.collect().forall(r => (1 to 7).forall(r.isNullAt)))
+  }
+
   test("hamming LSH mining decodes blobs once and mines distinct hashes only") {
     import spark.implicits._
     val blobs = (1L to 50L).map { i =>

@@ -1,0 +1,112 @@
+package graft.functions
+
+import graft.SparkSpec
+
+/** Ogg (Vorbis/Opus) and Matroska/WebM metadata parsers: field fidelity,
+ *  duration math from granules / float durations, and the corrupt-bytes
+ *  null contract. */
+class ContainerMetaSpec extends SparkSpec {
+
+  // ----------------------------------------------------------------- Ogg
+
+  test("Ogg/Vorbis: ident fields + duration from the last granule") {
+    val b = OggCodec.encodeVorbis(2, 44100, granule = 441000, dataPages = 3)
+    val m = OggHeaders.parse(b)
+    assert(m != null)
+    assert(m.codec == "vorbis" && m.channels == 2 && m.sampleRate == 44100)
+    assert(m.durationMs == 10000L)
+  }
+
+  test("Ogg/Opus: 48 kHz granule minus pre-skip (RFC 7845)") {
+    val m = OggHeaders.parse(OggCodec.encodeOpus(1, preskip = 312,
+      granule = 48312, dataPages = 2))
+    assert(m != null)
+    assert(m.codec == "opus" && m.channels == 1 && m.sampleRate == 48000)
+    assert(m.durationMs == 1000L)
+    // granule below preskip clamps to zero, never negative
+    assert(OggHeaders.parse(OggCodec.encodeOpus(1, 9999, 10, 1)).durationMs == 0L)
+  }
+
+  test("Ogg: continuation pages with granule -1 don't clobber the duration") {
+    // mids carry granule -1; only BOS (0) and EOS (n) count — EOS wins
+    val m = OggHeaders.parse(OggCodec.encodeVorbis(1, 8000, 8000, dataPages = 5))
+    assert(m.durationMs == 1000L)
+  }
+
+  test("Ogg corrupt bytes: null, never exceptions") {
+    assert(OggHeaders.parse(null) == null)
+    assert(OggHeaders.parse("OggX rest of it".getBytes) == null)
+    assert(OggHeaders.parse("OggS".getBytes) == null)
+    val good = OggCodec.encodeVorbis(2, 44100, 1000, 2)
+    for (cut <- 0 until good.length) OggHeaders.parse(good.take(cut))
+    val rnd = new scala.util.Random(9)
+    for (_ <- 0 until 300) {
+      val b = good.clone()
+      b(rnd.nextInt(b.length)) = rnd.nextInt(256).toByte
+      OggHeaders.parseRow(b)
+    }
+  }
+
+  // ------------------------------------------------------------ Matroska
+
+  test("MKV: duration under timestamp scale, video dims, audio fields") {
+    val b = MkvCodec.encode(durationTicks = 42000.0,
+      video = Some((1920, 1080)), audio = Some((2, 48000.0)))
+    val m = MkvHeaders.parse(b)
+    assert(m != null)
+    assert(m.durationMs == 42000L)
+    assert(m.width == 1920 && m.height == 1080)
+    assert(m.channels == 2 && m.sampleRate == 48000)
+    // non-default scale: ticks are 2 ms each
+    val m2 = MkvHeaders.parse(MkvCodec.encode(500.0, timestampScale = 2000000L))
+    assert(m2.durationMs == 1000L && m2.width == -1 && m2.channels == -1)
+  }
+
+  test("MKV: unknown-size Segment (streamed files) parses to the buffer end") {
+    val m = MkvHeaders.parse(MkvCodec.encode(7.0,
+      video = Some((64, 48)), unknownSizeSegment = true))
+    assert(m != null && m.durationMs == 7L && m.width == 64)
+  }
+
+  test("MKV: audio-only and video-only tracks leave the other side null") {
+    val a = MkvHeaders.parseRow(MkvCodec.encode(Double.NaN, audio = Some((1, 16000.0))))
+    assert(a != null)
+    assert(a.isNullAt(0) && a.isNullAt(1) && a.getInt(3) == 1 && a.getInt(4) == 16000)
+    val v = MkvHeaders.parseRow(MkvCodec.encode(Double.NaN, video = Some((8, 6))))
+    assert(v != null && v.isNullAt(3) && v.getInt(1) == 8)
+  }
+
+  test("MKV corrupt bytes: null, never exceptions") {
+    assert(MkvHeaders.parse(null) == null)
+    assert(MkvHeaders.parse("not ebml".getBytes) == null)
+    val good = MkvCodec.encode(123.0, video = Some((10, 20)), audio = Some((2, 8000.0)))
+    for (cut <- 0 until good.length) MkvHeaders.parse(good.take(cut))
+    val rnd = new scala.util.Random(10)
+    for (_ <- 0 until 400) {
+      val b = good.clone()
+      b(rnd.nextInt(b.length)) = rnd.nextInt(256).toByte
+      MkvHeaders.parseRow(b)
+    }
+  }
+
+  // --------------------------------------------------------- expressions
+
+  test("ogg_meta / mkv_meta columns dispatch by format, null on foreign bytes") {
+    val spark = this.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rows = Seq(
+      (1L, OggCodec.encodeOpus(2, 0, 96000, 2)),
+      (2L, MkvCodec.encode(1500.0, video = Some((320, 240)))),
+      (3L, "plain".getBytes))
+    val got = rows.toDF("id", "blob")
+      .select(col("id"), OggMetaExpr(col("blob")).as("ogg"),
+        MkvMetaExpr(col("blob")).as("mkv"))
+      .orderBy("id").collect()
+    assert(got(0).getStruct(1).getAs[Long]("duration_ms") == 2000L)
+    assert(got(0).isNullAt(2))
+    assert(got(1).isNullAt(1))
+    assert(got(1).getStruct(2).getAs[Int]("width") == 320)
+    assert(got(2).isNullAt(1) && got(2).isNullAt(2))
+  }
+}
