@@ -1,0 +1,192 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.catalyst.util.ArrayBasedMapData
+import org.apache.spark.sql.graftshim.GraftShims
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * ID3v2 text-frame extraction from MP3 prefixes — the tag metadata a
+ * crawled-audio pipeline wants next to [[Mp3Headers]]'s stream fields:
+ * title/artist/album/year/genre as a `map<string,string>` keyed by the
+ * 4-char frame id (TIT2, TPE1, TALB, TDRC/TYER, TCON, ...).
+ *
+ * Layout per the public spec: `ID3` + version(2) + flags(1) + syncsafe
+ * u28 size, then frames of id(4) + size(4; syncsafe in v2.4, plain u32
+ * in v2.3 — both handled by version) + flags(2) + body. Text frames
+ * (id starting with 'T') carry an encoding byte then the value:
+ * 0 = Latin-1, 1 = UTF-16 with BOM, 2 = UTF-16BE, 3 = UTF-8. Values are
+ * trimmed at the first NUL terminator. Unknown/binary frames are
+ * skipped; a corrupt frame header ends the walk. Null when no ID3v2 tag
+ * is present; an empty tag yields an empty map.
+ */
+object Id3Headers {
+
+  private val MaxFrames = 256
+  private val MaxValueBytes = 1 << 16
+
+  def parse(b: Array[Byte]): Seq[(String, String)] = {
+    if (b == null || b.length < 10) return null
+    if (b(0) != 'I' || b(1) != 'D' || b(2) != '3') return null
+    val major = b(3) & 0xff
+    if ((b(6) | b(7) | b(8) | b(9)) < 0) return null
+    val size = ((b(6) & 0x7f) << 21) | ((b(7) & 0x7f) << 14) |
+      ((b(8) & 0x7f) << 7) | (b(9) & 0x7f)
+    val end = math.min(b.length.toLong, 10L + size).toInt
+    var i = 10
+    // extended header: v2.4 syncsafe size INCLUDES the header itself;
+    // v2.3 u32 size excludes its own 4 size bytes
+    if ((b(5) & 0x40) != 0 && i + 4 <= end) {
+      val ext =
+        if (major >= 4)
+          ((b(i) & 0x7f) << 21) | ((b(i + 1) & 0x7f) << 14) |
+            ((b(i + 2) & 0x7f) << 7) | (b(i + 3) & 0x7f)
+        else
+          (((b(i) & 0xffL) << 24) | ((b(i + 1) & 0xffL) << 16) |
+            ((b(i + 2) & 0xffL) << 8) | (b(i + 3) & 0xffL)).toInt + 4
+      if (ext < 4 || i + ext > end) return Seq.empty
+      i += ext
+    }
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var frames = 0
+    while (i + 10 <= end && frames < MaxFrames && b(i) != 0) {
+      val idOk = (0 until 4).forall { k =>
+        val c = b(i + k); (c >= 'A' && c <= 'Z') || (c >= '0' && c <= '9')
+      }
+      if (!idOk) return out.toSeq // padding/garbage ends the walk
+      val id = new String(b, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      val fsize =
+        if (major >= 4) {
+          if ((b(i + 4) | b(i + 5) | b(i + 6) | b(i + 7)) < 0) return out.toSeq
+          ((b(i + 4) & 0x7f) << 21) | ((b(i + 5) & 0x7f) << 14) |
+            ((b(i + 6) & 0x7f) << 7) | (b(i + 7) & 0x7f)
+        } else {
+          val v = ((b(i + 4) & 0xffL) << 24) | ((b(i + 5) & 0xffL) << 16) |
+            ((b(i + 6) & 0xffL) << 8) | (b(i + 7) & 0xffL)
+          if (v > Int.MaxValue) return out.toSeq else v.toInt
+        }
+      if (fsize < 0 || i + 10 + fsize > end) return out.toSeq
+      if (id.charAt(0) == 'T' && fsize >= 1 && fsize <= MaxValueBytes) {
+        val enc = b(i + 10) & 0xff
+        val vs = i + 11
+        val vlen = fsize - 1
+        val cs = enc match {
+          case 0 => java.nio.charset.StandardCharsets.ISO_8859_1
+          case 1 => java.nio.charset.StandardCharsets.UTF_16 // BOM-aware
+          case 2 => java.nio.charset.StandardCharsets.UTF_16BE
+          case 3 => java.nio.charset.StandardCharsets.UTF_8
+          case _ => null
+        }
+        if (cs != null && vlen > 0) {
+          val raw = new String(b, vs, vlen, cs)
+          val nul = raw.indexOf('\u0000')
+          val v = if (nul < 0) raw else raw.substring(0, nul)
+          if (v.nonEmpty) out += ((id, v))
+        }
+      }
+      i += 10 + fsize
+      frames += 1
+    }
+    out.toSeq
+  }
+
+  val sparkType: DataType =
+    MapType(StringType, StringType, valueContainsNull = false)
+
+  /** Shared eval for interpreted and generated code paths. */
+  def parseMap(bytes: Array[Byte]): ArrayBasedMapData = {
+    val tags =
+      try parse(bytes)
+      catch {
+        case _: IndexOutOfBoundsException => null
+        case _: IllegalArgumentException => null
+      }
+    if (tags == null) return null
+    ArrayBasedMapData(
+      tags.map(t => UTF8String.fromString(t._1)).toArray[Any],
+      tags.map(t => UTF8String.fromString(t._2)).toArray[Any])
+  }
+}
+
+/** `id3_tags(blob)` → map<string,string> of ID3v2 text frames; null when
+ *  no tag is present, empty map for a tag with no text frames. */
+case class Id3TagsExpr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = Id3Headers.sparkType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case BinaryType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case dt => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"id3_tags needs a binary column, got $dt")
+    }
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) null else Id3Headers.parseMap(v.asInstanceOf[Array[Byte]])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    val cls = Id3Headers.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    ev.copy(code = code"""
+      |${c.code}
+      |org.apache.spark.sql.catalyst.util.ArrayBasedMapData ${ev.value} = null;
+      |boolean ${ev.isNull} = ${c.isNull};
+      |if (!${ev.isNull}) {
+      |  ${ev.value} = $cls.parseMap(${c.value});
+      |  ${ev.isNull} = ${ev.value} == null;
+      |}
+     """.stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "id3_tags"
+}
+
+object Id3TagsExpr {
+  def apply(col: Column): Column =
+    GraftShims.column(new Id3TagsExpr(GraftShims.expression(col)))
+}
+
+/** Fixture side: render ID3v2.3/2.4 tags with chosen text frames and
+ *  encodings in front of an MP3 stream (or alone). */
+object Id3Codec {
+
+  def encode(major: Int, frames: Seq[(String, String, Int)],
+      padding: Int = 16): Array[Byte] = {
+    require(major == 3 || major == 4)
+    val body = frames.flatMap { case (id, value, enc) =>
+      val cs = enc match {
+        case 0 => java.nio.charset.StandardCharsets.ISO_8859_1
+        case 1 => java.nio.charset.StandardCharsets.UTF_16 // writes BOM
+        case 2 => java.nio.charset.StandardCharsets.UTF_16BE
+        case 3 => java.nio.charset.StandardCharsets.UTF_8
+      }
+      val vb = value.getBytes(cs)
+      val fsize = 1 + vb.length
+      val sz =
+        if (major == 4) Array[Byte](((fsize >> 21) & 0x7f).toByte,
+          ((fsize >> 14) & 0x7f).toByte, ((fsize >> 7) & 0x7f).toByte,
+          (fsize & 0x7f).toByte)
+        else Array[Byte]((fsize >>> 24).toByte, (fsize >>> 16).toByte,
+          (fsize >>> 8).toByte, fsize.toByte)
+      id.getBytes("US-ASCII") ++ sz ++ Array[Byte](0, 0) ++
+        Array(enc.toByte) ++ vb
+    }.toArray ++ new Array[Byte](padding)
+    val size = body.length
+    require(size < (1 << 28))
+    Array[Byte]('I', 'D', '3', major.toByte, 0, 0,
+      ((size >> 21) & 0x7f).toByte, ((size >> 14) & 0x7f).toByte,
+      ((size >> 7) & 0x7f).toByte, (size & 0x7f).toByte) ++ body
+  }
+}

@@ -1033,3 +1033,104 @@ object ImageCodec {
     b
   }
 }
+
+/**
+ * Integer-exact image quality statistics over the decoded luma raster —
+ * the cheap pre-filters an image training pipeline runs before any model
+ * scoring: blank/flat detection (distinct luma values, min/max spread),
+ * exposure (mean), and a no-float detail proxy (the fraction of
+ * horizontal neighbor pairs differing by more than 32 luma steps, in
+ * milli-units). Every field is exact integer arithmetic, so planted
+ * rasters have closed-form oracles — unlike entropy/variance, which
+ * would drag floats through the hash gate. Null when the blob doesn't
+ * decode ([[ImagePixels.decodeLuma]]: PNG/BMP/GIF hand-rolled, JPEG via
+ * the JDK reader).
+ */
+object ImageStatsEval {
+
+  val sparkType: StructType = StructType(Seq(
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("mean_luma", IntegerType, nullable = false),
+    StructField("min_luma", IntegerType, nullable = false),
+    StructField("max_luma", IntegerType, nullable = false),
+    StructField("n_distinct", IntegerType, nullable = false),
+    StructField("edge_frac_milli", IntegerType, nullable = false)))
+
+  def statsRow(b: Array[Byte]): InternalRow = {
+    val g = ImagePixels.decodeLuma(b)
+    if (g == null) return null
+    val n = g.width * g.height
+    if (n <= 0) return null
+    var sum = 0L
+    var min = 255
+    var max = 0
+    val seen = new Array[Boolean](256)
+    var distinct = 0
+    var edges = 0L
+    var i = 0
+    while (i < n) {
+      val v = g.luma(i) & 0xff
+      sum += v
+      if (v < min) min = v
+      if (v > max) max = v
+      if (!seen(v)) { seen(v) = true; distinct += 1 }
+      // horizontal neighbor within the same row
+      if (i % g.width != g.width - 1) {
+        val d = v - (g.luma(i + 1) & 0xff)
+        if (d > 32 || d < -32) edges += 1
+      }
+      i += 1
+    }
+    val pairs = (g.width - 1).toLong * g.height
+    new GenericInternalRow(Array[Any](
+      g.width, g.height, (sum / n).toInt, min, max, distinct,
+      if (pairs <= 0) 0 else (edges * 1000 / pairs).toInt))
+  }
+}
+
+/** `image_stats(blob)` → struct(width, height, mean_luma, min_luma,
+ *  max_luma, n_distinct, edge_frac_milli); null if undecodable. */
+case class ImageStatsExpr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ImageStatsEval.sparkType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case BinaryType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case dt => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"image_stats needs a binary column, got $dt")
+    }
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) null
+    else ImageStatsEval.statsRow(v.asInstanceOf[Array[Byte]])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    val cls = ImageStatsEval.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    ev.copy(code = code"""
+      |${c.code}
+      |InternalRow ${ev.value} = null;
+      |boolean ${ev.isNull} = ${c.isNull};
+      |if (!${ev.isNull}) {
+      |  ${ev.value} = $cls.statsRow(${c.value});
+      |  ${ev.isNull} = ${ev.value} == null;
+      |}
+     """.stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "image_stats"
+}
+
+object ImageStatsExpr {
+  def apply(col: Column): Column =
+    GraftShims.column(new ImageStatsExpr(GraftShims.expression(col)))
+}

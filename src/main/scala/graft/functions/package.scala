@@ -188,6 +188,18 @@ package object functions {
         intLit(exprs(2), "audio_segments minSilenceMs"),
         intLit(exprs(3), "audio_segments maxSegments")))
     registry.registerFunction(
+      FunctionIdentifier("id3_tags"),
+      new ExpressionInfo(classOf[Id3TagsExpr].getName, "id3_tags"),
+      (exprs: Seq[Expression]) => new Id3TagsExpr(exprs.head))
+    registry.registerFunction(
+      FunctionIdentifier("npy_meta"),
+      new ExpressionInfo(classOf[NpyMetaExpr].getName, "npy_meta"),
+      (exprs: Seq[Expression]) => new NpyMetaExpr(exprs.head))
+    registry.registerFunction(
+      FunctionIdentifier("image_stats"),
+      new ExpressionInfo(classOf[ImageStatsExpr].getName, "image_stats"),
+      (exprs: Seq[Expression]) => new ImageStatsExpr(exprs.head))
+    registry.registerFunction(
       FunctionIdentifier("sign_bucket"),
       new ExpressionInfo(classOf[SignBucketExpr].getName, "sign_bucket"),
       (exprs: Seq[Expression]) => SignBucketExpr(exprs(0), intArg(exprs(1))))

@@ -3033,6 +3033,82 @@ object Battery {
         .select(col("doc_id"), col("seg_idx"), col("start_ms"), col("end_ms"))
     }),
 
+    // ID3v2 tag extraction (id3_tags): v2.3/v2.4 rotated per doc, frame
+    // encodings rotated per doc too (values are ASCII so every encoding
+    // round-trips to the same oracle string), tags sit in FRONT of a real
+    // MP3 stream. Exploded to (doc_id, tag, tag_value) rows.
+    "q231_id3_tags" -> ((s, d) => {
+      import s.implicits._
+      import graft.functions.{CodedAudioCodec, Id3Codec}
+      val blobs = docs(s, d).select(col("doc_id")).as[Long].map { id =>
+        val enc = (id % 4).toInt
+        val tag = Id3Codec.encode(if (id % 2 == 0) 3 else 4, Seq(
+          ("TIT2", s"title $id", enc),
+          ("TPE1", s"artist ${id % 50}", (enc + 1) % 4),
+          ("TDRC", f"20${id % 30}%02d", (enc + 2) % 4)))
+        (id, tag ++ CodedAudioCodec.encodeMp3(10, 3, 9, 0,
+          mono = true, nFrames = 2))
+      }.toDF("doc_id", "blob")
+      blobs.select(col("doc_id"),
+          explode(graft.functions.Id3TagsExpr(col("blob"))).as(Seq("tag", "tag_value")))
+        .select(col("doc_id"), col("tag"), col("tag_value"))
+    }),
+
+    // NumPy shard metadata (npy_meta): v1/v2 headers, 0-d/1-d/2-d shapes,
+    // all four dtype spellings, exact payload-byte accounting — the
+    // validate-before-decode step for embedding shards.
+    "q232_npy_meta" -> ((s, d) => {
+      import s.implicits._
+      import graft.functions.NpyCodec
+      val blobs = docs(s, d).select(col("doc_id")).as[Long].map { id =>
+        val descrs = Array("<f4", "<f8", "<i8", "|u1")
+        val descr = descrs((id % 4).toInt)
+        val width = Array(4, 8, 8, 1)((id % 4).toInt)
+        val shape: Seq[Long] = (id % 5) match {
+          case 0 => Nil
+          case 1 => Seq(id % 13 + 1)
+          case _ => Seq(id % 7 + 1, id % 11 + 1)
+        }
+        val n = shape.product max 1L
+        (id, NpyCodec.encode(descr, fortran = id % 3 == 0, shape,
+          dataBytes = (n * width).toInt, v2 = id % 2 == 1))
+      }.toDF("doc_id", "blob")
+      blobs.withColumn("__n", graft.functions.NpyMetaExpr(col("blob")))
+        .select(col("doc_id"), col("__n.dtype").as("dtype"),
+          col("__n.fortran_order").cast("int").as("fortran"),
+          size(col("__n.shape")).as("n_dims"),
+          col("__n.n_elems").as("n_elems"),
+          col("__n.data_bytes").as("data_bytes"))
+    }),
+
+    // Integer-exact image quality stats (image_stats): the q210 planted
+    // row-replicated pattern makes every field a bit-arithmetic closed
+    // form — mean from the popcount, distinct 1 or 2, edge fraction from
+    // adjacent-bit transitions — through PNG filters and both BMP row
+    // orders (format independence rides along).
+    "q233_image_stats" -> ((s, d) => {
+      import s.implicits._
+      import graft.functions.ImageCodec
+      val blobs = docs(s, d).select(col("doc_id")).as[Long].map { id =>
+        val p = (id % 64) * 0x0101010101010101L
+        val px = Array.tabulate[Byte](64)(i =>
+          if (((p >>> (63 - i)) & 1L) == 1L) 255.toByte else 0)
+        val bytes = (id % 7).toInt match {
+          case 5 => ImageCodec.encodeBmpGray(8, 8, px)
+          case 6 => ImageCodec.encodeBmpGray(8, 8, px, topDown = true)
+          case f => ImageCodec.encodePng(8, 8, 1, px, filterType = f)
+        }
+        (id, bytes)
+      }.toDF("doc_id", "blob")
+      blobs.withColumn("__s", graft.functions.ImageStatsExpr(col("blob")))
+        .select(col("doc_id"),
+          col("__s.mean_luma").as("mean_luma"),
+          col("__s.min_luma").as("min_luma"),
+          col("__s.max_luma").as("max_luma"),
+          col("__s.n_distinct").as("n_distinct"),
+          col("__s.edge_frac_milli").as("edge_frac_milli"))
+    }),
+
     // PNG corner coverage (Adam7 interlace + 16-bit depth): the q210
     // planted pattern re-encoded through the corner layouts — interlaced
     // 8-bit, plain 16-bit (noise in the ignored low bytes), 16-bit AND
@@ -6468,6 +6544,48 @@ object Battery {
         |  CAST((g0 + t.j * (span + gap)) // 8 AS BIGINT) AS start_ms,
         |  CAST((g0 + t.j * (span + gap) + span) // 8 AS BIGINT) AS end_ms
         |FROM p, range(0, 4) t(j) WHERE t.j < nseg""".stripMargin,
+    // ASCII tag values round-trip every encoding to the same string
+    "q231_id3_tags" ->
+      """SELECT d.doc_id, t.tag,
+        |  CASE t.tag WHEN 'TIT2' THEN 'title ' || d.doc_id
+        |    WHEN 'TPE1' THEN 'artist ' || (d.doc_id % 50)
+        |    ELSE '20' || lpad(CAST(d.doc_id % 30 AS VARCHAR), 2, '0')
+        |  END AS tag_value
+        |FROM documents d, (VALUES ('TIT2'), ('TPE1'), ('TDRC')) t(tag)""".stripMargin,
+    // element counts and payload bytes from the planted dtype/shape grid
+    "q232_npy_meta" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    CASE doc_id % 4 WHEN 0 THEN '<f4' WHEN 1 THEN '<f8'
+        |      WHEN 2 THEN '<i8' ELSE '|u1' END AS dtype,
+        |    CASE doc_id % 4 WHEN 0 THEN 4 WHEN 1 THEN 8
+        |      WHEN 2 THEN 8 ELSE 1 END AS width,
+        |    CASE WHEN doc_id % 5 = 0 THEN 0
+        |      WHEN doc_id % 5 = 1 THEN 1 ELSE 2 END AS n_dims,
+        |    CASE WHEN doc_id % 5 = 0 THEN 1
+        |      WHEN doc_id % 5 = 1 THEN doc_id % 13 + 1
+        |      ELSE (doc_id % 7 + 1) * (doc_id % 11 + 1) END AS n
+        |  FROM documents)
+        |SELECT doc_id, dtype,
+        |  CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS INTEGER) AS fortran,
+        |  CAST(n_dims AS INTEGER) AS n_dims,
+        |  CAST(n AS BIGINT) AS n_elems,
+        |  CAST(n * width AS BIGINT) AS data_bytes
+        |FROM p""".stripMargin,
+    // every stat is bit arithmetic on the 8-bit row pattern g: mean from
+    // the popcount, edges from adjacent-bit transitions, 7 pairs x 8 rows
+    "q233_image_stats" ->
+      """WITH p AS (SELECT doc_id, doc_id % 64 AS g FROM documents)
+        |SELECT doc_id,
+        |  CAST(2040 * bit_count(g) // 64 AS INTEGER) AS mean_luma,
+        |  0 AS min_luma,
+        |  CAST(CASE WHEN bit_count(g) = 0 THEN 0 ELSE 255 END AS INTEGER)
+        |    AS max_luma,
+        |  CAST(CASE WHEN bit_count(g) = 0 THEN 1 ELSE 2 END AS INTEGER)
+        |    AS n_distinct,
+        |  CAST(8000 * bit_count(xor(g, g // 2) & 127) // 56 AS INTEGER)
+        |    AS edge_frac_milli
+        |FROM p""".stripMargin,
     // the GIF aHash is the planted pattern; the BMP twin is bit-identical
     "q219_image_gif" ->
       """SELECT doc_id, 8 AS img_w, 8 AS img_h,
