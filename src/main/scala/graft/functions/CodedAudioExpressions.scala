@@ -68,17 +68,14 @@ object Mp3Headers {
       val sampleRate: Int, val channels: Int, val crc: Boolean,
       val frameLen: Int, val samplesPerFrame: Int)
 
-  private def frameAt(b: Array[Byte], i: Int): Frame = {
-    if (i + 4 > b.length) return null
-    if ((b(i) & 0xff) != 0xff || (b(i + 1) & 0xe0) != 0xe0) return null
-    val verBits = (b(i + 1) >> 3) & 3 // 0=2.5, 1=reserved, 2=MPEG2, 3=MPEG1
-    val layerBits = (b(i + 1) >> 1) & 3 // 0=reserved, 1=III, 2=II, 3=I
-    if (verBits == 1 || layerBits == 0) return null
-    val brIdx = (b(i + 2) >> 4) & 0xf
-    val srIdx = (b(i + 2) >> 2) & 3
-    if (brIdx == 0 || brIdx == 15 || srIdx == 3) return null
-    val versionX10 = verBits match { case 3 => 10; case 2 => 20; case _ => 25 }
-    val layer = 4 - layerBits
+  /** (kbps, sampleRate, samplesPerFrame, unpadded frameLen) for a field
+   *  combination, or null for free/invalid indexes — the ONE copy of the
+   *  published tables, shared by the parser and the fixture encoder
+   *  (fixture independence is carried by the DuckDB oracles, not by
+   *  duplicating the tables). */
+  private[functions] def frameParams(versionX10: Int, layer: Int,
+      brIdx: Int, srIdx: Int): Array[Int] = {
+    if (brIdx <= 0 || brIdx >= 15 || srIdx < 0 || srIdx > 2) return null
     val kbps = (versionX10, layer) match {
       case (10, 1) => V1L1(brIdx)
       case (10, 2) => V1L2(brIdx)
@@ -91,10 +88,6 @@ object Mp3Headers {
       case 20 => SrV2(srIdx)
       case _ => SrV25(srIdx)
     }
-    val padding = (b(i + 2) >> 1) & 1
-    val mode = (b(i + 3) >> 6) & 3
-    val channels = if (mode == 3) 1 else 2
-    val crc = (b(i + 1) & 1) == 0
     val spf =
       if (layer == 1) 384
       else if (layer == 2) 1152
@@ -102,8 +95,32 @@ object Mp3Headers {
       else 576
     // slots are 4 bytes in Layer I, 1 byte otherwise
     val frameLen =
-      if (layer == 1) (12 * kbps * 1000 / sr + padding) * 4
-      else spf / 8 * kbps * 1000 / sr + padding
+      if (layer == 1) (12 * kbps * 1000 / sr) * 4
+      else spf / 8 * kbps * 1000 / sr
+    Array(kbps, sr, spf, frameLen)
+  }
+
+  private def frameAt(b: Array[Byte], i: Int): Frame = {
+    if (i + 4 > b.length) return null
+    if ((b(i) & 0xff) != 0xff || (b(i + 1) & 0xe0) != 0xe0) return null
+    val verBits = (b(i + 1) >> 3) & 3 // 0=2.5, 1=reserved, 2=MPEG2, 3=MPEG1
+    val layerBits = (b(i + 1) >> 1) & 3 // 0=reserved, 1=III, 2=II, 3=I
+    if (verBits == 1 || layerBits == 0) return null
+    val brIdx = (b(i + 2) >> 4) & 0xf
+    val srIdx = (b(i + 2) >> 2) & 3
+    if (srIdx == 3) return null
+    val versionX10 = verBits match { case 3 => 10; case 2 => 20; case _ => 25 }
+    val layer = 4 - layerBits
+    val params = frameParams(versionX10, layer, brIdx, srIdx)
+    if (params == null) return null
+    val kbps = params(0)
+    val sr = params(1)
+    val spf = params(2)
+    val padding = (b(i + 2) >> 1) & 1
+    val mode = (b(i + 3) >> 6) & 3
+    val channels = if (mode == 3) 1 else 2
+    val crc = (b(i + 1) & 1) == 0
+    val frameLen = params(3) + (if (layer == 1) 4 * padding else padding)
     if (frameLen < 4) return null
     new Frame(versionX10, layer, kbps, sr, channels, crc, frameLen, spf)
   }
@@ -148,12 +165,15 @@ object Mp3Headers {
         if (f.versionX10 == 10) { if (f.channels == 1) 17 else 32 }
         else { if (f.channels == 1) 9 else 17 }
       val x = at + 4 + (if (f.crc) 2 else 0) + side
-      if (x + 8 <= b.length && x + 8 <= at + f.frameLen) {
+      // the whole tag + flags + count (12 bytes) must fit INSIDE the first
+      // frame — reading the count across the frame boundary would pull the
+      // next frame's sync bytes into the frame count
+      if (x + 12 <= b.length && x + 12 <= at + f.frameLen) {
         val isXing = b(x) == 'X' && b(x + 1) == 'i' && b(x + 2) == 'n' && b(x + 3) == 'g'
         val isInfo = b(x) == 'I' && b(x + 1) == 'n' && b(x + 2) == 'f' && b(x + 3) == 'o'
         if (isXing || isInfo) {
           val flags = beU32(b, x + 4)
-          if ((flags & 1L) != 0 && x + 12 <= b.length) {
+          if ((flags & 1L) != 0) {
             frames = beU32(b, x + 8)
             vbr = isXing
           }
@@ -366,25 +386,9 @@ object CodedAudioCodec {
       (0xe0 | (verBits << 3) | (layerBits << 1) | 1).toByte, // no CRC
       ((bitrateIdx << 4) | (srIdx << 2)).toByte, // padding 0
       (if (mono) 0xc0 else 0x00).toByte)
-    val sr = versionX10 match {
-      case 10 => Array(44100, 48000, 32000)(srIdx)
-      case 20 => Array(22050, 24000, 16000)(srIdx)
-      case _ => Array(11025, 12000, 8000)(srIdx)
-    }
-    val kbps = (versionX10, layer) match {
-      case (10, 1) => Array(0, 32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448)(bitrateIdx)
-      case (10, 2) => Array(0, 32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384)(bitrateIdx)
-      case (10, 3) => Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)(bitrateIdx)
-      case (_, 1) => Array(0, 32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192, 224, 256)(bitrateIdx)
-      case _ => Array(0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160)(bitrateIdx)
-    }
-    val spf =
-      if (layer == 1) 384
-      else if (layer == 2) 1152
-      else if (versionX10 == 10) 1152 else 576
-    val frameLen =
-      if (layer == 1) (12 * kbps * 1000 / sr) * 4
-      else spf / 8 * kbps * 1000 / sr
+    val params = Mp3Headers.frameParams(versionX10, layer, bitrateIdx, srIdx)
+    require(params != null, s"invalid field combination")
+    val frameLen = params(3)
     require(frameLen >= 4, s"degenerate frame: $frameLen")
     val id3 =
       if (id3PadBytes < 0) Array.emptyByteArray

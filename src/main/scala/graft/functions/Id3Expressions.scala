@@ -86,7 +86,9 @@ object Id3Headers {
           val raw = new String(b, vs, vlen, cs)
           val nul = raw.indexOf('\u0000')
           val v = if (nul < 0) raw else raw.substring(0, nul)
-          if (v.nonEmpty) out += ((id, v))
+          // Spark maps require unique keys: first frame of an id wins
+          // (repeated TXXX frames are common in the wild)
+          if (v.nonEmpty && !out.exists(_._1 == id)) out += ((id, v))
         }
       }
       i += 10 + fsize

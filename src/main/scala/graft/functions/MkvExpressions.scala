@@ -142,18 +142,25 @@ object MkvHeaders {
     var height = -1
     var channels = -1
     var rate = -1
+    // latch on the FIRST track of each type, not on "first track that
+    // happened to carry field X" — a first video track missing PixelWidth
+    // must not let a later track's dimensions mix in
+    var videoSeen = false
+    var audioSeen = false
     childOf(b, seg._1, seg._2, Tracks).foreach { case (ts, te) =>
       for ((id, es, ee) <- children(b, ts, te) if id == TrackEntry) {
         val typ = childOf(b, es, ee, TrackType)
           .map { case (s, e) => uint(b, s, e) }.getOrElse(-1L)
-        if (typ == 1 && width < 0) {
+        if (typ == 1 && !videoSeen) {
+          videoSeen = true
           childOf(b, es, ee, VideoElem).foreach { case (vs, ve) =>
             childOf(b, vs, ve, PixelWidth)
               .foreach { case (s, e) => width = uint(b, s, e).toInt }
             childOf(b, vs, ve, PixelHeight)
               .foreach { case (s, e) => height = uint(b, s, e).toInt }
           }
-        } else if (typ == 2 && channels < 0) {
+        } else if (typ == 2 && !audioSeen) {
+          audioSeen = true
           childOf(b, es, ee, AudioElem).foreach { case (as, ae) =>
             childOf(b, as, ae, Channels)
               .foreach { case (s, e) => channels = uint(b, s, e).toInt }
@@ -173,7 +180,8 @@ object MkvHeaders {
         if (ms >= (1L << 50).toDouble) return null // lying duration
         ms.toLong
       }
-    if (durMs < 0 && width < 0 && channels < 0) return null // nothing parsed
+    if (durMs < 0 && width < 0 && height < 0 && channels < 0 && rate < 0)
+      return null // nothing parsed
     MkvMeta(durMs, width, height, channels, rate)
   }
 

@@ -75,8 +75,13 @@ object OggHeaders {
           rate = 48000 // Opus always decodes at 48 kHz (RFC 7845 §5.1)
         } else return null
       }
-      // granule -1 (all ones) marks a continuation page with no packet end
-      if (granule != -1L) lastGranule = granule
+      // granule -1 (all ones) marks a continuation page with no packet
+      // end; any OTHER negative value is a lying table — reject like the
+      // >= 2^50 positive case instead of clamping to a plausible zero
+      if (granule != -1L) {
+        if (granule < 0) return null
+        lastGranule = granule
+      }
       i = body + bodyLen
       pages += 1
     }

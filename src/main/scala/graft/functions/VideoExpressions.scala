@@ -370,8 +370,14 @@ object Mp4Frames {
     while (!done && run < runs && out.length < maxFrames) {
       val c = beU32(b, (ts0 + 8 + 8L * run).toInt)
       val d = beU32(b, (ts0 + 12 + 8L * run).toInt)
-      if (c <= 0 || d <= 0) { run += 1 } // zero-length runs carry no time
-      else {
+      if (c <= 0) { run += 1 } // empty run: no time, no samples
+      else if (d <= 0) {
+        // zero-DURATION samples occupy index space but no time: no stride
+        // boundary can land inside the run, but the index cursor must
+        // advance or every later sample is reported one run early
+        idx0 += c
+        run += 1
+      } else {
         val runEnd = base + c * d
         var inRun = true
         while (inRun && out.length < maxFrames) {
@@ -445,8 +451,14 @@ object Mp4Frames {
       while (run < runs) {
         val c = beU32(b, (ts0 + 8 + 8L * run).toInt)
         val d = beU32(b, (ts0 + 12 + 8L * run).toInt)
-        if (c <= 0 || d <= 0) run += 1 // zero-length runs carry no time
-        else if (d != 0 && c > (MaxTicks - base) / d) return -1L // lying table
+        if (c <= 0) run += 1 // empty run carries neither time nor samples
+        else if (d <= 0) {
+          // zero-DURATION samples still occupy index space (real muxers
+          // emit them): they all start at the run boundary
+          if (i < idx0 + c) return base
+          idx0 += c
+          run += 1
+        } else if (c > (MaxTicks - base) / d) return -1L // lying table
         else if (i < idx0 + c) return base + (i - idx0) * d
         else { base += c * d; idx0 += c; run += 1 }
       }

@@ -68,6 +68,30 @@ class ContainerMetaSpec extends SparkSpec {
     assert(m != null && m.durationMs == 7L && m.width == 64)
   }
 
+  test("MKV: the FIRST track of a type wins even when a field is absent") {
+    import MkvCodec.{elem, uintPayload, floatPayload}
+    // first video track has PixelHeight but NO PixelWidth; a second video
+    // track must not mix its dimensions in
+    val v1 = elem(0xaeL, elem(0x83L, uintPayload(1)) ++
+      elem(0xe0L, elem(0xbaL, uintPayload(111))))
+    val v2 = elem(0xaeL, elem(0x83L, uintPayload(1)) ++
+      elem(0xe0L, elem(0xb0L, uintPayload(640)) ++ elem(0xbaL, uintPayload(480))))
+    // first audio track has SamplingFrequency but NO Channels (legal:
+    // Matroska defaults channels); a later track must not clobber it
+    val a1 = elem(0xaeL, elem(0x83L, uintPayload(2)) ++
+      elem(0xe1L, elem(0xb5L, floatPayload(22050.0))))
+    val a2 = elem(0xaeL, elem(0x83L, uintPayload(2)) ++
+      elem(0xe1L, elem(0x9fL, uintPayload(6)) ++ elem(0xb5L, floatPayload(48000.0))))
+    val seg = elem(0x18538067L,
+      elem(0x1549a966L, elem(0x2ad7b1L, uintPayload(1000000L))) ++
+        elem(0x1654ae6bL, v1 ++ v2 ++ a1 ++ a2))
+    val b = elem(0x1a45dfa3L, Array.emptyByteArray) ++ seg
+    val m = MkvHeaders.parse(b)
+    assert(m != null)
+    assert(m.width == -1 && m.height == 111, s"got $m") // track 1 only
+    assert(m.channels == -1 && m.sampleRate == 22050, s"got $m")
+  }
+
   test("MKV: audio-only and video-only tracks leave the other side null") {
     val a = MkvHeaders.parseRow(MkvCodec.encode(Double.NaN, audio = Some((1, 16000.0))))
     assert(a != null)

@@ -45,6 +45,27 @@ class Mp4KeyframeSpec extends SparkSpec {
     assert(plan.map(_.tMs).toSeq == Seq(0L, 400L, 440L))
   }
 
+  test("zero-duration stts runs keep index accounting (real muxers emit them)") {
+    val b = Mp4Codec.encode(timescale = 1000, durationTicks = 0,
+      width = 8, height = 8, nFrames = 10,
+      tables = Mp4Codec.SampleTables(
+        mediaTimescale = 1000,
+        sttsRuns = Seq((1L, 0L), (9L, 100L)), // sample 0 zero-duration
+        constSampleSize = 1,
+        syncSamples = Seq(1, 6, 10)))
+    val plan = Mp4Frames.keyframePlan(b, 100)
+    assert(plan != null)
+    assert(plan.map(_.idx).toSeq == Seq(0L, 5L, 9L))
+    // sample 0 starts at 0; sample 5 is the 5th of the d=100 run -> 400;
+    // sample 9 -> 800 — dropping the zero-duration run's index space
+    // would misreport these as 500/past-the-table
+    assert(plan.map(_.tMs).toSeq == Seq(0L, 400L, 800L))
+    // the stride planner advances the same cursor
+    val stride = Mp4Frames.samplePlan(b, strideMs = 250, maxFrames = 10)
+    assert(stride.map(p => (p.idx, p.tMs)).toSeq ==
+      Seq((1L, 0L), (3L, 200L), (6L, 500L), (8L, 700L)))
+  }
+
   test("absent stss means every sample is a sync sample (capped)") {
     val b = mp4(50, delta = 20, sync = Nil)
     val plan = Mp4Frames.keyframePlan(b, maxFrames = 7)
