@@ -200,6 +200,23 @@ package object functions {
       new ExpressionInfo(classOf[ImageStatsExpr].getName, "image_stats"),
       (exprs: Seq[Expression]) => new ImageStatsExpr(exprs.head))
     registry.registerFunction(
+      FunctionIdentifier("tar_entries"),
+      new ExpressionInfo(classOf[TarEntriesExpr].getName, "tar_entries"),
+      (exprs: Seq[Expression]) => new TarEntriesExpr(exprs.head))
+    registry.registerFunction(
+      FunctionIdentifier("zip_entries"),
+      new ExpressionInfo(classOf[ZipEntriesExpr].getName, "zip_entries"),
+      (exprs: Seq[Expression]) => new ZipEntriesExpr(exprs.head))
+    registry.registerFunction(
+      FunctionIdentifier("zip_stored_member"),
+      new ExpressionInfo(classOf[ZipStoredMemberExpr].getName, "zip_stored_member"),
+      (exprs: Seq[Expression]) => new ZipStoredMemberExpr(exprs(0), exprs(1)))
+    registry.registerFunction(
+      FunctionIdentifier("gunzip"),
+      new ExpressionInfo(classOf[GunzipExpr].getName, "gunzip"),
+      (exprs: Seq[Expression]) => new GunzipExpr(exprs.head,
+        intLit(exprs(1), "gunzip maxBytes")))
+    registry.registerFunction(
       FunctionIdentifier("sign_bucket"),
       new ExpressionInfo(classOf[SignBucketExpr].getName, "sign_bucket"),
       (exprs: Seq[Expression]) => SignBucketExpr(exprs(0), intArg(exprs(1))))

@@ -264,4 +264,28 @@ object Multimodal {
       .withColumn("start_ms", col("__seg.start_ms"))
       .withColumn("end_ms", col("__seg.end_ms"))
       .drop("__seg")
+
+  /**
+   * WebDataset shard listing: one row per regular tar member with its
+   * sample key (the basename up to the FIRST dot — WebDataset's grouping
+   * rule: `000017.jpg` + `000017.cls` + `000017.json` are one training
+   * sample) and extension. Pure header walk — no member is decompressed
+   * or copied; pair with `groupBy(sample_key)` to validate shard
+   * completeness or sample at the SAMPLE level before any decode.
+   * Non-tar blobs contribute NO rows.
+   */
+  def webdatasetSamples(df: DataFrame, blobCol: String): DataFrame =
+    df.withColumn("__e", explode(graft.functions.TarEntriesExpr(col(blobCol))))
+      .filter(col("__e.type") === "file")
+      // WebDataset's base_plus_ext rule: the key is the FULL path up to
+      // the first dot after the last slash (directories stay in the key —
+      // a/000001.jpg and b/000001.jpg are DIFFERENT samples), the
+      // extension is everything after that dot
+      .withColumn("sample_key",
+        regexp_extract(col("__e.name"), "^((?:.*/)?[^.]*)", 1))
+      .withColumn("member_ext",
+        regexp_extract(col("__e.name"), "^(?:.*/)?[^.]*\\.(.*)$", 1))
+      .withColumn("member_name", col("__e.name"))
+      .withColumn("member_size", col("__e.size"))
+      .drop("__e")
 }

@@ -3109,6 +3109,83 @@ object Battery {
           col("__s.edge_frac_milli").as("edge_frac_milli"))
     }),
 
+    // WEBDATASET shard inventory (tar_entries / Multimodal.
+    // webdatasetSamples): tar member walk + the first-dot sample-key
+    // grouping rule, aggregated to per-sample member counts, byte totals
+    // and extension sets — the shard-completeness validation a WebDataset
+    // lake runs BEFORE decoding anything.
+    "q234_webdataset" -> ((s, d) => {
+      import s.implicits._
+      import graft.functions.ArchiveCodec
+      val blobs = docs(s, d).select(col("doc_id")).as[Long].map { id =>
+        val ns = (id % 4 + 1).toInt
+        val members = (1 to ns).flatMap { j =>
+          val key = f"$j%06d"
+          Seq(
+            (s"$key.jpg", Array.tabulate[Byte]((j * 3 + 5))(k => (k + j).toByte)),
+            (s"$key.txt", Array.tabulate[Byte]((j * 2 + 1))(k => k.toByte))) ++
+            (if (id % 2 == 0) Seq((s"$key.json", Array.fill[Byte](4)('x')))
+             else Nil)
+        }
+        (id, ArchiveCodec.tar(members))
+      }.toDF("doc_id", "blob")
+      graft.operators.Multimodal.webdatasetSamples(blobs, "blob")
+        .groupBy(col("doc_id"), col("sample_key"))
+        .agg(count(lit(1)).as("n_members"),
+          sum(col("member_size")).as("total_bytes"),
+          array_join(sort_array(collect_list(col("member_ext"))), ",").as("exts"))
+    }),
+
+    // NPZ bundles (zip_entries + zip_stored_member -> npy_meta): NumPy's
+    // savez layout is a stored-member zip of npy files; the composition
+    // validates tensor shards without decompressing anything.
+    "q235_npz_meta" -> ((s, d) => {
+      import s.implicits._
+      import graft.functions.{ArchiveCodec, NpyCodec}
+      val blobs = docs(s, d).select(col("doc_id")).as[Long].map { id =>
+        val n0 = Seq(id % 6 + 1, id % 3 + 1)
+        val n1 = Seq(id % 5 + 1)
+        (id, ArchiveCodec.zipStored(Seq(
+          ("arr_0.npy", NpyCodec.encode("<f8", fortran = false, n0,
+            dataBytes = (n0.product * 8).toInt)),
+          ("arr_1.npy", NpyCodec.encode("<i8", fortran = id % 2 == 0, n1,
+            dataBytes = (n1.product * 8).toInt)),
+          ("readme.txt", "npz fixture".getBytes))))
+      }.toDF("doc_id", "blob")
+      blobs
+        .withColumn("__m0", graft.functions.NpyMetaExpr(
+          graft.functions.ZipStoredMemberExpr(col("blob"), lit("arr_0.npy"))))
+        .withColumn("__m1", graft.functions.NpyMetaExpr(
+          graft.functions.ZipStoredMemberExpr(col("blob"), lit("arr_1.npy"))))
+        .select(col("doc_id"),
+          size(graft.functions.ZipEntriesExpr(col("blob"))).as("n_members"),
+          col("__m0.dtype").as("dtype0"),
+          col("__m0.n_elems").as("n_elems0"),
+          col("__m0.data_bytes").as("bytes0"),
+          col("__m1.fortran_order").cast("int").as("fortran1"),
+          col("__m1.n_elems").as("n_elems1"))
+    }),
+
+    // TAR.GZ shards (gunzip -> tar_entries): the bounded inflate feeds
+    // the header walk; names, sizes AND byte offsets replay closed-form
+    // (each sub-512 B member consumes exactly header + one block).
+    "q236_targz_entries" -> ((s, d) => {
+      import s.implicits._
+      import graft.functions.ArchiveCodec
+      val blobs = docs(s, d).select(col("doc_id")).as[Long].map { id =>
+        val m = (id % 5 + 1).toInt
+        val members = (1 to m).map { k =>
+          (s"f$k.bin", Array.fill[Byte]((k * 7 + id % 13).toInt)((k % 100).toByte))
+        }
+        (id, ArchiveCodec.gzip(ArchiveCodec.tar(members)))
+      }.toDF("doc_id", "blob")
+      blobs.select(col("doc_id"),
+          explode(graft.functions.TarEntriesExpr(
+            graft.functions.GunzipExpr(col("blob"), 1 << 24))).as("e"))
+        .select(col("doc_id"), col("e.name").as("member_name"),
+          col("e.size").as("member_size"), col("e.offset").as("byte_off"))
+    }),
+
     // PNG corner coverage (Adam7 interlace + 16-bit depth): the q210
     // planted pattern re-encoded through the corner layouts — interlaced
     // 8-bit, plain 16-bit (noise in the ignored low bytes), 16-bit AND
@@ -6586,6 +6663,38 @@ object Battery {
         |  CAST(8000 * bit_count(xor(g, g // 2) & 127) // 56 AS INTEGER)
         |    AS edge_frac_milli
         |FROM p""".stripMargin,
+    // per-sample member counts / bytes / sorted extension sets from the
+    // planted shard layout
+    "q234_webdataset" ->
+      """SELECT d.doc_id, lpad(CAST(t.j AS VARCHAR), 6, '0') AS sample_key,
+        |  CAST(CASE WHEN d.doc_id % 2 = 0 THEN 3 ELSE 2 END AS BIGINT)
+        |    AS n_members,
+        |  CAST(t.j * 3 + 5 + t.j * 2 + 1
+        |    + CASE WHEN d.doc_id % 2 = 0 THEN 4 ELSE 0 END AS BIGINT)
+        |    AS total_bytes,
+        |  CASE WHEN d.doc_id % 2 = 0 THEN 'jpg,json,txt'
+        |    ELSE 'jpg,txt' END AS exts
+        |FROM documents d, range(1, 5) t(j)
+        |WHERE t.j <= d.doc_id % 4 + 1""".stripMargin,
+    // npy headers sliced out of the stored-member zip, closed-form
+    "q235_npz_meta" ->
+      """SELECT doc_id,
+        |  3 AS n_members,
+        |  '<f8' AS dtype0,
+        |  CAST((doc_id % 6 + 1) * (doc_id % 3 + 1) AS BIGINT) AS n_elems0,
+        |  CAST((doc_id % 6 + 1) * (doc_id % 3 + 1) * 8 AS BIGINT) AS bytes0,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS INTEGER)
+        |    AS fortran1,
+        |  CAST(doc_id % 5 + 1 AS BIGINT) AS n_elems1
+        |FROM documents""".stripMargin,
+    // sub-512 B members each consume header + one block: offset is
+    // 512 + (k-1)*1024 exactly
+    "q236_targz_entries" ->
+      """SELECT d.doc_id, 'f' || t.k || '.bin' AS member_name,
+        |  CAST(t.k * 7 + d.doc_id % 13 AS BIGINT) AS member_size,
+        |  CAST(512 + (t.k - 1) * 1024 AS BIGINT) AS byte_off
+        |FROM documents d, range(1, 6) t(k)
+        |WHERE t.k <= d.doc_id % 5 + 1""".stripMargin,
     // the GIF aHash is the planted pattern; the BMP twin is bit-identical
     "q219_image_gif" ->
       """SELECT doc_id, 8 AS img_w, 8 AS img_h,

@@ -832,14 +832,20 @@ class PlanQualitySpec extends SparkSpec {
         graft.functions.MkvMetaExpr(blob).as("mk"),
         graft.functions.AudioSHash(blob).as("sh"),
         graft.functions.VideoKeyframes(blob, 8).as("kf"),
-        graft.functions.SubtitleCuesExpr(col("text"), true).as("cues"))
+        graft.functions.SubtitleCuesExpr(col("text"), true).as("cues"),
+        graft.functions.Id3TagsExpr(blob).as("id3"),
+        graft.functions.NpyMetaExpr(blob).as("npy"),
+        graft.functions.ImageStatsExpr(blob).as("ist"),
+        graft.functions.TarEntriesExpr(blob).as("tar"),
+        graft.functions.ZipEntriesExpr(blob).as("zip"),
+        graft.functions.GunzipExpr(blob, 1 << 20).as("gz"))
     val plan = df.queryExecution.executedPlan.toString
     assert("""\*\(\d+\) Project""".r.findFirstIn(plan).isDefined,
       s"projection fell out of whole-stage codegen:\n$plan")
     assert(!plan.contains("Exchange"), s"a per-row projection must not shuffle:\n$plan")
     // prose bytes are undecodable in every container format -> null; the
     // VTT-gated cue parse is null too (no WEBVTT signature in the corpus)
-    assert(df.collect().forall(r => (1 to 7).forall(r.isNullAt)))
+    assert(df.collect().forall(r => (1 to 13).forall(r.isNullAt)))
   }
 
   test("hamming LSH mining decodes blobs once and mines distinct hashes only") {
