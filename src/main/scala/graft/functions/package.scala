@@ -217,6 +217,14 @@ package object functions {
       (exprs: Seq[Expression]) => new GunzipExpr(exprs.head,
         intLit(exprs(1), "gunzip maxBytes")))
     registry.registerFunction(
+      FunctionIdentifier("safetensors_tensors"),
+      new ExpressionInfo(classOf[SafetensorsExpr].getName, "safetensors_tensors"),
+      (exprs: Seq[Expression]) => new SafetensorsExpr(exprs.head))
+    registry.registerFunction(
+      FunctionIdentifier("tfrecord_entries"),
+      new ExpressionInfo(classOf[TfRecordEntriesExpr].getName, "tfrecord_entries"),
+      (exprs: Seq[Expression]) => new TfRecordEntriesExpr(exprs.head))
+    registry.registerFunction(
       FunctionIdentifier("sign_bucket"),
       new ExpressionInfo(classOf[SignBucketExpr].getName, "sign_bucket"),
       (exprs: Seq[Expression]) => SignBucketExpr(exprs(0), intArg(exprs(1))))

@@ -3186,6 +3186,48 @@ object Battery {
           col("e.size").as("member_size"), col("e.offset").as("byte_off"))
     }),
 
+    // SAFETENSORS shard inventory (safetensors_tensors): the HF-native
+    // tensor format's header JSON, read by the restricted-grammar
+    // scanner — names, dtypes, shapes, element counts, byte extents all
+    // closed-form; __metadata__ blocks (every third doc) are skipped.
+    "q237_safetensors" -> ((s, d) => {
+      import s.implicits._
+      import graft.functions.TensorShardCodec
+      val blobs = docs(s, d).select(col("doc_id")).as[Long].map { id =>
+        val dts = Array("F32", "F16", "I64", "U8")
+        val tensors = (0 until (id % 4 + 1).toInt).map { t =>
+          (s"t$t", dts(((id + t) % 4).toInt),
+            Seq(id % 5 + 1, t + 1L))
+        }
+        (id, TensorShardCodec.safetensors(tensors, withMetadata = id % 3 == 0))
+      }.toDF("doc_id", "blob")
+      blobs.select(col("doc_id"),
+          explode(graft.functions.SafetensorsExpr(col("blob"))).as("t"))
+        .select(col("doc_id"), col("t.name").as("tname"),
+          col("t.dtype").as("dtype"), col("t.n_elems").as("n_elems"),
+          col("t.data_bytes").as("data_bytes"))
+    }),
+
+    // TFRECORD framing (tfrecord_entries): length-CRC-validated record
+    // walk; offsets and sizes replay in closed form (record k's payload
+    // sits at 12 + sum of earlier 16+size frames).
+    "q238_tfrecord" -> ((s, d) => {
+      import s.implicits._
+      import graft.functions.TensorShardCodec
+      val blobs = docs(s, d).select(col("doc_id")).as[Long].map { id =>
+        val m = (id % 6 + 1).toInt
+        val c = (id % 9 + 1).toInt
+        val payloads = (0 until m).map(k =>
+          Array.fill[Byte](k * 5 + c)((k + 1).toByte))
+        (id, TensorShardCodec.tfrecord(payloads))
+      }.toDF("doc_id", "blob")
+      blobs.select(col("doc_id"),
+          posexplode(graft.functions.TfRecordEntriesExpr(col("blob")))
+            .as(Seq("rec_idx", "r")))
+        .select(col("doc_id"), col("rec_idx"),
+          col("r.offset").as("byte_off"), col("r.size").as("rec_size"))
+    }),
+
     // PNG corner coverage (Adam7 interlace + 16-bit depth): the q210
     // planted pattern re-encoded through the corner layouts — interlaced
     // 8-bit, plain 16-bit (noise in the ignored low bytes), 16-bit AND
@@ -6695,6 +6737,28 @@ object Battery {
         |  CAST(512 + (t.k - 1) * 1024 AS BIGINT) AS byte_off
         |FROM documents d, range(1, 6) t(k)
         |WHERE t.k <= d.doc_id % 5 + 1""".stripMargin,
+    // tensor grid closed-form: dtype rotation, (id%5+1) x (t+1) shapes,
+    // bytes = elems x dtype width
+    "q237_safetensors" ->
+      """SELECT d.doc_id, 't' || t.t AS tname,
+        |  CASE ((d.doc_id + t.t) % 4) WHEN 0 THEN 'F32' WHEN 1 THEN 'F16'
+        |    WHEN 2 THEN 'I64' ELSE 'U8' END AS dtype,
+        |  CAST((d.doc_id % 5 + 1) * (t.t + 1) AS BIGINT) AS n_elems,
+        |  CAST((d.doc_id % 5 + 1) * (t.t + 1) *
+        |    CASE ((d.doc_id + t.t) % 4) WHEN 0 THEN 4 WHEN 1 THEN 2
+        |      WHEN 2 THEN 8 ELSE 1 END AS BIGINT) AS data_bytes
+        |FROM documents d, range(0, 4) t(t)
+        |WHERE t.t < d.doc_id % 4 + 1""".stripMargin,
+    // record k payload offset: 12 + 16k + 5*k*(k-1)/2 + c*k
+    "q238_tfrecord" ->
+      """WITH p AS (
+        |  SELECT doc_id, doc_id % 6 + 1 AS m, doc_id % 9 + 1 AS c
+        |  FROM documents)
+        |SELECT p.doc_id, CAST(t.k AS INTEGER) AS rec_idx,
+        |  CAST(12 + 16 * t.k + 5 * t.k * (t.k - 1) // 2 + p.c * t.k
+        |    AS BIGINT) AS byte_off,
+        |  CAST(t.k * 5 + p.c AS BIGINT) AS rec_size
+        |FROM p, range(0, 6) t(k) WHERE t.k < p.m""".stripMargin,
     // the GIF aHash is the planted pattern; the BMP twin is bit-identical
     "q219_image_gif" ->
       """SELECT doc_id, 8 AS img_w, 8 AS img_h,

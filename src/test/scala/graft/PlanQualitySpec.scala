@@ -838,14 +838,16 @@ class PlanQualitySpec extends SparkSpec {
         graft.functions.ImageStatsExpr(blob).as("ist"),
         graft.functions.TarEntriesExpr(blob).as("tar"),
         graft.functions.ZipEntriesExpr(blob).as("zip"),
-        graft.functions.GunzipExpr(blob, 1 << 20).as("gz"))
+        graft.functions.GunzipExpr(blob, 1 << 20).as("gz"),
+        graft.functions.SafetensorsExpr(blob).as("st"),
+        graft.functions.TfRecordEntriesExpr(blob).as("tfr"))
     val plan = df.queryExecution.executedPlan.toString
     assert("""\*\(\d+\) Project""".r.findFirstIn(plan).isDefined,
       s"projection fell out of whole-stage codegen:\n$plan")
     assert(!plan.contains("Exchange"), s"a per-row projection must not shuffle:\n$plan")
     // prose bytes are undecodable in every container format -> null; the
     // VTT-gated cue parse is null too (no WEBVTT signature in the corpus)
-    assert(df.collect().forall(r => (1 to 13).forall(r.isNullAt)))
+    assert(df.collect().forall(r => (1 to 15).forall(r.isNullAt)))
   }
 
   test("hamming LSH mining decodes blobs once and mines distinct hashes only") {
