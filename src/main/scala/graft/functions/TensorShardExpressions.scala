@@ -47,14 +47,30 @@ object SafetensorsHeaders {
         if (c == '\\') {
           if (i + 1 >= s.length) return null
           val e = s.charAt(i + 1)
-          // the grammar safetensors emits: only simple escapes matter
-          sb.append(e match {
-            case 'n' => '\n'
-            case 't' => '\t'
-            case 'r' => '\r'
-            case other => other
-          })
-          i += 2
+          if (e == 'u') {
+            // ensure_ascii serializers (python json.dumps default) encode
+            // every non-ASCII char this way — decode the 4 hex digits
+            // (surrogate pairs compose naturally as chars)
+            if (i + 6 > s.length) return null
+            var v = 0
+            var k = i + 2
+            while (k < i + 6) {
+              val h = Character.digit(s.charAt(k), 16)
+              if (h < 0) return null
+              v = (v << 4) | h
+              k += 1
+            }
+            sb.append(v.toChar)
+            i += 6
+          } else {
+            sb.append(e match {
+              case 'n' => '\n'
+              case 't' => '\t'
+              case 'r' => '\r'
+              case other => other
+            })
+            i += 2
+          }
         } else { sb.append(c); i += 1 }
       }
       if (i >= s.length) return null
@@ -100,7 +116,11 @@ object SafetensorsHeaders {
       java.nio.charset.StandardCharsets.UTF_8))
     if (!p.eat('{')) return null
     val out = scala.collection.mutable.ArrayBuffer.empty[TensorMeta]
-    if (p.peek() == '}') return out.toArray
+    if (p.peek() == '}') {
+      p.i += 1
+      p.ws()
+      return if (p.i == p.s.length) out.toArray else null
+    }
     var more = true
     while (more && out.length < MaxTensors) {
       val name = p.str()
@@ -147,6 +167,11 @@ object SafetensorsHeaders {
       if (p.eat('}')) more = false
       else if (!p.eat(',')) return null
     }
+    if (more) return null // tensor-count cap hit: refuse, don't truncate
+    // the declared header length may be padded, but only with whitespace —
+    // trailing garbage after the closing brace is a corrupt/spliced header
+    p.ws()
+    if (p.i != p.s.length) return null
     out.toArray
   }
 
@@ -272,6 +297,10 @@ object TfRecordHeaders {
       out += ((i + 12, len))
       i += 12 + len + 4
     }
+    // hitting the record cap means the inventory is INCOMPLETE: refuse
+    // (consistent with every other lying/oversized-header case) rather
+    // than return a truncated listing indistinguishable from a full one
+    if (i + 16 <= b.length && out.length >= MaxRecords) return null
     if (out.isEmpty) null else out.toArray
   }
 
@@ -344,7 +373,8 @@ object TensorShardCodec {
       "I64" -> 8L, "I32" -> 4L, "I8" -> 1L, "U8" -> 1L)
     var off = 0L
     val entries = tensors.map { case (name, dtype, shape) =>
-      val n = shape.product max 1L
+      // scalar (empty shape) = 1 element; a 0 in the shape = 0 elements
+      val n = if (shape.isEmpty) 1L else shape.product
       val bytes = n * widths.getOrElse(dtype, 4L)
       val e = s""""$name":{"dtype":"$dtype","shape":[${shape.mkString(",")}],""" +
         s""""data_offsets":[$off,${off + bytes}]}"""

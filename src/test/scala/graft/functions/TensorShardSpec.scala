@@ -43,6 +43,34 @@ class TensorShardSpec extends SparkSpec {
     assert(SafetensorsHeaders.parse(b2) == null)
   }
 
+  test("safetensors: \\uXXXX names decode, trailing garbage rejects, 0-dim exact") {
+    def wrap(json: String, tail: Int = 0): Array[Byte] = {
+      val jb = json.getBytes("UTF-8")
+      val b = new Array[Byte](8 + jb.length + tail)
+      var k = 0
+      while (k < 8) { b(k) = ((jb.length.toLong >> (8 * k)) & 0xff).toByte; k += 1 }
+      System.arraycopy(jb, 0, b, 8, jb.length)
+      b
+    }
+    // python json.dumps default (ensure_ascii) escapes non-ASCII names:
+    // the JSON carries backslash-u00e9, the parsed name carries é
+    val uni = SafetensorsHeaders.parse(wrap(
+      "{\"caf\\u00e9\":{\"dtype\":\"U8\",\"shape\":[2],\"data_offsets\":[0,2]}}", 2))
+    assert(uni.length == 1 && uni(0).name == "café")
+    // malformed \u -> null
+    assert(SafetensorsHeaders.parse(wrap(
+      "{\"a\\uzz11\":{\"dtype\":\"U8\",\"shape\":[1],\"data_offsets\":[0,1]}}", 1)) == null)
+    // garbage after the closing brace inside the declared header -> null
+    val okJson = """{"a":{"dtype":"U8","shape":[1],"data_offsets":[0,1]}}"""
+    assert(SafetensorsHeaders.parse(wrap(okJson + "   ", 1)) != null) // space pad ok
+    assert(SafetensorsHeaders.parse(wrap(okJson + "junk", 1)) == null)
+    // a zero in the shape means zero elements and zero bytes, exactly
+    val z = SafetensorsHeaders.parse(
+      TensorShardCodec.safetensors(Seq(("t", "F32", Seq(0L, 4L)))))
+    assert(z.length == 1)
+    assert(z(0).end - z(0).begin == 0L)
+  }
+
   test("safetensors corrupt bytes: null, never exceptions") {
     assert(SafetensorsHeaders.parse(null) == null)
     assert(SafetensorsHeaders.parse("way too short".getBytes) == null)
