@@ -196,6 +196,86 @@ object TarHeaders {
       UTF8String.fromString(e.name), e.size, e.offset,
       UTF8String.fromString(e.typ)))))
   }
+
+  /** Exact payload slice of one member — the WebDataset member decode
+   *  path: `npy_meta(tar_member(shard, '000001.npy'))`, image dims of
+   *  one thumbnail, etc., without unpacking the shard. Null when absent
+   *  or the archive is not a tar. */
+  def member(b: Array[Byte], name: String): Array[Byte] = {
+    val es = entries(b)
+    if (es == null || name == null) return null
+    var i = 0
+    while (i < es.length) {
+      val e = es(i)
+      if (e.typ == "file" && e.name == name) {
+        if (e.size > Int.MaxValue || e.offset + e.size > b.length) return null
+        return java.util.Arrays.copyOfRange(
+          b, e.offset.toInt, (e.offset + e.size).toInt)
+      }
+      i += 1
+    }
+    null
+  }
+
+  def memberOrNull(b: Array[Byte], name: UTF8String): Array[Byte] =
+    try member(b, if (name == null) null else name.toString)
+    catch { case _: IndexOutOfBoundsException => null }
+}
+
+/** `tar_member(blob, name)` → binary payload of a tar member; null when
+ *  absent or the bytes are not a tar. */
+case class TarMemberExpr(child: Expression, name: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def left: Expression = child
+  override def right: Expression = name
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (child.dataType, name.dataType) match {
+      case (BinaryType, StringType) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"tar_member needs (binary, string), got $other")
+    }
+
+  override def eval(input: InternalRow): Any = {
+    val b = child.eval(input)
+    val n = name.eval(input)
+    if (b == null || n == null) null
+    else TarHeaders.memberOrNull(b.asInstanceOf[Array[Byte]],
+      n.asInstanceOf[UTF8String])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val b = child.genCode(ctx)
+    val n = name.genCode(ctx)
+    val cls = TarHeaders.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    ev.copy(code = code"""
+      |${b.code}
+      |${n.code}
+      |byte[] ${ev.value} = null;
+      |boolean ${ev.isNull} = ${b.isNull} || ${n.isNull};
+      |if (!${ev.isNull}) {
+      |  ${ev.value} = $cls.memberOrNull(${b.value}, ${n.value});
+      |  ${ev.isNull} = ${ev.value} == null;
+      |}
+     """.stripMargin)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(child = newLeft, name = newRight)
+
+  override def prettyName: String = "tar_member"
+}
+
+object TarMemberExpr {
+  def apply(col: Column, name: Column): Column =
+    GraftShims.column(new TarMemberExpr(
+      GraftShims.expression(col), GraftShims.expression(name)))
 }
 
 /** `tar_entries(blob)` → array<struct<name, size, offset, type>>; null

@@ -225,6 +225,10 @@ package object functions {
       new ExpressionInfo(classOf[TfRecordEntriesExpr].getName, "tfrecord_entries"),
       (exprs: Seq[Expression]) => new TfRecordEntriesExpr(exprs.head))
     registry.registerFunction(
+      FunctionIdentifier("tar_member"),
+      new ExpressionInfo(classOf[TarMemberExpr].getName, "tar_member"),
+      (exprs: Seq[Expression]) => new TarMemberExpr(exprs(0), exprs(1)))
+    registry.registerFunction(
       FunctionIdentifier("sign_bucket"),
       new ExpressionInfo(classOf[SignBucketExpr].getName, "sign_bucket"),
       (exprs: Seq[Expression]) => SignBucketExpr(exprs(0), intArg(exprs(1))))

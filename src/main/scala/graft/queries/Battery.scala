@@ -3228,6 +3228,29 @@ object Battery {
           col("r.offset").as("byte_off"), col("r.size").as("rec_size"))
     }),
 
+    // WEBDATASET member decode (tar_member -> npy_meta): slice one
+    // member's payload out of the shard and validate it as a tensor —
+    // no unpacking, no shuffle, the shard read once.
+    "q239_tar_member" -> ((s, d) => {
+      import s.implicits._
+      import graft.functions.{ArchiveCodec, NpyCodec}
+      val blobs = docs(s, d).select(col("doc_id")).as[Long].map { id =>
+        val n = id % 7 + 1
+        (id, ArchiveCodec.tar(Seq(
+          ("e.npy", NpyCodec.encode("<i8", fortran = false, Seq(n),
+            dataBytes = (n * 8).toInt)),
+          ("e.txt", Array.fill[Byte]((id % 20 + 1).toInt)('t')))))
+      }.toDF("doc_id", "blob")
+      blobs
+        .withColumn("__m", graft.functions.NpyMetaExpr(
+          graft.functions.TarMemberExpr(col("blob"), lit("e.npy"))))
+        .select(col("doc_id"),
+          size(graft.functions.TarEntriesExpr(col("blob"))).as("n_members"),
+          col("__m.dtype").as("dtype"),
+          col("__m.n_elems").as("n_elems"),
+          col("__m.data_bytes").as("data_bytes"))
+    }),
+
     // PNG corner coverage (Adam7 interlace + 16-bit depth): the q210
     // planted pattern re-encoded through the corner layouts — interlaced
     // 8-bit, plain 16-bit (noise in the ignored low bytes), 16-bit AND
@@ -6759,6 +6782,12 @@ object Battery {
         |    AS BIGINT) AS byte_off,
         |  CAST(t.k * 5 + p.c AS BIGINT) AS rec_size
         |FROM p, range(0, 6) t(k) WHERE t.k < p.m""".stripMargin,
+    // the sliced member's npy header replays the planted shape
+    "q239_tar_member" ->
+      """SELECT doc_id, 2 AS n_members, '<i8' AS dtype,
+        |  CAST(doc_id % 7 + 1 AS BIGINT) AS n_elems,
+        |  CAST((doc_id % 7 + 1) * 8 AS BIGINT) AS data_bytes
+        |FROM documents""".stripMargin,
     // the GIF aHash is the planted pattern; the BMP twin is bit-identical
     "q219_image_gif" ->
       """SELECT doc_id, 8 AS img_w, 8 AS img_h,

@@ -68,6 +68,15 @@ class ArchiveSpec extends SparkSpec {
     assert(TarHeaders.entries(gnu).map(_.name).toSeq == Seq("old.bin"))
   }
 
+  test("tar_member slices payloads; composes with npy_meta for WebDataset members") {
+    val npy = NpyCodec.encode("<f4", fortran = false, Seq(5L), 20)
+    val shard = ArchiveCodec.tar(Seq(("000001.npy", npy), ("000001.txt", data2)))
+    assert(java.util.Arrays.equals(TarHeaders.member(shard, "000001.npy"), npy))
+    assert(NpyHeaders.parse(TarHeaders.member(shard, "000001.npy")).nElems == 5)
+    assert(TarHeaders.member(shard, "absent.npy") == null)
+    assert(TarHeaders.member("not tar".getBytes ++ new Array[Byte](600), "x") == null)
+  }
+
   test("tar corrupt/truncated bytes: null or partial listing, never throws") {
     assert(TarHeaders.entries("plain text, definitely not a tar header".getBytes ++
       new Array[Byte](512)) == null)
