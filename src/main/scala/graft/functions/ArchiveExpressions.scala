@@ -424,6 +424,9 @@ object ZipHeaders {
           while (x + 4 <= xe && !found) {
             val id = leU16(b, x)
             val len = leU16(b, x + 2)
+            // a lying extra length that overruns the extra region would
+            // read "zip64 values" out of the comment or the next CD entry
+            if (x + 4 + len > xe) return null
             if (id == 1) {
               var v = x + 4
               if (size == 0xffffffffL) {
@@ -442,6 +445,11 @@ object ZipHeaders {
             } else x += 4 + len
           }
           if (!found) return null // sentinel without zip64 extra: lying
+          // a forged extra can set bit 63: leU64 then yields a negative
+          // value that slips past the downstream `data + size > length` /
+          // `size > Int.MaxValue` guards (both false for negatives) and
+          // turns into a thrown copyOfRange(from > to) instead of a null
+          if (size < 0 || compSize < 0 || localOff < 0) return null
         }
         i += 46 + nameLen + extraLen + commentLen
         k += 1
@@ -496,7 +504,13 @@ object ZipHeaders {
 
   def memberOrNull(b: Array[Byte], name: UTF8String): Array[Byte] =
     try storedMember(b, if (name == null) return null else name.toString)
-    catch { case _: IndexOutOfBoundsException => null }
+    catch {
+      case _: IndexOutOfBoundsException => null
+      // belt to the negative-size braces above: copyOfRange(from > to)
+      // throws IllegalArgumentException, and hostile bytes must cost a
+      // null, never a task failure
+      case _: IllegalArgumentException => null
+    }
 }
 
 /** `zip_entries(blob)` → array<struct<name, method, comp_size, size>>;
@@ -689,6 +703,91 @@ object GunzipExpr {
     GraftShims.column(new GunzipExpr(GraftShims.expression(col), maxBytes))
 }
 
+object ZstdBytes {
+
+  /** Frame magic per RFC 8878: 0xFD2FB528 little-endian. */
+  private def isZstd(b: Array[Byte]): Boolean =
+    b.length >= 4 && (b(0) & 0xff) == 0x28 && (b(1) & 0xff) == 0xb5 &&
+      (b(2) & 0xff) == 0x2f && (b(3) & 0xff) == 0xfd
+
+  /** Bounded zstd inflate via the zstd-jni already on the Spark
+   *  classpath (the engine ships no extra dependency): output longer
+   *  than `maxBytes` is null — a zstd bomb costs a null, never an OOM —
+   *  and corrupt/truncated frames are null. The streaming decoder never
+   *  trusts the frame header's declared content size, so a lying header
+   *  cannot pre-allocate anything. Modern WebDataset/text-corpus shards
+   *  ship `.tar.zst`; compose `tar_entries(zunstd(blob, cap))` exactly
+   *  like the gzip twin. Concatenated frames decode as one stream (the
+   *  multi-frame layout `zstd --rsyncable` and seekable writers emit). */
+  def zunstd(b: Array[Byte], maxBytes: Int): Array[Byte] = {
+    if (b == null || !isZstd(b)) return null
+    val in = new com.github.luben.zstd.ZstdInputStreamNoFinalizer(
+      new java.io.ByteArrayInputStream(b))
+    try {
+      in.setContinuous(false)
+      val out = new java.io.ByteArrayOutputStream(math.min(maxBytes, 1 << 16))
+      val buf = new Array[Byte](1 << 16)
+      var n = in.read(buf)
+      while (n >= 0) {
+        if (out.size() + n > maxBytes) return null // bomb guard
+        out.write(buf, 0, n)
+        n = in.read(buf)
+      }
+      out.toByteArray
+    } catch {
+      case _: java.io.IOException => null // corrupt/truncated frame
+    } finally in.close()
+  }
+}
+
+/** `zunstd(blob, maxBytes)` → decompressed binary of a zstd frame
+ *  sequence; null for non-zstd bytes, truncation, or output past
+ *  `maxBytes` — the zstd twin of [[GunzipExpr]]. */
+case class ZunstdExpr(child: Expression, maxBytes: Int) extends UnaryExpression {
+
+  require(maxBytes > 0, "maxBytes must be positive")
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case BinaryType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case dt => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"zunstd needs a binary column, got $dt")
+    }
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) null else ZstdBytes.zunstd(v.asInstanceOf[Array[Byte]], maxBytes)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    val cls = ZstdBytes.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    ev.copy(code = code"""
+      |${c.code}
+      |byte[] ${ev.value} = null;
+      |boolean ${ev.isNull} = ${c.isNull};
+      |if (!${ev.isNull}) {
+      |  ${ev.value} = $cls.zunstd(${c.value}, $maxBytes);
+      |  ${ev.isNull} = ${ev.value} == null;
+      |}
+     """.stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "zunstd"
+}
+
+object ZunstdExpr {
+  def apply(col: Column, maxBytes: Int): Column =
+    GraftShims.column(new ZunstdExpr(GraftShims.expression(col), maxBytes))
+}
+
 /** Fixture encoders: ustar tars, stored-member zips, gzip wrappers. */
 object ArchiveCodec {
 
@@ -811,6 +910,11 @@ object ArchiveCodec {
     }
     out.toByteArray
   }
+
+  /** zstd frame via zstd-jni (same library the decoder uses; the DuckDB
+   *  oracles carry fixture independence, as with the MP3 tables). */
+  def zstd(data: Array[Byte], level: Int = 3): Array[Byte] =
+    com.github.luben.zstd.Zstd.compress(data, level)
 
   def gzip(data: Array[Byte], withName: Boolean = false): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()

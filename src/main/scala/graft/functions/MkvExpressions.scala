@@ -116,6 +116,18 @@ object MkvHeaders {
     v
   }
 
+  /** Bounded uint for fields that land in an Int (pixel dims, channel
+   *  count): a corrupt 5-8-byte element like 0x100000010 must be REJECTED
+   *  (-1 = absent), not silently truncated by .toInt into a plausible
+   *  small value — lying headers decode to null like everywhere else. */
+  private def uintCapped(b: Array[Byte], s: Int, e: Int, cap: Long): Int = {
+    val v = uint(b, s, e)
+    if (v < 1 || v > cap) -1 else v.toInt
+  }
+
+  private val MaxPixels = 1L << 20 // 1M px per side is beyond any real video
+  private val MaxChannels = 255L
+
   private def float(b: Array[Byte], s: Int, e: Int): Double = (e - s) match {
     case 4 => java.lang.Float.intBitsToFloat(uint(b, s, e).toInt).toDouble
     case 8 => java.lang.Double.longBitsToDouble(uint(b, s, e))
@@ -155,15 +167,15 @@ object MkvHeaders {
           videoSeen = true
           childOf(b, es, ee, VideoElem).foreach { case (vs, ve) =>
             childOf(b, vs, ve, PixelWidth)
-              .foreach { case (s, e) => width = uint(b, s, e).toInt }
+              .foreach { case (s, e) => width = uintCapped(b, s, e, MaxPixels) }
             childOf(b, vs, ve, PixelHeight)
-              .foreach { case (s, e) => height = uint(b, s, e).toInt }
+              .foreach { case (s, e) => height = uintCapped(b, s, e, MaxPixels) }
           }
         } else if (typ == 2 && !audioSeen) {
           audioSeen = true
           childOf(b, es, ee, AudioElem).foreach { case (as, ae) =>
             childOf(b, as, ae, Channels)
-              .foreach { case (s, e) => channels = uint(b, s, e).toInt }
+              .foreach { case (s, e) => channels = uintCapped(b, s, e, MaxChannels) }
             childOf(b, as, ae, SamplingFrequency)
               .foreach { case (s, e) =>
                 val f = float(b, s, e)

@@ -301,6 +301,12 @@ object TfRecordHeaders {
     // (consistent with every other lying/oversized-header case) rather
     // than return a truncated listing indistinguishable from a full one
     if (i + 16 <= b.length && out.length >= MaxRecords) return null
+    // trailing bytes too short to even hold a record header: a shard
+    // truncated MID-HEADER must not be indistinguishable from a cleanly
+    // framed one — refuse. (Trailing garbage >= 16 bytes fails its
+    // length-CRC above and ends the listing there — the record-boundary
+    // detection the walk is built on.)
+    if (i < b.length && b.length - i < 16) return null
     if (out.isEmpty) null else out.toArray
   }
 
@@ -314,6 +320,30 @@ object TfRecordHeaders {
       new GenericInternalRow(Array[Any](off, len))
     })
   }
+
+  /** Payload of record `idx` — the step from inventory to ingestion. The
+   *  ONE record extracted has its payload masked-CRC32C verified (the
+   *  u32 after the payload), so corruption surfaces exactly where bytes
+   *  are first consumed; the inventory walk stays CRC-free by design.
+   *  Null when the index is out of range or the payload CRC lies. */
+  def member(b: Array[Byte], idx: Int): Array[Byte] = {
+    if (idx < 0) return null
+    val es = entries(b)
+    if (es == null || idx >= es.length) return null
+    val (off, len) = es(idx)
+    if (len > Int.MaxValue - 16 || off + len + 4 > b.length) return null
+    val p = off.toInt
+    val n = len.toInt
+    var crc = 0
+    var k = 0
+    while (k < 4) { crc |= (b(p + n + k) & 0xff) << (8 * k); k += 1 }
+    if (maskedCrc32c(b, p, n) != crc) return null
+    java.util.Arrays.copyOfRange(b, p, p + n)
+  }
+
+  def memberOrNull(b: Array[Byte], idx: Int): Array[Byte] =
+    try member(b, idx)
+    catch { case _: IndexOutOfBoundsException => null }
 }
 
 /** `tfrecord_entries(blob)` → array<struct<offset, size>> of record
@@ -362,6 +392,63 @@ case class TfRecordEntriesExpr(child: Expression) extends UnaryExpression {
 object TfRecordEntriesExpr {
   def apply(col: Column): Column =
     GraftShims.column(new TfRecordEntriesExpr(GraftShims.expression(col)))
+}
+
+/** `tfrecord_member(blob, idx)` → binary payload of record `idx`, its
+ *  masked CRC32C verified on extraction; null when out of range or the
+ *  payload is corrupt — the TFRecord twin of `tar_member`. */
+case class TfRecordMemberExpr(child: Expression, idx: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def left: Expression = child
+  override def right: Expression = idx
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (child.dataType, idx.dataType) match {
+      case (BinaryType, IntegerType) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"tfrecord_member needs (binary, int), got $other")
+    }
+
+  override def eval(input: InternalRow): Any = {
+    val b = child.eval(input)
+    val i = idx.eval(input)
+    if (b == null || i == null) null
+    else TfRecordHeaders.memberOrNull(b.asInstanceOf[Array[Byte]],
+      i.asInstanceOf[Int])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val b = child.genCode(ctx)
+    val i = idx.genCode(ctx)
+    val cls = TfRecordHeaders.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    ev.copy(code = code"""
+      |${b.code}
+      |${i.code}
+      |byte[] ${ev.value} = null;
+      |boolean ${ev.isNull} = ${b.isNull} || ${i.isNull};
+      |if (!${ev.isNull}) {
+      |  ${ev.value} = $cls.memberOrNull(${b.value}, ${i.value});
+      |  ${ev.isNull} = ${ev.value} == null;
+      |}
+     """.stripMargin)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(child = newLeft, idx = newRight)
+
+  override def prettyName: String = "tfrecord_member"
+}
+
+object TfRecordMemberExpr {
+  def apply(col: Column, idx: Column): Column =
+    GraftShims.column(new TfRecordMemberExpr(
+      GraftShims.expression(col), GraftShims.expression(idx)))
 }
 
 /** Fixture encoders: safetensors headers and TFRecord framing. */

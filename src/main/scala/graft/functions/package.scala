@@ -217,6 +217,11 @@ package object functions {
       (exprs: Seq[Expression]) => new GunzipExpr(exprs.head,
         intLit(exprs(1), "gunzip maxBytes")))
     registry.registerFunction(
+      FunctionIdentifier("zunstd"),
+      new ExpressionInfo(classOf[ZunstdExpr].getName, "zunstd"),
+      (exprs: Seq[Expression]) => new ZunstdExpr(exprs.head,
+        intLit(exprs(1), "zunstd maxBytes")))
+    registry.registerFunction(
       FunctionIdentifier("safetensors_tensors"),
       new ExpressionInfo(classOf[SafetensorsExpr].getName, "safetensors_tensors"),
       (exprs: Seq[Expression]) => new SafetensorsExpr(exprs.head))
@@ -224,6 +229,10 @@ package object functions {
       FunctionIdentifier("tfrecord_entries"),
       new ExpressionInfo(classOf[TfRecordEntriesExpr].getName, "tfrecord_entries"),
       (exprs: Seq[Expression]) => new TfRecordEntriesExpr(exprs.head))
+    registry.registerFunction(
+      FunctionIdentifier("tfrecord_member"),
+      new ExpressionInfo(classOf[TfRecordMemberExpr].getName, "tfrecord_member"),
+      (exprs: Seq[Expression]) => new TfRecordMemberExpr(exprs(0), exprs(1)))
     registry.registerFunction(
       FunctionIdentifier("tar_member"),
       new ExpressionInfo(classOf[TarMemberExpr].getName, "tar_member"),

@@ -3251,6 +3251,50 @@ object Battery {
           col("__m.data_bytes").as("data_bytes"))
     }),
 
+    // .TAR.ZST shard inventory (tar_entries ∘ zunstd): the zstd twin of
+    // q236 — modern WebDataset / text-corpus shards ship zstd-compressed
+    // (zstd-jni is already on the Spark classpath); names, sizes and
+    // offsets replay closed-form through the bounded inflate.
+    "q240_tarzst_entries" -> ((s, d) => {
+      import s.implicits._
+      import graft.functions.ArchiveCodec
+      val blobs = docs(s, d).select(col("doc_id")).as[Long].map { id =>
+        val m = (id % 4 + 1).toInt
+        val members = (1 to m).map { k =>
+          (s"m$k.bin", Array.fill[Byte]((k * 9 + id % 11).toInt)((k % 100).toByte))
+        }
+        (id, ArchiveCodec.zstd(ArchiveCodec.tar(members)))
+      }.toDF("doc_id", "blob")
+      blobs.select(col("doc_id"),
+          explode(graft.functions.TarEntriesExpr(
+            graft.functions.ZunstdExpr(col("blob"), 1 << 24))).as("e"))
+        .select(col("doc_id"), col("e.name").as("member_name"),
+          col("e.size").as("member_size"), col("e.offset").as("byte_off"))
+    }),
+
+    // TFRECORD payload extraction (tfrecord_member): slice ONE record's
+    // payload out of the shard with its masked CRC32C verified on
+    // extraction — the inventory (q238) stays CRC-free, ingestion
+    // validates exactly the bytes it consumes. Planted single-letter
+    // payloads replay closed-form.
+    "q241_tfrecord_member" -> ((s, d) => {
+      import s.implicits._
+      import graft.functions.TensorShardCodec
+      val blobs = docs(s, d).select(col("doc_id")).as[Long].map { id =>
+        val m = (id % 5 + 2).toInt
+        val payloads = (0 until m).map { k =>
+          Array.fill[Byte]((k * 3 + id % 7 + 1).toInt)(('a' + k).toByte)
+        }
+        (id, (id % m).toInt, TensorShardCodec.tfrecord(payloads))
+      }.toDF("doc_id", "pick", "blob")
+      blobs
+        .withColumn("__p",
+          graft.functions.TfRecordMemberExpr(col("blob"), col("pick")))
+        .select(col("doc_id"), col("pick").as("rec_idx"),
+          length(col("__p")).cast("long").as("rec_size"),
+          decode(col("__p"), "UTF-8").as("payload"))
+    }),
+
     // PNG corner coverage (Adam7 interlace + 16-bit depth): the q210
     // planted pattern re-encoded through the corner layouts — interlaced
     // 8-bit, plain 16-bit (noise in the ignored low bytes), 16-bit AND
@@ -6788,6 +6832,23 @@ object Battery {
         |  CAST(doc_id % 7 + 1 AS BIGINT) AS n_elems,
         |  CAST((doc_id % 7 + 1) * 8 AS BIGINT) AS data_bytes
         |FROM documents""".stripMargin,
+    // the zstd twin of q236: same tar arithmetic behind the inflate
+    "q240_tarzst_entries" ->
+      """SELECT d.doc_id, 'm' || t.k || '.bin' AS member_name,
+        |  CAST(t.k * 9 + d.doc_id % 11 AS BIGINT) AS member_size,
+        |  CAST(512 + (t.k - 1) * 1024 AS BIGINT) AS byte_off
+        |FROM documents d, range(1, 5) t(k)
+        |WHERE t.k <= d.doc_id % 4 + 1""".stripMargin,
+    // record (id % m) carries (id%m)*3 + id%7 + 1 copies of its letter
+    "q241_tfrecord_member" ->
+      """WITH p AS (
+        |  SELECT doc_id, doc_id % 5 + 2 AS m, doc_id % 7 + 1 AS c
+        |  FROM documents),
+        |q AS (SELECT doc_id, CAST(doc_id % m AS INTEGER) AS rec_idx, c FROM p)
+        |SELECT doc_id, rec_idx,
+        |  CAST(rec_idx * 3 + c AS BIGINT) AS rec_size,
+        |  repeat(chr(97 + rec_idx), CAST(rec_idx * 3 + c AS INTEGER)) AS payload
+        |FROM q""".stripMargin,
     // the GIF aHash is the planted pattern; the BMP twin is bit-identical
     "q219_image_gif" ->
       """SELECT doc_id, 8 AS img_w, 8 AS img_h,

@@ -150,6 +150,67 @@ class ArchiveSpec extends SparkSpec {
     assert(ZipHeaders.entries(lying) == null)
   }
 
+  /** Hand-built single-member stored zip whose CENTRAL entry carries a
+   *  chosen uncompressed-size sentinel + zip64 extra — for forging the
+   *  hostile shapes the fixture encoder refuses to write. */
+  private def zipWithForgedExtra(
+      data: Array[Byte], extra: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def le16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    def le32(v: Long): Unit = {
+      out.write((v & 0xff).toInt); out.write(((v >> 8) & 0xff).toInt)
+      out.write(((v >> 16) & 0xff).toInt); out.write(((v >> 24) & 0xff).toInt)
+    }
+    val nb = "a".getBytes
+    val crc = new java.util.zip.CRC32; crc.update(data)
+    out.write('P'); out.write('K'); out.write(3); out.write(4)
+    le16(20); le16(0); le16(0); le16(0); le16(0)
+    le32(crc.getValue); le32(data.length); le32(data.length)
+    le16(nb.length); le16(0)
+    out.write(nb); out.write(data)
+    val cdStart = out.size()
+    out.write('P'); out.write('K'); out.write(1); out.write(2)
+    le16(20); le16(45); le16(0); le16(0); le16(0); le16(0)
+    le32(crc.getValue); le32(data.length)
+    le32(0xffffffffL) // uncompressed size: zip64 sentinel
+    le16(nb.length); le16(extra.length); le16(0)
+    le16(0); le16(0); le32(0)
+    le32(0) // local offset (real)
+    out.write(nb); out.write(extra)
+    val cdSize = out.size() - cdStart
+    out.write('P'); out.write('K'); out.write(5); out.write(6)
+    le16(0); le16(0); le16(1); le16(1)
+    le32(cdSize); le32(cdStart); le16(0)
+    out.toByteArray
+  }
+
+  test("zip64 forged extras: negative size and lying extra length are null, not throws") {
+    def le64(v: Long): Array[Byte] =
+      Array.tabulate[Byte](8)(k => ((v >>> (8 * k)) & 0xff).toByte)
+    // bit 63 set: leU64 resolves the size to a NEGATIVE long — both the
+    // downstream bounds guards pass for negatives and copyOfRange would
+    // throw IllegalArgumentException; the contract is null
+    val negSize = zipWithForgedExtra(data2,
+      Array[Byte](1, 0, 8, 0) ++ le64(0x8000000000000001L))
+    assert(ZipHeaders.entries(negSize).isEmpty) // lying entry ends the walk
+    assert(ZipHeaders.memberOrNull(negSize,
+      org.apache.spark.unsafe.types.UTF8String.fromString("a")) == null)
+    // extra declares len 200 inside a 12-byte extra region: trusting it
+    // would read the "zip64 size" out of whatever follows the entry
+    val lyingLen = zipWithForgedExtra(data2,
+      Array[Byte](1, 0, 200.toByte, 0) ++ le64(data2.length.toLong))
+    assert(ZipHeaders.entries(lyingLen).isEmpty)
+    assert(ZipHeaders.memberOrNull(lyingLen,
+      org.apache.spark.unsafe.types.UTF8String.fromString("a")) == null)
+    // control: the same shape with an honest (1, 8, size) extra parses
+    val honest = zipWithForgedExtra(data2,
+      Array[Byte](1, 0, 8, 0) ++ le64(data2.length.toLong))
+    val es = ZipHeaders.entries(honest)
+    assert(es != null && es.head.size == data2.length.toLong)
+    assert(java.util.Arrays.equals(
+      ZipHeaders.storedMember(honest, "a"), data2))
+  }
+
   test("zip corrupt bytes: null, never exceptions") {
     assert(ZipHeaders.entries("no zip here at all, definitely not".getBytes) == null)
     assert(ZipHeaders.entries(null) == null)
@@ -166,6 +227,34 @@ class ArchiveSpec extends SparkSpec {
       ZipHeaders.entriesArray(b)
       ZipHeaders.memberOrNull(b,
         org.apache.spark.unsafe.types.UTF8String.fromString("a"))
+    }
+  }
+
+  test("zunstd: round trip, tar.zst composition, bomb cap, corrupt-bytes null") {
+    val rt = ZstdBytes.zunstd(ArchiveCodec.zstd(data1), 1 << 20)
+    assert(java.util.Arrays.equals(rt, data1))
+    // concatenated frames decode as one stream
+    val two = ArchiveCodec.zstd(data1) ++ ArchiveCodec.zstd(data2)
+    assert(java.util.Arrays.equals(
+      ZstdBytes.zunstd(two, 1 << 20), data1 ++ data2))
+    // .tar.zst composes exactly like the gzip twin
+    val shard = ArchiveCodec.tar(Seq(("a.bin", data2), ("b.bin", data1)))
+    val es = TarHeaders.entries(ZstdBytes.zunstd(ArchiveCodec.zstd(shard), 1 << 22))
+    assert(es.map(_.name).toSeq == Seq("a.bin", "b.bin"))
+    // output cap: a highly compressible payload past maxBytes is null
+    val bomb = ArchiveCodec.zstd(new Array[Byte](1 << 20))
+    assert(ZstdBytes.zunstd(bomb, 1 << 10) == null)
+    assert(ZstdBytes.zunstd(bomb, 1 << 21) != null)
+    // non-zstd, truncated, and bit-flipped bytes: null, never throws
+    assert(ZstdBytes.zunstd("not zstd".getBytes, 1 << 20) == null)
+    assert(ZstdBytes.zunstd(null, 1 << 20) == null)
+    val good = ArchiveCodec.zstd(data1)
+    for (cut <- 4 until good.length) ZstdBytes.zunstd(good.take(cut), 1 << 20)
+    val rnd = new scala.util.Random(23)
+    for (_ <- 0 until 200) {
+      val b = good.clone()
+      b(rnd.nextInt(b.length)) = rnd.nextInt(256).toByte
+      ZstdBytes.zunstd(b, 1 << 20)
     }
   }
 

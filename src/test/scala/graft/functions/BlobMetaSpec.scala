@@ -38,6 +38,31 @@ class BlobMetaSpec extends SparkSpec {
     assert(Mp3Headers.parse(mp3) != null)
   }
 
+  test("ID3 unsynchronisation: v2.3 whole-tag and v2.4 per-frame stuffing decode clean") {
+    // 'ÿ' is 0xFF in Latin-1 — the byte unsync stuffing targets; common
+    // on older v2.3 writers, previously decoded garbled
+    val v23 = Id3Codec.encode(3,
+      Seq(("TIT2", "aÿb", 0), ("TPE1", "Artist éü", 1)), unsync = true)
+    assert((v23(5) & 0x80) != 0) // flag actually set on the fixture
+    assert(Id3Headers.parse(v23).toMap ==
+      Map("TIT2" -> "aÿb", "TPE1" -> "Artist éü"))
+    // v2.4: per-frame format flag 0x02, frame size counts stuffed bytes;
+    // the UTF-16 BOM (FE FF/FF FE) is itself a stuffing site
+    val v24 = Id3Codec.encode(4,
+      Seq(("TIT2", "xÿy", 0), ("TALB", "Альбом", 1)), unsync = true)
+    assert(Id3Headers.parse(v24).toMap ==
+      Map("TIT2" -> "xÿy", "TALB" -> "Альбом"))
+    // stuffed multi-frame walk stays aligned: a frame AFTER an unsynced
+    // one still parses (the size fields carry the walk, not the data)
+    val multi = Id3Codec.encode(4,
+      Seq(("TPE1", "ÿÿÿ", 0), ("TCON", "Rock", 3)), unsync = true)
+    assert(Id3Headers.parse(multi).toMap ==
+      Map("TPE1" -> "ÿÿÿ", "TCON" -> "Rock"))
+    // control: the same frames without unsync are unchanged by the fix
+    assert(Id3Headers.parse(Id3Codec.encode(3,
+      Seq(("TIT2", "aÿb", 0)))).toMap == Map("TIT2" -> "aÿb"))
+  }
+
   test("ID3 corrupt bytes: null for no tag, truncations never throw") {
     assert(Id3Headers.parse("no tag here".getBytes) == null)
     assert(Id3Headers.parse(null) == null)

@@ -92,6 +92,30 @@ class ContainerMetaSpec extends SparkSpec {
     assert(m.channels == -1 && m.sampleRate == 22050, s"got $m")
   }
 
+  test("MKV: oversized uint fields are rejected, not truncated to plausible values") {
+    import MkvCodec.{elem, uintPayload}
+    // a corrupt 5-byte PixelWidth of 0x100000010 would .toInt to 16 —
+    // a plausible small dimension — unless range-checked to null
+    def track(wPayload: Array[Byte], hPayload: Array[Byte]) =
+      elem(0xaeL, elem(0x83L, uintPayload(1)) ++
+        elem(0xe0L, elem(0xb0L, wPayload) ++ elem(0xbaL, hPayload)))
+    def doc(t: Array[Byte]) =
+      elem(0x1a45dfa3L, Array.emptyByteArray) ++ elem(0x18538067L,
+        elem(0x1549a966L, elem(0x2ad7b1L, uintPayload(1000000L))) ++
+          elem(0x1654ae6bL, t))
+    val m = MkvHeaders.parse(doc(
+      track(uintPayload(0x100000010L), uintPayload(480))))
+    assert(m != null && m.width == -1 && m.height == 480, s"got $m")
+    // same for an absurd channel count on the audio side
+    val aud = elem(0xaeL, elem(0x83L, uintPayload(2)) ++
+      elem(0xe1L, elem(0x9fL, uintPayload(0x7fffffff00L))))
+    val ma = MkvHeaders.parse(doc(aud))
+    assert(ma == null || ma.channels == -1, s"got $ma")
+    // a zero dimension is equally a lie
+    val z = MkvHeaders.parse(doc(track(uintPayload(0), uintPayload(480))))
+    assert(z != null && z.width == -1 && z.height == 480, s"got $z")
+  }
+
   test("MKV: audio-only and video-only tracks leave the other side null") {
     val a = MkvHeaders.parseRow(MkvCodec.encode(Double.NaN, audio = Some((1, 16000.0))))
     assert(a != null)

@@ -106,6 +106,35 @@ class TensorShardSpec extends SparkSpec {
     assert(TfRecordHeaders.entries(null) == null)
   }
 
+  test("TFRecord: trailing bytes shorter than a record header refuse the listing") {
+    val good = TensorShardCodec.tfrecord(Seq(
+      Array.fill[Byte](10)(1), Array.fill[Byte](30)(2)))
+    // a shard truncated MID-HEADER (1..15 trailing bytes) must not be
+    // indistinguishable from a cleanly framed one
+    for (extra <- 1 until 16)
+      assert(TfRecordHeaders.entries(good ++ Array.fill[Byte](extra)(9)) == null,
+        s"extra=$extra")
+    // clean framing still lists both records
+    assert(TfRecordHeaders.entries(good).length == 2)
+  }
+
+  test("tfrecord_member: payload extraction verifies the payload CRC") {
+    val p0 = "first payload".getBytes
+    val p1 = Array.tabulate[Byte](100)(i => (i * 3).toByte)
+    val b = TensorShardCodec.tfrecord(Seq(p0, p1))
+    assert(java.util.Arrays.equals(TfRecordHeaders.member(b, 0), p0))
+    assert(java.util.Arrays.equals(TfRecordHeaders.member(b, 1), p1))
+    assert(TfRecordHeaders.member(b, 2) == null)
+    assert(TfRecordHeaders.member(b, -1) == null)
+    // the inventory tolerates a corrupt PAYLOAD byte (length CRCs still
+    // chain) but extraction of that record refuses it
+    val bad = b.clone()
+    bad(14) = (bad(14) ^ 1).toByte // inside record 0's payload
+    assert(TfRecordHeaders.entries(bad).length == 2)
+    assert(TfRecordHeaders.member(bad, 0) == null)
+    assert(java.util.Arrays.equals(TfRecordHeaders.member(bad, 1), p1))
+  }
+
   test("TFRecord truncation/bit-flip fuzz never throws") {
     val good = TensorShardCodec.tfrecord(Seq(
       Array.fill[Byte](10)(1), Array.fill[Byte](30)(2)))
