@@ -128,6 +128,46 @@ object TarHeaders {
     null
   }
 
+  /** Parsed fields of ONE 512-byte header block — shared by the in-row
+   *  blob walk ([[entries]]) and the streaming shard source
+   *  ([[graft.sources.TarShards]]), so header semantics (checksum gate,
+   *  POSIX-vs-old-GNU prefix, octal/base-256 sizes) cannot diverge.
+   *  Longname/PAX override state is walk-level and stays with callers.
+   *  Null when the checksum gate or size field fails. */
+  private[graft] final case class Header(name: String, size: Long, typ: Char)
+
+  private[graft] def headerAt(b: Array[Byte], off: Int): Header = {
+    if (!checksumOk(b, off)) return null
+    val size = num(b, off + 124, 12)
+    if (size < 0) return null
+    val typ = (b(off + 156) & 0xff).toChar
+    val base = str(b, off, 100)
+    // the prefix field exists only in POSIX ustar (magic "ustar\0",
+    // version "00"); old-GNU format ("ustar  ") stores atime/ctime
+    // there, which must NOT be read as a path prefix
+    val posix = b(off + 257) == 'u' && b(off + 258) == 's' &&
+      b(off + 259) == 't' && b(off + 260) == 'a' && b(off + 261) == 'r' &&
+      b(off + 262) == 0 && b(off + 263) == '0' && b(off + 264) == '0'
+    val prefix = if (posix) str(b, off + 345, 155) else ""
+    Header(if (prefix.nonEmpty) prefix + "/" + base else base, size, typ)
+  }
+
+  private[graft] def typeName(typ: Char): String = typ match {
+    case '0' | 0 => "file"
+    case '5' => "dir"
+    case '1' => "hardlink"
+    case '2' => "symlink"
+    case other => other.toString
+  }
+
+  /** GNU longname payload: NUL-terminated ISO-8859-1. */
+  private[graft] def longName(b: Array[Byte], off: Int, len: Int): String =
+    str(b, off, len)
+
+  /** PAX 'x' payload's `path` override, or null. */
+  private[graft] def paxPathOf(b: Array[Byte], off: Int, len: Int): String =
+    paxPath(b, off, len)
+
   def entries(b: Array[Byte]): Array[Entry] = {
     if (b == null || b.length < 512) return null
     // checksum gate: a random/non-tar first block fails with overwhelming
@@ -140,46 +180,28 @@ object TarHeaders {
     while (i + 512 <= b.length && out.length < MaxEntries) {
       val off = i.toInt
       if (b(off) == 0) return out.toArray // end-of-archive zero block
-      if (!checksumOk(b, off)) return out.toArray // corrupt header ends the walk
-      val size = num(b, off + 124, 12)
-      if (size < 0) return out.toArray
-      val typ = (b(off + 156) & 0xff).toChar
+      val h = headerAt(b, off)
+      if (h == null) return out.toArray // corrupt header ends the walk
       val dataStart = i + 512
-      val dataBlocks = (size + 511) / 512
-      if (dataStart + size > b.length) return out.toArray // truncated
-      if (typ == 'L') { // GNU longname: data IS the next entry's name
+      val dataBlocks = (h.size + 511) / 512
+      if (dataStart + h.size > b.length) return out.toArray // truncated
+      if (h.typ == 'L') { // GNU longname: data IS the next entry's name
         pendingLongName = str(b, dataStart.toInt,
-          math.min(size, 4096L).toInt)
-      } else if (typ == 'x' || typ == 'g') {
+          math.min(h.size, 4096L).toInt)
+      } else if (h.typ == 'x' || h.typ == 'g') {
         // PAX extended header (bsdtar / GNU --format=posix): the per-file
         // 'x' record's path= overrides the NEXT entry's name; global 'g'
         // records are skipped. Neither is a member.
-        if (typ == 'x')
-          pendingPaxPath = paxPath(b, dataStart.toInt, math.min(size, 1 << 16).toInt)
+        if (h.typ == 'x')
+          pendingPaxPath = paxPath(b, dataStart.toInt, math.min(h.size, 1 << 16).toInt)
       } else {
-        val base = str(b, off, 100)
-        // the prefix field exists only in POSIX ustar (magic "ustar\0",
-        // version "00"); old-GNU format ("ustar  ") stores atime/ctime
-        // there, which must NOT be read as a path prefix
-        val posix = b(off + 257) == 'u' && b(off + 258) == 's' &&
-          b(off + 259) == 't' && b(off + 260) == 'a' && b(off + 261) == 'r' &&
-          b(off + 262) == 0 && b(off + 263) == '0' && b(off + 264) == '0'
-        val prefix = if (posix) str(b, off + 345, 155) else ""
         val name =
           if (pendingPaxPath != null) pendingPaxPath
           else if (pendingLongName != null) pendingLongName
-          else if (prefix.nonEmpty) prefix + "/" + base
-          else base
+          else h.name
         pendingLongName = null
         pendingPaxPath = null
-        val t = typ match {
-          case '0' | 0 => "file"
-          case '5' => "dir"
-          case '1' => "hardlink"
-          case '2' => "symlink"
-          case other => other.toString
-        }
-        if (name.nonEmpty) out += Entry(name, size, dataStart, t)
+        if (name.nonEmpty) out += Entry(name, h.size, dataStart, typeName(h.typ))
       }
       i = dataStart + dataBlocks * 512
     }
@@ -794,46 +816,54 @@ object ArchiveCodec {
   def tar(members: Seq[(String, Array[Byte])]): Array[Byte] =
     tarTyped(members.map { case (n, d) => (n, d, '0') })
 
+  /** One 512-byte ustar header — shared by [[tarTyped]] and streaming
+   *  fixtures that plant headers for payloads they never materialize
+   *  (the multi-GB generated-shard specs). */
+  def tarHeader(name: String, size: Long, typ: Char,
+      gnuMagic: Boolean = false, gnuAtime: Long = 0L): Array[Byte] = {
+    val h = new Array[Byte](512)
+    val nb = name.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    require(nb.length <= 100, "fixture names fit the base field")
+    System.arraycopy(nb, 0, h, 0, nb.length)
+    def octal(off: Int, len: Int, v: Long): Unit = {
+      val s = java.lang.Long.toOctalString(v)
+      val padded = ("0" * (len - 1 - s.length)) + s
+      var k = 0
+      while (k < len - 1) { h(off + k) = padded.charAt(k).toByte; k += 1 }
+      h(off + len - 1) = 0
+    }
+    octal(100, 8, 420) // mode 0644
+    octal(108, 8, 0); octal(116, 8, 0)
+    octal(124, 12, size)
+    octal(136, 12, 0)
+    h(156) = typ.toByte
+    if (gnuMagic) {
+      System.arraycopy("ustar  ".getBytes, 0, h, 257, 7) // old-GNU magic
+      octal(345, 12, gnuAtime) // atime where POSIX puts prefix
+    } else {
+      System.arraycopy("ustar".getBytes, 0, h, 257, 5)
+      h(263) = '0'; h(264) = '0' // version "00"
+    }
+    // checksum: field as spaces, unsigned byte sum, 6 octal + NUL + space
+    java.util.Arrays.fill(h, 148, 156, ' '.toByte)
+    var sum = 0
+    var k = 0
+    while (k < 512) { sum += h(k) & 0xff; k += 1 }
+    val cs = java.lang.Long.toOctalString(sum)
+    val csp = ("0" * (6 - cs.length)) + cs
+    k = 0
+    while (k < 6) { h(148 + k) = csp.charAt(k).toByte; k += 1 }
+    h(154) = 0; h(155) = ' '
+    h
+  }
+
   /** Typed members; `gnuMagic` writes the old-GNU "ustar  \0" magic with
    *  an atime at offset 345 (where POSIX puts the prefix field). */
   def tarTyped(members: Seq[(String, Array[Byte], Char)],
       gnuMagic: Boolean = false, gnuAtime: Long = 0L): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     for ((name, data, typ) <- members) {
-      val h = new Array[Byte](512)
-      val nb = name.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
-      require(nb.length <= 100, "fixture names fit the base field")
-      System.arraycopy(nb, 0, h, 0, nb.length)
-      def octal(off: Int, len: Int, v: Long): Unit = {
-        val s = java.lang.Long.toOctalString(v)
-        val padded = ("0" * (len - 1 - s.length)) + s
-        var k = 0
-        while (k < len - 1) { h(off + k) = padded.charAt(k).toByte; k += 1 }
-        h(off + len - 1) = 0
-      }
-      octal(100, 8, 420) // mode 0644
-      octal(108, 8, 0); octal(116, 8, 0)
-      octal(124, 12, data.length)
-      octal(136, 12, 0)
-      h(156) = typ.toByte
-      if (gnuMagic) {
-        System.arraycopy("ustar  ".getBytes, 0, h, 257, 7) // old-GNU magic
-        octal(345, 12, gnuAtime) // atime where POSIX puts prefix
-      } else {
-        System.arraycopy("ustar".getBytes, 0, h, 257, 5)
-        h(263) = '0'; h(264) = '0' // version "00"
-      }
-      // checksum: field as spaces, unsigned byte sum, 6 octal + NUL + space
-      java.util.Arrays.fill(h, 148, 156, ' '.toByte)
-      var sum = 0
-      var k = 0
-      while (k < 512) { sum += h(k) & 0xff; k += 1 }
-      val cs = java.lang.Long.toOctalString(sum)
-      val csp = ("0" * (6 - cs.length)) + cs
-      k = 0
-      while (k < 6) { h(148 + k) = csp.charAt(k).toByte; k += 1 }
-      h(154) = 0; h(155) = ' '
-      out.write(h)
+      out.write(tarHeader(name, data.length, typ, gnuMagic, gnuAtime))
       out.write(data)
       val pad = (512 - data.length % 512) % 512
       out.write(new Array[Byte](pad))

@@ -3295,6 +3295,50 @@ object Battery {
           decode(col("__p"), "UTF-8").as("payload"))
     }),
 
+    // STREAMING WebDataset shard source (TarShards.readWebDataset): the
+    // q234 shards written as real FILES (plain tar / tar.gz / tar.zst by
+    // doc_id%3) and read back by the streaming source — file-level
+    // parallelism, O(member) memory, never a whole-shard blob. The
+    // aggregation replays q234's closed form AND pins the streamed
+    // payload bytes (sum(length(payload)) == header sizes), proving the
+    // stream path delivers the same members the blob walk lists.
+    "q242_webdataset_stream" -> ((s, d) => {
+      import s.implicits._
+      import graft.functions.ArchiveCodec
+      val dir = java.nio.file.Files.createTempDirectory("graft_wds_").toString
+      val blobs = docs(s, d).select(col("doc_id")).as[Long].map { id =>
+        val ns = (id % 4 + 1).toInt
+        val members = (1 to ns).flatMap { j =>
+          val key = f"$j%06d"
+          Seq(
+            (s"$key.jpg", Array.tabulate[Byte]((j * 3 + 5))(k => (k + j).toByte)),
+            (s"$key.txt", Array.tabulate[Byte]((j * 2 + 1))(k => k.toByte))) ++
+            (if (id % 2 == 0) Seq((s"$key.json", Array.fill[Byte](4)('x')))
+             else Nil)
+        }
+        val tar = ArchiveCodec.tar(members)
+        (id % 3).toInt match {
+          case 0 => (id, "tar", tar)
+          case 1 => (id, "tar.gz", ArchiveCodec.gzip(tar))
+          case _ => (id, "tar.zst", ArchiveCodec.zstd(tar))
+        }
+      }.toDF("doc_id", "ext", "bytes")
+      blobs.foreach { (r: org.apache.spark.sql.Row) =>
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(dir, s"shard-${r.getLong(0)}.${r.getString(1)}"),
+          r.getAs[Array[Byte]](2))
+        ()
+      }
+      graft.sources.TarShards.readWebDataset(s, dir + "/shard-*")
+        .withColumn("doc_id",
+          regexp_extract(col("shard"), "shard-(\\d+)\\.tar", 1).cast("long"))
+        .groupBy(col("doc_id"), col("sample_key"))
+        .agg(count(lit(1)).as("n_members"),
+          sum(col("member_size")).as("total_bytes"),
+          sum(length(col("payload"))).cast("long").as("payload_bytes"),
+          array_join(sort_array(collect_list(col("member_ext"))), ",").as("exts"))
+    }),
+
     // PNG corner coverage (Adam7 interlace + 16-bit depth): the q210
     // planted pattern re-encoded through the corner layouts — interlaced
     // 8-bit, plain 16-bit (noise in the ignored low bytes), 16-bit AND
@@ -6839,6 +6883,22 @@ object Battery {
         |  CAST(512 + (t.k - 1) * 1024 AS BIGINT) AS byte_off
         |FROM documents d, range(1, 5) t(k)
         |WHERE t.k <= d.doc_id % 4 + 1""".stripMargin,
+    // the q234 closed form, re-derived through the streaming source; the
+    // streamed payload byte count must equal the header-declared sizes
+    "q242_webdataset_stream" ->
+      """SELECT d.doc_id, lpad(CAST(t.j AS VARCHAR), 6, '0') AS sample_key,
+        |  CAST(CASE WHEN d.doc_id % 2 = 0 THEN 3 ELSE 2 END AS BIGINT)
+        |    AS n_members,
+        |  CAST(t.j * 3 + 5 + t.j * 2 + 1
+        |    + CASE WHEN d.doc_id % 2 = 0 THEN 4 ELSE 0 END AS BIGINT)
+        |    AS total_bytes,
+        |  CAST(t.j * 3 + 5 + t.j * 2 + 1
+        |    + CASE WHEN d.doc_id % 2 = 0 THEN 4 ELSE 0 END AS BIGINT)
+        |    AS payload_bytes,
+        |  CASE WHEN d.doc_id % 2 = 0 THEN 'jpg,json,txt'
+        |    ELSE 'jpg,txt' END AS exts
+        |FROM documents d, range(1, 5) t(j)
+        |WHERE t.j <= d.doc_id % 4 + 1""".stripMargin,
     // record (id % m) carries (id%m)*3 + id%7 + 1 copies of its letter
     "q241_tfrecord_member" ->
       """WITH p AS (

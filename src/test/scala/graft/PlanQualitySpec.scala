@@ -410,6 +410,25 @@ class PlanQualitySpec extends SparkSpec {
     assert(firstAgg.contains("partial_count"), s"expected partial agg below the exchange:\n$plan")
   }
 
+  test("streamed WebDataset sample assembly: one exchange, map-side partial agg") {
+    import org.apache.spark.sql.functions.{col, count, lit, sum, length => blen}
+    val dir = java.nio.file.Files.createTempDirectory("graft_pq_wds_").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "s0.tar"),
+      graft.functions.ArchiveCodec.tar(Seq(
+        ("000001.jpg", Array.fill[Byte](9)(1)), ("000001.txt", Array.fill[Byte](3)(2)))))
+    val agg = graft.sources.TarShards.readWebDataset(spark, dir + "/*")
+      .groupBy(col("shard"), col("sample_key"))
+      .agg(count(lit(1)), sum(blen(col("payload"))))
+    val plan = agg.queryExecution.executedPlan.toString
+    // one shuffle (the sample groupBy) and nothing upstream of it: the
+    // member payloads themselves never shuffle — only the grouped columns
+    val exchanges = plan.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges == 1, s"expected exactly 1 shuffle, plan:\n$plan")
+    val partial = plan.linesIterator.toSeq.reverse
+      .find(_.contains("HashAggregate")).getOrElse("")
+    assert(partial.contains("partial"), s"expected map-side partial agg:\n$plan")
+  }
+
   test("PII redaction is pure codegen: zero exchanges, one WholeStageCodegen span") {
     val docs = graft.tables.Tables.documents(spark, sf)
     val plan = graft.operators.Pii.redact(docs, "text")

@@ -1,0 +1,177 @@
+package graft.sources
+
+import java.io.ByteArrayInputStream
+import java.nio.file.Files
+
+import graft.SparkSpec
+import graft.functions.{ArchiveCodec, TarHeaders}
+import org.apache.spark.sql.functions._
+
+/** Streaming tar/WebDataset shard source: streamed ≡ blob walk on the
+ *  same shards, compression sniffing, GNU/PAX name semantics through the
+ *  stream path, FAILFAST, and the beyond-2GB O(member)-memory proof. */
+class TarShardsSpec extends SparkSpec {
+
+  private val data1 = Array.tabulate[Byte](700)(i => (i % 251).toByte)
+  private val data2 = "streamed member".getBytes
+
+  test("streamed members match the blob walk exactly (names, sizes, offsets, payloads)") {
+    val shard = ArchiveCodec.tar(Seq(
+      ("000001.jpg", data1), ("000001.txt", data2), ("sub/000002.jpg", data2)))
+    val streamed = TarShards.members(
+      new ByteArrayInputStream(shard), "mem").toList
+    val blob = TarHeaders.entries(shard)
+    assert(streamed.map(_.name) == blob.map(_.name).toList)
+    assert(streamed.map(_.size) == blob.map(_.size).toList)
+    assert(streamed.map(_.byteOff) == blob.map(_.offset).toList)
+    assert(streamed.map(_.typ) == blob.map(_.typ).toList)
+    // payloads are the actual member bytes
+    assert(java.util.Arrays.equals(streamed.head.payload, data1))
+    assert(java.util.Arrays.equals(streamed(1).payload, data2))
+  }
+
+  test("gzip and zstd shards stream through magic sniffing; dirs carry no payload") {
+    val shard = ArchiveCodec.tarTyped(Seq(
+      ("d/", Array.emptyByteArray, '5'), ("d/a.bin", data2, '0')))
+    for (wrap <- Seq[Array[Byte] => Array[Byte]](
+        identity, ArchiveCodec.gzip(_), ArchiveCodec.zstd(_))) {
+      val ms = TarShards.members(
+        new ByteArrayInputStream(wrap(shard)), "mem").toList
+      assert(ms.map(m => (m.name, m.typ)) ==
+        List(("d/", "dir"), ("d/a.bin", "file")))
+      assert(ms.head.payload == null)
+      assert(java.util.Arrays.equals(ms(1).payload, data2))
+      // offsets are UNCOMPRESSED-stream offsets in every wrapping (the
+      // zero-size dir entry occupies only its 512-byte header block)
+      assert(ms.map(_.byteOff) == List(512L, 1024L))
+    }
+  }
+
+  test("GNU longname and PAX path overrides ride the stream walk") {
+    val pax = ArchiveCodec.tarTyped(Seq(
+      ("././@PaxHeader", ArchiveCodec.paxPayload("deep/override.bin"), 'x'),
+      ("short.bin", data2, '0'),
+      ("plain.bin", data2, '0')))
+    val ms = TarShards.members(new ByteArrayInputStream(pax), "mem").toList
+    assert(ms.map(_.name) == List("deep/override.bin", "plain.bin"))
+    // ...and matches the blob walk
+    assert(TarHeaders.entries(pax).map(_.name).toList == ms.map(_.name))
+  }
+
+  test("FAILFAST: corrupt mid-stream header aborts with shard + member index") {
+    val shard = ArchiveCodec.tar(Seq(("a.bin", data2), ("b.bin", data1)))
+    val bad = shard.clone()
+    bad(1024 + 148) = (bad(1024 + 148) ^ 1).toByte // b.bin's checksum (a.bin spans 512+512)
+    val it = TarShards.members(new ByteArrayInputStream(bad), "shard-7.tar")
+    val e = intercept[IllegalArgumentException](it.toList)
+    assert(e.getMessage.contains("shard-7.tar"))
+    assert(e.getMessage.contains("member 1"))
+    // over-cap member: FAILFAST, not a silent skip
+    val big = TarShards.members(
+      new ByteArrayInputStream(shard), "mem", maxMemberBytes = 100)
+    val e2 = intercept[IllegalArgumentException](big.toList)
+    assert(e2.getMessage.contains("exceeds cap"))
+  }
+
+  /** A virtual tar served on the fly: n members of `memberSize` zeros —
+   *  the whole shard NEVER exists in memory, so iterating it proves the
+   *  reader holds O(member), not O(shard). */
+  private final class GeneratedTar(nMembers: Int, memberSize: Int)
+      extends java.io.InputStream {
+    require(memberSize % 512 == 0)
+    private val span = 512L + memberSize
+    val totalBytes: Long = nMembers * span + 1024
+    private var pos = 0L
+    private var curIdx = -1
+    private var curHeader: Array[Byte] = _
+    override def read(): Int = {
+      val b = new Array[Byte](1)
+      if (read(b, 0, 1) < 0) -1 else b(0) & 0xff
+    }
+    override def read(buf: Array[Byte], off: Int, len: Int): Int = {
+      if (pos >= totalBytes) return -1
+      val k = math.min((pos / span).toInt, nMembers) // trailer zone = nMembers
+      val inSpan = pos - k * span
+      if (k < nMembers && inSpan < 512) {
+        if (k != curIdx) {
+          curIdx = k
+          curHeader = ArchiveCodec.tarHeader(f"m$k%05d.bin", memberSize, '0')
+        }
+        val n = math.min(len.toLong, 512 - inSpan).toInt
+        System.arraycopy(curHeader, inSpan.toInt, buf, off, n)
+        pos += n; n
+      } else {
+        val zoneEnd = if (k < nMembers) (k + 1) * span else totalBytes
+        val n = math.min(len.toLong, zoneEnd - pos).toInt
+        java.util.Arrays.fill(buf, off, off + n, 0.toByte)
+        pos += n; n
+      }
+    }
+  }
+
+  test("a shard LARGER than the 2 GB blob cap streams with O(member) memory") {
+    // 23 x 100 MB = ~2.35 GB of virtual shard — unrepresentable as a
+    // BinaryType blob (hard 2 GB array cap), generated on the fly so the
+    // test itself never holds more than one member either
+    val memberSize = 100 * 1024 * 1024
+    val gen = new GeneratedTar(23, memberSize)
+    assert(gen.totalBytes > Int.MaxValue.toLong, s"shard must exceed the blob cap")
+    var count = 0
+    var lastOff = -1L
+    TarShards.members(gen, "gen", maxMemberBytes = memberSize).foreach { m =>
+      assert(m.name == f"m$count%05d.bin")
+      assert(m.size == memberSize.toLong)
+      assert(m.byteOff == count * (512L + memberSize) + 512L)
+      assert(m.payload.length == memberSize)
+      lastOff = m.byteOff
+      count += 1
+    }
+    assert(count == 23)
+    assert(lastOff + memberSize > Int.MaxValue.toLong) // truly past the cap
+  }
+
+  test("Spark source: mixed-compression shard dir, streamed ≡ webdatasetSamples") {
+    val spark = this.spark
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_tarshards_").toString
+    // each shard carries an INCOMPRESSIBLE 5 MB filler so the on-disk
+    // files exceed spark.files.openCostInBytes (4 MB) in every wrapping —
+    // below that, binaryFiles legitimately combines files into one split
+    val filler = { val b = new Array[Byte](5 * 1024 * 1024)
+      new scala.util.Random(42).nextBytes(b); b }
+    def shard(ids: Seq[Int]): Array[Byte] =
+      ArchiveCodec.tar(ids.flatMap { j =>
+        Seq((f"$j%06d.jpg", Array.tabulate[Byte](j * 3 + 5)(k => (k + j).toByte)),
+          (f"$j%06d.txt", Array.tabulate[Byte](j * 2 + 1)(k => k.toByte)))
+      } :+ ("fill.bin", filler))
+    val raw = Seq(shard(Seq(1, 2)), shard(Seq(3)), shard(Seq(4, 5, 6)))
+    Files.write(java.nio.file.Paths.get(dir, "shard-0.tar"), raw(0))
+    Files.write(java.nio.file.Paths.get(dir, "shard-1.tar.gz"),
+      ArchiveCodec.gzip(raw(1)))
+    Files.write(java.nio.file.Paths.get(dir, "shard-2.tar.zst"),
+      ArchiveCodec.zstd(raw(2)))
+    val streamed = TarShards.readWebDataset(spark, dir + "/*")
+      .select(col("sample_key"), col("member_ext"), col("member_size"),
+        length(col("payload")).cast("long").as("plen"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    // blob-based twin over the same shard bytes
+    val blobs = raw.zipWithIndex.map { case (b, i) => (i.toLong, b) }
+      .toDF("sid", "blob")
+    val viaBlob = graft.operators.Multimodal.webdatasetSamples(blobs, "blob")
+      .select(col("sample_key"), col("member_ext"), col("member_size"),
+        col("member_size").as("plen"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(streamed == viaBlob)
+    // 6 samples x 2 members + the filler tuple (identical across shards,
+    // collapsed by the set)
+    assert(streamed.size == 13)
+    // file-level parallelism: binaryFiles combines TINY files into one
+    // split, but a high minPartitions (small max split size) yields one
+    // task per shard — the shape a lake of GB shards gets by default,
+    // since a split never spans two files
+    assert(TarShards.read(spark, dir + "/*", minPartitions = 1000)
+      .rdd.getNumPartitions == 3)
+  }
+}
