@@ -217,6 +217,11 @@ package object functions {
       (exprs: Seq[Expression]) => new GunzipExpr(exprs.head,
         intLit(exprs(1), "gunzip maxBytes")))
     registry.registerFunction(
+      FunctionIdentifier("flac_pcm"),
+      new ExpressionInfo(classOf[FlacPcmExpr].getName, "flac_pcm"),
+      (exprs: Seq[Expression]) => new FlacPcmExpr(exprs.head,
+        intLit(exprs(1), "flac_pcm maxSamples")))
+    registry.registerFunction(
       FunctionIdentifier("zunstd"),
       new ExpressionInfo(classOf[ZunstdExpr].getName, "zunstd"),
       (exprs: Seq[Expression]) => new ZunstdExpr(exprs.head,

@@ -3339,6 +3339,45 @@ object Battery {
           array_join(sort_array(collect_list(col("member_ext"))), ",").as("exts"))
     }),
 
+    // FLAC sample decode (flac_pcm): planted PCM through the REAL FLAC
+    // encoder — Rice coding, fixed/LPC predictors (mode by doc_id%4),
+    // stereo decorrelation (mid/side / left/side on even docs), 32-sample
+    // frames so every doc chains multiple frames — decodes back to
+    // samples whose integer-exact stats replay the WAV twin's closed
+    // form bit-for-bit.
+    "q243_flac_decode" -> ((s, d) => {
+      import s.implicits._
+      import graft.functions.FlacCodec
+      val blobs = docs(s, d).select(col("doc_id")).as[Long].map { id =>
+        val n = (id % 50 + 20).toInt
+        val amp = (id % 3000 + 100).toInt
+        val channels = if (id % 2 == 0) 2 else 1
+        val samples = Array.tabulate(n * channels) { k =>
+          val j = k / channels
+          if (j % 3 == 0) amp else if (j % 3 == 1) -amp else 0
+        }
+        val mode = (id % 4).toInt match {
+          case 0 => "fixed2"
+          case 1 => "fixed1"
+          case 2 => "verbatim"
+          case _ => "lpc1"
+        }
+        val stereo =
+          if (channels == 2) { if (id % 3 == 0) "midside" else "leftside" }
+          else "independent"
+        (id, FlacCodec.encodePcm16(16000, channels, samples,
+          blockSize = 32, mode = mode, stereo = stereo))
+      }.toDF("doc_id", "blob")
+      blobs.select(col("doc_id"),
+          graft.functions.AudioStats(
+            graft.functions.FlacPcmExpr(col("blob")), 50).as("st"))
+        .select(col("doc_id"),
+          col("st.n_samples").as("n_samples"),
+          col("st.peak").as("peak"),
+          col("st.sum_sq").as("sum_sq"),
+          col("st.n_silent").as("n_silent"))
+    }),
+
     // PNG corner coverage (Adam7 interlace + 16-bit depth): the q210
     // planted pattern re-encoded through the corner layouts — interlaced
     // 8-bit, plain 16-bit (noise in the ignored low bytes), 16-bit AND
@@ -6899,6 +6938,19 @@ object Battery {
         |    ELSE 'jpg,txt' END AS exts
         |FROM documents d, range(1, 5) t(j)
         |WHERE t.j <= d.doc_id % 4 + 1""".stripMargin,
+    // integer-exact stats of the planted amp/-amp/0 pattern, per channel
+    "q243_flac_decode" ->
+      """WITH p AS (
+        |  SELECT doc_id, doc_id % 50 + 20 AS n, doc_id % 3000 + 100 AS amp,
+        |    CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 1 END AS ch
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(n * ch AS BIGINT) AS n_samples,
+        |  CAST(amp AS BIGINT) AS peak,
+        |  CAST(amp * amp * (((n + 2) // 3) + ((n + 1) // 3)) * ch AS BIGINT)
+        |    AS sum_sq,
+        |  CAST((n // 3) * ch AS BIGINT) AS n_silent
+        |FROM p""".stripMargin,
     // record (id % m) carries (id%m)*3 + id%7 + 1 copies of its letter
     "q241_tfrecord_member" ->
       """WITH p AS (
