@@ -5,6 +5,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.graftshim.GraftShims
 import org.apache.spark.sql.types._
 
@@ -204,6 +205,67 @@ object MkvHeaders {
     StructField("channels", IntegerType, nullable = true),
     StructField("sample_rate", IntegerType, nullable = true)))
 
+  // Cues: Matroska's seek index — the element a player reads to jump to
+  // keyframes without scanning Clusters
+  private val Cues = 0x1c53bb6bL
+  private val CuePoint = 0xbbL
+  private val CueTime = 0xb3L
+  private val CueTrackPositions = 0xb7L
+  private val CueClusterPosition = 0xf1L
+
+  /** KEYFRAME plan from the Cues element — the Matroska twin of MP4's
+   *  stss planning ([[VideoKeyframes]]): each CuePoint is a seekable
+   *  sync position, (t_ms from CueTime x TimestampScale, cluster byte
+   *  offset from the first CueTrackPositions' CueClusterPosition,
+   *  segment-relative per the spec). First `maxPoints` cue points — the
+   *  planning cap, same semantics as the MP4 twin. Null when the
+   *  document has no parseable Cues. */
+  def cues(b: Array[Byte], maxPoints: Int): Array[(Long, Long)] = {
+    if (b == null || b.length < 8 || maxPoints <= 0) return null
+    val head = readId(b, 0, b.length)
+    if (head == null || head._1 != EbmlHeader) return null
+    val seg = childOf(b, 0, b.length, Segment).getOrElse(return null)
+    var scale = 1000000L
+    childOf(b, seg._1, seg._2, Info).foreach { case (is, ie) =>
+      childOf(b, is, ie, TimestampScale).foreach { case (s, e) =>
+        val v = uint(b, s, e); if (v > 0) scale = v
+      }
+    }
+    val cuesElem = childOf(b, seg._1, seg._2, Cues).getOrElse(return null)
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val it = children(b, cuesElem._1, cuesElem._2)
+    while (it.hasNext && out.length < maxPoints) {
+      val (id, ps, pe) = it.next()
+      if (id == CuePoint) {
+        val ticks = childOf(b, ps, pe, CueTime)
+          .map { case (s, e) => uint(b, s, e) }.getOrElse(-1L)
+        val clusterOff = childOf(b, ps, pe, CueTrackPositions)
+          .flatMap { case (ts, te) => childOf(b, ts, te, CueClusterPosition) }
+          .map { case (s, e) => uint(b, s, e) }.getOrElse(-1L)
+        // a cue point missing its time or position is a lying index entry
+        if (ticks < 0 || clusterOff < 0) return if (out.isEmpty) null else out.toArray
+        if (ticks > (1L << 50) / scale) return null // lying timestamp
+        out += ((ticks * scale / 1000000L, clusterOff))
+      }
+    }
+    if (out.isEmpty) null else out.toArray
+  }
+
+  val cueElementType: StructType = StructType(Seq(
+    StructField("t_ms", LongType, nullable = false),
+    StructField("cluster_off", LongType, nullable = false)))
+
+  /** Shared eval for interpreted and generated code paths. */
+  def cuesArray(b: Array[Byte], maxPoints: Int): GenericArrayData = {
+    val cs =
+      try cues(b, maxPoints)
+      catch { case _: IndexOutOfBoundsException => null }
+    if (cs == null) return null
+    new GenericArrayData(cs.map[Any] { case (t, off) =>
+      new GenericInternalRow(Array[Any](t, off))
+    })
+  }
+
   /** Shared eval for interpreted and generated code paths. */
   def parseRow(bytes: Array[Byte]): InternalRow = {
     val m =
@@ -265,6 +327,56 @@ object MkvMetaExpr {
     GraftShims.column(new MkvMetaExpr(GraftShims.expression(col)))
 }
 
+/** `mkv_cues(blob, maxPoints)` → array<struct<t_ms, cluster_off>> of the
+ *  first `maxPoints` Cues keyframe positions; null for non-EBML bytes or
+ *  documents without a Cues index. */
+case class MkvCuesExpr(child: Expression, maxPoints: Int) extends UnaryExpression {
+
+  require(maxPoints > 0, "maxPoints must be positive")
+
+  override def dataType: DataType =
+    ArrayType(MkvHeaders.cueElementType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case BinaryType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case dt => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"mkv_cues needs a binary column, got $dt")
+    }
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) null
+    else MkvHeaders.cuesArray(v.asInstanceOf[Array[Byte]], maxPoints)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    val cls = MkvHeaders.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    ev.copy(code = code"""
+      |${c.code}
+      |org.apache.spark.sql.catalyst.util.GenericArrayData ${ev.value} = null;
+      |boolean ${ev.isNull} = ${c.isNull};
+      |if (!${ev.isNull}) {
+      |  ${ev.value} = $cls.cuesArray(${c.value}, $maxPoints);
+      |  ${ev.isNull} = ${ev.value} == null;
+      |}
+     """.stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "mkv_cues"
+}
+
+object MkvCuesExpr {
+  def apply(col: Column, maxPoints: Int): Column =
+    GraftShims.column(new MkvCuesExpr(GraftShims.expression(col), maxPoints))
+}
+
 /** Fixture encoder: minimal spec-layout EBML/Matroska documents. */
 object MkvCodec {
 
@@ -297,7 +409,8 @@ object MkvCodec {
       durationTicks: Double, timestampScale: Long = 1000000L,
       video: Option[(Int, Int)] = None,
       audio: Option[(Int, Double)] = None, // (channels, samplingFrequency)
-      unknownSizeSegment: Boolean = false): Array[Byte] = {
+      unknownSizeSegment: Boolean = false,
+      cues: Seq[(Long, Long)] = Nil): Array[Byte] = { // (ticks, clusterOff)
     val ebml = elem(0x1a45dfa3L, Array.emptyByteArray)
     val info = elem(0x1549a966L,
       elem(0x2ad7b1L, uintPayload(timestampScale)) ++
@@ -318,7 +431,14 @@ object MkvCodec {
     val tracks =
       if (vTrack.isEmpty && aTrack.isEmpty) Array.emptyByteArray
       else elem(0x1654ae6bL, vTrack ++ aTrack)
-    val segPayload = info ++ tracks
+    val cuesElem =
+      if (cues.isEmpty) Array.emptyByteArray
+      else elem(0x1c53bb6bL, cues.toArray.flatMap { case (ticks, off) =>
+        elem(0xbbL,
+          elem(0xb3L, uintPayload(ticks)) ++
+            elem(0xb7L, elem(0xf1L, uintPayload(off))))
+      })
+    val segPayload = info ++ tracks ++ cuesElem
     val segment =
       if (!unknownSizeSegment) elem(0x18538067L, segPayload)
       else idBytes(0x18538067L) ++ Array(0xff.toByte) ++ segPayload

@@ -217,6 +217,11 @@ package object functions {
       (exprs: Seq[Expression]) => new GunzipExpr(exprs.head,
         intLit(exprs(1), "gunzip maxBytes")))
     registry.registerFunction(
+      FunctionIdentifier("mkv_cues"),
+      new ExpressionInfo(classOf[MkvCuesExpr].getName, "mkv_cues"),
+      (exprs: Seq[Expression]) => new MkvCuesExpr(exprs.head,
+        intLit(exprs(1), "mkv_cues maxPoints")))
+    registry.registerFunction(
       FunctionIdentifier("flac_pcm"),
       new ExpressionInfo(classOf[FlacPcmExpr].getName, "flac_pcm"),
       (exprs: Seq[Expression]) => new FlacPcmExpr(exprs.head,

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -1038,14 +1038,33 @@ object Dedup {
    *  persists in [[dropByPairs]]/[[connectedComponents]]. The droppers
    *  unpersist these once their labels materialize; the raw pair miners
    *  ([[hammingPairs]]/[[hammingPairsAgainst]]) return lazy frames whose
-   *  cache lives until the caller unpersists or the session ends. */
+   *  cache lives until the caller unpersists or the session ends — use
+   *  [[hammingPairsReleased]]/[[hammingPairsAgainstReleased]] for
+   *  deterministic release in long-lived sessions. */
   private def persistedSigs(sigsIn: DataFrame): DataFrame =
     sigsIn.select(col("id"), col("sh")).filter(col("sh").isNotNull)
       .persist(StorageLevel.MEMORY_AND_DISK)
 
   def hammingPairs(sigsIn: DataFrame, maxHamming: Int,
+      maxBucket: Int = HammingBucketCap): DataFrame =
+    hammingPairsOn(persistedSigs(sigsIn), maxHamming, maxBucket)
+
+  /** [[hammingPairs]] with DETERMINISTIC cache release: the pair list is
+   *  materialized (eager localCheckpoint — blocks are GC-cleaned with
+   *  the returned frame) and the signature cache unpersisted before
+   *  returning. The lazy [[hammingPairs]] necessarily holds its cache
+   *  until the session ends or the caller unpersists; a long-lived
+   *  session mining many corpora should use this variant so 16-byte/row
+   *  signature caches don't accumulate in the CacheManager. */
+  def hammingPairsReleased(sigsIn: DataFrame, maxHamming: Int,
       maxBucket: Int = HammingBucketCap): DataFrame = {
     val sigs = persistedSigs(sigsIn)
+    try hammingPairsOn(sigs, maxHamming, maxBucket).localCheckpoint(eager = true)
+    finally sigs.unpersist(blocking = false)
+  }
+
+  private def hammingPairsOn(sigs: DataFrame, maxHamming: Int,
+      maxBucket: Int): DataFrame = {
     // Identical signatures pre-group: only distinct hash VALUES enter the
     // pigeonhole mining join, so a degenerate value held by n documents
     // (n blank images) contributes ONE mining row, not n·(d+1) exploded
@@ -1116,9 +1135,29 @@ object Dedup {
    */
   def hammingPairsAgainst(
       newSigs: DataFrame, corpusSigs: DataFrame, maxHamming: Int,
+      maxBucket: Int = HammingBucketCap): DataFrame =
+    hammingPairsAgainstOn(persistedSigs(newSigs), persistedSigs(corpusSigs),
+      maxHamming, maxBucket)
+
+  /** [[hammingPairsAgainst]] with DETERMINISTIC cache release — the
+   *  bipartite twin of [[hammingPairsReleased]]: both signature caches
+   *  unpersist once the pair list materializes. The per-ingest-batch
+   *  shape ([[dropAgainstSignatures]]' discipline) for raw pair mining. */
+  def hammingPairsAgainstReleased(
+      newSigs: DataFrame, corpusSigs: DataFrame, maxHamming: Int,
       maxBucket: Int = HammingBucketCap): DataFrame = {
     val a = persistedSigs(newSigs)
     val b = persistedSigs(corpusSigs)
+    try hammingPairsAgainstOn(a, b, maxHamming, maxBucket)
+      .localCheckpoint(eager = true)
+    finally {
+      a.unpersist(blocking = false)
+      b.unpersist(blocking = false)
+    }
+  }
+
+  private def hammingPairsAgainstOn(
+      a: DataFrame, b: DataFrame, maxHamming: Int, maxBucket: Int): DataFrame = {
     val closeH = closeHashesAgainst(
       a.select(col("sh")).distinct(), b.select(col("sh")).distinct(),
       maxHamming, maxBucket)
@@ -1197,6 +1236,109 @@ object Dedup {
       maxHamming: Int = 3): DataFrame =
     dropAgainstSignatures64(df, idCol,
       graft.functions.AudioAHash(col(blobCol)), corpusSigs, maxHamming)
+
+  /**
+   * MAINTAINED 64-bit signature table: the persisted artifact behind the
+   * incremental image/audio droppers, given the same lifecycle as the
+   * MinHash signature state in
+   * [[graft.streaming.EventStreams.dedupIngestStream]] — per-increment
+   * append, replay tail-scoping, and an id-deduped compaction rewrite
+   * via a crash-safe two-phase swap (write `<sigDir>.compact.tmp` with
+   * its `_SUCCESS` marker, delete, rename; an interrupted swap is
+   * completed or discarded at the next ingest). One blob decode per
+   * increment: signatures are computed once into a cache that backs both
+   * the drop decision and the append, then released.
+   *
+   * Returns the increment's survivors (rows whose signature lands within
+   * `maxHamming` of any persisted signature are dropped — the
+   * [[dropImagesAgainstSignatures]] contract); survivors' signatures are
+   * appended under `batchId` before returning. Undecodable blobs survive
+   * and contribute no signature row.
+   */
+  def ingestWithSignatureTable(
+      df: DataFrame,
+      idCol: String,
+      sig: Column,
+      sigDir: String,
+      batchId: Long,
+      maxHamming: Int = 3,
+      compactEvery: Int = 0): DataFrame = {
+    require(compactEvery >= 0, s"compactEvery must be >= 0, got $compactEvery")
+    val spark = df.sparkSession
+    val sigPath = new org.apache.hadoop.fs.Path(sigDir)
+    val tmpPath = new org.apache.hadoop.fs.Path(sigDir + ".compact.tmp")
+    val fs = sigPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // crash recovery for an interrupted compaction swap: a COMPLETE tmp
+    // (its _SUCCESS marker committed) supersedes whatever the swap left
+    // behind; an incomplete tmp is a dead partial write — discard it
+    if (fs.exists(tmpPath)) {
+      if (fs.exists(new org.apache.hadoop.fs.Path(tmpPath, "_SUCCESS"))) {
+        if (fs.exists(sigPath)) fs.delete(sigPath, true)
+        fs.rename(tmpPath, sigPath)
+      } else fs.delete(tmpPath, true)
+    }
+    val newSigs = persistedSigs(df.select(col(idCol).as("id"), sig.as("sh")))
+    val doomed =
+      if (!fs.exists(sigPath)) df.select(col(idCol)).limit(0)
+      else {
+        val state = spark.read.parquet(sigDir)
+        // a replayed increment can re-append only the HIGHEST batch_id's
+        // rows (appends commit in order) — dedup that tail batch alone,
+        // earlier batches stream through unshuffled
+        val maxBatch = state.agg(max(col("batch_id"))).head.getLong(0)
+        val corpus = state.filter(col("batch_id") < maxBatch)
+          .unionByName(
+            state.filter(col("batch_id") === maxBatch).dropDuplicates("id"))
+          .select(col("id"), col("sh"))
+        val doomedHashes = closeHashesAgainst(
+          newSigs.select(col("sh")).distinct(),
+          corpus.select(col("sh")).filter(col("sh").isNotNull).distinct(),
+          maxHamming, HammingBucketCap)
+          .select(col("sh_a").as("sh")).distinct()
+        newSigs.join(doomedHashes, Seq("sh"), "left_semi")
+          .select(col("id").as(idCol))
+      }
+    val doomedIds = doomed.localCheckpoint(eager = true)
+    // append survivors' signatures from the SAME cached (id, sh) frame —
+    // the one decode of this increment
+    newSigs
+      .join(doomedIds.select(col(idCol).as("id")), Seq("id"), "left_anti")
+      .filter(col("sh").isNotNull)
+      .withColumn("batch_id", lit(batchId))
+      .write.mode(SaveMode.Append).parquet(sigDir)
+    newSigs.unpersist(blocking = false)
+    if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0) {
+      // two-phase swap; the tmp write materializes BEFORE anything is
+      // deleted. batch_id is kept so tail-scoping keeps working.
+      spark.read.parquet(sigDir)
+        .dropDuplicates("id")
+        .write.mode(SaveMode.Overwrite).parquet(tmpPath.toString)
+      fs.delete(sigPath, true)
+      fs.rename(tmpPath, sigPath)
+    }
+    df.join(doomedIds, Seq(idCol), "left_anti")
+  }
+
+  /** [[ingestWithSignatureTable]] with the IMAGE perceptual hash —
+   *  the maintained-table lifecycle for [[dropImagesAgainstSignatures]]'
+   *  signature artifact. */
+  def ingestImagesIncremental(
+      df: DataFrame, idCol: String, blobCol: String, sigDir: String,
+      batchId: Long, maxHamming: Int = 3, useDHash: Boolean = false,
+      compactEvery: Int = 0): DataFrame = {
+    val h = if (useDHash) imageDHash(col(blobCol)) else imageAHash(col(blobCol))
+    ingestWithSignatureTable(df, idCol, h, sigDir, batchId, maxHamming, compactEvery)
+  }
+
+  /** [[ingestWithSignatureTable]] with the AUDIO envelope fingerprint —
+   *  the maintained-table lifecycle for [[dropAudioAgainstSignatures]]'
+   *  signature artifact. */
+  def ingestAudioIncremental(
+      df: DataFrame, idCol: String, blobCol: String, sigDir: String,
+      batchId: Long, maxHamming: Int = 3, compactEvery: Int = 0): DataFrame =
+    ingestWithSignatureTable(df, idCol,
+      graft.functions.AudioAHash(col(blobCol)), sigDir, batchId, maxHamming,
+      compactEvery)
 
   /** Shared 64-bit-signature against-corpus dropper: both hash-family
    *  ends pinned by the caller — distances across families are

@@ -247,6 +247,21 @@ object Multimodal {
       .drop("__kf")
 
   /**
+   * KEYFRAME sampling for Matroska/WebM blobs — the Cues-index twin of
+   * [[sampleKeyframesMp4]]: one row per CuePoint (t_ms, cluster_off),
+   * the positions a player can seek to without scanning Clusters. Pure
+   * codegen planning, zero shuffle; EBML documents without a Cues index
+   * (and non-MKV blobs) contribute NO rows.
+   */
+  def sampleKeyframesMkv(
+      df: DataFrame, blobCol: String, maxFrames: Int): DataFrame =
+    df.withColumn("__kf",
+        explode(graft.functions.MkvCuesExpr(col(blobCol), maxFrames)))
+      .withColumn("t_ms", col("__kf.t_ms"))
+      .withColumn("cluster_off", col("__kf.cluster_off"))
+      .drop("__kf")
+
+  /**
    * Silence-based audio segmentation (VAD-lite): one row per voiced
    * segment — a maximal sample run with no pause of `minSilenceMs` or
    * longer — with (seg_idx, start_ms, end_ms) boundaries. The ASR/TTS

@@ -3378,6 +3378,71 @@ object Battery {
           col("st.n_silent").as("n_silent"))
     }),
 
+    // SIGNATURE-TABLE MAINTENANCE (Dedup.ingestImagesIncremental): the
+    // q217 image corpus run through the PERSISTED-artifact lifecycle —
+    // batch 0 seeds an empty table with the corpus (even doc_ids, all
+    // survive), batch 1 ingests the increment (odd doc_ids; hamming ≤ 3
+    // of any persisted signature drops) with compactEvery = 1 so the
+    // cycle ends in an id-deduped two-phase-swap rewrite. The FINAL
+    // table is the output: even ids at batch 0, surviving odd ids at
+    // batch 1, each with its planted perceptual hash — so drops,
+    // appends AND the compaction rewrite are all oracle-checked.
+    "q245_signature_table" -> ((s, d) => {
+      import s.implicits._
+      import graft.functions.ImageCodec
+      val m5 = (1L << 1) | (1L << 10) | (1L << 19) | (1L << 28) | (1L << 37)
+      def imgs(rows: org.apache.spark.sql.Dataset[Long]) = rows.map { id =>
+        val g = ((id / 2) % 64).toInt
+        val p0 = g.toLong * 0x0101010101010101L
+        val p =
+          if (id % 2 == 0) p0
+          else if (id % 3 == 0) p0 ^ (1L << (id % 63).toInt)
+          else if (id % 3 == 1) p0 ^ m5
+          else p0
+        val px = Array.tabulate[Byte](64)(i =>
+          if (((p >>> (63 - i)) & 1L) == 1L) 255.toByte else 0)
+        val bytes = (id % 7).toInt match {
+          case 5 => ImageCodec.encodeBmpGray(8, 8, px)
+          case 6 => ImageCodec.encodeBmpGray(8, 8, px, topDown = true)
+          case f => ImageCodec.encodePng(8, 8, 1, px, filterType = f)
+        }
+        (id, bytes)
+      }.toDF("doc_id", "blob")
+      val sigDir = java.nio.file.Files.createTempDirectory("graft_sigtab_")
+        .toString + "/sigs"
+      val ids = docs(s, d).select(col("doc_id")).as[Long]
+      Dedup.ingestImagesIncremental(
+        imgs(ids.filter(col("doc_id") % 2 === 0)), "doc_id", "blob",
+        sigDir, batchId = 0L)
+      Dedup.ingestImagesIncremental(
+        imgs(ids.filter(col("doc_id") % 2 === 1)), "doc_id", "blob",
+        sigDir, batchId = 1L, compactEvery = 1)
+      s.read.parquet(sigDir)
+        .select(col("id").as("doc_id"), col("sh").as("ahash"), col("batch_id"))
+    }),
+
+    // MKV CUES keyframe planning (mkv_cues): the Matroska twin of the
+    // MP4 stss plan (q223) — CuePoint times x TimestampScale and cluster
+    // byte offsets replay closed-form; docs without a Cues index
+    // (doc_id%10 = 7) contribute zero rows; the planning cap (4) trims
+    // the 5-cue docs.
+    "q244_mkv_cues" -> ((s, d) => {
+      import s.implicits._
+      import graft.functions.MkvCodec
+      val blobs = docs(s, d).select(col("doc_id")).as[Long].map { id =>
+        val cues =
+          if (id % 10 == 7) Seq.empty[(Long, Long)]
+          else (0 until (id % 5 + 1).toInt).map { j =>
+            (j.toLong * (id % 7 + 2) * 10, 1000L + j * (id % 9 + 3) * 100)
+          }
+        (id, MkvCodec.encode(50000.0,
+          timestampScale = if (id % 2 == 0) 2000000L else 1000000L,
+          video = Some((64, 48)), cues = cues))
+      }.toDF("doc_id", "blob")
+      graft.operators.Multimodal.sampleKeyframesMkv(blobs, "blob", 4)
+        .select(col("doc_id"), col("t_ms"), col("cluster_off"))
+    }),
+
     // PNG corner coverage (Adam7 interlace + 16-bit depth): the q210
     // planted pattern re-encoded through the corner layouts — interlaced
     // 8-bit, plain 16-bit (noise in the ignored low bytes), 16-bit AND
@@ -6938,6 +7003,38 @@ object Battery {
         |    ELSE 'jpg,txt' END AS exts
         |FROM documents d, range(1, 5) t(j)
         |WHERE t.j <= d.doc_id % 4 + 1""".stripMargin,
+    // the final table: corpus rows at batch 0, q217's survivors at
+    // batch 1, hashes = the planted patterns
+    "q245_signature_table" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    CASE
+        |      WHEN doc_id % 2 = 0 THEN ((doc_id // 2) % 64) * 72340172838076673
+        |      WHEN doc_id % 3 = 0 THEN
+        |        xor(((doc_id // 2) % 64) * 72340172838076673,
+        |            1::BIGINT << CAST(doc_id % 63 AS INTEGER))
+        |      WHEN doc_id % 3 = 1 THEN
+        |        xor(((doc_id // 2) % 64) * 72340172838076673,
+        |            2 + 1024 + 524288 + 268435456 + 137438953472)
+        |      ELSE ((doc_id // 2) % 64) * 72340172838076673 END AS ahash
+        |  FROM documents)
+        |SELECT a.doc_id, a.ahash, CAST(0 AS BIGINT) AS batch_id
+        |FROM h a WHERE a.doc_id % 2 = 0
+        |UNION ALL
+        |SELECT a.doc_id, a.ahash, CAST(1 AS BIGINT) AS batch_id
+        |FROM h a
+        |WHERE a.doc_id % 2 = 1 AND NOT EXISTS (
+        |  SELECT 1 FROM h b WHERE b.doc_id % 2 = 0
+        |  AND bit_count(xor(a.ahash, b.ahash)) <= 3)""".stripMargin,
+    // cue j: ticks j*(id%7+2)*10, scaled by the 1/2 ms tick, offset
+    // 1000 + j*(id%9+3)*100; capped at 4 points
+    "q244_mkv_cues" ->
+      """SELECT d.doc_id,
+        |  CAST(t.j * (d.doc_id % 7 + 2) * 10 *
+        |    (CASE WHEN d.doc_id % 2 = 0 THEN 2 ELSE 1 END) AS BIGINT) AS t_ms,
+        |  CAST(1000 + t.j * (d.doc_id % 9 + 3) * 100 AS BIGINT) AS cluster_off
+        |FROM documents d, range(0, 5) t(j)
+        |WHERE d.doc_id % 10 <> 7 AND t.j < least(d.doc_id % 5 + 1, 4)""".stripMargin,
     // integer-exact stats of the planted amp/-amp/0 pattern, per channel
     "q243_flac_decode" ->
       """WITH p AS (

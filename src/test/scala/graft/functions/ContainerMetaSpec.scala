@@ -124,6 +124,34 @@ class ContainerMetaSpec extends SparkSpec {
     assert(v != null && v.isNullAt(3) && v.getInt(1) == 8)
   }
 
+  test("MKV Cues: keyframe plan with TimestampScale conversion, caps and null contracts") {
+    val b = MkvCodec.encode(9000.0, video = Some((64, 48)),
+      cues = Seq((0L, 100L), (2000L, 5000L), (7000L, 22222L)))
+    val cs = MkvHeaders.cues(b, 16)
+    assert(cs.toSeq == Seq((0L, 100L), (2000L, 5000L), (7000L, 22222L)))
+    // non-default scale: 2 ms ticks double the reported times
+    val b2 = MkvCodec.encode(9000.0, timestampScale = 2000000L,
+      cues = Seq((100L, 7L), (300L, 9L)))
+    assert(MkvHeaders.cues(b2, 16).toSeq == Seq((200L, 7L), (600L, 9L)))
+    // the planning cap takes the FIRST maxPoints cue points
+    assert(MkvHeaders.cues(b, 2).toSeq == Seq((0L, 100L), (2000L, 5000L)))
+    // no Cues element / non-EBML bytes: null
+    assert(MkvHeaders.cues(MkvCodec.encode(9000.0, video = Some((64, 48))), 4) == null)
+    assert(MkvHeaders.cues("not ebml".getBytes, 4) == null)
+    assert(MkvHeaders.cues(null, 4) == null)
+    // a cue point with an absurd timestamp is a lying index
+    val lying = MkvCodec.encode(9000.0, cues = Seq((1L << 51, 5L)))
+    assert(MkvHeaders.cues(lying, 4) == null)
+    // truncation/bit-flip fuzz never throws
+    for (cut <- 0 until b.length) MkvHeaders.cuesArray(b.take(cut), 8)
+    val rnd = new scala.util.Random(11)
+    for (_ <- 0 until 300) {
+      val x = b.clone()
+      x(rnd.nextInt(x.length)) = rnd.nextInt(256).toByte
+      MkvHeaders.cuesArray(x, 8)
+    }
+  }
+
   test("MKV corrupt bytes: null, never exceptions") {
     assert(MkvHeaders.parse(null) == null)
     assert(MkvHeaders.parse("not ebml".getBytes) == null)

@@ -593,6 +593,91 @@ class DedupSpec extends SparkSpec {
     assert(uncut === brutePairs(near ++ Seq((100L, 1L << 62), (101L, 1L << 62)), 3))
   }
 
+  test("Released miners: identical pairs, and NO cached RDDs left behind") {
+    val sc = spark.sparkContext
+    def cached: Set[Int] = sc.getPersistentRDDs.keySet.toSet
+    val before = cached
+    // the SIGNATURE caches (what the lazy miners hold until session end)
+    // must be gone the moment the call returns; the one storage the
+    // released variant may hold is the materialized RESULT's own
+    // localCheckpoint block, which dies with the frame — release it here
+    // to keep the ledger exact for the next phase
+    def assertOnlyResultStorage(label: String): Unit = {
+      val leaked = cached -- before
+      assert(leaked.size <= 1, s"$label leaked signature caches: $leaked")
+      leaked.foreach(id => sc.getPersistentRDDs(id).unpersist(blocking = true))
+    }
+    val sigs = mixedSigs.toDF("id", "sh")
+    // the released symmetric miner: same pairs as the lazy one...
+    val rel = Dedup.hammingPairsReleased(sigs, maxHamming = 3)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(rel === brutePairs(mixedSigs, 3))
+    assertOnlyResultStorage("hammingPairsReleased")
+    // bipartite twin
+    val corpus = mixedSigs.map { case (id, sh) => (id + 1000L, sh) }
+    val relB = Dedup.hammingPairsAgainstReleased(
+        sigs, corpus.toDF("id", "sh"), maxHamming = 3)
+      .as[(Long, Long, Int)].collect().toSet
+    val want = (for {
+      (a, sa) <- mixedSigs; (b, sb) <- corpus
+      h = java.lang.Long.bitCount(sa ^ sb) if h <= 3
+    } yield (a, b, h)).toSet
+    assert(relB === want)
+    assertOnlyResultStorage("hammingPairsAgainstReleased")
+    // the droppers already release: prove it stays true
+    val txt = mixedSigs.toDF("id", "sh").withColumn("text",
+      org.apache.spark.sql.functions.concat(
+        org.apache.spark.sql.functions.lit("doc body "),
+        org.apache.spark.sql.functions.col("id")))
+    Dedup.dropBySimhash(txt, "id", "text", maxHamming = 3).collect()
+    // same ledger: edge/signature/group caches are gone; at most the
+    // materialized LABEL frame's own checkpoint block (result-lifetime,
+    // GC-cleaned with the frame) may remain
+    assertOnlyResultStorage("dropBySimhash")
+  }
+
+  test("signature table lifecycle: increments, replay, compaction, crash recovery") {
+    val root = java.nio.file.Files.createTempDirectory("graft_sigtab_").toString
+    val dir = root + "/sigs"
+    def ingest(rows: Seq[(Long, Long)], batchId: Long, compactEvery: Int = 0) =
+      Dedup.ingestWithSignatureTable(rows.toDF("id", "sh"), "id", col("sh"),
+        dir, batchId, maxHamming = 3, compactEvery = compactEvery)
+        .as[(Long, Long)].collect().map(_._1).toSet
+    def table() = spark.read.parquet(dir)
+      .as[(Long, Long, Long)].collect().toSet // (id, sh, batch_id)
+    // batch 0 into an empty table: everything survives and is recorded
+    assert(ingest(Seq((1L, 10L), (2L, 0xff00ff00L)), 0L) == Set(1L, 2L))
+    assert(table() == Set((1L, 10L, 0L), (2L, 0xff00ff00L, 0L)))
+    // batch 1: hamming 0 and 1 of id 1 drop, a far hash survives
+    assert(ingest(Seq((3L, 10L), (4L, 10L ^ 2L), (5L, 0x0f0f0f0f0fL)), 1L) == Set(5L))
+    assert(table().map(_._1) == Set(1L, 2L, 5L))
+    // replayed batch 1: the survivor self-matches its own persisted
+    // signature, so the replay appends nothing (survivors-first contract)
+    assert(ingest(Seq((3L, 10L), (4L, 10L ^ 2L), (5L, 0x0f0f0f0f0fL)), 1L).isEmpty)
+    assert(table().map(_._1) == Set(1L, 2L, 5L))
+    // simulate the crash window: a duplicate state row for id 5
+    Seq((5L, 0x0f0f0f0f0fL, 1L)).toDF("id", "sh", "batch_id")
+      .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(dir)
+    assert(spark.read.parquet(dir).count() == 4) // dup row present
+    // batch 2 with compactEvery=2: ingests, then rewrites id-deduped
+    assert(ingest(Seq((7L, 0xf0f0f0f0f0L)), 2L, compactEvery = 2) == Set(7L))
+    assert(table().map(_._1) == Set(1L, 2L, 5L, 7L))
+    assert(spark.read.parquet(dir).count() == 4,
+      "compaction left duplicate id rows") // dup gone
+    // crash recovery: an INCOMPLETE tmp is discarded...
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(dir + ".compact.tmp")
+    fs.mkdirs(tmp)
+    assert(ingest(Seq((8L, 0xffffffL)), 3L) == Set(8L))
+    assert(!fs.exists(tmp) && table().map(_._1) == Set(1L, 2L, 5L, 7L, 8L))
+    // ...a COMPLETE tmp (with _SUCCESS) supersedes the live table
+    Seq((99L, 42L, 0L)).toDF("id", "sh", "batch_id")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(tmp.toString)
+    assert(ingest(Seq((9L, 0xff000000L)), 4L) == Set(9L))
+    assert(table().map(_._1) == Set(99L, 9L))
+  }
+
   test("hammingPairsAgainst: bipartite brute parity incl. equal-hash matches") {
     val rnd = new scala.util.Random(7)
     val base = rnd.nextLong()
