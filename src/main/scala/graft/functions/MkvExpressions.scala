@@ -242,8 +242,11 @@ object MkvHeaders {
         val clusterOff = childOf(b, ps, pe, CueTrackPositions)
           .flatMap { case (ts, te) => childOf(b, ts, te, CueClusterPosition) }
           .map { case (s, e) => uint(b, s, e) }.getOrElse(-1L)
-        // a cue point missing its time or position is a lying index entry
-        if (ticks < 0 || clusterOff < 0) return if (out.isEmpty) null else out.toArray
+        // a cue point missing its time or position is a lying index
+        // entry: null the whole plan — a silently truncated prefix would
+        // be indistinguishable from a legitimately short one, and the
+        // corrupt-bytes contract is decode-to-null
+        if (ticks < 0 || clusterOff < 0) return null
         if (ticks > (1L << 50) / scale) return null // lying timestamp
         out += ((ticks * scale / 1000000L, clusterOff))
       }

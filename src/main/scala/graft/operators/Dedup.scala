@@ -1250,10 +1250,20 @@ object Dedup {
    * the drop decision and the append, then released.
    *
    * Returns the increment's survivors (rows whose signature lands within
-   * `maxHamming` of any persisted signature are dropped — the
-   * [[dropImagesAgainstSignatures]] contract); survivors' signatures are
-   * appended under `batchId` before returning. Undecodable blobs survive
-   * and contribute no signature row.
+   * `maxHamming` of any EARLIER batch's persisted signature are dropped —
+   * the [[dropImagesAgainstSignatures]] contract); survivors' signatures
+   * are appended under `batchId` before returning. Undecodable blobs
+   * survive and contribute no signature row.
+   *
+   * Replay-safe under at-least-once drivers: the corpus is scoped to
+   * `batch_id < batchId`, so a RETRIED increment (same `batchId`) never
+   * matches the rows its failed attempt appended — it returns the SAME
+   * survivors and its re-append only adds exact-duplicate rows, which the
+   * next compaction folds. `batchId` must be strictly increasing across
+   * DISTINCT increments (reusing an id means "replay"). Compaction keeps
+   * distinct `(id, sh)` rows — an id legitimately re-ingested with new
+   * content keeps BOTH signatures, so compaction never changes which
+   * future documents drop.
    */
   def ingestWithSignatureTable(
       df: DataFrame,
@@ -1268,55 +1278,41 @@ object Dedup {
     val sigPath = new org.apache.hadoop.fs.Path(sigDir)
     val tmpPath = new org.apache.hadoop.fs.Path(sigDir + ".compact.tmp")
     val fs = sigPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // crash recovery for an interrupted compaction swap: a COMPLETE tmp
-    // (its _SUCCESS marker committed) supersedes whatever the swap left
-    // behind; an incomplete tmp is a dead partial write — discard it
-    if (fs.exists(tmpPath)) {
-      if (fs.exists(new org.apache.hadoop.fs.Path(tmpPath, "_SUCCESS"))) {
-        if (fs.exists(sigPath)) fs.delete(sigPath, true)
-        fs.rename(tmpPath, sigPath)
-      } else fs.delete(tmpPath, true)
-    }
+    SignatureTableSwap.recover(fs, sigPath, tmpPath)
     val newSigs = persistedSigs(df.select(col(idCol).as("id"), sig.as("sh")))
-    val doomed =
-      if (!fs.exists(sigPath)) df.select(col(idCol)).limit(0)
-      else {
-        val state = spark.read.parquet(sigDir)
-        // a replayed increment can re-append only the HIGHEST batch_id's
-        // rows (appends commit in order) — dedup that tail batch alone,
-        // earlier batches stream through unshuffled
-        val maxBatch = state.agg(max(col("batch_id"))).head.getLong(0)
-        val corpus = state.filter(col("batch_id") < maxBatch)
-          .unionByName(
-            state.filter(col("batch_id") === maxBatch).dropDuplicates("id"))
-          .select(col("id"), col("sh"))
-        val doomedHashes = closeHashesAgainst(
-          newSigs.select(col("sh")).distinct(),
-          corpus.select(col("sh")).filter(col("sh").isNotNull).distinct(),
-          maxHamming, HammingBucketCap)
-          .select(col("sh_a").as("sh")).distinct()
-        newSigs.join(doomedHashes, Seq("sh"), "left_semi")
-          .select(col("id").as(idCol))
-      }
-    val doomedIds = doomed.localCheckpoint(eager = true)
-    // append survivors' signatures from the SAME cached (id, sh) frame —
-    // the one decode of this increment
-    newSigs
-      .join(doomedIds.select(col(idCol).as("id")), Seq("id"), "left_anti")
-      .filter(col("sh").isNotNull)
-      .withColumn("batch_id", lit(batchId))
-      .write.mode(SaveMode.Append).parquet(sigDir)
-    newSigs.unpersist(blocking = false)
-    if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0) {
-      // two-phase swap; the tmp write materializes BEFORE anything is
-      // deleted. batch_id is kept so tail-scoping keeps working.
-      spark.read.parquet(sigDir)
-        .dropDuplicates("id")
-        .write.mode(SaveMode.Overwrite).parquet(tmpPath.toString)
-      fs.delete(sigPath, true)
-      fs.rename(tmpPath, sigPath)
-    }
-    df.join(doomedIds, Seq(idCol), "left_anti")
+    try {
+      // an all-undecodable or empty first increment appends ZERO rows:
+      // the dir then exists but holds no parquet parts (schema inference
+      // would fail) — treat it as an empty corpus, don't wedge the table
+      val hasState = fs.exists(sigPath) &&
+        fs.listStatus(sigPath).exists(_.getPath.getName.startsWith("part-"))
+      val doomedIds = (
+        if (!hasState) df.select(col(idCol)).limit(0)
+        else {
+          // hash-level doom only needs the distinct corpus hash VALUES,
+          // so duplicate state rows (replays) cost nothing here; rows of
+          // this batchId itself are EXCLUDED so a replayed increment
+          // can't self-match the signatures its failed attempt appended
+          val corpusHashes = spark.read.parquet(sigDir)
+            .filter(col("batch_id") < batchId)
+            .select(col("sh")).filter(col("sh").isNotNull).distinct()
+          newSigs.join(doomedHashes64(newSigs, corpusHashes, maxHamming),
+              Seq("sh"), "left_semi")
+            .select(col("id").as(idCol))
+        }
+      ).localCheckpoint(eager = true)
+      // append survivors' signatures from the SAME cached (id, sh) frame
+      // — the one decode of this increment
+      newSigs
+        .join(doomedIds.select(col(idCol).as("id")), Seq("id"), "left_anti")
+        .filter(col("sh").isNotNull)
+        .withColumn("batch_id", lit(batchId))
+        .write.mode(SaveMode.Append).parquet(sigDir)
+      if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+        SignatureTableSwap.compact(spark, fs, sigDir, sigPath, tmpPath,
+          Seq("id", "sh"))
+      df.join(doomedIds, Seq(idCol), "left_anti")
+    } finally newSigs.unpersist(blocking = false)
   }
 
   /** [[ingestWithSignatureTable]] with the IMAGE perceptual hash —
@@ -1340,6 +1336,17 @@ object Dedup {
       graft.functions.AudioAHash(col(blobCol)), sigDir, batchId, maxHamming,
       compactEvery)
 
+  /** The ONE spelling of the 64-bit hash-level doom decision, shared by
+   *  [[dropAgainstSignatures64]] and [[ingestWithSignatureTable]]: the
+   *  distinct incoming hashes within `maxHamming` of any corpus hash.
+   *  `corpusHashes` must already be a distinct, non-null `sh` frame. */
+  private def doomedHashes64(
+      newSigs: DataFrame, corpusHashes: DataFrame, maxHamming: Int): DataFrame =
+    closeHashesAgainst(
+      newSigs.select(col("sh")).distinct(), corpusHashes,
+      maxHamming, HammingBucketCap)
+      .select(col("sh_a").as("sh")).distinct()
+
   /** Shared 64-bit-signature against-corpus dropper: both hash-family
    *  ends pinned by the caller — distances across families are
    *  meaningless and would drop/keep at random. */
@@ -1355,20 +1362,20 @@ object Dedup {
     // a distinct-hash × distinct-hash mining pass plus one semi-join —
     // 10⁶ incoming blanks against 10⁶ corpus blanks cost one hash match,
     // not the 10¹² bipartite pair expansion the pair contract would owe.
-    val doomedHashes = closeHashesAgainst(
-      newSigs.select(col("sh")).distinct(),
-      corpusSigs.select(col("sh")).filter(col("sh").isNotNull).distinct(),
-      maxHamming, HammingBucketCap)
-      .select(col("sh_a").as("sh")).distinct()
     // Materialize the doomed id set NOW (tiny: ids of this increment's
     // drops) so the signature cache can be released immediately — the
     // incremental droppers run once per ingest batch, and a persist left
     // registered per batch would grow the CacheManager for the life of
     // the session. localCheckpoint blocks are GC-cleaned with the frame.
-    val doomed = newSigs.join(doomedHashes, Seq("sh"), "left_semi")
-      .select(col("id").as(idCol))
-      .localCheckpoint(eager = true)
-    newSigs.unpersist(blocking = false)
+    val doomed =
+      try newSigs.join(
+          doomedHashes64(newSigs,
+            corpusSigs.select(col("sh")).filter(col("sh").isNotNull).distinct(),
+            maxHamming),
+          Seq("sh"), "left_semi")
+        .select(col("id").as(idCol))
+        .localCheckpoint(eager = true)
+      finally newSigs.unpersist(blocking = false)
     df.join(doomed, Seq(idCol), "left_anti")
   }
 

@@ -451,15 +451,10 @@ object EventStreams {
         val sigPath = new org.apache.hadoop.fs.Path(sigDir)
         val tmpPath = new org.apache.hadoop.fs.Path(sigDir + ".compact.tmp")
         val fs = sigPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        // crash recovery for an interrupted compaction swap: a COMPLETE tmp
-        // (its _SUCCESS marker committed) supersedes whatever the swap left
-        // behind; an incomplete tmp is a dead partial write — discard it
-        if (fs.exists(tmpPath)) {
-          if (fs.exists(new org.apache.hadoop.fs.Path(tmpPath, "_SUCCESS"))) {
-            if (fs.exists(sigPath)) fs.delete(sigPath, true)
-            fs.rename(tmpPath, sigPath)
-          } else fs.delete(tmpPath, true)
-        }
+        // crash recovery for an interrupted compaction swap: a COMPLETE
+        // tmp supersedes whatever the swap left behind, an incomplete one
+        // is discarded (the shared protocol — see SignatureTableSwap)
+        graft.operators.SignatureTableSwap.recover(fs, sigPath, tmpPath)
         val haveSigs = fs.exists(sigPath)
         val incoming =
           if (dedupWithinBatch)
@@ -490,15 +485,12 @@ object EventStreams {
           .withColumn("batch_id", lit(id))
           .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(sigDir)
         if (compactEvery > 0 && id > 0 && id % compactEvery == 0) {
-          // two-phase swap; the tmp write materializes BEFORE anything is
-          // deleted, and the recovery block above completes or discards it
-          // after a crash. batch_id is kept so tail-scoping keeps working.
-          spark.read.parquet(sigDir)
-            .dropDuplicates("id")
-            .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-            .parquet(tmpPath.toString)
-          fs.delete(sigPath, true)
-          fs.rename(tmpPath, sigPath)
+          // two-phase swap (shared protocol); the tmp write materializes
+          // BEFORE anything is deleted, and the recovery call above
+          // completes or discards it after a crash. batch_id is kept so
+          // tail-scoping keeps working.
+          graft.operators.SignatureTableSwap.compact(
+            spark, fs, sigDir, sigPath, tmpPath, Seq("id"))
         }
         ()
       }

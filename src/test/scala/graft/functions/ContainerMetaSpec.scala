@@ -142,6 +142,19 @@ class ContainerMetaSpec extends SparkSpec {
     // a cue point with an absurd timestamp is a lying index
     val lying = MkvCodec.encode(9000.0, cues = Seq((1L << 51, 5L)))
     assert(MkvHeaders.cues(lying, 4) == null)
+    // ...as is one missing its CueTime: the WHOLE plan nulls — a silently
+    // truncated prefix would be indistinguishable from a short plan
+    val noTime = MkvCodec.elem(0xbbL,
+      MkvCodec.elem(0xb7L, MkvCodec.elem(0xf1L, MkvCodec.uintPayload(5))))
+    val goodCue = MkvCodec.elem(0xbbL,
+      MkvCodec.elem(0xb3L, MkvCodec.uintPayload(10)) ++
+        MkvCodec.elem(0xb7L, MkvCodec.elem(0xf1L, MkvCodec.uintPayload(7))))
+    val mixed = MkvCodec.elem(0x1a45dfa3L, Array.emptyByteArray) ++
+      MkvCodec.elem(0x18538067L,
+        MkvCodec.elem(0x1549a966L,
+          MkvCodec.elem(0x2ad7b1L, MkvCodec.uintPayload(1000000L))) ++
+          MkvCodec.elem(0x1c53bb6bL, goodCue ++ noTime))
+    assert(MkvHeaders.cues(mixed, 8) == null)
     // truncation/bit-flip fuzz never throws
     for (cut <- 0 until b.length) MkvHeaders.cuesArray(b.take(cut), 8)
     val rnd = new scala.util.Random(11)

@@ -651,19 +651,18 @@ class DedupSpec extends SparkSpec {
     // batch 1: hamming 0 and 1 of id 1 drop, a far hash survives
     assert(ingest(Seq((3L, 10L), (4L, 10L ^ 2L), (5L, 0x0f0f0f0f0fL)), 1L) == Set(5L))
     assert(table().map(_._1) == Set(1L, 2L, 5L))
-    // replayed batch 1: the survivor self-matches its own persisted
-    // signature, so the replay appends nothing (survivors-first contract)
-    assert(ingest(Seq((3L, 10L), (4L, 10L ^ 2L), (5L, 0x0f0f0f0f0fL)), 1L).isEmpty)
-    assert(table().map(_._1) == Set(1L, 2L, 5L))
-    // simulate the crash window: a duplicate state row for id 5
-    Seq((5L, 0x0f0f0f0f0fL, 1L)).toDF("id", "sh", "batch_id")
-      .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(dir)
-    assert(spark.read.parquet(dir).count() == 4) // dup row present
-    // batch 2 with compactEvery=2: ingests, then rewrites id-deduped
+    // REPLAYED batch 1 (at-least-once driver retried after a crash
+    // between the sig append and persisting survivors): the corpus is
+    // scoped to batch_id < 1, so the survivor does NOT self-match the
+    // rows its failed attempt appended — the replay returns the SAME
+    // survivors (no data loss) and its re-append only duplicates rows
+    assert(ingest(Seq((3L, 10L), (4L, 10L ^ 2L), (5L, 0x0f0f0f0f0fL)), 1L) == Set(5L))
+    assert(spark.read.parquet(dir).count() == 4) // replay dup row present
+    // batch 2 with compactEvery=2: ingests, then rewrites (id, sh)-deduped
     assert(ingest(Seq((7L, 0xf0f0f0f0f0L)), 2L, compactEvery = 2) == Set(7L))
     assert(table().map(_._1) == Set(1L, 2L, 5L, 7L))
     assert(spark.read.parquet(dir).count() == 4,
-      "compaction left duplicate id rows") // dup gone
+      "compaction left duplicate rows") // replay dup folded
     // crash recovery: an INCOMPLETE tmp is discarded...
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -676,6 +675,26 @@ class DedupSpec extends SparkSpec {
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(tmp.toString)
     assert(ingest(Seq((9L, 0xff000000L)), 4L) == Set(9L))
     assert(table().map(_._1) == Set(99L, 9L))
+  }
+
+  test("signature table: an all-null first increment must not wedge later ingests") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sigtab0_")
+      .toString + "/sigs"
+    // batch 0 contributes NO signature rows (every sh null — the
+    // all-undecodable-blobs case); everything still survives
+    val nulls = Seq(1L, 2L).toDF("id")
+      .withColumn("sh", org.apache.spark.sql.functions.lit(null).cast("long"))
+    val s0 = Dedup.ingestWithSignatureTable(nulls, "id", col("sh"), dir, 0L)
+      .select("id").as[Long].collect().toSet
+    assert(s0 == Set(1L, 2L))
+    // batch 1 against the row-less table: no NPE, no schema failure,
+    // everything survives and seeds the table
+    val s1 = Dedup.ingestWithSignatureTable(
+        Seq((3L, 77L)).toDF("id", "sh"), "id", col("sh"), dir, 1L)
+      .select("id").as[Long].collect().toSet
+    assert(s1 == Set(3L))
+    assert(spark.read.parquet(dir).as[(Long, Long, Long)].collect().toSet ==
+      Set((3L, 77L, 1L)))
   }
 
   test("hammingPairsAgainst: bipartite brute parity incl. equal-hash matches") {
