@@ -727,10 +727,16 @@ object GunzipExpr {
 
 object ZstdBytes {
 
-  /** Frame magic per RFC 8878: 0xFD2FB528 little-endian. */
-  private def isZstd(b: Array[Byte]): Boolean =
-    b.length >= 4 && (b(0) & 0xff) == 0x28 && (b(1) & 0xff) == 0xb5 &&
-      (b(2) & 0xff) == 0x2f && (b(3) & 0xff) == 0xfd
+  /** Frame magic per RFC 8878: 0xFD2FB528 LE, OR a skippable-frame magic
+   *  0x184D2A50..5F LE — pzstd and seekable writers prepend skippable
+   *  frames, which the decoder skips per spec; rejecting them would null
+   *  out perfectly valid shards. */
+  private[graft] def isZstd(b: Array[Byte]): Boolean =
+    b.length >= 4 && (
+      ((b(0) & 0xff) == 0x28 && (b(1) & 0xff) == 0xb5 &&
+        (b(2) & 0xff) == 0x2f && (b(3) & 0xff) == 0xfd) ||
+      ((b(0) & 0xf0) == 0x50 && (b(1) & 0xff) == 0x2a &&
+        (b(2) & 0xff) == 0x4d && (b(3) & 0xff) == 0x18))
 
   /** Bounded zstd inflate via the zstd-jni already on the Spark
    *  classpath (the engine ships no extra dependency): output longer
@@ -945,6 +951,19 @@ object ArchiveCodec {
    *  oracles carry fixture independence, as with the MP3 tables). */
   def zstd(data: Array[Byte], level: Int = 3): Array[Byte] =
     com.github.luben.zstd.Zstd.compress(data, level)
+
+  /** A zstd SKIPPABLE frame (magic 0x184D2A50|nibble LE + u32 size +
+   *  opaque body) — what pzstd/seekable writers prepend; decoders must
+   *  skip it per RFC 8878. */
+  def zstdSkippable(body: Array[Byte], nibble: Int = 0): Array[Byte] = {
+    require(nibble >= 0 && nibble <= 15)
+    val out = new Array[Byte](8 + body.length)
+    out(0) = (0x50 | nibble).toByte; out(1) = 0x2a; out(2) = 0x4d; out(3) = 0x18
+    var k = 0
+    while (k < 4) { out(4 + k) = ((body.length >> (8 * k)) & 0xff).toByte; k += 1 }
+    System.arraycopy(body, 0, out, 8, body.length)
+    out
+  }
 
   def gzip(data: Array[Byte], withName: Boolean = false): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()

@@ -35,6 +35,42 @@ import org.apache.spark.sql.types._
  * pipeline); other depths, lying headers, CRC mismatches and outputs
  * past `maxSamples` decode to null, never exceptions.
  */
+/** CRC routines shared by the decoder and the fixture encoder — one
+ *  copy, so a polynomial fix can never break the round trip. */
+private[functions] object FlacCrc {
+
+  def crc8(b: Array[Byte], from: Int, to: Int): Int = {
+    var crc = 0
+    var i = from
+    while (i < to) {
+      crc ^= b(i) & 0xff
+      var k = 0
+      while (k < 8) {
+        crc = if ((crc & 0x80) != 0) ((crc << 1) ^ 0x07) & 0xff else (crc << 1) & 0xff
+        k += 1
+      }
+      i += 1
+    }
+    crc
+  }
+
+  def crc16(b: Array[Byte], from: Int, to: Int): Int = {
+    var crc = 0
+    var i = from
+    while (i < to) {
+      crc ^= (b(i) & 0xff) << 8
+      var k = 0
+      while (k < 8) {
+        crc = if ((crc & 0x8000) != 0) ((crc << 1) ^ 0x8005) & 0xffff
+              else (crc << 1) & 0xffff
+        k += 1
+      }
+      i += 1
+    }
+    crc
+  }
+}
+
 object FlacPcm {
 
   /** Signals any malformed-stream condition; caught at the boundary. */
@@ -78,37 +114,6 @@ object FlacPcm {
       while (bit() == 0) { q += 1; if (q > (1 << 24)) bad() }
       q
     }
-  }
-
-  private def crc8(b: Array[Byte], from: Int, to: Int): Int = {
-    var crc = 0
-    var i = from
-    while (i < to) {
-      crc ^= b(i) & 0xff
-      var k = 0
-      while (k < 8) {
-        crc = if ((crc & 0x80) != 0) ((crc << 1) ^ 0x07) & 0xff else (crc << 1) & 0xff
-        k += 1
-      }
-      i += 1
-    }
-    crc
-  }
-
-  private def crc16(b: Array[Byte], from: Int, to: Int): Int = {
-    var crc = 0
-    var i = from
-    while (i < to) {
-      crc ^= (b(i) & 0xff) << 8
-      var k = 0
-      while (k < 8) {
-        crc = if ((crc & 0x8000) != 0) ((crc << 1) ^ 0x8005) & 0xffff
-              else (crc << 1) & 0xffff
-        k += 1
-      }
-      i += 1
-    }
-    crc
   }
 
   /** UTF-8-style coded number (frame/sample index), up to 36 bits. */
@@ -296,7 +301,7 @@ object FlacPcm {
       if (ssCode != 0 && ssCode != 4) return null
       r.alignToByte()
       val crc8Read = r.bits(8).toInt // the header's trailing CRC-8 byte
-      if (crc8(b, frameStart, r.bytePos - 1) != crc8Read) bad()
+      if (FlacCrc.crc8(b, frameStart, r.bytePos - 1) != crc8Read) bad()
       if (blockSize <= 0 || decoded + blockSize > meta.totalSamples) bad()
       // channels per assignment; side channels carry one extra bit
       val (nCh, sideOf) = chCode match {
@@ -339,7 +344,7 @@ object FlacPcm {
       r.alignToByte()
       if (r.bytePos + 2 > b.length) bad()
       val wantCrc = ((b(r.bytePos) & 0xff) << 8) | (b(r.bytePos + 1) & 0xff)
-      if (crc16(b, frameStart, r.bytePos) != wantCrc) bad()
+      if (FlacCrc.crc16(b, frameStart, r.bytePos) != wantCrc) bad()
       r.bytePos += 2
       // interleave; clamp-check: a lying stream may exceed 16-bit range
       var k = 0
@@ -441,37 +446,6 @@ object FlacCodec {
     }
     def alignZero(): Unit = while (nbits != 0) bit(0)
     def toArray: Array[Byte] = { require(nbits == 0); out.toByteArray }
-  }
-
-  private def crc8(b: Array[Byte], from: Int, to: Int): Int = {
-    var crc = 0
-    var i = from
-    while (i < to) {
-      crc ^= b(i) & 0xff
-      var k = 0
-      while (k < 8) {
-        crc = if ((crc & 0x80) != 0) ((crc << 1) ^ 0x07) & 0xff else (crc << 1) & 0xff
-        k += 1
-      }
-      i += 1
-    }
-    crc
-  }
-
-  private def crc16(b: Array[Byte], from: Int, to: Int): Int = {
-    var crc = 0
-    var i = from
-    while (i < to) {
-      crc ^= (b(i) & 0xff) << 8
-      var k = 0
-      while (k < 8) {
-        crc = if ((crc & 0x8000) != 0) ((crc << 1) ^ 0x8005) & 0xffff
-              else (crc << 1) & 0xffff
-        k += 1
-      }
-      i += 1
-    }
-    crc
   }
 
   private def utf8Coded(v: Long): Array[Byte] = {
@@ -624,9 +598,9 @@ object FlacCodec {
       val bodyBytes = body.toArray
       val frame = new Array[Byte](headBytes.length + 1 + bodyBytes.length + 2)
       System.arraycopy(headBytes, 0, frame, 0, headBytes.length)
-      frame(headBytes.length) = crc8(frame, 0, headBytes.length).toByte
+      frame(headBytes.length) = FlacCrc.crc8(frame, 0, headBytes.length).toByte
       System.arraycopy(bodyBytes, 0, frame, headBytes.length + 1, bodyBytes.length)
-      val c16 = crc16(frame, 0, headBytes.length + 1 + bodyBytes.length)
+      val c16 = FlacCrc.crc16(frame, 0, headBytes.length + 1 + bodyBytes.length)
       frame(frame.length - 2) = (c16 >> 8).toByte
       frame(frame.length - 1) = c16.toByte
       out.write(frame)

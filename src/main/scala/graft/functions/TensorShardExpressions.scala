@@ -292,8 +292,12 @@ object TfRecordHeaders {
       while (k < 4) { lenCrc |= (b(p + 8 + k) & 0xff) << (8 * k); k += 1 }
       if (maskedCrc32c(b, p, 8) != lenCrc)
         return if (out.isEmpty) null else out.toArray // not a record boundary
-      if (len < 0 || len > b.length - i - 16)
-        return if (out.isEmpty) null else out.toArray // truncated
+      // a VALID length CRC whose payload doesn't fit is a provably
+      // truncated shard (cut mid-payload/mid-trailer) — refuse like the
+      // mid-header cut below, don't return a listing indistinguishable
+      // from a cleanly framed shorter one; a negative u64 length is a
+      // lying header, same refusal
+      if (len < 0 || len > b.length - i - 16) return null
       out += ((i + 12, len))
       i += 12 + len + 4
     }
@@ -325,20 +329,38 @@ object TfRecordHeaders {
    *  ONE record extracted has its payload masked-CRC32C verified (the
    *  u32 after the payload), so corruption surfaces exactly where bytes
    *  are first consumed; the inventory walk stays CRC-free by design.
-   *  Null when the index is out of range or the payload CRC lies. */
+   *  Null when the index is out of range or the payload CRC lies.
+   *  EARLY-EXIT header chain: the walk stops at record `idx` — slicing
+   *  all N records of a shard costs O(N) header hops per record, never a
+   *  full re-inventory per call. */
   def member(b: Array[Byte], idx: Int): Array[Byte] = {
-    if (idx < 0) return null
-    val es = entries(b)
-    if (es == null || idx >= es.length) return null
-    val (off, len) = es(idx)
-    if (len > Int.MaxValue - 16 || off + len + 4 > b.length) return null
-    val p = off.toInt
-    val n = len.toInt
-    var crc = 0
+    if (b == null || idx < 0 || b.length < 16) return null
+    var i = 0L
     var k = 0
-    while (k < 4) { crc |= (b(p + n + k) & 0xff) << (8 * k); k += 1 }
-    if (maskedCrc32c(b, p, n) != crc) return null
-    java.util.Arrays.copyOfRange(b, p, p + n)
+    while (i + 16 <= b.length && k <= idx && k < MaxRecords) {
+      val p = i.toInt
+      var len = 0L
+      var j = 0
+      while (j < 8) { len |= (b(p + j) & 0xffL) << (8 * j); j += 1 }
+      var lenCrc = 0
+      j = 0
+      while (j < 4) { lenCrc |= (b(p + 8 + j) & 0xff) << (8 * j); j += 1 }
+      if (maskedCrc32c(b, p, 8) != lenCrc) return null // not a boundary
+      if (len < 0 || len > b.length - i - 16) return null // truncated/lying
+      if (k == idx) {
+        if (len > Int.MaxValue - 16) return null
+        val d = p + 12
+        val n = len.toInt
+        var crc = 0
+        j = 0
+        while (j < 4) { crc |= (b(d + n + j) & 0xff) << (8 * j); j += 1 }
+        if (maskedCrc32c(b, d, n) != crc) return null
+        return java.util.Arrays.copyOfRange(b, d, d + n)
+      }
+      i += 12 + len + 4
+      k += 1
+    }
+    null
   }
 
   def memberOrNull(b: Array[Byte], idx: Int): Array[Byte] =

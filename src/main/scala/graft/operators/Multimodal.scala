@@ -292,15 +292,20 @@ object Multimodal {
   def webdatasetSamples(df: DataFrame, blobCol: String): DataFrame =
     df.withColumn("__e", explode(graft.functions.TarEntriesExpr(col(blobCol))))
       .filter(col("__e.type") === "file")
-      // WebDataset's base_plus_ext rule: the key is the FULL path up to
-      // the first dot after the last slash (directories stay in the key —
-      // a/000001.jpg and b/000001.jpg are DIFFERENT samples), the
-      // extension is everything after that dot
       .withColumn("sample_key",
-        regexp_extract(col("__e.name"), "^((?:.*/)?[^.]*)", 1))
+        regexp_extract(col("__e.name"), SampleKeyRegex, 1))
       .withColumn("member_ext",
-        regexp_extract(col("__e.name"), "^(?:.*/)?[^.]*\\.(.*)$", 1))
+        regexp_extract(col("__e.name"), MemberExtRegex, 1))
       .withColumn("member_name", col("__e.name"))
       .withColumn("member_size", col("__e.size"))
       .drop("__e")
+
+  /** WebDataset's base_plus_ext grouping rule, the ONE spelling shared by
+   *  the blob-based [[webdatasetSamples]] and the streaming
+   *  [[graft.sources.TarShards.readWebDataset]]: the sample key is the
+   *  FULL path up to the first dot after the last slash (directories stay
+   *  in the key — a/000001.jpg and b/000001.jpg are DIFFERENT samples),
+   *  the extension is everything after that dot. */
+  private[graft] val SampleKeyRegex = "^((?:.*/)?[^.]*)"
+  private[graft] val MemberExtRegex = "^(?:.*/)?[^.]*\\.(.*)$"
 }

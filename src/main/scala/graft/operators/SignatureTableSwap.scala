@@ -34,13 +34,18 @@ private[graft] object SignatureTableSwap {
   }
 
   /** Rewrite the state deduplicated on `dedupCols` via the two-phase
-   *  swap. The tmp write materializes (and commits its `_SUCCESS`)
-   *  BEFORE anything is deleted. */
+   *  swap. The tmp write materializes — and its `_SUCCESS` commit point
+   *  is written by THIS protocol, not left to the committer config
+   *  (deployments disable markers on object stores; without one, a crash
+   *  between delete and rename would make recovery discard the only
+   *  remaining copy as "incomplete") — BEFORE anything is deleted. */
   def compact(spark: SparkSession, fs: FileSystem, sigDir: String,
       sigPath: Path, tmpPath: Path, dedupCols: Seq[String]): Unit = {
     spark.read.parquet(sigDir)
       .dropDuplicates(dedupCols)
       .write.mode(SaveMode.Overwrite).parquet(tmpPath.toString)
+    val marker = new Path(tmpPath, "_SUCCESS")
+    if (!fs.exists(marker)) fs.create(marker, true).close()
     require(fs.delete(sigPath, true), s"compaction: delete($sigPath) failed")
     require(fs.rename(tmpPath, sigPath),
       s"compaction: rename($tmpPath -> $sigPath) failed")

@@ -87,10 +87,10 @@ object TarShards {
       maxMemberBytes: Long = maxMemberBytesDefault): DataFrame =
     read(spark, path, minPartitions, maxMemberBytes)
       .filter(col("member_type") === "file")
-      .withColumn("sample_key",
-        regexp_extract(col("member_name"), "^((?:.*/)?[^.]*)", 1))
-      .withColumn("member_ext",
-        regexp_extract(col("member_name"), "^(?:.*/)?[^.]*\\.(.*)$", 1))
+      .withColumn("sample_key", regexp_extract(col("member_name"),
+        graft.operators.Multimodal.SampleKeyRegex, 1))
+      .withColumn("member_ext", regexp_extract(col("member_name"),
+        graft.operators.Multimodal.MemberExtRegex, 1))
 
   /** Streaming member iterator over one (possibly gzip/zstd-compressed)
    *  tar stream. O(member) memory; FAILFAST with `source` + member
@@ -107,11 +107,19 @@ object TarShards {
     val in: InputStream =
       if (got >= 2 && (m(0) & 0xff) == 0x1f && (m(1) & 0xff) == 0x8b)
         new GZIPInputStream(buffered, 1 << 16)
-      else if (got >= 4 && (m(0) & 0xff) == 0x28 && (m(1) & 0xff) == 0xb5 &&
-        (m(2) & 0xff) == 0x2f && (m(3) & 0xff) == 0xfd)
+      // the shared sniff accepts skippable-frame prefixes (pzstd) too
+      else if (got >= 4 && graft.functions.ZstdBytes.isZstd(m))
         new BufferedInputStream(
           new com.github.luben.zstd.ZstdInputStreamNoFinalizer(buffered), 1 << 16)
       else buffered
+
+    // a task that abandons the iterator mid-shard (limit/take pushdown)
+    // or aborts on FAILFAST must not leak the FS handle + decompressor
+    // until executor teardown — close at task completion
+    val tc = org.apache.spark.TaskContext.get()
+    if (tc != null) tc.addTaskCompletionListener[Unit] { _ =>
+      try in.close() catch { case _: java.io.IOException => }
+    }
 
     new Iterator[TarMember] {
       private val block = new Array[Byte](512)
@@ -122,9 +130,11 @@ object TarShards {
       private var nextRec: TarMember = _
       private var done = false
 
-      private def fail(msg: String): Nothing =
+      private def fail(msg: String): Nothing = {
+        try in.close() catch { case _: java.io.IOException => }
         throw new IllegalArgumentException(
           s"malformed tar ($source, member $idx): $msg")
+      }
 
       private def advance(): Unit = {
         while (!done && nextRec == null) {

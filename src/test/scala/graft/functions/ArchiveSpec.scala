@@ -237,6 +237,11 @@ class ArchiveSpec extends SparkSpec {
     val two = ArchiveCodec.zstd(data1) ++ ArchiveCodec.zstd(data2)
     assert(java.util.Arrays.equals(
       ZstdBytes.zunstd(two, 1 << 20), data1 ++ data2))
+    // a pzstd-style LEADING skippable frame is accepted and skipped
+    val skippablePrefixed = ArchiveCodec.zstdSkippable("meta".getBytes) ++
+      ArchiveCodec.zstd(data2)
+    assert(java.util.Arrays.equals(
+      ZstdBytes.zunstd(skippablePrefixed, 1 << 20), data2))
     // .tar.zst composes exactly like the gzip twin
     val shard = ArchiveCodec.tar(Seq(("a.bin", data2), ("b.bin", data1)))
     val es = TarHeaders.entries(ZstdBytes.zunstd(ArchiveCodec.zstd(shard), 1 << 22))

@@ -114,6 +114,9 @@ class TensorShardSpec extends SparkSpec {
     for (extra <- 1 until 16)
       assert(TfRecordHeaders.entries(good ++ Array.fill[Byte](extra)(9)) == null,
         s"extra=$extra")
+    // ...nor one cut MID-PAYLOAD: record 2's length CRC is intact but the
+    // payload provably doesn't fit — refuse, don't list just record 1
+    assert(TfRecordHeaders.entries(good.dropRight(10)) == null)
     // clean framing still lists both records
     assert(TfRecordHeaders.entries(good).length == 2)
   }
