@@ -3306,33 +3306,40 @@ object Battery {
       import s.implicits._
       import graft.functions.ArchiveCodec
       val dir = java.nio.file.Files.createTempDirectory("graft_wds_").toString
-      val blobs = docs(s, d).select(col("doc_id")).as[Long].map { id =>
+      // the REAL WebDataset layout: 64 shards each packing many samples
+      // (docs keyed into shards by id; directories keep the sample keys
+      // distinct across docs per the base_plus_ext rule) — not one tiny
+      // file per doc, whose 5000-file listing/open overhead measured 112 s
+      val members = docs(s, d).select(col("doc_id")).as[Long].flatMap { id =>
         val ns = (id % 4 + 1).toInt
-        val members = (1 to ns).flatMap { j =>
-          val key = f"$j%06d"
+        (1 to ns).flatMap { j =>
+          val key = f"d$id%d/$j%06d"
           Seq(
-            (s"$key.jpg", Array.tabulate[Byte]((j * 3 + 5))(k => (k + j).toByte)),
-            (s"$key.txt", Array.tabulate[Byte]((j * 2 + 1))(k => k.toByte))) ++
-            (if (id % 2 == 0) Seq((s"$key.json", Array.fill[Byte](4)('x')))
+            (id % 64, s"$key.jpg",
+              Array.tabulate[Byte]((j * 3 + 5))(k => (k + j).toByte)),
+            (id % 64, s"$key.txt",
+              Array.tabulate[Byte]((j * 2 + 1))(k => k.toByte))) ++
+            (if (id % 2 == 0) Seq((id % 64, s"$key.json", Array.fill[Byte](4)('x')))
              else Nil)
         }
-        val tar = ArchiveCodec.tar(members)
-        (id % 3).toInt match {
-          case 0 => (id, "tar", tar)
-          case 1 => (id, "tar.gz", ArchiveCodec.gzip(tar))
-          case _ => (id, "tar.zst", ArchiveCodec.zstd(tar))
-        }
-      }.toDF("doc_id", "ext", "bytes")
-      blobs.foreach { (r: org.apache.spark.sql.Row) =>
-        java.nio.file.Files.write(
-          java.nio.file.Paths.get(dir, s"shard-${r.getLong(0)}.${r.getString(1)}"),
-          r.getAs[Array[Byte]](2))
-        ()
       }
+      members.groupByKey(_._1).mapGroups { (sid, it) =>
+        val ms = it.toSeq.sortBy(_._2).map(m => (m._2, m._3))
+        val tar = ArchiveCodec.tar(ms)
+        val (ext, bytes) = (sid % 3).toInt match {
+          case 0 => ("tar", tar)
+          case 1 => ("tar.gz", ArchiveCodec.gzip(tar))
+          case _ => ("tar.zst", ArchiveCodec.zstd(tar))
+        }
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(dir, f"shard-$sid%05d.$ext"), bytes)
+        sid
+      }.count() // materialize the shard writes before the streamed read
       graft.sources.TarShards.readWebDataset(s, dir + "/shard-*")
         .withColumn("doc_id",
-          regexp_extract(col("shard"), "shard-(\\d+)\\.tar", 1).cast("long"))
-        .groupBy(col("doc_id"), col("sample_key"))
+          regexp_extract(col("sample_key"), "^d(\\d+)/", 1).cast("long"))
+        .withColumn("jkey", regexp_extract(col("sample_key"), "/(\\d+)$", 1))
+        .groupBy(col("doc_id"), col("jkey").as("sample_key"))
         .agg(count(lit(1)).as("n_members"),
           sum(col("member_size")).as("total_bytes"),
           sum(length(col("payload"))).cast("long").as("payload_bytes"),
