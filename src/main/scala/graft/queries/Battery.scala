@@ -3428,6 +3428,47 @@ object Battery {
         .select(col("id").as("doc_id"), col("sh").as("ahash"), col("batch_id"))
     }),
 
+    // INVENTORY → SELECT → FETCH (TarShards.inventory + fetchMembers):
+    // the 100 TB access pattern — list every member of every shard
+    // reading ONLY headers (payloads skipped, nothing allocated), select
+    // samples (odd-j jpgs here), then seek-read exactly the survivors
+    // with positioned FS reads. Fetched payload lengths replay the
+    // planted member math closed-form.
+    "q246_inventory_fetch" -> ((s, d) => {
+      import s.implicits._
+      import graft.functions.ArchiveCodec
+      val dir = java.nio.file.Files.createTempDirectory("graft_wdsi_").toString
+      val members = docs(s, d).select(col("doc_id")).as[Long].flatMap { id =>
+        val ns = (id % 4 + 1).toInt
+        (1 to ns).flatMap { j =>
+          val key = f"d$id%d/$j%06d"
+          Seq(
+            (id % 64, s"$key.jpg",
+              Array.tabulate[Byte]((j * 3 + 5))(k => (k + j).toByte)),
+            (id % 64, s"$key.txt",
+              Array.tabulate[Byte]((j * 2 + 1))(k => k.toByte)))
+        }
+      }
+      members.groupByKey(_._1).mapGroups { (sid, it) =>
+        val ms = it.toSeq.sortBy(_._2).map(m => (m._2, m._3))
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(dir, f"shard-$sid%05d.tar"),
+          ArchiveCodec.tar(ms))
+        sid
+      }.count()
+      val inv = graft.sources.TarShards.inventory(s, dir + "/shard-*")
+      val picked = inv
+        .filter(col("member_name").rlike("\\.jpg$")) // before any ANSI cast
+        .withColumn("doc_id",
+          regexp_extract(col("member_name"), "^d(\\d+)/", 1).cast("long"))
+        .withColumn("j",
+          regexp_extract(col("member_name"), "/0*(\\d+)\\.jpg$", 1).cast("long"))
+        .filter(col("j") % 2 === 1)
+      graft.sources.TarShards.fetchMembers(picked)
+        .select(col("doc_id"), col("j"), col("member_size"),
+          length(col("payload")).cast("long").as("payload_len"))
+    }),
+
     // MKV CUES keyframe planning (mkv_cues): the Matroska twin of the
     // MP4 stss plan (q223) — CuePoint times x TimestampScale and cluster
     // byte offsets replay closed-form; docs without a Cues index
@@ -7010,6 +7051,13 @@ object Battery {
         |    ELSE 'jpg,txt' END AS exts
         |FROM documents d, range(1, 5) t(j)
         |WHERE t.j <= d.doc_id % 4 + 1""".stripMargin,
+    // odd-j jpg members: planted size j*3+5, fetched bytes must agree
+    "q246_inventory_fetch" ->
+      """SELECT d.doc_id, CAST(t.j AS BIGINT) AS j,
+        |  CAST(t.j * 3 + 5 AS BIGINT) AS member_size,
+        |  CAST(t.j * 3 + 5 AS BIGINT) AS payload_len
+        |FROM documents d, range(1, 5) t(j)
+        |WHERE t.j <= d.doc_id % 4 + 1 AND t.j % 2 = 1""".stripMargin,
     // the final table: corpus rows at batch 0, q217's survivors at
     // batch 1, hashes = the planted patterns
     "q245_signature_table" ->

@@ -64,17 +64,85 @@ object TarShards {
   val maxMemberBytesDefault: Long = 1L << 30
 
   /** Read every tar member under `path` (files, dirs, globs — anything
-   *  `binaryFiles` accepts). One task per shard; payloads stay binary. */
+   *  `binaryFiles` accepts). One task per shard; payloads stay binary.
+   *  With `withPayload = false` the walk SKIPS every payload: an
+   *  inventory pass over a shard lake costs header reads only (512 B per
+   *  member through the decompressor), no payload copies — pair with
+   *  [[fetchMembers]] to seek-read just the members a sample selection
+   *  keeps. */
   def read(spark: SparkSession, path: String, minPartitions: Int = 0,
-      maxMemberBytes: Long = maxMemberBytesDefault): DataFrame = {
+      maxMemberBytes: Long = maxMemberBytesDefault,
+      withPayload: Boolean = true): DataFrame = {
     val parts = if (minPartitions > 0) minPartitions
                 else spark.sparkContext.defaultMinPartitions
     val cap = maxMemberBytes
+    val wp = withPayload
     val rows = spark.sparkContext.binaryFiles(path, parts).flatMap {
-      case (file, stream) => members(stream.open(), file, cap).map(m =>
+      case (file, stream) => members(stream.open(), file, cap, wp).map(m =>
         Row(m.shard, m.name, m.size, m.byteOff, m.typ, m.payload))
     }
     spark.createDataFrame(rows, schema)
+  }
+
+  /** Payload-free member inventory — the 100 TB entry point: list every
+   *  member of every shard reading only headers, then select samples and
+   *  [[fetchMembers]] the survivors. */
+  def inventory(spark: SparkSession, path: String,
+      minPartitions: Int = 0): DataFrame =
+    read(spark, path, minPartitions, withPayload = false)
+
+  /**
+   * Ranged member fetch: resolve (shard, byte_off, member_size) rows —
+   * an [[inventory]] selection — to their payload bytes via positioned
+   * FS reads, appending a `payload` column. Rows are co-located by shard
+   * and ordered by offset inside each task, so one shard is opened once
+   * and read near-sequentially; only the SELECTED members' bytes ever
+   * move. Valid for UNCOMPRESSED shards only (byte_off addresses the
+   * raw stream; gzip/zstd shards can't be seek-read — stream those with
+   * [[read]] instead).
+   */
+  def fetchMembers(df: DataFrame, shardCol: String = "shard",
+      offCol: String = "byte_off", sizeCol: String = "member_size",
+      maxMemberBytes: Long = maxMemberBytesDefault): DataFrame = {
+    val spark = df.sparkSession
+    val bc = spark.sparkContext.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(
+        spark.sessionState.newHadoopConf()))
+    // an inventory frame carries a null payload placeholder — replace it
+    val base = if (df.columns.contains("payload")) df.drop("payload") else df
+    val outSchema = StructType(base.schema.fields :+
+      StructField("payload", BinaryType, nullable = true))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    val si = base.schema.fieldIndex(shardCol)
+    val oi = base.schema.fieldIndex(offCol)
+    val zi = base.schema.fieldIndex(sizeCol)
+    val cap = maxMemberBytes
+    base.repartition(col(shardCol))
+      .sortWithinPartitions(col(shardCol), col(offCol))
+      .mapPartitions { rows =>
+        var curPath: String = null
+        var in: org.apache.hadoop.fs.FSDataInputStream = null
+        val tc = org.apache.spark.TaskContext.get()
+        if (tc != null) tc.addTaskCompletionListener[Unit] { _ =>
+          if (in != null) try in.close() catch { case _: java.io.IOException => }
+        }
+        rows.map { r =>
+          val p = r.getString(si)
+          val off = r.getLong(oi)
+          val n = r.getLong(zi)
+          require(n >= 0 && n <= cap && n <= Int.MaxValue,
+            s"member of $n bytes exceeds cap $cap ($p @ $off)")
+          if (p != curPath) {
+            if (in != null) in.close()
+            val hp = new org.apache.hadoop.fs.Path(p)
+            in = hp.getFileSystem(bc.value.value).open(hp)
+            curPath = p
+          }
+          val buf = new Array[Byte](n.toInt)
+          in.readFully(off, buf)
+          Row.fromSeq(r.toSeq :+ buf)
+        }
+      }(enc)
   }
 
   /** WebDataset view: regular-file members with their sample key (the
@@ -96,7 +164,8 @@ object TarShards {
    *  tar stream. O(member) memory; FAILFAST with `source` + member
    *  index. Exposed for direct use (and the multi-GB generator specs). */
   def members(in0: InputStream, source: String,
-      maxMemberBytes: Long = maxMemberBytesDefault): Iterator[TarMember] = {
+      maxMemberBytes: Long = maxMemberBytesDefault,
+      withPayload: Boolean = true): Iterator[TarMember] = {
     require(maxMemberBytes > 0 && maxMemberBytes < Int.MaxValue,
       s"maxMemberBytes must fit a byte array, got $maxMemberBytes")
     val buffered = new BufferedInputStream(in0, 1 << 16)
@@ -160,7 +229,10 @@ object TarShards {
               pendingPaxPath = TarHeaders.paxPathOf(paxB, 0, paxB.length)
             skipFully(in, pad, fail)
           } else {
-            if (h.size > maxMemberBytes)
+            // the cap is the per-task MEMORY bound, so it gates only
+            // materialized payloads — an inventory pass (withPayload =
+            // false) lists members of any size, it allocates nothing
+            if (withPayload && h.size > maxMemberBytes)
               fail(s"member of ${h.size} bytes exceeds cap $maxMemberBytes — " +
                 "raise maxMemberBytes if the layout is intentional")
             val name =
@@ -171,7 +243,7 @@ object TarShards {
             pendingPaxPath = null
             val typeName = TarHeaders.typeName(h.typ)
             val payload =
-              if (typeName == "file") {
+              if (typeName == "file" && withPayload) {
                 val p = new Array[Byte](h.size.toInt)
                 readFully(in, p, fail)
                 p

@@ -130,6 +130,37 @@ class TarShardsSpec extends SparkSpec {
     assert(lastOff + memberSize > Int.MaxValue.toLong) // truly past the cap
   }
 
+  test("inventory + fetchMembers: payload-free listing, then seek-read only survivors") {
+    val spark = this.spark
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("graft_tarfetch_").toString
+    val jpg1 = Array.tabulate[Byte](700)(i => (i % 113).toByte)
+    val jpg2 = Array.tabulate[Byte](1200)(i => (i % 97).toByte)
+    val jpg3 = Array.tabulate[Byte](300)(i => (i % 89).toByte)
+    val s0 = ArchiveCodec.tar(Seq(
+      ("a.jpg", jpg1), ("a.txt", data2), ("b.jpg", jpg2)))
+    val s1 = ArchiveCodec.tar(Seq(("c.jpg", jpg3), ("c.txt", data2)))
+    Files.write(java.nio.file.Paths.get(dir, "shard-0.tar"), s0)
+    Files.write(java.nio.file.Paths.get(dir, "shard-1.tar"), s1)
+    val inv = TarShards.inventory(spark, dir + "/*")
+    // the inventory lists everything but materializes NO payload
+    assert(inv.count() == 5)
+    assert(inv.select("payload").collect().forall(_.isNullAt(0)))
+    // a tiny cap doesn't gate the payload-free walk (nothing allocates)
+    val big = TarShards.members(new ByteArrayInputStream(s0), "mem",
+      maxMemberBytes = 10, withPayload = false).toList
+    assert(big.map(_.name) == List("a.jpg", "a.txt", "b.jpg"))
+    // select only the jpgs and seek-read exactly those
+    val fetched = TarShards.fetchMembers(
+        inv.filter(col("member_name").endsWith(".jpg")))
+      .select("member_name", "payload").collect()
+      .map(r => r.getString(0) -> r.getAs[Array[Byte]](1)).toMap
+    assert(fetched.keySet == Set("a.jpg", "b.jpg", "c.jpg"))
+    assert(java.util.Arrays.equals(fetched("a.jpg"), jpg1))
+    assert(java.util.Arrays.equals(fetched("b.jpg"), jpg2))
+    assert(java.util.Arrays.equals(fetched("c.jpg"), jpg3))
+  }
+
   test("Spark source: mixed-compression shard dir, streamed ≡ webdatasetSamples") {
     val spark = this.spark
     import spark.implicits._
