@@ -3428,6 +3428,67 @@ object Battery {
         .select(col("id").as("doc_id"), col("sh").as("ahash"), col("batch_id"))
     }),
 
+    // STREAMING shard INGEST (TarShards.readWebDatasetStream): shards
+    // arrive in two waves (even docs' shards land, a micro-batch parses
+    // them, then odd docs' shards); the binaryFile source's exactly-once
+    // file tracking means the union of batches is exactly one pass over
+    // every member — the q242 closed form re-derived through continuous
+    // ingest, payload bytes pinned per sample.
+    "q247_wds_stream_ingest" -> ((s, d) => {
+      import s.implicits._
+      import graft.functions.ArchiveCodec
+      val root = java.nio.file.Files.createTempDirectory("graft_wdst_").toString
+      val in = root + "/in"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+      def writeWave(wave: Int): Unit = {
+        val members = docs(s, d).select(col("doc_id")).as[Long]
+          .filter((id: Long) => id % 2 == wave)
+          .flatMap { id =>
+            val ns = (id % 4 + 1).toInt
+            (1 to ns).flatMap { j =>
+              val key = f"d$id%d/$j%06d"
+              Seq(
+                ((id / 2) % 32, s"$key.jpg",
+                  Array.tabulate[Byte]((j * 3 + 5))(k => (k + j).toByte)),
+                ((id / 2) % 32, s"$key.txt",
+                  Array.tabulate[Byte]((j * 2 + 1))(k => k.toByte))) ++
+                (if (id % 2 == 0) Seq(((id / 2) % 32, s"$key.json",
+                  Array.fill[Byte](4)('x'))) else Nil)
+            }
+          }
+        members.groupByKey(_._1).mapGroups { (sid, it) =>
+          val ms = it.toSeq.sortBy(_._2).map(m => (m._2, m._3))
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(in, f"w$wave%d-$sid%05d.tar"),
+            ArchiveCodec.tar(ms))
+          sid
+        }.count()
+        ()
+      }
+      val out = root + "/out"
+      val q = graft.sources.TarShards.readWebDatasetStream(s, in)
+        .select(col("sample_key"), col("member_ext"), col("member_size"),
+          length(col("payload")).cast("long").as("payload_len"))
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", root + "/ckpt")
+        .start()
+      try {
+        writeWave(0)
+        q.processAllAvailable()
+        writeWave(1)
+        q.processAllAvailable()
+      } finally q.stop()
+      s.read.parquet(out)
+        .withColumn("doc_id",
+          regexp_extract(col("sample_key"), "^d(\\d+)/", 1).cast("long"))
+        .withColumn("jkey", regexp_extract(col("sample_key"), "/(\\d+)$", 1))
+        .groupBy(col("doc_id"), col("jkey").as("sample_key"))
+        .agg(count(lit(1)).as("n_members"),
+          sum(col("member_size")).as("total_bytes"),
+          sum(col("payload_len")).as("payload_bytes"),
+          array_join(sort_array(collect_list(col("member_ext"))), ",").as("exts"))
+    }),
+
     // INVENTORY → SELECT → FETCH (TarShards.inventory + fetchMembers):
     // the 100 TB access pattern — list every member of every shard
     // reading ONLY headers (payloads skipped, nothing allocated), select
@@ -7038,6 +7099,21 @@ object Battery {
     // the q234 closed form, re-derived through the streaming source; the
     // streamed payload byte count must equal the header-declared sizes
     "q242_webdataset_stream" ->
+      """SELECT d.doc_id, lpad(CAST(t.j AS VARCHAR), 6, '0') AS sample_key,
+        |  CAST(CASE WHEN d.doc_id % 2 = 0 THEN 3 ELSE 2 END AS BIGINT)
+        |    AS n_members,
+        |  CAST(t.j * 3 + 5 + t.j * 2 + 1
+        |    + CASE WHEN d.doc_id % 2 = 0 THEN 4 ELSE 0 END AS BIGINT)
+        |    AS total_bytes,
+        |  CAST(t.j * 3 + 5 + t.j * 2 + 1
+        |    + CASE WHEN d.doc_id % 2 = 0 THEN 4 ELSE 0 END AS BIGINT)
+        |    AS payload_bytes,
+        |  CASE WHEN d.doc_id % 2 = 0 THEN 'jpg,json,txt'
+        |    ELSE 'jpg,txt' END AS exts
+        |FROM documents d, range(1, 5) t(j)
+        |WHERE t.j <= d.doc_id % 4 + 1""".stripMargin,
+    // the q242 closed form, re-derived through two-wave streaming ingest
+    "q247_wds_stream_ingest" ->
       """SELECT d.doc_id, lpad(CAST(t.j AS VARCHAR), 6, '0') AS sample_key,
         |  CAST(CASE WHEN d.doc_id % 2 = 0 THEN 3 ELSE 2 END AS BIGINT)
         |    AS n_members,

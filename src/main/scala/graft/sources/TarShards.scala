@@ -160,6 +160,48 @@ object TarShards {
       .withColumn("member_ext", regexp_extract(col("member_name"),
         graft.operators.Multimodal.MemberExtRegex, 1))
 
+  /**
+   * STRUCTURED STREAMING shard arrival: a micro-batch source over a
+   * directory where WebDataset shards land (the continuous-ingest
+   * deployment — new `.tar[.gz|.zst]` files arrive, each micro-batch
+   * parses the new arrivals into member rows with sample keys). Built on
+   * Spark's `binaryFile` file-streaming source, so discovery,
+   * exactly-once file tracking, and `maxFilesPerTrigger` throttling are
+   * the engine's own; the parse is the same FAILFAST member walk as
+   * [[read]]. Feed the result into
+   * [[graft.streaming.EventStreams.dedupIngestStream]]-style loops for
+   * ingest-and-dedup (spec-proven composition).
+   *
+   * One honest difference from the batch reader (same as
+   * [[Warc.readWetStream]]): `binaryFile` delivers a whole file per row,
+   * so a shard is held in memory while parsed — size STREAMING shards
+   * like micro-batches (MBs), not like the multi-GB archival shards the
+   * batch path streams through with O(member) memory.
+   */
+  def readWebDatasetStream(spark: SparkSession, dir: String,
+      maxMemberBytes: Long = maxMemberBytesDefault): DataFrame = {
+    import spark.implicits._
+    val binarySchema = StructType(Seq(
+      StructField("path", StringType),
+      StructField("modificationTime", TimestampType),
+      StructField("length", LongType),
+      StructField("content", BinaryType)))
+    val cap = maxMemberBytes
+    spark.readStream.format("binaryFile").schema(binarySchema).load(dir)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (path, bytes) =>
+        members(new java.io.ByteArrayInputStream(bytes), path, cap)
+          .filter(_.typ == "file")
+          .map(m => (m.shard, m.name, m.size, m.byteOff, m.payload))
+      }
+      .toDF("shard", "member_name", "member_size", "byte_off", "payload")
+      .withColumn("sample_key", regexp_extract(col("member_name"),
+        graft.operators.Multimodal.SampleKeyRegex, 1))
+      .withColumn("member_ext", regexp_extract(col("member_name"),
+        graft.operators.Multimodal.MemberExtRegex, 1))
+  }
+
   /** Streaming member iterator over one (possibly gzip/zstd-compressed)
    *  tar stream. O(member) memory; FAILFAST with `source` + member
    *  index. Exposed for direct use (and the multi-GB generator specs). */

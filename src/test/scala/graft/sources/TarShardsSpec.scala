@@ -161,6 +161,37 @@ class TarShardsSpec extends SparkSpec {
     assert(java.util.Arrays.equals(fetched("c.jpg"), jpg3))
   }
 
+  test("readWebDatasetStream: arriving shards parse per micro-batch, exactly once") {
+    val spark = this.spark
+    import org.apache.spark.sql.functions.col
+    val root = Files.createTempDirectory("graft_wds_stream_").toString
+    val in = root + "/in"
+    Files.createDirectories(java.nio.file.Paths.get(in))
+    val q = TarShards.readWebDatasetStream(spark, in)
+      .select(col("sample_key"), col("member_ext"), col("member_size"))
+      .writeStream
+      .format("memory").queryName("wds_stream")
+      .option("checkpointLocation", root + "/ckpt")
+      .start()
+    try {
+      Files.write(java.nio.file.Paths.get(in, "s1.tar"),
+        ArchiveCodec.tar(Seq(("000001.jpg", data2), ("000001.cls", Array[Byte](7)))))
+      q.processAllAvailable()
+      val after1 = spark.sql("SELECT * FROM wds_stream").count()
+      assert(after1 == 2)
+      // the second arrival is gzip-compressed; the first is not re-read
+      Files.write(java.nio.file.Paths.get(in, "s2.tar.gz"),
+        ArchiveCodec.gzip(ArchiveCodec.tar(Seq(("000002.jpg", data1)))))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT sample_key, member_ext, member_size FROM wds_stream")
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+      assert(rows == Set(
+        ("000001", "jpg", data2.length.toLong),
+        ("000001", "cls", 1L),
+        ("000002", "jpg", data1.length.toLong)))
+    } finally q.stop()
+  }
+
   test("Spark source: mixed-compression shard dir, streamed ≡ webdatasetSamples") {
     val spark = this.spark
     import spark.implicits._
