@@ -25,6 +25,49 @@ import org.apache.spark.sql.functions._
  */
 object Battery {
 
+  /** Shared WebDataset shard fixture (q242/q246/q247): plants the ONE
+   *  member math their DuckDB oracles replay — sample j of doc id gets a
+   *  jpg of j*3+5 bytes and a txt of j*2+1, plus a 4-byte json on even
+   *  docs when enabled — packed into tar shards under `dir` (optionally
+   *  gzip/zstd by shard). Kept as one helper so the three fixtures can
+   *  never desynchronize from the shared closed form. */
+  private def writeWdsShards(s: SparkSession, d: String, dir: String,
+      docFilter: Long => Boolean, shardOf: Long => Long,
+      fileName: Long => String, withJson: Boolean,
+      compression: Long => String): Unit = {
+    import s.implicits._
+    import graft.functions.ArchiveCodec
+    val members = docs(s, d).select(col("doc_id")).as[Long]
+      .filter(docFilter)
+      .flatMap { id =>
+        val ns = (id % 4 + 1).toInt
+        (1 to ns).flatMap { j =>
+          val key = f"d$id%d/$j%06d"
+          Seq(
+            (shardOf(id), s"$key.jpg",
+              Array.tabulate[Byte]((j * 3 + 5))(k => (k + j).toByte)),
+            (shardOf(id), s"$key.txt",
+              Array.tabulate[Byte]((j * 2 + 1))(k => k.toByte))) ++
+            (if (withJson && id % 2 == 0)
+              Seq((shardOf(id), s"$key.json", Array.fill[Byte](4)('x')))
+             else Nil)
+        }
+      }
+    members.groupByKey(_._1).mapGroups { (sid, it) =>
+      val ms = it.toSeq.sortBy(_._2).map(m => (m._2, m._3))
+      val tar = ArchiveCodec.tar(ms)
+      val (ext, bytes) = compression(sid) match {
+        case "tar" => ("tar", tar)
+        case "tar.gz" => ("tar.gz", ArchiveCodec.gzip(tar))
+        case other => (other, ArchiveCodec.zstd(tar))
+      }
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(dir, s"${fileName(sid)}.$ext"), bytes)
+      sid
+    }.count()
+    ()
+  }
+
   private def li(s: SparkSession, d: String) = Tables.lineitem(s, d)
   private def ord(s: SparkSession, d: String) = Tables.orders(s, d)
   private def cust(s: SparkSession, d: String) = Tables.customer(s, d)
@@ -3304,37 +3347,15 @@ object Battery {
     // stream path delivers the same members the blob walk lists.
     "q242_webdataset_stream" -> ((s, d) => {
       import s.implicits._
-      import graft.functions.ArchiveCodec
       val dir = java.nio.file.Files.createTempDirectory("graft_wds_").toString
       // the REAL WebDataset layout: 64 shards each packing many samples
       // (docs keyed into shards by id; directories keep the sample keys
       // distinct across docs per the base_plus_ext rule) — not one tiny
       // file per doc, whose 5000-file listing/open overhead measured 112 s
-      val members = docs(s, d).select(col("doc_id")).as[Long].flatMap { id =>
-        val ns = (id % 4 + 1).toInt
-        (1 to ns).flatMap { j =>
-          val key = f"d$id%d/$j%06d"
-          Seq(
-            (id % 64, s"$key.jpg",
-              Array.tabulate[Byte]((j * 3 + 5))(k => (k + j).toByte)),
-            (id % 64, s"$key.txt",
-              Array.tabulate[Byte]((j * 2 + 1))(k => k.toByte))) ++
-            (if (id % 2 == 0) Seq((id % 64, s"$key.json", Array.fill[Byte](4)('x')))
-             else Nil)
-        }
-      }
-      members.groupByKey(_._1).mapGroups { (sid, it) =>
-        val ms = it.toSeq.sortBy(_._2).map(m => (m._2, m._3))
-        val tar = ArchiveCodec.tar(ms)
-        val (ext, bytes) = (sid % 3).toInt match {
-          case 0 => ("tar", tar)
-          case 1 => ("tar.gz", ArchiveCodec.gzip(tar))
-          case _ => ("tar.zst", ArchiveCodec.zstd(tar))
-        }
-        java.nio.file.Files.write(
-          java.nio.file.Paths.get(dir, f"shard-$sid%05d.$ext"), bytes)
-        sid
-      }.count() // materialize the shard writes before the streamed read
+      writeWdsShards(s, d, dir, _ => true, _ % 64, sid => f"shard-$sid%05d",
+        withJson = true,
+        sid => (sid % 3).toInt match {
+          case 0 => "tar"; case 1 => "tar.gz"; case _ => "tar.zst" })
       graft.sources.TarShards.readWebDataset(s, dir + "/shard-*")
         .withColumn("doc_id",
           regexp_extract(col("sample_key"), "^d(\\d+)/", 1).cast("long"))
@@ -3435,36 +3456,12 @@ object Battery {
     // every member — the q242 closed form re-derived through continuous
     // ingest, payload bytes pinned per sample.
     "q247_wds_stream_ingest" -> ((s, d) => {
-      import s.implicits._
-      import graft.functions.ArchiveCodec
       val root = java.nio.file.Files.createTempDirectory("graft_wdst_").toString
       val in = root + "/in"
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
-      def writeWave(wave: Int): Unit = {
-        val members = docs(s, d).select(col("doc_id")).as[Long]
-          .filter((id: Long) => id % 2 == wave)
-          .flatMap { id =>
-            val ns = (id % 4 + 1).toInt
-            (1 to ns).flatMap { j =>
-              val key = f"d$id%d/$j%06d"
-              Seq(
-                ((id / 2) % 32, s"$key.jpg",
-                  Array.tabulate[Byte]((j * 3 + 5))(k => (k + j).toByte)),
-                ((id / 2) % 32, s"$key.txt",
-                  Array.tabulate[Byte]((j * 2 + 1))(k => k.toByte))) ++
-                (if (id % 2 == 0) Seq(((id / 2) % 32, s"$key.json",
-                  Array.fill[Byte](4)('x'))) else Nil)
-            }
-          }
-        members.groupByKey(_._1).mapGroups { (sid, it) =>
-          val ms = it.toSeq.sortBy(_._2).map(m => (m._2, m._3))
-          java.nio.file.Files.write(
-            java.nio.file.Paths.get(in, f"w$wave%d-$sid%05d.tar"),
-            ArchiveCodec.tar(ms))
-          sid
-        }.count()
-        ()
-      }
+      def writeWave(wave: Int): Unit =
+        writeWdsShards(s, d, in, id => id % 2 == wave, id => (id / 2) % 32,
+          sid => f"w$wave%d-$sid%05d", withJson = true, _ => "tar")
       val out = root + "/out"
       val q = graft.sources.TarShards.readWebDatasetStream(s, in)
         .select(col("sample_key"), col("member_ext"), col("member_size"),
@@ -3496,27 +3493,9 @@ object Battery {
     // with positioned FS reads. Fetched payload lengths replay the
     // planted member math closed-form.
     "q246_inventory_fetch" -> ((s, d) => {
-      import s.implicits._
-      import graft.functions.ArchiveCodec
       val dir = java.nio.file.Files.createTempDirectory("graft_wdsi_").toString
-      val members = docs(s, d).select(col("doc_id")).as[Long].flatMap { id =>
-        val ns = (id % 4 + 1).toInt
-        (1 to ns).flatMap { j =>
-          val key = f"d$id%d/$j%06d"
-          Seq(
-            (id % 64, s"$key.jpg",
-              Array.tabulate[Byte]((j * 3 + 5))(k => (k + j).toByte)),
-            (id % 64, s"$key.txt",
-              Array.tabulate[Byte]((j * 2 + 1))(k => k.toByte)))
-        }
-      }
-      members.groupByKey(_._1).mapGroups { (sid, it) =>
-        val ms = it.toSeq.sortBy(_._2).map(m => (m._2, m._3))
-        java.nio.file.Files.write(
-          java.nio.file.Paths.get(dir, f"shard-$sid%05d.tar"),
-          ArchiveCodec.tar(ms))
-        sid
-      }.count()
+      writeWdsShards(s, d, dir, _ => true, _ % 64, sid => f"shard-$sid%05d",
+        withJson = false, _ => "tar") // fetch needs uncompressed shards
       val inv = graft.sources.TarShards.inventory(s, dir + "/shard-*")
       val picked = inv
         .filter(col("member_name").rlike("\\.jpg$")) // before any ANSI cast

@@ -137,6 +137,15 @@ object TarShards {
             val hp = new org.apache.hadoop.fs.Path(p)
             in = hp.getFileSystem(bc.value.value).open(hp)
             curPath = p
+            // byte_off addresses the UNCOMPRESSED stream; a positioned
+            // read of a compressed shard would return garbage silently —
+            // FAILFAST on the magic instead (stream those with read())
+            val magic = new Array[Byte](4)
+            in.readFully(0L, magic)
+            require(!((magic(0) & 0xff) == 0x1f && (magic(1) & 0xff) == 0x8b) &&
+              !graft.functions.ZstdBytes.isZstd(magic),
+              s"fetchMembers needs UNCOMPRESSED shards (offsets address the " +
+                s"raw stream); $p is gzip/zstd — use TarShards.read to stream it")
           }
           val buf = new Array[Byte](n.toInt)
           in.readFully(off, buf)
@@ -172,14 +181,23 @@ object TarShards {
    * [[graft.streaming.EventStreams.dedupIngestStream]]-style loops for
    * ingest-and-dedup (spec-proven composition).
    *
-   * One honest difference from the batch reader (same as
+   * Two honest caveats vs the batch reader (the first shared with
    * [[Warc.readWetStream]]): `binaryFile` delivers a whole file per row,
    * so a shard is held in memory while parsed — size STREAMING shards
-   * like micro-batches (MBs), not like the multi-GB archival shards the
-   * batch path streams through with O(member) memory.
+   * like micro-batches (MBs) and throttle pre-existing backlogs with
+   * `options = Map("maxFilesPerTrigger" -> ...)`. And a corrupt shard
+   * under the default FAILFAST becomes a POISON PILL: the failed
+   * micro-batch is checkpointed and replayed against the same file list
+   * on every restart (binaryFile has no skip hook), so remediation means
+   * repairing the file in place. `permissive = true` instead keeps each
+   * shard's members parsed up to the first corruption and drops the rest
+   * of THAT shard (logged) — the quarantine mode a continuous-ingest
+   * deployment usually wants.
    */
   def readWebDatasetStream(spark: SparkSession, dir: String,
-      maxMemberBytes: Long = maxMemberBytesDefault): DataFrame = {
+      maxMemberBytes: Long = maxMemberBytesDefault,
+      options: Map[String, String] = Map.empty,
+      permissive: Boolean = false): DataFrame = {
     import spark.implicits._
     val binarySchema = StructType(Seq(
       StructField("path", StringType),
@@ -187,13 +205,30 @@ object TarShards {
       StructField("length", LongType),
       StructField("content", BinaryType)))
     val cap = maxMemberBytes
-    spark.readStream.format("binaryFile").schema(binarySchema).load(dir)
+    spark.readStream.format("binaryFile").options(options)
+      .schema(binarySchema).load(dir)
       .select(col("path"), col("content"))
       .as[(String, Array[Byte])]
       .flatMap { case (path, bytes) =>
-        members(new java.io.ByteArrayInputStream(bytes), path, cap)
+        // no task-completion listener here: it would pin every parsed
+        // shard's full byte array until task end (see members())
+        val it = members(new java.io.ByteArrayInputStream(bytes), path, cap,
+          taskCleanup = false)
           .filter(_.typ == "file")
           .map(m => (m.shard, m.name, m.size, m.byteOff, m.payload))
+        if (!permissive) it
+        else {
+          // consume eagerly so a mid-shard corruption yields the members
+          // BEFORE it instead of failing the whole micro-batch forever
+          val buf = scala.collection.mutable.ArrayBuffer
+            .empty[(String, String, Long, Long, Array[Byte])]
+          try it.foreach(buf += _)
+          catch {
+            case e: IllegalArgumentException =>
+              System.err.println(s"[graft] quarantined corrupt shard tail: ${e.getMessage}")
+          }
+          buf.iterator
+        }
       }
       .toDF("shard", "member_name", "member_size", "byte_off", "payload")
       .withColumn("sample_key", regexp_extract(col("member_name"),
@@ -207,7 +242,8 @@ object TarShards {
    *  index. Exposed for direct use (and the multi-GB generator specs). */
   def members(in0: InputStream, source: String,
       maxMemberBytes: Long = maxMemberBytesDefault,
-      withPayload: Boolean = true): Iterator[TarMember] = {
+      withPayload: Boolean = true,
+      taskCleanup: Boolean = true): Iterator[TarMember] = {
     require(maxMemberBytes > 0 && maxMemberBytes < Int.MaxValue,
       s"maxMemberBytes must fit a byte array, got $maxMemberBytes")
     val buffered = new BufferedInputStream(in0, 1 << 16)
@@ -226,9 +262,13 @@ object TarShards {
 
     // a task that abandons the iterator mid-shard (limit/take pushdown)
     // or aborts on FAILFAST must not leak the FS handle + decompressor
-    // until executor teardown — close at task completion
+    // until executor teardown — close at task completion. Callers whose
+    // stream wraps an in-memory buffer (the micro-batch path) pass
+    // taskCleanup = false: a completion listener would strongly pin
+    // every parsed shard's byte array until task end, turning a
+    // many-shard first batch into an OOM
     val tc = org.apache.spark.TaskContext.get()
-    if (tc != null) tc.addTaskCompletionListener[Unit] { _ =>
+    if (taskCleanup && tc != null) tc.addTaskCompletionListener[Unit] { _ =>
       try in.close() catch { case _: java.io.IOException => }
     }
 
