@@ -31,9 +31,11 @@ import org.apache.spark.sql.types._
  *    carries one extra bit);
  *  - frame footer CRC-16 (validated).
  *
- * Only 16-bit streams are emitted (the corpus contract of the PCM16
- * pipeline); other depths, lying headers, CRC mismatches and outputs
- * past `maxSamples` decode to null, never exceptions.
+ * 8-24-bit streams all normalize to the PCM16 contract (high bits kept
+ * via `s >> (bits-16)` for deeper sources, `s << (16-bits)` for
+ * shallower — the q222 16-bit-PNG discipline applied to audio); depths
+ * past 24 bits, lying headers, CRC mismatches and outputs past
+ * `maxSamples` decode to null, never exceptions.
  */
 /** CRC routines shared by the decoder and the fixture encoder — one
  *  copy, so a polynomial fix can never break the round trip. */
@@ -254,9 +256,14 @@ object FlacPcm {
 
   private def decodeOrThrow(b: Array[Byte], maxSamples: Int): DecodedPcm = {
     val meta = FlacHeaders.parse(b)
-    if (meta == null || meta.bits != 16) return null // PCM16 pipeline only
+    // 8-24-bit streams normalize to the PCM16 contract: high bits kept
+    // (s >> (bits-16)) for deeper sources, scaled up (s << (16-bits))
+    // for shallower ones. Deeper than 24 bits would push the side
+    // channel past Int range — behind the seam like WebP
+    if (meta == null || meta.bits < 8 || meta.bits > 24) return null
     if (meta.totalSamples <= 0) return null
     if (meta.channels < 1 || meta.channels > 8) return null
+    val bits = meta.bits
     val totalInterleaved = meta.totalSamples * meta.channels
     if (totalInterleaved > maxSamples) return null
     // skip metadata blocks to the first frame
@@ -296,9 +303,18 @@ object FlacPcm {
         case 15 => bad()
         case _ =>
       }
-      // sample size: from STREAMINFO (000) or explicitly 16 (100); any
-      // other depth inside a 16-bit stream is a lying frame
-      if (ssCode != 0 && ssCode != 4) return null
+      // sample size: from STREAMINFO (000) or the explicit code matching
+      // the stream depth; a mismatched depth is a lying frame
+      val ssOk = ssCode match {
+        case 0 => true
+        case 1 => bits == 8
+        case 2 => bits == 12
+        case 4 => bits == 16
+        case 5 => bits == 20
+        case 6 => bits == 24
+        case _ => false
+      }
+      if (!ssOk) return null
       r.alignToByte()
       val crc8Read = r.bits(8).toInt // the header's trailing CRC-8 byte
       if (FlacCrc.crc8(b, frameStart, r.bytePos - 1) != crc8Read) bad()
@@ -315,7 +331,7 @@ object FlacPcm {
       val chans = new Array[Array[Int]](nCh)
       var c = 0
       while (c < nCh) {
-        chans(c) = subframe(r, blockSize, if (c == sideOf) 17 else 16)
+        chans(c) = subframe(r, blockSize, if (c == sideOf) bits + 1 else bits)
         c += 1
       }
       chCode match {
@@ -346,12 +362,17 @@ object FlacPcm {
       val wantCrc = ((b(r.bytePos) & 0xff) << 8) | (b(r.bytePos + 1) & 0xff)
       if (FlacCrc.crc16(b, frameStart, r.bytePos) != wantCrc) bad()
       r.bytePos += 2
-      // interleave; clamp-check: a lying stream may exceed 16-bit range
+      // normalize to PCM16, then interleave; clamp-check AFTER the
+      // depth shift: a lying stream may still exceed 16-bit range
+      val shift = bits - 16
       var k = 0
       while (k < blockSize) {
         c = 0
         while (c < nCh) {
-          val s = chans(c)(k)
+          val raw = chans(c)(k)
+          val s = if (shift > 0) raw >> shift
+                  else if (shift < 0) raw << -shift
+                  else raw
           if (s < -32768 || s > 32767) bad()
           out(((decoded + k) * nCh + c).toInt) = s
           c += 1
@@ -542,11 +563,12 @@ object FlacCodec {
    */
   def encodePcm16(sampleRate: Int, channels: Int, samples: Array[Int],
       blockSize: Int = 4096, mode: String = "fixed2",
-      stereo: String = "independent"): Array[Byte] = {
+      stereo: String = "independent", bits: Int = 16): Array[Byte] = {
     require(channels >= 1 && channels <= 8 && samples.length % channels == 0)
+    require(Set(8, 12, 16, 20, 24)(bits), s"unsupported depth $bits")
     val nFrames = samples.length / channels
     require(nFrames > 0)
-    val header = CodedAudioCodec.encodeFlac(sampleRate, channels, 16, nFrames)
+    val header = CodedAudioCodec.encodeFlac(sampleRate, channels, bits, nFrames)
     val out = new java.io.ByteArrayOutputStream()
     out.write(header)
     var off = 0
@@ -566,7 +588,10 @@ object FlacCodec {
         case "midside" => 10
       } else channels - 1
       hw.bits(chCode.toLong, 4)
-      hw.bits(4, 3) // sample size 16
+      val ssCode = bits match {
+        case 8 => 1; case 12 => 2; case 16 => 4; case 20 => 5; case _ => 6
+      }
+      hw.bits(ssCode.toLong, 3) // sample size
       hw.bit(0) // reserved
       for (byte <- utf8Coded(frameIdx)) hw.bits(byte.toLong & 0xff, 8)
       hw.bits((n - 1).toLong, 16)
@@ -581,18 +606,18 @@ object FlacCodec {
         val side = Array.tabulate(n)(k => l(k) - rr(k))
         chCode match {
           case 8 => // left, side
-            writeSubframe(body, l, 16, mode)
-            writeSubframe(body, side, 17, mode)
+            writeSubframe(body, l, bits, mode)
+            writeSubframe(body, side, bits + 1, mode)
           case 9 => // side, right
-            writeSubframe(body, side, 17, mode)
-            writeSubframe(body, rr, 16, mode)
+            writeSubframe(body, side, bits + 1, mode)
+            writeSubframe(body, rr, bits, mode)
           case _ => // mid, side: mid = (l+r)>>1
             val mid = Array.tabulate(n)(k => (l(k) + rr(k)) >> 1)
-            writeSubframe(body, mid, 16, mode)
-            writeSubframe(body, side, 17, mode)
+            writeSubframe(body, mid, bits, mode)
+            writeSubframe(body, side, bits + 1, mode)
         }
       } else {
-        for (c <- 0 until channels) writeSubframe(body, planes(c), 16, mode)
+        for (c <- 0 until channels) writeSubframe(body, planes(c), bits, mode)
       }
       body.alignZero()
       val bodyBytes = body.toArray

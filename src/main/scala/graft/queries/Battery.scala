@@ -3531,6 +3531,43 @@ object Battery {
         .select(col("doc_id"), col("t_ms"), col("cluster_off"))
     }),
 
+    // FLAC bit-depth normalization (flac_pcm over 8- and 24-bit
+    // sources): even docs carry 24-bit streams whose LOW byte is noise —
+    // the q222 16-bit-PNG discipline applied to audio, the high bits
+    // must survive and the noise must not matter — odd docs carry 8-bit
+    // streams that scale UP by 256; both normalize to PCM16 whose
+    // integer-exact stats replay closed-form.
+    "q248_flac_depths" -> ((s, d) => {
+      import s.implicits._
+      import graft.functions.FlacCodec
+      val blobs = docs(s, d).select(col("doc_id")).as[Long].map { id =>
+        val n = (id % 40 + 10).toInt
+        val blob =
+          if (id % 2 == 0) {
+            val amp = (id % 3000 + 100).toInt
+            val samples = Array.tabulate(n) { j =>
+              val s16 = if (j % 3 == 0) amp else if (j % 3 == 1) -amp else 0
+              s16 * 256 + ((id + j) % 251).toInt // noise in the dropped byte
+            }
+            FlacCodec.encodePcm16(16000, 1, samples, blockSize = 32, bits = 24)
+          } else {
+            val amp8 = (id % 120 + 5).toInt
+            val samples = Array.tabulate(n)(j =>
+              if (j % 3 == 0) amp8 else if (j % 3 == 1) -amp8 else 0)
+            FlacCodec.encodePcm16(16000, 1, samples, blockSize = 32, bits = 8)
+          }
+        (id, blob)
+      }.toDF("doc_id", "blob")
+      blobs.select(col("doc_id"),
+          graft.functions.AudioStats(
+            graft.functions.FlacPcmExpr(col("blob")), 50).as("st"))
+        .select(col("doc_id"),
+          col("st.n_samples").as("n_samples"),
+          col("st.peak").as("peak"),
+          col("st.sum_sq").as("sum_sq"),
+          col("st.n_silent").as("n_silent"))
+    }),
+
     // PNG corner coverage (Adam7 interlace + 16-bit depth): the q210
     // planted pattern re-encoded through the corner layouts — interlaced
     // 8-bit, plain 16-bit (noise in the ignored low bytes), 16-bit AND
@@ -7145,6 +7182,20 @@ object Battery {
         |  CAST(1000 + t.j * (d.doc_id % 9 + 3) * 100 AS BIGINT) AS cluster_off
         |FROM documents d, range(0, 5) t(j)
         |WHERE d.doc_id % 10 <> 7 AND t.j < least(d.doc_id % 5 + 1, 4)""".stripMargin,
+    // normalized peak: the planted amp (24-bit, noise byte dropped) or
+    // amp8 x 256 (8-bit scaled up)
+    "q248_flac_depths" ->
+      """WITH p AS (
+        |  SELECT doc_id, doc_id % 40 + 10 AS n,
+        |    CASE WHEN doc_id % 2 = 0 THEN doc_id % 3000 + 100
+        |         ELSE (doc_id % 120 + 5) * 256 END AS amp
+        |  FROM documents)
+        |SELECT doc_id, CAST(n AS BIGINT) AS n_samples,
+        |  CAST(amp AS BIGINT) AS peak,
+        |  CAST(amp * amp * (((n + 2) // 3) + ((n + 1) // 3)) AS BIGINT)
+        |    AS sum_sq,
+        |  CAST(n // 3 AS BIGINT) AS n_silent
+        |FROM p""".stripMargin,
     // integer-exact stats of the planted amp/-amp/0 pattern, per channel
     "q243_flac_decode" ->
       """WITH p AS (

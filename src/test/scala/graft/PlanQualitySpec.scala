@@ -429,6 +429,27 @@ class PlanQualitySpec extends SparkSpec {
     assert(partial.contains("partial"), s"expected map-side partial agg:\n$plan")
   }
 
+  test("inventory/fetch plans: one-exchange shard agg; fetch shuffles only the selection") {
+    import org.apache.spark.sql.functions.{col, count, lit, sum}
+    val dir = java.nio.file.Files.createTempDirectory("graft_pq_inv_").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "s0.tar"),
+      graft.functions.ArchiveCodec.tar(Seq(
+        ("000001.jpg", Array.fill[Byte](9)(1)), ("000001.txt", Array.fill[Byte](3)(2)))))
+    val inv = graft.sources.TarShards.inventory(spark, dir + "/*")
+    val aggPlan = inv.groupBy(col("shard"))
+      .agg(count(lit(1)), sum(col("member_size")))
+      .queryExecution.executedPlan.toString
+    assert(aggPlan.linesIterator.count(_.contains("Exchange")) == 1,
+      s"inventory agg should shuffle once:\n$aggPlan")
+    // fetch: exactly the ONE repartition-by-shard exchange — member
+    // payloads enter the plan only AFTER it, via positioned reads
+    val fetchPlan = graft.sources.TarShards.fetchMembers(
+        inv.filter(col("member_name").endsWith(".jpg")))
+      .queryExecution.executedPlan.toString
+    assert(fetchPlan.linesIterator.count(_.contains("Exchange")) == 1,
+      s"fetch should shuffle only the selection rows:\n$fetchPlan")
+  }
+
   test("PII redaction is pure codegen: zero exchanges, one WholeStageCodegen span") {
     val docs = graft.tables.Tables.documents(spark, sf)
     val plan = graft.operators.Pii.redact(docs, "text")

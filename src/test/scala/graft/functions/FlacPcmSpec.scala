@@ -49,6 +49,30 @@ class FlacPcmSpec extends SparkSpec {
       roundTrip(rails, 2, "verbatim", stereo)
   }
 
+  test("8/12/20/24-bit streams normalize to PCM16: high bits kept, noise bits dropped") {
+    val s16 = rndPcm(5000, 7)
+    // 24-bit: the 16-bit pattern in the high bits, NOISE in the low 8 —
+    // the q222 16-bit-PNG discipline: low bits must not matter
+    val s24 = s16.zipWithIndex.map { case (v, i) => v * 256 + (i % 251) }
+    val d24 = FlacPcm.decode(
+      FlacCodec.encodePcm16(16000, 1, s24, bits = 24), 1 << 25)
+    assert(d24 != null && d24.samples.toSeq == s16.toSeq)
+    // 8-bit scales UP by 256
+    val s8 = Array.tabulate(3000)(i => (i % 200) - 100)
+    val d8 = FlacPcm.decode(
+      FlacCodec.encodePcm16(16000, 1, s8, bits = 8), 1 << 25)
+    assert(d8 != null && d8.samples.toSeq == s8.map(_ * 16 * 16).toSeq)
+    // 12 and 20 bits, stereo mid/side at 24-bit
+    val s12 = Array.tabulate(2000)(i => (i % 4000) - 2000)
+    val d12 = FlacPcm.decode(
+      FlacCodec.encodePcm16(16000, 1, s12, bits = 12), 1 << 25)
+    assert(d12 != null && d12.samples.toSeq == s12.map(_ << 4).toSeq)
+    val st24 = rndPcm(2 * 1000, 8).map(_ * 256 + 7)
+    val dst = FlacPcm.decode(FlacCodec.encodePcm16(16000, 2, st24,
+      bits = 24, stereo = "midside"), 1 << 25)
+    assert(dst != null && dst.samples.toSeq == st24.map(v => v >> 8).toSeq)
+  }
+
   test("decoded stats match the WAV twin bit-for-bit through audio_stats") {
     val samples = rndPcm(6000, 3)
     val flac = FlacCodec.encodePcm16(8000, 1, samples)
@@ -79,8 +103,8 @@ class FlacPcmSpec extends SparkSpec {
     // sample cap: refuse, don't truncate
     assert(FlacPcm.decode(good, 1000) == null)
     assert(FlacPcm.decode(good, 2000) != null)
-    // non-16-bit streams stay behind the seam
-    assert(FlacPcm.decode(CodedAudioCodec.encodeFlac(16000, 1, 24, 100), 1 << 25) == null)
+    // depths past 24 bits stay behind the seam
+    assert(FlacPcm.decode(CodedAudioCodec.encodeFlac(16000, 1, 32, 100), 1 << 25) == null)
     // truncation / bit-flip fuzz: null or correct, never an exception
     for (cut <- 0 until good.length by 3) FlacPcm.decode(good.take(cut), 1 << 25)
     val rnd = new scala.util.Random(5)
