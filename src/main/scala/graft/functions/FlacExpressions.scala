@@ -75,6 +75,13 @@ private[functions] object FlacCrc {
 
 object FlacPcm {
 
+  /** The ONE depth -> frame sample-size-code table, shared by the
+   *  decoder's lying-frame gate and the fixture encoder (the FlacCrc
+   *  single-copy discipline): skewing the two would yield streams the
+   *  twin rejects. */
+  private[functions] val DepthSsCodes: Map[Int, Int] =
+    Map(8 -> 1, 12 -> 2, 16 -> 4, 20 -> 5, 24 -> 6)
+
   /** Signals any malformed-stream condition; caught at the boundary. */
   private final class Malformed extends RuntimeException(null, null, false, false)
   private def bad(): Nothing = throw new Malformed
@@ -241,8 +248,9 @@ object FlacPcm {
   private val BlockSizes = Array(-1, 192, 576, 1152, 2304, 4608, -8, -16,
     256, 512, 1024, 2048, 4096, 8192, 16384, 32768)
 
-  /** Decode a 16-bit FLAC stream to interleaved PCM16 samples, or null.
-   *  `maxSamples` bounds total interleaved output (OOM guard). */
+  /** Decode an 8-24-bit FLAC stream to interleaved PCM16 samples
+   *  (depth-normalized), or null. `maxSamples` bounds total interleaved
+   *  output (OOM guard). */
   def decode(b: Array[Byte], maxSamples: Int): DecodedPcm = {
     try decodeOrThrow(b, maxSamples)
     catch {
@@ -305,16 +313,7 @@ object FlacPcm {
       }
       // sample size: from STREAMINFO (000) or the explicit code matching
       // the stream depth; a mismatched depth is a lying frame
-      val ssOk = ssCode match {
-        case 0 => true
-        case 1 => bits == 8
-        case 2 => bits == 12
-        case 4 => bits == 16
-        case 5 => bits == 20
-        case 6 => bits == 24
-        case _ => false
-      }
-      if (!ssOk) return null
+      if (ssCode != 0 && !DepthSsCodes.get(bits).contains(ssCode)) return null
       r.alignToByte()
       val crc8Read = r.bits(8).toInt // the header's trailing CRC-8 byte
       if (FlacCrc.crc8(b, frameStart, r.bytePos - 1) != crc8Read) bad()
@@ -362,18 +361,22 @@ object FlacPcm {
       val wantCrc = ((b(r.bytePos) & 0xff) << 8) | (b(r.bytePos + 1) & 0xff)
       if (FlacCrc.crc16(b, frameStart, r.bytePos) != wantCrc) bad()
       r.bytePos += 2
-      // normalize to PCM16, then interleave; clamp-check AFTER the
-      // depth shift: a lying stream may still exceed 16-bit range
+      // normalize to PCM16, then interleave. The lying-stream clamp runs
+      // on the RAW sample against the declared depth BEFORE the shift —
+      // a crafted shallow-depth stream could otherwise wrap `raw << k`
+      // past Int range and sneak back under the 16-bit check
       val shift = bits - 16
+      val railLo = -(1 << (bits - 1))
+      val railHi = (1 << (bits - 1)) - 1
       var k = 0
       while (k < blockSize) {
         c = 0
         while (c < nCh) {
           val raw = chans(c)(k)
+          if (raw < railLo || raw > railHi) bad()
           val s = if (shift > 0) raw >> shift
                   else if (shift < 0) raw << -shift
                   else raw
-          if (s < -32768 || s > 32767) bad()
           out(((decoded + k) * nCh + c).toInt) = s
           c += 1
         }
@@ -393,11 +396,11 @@ object FlacPcm {
   }
 }
 
-/** `flac_pcm(blob, maxSamples)` → WAV-PCM16 bytes of a decoded 16-bit
- *  FLAC stream; null for non-FLAC/undecodable bytes or streams past
- *  `maxSamples` interleaved samples. Compose with `audio_stats`,
- *  `audio_ahash`, `audio_segments`, ... exactly like `gunzip` feeds
- *  `tar_entries`. */
+/** `flac_pcm(blob, maxSamples)` → WAV-PCM16 bytes of a decoded 8-24-bit
+ *  FLAC stream (all depths normalize to PCM16); null for
+ *  non-FLAC/undecodable bytes or streams past `maxSamples` interleaved
+ *  samples. Compose with `audio_stats`, `audio_ahash`,
+ *  `audio_segments`, ... exactly like `gunzip` feeds `tar_entries`. */
 case class FlacPcmExpr(child: Expression, maxSamples: Int) extends UnaryExpression {
 
   require(maxSamples > 0, "maxSamples must be positive")
@@ -565,7 +568,12 @@ object FlacCodec {
       blockSize: Int = 4096, mode: String = "fixed2",
       stereo: String = "independent", bits: Int = 16): Array[Byte] = {
     require(channels >= 1 && channels <= 8 && samples.length % channels == 0)
-    require(Set(8, 12, 16, 20, 24)(bits), s"unsupported depth $bits")
+    require(FlacPcm.DepthSsCodes.contains(bits), s"unsupported depth $bits")
+    // out-of-depth samples would be silently masked into a valid-CRC
+    // stream that decodes to DIFFERENT values — refuse at the source
+    require(samples.forall(v =>
+      v >= -(1 << (bits - 1)) && v <= (1 << (bits - 1)) - 1),
+      s"samples exceed the declared $bits-bit depth")
     val nFrames = samples.length / channels
     require(nFrames > 0)
     val header = CodedAudioCodec.encodeFlac(sampleRate, channels, bits, nFrames)
@@ -588,10 +596,7 @@ object FlacCodec {
         case "midside" => 10
       } else channels - 1
       hw.bits(chCode.toLong, 4)
-      val ssCode = bits match {
-        case 8 => 1; case 12 => 2; case 16 => 4; case 20 => 5; case _ => 6
-      }
-      hw.bits(ssCode.toLong, 3) // sample size
+      hw.bits(FlacPcm.DepthSsCodes(bits).toLong, 3) // sample size
       hw.bit(0) // reserved
       for (byte <- utf8Coded(frameIdx)) hw.bits(byte.toLong & 0xff, 8)
       hw.bits((n - 1).toLong, 16)

@@ -67,6 +67,10 @@ class FlacPcmSpec extends SparkSpec {
     val d12 = FlacPcm.decode(
       FlacCodec.encodePcm16(16000, 1, s12, bits = 12), 1 << 25)
     assert(d12 != null && d12.samples.toSeq == s12.map(_ << 4).toSeq)
+    val s20 = s16.zipWithIndex.map { case (v, i) => v * 16 + (i % 13) }
+    val d20 = FlacPcm.decode(
+      FlacCodec.encodePcm16(16000, 1, s20, bits = 20), 1 << 25)
+    assert(d20 != null && d20.samples.toSeq == s16.toSeq)
     val st24 = rndPcm(2 * 1000, 8).map(_ * 256 + 7)
     val dst = FlacPcm.decode(FlacCodec.encodePcm16(16000, 2, st24,
       bits = 24, stereo = "midside"), 1 << 25)
