@@ -359,7 +359,7 @@ object ZipHeaders {
 
   private val MaxEntries = 1 << 20
 
-  private def leU16(b: Array[Byte], i: Int): Int =
+  private[graft] def leU16(b: Array[Byte], i: Int): Int =
     (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
   private def leU32(b: Array[Byte], i: Int): Long =
     (b(i) & 0xffL) | ((b(i + 1) & 0xffL) << 8) | ((b(i + 2) & 0xffL) << 16) |
@@ -367,7 +367,7 @@ object ZipHeaders {
   private def leU64(b: Array[Byte], i: Int): Long =
     leU32(b, i) | (leU32(b, i + 4) << 32)
 
-  private final case class Eocd(count: Long, cdOff: Long, cdEnd: Long)
+  private[graft] final case class Eocd(count: Long, cdOff: Long, cdEnd: Long)
 
   /** Locate and VALIDATE the end-of-central-directory record: the
    *  candidate's comment must reach exactly end-of-buffer and the central
@@ -377,7 +377,14 @@ object ZipHeaders {
    *  values route through the zip64 locator + EOCD (8-byte counts and
    *  offsets); a sentinel without a valid zip64 record is a lying header
    *  (null), never a silent truncation. */
-  private def findEocd(b: Array[Byte]): Eocd = {
+  private def findEocd(b: Array[Byte]): Eocd = findEocdIn(b, 0L)
+
+  /** EOCD scan over a buffer whose first byte sits at absolute file
+   *  offset `base` (the seekable source reads only the archive TAIL);
+   *  returned cdOff/cdEnd are ABSOLUTE. The zip64 record must lie inside
+   *  the buffer — the tail read is sized to cover it (it sits between
+   *  the CD and the locator by construction). */
+  private[graft] def findEocdIn(b: Array[Byte], base: Long): Eocd = {
     if (b == null || b.length < 22) return null
     var e = b.length - 22
     val stop = math.max(0, b.length - 22 - 65535)
@@ -387,19 +394,20 @@ object ZipHeaders {
         var count = leU16(b, e + 10).toLong
         var cdSize = leU32(b, e + 12)
         var cdOff = leU32(b, e + 16)
-        var cdEnd = e.toLong
+        var cdEnd = base + e
         if (count == 0xffffL || cdOff == 0xffffffffL || cdSize == 0xffffffffL) {
           val l = e - 20
           if (l < 0 || b(l) != 'P' || b(l + 1) != 'K' || b(l + 2) != 6 ||
             b(l + 3) != 7) return null
-          val z = leU64(b, l + 8)
+          val zAbs = leU64(b, l + 8)
+          val z = zAbs - base // buffer-relative
           if (z < 0 || z + 56 > b.length || b(z.toInt) != 'P' ||
             b(z.toInt + 1) != 'K' || b(z.toInt + 2) != 6 ||
             b(z.toInt + 3) != 6) return null
           count = leU64(b, z.toInt + 32)
           cdSize = leU64(b, z.toInt + 40)
           cdOff = leU64(b, z.toInt + 48)
-          cdEnd = z
+          cdEnd = zAbs
         }
         if (count >= 0 && cdOff >= 0 && cdSize >= 0 && cdOff + cdSize == cdEnd)
           return Eocd(count, cdOff, cdEnd)
@@ -417,12 +425,21 @@ object ZipHeaders {
    *  field; a sentinel without the extra is a lying entry and ends the
    *  walk. */
   private def cdEntries(b: Array[Byte], eocd: Eocd): Iterator[Entry] =
+    cdEntriesIn(b, eocd.cdOff, eocd.cdEnd, eocd.count)
+
+  /** The central-directory walk over an explicit [start, end) region of
+   *  `b` — shared by the in-row blob listing and the SEEKABLE shard
+   *  source ([[graft.sources.ZipShards]]), which positioned-reads ONLY
+   *  the CD slice of a multi-GB archive and walks it here with relative
+   *  bounds, so the two surfaces cannot diverge. */
+  private[graft] def cdEntriesIn(b: Array[Byte], start: Long, end: Long,
+      total: Long): Iterator[Entry] =
     new Iterator[Entry] {
-      private var i = eocd.cdOff
+      private var i = start
       private var k = 0L
       private var nxt: Entry = advance()
       private def advance(): Entry = {
-        if (k >= eocd.count || k >= MaxEntries || i + 46 > eocd.cdEnd) return null
+        if (k >= total || k >= MaxEntries || i + 46 > end) return null
         val p = i.toInt
         if (b(p) != 'P' || b(p + 1) != 'K' || b(p + 2) != 1 || b(p + 3) != 2)
           return null
@@ -433,7 +450,7 @@ object ZipHeaders {
         val extraLen = leU16(b, p + 30)
         val commentLen = leU16(b, p + 32)
         var localOff = leU32(b, p + 42)
-        if (i + 46 + nameLen + extraLen > eocd.cdEnd) return null
+        if (i + 46 + nameLen + extraLen > end) return null
         val name = new String(b, p + 46, nameLen,
           java.nio.charset.StandardCharsets.UTF_8)
         if (size == 0xffffffffL || compSize == 0xffffffffL ||

@@ -3486,6 +3486,41 @@ object Battery {
           array_join(sort_array(collect_list(col("member_ext"))), ",").as("exts"))
     }),
 
+    // NPZ LAKE inventory → fetch (ZipShards): 64 npz bundles packing all
+    // docs' tensors; the SEEKABLE inventory (two positioned reads per
+    // bundle — EOCD tail + central directory, zero payload bytes) lists
+    // every member, the npy members fetch through their local headers,
+    // and npy_meta of the FETCHED bytes replays the planted shapes —
+    // proving the positioned reads returned the actual members.
+    "q249_npz_lake" -> ((s, d) => {
+      import s.implicits._
+      import graft.functions.{ArchiveCodec, NpyCodec}
+      val dir = java.nio.file.Files.createTempDirectory("graft_npz_").toString
+      val members = docs(s, d).select(col("doc_id")).as[Long].map { id =>
+        val n = id % 7 + 1
+        (id % 64, id,
+          NpyCodec.encode("<i8", fortran = false, Seq(n), (n * 8).toInt),
+          Array.fill[Byte]((id % 20 + 1).toInt)('t'))
+      }
+      members.groupByKey(_._1).mapGroups { (sid, it) =>
+        val ms = it.toSeq.sortBy(_._2).flatMap { case (_, id, npy, txt) =>
+          Seq((s"d$id.npy", npy), (s"d$id.txt", txt))
+        }
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(dir, f"bundle-$sid%05d.npz"),
+          ArchiveCodec.zipStored(ms))
+        sid
+      }.count()
+      val inv = graft.sources.ZipShards.inventory(s, dir + "/*.npz")
+      graft.sources.ZipShards.fetchStored(
+          inv.filter(col("member_name").endsWith(".npy")))
+        .withColumn("doc_id",
+          regexp_extract(col("member_name"), "^d(\\d+)\\.npy$", 1).cast("long"))
+        .withColumn("__m", graft.functions.NpyMetaExpr(col("payload")))
+        .select(col("doc_id"), col("__m.n_elems").as("n_elems"),
+          col("__m.data_bytes").as("data_bytes"))
+    }),
+
     // INVENTORY → SELECT → FETCH (TarShards.inventory + fetchMembers):
     // the 100 TB access pattern — list every member of every shard
     // reading ONLY headers (payloads skipped, nothing allocated), select
@@ -7143,6 +7178,11 @@ object Battery {
         |    ELSE 'jpg,txt' END AS exts
         |FROM documents d, range(1, 5) t(j)
         |WHERE t.j <= d.doc_id % 4 + 1""".stripMargin,
+    // the fetched npy headers replay the planted shapes
+    "q249_npz_lake" ->
+      """SELECT doc_id, CAST(doc_id % 7 + 1 AS BIGINT) AS n_elems,
+        |  CAST((doc_id % 7 + 1) * 8 AS BIGINT) AS data_bytes
+        |FROM documents""".stripMargin,
     // odd-j jpg members: planted size j*3+5, fetched bytes must agree
     "q246_inventory_fetch" ->
       """SELECT d.doc_id, CAST(t.j AS BIGINT) AS j,

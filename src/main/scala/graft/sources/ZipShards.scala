@@ -1,0 +1,148 @@
+package graft.sources
+
+import graft.functions.ZipHeaders
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/**
+ * SEEKABLE zip / npz shard inventory — the zip twin of
+ * [[TarShards.inventory]], exploiting zip's layout instead of fighting
+ * it: a zip's central directory lives at the TAIL, so a multi-GB npz
+ * bundle is inventoried with two positioned reads (the EOCD tail window,
+ * then the central-directory slice) — payload bytes are never touched,
+ * and the archive never exists in memory. `fetchStored` then seek-reads
+ * exactly the STORED members a selection keeps, resolving each through
+ * its local header (the [[ZipHeaders.storedMember]] contract).
+ *
+ * EOCD/zip64 validation and the central-directory walk are the SAME code
+ * as the in-row blob expressions (`ZipHeaders.findEocdIn` /
+ * `cdEntriesIn`), so the two surfaces cannot diverge; q249 proves the
+ * seekable read ≡ the blob listing on the same archives. One task per
+ * archive (two small reads each), so a lake of npz bundles inventories
+ * at file-count parallelism with O(central directory) memory.
+ */
+object ZipShards {
+
+  val schema: StructType = StructType(Seq(
+    StructField("shard", StringType, nullable = false),
+    StructField("member_name", StringType, nullable = false),
+    StructField("method", IntegerType, nullable = false), // 0=stored, 8=deflate
+    StructField("comp_size", LongType, nullable = false),
+    StructField("size", LongType, nullable = false),
+    StructField("local_off", LongType, nullable = false)))
+
+  /** Central directories larger than this abort the read: a lying EOCD,
+   *  not a real listing (46+ bytes/entry puts 64 MB at ~1M members). */
+  val maxCdBytes: Long = 1L << 26
+
+  /** The tail window searched for the EOCD chain: max comment (64 KB) +
+   *  EOCD (22) + zip64 locator (20) + zip64 EOCD (56) + slack. The zip64
+   *  record sits between the CD and the locator by construction, so it
+   *  is always inside this window. */
+  private val TailWindow = 65536 + 22 + 20 + 56 + 128
+
+  /** Inventory every member of every zip under `path` (files, dirs,
+   *  globs) via positioned reads of the EOCD tail + central directory —
+   *  no payload bytes move. Archives that don't validate as zips FAIL
+   *  the task (a shard lake's listing must not silently skip — the
+   *  [[Ingest]] discipline). */
+  def inventory(spark: SparkSession, path: String,
+      minPartitions: Int = 0): DataFrame = {
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sessionState.newHadoopConf())
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val fs = hp.getFileSystem(conf.value)
+    val statuses = fs.globStatus(hp)
+    require(statuses != null && statuses.nonEmpty, s"no archives match $path")
+    val files = statuses.toSeq.filter(_.isFile)
+      .map(s => (s.getPath.toString, s.getLen))
+    val parts = if (minPartitions > 0) minPartitions
+                else math.min(files.size, spark.sparkContext.defaultParallelism)
+    val bc = spark.sparkContext.broadcast(conf)
+    val rows = spark.sparkContext.parallelize(files, math.max(1, parts))
+      .flatMap { case (file, len) =>
+        val p = new org.apache.hadoop.fs.Path(file)
+        val in = p.getFileSystem(bc.value.value).open(p)
+        try {
+          val tailLen = math.min(len, TailWindow.toLong).toInt
+          val tail = new Array[Byte](tailLen)
+          in.readFully(len - tailLen, tail)
+          val eocd = ZipHeaders.findEocdIn(tail, len - tailLen)
+          require(eocd != null, s"$file: no valid end-of-central-directory")
+          val cdLen = eocd.cdEnd - eocd.cdOff
+          require(cdLen >= 0 && cdLen <= maxCdBytes,
+            s"$file: central directory of $cdLen bytes exceeds cap $maxCdBytes")
+          val cd = new Array[Byte](cdLen.toInt)
+          in.readFully(eocd.cdOff, cd)
+          // walk the CD slice with relative bounds; localOff values are
+          // absolute file offsets by the format's definition
+          ZipHeaders.cdEntriesIn(cd, 0L, cdLen, eocd.count).map(e =>
+            Row(file, e.name, e.method, e.compSize, e.size, e.localOff)).toList
+        } finally in.close()
+      }
+    spark.createDataFrame(rows, schema)
+  }
+
+  /**
+   * Ranged STORED-member fetch: resolve (shard, local_off, size) rows —
+   * an [[inventory]] selection with `method = 0` — to payload bytes via
+   * positioned reads through each member's local header (whose
+   * name/extra lengths may differ from the central directory's).
+   * Deflated members (method 8) FAIL the task: a positioned read cannot
+   * inflate — route those through `gunzip`-style whole-member handling.
+   * Rows are co-located by shard and offset-ordered per task.
+   */
+  def fetchStored(df: DataFrame, shardCol: String = "shard",
+      offCol: String = "local_off", sizeCol: String = "size",
+      methodCol: String = "method",
+      maxMemberBytes: Long = TarShards.maxMemberBytesDefault): DataFrame = {
+    val spark = df.sparkSession
+    val bc = spark.sparkContext.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(
+        spark.sessionState.newHadoopConf()))
+    val base = if (df.columns.contains("payload")) df.drop("payload") else df
+    val outSchema = StructType(base.schema.fields :+
+      StructField("payload", BinaryType, nullable = true))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    val si = base.schema.fieldIndex(shardCol)
+    val oi = base.schema.fieldIndex(offCol)
+    val zi = base.schema.fieldIndex(sizeCol)
+    val mi = base.schema.fieldIndex(methodCol)
+    val cap = maxMemberBytes
+    base.repartition(col(shardCol))
+      .sortWithinPartitions(col(shardCol), col(offCol))
+      .mapPartitions { rows =>
+        var curPath: String = null
+        var in: org.apache.hadoop.fs.FSDataInputStream = null
+        val tc = org.apache.spark.TaskContext.get()
+        if (tc != null) tc.addTaskCompletionListener[Unit] { _ =>
+          if (in != null) try in.close() catch { case _: java.io.IOException => }
+        }
+        val head = new Array[Byte](30)
+        rows.map { r =>
+          val p = r.getString(si)
+          val off = r.getLong(oi)
+          val n = r.getLong(zi)
+          require(r.getInt(mi) == 0,
+            s"fetchStored resolves STORED members only; $p @ $off is compressed")
+          require(n >= 0 && n <= cap && n <= Int.MaxValue,
+            s"member of $n bytes exceeds cap $cap ($p @ $off)")
+          if (p != curPath) {
+            if (in != null) in.close()
+            val hp = new org.apache.hadoop.fs.Path(p)
+            in = hp.getFileSystem(bc.value.value).open(hp)
+            curPath = p
+          }
+          in.readFully(off, head)
+          require(head(0) == 'P' && head(1) == 'K' && head(2) == 3 && head(3) == 4,
+            s"$p @ $off: not a local file header")
+          val nameLen = graft.functions.ZipHeaders.leU16(head, 26)
+          val extraLen = graft.functions.ZipHeaders.leU16(head, 28)
+          val buf = new Array[Byte](n.toInt)
+          in.readFully(off + 30 + nameLen + extraLen, buf)
+          Row.fromSeq(r.toSeq :+ buf)
+        }
+      }(enc)
+  }
+}
