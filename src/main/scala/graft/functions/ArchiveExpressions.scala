@@ -357,7 +357,7 @@ object ZipHeaders {
   final case class Entry(name: String, method: Int, compSize: Long,
       size: Long, localOff: Long)
 
-  private val MaxEntries = 1 << 20
+  private[graft] val MaxEntries = 1 << 20
 
   private[graft] def leU16(b: Array[Byte], i: Int): Int =
     (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
@@ -381,10 +381,16 @@ object ZipHeaders {
 
   /** EOCD scan over a buffer whose first byte sits at absolute file
    *  offset `base` (the seekable source reads only the archive TAIL);
-   *  returned cdOff/cdEnd are ABSOLUTE. The zip64 record must lie inside
-   *  the buffer — the tail read is sized to cover it (it sits between
-   *  the CD and the locator by construction). */
-  private[graft] def findEocdIn(b: Array[Byte], base: Long): Eocd = {
+   *  returned cdOff/cdEnd are ABSOLUTE. The zip64 record usually sits
+   *  between the CD and the locator and so inside the sized tail read,
+   *  but a record carrying a large extensible data sector (or extra
+   *  records before the locator) can start EARLIER than the window — a
+   *  well-formed archive the fixed window must not reject. `fetchAt`
+   *  (absolute offset → 56 bytes), when non-null, resolves those with
+   *  one more positioned read; the in-row blob path passes null (the
+   *  whole archive IS the buffer, so out-of-buffer means lying). */
+  private[graft] def findEocdIn(b: Array[Byte], base: Long,
+      fetchAt: Long => Array[Byte] = null): Eocd = {
     if (b == null || b.length < 22) return null
     var e = b.length - 22
     val stop = math.max(0, b.length - 22 - 65535)
@@ -400,13 +406,18 @@ object ZipHeaders {
           if (l < 0 || b(l) != 'P' || b(l + 1) != 'K' || b(l + 2) != 6 ||
             b(l + 3) != 7) return null
           val zAbs = leU64(b, l + 8)
+          if (zAbs < 0) return null
           val z = zAbs - base // buffer-relative
-          if (z < 0 || z + 56 > b.length || b(z.toInt) != 'P' ||
-            b(z.toInt + 1) != 'K' || b(z.toInt + 2) != 6 ||
-            b(z.toInt + 3) != 6) return null
-          count = leU64(b, z.toInt + 32)
-          cdSize = leU64(b, z.toInt + 40)
-          cdOff = leU64(b, z.toInt + 48)
+          val zb: Array[Byte] =
+            if (z >= 0 && z + 56 <= b.length) b
+            else if (fetchAt != null) { val r = fetchAt(zAbs); if (r == null || r.length < 56) return null; r }
+            else return null
+          val zi = if (zb eq b) z.toInt else 0
+          if (zb(zi) != 'P' || zb(zi + 1) != 'K' || zb(zi + 2) != 6 ||
+            zb(zi + 3) != 6) return null
+          count = leU64(zb, zi + 32)
+          cdSize = leU64(zb, zi + 40)
+          cdOff = leU64(zb, zi + 48)
           cdEnd = zAbs
         }
         if (count >= 0 && cdOff >= 0 && cdSize >= 0 && cdOff + cdSize == cdEnd)
@@ -550,6 +561,78 @@ object ZipHeaders {
       // null, never a task failure
       case _: IllegalArgumentException => null
     }
+
+  /** Bounded raw-deflate inflate of `b[off, off+len)` — null on garbage,
+   *  truncation, or output past `maxBytes` (a bomb costs a null, never an
+   *  OOM; nothing is pre-allocated from attacker-declared sizes). Shared
+   *  by [[member]] and the seekable fetch ([[graft.sources.ZipShards]]). */
+  private[graft] def inflateRaw(b: Array[Byte], off: Int, len: Int,
+      maxBytes: Long): Array[Byte] = {
+    if (off < 0 || len < 0 || off.toLong + len > b.length) return null
+    val inf = new java.util.zip.Inflater(true)
+    try {
+      inf.setInput(b, off, len)
+      val out = new java.io.ByteArrayOutputStream(
+        math.max(64, math.min(maxBytes, 1L << 16).toInt))
+      val buf = new Array[Byte](8192)
+      while (!inf.finished()) {
+        val n = inf.inflate(buf)
+        if (n == 0) {
+          if (inf.needsInput() || inf.needsDictionary()) return null // truncated
+        } else {
+          if (out.size() + n > maxBytes) return null // bomb guard
+          out.write(buf, 0, n)
+        }
+      }
+      out.toByteArray
+    } catch {
+      case _: java.util.zip.DataFormatException => null
+    } finally inf.end()
+  }
+
+  /** Payload of a zip member by name — method 0 (stored) slices, method 8
+   *  (deflated) inflates through the bounded raw-deflate path: the
+   *  `numpy.savez_compressed` case, whose npz members always deflate.
+   *  The inflated output must equal the CD-declared `size` EXACTLY (a
+   *  stream yielding more or fewer bytes is a lying entry → null); sizes
+   *  past `maxBytes` are null. Early-exit CD scan like [[storedMember]]. */
+  def member(b: Array[Byte], name: String, maxBytes: Long): Array[Byte] = {
+    val eocd = findEocd(b)
+    if (eocd == null) return null
+    val it = cdEntries(b, eocd)
+    while (it.hasNext) {
+      val entry = it.next()
+      if (entry.name == name && (entry.method == 0 || entry.method == 8)) {
+        if (entry.size < 0 || entry.size > maxBytes || entry.size > Int.MaxValue)
+          return null
+        val lo = entry.localOff
+        if (lo < 0 || lo + 30 > b.length) return null
+        val i = lo.toInt
+        if (b(i) != 'P' || b(i + 1) != 'K' || b(i + 2) != 3 || b(i + 3) != 4)
+          return null
+        val nameLen = leU16(b, i + 26)
+        val extraLen = leU16(b, i + 28)
+        val data = lo + 30 + nameLen + extraLen
+        if (entry.method == 0) {
+          if (data + entry.size > b.length) return null
+          return java.util.Arrays.copyOfRange(b, data.toInt, (data + entry.size).toInt)
+        }
+        if (entry.compSize < 0 || entry.compSize > Int.MaxValue ||
+          data + entry.compSize > b.length) return null
+        val out = inflateRaw(b, data.toInt, entry.compSize.toInt, entry.size)
+        if (out == null || out.length != entry.size) return null
+        return out
+      }
+    }
+    null
+  }
+
+  def memberAnyOrNull(b: Array[Byte], name: UTF8String, maxBytes: Long): Array[Byte] =
+    try member(b, if (name == null) return null else name.toString, maxBytes)
+    catch {
+      case _: IndexOutOfBoundsException => null
+      case _: IllegalArgumentException => null
+    }
 }
 
 /** `zip_entries(blob)` → array<struct<name, method, comp_size, size>>;
@@ -652,6 +735,68 @@ object ZipStoredMemberExpr {
   def apply(col: Column, name: Column): Column =
     GraftShims.column(new ZipStoredMemberExpr(
       GraftShims.expression(col), GraftShims.expression(name)))
+}
+
+/** `zip_member(blob, name, maxBytes)` → binary payload of a zip member,
+ *  STORED or DEFLATED (method 8 inflates through the bounded raw-deflate
+ *  path — `numpy.savez_compressed` bundles, whose members always
+ *  deflate). Null when absent, another method, output past `maxBytes`,
+ *  or the headers/stream lie (inflated length must equal the declared
+ *  size exactly). */
+case class ZipMemberExpr(child: Expression, name: Expression, maxBytes: Long)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  require(maxBytes > 0, "maxBytes must be positive")
+
+  override def left: Expression = child
+  override def right: Expression = name
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (child.dataType, name.dataType) match {
+      case (BinaryType, StringType) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"zip_member needs (binary, string), got $other")
+    }
+
+  override def eval(input: InternalRow): Any = {
+    val b = child.eval(input)
+    val n = name.eval(input)
+    if (b == null || n == null) null
+    else ZipHeaders.memberAnyOrNull(
+      b.asInstanceOf[Array[Byte]], n.asInstanceOf[UTF8String], maxBytes)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val b = child.genCode(ctx)
+    val n = name.genCode(ctx)
+    val cls = ZipHeaders.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    ev.copy(code = code"""
+      |${b.code}
+      |${n.code}
+      |byte[] ${ev.value} = null;
+      |boolean ${ev.isNull} = ${b.isNull} || ${n.isNull};
+      |if (!${ev.isNull}) {
+      |  ${ev.value} = $cls.memberAnyOrNull(${b.value}, ${n.value}, ${maxBytes}L);
+      |  ${ev.isNull} = ${ev.value} == null;
+      |}
+     """.stripMargin)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(child = newLeft, name = newRight)
+
+  override def prettyName: String = "zip_member"
+}
+
+object ZipMemberExpr {
+  def apply(col: Column, name: Column, maxBytes: Long): Column =
+    GraftShims.column(new ZipMemberExpr(
+      GraftShims.expression(col), GraftShims.expression(name), maxBytes))
 }
 
 object GzipBytes {
@@ -961,6 +1106,60 @@ object ArchiveCodec {
       le32(0xffffffffL); le32(0xffffffffL); le16(comment.length)
       out.write(comment)
     }
+    out.toByteArray
+  }
+
+  /** Mixed-method zip: per-member method 0 (stored) or 8 (raw-deflated) —
+   *  the `numpy.savez_compressed` layout, whose npy members all deflate.
+   *  Classic (non-zip64) offsets; [[zipStored]] keeps the zip64 corner. */
+  def zipMixed(members: Seq[(String, Array[Byte], Int)],
+      comment: Array[Byte] = Array.emptyByteArray): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def le16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    def le32(v: Long): Unit = {
+      out.write((v & 0xff).toInt); out.write(((v >> 8) & 0xff).toInt)
+      out.write(((v >> 16) & 0xff).toInt); out.write(((v >> 24) & 0xff).toInt)
+    }
+    val crc = new java.util.zip.CRC32
+    val locals = members.map { case (name, data, method) =>
+      require(method == 0 || method == 8, s"method $method unsupported")
+      val off = out.size()
+      val nb = name.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      crc.reset(); crc.update(data)
+      val body =
+        if (method == 0) data
+        else {
+          val d = new java.util.zip.Deflater(
+            java.util.zip.Deflater.DEFAULT_COMPRESSION, true)
+          d.setInput(data); d.finish()
+          val bo = new java.io.ByteArrayOutputStream()
+          val buf = new Array[Byte](8192)
+          while (!d.finished()) bo.write(buf, 0, d.deflate(buf))
+          d.end()
+          bo.toByteArray
+        }
+      out.write('P'); out.write('K'); out.write(3); out.write(4)
+      le16(20); le16(0); le16(method); le16(0); le16(0)
+      le32(crc.getValue); le32(body.length); le32(data.length)
+      le16(nb.length); le16(0)
+      out.write(nb); out.write(body)
+      (nb, data.length, body.length, method, off, crc.getValue)
+    }
+    val cdStart = out.size()
+    for ((nb, size, compSize, method, off, c) <- locals) {
+      out.write('P'); out.write('K'); out.write(1); out.write(2)
+      le16(20); le16(20); le16(0); le16(method); le16(0); le16(0)
+      le32(c); le32(compSize); le32(size)
+      le16(nb.length); le16(0); le16(0)
+      le16(0); le16(0); le32(0)
+      le32(off)
+      out.write(nb)
+    }
+    val cdSize = out.size() - cdStart
+    out.write('P'); out.write('K'); out.write(5); out.write(6)
+    le16(0); le16(0); le16(locals.length); le16(locals.length)
+    le32(cdSize); le32(cdStart); le16(comment.length)
+    out.write(comment)
     out.toByteArray
   }
 

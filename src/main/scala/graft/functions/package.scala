@@ -212,6 +212,11 @@ package object functions {
       new ExpressionInfo(classOf[ZipStoredMemberExpr].getName, "zip_stored_member"),
       (exprs: Seq[Expression]) => new ZipStoredMemberExpr(exprs(0), exprs(1)))
     registry.registerFunction(
+      FunctionIdentifier("zip_member"),
+      new ExpressionInfo(classOf[ZipMemberExpr].getName, "zip_member"),
+      (exprs: Seq[Expression]) => new ZipMemberExpr(exprs(0), exprs(1),
+        intLit(exprs(2), "zip_member maxBytes").toLong))
+    registry.registerFunction(
       FunctionIdentifier("gunzip"),
       new ExpressionInfo(classOf[GunzipExpr].getName, "gunzip"),
       (exprs: Seq[Expression]) => new GunzipExpr(exprs.head,

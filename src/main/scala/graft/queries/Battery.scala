@@ -3521,6 +3521,52 @@ object Battery {
           col("__m.data_bytes").as("data_bytes"))
     }),
 
+    // DEFLATED NPZ LAKE (zip_member + fetchStored method-8 inflate):
+    // numpy.savez_compressed deflates every npy member, so a
+    // compressed-npz lake must inventory at positioned-read cost AND
+    // read through the bounded raw-deflate path. Both surfaces — the
+    // whole-blob zip_member expression and the seekable fetch — inflate
+    // the same members; npy_meta of the INFLATED bytes replays the
+    // planted shapes, proving real inflation on both.
+    "q250_npz_deflated" -> ((s, d) => {
+      import s.implicits._
+      import graft.functions.{ArchiveCodec, NpyCodec}
+      val dir = java.nio.file.Files.createTempDirectory("graft_npzd_").toString
+      val members = docs(s, d).select(col("doc_id")).as[Long].map { id =>
+        val n = id % 7 + 1
+        (id % 64, id,
+          NpyCodec.encode("<i8", fortran = false, Seq(n), (n * 8).toInt),
+          Array.fill[Byte]((id % 20 + 1).toInt)('t'))
+      }
+      members.groupByKey(_._1).mapGroups { (sid, it) =>
+        val ms = it.toSeq.sortBy(_._2).flatMap { case (_, id, npy, txt) =>
+          Seq((s"d$id.npy", npy, 8), (s"d$id.txt", txt, 0))
+        }
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(dir, f"bundle-$sid%05d.npz"),
+          ArchiveCodec.zipMixed(ms))
+        sid
+      }.count()
+      val inv = graft.sources.ZipShards.inventory(s, dir + "/*.npz")
+      val viaFetch = graft.sources.ZipShards.fetchStored(
+          inv.filter(col("member_name").endsWith(".npy")))
+        .select(col("member_name"), lit("fetch").as("via"),
+          graft.functions.NpyMetaExpr(col("payload")).as("__m"))
+      val viaBlob = s.read.format("binaryFile").load(dir + "/*.npz")
+        .select(explode(graft.functions.ZipEntriesExpr(col("content"))).as("e"),
+          col("content"))
+        .filter(col("e.name").endsWith(".npy"))
+        .select(col("e.name").as("member_name"), lit("blob").as("via"),
+          graft.functions.NpyMetaExpr(graft.functions.ZipMemberExpr(
+            col("content"), col("e.name"), 1L << 24)).as("__m"))
+      viaFetch.unionByName(viaBlob)
+        .withColumn("doc_id",
+          regexp_extract(col("member_name"), "^d(\\d+)\\.npy$", 1).cast("long"))
+        .select(col("doc_id"), col("via"),
+          col("__m.n_elems").as("n_elems"),
+          col("__m.data_bytes").as("data_bytes"))
+    }),
+
     // INVENTORY → SELECT → FETCH (TarShards.inventory + fetchMembers):
     // the 100 TB access pattern — list every member of every shard
     // reading ONLY headers (payloads skipped, nothing allocated), select
@@ -7183,6 +7229,13 @@ object Battery {
       """SELECT doc_id, CAST(doc_id % 7 + 1 AS BIGINT) AS n_elems,
         |  CAST((doc_id % 7 + 1) * 8 AS BIGINT) AS data_bytes
         |FROM documents""".stripMargin,
+    // both the blob and fetch surfaces inflate every deflated npy to the
+    // same planted header
+    "q250_npz_deflated" ->
+      """SELECT d.doc_id, v.via,
+        |  CAST(d.doc_id % 7 + 1 AS BIGINT) AS n_elems,
+        |  CAST((d.doc_id % 7 + 1) * 8 AS BIGINT) AS data_bytes
+        |FROM documents d, (VALUES ('blob'), ('fetch')) v(via)""".stripMargin,
     // odd-j jpg members: planted size j*3+5, fetched bytes must agree
     "q246_inventory_fetch" ->
       """SELECT d.doc_id, CAST(t.j AS BIGINT) AS j,

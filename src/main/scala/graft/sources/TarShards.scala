@@ -224,8 +224,15 @@ object TarShards {
             .empty[(String, String, Long, Long, Array[Byte])]
           try it.foreach(buf += _)
           catch {
-            case e: IllegalArgumentException =>
-              System.err.println(s"[graft] quarantined corrupt shard tail: ${e.getMessage}")
+            // NonFatal, not just IllegalArgumentException: corrupt
+            // .tar.gz/.tar.zst shards surface as IOException subclasses
+            // (ZipException from GZIPInputStream, zstd-jni's
+            // ZstdIOException) or zstd-jni RuntimeExceptions — under
+            // FAILFAST those would re-poison every replayed micro-batch,
+            // the exact pill the permissive contract quarantines
+            case scala.util.control.NonFatal(e) =>
+              System.err.println(
+                s"[graft] quarantined corrupt shard tail ($path): ${e.getMessage}")
           }
           buf.iterator
         }

@@ -68,8 +68,18 @@ object ZipShards {
           val tailLen = math.min(len, TailWindow.toLong).toInt
           val tail = new Array[Byte](tailLen)
           in.readFully(len - tailLen, tail)
-          val eocd = ZipHeaders.findEocdIn(tail, len - tailLen)
+          // a zip64 EOCD with a large extensible data sector can start
+          // before the tail window — resolve it with one more positioned
+          // read instead of rejecting the well-formed archive
+          val fetchZip64 = (off: Long) =>
+            if (off < 0 || off + 56 > len) null
+            else { val r = new Array[Byte](56); in.readFully(off, r); r }
+          val eocd = ZipHeaders.findEocdIn(tail, len - tailLen, fetchZip64)
           require(eocd != null, s"$file: no valid end-of-central-directory")
+          require(eocd.count <= ZipHeaders.MaxEntries,
+            s"$file: ${eocd.count} members exceed the listing cap " +
+              s"${ZipHeaders.MaxEntries} — a lake inventory must not " +
+              "silently truncate")
           val cdLen = eocd.cdEnd - eocd.cdOff
           require(cdLen >= 0 && cdLen <= maxCdBytes,
             s"$file: central directory of $cdLen bytes exceeds cap $maxCdBytes")
@@ -77,25 +87,34 @@ object ZipShards {
           in.readFully(eocd.cdOff, cd)
           // walk the CD slice with relative bounds; localOff values are
           // absolute file offsets by the format's definition
-          ZipHeaders.cdEntriesIn(cd, 0L, cdLen, eocd.count).map(e =>
+          val out = ZipHeaders.cdEntriesIn(cd, 0L, cdLen, eocd.count).map(e =>
             Row(file, e.name, e.method, e.compSize, e.size, e.localOff)).toList
+          // the walk ends silently on a malformed entry (blob-expression
+          // semantics); an inventory that lost members must abort loudly
+          require(out.size == eocd.count,
+            s"$file: central directory walk yielded ${out.size} of " +
+              s"${eocd.count} declared members — corrupt listing")
+          out
         } finally in.close()
       }
     spark.createDataFrame(rows, schema)
   }
 
   /**
-   * Ranged STORED-member fetch: resolve (shard, local_off, size) rows —
-   * an [[inventory]] selection with `method = 0` — to payload bytes via
-   * positioned reads through each member's local header (whose
-   * name/extra lengths may differ from the central directory's).
-   * Deflated members (method 8) FAIL the task: a positioned read cannot
-   * inflate — route those through `gunzip`-style whole-member handling.
-   * Rows are co-located by shard and offset-ordered per task.
+   * Ranged member fetch: resolve (shard, local_off, size) rows — an
+   * [[inventory]] selection — to payload bytes via positioned reads
+   * through each member's local header (whose name/extra lengths may
+   * differ from the central directory's). STORED members (method 0) are
+   * read exactly; DEFLATED members (method 8 — `numpy.savez_compressed`
+   * emits these) positioned-read `comp_size` bytes and inflate through
+   * the bounded raw-deflate path, FAILFAST unless the output equals the
+   * CD-declared `size` exactly (a SOURCE must not return silently wrong
+   * bytes). Other methods fail the task. Rows are co-located by shard
+   * and offset-ordered per task.
    */
   def fetchStored(df: DataFrame, shardCol: String = "shard",
       offCol: String = "local_off", sizeCol: String = "size",
-      methodCol: String = "method",
+      methodCol: String = "method", compSizeCol: String = "comp_size",
       maxMemberBytes: Long = TarShards.maxMemberBytesDefault): DataFrame = {
     val spark = df.sparkSession
     val bc = spark.sparkContext.broadcast(
@@ -109,6 +128,7 @@ object ZipShards {
     val oi = base.schema.fieldIndex(offCol)
     val zi = base.schema.fieldIndex(sizeCol)
     val mi = base.schema.fieldIndex(methodCol)
+    val ci = base.schema.fieldIndex(compSizeCol)
     val cap = maxMemberBytes
     base.repartition(col(shardCol))
       .sortWithinPartitions(col(shardCol), col(offCol))
@@ -124,8 +144,11 @@ object ZipShards {
           val p = r.getString(si)
           val off = r.getLong(oi)
           val n = r.getLong(zi)
-          require(r.getInt(mi) == 0,
-            s"fetchStored resolves STORED members only; $p @ $off is compressed")
+          val method = r.getInt(mi)
+          val compN = r.getLong(ci)
+          require(method == 0 || method == 8,
+            s"fetchStored resolves STORED/DEFLATED members only; " +
+              s"$p @ $off uses method $method")
           require(n >= 0 && n <= cap && n <= Int.MaxValue,
             s"member of $n bytes exceeds cap $cap ($p @ $off)")
           if (p != curPath) {
@@ -139,9 +162,24 @@ object ZipShards {
             s"$p @ $off: not a local file header")
           val nameLen = graft.functions.ZipHeaders.leU16(head, 26)
           val extraLen = graft.functions.ZipHeaders.leU16(head, 28)
-          val buf = new Array[Byte](n.toInt)
-          in.readFully(off + 30 + nameLen + extraLen, buf)
-          Row.fromSeq(r.toSeq :+ buf)
+          val dataOff = off + 30 + nameLen + extraLen
+          val payload =
+            if (method == 0) {
+              val buf = new Array[Byte](n.toInt)
+              in.readFully(dataOff, buf)
+              buf
+            } else {
+              require(compN >= 0 && compN <= cap && compN <= Int.MaxValue,
+                s"compressed member of $compN bytes exceeds cap $cap ($p @ $off)")
+              val comp = new Array[Byte](compN.toInt)
+              in.readFully(dataOff, comp)
+              val out = graft.functions.ZipHeaders.inflateRaw(comp, 0, comp.length, n)
+              require(out != null && out.length == n,
+                s"$p @ $off: deflated member did not inflate to the declared " +
+                  s"$n bytes — corrupt stream or lying central directory")
+              out
+            }
+          Row.fromSeq(r.toSeq :+ payload)
         }
       }(enc)
   }

@@ -307,4 +307,71 @@ class ArchiveSpec extends SparkSpec {
     assert(tgz.toSeq == Seq("000001.jpg", "000001.cls", "000002.jpg",
       "dir/000003.wav.json"))
   }
+
+  test("zip_member: deflated members inflate exactly (savez_compressed layout)") {
+    val npy = NpyCodec.encode("<i8", fortran = false, Seq(4L), 32)
+    val big = Array.tabulate[Byte](5000)(i => (i % 5).toByte)
+    val z = ArchiveCodec.zipMixed(Seq(
+      ("arr_0.npy", npy, 8), ("blob.bin", big, 8), ("doc.txt", data2, 0)))
+    // listing reports method 8 with comp_size < size for the deflated pair
+    val es = ZipHeaders.entries(z).map(e => e.name -> e).toMap
+    assert(es("arr_0.npy").method == 8 && es("blob.bin").method == 8)
+    assert(es("blob.bin").compSize < es("blob.bin").size)
+    // method-8 members inflate, method-0 still slices, through ONE call
+    assert(java.util.Arrays.equals(ZipHeaders.member(z, "arr_0.npy", 1 << 20), npy))
+    assert(java.util.Arrays.equals(ZipHeaders.member(z, "blob.bin", 1 << 20), big))
+    assert(java.util.Arrays.equals(ZipHeaders.member(z, "doc.txt", 1 << 20), data2))
+    assert(ZipHeaders.member(z, "absent.npy", 1 << 20) == null)
+    // the old stored-only surface keeps refusing deflated members
+    assert(ZipHeaders.storedMember(z, "arr_0.npy") == null)
+    // JDK's ZipOutputStream (default DEFLATED) cross-validates
+    val bos = new java.io.ByteArrayOutputStream()
+    val zos = new java.util.zip.ZipOutputStream(bos)
+    zos.putNextEntry(new java.util.zip.ZipEntry("jdk.bin"))
+    zos.write(big); zos.closeEntry(); zos.close()
+    assert(java.util.Arrays.equals(
+      ZipHeaders.member(bos.toByteArray, "jdk.bin", 1 << 20), big))
+    // ...and the SQL surface composes with npy_meta
+    val spark = this.spark
+    import spark.implicits._
+    val nElems = Seq(Tuple1(z)).toDF("blob").selectExpr(
+      "npy_meta(zip_member(blob, 'arr_0.npy', 1048576)).n_elems").as[Long].head()
+    assert(nElems == 4)
+  }
+
+  test("zip_member hostile bytes: lying sizes, bomb cap, fuzz — null, never throws") {
+    val big = Array.tabulate[Byte](5000)(i => (i % 5).toByte)
+    val z = ArchiveCodec.zipMixed(Seq(("a.bin", big, 8)))
+    // output cap below the declared size: null (bomb guard), not an OOM
+    assert(ZipHeaders.member(z, "a.bin", 100) == null)
+    // find the CD entry and lie about the declared sizes
+    var cd = -1
+    for (i <- 0 until z.length - 4 if cd < 0)
+      if (z(i) == 'P' && z(i + 1) == 'K' && z(i + 2) == 1 && z(i + 3) == 2)
+        cd = i
+    def le32At(b: Array[Byte], p: Int, v: Long): Unit =
+      for (k <- 0 until 4) b(p + k) = ((v >> (8 * k)) & 0xff).toByte
+    // size smaller than the stream inflates to: overflow -> null
+    val small = z.clone(); le32At(small, cd + 24, big.length - 1L)
+    assert(ZipHeaders.member(small, "a.bin", 1 << 20) == null)
+    // size larger than the stream yields: short inflate -> null
+    val largeS = z.clone(); le32At(largeS, cd + 24, big.length + 1L)
+    assert(ZipHeaders.member(largeS, "a.bin", 1 << 20) == null)
+    // comp_size truncating the stream: inflater starves -> null
+    val shortC = z.clone(); le32At(shortC, cd + 20, 3L)
+    assert(ZipHeaders.member(shortC, "a.bin", 1 << 20) == null)
+    // comp_size past the buffer end -> null
+    val longC = z.clone(); le32At(longC, cd + 20, z.length.toLong)
+    assert(ZipHeaders.member(longC, "a.bin", 1 << 20) == null)
+    // truncation + random corruption fuzz: null or a value, never a throw
+    val u = org.apache.spark.unsafe.types.UTF8String.fromString("a.bin")
+    for (cut <- 0 until z.length by 7)
+      ZipHeaders.memberAnyOrNull(z.take(cut), u, 1 << 20)
+    val rnd = new scala.util.Random(41)
+    for (_ <- 0 until 300) {
+      val b = z.clone()
+      b(rnd.nextInt(b.length)) = rnd.nextInt(256).toByte
+      ZipHeaders.memberAnyOrNull(b, u, 1 << 20)
+    }
+  }
 }

@@ -52,12 +52,112 @@ class ZipShardsSpec extends SparkSpec {
     assert(java.util.Arrays.equals(fetched("arr_0.npy"), npy))
     // ...and the fetched member feeds npy_meta exactly like the blob path
     assert(graft.functions.NpyHeaders.parse(fetched("arr_0.npy")).nElems == 3)
-    // a row claiming method 8 refuses instead of reading garbage
+    def msgOf(e: Throwable): String =
+      e.getMessage + (if (e.getCause != null) " | " + e.getCause.getMessage else "")
+    // a row LYING method 8 over stored bytes fails loudly (the payload is
+    // not a deflate stream), never returns silently wrong bytes
     val lied = inv.withColumn("method", org.apache.spark.sql.functions.lit(8))
     val e = intercept[org.apache.spark.SparkException](
       ZipShards.fetchStored(lied).collect())
-    assert(e.getMessage.contains("STORED") ||
-      e.getCause != null && e.getCause.getMessage.contains("STORED"))
+    assert(msgOf(e).contains("did not inflate"))
+    // methods other than 0/8 refuse
+    val odd = inv.withColumn("method", org.apache.spark.sql.functions.lit(5))
+    val e2 = intercept[org.apache.spark.SparkException](
+      ZipShards.fetchStored(odd).collect())
+    assert(msgOf(e2).contains("STORED/DEFLATED"))
+  }
+
+  test("fetchStored inflates DEFLATED members (savez_compressed layout)") {
+    val spark = this.spark
+    val dir = Files.createTempDirectory("graft_zipdeflate_").toString
+    val npy = NpyCodec.encode("<i8", fortran = false, Seq(5L), 40)
+    val big = Array.tabulate[Byte](5000)(i => (i % 7).toByte) // compresses well
+    Files.write(java.nio.file.Paths.get(dir, "c.npz"),
+      ArchiveCodec.zipMixed(Seq(
+        ("arr_0.npy", npy, 8), ("blob.bin", big, 8), ("doc.txt", data2, 0))))
+    // JDK's own writer (default DEFLATED) must fetch identically
+    val bos = new java.io.ByteArrayOutputStream()
+    val zos = new java.util.zip.ZipOutputStream(bos)
+    zos.putNextEntry(new java.util.zip.ZipEntry("jdk.bin"))
+    zos.write(big); zos.closeEntry(); zos.close()
+    Files.write(java.nio.file.Paths.get(dir, "jdk.npz"), bos.toByteArray)
+    val inv = ZipShards.inventory(spark, dir + "/*.npz")
+    assert(inv.filter(col("method") === 8).count() == 3)
+    val fetched = ZipShards.fetchStored(inv)
+      .select("member_name", "payload").collect()
+      .map(r => r.getString(0) -> r.getAs[Array[Byte]](1)).toMap
+    assert(java.util.Arrays.equals(fetched("arr_0.npy"), npy))
+    assert(java.util.Arrays.equals(fetched("blob.bin"), big))
+    assert(java.util.Arrays.equals(fetched("doc.txt"), data2))
+    assert(java.util.Arrays.equals(fetched("jdk.bin"), big))
+    assert(graft.functions.NpyHeaders.parse(fetched("arr_0.npy")).nElems == 5)
+  }
+
+  test("zip64 EOCD with a large extensible data sector: second positioned read") {
+    val spark = this.spark
+    val dir = Files.createTempDirectory("graft_zip64ext_").toString
+    val base = ArchiveCodec.zipStored(Seq(("arr_1.npy", data1)), zip64 = true)
+    // find the zip64 EOCD record and grow its extensible data sector past
+    // the tail window, so the record starts BEFORE the window the
+    // inventory reads — a well-formed archive the fixed window alone
+    // would reject
+    var z = -1
+    for (i <- 0 until base.length - 4 if z < 0)
+      if (base(i) == 'P' && base(i + 1) == 'K' && base(i + 2) == 6 && base(i + 3) == 6)
+        z = i
+    assert(z > 0)
+    val pad = 80000 // > TailWindow
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(base, 0, z + 56)
+    out.write(new Array[Byte](pad))
+    out.write(base, z + 56, base.length - z - 56)
+    val grown = out.toByteArray
+    // the record's "size of zip64 EOCD record" field counts everything
+    // after its first 12 bytes: 44 + the extensible sector
+    val newSize = 44L + pad
+    for (k <- 0 until 8)
+      grown(z + 4 + k) = ((newSize >> (8 * k)) & 0xff).toByte
+    Files.write(java.nio.file.Paths.get(dir, "ext.npz"), grown)
+    // the in-buffer blob walk accepts it (whole archive in the buffer)...
+    assert(ZipHeaders.entries(grown).map(_.name).toSeq == Seq("arr_1.npy"))
+    // ...and the seekable inventory resolves the out-of-window record
+    // with one more positioned read instead of failing
+    val inv = ZipShards.inventory(spark, dir + "/*.npz").collect()
+    assert(inv.map(_.getString(1)).toSeq == Seq("arr_1.npy"))
+  }
+
+  test("over-cap or truncated central directories abort loudly, never truncate") {
+    val spark = this.spark
+    def msgOf(e: Throwable): String =
+      e.getMessage + (if (e.getCause != null) " | " + e.getCause.getMessage else "")
+    // declared count past the listing cap (zip64 count field forged)
+    val dir1 = Files.createTempDirectory("graft_zipcap_").toString
+    val z64 = ArchiveCodec.zipStored(Seq(("a.npy", data2)), zip64 = true)
+    var z = -1
+    for (i <- 0 until z64.length - 4 if z < 0)
+      if (z64(i) == 'P' && z64(i + 1) == 'K' && z64(i + 2) == 6 && z64(i + 3) == 6)
+        z = i
+    val overCap = (ZipHeaders.MaxEntries + 1).toLong
+    for (k <- 0 until 8) { // both count fields of the zip64 EOCD
+      z64(z + 24 + k) = ((overCap >> (8 * k)) & 0xff).toByte // this disk
+      z64(z + 32 + k) = z64(z + 24 + k) // total
+    }
+    Files.write(java.nio.file.Paths.get(dir1, "cap.npz"), z64)
+    val e1 = intercept[org.apache.spark.SparkException](
+      ZipShards.inventory(spark, dir1 + "/*.npz").collect())
+    assert(msgOf(e1).contains("listing cap"))
+    // classic EOCD declaring MORE members than the walk yields
+    val dir2 = Files.createTempDirectory("graft_ziptrunc_").toString
+    val lie = ArchiveCodec.zipStored(Seq(("a.npy", data2)))
+    var e = -1
+    for (i <- lie.length - 22 to 0 by -1 if e < 0)
+      if (lie(i) == 'P' && lie(i + 1) == 'K' && lie(i + 2) == 5 && lie(i + 3) == 6)
+        e = i
+    lie(e + 8) = 2; lie(e + 10) = 2 // claims 2 members, CD holds 1
+    Files.write(java.nio.file.Paths.get(dir2, "trunc.npz"), lie)
+    val e2 = intercept[org.apache.spark.SparkException](
+      ZipShards.inventory(spark, dir2 + "/*.npz").collect())
+    assert(msgOf(e2).contains("corrupt listing"))
   }
 
   test("corrupt archives FAIL the listing task (no silent skips)") {
