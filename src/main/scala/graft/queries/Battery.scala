@@ -3567,6 +3567,62 @@ object Battery {
           col("__m.data_bytes").as("data_bytes"))
     }),
 
+    // SQL shard surface (spark.read.format("graft-tar")): the WebDataset
+    // lake as a pure-SQL table — and because the query never selects
+    // `payload`, column pruning pushes the HEADER-ONLY walk into the
+    // scan (withPayload=false: 512 B reads, nothing allocated), so this
+    // aggregation over a shard lake is an inventory-cost query.
+    "q251_tar_sql_lake" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft_wdssql_").toString
+      writeWdsShards(s, d, dir, _ => true, _ % 64, sid => f"shard-$sid%05d",
+        withJson = false, _ => "tar")
+      s.read.format("graft-tar").load(dir + "/shard-*")
+        .filter(col("member_type") === "file")
+        .withColumn("doc_id",
+          regexp_extract(col("member_name"), "^d(\\d+)/", 1).cast("long"))
+        .withColumn("j",
+          regexp_extract(col("member_name"), "/0*(\\d+)\\.", 1).cast("long"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_members"),
+          sum(col("member_size")).as("total_bytes"),
+          max(col("j")).as("max_j"))
+    }),
+
+    // PERMISSIVE streaming shard ingest (the graft-tar arrival-ledger
+    // source + quarantine): a lake wave with one corrupt shard — member
+    // 2's header checksum lies — must not poison the stream. The corrupt
+    // shard keeps exactly its pre-corruption prefix (member 1), every
+    // good shard lands whole, and the stream advances past the
+    // quarantined file instead of replaying it forever.
+    "q252_stream_quarantine" -> ((s, d) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_wdsq_").toString
+      val in = root + "/in"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+      writeWdsShards(s, d, in, id => id % 2 == 0, id => (id / 2) % 32,
+        sid => f"good-$sid%05d", withJson = false, _ => "tar")
+      val bad = graft.functions.ArchiveCodec.tar(Seq(
+        ("x/000001.txt", Array[Byte](1, 2, 3)),
+        ("x/000002.txt", Array.fill[Byte](5)(9))))
+      bad(1024 + 148) = (bad(1024 + 148) ^ 1).toByte
+      java.nio.file.Files.write(java.nio.file.Paths.get(in, "poison.tar"), bad)
+      val out = root + "/out"
+      val q = graft.sources.TarShards.readWebDatasetStream(s, in, permissive = true)
+        .select(col("member_name"), col("member_size"))
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", root + "/ckpt").start()
+      try q.processAllAvailable() finally q.stop()
+      s.read.parquet(out)
+        .withColumn("doc_id", when(col("member_name").rlike("^d\\d+/"),
+          regexp_extract(col("member_name"), "^d(\\d+)/", 1).cast("long"))
+          .otherwise(lit(-1L)))
+        .withColumn("j", when(col("member_name").rlike("^d\\d+/"),
+          regexp_extract(col("member_name"), "/0*(\\d+)\\.", 1).cast("long"))
+          .otherwise(lit(1L)))
+        .withColumn("member_ext",
+          regexp_extract(col("member_name"), "\\.([a-z]+)$", 1))
+        .select(col("doc_id"), col("j"), col("member_ext"), col("member_size"))
+    }),
+
     // INVENTORY → SELECT → FETCH (TarShards.inventory + fetchMembers):
     // the 100 TB access pattern — list every member of every shard
     // reading ONLY headers (payloads skipped, nothing allocated), select
@@ -7236,6 +7292,24 @@ object Battery {
         |  CAST(d.doc_id % 7 + 1 AS BIGINT) AS n_elems,
         |  CAST((d.doc_id % 7 + 1) * 8 AS BIGINT) AS data_bytes
         |FROM documents d, (VALUES ('blob'), ('fetch')) v(via)""".stripMargin,
+    // header-only member math per doc: 2 members per j, sizes 3j+5 + 2j+1
+    "q251_tar_sql_lake" ->
+      """SELECT d.doc_id, CAST(COUNT(*) * 2 AS BIGINT) AS n_members,
+        |  CAST(SUM(t.j * 5 + 6) AS BIGINT) AS total_bytes,
+        |  CAST(MAX(t.j) AS BIGINT) AS max_j
+        |FROM documents d, range(1, 5) t(j)
+        |WHERE t.j <= d.doc_id % 4 + 1
+        |GROUP BY d.doc_id""".stripMargin,
+    // every good member lands; the poison shard keeps exactly member 1
+    "q252_stream_quarantine" ->
+      """SELECT d.doc_id, CAST(t.j AS BIGINT) AS j, e.ext AS member_ext,
+        |  CAST(CASE WHEN e.ext = 'jpg' THEN t.j * 3 + 5
+        |    ELSE t.j * 2 + 1 END AS BIGINT) AS member_size
+        |FROM documents d, range(1, 5) t(j), (VALUES ('jpg'), ('txt')) e(ext)
+        |WHERE d.doc_id % 2 = 0 AND t.j <= d.doc_id % 4 + 1
+        |UNION ALL
+        |SELECT CAST(-1 AS BIGINT) AS doc_id, CAST(1 AS BIGINT) AS j,
+        |  'txt' AS member_ext, CAST(3 AS BIGINT) AS member_size""".stripMargin,
     // odd-j jpg members: planted size j*3+5, fetched bytes must agree
     "q246_inventory_fetch" ->
       """SELECT d.doc_id, CAST(t.j AS BIGINT) AS j,

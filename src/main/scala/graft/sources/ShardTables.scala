@@ -1,0 +1,380 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets.UTF_8
+import java.util
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.util.SerializableConfiguration
+
+/**
+ * SQL-surface shard containers: `spark.read.format("graft-tar")` /
+ * `("graft-zip")` DSv2 TableProviders over [[TarShards]] / [[ZipShards]]
+ * semantics, so a WebDataset/npz lake is reachable from pure SQL like
+ * every other graft surface — and, for tar, STREAMABLE:
+ *
+ *  - **Batch** (`graft-tar`): one input partition per shard, each task
+ *    streaming its shard with O(member) memory through
+ *    [[TarShards.members]]. **Column pruning is a payload pushdown**: a
+ *    query that never selects `payload` gets the header-only walk
+ *    (`withPayload = false` — 512 B reads through the decompressor,
+ *    nothing allocated), so `SELECT member_name, member_size FROM tar`
+ *    IS the inventory pass.
+ *  - **Micro-batch** (`spark.readStream.format("graft-tar")`): the
+ *    scale-true continuous-ingest path. The offset ledger is the
+ *    ARRIVAL-FILE LIST (the [[GraftCdfStream]] version=offset pattern
+ *    applied to files): each trigger lists the directory, admits new
+ *    files in (modificationTime, path) order — capped by
+ *    `maxFilesPerTrigger` — and appends them to a durable ledger under
+ *    the checkpoint location (write-tmp-then-rename, the
+ *    [[graft.operators.SignatureTableSwap]] commit discipline); the
+ *    checkpointed offset is an index into that ledger, so replays plan
+ *    the exact same files and a restart rebuilds the list by replaying
+ *    ledger segments. Each admitted shard is then parsed by the SAME
+ *    O(member) reader as the batch path — a standard 1-4 GB WebDataset
+ *    shard streams through a task without ever existing in memory,
+ *    which the previous `binaryFile`-based path (whole shard per row)
+ *    could not do.
+ *  - **FAILFAST / permissive** ([[Ingest]] discipline): a corrupt shard
+ *    fails the task with path + member index by default — under
+ *    streaming that batch replays against the same ledger range until
+ *    the file is repaired (the documented poison-pill remediation).
+ *    `permissive = true` quarantines instead: members parsed before the
+ *    corruption are kept, the rest of THAT shard is dropped (logged),
+ *    and the stream advances.
+ *
+ * `graft-zip` is the seekable twin: one task per archive, TWO positioned
+ * reads (EOCD tail window + central-directory slice — payload bytes are
+ * never touched), rows = the [[ZipShards.schema]] inventory. Pair with
+ * [[ZipShards.fetchStored]] for the members a selection keeps.
+ */
+class TarShardSource extends TableProvider with DataSourceRegister {
+
+  override def shortName(): String = "graft-tar"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    TarShards.schema
+
+  override def getTable(
+      schema: StructType,
+      partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    val path = properties.get("path")
+    require(path != null && path.nonEmpty,
+      "graft-tar requires a path: spark.read.format(\"graft-tar\").load(dir)")
+    new TarShardTable(path)
+  }
+}
+
+private[sources] object ShardFiles {
+
+  /** Spark file-source convention: dot/underscore files are metadata
+   *  (checkpoint tmp files, _SUCCESS markers), never shards. */
+  def hidden(name: String): Boolean =
+    name.startsWith(".") || name.startsWith("_")
+
+  /** Expand a file/dir/glob into (path, length) pairs, name-sorted for
+   *  deterministic planning. */
+  def list(spark: SparkSession, path: String): Seq[(String, Long)] = {
+    val hp = new Path(path)
+    val fs = hp.getFileSystem(spark.sessionState.newHadoopConf())
+    val statuses = fs.globStatus(hp)
+    require(statuses != null && statuses.nonEmpty, s"no shards match $path")
+    statuses.toSeq.flatMap { s =>
+      if (s.isFile) Seq(s)
+      else fs.listStatus(s.getPath).toSeq.filter(_.isFile)
+    }.filter(s => !hidden(s.getPath.getName))
+      .map(s => (s.getPath.toString, s.getLen))
+      .sortBy(_._1)
+  }
+}
+
+private[sources] class TarShardTable(path: String) extends Table with SupportsRead {
+  override def name(): String = s"graft-tar.`$path`"
+  override def schema(): StructType = TarShards.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new TarScanBuilder(path, options)
+}
+
+private[sources] class TarScanBuilder(path: String, options: CaseInsensitiveStringMap)
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = TarShards.schema
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+  override def build(): Scan = new TarScan(path, options, required)
+}
+
+private[sources] class TarScan(
+    path: String, options: CaseInsensitiveStringMap, required: StructType)
+    extends Scan {
+
+  private def spark = SparkSession.active
+  private val cap =
+    options.getLong("maxMemberBytes", TarShards.maxMemberBytesDefault)
+  private val permissive = options.getBoolean("permissive", false)
+  private val maxFilesPerTrigger: Option[Int] =
+    Option(options.get("maxFilesPerTrigger")).map(_.toInt)
+  // column pruning IS the payload pushdown: no payload column in the
+  // required schema -> header-only walk, nothing allocated per member
+  private val withPayload = required.fieldNames.contains("payload")
+
+  override def readSchema(): StructType = required
+
+  override def description(): String =
+    s"graft-tar $path payload=$withPayload permissive=$permissive"
+
+  private def factory: PartitionReaderFactory =
+    new TarMemberReaderFactory(
+      new SerializableConfiguration(spark.sessionState.newHadoopConf()),
+      required, cap, withPayload, permissive)
+
+  override def toBatch: Batch = new Batch {
+    override def planInputPartitions(): Array[InputPartition] =
+      ShardFiles.list(spark, path)
+        .map(f => TarShardPartition(f._1): InputPartition).toArray
+    override def createReaderFactory(): PartitionReaderFactory = factory
+  }
+
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new TarShardStream(spark, path, checkpointLocation, factory,
+      maxFilesPerTrigger)
+}
+
+private[sources] final case class TarShardPartition(path: String)
+    extends InputPartition
+
+/** Executor-side member walk: one shard per task, streamed off an FS
+ *  handle with O(member) memory; `permissive` quarantines a mid-shard
+ *  corruption (members before it are kept, the tail is dropped, logged)
+ *  instead of failing the task. */
+private[sources] class TarMemberReaderFactory(
+    conf: SerializableConfiguration,
+    required: StructType,
+    cap: Long,
+    withPayload: Boolean,
+    permissive: Boolean) extends PartitionReaderFactory {
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val path = partition.asInstanceOf[TarShardPartition].path
+    new PartitionReader[InternalRow] {
+      private val hp = new Path(path)
+      private val in = hp.getFileSystem(conf.value).open(hp)
+      // the reader owns the handle lifecycle (close() below); the
+      // members() task listener would double-register per micro-batch
+      private val members =
+        TarShards.members(in, path, cap, withPayload, taskCleanup = false)
+      private val fieldIdx = required.fields.map(f =>
+        TarShards.schema.fieldIndex(f.name))
+      private var cur: TarShards.TarMember = _
+      private var quarantined = false
+
+      override def next(): Boolean =
+        if (quarantined) false
+        else try {
+          if (members.hasNext) { cur = members.next(); true } else false
+        } catch {
+          case scala.util.control.NonFatal(e) if permissive =>
+            System.err.println(
+              s"[graft] quarantined corrupt shard tail ($path): ${e.getMessage}")
+            quarantined = true
+            false
+        }
+
+      override def get(): InternalRow = {
+        val vals = new Array[Any](fieldIdx.length)
+        var i = 0
+        while (i < fieldIdx.length) {
+          vals(i) = fieldIdx(i) match {
+            case 0 => UTF8String.fromString(cur.shard)
+            case 1 => UTF8String.fromString(cur.name)
+            case 2 => cur.size
+            case 3 => cur.byteOff
+            case 4 => UTF8String.fromString(cur.typ)
+            case _ => cur.payload
+          }
+          i += 1
+        }
+        new GenericInternalRow(vals)
+      }
+
+      override def close(): Unit =
+        try in.close() catch { case _: java.io.IOException => }
+    }
+  }
+}
+
+/**
+ * Arrival-ledger micro-batch stream: offsets are indices into a durable
+ * list of admitted shard files. The ledger is written BEFORE the offset
+ * is checkpointed, so `planInputPartitions(start, end)` can always
+ * resolve a replayed range; admission order is (modificationTime, path)
+ * and is frozen by the ledger, never re-derived from the directory.
+ */
+private[sources] class TarShardStream(
+    spark: SparkSession,
+    dir: String,
+    checkpointLocation: String,
+    factory: PartitionReaderFactory,
+    maxFilesPerTrigger: Option[Int]) extends MicroBatchStream {
+
+  private case class FilesOffset(n: Long) extends Offset {
+    override def json(): String = s"""{"files":$n}"""
+  }
+
+  private val dirPath = new Path(dir)
+  private val fs = dirPath.getFileSystem(spark.sessionState.newHadoopConf())
+  private val ledgerDir = new Path(new Path(checkpointLocation), "graft-tar-ledger")
+
+  private var files = Vector.empty[String]
+  private var seen = Set.empty[String]
+  replayLedger()
+
+  private def replayLedger(): Unit = {
+    if (!fs.exists(ledgerDir)) return
+    val segments = fs.listStatus(ledgerDir).toSeq
+      .filter(s => s.isFile && !s.getPath.getName.startsWith("."))
+      .sortBy(_.getPath.getName)
+    for (seg <- segments) {
+      val len = seg.getLen.toInt
+      val buf = new Array[Byte](len)
+      val in = fs.open(seg.getPath)
+      try in.readFully(0, buf) finally in.close()
+      val admitted = new String(buf, UTF_8).split("\n").filter(_.nonEmpty).toSeq
+      val start = seg.getPath.getName.toLong
+      require(start == files.size,
+        s"graft-tar ledger gap: segment $start but ${files.size} files replayed")
+      files ++= admitted
+      seen ++= admitted
+    }
+  }
+
+  override def initialOffset(): Offset = FilesOffset(0)
+
+  override def latestOffset(): Offset = {
+    val arrivals =
+      (if (fs.exists(dirPath)) fs.listStatus(dirPath).toSeq else Seq.empty)
+        .filter(s => s.isFile && !ShardFiles.hidden(s.getPath.getName))
+        .map(s => (s.getPath.toString, s.getModificationTime))
+        .filter { case (p, _) => !seen.contains(p) }
+        .sortBy { case (p, m) => (m, p) }
+        .map(_._1)
+    val admit = maxFilesPerTrigger.fold(arrivals)(n => arrivals.take(n))
+    if (admit.nonEmpty) {
+      appendLedger(files.size, admit)
+      files ++= admit
+      seen ++= admit
+    }
+    FilesOffset(files.size)
+  }
+
+  /** Durable, atomic ledger append: tmp + rename commit point. */
+  private def appendLedger(start: Long, admitted: Seq[String]): Unit = {
+    fs.mkdirs(ledgerDir)
+    val tmp = new Path(ledgerDir, f".$start%020d.tmp")
+    val out = fs.create(tmp, true)
+    try admitted.foreach(f => out.write((f + "\n").getBytes(UTF_8)))
+    finally out.close()
+    val dst = new Path(ledgerDir, f"$start%020d")
+    require(fs.rename(tmp, dst), s"graft-tar ledger commit failed: $dst")
+  }
+
+  override def deserializeOffset(json: String): Offset = {
+    val m = """"files"\s*:\s*(\d+)""".r.findFirstMatchIn(json)
+    require(m.isDefined, s"bad graft-tar offset: $json")
+    FilesOffset(m.get.group(1).toLong)
+  }
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val from = start.asInstanceOf[FilesOffset].n.toInt
+    val to = end.asInstanceOf[FilesOffset].n.toInt
+    require(to <= files.size,
+      s"graft-tar offset $to beyond the arrival ledger (${files.size} files) — " +
+        "checkpoint and ledger disagree; was the checkpoint directory pruned?")
+    files.slice(from, to).map(TarShardPartition(_): InputPartition).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = factory
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+/** `spark.read.format("graft-zip").load(lake)` — the seekable npz/zip
+ *  inventory as a SQL table: one task per archive, two positioned reads,
+ *  [[ZipShards.schema]] rows. */
+class ZipShardSource extends TableProvider with DataSourceRegister {
+
+  override def shortName(): String = "graft-zip"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    ZipShards.schema
+
+  override def getTable(
+      schema: StructType,
+      partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    val path = properties.get("path")
+    require(path != null && path.nonEmpty,
+      "graft-zip requires a path: spark.read.format(\"graft-zip\").load(lake)")
+    new ZipShardTable(path)
+  }
+}
+
+private[sources] class ZipShardTable(path: String) extends Table with SupportsRead {
+  override def name(): String = s"graft-zip.`$path`"
+  override def schema(): StructType = ZipShards.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder with Scan with Batch {
+      private def spark = SparkSession.active
+      override def build(): Scan = this
+      override def readSchema(): StructType = ZipShards.schema
+      override def description(): String = s"graft-zip $path (EOCD+CD positioned reads)"
+      override def toBatch: Batch = this
+      override def planInputPartitions(): Array[InputPartition] =
+        ShardFiles.list(spark, path)
+          .map(f => ZipArchivePartition(f._1, f._2): InputPartition).toArray
+      override def createReaderFactory(): PartitionReaderFactory =
+        new ZipInventoryReaderFactory(
+          new SerializableConfiguration(spark.sessionState.newHadoopConf()))
+    }
+}
+
+private[sources] final case class ZipArchivePartition(path: String, len: Long)
+    extends InputPartition
+
+private[sources] class ZipInventoryReaderFactory(conf: SerializableConfiguration)
+    extends PartitionReaderFactory {
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[ZipArchivePartition]
+    new PartitionReader[InternalRow] {
+      private val rows = {
+        val hp = new Path(p.path)
+        val in = hp.getFileSystem(conf.value).open(hp)
+        try ZipShards.archiveEntries(in, p.path, p.len).iterator
+        finally in.close()
+      }
+      private var cur: graft.functions.ZipHeaders.Entry = _
+      override def next(): Boolean =
+        if (rows.hasNext) { cur = rows.next(); true } else false
+      override def get(): InternalRow = new GenericInternalRow(Array[Any](
+        UTF8String.fromString(p.path), UTF8String.fromString(cur.name),
+        cur.method, cur.compSize, cur.size, cur.localOff))
+      override def close(): Unit = ()
+    }
+  }
+}

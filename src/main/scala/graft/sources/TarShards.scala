@@ -173,76 +173,40 @@ object TarShards {
    * STRUCTURED STREAMING shard arrival: a micro-batch source over a
    * directory where WebDataset shards land (the continuous-ingest
    * deployment — new `.tar[.gz|.zst]` files arrive, each micro-batch
-   * parses the new arrivals into member rows with sample keys). Built on
-   * Spark's `binaryFile` file-streaming source, so discovery,
-   * exactly-once file tracking, and `maxFilesPerTrigger` throttling are
-   * the engine's own; the parse is the same FAILFAST member walk as
-   * [[read]]. Feed the result into
-   * [[graft.streaming.EventStreams.dedupIngestStream]]-style loops for
-   * ingest-and-dedup (spec-proven composition).
+   * parses the new arrivals into member rows with sample keys). Rides
+   * the `graft-tar` DSv2 source ([[TarShardStream]]): the offset ledger
+   * is the arrival-file list (durable under the checkpoint, the
+   * [[GraftCdfStream]] version=offset pattern), so file tracking is
+   * exactly-once and replays plan the exact same shards — and each shard
+   * is parsed by the SAME O(member)-memory streaming walk as the batch
+   * path, so standard 1-4 GB WebDataset shards are admissible on the
+   * CONTINUOUS path too (no whole-shard row ever exists). Throttle
+   * backlogs with `options = Map("maxFilesPerTrigger" -> ...)`. Feed the
+   * result into [[graft.streaming.EventStreams.dedupIngestStream]]-style
+   * loops for ingest-and-dedup (spec-proven composition).
    *
-   * Two honest caveats vs the batch reader (the first shared with
-   * [[Warc.readWetStream]]): `binaryFile` delivers a whole file per row,
-   * so a shard is held in memory while parsed — size STREAMING shards
-   * like micro-batches (MBs) and throttle pre-existing backlogs with
-   * `options = Map("maxFilesPerTrigger" -> ...)`. And a corrupt shard
-   * under the default FAILFAST becomes a POISON PILL: the failed
-   * micro-batch is checkpointed and replayed against the same file list
-   * on every restart (binaryFile has no skip hook), so remediation means
-   * repairing the file in place. `permissive = true` instead keeps each
-   * shard's members parsed up to the first corruption and drops the rest
-   * of THAT shard (logged) — the quarantine mode a continuous-ingest
-   * deployment usually wants.
+   * A corrupt shard under the default FAILFAST is a POISON PILL: the
+   * failed micro-batch replays against the same ledger range on every
+   * restart, so remediation means repairing the file in place.
+   * `permissive = true` instead keeps each shard's members parsed up to
+   * the first corruption — including decompressor-level gzip/zstd
+   * corruption — and drops the rest of THAT shard (logged): the
+   * quarantine mode a continuous-ingest deployment usually wants.
    */
   def readWebDatasetStream(spark: SparkSession, dir: String,
       maxMemberBytes: Long = maxMemberBytesDefault,
       options: Map[String, String] = Map.empty,
-      permissive: Boolean = false): DataFrame = {
-    import spark.implicits._
-    val binarySchema = StructType(Seq(
-      StructField("path", StringType),
-      StructField("modificationTime", TimestampType),
-      StructField("length", LongType),
-      StructField("content", BinaryType)))
-    val cap = maxMemberBytes
-    spark.readStream.format("binaryFile").options(options)
-      .schema(binarySchema).load(dir)
-      .select(col("path"), col("content"))
-      .as[(String, Array[Byte])]
-      .flatMap { case (path, bytes) =>
-        // no task-completion listener here: it would pin every parsed
-        // shard's full byte array until task end (see members())
-        val it = members(new java.io.ByteArrayInputStream(bytes), path, cap,
-          taskCleanup = false)
-          .filter(_.typ == "file")
-          .map(m => (m.shard, m.name, m.size, m.byteOff, m.payload))
-        if (!permissive) it
-        else {
-          // consume eagerly so a mid-shard corruption yields the members
-          // BEFORE it instead of failing the whole micro-batch forever
-          val buf = scala.collection.mutable.ArrayBuffer
-            .empty[(String, String, Long, Long, Array[Byte])]
-          try it.foreach(buf += _)
-          catch {
-            // NonFatal, not just IllegalArgumentException: corrupt
-            // .tar.gz/.tar.zst shards surface as IOException subclasses
-            // (ZipException from GZIPInputStream, zstd-jni's
-            // ZstdIOException) or zstd-jni RuntimeExceptions — under
-            // FAILFAST those would re-poison every replayed micro-batch,
-            // the exact pill the permissive contract quarantines
-            case scala.util.control.NonFatal(e) =>
-              System.err.println(
-                s"[graft] quarantined corrupt shard tail ($path): ${e.getMessage}")
-          }
-          buf.iterator
-        }
-      }
-      .toDF("shard", "member_name", "member_size", "byte_off", "payload")
+      permissive: Boolean = false): DataFrame =
+    spark.readStream.format("graft-tar").options(options)
+      .option("maxMemberBytes", maxMemberBytes.toString)
+      .option("permissive", permissive.toString)
+      .load(dir)
+      .filter(col("member_type") === "file")
+      .drop("member_type")
       .withColumn("sample_key", regexp_extract(col("member_name"),
         graft.operators.Multimodal.SampleKeyRegex, 1))
       .withColumn("member_ext", regexp_extract(col("member_name"),
         graft.operators.Multimodal.MemberExtRegex, 1))
-  }
 
   /** Streaming member iterator over one (possibly gzip/zstd-compressed)
    *  tar stream. O(member) memory; FAILFAST with `source` + member

@@ -64,40 +64,49 @@ object ZipShards {
       .flatMap { case (file, len) =>
         val p = new org.apache.hadoop.fs.Path(file)
         val in = p.getFileSystem(bc.value.value).open(p)
-        try {
-          val tailLen = math.min(len, TailWindow.toLong).toInt
-          val tail = new Array[Byte](tailLen)
-          in.readFully(len - tailLen, tail)
-          // a zip64 EOCD with a large extensible data sector can start
-          // before the tail window — resolve it with one more positioned
-          // read instead of rejecting the well-formed archive
-          val fetchZip64 = (off: Long) =>
-            if (off < 0 || off + 56 > len) null
-            else { val r = new Array[Byte](56); in.readFully(off, r); r }
-          val eocd = ZipHeaders.findEocdIn(tail, len - tailLen, fetchZip64)
-          require(eocd != null, s"$file: no valid end-of-central-directory")
-          require(eocd.count <= ZipHeaders.MaxEntries,
-            s"$file: ${eocd.count} members exceed the listing cap " +
-              s"${ZipHeaders.MaxEntries} — a lake inventory must not " +
-              "silently truncate")
-          val cdLen = eocd.cdEnd - eocd.cdOff
-          require(cdLen >= 0 && cdLen <= maxCdBytes,
-            s"$file: central directory of $cdLen bytes exceeds cap $maxCdBytes")
-          val cd = new Array[Byte](cdLen.toInt)
-          in.readFully(eocd.cdOff, cd)
-          // walk the CD slice with relative bounds; localOff values are
-          // absolute file offsets by the format's definition
-          val out = ZipHeaders.cdEntriesIn(cd, 0L, cdLen, eocd.count).map(e =>
-            Row(file, e.name, e.method, e.compSize, e.size, e.localOff)).toList
-          // the walk ends silently on a malformed entry (blob-expression
-          // semantics); an inventory that lost members must abort loudly
-          require(out.size == eocd.count,
-            s"$file: central directory walk yielded ${out.size} of " +
-              s"${eocd.count} declared members — corrupt listing")
-          out
-        } finally in.close()
+        try archiveEntries(in, file, len).map(e =>
+          Row(file, e.name, e.method, e.compSize, e.size, e.localOff))
+        finally in.close()
       }
     spark.createDataFrame(rows, schema)
+  }
+
+  /** The per-archive seekable listing — EOCD tail window, then the
+   *  central-directory slice, both positioned reads — shared by the RDD
+   *  [[inventory]] and the `graft-zip` SQL table
+   *  ([[ZipInventoryReaderFactory]]) so the surfaces cannot diverge. */
+  private[sources] def archiveEntries(
+      in: org.apache.hadoop.fs.FSDataInputStream, file: String,
+      len: Long): List[ZipHeaders.Entry] = {
+    val tailLen = math.min(len, TailWindow.toLong).toInt
+    val tail = new Array[Byte](tailLen)
+    in.readFully(len - tailLen, tail)
+    // a zip64 EOCD with a large extensible data sector can start before
+    // the tail window — resolve it with one more positioned read instead
+    // of rejecting the well-formed archive
+    val fetchZip64 = (off: Long) =>
+      if (off < 0 || off + 56 > len) null
+      else { val r = new Array[Byte](56); in.readFully(off, r); r }
+    val eocd = ZipHeaders.findEocdIn(tail, len - tailLen, fetchZip64)
+    require(eocd != null, s"$file: no valid end-of-central-directory")
+    require(eocd.count <= ZipHeaders.MaxEntries,
+      s"$file: ${eocd.count} members exceed the listing cap " +
+        s"${ZipHeaders.MaxEntries} — a lake inventory must not " +
+        "silently truncate")
+    val cdLen = eocd.cdEnd - eocd.cdOff
+    require(cdLen >= 0 && cdLen <= maxCdBytes,
+      s"$file: central directory of $cdLen bytes exceeds cap $maxCdBytes")
+    val cd = new Array[Byte](cdLen.toInt)
+    in.readFully(eocd.cdOff, cd)
+    // walk the CD slice with relative bounds; localOff values are
+    // absolute file offsets by the format's definition
+    val out = ZipHeaders.cdEntriesIn(cd, 0L, cdLen, eocd.count).toList
+    // the walk ends silently on a malformed entry (blob-expression
+    // semantics); an inventory that lost members must abort loudly
+    require(out.size == eocd.count,
+      s"$file: central directory walk yielded ${out.size} of " +
+        s"${eocd.count} declared members — corrupt listing")
+    out
   }
 
   /**

@@ -1,0 +1,232 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import graft.functions.ArchiveCodec
+import org.apache.spark.sql.functions._
+
+/** The SQL shard surface: `graft-tar` batch ≡ TarShards.read, payload
+ *  pruning as a pushdown, the arrival-ledger micro-batch stream
+ *  (exactly-once, restart replay, throttling, quarantine), the
+ *  beyond-2GB continuous-path proof, and `graft-zip` ≡ inventory. */
+class ShardTablesSpec extends SparkSpec {
+
+  private val data1 = Array.tabulate[Byte](700)(i => (i % 251).toByte)
+  private val data2 = "sql shard member".getBytes
+
+  private def shard(ids: Seq[Int]): Array[Byte] =
+    ArchiveCodec.tar(ids.flatMap { j =>
+      Seq((f"$j%06d.jpg", Array.tabulate[Byte](j * 3 + 5)(k => (k + j).toByte)),
+        (f"$j%06d.txt", Array.tabulate[Byte](j * 2 + 1)(k => k.toByte)))
+    })
+
+  test("graft-tar batch read ≡ TarShards.read on a mixed-compression dir") {
+    val spark = this.spark
+    val dir = Files.createTempDirectory("graft_tarsql_").toString
+    Files.write(java.nio.file.Paths.get(dir, "s0.tar"), shard(Seq(1, 2)))
+    Files.write(java.nio.file.Paths.get(dir, "s1.tar.gz"),
+      ArchiveCodec.gzip(shard(Seq(3))))
+    Files.write(java.nio.file.Paths.get(dir, "s2.tar.zst"),
+      ArchiveCodec.zstd(shard(Seq(4, 5))))
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("shard"), col("member_name"), col("member_size"),
+        col("byte_off"), col("member_type"),
+        coalesce(length(col("payload")), lit(-1)).as("plen"))
+      .collect().map(_.toSeq).toSet
+    val viaSql = canon(spark.read.format("graft-tar").load(dir + "/*"))
+    val viaRdd = canon(TarShards.read(spark, dir + "/*"))
+    assert(viaSql == viaRdd)
+    assert(viaSql.size == 10)
+  }
+
+  test("payload pruning is a pushdown: unselected payload = header-only walk") {
+    val spark = this.spark
+    val dir = Files.createTempDirectory("graft_tarprune_").toString
+    Files.write(java.nio.file.Paths.get(dir, "s0.tar"), shard(Seq(1, 2, 3)))
+    val noPayload = spark.read.format("graft-tar").load(dir + "/*")
+      .select("member_name", "member_size")
+    val plan = noPayload.queryExecution.executedPlan.toString
+    assert(plan.contains("payload=false"), s"expected header-only scan in:\n$plan")
+    assert(noPayload.count() == 6)
+    val withPayload = spark.read.format("graft-tar").load(dir + "/*")
+      .select(col("member_name"), length(col("payload")))
+    assert(withPayload.queryExecution.executedPlan.toString.contains("payload=true"))
+  }
+
+  test("arrival-ledger stream: exactly-once across waves, restart replays the ledger") {
+    val spark = this.spark
+    val root = Files.createTempDirectory("graft_tarstream_").toString
+    val in = root + "/in"
+    Files.createDirectories(java.nio.file.Paths.get(in))
+    val out = root + "/out"
+    def start() = spark.readStream.format("graft-tar").load(in)
+      .filter(col("member_type") === "file")
+      .select(col("shard"), col("member_name"), col("member_size"))
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", root + "/ckpt").start()
+    val q1 = start()
+    try {
+      Files.write(java.nio.file.Paths.get(in, "w1.tar"), shard(Seq(1)))
+      q1.processAllAvailable()
+      assert(spark.read.parquet(out).count() == 2)
+      Files.write(java.nio.file.Paths.get(in, "w2.tar.gz"),
+        ArchiveCodec.gzip(shard(Seq(2, 3))))
+      q1.processAllAvailable()
+      assert(spark.read.parquet(out).count() == 6)
+    } finally q1.stop()
+    // restart on the same checkpoint: nothing replays, new arrivals flow
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      assert(spark.read.parquet(out).count() == 6) // no duplicates
+      Files.write(java.nio.file.Paths.get(in, "w3.tar"), shard(Seq(4)))
+      q2.processAllAvailable()
+      val rows = spark.read.parquet(out)
+        .select("member_name", "member_size").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(rows == Set(
+        ("000001.jpg", 8L), ("000001.txt", 3L), ("000002.jpg", 11L),
+        ("000002.txt", 5L), ("000003.jpg", 14L), ("000003.txt", 7L),
+        ("000004.jpg", 17L), ("000004.txt", 9L)))
+    } finally q2.stop()
+    // the ledger is the offset ground truth: segments exist under ckpt
+    val ledger = new java.io.File(root + "/ckpt/sources/0/graft-tar-ledger")
+    assert(!ledger.exists() || ledger.listFiles().nonEmpty,
+      "ledger dir expected under the per-source checkpoint")
+  }
+
+  test("maxFilesPerTrigger throttles admission; backlog drains over triggers") {
+    val spark = this.spark
+    val root = Files.createTempDirectory("graft_tarthrottle_").toString
+    val in = root + "/in"
+    Files.createDirectories(java.nio.file.Paths.get(in))
+    for (k <- 0 until 4)
+      Files.write(java.nio.file.Paths.get(in, s"s$k.tar"), shard(Seq(k + 1)))
+    val q = spark.readStream.format("graft-tar")
+      .option("maxFilesPerTrigger", "1").load(in)
+      .filter(col("member_type") === "file")
+      .groupBy(col("shard")).agg(count(lit(1)).as("n"))
+      .writeStream.format("memory").queryName("tar_throttle")
+      .outputMode("complete")
+      .option("checkpointLocation", root + "/ckpt").start()
+    try {
+      q.processAllAvailable()
+      // all 4 drained, one file per micro-batch
+      assert(spark.sql("SELECT count(*) FROM tar_throttle").head().getLong(0) == 4)
+      assert(q.recentProgress.count(_.numInputRows > 0) >= 4,
+        "expected at least 4 non-empty micro-batches under the throttle")
+    } finally q.stop()
+  }
+
+  test("permissive stream quarantines corrupt shards (header AND decompressor); FAILFAST poisons") {
+    val spark = this.spark
+    val root = Files.createTempDirectory("graft_tarquar_").toString
+    val in = root + "/in"
+    Files.createDirectories(java.nio.file.Paths.get(in))
+    Files.write(java.nio.file.Paths.get(in, "good.tar"), shard(Seq(1)))
+    // corrupt HEADER mid-shard: member 1 survives, member 2's checksum lies
+    val halfBad = ArchiveCodec.tar(Seq(
+      ("x/000001.txt", Array[Byte](1, 2, 3)),
+      ("x/000002.txt", Array.fill[Byte](5)(9))))
+    halfBad(1024 + 148) = (halfBad(1024 + 148) ^ 1).toByte
+    Files.write(java.nio.file.Paths.get(in, "halfbad.tar"), halfBad)
+    // corrupt DECOMPRESSOR stream: truncated gzip (IOException, the
+    // ADVICE poison-pill case) and a byte-flipped zstd frame
+    val gz = ArchiveCodec.gzip(shard(Seq(2, 3)))
+    Files.write(java.nio.file.Paths.get(in, "trunc.tar.gz"),
+      gz.take(gz.length / 2))
+    val zst = ArchiveCodec.zstd(shard(Seq(4)))
+    zst(zst.length / 2) = (zst(zst.length / 2) ^ 0x55).toByte
+    Files.write(java.nio.file.Paths.get(in, "flip.tar.zst"), zst)
+
+    val q = TarShards.readWebDatasetStream(spark, in, permissive = true)
+      .select(col("shard"), col("member_name"), col("member_size"))
+      .writeStream.format("memory").queryName("tar_quar")
+      .option("checkpointLocation", root + "/ckpt").start()
+    try {
+      q.processAllAvailable() // must not throw: corruption is quarantined
+      val rows = spark.sql("SELECT shard, member_name FROM tar_quar").collect()
+        .map(r => (r.getString(0).split('/').last, r.getString(1)))
+      // the good shard is complete; the half-bad shard kept its prefix
+      assert(rows.count(_._1 == "good.tar") == 2)
+      assert(rows.filter(_._1 == "halfbad.tar").map(_._2).toSeq ==
+        Seq("x/000001.txt"))
+      // decompressor-corrupt shards contribute only pre-corruption members
+      assert(rows.forall(r => r._1 != "flip.tar.zst" || r._2.nonEmpty))
+    } finally q.stop()
+
+    // FAILFAST twin: the corrupt shard fails the stream (poison pill)
+    val q2 = TarShards.readWebDatasetStream(spark, in)
+      .writeStream.format("memory").queryName("tar_poison")
+      .option("checkpointLocation", root + "/ckpt2").start()
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q2.processAllAvailable()
+      q2.awaitTermination(2000)
+    }
+    q2.stop()
+    assert(e != null)
+  }
+
+  test("a >2GB shard streams on the CONTINUOUS path (no whole-shard row)") {
+    val spark = this.spark
+    val root = Files.createTempDirectory("graft_tarbig_").toString
+    val in = root + "/in"
+    Files.createDirectories(java.nio.file.Paths.get(in))
+    // 22 x 100 MB members = ~2.2 GB on disk: unrepresentable as a
+    // BinaryType row (2 GB array cap), which is exactly what the old
+    // binaryFile-based stream delivered per file
+    val memberSize = 100 * 1024 * 1024
+    val n = 22
+    val big = java.nio.file.Paths.get(in, "big.tar")
+    val out = java.nio.file.Files.newOutputStream(big)
+    try {
+      val payload = new Array[Byte](1 << 20)
+      for (k <- 0 until n) {
+        out.write(ArchiveCodec.tarHeader(f"m$k%05d.bin", memberSize, '0'))
+        for (_ <- 0 until memberSize / payload.length) out.write(payload)
+      }
+      out.write(new Array[Byte](1024))
+    } finally out.close()
+    assert(java.nio.file.Files.size(big) > Int.MaxValue.toLong)
+    val q = spark.readStream.format("graft-tar")
+      .option("maxMemberBytes", memberSize.toString).load(in)
+      .filter(col("member_type") === "file")
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n"), sum(col("member_size")).as("bytes"))
+      .writeStream.format("memory").queryName("tar_big")
+      .outputMode("complete")
+      .option("checkpointLocation", root + "/ckpt").start()
+    try {
+      q.processAllAvailable()
+      val r = spark.sql("SELECT n, bytes FROM tar_big").head()
+      assert(r.getLong(0) == n.toLong)
+      assert(r.getLong(1) == n.toLong * memberSize)
+      assert(r.getLong(1) > Int.MaxValue.toLong)
+    } finally {
+      q.stop()
+      java.nio.file.Files.deleteIfExists(big)
+    }
+  }
+
+  test("graft-zip SQL inventory ≡ ZipShards.inventory") {
+    val spark = this.spark
+    val dir = Files.createTempDirectory("graft_zipsql_").toString
+    Files.write(java.nio.file.Paths.get(dir, "b0.npz"),
+      ArchiveCodec.zipStored(Seq(("arr_0.npy", data1), ("meta.txt", data2))))
+    Files.write(java.nio.file.Paths.get(dir, "b1.npz"),
+      ArchiveCodec.zipMixed(Seq(("arr_1.npy", data1, 8))))
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    val viaSql = canon(spark.read.format("graft-zip").load(dir + "/*.npz"))
+    val viaRdd = canon(ZipShards.inventory(spark, dir + "/*.npz"))
+    assert(viaSql == viaRdd)
+    assert(viaSql.size == 3)
+    // ...and the SQL rows drive the same fetch
+    val fetched = ZipShards.fetchStored(
+        spark.read.format("graft-zip").load(dir + "/*.npz")
+          .filter(col("member_name") === "arr_1.npy"))
+      .select("payload").head().getAs[Array[Byte]](0)
+    assert(java.util.Arrays.equals(fetched, data1))
+  }
+}
