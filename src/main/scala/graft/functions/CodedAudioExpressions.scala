@@ -427,13 +427,17 @@ object CodedAudioCodec {
 
   def encodeFlac(
       sampleRate: Int, channels: Int, bits: Int, totalSamples: Long,
-      leadingPaddingBlock: Boolean = false): Array[Byte] = {
+      leadingPaddingBlock: Boolean = false,
+      blockSize: Int = 4096): Array[Byte] = {
     require(sampleRate > 0 && sampleRate < (1 << 20))
     require(channels >= 1 && channels <= 8 && bits >= 1 && bits <= 32)
     require(totalSamples >= 0 && totalSamples < (1L << 36))
+    require(blockSize > 0 && blockSize <= 0xffff)
     val info = new Array[Byte](34)
-    // min/max blocksize 4096
-    info(0) = 0x10; info(1) = 0x00; info(2) = 0x10; info(3) = 0x00
+    // min/max blocksize: the stream's constant block size (real encoders
+    // record it; fixed-blocking seek math multiplies frame numbers by it)
+    info(0) = ((blockSize >> 8) & 0xff).toByte; info(1) = (blockSize & 0xff).toByte
+    info(2) = info(0); info(3) = info(1)
     // min/max framesize 0 (unknown) — bytes 4..9 stay zero
     info(10) = ((sampleRate >> 12) & 0xff).toByte
     info(11) = ((sampleRate >> 4) & 0xff).toByte

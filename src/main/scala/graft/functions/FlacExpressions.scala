@@ -252,7 +252,24 @@ object FlacPcm {
    *  (depth-normalized), or null. `maxSamples` bounds total interleaved
    *  output (OOM guard). */
   def decode(b: Array[Byte], maxSamples: Int): DecodedPcm = {
-    try decodeOrThrow(b, maxSamples)
+    try decodeOrThrow(b, maxSamples, 0L, -1L)
+    catch {
+      case _: Malformed => null
+      case _: IndexOutOfBoundsException => null
+      case _: NegativeArraySizeException => null
+    }
+  }
+
+  /** Offset-aware decode: samples [sampleOff, total) starting at the
+   *  frame whose first byte is `byteOff` — the (sample_off, byte_off) a
+   *  SEEKTABLE plan row carries ([[FlacSeek]]), so sampling the tail of
+   *  a long stream skips the full-prefix decode. The first frame's coded
+   *  number must agree with `sampleOff` (variable blocking: directly;
+   *  fixed blocking: frame number × the STREAMINFO constant block size) —
+   *  a lying seekpoint costs a null, never misplaced audio. */
+  def decodeFrom(b: Array[Byte], sampleOff: Long, byteOff: Long,
+      maxSamples: Int): DecodedPcm = {
+    try decodeOrThrow(b, maxSamples, sampleOff, byteOff)
     catch {
       case _: Malformed => null
       case _: IndexOutOfBoundsException => null
@@ -262,7 +279,28 @@ object FlacPcm {
 
   final case class DecodedPcm(sampleRate: Int, channels: Int, samples: Array[Int])
 
-  private def decodeOrThrow(b: Array[Byte], maxSamples: Int): DecodedPcm = {
+  /** STREAMINFO (min, max) block size — the fixed-blocking seek factor. */
+  private def streamBlockSizes(b: Array[Byte]): (Int, Int) = {
+    var i = 4
+    var guard = 0
+    while (i + 4 <= b.length && guard < 64) {
+      val typ = b(i) & 0x7f
+      val lastB = (b(i) & 0x80) != 0
+      val len = ((b(i + 1) & 0xff) << 16) | ((b(i + 2) & 0xff) << 8) | (b(i + 3) & 0xff)
+      if (typ == 0 && len >= 34 && i + 8 <= b.length) {
+        val p = i + 4
+        return (((b(p) & 0xff) << 8) | (b(p + 1) & 0xff),
+          ((b(p + 2) & 0xff) << 8) | (b(p + 3) & 0xff))
+      }
+      if (lastB) return (0, 0)
+      i += 4 + len
+      guard += 1
+    }
+    (0, 0)
+  }
+
+  private def decodeOrThrow(b: Array[Byte], maxSamples: Int,
+      startSample: Long, startByte: Long): DecodedPcm = {
     val meta = FlacHeaders.parse(b)
     // 8-24-bit streams normalize to the PCM16 contract: high bits kept
     // (s >> (bits-16)) for deeper sources, scaled up (s << (16-bits))
@@ -271,8 +309,10 @@ object FlacPcm {
     if (meta == null || meta.bits < 8 || meta.bits > 24) return null
     if (meta.totalSamples <= 0) return null
     if (meta.channels < 1 || meta.channels > 8) return null
+    if (startSample < 0 || startSample >= meta.totalSamples) return null
     val bits = meta.bits
-    val totalInterleaved = meta.totalSamples * meta.channels
+    val wantSamples = meta.totalSamples - startSample
+    val totalInterleaved = wantSamples * meta.channels
     if (totalInterleaved > maxSamples) return null
     // skip metadata blocks to the first frame
     var i = 4
@@ -284,21 +324,24 @@ object FlacPcm {
       i += 4 + len
       if (i > b.length) return null
     }
+    val seeked = startByte >= 0
+    if (seeked && (startByte < i || startByte >= b.length)) return null
     val out = new Array[Int](totalInterleaved.toInt)
-    var decoded = 0L // per-channel samples decoded so far
+    var decoded = 0L // per-channel samples decoded so far (from startSample)
+    var firstFrame = true
     val r = new BitReader(b)
-    r.bytePos = i
-    while (decoded < meta.totalSamples) {
+    r.bytePos = if (seeked) startByte.toInt else i
+    while (decoded < wantSamples) {
       val frameStart = r.bytePos
       if (r.bits(14) != 0x3ffe) bad() // sync
       r.bit() // reserved
-      r.bit() // blocking strategy
+      val variableBlocking = r.bit() != 0
       val bsCode = r.bits(4).toInt
       val srCode = r.bits(4).toInt
       val chCode = r.bits(4).toInt
       val ssCode = r.bits(3).toInt
       if (r.bit() != 0) bad() // reserved
-      codedNumber(r)
+      val coded = codedNumber(r)
       val blockSize = bsCode match {
         case 0 => bad()
         case 6 => r.bits(8).toInt + 1
@@ -317,7 +360,20 @@ object FlacPcm {
       r.alignToByte()
       val crc8Read = r.bits(8).toInt // the header's trailing CRC-8 byte
       if (FlacCrc.crc8(b, frameStart, r.bytePos - 1) != crc8Read) bad()
-      if (blockSize <= 0 || decoded + blockSize > meta.totalSamples) bad()
+      if (blockSize <= 0 || decoded + blockSize > wantSamples) bad()
+      if (firstFrame && seeked) {
+        // the seekpoint's sample_off must be the frame's own first
+        // sample: variable blocking codes it directly; fixed blocking
+        // codes the frame NUMBER (× the constant stream block size —
+        // verifiable only when STREAMINFO pins min == max)
+        if (variableBlocking) {
+          if (coded != startSample) bad()
+        } else {
+          val (lo, hi) = streamBlockSizes(b)
+          if (lo == hi && lo > 0 && coded * lo != startSample) bad()
+        }
+      }
+      firstFrame = false
       // channels per assignment; side channels carry one extra bit
       val (nCh, sideOf) = chCode match {
         case c if c <= 7 => (c + 1, -1)
@@ -394,6 +450,216 @@ object FlacPcm {
     if (d == null) null
     else AudioCodec.encodeWavPcm16(d.sampleRate, d.channels, d.samples)
   }
+
+  /** `flac_pcm_from` eval: the tail [sampleOff, total) decoded from a
+   *  seekpoint, as WAV-PCM16. */
+  def toWavFrom(b: Array[Byte], sampleOff: Long, byteOff: Long,
+      maxSamples: Int): Array[Byte] = {
+    val d = decodeFrom(b, sampleOff, byteOff, maxSamples)
+    if (d == null) null
+    else AudioCodec.encodeWavPcm16(d.sampleRate, d.channels, d.samples)
+  }
+}
+
+/** SEEKTABLE planning (metadata block type 3): each seekpoint names the
+ *  first sample of a frame and that frame's byte offset — the audio twin
+ *  of the MP4 stss / MKV Cues plans. Emitted byte offsets are ABSOLUTE
+ *  (first-frame offset added), ready for [[FlacPcm.decodeFrom]]. */
+object FlacSeek {
+
+  val elementType: StructType = StructType(Seq(
+    StructField("sample_off", LongType, nullable = false),
+    StructField("byte_off", LongType, nullable = false),
+    StructField("n_samples", IntegerType, nullable = false)))
+
+  /** Seekpoints as (sample_off, ABSOLUTE byte_off, n_samples): placeholder
+   *  points skipped, entries required ascending and inside the stream —
+   *  a violation ends the plan (corrupt data). Null for non-FLAC bytes or
+   *  streams WITHOUT a seektable (an empty table yields an empty array). */
+  def seekpoints(b: Array[Byte], maxPoints: Int): Array[(Long, Long, Int)] =
+    try seekpointsUnsafe(b, maxPoints)
+    catch { case _: IndexOutOfBoundsException => null }
+
+  private def seekpointsUnsafe(b: Array[Byte], maxPoints: Int): Array[(Long, Long, Int)] = {
+    if (b == null || b.length < 8) return null
+    if (b(0) != 'f' || b(1) != 'L' || b(2) != 'a' || b(3) != 'C') return null
+    var i = 4
+    var last = false
+    var table = -1L
+    var tableLen = 0L
+    while (!last) {
+      if (i + 4 > b.length) return null
+      last = (b(i) & 0x80) != 0
+      val typ = b(i) & 0x7f
+      val len = ((b(i + 1) & 0xff) << 16) | ((b(i + 2) & 0xff) << 8) | (b(i + 3) & 0xff)
+      if (typ == 3 && table < 0) { table = i + 4; tableLen = len }
+      i += 4 + len
+      if (i > b.length) return null
+    }
+    if (table < 0) return null // no seektable: planning has nothing to say
+    val firstFrame = i.toLong
+    val n = math.min(tableLen / 18, maxPoints.toLong).toInt
+    val out = new scala.collection.mutable.ArrayBuffer[(Long, Long, Int)](n)
+    var e = 0
+    var prev = -1L
+    var ok = true
+    def beU64(p: Int): Long = {
+      var v = 0L
+      var k = 0
+      while (k < 8) { v = (v << 8) | (b(p + k) & 0xffL); k += 1 }
+      v
+    }
+    while (ok && e < n) {
+      val p = (table + 18L * e).toInt
+      val sample = beU64(p)
+      if (sample == -1L) e += 1 // placeholder point: skip
+      else {
+        val off = beU64(p + 8)
+        val ns = ((b(p + 16) & 0xff) << 8) | (b(p + 17) & 0xff)
+        val abs = firstFrame + off
+        // lying tables end the plan: offsets must land inside the stream,
+        // sample numbers must ascend
+        if (sample <= prev || off < 0 || abs < firstFrame || abs >= b.length) ok = false
+        else {
+          out += ((sample, abs, ns))
+          prev = sample
+          e += 1
+        }
+      }
+    }
+    out.toArray
+  }
+
+  /** Shared eval for interpreted and generated code paths. */
+  def seekpointsArray(b: Array[Byte], maxPoints: Int)
+      : org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val pts = seekpoints(b, maxPoints)
+    if (pts == null) return null
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      pts.map[Any](p =>
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](p._1, p._2, p._3))))
+  }
+}
+
+/** `flac_seekpoints(blob, maxPoints)` →
+ *  array<struct<sample_off, byte_off, n_samples>> from the SEEKTABLE
+ *  metadata block (absolute byte offsets); null for non-FLAC bytes or
+ *  streams without a seektable. */
+case class FlacSeekpointsExpr(child: Expression, maxPoints: Int)
+    extends UnaryExpression {
+
+  require(maxPoints > 0 && maxPoints <= 1000000, "need 0 < maxPoints <= 1e6")
+
+  override def dataType: DataType =
+    ArrayType(FlacSeek.elementType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case BinaryType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case dt => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"flac_seekpoints needs a binary column, got $dt")
+    }
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) null
+    else FlacSeek.seekpointsArray(v.asInstanceOf[Array[Byte]], maxPoints)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    val cls = FlacSeek.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    ev.copy(code = code"""
+      |${c.code}
+      |org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} = null;
+      |boolean ${ev.isNull} = ${c.isNull};
+      |if (!${ev.isNull}) {
+      |  ${ev.value} = $cls.seekpointsArray(${c.value}, $maxPoints);
+      |  ${ev.isNull} = ${ev.value} == null;
+      |}
+     """.stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "flac_seekpoints"
+}
+
+object FlacSeekpointsExpr {
+  def apply(col: Column, maxPoints: Int): Column =
+    GraftShims.column(new FlacSeekpointsExpr(GraftShims.expression(col), maxPoints))
+}
+
+/** `flac_pcm_from(blob, sample_off, byte_off, maxSamples)` → WAV-PCM16 of
+ *  the samples [sample_off, total) decoded from the frame at byte_off —
+ *  the decode leg of the seektable plan ([[FlacSeek]]). The frame's own
+ *  coded number must agree with sample_off (lying seekpoints are null,
+ *  never misplaced audio). */
+case class FlacPcmFromExpr(child: Expression, sampleOff: Expression,
+    byteOff: Expression, maxSamples: Int)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+
+  require(maxSamples > 0, "maxSamples must be positive")
+
+  override def first: Expression = child
+  override def second: Expression = sampleOff
+  override def third: Expression = byteOff
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (child.dataType, sampleOff.dataType, byteOff.dataType) match {
+      case (BinaryType, LongType, LongType) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"flac_pcm_from needs (binary, bigint, bigint), got $other")
+    }
+
+  override def eval(input: InternalRow): Any = {
+    val b = child.eval(input)
+    val s = sampleOff.eval(input)
+    val o = byteOff.eval(input)
+    if (b == null || s == null || o == null) null
+    else FlacPcm.toWavFrom(b.asInstanceOf[Array[Byte]],
+      s.asInstanceOf[Long], o.asInstanceOf[Long], maxSamples)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val b = child.genCode(ctx)
+    val s = sampleOff.genCode(ctx)
+    val o = byteOff.genCode(ctx)
+    val cls = FlacPcm.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    ev.copy(code = code"""
+      |${b.code}
+      |${s.code}
+      |${o.code}
+      |byte[] ${ev.value} = null;
+      |boolean ${ev.isNull} = ${b.isNull} || ${s.isNull} || ${o.isNull};
+      |if (!${ev.isNull}) {
+      |  ${ev.value} = $cls.toWavFrom(${b.value}, ${s.value}, ${o.value}, $maxSamples);
+      |  ${ev.isNull} = ${ev.value} == null;
+      |}
+     """.stripMargin)
+  }
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): Expression =
+    copy(child = newFirst, sampleOff = newSecond, byteOff = newThird)
+
+  override def prettyName: String = "flac_pcm_from"
+}
+
+object FlacPcmFromExpr {
+  def apply(col: Column, sampleOff: Column, byteOff: Column,
+      maxSamples: Int = 1 << 25): Column =
+    GraftShims.column(new FlacPcmFromExpr(GraftShims.expression(col),
+      GraftShims.expression(sampleOff), GraftShims.expression(byteOff),
+      maxSamples))
 }
 
 /** `flac_pcm(blob, maxSamples)` → WAV-PCM16 bytes of a decoded 8-24-bit
@@ -566,7 +832,8 @@ object FlacCodec {
    */
   def encodePcm16(sampleRate: Int, channels: Int, samples: Array[Int],
       blockSize: Int = 4096, mode: String = "fixed2",
-      stereo: String = "independent", bits: Int = 16): Array[Byte] = {
+      stereo: String = "independent", bits: Int = 16,
+      seekEvery: Int = 0): Array[Byte] = {
     require(channels >= 1 && channels <= 8 && samples.length % channels == 0)
     require(FlacPcm.DepthSsCodes.contains(bits), s"unsupported depth $bits")
     // out-of-depth samples would be silently masked into a valid-CRC
@@ -576,9 +843,16 @@ object FlacCodec {
       s"samples exceed the declared $bits-bit depth")
     val nFrames = samples.length / channels
     require(nFrames > 0)
-    val header = CodedAudioCodec.encodeFlac(sampleRate, channels, bits, nFrames)
+    val header = CodedAudioCodec.encodeFlac(sampleRate, channels, bits, nFrames,
+      blockSize = blockSize)
     val out = new java.io.ByteArrayOutputStream()
     out.write(header)
+    // SEEKTABLE fixture: one point per `seekEvery` frames, byte offsets
+    // relative to the first frame (the spec's reference point). Offsets
+    // are known before frames are written because each frame's size is a
+    // pure function of its samples — write frames to a side buffer first
+    val frameBuf = new java.io.ByteArrayOutputStream()
+    val seekPts = new scala.collection.mutable.ArrayBuffer[(Long, Long, Int)]()
     var off = 0
     var frameIdx = 0L
     while (off < nFrames) {
@@ -633,10 +907,29 @@ object FlacCodec {
       val c16 = FlacCrc.crc16(frame, 0, headBytes.length + 1 + bodyBytes.length)
       frame(frame.length - 2) = (c16 >> 8).toByte
       frame(frame.length - 1) = c16.toByte
-      out.write(frame)
+      if (seekEvery > 0 && frameIdx % seekEvery == 0)
+        seekPts += ((off.toLong, frameBuf.size().toLong, n))
+      frameBuf.write(frame)
       off += n
       frameIdx += 1
     }
+    if (seekEvery > 0) {
+      // splice the SEEKTABLE between STREAMINFO and the frames: clear
+      // STREAMINFO's last-block bit, append block type 3 marked last
+      val h = out.toByteArray
+      h(4) = (h(4) & 0x7f).toByte
+      out.reset()
+      out.write(h)
+      val len = seekPts.length * 18
+      out.write(Array[Byte]((0x80 | 3).toByte,
+        ((len >> 16) & 0xff).toByte, ((len >> 8) & 0xff).toByte, (len & 0xff).toByte))
+      for ((sample, boff, n) <- seekPts) {
+        for (k <- 7 to 0 by -1) out.write(((sample >> (8 * k)) & 0xff).toInt)
+        for (k <- 7 to 0 by -1) out.write(((boff >> (8 * k)) & 0xff).toInt)
+        out.write((n >> 8) & 0xff); out.write(n & 0xff)
+      }
+    }
+    frameBuf.writeTo(out)
     out.toByteArray
   }
 }

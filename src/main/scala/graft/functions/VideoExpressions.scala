@@ -291,9 +291,17 @@ object Mp4Frames {
     child(b, stbl._1, stbl._2, "stsz").orElse(child(b, stbl._1, stbl._2, "stz2"))
       .collect { case (zs, ze) if zs + 12 <= ze => beU32(b, (zs + 8).toInt) }
 
-  private def frameCountUnsafe(b: Array[Byte]): java.lang.Long =
-    videoTracks(b).iterator.flatMap(t => sampleCount(b, t._2))
+  private def frameCountUnsafe(b: Array[Byte]): java.lang.Long = {
+    val moov = videoTracks(b).iterator.flatMap(t => sampleCount(b, t._2))
       .nextOption().map(java.lang.Long.valueOf).orNull
+    // a fragmented MP4 (DASH/CMAF) keeps moov's stbl empty and carries
+    // samples in moof fragments — fall through to the traf walk
+    if (moov != null && moov.longValue() > 0L) moov
+    else {
+      val frag = fragFrameCount(b)
+      if (frag != null) frag else moov
+    }
+  }
 
   /** One planned frame sample: index, media start time (ms), and the
    *  byte offset of its data in the container (-1 = offset tables
@@ -330,10 +338,17 @@ object Mp4Frames {
       s"need 0 < maxFrames <= 1e6 and 0 < strideMs <= 1e6")
     // fall through past video traks with stripped tables to the first
     // one that yields a plan — mirrors frameCount's track selection
-    videoTracks(b).iterator
+    val moov = videoTracks(b).iterator
       .map { case (mdia, stbl) => planForTrack(b, mdia, stbl, strideMs, maxFrames) }
       .collectFirst { case p if p != null => p }
       .orNull
+    // empty moov tables + moof fragments = a DASH/CMAF segment: plan
+    // from the traf/trun sample runs instead of zero rows
+    if (moov != null && moov.nonEmpty) moov
+    else {
+      val frag = fragSamplePlan(b, strideMs, maxFrames)
+      if (frag != null) frag else moov
+    }
   }
 
   /** Media timescale from mdhd (ver/flags(4) + times (v0: 4+4, v1: 8+8) +
@@ -425,10 +440,17 @@ object Mp4Frames {
   def keyframePlan(b: Array[Byte], maxFrames: Int): Array[PlannedSample] =
     try {
       require(maxFrames > 0 && maxFrames <= 1000000, "need 0 < maxFrames <= 1e6")
-      videoTracks(b).iterator
+      val moov = videoTracks(b).iterator
         .map { case (mdia, stbl) => keyframesForTrack(b, mdia, stbl, maxFrames) }
         .collectFirst { case p if p != null => p }
         .orNull
+      // empty moov tables + moof fragments = a DASH/CMAF segment: plan
+      // keyframes from the trun sample-flags sync bits instead
+      if (moov != null && moov.nonEmpty) moov
+      else {
+        val frag = fragKeyframePlan(b, maxFrames)
+        if (frag != null) frag else moov
+      }
     } catch { case _: IndexOutOfBoundsException => null }
 
   private def keyframesForTrack(
@@ -616,6 +638,225 @@ object Mp4Frames {
       if (off < 0 || off >= MaxTicks) -1L else off
     }
   }
+
+  // ------------------------------------------------------------------
+  // Fragmented MP4 (moof/traf/trun): DASH/CMAF segments carry their
+  // samples in movie fragments — the moov sample tables are empty, so
+  // the moov-resident folds above plan zero rows. The walk below is
+  // their traf twin: trex defaults -> tfhd overrides -> trun per-sample
+  // entries, decode times from tfdt (or the running cursor), byte
+  // offsets from base-data-offset / default-base-is-moof + trun
+  // data_offset + cumulative sizes, keyframes from the sample-flags
+  // sample_is_non_sync_sample bit (the fragment spelling of stss).
+  // ------------------------------------------------------------------
+
+  /** Lying trun sample_counts must not stall a task: the fragment walk
+   *  touches at most this many samples. */
+  private val MaxFragSamples = 1 << 20
+
+  /** One fragment-resident sample: decode start ticks, duration ticks,
+   *  payload size, ABSOLUTE byte offset (-1 = unresolvable), sync. */
+  private final case class FragSample(
+      startTicks: Long, dur: Long, size: Long, byteOff: Long, sync: Boolean)
+
+  /** (track_ID, mdia range) of every video trak — fragment planning keys
+   *  traf/tfhd track_IDs against tkhd's. */
+  private def videoTrackIds(b: Array[Byte]): List[(Long, (Long, Long))] = {
+    if (b == null || b.length < 16 || boxType(b, 0) != "ftyp") return Nil
+    val moov = child(b, 0, b.length, "moov").getOrElse(return Nil)
+    val out = List.newBuilder[(Long, (Long, Long))]
+    for ((t, ts, te) <- children(b, moov._1, moov._2) if t == "trak") {
+      val tid = child(b, ts, te, "tkhd").flatMap { case (hs, he) =>
+        (b(hs.toInt) & 0xff) match {
+          case 0 if hs + 16 <= he => Some(beU32(b, (hs + 12).toInt))
+          case 1 if hs + 24 <= he => Some(beU32(b, (hs + 20).toInt))
+          case _ => None
+        }
+      }
+      child(b, ts, te, "mdia").foreach { case (ms, me) =>
+        val isVideo = child(b, ms, me, "hdlr").exists { case (hs, he) =>
+          hs + 12 <= he && boxType(b, (hs + 4).toInt) == "vide"
+        }
+        if (isVideo && tid.isDefined) out += ((tid.get, (ms, me)))
+      }
+    }
+    out.result()
+  }
+
+  /** moov/mvex/trex defaults for `trackId`: (duration, size, flags);
+   *  zeros when absent (then tfhd/trun must supply the values). */
+  private def trexDefaults(b: Array[Byte], trackId: Long): (Long, Long, Long) = {
+    val r = for {
+      moov <- child(b, 0, b.length, "moov").iterator
+      (t, s, e) <- children(b, moov._1, moov._2) if t == "mvex"
+      (t2, ts, te) <- children(b, s, e)
+      if t2 == "trex" && ts + 24 <= te && beU32(b, (ts + 4).toInt) == trackId
+    } yield (beU32(b, (ts + 12).toInt), beU32(b, (ts + 16).toInt),
+      beU32(b, (ts + 20).toInt))
+    r.nextOption().getOrElse((0L, 0L, 0L))
+  }
+
+  /** Every fragment-resident sample of `trackId`, file order, bounded by
+   *  [[MaxFragSamples]]. Null when the file has no moof box at all (the
+   *  caller keeps the moov-resident answer); bounds violations end the
+   *  walk early (corrupt data, never an exception). */
+  private def fragSamples(b: Array[Byte], trackId: Long): Array[FragSample] = {
+    val (trexDur, trexSize, trexFlags) = trexDefaults(b, trackId)
+    var sawMoof = false
+    val out = new scala.collection.mutable.ArrayBuffer[FragSample](64)
+    var cursor = 0L // decode time continues across fragments without tfdt
+    for ((t, ms, me) <- children(b, 0, b.length) if t == "moof") {
+      sawMoof = true
+      val moofStart = ms - 8
+      for ((tt, fs, fe) <- children(b, ms, me) if tt == "traf") {
+        child(b, fs, fe, "tfhd").foreach { case (hs, he) =>
+          if (hs + 8 <= he && beU32(b, (hs + 4).toInt) == trackId) {
+            val tfFlags = beU32(b, hs.toInt) & 0xffffff
+            var p = hs + 8
+            var base = moofStart // default-base-is-moof AND the absent case
+            if ((tfFlags & 0x1) != 0 && p + 8 <= he) { base = beU64(b, p.toInt); p += 8 }
+            if ((tfFlags & 0x2) != 0) p += 4 // sample_description_index
+            var defDur = trexDur
+            var defSize = trexSize
+            var defFlags = trexFlags
+            if ((tfFlags & 0x8) != 0 && p + 4 <= he) { defDur = beU32(b, p.toInt); p += 4 }
+            if ((tfFlags & 0x10) != 0 && p + 4 <= he) { defSize = beU32(b, p.toInt); p += 4 }
+            if ((tfFlags & 0x20) != 0 && p + 4 <= he) { defFlags = beU32(b, p.toInt); p += 4 }
+            var decode = child(b, fs, fe, "tfdt") match {
+              case Some((ds, de)) =>
+                (b(ds.toInt) & 0xff) match {
+                  case 1 if ds + 12 <= de => beU64(b, (ds + 4).toInt)
+                  case 0 if ds + 8 <= de => beU32(b, (ds + 4).toInt)
+                  case _ => cursor
+                }
+              case None => cursor
+            }
+            var dataPos = -1L // unresolvable until a trun supplies data_offset
+            for ((rt, rs, re) <- children(b, fs, fe) if rt == "trun") {
+              if (rs + 8 <= re) {
+                val trFlags = beU32(b, rs.toInt) & 0xffffff
+                val count = beU32(b, (rs + 4).toInt)
+                var q = rs + 8
+                if ((trFlags & 0x1) != 0 && q + 4 <= re) {
+                  dataPos = base + beU32(b, q.toInt).toInt // s32 data_offset
+                  q += 4
+                }
+                var firstFlags = -1L
+                if ((trFlags & 0x4) != 0 && q + 4 <= re) {
+                  firstFlags = beU32(b, q.toInt); q += 4
+                }
+                val perSample = 4 * (((trFlags >> 8) & 1) + ((trFlags >> 9) & 1) +
+                  ((trFlags >> 10) & 1) + ((trFlags >> 11) & 1))
+                var i = 0L
+                var ok = true
+                while (ok && i < count && out.length < MaxFragSamples &&
+                  decode < MaxTicks) {
+                  if (q + perSample > re) ok = false // lying count: end walk
+                  else {
+                    var dur = defDur
+                    var size = defSize
+                    var sflags = if (i == 0 && firstFlags >= 0) firstFlags else defFlags
+                    if ((trFlags & 0x100) != 0) { dur = beU32(b, q.toInt); q += 4 }
+                    if ((trFlags & 0x200) != 0) { size = beU32(b, q.toInt); q += 4 }
+                    if ((trFlags & 0x400) != 0) {
+                      sflags = beU32(b, q.toInt); q += 4
+                      if (i == 0 && firstFlags >= 0) sflags = firstFlags
+                    }
+                    if ((trFlags & 0x800) != 0) q += 4 // cto: presentation, not decode
+                    out += FragSample(decode, dur, size, dataPos,
+                      (sflags & 0x10000L) == 0L)
+                    decode += dur
+                    if (dataPos >= 0) dataPos += size
+                    i += 1
+                  }
+                }
+              }
+            }
+            cursor = decode
+          }
+        }
+      }
+    }
+    if (!sawMoof) null else out.toArray
+  }
+
+  /** Keyframe plan from fragments — the traf twin of [[keyframesForTrack]]:
+   *  sync samples (sample_is_non_sync_sample clear), index/time/offset. */
+  private def fragKeyframePlan(b: Array[Byte], maxFrames: Int): Array[PlannedSample] = {
+    videoTrackIds(b).iterator.map { case (tid, mdia) =>
+      val timescale = mediaTimescale(b, mdia)
+      if (timescale <= 0) null
+      else {
+        val samples = fragSamples(b, tid)
+        if (samples == null || samples.isEmpty) null
+        else {
+          val out = new scala.collection.mutable.ArrayBuffer[PlannedSample](
+            math.min(maxFrames, 64))
+          var i = 0
+          while (i < samples.length && out.length < maxFrames) {
+            val s = samples(i)
+            if (s.sync)
+              out += PlannedSample(i, s.startTicks * 1000L / timescale, s.byteOff)
+            i += 1
+          }
+          out.toArray
+        }
+      }
+    }.collectFirst { case p if p != null => p }.orNull
+  }
+
+  /** Media-time stride plan from fragments — the traf twin of
+   *  [[planForTrack]]: for each k·strideMs boundary, the sample playing
+   *  at it, deduplicated, capped. */
+  private def fragSamplePlan(
+      b: Array[Byte], strideMs: Int, maxFrames: Int): Array[PlannedSample] = {
+    videoTrackIds(b).iterator.map { case (tid, mdia) =>
+      val timescale = mediaTimescale(b, mdia)
+      if (timescale <= 0) null
+      else {
+        val samples = fragSamples(b, tid)
+        if (samples == null || samples.isEmpty) null
+        else {
+          val out = new scala.collection.mutable.ArrayBuffer[PlannedSample](
+            math.min(maxFrames, 64))
+          var k = 0L
+          var i = 0
+          while (i < samples.length && out.length < maxFrames) {
+            val s = samples(i)
+            if (s.dur > 0) {
+              val end = s.startTicks + s.dur
+              var tk = k * strideMs * timescale / 1000L
+              if (tk < s.startTicks) {
+                // the boundary fell in a media-time GAP (tfdt jumps
+                // between DASH segments): advance to the first boundary
+                // at/after this sample's start — stts runs are gapless so
+                // the moov fold never needs this
+                k = (s.startTicks * 1000L + strideMs.toLong * timescale - 1) /
+                  (strideMs.toLong * timescale)
+                tk = k * strideMs * timescale / 1000L
+              }
+              if (tk >= s.startTicks && tk < end && tk < MaxTicks) {
+                out += PlannedSample(i, s.startTicks * 1000L / timescale, s.byteOff)
+                k = (end * 1000L + strideMs.toLong * timescale - 1) /
+                  (strideMs.toLong * timescale)
+              }
+            }
+            i += 1
+          }
+          out.toArray
+        }
+      }
+    }.collectFirst { case p if p != null => p }.orNull
+  }
+
+  /** Fragment-resident sample count of the first video track with
+   *  fragments, or null when the file has no moofs. */
+  private def fragFrameCount(b: Array[Byte]): java.lang.Long =
+    videoTrackIds(b).iterator.map { case (tid, _) =>
+      val s = fragSamples(b, tid)
+      if (s == null || s.isEmpty) null
+      else java.lang.Long.valueOf(s.length.toLong)
+    }.collectFirst { case n if n != null => n }.orNull
 }
 
 /** `video_frames(blob)` → the first video track's stsz sample count
@@ -838,7 +1079,8 @@ object Mp4Codec {
 
   def encode(timescale: Int, durationTicks: Long, width: Int, height: Int,
              nFrames: Long, tail: Array[Byte] = Array.emptyByteArray,
-             tables: SampleTables = null): Array[Byte] = {
+             tables: SampleTables = null,
+             trex: (Long, Long, Long) = null): Array[Byte] = {
     val ftyp = box("ftyp", "isom".getBytes("US-ASCII") ++ be32(0) ++
       "isom".getBytes("US-ASCII"))
     val mvhd = box("mvhd", be32(0) ++ be32(0) ++ be32(0) ++
@@ -907,7 +1149,82 @@ object Mp4Codec {
       be32(mdhdTs) ++ be32(durationTicks) ++ be32(0x55c40000L).take(4))
     val mdia = box("mdia", mdhd ++ hdlr ++ minf)
     val trak = box("trak", tkhd ++ mdia)
-    val moov = box("moov", mvhd ++ trak)
+    // mvex/trex (track 1 defaults: duration, size, flags) marks the file
+    // fragmented — samples then live in moof boxes appended as `tail`
+    val mvex =
+      if (trex == null) Array.emptyByteArray
+      else box("mvex", box("trex", be32(0) ++ be32(1) ++ be32(1) ++
+        be32(trex._1) ++ be32(trex._2) ++ be32(trex._3)))
+    val moov = box("moov", mvhd ++ trak ++ mvex)
     ftyp ++ moov ++ tail
+  }
+
+  /** One fragment fixture sample: decode duration, payload size, and the
+   *  raw sample_flags u32 (bit 16 set = non-sync). */
+  final case class FragSampleFx(duration: Long, size: Long, flags: Long)
+
+  /**
+   * A movie fragment for fMP4 fixtures: moof{mfhd(seq), traf{tfhd(track,
+   * default-base-is-moof [+ optional defaults]), tfdt(baseDecodeTime),
+   * trun(s)}} followed by the mdat holding the samples' payload bytes.
+   * Per-sample duration/size/flags fields are written only when the
+   * matching `*Present` knob is on — absent fields exercise the
+   * tfhd-default → trex-default chain. `splitTrunAt > 0` splits samples
+   * into two truns, the SECOND without a data_offset (spec rule: its
+   * data follows the previous trun's).
+   */
+  def fragment(seq: Long, trackId: Long, baseDecodeTime: Long,
+      samples: Seq[FragSampleFx],
+      durPresent: Boolean = true, sizePresent: Boolean = true,
+      flagsPresent: Boolean = true,
+      firstSampleFlags: Option[Long] = None,
+      tfhdDefaults: (Option[Long], Option[Long], Option[Long]) = (None, None, None),
+      tfdtV1: Boolean = true,
+      splitTrunAt: Int = -1): Array[Byte] = {
+    val (dDur, dSize, dFlags) = tfhdDefaults
+    var tfFlags = 0x020000L // default-base-is-moof
+    if (dDur.isDefined) tfFlags |= 0x8
+    if (dSize.isDefined) tfFlags |= 0x10
+    if (dFlags.isDefined) tfFlags |= 0x20
+    val tfhd = box("tfhd", be32(tfFlags) ++ be32(trackId) ++
+      dDur.map(be32).getOrElse(Array.emptyByteArray) ++
+      dSize.map(be32).getOrElse(Array.emptyByteArray) ++
+      dFlags.map(be32).getOrElse(Array.emptyByteArray))
+    val tfdt =
+      if (tfdtV1) box("tfdt", be32(0x01000000L) ++ be64(baseDecodeTime))
+      else box("tfdt", be32(0) ++ be32(baseDecodeTime))
+    def trun(ss: Seq[FragSampleFx], dataOff: Option[Long],
+        withFirst: Boolean): Array[Byte] = {
+      var fl = 0L
+      if (dataOff.isDefined) fl |= 0x1
+      if (withFirst) fl |= 0x4
+      if (durPresent) fl |= 0x100
+      if (sizePresent) fl |= 0x200
+      if (flagsPresent) fl |= 0x400
+      box("trun", be32(fl) ++ be32(ss.length) ++
+        dataOff.map(be32).getOrElse(Array.emptyByteArray) ++
+        (if (withFirst) be32(firstSampleFlags.get) else Array.emptyByteArray) ++
+        ss.flatMap(s =>
+          (if (durPresent) be32(s.duration) else Array.emptyByteArray) ++
+            (if (sizePresent) be32(s.size) else Array.emptyByteArray) ++
+            (if (flagsPresent) be32(s.flags) else Array.emptyByteArray)).toArray)
+    }
+    val mfhd = box("mfhd", be32(0) ++ be32(seq))
+    val (s1, s2) =
+      if (splitTrunAt > 0) samples.splitAt(splitTrunAt) else (samples, Nil)
+    def buildMoof(dataOff: Long): Array[Byte] = {
+      val t1 = trun(s1, Some(dataOff), firstSampleFlags.isDefined)
+      val t2 = if (s2.nonEmpty) trun(s2, None, withFirst = false)
+               else Array.emptyByteArray
+      box("moof", mfhd ++ box("traf", tfhd ++ tfdt ++ t1 ++ t2))
+    }
+    // trun's data_offset points at the mdat payload, relative to the moof
+    // start (default-base-is-moof): size the moof once, then patch it in
+    val moofSize = buildMoof(0).length
+    val moof = buildMoof(moofSize + 8L)
+    val payload = samples.zipWithIndex.flatMap { case (s, i) =>
+      Array.tabulate[Byte](s.size.toInt)(k => ((k + i) % 251).toByte)
+    }.toArray
+    moof ++ box("mdat", payload)
   }
 }

@@ -232,6 +232,16 @@ package object functions {
       (exprs: Seq[Expression]) => new FlacPcmExpr(exprs.head,
         intLit(exprs(1), "flac_pcm maxSamples")))
     registry.registerFunction(
+      FunctionIdentifier("flac_seekpoints"),
+      new ExpressionInfo(classOf[FlacSeekpointsExpr].getName, "flac_seekpoints"),
+      (exprs: Seq[Expression]) => new FlacSeekpointsExpr(exprs.head,
+        intLit(exprs(1), "flac_seekpoints maxPoints")))
+    registry.registerFunction(
+      FunctionIdentifier("flac_pcm_from"),
+      new ExpressionInfo(classOf[FlacPcmFromExpr].getName, "flac_pcm_from"),
+      (exprs: Seq[Expression]) => new FlacPcmFromExpr(exprs(0), exprs(1),
+        exprs(2), intLit(exprs(3), "flac_pcm_from maxSamples")))
+    registry.registerFunction(
       FunctionIdentifier("zunstd"),
       new ExpressionInfo(classOf[ZunstdExpr].getName, "zunstd"),
       (exprs: Seq[Expression]) => new ZunstdExpr(exprs.head,

@@ -3623,6 +3623,67 @@ object Battery {
         .select(col("doc_id"), col("j"), col("member_ext"), col("member_size"))
     }),
 
+    // FRAGMENTED MP4 keyframe planning (moof/traf/trun): DASH/CMAF
+    // segments keep moov's sample tables EMPTY and carry samples in
+    // movie fragments — these planned zero rows before. Two fragments
+    // per doc (tfdt bases f*100000), per-sample trun tables; the plan
+    // replays tfdt + cumulative-duration times and sync-flag selection
+    // closed-form, and the intra-fragment byte_off step between
+    // consecutive keyframes replays the cumulative size math
+    // (base-is-moof + data_offset + sizes).
+    "q253_fmp4_keyframes" -> ((s, d) => {
+      import s.implicits._
+      import graft.functions.Mp4Codec
+      import graft.functions.Mp4Codec.FragSampleFx
+      val blobs = docs(s, d).select(col("doc_id")).as[Long].map { id =>
+        val nS = (id % 4 + 2).toInt
+        val dur = 40 + (id % 3) * 10
+        val head = Mp4Codec.encode(1000, 0L, 64, 48, nFrames = 0,
+          trex = (0L, 0L, 0x10000L))
+        val frags = (0 until 2).map { f =>
+          Mp4Codec.fragment(f + 1, 1, f * 100000L,
+            (0 until nS).map(j => FragSampleFx(dur, 100 + 10L * j + id % 7,
+              if (j % 3 == 0) 0L else 0x10000L)))
+        }
+        (id, head ++ frags(0) ++ frags(1))
+      }.toDF("doc_id", "blob")
+      graft.operators.Multimodal.sampleKeyframesMp4(blobs, "blob", maxFrames = 8)
+        .withColumn("frag", floor(col("t_ms") / 100000L))
+        .withColumn("off_step", col("byte_off") - lag("byte_off", 1).over(
+          Window.partitionBy(col("doc_id"), col("frag"))
+            .orderBy(col("frame_idx"))))
+        .select(col("doc_id"), col("frame_idx"), col("t_ms"), col("off_step"))
+    }),
+
+    // FLAC SEEKTABLE planning + offset-aware decode (flac_seekpoints +
+    // flac_pcm_from): sampling the tail of a long stream must not cost a
+    // full-prefix decode — plan the seekpoints (metadata-only), seek to
+    // the LAST one, decode only [sample_off, total). The planted q248
+    // amp/-amp/0 pattern replays closed-form over exactly the tail
+    // segment, and the point count replays the frame math.
+    "q254_flac_seektable" -> ((s, d) => {
+      import s.implicits._
+      import graft.functions.FlacCodec
+      val blobs = docs(s, d).select(col("doc_id")).as[Long].map { id =>
+        val n = (id % 40 + 10).toInt
+        val amp = (id % 3000 + 100).toInt
+        val samples = Array.tabulate(n)(j =>
+          if (j % 3 == 0) amp else if (j % 3 == 1) -amp else 0)
+        (id, FlacCodec.encodePcm16(16000, 1, samples, blockSize = 16,
+          seekEvery = 2))
+      }.toDF("doc_id", "blob")
+      blobs
+        .withColumn("pts", graft.functions.FlacSeekpointsExpr(col("blob"), 64))
+        .withColumn("last", element_at(col("pts"), -1))
+        .select(col("doc_id"), size(col("pts")).as("n_points"),
+          graft.functions.AudioStats(graft.functions.FlacPcmFromExpr(
+            col("blob"), col("last.sample_off"), col("last.byte_off"),
+            1 << 20), 50).as("st"))
+        .select(col("doc_id"), col("n_points"),
+          col("st.n_samples").as("n_samples"), col("st.peak").as("peak"),
+          col("st.sum_sq").as("sum_sq"), col("st.n_silent").as("n_silent"))
+    }),
+
     // INVENTORY → SELECT → FETCH (TarShards.inventory + fetchMembers):
     // the 100 TB access pattern — list every member of every shard
     // reading ONLY headers (payloads skipped, nothing allocated), select
@@ -7310,6 +7371,33 @@ object Battery {
         |UNION ALL
         |SELECT CAST(-1 AS BIGINT) AS doc_id, CAST(1 AS BIGINT) AS j,
         |  'txt' AS member_ext, CAST(3 AS BIGINT) AS member_size""".stripMargin,
+    // syncs at j in {0, 3}: times tfdt + j*dur, offset step = the three
+    // intervening sizes (100+10k+m, k=0..2)
+    "q253_fmp4_keyframes" ->
+      """WITH p AS (SELECT doc_id, doc_id % 4 + 2 AS ns,
+        |  40 + (doc_id % 3) * 10 AS dur, doc_id % 7 AS m FROM documents)
+        |SELECT doc_id, CAST(f.f * ns + j.j AS BIGINT) AS frame_idx,
+        |  CAST(f.f * 100000 + j.j * dur AS BIGINT) AS t_ms,
+        |  CASE WHEN j.j = 3 THEN CAST(330 + 3 * m AS BIGINT)
+        |    ELSE CAST(NULL AS BIGINT) END AS off_step
+        |FROM p, range(0, 2) f(f), (VALUES (0), (3)) j(j)
+        |WHERE j.j = 0 OR ns >= 4""".stripMargin,
+    // seekpoints at even frames; the tail from the last one replays the
+    // planted amp/-amp/0 pattern over [ts, n) in closed form
+    "q254_flac_seektable" ->
+      """WITH p AS (SELECT doc_id, doc_id % 40 + 10 AS n,
+        |    doc_id % 3000 + 100 AS amp FROM documents),
+        |r AS (SELECT doc_id, n, amp, (n + 15) // 16 AS frames,
+        |    32 * (((n + 15) // 16 - 1) // 2) AS ts FROM p)
+        |SELECT doc_id,
+        |  CAST((frames + 1) // 2 AS INTEGER) AS n_points,
+        |  CAST(n - ts AS BIGINT) AS n_samples,
+        |  CAST(CASE WHEN ((n+2)//3 - (ts+2)//3) + ((n+1)//3 - (ts+1)//3) > 0
+        |    THEN amp ELSE 0 END AS BIGINT) AS peak,
+        |  CAST(amp * amp * (((n+2)//3 - (ts+2)//3) + ((n+1)//3 - (ts+1)//3))
+        |    AS BIGINT) AS sum_sq,
+        |  CAST(n//3 - ts//3 AS BIGINT) AS n_silent
+        |FROM r""".stripMargin,
     // odd-j jpg members: planted size j*3+5, fetched bytes must agree
     "q246_inventory_fetch" ->
       """SELECT d.doc_id, CAST(t.j AS BIGINT) AS j,

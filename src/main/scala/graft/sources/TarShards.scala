@@ -103,7 +103,8 @@ object TarShards {
    */
   def fetchMembers(df: DataFrame, shardCol: String = "shard",
       offCol: String = "byte_off", sizeCol: String = "member_size",
-      maxMemberBytes: Long = maxMemberBytesDefault): DataFrame = {
+      maxMemberBytes: Long = maxMemberBytesDefault,
+      saltRangeBytes: Long = 0L): DataFrame = {
     val spark = df.sparkSession
     val bc = spark.sparkContext.broadcast(
       new org.apache.spark.util.SerializableConfiguration(
@@ -117,8 +118,20 @@ object TarShards {
     val oi = base.schema.fieldIndex(offCol)
     val zi = base.schema.fieldIndex(sizeCol)
     val cap = maxMemberBytes
-    base.repartition(col(shardCol))
-      .sortWithinPartitions(col(shardCol), col(offCol))
+    // hot-shard salting: a selection concentrated in ONE giant shard
+    // serializes behind one task when keyed by shard alone; an
+    // offset-RANGE salt fans it across tasks while keeping each task's
+    // reads contiguous and offset-ordered (open-per-salt-range is the
+    // documented cost — pick ranges >= a few hundred MB). The partition
+    // count is pinned explicitly: the shuffled rows are tiny METADATA
+    // (payloads are fetched, not shuffled), so AQE would coalesce the
+    // "small" partitions back into one task and defeat the salt
+    val keyed =
+      if (saltRangeBytes > 0)
+        base.repartition(spark.sessionState.conf.numShufflePartitions,
+          col(shardCol), floor(col(offCol) / lit(saltRangeBytes)))
+      else base.repartition(col(shardCol))
+    keyed.sortWithinPartitions(col(shardCol), col(offCol))
       .mapPartitions { rows =>
         var curPath: String = null
         var in: org.apache.hadoop.fs.FSDataInputStream = null

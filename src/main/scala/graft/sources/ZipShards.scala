@@ -71,6 +71,52 @@ object ZipShards {
     spark.createDataFrame(rows, schema)
   }
 
+  /**
+   * Distributed lake listing: the driver's one `globStatus` in
+   * [[inventory]] is fine at 10^4-10^5 bundles but single-threads the
+   * planning of a 10^7-bundle lake. Here the driver only expands `path`
+   * to DIRECTORIES (one status call per dir level); each directory's
+   * archives are then listed ON EXECUTORS (the pattern Spark's own
+   * InMemoryFileIndex uses for parallel listing), re-spread to break
+   * per-directory skew, and inventoried with the same two positioned
+   * reads per archive. `leafPattern` filters file names ("*.npz").
+   */
+  def inventoryDistributed(spark: SparkSession, path: String,
+      leafPattern: String = "*"): DataFrame = {
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sessionState.newHadoopConf())
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val fs = hp.getFileSystem(conf.value)
+    val statuses = fs.globStatus(hp)
+    require(statuses != null && statuses.nonEmpty, s"no directories match $path")
+    val dirs = statuses.toSeq.filter(_.isDirectory).map(_.getPath.toString)
+    require(dirs.nonEmpty,
+      s"$path expands to no directories — use inventory() for direct file globs")
+    val bc = spark.sparkContext.broadcast(conf)
+    val leaf = leafPattern
+    val par = spark.sparkContext.defaultParallelism
+    val rows = spark.sparkContext
+      .parallelize(dirs, math.max(1, math.min(dirs.size, par)))
+      .flatMap { d =>
+        val dp = new org.apache.hadoop.fs.Path(d)
+        val dfs = dp.getFileSystem(bc.value.value)
+        val found = dfs.globStatus(new org.apache.hadoop.fs.Path(dp, leaf))
+        if (found == null) Seq.empty
+        else found.toSeq.filter(_.isFile).map(s => (s.getPath.toString, s.getLen))
+      }
+      // one giant directory must not serialize the inventory behind one
+      // task: re-spread file-level before the per-archive reads
+      .repartition(par)
+      .flatMap { case (file, len) =>
+        val p = new org.apache.hadoop.fs.Path(file)
+        val in = p.getFileSystem(bc.value.value).open(p)
+        try archiveEntries(in, file, len).map(e =>
+          Row(file, e.name, e.method, e.compSize, e.size, e.localOff))
+        finally in.close()
+      }
+    spark.createDataFrame(rows, schema)
+  }
+
   /** The per-archive seekable listing — EOCD tail window, then the
    *  central-directory slice, both positioned reads — shared by the RDD
    *  [[inventory]] and the `graft-zip` SQL table
@@ -124,7 +170,8 @@ object ZipShards {
   def fetchStored(df: DataFrame, shardCol: String = "shard",
       offCol: String = "local_off", sizeCol: String = "size",
       methodCol: String = "method", compSizeCol: String = "comp_size",
-      maxMemberBytes: Long = TarShards.maxMemberBytesDefault): DataFrame = {
+      maxMemberBytes: Long = TarShards.maxMemberBytesDefault,
+      saltRangeBytes: Long = 0L): DataFrame = {
     val spark = df.sparkSession
     val bc = spark.sparkContext.broadcast(
       new org.apache.spark.util.SerializableConfiguration(
@@ -139,8 +186,15 @@ object ZipShards {
     val mi = base.schema.fieldIndex(methodCol)
     val ci = base.schema.fieldIndex(compSizeCol)
     val cap = maxMemberBytes
-    base.repartition(col(shardCol))
-      .sortWithinPartitions(col(shardCol), col(offCol))
+    // hot-shard salting: see [[TarShards.fetchMembers]] — contiguous
+    // offset ranges fan a one-bundle selection across tasks; the count is
+    // pinned so AQE can't coalesce the tiny metadata shuffle back to one
+    val keyed =
+      if (saltRangeBytes > 0)
+        base.repartition(spark.sessionState.conf.numShufflePartitions,
+          col(shardCol), floor(col(offCol) / lit(saltRangeBytes)))
+      else base.repartition(col(shardCol))
+    keyed.sortWithinPartitions(col(shardCol), col(offCol))
       .mapPartitions { rows =>
         var curPath: String = null
         var in: org.apache.hadoop.fs.FSDataInputStream = null

@@ -161,6 +161,31 @@ class TarShardsSpec extends SparkSpec {
     assert(java.util.Arrays.equals(fetched("c.jpg"), jpg3))
   }
 
+  test("hot-shard fetch salting: one shard fans across tasks, offsets ordered per task") {
+    val spark = this.spark
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("graft_tarsalt_").toString
+    val members = (0 until 48).map(k =>
+      (f"m$k%03d.bin", Array.fill[Byte](600)((k % 100).toByte)))
+    Files.write(java.nio.file.Paths.get(dir, "hot.tar"),
+      ArchiveCodec.tar(members))
+    val inv = TarShards.inventory(spark, dir + "/*")
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("member_name"),
+        org.apache.spark.sql.functions.length(col("payload")).as("n"))
+      .collect().map(r => (r.getString(0), r.getInt(1))).toSet
+    val plain = canon(TarShards.fetchMembers(inv))
+    val salted = TarShards.fetchMembers(inv, saltRangeBytes = 8192L)
+    assert(canon(salted) == plain && plain.size == 48)
+    val perPart = salted.select(col("byte_off"))
+      .rdd.mapPartitionsWithIndex { (i, it) =>
+        Iterator.single((i, it.map(_.getLong(0)).toList))
+      }.collect().filter(_._2.nonEmpty)
+    assert(perPart.length > 1,
+      s"expected the salted fetch to span >1 task, got ${perPart.length}")
+    for ((_, offs) <- perPart) assert(offs == offs.sorted)
+  }
+
   test("readWebDatasetStream: arriving shards parse per micro-batch, exactly once") {
     val spark = this.spark
     import org.apache.spark.sql.functions.col

@@ -171,4 +171,56 @@ class ZipShardsSpec extends SparkSpec {
       e.getCause != null &&
         e.getCause.getMessage.contains("end-of-central-directory"))
   }
+
+  test("inventoryDistributed: executor-side per-dir listing ≡ driver glob, skew respread") {
+    val spark = this.spark
+    val root = Files.createTempDirectory("graft_ziplake_").toString
+    val npy = NpyCodec.encode("<i8", fortran = false, Seq(2L), 16)
+    // 5 dirs; d0 holds MOST bundles (per-dir skew), d4 holds none
+    for (d <- 0 until 5) Files.createDirectories(
+      java.nio.file.Paths.get(root, s"d$d"))
+    var k = 0
+    for (d <- 0 until 4; _ <- 0 to (if (d == 0) 9 else 1)) {
+      Files.write(java.nio.file.Paths.get(root, s"d$d", f"b$k%04d.npz"),
+        ArchiveCodec.zipStored(Seq((s"arr_$k.npy", npy))))
+      k += 1
+    }
+    // noise file the leaf pattern must exclude
+    Files.write(java.nio.file.Paths.get(root, "d1", "notes.txt"), "x".getBytes)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    val viaDriver = canon(ZipShards.inventory(spark, root + "/*/*.npz"))
+    val viaDist = canon(ZipShards.inventoryDistributed(spark, root + "/*", "*.npz"))
+    assert(viaDist == viaDriver)
+    assert(viaDist.size == k)
+    // a path expanding to FILES routes callers to inventory() instead
+    val e = intercept[IllegalArgumentException](
+      ZipShards.inventoryDistributed(spark, root + "/d0/*.npz"))
+    assert(e.getMessage.contains("no directories"))
+  }
+
+  test("hot-bundle fetch salting fans one archive across tasks, offsets ordered per task") {
+    val spark = this.spark
+    val dir = Files.createTempDirectory("graft_zipsalt_").toString
+    val members = (0 until 40).map(k =>
+      (f"m$k%03d.bin", Array.fill[Byte](500)((k % 100).toByte)))
+    Files.write(java.nio.file.Paths.get(dir, "hot.npz"),
+      ArchiveCodec.zipStored(members))
+    val inv = ZipShards.inventory(spark, dir + "/*.npz")
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("member_name"),
+        org.apache.spark.sql.functions.length(col("payload")).as("n"))
+      .collect().map(r => (r.getString(0), r.getInt(1))).toSet
+    val plain = canon(ZipShards.fetchStored(inv))
+    val salted = ZipShards.fetchStored(inv, saltRangeBytes = 4096L)
+    assert(canon(salted) == plain && plain.size == 40)
+    // >1 task carries rows, and each task's offsets are ascending
+    val perPart = salted.select(col("local_off"))
+      .rdd.mapPartitionsWithIndex { (i, it) =>
+        Iterator.single((i, it.map(_.getLong(0)).toList))
+      }.collect().filter(_._2.nonEmpty)
+    assert(perPart.length > 1,
+      s"expected the salted fetch to span >1 task, got ${perPart.length}")
+    for ((_, offs) <- perPart) assert(offs == offs.sorted)
+  }
 }
