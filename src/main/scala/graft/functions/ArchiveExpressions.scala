@@ -515,9 +515,23 @@ object ZipHeaders {
     cdEntries(b, eocd).toArray
   }
 
+  /** Absolute payload offset of `entry` resolved through its LOCAL
+   *  header (whose name/extra lengths may differ from the central
+   *  directory's); -1 when out of range or lying — ONE hardened copy
+   *  shared by the stored and deflated member paths. */
+  private def localDataOffset(b: Array[Byte], entry: Entry): Long = {
+    val lo = entry.localOff
+    if (lo < 0 || lo + 30 > b.length) return -1L
+    val i = lo.toInt
+    if (b(i) != 'P' || b(i + 1) != 'K' || b(i + 2) != 3 || b(i + 3) != 4)
+      return -1L
+    val nameLen = leU16(b, i + 26)
+    val extraLen = leU16(b, i + 28)
+    lo + 30 + nameLen + extraLen
+  }
+
   /** Exact payload slice of a STORED member (method 0), resolved through
-   *  its LOCAL header (whose name/extra lengths may differ from the
-   *  central directory's); null when absent, compressed, or lying.
+   *  its LOCAL header; null when absent, compressed, or lying.
    *  Early-exit central-directory scan — O(entries-before-match), no
    *  full-listing materialization per lookup. */
   def storedMember(b: Array[Byte], name: String): Array[Byte] = {
@@ -527,14 +541,8 @@ object ZipHeaders {
     while (it.hasNext) {
       val entry = it.next()
       if (entry.name == name && entry.method == 0) {
-        val lo = entry.localOff
-        if (lo < 0 || lo + 30 > b.length) return null
-        val i = lo.toInt
-        if (b(i) != 'P' || b(i + 1) != 'K' || b(i + 2) != 3 || b(i + 3) != 4)
-          return null
-        val nameLen = leU16(b, i + 26)
-        val extraLen = leU16(b, i + 28)
-        val data = lo + 30 + nameLen + extraLen
+        val data = localDataOffset(b, entry)
+        if (data < 0) return null
         if (data + entry.size > b.length || entry.size > Int.MaxValue) return null
         return java.util.Arrays.copyOfRange(b, data.toInt, (data + entry.size).toInt)
       }
@@ -605,14 +613,8 @@ object ZipHeaders {
       if (entry.name == name && (entry.method == 0 || entry.method == 8)) {
         if (entry.size < 0 || entry.size > maxBytes || entry.size > Int.MaxValue)
           return null
-        val lo = entry.localOff
-        if (lo < 0 || lo + 30 > b.length) return null
-        val i = lo.toInt
-        if (b(i) != 'P' || b(i + 1) != 'K' || b(i + 2) != 3 || b(i + 3) != 4)
-          return null
-        val nameLen = leU16(b, i + 26)
-        val extraLen = leU16(b, i + 28)
-        val data = lo + 30 + nameLen + extraLen
+        val data = localDataOffset(b, entry)
+        if (data < 0) return null
         if (entry.method == 0) {
           if (data + entry.size > b.length) return null
           return java.util.Arrays.copyOfRange(b, data.toInt, (data + entry.size).toInt)

@@ -262,7 +262,11 @@ object FlacHeaders {
 
   final case class FlacMeta(
       sampleRate: Int, channels: Int, bits: Int,
-      totalSamples: Long, durationMs: Long)
+      totalSamples: Long, durationMs: Long,
+      /** STREAMINFO min/max block size — min == max pins the constant
+       *  block size fixed-blocking seek math multiplies frame numbers
+       *  by; not part of the `flac_meta` SQL row. */
+      minBlock: Int = 0, maxBlock: Int = 0)
 
   def parse(b: Array[Byte]): FlacMeta = {
     if (b == null || b.length < 8) return null
@@ -289,7 +293,9 @@ object FlacHeaders {
           ((b(p + 14) & 0xffL) << 24) | ((b(p + 15) & 0xffL) << 16) |
           ((b(p + 16) & 0xffL) << 8) | (b(p + 17) & 0xffL)
         if (sr <= 0) return null
-        return FlacMeta(sr, channels, bits, total, total * 1000L / sr)
+        return FlacMeta(sr, channels, bits, total, total * 1000L / sr,
+          minBlock = ((b(p) & 0xff) << 8) | (b(p + 1) & 0xff),
+          maxBlock = ((b(p + 2) & 0xff) << 8) | (b(p + 3) & 0xff))
       }
       if (last) return null
       val step = 4L + len

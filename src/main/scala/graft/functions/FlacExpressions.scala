@@ -279,26 +279,6 @@ object FlacPcm {
 
   final case class DecodedPcm(sampleRate: Int, channels: Int, samples: Array[Int])
 
-  /** STREAMINFO (min, max) block size — the fixed-blocking seek factor. */
-  private def streamBlockSizes(b: Array[Byte]): (Int, Int) = {
-    var i = 4
-    var guard = 0
-    while (i + 4 <= b.length && guard < 64) {
-      val typ = b(i) & 0x7f
-      val lastB = (b(i) & 0x80) != 0
-      val len = ((b(i + 1) & 0xff) << 16) | ((b(i + 2) & 0xff) << 8) | (b(i + 3) & 0xff)
-      if (typ == 0 && len >= 34 && i + 8 <= b.length) {
-        val p = i + 4
-        return (((b(p) & 0xff) << 8) | (b(p + 1) & 0xff),
-          ((b(p + 2) & 0xff) << 8) | (b(p + 3) & 0xff))
-      }
-      if (lastB) return (0, 0)
-      i += 4 + len
-      guard += 1
-    }
-    (0, 0)
-  }
-
   private def decodeOrThrow(b: Array[Byte], maxSamples: Int,
       startSample: Long, startByte: Long): DecodedPcm = {
     val meta = FlacHeaders.parse(b)
@@ -368,10 +348,8 @@ object FlacPcm {
         // verifiable only when STREAMINFO pins min == max)
         if (variableBlocking) {
           if (coded != startSample) bad()
-        } else {
-          val (lo, hi) = streamBlockSizes(b)
-          if (lo == hi && lo > 0 && coded * lo != startSample) bad()
-        }
+        } else if (meta.minBlock == meta.maxBlock && meta.minBlock > 0 &&
+          coded * meta.minBlock != startSample) bad()
       }
       firstFrame = false
       // channels per assignment; side channels carry one extra bit

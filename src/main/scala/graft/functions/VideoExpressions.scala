@@ -715,6 +715,10 @@ object Mp4Frames {
             var p = hs + 8
             var base = moofStart // default-base-is-moof AND the absent case
             if ((tfFlags & 0x1) != 0 && p + 8 <= he) { base = beU64(b, p.toInt); p += 8 }
+            // a forged u64 base (bit 63 set reads negative, or a value
+            // past the offset guard) makes every offset in this traf
+            // unusable — the moov twin's SampleOffsets discipline
+            if (base < 0 || base >= MaxTicks) base = -1
             if ((tfFlags & 0x2) != 0) p += 4 // sample_description_index
             var defDur = trexDur
             var defSize = trexSize
@@ -731,6 +735,10 @@ object Mp4Frames {
                 }
               case None => cursor
             }
+            // a forged tfdt with bit 63 set reads negative and would emit
+            // negative start times past every guard: poison the cursor so
+            // the MaxTicks loop guard skips the traf as corrupt
+            if (decode < 0) decode = MaxTicks
             var dataPos = -1L // unresolvable until a trun supplies data_offset
             for ((rt, rs, re) <- children(b, fs, fe) if rt == "trun") {
               if (rs + 8 <= re) {
@@ -738,7 +746,8 @@ object Mp4Frames {
                 val count = beU32(b, (rs + 4).toInt)
                 var q = rs + 8
                 if ((trFlags & 0x1) != 0 && q + 4 <= re) {
-                  dataPos = base + beU32(b, q.toInt).toInt // s32 data_offset
+                  // s32 data_offset; a poisoned base keeps offsets at -1
+                  dataPos = if (base < 0) -1L else base + beU32(b, q.toInt).toInt
                   q += 4
                 }
                 var firstFlags = -1L
@@ -763,7 +772,10 @@ object Mp4Frames {
                       if (i == 0 && firstFlags >= 0) sflags = firstFlags
                     }
                     if ((trFlags & 0x800) != 0) q += 4 // cto: presentation, not decode
-                    out += FragSample(decode, dur, size, dataPos,
+                    // lying cumulative offsets (past the guard) surface
+                    // as -1, never as a plausible seek target
+                    val off = if (dataPos < 0 || dataPos >= MaxTicks) -1L else dataPos
+                    out += FragSample(decode, dur, size, off,
                       (sflags & 0x10000L) == 0L)
                     decode += dur
                     if (dataPos >= 0) dataPos += size

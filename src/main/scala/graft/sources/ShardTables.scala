@@ -126,6 +126,11 @@ private[sources] class TarScan(
   private val permissive = options.getBoolean("permissive", false)
   private val maxFilesPerTrigger: Option[Int] =
     Option(options.get("maxFilesPerTrigger")).map(_.toInt)
+  // the file-stream options callers relied on with the binaryFile-based
+  // path keep working: name-glob admission filter + newest-first backlog
+  private val pathGlobFilter: Option[String] =
+    Option(options.get("pathGlobFilter"))
+  private val latestFirst = options.getBoolean("latestFirst", false)
   // column pruning IS the payload pushdown: no payload column in the
   // required schema -> header-only walk, nothing allocated per member
   private val withPayload = required.fieldNames.contains("payload")
@@ -149,7 +154,7 @@ private[sources] class TarScan(
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new TarShardStream(spark, path, checkpointLocation, factory,
-      maxFilesPerTrigger)
+      maxFilesPerTrigger, pathGlobFilter, latestFirst)
 }
 
 private[sources] final case class TarShardPartition(path: String)
@@ -170,11 +175,17 @@ private[sources] class TarMemberReaderFactory(
     val path = partition.asInstanceOf[TarShardPartition].path
     new PartitionReader[InternalRow] {
       private val hp = new Path(path)
+      // FS open failures are infra errors and fail the task even under
+      // permissive — only corrupt DATA quarantines
       private val in = hp.getFileSystem(conf.value).open(hp)
-      // the reader owns the handle lifecycle (close() below); the
-      // members() task listener would double-register per micro-batch
-      private val members =
-        TarShards.members(in, path, cap, withPayload, taskCleanup = false)
+      // built lazily INSIDE the quarantine try: GZIPInputStream validates
+      // the gzip header at construction, so a corrupt header must
+      // quarantine exactly like mid-stream corruption, not poison the
+      // micro-batch from the reader constructor. taskCleanup stays on so
+      // the decompressor wrapper (zstd holds a native context) closes at
+      // task completion even when iteration stops early (LIMIT, abort) —
+      // close() below only reaches the raw FS handle
+      private var members: Iterator[TarShards.TarMember] = _
       private val fieldIdx = required.fields.map(f =>
         TarShards.schema.fieldIndex(f.name))
       private var cur: TarShards.TarMember = _
@@ -183,6 +194,8 @@ private[sources] class TarMemberReaderFactory(
       override def next(): Boolean =
         if (quarantined) false
         else try {
+          if (members == null)
+            members = TarShards.members(in, path, cap, withPayload)
           if (members.hasNext) { cur = members.next(); true } else false
         } catch {
           case scala.util.control.NonFatal(e) if permissive =>
@@ -227,29 +240,36 @@ private[sources] class TarShardStream(
     dir: String,
     checkpointLocation: String,
     factory: PartitionReaderFactory,
-    maxFilesPerTrigger: Option[Int]) extends MicroBatchStream {
+    maxFilesPerTrigger: Option[Int],
+    pathGlobFilter: Option[String] = None,
+    latestFirst: Boolean = false) extends MicroBatchStream {
 
   private case class FilesOffset(n: Long) extends Offset {
     override def json(): String = s"""{"files":$n}"""
   }
 
   private val dirPath = new Path(dir)
-  private val fs = dirPath.getFileSystem(spark.sessionState.newHadoopConf())
+  private val hadoopConf = spark.sessionState.newHadoopConf()
+  private val fs = dirPath.getFileSystem(hadoopConf)
   private val ledgerDir = new Path(new Path(checkpointLocation), "graft-tar-ledger")
+  // the input dir and the checkpoint may live on DIFFERENT filesystems
+  // (s3a lake, hdfs/file checkpoint) — ledger IO must use the ledger's
+  // own FS or Hadoop throws "Wrong FS" at the first trigger
+  private val ledgerFs = ledgerDir.getFileSystem(hadoopConf)
 
   private var files = Vector.empty[String]
   private var seen = Set.empty[String]
   replayLedger()
 
   private def replayLedger(): Unit = {
-    if (!fs.exists(ledgerDir)) return
-    val segments = fs.listStatus(ledgerDir).toSeq
+    if (!ledgerFs.exists(ledgerDir)) return
+    val segments = ledgerFs.listStatus(ledgerDir).toSeq
       .filter(s => s.isFile && !s.getPath.getName.startsWith("."))
       .sortBy(_.getPath.getName)
     for (seg <- segments) {
       val len = seg.getLen.toInt
       val buf = new Array[Byte](len)
-      val in = fs.open(seg.getPath)
+      val in = ledgerFs.open(seg.getPath)
       try in.readFully(0, buf) finally in.close()
       val admitted = new String(buf, UTF_8).split("\n").filter(_.nonEmpty).toSeq
       val start = seg.getPath.getName.toLong
@@ -262,14 +282,19 @@ private[sources] class TarShardStream(
 
   override def initialOffset(): Offset = FilesOffset(0)
 
+  private val globFilter =
+    pathGlobFilter.map(new org.apache.hadoop.fs.GlobFilter(_))
+
   override def latestOffset(): Offset = {
-    val arrivals =
+    val sorted =
       (if (fs.exists(dirPath)) fs.listStatus(dirPath).toSeq else Seq.empty)
-        .filter(s => s.isFile && !ShardFiles.hidden(s.getPath.getName))
+        .filter(s => s.isFile && !ShardFiles.hidden(s.getPath.getName) &&
+          globFilter.forall(_.accept(s.getPath)))
         .map(s => (s.getPath.toString, s.getModificationTime))
         .filter { case (p, _) => !seen.contains(p) }
         .sortBy { case (p, m) => (m, p) }
         .map(_._1)
+    val arrivals = if (latestFirst) sorted.reverse else sorted
     val admit = maxFilesPerTrigger.fold(arrivals)(n => arrivals.take(n))
     if (admit.nonEmpty) {
       appendLedger(files.size, admit)
@@ -281,13 +306,13 @@ private[sources] class TarShardStream(
 
   /** Durable, atomic ledger append: tmp + rename commit point. */
   private def appendLedger(start: Long, admitted: Seq[String]): Unit = {
-    fs.mkdirs(ledgerDir)
+    ledgerFs.mkdirs(ledgerDir)
     val tmp = new Path(ledgerDir, f".$start%020d.tmp")
-    val out = fs.create(tmp, true)
+    val out = ledgerFs.create(tmp, true)
     try admitted.foreach(f => out.write((f + "\n").getBytes(UTF_8)))
     finally out.close()
     val dst = new Path(ledgerDir, f"$start%020d")
-    require(fs.rename(tmp, dst), s"graft-tar ledger commit failed: $dst")
+    require(ledgerFs.rename(tmp, dst), s"graft-tar ledger commit failed: $dst")
   }
 
   override def deserializeOffset(json: String): Offset = {

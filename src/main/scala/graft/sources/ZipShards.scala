@@ -102,7 +102,12 @@ object ZipShards {
         val dfs = dp.getFileSystem(bc.value.value)
         val found = dfs.globStatus(new org.apache.hadoop.fs.Path(dp, leaf))
         if (found == null) Seq.empty
-        else found.toSeq.filter(_.isFile).map(s => (s.getPath.toString, s.getLen))
+        else found.toSeq
+          // Spark-written lakes carry _SUCCESS / dot-tmp markers in every
+          // dir — metadata, not archives (the ShardFiles.hidden rule)
+          .filter(s => s.isFile && !s.getPath.getName.startsWith(".") &&
+            !s.getPath.getName.startsWith("_"))
+          .map(s => (s.getPath.toString, s.getLen))
       }
       // one giant directory must not serialize the inventory behind one
       // task: re-spread file-level before the per-archive reads

@@ -129,6 +129,18 @@ class Mp4FragmentSpec extends SparkSpec {
       Mp4Frames.samplePlan(m, 40, 5)
       Mp4Frames.frameCount(m)
     }
+    // a forged v1 tfdt with bit 63 set must not emit negative times or
+    // plausible offsets — the traf is corrupt data, planned as empty
+    val forged = good.clone()
+    var td = -1
+    for (i <- 0 until forged.length - 4 if td < 0)
+      if (forged(i) == 't' && forged(i + 1) == 'f' && forged(i + 2) == 'd' &&
+        forged(i + 3) == 't') td = i
+    assert(td > 0)
+    forged(td + 8) = 0xf0.toByte // first byte of the u64 baseMediaDecodeTime
+    val fk = Mp4Frames.keyframePlan(forged, 10)
+    assert(fk == null || fk.forall(p => p.tMs >= 0))
+    assert(fk == null || fk.isEmpty)
     // a lying trun sample_count ends the walk instead of stalling
     val lying = good.clone()
     // find the trun and inflate its count field

@@ -117,6 +117,20 @@ class ShardTablesSpec extends SparkSpec {
       assert(q.recentProgress.count(_.numInputRows > 0) >= 4,
         "expected at least 4 non-empty micro-batches under the throttle")
     } finally q.stop()
+    // pathGlobFilter keeps working from the binaryFile days: a README in
+    // the landing dir must not be parsed as a shard
+    Files.write(java.nio.file.Paths.get(in, "README.md"), "notes".getBytes)
+    val q2 = spark.readStream.format("graft-tar")
+      .option("pathGlobFilter", "*.tar").load(in)
+      .filter(col("member_type") === "file")
+      .groupBy(col("shard")).agg(count(lit(1)).as("n"))
+      .writeStream.format("memory").queryName("tar_glob")
+      .outputMode("complete")
+      .option("checkpointLocation", root + "/ckpt2").start()
+    try {
+      q2.processAllAvailable() // would FAILFAST-poison if README ingested
+      assert(spark.sql("SELECT count(*) FROM tar_glob").head().getLong(0) == 4)
+    } finally q2.stop()
   }
 
   test("permissive stream quarantines corrupt shards (header AND decompressor); FAILFAST poisons") {
@@ -139,6 +153,11 @@ class ShardTablesSpec extends SparkSpec {
     val zst = ArchiveCodec.zstd(shard(Seq(4)))
     zst(zst.length / 2) = (zst(zst.length / 2) ^ 0x55).toByte
     Files.write(java.nio.file.Paths.get(in, "flip.tar.zst"), zst)
+    // corrupt gzip HEADER: GZIPInputStream validates it at CONSTRUCTION,
+    // so this throws before the first member — must quarantine too
+    val hdrBad = ArchiveCodec.gzip(shard(Seq(5)))
+    hdrBad(2) = 0x07 // unsupported compression method
+    Files.write(java.nio.file.Paths.get(in, "hdrbad.tar.gz"), hdrBad)
 
     val q = TarShards.readWebDatasetStream(spark, in, permissive = true)
       .select(col("shard"), col("member_name"), col("member_size"))
@@ -154,6 +173,9 @@ class ShardTablesSpec extends SparkSpec {
         Seq("x/000001.txt"))
       // decompressor-corrupt shards contribute only pre-corruption members
       assert(rows.forall(r => r._1 != "flip.tar.zst" || r._2.nonEmpty))
+      // the header-corrupt gzip shard contributes nothing but did not
+      // poison the stream (the constructor-time quarantine)
+      assert(!rows.exists(_._1 == "hdrbad.tar.gz"))
     } finally q.stop()
 
     // FAILFAST twin: the corrupt shard fails the stream (poison pill)

@@ -185,14 +185,20 @@ class ZipShardsSpec extends SparkSpec {
         ArchiveCodec.zipStored(Seq((s"arr_$k.npy", npy))))
       k += 1
     }
-    // noise file the leaf pattern must exclude
+    // noise file the leaf pattern must exclude, and a Spark job marker
+    // the hidden-file rule must exclude even under leafPattern "*"
     Files.write(java.nio.file.Paths.get(root, "d1", "notes.txt"), "x".getBytes)
+    Files.write(java.nio.file.Paths.get(root, "d0", "_SUCCESS"),
+      Array.emptyByteArray)
     def canon(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(_.toSeq).toSet
     val viaDriver = canon(ZipShards.inventory(spark, root + "/*/*.npz"))
     val viaDist = canon(ZipShards.inventoryDistributed(spark, root + "/*", "*.npz"))
     assert(viaDist == viaDriver)
     assert(viaDist.size == k)
+    // d0 holds npz bundles + _SUCCESS: the marker is filtered, not parsed
+    val d0 = canon(ZipShards.inventoryDistributed(spark, root + "/d0", "*"))
+    assert(d0 == canon(ZipShards.inventory(spark, root + "/d0/*.npz")))
     // a path expanding to FILES routes callers to inventory() instead
     val e = intercept[IllegalArgumentException](
       ZipShards.inventoryDistributed(spark, root + "/d0/*.npz"))
