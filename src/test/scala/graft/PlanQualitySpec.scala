@@ -890,6 +890,20 @@ class PlanQualitySpec extends SparkSpec {
     assert(df.collect().forall(r => (1 to 15).forall(r.isNullAt)))
   }
 
+  test("round-18 zip/FLAC-seek expressions stay in codegen, zero exchanges") {
+    val blob = col("text").cast("binary")
+    val df = graft.tables.Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        graft.functions.ZipMemberExpr(blob, lit("arr_0.npy"), 1 << 20).as("zm"),
+        graft.functions.FlacSeekpointsExpr(blob, 64).as("sp"),
+        graft.functions.FlacPcmFromExpr(blob, lit(0L), lit(0L), 1 << 20).as("pf"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert("""\*\(\d+\) Project""".r.findFirstIn(plan).isDefined,
+      s"projection fell out of whole-stage codegen:\n$plan")
+    assert(!plan.contains("Exchange"), s"a per-row projection must not shuffle:\n$plan")
+    assert(df.collect().forall(r => (1 to 3).forall(r.isNullAt)))
+  }
+
   test("hamming LSH mining decodes blobs once and mines distinct hashes only") {
     import spark.implicits._
     val blobs = (1L to 50L).map { i =>
