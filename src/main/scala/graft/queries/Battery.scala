@@ -3567,6 +3567,61 @@ object Battery {
           col("__m.data_bytes").as("data_bytes"))
     }),
 
+    // STREAMING NPZ-LAKE inventory (graft-zip arrival-ledger source):
+    // bundles land in two waves — wave 0 stored, wave 1 DEFLATED — and
+    // each micro-batch inventories only the new arrivals (two positioned
+    // reads per bundle, zero payload bytes on the stream). The
+    // accumulated inventory then drives fetchStored (slicing stored
+    // members, inflating deflated ones) and npy_meta replays the planted
+    // shapes: the q249 closed form re-derived through continuous ingest.
+    "q255_npz_stream_inventory" -> ((s, d) => {
+      import s.implicits._
+      import graft.functions.{ArchiveCodec, NpyCodec}
+      val root = java.nio.file.Files.createTempDirectory("graft_npzs_").toString
+      val in = root + "/in"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+      def writeWave(wave: Int): Unit = {
+        val members = docs(s, d).select(col("doc_id")).as[Long]
+          .filter(col("doc_id") % 2 === wave)
+          .map { id =>
+            val n = id % 7 + 1
+            ((id / 2) % 32, id,
+              NpyCodec.encode("<i8", fortran = false, Seq(n), (n * 8).toInt),
+              Array.fill[Byte]((id % 20 + 1).toInt)('t'))
+          }
+        members.groupByKey(_._1).mapGroups { (sid, it) =>
+          val ms = it.toSeq.sortBy(_._2).flatMap { case (_, id, npy, txt) =>
+            Seq((s"d$id.npy", npy, if (wave == 1) 8 else 0),
+              (s"d$id.txt", txt, 0))
+          }
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(in, f"w$wave%d-$sid%05d.npz"),
+            ArchiveCodec.zipMixed(ms))
+          sid
+        }.count()
+        ()
+      }
+      val out = root + "/out"
+      val q = graft.sources.ZipShards.inventoryStream(s, in)
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", root + "/ckpt").start()
+      try {
+        writeWave(0)
+        q.processAllAvailable()
+        writeWave(1)
+        q.processAllAvailable()
+      } finally q.stop()
+      val inv = s.read.parquet(out)
+      graft.sources.ZipShards.fetchStored(
+          inv.filter(col("member_name").endsWith(".npy")))
+        .withColumn("doc_id",
+          regexp_extract(col("member_name"), "^d(\\d+)\\.npy$", 1).cast("long"))
+        .withColumn("__m", graft.functions.NpyMetaExpr(col("payload")))
+        .select(col("doc_id"), col("method"),
+          col("__m.n_elems").as("n_elems"),
+          col("__m.data_bytes").as("data_bytes"))
+    }),
+
     // SQL shard surface (spark.read.format("graft-tar")): the WebDataset
     // lake as a pure-SQL table — and because the query never selects
     // `payload`, column pruning pushes the HEADER-ONLY walk into the
@@ -7353,6 +7408,14 @@ object Battery {
         |  CAST(d.doc_id % 7 + 1 AS BIGINT) AS n_elems,
         |  CAST((d.doc_id % 7 + 1) * 8 AS BIGINT) AS data_bytes
         |FROM documents d, (VALUES ('blob'), ('fetch')) v(via)""".stripMargin,
+    // wave parity picks the method (0 stored / 8 deflated); the fetched
+    // npy headers replay the planted shapes either way
+    "q255_npz_stream_inventory" ->
+      """SELECT doc_id,
+        |  CAST(CASE WHEN doc_id % 2 = 1 THEN 8 ELSE 0 END AS INTEGER) AS method,
+        |  CAST(doc_id % 7 + 1 AS BIGINT) AS n_elems,
+        |  CAST((doc_id % 7 + 1) * 8 AS BIGINT) AS data_bytes
+        |FROM documents""".stripMargin,
     // header-only member math per doc: 2 members per j, sizes 3j+5 + 2j+1
     "q251_tar_sql_lake" ->
       """SELECT d.doc_id, CAST(COUNT(*) * 2 AS BIGINT) AS n_members,

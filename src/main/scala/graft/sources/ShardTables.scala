@@ -153,7 +153,8 @@ private[sources] class TarScan(
   }
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new TarShardStream(spark, path, checkpointLocation, factory,
+    new ArrivalLedgerStream(spark, path, checkpointLocation, "graft-tar",
+      factory, (p, _) => TarShardPartition(p),
       maxFilesPerTrigger, pathGlobFilter, latestFirst)
 }
 
@@ -235,11 +236,13 @@ private[sources] class TarMemberReaderFactory(
  * resolve a replayed range; admission order is (modificationTime, path)
  * and is frozen by the ledger, never re-derived from the directory.
  */
-private[sources] class TarShardStream(
+private[sources] class ArrivalLedgerStream(
     spark: SparkSession,
     dir: String,
     checkpointLocation: String,
+    name: String,
     factory: PartitionReaderFactory,
+    partitionOf: (String, Long) => InputPartition,
     maxFilesPerTrigger: Option[Int],
     pathGlobFilter: Option[String] = None,
     latestFirst: Boolean = false) extends MicroBatchStream {
@@ -251,13 +254,16 @@ private[sources] class TarShardStream(
   private val dirPath = new Path(dir)
   private val hadoopConf = spark.sessionState.newHadoopConf()
   private val fs = dirPath.getFileSystem(hadoopConf)
-  private val ledgerDir = new Path(new Path(checkpointLocation), "graft-tar-ledger")
+  private val ledgerDir = new Path(new Path(checkpointLocation), s"$name-ledger")
   // the input dir and the checkpoint may live on DIFFERENT filesystems
   // (s3a lake, hdfs/file checkpoint) — ledger IO must use the ledger's
   // own FS or Hadoop throws "Wrong FS" at the first trigger
   private val ledgerFs = ledgerDir.getFileSystem(hadoopConf)
 
-  private var files = Vector.empty[String]
+  // ledger lines are "<length>\t<path>": the length is frozen at
+  // admission so replays plan the exact bytes that were admitted even if
+  // a file is later appended to
+  private var files = Vector.empty[(String, Long)]
   private var seen = Set.empty[String]
   replayLedger()
 
@@ -272,11 +278,16 @@ private[sources] class TarShardStream(
       val in = ledgerFs.open(seg.getPath)
       try in.readFully(0, buf) finally in.close()
       val admitted = new String(buf, UTF_8).split("\n").filter(_.nonEmpty).toSeq
+        .map { line =>
+          val tab = line.indexOf('\t')
+          require(tab > 0, s"$name ledger line without a length: $line")
+          (line.substring(tab + 1), line.substring(0, tab).toLong)
+        }
       val start = seg.getPath.getName.toLong
       require(start == files.size,
-        s"graft-tar ledger gap: segment $start but ${files.size} files replayed")
+        s"$name ledger gap: segment $start but ${files.size} files replayed")
       files ++= admitted
-      seen ++= admitted
+      seen ++= admitted.map(_._1)
     }
   }
 
@@ -290,34 +301,35 @@ private[sources] class TarShardStream(
       (if (fs.exists(dirPath)) fs.listStatus(dirPath).toSeq else Seq.empty)
         .filter(s => s.isFile && !ShardFiles.hidden(s.getPath.getName) &&
           globFilter.forall(_.accept(s.getPath)))
-        .map(s => (s.getPath.toString, s.getModificationTime))
-        .filter { case (p, _) => !seen.contains(p) }
-        .sortBy { case (p, m) => (m, p) }
-        .map(_._1)
+        .map(s => (s.getPath.toString, s.getLen, s.getModificationTime))
+        .filter { case (p, _, _) => !seen.contains(p) }
+        .sortBy { case (p, _, m) => (m, p) }
+        .map { case (p, l, _) => (p, l) }
     val arrivals = if (latestFirst) sorted.reverse else sorted
     val admit = maxFilesPerTrigger.fold(arrivals)(n => arrivals.take(n))
     if (admit.nonEmpty) {
       appendLedger(files.size, admit)
       files ++= admit
-      seen ++= admit
+      seen ++= admit.map(_._1)
     }
     FilesOffset(files.size)
   }
 
   /** Durable, atomic ledger append: tmp + rename commit point. */
-  private def appendLedger(start: Long, admitted: Seq[String]): Unit = {
+  private def appendLedger(start: Long, admitted: Seq[(String, Long)]): Unit = {
     ledgerFs.mkdirs(ledgerDir)
     val tmp = new Path(ledgerDir, f".$start%020d.tmp")
     val out = ledgerFs.create(tmp, true)
-    try admitted.foreach(f => out.write((f + "\n").getBytes(UTF_8)))
-    finally out.close()
+    try admitted.foreach { case (p, l) =>
+      out.write(s"$l\t$p\n".getBytes(UTF_8))
+    } finally out.close()
     val dst = new Path(ledgerDir, f"$start%020d")
-    require(ledgerFs.rename(tmp, dst), s"graft-tar ledger commit failed: $dst")
+    require(ledgerFs.rename(tmp, dst), s"$name ledger commit failed: $dst")
   }
 
   override def deserializeOffset(json: String): Offset = {
     val m = """"files"\s*:\s*(\d+)""".r.findFirstMatchIn(json)
-    require(m.isDefined, s"bad graft-tar offset: $json")
+    require(m.isDefined, s"bad $name offset: $json")
     FilesOffset(m.get.group(1).toLong)
   }
 
@@ -325,9 +337,10 @@ private[sources] class TarShardStream(
     val from = start.asInstanceOf[FilesOffset].n.toInt
     val to = end.asInstanceOf[FilesOffset].n.toInt
     require(to <= files.size,
-      s"graft-tar offset $to beyond the arrival ledger (${files.size} files) — " +
+      s"$name offset $to beyond the arrival ledger (${files.size} files) — " +
         "checkpoint and ledger disagree; was the checkpoint directory pruned?")
-    files.slice(from, to).map(TarShardPartition(_): InputPartition).toArray
+    files.slice(from, to)
+      .map { case (p, l) => partitionOf(p, l) }.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory = factory
@@ -360,11 +373,12 @@ private[sources] class ZipShardTable(path: String) extends Table with SupportsRe
   override def name(): String = s"graft-zip.`$path`"
   override def schema(): StructType = ZipShards.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder with Scan with Batch {
       private def spark = SparkSession.active
+      private val permissive = options.getBoolean("permissive", false)
       override def build(): Scan = this
       override def readSchema(): StructType = ZipShards.schema
       override def description(): String = s"graft-zip $path (EOCD+CD positioned reads)"
@@ -374,28 +388,57 @@ private[sources] class ZipShardTable(path: String) extends Table with SupportsRe
           .map(f => ZipArchivePartition(f._1, f._2): InputPartition).toArray
       override def createReaderFactory(): PartitionReaderFactory =
         new ZipInventoryReaderFactory(
-          new SerializableConfiguration(spark.sessionState.newHadoopConf()))
+          new SerializableConfiguration(spark.sessionState.newHadoopConf()),
+          permissive)
+      // CONTINUOUS npz-lake ingest: each micro-batch is the INVENTORY of
+      // newly-arrived bundles (two positioned reads per archive) under
+      // the same arrival-ledger offsets as graft-tar — feed the rows into
+      // ZipShards.fetchStored for the members a selection keeps
+      override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+        new ArrivalLedgerStream(spark, path, checkpointLocation, "graft-zip",
+          new ZipInventoryReaderFactory(
+            new SerializableConfiguration(spark.sessionState.newHadoopConf()),
+            permissive),
+          (p, l) => ZipArchivePartition(p, l),
+          Option(options.get("maxFilesPerTrigger")).map(_.toInt),
+          Option(options.get("pathGlobFilter")),
+          options.getBoolean("latestFirst", false))
     }
 }
 
 private[sources] final case class ZipArchivePartition(path: String, len: Long)
     extends InputPartition
 
-private[sources] class ZipInventoryReaderFactory(conf: SerializableConfiguration)
+/** Per-archive inventory read; `permissive` quarantines a corrupt
+ *  archive (inventory is all-or-nothing per bundle: a truncated CD must
+ *  not surface a partial listing, so the WHOLE archive drops, logged). */
+private[sources] class ZipInventoryReaderFactory(
+    conf: SerializableConfiguration, permissive: Boolean = false)
     extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[ZipArchivePartition]
     new PartitionReader[InternalRow] {
-      private val rows = {
-        val hp = new Path(p.path)
-        val in = hp.getFileSystem(conf.value).open(hp)
-        try ZipShards.archiveEntries(in, p.path, p.len).iterator
-        finally in.close()
-      }
+      private var rows: Iterator[graft.functions.ZipHeaders.Entry] = _
+      private var quarantined = false
       private var cur: graft.functions.ZipHeaders.Entry = _
       override def next(): Boolean =
-        if (rows.hasNext) { cur = rows.next(); true } else false
+        if (quarantined) false
+        else try {
+          if (rows == null) {
+            val hp = new Path(p.path)
+            val in = hp.getFileSystem(conf.value).open(hp)
+            rows = try ZipShards.archiveEntries(in, p.path, p.len).iterator
+                   finally in.close()
+          }
+          if (rows.hasNext) { cur = rows.next(); true } else false
+        } catch {
+          case scala.util.control.NonFatal(e) if permissive =>
+            System.err.println(
+              s"[graft] quarantined corrupt archive (${p.path}): ${e.getMessage}")
+            quarantined = true
+            false
+        }
       override def get(): InternalRow = new GenericInternalRow(Array[Any](
         UTF8String.fromString(p.path), UTF8String.fromString(cur.name),
         cur.method, cur.compSize, cur.size, cur.localOff))

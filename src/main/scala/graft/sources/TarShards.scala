@@ -187,7 +187,7 @@ object TarShards {
    * directory where WebDataset shards land (the continuous-ingest
    * deployment — new `.tar[.gz|.zst]` files arrive, each micro-batch
    * parses the new arrivals into member rows with sample keys). Rides
-   * the `graft-tar` DSv2 source ([[TarShardStream]]): the offset ledger
+   * the `graft-tar` DSv2 source ([[ArrivalLedgerStream]]): the offset ledger
    * is the arrival-file list (durable under the checkpoint, the
    * [[GraftCdfStream]] version=offset pattern), so file tracking is
    * exactly-once and replays plan the exact same shards — and each shard

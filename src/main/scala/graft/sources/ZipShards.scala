@@ -72,6 +72,24 @@ object ZipShards {
   }
 
   /**
+   * STRUCTURED STREAMING npz-lake arrival: each micro-batch is the
+   * INVENTORY of newly-landed bundles — the `graft-zip` arrival-ledger
+   * source (exactly-once admission, `maxFilesPerTrigger` /
+   * `pathGlobFilter` / `latestFirst` options, the same offset machinery
+   * as the tar shard stream). Two positioned reads per bundle, payload
+   * bytes never move; pair with [[fetchStored]] in a foreachBatch for
+   * the members a selection keeps. `permissive = true` quarantines a
+   * corrupt bundle WHOLE (a truncated central directory must not surface
+   * a partial listing) instead of poisoning the stream.
+   */
+  def inventoryStream(spark: SparkSession, dir: String,
+      options: Map[String, String] = Map.empty,
+      permissive: Boolean = false): DataFrame =
+    spark.readStream.format("graft-zip").options(options)
+      .option("permissive", permissive.toString)
+      .load(dir)
+
+  /**
    * Distributed lake listing: the driver's one `globStatus` in
    * [[inventory]] is fine at 10^4-10^5 bundles but single-threads the
    * planning of a 10^7-bundle lake. Here the driver only expands `path`

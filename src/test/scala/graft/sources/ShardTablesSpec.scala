@@ -231,6 +231,47 @@ class ShardTablesSpec extends SparkSpec {
     }
   }
 
+  test("graft-zip arrival stream: per-batch inventory, exactly-once, whole-archive quarantine") {
+    val spark = this.spark
+    val root = Files.createTempDirectory("graft_zipstream_").toString
+    val in = root + "/in"
+    Files.createDirectories(java.nio.file.Paths.get(in))
+    val q = ZipShards.inventoryStream(spark, in, permissive = true)
+      .writeStream.format("memory").queryName("zip_stream")
+      .option("checkpointLocation", root + "/ckpt").start()
+    try {
+      Files.write(java.nio.file.Paths.get(in, "b0.npz"),
+        ArchiveCodec.zipStored(Seq(("arr_0.npy", data1), ("meta.txt", data2))))
+      q.processAllAvailable()
+      assert(spark.sql("SELECT count(*) FROM zip_stream").head().getLong(0) == 2)
+      // wave 2: a good deflated bundle + a corrupt one (quarantined WHOLE)
+      Files.write(java.nio.file.Paths.get(in, "b1.npz"),
+        ArchiveCodec.zipMixed(Seq(("arr_1.npy", data1, 8))))
+      Files.write(java.nio.file.Paths.get(in, "junk.npz"),
+        "not a zip archive at all, definitely".getBytes)
+      q.processAllAvailable() // permissive: must not throw
+      val names = spark.sql("SELECT shard, member_name FROM zip_stream").collect()
+        .map(r => (r.getString(0).split('/').last, r.getString(1))).toSet
+      assert(names == Set(("b0.npz", "arr_0.npy"), ("b0.npz", "meta.txt"),
+        ("b1.npz", "arr_1.npy")))
+    } finally q.stop()
+    // the streamed inventory rows drive the same fetch as the batch rows
+    val inv = spark.read.format("graft-zip").load(in + "/b1.npz")
+    val fetched = ZipShards.fetchStored(inv).select("payload").head()
+      .getAs[Array[Byte]](0)
+    assert(java.util.Arrays.equals(fetched, data1))
+    // FAILFAST twin: the corrupt bundle poisons the stream
+    val q2 = ZipShards.inventoryStream(spark, in)
+      .writeStream.format("memory").queryName("zip_poison")
+      .option("checkpointLocation", root + "/ckpt2").start()
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q2.processAllAvailable()
+      q2.awaitTermination(2000)
+    }
+    q2.stop()
+    assert(e != null)
+  }
+
   test("graft-zip SQL inventory ≡ ZipShards.inventory") {
     val spark = this.spark
     val dir = Files.createTempDirectory("graft_zipsql_").toString
