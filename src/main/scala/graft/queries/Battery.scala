@@ -3567,6 +3567,40 @@ object Battery {
           col("__m.data_bytes").as("data_bytes"))
     }),
 
+    // WEBDATASET EXPORT (TarShards.writeShards): the WRITE leg of the
+    // curation loop — member rows become size-capped tar shards with
+    // sample integrity (one shuffle by sample key, bins roll only at
+    // sample boundaries), and reading the written lake back replays the
+    // planted member math exactly: export → ingest is the identity, and
+    // n_shards = 1 per sample pins the no-split rule.
+    "q256_wds_export" -> ((s, d) => {
+      import s.implicits._
+      val dir = java.nio.file.Files.createTempDirectory("graft_wdsw_")
+        .toString + "/out"
+      val members = docs(s, d).select(col("doc_id")).as[Long].flatMap { id =>
+        (1 to (id % 4 + 1).toInt).flatMap { j =>
+          val key = f"d$id%d/$j%06d"
+          Seq((key, s"$key.jpg",
+            Array.tabulate[Byte](j * 3 + 5)(k => (k + j).toByte)),
+            (key, s"$key.txt", Array.tabulate[Byte](j * 2 + 1)(k => k.toByte)))
+        }
+      }.toDF("sample_key", "member_name", "payload")
+      // 1 MB target: pack many samples per shard — binaryFiles floors
+      // split cost at openCostInBytes, so a tiny-shard fixture would
+      // measure listing overhead, not the export (the q242 lesson)
+      graft.sources.TarShards.writeShards(members, dir,
+        targetShardBytes = 1 << 20, shardPartitions = 16).count()
+      graft.sources.TarShards.readWebDataset(s, dir + "/*")
+        .withColumn("doc_id",
+          regexp_extract(col("sample_key"), "^d(\\d+)/", 1).cast("long"))
+        .withColumn("j",
+          regexp_extract(col("sample_key"), "/0*(\\d+)$", 1).cast("long"))
+        .groupBy(col("doc_id"), col("j"))
+        .agg(count(lit(1)).as("n_members"),
+          sum(col("member_size")).as("total_bytes"),
+          countDistinct(col("shard")).as("n_shards"))
+    }),
+
     // STREAMING NPZ-LAKE inventory (graft-zip arrival-ledger source):
     // bundles land in two waves — wave 0 stored, wave 1 DEFLATED — and
     // each micro-batch inventories only the new arrivals (two positioned
@@ -7408,6 +7442,15 @@ object Battery {
         |  CAST(d.doc_id % 7 + 1 AS BIGINT) AS n_elems,
         |  CAST((d.doc_id % 7 + 1) * 8 AS BIGINT) AS data_bytes
         |FROM documents d, (VALUES ('blob'), ('fetch')) v(via)""".stripMargin,
+    // export -> ingest identity: the planted member math comes back, and
+    // every sample lives in exactly one written shard
+    "q256_wds_export" ->
+      """SELECT d.doc_id, CAST(t.j AS BIGINT) AS j,
+        |  CAST(2 AS BIGINT) AS n_members,
+        |  CAST(t.j * 5 + 6 AS BIGINT) AS total_bytes,
+        |  CAST(1 AS BIGINT) AS n_shards
+        |FROM documents d, range(1, 5) t(j)
+        |WHERE t.j <= d.doc_id % 4 + 1""".stripMargin,
     // wave parity picks the method (0 stored / 8 deflated); the fetched
     // npy headers replay the planted shapes either way
     "q255_npz_stream_inventory" ->

@@ -221,6 +221,109 @@ object TarShards {
       .withColumn("member_ext", regexp_extract(col("member_name"),
         graft.operators.Multimodal.MemberExtRegex, 1))
 
+  val manifestSchema: StructType = StructType(Seq(
+    StructField("shard", StringType, nullable = false),
+    StructField("n_members", LongType, nullable = false),
+    StructField("n_samples", LongType, nullable = false),
+    StructField("bytes", LongType, nullable = false)))
+
+  /**
+   * WebDataset shard EXPORT — the write leg of the curation loop
+   * (ingest → dedup/filter/sample → write the kept samples back as
+   * size-capped `.tar` shards a training loader streams sequentially):
+   *
+   *  - **Sample integrity**: rows sharing `keyCol` are one training
+   *    sample and NEVER split across shards — binning happens at sample
+   *    boundaries only (WebDataset's grouping rule). A shard closes at
+   *    the first sample boundary after `targetShardBytes`, so files run
+   *    at most one sample past the target.
+   *  - **One shuffle**: hash-repartition by sample key (`shardPartitions`
+   *    tasks — size it so a partition's bytes / target ≈ a few shards per
+   *    task), sort by (key, member name) within each, then each task
+   *    streams its bins straight to `dir` with O(member) memory. Headers
+   *    come from [[graft.functions.ArchiveCodec.tarHeader]] — the SAME
+   *    ustar layout every graft parser is spec'd against (member names
+   *    must fit ustar's 100-byte field; longer names fail loudly).
+   *  - **Deterministic**: shard file = `part-<partition>-<bin>.tar`, and
+   *    the (partition, bin, content) assignment is a pure function of the
+   *    input — a retried task overwrites its own files with identical
+   *    bytes, so task retries are idempotent without a commit protocol.
+   *
+   * Returns the write MANIFEST: one row per shard
+   * (shard, n_members, n_samples, bytes) — `bytes` is the exact on-disk
+   * file size (headers + padded payloads + the two-block trailer).
+   */
+  def writeShards(df: DataFrame, dir: String,
+      keyCol: String = "sample_key", nameCol: String = "member_name",
+      payloadCol: String = "payload",
+      targetShardBytes: Long = 1L << 30,
+      shardPartitions: Int = 0): DataFrame = {
+    require(targetShardBytes > 0, "targetShardBytes must be positive")
+    val spark = df.sparkSession
+    val bc = spark.sparkContext.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(
+        spark.sessionState.newHadoopConf()))
+    val parts = if (shardPartitions > 0) shardPartitions
+                else spark.sessionState.conf.numShufflePartitions
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(manifestSchema)
+    val target = targetShardBytes
+    val outDir = dir
+    df.select(col(keyCol).cast("string").as("__k"),
+        col(nameCol).cast("string").as("__n"), col(payloadCol).as("__p"))
+      .repartition(parts, col("__k"))
+      .sortWithinPartitions(col("__k"), col("__n"))
+      .mapPartitions { rows =>
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        val base = new org.apache.hadoop.fs.Path(outDir)
+        val fs = base.getFileSystem(bc.value.value)
+        fs.mkdirs(base)
+        val manifest = scala.collection.mutable.ArrayBuffer.empty[Row]
+        var bin = 0
+        var out: org.apache.hadoop.fs.FSDataOutputStream = null
+        var path: String = null
+        var bytes = 0L
+        var members = 0L
+        var samples = 0L
+        var curKey: String = null
+        def closeShard(): Unit = if (out != null) {
+          out.write(new Array[Byte](1024)) // two zero end blocks
+          out.close()
+          manifest += Row(path, members, samples, bytes + 1024L)
+          out = null; bytes = 0L; members = 0L; samples = 0L; bin += 1
+        }
+        val tc = org.apache.spark.TaskContext.get()
+        if (tc != null) tc.addTaskCompletionListener[Unit] { _ =>
+          if (out != null) try out.close() catch { case _: java.io.IOException => }
+        }
+        rows.foreach { r =>
+          val key = r.getString(0)
+          val name = r.getString(1)
+          val payload = r.getAs[Array[Byte]](2)
+          require(payload != null, s"null payload for member $name (sample $key)")
+          if (key != curKey) {
+            // sample boundary: the only place a shard may close
+            if (out != null && bytes >= target) closeShard()
+            curKey = key
+            samples += 1
+          }
+          if (out == null) {
+            val p = new org.apache.hadoop.fs.Path(base, f"part-$pid%05d-$bin%05d.tar")
+            out = fs.create(p, true)
+            path = p.toString
+          }
+          out.write(graft.functions.ArchiveCodec.tarHeader(name, payload.length, '0'))
+          out.write(payload)
+          val pad = (512 - payload.length % 512) % 512
+          if (pad > 0) out.write(new Array[Byte](pad))
+          bytes += 512L + payload.length + pad
+          members += 1
+        }
+        closeShard()
+        manifest.iterator
+      }(enc)
+  }
+
   /** Streaming member iterator over one (possibly gzip/zstd-compressed)
    *  tar stream. O(member) memory; FAILFAST with `source` + member
    *  index. Exposed for direct use (and the multi-GB generator specs). */

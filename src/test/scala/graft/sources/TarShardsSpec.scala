@@ -161,6 +161,62 @@ class TarShardsSpec extends SparkSpec {
     assert(java.util.Arrays.equals(fetched("c.jpg"), jpg3))
   }
 
+  test("writeShards: size caps, sample integrity, read-back ≡ input, idempotent retries") {
+    val spark = this.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("graft_tarwrite_").toString + "/shards"
+    val input = (0 until 30).flatMap { s =>
+      val key = f"d$s%04d"
+      (1 to (s % 3 + 1)).map { j =>
+        (key, s"$key.$j.bin",
+          Array.tabulate[Byte](s * 37 + j * 11 + 40)(k => ((k + s + j) % 251).toByte))
+      }
+    }
+    val df = input.toDF("sample_key", "member_name", "payload")
+    val manifest = TarShards.writeShards(df, dir,
+      targetShardBytes = 4096, shardPartitions = 4).collect()
+    // the manifest is the disk truth: names, counts, exact byte sizes
+    // (.crc sidecars are the local ChecksumFileSystem's, not shards)
+    val onDisk = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".tar"))
+      .map(f => f.getPath -> f.length()).toMap
+    assert(manifest.map(_.getString(0).stripPrefix("file:")).toSet ==
+      onDisk.keySet)
+    for (m <- manifest)
+      assert(m.getLong(3) == onDisk(m.getString(0).stripPrefix("file:")))
+    assert(manifest.map(_.getLong(1)).sum == input.size)
+    assert(manifest.map(_.getLong(2)).sum == 30)
+    assert(manifest.length > 4, "the 4 KB cap must roll multiple shards")
+    // a shard may run at most ONE sample past the target
+    val maxSample = input.groupBy(_._1).values
+      .map(_.map(m => 512 + ((m._3.length + 511) / 512) * 512).sum).max
+    assert(manifest.forall(_.getLong(3) <= 4096 + maxSample + 1024))
+    // read-back: every member, byte-for-byte, each sample in ONE shard
+    val back = TarShards.readWebDataset(spark, dir + "/*")
+    val gotPayloads = back.select("member_name", "payload").collect()
+      .map(r => r.getString(0) -> r.getAs[Array[Byte]](1)).toMap
+    assert(gotPayloads.keySet == input.map(_._2).toSet)
+    for ((_, name, p) <- input)
+      assert(java.util.Arrays.equals(gotPayloads(name), p))
+    val split = back.groupBy(col("sample_key"))
+      .agg(countDistinct(col("shard")).as("n"))
+      .filter(col("n") > 1).count()
+    assert(split == 0, "a sample must never split across shards")
+    // determinism: a rerun (a retried task) rewrites identical bytes
+    val again = TarShards.writeShards(df, dir,
+      targetShardBytes = 4096, shardPartitions = 4).collect()
+    assert(again.map(r => (r.getString(0), r.getLong(3))).sorted.toSeq ==
+      manifest.map(r => (r.getString(0), r.getLong(3))).sorted.toSeq)
+    // ustar's 100-byte name field gates loudly, never truncates
+    val longName = Seq(("k", "x" * 120, Array[Byte](1))).toDF(
+      "sample_key", "member_name", "payload")
+    val e = intercept[org.apache.spark.SparkException](
+      TarShards.writeShards(longName, dir + "2").collect())
+    assert(e.getMessage.contains("100") ||
+      e.getCause != null && e.getCause.getMessage.contains("fit the base field"))
+  }
+
   test("hot-shard fetch salting: one shard fans across tasks, offsets ordered per task") {
     val spark = this.spark
     import org.apache.spark.sql.functions.col
