@@ -3567,6 +3567,37 @@ object Battery {
           col("__m.data_bytes").as("data_bytes"))
     }),
 
+    // CURATION ROUND TRIP (ingest-shaped rows → exact dedup → EXPORT →
+    // ingest): the full loop a training-data pipeline runs, composed
+    // end-to-end. Payloads collide by class (doc_id % 64 share identical
+    // bytes); exact dedup by payload hash keeps the smallest doc per
+    // class; the survivors export as compressed shards; reading the
+    // exported lake back yields exactly one member per class with the
+    // planted size — the closed form of the whole loop.
+    "q257_curation_loop" -> ((s, d) => {
+      import s.implicits._
+      val out = java.nio.file.Files.createTempDirectory("graft_cur_")
+        .toString + "/kept"
+      val members = docs(s, d).select(col("doc_id")).as[Long].map { id =>
+        val c = (id % 64).toInt
+        (f"d$id%06d", f"d$id%06d.txt",
+          Array.tabulate[Byte](c * 3 + 8)(k => ((k + c) % 251).toByte))
+      }.toDF("sample_key", "member_name", "payload")
+      val kept = members
+        .withColumn("__h", xxhash64(col("payload")))
+        .withColumn("__rk", row_number().over(
+          Window.partitionBy(col("__h")).orderBy(col("sample_key"))))
+        .filter(col("__rk") === 1)
+        .drop("__h", "__rk")
+      graft.sources.TarShards.writeShards(kept, out,
+        targetShardBytes = 1 << 20, shardPartitions = 8,
+        compression = "zstd").count()
+      graft.sources.TarShards.readWebDataset(s, out + "/*")
+        .withColumn("doc_id",
+          regexp_extract(col("member_name"), "^d0*(\\d+)\\.txt$", 1).cast("long"))
+        .select(col("doc_id"), col("member_size"))
+    }),
+
     // WEBDATASET EXPORT (TarShards.writeShards): the WRITE leg of the
     // curation loop — member rows become size-capped tar shards with
     // sample integrity (one shuffle by sample key, bins roll only at
@@ -7442,6 +7473,12 @@ object Battery {
         |  CAST(d.doc_id % 7 + 1 AS BIGINT) AS n_elems,
         |  CAST((d.doc_id % 7 + 1) * 8 AS BIGINT) AS data_bytes
         |FROM documents d, (VALUES ('blob'), ('fetch')) v(via)""".stripMargin,
+    // dedup keeps doc c per class c (doc_ids are 0-based so min id with
+    // id%64 = c is c); the exported member's size is the planted 3c+8
+    "q257_curation_loop" ->
+      """SELECT CAST(t.c AS BIGINT) AS doc_id,
+        |  CAST(t.c * 3 + 8 AS BIGINT) AS member_size
+        |FROM range(0, 64) t(c)""".stripMargin,
     // export -> ingest identity: the planted member math comes back, and
     // every sample lives in exactly one written shard
     "q256_wds_export" ->

@@ -249,16 +249,27 @@ object TarShards {
    *    input — a retried task overwrites its own files with identical
    *    bytes, so task retries are idempotent without a commit protocol.
    *
-   * Returns the write MANIFEST: one row per shard
-   * (shard, n_members, n_samples, bytes) — `bytes` is the exact on-disk
-   * file size (headers + padded payloads + the two-block trailer).
+   * `compression` wraps each shard in gzip or zstd (`.tar.gz` /
+   * `.tar.zst` — what [[read]] and the blob walks already sniff by
+   * magic); the size target measures UNCOMPRESSED tar bytes, the stable
+   * measure a loader's decompressor sees. Returns the write MANIFEST:
+   * one row per shard (shard, n_members, n_samples, bytes) — `bytes` is
+   * the exact ON-DISK file size.
    */
   def writeShards(df: DataFrame, dir: String,
       keyCol: String = "sample_key", nameCol: String = "member_name",
       payloadCol: String = "payload",
       targetShardBytes: Long = 1L << 30,
-      shardPartitions: Int = 0): DataFrame = {
+      shardPartitions: Int = 0,
+      compression: String = "none"): DataFrame = {
     require(targetShardBytes > 0, "targetShardBytes must be positive")
+    val ext = compression match {
+      case "none" => "tar"
+      case "gzip" => "tar.gz"
+      case "zstd" => "tar.zst"
+      case other => throw new IllegalArgumentException(
+        s"compression must be none/gzip/zstd, got $other")
+    }
     val spark = df.sparkSession
     val bc = spark.sparkContext.broadcast(
       new org.apache.spark.util.SerializableConfiguration(
@@ -269,6 +280,7 @@ object TarShards {
       .encoderFor(manifestSchema)
     val target = targetShardBytes
     val outDir = dir
+    val comp = compression
     df.select(col(keyCol).cast("string").as("__k"),
         col(nameCol).cast("string").as("__n"), col(payloadCol).as("__p"))
       .repartition(parts, col("__k"))
@@ -280,16 +292,18 @@ object TarShards {
         fs.mkdirs(base)
         val manifest = scala.collection.mutable.ArrayBuffer.empty[Row]
         var bin = 0
-        var out: org.apache.hadoop.fs.FSDataOutputStream = null
-        var path: String = null
-        var bytes = 0L
+        var out: java.io.OutputStream = null // compressor over the FS handle
+        var hp: org.apache.hadoop.fs.Path = null
+        var bytes = 0L // UNCOMPRESSED tar bytes — the binning measure
         var members = 0L
         var samples = 0L
         var curKey: String = null
         def closeShard(): Unit = if (out != null) {
           out.write(new Array[Byte](1024)) // two zero end blocks
           out.close()
-          manifest += Row(path, members, samples, bytes + 1024L)
+          // manifest reports ON-DISK bytes (compressed when applicable)
+          manifest += Row(hp.toString, members, samples,
+            fs.getFileStatus(hp).getLen)
           out = null; bytes = 0L; members = 0L; samples = 0L; bin += 1
         }
         val tc = org.apache.spark.TaskContext.get()
@@ -308,9 +322,14 @@ object TarShards {
             samples += 1
           }
           if (out == null) {
-            val p = new org.apache.hadoop.fs.Path(base, f"part-$pid%05d-$bin%05d.tar")
-            out = fs.create(p, true)
-            path = p.toString
+            hp = new org.apache.hadoop.fs.Path(base, f"part-$pid%05d-$bin%05d.$ext")
+            val raw = fs.create(hp, true)
+            out = comp match {
+              case "gzip" => new java.util.zip.GZIPOutputStream(raw, 1 << 16)
+              case "zstd" => new java.io.BufferedOutputStream(
+                new com.github.luben.zstd.ZstdOutputStreamNoFinalizer(raw), 1 << 16)
+              case _ => raw
+            }
           }
           out.write(graft.functions.ArchiveCodec.tarHeader(name, payload.length, '0'))
           out.write(payload)

@@ -215,6 +215,26 @@ class TarShardsSpec extends SparkSpec {
       TarShards.writeShards(longName, dir + "2").collect())
     assert(e.getMessage.contains("100") ||
       e.getCause != null && e.getCause.getMessage.contains("fit the base field"))
+    // compressed export: gzip and zstd shards read back identically
+    // (magic-sniffed), manifest bytes = on-disk (compressed) sizes
+    for (comp <- Seq("gzip", "zstd")) {
+      val cdir = dir + "-" + comp
+      val m = TarShards.writeShards(df, cdir, targetShardBytes = 4096,
+        shardPartitions = 4, compression = comp).collect()
+      val wantExt = if (comp == "gzip") ".tar.gz" else ".tar.zst"
+      assert(m.forall(_.getString(0).endsWith(wantExt)))
+      val disk = new java.io.File(cdir).listFiles()
+        .filter(_.getName.endsWith(wantExt))
+        .map(f => f.getPath -> f.length()).toMap
+      for (r <- m)
+        assert(r.getLong(3) == disk(r.getString(0).stripPrefix("file:")))
+      val got = TarShards.readWebDataset(spark, cdir + "/*")
+        .select("member_name", "payload").collect()
+        .map(r => r.getString(0) -> r.getAs[Array[Byte]](1)).toMap
+      assert(got.keySet == input.map(_._2).toSet)
+      for ((_, name, p) <- input)
+        assert(java.util.Arrays.equals(got(name), p), s"$comp $name diverges")
+    }
   }
 
   test("hot-shard fetch salting: one shard fans across tasks, offsets ordered per task") {
