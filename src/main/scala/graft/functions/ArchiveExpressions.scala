@@ -1116,6 +1116,10 @@ object ArchiveCodec {
    *  Classic (non-zip64) offsets; [[zipStored]] keeps the zip64 corner. */
   def zipMixed(members: Seq[(String, Array[Byte], Int)],
       comment: Array[Byte] = Array.emptyByteArray): Array[Byte] = {
+    // classic EOCD counts are 16-bit: a silent wrap would truncate the
+    // listing a validating reader then rejects — fail at the writer
+    require(members.size <= 0xffff,
+      s"zipMixed writes classic (non-zip64) archives: ${members.size} members exceed 65535")
     val out = new java.io.ByteArrayOutputStream()
     def le16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
     def le32(v: Long): Unit = {

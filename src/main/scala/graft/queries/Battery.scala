@@ -31,6 +31,17 @@ object Battery {
    *  docs when enabled — packed into tar shards under `dir` (optionally
    *  gzip/zstd by shard). Kept as one helper so the three fixtures can
    *  never desynchronize from the shared closed form. */
+  /** Land a fixture file ATOMICALLY: write to a dot-temp (hidden names
+   *  are never admitted) and rename — a live arrival stream must not
+   *  list a half-written shard and freeze its partial length (the
+   *  [[graft.sources.ArrivalLedgerStream]] landing convention). */
+  private def landFile(dir: String, name: String, bytes: Array[Byte]): Unit = {
+    val tmp = java.nio.file.Paths.get(dir, "." + name + ".tmp")
+    java.nio.file.Files.write(tmp, bytes)
+    java.nio.file.Files.move(tmp, java.nio.file.Paths.get(dir, name),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
   private def writeWdsShards(s: SparkSession, d: String, dir: String,
       docFilter: Long => Boolean, shardOf: Long => Long,
       fileName: Long => String, withJson: Boolean,
@@ -61,8 +72,7 @@ object Battery {
         case "tar.gz" => ("tar.gz", ArchiveCodec.gzip(tar))
         case other => (other, ArchiveCodec.zstd(tar))
       }
-      java.nio.file.Files.write(
-        java.nio.file.Paths.get(dir, s"${fileName(sid)}.$ext"), bytes)
+      landFile(dir, s"${fileName(sid)}.$ext", bytes)
       sid
     }.count()
     ()
@@ -3659,9 +3669,7 @@ object Battery {
             Seq((s"d$id.npy", npy, if (wave == 1) 8 else 0),
               (s"d$id.txt", txt, 0))
           }
-          java.nio.file.Files.write(
-            java.nio.file.Paths.get(in, f"w$wave%d-$sid%05d.npz"),
-            ArchiveCodec.zipMixed(ms))
+          landFile(in, f"w$wave%d-$sid%05d.npz", ArchiveCodec.zipMixed(ms))
           sid
         }.count()
         ()

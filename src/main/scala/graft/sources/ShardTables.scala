@@ -148,18 +148,42 @@ private[sources] class TarScan(
   override def toBatch: Batch = new Batch {
     override def planInputPartitions(): Array[InputPartition] =
       ShardFiles.list(spark, path)
-        .map(f => TarShardPartition(f._1): InputPartition).toArray
+        .map(f => TarShardPartition(f._1, f._2): InputPartition).toArray
     override def createReaderFactory(): PartitionReaderFactory = factory
   }
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new ArrivalLedgerStream(spark, path, checkpointLocation, "graft-tar",
-      factory, (p, _) => TarShardPartition(p),
+      factory, (p, l) => TarShardPartition(p, l),
       maxFilesPerTrigger, pathGlobFilter, latestFirst)
 }
 
-private[sources] final case class TarShardPartition(path: String)
+/** `len` is the size frozen at planning/admission time (-1 = unknown):
+ *  the reader never walks past it, so a ledger replay sees exactly the
+ *  bytes that were admitted even if the file grew afterwards. */
+private[sources] final case class TarShardPartition(path: String, len: Long = -1L)
     extends InputPartition
+
+/** Caps reads at the frozen length — the replay-determinism bound. */
+private[sources] final class BoundedInputStream(
+    in: java.io.InputStream, limit: Long) extends java.io.InputStream {
+  private var left = limit
+  override def read(): Int =
+    if (left <= 0) -1
+    else { val b = in.read(); if (b >= 0) left -= 1; b }
+  override def read(buf: Array[Byte], off: Int, n: Int): Int = {
+    if (left <= 0) return -1
+    val r = in.read(buf, off, math.min(n.toLong, left).toInt)
+    if (r > 0) left -= r
+    r
+  }
+  override def skip(n: Long): Long = {
+    val s = in.skip(math.min(n, left))
+    if (s > 0) left -= s
+    s
+  }
+  override def close(): Unit = in.close()
+}
 
 /** Executor-side member walk: one shard per task, streamed off an FS
  *  handle with O(member) memory; `permissive` quarantines a mid-shard
@@ -173,12 +197,16 @@ private[sources] class TarMemberReaderFactory(
     permissive: Boolean) extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val path = partition.asInstanceOf[TarShardPartition].path
+    val part = partition.asInstanceOf[TarShardPartition]
+    val path = part.path
     new PartitionReader[InternalRow] {
       private val hp = new Path(path)
       // FS open failures are infra errors and fail the task even under
       // permissive — only corrupt DATA quarantines
       private val in = hp.getFileSystem(conf.value).open(hp)
+      // honor the frozen length: replays plan exactly the admitted bytes
+      private val stream: java.io.InputStream =
+        if (part.len >= 0) new BoundedInputStream(in, part.len) else in
       // built lazily INSIDE the quarantine try: GZIPInputStream validates
       // the gzip header at construction, so a corrupt header must
       // quarantine exactly like mid-stream corruption, not poison the
@@ -196,7 +224,7 @@ private[sources] class TarMemberReaderFactory(
         if (quarantined) false
         else try {
           if (members == null)
-            members = TarShards.members(in, path, cap, withPayload)
+            members = TarShards.members(stream, path, cap, withPayload)
           if (members.hasNext) { cur = members.next(); true } else false
         } catch {
           case scala.util.control.NonFatal(e) if permissive =>
@@ -235,6 +263,11 @@ private[sources] class TarMemberReaderFactory(
  * is checkpointed, so `planInputPartitions(start, end)` can always
  * resolve a replayed range; admission order is (modificationTime, path)
  * and is frozen by the ledger, never re-derived from the directory.
+ *
+ * Producers must LAND FILES ATOMICALLY — write to a dot-temp name and
+ * rename (dot/underscore names are never admitted): a file listed
+ * mid-write would be admitted with its PARTIAL length frozen in the
+ * ledger, and no later completion of the file can heal that batch.
  */
 private[sources] class ArrivalLedgerStream(
     spark: SparkSession,
@@ -280,8 +313,10 @@ private[sources] class ArrivalLedgerStream(
       val admitted = new String(buf, UTF_8).split("\n").filter(_.nonEmpty).toSeq
         .map { line =>
           val tab = line.indexOf('\t')
-          require(tab > 0, s"$name ledger line without a length: $line")
-          (line.substring(tab + 1), line.substring(0, tab).toLong)
+          // pre-length segments (bare paths) stay replayable: -1 means
+          // "length unknown", the reader stats or reads to EOF
+          if (tab <= 0) (line, -1L)
+          else (line.substring(tab + 1), line.substring(0, tab).toLong)
         }
       val start = seg.getPath.getName.toLong
       require(start == files.size,
@@ -379,6 +414,10 @@ private[sources] class ZipShardTable(path: String) extends Table with SupportsRe
     new ScanBuilder with Scan with Batch {
       private def spark = SparkSession.active
       private val permissive = options.getBoolean("permissive", false)
+      private def factory: PartitionReaderFactory =
+        new ZipInventoryReaderFactory(
+          new SerializableConfiguration(spark.sessionState.newHadoopConf()),
+          permissive)
       override def build(): Scan = this
       override def readSchema(): StructType = ZipShards.schema
       override def description(): String = s"graft-zip $path (EOCD+CD positioned reads)"
@@ -386,20 +425,14 @@ private[sources] class ZipShardTable(path: String) extends Table with SupportsRe
       override def planInputPartitions(): Array[InputPartition] =
         ShardFiles.list(spark, path)
           .map(f => ZipArchivePartition(f._1, f._2): InputPartition).toArray
-      override def createReaderFactory(): PartitionReaderFactory =
-        new ZipInventoryReaderFactory(
-          new SerializableConfiguration(spark.sessionState.newHadoopConf()),
-          permissive)
+      override def createReaderFactory(): PartitionReaderFactory = factory
       // CONTINUOUS npz-lake ingest: each micro-batch is the INVENTORY of
       // newly-arrived bundles (two positioned reads per archive) under
       // the same arrival-ledger offsets as graft-tar — feed the rows into
       // ZipShards.fetchStored for the members a selection keeps
       override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
         new ArrivalLedgerStream(spark, path, checkpointLocation, "graft-zip",
-          new ZipInventoryReaderFactory(
-            new SerializableConfiguration(spark.sessionState.newHadoopConf()),
-            permissive),
-          (p, l) => ZipArchivePartition(p, l),
+          factory, (p, l) => ZipArchivePartition(p, l),
           Option(options.get("maxFilesPerTrigger")).map(_.toInt),
           Option(options.get("pathGlobFilter")),
           options.getBoolean("latestFirst", false))
@@ -419,6 +452,13 @@ private[sources] class ZipInventoryReaderFactory(
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[ZipArchivePartition]
     new PartitionReader[InternalRow] {
+      // FS open/stat failures are infra errors and fail the task even
+      // under permissive — only corrupt DATA quarantines (the tar
+      // reader's discipline): a transient s3 error on a healthy bundle
+      // must RETRY, not silently drop the bundle forever
+      private val hp = new Path(p.path)
+      private val fs = hp.getFileSystem(conf.value)
+      private val len = if (p.len >= 0) p.len else fs.getFileStatus(hp).getLen
       private var rows: Iterator[graft.functions.ZipHeaders.Entry] = _
       private var quarantined = false
       private var cur: graft.functions.ZipHeaders.Entry = _
@@ -426,14 +466,18 @@ private[sources] class ZipInventoryReaderFactory(
         if (quarantined) false
         else try {
           if (rows == null) {
-            val hp = new Path(p.path)
-            val in = hp.getFileSystem(conf.value).open(hp)
-            rows = try ZipShards.archiveEntries(in, p.path, p.len).iterator
+            val in = fs.open(hp)
+            rows = try ZipShards.archiveEntries(in, p.path, len).iterator
                    finally in.close()
           }
           if (rows.hasNext) { cur = rows.next(); true } else false
         } catch {
-          case scala.util.control.NonFatal(e) if permissive =>
+          // data-shaped failures only: lying/corrupt structure
+          // (IllegalArgumentException from the validation requires) or a
+          // positioned read past the frozen length (EOFException —
+          // truncated or partially-landed archive)
+          case e @ (_: IllegalArgumentException | _: java.io.EOFException)
+              if permissive =>
             System.err.println(
               s"[graft] quarantined corrupt archive (${p.path}): ${e.getMessage}")
             quarantined = true

@@ -261,7 +261,8 @@ object TarShards {
       payloadCol: String = "payload",
       targetShardBytes: Long = 1L << 30,
       shardPartitions: Int = 0,
-      compression: String = "none"): DataFrame = {
+      compression: String = "none",
+      overwrite: Boolean = false): DataFrame = {
     require(targetShardBytes > 0, "targetShardBytes must be positive")
     val ext = compression match {
       case "none" => "tar"
@@ -271,6 +272,25 @@ object TarShards {
         s"compression must be none/gzip/zstd, got $other")
     }
     val spark = df.sparkSession
+    // a RE-export producing fewer shards would leave the first run's
+    // surplus part files behind, and the read-back glob would resurrect
+    // samples the curation dropped — ghost data. Refuse a dirty target
+    // unless overwrite, which clears prior part files first
+    locally {
+      val base = new org.apache.hadoop.fs.Path(dir)
+      val fs = base.getFileSystem(spark.sessionState.newHadoopConf())
+      if (fs.exists(base)) {
+        val stale = fs.listStatus(base).toSeq
+          .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
+        if (stale.nonEmpty) {
+          require(overwrite,
+            s"$dir already holds ${stale.size} part files — a partial " +
+              "overwrite would mix exports; pass overwrite = true to clear " +
+              "them, or export to a fresh directory")
+          stale.foreach(st => fs.delete(st.getPath, false))
+        }
+      }
+    }
     val bc = spark.sparkContext.broadcast(
       new org.apache.spark.util.SerializableConfiguration(
         spark.sessionState.newHadoopConf()))
@@ -298,6 +318,7 @@ object TarShards {
         var members = 0L
         var samples = 0L
         var curKey: String = null
+        var curName: String = null
         def closeShard(): Unit = if (out != null) {
           out.write(new Array[Byte](1024)) // two zero end blocks
           out.close()
@@ -319,8 +340,16 @@ object TarShards {
             // sample boundary: the only place a shard may close
             if (out != null && bytes >= target) closeShard()
             curKey = key
+            curName = null
             samples += 1
           }
+          // duplicate (key, name) rows have no stable sort order across
+          // task attempts, so a speculative retry could write DIFFERENT
+          // bytes to the same deterministic file name — refuse loudly
+          require(curName == null || name != curName,
+            s"duplicate member $name in sample $key — writeShards needs " +
+              "unique (sample_key, member_name) rows for deterministic output")
+          curName = name
           if (out == null) {
             hp = new org.apache.hadoop.fs.Path(base, f"part-$pid%05d-$bin%05d.$ext")
             val raw = fs.create(hp, true)

@@ -15,6 +15,15 @@ class ShardTablesSpec extends SparkSpec {
   private val data1 = Array.tabulate[Byte](700)(i => (i % 251).toByte)
   private val data2 = "sql shard member".getBytes
 
+  /** Land a file atomically (dot-temp + rename): live arrival streams
+   *  must never list a half-written shard. */
+  private def land(dir: String, name: String, bytes: Array[Byte]): Unit = {
+    val tmp = java.nio.file.Paths.get(dir, "." + name + ".tmp")
+    Files.write(tmp, bytes)
+    Files.move(tmp, java.nio.file.Paths.get(dir, name),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
   private def shard(ids: Seq[Int]): Array[Byte] =
     ArchiveCodec.tar(ids.flatMap { j =>
       Seq((f"$j%06d.jpg", Array.tabulate[Byte](j * 3 + 5)(k => (k + j).toByte)),
@@ -67,11 +76,10 @@ class ShardTablesSpec extends SparkSpec {
       .option("checkpointLocation", root + "/ckpt").start()
     val q1 = start()
     try {
-      Files.write(java.nio.file.Paths.get(in, "w1.tar"), shard(Seq(1)))
+      land(in, "w1.tar", shard(Seq(1)))
       q1.processAllAvailable()
       assert(spark.read.parquet(out).count() == 2)
-      Files.write(java.nio.file.Paths.get(in, "w2.tar.gz"),
-        ArchiveCodec.gzip(shard(Seq(2, 3))))
+      land(in, "w2.tar.gz", ArchiveCodec.gzip(shard(Seq(2, 3))))
       q1.processAllAvailable()
       assert(spark.read.parquet(out).count() == 6)
     } finally q1.stop()
@@ -80,7 +88,7 @@ class ShardTablesSpec extends SparkSpec {
     try {
       q2.processAllAvailable()
       assert(spark.read.parquet(out).count() == 6) // no duplicates
-      Files.write(java.nio.file.Paths.get(in, "w3.tar"), shard(Seq(4)))
+      land(in, "w3.tar", shard(Seq(4)))
       q2.processAllAvailable()
       val rows = spark.read.parquet(out)
         .select("member_name", "member_size").collect()
@@ -240,15 +248,13 @@ class ShardTablesSpec extends SparkSpec {
       .writeStream.format("memory").queryName("zip_stream")
       .option("checkpointLocation", root + "/ckpt").start()
     try {
-      Files.write(java.nio.file.Paths.get(in, "b0.npz"),
+      land(in, "b0.npz",
         ArchiveCodec.zipStored(Seq(("arr_0.npy", data1), ("meta.txt", data2))))
       q.processAllAvailable()
       assert(spark.sql("SELECT count(*) FROM zip_stream").head().getLong(0) == 2)
       // wave 2: a good deflated bundle + a corrupt one (quarantined WHOLE)
-      Files.write(java.nio.file.Paths.get(in, "b1.npz"),
-        ArchiveCodec.zipMixed(Seq(("arr_1.npy", data1, 8))))
-      Files.write(java.nio.file.Paths.get(in, "junk.npz"),
-        "not a zip archive at all, definitely".getBytes)
+      land(in, "b1.npz", ArchiveCodec.zipMixed(Seq(("arr_1.npy", data1, 8))))
+      land(in, "junk.npz", "not a zip archive at all, definitely".getBytes)
       q.processAllAvailable() // permissive: must not throw
       val names = spark.sql("SELECT shard, member_name FROM zip_stream").collect()
         .map(r => (r.getString(0).split('/').last, r.getString(1))).toSet

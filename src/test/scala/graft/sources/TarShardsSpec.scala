@@ -203,11 +203,26 @@ class TarShardsSpec extends SparkSpec {
       .agg(countDistinct(col("shard")).as("n"))
       .filter(col("n") > 1).count()
     assert(split == 0, "a sample must never split across shards")
-    // determinism: a rerun (a retried task) rewrites identical bytes
+    // a dirty target dir refuses (stale part files would ghost dropped
+    // samples into the read-back glob) unless overwrite clears it...
+    val e0 = intercept[IllegalArgumentException](
+      TarShards.writeShards(df, dir, targetShardBytes = 4096,
+        shardPartitions = 4))
+    assert(e0.getMessage.contains("part files"))
+    // ...and the overwrite rerun (a retried job) rewrites identical bytes
     val again = TarShards.writeShards(df, dir,
-      targetShardBytes = 4096, shardPartitions = 4).collect()
+      targetShardBytes = 4096, shardPartitions = 4,
+      overwrite = true).collect()
     assert(again.map(r => (r.getString(0), r.getLong(3))).sorted.toSeq ==
       manifest.map(r => (r.getString(0), r.getLong(3))).sorted.toSeq)
+    // duplicate (key, name) rows have no stable tie order across task
+    // attempts — refused loudly, never nondeterministic bytes
+    val dup = Seq(("k", "m.bin", Array[Byte](1)), ("k", "m.bin", Array[Byte](2)))
+      .toDF("sample_key", "member_name", "payload")
+    val eDup = intercept[org.apache.spark.SparkException](
+      TarShards.writeShards(dup, dir + "3").collect())
+    assert(eDup.getMessage.contains("duplicate member") ||
+      eDup.getCause != null && eDup.getCause.getMessage.contains("duplicate member"))
     // ustar's 100-byte name field gates loudly, never truncates
     val longName = Seq(("k", "x" * 120, Array[Byte](1))).toDF(
       "sample_key", "member_name", "payload")
