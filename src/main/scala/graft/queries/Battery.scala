@@ -3783,6 +3783,29 @@ object Battery {
         .select(col("doc_id"), col("frame_idx"), col("t_ms"), col("off_step"))
     }),
 
+    // FRAGMENTED MP4 stride planning (the traf twin of the q216 media-
+    // time plan): two fragments per doc with a MEDIA-TIME GAP between
+    // them (tfdt 0 and 100020), 40-tick samples, 80 ms stride. Fragment
+    // 0 boundaries land on even samples; the gap jump re-anchors the
+    // boundary cursor at 100080, which falls INSIDE sample 1 of fragment
+    // 1 — so fragment 1 picks odd samples. Both legs replay closed-form.
+    "q258_fmp4_stride" -> ((s, d) => {
+      import s.implicits._
+      import graft.functions.Mp4Codec
+      import graft.functions.Mp4Codec.FragSampleFx
+      val blobs = docs(s, d).select(col("doc_id")).as[Long].map { id =>
+        val nS = (id % 4 + 2).toInt
+        def frag(seq: Int, base: Long) = Mp4Codec.fragment(seq, 1, base,
+          (0 until nS).map(j => FragSampleFx(40, 50 + j, 0L)))
+        val head = Mp4Codec.encode(1000, 0L, 64, 48, nFrames = 0,
+          trex = (0L, 0L, 0x10000L))
+        (id, head ++ frag(1, 0L) ++ frag(2, 100020L))
+      }.toDF("doc_id", "blob")
+      graft.operators.Multimodal.sampleFramesMp4ByTime(blobs, "blob",
+          strideMs = 80, maxFrames = 8)
+        .select(col("doc_id"), col("frame_idx"), col("t_ms"))
+    }),
+
     // FLAC SEEKTABLE planning + offset-aware decode (flac_seekpoints +
     // flac_pcm_from): sampling the tail of a long stream must not cost a
     // full-prefix decode — plan the seekpoints (metadata-only), seek to
@@ -7533,6 +7556,18 @@ object Battery {
         |    ELSE CAST(NULL AS BIGINT) END AS off_step
         |FROM p, range(0, 2) f(f), (VALUES (0), (3)) j(j)
         |WHERE j.j = 0 OR ns >= 4""".stripMargin,
+    // fragment 0 picks even samples (boundaries 0,80,... on 40-tick
+    // samples); the gap jump anchors at 100080 inside sample 1 of
+    // fragment 1, so the second leg picks odd samples
+    "q258_fmp4_stride" ->
+      """WITH p AS (SELECT doc_id, doc_id % 4 + 2 AS ns FROM documents)
+        |SELECT doc_id, CAST(t.j AS BIGINT) AS frame_idx,
+        |  CAST(t.j * 40 AS BIGINT) AS t_ms
+        |FROM p, range(0, 5) t(j) WHERE t.j % 2 = 0 AND t.j < ns
+        |UNION ALL
+        |SELECT doc_id, CAST(ns + t.j AS BIGINT) AS frame_idx,
+        |  CAST(100020 + t.j * 40 AS BIGINT) AS t_ms
+        |FROM p, range(0, 5) t(j) WHERE t.j % 2 = 1 AND t.j < ns""".stripMargin,
     // seekpoints at even frames; the tail from the last one replays the
     // planted amp/-amp/0 pattern over [ts, n) in closed form
     "q254_flac_seektable" ->
