@@ -242,8 +242,9 @@ object TarShards {
    *    task), sort by (key, member name) within each, then each task
    *    streams its bins straight to `dir` with O(member) memory. Headers
    *    come from [[graft.functions.ArchiveCodec.tarHeader]] — the SAME
-   *    ustar layout every graft parser is spec'd against (member names
-   *    must fit ustar's 100-byte field; longer names fail loudly).
+   *    ustar layout every graft parser is spec'd against; names past
+   *    ustar's 100-byte field travel as PAX `path` overrides (URL-shaped
+   *    sample keys), which the parsers honor.
    *  - **Deterministic**: shard file = `part-<partition>-<bin>.tar`, and
    *    the (partition, bin, content) assignment is a pure function of the
    *    input — a retried task overwrites its own files with identical
@@ -360,7 +361,27 @@ object TarShards {
               case _ => raw
             }
           }
-          out.write(graft.functions.ArchiveCodec.tarHeader(name, payload.length, '0'))
+          // names past ustar's 100-byte field travel as a PAX 'x'
+          // extended header with a `path` override — web-crawled sample
+          // keys (URLs) routinely exceed 100 bytes, and truncation would
+          // collide members; the graft parsers already honor PAX
+          val nameBytes = name.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          if (nameBytes.length > 100) {
+            val pax = graft.functions.ArchiveCodec.paxPayload(name)
+            out.write(graft.functions.ArchiveCodec.tarHeader(
+              "paxheader", pax.length, 'x'))
+            out.write(pax)
+            val paxPad = (512 - pax.length % 512) % 512
+            if (paxPad > 0) out.write(new Array[Byte](paxPad))
+            bytes += 512L + pax.length + paxPad
+          }
+          val baseName =
+            if (nameBytes.length > 100)
+              new String(nameBytes, 0, 100,
+                java.nio.charset.StandardCharsets.ISO_8859_1)
+            else name
+          out.write(graft.functions.ArchiveCodec.tarHeader(
+            baseName, payload.length, '0'))
           out.write(payload)
           val pad = (512 - payload.length % 512) % 512
           if (pad > 0) out.write(new Array[Byte](pad))

@@ -223,13 +223,18 @@ class TarShardsSpec extends SparkSpec {
       TarShards.writeShards(dup, dir + "3").collect())
     assert(eDup.getMessage.contains("duplicate member") ||
       eDup.getCause != null && eDup.getCause.getMessage.contains("duplicate member"))
-    // ustar's 100-byte name field gates loudly, never truncates
-    val longName = Seq(("k", "x" * 120, Array[Byte](1))).toDF(
+    // names past ustar's 100-byte field travel as PAX path overrides
+    // (URL-shaped sample keys) and round-trip through every reader
+    val longName = "https/example.org/some/very/deep/crawl/path/" + ("x" * 80) + ".txt"
+    val longDf = Seq(("k", longName, Array[Byte](1, 2, 3, 4))).toDF(
       "sample_key", "member_name", "payload")
-    val e = intercept[org.apache.spark.SparkException](
-      TarShards.writeShards(longName, dir + "2").collect())
-    assert(e.getMessage.contains("100") ||
-      e.getCause != null && e.getCause.getMessage.contains("fit the base field"))
+    TarShards.writeShards(longDf, dir + "2").collect()
+    val longBack = TarShards.read(spark, dir + "2/*")
+      .filter(col("member_type") === "file")
+      .select("member_name", "payload").collect()
+    assert(longBack.map(_.getString(0)).toSeq == Seq(longName))
+    assert(java.util.Arrays.equals(
+      longBack.head.getAs[Array[Byte]](1), Array[Byte](1, 2, 3, 4)))
     // compressed export: gzip and zstd shards read back identically
     // (magic-sniffed), manifest bytes = on-disk (compressed) sizes
     for (comp <- Seq("gzip", "zstd")) {
