@@ -159,8 +159,9 @@ private[sources] class TarScan(
 }
 
 /** `len` is the size frozen at planning/admission time (-1 = unknown):
- *  the reader never walks past it, so a ledger replay sees exactly the
- *  bytes that were admitted even if the file grew afterwards. */
+ *  the reader never walks past it, so a ledger replay is bounded to the
+ *  admitted bytes — post-admission growth is DETECTED (the walk ends at
+ *  the bound, loudly if mid-member), never silently re-planned. */
 private[sources] final case class TarShardPartition(path: String, len: Long = -1L)
     extends InputPartition
 
@@ -294,8 +295,10 @@ private[sources] class ArrivalLedgerStream(
   private val ledgerFs = ledgerDir.getFileSystem(hadoopConf)
 
   // ledger lines are "<length>\t<path>": the length is frozen at
-  // admission so replays plan the exact bytes that were admitted even if
-  // a file is later appended to
+  // admission so a replay never reads past the admitted bytes — a shard
+  // mutated after admission surfaces LOUDLY (tar append overwrites the
+  // old trailer, so in-window bytes change and the bounded walk fails),
+  // never as silently different rows
   private var files = Vector.empty[(String, Long)]
   private var seen = Set.empty[String]
   replayLedger()

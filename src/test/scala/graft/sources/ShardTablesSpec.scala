@@ -278,6 +278,80 @@ class ShardTablesSpec extends SparkSpec {
     assert(e != null)
   }
 
+  test("frozen admission length bounds the walk: post-admission growth is detected") {
+    val spark = this.spark
+    val dir = Files.createTempDirectory("graft_tarfrozen_").toString
+    val two = ArchiveCodec.tar(Seq(
+      ("a.bin", data2), ("b.bin", Array.fill[Byte](100)(7))))
+    val p = java.nio.file.Paths.get(dir, "grow.tar")
+    Files.write(p, two)
+    val frozenLen = two.length.toLong
+    // a producer "appends" a third member AFTER admission — tar append
+    // overwrites the old trailer, so bytes INSIDE the frozen window
+    // change: the honest guarantee is that a replay never reads past
+    // the admitted length and the mutation surfaces LOUDLY, never as
+    // silently different rows
+    val three = ArchiveCodec.tar(Seq(
+      ("a.bin", data2), ("b.bin", Array.fill[Byte](100)(7)),
+      ("c.bin", Array.fill[Byte](2000)(9))))
+    Files.write(p, three)
+    val factory = new TarMemberReaderFactory(
+      new org.apache.spark.util.SerializableConfiguration(
+        spark.sessionState.newHadoopConf()),
+      TarShards.schema, 1L << 20, withPayload = true, permissive = false)
+    def namesOf(part: TarShardPartition): Seq[String] = {
+      val r = factory.createReader(part)
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      try while (r.next()) out += r.get().getUTF8String(1).toString
+      finally r.close()
+      out.toSeq
+    }
+    // the bounded walk hits the frozen limit inside c's payload: loud
+    val e = intercept[IllegalArgumentException](
+      namesOf(TarShardPartition(p.toString, frozenLen)))
+    assert(e.getMessage.contains("EOF"))
+    // without a frozen length (-1) the reader walks to current EOF
+    assert(namesOf(TarShardPartition(p.toString)) ==
+      Seq("a.bin", "b.bin", "c.bin"))
+    // an UNMODIFIED shard replays identically under its frozen length
+    val p2 = java.nio.file.Paths.get(dir, "stable.tar")
+    Files.write(p2, two)
+    assert(namesOf(TarShardPartition(p2.toString, frozenLen)) ==
+      Seq("a.bin", "b.bin"))
+  }
+
+  test("pre-length ledger segments (bare paths) replay; ledger gaps abort loudly") {
+    val spark = this.spark
+    val root = Files.createTempDirectory("graft_tarledger_").toString
+    val in = root + "/in"
+    Files.createDirectories(java.nio.file.Paths.get(in))
+    Files.write(java.nio.file.Paths.get(in, "old.tar"), shard(Seq(1)))
+    // hand-write an OLD-FORMAT ledger segment (bare path, no length)
+    val ckpt = root + "/ckpt/sources/0"
+    val ledger = java.nio.file.Paths.get(ckpt, "graft-tar-ledger")
+    Files.createDirectories(ledger)
+    Files.write(ledger.resolve("0" * 20),
+      ("file:" + in + "/old.tar\n").getBytes("UTF-8"))
+    val s0 = new ArrivalLedgerStream(spark, in, ckpt, "graft-tar",
+      null, (p, l) => TarShardPartition(p, l), None)
+    // the replayed file resolves with len unknown (-1) and is SEEN:
+    // latestOffset must not re-admit it
+    val off = s0.latestOffset()
+    assert(off.json() == """{"files":1}""")
+    val parts = s0.planInputPartitions(s0.initialOffset(), off)
+    assert(parts.toSeq == Seq(TarShardPartition("file:" + in + "/old.tar", -1L)))
+    // a GAP in ledger segments is a corrupt checkpoint: abort loudly
+    val ckpt2 = root + "/ckpt2/sources/0"
+    val ledger2 = java.nio.file.Paths.get(ckpt2, "graft-tar-ledger")
+    Files.createDirectories(ledger2)
+    Files.write(ledger2.resolve("0" * 19 + "5"),
+      s"10\t$in/old.tar\n".getBytes("UTF-8"))
+    val e = intercept[IllegalArgumentException](
+      new ArrivalLedgerStream(spark, in, ckpt2, "graft-tar",
+        null, (p, l) => TarShardPartition(p, l), None))
+    assert(e.getMessage.contains("ledger gap"))
+  }
+
   test("graft-zip SQL inventory ≡ ZipShards.inventory") {
     val spark = this.spark
     val dir = Files.createTempDirectory("graft_zipsql_").toString
