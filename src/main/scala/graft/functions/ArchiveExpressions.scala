@@ -1044,11 +1044,18 @@ object ArchiveCodec {
 
   /** A PAX 'x' extended-header payload for a single path override. */
   def paxPayload(path: String): Array[Byte] = {
-    val kv = s" path=$path\n"
-    // record length counts its own decimal digits
-    var len = kv.length + 1
-    while ((len.toString.length + kv.length) != len) len = len.toString.length + kv.length
-    (len.toString + kv).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    // the POSIX record length is a BYTE count (including its own decimal
+    // digits) — non-ASCII paths make UTF-8 bytes > UTF-16 chars, and a
+    // char-counted length would land the parser mid-record
+    val kvBytes = s" path=$path\n".getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var len = kvBytes.length + 1
+    while (len.toString.length + kvBytes.length != len)
+      len = len.toString.length + kvBytes.length
+    val digits = len.toString.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    val out = new Array[Byte](digits.length + kvBytes.length)
+    System.arraycopy(digits, 0, out, 0, digits.length)
+    System.arraycopy(kvBytes, 0, out, digits.length, kvBytes.length)
+    out
   }
 
   /** Stored-only (method 0) zip — the npz layout np.savez emits. With

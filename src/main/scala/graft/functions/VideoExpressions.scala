@@ -250,6 +250,31 @@ object Mp4Frames {
       : Option[(Long, Long)] =
     children(b, start, end).collectFirst { case (`t`, s, e) => (s, e) }
 
+  /** Like [[children]] but yielding (type, BOX start, payload start,
+   *  box end): default-base-is-moof offsets are relative to the first
+   *  byte of the moof BOX header, which sits 16 bytes before the payload
+   *  when the box uses a 64-bit largesize header — `payloadStart - 8`
+   *  would silently shift every offset in such a fragment by 8. */
+  private def childrenWithStart(b: Array[Byte], start: Long, end: Long)
+      : Iterator[(String, Long, Long, Long)] =
+    new Iterator[(String, Long, Long, Long)] {
+      private var i = start
+      override def hasNext: Boolean = i + 8 <= end
+      override def next(): (String, Long, Long, Long) = {
+        val boxStart = i
+        var size = beU32(b, i.toInt)
+        var hdr = 8
+        if (size == 1L) {
+          if (i + 16 > end) { i = end; return ("", end, end, end) }
+          size = beU64(b, (i + 8).toInt); hdr = 16
+        } else if (size == 0L) size = end - i
+        if (size < hdr || size > end - i) { i = end; return ("", end, end, end) }
+        val out = (boxType(b, i.toInt), boxStart, i + hdr, i + size)
+        i += size
+        out
+      }
+    }
+
   def frameCount(b: Array[Byte]): java.lang.Long =
     // corrupt bytes decode to null, never exceptions: any residual
     // index arithmetic slip on hostile box tables is corrupt DATA
@@ -705,9 +730,8 @@ object Mp4Frames {
     var sawMoof = false
     val out = new scala.collection.mutable.ArrayBuffer[FragSample](64)
     var cursor = 0L // decode time continues across fragments without tfdt
-    for ((t, ms, me) <- children(b, 0, b.length) if t == "moof") {
+    for ((t, moofStart, ms, me) <- childrenWithStart(b, 0, b.length) if t == "moof") {
       sawMoof = true
-      val moofStart = ms - 8
       for ((tt, fs, fe) <- children(b, ms, me) if tt == "traf") {
         child(b, fs, fe, "tfhd").foreach { case (hs, he) =>
           if (hs + 8 <= he && beU32(b, (hs + 4).toInt) == trackId) {
@@ -1192,7 +1216,8 @@ object Mp4Codec {
       firstSampleFlags: Option[Long] = None,
       tfhdDefaults: (Option[Long], Option[Long], Option[Long]) = (None, None, None),
       tfdtV1: Boolean = true,
-      splitTrunAt: Int = -1): Array[Byte] = {
+      splitTrunAt: Int = -1,
+      largesizeMoof: Boolean = false): Array[Byte] = {
     val (dDur, dSize, dFlags) = tfhdDefaults
     var tfFlags = 0x020000L // default-base-is-moof
     if (dDur.isDefined) tfFlags |= 0x8
@@ -1228,7 +1253,19 @@ object Mp4Codec {
       val t1 = trun(s1, Some(dataOff), firstSampleFlags.isDefined)
       val t2 = if (s2.nonEmpty) trun(s2, None, withFirst = false)
                else Array.emptyByteArray
-      box("moof", mfhd ++ box("traf", tfhd ++ tfdt ++ t1 ++ t2))
+      val inner = mfhd ++ box("traf", tfhd ++ tfdt ++ t1 ++ t2)
+      if (!largesizeMoof) box("moof", inner)
+      else {
+        // 64-bit largesize header (size field = 1 + u64): 16 bytes before
+        // the payload — default-base-is-moof offsets count from the FIRST
+        // of them, the corner a `payloadStart - 8` walk got wrong
+        val out = new Array[Byte](16 + inner.length)
+        out(3) = 1
+        out(4) = 'm'; out(5) = 'o'; out(6) = 'o'; out(7) = 'f'
+        System.arraycopy(be64(out.length.toLong), 0, out, 8, 8)
+        System.arraycopy(inner, 0, out, 16, inner.length)
+        out
+      }
     }
     // trun's data_offset points at the mdat payload, relative to the moof
     // start (default-base-is-moof): size the moof once, then patch it in

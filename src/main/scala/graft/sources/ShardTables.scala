@@ -76,6 +76,27 @@ class TarShardSource extends TableProvider with DataSourceRegister {
   }
 }
 
+/** Classifies a member-walk failure for the permissive quarantine:
+ *  DATA-shaped = the BYTES are corrupt — malformed tar headers
+ *  (IllegalArgumentException), gzip corruption (java.util.zip.ZipException
+ *  incl. the constructor-time header check), zstd frame corruption
+ *  (ZstdException / ZstdIOException), truncation (EOFException). A
+ *  GENERIC IOException is INFRA (a transient s3/hdfs read failure on a
+ *  healthy shard) and must fail the task for RETRY — quarantining it
+ *  would permanently drop the rest of the shard once the stream
+ *  advances past the ledger range (the zip reader's discipline). */
+private[sources] object ShardQuarantine {
+  def dataShaped(e: Throwable): Boolean = e match {
+    // ZipException before EOFException/IOException: both are IOExceptions
+    case _: java.util.zip.ZipException => true
+    case _: com.github.luben.zstd.ZstdIOException => true
+    case _: java.io.EOFException => true
+    case _: IllegalArgumentException => true
+    case _: com.github.luben.zstd.ZstdException => true
+    case _ => false
+  }
+}
+
 private[sources] object ShardFiles {
 
   /** Spark file-source convention: dot/underscore files are metadata
@@ -228,7 +249,8 @@ private[sources] class TarMemberReaderFactory(
             members = TarShards.members(stream, path, cap, withPayload)
           if (members.hasNext) { cur = members.next(); true } else false
         } catch {
-          case scala.util.control.NonFatal(e) if permissive =>
+          case scala.util.control.NonFatal(e)
+              if permissive && ShardQuarantine.dataShaped(e) =>
             System.err.println(
               s"[graft] quarantined corrupt shard tail ($path): ${e.getMessage}")
             quarantined = true

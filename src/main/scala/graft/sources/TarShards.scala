@@ -245,10 +245,12 @@ object TarShards {
    *    ustar layout every graft parser is spec'd against; names past
    *    ustar's 100-byte field travel as PAX `path` overrides (URL-shaped
    *    sample keys), which the parsers honor.
-   *  - **Deterministic**: shard file = `part-<partition>-<bin>.tar`, and
-   *    the (partition, bin, content) assignment is a pure function of the
-   *    input — a retried task overwrites its own files with identical
-   *    bytes, so task retries are idempotent without a commit protocol.
+   *  - **Deterministic + attempt-isolated**: shard file =
+   *    `part-<partition>-<bin>.tar`, and the (partition, bin, content)
+   *    assignment is a pure function of the input; each attempt writes to
+   *    an attempt-unique dot-temp and RENAMES at close, so a speculative
+   *    or zombie attempt can never surface a partially-written file under
+   *    the final name — retries and speculation are idempotent.
    *
    * `compression` wraps each shard in gzip or zstd (`.tar.gz` /
    * `.tar.zst` — what [[read]] and the blob walks already sniff by
@@ -281,7 +283,8 @@ object TarShards {
       val base = new org.apache.hadoop.fs.Path(dir)
       val fs = base.getFileSystem(spark.sessionState.newHadoopConf())
       if (fs.exists(base)) {
-        val stale = fs.listStatus(base).toSeq
+        val named = fs.listStatus(base).toSeq
+        val stale = named
           .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
         if (stale.nonEmpty) {
           require(overwrite,
@@ -290,6 +293,11 @@ object TarShards {
               "them, or export to a fresh directory")
           stale.foreach(st => fs.delete(st.getPath, false))
         }
+        // crashed attempts leave dot-temp shards: hidden from every read
+        // glob, but garbage — sweep them with the same overwrite gate
+        if (overwrite) named
+          .filter(st => st.isFile && st.getPath.getName.startsWith(".part-"))
+          .foreach(st => fs.delete(st.getPath, false))
       }
     }
     val bc = spark.sparkContext.broadcast(
@@ -312,9 +320,19 @@ object TarShards {
         val fs = base.getFileSystem(bc.value.value)
         fs.mkdirs(base)
         val manifest = scala.collection.mutable.ArrayBuffer.empty[Row]
+        val tc = org.apache.spark.TaskContext.get()
+        // shards are written to an ATTEMPT-unique dot-temp name and
+        // renamed into place at close: a speculative or zombie attempt
+        // can never interleave bytes with the winner's file, a reader
+        // can never observe a partially-written shard under the final
+        // name, and the manifest row always reports a COMPLETE file's
+        // length. Content is deterministic, so whichever attempt renames
+        // last leaves identical bytes.
+        val attempt = if (tc != null) tc.taskAttemptId() else 0L
         var bin = 0
         var out: java.io.OutputStream = null // compressor over the FS handle
-        var hp: org.apache.hadoop.fs.Path = null
+        var hp: org.apache.hadoop.fs.Path = null // final (committed) name
+        var tmp: org.apache.hadoop.fs.Path = null // in-progress dot-temp
         var bytes = 0L // UNCOMPRESSED tar bytes — the binning measure
         var members = 0L
         var samples = 0L
@@ -323,14 +341,22 @@ object TarShards {
         def closeShard(): Unit = if (out != null) {
           out.write(new Array[Byte](1024)) // two zero end blocks
           out.close()
+          out = null
+          // commit point: HDFS rename won't clobber, so clear a prior
+          // attempt's identical-bytes file first
+          if (fs.exists(hp)) fs.delete(hp, false)
+          require(fs.rename(tmp, hp), s"shard commit failed: $tmp -> $hp")
+          tmp = null
           // manifest reports ON-DISK bytes (compressed when applicable)
           manifest += Row(hp.toString, members, samples,
             fs.getFileStatus(hp).getLen)
-          out = null; bytes = 0L; members = 0L; samples = 0L; bin += 1
+          bytes = 0L; members = 0L; samples = 0L; bin += 1
         }
-        val tc = org.apache.spark.TaskContext.get()
         if (tc != null) tc.addTaskCompletionListener[Unit] { _ =>
           if (out != null) try out.close() catch { case _: java.io.IOException => }
+          // a failed attempt's dot-temp is garbage, never data — clean it
+          if (tmp != null)
+            try fs.delete(tmp, false) catch { case _: java.io.IOException => }
         }
         rows.foreach { r =>
           val key = r.getString(0)
@@ -353,7 +379,9 @@ object TarShards {
           curName = name
           if (out == null) {
             hp = new org.apache.hadoop.fs.Path(base, f"part-$pid%05d-$bin%05d.$ext")
-            val raw = fs.create(hp, true)
+            tmp = new org.apache.hadoop.fs.Path(base,
+              f".part-$pid%05d-$bin%05d.$ext.$attempt%d.tmp")
+            val raw = fs.create(tmp, true)
             out = comp match {
               case "gzip" => new java.util.zip.GZIPOutputStream(raw, 1 << 16)
               case "zstd" => new java.io.BufferedOutputStream(

@@ -68,6 +68,22 @@ class ArchiveSpec extends SparkSpec {
     assert(TarHeaders.entries(gnu).map(_.name).toSeq == Seq("old.bin"))
   }
 
+  test("tar: PAX record length is a BYTE count — non-ASCII paths round-trip") {
+    // 40 two-byte (UTF-8) chars + ASCII tail: > 100 bytes, and bytes !=
+    // chars, so a char-counted record length would land mid-record
+    val name = "crawl/" + ("é" * 40) + "/päge-δοκιμή.txt"
+    val payload = ArchiveCodec.paxPayload(name)
+    // the decimal prefix must equal the record's BYTE length exactly
+    val sp = payload.indexOf(' '.toByte)
+    val declared = new String(payload, 0, sp, "US-ASCII").toInt
+    assert(declared == payload.length)
+    assert(payload.last == '\n'.toByte)
+    val pax = ArchiveCodec.tarTyped(Seq(
+      ("././@PaxHeader", payload, 'x'),
+      ("short.bin", data2, '0')))
+    assert(TarHeaders.entries(pax).map(_.name).toSeq == Seq(name))
+  }
+
   test("tar_member slices payloads; composes with npy_meta for WebDataset members") {
     val npy = NpyCodec.encode("<f4", fortran = false, Seq(5L), 20)
     val shard = ArchiveCodec.tar(Seq(("000001.npy", npy), ("000001.txt", data2)))

@@ -78,6 +78,29 @@ class Mp4FragmentSpec extends SparkSpec {
     assert(kf2(1).byteOff == kf2(0).byteOff + 30)
   }
 
+  test("moof with a 64-bit largesize header keeps exact byte offsets") {
+    // default-base-is-moof counts from the first byte of the moof BOX:
+    // with a largesize header that is 16 bytes before the payload, and an
+    // `ms - 8` reconstruction would shift every offset in the fragment by 8
+    val f = Mp4Codec.fragment(1, 1, 0L, Seq(
+      FragSampleFx(40, 100, 0), FragSampleFx(40, 110, NonSync),
+      FragSampleFx(40, 120, 0)), largesizeMoof = true)
+    val h = head()
+    val b = h ++ f
+    val mdat = 8 + (100 + 110 + 120)
+    val moof = f.length - mdat // includes the 16-byte header
+    val kf = Mp4Frames.keyframePlan(b, 10)
+    assert(kf.map(p => (p.idx, p.tMs)).toSeq == Seq((0L, 0L), (2L, 80L)))
+    assert(kf(0).byteOff == h.length + moof + 8L)
+    assert(kf(1).byteOff == h.length + moof + 8L + 100 + 110)
+    // the widened fragment must agree with its classic twin sample-for-sample
+    val fc = Mp4Codec.fragment(1, 1, 0L, Seq(
+      FragSampleFx(40, 100, 0), FragSampleFx(40, 110, NonSync),
+      FragSampleFx(40, 120, 0)))
+    val kfc = Mp4Frames.keyframePlan(h ++ fc, 10)
+    assert(kf.map(p => (p.idx, p.tMs)).toSeq == kfc.map(p => (p.idx, p.tMs)).toSeq)
+  }
+
   test("second trun without data_offset continues from the previous trun's data") {
     val f = Mp4Codec.fragment(1, 1, 0L, Seq(
       FragSampleFx(40, 100, 0), FragSampleFx(40, 110, 0),

@@ -186,6 +186,17 @@ class ShardTablesSpec extends SparkSpec {
       assert(!rows.exists(_._1 == "hdrbad.tar.gz"))
     } finally q.stop()
 
+    // the quarantine is DATA-shaped only: a generic IOException (transient
+    // s3/hdfs failure on a healthy shard) must fail the task for retry,
+    // never silently drop the shard's tail
+    import graft.sources.ShardQuarantine.dataShaped
+    assert(!dataShaped(new java.io.IOException("connection reset")))
+    assert(!dataShaped(new java.io.InterruptedIOException("timeout")))
+    assert(dataShaped(new java.util.zip.ZipException("corrupt gzip")))
+    assert(dataShaped(new java.io.EOFException("truncated")))
+    assert(dataShaped(new IllegalArgumentException("malformed tar")))
+    assert(dataShaped(new com.github.luben.zstd.ZstdIOException(1L, "bad frame")))
+
     // FAILFAST twin: the corrupt shard fails the stream (poison pill)
     val q2 = TarShards.readWebDatasetStream(spark, in)
       .writeStream.format("memory").queryName("tar_poison")

@@ -226,15 +226,25 @@ class TarShardsSpec extends SparkSpec {
     // names past ustar's 100-byte field travel as PAX path overrides
     // (URL-shaped sample keys) and round-trip through every reader
     val longName = "https/example.org/some/very/deep/crawl/path/" + ("x" * 80) + ".txt"
-    val longDf = Seq(("k", longName, Array[Byte](1, 2, 3, 4))).toDF(
+    // non-ASCII twin: UTF-8 bytes > chars, pinning the byte-counted PAX
+    // record length through the full export → ingest loop
+    val utf8Name = "https/example.org/ünïcode/" + ("é" * 60) + ".txt"
+    val longDf = Seq(
+      ("k", longName, Array[Byte](1, 2, 3, 4)),
+      ("k2", utf8Name, Array[Byte](9, 8, 7))).toDF(
       "sample_key", "member_name", "payload")
     TarShards.writeShards(longDf, dir + "2").collect()
     val longBack = TarShards.read(spark, dir + "2/*")
       .filter(col("member_type") === "file")
       .select("member_name", "payload").collect()
-    assert(longBack.map(_.getString(0)).toSeq == Seq(longName))
-    assert(java.util.Arrays.equals(
-      longBack.head.getAs[Array[Byte]](1), Array[Byte](1, 2, 3, 4)))
+    assert(longBack.map(_.getString(0)).toSet == Set(longName, utf8Name))
+    val byName = longBack.map(r =>
+      r.getString(0) -> r.getAs[Array[Byte]](1)).toMap
+    assert(java.util.Arrays.equals(byName(longName), Array[Byte](1, 2, 3, 4)))
+    assert(java.util.Arrays.equals(byName(utf8Name), Array[Byte](9, 8, 7)))
+    // tmp+rename commit: no dot-temp shard survives a successful export
+    assert(new java.io.File(dir + "2").listFiles()
+      .forall(f => !f.getName.endsWith(".tmp")))
     // compressed export: gzip and zstd shards read back identically
     // (magic-sniffed), manifest bytes = on-disk (compressed) sizes
     for (comp <- Seq("gzip", "zstd")) {
