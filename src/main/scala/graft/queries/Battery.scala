@@ -3465,6 +3465,49 @@ object Battery {
     // file tracking means the union of batches is exactly one pass over
     // every member — the q242 closed form re-derived through continuous
     // ingest, payload bytes pinned per sample.
+    // DATED-LAYOUT continuous ingest with a BOUNDED ledger: producers
+    // land shards under date= subdirectories (no consumer globs), the
+    // arrival walk recurses, and the run drives admissions past a small
+    // ledgerCompactInterval so the committed history folds into compact
+    // segments while maxFileAge bounds the seen-set — the q247 closed
+    // form re-derived through the perpetual-ingest configuration, with
+    // the dated dir itself pinned per row (wave parity = date).
+    "q259_wds_dated_ingest" -> ((s, d) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_wdsd_").toString
+      val in = root + "/in"
+      val dates = Seq("2026-08-15", "2026-08-16")
+      dates.foreach(dt => java.nio.file.Files.createDirectories(
+        java.nio.file.Paths.get(in, s"date=$dt")))
+      def writeWave(wave: Int): Unit =
+        writeWdsShards(s, d, in + s"/date=${dates(wave)}",
+          id => id % 2 == wave, id => (id / 2) % 32,
+          sid => f"w$wave%d-$sid%05d", withJson = true, _ => "tar")
+      val out = root + "/out"
+      val q = graft.sources.TarShards.readWebDatasetStream(s, in,
+          options = Map("maxFilesPerTrigger" -> "8",
+            "ledgerCompactInterval" -> "2", "maxFileAge" -> "7d"))
+        .select(col("shard"), col("sample_key"), col("member_ext"),
+          col("member_size"))
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", root + "/ckpt")
+        .start()
+      try {
+        writeWave(0)
+        q.processAllAvailable()
+        writeWave(1)
+        q.processAllAvailable()
+      } finally q.stop()
+      s.read.parquet(out)
+        .withColumn("doc_id",
+          regexp_extract(col("sample_key"), "^d(\\d+)/", 1).cast("long"))
+        .withColumn("jkey", regexp_extract(col("sample_key"), "/(\\d+)$", 1))
+        .groupBy(col("doc_id"), col("jkey").as("sample_key"))
+        .agg(count(lit(1)).as("n_members"),
+          sum(col("member_size")).as("total_bytes"),
+          max(regexp_extract(col("shard"), "date=([0-9-]+)/", 1)).as("shard_date"),
+          array_join(sort_array(collect_list(col("member_ext"))), ",").as("exts"))
+    }),
+
     "q247_wds_stream_ingest" -> ((s, d) => {
       val root = java.nio.file.Files.createTempDirectory("graft_wdst_").toString
       val in = root + "/in"
@@ -7473,6 +7516,21 @@ object Battery {
         |  CAST(t.j * 3 + 5 + t.j * 2 + 1
         |    + CASE WHEN d.doc_id % 2 = 0 THEN 4 ELSE 0 END AS BIGINT)
         |    AS payload_bytes,
+        |  CASE WHEN d.doc_id % 2 = 0 THEN 'jpg,json,txt'
+        |    ELSE 'jpg,txt' END AS exts
+        |FROM documents d, range(1, 5) t(j)
+        |WHERE t.j <= d.doc_id % 4 + 1""".stripMargin,
+    // the q247 closed form through dated subdirs + ledger compaction +
+    // age watermark; wave parity (doc parity) pins which dated dir
+    "q259_wds_dated_ingest" ->
+      """SELECT d.doc_id, lpad(CAST(t.j AS VARCHAR), 6, '0') AS sample_key,
+        |  CAST(CASE WHEN d.doc_id % 2 = 0 THEN 3 ELSE 2 END AS BIGINT)
+        |    AS n_members,
+        |  CAST(t.j * 3 + 5 + t.j * 2 + 1
+        |    + CASE WHEN d.doc_id % 2 = 0 THEN 4 ELSE 0 END AS BIGINT)
+        |    AS total_bytes,
+        |  CASE WHEN d.doc_id % 2 = 0 THEN '2026-08-15'
+        |    ELSE '2026-08-16' END AS shard_date,
         |  CASE WHEN d.doc_id % 2 = 0 THEN 'jpg,json,txt'
         |    ELSE 'jpg,txt' END AS exts
         |FROM documents d, range(1, 5) t(j)

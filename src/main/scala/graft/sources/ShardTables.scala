@@ -104,19 +104,72 @@ private[sources] object ShardFiles {
   def hidden(name: String): Boolean =
     name.startsWith(".") || name.startsWith("_")
 
+  /** Directory recursion bound: dated layouts are 1-3 levels; a cycle or
+   *  a pathological tree must not stall the driver. */
+  val MaxListDepth = 32
+
+  /** Past this many matched directories the per-directory listing RPCs
+   *  move to EXECUTORS (the InMemoryFileIndex discipline): a 10^7-shard
+   *  lake's planning must not serialize behind one driver thread. */
+  val DistributedListingThreshold = 64
+
+  def maxFileAgeMs(options: CaseInsensitiveStringMap): Long =
+    Option(options.get("maxFileAge"))
+      .map(ArrivalLedgerStream.parseDuration)
+      .getOrElse(ArrivalLedgerStream.DefaultMaxFileAgeMs)
+
+  def compactInterval(options: CaseInsensitiveStringMap): Int =
+    options.getInt("ledgerCompactInterval",
+      ArrivalLedgerStream.DefaultCompactInterval)
+
+  /** Recursive walk of one directory on whatever machine holds `fs`. */
+  private def walkDir(fs: org.apache.hadoop.fs.FileSystem, dir: Path,
+      depth0: Int): Seq[(String, Long)] = {
+    val out = Seq.newBuilder[(String, Long)]
+    val dirs = scala.collection.mutable.Queue((dir, depth0))
+    while (dirs.nonEmpty) {
+      val (d, depth) = dirs.dequeue()
+      fs.listStatus(d).foreach { s =>
+        if (!hidden(s.getPath.getName)) {
+          if (s.isFile) out += ((s.getPath.toString, s.getLen))
+          else if (depth < MaxListDepth) dirs.enqueue((s.getPath, depth + 1))
+        }
+      }
+    }
+    out.result()
+  }
+
   /** Expand a file/dir/glob into (path, length) pairs, name-sorted for
-   *  deterministic planning. */
+   *  deterministic planning. Directories are walked RECURSIVELY (dated
+   *  `date=...` producer layouts); when the glob matches more than
+   *  [[DistributedListingThreshold]] directories, the per-directory
+   *  listing runs on executors and only the (path, length) pairs come
+   *  back to the driver. */
   def list(spark: SparkSession, path: String): Seq[(String, Long)] = {
     val hp = new Path(path)
-    val fs = hp.getFileSystem(spark.sessionState.newHadoopConf())
+    val conf = new SerializableConfiguration(spark.sessionState.newHadoopConf())
+    val fs = hp.getFileSystem(conf.value)
     val statuses = fs.globStatus(hp)
     require(statuses != null && statuses.nonEmpty, s"no shards match $path")
-    statuses.toSeq.flatMap { s =>
-      if (s.isFile) Seq(s)
-      else fs.listStatus(s.getPath).toSeq.filter(_.isFile)
-    }.filter(s => !hidden(s.getPath.getName))
+    val (dirs, rootFiles) = statuses.toSeq.partition(_.isDirectory)
+    val direct = rootFiles.filter(s => !hidden(s.getPath.getName))
       .map(s => (s.getPath.toString, s.getLen))
-      .sortBy(_._1)
+    val walked =
+      if (dirs.size <= DistributedListingThreshold)
+        dirs.flatMap(d => walkDir(fs, d.getPath, 0))
+      else {
+        val bc = spark.sparkContext.broadcast(conf)
+        val names = dirs.map(_.getPath.toString)
+        spark.sparkContext
+          .parallelize(names, math.min(names.size,
+            math.max(1, spark.sparkContext.defaultParallelism)))
+          .flatMap { d =>
+            val dp = new Path(d)
+            walkDir(dp.getFileSystem(bc.value.value), dp, 0)
+          }
+          .collect().toSeq
+      }
+    (direct ++ walked).sortBy(_._1)
   }
 }
 
@@ -176,7 +229,8 @@ private[sources] class TarScan(
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new ArrivalLedgerStream(spark, path, checkpointLocation, "graft-tar",
       factory, (p, l) => TarShardPartition(p, l),
-      maxFilesPerTrigger, pathGlobFilter, latestFirst)
+      maxFilesPerTrigger, pathGlobFilter, latestFirst,
+      ShardFiles.maxFileAgeMs(options), ShardFiles.compactInterval(options))
 }
 
 /** `len` is the size frozen at planning/admission time (-1 = unknown):
@@ -291,6 +345,29 @@ private[sources] class TarMemberReaderFactory(
  * rename (dot/underscore names are never admitted): a file listed
  * mid-write would be admitted with its PARTIAL length frozen in the
  * ledger, and no later completion of the file can heal that batch.
+ * Admitted files are IMMUTABLE (frozen lengths enforce it for content;
+ * the age eviction below relies on it for mtimes too).
+ *
+ * BOUNDED at perpetual-ingest scale (the FileStreamSource discipline
+ * applied to the repo's own ledger):
+ *
+ *  - **Recursive listing**: producers land shards in dated subdirectories
+ *    (`date=2026-08-16/shard-*.tar`); each trigger walks the input
+ *    path — which may itself be a glob — RECURSIVELY (depth-capped,
+ *    hidden dirs skipped), so a dated layout is admissible continuously
+ *    without per-day consumer globs.
+ *  - **Age watermark** (`maxFileAge`, default 7d): a file whose mtime is
+ *    older than (newest admitted mtime - maxFileAge) is never admitted,
+ *    which makes evicting its `seen` entry SAFE — it cannot reappear as
+ *    "new". Driver dedup state is therefore O(arrivals within the age
+ *    window), not O(lifetime arrivals).
+ *  - **Ledger compaction** (`ledgerCompactInterval` commits, default 10):
+ *    at a commit point where the whole ledger is committed, the
+ *    watermark-surviving seen-set is written as ONE `.compact` segment
+ *    (tmp + rename) and the regular segments below it are deleted —
+ *    restart replays one compact + a bounded tail instead of every
+ *    segment ever written, and committed entries drop out of driver
+ *    memory (`filesBase` advances).
  */
 private[sources] class ArrivalLedgerStream(
     spark: SparkSession,
@@ -301,7 +378,13 @@ private[sources] class ArrivalLedgerStream(
     partitionOf: (String, Long) => InputPartition,
     maxFilesPerTrigger: Option[Int],
     pathGlobFilter: Option[String] = None,
-    latestFirst: Boolean = false) extends MicroBatchStream {
+    latestFirst: Boolean = false,
+    maxFileAgeMs: Long = ArrivalLedgerStream.DefaultMaxFileAgeMs,
+    compactInterval: Int = ArrivalLedgerStream.DefaultCompactInterval)
+    extends MicroBatchStream {
+
+  require(compactInterval > 0, s"$name ledgerCompactInterval must be positive")
+  require(maxFileAgeMs > 0, s"$name maxFileAge must be positive")
 
   private case class FilesOffset(n: Long) extends Offset {
     override def json(): String = s"""{"files":$n}"""
@@ -316,39 +399,94 @@ private[sources] class ArrivalLedgerStream(
   // own FS or Hadoop throws "Wrong FS" at the first trigger
   private val ledgerFs = ledgerDir.getFileSystem(hadoopConf)
 
-  // ledger lines are "<length>\t<path>": the length is frozen at
+  // ledger lines are "<length>\t<mtime>\t<path>": the length is frozen at
   // admission so a replay never reads past the admitted bytes — a shard
   // mutated after admission surfaces LOUDLY (tar append overwrites the
   // old trailer, so in-window bytes change and the bounded walk fails),
-  // never as silently different rows
-  private var files = Vector.empty[(String, Long)]
-  private var seen = Set.empty[String]
+  // never as silently different rows. The mtime rebuilds the age
+  // watermark and the evictable seen-set at restart.
+  private var filesBase = 0L // ledger index of files(0): committed prefix dropped
+  private var files = Vector.empty[(String, Long)] // (path, frozen length)
+  private var seen = Map.empty[String, Long] // path -> admitted mtime (-1 unknown)
+  private var maxSeenMtime = Long.MinValue
+  private var commitsSinceCompact = 0
+  // live regular segments as (startIndex, entryCount): compaction deletes
+  // a segment only once ALL its entries are below the committed fold point
+  private var segMeta = Vector.empty[(Long, Int)]
   replayLedger()
+
+  private def watermark: Long =
+    if (maxSeenMtime == Long.MinValue) Long.MinValue
+    else maxSeenMtime - maxFileAgeMs
+
+  private def noteAdmitted(entries: Seq[(String, Long, Long)]): Unit = {
+    files ++= entries.map { case (p, l, _) => (p, l) }
+    entries.foreach { case (p, _, m) =>
+      seen += (p -> m)
+      if (m > maxSeenMtime) maxSeenMtime = m
+    }
+  }
 
   private def replayLedger(): Unit = {
     if (!ledgerFs.exists(ledgerDir)) return
-    val segments = ledgerFs.listStatus(ledgerDir).toSeq
+    val all = ledgerFs.listStatus(ledgerDir).toSeq
       .filter(s => s.isFile && !s.getPath.getName.startsWith("."))
+    val compacts = all.filter(_.getPath.getName.endsWith(".compact"))
+    if (compacts.nonEmpty) {
+      val latest = compacts.maxBy(_.getPath.getName)
+      val lines = readSegment(latest.getPath)
+      require(lines.headOption.exists(_.startsWith("compact\t")),
+        s"$name corrupt compact segment: ${latest.getPath}")
+      filesBase = lines.head.split('\t')(1).toLong
+      lines.tail.foreach { line =>
+        val tab = line.indexOf('\t')
+        val m = line.substring(0, tab).toLong
+        seen += (line.substring(tab + 1) -> m)
+        if (m > maxSeenMtime) maxSeenMtime = m
+      }
+    }
+    val segments = all
+      .filter(s => !s.getPath.getName.endsWith(".compact"))
       .sortBy(_.getPath.getName)
     for (seg <- segments) {
-      val len = seg.getLen.toInt
-      val buf = new Array[Byte](len)
-      val in = ledgerFs.open(seg.getPath)
-      try in.readFully(0, buf) finally in.close()
-      val admitted = new String(buf, UTF_8).split("\n").filter(_.nonEmpty).toSeq
-        .map { line =>
-          val tab = line.indexOf('\t')
-          // pre-length segments (bare paths) stay replayable: -1 means
-          // "length unknown", the reader stats or reads to EOF
-          if (tab <= 0) (line, -1L)
-          else (line.substring(tab + 1), line.substring(0, tab).toLong)
-        }
+      val admitted = readSegment(seg.getPath).map(parseLine)
       val start = seg.getPath.getName.toLong
-      require(start == files.size,
-        s"$name ledger gap: segment $start but ${files.size} files replayed")
-      files ++= admitted
-      seen ++= admitted.map(_._1)
+      val segEnd = start + admitted.size
+      if (segEnd <= filesBase) {
+        // fully below the compact fold point: superseded (a crash between
+        // compact-rename and segment deletion leaves these behind) —
+        // track it so the next compaction finishes the delete, but do NOT
+        // re-add its entries (that would resurrect age-evicted seen rows)
+        segMeta :+= ((start, admitted.size))
+      } else {
+        require(start <= filesBase + files.size,
+          s"$name ledger gap: segment $start but ${filesBase + files.size} " +
+            "files replayed")
+        // a segment straddling the fold point replays only its tail
+        noteAdmitted(admitted.drop((filesBase + files.size - start).toInt))
+        segMeta :+= ((start, admitted.size))
+      }
     }
+  }
+
+  private def readSegment(p: Path): Seq[String] = {
+    val len = ledgerFs.getFileStatus(p).getLen.toInt
+    val buf = new Array[Byte](len)
+    val in = ledgerFs.open(p)
+    try in.readFully(0, buf) finally in.close()
+    new String(buf, UTF_8).split("\n").filter(_.nonEmpty).toSeq
+  }
+
+  /** (path, length, mtime) from a regular-segment line; earlier formats
+   *  (bare path; "<len>\t<path>") stay replayable with -1 sentinels —
+   *  unknown mtimes are never evicted and never move the watermark. */
+  private def parseLine(line: String): (String, Long, Long) = {
+    val t1 = line.indexOf('\t')
+    if (t1 <= 0) return (line, -1L, -1L)
+    val t2 = line.indexOf('\t', t1 + 1)
+    if (t2 < 0) return (line.substring(t1 + 1), line.substring(0, t1).toLong, -1L)
+    (line.substring(t2 + 1), line.substring(0, t1).toLong,
+      line.substring(t1 + 1, t2).toLong)
   }
 
   override def initialOffset(): Offset = FilesOffset(0)
@@ -356,32 +494,55 @@ private[sources] class ArrivalLedgerStream(
   private val globFilter =
     pathGlobFilter.map(new org.apache.hadoop.fs.GlobFilter(_))
 
+  /** Recursive arrival walk: the input path may be a file, a directory
+   *  (walked recursively — dated `date=...` layouts), or a glob over
+   *  either. Hidden (dot/underscore) files AND directories are metadata,
+   *  never shards; `pathGlobFilter` gates file names. */
+  private def listArrivals(): Seq[(String, Long, Long)] = {
+    val roots = Option(fs.globStatus(dirPath)).map(_.toSeq).getOrElse(Seq.empty)
+    val out = Seq.newBuilder[(String, Long, Long)]
+    val dirs = scala.collection.mutable.Queue.empty[(Path, Int)]
+    def visit(s: org.apache.hadoop.fs.FileStatus, depth: Int): Unit = {
+      val n = s.getPath.getName
+      if (!ShardFiles.hidden(n)) {
+        if (s.isFile) {
+          if (globFilter.forall(_.accept(s.getPath)))
+            out += ((s.getPath.toString, s.getLen, s.getModificationTime))
+        } else if (depth < ShardFiles.MaxListDepth) dirs.enqueue((s.getPath, depth))
+      }
+    }
+    roots.foreach(visit(_, 0))
+    while (dirs.nonEmpty) {
+      val (d, depth) = dirs.dequeue()
+      fs.listStatus(d).foreach(visit(_, depth + 1))
+    }
+    out.result()
+  }
+
   override def latestOffset(): Offset = {
-    val sorted =
-      (if (fs.exists(dirPath)) fs.listStatus(dirPath).toSeq else Seq.empty)
-        .filter(s => s.isFile && !ShardFiles.hidden(s.getPath.getName) &&
-          globFilter.forall(_.accept(s.getPath)))
-        .map(s => (s.getPath.toString, s.getLen, s.getModificationTime))
-        .filter { case (p, _, _) => !seen.contains(p) }
-        .sortBy { case (p, _, m) => (m, p) }
-        .map { case (p, l, _) => (p, l) }
+    val wm = watermark
+    val sorted = listArrivals()
+      // the age gate makes seen-eviction sound: an evicted (old) file can
+      // never re-enter as "new" because this filter rejects it by mtime
+      .filter { case (p, _, m) => m >= wm && !seen.contains(p) }
+      .sortBy { case (p, _, m) => (m, p) }
     val arrivals = if (latestFirst) sorted.reverse else sorted
     val admit = maxFilesPerTrigger.fold(arrivals)(n => arrivals.take(n))
     if (admit.nonEmpty) {
-      appendLedger(files.size, admit)
-      files ++= admit
-      seen ++= admit.map(_._1)
+      appendLedger(filesBase + files.size, admit)
+      segMeta :+= ((filesBase + files.size, admit.size))
+      noteAdmitted(admit)
     }
-    FilesOffset(files.size)
+    FilesOffset(filesBase + files.size)
   }
 
   /** Durable, atomic ledger append: tmp + rename commit point. */
-  private def appendLedger(start: Long, admitted: Seq[(String, Long)]): Unit = {
+  private def appendLedger(start: Long, admitted: Seq[(String, Long, Long)]): Unit = {
     ledgerFs.mkdirs(ledgerDir)
     val tmp = new Path(ledgerDir, f".$start%020d.tmp")
     val out = ledgerFs.create(tmp, true)
-    try admitted.foreach { case (p, l) =>
-      out.write(s"$l\t$p\n".getBytes(UTF_8))
+    try admitted.foreach { case (p, l, m) =>
+      out.write(s"$l\t$m\t$p\n".getBytes(UTF_8))
     } finally out.close()
     val dst = new Path(ledgerDir, f"$start%020d")
     require(ledgerFs.rename(tmp, dst), s"$name ledger commit failed: $dst")
@@ -394,18 +555,84 @@ private[sources] class ArrivalLedgerStream(
   }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val from = start.asInstanceOf[FilesOffset].n.toInt
-    val to = end.asInstanceOf[FilesOffset].n.toInt
-    require(to <= files.size,
-      s"$name offset $to beyond the arrival ledger (${files.size} files) — " +
-        "checkpoint and ledger disagree; was the checkpoint directory pruned?")
-    files.slice(from, to)
+    val from = start.asInstanceOf[FilesOffset].n
+    val to = end.asInstanceOf[FilesOffset].n
+    require(to <= filesBase + files.size,
+      s"$name offset $to beyond the arrival ledger " +
+        s"(${filesBase + files.size} files) — checkpoint and ledger " +
+        "disagree; was the checkpoint directory pruned?")
+    require(from >= filesBase,
+      s"$name offset $from below the compacted ledger base $filesBase — " +
+        "a committed batch is being replanned after compaction; was the " +
+        "offset log rolled back by hand?")
+    files.slice((from - filesBase).toInt, (to - filesBase).toInt)
       .map { case (p, l) => partitionOf(p, l) }.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory = factory
-  override def commit(end: Offset): Unit = ()
+
+  /** Engine commit of a completed batch (the engine delivers it one
+   *  trigger late — at the NEXT batch's construction — so the ledger
+   *  usually has an uncommitted tail here): every `compactInterval`
+   *  commits, fold everything below the committed offset into one
+   *  compact segment, drop those entries from driver memory, and delete
+   *  the regular segments that fell entirely below the fold point. */
+  override def commit(end: Offset): Unit = {
+    val n = end.asInstanceOf[FilesOffset].n
+    commitsSinceCompact += 1
+    if (commitsSinceCompact >= compactInterval && n > filesBase) {
+      val wm = watermark
+      if (wm > Long.MinValue)
+        seen = seen.filter { case (_, m) => m < 0 || m >= wm }
+      val tmp = new Path(ledgerDir, f".$n%020d.compact.tmp")
+      val out = ledgerFs.create(tmp, true)
+      try {
+        out.write(s"compact\t$n\n".getBytes(UTF_8))
+        seen.foreach { case (p, m) => out.write(s"$m\t$p\n".getBytes(UTF_8)) }
+      } finally out.close()
+      val dst = new Path(ledgerDir, f"$n%020d.compact")
+      require(ledgerFs.rename(tmp, dst), s"$name ledger compact failed: $dst")
+      // regular segments ENTIRELY below the fold point are superseded, as
+      // are older compacts; a segment straddling n must stay (its tail is
+      // the uncommitted batch in flight). A crash mid-delete is healed at
+      // replay (fully-below segments are skipped, not re-added).
+      val (dead, live) = segMeta.partition { case (s, c) => s + c <= n }
+      dead.foreach { case (s, _) =>
+        try ledgerFs.delete(new Path(ledgerDir, f"$s%020d"), false)
+        catch { case _: java.io.IOException => }
+      }
+      segMeta = live
+      ledgerFs.listStatus(ledgerDir).foreach { s =>
+        val sn = s.getPath.getName
+        if (s.isFile && sn.endsWith(".compact") && sn < dst.getName)
+          ledgerFs.delete(s.getPath, false)
+      }
+      files = files.drop((n - filesBase).toInt)
+      filesBase = n
+      commitsSinceCompact = 0
+    }
+  }
+
   override def stop(): Unit = ()
+}
+
+private[sources] object ArrivalLedgerStream {
+  /** FileStreamSource's default: arrivals older than 7 days relative to
+   *  the newest admitted file are ignored (and evictable). */
+  val DefaultMaxFileAgeMs: Long = 7L * 24 * 3600 * 1000
+  val DefaultCompactInterval: Int = 10
+
+  /** "7d" / "12h" / "30m" / "45s" / "500ms" / bare milliseconds. */
+  def parseDuration(s: String): Long = {
+    val t = s.trim
+    def num(suffix: String) = t.stripSuffix(suffix).trim.toLong
+    if (t.endsWith("ms")) num("ms")
+    else if (t.endsWith("d")) num("d") * 24 * 3600 * 1000
+    else if (t.endsWith("h")) num("h") * 3600 * 1000
+    else if (t.endsWith("m")) num("m") * 60 * 1000
+    else if (t.endsWith("s")) num("s") * 1000
+    else t.toLong
+  }
 }
 
 /** `spark.read.format("graft-zip").load(lake)` — the seekable npz/zip
@@ -460,7 +687,8 @@ private[sources] class ZipShardTable(path: String) extends Table with SupportsRe
           factory, (p, l) => ZipArchivePartition(p, l),
           Option(options.get("maxFilesPerTrigger")).map(_.toInt),
           Option(options.get("pathGlobFilter")),
-          options.getBoolean("latestFirst", false))
+          options.getBoolean("latestFirst", false),
+          ShardFiles.maxFileAgeMs(options), ShardFiles.compactInterval(options))
     }
 }
 

@@ -16,10 +16,17 @@ class ShardTablesSpec extends SparkSpec {
   private val data2 = "sql shard member".getBytes
 
   /** Land a file atomically (dot-temp + rename): live arrival streams
-   *  must never list a half-written shard. */
-  private def land(dir: String, name: String, bytes: Array[Byte]): Unit = {
+   *  must never list a half-written shard. `mtime` (when >= 0) is set on
+   *  the temp BEFORE the rename, so a live stream can never list the
+   *  file with a fresher timestamp than the test intends. */
+  private def land(dir: String, name: String, bytes: Array[Byte],
+      mtime: Long = -1L): Unit = {
+    Files.createDirectories(java.nio.file.Paths.get(dir))
     val tmp = java.nio.file.Paths.get(dir, "." + name + ".tmp")
     Files.write(tmp, bytes)
+    if (mtime >= 0)
+      Files.setLastModifiedTime(tmp,
+        java.nio.file.attribute.FileTime.fromMillis(mtime))
     Files.move(tmp, java.nio.file.Paths.get(dir, name),
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
   }
@@ -102,6 +109,177 @@ class ShardTablesSpec extends SparkSpec {
     val ledger = new java.io.File(root + "/ckpt/sources/0/graft-tar-ledger")
     assert(!ledger.exists() || ledger.listFiles().nonEmpty,
       "ledger dir expected under the per-source checkpoint")
+  }
+
+  test("dated subdirectory layouts: the stream AND batch listings recurse") {
+    val spark = this.spark
+    val root = Files.createTempDirectory("graft_tardated_").toString
+    val in = root + "/in"
+    Files.createDirectories(java.nio.file.Paths.get(in))
+    val out = root + "/out"
+    val q = spark.readStream.format("graft-tar").load(in)
+      .filter(col("member_type") === "file")
+      .select(col("shard"), col("member_name"))
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", root + "/ckpt").start()
+    try {
+      // wave 1 lands under one dated dir, wave 2 under another — the
+      // consumer globs NOTHING by hand; a _tmp dir stays invisible
+      land(in + "/date=2026-08-01", "w1.tar", shard(Seq(1)))
+      q.processAllAvailable()
+      assert(spark.read.parquet(out).count() == 2)
+      land(in + "/date=2026-08-02", "w2.tar", shard(Seq(2, 3)))
+      land(in + "/_staging", "ignored.tar", shard(Seq(9)))
+      q.processAllAvailable()
+      val got = spark.read.parquet(out).collect()
+        .map(r => (r.getString(0).split('/').takeRight(2).mkString("/"),
+          r.getString(1))).toSet
+      assert(got == Set(
+        ("date=2026-08-01/w1.tar", "000001.jpg"),
+        ("date=2026-08-01/w1.tar", "000001.txt"),
+        ("date=2026-08-02/w2.tar", "000002.jpg"),
+        ("date=2026-08-02/w2.tar", "000002.txt"),
+        ("date=2026-08-02/w2.tar", "000003.jpg"),
+        ("date=2026-08-02/w2.tar", "000003.txt")))
+    } finally q.stop()
+    // the BATCH surface walks the same dated tree (and skips _staging)
+    val batch = spark.read.format("graft-tar").load(in)
+      .filter(col("member_type") === "file")
+    assert(batch.count() == 6)
+    // and a zip inventory under dated dirs lists recursively too
+    val zin = root + "/zin"
+    land(zin + "/date=2026-08-01", "b.npz",
+      ArchiveCodec.zipStored(Seq(("x.npy", data2))))
+    land(zin + "/date=2026-08-02", "c.npz",
+      ArchiveCodec.zipStored(Seq(("y.npy", data2), ("z.npy", data1))))
+    assert(spark.read.format("graft-zip").load(zin).count() == 3)
+  }
+
+  test("ledger compaction bounds segments and restart replays from the compact") {
+    val spark = this.spark
+    val root = Files.createTempDirectory("graft_tarcompact_").toString
+    val in = root + "/in"
+    Files.createDirectories(java.nio.file.Paths.get(in))
+    val out = root + "/out"
+    def start() = spark.readStream.format("graft-tar")
+      .option("maxFilesPerTrigger", "1")
+      .option("ledgerCompactInterval", "2")
+      .load(in)
+      .filter(col("member_type") === "file")
+      .select(col("shard"), col("member_name"))
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", root + "/ckpt").start()
+    (1 to 6).foreach(j => land(in, f"w$j%02d.tar", shard(Seq(j))))
+    val q1 = start()
+    try {
+      q1.processAllAvailable()
+      assert(spark.read.parquet(out).count() == 12)
+    } finally q1.stop()
+    // 6 files at 1/trigger = 6 batches; the engine commits each batch one
+    // trigger late, so at least commits 1..5 landed — compaction every 2
+    // must have folded the committed history: exactly one compact, and
+    // only the post-fold tail of regular segments (bounded, not 6)
+    def ledgerFiles() = new java.io.File(root + "/ckpt/sources/0/graft-tar-ledger")
+      .listFiles().filter(f => !f.getName.startsWith(".")).toSeq
+    val l1 = ledgerFiles()
+    assert(l1.map(_.getName).count(_.endsWith(".compact")) == 1,
+      s"one compact segment expected, got: ${l1.map(_.getName).mkString(",")}")
+    val regulars1 = l1.filter(f => !f.getName.endsWith(".compact"))
+    assert(regulars1.size <= 2,
+      s"committed segments must fold away: ${l1.map(_.getName).mkString(",")}")
+    def compactLines() = {
+      val src = scala.io.Source.fromFile(
+        ledgerFiles().find(_.getName.endsWith(".compact")).get)
+      try src.getLines().toList finally src.close()
+    }
+    val lines1 = compactLines()
+    assert(lines1.head.startsWith("compact\t"))
+    val fold1 = lines1.head.split('\t')(1).toLong
+    assert(fold1 >= 4, s"fold point $fold1 after 5+ commits at interval 2")
+    // restart on the compacted checkpoint: nothing re-ingests, new flows,
+    // and the next compactions keep folding (incl. the restart tail)
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      assert(spark.read.parquet(out).count() == 12)
+      (7 to 9).foreach(j => land(in, f"w$j%02d.tar", shard(Seq(j))))
+      q2.processAllAvailable()
+      assert(spark.read.parquet(out).count() == 18)
+    } finally q2.stop()
+    val l2 = ledgerFiles()
+    assert(l2.map(_.getName).count(_.endsWith(".compact")) == 1)
+    assert(l2.count(f => !f.getName.endsWith(".compact")) <= 2,
+      s"segments keep folding across restarts: ${l2.map(_.getName).mkString(",")}")
+    val lines2 = compactLines()
+    assert(lines2.head.split('\t')(1).toLong > fold1, "the fold point advances")
+    // every admitted path is still dedup-tracked (seen survives the fold)
+    val q3 = start()
+    try {
+      q3.processAllAvailable()
+      assert(spark.read.parquet(out).count() == 18)
+    } finally q3.stop()
+  }
+
+  test("maxFileAge: too-old arrivals never admit, and their seen entries evict") {
+    val spark = this.spark
+    val root = Files.createTempDirectory("graft_tarage_").toString
+    val in = root + "/in"
+    Files.createDirectories(java.nio.file.Paths.get(in))
+    val out = root + "/out"
+    val hour = 3600L * 1000
+    val t0 = 1700000000000L // fixed epoch: the test owns every mtime
+    def start() = spark.readStream.format("graft-tar")
+      .option("maxFileAge", "1h")
+      .option("ledgerCompactInterval", "1")
+      .load(in)
+      .filter(col("member_type") === "file")
+      .select(col("shard"), col("member_name"))
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", root + "/ckpt").start()
+    val q = start()
+    try {
+      land(in, "w1.tar", shard(Seq(1)), mtime = t0)
+      q.processAllAvailable()
+      assert(spark.read.parquet(out).count() == 2)
+      // 2h older than the newest admitted mtime: outside the age window,
+      // never admitted — and never will be
+      land(in, "wold.tar", shard(Seq(2)), mtime = t0 - 2 * hour)
+      q.processAllAvailable()
+      assert(spark.read.parquet(out).count() == 2)
+      // a much newer arrival advances the watermark past w1's mtime:
+      // w1 becomes evictable from `seen` (it can't re-admit — the age
+      // gate now rejects its mtime) and the next compaction drops it
+      land(in, "wnew.tar", shard(Seq(3)), mtime = t0 + 2 * hour)
+      q.processAllAvailable()
+      assert(spark.read.parquet(out).count() == 4)
+      // a late file with a pre-watermark mtime is rejected by AGE (not by
+      // the seen-set): stale backfills can't sneak under the watermark
+      land(in, "wlate.tar", shard(Seq(4)), mtime = t0)
+      q.processAllAvailable()
+      assert(spark.read.parquet(out).count() == 4)
+      // one more in-window arrival forces a commit+compaction that
+      // observes the advanced watermark
+      land(in, "wnew2.tar", shard(Seq(5)), mtime = t0 + 2 * hour)
+      q.processAllAvailable()
+      assert(spark.read.parquet(out).count() == 6)
+    } finally q.stop()
+    // the latest compact holds only watermark-surviving entries: w1 (and
+    // the never-admitted wold/wlate) are gone, the fresh files remain
+    val ledger = new java.io.File(root + "/ckpt/sources/0/graft-tar-ledger")
+      .listFiles().filter(_.getName.endsWith(".compact"))
+    assert(ledger.length == 1)
+    val src = scala.io.Source.fromFile(ledger.maxBy(_.getName))
+    val lines = try src.getLines().toList finally src.close()
+    assert(lines.count(_.contains("wnew.tar")) == 1)
+    assert(!lines.exists(_.contains("w1.tar")),
+      s"evicted entry survived compaction: $lines")
+    assert(!lines.exists(_.contains("wold.tar")))
+    // restart: the bounded seen-set still dedups (nothing re-ingests)
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      assert(spark.read.parquet(out).count() == 6)
+    } finally q2.stop()
   }
 
   test("maxFilesPerTrigger throttles admission; backlog drains over triggers") {
