@@ -3465,6 +3465,33 @@ object Battery {
     // file tracking means the union of batches is exactly one pass over
     // every member — the q242 closed form re-derived through continuous
     // ingest, payload bytes pinned per sample.
+    // MEMBER-PREDICATE PUSHDOWN on the SQL shard surface: `WHERE
+    // member_name LIKE '%.txt'` evaluates per HEADER inside the walk, so
+    // only txt bytes are ever materialized (jpg payloads are seeked
+    // over) — and the pushed answer hash-matches the unpushed RDD twin
+    // row for row (the strict-subset-of-bytes proof, via-tagged like
+    // q250). PlanQualitySpec pins the filters in the scan description.
+    "q260_tar_member_pushdown" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft_tpush_")
+        .toString + "/lake"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+      writeWdsShards(s, d, dir, _ => true, id => (id / 2) % 32,
+        sid => f"s$sid%05d", withJson = false, _ => "tar")
+      def shape(df: org.apache.spark.sql.DataFrame, via: String) = df
+        .filter(col("member_name").endsWith(".txt") &&
+          col("member_type") === "file")
+        .select(col("member_name"), lit(via).as("via"),
+          col("member_size"), length(col("payload")).cast("long").as("payload_len"))
+      shape(s.read.format("graft-tar").load(dir + "/*"), "pushed")
+        .unionByName(shape(graft.sources.TarShards.read(s, dir + "/*"), "rdd"))
+        .withColumn("doc_id",
+          regexp_extract(col("member_name"), "^d(\\d+)/", 1).cast("long"))
+        .withColumn("j",
+          regexp_extract(col("member_name"), "/0*(\\d+)\\.txt$", 1).cast("long"))
+        .select(col("doc_id"), col("j"), col("via"),
+          col("member_size"), col("payload_len"))
+    }),
+
     // DATED-LAYOUT continuous ingest with a BOUNDED ledger: producers
     // land shards under date= subdirectories (no consumer globs), the
     // arrival walk recurses, and the run drives admissions past a small
@@ -7519,6 +7546,13 @@ object Battery {
         |  CASE WHEN d.doc_id % 2 = 0 THEN 'jpg,json,txt'
         |    ELSE 'jpg,txt' END AS exts
         |FROM documents d, range(1, 5) t(j)
+        |WHERE t.j <= d.doc_id % 4 + 1""".stripMargin,
+    // pushed and unpushed surfaces return the identical txt-member rows
+    "q260_tar_member_pushdown" ->
+      """SELECT d.doc_id, CAST(t.j AS BIGINT) AS j, v.via,
+        |  CAST(t.j * 2 + 1 AS BIGINT) AS member_size,
+        |  CAST(t.j * 2 + 1 AS BIGINT) AS payload_len
+        |FROM documents d, range(1, 5) t(j), (VALUES ('pushed'), ('rdd')) v(via)
         |WHERE t.j <= d.doc_id % 4 + 1""".stripMargin,
     // the q247 closed form through dated subdirs + ledger compaction +
     // age watermark; wave parity (doc parity) pins which dated dir

@@ -9,8 +9,9 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.sources
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -183,15 +184,72 @@ private[sources] class TarShardTable(path: String) extends Table with SupportsRe
 }
 
 private[sources] class TarScanBuilder(path: String, options: CaseInsensitiveStringMap)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters {
   private var required: StructType = TarShards.schema
+  private var pushed: Array[sources.Filter] = Array.empty
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  override def build(): Scan = new TarScan(path, options, required)
+  // member_name/member_type predicates evaluate per HEADER inside the
+  // walk, so non-matching payloads are skipped (seeked over on
+  // uncompressed shards), never materialized: `SELECT payload WHERE
+  // member_name LIKE '%.jpg'` costs jpg bytes only — the per-member twin
+  // of the withPayload column-pruning pushdown
+  override def pushFilters(filters: Array[sources.Filter]): Array[sources.Filter] = {
+    val (accepted, rest) = filters.partition(TarMemberFilter.supported)
+    pushed = accepted
+    rest
+  }
+  override def pushedFilters(): Array[sources.Filter] = pushed
+  override def build(): Scan = new TarScan(path, options, required, pushed)
+}
+
+/** The pushable member predicates and their executor-side evaluation —
+ *  name equality/prefix/suffix/contains/IN and type equality (LIKE
+ *  'x%' / '%x' / '%x%' arrive as StringStartsWith/EndsWith/Contains). */
+private[sources] object TarMemberFilter {
+  import org.apache.spark.sql.sources._
+
+  def supported(f: Filter): Boolean = f match {
+    case EqualTo("member_name", _: String) => true
+    case EqualTo("member_type", _: String) => true
+    case StringStartsWith("member_name", _) => true
+    case StringEndsWith("member_name", _) => true
+    case StringContains("member_name", _) => true
+    case In("member_name", vs) => vs.forall(_.isInstanceOf[String])
+    case In("member_type", vs) => vs.forall(_.isInstanceOf[String])
+    // the columns are non-nullable; accept so the residual plan is clean
+    case IsNotNull("member_name" | "member_type") => true
+    case And(l, r) => supported(l) && supported(r)
+    case Or(l, r) => supported(l) && supported(r)
+    case Not(c) => supported(c)
+    case _ => false
+  }
+
+  def eval(f: Filter, name: String, typ: String): Boolean = f match {
+    case EqualTo("member_name", v: String) => name == v
+    case EqualTo("member_type", v: String) => typ == v
+    case StringStartsWith("member_name", v) => name.startsWith(v)
+    case StringEndsWith("member_name", v) => name.endsWith(v)
+    case StringContains("member_name", v) => name.contains(v)
+    case In("member_name", vs) => vs.contains(name)
+    case In("member_type", vs) => vs.contains(typ)
+    case IsNotNull(_) => true
+    case And(l, r) => eval(l, name, typ) && eval(r, name, typ)
+    case Or(l, r) => eval(l, name, typ) || eval(r, name, typ)
+    case Not(c) => !eval(c, name, typ)
+    case _ => true
+  }
+
+  /** Conjunction of all pushed filters as the walk's `keep` predicate. */
+  def keepFn(filters: Array[Filter]): (String, String) => Boolean =
+    if (filters == null || filters.isEmpty) null
+    else (name, typ) => filters.forall(eval(_, name, typ))
 }
 
 private[sources] class TarScan(
-    path: String, options: CaseInsensitiveStringMap, required: StructType)
+    path: String, options: CaseInsensitiveStringMap, required: StructType,
+    pushed: Array[sources.Filter] = Array.empty)
     extends Scan {
 
   private def spark = SparkSession.active
@@ -212,12 +270,13 @@ private[sources] class TarScan(
   override def readSchema(): StructType = required
 
   override def description(): String =
-    s"graft-tar $path payload=$withPayload permissive=$permissive"
+    s"graft-tar $path payload=$withPayload permissive=$permissive " +
+      s"PushedMemberFilters: [${pushed.mkString(", ")}]"
 
   private def factory: PartitionReaderFactory =
     new TarMemberReaderFactory(
       new SerializableConfiguration(spark.sessionState.newHadoopConf()),
-      required, cap, withPayload, permissive)
+      required, cap, withPayload, permissive, pushed)
 
   override def toBatch: Batch = new Batch {
     override def planInputPartitions(): Array[InputPartition] =
@@ -270,7 +329,8 @@ private[sources] class TarMemberReaderFactory(
     required: StructType,
     cap: Long,
     withPayload: Boolean,
-    permissive: Boolean) extends PartitionReaderFactory {
+    permissive: Boolean,
+    pushed: Array[sources.Filter] = Array.empty) extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val part = partition.asInstanceOf[TarShardPartition]
@@ -300,7 +360,8 @@ private[sources] class TarMemberReaderFactory(
         if (quarantined) false
         else try {
           if (members == null)
-            members = TarShards.members(stream, path, cap, withPayload)
+            members = TarShards.members(stream, path, cap, withPayload,
+              keep = TarMemberFilter.keepFn(pushed))
           if (members.hasNext) { cur = members.next(); true } else false
         } catch {
           case scala.util.control.NonFatal(e)

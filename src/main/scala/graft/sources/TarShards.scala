@@ -423,11 +423,18 @@ object TarShards {
 
   /** Streaming member iterator over one (possibly gzip/zstd-compressed)
    *  tar stream. O(member) memory; FAILFAST with `source` + member
-   *  index. Exposed for direct use (and the multi-GB generator specs). */
+   *  index. Exposed for direct use (and the multi-GB generator specs).
+   *  `keep` is the PUSHED member predicate (null = keep all): evaluated
+   *  on (resolved name, type) right after the header, BEFORE the payload
+   *  is touched — a non-matching member's payload is `skip`ped (a real
+   *  seek on uncompressed FS streams), so a pushed name filter costs
+   *  only the selected members' bytes. The over-cap guard gates only
+   *  payloads actually materialized. */
   def members(in0: InputStream, source: String,
       maxMemberBytes: Long = maxMemberBytesDefault,
       withPayload: Boolean = true,
-      taskCleanup: Boolean = true): Iterator[TarMember] = {
+      taskCleanup: Boolean = true,
+      keep: (String, String) => Boolean = null): Iterator[TarMember] = {
     require(maxMemberBytes > 0 && maxMemberBytes < Int.MaxValue,
       s"maxMemberBytes must fit a byte array, got $maxMemberBytes")
     val buffered = new BufferedInputStream(in0, 1 << 16)
@@ -495,12 +502,6 @@ object TarShards {
               pendingPaxPath = TarHeaders.paxPathOf(paxB, 0, paxB.length)
             skipFully(in, pad, fail)
           } else {
-            // the cap is the per-task MEMORY bound, so it gates only
-            // materialized payloads — an inventory pass (withPayload =
-            // false) lists members of any size, it allocates nothing
-            if (withPayload && h.size > maxMemberBytes)
-              fail(s"member of ${h.size} bytes exceeds cap $maxMemberBytes — " +
-                "raise maxMemberBytes if the layout is intentional")
             val name =
               if (pendingPaxPath != null) pendingPaxPath
               else if (pendingLongName != null) pendingLongName
@@ -508,14 +509,21 @@ object TarShards {
             pendingLongName = null
             pendingPaxPath = null
             val typeName = TarHeaders.typeName(h.typ)
+            val matches = keep == null || keep(name, typeName)
+            // the cap is the per-task MEMORY bound, so it gates only
+            // materialized payloads — an inventory pass (withPayload =
+            // false) or a filtered-out member allocates nothing
+            if (withPayload && matches && h.size > maxMemberBytes)
+              fail(s"member of ${h.size} bytes exceeds cap $maxMemberBytes — " +
+                "raise maxMemberBytes if the layout is intentional")
             val payload =
-              if (typeName == "file" && withPayload) {
+              if (typeName == "file" && withPayload && matches) {
                 val p = new Array[Byte](h.size.toInt)
                 readFully(in, p, fail)
                 p
               } else { skipFully(in, h.size, fail); null }
             skipFully(in, pad, fail)
-            if (name.nonEmpty) {
+            if (name.nonEmpty && matches) {
               nextRec = TarMember(source, name, h.size, dataStart, typeName, payload)
               idx += 1
             }

@@ -904,6 +904,39 @@ class PlanQualitySpec extends SparkSpec {
     assert(df.collect().forall(r => (1 to 3).forall(r.isNullAt)))
   }
 
+  test("graft-tar member predicates push into the shard walk") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_pq_tarpush_").toString
+    val shard = graft.functions.ArchiveCodec.tar((1 to 4).flatMap { j =>
+      Seq((f"d$j%02d.jpg", Array.fill[Byte](j * 7)(3)),
+        (f"d$j%02d.txt", Array.fill[Byte](j * 2 + 1)(5)))
+    })
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "s0.tar"), shard)
+    val pushed = spark.read.format("graft-tar").load(dir + "/*")
+      .filter(col("member_name").endsWith(".txt") &&
+        col("member_type") === "file")
+      .select(col("member_name"), col("member_size"), length(col("payload")))
+    val plan = pushed.queryExecution.executedPlan.toString
+    // the predicate reaches the scan: non-matching payloads are skipFully'd
+    // per header, never materialized
+    assert(plan.contains("PushedMemberFilters: [") &&
+      plan.contains("StringEndsWith(member_name,.txt)") &&
+      plan.contains("EqualTo(member_type,file)"),
+      s"member predicates must push into the tar scan:\n$plan")
+    // fully handled at the source: no residual Filter NODE re-tests them
+    // (the scan's own description line legitimately names the filters)
+    assert(!plan.linesIterator.exists(l =>
+      !l.contains("BatchScan") && l.contains("Filter") &&
+        l.contains("member_name")),
+      s"pushed name predicate must leave the post-scan plan:\n$plan")
+    // and the pushed answer is the unpushed twin's
+    val twin = graft.sources.TarShards.read(spark, dir + "/*")
+      .filter(col("member_name").endsWith(".txt") &&
+        col("member_type") === "file")
+      .select(col("member_name"), col("member_size"), length(col("payload")))
+    assert(pushed.collect().map(_.toSeq).toSet == twin.collect().map(_.toSeq).toSet)
+    assert(pushed.count() == 4)
+  }
+
   test("hamming LSH mining decodes blobs once and mines distinct hashes only") {
     import spark.implicits._
     val blobs = (1L to 50L).map { i =>
