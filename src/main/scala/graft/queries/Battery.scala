@@ -3465,6 +3465,73 @@ object Battery {
     // file tracking means the union of batches is exactly one pass over
     // every member — the q242 closed form re-derived through continuous
     // ingest, payload bytes pinned per sample.
+    // STREAMING EXPORT LEG (writeShardsStream): the continuous curation
+    // loop closes — shards ARRIVE over two waves, each micro-batch
+    // re-exports its samples as zstd shards into batch=<id> subdirs
+    // (replay-idempotent deterministic names, spec-proven), and the
+    // exported lake read back replays the q247 member math exactly with
+    // every sample in exactly one output shard.
+    "q261_wds_stream_export" -> ((s, d) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_wsex_").toString
+      val in = root + "/in"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+      val out = root + "/out"
+      def writeWave(wave: Int): Unit =
+        writeWdsShards(s, d, in, id => id % 2 == wave, id => (id / 2) % 32,
+          sid => f"w$wave%d-$sid%05d", withJson = false, _ => "tar")
+      val q = graft.sources.TarShards.writeShardsStream(
+        graft.sources.TarShards.readWebDatasetStream(s, in)
+          .select(col("sample_key"), col("member_name"), col("payload")),
+        out, root + "/ckpt", targetShardBytes = 1 << 20,
+        shardPartitions = 8, compression = "zstd")
+      try {
+        writeWave(0)
+        q.processAllAvailable()
+        writeWave(1)
+        q.processAllAvailable()
+      } finally q.stop()
+      graft.sources.TarShards.readWebDataset(s, out + "/batch=*/*")
+        .withColumn("doc_id",
+          regexp_extract(col("sample_key"), "^d(\\d+)/", 1).cast("long"))
+        .withColumn("j",
+          regexp_extract(col("sample_key"), "/0*(\\d+)$", 1).cast("long"))
+        .groupBy(col("doc_id"), col("j"))
+        .agg(count(lit(1)).as("n_members"),
+          sum(col("member_size")).as("total_bytes"),
+          countDistinct(col("shard")).as("n_shards"))
+    }),
+
+    // NPZ EXPORT LEG (ZipShards.writeBundles): curated tensors write
+    // back as size-capped DEFLATED bundles (savez_compressed layout,
+    // one shuffle, streaming zip writer), and the q250 closed form
+    // replays over OUR OWN output: SQL inventory of the exported lake →
+    // fetchStored inflate → npy_meta gives back the planted shapes.
+    "q262_npz_export" -> ((s, d) => {
+      import s.implicits._
+      import graft.functions.NpyCodec
+      val dir = java.nio.file.Files.createTempDirectory("graft_npzw_")
+        .toString + "/lake"
+      val members = docs(s, d).select(col("doc_id")).as[Long].flatMap { id =>
+        val n = id % 7 + 1
+        Seq((f"d$id%06d", f"d$id%06d.npy",
+            NpyCodec.encode("<i8", fortran = false, Seq(n), (n * 8).toInt)),
+          (f"d$id%06d", f"d$id%06d.txt",
+            Array.fill[Byte]((id % 20 + 1).toInt)('t')))
+      }.toDF("sample_key", "member_name", "payload")
+      graft.sources.ZipShards.writeBundles(members, dir,
+        targetBundleBytes = 1 << 20, bundlePartitions = 8,
+        method = "deflated").count()
+      val inv = s.read.format("graft-zip").load(dir)
+      graft.sources.ZipShards.fetchStored(
+          inv.filter(col("member_name").endsWith(".npy")))
+        .withColumn("doc_id",
+          regexp_extract(col("member_name"), "^d0*(\\d+)\\.npy$", 1).cast("long"))
+        .withColumn("__m", graft.functions.NpyMetaExpr(col("payload")))
+        .select(col("doc_id"), col("method"),
+          col("__m.n_elems").as("n_elems"),
+          col("__m.data_bytes").as("data_bytes"))
+    }),
+
     // MEMBER-PREDICATE PUSHDOWN on the SQL shard surface: `WHERE
     // member_name LIKE '%.txt'` evaluates per HEADER inside the walk, so
     // only txt bytes are ever materialized (jpg payloads are seeked
@@ -7547,6 +7614,22 @@ object Battery {
         |    ELSE 'jpg,txt' END AS exts
         |FROM documents d, range(1, 5) t(j)
         |WHERE t.j <= d.doc_id % 4 + 1""".stripMargin,
+    // the q247 member math through the STREAMING export leg; exactly one
+    // output shard per sample (the no-split rule under micro-batching)
+    "q261_wds_stream_export" ->
+      """SELECT d.doc_id, CAST(t.j AS BIGINT) AS j,
+        |  CAST(2 AS BIGINT) AS n_members,
+        |  CAST(t.j * 5 + 6 AS BIGINT) AS total_bytes,
+        |  CAST(1 AS BIGINT) AS n_shards
+        |FROM documents d, range(1, 5) t(j)
+        |WHERE t.j <= d.doc_id % 4 + 1""".stripMargin,
+    // the q250 closed form over OUR OWN deflated export: every member
+    // method 8, planted npy shapes replay through inventory+fetch
+    "q262_npz_export" ->
+      """SELECT doc_id, CAST(8 AS INTEGER) AS method,
+        |  CAST(doc_id % 7 + 1 AS BIGINT) AS n_elems,
+        |  CAST((doc_id % 7 + 1) * 8 AS BIGINT) AS data_bytes
+        |FROM documents""".stripMargin,
     // pushed and unpushed surfaces return the identical txt-member rows
     "q260_tar_member_pushdown" ->
       """SELECT d.doc_id, CAST(t.j AS BIGINT) AS j, v.via,

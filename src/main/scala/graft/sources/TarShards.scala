@@ -421,6 +421,44 @@ object TarShards {
       }(enc)
   }
 
+  /**
+   * STREAMING shard export — the write leg of the CONTINUOUS curation
+   * loop (arrival ingest → dedup/filter → shard export, q247-style):
+   * each micro-batch exports through [[writeShards]] into its own
+   * `batch=<batchId>` subdirectory, so batch REPLAYS are idempotent by
+   * construction — a replayed batch has identical input rows
+   * (exactly-once source), lands in the same subdirectory with
+   * `overwrite = true` (stale part files from a half-finished attempt
+   * are cleared first), and deterministic (partition, bin) names
+   * reproduce identical files. Readers take the whole lake with one
+   * recursive listing (`spark.read.format("graft-tar").load(dir)` or
+   * `readWebDataset(spark, dir + "/batch=STAR/STAR")` — STAR = asterisk) — `batch=` dirs are just
+   * dated-layout subdirectories to every graft reader.
+   *
+   * Each batch's manifest persists as parquet under `dir/.manifests/
+   * batch=<batchId>` (dot-prefixed: invisible to shard globs and the
+   * recursive listers), mode=overwrite for the same replay idempotency.
+   * Returns the started [[StreamingQuery]].
+   */
+  def writeShardsStream(df: DataFrame, dir: String, checkpointLocation: String,
+      keyCol: String = "sample_key", nameCol: String = "member_name",
+      payloadCol: String = "payload",
+      targetShardBytes: Long = 1L << 30,
+      shardPartitions: Int = 0,
+      compression: String = "none"): org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .option("checkpointLocation", checkpointLocation)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val manifest = writeShards(batch, s"$dir/batch=$batchId",
+          keyCol, nameCol, payloadCol, targetShardBytes, shardPartitions,
+          compression, overwrite = true)
+        // writing the manifest EXECUTES the export (writeShards is lazy)
+        // and persists it replay-idempotently in one stroke
+        manifest.write.mode("overwrite")
+          .parquet(s"$dir/.manifests/batch=$batchId")
+      }
+      .start()
+
   /** Streaming member iterator over one (possibly gzip/zstd-compressed)
    *  tar stream. O(member) memory; FAILFAST with `source` + member
    *  index. Exposed for direct use (and the multi-GB generator specs).

@@ -229,4 +229,78 @@ class ZipShardsSpec extends SparkSpec {
       s"expected the salted fetch to span >1 task, got ${perPart.length}")
     for ((_, offs) <- perPart) assert(offs == offs.sorted)
   }
+
+  test("writeBundles round-trips stored AND deflated through every reader path") {
+    import spark.implicits._
+    val rows = (1 to 40).flatMap { i =>
+      val npy = NpyCodec.encode("<i8", fortran = false,
+        Seq(i % 5 + 1L), ((i % 5) + 1) * 8)
+      Seq((f"s$i%03d", f"s$i%03d.npy", npy),
+        (f"s$i%03d", f"s$i%03d.txt", Array.fill[Byte](i % 9 + 1)('m')))
+    }
+    val df = rows.toDF("sample_key", "member_name", "payload")
+    for (method <- Seq("stored", "deflated")) {
+      val dir = Files.createTempDirectory(s"graft_zipw_$method").toString + "/lake"
+      val manifest = ZipShards.writeBundles(df, dir,
+        targetBundleBytes = 1024, bundlePartitions = 4,
+        method = method).collect()
+      assert(manifest.length > 4, "size cap must roll multiple bundles")
+      // manifest bytes are exact on-disk sizes; no dot-temps survive
+      val disk = new java.io.File(dir).listFiles()
+      assert(disk.forall(f => !f.getName.endsWith(".tmp")))
+      val sizes = disk.map(f => f.getPath -> f.length()).toMap
+      for (m <- manifest)
+        assert(m.getLong(3) == sizes(m.getString(0).stripPrefix("file:")))
+      assert(manifest.map(_.getLong(1)).sum == 80L) // members conserved
+      assert(manifest.map(_.getLong(2)).sum == 40L) // samples conserved
+      // seekable inventory + fetch: every payload identical to the input
+      val inv = ZipShards.inventory(spark, dir + "/*.npz")
+      val wantMethod = if (method == "deflated") 8 else 0
+      assert(inv.collect().forall(_.getInt(2) == wantMethod))
+      val fetched = ZipShards.fetchStored(inv)
+        .select("member_name", "payload").collect()
+        .map(r => r.getString(0) -> r.getAs[Array[Byte]](1)).toMap
+      assert(fetched.keySet == rows.map(_._2).toSet)
+      for ((_, name, p) <- rows)
+        assert(java.util.Arrays.equals(fetched(name), p), s"$method $name diverges")
+      // the blob walk agrees (java.util.zip-independent reader path)
+      val viaBlob = spark.read.format("binaryFile").load(dir + "/*.npz")
+        .select(org.apache.spark.sql.functions.explode(
+          graft.functions.ZipEntriesExpr(col("content"))).as("e"))
+        .select(col("e.name")).as[String].collect().toSet
+      assert(viaBlob == rows.map(_._2).toSet)
+      // and java.util.zip itself reads a bundle (format conformance)
+      val one = disk.filter(_.getName.endsWith(".npz")).head
+      val zf = new java.util.zip.ZipFile(one)
+      try {
+        val es = zf.entries()
+        while (es.hasMoreElements) {
+          val e = es.nextElement()
+          val got = new java.io.ByteArrayInputStream(
+            zf.getInputStream(e).readAllBytes())
+          val want = rows.find(_._2 == e.getName).get._3
+          assert(java.util.Arrays.equals(got.readAllBytes(), want))
+        }
+      } finally zf.close()
+      // sample integrity: both members of a key share one bundle
+      val perKey = ZipShards.fetchStored(inv).collect()
+        .groupBy(_.getString(1).take(4))
+        .view.mapValues(_.map(_.getString(0)).distinct.length)
+      assert(perKey.values.forall(_ == 1), "a sample split across bundles")
+    }
+    // ghost-data guard + duplicate refusal (the writeShards discipline)
+    val dirty = Files.createTempDirectory("graft_zipw_dirty").toString + "/lake"
+    ZipShards.writeBundles(df, dirty, bundlePartitions = 2).collect()
+    val eDirty = intercept[IllegalArgumentException](
+      ZipShards.writeBundles(df.limit(2), dirty, bundlePartitions = 2).collect())
+    assert(eDirty.getMessage.contains("already holds"))
+    ZipShards.writeBundles(df, dirty, bundlePartitions = 2,
+      overwrite = true).collect() // same data re-exports cleanly
+    val dup = Seq(("k", "m.npy", Array[Byte](1)), ("k", "m.npy", Array[Byte](2)))
+      .toDF("sample_key", "member_name", "payload")
+    val eDup = intercept[org.apache.spark.SparkException](
+      ZipShards.writeBundles(dup, dirty + "2").collect())
+    assert(eDup.getMessage.contains("duplicate member") ||
+      eDup.getCause != null && eDup.getCause.getMessage.contains("duplicate member"))
+  }
 }
