@@ -166,6 +166,171 @@ object OggMetaExpr {
     GraftShims.column(new OggMetaExpr(GraftShims.expression(col)))
 }
 
+/**
+ * Ogg granule SEEK PLANNING — the Vorbis/Opus twin of the FLAC SEEKTABLE
+ * plan ([[FlacSeek]]) and the MP4/MKV keyframe plans: ogg carries no
+ * seek table, but every page header carries its granule position (the
+ * last sample completed on that page), so the page walk IS the seek
+ * index. Each emitted point (granule, byte_off) means "samples after
+ * `granule` begin at `byte_off`" — byte_off is the NEXT page boundary,
+ * where a decoder can resync (pages open with a capture pattern) and
+ * decode only the tail a selection wants.
+ */
+object OggSeek {
+
+  val elementType: StructType = StructType(Seq(
+    StructField("granule", LongType, nullable = false),
+    StructField("byte_off", LongType, nullable = false)))
+
+  private val MaxPages = 1 << 20
+
+  private def tag(b: Array[Byte], i: Int): Boolean =
+    i + 4 <= b.length && b(i) == 'O' && b(i + 1) == 'g' &&
+      b(i + 2) == 'g' && b(i + 3) == 'S'
+  private def leU32(b: Array[Byte], i: Int): Long =
+    (b(i) & 0xffL) | ((b(i + 1) & 0xffL) << 8) | ((b(i + 2) & 0xffL) << 16) |
+      ((b(i + 3) & 0xffL) << 24)
+  private def leU64(b: Array[Byte], i: Int): Long =
+    leU32(b, i) | (leU32(b, i + 4) << 32)
+
+  /**
+   * Seek plan as (granule, byte_off) pairs, file order, granules
+   * ascending. Pages whose granule is -1 (a packet spans them) carry no
+   * point; any OTHER negative or >= 2^50 granule is a lying header and
+   * ends the plan (corrupt data, never an exception). When the stream
+   * has more point-bearing pages than `maxPoints`, points DECIMATE
+   * evenly (every 2^k-th page) and the FINAL point always survives — its
+   * byte_off is the end of the walked stream, so tail selections stay
+   * addressable. Null for non-Ogg bytes.
+   */
+  def pagepoints(b: Array[Byte], maxPoints: Int): Array[(Long, Long)] =
+    try pagepointsUnsafe(b, maxPoints)
+    catch { case _: IndexOutOfBoundsException => null }
+
+  private def pagepointsUnsafe(b: Array[Byte], maxPoints: Int): Array[(Long, Long)] = {
+    if (b == null || b.length < 27 || !tag(b, 0)) return null
+    val buf = new scala.collection.mutable.ArrayBuffer[(Long, Long)](
+      math.min(maxPoints * 2, 128))
+    var step = 1L
+    var count = 0L
+    var lastPoint: (Long, Long) = null
+    def halve(): Unit = {
+      // drop odd positions, double the stride: even spacing at O(maxPoints)
+      var w = 0
+      var r = 0
+      while (r < buf.length) { buf(w) = buf(r); w += 1; r += 2 }
+      buf.remove(w, buf.length - w)
+      step *= 2
+    }
+    var i = 0
+    var pages = 0
+    var ok = true
+    while (ok && i + 27 <= b.length && tag(b, i) && pages < MaxPages) {
+      if (b(i + 4) != 0) ok = false // unknown version: stop at what we have
+      else {
+        val granule = leU64(b, i + 6)
+        val nseg = b(i + 26) & 0xff
+        if (i + 27 + nseg > b.length) ok = false
+        else {
+          var bodyLen = 0
+          var s = 0
+          while (s < nseg) { bodyLen += b(i + 27 + s) & 0xff; s += 1 }
+          val next = i + 27 + nseg + bodyLen
+          if (next > b.length) ok = false
+          else {
+            if (granule != -1L) {
+              if (granule < 0 || granule >= (1L << 50)) ok = false // lying
+              else {
+                val p = (granule, next.toLong)
+                lastPoint = p
+                if (count % step == 0) {
+                  buf += p
+                  if (buf.length >= 2 * maxPoints && buf.length >= 2) halve()
+                }
+                count += 1
+              }
+            }
+            if (ok) { i = next; pages += 1 }
+          }
+        }
+      }
+    }
+    if (pages == 0) return null
+    // the final point must survive decimation: tail seeks depend on it
+    if (lastPoint != null && (buf.isEmpty || buf.last != lastPoint)) {
+      if (buf.length >= maxPoints) buf(buf.length - 1) = lastPoint
+      else buf += lastPoint
+    }
+    while (buf.length > maxPoints && buf.length >= 2) {
+      val last = buf.last
+      halve()
+      if (buf.last != last) {
+        if (buf.length >= maxPoints) buf(buf.length - 1) = last else buf += last
+      }
+    }
+    buf.toArray
+  }
+
+  /** Shared eval for interpreted and generated code paths. */
+  def pagepointsArray(b: Array[Byte], maxPoints: Int)
+      : org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val pts = pagepoints(b, maxPoints)
+    if (pts == null) return null
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      pts.map[Any](p => new GenericInternalRow(Array[Any](p._1, p._2))))
+  }
+}
+
+/** `ogg_pagepoints(blob, maxPoints)` → array<struct<granule, byte_off>>
+ *  seek plan from the page walk ([[OggSeek]]); null for non-Ogg bytes. */
+case class OggPagepointsExpr(child: Expression, maxPoints: Int)
+    extends UnaryExpression {
+
+  require(maxPoints >= 2 && maxPoints <= 1000000, "need 2 <= maxPoints <= 1e6")
+
+  override def dataType: DataType =
+    ArrayType(OggSeek.elementType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case BinaryType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case dt => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"ogg_pagepoints needs a binary column, got $dt")
+    }
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) null
+    else OggSeek.pagepointsArray(v.asInstanceOf[Array[Byte]], maxPoints)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    val cls = OggSeek.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    ev.copy(code = code"""
+      |${c.code}
+      |org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} = null;
+      |boolean ${ev.isNull} = ${c.isNull};
+      |if (!${ev.isNull}) {
+      |  ${ev.value} = $cls.pagepointsArray(${c.value}, $maxPoints);
+      |  ${ev.isNull} = ${ev.value} == null;
+      |}
+     """.stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "ogg_pagepoints"
+}
+
+object OggPagepointsExpr {
+  def apply(col: Column, maxPoints: Int): Column =
+    GraftShims.column(new OggPagepointsExpr(GraftShims.expression(col), maxPoints))
+}
+
 /** Fixture encoder: spec-layout Ogg pages around Vorbis/Opus
  *  identification headers (CRCs zero — the parser extracts metadata and
  *  does not verify checksums). */
@@ -218,5 +383,22 @@ object OggCodec {
     }
     val eos = page(4, granule, dataPages, Array[Byte](0x33))
     bos ++ mids ++ eos
+  }
+
+  /** Multi-page Vorbis fixture with EXPLICIT per-page granules (the
+   *  [[OggSeek]] plan oracle): BOS ident page (granule 0), then one data
+   *  page per entry — granule -1 entries model packet-spanning pages.
+   *  Bodies are `bodyBytes` long so page offsets are closed-form. */
+  def vorbisPaged(channels: Int, sampleRate: Int, granules: Seq[Long],
+      bodyBytes: Int = 16): Array[Byte] = {
+    val ident = Array[Byte](1) ++ "vorbis".getBytes("US-ASCII") ++
+      le32(0) ++ Array(channels.toByte) ++ le32(sampleRate) ++
+      new Array[Byte](12) ++ Array[Byte](0x66, 1)
+    val bos = page(2, 0, 0, ident)
+    val data = granules.zipWithIndex.toArray.flatMap { case (g, s) =>
+      page(if (s == granules.size - 1) 4 else 0, g, s + 1,
+        Array.tabulate[Byte](bodyBytes)(k => ((k + s) % 251).toByte))
+    }
+    bos ++ data
   }
 }

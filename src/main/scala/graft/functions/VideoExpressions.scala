@@ -286,10 +286,11 @@ object Mp4Frames {
    *  Returned as a list so callers can FALL THROUGH past a video trak
    *  whose sample tables are stripped (a thumbnail/preview track ahead
    *  of the real stream) — the pre-round-16 frameCount loop behavior. */
-  private def videoTracks(b: Array[Byte]): List[((Long, Long), (Long, Long))] = {
+  private def videoTracks(b: Array[Byte])
+      : List[((Long, Long), (Long, Long), (Long, Long))] = {
     if (b == null || b.length < 16 || boxType(b, 0) != "ftyp") return Nil
     val moov = child(b, 0, b.length, "moov").getOrElse(return Nil)
-    val out = List.newBuilder[((Long, Long), (Long, Long))]
+    val out = List.newBuilder[((Long, Long), (Long, Long), (Long, Long))]
     for ((t, ts, te) <- children(b, moov._1, moov._2) if t == "trak") {
       child(b, ts, te, "mdia").foreach { case (ms, me) =>
         val isVideo = child(b, ms, me, "hdlr").exists { case (hs, he) =>
@@ -302,11 +303,54 @@ object Mp4Frames {
           for {
             (ns, ne) <- child(b, ms, me, "minf")
             (ss, se) <- child(b, ns, ne, "stbl")
-          } out += (((ms, me), (ss, se)))
+          } out += (((ts, te), (ms, me), (ss, se)))
         }
       }
     }
     out.result()
+  }
+
+  /**
+   * The first NON-EMPTY edit's media_time from trak/edts/elst, in MEDIA
+   * timescale units — presentation time = decode/composition time minus
+   * this (DASH packagers routinely shift sample times by an edit list,
+   * and reporting un-shifted times misplaces every keyframe/stride
+   * boundary). Empty edits (media_time -1, a presentation delay) are
+   * skipped; absent/zero/lying (negative or >= [[MaxTicks]]) values mean
+   * no shift, keeping the composition-naive answer when no elst applies.
+   */
+  private def elstShift(b: Array[Byte], trak: (Long, Long)): Long = {
+    val r = for {
+      (es, ee) <- child(b, trak._1, trak._2, "edts").iterator
+      (els, ele) <- child(b, es, ee, "elst").iterator
+    } yield {
+      if (els + 8 > ele) 0L
+      else {
+        val ver = b(els.toInt) & 0xff
+        if (ver > 1) 0L
+        else {
+          val n = beU32(b, (els + 4).toInt)
+          val entrySize = if (ver == 1) 20 else 12
+          var i = 0L
+          var p = els + 8
+          var shift = 0L
+          var done = false
+          while (!done && i < n && p + entrySize <= ele) {
+            // entry: segment_duration (u32/u64), media_time (s32/s64), rate
+            val mediaTime =
+              if (ver == 1) beU64(b, (p + 8).toInt)
+              else beU32(b, (p + 4).toInt).toInt.toLong // sign-extend s32
+            if (mediaTime != -1L) {
+              if (mediaTime >= 0 && mediaTime < MaxTicks) shift = mediaTime
+              done = true // a second non-empty edit never applies here
+            }
+            i += 1; p += entrySize
+          }
+          shift
+        }
+      }
+    }
+    r.nextOption().getOrElse(0L)
   }
 
   /** Sample count from stsz (ver/flags + sample_size + sample_count) or
@@ -317,7 +361,7 @@ object Mp4Frames {
       .collect { case (zs, ze) if zs + 12 <= ze => beU32(b, (zs + 8).toInt) }
 
   private def frameCountUnsafe(b: Array[Byte]): java.lang.Long = {
-    val moov = videoTracks(b).iterator.flatMap(t => sampleCount(b, t._2))
+    val moov = videoTracks(b).iterator.flatMap(t => sampleCount(b, t._3))
       .nextOption().map(java.lang.Long.valueOf).orNull
     // a fragmented MP4 (DASH/CMAF) keeps moov's stbl empty and carries
     // samples in moof fragments — fall through to the traf walk
@@ -364,7 +408,8 @@ object Mp4Frames {
     // fall through past video traks with stripped tables to the first
     // one that yields a plan — mirrors frameCount's track selection
     val moov = videoTracks(b).iterator
-      .map { case (mdia, stbl) => planForTrack(b, mdia, stbl, strideMs, maxFrames) }
+      .map { case (trak, mdia, stbl) =>
+        planForTrack(b, mdia, stbl, strideMs, maxFrames, elstShift(b, trak)) }
       .collectFirst { case p if p != null => p }
       .orNull
     // empty moov tables + moof fragments = a DASH/CMAF segment: plan
@@ -389,7 +434,7 @@ object Mp4Frames {
 
   private def planForTrack(
       b: Array[Byte], mdia: (Long, Long), stbl: (Long, Long),
-      strideMs: Int, maxFrames: Int): Array[PlannedSample] = {
+      strideMs: Int, maxFrames: Int, shift: Long = 0L): Array[PlannedSample] = {
     val timescale = mediaTimescale(b, mdia)
     if (timescale <= 0) return null
     val n = sampleCount(b, stbl).getOrElse(return null)
@@ -422,8 +467,10 @@ object Mp4Frames {
         var inRun = true
         while (inRun && out.length < maxFrames) {
           // boundary k in media ticks, floor — exact for the common
-          // timescale-divides-1000 cases and monotone always
-          val tk = k * strideMs * timescale / 1000L
+          // timescale-divides-1000 cases and monotone always. An elst
+          // shift moves every PRESENTATION boundary forward by the edit's
+          // media_time, and reported times subtract it back out
+          val tk = k * strideMs * timescale / 1000L + shift
           if (tk >= runEnd || tk >= MaxTicks) inRun = false
           else {
             val j = (tk - base) / d
@@ -431,11 +478,12 @@ object Mp4Frames {
             if (i >= n) { inRun = false; done = true } // table shorter than stts
             else {
               val start = base + j * d
-              out += PlannedSample(i, start * 1000L / timescale, offsets.byteOff(i))
+              out += PlannedSample(i, (start - shift) * 1000L / timescale,
+                offsets.byteOff(i))
               // skip every boundary inside this sample: smallest k with
-              // k·strideMs·timescale/1000 >= sample end (ceil division)
+              // k·strideMs·timescale/1000 + shift >= sample end (ceil)
               val e = start + d
-              k = (e * 1000L + strideMs.toLong * timescale - 1) /
+              k = ((e - shift) * 1000L + strideMs.toLong * timescale - 1) /
                 (strideMs.toLong * timescale)
             }
           }
@@ -466,7 +514,8 @@ object Mp4Frames {
     try {
       require(maxFrames > 0 && maxFrames <= 1000000, "need 0 < maxFrames <= 1e6")
       val moov = videoTracks(b).iterator
-        .map { case (mdia, stbl) => keyframesForTrack(b, mdia, stbl, maxFrames) }
+        .map { case (trak, mdia, stbl) =>
+          keyframesForTrack(b, mdia, stbl, maxFrames, elstShift(b, trak)) }
         .collectFirst { case p if p != null => p }
         .orNull
       // empty moov tables + moof fragments = a DASH/CMAF segment: plan
@@ -480,7 +529,7 @@ object Mp4Frames {
 
   private def keyframesForTrack(
       b: Array[Byte], mdia: (Long, Long), stbl: (Long, Long),
-      maxFrames: Int): Array[PlannedSample] = {
+      maxFrames: Int, shift: Long = 0L): Array[PlannedSample] = {
     val timescale = mediaTimescale(b, mdia)
     if (timescale <= 0) return null
     val n = sampleCount(b, stbl).getOrElse(return null)
@@ -529,7 +578,8 @@ object Mp4Frames {
             val t = startTicks(i)
             if (t < 0) ok = false
             else {
-              out += PlannedSample(i, t * 1000L / timescale, offsets.byteOff(i))
+              out += PlannedSample(i, (t - shift) * 1000L / timescale,
+                offsets.byteOff(i))
               e += 1
             }
           }
@@ -541,7 +591,8 @@ object Mp4Frames {
           val t = startTicks(i)
           if (t < 0) ok = false
           else {
-            out += PlannedSample(i, t * 1000L / timescale, offsets.byteOff(i))
+            out += PlannedSample(i, (t - shift) * 1000L / timescale,
+              offsets.byteOff(i))
             i += 1
           }
         }
@@ -686,10 +737,11 @@ object Mp4Frames {
 
   /** (track_ID, mdia range) of every video trak — fragment planning keys
    *  traf/tfhd track_IDs against tkhd's. */
-  private def videoTrackIds(b: Array[Byte]): List[(Long, (Long, Long))] = {
+  private def videoTrackIds(b: Array[Byte])
+      : List[(Long, (Long, Long), Long)] = {
     if (b == null || b.length < 16 || boxType(b, 0) != "ftyp") return Nil
     val moov = child(b, 0, b.length, "moov").getOrElse(return Nil)
-    val out = List.newBuilder[(Long, (Long, Long))]
+    val out = List.newBuilder[(Long, (Long, Long), Long)]
     for ((t, ts, te) <- children(b, moov._1, moov._2) if t == "trak") {
       val tid = child(b, ts, te, "tkhd").flatMap { case (hs, he) =>
         (b(hs.toInt) & 0xff) match {
@@ -702,7 +754,8 @@ object Mp4Frames {
         val isVideo = child(b, ms, me, "hdlr").exists { case (hs, he) =>
           hs + 12 <= he && boxType(b, (hs + 4).toInt) == "vide"
         }
-        if (isVideo && tid.isDefined) out += ((tid.get, (ms, me)))
+        if (isVideo && tid.isDefined)
+          out += ((tid.get, (ms, me), elstShift(b, (ts, te))))
       }
     }
     out.result()
@@ -819,7 +872,7 @@ object Mp4Frames {
   /** Keyframe plan from fragments — the traf twin of [[keyframesForTrack]]:
    *  sync samples (sample_is_non_sync_sample clear), index/time/offset. */
   private def fragKeyframePlan(b: Array[Byte], maxFrames: Int): Array[PlannedSample] = {
-    videoTrackIds(b).iterator.map { case (tid, mdia) =>
+    videoTrackIds(b).iterator.map { case (tid, mdia, shift) =>
       val timescale = mediaTimescale(b, mdia)
       if (timescale <= 0) null
       else {
@@ -832,7 +885,8 @@ object Mp4Frames {
           while (i < samples.length && out.length < maxFrames) {
             val s = samples(i)
             if (s.sync)
-              out += PlannedSample(i, s.startTicks * 1000L / timescale, s.byteOff)
+              out += PlannedSample(i,
+                (s.startTicks - shift) * 1000L / timescale, s.byteOff)
             i += 1
           }
           out.toArray
@@ -846,7 +900,7 @@ object Mp4Frames {
    *  at it, deduplicated, capped. */
   private def fragSamplePlan(
       b: Array[Byte], strideMs: Int, maxFrames: Int): Array[PlannedSample] = {
-    videoTrackIds(b).iterator.map { case (tid, mdia) =>
+    videoTrackIds(b).iterator.map { case (tid, mdia, shift) =>
       val timescale = mediaTimescale(b, mdia)
       if (timescale <= 0) null
       else {
@@ -861,19 +915,23 @@ object Mp4Frames {
             val s = samples(i)
             if (s.dur > 0) {
               val end = s.startTicks + s.dur
-              var tk = k * strideMs * timescale / 1000L
+              var tk = k * strideMs * timescale / 1000L + shift
               if (tk < s.startTicks) {
                 // the boundary fell in a media-time GAP (tfdt jumps
                 // between DASH segments): advance to the first boundary
                 // at/after this sample's start — stts runs are gapless so
-                // the moov fold never needs this
-                k = (s.startTicks * 1000L + strideMs.toLong * timescale - 1) /
+                // the moov fold never needs this. (startTicks - shift) is
+                // positive here: the gap branch only fires when the
+                // sample starts past the current shifted boundary
+                k = ((s.startTicks - shift) * 1000L +
+                  strideMs.toLong * timescale - 1) /
                   (strideMs.toLong * timescale)
-                tk = k * strideMs * timescale / 1000L
+                tk = k * strideMs * timescale / 1000L + shift
               }
               if (tk >= s.startTicks && tk < end && tk < MaxTicks) {
-                out += PlannedSample(i, s.startTicks * 1000L / timescale, s.byteOff)
-                k = (end * 1000L + strideMs.toLong * timescale - 1) /
+                out += PlannedSample(i,
+                  (s.startTicks - shift) * 1000L / timescale, s.byteOff)
+                k = ((end - shift) * 1000L + strideMs.toLong * timescale - 1) /
                   (strideMs.toLong * timescale)
               }
             }
@@ -888,7 +946,7 @@ object Mp4Frames {
   /** Fragment-resident sample count of the first video track with
    *  fragments, or null when the file has no moofs. */
   private def fragFrameCount(b: Array[Byte]): java.lang.Long =
-    videoTrackIds(b).iterator.map { case (tid, _) =>
+    videoTrackIds(b).iterator.map { case (tid, _, _) =>
       val s = fragSamples(b, tid)
       if (s == null || s.isEmpty) null
       else java.lang.Long.valueOf(s.length.toLong)
@@ -1116,7 +1174,9 @@ object Mp4Codec {
   def encode(timescale: Int, durationTicks: Long, width: Int, height: Int,
              nFrames: Long, tail: Array[Byte] = Array.emptyByteArray,
              tables: SampleTables = null,
-             trex: (Long, Long, Long) = null): Array[Byte] = {
+             trex: (Long, Long, Long) = null,
+             elst: Seq[(Long, Long)] = Nil, // (segment_duration, media_time)
+             elstV1: Boolean = false): Array[Byte] = {
     val ftyp = box("ftyp", "isom".getBytes("US-ASCII") ++ be32(0) ++
       "isom".getBytes("US-ASCII"))
     val mvhd = box("mvhd", be32(0) ++ be32(0) ++ be32(0) ++
@@ -1184,7 +1244,17 @@ object Mp4Codec {
     val mdhd = box("mdhd", be32(0) ++ be32(0) ++ be32(0) ++
       be32(mdhdTs) ++ be32(durationTicks) ++ be32(0x55c40000L).take(4))
     val mdia = box("mdia", mdhd ++ hdlr ++ minf)
-    val trak = box("trak", tkhd ++ mdia)
+    // trak/edts/elst: (segment_duration, media_time, rate=1.0) entries —
+    // media_time -1 encodes an EMPTY edit (presentation delay)
+    val edts =
+      if (elst.isEmpty) Array.emptyByteArray
+      else box("edts", box("elst",
+        (if (elstV1) be32(0x01000000L) else be32(0)) ++ be32(elst.length) ++
+          elst.toArray.flatMap { case (dur, mt) =>
+            if (elstV1) be64(dur) ++ be64(mt) ++ be32(0x00010000L)
+            else be32(dur) ++ be32(mt) ++ be32(0x00010000L)
+          }))
+    val trak = box("trak", tkhd ++ edts ++ mdia)
     // mvex/trex (track 1 defaults: duration, size, flags) marks the file
     // fragmented — samples then live in moof boxes appended as `tail`
     val mvex =

@@ -167,6 +167,11 @@ package object functions {
       new ExpressionInfo(classOf[OggMetaExpr].getName, "ogg_meta"),
       (exprs: Seq[Expression]) => new OggMetaExpr(exprs.head))
     registry.registerFunction(
+      FunctionIdentifier("ogg_pagepoints"),
+      new ExpressionInfo(classOf[OggPagepointsExpr].getName, "ogg_pagepoints"),
+      (exprs: Seq[Expression]) => new OggPagepointsExpr(exprs.head,
+        intLit(exprs(1), "ogg_pagepoints maxPoints")))
+    registry.registerFunction(
       FunctionIdentifier("mkv_meta"),
       new ExpressionInfo(classOf[MkvMetaExpr].getName, "mkv_meta"),
       (exprs: Seq[Expression]) => new MkvMetaExpr(exprs.head))

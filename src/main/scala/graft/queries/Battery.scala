@@ -3896,6 +3896,66 @@ object Battery {
     // closed-form, and the intra-fragment byte_off step between
     // consecutive keyframes replays the cumulative size math
     // (base-is-moof + data_offset + sizes).
+    // MP4 EDIT LISTS (trak/edts/elst): DASH packagers shift sample times
+    // by the first non-empty edit's media_time — keyframe times must
+    // come back in PRESENTATION time for moov-resident AND fragmented
+    // layouts (per-doc parity picks the layout; the closed form is the
+    // same either way). Half the docs carry an empty-edit prefix
+    // (media_time -1) that must be skipped, and shifts put some first
+    // keyframes at negative (pre-roll) times on purpose.
+    "q263_mp4_editlist" -> ((s, d) => {
+      import s.implicits._
+      import graft.functions.Mp4Codec
+      import graft.functions.Mp4Codec.{FragSampleFx, SampleTables}
+      val NonSync = 0x10000L
+      val blobs = docs(s, d).select(col("doc_id")).as[Long].map { id =>
+        val n = (id % 5 + 2).toInt
+        val shift = (id % 4) * 25L
+        val elst =
+          if (id % 2 == 0) Seq((500L, -1L), (0L, shift))
+          else Seq((0L, shift))
+        val layout = if (id % 3 == 0) "frag" else "moov"
+        val bytes =
+          if (layout == "moov")
+            Mp4Codec.encode(1000, n * 50L, 64, 48, nFrames = n,
+              tables = SampleTables(1000, Seq((n.toLong, 50L)),
+                constSampleSize = 60, samplesPerChunk = n,
+                chunkOffsets = Seq(1000L),
+                syncSamples = (1 to n by 2).map(_.toLong)),
+              elst = elst, elstV1 = id % 5 == 0)
+          else {
+            val head = Mp4Codec.encode(1000, 0L, 64, 48, nFrames = 0,
+              trex = (0L, 0L, NonSync), elst = elst, elstV1 = id % 5 == 0)
+            head ++ Mp4Codec.fragment(1, 1, 0L,
+              (0 until n).map(j => FragSampleFx(50, 60,
+                if (j % 2 == 0) 0L else NonSync)))
+          }
+        (id, layout, bytes)
+      }.toDF("doc_id", "layout", "blob")
+      graft.operators.Multimodal.sampleKeyframesMp4(blobs, "blob", maxFrames = 8)
+        .select(col("doc_id"), col("layout"), col("frame_idx"), col("t_ms"))
+    }),
+
+    // OGG GRANULE SEEK PLANNING (ogg_pagepoints): ogg has no seek table,
+    // so the page walk IS the index — every point (granule, byte_off)
+    // means "samples past granule start at byte_off" (the next page
+    // boundary), the Vorbis/Opus twin of the FLAC SEEKTABLE plan. The
+    // planted page layout replays closed-form: BOS point at the 58-byte
+    // header boundary, then one point per 44-byte data page.
+    "q264_ogg_pagepoints" -> ((s, d) => {
+      import s.implicits._
+      import graft.functions.OggCodec
+      val blobs = docs(s, d).select(col("doc_id")).as[Long].map { id =>
+        val k = (id % 5 + 2).toInt
+        val g = id % 900 + 100
+        (id, OggCodec.vorbisPaged(2, 44100, (1 to k).map(_ * g)))
+      }.toDF("doc_id", "blob")
+      blobs.select(col("doc_id"),
+          explode(graft.functions.OggPagepointsExpr(col("blob"), 64)).as("p"))
+        .select(col("doc_id"), col("p.granule").as("granule"),
+          col("p.byte_off").as("byte_off"))
+    }),
+
     "q253_fmp4_keyframes" -> ((s, d) => {
       import s.implicits._
       import graft.functions.Mp4Codec
@@ -7720,6 +7780,27 @@ object Battery {
         |UNION ALL
         |SELECT CAST(-1 AS BIGINT) AS doc_id, CAST(1 AS BIGINT) AS j,
         |  'txt' AS member_ext, CAST(3 AS BIGINT) AS member_size""".stripMargin,
+    // syncs at even j; presentation time = j*50 minus the planted shift,
+    // identical for the moov and fragment layouts
+    "q263_mp4_editlist" ->
+      """WITH p AS (SELECT doc_id, doc_id % 5 + 2 AS n,
+        |    (doc_id % 4) * 25 AS shift,
+        |    CASE WHEN doc_id % 3 = 0 THEN 'frag' ELSE 'moov' END AS layout
+        |  FROM documents)
+        |SELECT doc_id, layout, CAST(t.j AS BIGINT) AS frame_idx,
+        |  CAST(t.j * 50 - shift AS BIGINT) AS t_ms
+        |FROM p, range(0, 7) t(j)
+        |WHERE t.j % 2 = 0 AND t.j < n""".stripMargin,
+    // BOS point at byte 58, then one point per 44-byte data page
+    "q264_ogg_pagepoints" ->
+      """WITH p AS (SELECT doc_id, doc_id % 5 + 2 AS k,
+        |    doc_id % 900 + 100 AS g FROM documents)
+        |SELECT doc_id, CAST(0 AS BIGINT) AS granule,
+        |  CAST(58 AS BIGINT) AS byte_off FROM p
+        |UNION ALL
+        |SELECT doc_id, CAST(t.i * g AS BIGINT) AS granule,
+        |  CAST(58 + 44 * t.i AS BIGINT) AS byte_off
+        |FROM p, range(1, 7) t(i) WHERE t.i <= k""".stripMargin,
     // syncs at j in {0, 3}: times tfdt + j*dur, offset step = the three
     // intervening sizes (100+10k+m, k=0..2)
     "q253_fmp4_keyframes" ->

@@ -890,18 +890,19 @@ class PlanQualitySpec extends SparkSpec {
     assert(df.collect().forall(r => (1 to 15).forall(r.isNullAt)))
   }
 
-  test("round-18 zip/FLAC-seek expressions stay in codegen, zero exchanges") {
+  test("round-18/19 zip/FLAC-seek/ogg-seek expressions stay in codegen, zero exchanges") {
     val blob = col("text").cast("binary")
     val df = graft.tables.Tables.documents(spark, sf)
       .select(col("doc_id"),
         graft.functions.ZipMemberExpr(blob, lit("arr_0.npy"), 1 << 20).as("zm"),
         graft.functions.FlacSeekpointsExpr(blob, 64).as("sp"),
-        graft.functions.FlacPcmFromExpr(blob, lit(0L), lit(0L), 1 << 20).as("pf"))
+        graft.functions.FlacPcmFromExpr(blob, lit(0L), lit(0L), 1 << 20).as("pf"),
+        graft.functions.OggPagepointsExpr(blob, 64).as("og"))
     val plan = df.queryExecution.executedPlan.toString
     assert("""\*\(\d+\) Project""".r.findFirstIn(plan).isDefined,
       s"projection fell out of whole-stage codegen:\n$plan")
     assert(!plan.contains("Exchange"), s"a per-row projection must not shuffle:\n$plan")
-    assert(df.collect().forall(r => (1 to 3).forall(r.isNullAt)))
+    assert(df.collect().forall(r => (1 to 4).forall(r.isNullAt)))
   }
 
   test("graft-tar member predicates push into the shard walk") {
