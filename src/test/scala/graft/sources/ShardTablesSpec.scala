@@ -155,6 +155,34 @@ class ShardTablesSpec extends SparkSpec {
     assert(spark.read.format("graft-zip").load(zin).count() == 3)
   }
 
+  test("wide lakes list on executors: distributed listing ≡ driver walk") {
+    val spark = this.spark
+    val root = Files.createTempDirectory("graft_tarwide_").toString
+    // past DistributedListingThreshold dirs the per-dir listing RPCs run
+    // on executors; the result must be the same name-sorted plan
+    val nDirs = ShardFiles.DistributedListingThreshold + 6
+    val want = (0 until nDirs).flatMap { i =>
+      val d = f"$root/date=2026-$i%04d"
+      Files.createDirectories(java.nio.file.Paths.get(d))
+      // one dir is empty; others hold 1-2 shards + a hidden marker
+      if (i == 3) Nil
+      else {
+        Files.write(java.nio.file.Paths.get(d, "_SUCCESS"), Array[Byte]())
+        (0 until (i % 2 + 1)).map { j =>
+          val name = f"s$j%d.tar"
+          Files.write(java.nio.file.Paths.get(d, name), shard(Seq(j + 1)))
+          s"file:$d/$name"
+        }
+      }
+    }.sorted
+    val got = ShardFiles.list(spark, root + "/date=*").map(_._1)
+    assert(got == want)
+    // and the SQL surface plans one partition per shard over the wide lake
+    val n = spark.read.format("graft-tar").load(root + "/date=*")
+      .select("shard").distinct().count()
+    assert(n == want.size)
+  }
+
   test("ledger compaction bounds segments and restart replays from the compact") {
     val spark = this.spark
     val root = Files.createTempDirectory("graft_tarcompact_").toString
