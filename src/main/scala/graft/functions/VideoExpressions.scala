@@ -225,26 +225,8 @@ object Mp4Frames {
   /** Children of the byte range [start, end): (type, payloadStart, boxEnd).
    *  Bounds-checked; a lying size terminates the walk (Nil tail). */
   private def children(b: Array[Byte], start: Long, end: Long)
-      : Iterator[(String, Long, Long)] = new Iterator[(String, Long, Long)] {
-    private var i = start
-    override def hasNext: Boolean = i + 8 <= end
-    override def next(): (String, Long, Long) = {
-      var size = beU32(b, i.toInt)
-      var hdr = 8
-      if (size == 1L) {
-        if (i + 16 > end) { i = end; return ("", end, end) }
-        size = beU64(b, (i + 8).toInt); hdr = 16
-      } else if (size == 0L) size = end - i
-      // overflow-safe: a crafted 64-bit size near Long.MaxValue would make
-      // `i + size` wrap negative and slip past a `i + size > end` guard,
-      // walking wrapped offsets; `size > end - i` cannot overflow (both
-      // operands are valid in-range offsets)
-      if (size < hdr || size > end - i) { i = end; return ("", end, end) }
-      val out = (boxType(b, i.toInt), i + hdr, i + size)
-      i += size
-      out
-    }
-  }
+      : Iterator[(String, Long, Long)] =
+    childrenWithStart(b, start, end).map(t => (t._1, t._3, t._4))
 
   private def child(b: Array[Byte], start: Long, end: Long, t: String)
       : Option[(Long, Long)] =
@@ -268,6 +250,10 @@ object Mp4Frames {
           if (i + 16 > end) { i = end; return ("", end, end, end) }
           size = beU64(b, (i + 8).toInt); hdr = 16
         } else if (size == 0L) size = end - i
+        // overflow-safe: a crafted 64-bit size near Long.MaxValue would
+        // make `i + size` wrap negative and slip past a `i + size > end`
+        // guard, walking wrapped offsets; `size > end - i` cannot
+        // overflow (both operands are valid in-range offsets)
         if (size < hdr || size > end - i) { i = end; return ("", end, end, end) }
         val out = (boxType(b, i.toInt), boxStart, i + hdr, i + size)
         i += size

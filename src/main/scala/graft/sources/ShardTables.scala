@@ -123,16 +123,21 @@ private[sources] object ShardFiles {
     options.getInt("ledgerCompactInterval",
       ArrivalLedgerStream.DefaultCompactInterval)
 
-  /** Recursive walk of one directory on whatever machine holds `fs`. */
-  private def walkDir(fs: org.apache.hadoop.fs.FileSystem, dir: Path,
-      depth0: Int): Seq[(String, Long)] = {
-    val out = Seq.newBuilder[(String, Long)]
-    val dirs = scala.collection.mutable.Queue((dir, depth0))
+  /** Recursive walk of directories on whatever machine holds `fs` — the
+   *  ONE walker behind both batch planning ([[list]]) and stream
+   *  admission (`ArrivalLedgerStream.listArrivals`), so the two can
+   *  never disagree on what a lake contains. Root directory names are
+   *  NOT hidden-filtered (an explicitly-given `_staging` or `.work`
+   *  root must still list); children are. */
+  def walkDirs(fs: org.apache.hadoop.fs.FileSystem,
+      roots: Seq[Path]): Seq[org.apache.hadoop.fs.FileStatus] = {
+    val out = Seq.newBuilder[org.apache.hadoop.fs.FileStatus]
+    val dirs = scala.collection.mutable.Queue(roots.map((_, 0)): _*)
     while (dirs.nonEmpty) {
       val (d, depth) = dirs.dequeue()
       fs.listStatus(d).foreach { s =>
         if (!hidden(s.getPath.getName)) {
-          if (s.isFile) out += ((s.getPath.toString, s.getLen))
+          if (s.isFile) out += s
           else if (depth < MaxListDepth) dirs.enqueue((s.getPath, depth + 1))
         }
       }
@@ -157,7 +162,8 @@ private[sources] object ShardFiles {
       .map(s => (s.getPath.toString, s.getLen))
     val walked =
       if (dirs.size <= DistributedListingThreshold)
-        dirs.flatMap(d => walkDir(fs, d.getPath, 0))
+        walkDirs(fs, dirs.map(_.getPath))
+          .map(s => (s.getPath.toString, s.getLen))
       else {
         val bc = spark.sparkContext.broadcast(conf)
         val names = dirs.map(_.getPath.toString)
@@ -166,7 +172,8 @@ private[sources] object ShardFiles {
             math.max(1, spark.sparkContext.defaultParallelism)))
           .flatMap { d =>
             val dp = new Path(d)
-            walkDir(dp.getFileSystem(bc.value.value), dp, 0)
+            walkDirs(dp.getFileSystem(bc.value.value), Seq(dp))
+              .map(s => (s.getPath.toString, s.getLen))
           }
           .collect().toSeq
       }
@@ -476,8 +483,16 @@ private[sources] class ArrivalLedgerStream(
   private var segMeta = Vector.empty[(Long, Int)]
   replayLedger()
 
+  // FileStreamSource's exact exemption: with latestFirst + a trigger cap
+  // the stream drains NEWEST-first, so an age watermark chasing the
+  // newest ADMITTED mtime would permanently reject the older, not-yet-
+  // admitted backlog — silent data loss, not aging. Spark disables
+  // maxFileAge in precisely this configuration; so do we (seen entries
+  // then never evict, which is the price of newest-first draining).
+  private val ageGateActive = !(latestFirst && maxFilesPerTrigger.isDefined)
+
   private def watermark: Long =
-    if (maxSeenMtime == Long.MinValue) Long.MinValue
+    if (!ageGateActive || maxSeenMtime == Long.MinValue) Long.MinValue
     else maxSeenMtime - maxFileAgeMs
 
   private def noteAdmitted(entries: Seq[(String, Long, Long)]): Unit = {
@@ -557,27 +572,18 @@ private[sources] class ArrivalLedgerStream(
 
   /** Recursive arrival walk: the input path may be a file, a directory
    *  (walked recursively — dated `date=...` layouts), or a glob over
-   *  either. Hidden (dot/underscore) files AND directories are metadata,
-   *  never shards; `pathGlobFilter` gates file names. */
+   *  either. Hidden (dot/underscore) CHILDREN are metadata, never
+   *  shards, but a hidden-named ROOT the user pointed the stream at
+   *  (`load("/data/_ingest")`) still lists — the same root semantics as
+   *  the batch planner, via the shared [[ShardFiles.walkDirs]] walker.
+   *  `pathGlobFilter` gates file names. */
   private def listArrivals(): Seq[(String, Long, Long)] = {
     val roots = Option(fs.globStatus(dirPath)).map(_.toSeq).getOrElse(Seq.empty)
-    val out = Seq.newBuilder[(String, Long, Long)]
-    val dirs = scala.collection.mutable.Queue.empty[(Path, Int)]
-    def visit(s: org.apache.hadoop.fs.FileStatus, depth: Int): Unit = {
-      val n = s.getPath.getName
-      if (!ShardFiles.hidden(n)) {
-        if (s.isFile) {
-          if (globFilter.forall(_.accept(s.getPath)))
-            out += ((s.getPath.toString, s.getLen, s.getModificationTime))
-        } else if (depth < ShardFiles.MaxListDepth) dirs.enqueue((s.getPath, depth))
-      }
-    }
-    roots.foreach(visit(_, 0))
-    while (dirs.nonEmpty) {
-      val (d, depth) = dirs.dequeue()
-      fs.listStatus(d).foreach(visit(_, depth + 1))
-    }
-    out.result()
+    val (rootDirs, rootFiles) = roots.partition(_.isDirectory)
+    val directs = rootFiles.filter(s => !ShardFiles.hidden(s.getPath.getName))
+    (directs ++ ShardFiles.walkDirs(fs, rootDirs.map(_.getPath)))
+      .filter(s => globFilter.forall(_.accept(s.getPath)))
+      .map(s => (s.getPath.toString, s.getLen, s.getModificationTime))
   }
 
   override def latestOffset(): Offset = {

@@ -221,11 +221,7 @@ object TarShards {
       .withColumn("member_ext", regexp_extract(col("member_name"),
         graft.operators.Multimodal.MemberExtRegex, 1))
 
-  val manifestSchema: StructType = StructType(Seq(
-    StructField("shard", StringType, nullable = false),
-    StructField("n_members", LongType, nullable = false),
-    StructField("n_samples", LongType, nullable = false),
-    StructField("bytes", LongType, nullable = false)))
+  val manifestSchema: StructType = ShardExport.manifestSchema
 
   /**
    * WebDataset shard EXPORT — the write leg of the curation loop
@@ -274,151 +270,62 @@ object TarShards {
       case other => throw new IllegalArgumentException(
         s"compression must be none/gzip/zstd, got $other")
     }
-    val spark = df.sparkSession
-    // a RE-export producing fewer shards would leave the first run's
-    // surplus part files behind, and the read-back glob would resurrect
-    // samples the curation dropped — ghost data. Refuse a dirty target
-    // unless overwrite, which clears prior part files first
-    locally {
-      val base = new org.apache.hadoop.fs.Path(dir)
-      val fs = base.getFileSystem(spark.sessionState.newHadoopConf())
-      if (fs.exists(base)) {
-        val named = fs.listStatus(base).toSeq
-        val stale = named
-          .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
-        if (stale.nonEmpty) {
-          require(overwrite,
-            s"$dir already holds ${stale.size} part files — a partial " +
-              "overwrite would mix exports; pass overwrite = true to clear " +
-              "them, or export to a fresh directory")
-          stale.foreach(st => fs.delete(st.getPath, false))
-        }
-        // crashed attempts leave dot-temp shards: hidden from every read
-        // glob, but garbage — sweep them with the same overwrite gate
-        if (overwrite) named
-          .filter(st => st.isFile && st.getPath.getName.startsWith(".part-"))
-          .foreach(st => fs.delete(st.getPath, false))
+    val comp = compression
+    ShardExport.writeParts(df, dir, keyCol, nameCol, payloadCol,
+      targetShardBytes, shardPartitions, ext, overwrite,
+      "writeShards")(() => new TarPartFormat(comp))
+  }
+
+  /** Tar member blocks over an optional gzip/zstd compressor; the
+   *  binning measure is UNCOMPRESSED tar bytes (headers + payload +
+   *  padding), the stable measure a loader's decompressor sees. */
+  private final class TarPartFormat(compression: String)
+      extends ShardExport.PartFormat {
+    private var out: java.io.OutputStream = _
+    private var bytes = 0L
+    override def open(raw: org.apache.hadoop.fs.FSDataOutputStream,
+        finalName: String): Unit = {
+      bytes = 0L
+      out = compression match {
+        case "gzip" => new java.util.zip.GZIPOutputStream(raw, 1 << 16)
+        case "zstd" => new java.io.BufferedOutputStream(
+          new com.github.luben.zstd.ZstdOutputStreamNoFinalizer(raw), 1 << 16)
+        case _ => raw
       }
     }
-    val bc = spark.sparkContext.broadcast(
-      new org.apache.spark.util.SerializableConfiguration(
-        spark.sessionState.newHadoopConf()))
-    val parts = if (shardPartitions > 0) shardPartitions
-                else spark.sessionState.conf.numShufflePartitions
-    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
-      .encoderFor(manifestSchema)
-    val target = targetShardBytes
-    val outDir = dir
-    val comp = compression
-    df.select(col(keyCol).cast("string").as("__k"),
-        col(nameCol).cast("string").as("__n"), col(payloadCol).as("__p"))
-      .repartition(parts, col("__k"))
-      .sortWithinPartitions(col("__k"), col("__n"))
-      .mapPartitions { rows =>
-        val pid = org.apache.spark.TaskContext.getPartitionId()
-        val base = new org.apache.hadoop.fs.Path(outDir)
-        val fs = base.getFileSystem(bc.value.value)
-        fs.mkdirs(base)
-        val manifest = scala.collection.mutable.ArrayBuffer.empty[Row]
-        val tc = org.apache.spark.TaskContext.get()
-        // shards are written to an ATTEMPT-unique dot-temp name and
-        // renamed into place at close: a speculative or zombie attempt
-        // can never interleave bytes with the winner's file, a reader
-        // can never observe a partially-written shard under the final
-        // name, and the manifest row always reports a COMPLETE file's
-        // length. Content is deterministic, so whichever attempt renames
-        // last leaves identical bytes.
-        val attempt = if (tc != null) tc.taskAttemptId() else 0L
-        var bin = 0
-        var out: java.io.OutputStream = null // compressor over the FS handle
-        var hp: org.apache.hadoop.fs.Path = null // final (committed) name
-        var tmp: org.apache.hadoop.fs.Path = null // in-progress dot-temp
-        var bytes = 0L // UNCOMPRESSED tar bytes — the binning measure
-        var members = 0L
-        var samples = 0L
-        var curKey: String = null
-        var curName: String = null
-        def closeShard(): Unit = if (out != null) {
-          out.write(new Array[Byte](1024)) // two zero end blocks
-          out.close()
-          out = null
-          // commit point: HDFS rename won't clobber, so clear a prior
-          // attempt's identical-bytes file first
-          if (fs.exists(hp)) fs.delete(hp, false)
-          require(fs.rename(tmp, hp), s"shard commit failed: $tmp -> $hp")
-          tmp = null
-          // manifest reports ON-DISK bytes (compressed when applicable)
-          manifest += Row(hp.toString, members, samples,
-            fs.getFileStatus(hp).getLen)
-          bytes = 0L; members = 0L; samples = 0L; bin += 1
-        }
-        if (tc != null) tc.addTaskCompletionListener[Unit] { _ =>
-          if (out != null) try out.close() catch { case _: java.io.IOException => }
-          // a failed attempt's dot-temp is garbage, never data — clean it
-          if (tmp != null)
-            try fs.delete(tmp, false) catch { case _: java.io.IOException => }
-        }
-        rows.foreach { r =>
-          val key = r.getString(0)
-          val name = r.getString(1)
-          val payload = r.getAs[Array[Byte]](2)
-          require(payload != null, s"null payload for member $name (sample $key)")
-          if (key != curKey) {
-            // sample boundary: the only place a shard may close
-            if (out != null && bytes >= target) closeShard()
-            curKey = key
-            curName = null
-            samples += 1
-          }
-          // duplicate (key, name) rows have no stable sort order across
-          // task attempts, so a speculative retry could write DIFFERENT
-          // bytes to the same deterministic file name — refuse loudly
-          require(curName == null || name != curName,
-            s"duplicate member $name in sample $key — writeShards needs " +
-              "unique (sample_key, member_name) rows for deterministic output")
-          curName = name
-          if (out == null) {
-            hp = new org.apache.hadoop.fs.Path(base, f"part-$pid%05d-$bin%05d.$ext")
-            tmp = new org.apache.hadoop.fs.Path(base,
-              f".part-$pid%05d-$bin%05d.$ext.$attempt%d.tmp")
-            val raw = fs.create(tmp, true)
-            out = comp match {
-              case "gzip" => new java.util.zip.GZIPOutputStream(raw, 1 << 16)
-              case "zstd" => new java.io.BufferedOutputStream(
-                new com.github.luben.zstd.ZstdOutputStreamNoFinalizer(raw), 1 << 16)
-              case _ => raw
-            }
-          }
-          // names past ustar's 100-byte field travel as a PAX 'x'
-          // extended header with a `path` override — web-crawled sample
-          // keys (URLs) routinely exceed 100 bytes, and truncation would
-          // collide members; the graft parsers already honor PAX
-          val nameBytes = name.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-          if (nameBytes.length > 100) {
-            val pax = graft.functions.ArchiveCodec.paxPayload(name)
-            out.write(graft.functions.ArchiveCodec.tarHeader(
-              "paxheader", pax.length, 'x'))
-            out.write(pax)
-            val paxPad = (512 - pax.length % 512) % 512
-            if (paxPad > 0) out.write(new Array[Byte](paxPad))
-            bytes += 512L + pax.length + paxPad
-          }
-          val baseName =
-            if (nameBytes.length > 100)
-              new String(nameBytes, 0, 100,
-                java.nio.charset.StandardCharsets.ISO_8859_1)
-            else name
-          out.write(graft.functions.ArchiveCodec.tarHeader(
-            baseName, payload.length, '0'))
-          out.write(payload)
-          val pad = (512 - payload.length % 512) % 512
-          if (pad > 0) out.write(new Array[Byte](pad))
-          bytes += 512L + payload.length + pad
-          members += 1
-        }
-        closeShard()
-        manifest.iterator
-      }(enc)
+    override def append(name: String, payload: Array[Byte]): Unit = {
+      // names past ustar's 100-byte field travel as a PAX 'x' extended
+      // header with a `path` override — web-crawled sample keys (URLs)
+      // routinely exceed 100 bytes, and truncation would collide
+      // members; the graft parsers already honor PAX
+      val nameBytes = name.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      if (nameBytes.length > 100) {
+        val pax = graft.functions.ArchiveCodec.paxPayload(name)
+        out.write(graft.functions.ArchiveCodec.tarHeader(
+          "paxheader", pax.length, 'x'))
+        out.write(pax)
+        val paxPad = (512 - pax.length % 512) % 512
+        if (paxPad > 0) out.write(new Array[Byte](paxPad))
+        bytes += 512L + pax.length + paxPad
+      }
+      val baseName =
+        if (nameBytes.length > 100)
+          new String(nameBytes, 0, 100,
+            java.nio.charset.StandardCharsets.ISO_8859_1)
+        else name
+      out.write(graft.functions.ArchiveCodec.tarHeader(
+        baseName, payload.length, '0'))
+      out.write(payload)
+      val pad = (512 - payload.length % 512) % 512
+      if (pad > 0) out.write(new Array[Byte](pad))
+      bytes += 512L + payload.length + pad
+    }
+    override def measure: Long = bytes
+    override def finish(): Unit = {
+      out.write(new Array[Byte](1024)) // two zero end blocks
+      out.close()
+      out = null
+    }
   }
 
   /**

@@ -204,8 +204,11 @@ object ZipShards {
    *    commit discipline) — retries and speculation are idempotent.
    *  - **Classic (non-zip64) offsets**: a bundle must stay under 4 GiB
    *    and 65535 members — enforced LOUDLY at the writer (the
-   *    [[graft.functions.ArchiveCodec.zipMixed]] rule); size the target
-   *    below 4 GiB and the cap never binds.
+   *    [[graft.functions.ArchiveCodec.zipMixed]] rule). The target is
+   *    capped at 2 GiB (a bundle rolls only at a SAMPLE boundary, so it
+   *    can overshoot the target by one sample — the 2 GiB cap keeps the
+   *    overshoot comfortably inside classic-zip range, and members fetch
+   *    back through the 2 GiB-bounded BinaryType surface).
    *
    * Returns the manifest: one row per bundle (shard, n_members,
    * n_samples, bytes) — `bytes` is the exact on-disk size.
@@ -226,153 +229,88 @@ object ZipShards {
       case other => throw new IllegalArgumentException(
         s"method must be stored/deflated, got $other")
     }
-    val spark = df.sparkSession
-    locally { // ghost-data guard: the writeShards overwrite discipline
-      val base = new org.apache.hadoop.fs.Path(dir)
-      val fs = base.getFileSystem(spark.sessionState.newHadoopConf())
-      if (fs.exists(base)) {
-        val named = fs.listStatus(base).toSeq
-        val stale = named
-          .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
-        if (stale.nonEmpty) {
-          require(overwrite,
-            s"$dir already holds ${stale.size} part files — a partial " +
-              "overwrite would mix exports; pass overwrite = true to clear " +
-              "them, or export to a fresh directory")
-          stale.foreach(st => fs.delete(st.getPath, false))
-        }
-        if (overwrite) named
-          .filter(st => st.isFile && st.getPath.getName.startsWith(".part-"))
-          .foreach(st => fs.delete(st.getPath, false))
-      }
+    ShardExport.writeParts(df, dir, keyCol, nameCol, payloadCol,
+      targetBundleBytes, bundlePartitions, ext, overwrite,
+      "writeBundles")(() => new ZipPartFormat(deflate))
+  }
+
+  /** Streaming classic-zip writer: local headers + payloads as they
+   *  arrive, pending central-directory records in memory, CD + EOCD at
+   *  `finish`; the binning measure is the byte cursor (on-disk bytes
+   *  written so far, pre-CD). */
+  private final case class CdRec(nameB: Array[Byte], crc: Long,
+    compSize: Long, size: Long, localOff: Long, method: Int)
+
+  private final class ZipPartFormat(deflate: Boolean)
+      extends ShardExport.PartFormat {
+    private var out: org.apache.hadoop.fs.FSDataOutputStream = _
+    private var finalName: String = _
+    private var off = 0L
+    private val cd = scala.collection.mutable.ArrayBuffer.empty[CdRec]
+    private val crc32 = new java.util.zip.CRC32
+    private def le16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    private def le32(v: Long): Unit = {
+      out.write((v & 0xff).toInt); out.write(((v >> 8) & 0xff).toInt)
+      out.write(((v >> 16) & 0xff).toInt); out.write(((v >> 24) & 0xff).toInt)
     }
-    val bc = spark.sparkContext.broadcast(
-      new org.apache.spark.util.SerializableConfiguration(
-        spark.sessionState.newHadoopConf()))
-    val parts = if (bundlePartitions > 0) bundlePartitions
-                else spark.sessionState.conf.numShufflePartitions
-    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
-      .encoderFor(manifestSchema)
-    val target = targetBundleBytes
-    val outDir = dir
-    val outExt = ext
-    df.select(col(keyCol).cast("string").as("__k"),
-        col(nameCol).cast("string").as("__n"), col(payloadCol).as("__p"))
-      .repartition(parts, col("__k"))
-      .sortWithinPartitions(col("__k"), col("__n"))
-      .mapPartitions { rows =>
-        val pid = org.apache.spark.TaskContext.getPartitionId()
-        val tc = org.apache.spark.TaskContext.get()
-        val attempt = if (tc != null) tc.taskAttemptId() else 0L
-        val base = new org.apache.hadoop.fs.Path(outDir)
-        val fs = base.getFileSystem(bc.value.value)
-        fs.mkdirs(base)
-        val manifest = scala.collection.mutable.ArrayBuffer.empty[Row]
-        // one open bundle: raw FS stream + byte cursor + pending CD records
-        var bin = 0
-        var out: org.apache.hadoop.fs.FSDataOutputStream = null
-        var hp: org.apache.hadoop.fs.Path = null
-        var tmp: org.apache.hadoop.fs.Path = null
-        var off = 0L
-        var members = 0L
-        var samples = 0L
-        var curKey: String = null
-        var curName: String = null
-        final case class CdRec(nameB: Array[Byte], crc: Long, compSize: Long,
-          size: Long, localOff: Long, method: Int)
-        var cd = scala.collection.mutable.ArrayBuffer.empty[CdRec]
-        def le16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
-        def le32(v: Long): Unit = {
-          out.write((v & 0xff).toInt); out.write(((v >> 8) & 0xff).toInt)
-          out.write(((v >> 16) & 0xff).toInt); out.write(((v >> 24) & 0xff).toInt)
+    override def open(raw: org.apache.hadoop.fs.FSDataOutputStream,
+        name: String): Unit = {
+      out = raw
+      finalName = name
+      off = 0L
+      cd.clear()
+    }
+    override def append(name: String, payload: Array[Byte]): Unit = {
+      crc32.reset(); crc32.update(payload)
+      val body =
+        if (!deflate) payload
+        else {
+          val d = new java.util.zip.Deflater(
+            java.util.zip.Deflater.DEFAULT_COMPRESSION, true)
+          d.setInput(payload); d.finish()
+          val bo = new java.io.ByteArrayOutputStream(
+            math.max(64, payload.length / 2))
+          val buf = new Array[Byte](8192)
+          while (!d.finished()) bo.write(buf, 0, d.deflate(buf))
+          d.end()
+          bo.toByteArray
         }
-        def closeBundle(): Unit = if (out != null) {
-          val cdStart = off
-          for (r <- cd) {
-            out.write('P'); out.write('K'); out.write(1); out.write(2)
-            le16(20); le16(20); le16(0); le16(r.method); le16(0); le16(0)
-            le32(r.crc); le32(r.compSize); le32(r.size)
-            le16(r.nameB.length); le16(0); le16(0)
-            le16(0); le16(0); le32(0)
-            le32(r.localOff)
-            out.write(r.nameB)
-            off += 46L + r.nameB.length
-          }
-          out.write('P'); out.write('K'); out.write(5); out.write(6)
-          le16(0); le16(0); le16(cd.size); le16(cd.size)
-          le32(off - cdStart); le32(cdStart); le16(0)
-          out.close()
-          out = null
-          if (fs.exists(hp)) fs.delete(hp, false)
-          require(fs.rename(tmp, hp), s"bundle commit failed: $tmp -> $hp")
-          tmp = null
-          manifest += Row(hp.toString, members, samples,
-            fs.getFileStatus(hp).getLen)
-          off = 0L; members = 0L; samples = 0L; bin += 1
-          cd = scala.collection.mutable.ArrayBuffer.empty[CdRec]
-        }
-        if (tc != null) tc.addTaskCompletionListener[Unit] { _ =>
-          if (out != null) try out.close() catch { case _: java.io.IOException => }
-          if (tmp != null)
-            try fs.delete(tmp, false) catch { case _: java.io.IOException => }
-        }
-        val crc32 = new java.util.zip.CRC32
-        rows.foreach { r =>
-          val key = r.getString(0)
-          val name = r.getString(1)
-          val payload = r.getAs[Array[Byte]](2)
-          require(payload != null, s"null payload for member $name (sample $key)")
-          if (key != curKey) {
-            if (out != null && off >= target) closeBundle()
-            curKey = key
-            curName = null
-            samples += 1
-          }
-          require(curName == null || name != curName,
-            s"duplicate member $name in sample $key — writeBundles needs " +
-              "unique (sample_key, member_name) rows for deterministic output")
-          curName = name
-          if (out == null) {
-            hp = new org.apache.hadoop.fs.Path(base, f"part-$pid%05d-$bin%05d.$outExt")
-            tmp = new org.apache.hadoop.fs.Path(base,
-              f".part-$pid%05d-$bin%05d.$outExt.$attempt%d.tmp")
-            out = fs.create(tmp, true)
-          }
-          crc32.reset(); crc32.update(payload)
-          val body =
-            if (!deflate) payload
-            else {
-              val d = new java.util.zip.Deflater(
-                java.util.zip.Deflater.DEFAULT_COMPRESSION, true)
-              d.setInput(payload); d.finish()
-              val bo = new java.io.ByteArrayOutputStream(
-                math.max(64, payload.length / 2))
-              val buf = new Array[Byte](8192)
-              while (!d.finished()) bo.write(buf, 0, d.deflate(buf))
-              d.end()
-              bo.toByteArray
-            }
-          val nb = name.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-          val zmethod = if (deflate) 8 else 0
-          require(members < 0xffff,
-            s"bundle $hp would exceed 65535 members — classic zip caps the " +
-              "listing; lower targetBundleBytes")
-          require(off + 30L + nb.length + body.length < 0xffffffffL,
-            s"bundle $hp would exceed 4 GiB — classic zip offsets wrap; " +
-              "lower targetBundleBytes")
-          out.write('P'); out.write('K'); out.write(3); out.write(4)
-          le16(20); le16(0); le16(zmethod); le16(0); le16(0)
-          le32(crc32.getValue); le32(body.length); le32(payload.length)
-          le16(nb.length); le16(0)
-          out.write(nb); out.write(body)
-          cd += CdRec(nb, crc32.getValue, body.length, payload.length,
-            off, zmethod)
-          off += 30L + nb.length + body.length
-          members += 1
-        }
-        closeBundle()
-        manifest.iterator
-      }(enc)
+      val nb = name.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val zmethod = if (deflate) 8 else 0
+      require(cd.size < 0xffff,
+        s"bundle $finalName would exceed 65535 members — classic zip caps " +
+          "the listing; lower targetBundleBytes")
+      require(off + 30L + nb.length + body.length < 0xffffffffL,
+        s"bundle $finalName would exceed 4 GiB — classic zip offsets " +
+          "wrap; lower targetBundleBytes")
+      out.write('P'); out.write('K'); out.write(3); out.write(4)
+      le16(20); le16(0); le16(zmethod); le16(0); le16(0)
+      le32(crc32.getValue); le32(body.length); le32(payload.length)
+      le16(nb.length); le16(0)
+      out.write(nb); out.write(body)
+      cd += CdRec(nb, crc32.getValue, body.length, payload.length,
+        off, zmethod)
+      off += 30L + nb.length + body.length
+    }
+    override def measure: Long = off
+    override def finish(): Unit = {
+      val cdStart = off
+      for (r <- cd) {
+        out.write('P'); out.write('K'); out.write(1); out.write(2)
+        le16(20); le16(20); le16(0); le16(r.method); le16(0); le16(0)
+        le32(r.crc); le32(r.compSize); le32(r.size)
+        le16(r.nameB.length); le16(0); le16(0)
+        le16(0); le16(0); le32(0)
+        le32(r.localOff)
+        out.write(r.nameB)
+        off += 46L + r.nameB.length
+      }
+      out.write('P'); out.write('K'); out.write(5); out.write(6)
+      le16(0); le16(0); le16(cd.size); le16(cd.size)
+      le32(off - cdStart); le32(cdStart); le16(0)
+      out.close()
+      out = null
+    }
   }
 
   /**

@@ -310,6 +310,59 @@ class ShardTablesSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("latestFirst + trigger cap disables the age gate: the whole backlog drains") {
+    val spark = this.spark
+    val root = Files.createTempDirectory("graft_tarlatest_").toString
+    val in = root + "/in"
+    Files.createDirectories(java.nio.file.Paths.get(in))
+    val hour = 3600L * 1000
+    val t0 = 1700000000000L
+    // a backlog whose mtimes span 4x the age window: newest-first
+    // draining admits w4 first, so a live watermark would permanently
+    // reject w1-w3 — FileStreamSource ignores maxFileAge in exactly the
+    // latestFirst+cap configuration, and so must we
+    for (i <- 1 to 4)
+      land(in, s"w$i.tar", shard(Seq(i)), mtime = t0 + i * hour)
+    val out = root + "/out"
+    val q = spark.readStream.format("graft-tar")
+      .option("maxFileAge", "1h")
+      .option("latestFirst", "true")
+      .option("maxFilesPerTrigger", "1")
+      .load(in)
+      .filter(col("member_type") === "file")
+      .select(col("shard"), col("member_name"))
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", root + "/ckpt").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.read.parquet(out)
+      assert(got.count() == 8, "age gate dropped part of the backlog")
+      assert(got.select("shard").distinct().count() == 4)
+    } finally q.stop()
+  }
+
+  test("a hidden-named ROOT dir lists on both surfaces; hidden children stay out") {
+    val spark = this.spark
+    val root = Files.createTempDirectory("graft_tarhidden_").toString
+    val in = root + "/_ingest" // the user POINTED us here; it must list
+    land(in, "a.tar", shard(Seq(1)))
+    land(in + "/_tmp", "b.tar", shard(Seq(2))) // hidden CHILD: metadata
+    assert(spark.read.format("graft-tar").load(in)
+      .filter(col("member_type") === "file").count() == 2)
+    val out = root + "/out"
+    val q = spark.readStream.format("graft-tar").load(in)
+      .filter(col("member_type") === "file")
+      .select(col("shard"), col("member_name"))
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", root + "/ckpt").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.read.parquet(out).collect()
+      assert(got.length == 2, s"hidden-named root did not stream: ${got.toSeq}")
+      assert(got.forall(!_.getString(0).contains("_tmp")))
+    } finally q.stop()
+  }
+
   test("maxFilesPerTrigger throttles admission; backlog drains over triggers") {
     val spark = this.spark
     val root = Files.createTempDirectory("graft_tarthrottle_").toString
