@@ -122,10 +122,18 @@ private[sources] object ShardExport {
         def closePart(): Unit = if (fmt != null) {
           fmt.finish()
           fmt = null
-          // commit point: HDFS rename won't clobber, so clear a prior
-          // attempt's identical-bytes file first
-          if (fs.exists(hp)) fs.delete(hp, false)
-          require(fs.rename(tmp, hp), s"$opName commit failed: $tmp -> $hp")
+          // commit point. If the final name already exists, a prior
+          // attempt committed IDENTICAL bytes (content is a pure function
+          // of the input) — ADOPT its file and discard our temp. Never
+          // delete-then-rename: a zombie attempt killed between the
+          // delete and its own rename would erase the winner's committed
+          // part while the job reports success — silent data loss.
+          if (fs.exists(hp)) fs.delete(tmp, false)
+          else if (!fs.rename(tmp, hp)) {
+            // rename lost a race with a concurrent attempt: adopt theirs
+            require(fs.exists(hp), s"$opName commit failed: $tmp -> $hp")
+            fs.delete(tmp, false)
+          }
           tmp = null
           manifest += Row(hp.toString, members, samples,
             fs.getFileStatus(hp).getLen)
@@ -142,6 +150,12 @@ private[sources] object ShardExport {
           val key = r.getString(0)
           val name = r.getString(1)
           val payload = r.getAs[Array[Byte]](2)
+          // null keys would defeat the sample-boundary logic (nulls sort
+          // first and never differ from the initial curKey) and null
+          // names the duplicate refusal — fail loudly and located, like
+          // the payload check, not with a deep NPE or a wrong manifest
+          require(key != null, s"null sample key (member $name)")
+          require(name != null, s"null member name (sample $key)")
           require(payload != null, s"null payload for member $name (sample $key)")
           if (key != curKey) {
             // sample boundary: the only place a part may close

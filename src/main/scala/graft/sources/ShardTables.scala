@@ -139,6 +139,10 @@ private[sources] object ShardFiles {
         if (!hidden(s.getPath.getName)) {
           if (s.isFile) out += s
           else if (depth < MaxListDepth) dirs.enqueue((s.getPath, depth + 1))
+          else throw new IllegalStateException(
+            s"directory nesting exceeds $MaxListDepth at ${s.getPath} — " +
+              "a cycle or a pathological layout; refusing to SILENTLY " +
+              "truncate the listing")
         }
       }
     }
@@ -262,6 +266,12 @@ private[sources] class TarScan(
   private def spark = SparkSession.active
   private val cap =
     options.getLong("maxMemberBytes", TarShards.maxMemberBytesDefault)
+  // validated HERE, on the driver at plan time: the reader-side require
+  // throws the same IllegalArgumentException shape as corrupt-data
+  // failures, so under permissive a bad OPTION would quarantine every
+  // shard (a silently-empty lake) instead of surfacing the config error
+  require(cap > 0 && cap < Int.MaxValue,
+    s"maxMemberBytes must fit a byte array, got $cap")
   private val permissive = options.getBoolean("permissive", false)
   private val maxFilesPerTrigger: Option[Int] =
     Option(options.get("maxFilesPerTrigger")).map(_.toInt)

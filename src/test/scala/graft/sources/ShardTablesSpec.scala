@@ -363,6 +363,33 @@ class ShardTablesSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("a bad option fails LOUDLY at plan time, even under permissive") {
+    val spark = this.spark
+    val root = Files.createTempDirectory("graft_taropt_").toString
+    land(root, "a.tar", shard(Seq(1)))
+    // reader-side, a zero cap would throw the same exception shape as
+    // corrupt data and permissive would quarantine every shard — the
+    // config error must surface on the DRIVER instead
+    val e = intercept[Exception] {
+      spark.read.format("graft-tar")
+        .option("permissive", "true").option("maxMemberBytes", "0")
+        .load(root).count()
+    }
+    assert(e.getMessage.contains("maxMemberBytes"), e.getMessage)
+  }
+
+  test("pathological nesting past the depth cap aborts loudly, never truncates") {
+    val spark = this.spark
+    val root = Files.createTempDirectory("graft_tardeep_").toString
+    val deep = (1 to ShardFiles.MaxListDepth + 2)
+      .foldLeft(root)((d, i) => d + s"/n$i")
+    land(deep, "a.tar", shard(Seq(1)))
+    val e = intercept[Exception] {
+      ShardFiles.list(spark, root)
+    }
+    assert(e.getMessage.contains("nesting exceeds"), e.getMessage)
+  }
+
   test("maxFilesPerTrigger throttles admission; backlog drains over triggers") {
     val spark = this.spark
     val root = Files.createTempDirectory("graft_tarthrottle_").toString

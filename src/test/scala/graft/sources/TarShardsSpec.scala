@@ -161,6 +161,28 @@ class TarShardsSpec extends SparkSpec {
     assert(java.util.Arrays.equals(fetched("c.jpg"), jpg3))
   }
 
+  test("writeShards refuses null keys, names, and payloads loudly") {
+    val spark = this.spark
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_tarnull_").toString + "/shards"
+    def export(rows: Seq[(String, String, Array[Byte])]): Unit =
+      TarShards.writeShards(rows.toDF("sample_key", "member_name", "payload"),
+        dir, overwrite = true).collect()
+    val good = ("k1", "m1.bin", Array[Byte](1, 2))
+    for ((bad, msg) <- Seq(
+        ((null, "m0.bin", Array[Byte](3)), "null sample key"),
+        (("k0", null, Array[Byte](3)), "null member name"),
+        (("k0", "m0.bin", null), "null payload"))) {
+      val e = intercept[org.apache.spark.SparkException] {
+        export(Seq(good, bad))
+      }
+      // a null would otherwise corrupt the manifest's sample count or
+      // NPE deep inside the tar writer — the refusal must carry context
+      assert(e.getMessage.contains(msg) ||
+        Option(e.getCause).exists(_.getMessage.contains(msg)), e.getMessage)
+    }
+  }
+
   test("writeShards: size caps, sample integrity, read-back ≡ input, idempotent retries") {
     val spark = this.spark
     import spark.implicits._
