@@ -129,8 +129,12 @@ private[sources] object ShardFiles {
    *  never disagree on what a lake contains. Root directory names are
    *  NOT hidden-filtered (an explicitly-given `_staging` or `.work`
    *  root must still list); children are. */
-  def walkDirs(fs: org.apache.hadoop.fs.FileSystem,
-      roots: Seq[Path]): Seq[org.apache.hadoop.fs.FileStatus] = {
+  /** `keepDir` (when non-null) prunes SUBTREES from the walk — e.g. the
+   *  stream's aged-out `date=` directories. Pruning is a promise that
+   *  nothing admissible lives below the pruned dir, never an error. */
+  def walkDirs(fs: org.apache.hadoop.fs.FileSystem, roots: Seq[Path],
+      keepDir: org.apache.hadoop.fs.FileStatus => Boolean = null)
+      : Seq[org.apache.hadoop.fs.FileStatus] = {
     val out = Seq.newBuilder[org.apache.hadoop.fs.FileStatus]
     val dirs = scala.collection.mutable.Queue(roots.map((_, 0)): _*)
     while (dirs.nonEmpty) {
@@ -138,6 +142,7 @@ private[sources] object ShardFiles {
       fs.listStatus(d).foreach { s =>
         if (!hidden(s.getPath.getName)) {
           if (s.isFile) out += s
+          else if (keepDir != null && !keepDir(s)) () // pruned subtree
           else if (depth < MaxListDepth) dirs.enqueue((s.getPath, depth + 1))
           else throw new IllegalStateException(
             s"directory nesting exceeds $MaxListDepth at ${s.getPath} — " +
@@ -306,7 +311,8 @@ private[sources] class TarScan(
     new ArrivalLedgerStream(spark, path, checkpointLocation, "graft-tar",
       factory, (p, l) => TarShardPartition(p, l),
       maxFilesPerTrigger, pathGlobFilter, latestFirst,
-      ShardFiles.maxFileAgeMs(options), ShardFiles.compactInterval(options))
+      ShardFiles.maxFileAgeMs(options), ShardFiles.compactInterval(options),
+      options.getBoolean("agePruneDirs", false))
 }
 
 /** `len` is the size frozen at planning/admission time (-1 = unknown):
@@ -458,7 +464,8 @@ private[sources] class ArrivalLedgerStream(
     pathGlobFilter: Option[String] = None,
     latestFirst: Boolean = false,
     maxFileAgeMs: Long = ArrivalLedgerStream.DefaultMaxFileAgeMs,
-    compactInterval: Int = ArrivalLedgerStream.DefaultCompactInterval)
+    compactInterval: Int = ArrivalLedgerStream.DefaultCompactInterval,
+    agePruneDirs: Boolean = false)
     extends MicroBatchStream {
 
   require(compactInterval > 0, s"$name ledgerCompactInterval must be positive")
@@ -589,9 +596,25 @@ private[sources] class ArrivalLedgerStream(
    *  `pathGlobFilter` gates file names. */
   private def listArrivals(): Seq[(String, Long, Long)] = {
     val roots = Option(fs.globStatus(dirPath)).map(_.toSeq).getOrElse(Seq.empty)
-    val (rootDirs, rootFiles) = roots.partition(_.isDirectory)
+    // agePruneDirs: once the age watermark passes a directory's mtime,
+    // nothing NEW can be inside it — adding (or renaming in) a file
+    // always bumps the parent dir's mtime, so every file below is
+    // either already admitted or age-rejected. Pruning turns the
+    // per-trigger walk of a years-deep dated lake into a walk of the
+    // ACTIVE window only (the difference between O(lake) and O(recent)
+    // listing RPCs on a 10^7-shard lake). Opt-in: stores with synthetic
+    // directories (s3) may not maintain dir mtimes — pruning there
+    // would silently drop data, so the default walks everything.
+    val keepDir: org.apache.hadoop.fs.FileStatus => Boolean = {
+      val wm = watermark
+      if (!agePruneDirs || wm == Long.MinValue) null
+      else s => s.getModificationTime >= wm
+    }
+    val (rootDirs0, rootFiles) = roots.partition(_.isDirectory)
+    val rootDirs = // glob-expanded date=* dirs arrive as ROOTS — same rule
+      if (keepDir == null) rootDirs0 else rootDirs0.filter(keepDir)
     val directs = rootFiles.filter(s => !ShardFiles.hidden(s.getPath.getName))
-    (directs ++ ShardFiles.walkDirs(fs, rootDirs.map(_.getPath)))
+    (directs ++ ShardFiles.walkDirs(fs, rootDirs.map(_.getPath), keepDir))
       .filter(s => globFilter.forall(_.accept(s.getPath)))
       .map(s => (s.getPath.toString, s.getLen, s.getModificationTime))
   }
@@ -765,7 +788,8 @@ private[sources] class ZipShardTable(path: String) extends Table with SupportsRe
           Option(options.get("maxFilesPerTrigger")).map(_.toInt),
           Option(options.get("pathGlobFilter")),
           options.getBoolean("latestFirst", false),
-          ShardFiles.maxFileAgeMs(options), ShardFiles.compactInterval(options))
+          ShardFiles.maxFileAgeMs(options), ShardFiles.compactInterval(options),
+          options.getBoolean("agePruneDirs", false))
     }
 }
 

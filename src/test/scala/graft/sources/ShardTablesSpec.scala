@@ -363,6 +363,49 @@ class ShardTablesSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("agePruneDirs skips aged-out dated subtrees from the per-trigger walk") {
+    val spark = this.spark
+    val root = Files.createTempDirectory("graft_tarprune_").toString
+    val in = root + "/in"
+    val hour = 3600L * 1000
+    val t0 = 1700000000000L
+    def setDirMtime(d: String, m: Long): Unit =
+      Files.setLastModifiedTime(java.nio.file.Paths.get(d),
+        java.nio.file.attribute.FileTime.fromMillis(m))
+    def run(out: String, ckpt: String, prune: Boolean): Long = {
+      val q = spark.readStream.format("graft-tar")
+        .option("maxFileAge", "1h")
+        .option("agePruneDirs", prune.toString)
+        .load(in)
+        .filter(col("member_type") === "file")
+        .select(col("shard"), col("member_name"))
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt).start()
+      try { q.processAllAvailable() } finally q.stop()
+      spark.read.parquet(out).count()
+    }
+    land(in + "/date=A", "a.tar", shard(Seq(1)), mtime = t0)
+    setDirMtime(in + "/date=A", t0)
+    land(in + "/date=B", "b.tar", shard(Seq(2)), mtime = t0 + 2 * hour)
+    setDirMtime(in + "/date=B", t0 + 2 * hour)
+    // first pass admits both waves; the watermark lands at t0+1h — past
+    // date=A's mtime, so the aged subtree stops being WALKED at all
+    assert(run(root + "/out1", root + "/ckpt1", prune = true) == 4)
+    // a file smuggled into the aged dir WITH the dir mtime reset old is
+    // exactly the synthetic-directory hazard the option documents: the
+    // pruned walk never sees it (this is the opt-in's contract boundary,
+    // and the proof the subtree truly isn't listed)
+    land(in + "/date=A", "c.tar", shard(Seq(3)), mtime = t0 + 2 * hour)
+    setDirMtime(in + "/date=A", t0)
+    land(in + "/date=B", "d.tar", shard(Seq(4)), mtime = t0 + 2 * hour)
+    setDirMtime(in + "/date=B", t0 + 2 * hour)
+    assert(run(root + "/out1", root + "/ckpt1", prune = true) == 6,
+      "active subtree must keep admitting; pruned subtree must not")
+    // the default (no pruning) walks everything: a fresh consumer sees
+    // the smuggled file too
+    assert(run(root + "/out2", root + "/ckpt2", prune = false) == 8)
+  }
+
   test("a bad option fails LOUDLY at plan time, even under permissive") {
     val spark = this.spark
     val root = Files.createTempDirectory("graft_taropt_").toString
