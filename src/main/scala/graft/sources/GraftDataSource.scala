@@ -482,7 +482,16 @@ class GraftTable(
 
   override def canDeleteWhere(
       filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
-    deleteKeyRows(filters).isDefined
+    // row-tracked and CDC-feed tables must take the ROW-LEVEL CoW path
+    // (GraftRowLevel): the metadata-delete fast path rewrites surviving
+    // rows without materializing their stable _graft_row_id (every
+    // survivor would be silently renumbered) and commits no CDC sidecar
+    // (changeEvents would refuse the version as "crosses a logical
+    // rewrite"). Returning false here makes Spark keep the row-level
+    // plan, which handles both.
+    !tableOptions.getBoolean("rowTracking", false) &&
+      !tableOptions.getBoolean("changeFeedCow", false) &&
+      deleteKeyRows(filters).isDefined
 
   /** SQL `TRUNCATE TABLE`: on a snapshot-logged table, one atomic
    *  empty-set rewrite — pinned readers keep their history until vacuum,

@@ -75,6 +75,17 @@ object Manifest {
             .map(_.group(1).toInt)
             .filter(_ < rs.length)
             .map(i => (rs(i).start, rs(i).end))
+            // the stamp must be TRUE of the file, not just of its name: an
+            // unmanifested leftover from a crashed PLAIN write also matches
+            // part-NNNNN, and stamping it with a range its tokens don't
+            // satisfy would let Colocated.nominalRanges "prove"
+            // co-partitioning and zero-shuffle-join wrong rows. Containment
+            // against the footer's actual token bounds ((start, end]
+            // semantics) keeps every legitimately ring-written file and
+            // rejects impostors.
+            .filter { case (s, e) =>
+              base.tokenRange.exists { case (mn, mx) => s < mn && mx <= e }
+            }
         }
         base.copy(ringSplit = nominal, digest = digests.get(f.getPath.toString).flatten)
       }
@@ -323,9 +334,16 @@ object Manifest {
    *  recorded digest are skipped (pre-digest layouts stay readable). */
   def verifyDigests(spark: SparkSession, tableDir: String): Seq[String] = {
     val root = new Path(tableDir)
-    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = root.getFileSystem(conf)
     val recorded = read(fs, root).collect {
-      case (p, m) if m.digest.isDefined && fs.exists(new Path(p)) => p -> m.digest.get
+      // per-path FS for the exists probe (digestAll already resolves one
+      // per file): a shallow clone records out-of-root rows that may live
+      // on a DIFFERENT filesystem, and probing those with the table
+      // root's FS throws "Wrong FS" instead of verifying
+      case (p, m) if m.digest.isDefined && {
+        val hp = new Path(p); hp.getFileSystem(conf).exists(hp)
+      } => p -> m.digest.get
     }
     if (recorded.isEmpty) return Nil
     val actual = digestAll(spark, recorded.keys.toArray)

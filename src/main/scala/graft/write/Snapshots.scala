@@ -433,20 +433,27 @@ object Snapshots {
    *  version's bindings; no pin → latest snapshot's (none without a log).
    *  `snapshotVersion=listing` also applies the LATEST bindings — listing
    *  mode exists to see out-of-band FILES, not to resurrect deleted rows. */
+  /** The ONE pin grammar (listing/latest/asof:<ms>/tag:<name>/<number>)
+   *  behind every scan-side resolution — dvsForPin, ridsForPin and
+   *  filterListing all call this, so a new spelling (or a trim/case fix)
+   *  cannot desynchronize which version a scan's files, DVs and row-id
+   *  bindings resolve to. None = "listing"/"latest" on a log-less table. */
+  private def resolvePin(spark: SparkSession, dir: String,
+      f: FileSystem, root: Path, pin: Option[String]): Option[Long] =
+    pin.map(_.trim.toLowerCase) match {
+      case Some("listing") | Some("latest") | None => latest(f, root)
+      case Some(asof) if asof.startsWith("asof:") =>
+        Some(versionAsOf(spark, dir, asof.stripPrefix("asof:").trim.toLong))
+      case Some(t) if t.startsWith("tag:") =>
+        Some(resolveTag(spark, dir, t.stripPrefix("tag:").trim))
+      case Some(n) => Some(n.toLong)
+    }
+
   def dvsForPin(spark: SparkSession, dir: String, pin: Option[String])
       : Map[String, String] = {
     val (f, root) = fs(spark, dir)
-    val version = pin.map(_.trim.toLowerCase) match {
-      case Some("listing") | None => latest(f, root).getOrElse(return Map.empty)
-      case Some(p) => p match {
-        case "latest" => latest(f, root).getOrElse(return Map.empty)
-        case asof if asof.startsWith("asof:") =>
-          versionAsOf(spark, dir, asof.stripPrefix("asof:").trim.toLong)
-        case t if t.startsWith("tag:") => resolveTag(spark, dir, t.stripPrefix("tag:").trim)
-        case n => n.toLong
-      }
-    }
-    readDvs(f, root, version)
+    resolvePin(spark, dir, f, root, pin)
+      .map(readDvs(f, root, _)).getOrElse(Map.empty)
   }
 
   /** [[rowIdBindings]] resolved through the same pin grammar as
@@ -455,17 +462,8 @@ object Snapshots {
   def ridsForPin(spark: SparkSession, dir: String, pin: Option[String])
       : Map[String, Long] = {
     val (f, root) = fs(spark, dir)
-    val version = pin.map(_.trim.toLowerCase) match {
-      case Some("listing") | None => latest(f, root).getOrElse(return Map.empty)
-      case Some(p) => p match {
-        case "latest" => latest(f, root).getOrElse(return Map.empty)
-        case asof if asof.startsWith("asof:") =>
-          versionAsOf(spark, dir, asof.stripPrefix("asof:").trim.toLong)
-        case t if t.startsWith("tag:") => resolveTag(spark, dir, t.stripPrefix("tag:").trim)
-        case n => n.toLong
-      }
-    }
-    readRids(f, root, version)
+    resolvePin(spark, dir, f, root, pin)
+      .map(readRids(f, root, _)).getOrElse(Map.empty)
   }
 
   /** Commit wall-clock (epoch millis) recorded in a version's header — the
@@ -489,8 +487,25 @@ object Snapshots {
     val in = f.open(p)
     try {
       val buf = new Array[Byte](4096) // headers are tens of bytes
-      val n = in.read(buf)
-      val upto = (0 until math.max(n, 0)).find(i => buf(i) == '\n').getOrElse(math.max(n, 0))
+      // fill until newline/EOF/full — a single read() may return a short
+      // packet (object-store streams), and accepting it could hand a
+      // TRUNCATED header field downstream: a commit timestamp cut to its
+      // leading digits parses as epoch-1970, which vacuum's age filter
+      // would read as "ancient" and reclaim a version inside retention
+      var n = 0
+      var done = false
+      while (!done && n < buf.length) {
+        val r = in.read(buf, n, buf.length - n)
+        if (r < 0) done = true
+        else {
+          val seen = (n until n + r).exists(i => buf(i) == '\n')
+          n += r
+          done = seen
+        }
+      }
+      val upto = (0 until n).find(i => buf(i) == '\n').getOrElse(n)
+      require(upto < n || n < buf.length,
+        s"corrupt snapshot file $p: no header newline in the first ${buf.length} bytes")
       val line = new String(buf, 0, upto, StandardCharsets.UTF_8)
       require(line.startsWith(Magic + "\t"),
         s"corrupt snapshot file $p: missing header")
@@ -826,10 +841,17 @@ object Snapshots {
       } catch {
         // both collision shapes fall through to the loop exit on the last
         // attempt, so exhaustion always surfaces as the diagnostic below
-        // rather than a raw store exception
+        // rather than a raw store exception. The message heuristic is
+        // scoped to THIS version file (the conditionalCreate discipline):
+        // an "already exists" about a different path — a nested failure
+        // creating an intermediate dir, another object in a store error —
+        // is a real failure and must propagate, not be retried 20 times
+        // into the misleading "runaway committer" diagnostic
         case _: FileAlreadyExistsException => () // lost the race — re-read, retry
         case e: java.io.IOException
-            if Option(e.getMessage).exists(_.contains("already exists")) => ()
+            if Option(e.getMessage).exists(m => m.contains("already exists") &&
+              (m.contains(vPath(root, version).toString) ||
+                m.contains(vPath(root, version).getName))) => ()
       }
     }
     throw new IllegalStateException(
@@ -1688,15 +1710,9 @@ object Snapshots {
       all: Array[graft.sources.TokenPruner.FileMeta])
       : Array[graft.sources.TokenPruner.FileMeta] = {
     val (f, root) = fs(spark, dir)
-    val version = pinned.trim.toLowerCase match {
-      case "latest" => latest(f, root).getOrElse(throw new IllegalArgumentException(
-        s"snapshotVersion=latest but $dir has no snapshot log"))
-      case asof if asof.startsWith("asof:") =>
-        versionAsOf(spark, dir, asof.stripPrefix("asof:").trim.toLong)
-      case t if t.startsWith("tag:") =>
-        resolveTag(spark, dir, t.stripPrefix("tag:").trim)
-      case n => n.toLong
-    }
+    val version = resolvePin(spark, dir, f, root, Some(pinned))
+      .getOrElse(throw new IllegalArgumentException(
+        s"snapshotVersion=$pinned but $dir has no snapshot log"))
     val want = readFiles(f, root, version).toSet
     // a SHALLOW CLONE's log references files OUTSIDE the table root
     // (the source's data) — they can never appear in this dir's listing;

@@ -374,6 +374,20 @@ object TokenSortedWriter {
         "snapshot commits reject SaveMode.Overwrite: the parquet committer deletes " +
           "prior files, invalidating every earlier snapshot — compact to a rewrite " +
           "commit (Snapshots.commitRewrite) and vacuum instead")
+    // snapshot-coupled conf flags validate BEFORE any data lands: these
+    // used to throw after the parquet write + manifest append, by which
+    // point a log-less table's listing reads already saw the rows — a
+    // "failed" write that had in fact committed data
+    if (!conf.snapshot) {
+      require(conf.streamTxn.isEmpty,
+        "streamTxn requires snapshot=true: the replay guard lives in the log")
+      require(!conf.rowTracking,
+        "rowTracking requires snapshot=true: bases and the high-water mark " +
+          "live in the log")
+      require(conf.identityUpdate.isEmpty,
+        "identity columns require snapshot=true: the allocation mark lives " +
+          "in the log")
+    }
     // Snapshotted writes land in a hidden per-batch staging dir and are then
     // moved into the table root, so the committed "added" set is EXACTLY the
     // files THIS job wrote — a whole-table listing diff would absorb any
@@ -474,16 +488,8 @@ object TokenSortedWriter {
           graft.sources.TokenPruner.invalidateListing(path)
           throw e
       }
-    else {
-      require(conf.streamTxn.isEmpty,
-        "streamTxn requires snapshot=true: the replay guard lives in the log")
-      require(!conf.rowTracking,
-        "rowTracking requires snapshot=true: bases and the high-water mark " +
-          "live in the log")
-      require(conf.identityUpdate.isEmpty,
-        "identity columns require snapshot=true: the allocation mark lives " +
-          "in the log")
-    }
+    // (the snapshot-coupled conf flags were validated up top, before any
+    // data landed)
   }
 
   /**
@@ -911,7 +917,21 @@ object TokenSortedWriter {
     val newLive = live.map(_.path).flatMap(pth =>
       replacements.getOrElse(pth, Some(pth)))
     if (head.isDefined) {
-      Snapshots.commitRewrite(spark, dir, newLive.toSeq, expectedParent = head)
+      try Snapshots.commitRewrite(spark, dir, newLive.toSeq, expectedParent = head)
+      catch {
+        case e: Snapshots.ConcurrentCommitException =>
+          // the guarded commit did not land: the part-cow-* replacements
+          // already renamed into live data dirs are referenced by no
+          // version — delete them (the write() discipline) or a
+          // listing-driven read double-counts every kept row, and each
+          // retry leaks another set
+          replacements.foreach {
+            case (old, Some(rep)) if rep != old => fs.delete(new Path(rep), false)
+            case _ => ()
+          }
+          graft.sources.TokenPruner.invalidateListing(dir)
+          throw e
+      }
     } else {
       replacements.foreach {
         case (old, rep) if !rep.contains(old) => fs.delete(new Path(old), false)
@@ -984,6 +1004,17 @@ object TokenSortedWriter {
             s"out-of-root file(s) (a shallow clone of its source, e.g. " +
             s"${foreign.head}) — the listing-driven fold cannot see them; " +
             "rewrite the rows local first (DML) or compact the SOURCE")
+      // the LWW fold merges a logical row's versions COLUMN-wise, so a
+      // folded row has no single physical ancestor — its stable id would
+      // be renumbered (fresh base, no materialized column). Refuse
+      // rather than silently break every id-keyed consumer; layout
+      // compaction on tracked tables is optimizeSmallFiles, which
+      // materializes each row's current id into the packed file.
+      if (Snapshots.rowIdBindings(spark, dir, head).nonEmpty)
+        throw new UnsupportedOperationException(
+          s"compactInPlace on $dir: the table is row-tracked and the " +
+            "multi-version fold cannot preserve stable row ids — use " +
+            "optimizeSmallFiles (id-preserving packing + DV folds) instead")
     }
     val live = graft.sources.TokenPruner.listDataFiles(fs, root)
       .map(_.getPath.toString).toSeq
@@ -1285,8 +1316,18 @@ object TokenSortedWriter {
         val gone = replaced.toSet
         val keep = Snapshots.files(spark, dir, v).filterNot(gone.contains)
         // layoutOnly: change capture skips this commit (rows identical)
-        Snapshots.commitRewrite(spark, dir, keep ++ fresh,
+        try Snapshots.commitRewrite(spark, dir, keep ++ fresh,
           expectedParent = Some(v), layoutOnly = true)
+        catch {
+          case e: Snapshots.ConcurrentCommitException =>
+            // the packed part-opt-* files already sit in live data dirs
+            // but no version references them — delete (the write()
+            // discipline) so a listing read can't double-count the
+            // packed rows, and a retry doesn't leak another set
+            fresh.foreach(f => fs.delete(new Path(f), false))
+            graft.sources.TokenPruner.invalidateListing(dir)
+            throw e
+        }
       case None =>
         replaced.foreach(f => fs.delete(new Path(f), false))
     }

@@ -327,6 +327,38 @@ class PlanQualitySpec extends SparkSpec {
     assert(agg(clustered = true) == agg(clustered = false))
   }
 
+  test("an unmanifested impostor part file never earns a nominal ring stamp: " +
+      "the stamp must be TRUE of the file's tokens, not just of its name") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_ringstamp_").toString + "/t"
+    TokenSortedWriter.write((1L to 4000L).map(i => (i, i)).toDF("k", "v"),
+      CqlSchema("t", Seq("k")), dir, SaveMode.Append,
+      TokenSortedWriter.WriteConf(ringSplits = 4, keepTokenColumn = true))
+    assert(Colocated.nominalRanges(spark, dir).get.length == 4)
+    // a crashed PLAIN write's leftover also matches part-NNNNN: forge one
+    // by copying split 0's file under an index-1 name — its tokens are
+    // NOT inside split 1's range, so stamping it would let nominalRanges
+    // "prove" co-partitioning that the bytes contradict (and a
+    // zero-shuffle zip join would silently mis-join)
+    val fsx = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val split0 = fsx.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .map(_.getPath).find(_.getName.startsWith("part-00000"))
+      .getOrElse(fail("no split-0 file"))
+    val impostor = new org.apache.hadoop.fs.Path(dir, "part-00001-impostor.parquet")
+    org.apache.hadoop.fs.FileUtil.copy(fsx, split0, fsx, impostor, false,
+      spark.sessionState.newHadoopConf())
+    graft.write.Manifest.appendFor(spark, dir, Some(4))
+    graft.sources.TokenPruner.invalidateListing(dir)
+    val metas = graft.sources.TokenPruner.listFiles(spark, dir)
+    assert(metas.exists(_.path.endsWith("part-00001-impostor.parquet")),
+      "impostor must still get a manifest row (stats are fine, stamps are not)")
+    assert(metas.filter(_.path.contains("impostor")).forall(_.ringSplit.isEmpty),
+      "impostor earned a nominal ring stamp its tokens do not satisfy")
+    // with one live file unstamped, co-location is correctly DISproved
+    assert(Colocated.nominalRanges(spark, dir).isEmpty)
+  }
+
   test("co-located join: same-ring-split tables zip partitions with zero shuffle") {
     import spark.implicits._
     def write(dir: String, rows: Seq[(Long, Long)], splits: Int): Unit =

@@ -103,6 +103,24 @@ class ChangeDataFeedCowSpec extends SparkSpec {
     assert(ev.forall(r => r._1 >= 58L))
   }
 
+  test("a FULL-PK DELETE routes through the row-level path: the feed " +
+      "records its deletes instead of breaking at the version") {
+    val dir = createCow("pkdel", rows = 50)
+    val v1 = Snapshots.latestVersion(spark, dir).get
+    // a pk-covering predicate is exactly what the SupportsDelete
+    // metadata fast path would accept — on a CDC table it must NOT,
+    // because that path commits no sidecar and the feed would refuse
+    // every later read as "crosses a logical rewrite"
+    spark.sql(s"DELETE FROM $catName.db.pkdel WHERE id IN (3, 7, 11)")
+    val v2 = Snapshots.latestVersion(spark, dir).get
+    assert(Snapshots.changeDataFiles(spark, dir, v2).nonEmpty,
+      "pk DELETE must record a cdc sidecar")
+    val rows = feed(dir, v1, v2)
+    assert(rows.map(r => (r._1, r._3)).sorted.toSeq ==
+      Seq((3L, "delete"), (7L, "delete"), (11L, "delete")))
+    assert(spark.read.format("graft").option("path", dir).load().count() == 47)
+  }
+
   test("no-op UPDATE records an empty sidecar: zero events, no refusal") {
     val dir = createCow("noop", rows = 30)
     val v1 = Snapshots.latestVersion(spark, dir).get

@@ -98,6 +98,14 @@ class RowTrackingSpec extends SparkSpec {
         SaveMode.Append, TokenSortedWriter.WriteConf(rowTracking = true))
     }
     assert(e.getMessage.contains("snapshot"))
+    // the refusal happens BEFORE any data lands: a log-less table's
+    // listing reads must not see rows from a "failed" write
+    val fsg = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    assert(!fsg.exists(new org.apache.hadoop.fs.Path(dir)) ||
+      !fsg.listStatus(new org.apache.hadoop.fs.Path(dir))
+        .exists(_.getPath.getName.endsWith(".parquet")),
+      "refused write left data files behind")
     // untracked table, option forced on read: files have no bindings
     TokenSortedWriter.write(Seq((1L, 1L)).toDF("id", "v"), schema, dir,
       SaveMode.Append, TokenSortedWriter.WriteConf(snapshot = true))
@@ -209,6 +217,40 @@ class RowTrackingSpec extends SparkSpec {
     assert(afterMerge(100L)._2 >= 40L, "a merged-in row mints a FRESH id")
     assert(afterMerge.view.filterKeys(_ != 100L).mapValues(_._2).toMap ==
       afterDel.view.mapValues(_._2).toMap)
+  }
+
+  test("compactInPlace refuses a tracked table (the LWW fold cannot " +
+      "preserve ids) and points at optimizeSmallFiles") {
+    val dir = freshDir("compactref")
+    TokenSortedWriter.write(Seq((1L, 10L), (2L, 20L)).toDF("id", "v"), schema,
+      dir, SaveMode.Append,
+      TokenSortedWriter.WriteConf(snapshot = true, rowTracking = true))
+    val e = intercept[UnsupportedOperationException] {
+      TokenSortedWriter.compactInPlace(spark, schema, dir)
+    }
+    assert(e.getMessage.contains("optimizeSmallFiles"), e.getMessage)
+  }
+
+  test("a FULL-PK DELETE on a tracked table keeps survivor ids: the " +
+      "metadata fast path (which would renumber them) is refused") {
+    val base = Files.createTempDirectory("graft_ridpkdel_").toString
+    spark.conf.set("spark.sql.catalog.rpk", classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.rpk.base", base)
+    spark.sql("CREATE TABLE rpk.db.t (id BIGINT, v BIGINT) USING graft " +
+      "OPTIONS (pk 'id', partitions '2', snapshot 'true', rowTracking 'true')")
+    spark.sql("INSERT INTO rpk.db.t SELECT id, id * 10 FROM range(1, 41) AS r(id)")
+    def ids() = spark.sql("SELECT id, _graft_row_id FROM rpk.db.t")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val before = ids()
+    // full-pk =/IN is what SupportsDelete's metadata path accepts; on a
+    // tracked table it would rewrite survivors WITHOUT materializing
+    // their ids — every survivor silently renumbered. The row-level
+    // path must win instead.
+    spark.sql("DELETE FROM rpk.db.t WHERE id IN (2, 4, 6)")
+    val after = ids()
+    assert(after.keySet == before.keySet -- Set(2L, 4L, 6L))
+    assert(after == before.view.filterKeys(after.contains).toMap,
+      "pk DELETE renumbered surviving rows")
   }
 
   test("ids are STABLE across merge-on-read DML: the re-insert generation " +
