@@ -422,11 +422,22 @@ object Dedup {
         .filter(col("df") > maxShingleDf).select(col("h"))
       sh0.join(frequent, Seq("h"), "left_anti")
     }
-    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("sz"))
-    val inter = sh.as("a").join(sh.as("b"),
+    // the distinct-shingle table feeds THREE subtrees (sizes + both sides
+    // of the self-join), each of which would otherwise re-shingle the whole
+    // corpus text; persist the narrow (id, hash) rows — 16 B/pair, tiny
+    // next to text — compute the two aggregates, materialize them
+    // (localCheckpoint: sizes is O(docs), inter is the pair set the
+    // operator returns anyway), then release the cache so nothing leaks
+    // past the call (the removeDuplicateSpans discipline)
+    val shP = sh.persist(StorageLevel.MEMORY_AND_DISK)
+    val sizes = shP.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+      .localCheckpoint(eager = true)
+    val inter = shP.as("a").join(shP.as("b"),
         col("a.h") === col("b.h") && col("a.id") =!= col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .agg(count(lit(1)).as("inter"))
+      .localCheckpoint(eager = true)
+    shP.unpersist(blocking = false)
     inter
       .join(sizes.select(col("id").as("id_a"), col("sz").as("size_a")), "id_a")
       .join(sizes.select(col("id").as("id_b"), col("sz").as("size_b")), "id_b")

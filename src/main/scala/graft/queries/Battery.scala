@@ -81,9 +81,17 @@ object Battery {
   private def li(s: SparkSession, d: String) = Tables.lineitem(s, d)
   private def ord(s: SparkSession, d: String) = Tables.orders(s, d)
   private def cust(s: SparkSession, d: String) = Tables.customer(s, d)
-  private def docs(s: SparkSession, d: String) = Tables.documents(s, d)
+  // The text/vector corpora feed heavy per-row work (shingles, token
+  // explodes, vector math) in most consumers, and the test parquet ships as
+  // ONE row group — a starved single-task scan on any multi-core session.
+  // Fanout.widen (guide §2.5 input skew) fans the scan out by its key iff
+  // the physical plan is actually narrower than the session's parallelism
+  // (identity at scale, where scans plan thousands of splits).
+  private def docs(s: SparkSession, d: String) =
+    graft.operators.Fanout.widen(Tables.documents(s, d), Seq(col("doc_id")))
   private def ev(s: SparkSession, d: String) = Tables.events(s, d)
-  private def emb(s: SparkSession, d: String) = Tables.embeddings(s, d)
+  private def emb(s: SparkSession, d: String) =
+    graft.operators.Fanout.widen(Tables.embeddings(s, d), Seq(col("vec_id")))
 
   /** Twin corpus for the deterministic LSH-family oracles (q25/q27/q55/q58/
    *  q69) — the q72 trick generalized to text. Each copy rebuilds a doc's

