@@ -90,8 +90,11 @@ object Battery {
   private def docs(s: SparkSession, d: String) =
     graft.operators.Fanout.widen(Tables.documents(s, d), Seq(col("doc_id")))
   private def ev(s: SparkSession, d: String) = Tables.events(s, d)
-  private def emb(s: SparkSession, d: String) =
-    graft.operators.Fanout.widen(Tables.embeddings(s, d), Seq(col("vec_id")))
+  // embeddings stays un-widened: 2000 rows of vector math gain nothing from
+  // a fan-out, and the widen Repartition under q158's self-union trips a
+  // Catalyst constraint-propagation bug (NoSuchElementException in
+  // UnionBase.rewriteConstraints) during explain-initiated optimization
+  private def emb(s: SparkSession, d: String) = Tables.embeddings(s, d)
 
   /** Twin corpus for the deterministic LSH-family oracles (q25/q27/q55/q58/
    *  q69) — the q72 trick generalized to text. Each copy rebuilds a doc's

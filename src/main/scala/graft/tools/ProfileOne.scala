@@ -16,16 +16,35 @@ object ProfileOne {
     val reps = args.lift(1).map(_.toInt).getOrElse(2)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    val builder0 = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // A/B hook: SPARK_GRAFT_EXTRA_CONF="k=v;k=v" for config experiments
+    val spark = sys.env.get("SPARK_GRAFT_EXTRA_CONF").getOrElse("").split(';')
+      .filter(_.contains('=')).foldLeft(builder0) { (b, kv) =>
+        val Array(k, v) = kv.split("=", 2); b.config(k, v)
+      }.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.Graft.install(spark)
     spark.range(1000000L).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/nation.parquet").count()
     val fn = graft.SparkEntry.queries.getOrElse(name, sys.error(s"unknown query: $name"))
+
+    // Catalyst phase accounting: every action's QueryExecution carries a
+    // QueryPlanningTracker; summing its phases over a rep separates driver
+    // planning cost from executor time (guide §7.3).
+    val phaseTotals = new java.util.concurrent.ConcurrentHashMap[String, Long]()
+    val qeListener = new org.apache.spark.sql.util.QueryExecutionListener {
+      private def record(qe: org.apache.spark.sql.execution.QueryExecution): Unit =
+        qe.tracker.phases.foreach { case (ph, t) =>
+          phaseTotals.merge(ph, t.endTimeMs - t.startTimeMs, java.lang.Long.sum _)
+        }
+      override def onSuccess(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, d: Long): Unit = record(qe)
+      override def onFailure(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = record(qe)
+    }
 
     final case class Job(id: Int, desc: String, start: Long, var end: Long = 0L,
         var stages: Int = 0)
@@ -46,7 +65,11 @@ object ProfileOne {
 
     (1 to reps).foreach { i =>
       jobs.clear()
-      if (i == reps) spark.sparkContext.addSparkListener(listener)
+      phaseTotals.clear()
+      if (i == reps) {
+        spark.sparkContext.addSparkListener(listener)
+        spark.listenerManager.register(qeListener)
+      }
       val t0 = System.nanoTime()
       val n = fn(spark, sfDir).count()
       val dt = (System.nanoTime() - t0) / 1e9
@@ -54,6 +77,13 @@ object ProfileOne {
       if (i == reps) {
         spark.sparkContext.removeSparkListener(listener)
         Thread.sleep(200) // let trailing job-end events drain
+        spark.listenerManager.unregister(qeListener)
+        val phases = {
+          import scala.jdk.CollectionConverters._
+          phaseTotals.asScala.toSeq.sortBy(-_._2)
+        }
+        println(f"[profile] catalyst phases (all actions, ms): " +
+          phases.map { case (p, t) => s"$p=$t" }.mkString(" "))
         val rows = jobs.synchronized(jobs.values.toSeq).sortBy(_.start)
         val accounted = rows.map(j => math.max(0L, j.end - j.start)).sum / 1e3
         println(f"[profile] jobs=${rows.size} accounted=$accounted%.3f s of $dt%.3f s wall (gap = driver-side planning/FS)")
