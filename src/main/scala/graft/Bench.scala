@@ -31,37 +31,48 @@ object Bench {
       name -> math.min(t, reruns.min)
     }
     // The harness captures only the LAST 2000 chars of stdout and parses the
-    // last line as JSON — the whole line must fit. Short keys (qNN, unique by
-    // construction) + 3-decimal values keep ~93 queries near 1300 chars; if
-    // the battery ever outgrows that, drop the fastest entries until it fits.
+    // last line as JSON — the whole line must fit. Round-19 lesson: the
+    // steady rerun map competed with the query map for the same budget and,
+    // on a contended box (84 reruns), squeezed the stdout line down to 55 of
+    // 264 entries — the driver scored 49 queries as "dropped". The stdout
+    // line now carries the QUERY MAP ONLY at 2-decimal precision (~140
+    // slowest entries fit, still slowest-first so the common set stays
+    // stable); the steady map and the full 3-decimal battery map go to
+    // BENCH_SELF.json, which has no length bound.
     val total = if (results.nonEmpty) results.values.sum else 0.0
     // steady_total: the battery sum with each steady-adjudicated query
     // counted at its steady number — the co-tenancy-noise-free headline
     val steadyTotal = total - steady.map { case (n, t) => results(n) - t }.sum
-    def render(rs: Seq[(String, Double)]): String = {
-      def jmap(m: Iterable[(String, Double)]): String =
-        m.map { case (k, v) => f""""${k.takeWhile(_ != '_')}":$v%.3f""" }
-          .mkString("{", ",", "}")
-      val st = if (steady.isEmpty) ""
-        else f""","steady":${jmap(steady)},"steady_total":$steadyTotal%.3f"""
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${jmap(rs)}$st,"sf":"$sfDir"}"""
+    def jmap(m: Iterable[(String, Double)], dec: Int): String =
+      m.map { case (k, v) =>
+        s""""${k.takeWhile(_ != '_')}":${s"%.${dec}f".format(v)}""" }
+        .mkString("{", ",", "}")
+    def render(rs: Seq[(String, Double)], dec: Int, withSteady: Boolean): String = {
+      val st = if (!withSteady || steady.isEmpty) ""
+        else f""","steady":${jmap(steady, dec)},"steady_total":$steadyTotal%.3f"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${jmap(rs, dec)}$st,"sf":"$sfDir"}"""
     }
     var entries = results.toSeq.sortBy(-_._2) // slowest first: keep the informative ones
-    var line = render(entries)
+    var line = render(entries, 2, withSteady = false)
     while (line.length > 1900 && entries.nonEmpty) {
       entries = entries.init
-      line = render(entries)
+      line = render(entries, 2, withSteady = false)
     }
     // stop BEFORE printing so no executor/context shutdown log line can land
     // after the JSON — the harness parses the last line of stdout
     spark.stop()
-    // the FULL untruncated per-query map goes to the file (round-8 lesson:
-    // the stdout tail-capture silently dropped 24 fast queries from the
-    // adjudication record); only stdout is length-bounded
-    try {
-      val w = new java.io.PrintWriter("BENCH_SELF.json")
-      try w.println(render(results.toSeq.sortBy(-_._2))) finally w.close()
-    } catch { case _: Throwable => () }
+    // the FULL untruncated per-query map (plus the steady rerun map) goes to
+    // the file (round-8 lesson: the stdout tail-capture silently dropped 24
+    // fast queries from the adjudication record); only stdout is
+    // length-bounded. A per-core-count copy survives the driver's second,
+    // lower-core run overwriting BENCH_SELF.json.
+    val full = render(results.toSeq.sortBy(-_._2), 3, withSteady = true)
+    for (f <- Seq("BENCH_SELF.json", s"BENCH_SELF_c$cpus.json")) {
+      try {
+        val w = new java.io.PrintWriter(f)
+        try w.println(full) finally w.close()
+      } catch { case _: Throwable => () }
+    }
     println(line)
   }
 }

@@ -67,15 +67,19 @@ object CountLm {
    *  LM applies, with a deterministic tie-break — via the distributed
    *  [[capTopK]] (never a single-partition global window). */
   def train(corpus: DataFrame, textCol: String, maxVocab: Int = 0): Model = {
+    // the two explode+count passes below are heavy per-row work over the
+    // whole corpus: fan a starved single-file scan out first (guide §2.5;
+    // operator-local per the round-19 verdict, q151 2x driver evidence)
+    val c = Fanout.widen(corpus, Seq(col(textCol)))
     val t = toks(col(textCol))
     def cap(df: DataFrame, key: String): DataFrame =
       if (maxVocab <= 0) df else capTopK(df, key, maxVocab)
     val terms = cap(
-      corpus.select(explode(t).as("term"))
+      c.select(explode(t).as("term"))
         .groupBy(col("term")).agg(count(lit(1)).as("cnt")), "term")
       .localCheckpoint(eager = true)
     val bigrams = cap(
-      corpus.select(explode(
+      c.select(explode(
           when(size(t) >= 2,
             transform(sequence(lit(1), size(t) - 1),
               i => concat_ws(" ", element_at(t, i), element_at(t, i + 1))))
@@ -101,6 +105,9 @@ object CountLm {
       textCol: String,
       model: Model,
       maxBroadcastTerms: Int = 100000): DataFrame = {
+    // per-row token folds below are heavy: fan a starved scan out first
+    // (guide §2.5; operator-local, round-19 q157 evidence)
+    val dfw = Fanout.widen(df, Seq(col(idCol)))
     val nTerms = model.terms.count()
     val nBigrams = model.bigrams.count()
     if (nTerms <= maxBroadcastTerms && nBigrams <= maxBroadcastTerms) {
@@ -120,7 +127,7 @@ object CountLm {
             concat_ws(" ", element_at(t, i), element_at(t, i + 1))).isNotNull,
             1L).otherwise(0L)))
         .otherwise(lit(0L))
-      df.withColumn("lm_score",
+      dfw.withColumn("lm_score",
           when(n === 0, lit(0.0)).otherwise(
             (sumC + n).cast("double") /
               (n * lit(model.totalTokens + model.vocabSize)).cast("double")))
@@ -129,7 +136,7 @@ object CountLm {
         .withColumn("lm_bigram_hit_frac",
           when(n < 2, lit(0.0)).otherwise(
             hits.cast("double") / (n - 1).cast("double")))
-    } else scoreJoin(df, idCol, textCol, model)
+    } else scoreJoin(dfw, idCol, textCol, model)
   }
 
   /** Join-strategy scoring for models past the plan-literal threshold:
@@ -214,16 +221,17 @@ object CountLm {
       outCol: String = "dsir_weight"): DataFrame = {
     def ratio(st: Column, sr: Column): Column =
       when(sr === 0.0, lit(0.0)).otherwise(st / sr)
+    val dfw = Fanout.widen(df, Seq(col(idCol)))
     if (target.terms.count() <= maxBroadcastTerms &&
         raw.terms.count() <= maxBroadcastTerms) {
       def termMap(m: Model): Column = typedLit(
         m.terms.collect().map(r => r.getString(0) -> r.getLong(1)).toMap)
       val t = toks(col(textCol))
-      df.withColumn(outCol, ratio(
+      dfw.withColumn(outCol, ratio(
         unigramScoreCol(t, termMap(target), target.totalTokens, target.vocabSize),
         unigramScoreCol(t, termMap(raw), raw.totalTokens, raw.vocabSize)))
     } else {
-      val st = scoreJoin(df, idCol, textCol, target)
+      val st = scoreJoin(dfw, idCol, textCol, target)
         .withColumnRenamed("lm_score", "__graft_dsir_t")
         .drop("lm_oov_frac", "lm_bigram_hit_frac")
       scoreJoin(st, idCol, textCol, raw)
@@ -312,6 +320,7 @@ object CountLm {
       textCol: String,
       kn: KnModel,
       maxBroadcastTerms: Int = 100000): DataFrame = {
+    val dfw = Fanout.widen(df, Seq(col(idCol)))
     val nBg = kn.bigrams.count()
     val nCtx = kn.contexts.count()
     if (nBg <= maxBroadcastTerms && nCtx <= maxBroadcastTerms) {
@@ -338,9 +347,9 @@ object CountLm {
             lit(java.math.BigDecimal.ZERO).cast("decimal(22,7)"),
             (acc, i) => (acc + termAt(i)).cast("decimal(22,7)")))
         .otherwise(lit(java.math.BigDecimal.ZERO).cast("decimal(22,7)"))
-      df.withColumn("kn_logprob", total.cast("double"))
+      dfw.withColumn("kn_logprob", total.cast("double"))
         .withColumn("kn_bigrams", greatest(n - 1, lit(0L)))
-    } else scoreKnJoin(df, idCol, textCol, kn)
+    } else scoreKnJoin(dfw, idCol, textCol, kn)
   }
 
   /** The per-bigram DECIMAL(22,7) ln-probability term, shared verbatim by

@@ -415,7 +415,10 @@ object Dedup {
       minContainment: Double = 0.8,
       maxShingleDf: Int = 10000): DataFrame = {
     require(maxShingleDf >= 1, s"maxShingleDf must be >= 1, got $maxShingleDf")
-    val sh0 = df.select(col(idCol).as("id"),
+    // shingling is the heavy per-row pass: fan a starved scan out before it
+    // (guide §2.5; operator-local per the round-19 verdict, q144 evidence)
+    val dfw = Fanout.widen(df, Seq(col(idCol)))
+    val sh0 = dfw.select(col(idCol).as("id"),
       explode(shingleHashes(col(textCol), shingleN)).as("h"))
     val sh = if (maxShingleDf == Int.MaxValue) sh0 else {
       val frequent = sh0.groupBy(col("h")).agg(count(lit(1)).as("df"))
@@ -428,7 +431,23 @@ object Dedup {
     // next to text — compute the two aggregates, materialize them
     // (localCheckpoint: sizes is O(docs), inter is the pair set the
     // operator returns anyway), then release the cache so nothing leaks
-    // past the call (the removeDuplicateSpans discipline)
+    // past the call (the removeDuplicateSpans discipline).
+    //
+    // Executor-loss story (deliberate trade, round-19/20 audit):
+    // localCheckpoint blocks are executor-local and NON-fault-tolerant —
+    // at cluster scale a lost executor fails the query, and the caller
+    // re-runs it from the parquet inputs (correctness preserved, latency
+    // hit); in local mode executor loss is process death, so nothing is
+    // lost that a persist would have kept. The alternatives are strictly
+    // worse on another axis: persist-only materialization cannot be
+    // unpersisted after this function returns, so the FULL pre-filter pair
+    // set would sit in the CacheManager (never GC-reclaimed) until session
+    // end, while localCheckpoint blocks are ContextCleaner-tracked and
+    // freed when the result frame is dropped; a reliable checkpoint writes
+    // the pair set to the checkpoint dir and Spark only deletes those
+    // files under cleanCheckpoints + GC, leaking disk instead. Query-level
+    // retry is the recovery path, as it is for every lineage-truncating
+    // materialization in this engine.
     val shP = sh.persist(StorageLevel.MEMORY_AND_DISK)
     val sizes = shP.groupBy(col("id")).agg(count(lit(1)).as("sz"))
       .localCheckpoint(eager = true)
@@ -880,6 +899,11 @@ object Dedup {
       bloomPrefilter: Boolean = false): DataFrame = {
     require(k >= 2, s"span gram size k must be >= 2, got $k")
     require(minCount >= 2, s"minCount must be >= 2, got $minCount")
+    // heavy per-row work (gram explode + the covered-token rewrite) on a
+    // possibly single-row-group scan: fan out here, at the operator whose
+    // cost justifies the exchange (guide §2.5; round-19 driver evidence
+    // q133 4.2x) — never at the shared corpus accessor
+    val dfw = Fanout.widen(df, Seq(col(idCol)))
     val toks = split(col(textCol), java.util.regex.Pattern.quote(sep))
     val n = size(toks)
     val gramStructs = when(n >= k,
@@ -891,7 +915,7 @@ object Dedup {
     // so the corpus gram pass runs once, then materialize the hit list —
     // bounded by documents-with-covered-spans, id + int positions only —
     // eagerly so the cache releases before the corpus-wide rewrite runs
-    val grams = df.select(col(idCol).as("__graft_sp_id"),
+    val grams = dfw.select(col(idCol).as("__graft_sp_id"),
         explode(gramStructs).as("g"))
       .select(col("__graft_sp_id"), col("g.pos").as("pos"), col("g.gh").as("gh"))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -919,7 +943,7 @@ object Dedup {
       .agg(collect_set(col("pos")).as("__graft_sp_starts"))
       .localCheckpoint(eager = true)
     grams.unpersist(blocking = false)
-    val joined = df.join(hits, df(idCol) === hits("__graft_sp_id"), "left")
+    val joined = dfw.join(hits, dfw(idCol) === hits("__graft_sp_id"), "left")
     val covered = array_distinct(flatten(
       transform(col("__graft_sp_starts"), s => sequence(s, s + (k - 1)))))
     val kept = transform(

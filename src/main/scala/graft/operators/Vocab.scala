@@ -134,7 +134,11 @@ object Vocab {
   }
 
   def tfIdf(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val terms = explodeTerms(df, idCol, textCol)
+    // the term explode is the heavy per-row pass: fan a starved scan out
+    // first (guide §2.5; operator-local per the round-19 verdict, q96
+    // driver evidence)
+    val dfw = Fanout.widen(df, Seq(col(idCol)))
+    val terms = explodeTerms(dfw, idCol, textCol)
     val perDoc = terms.groupBy(col(idCol), col("word"))
       .agg(count(lit(1)).as("tf_count"))
     val docLen = Window.partitionBy(col(idCol))
@@ -144,7 +148,7 @@ object Vocab {
     // (doc, word) already) — recomputing via docFrequencies would re-scan
     // and re-explode the whole corpus a second time
     val dfreq = perDoc.groupBy(col("word")).agg(count(lit(1)).as("df"))
-    val n = df.agg(count(lit(1)).as("__graft_n"))
+    val n = dfw.agg(count(lit(1)).as("__graft_n"))
     tf.join(dfreq, "word")
       .crossJoin(broadcast(n))
       .withColumn("idf", log(col("__graft_n").cast("double") / col("df").cast("double")))

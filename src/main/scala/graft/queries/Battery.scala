@@ -81,14 +81,14 @@ object Battery {
   private def li(s: SparkSession, d: String) = Tables.lineitem(s, d)
   private def ord(s: SparkSession, d: String) = Tables.orders(s, d)
   private def cust(s: SparkSession, d: String) = Tables.customer(s, d)
-  // The text/vector corpora feed heavy per-row work (shingles, token
-  // explodes, vector math) in most consumers, and the test parquet ships as
-  // ONE row group — a starved single-task scan on any multi-core session.
-  // Fanout.widen (guide §2.5 input skew) fans the scan out by its key iff
-  // the physical plan is actually narrower than the session's parallelism
-  // (identity at scale, where scans plan thousands of splits).
-  private def docs(s: SparkSession, d: String) =
-    graft.operators.Fanout.widen(Tables.documents(s, d), Seq(col("doc_id")))
+  // docs stays UN-widened at the accessor (round-19 verdict: a blanket
+  // Fanout.widen here taxed ~150 light consumers with a full hash exchange
+  // of the corpus to buy wins for ~5 heavy ones — battery geomean 0.82).
+  // The fan-out now lives INSIDE the operators whose per-row work is
+  // genuinely heavy (removeDuplicateSpans, CountLm train/score, tf-idf,
+  // containment shingling), exactly where the round-19 driver evidence
+  // showed wins (q133 4.2x, q151 2.0x, q96, q144).
+  private def docs(s: SparkSession, d: String) = Tables.documents(s, d)
   private def ev(s: SparkSession, d: String) = Tables.events(s, d)
   // embeddings stays un-widened: 2000 rows of vector math gain nothing from
   // a fan-out, and the widen Repartition under q158's self-union trips a

@@ -195,15 +195,14 @@ object TokenSortedWriter {
     }
     require(conf.partitioner == "murmur3" || conf.ringSplits == 0,
       "ringSplits (exact long-ring placement) requires the murmur3 partitioner")
-    // Fan a parallelism-starved scan out BEFORE the token projection
-    // (guide §2.5): the test corpora — and any freshly-landed single-file
-    // table — plan one real map task per parquet row group, so the
-    // tokenize + range-sample + shuffle-write map side would serialize on
-    // one core. The guard keys on the plan's actual partition count vs the
-    // session's parallelism, so at scale (thousands of splits) this is the
-    // identity and the write keeps its single range+sort shuffle.
-    val wide = graft.operators.Fanout.widen(df, schema.partitionKeys.map(qcol))
-    val withToken0 = wide.withColumn(TokenCol, tokenExpr)
+    // NO fan-out before the token projection (round-19/20 idle A/B): the
+    // round-19 entry widen bought q23's tokenize map side parallelism but
+    // made the write pay a SECOND full shuffle of the input, and the
+    // driver's 32-core battery showed the cost exceeding the win on every
+    // real write lifecycle (q51 3.66->5.99 s, q146 4.04->5.69, q71
+    // 4.00->5.01 steady) — the write path keeps its single range+sort
+    // shuffle, which re-establishes parallelism by itself.
+    val withToken0 = df.withColumn(TokenCol, tokenExpr)
     // dir-key copies ride along; sorting by them FIRST means the dynamic-
     // partition file writer sees its required ordering already satisfied and
     // inserts no extra (order-destroying) sort — each output file keeps the

@@ -38,32 +38,56 @@ class PlanQualitySpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join in:\n$plan")
   }
 
-  test("token-sorted write plans exactly one exchange (range partitioning)") {
+  test("token-sorted write plans exactly ONE exchange total (range partitioning)") {
     import spark.implicits._
-    // enough input partitions that the Fanout.widen starvation guard stays
-    // the identity — the gate checks the WIDE-input (at-scale) plan shape:
-    // exactly one range+sort shuffle
+    // Round-20 re-tightened gate (round-19 weakened it to ignore ALL hash
+    // exchanges, letting any number of hash shuffles creep into the write
+    // path unnoticed): the write path plans exactly one exchange — the
+    // range+sort shuffle — regardless of input width; the entry fan-out
+    // was removed after the driver's 32-core battery showed its second
+    // full shuffle costing more than the parallel map side saved.
     val df = (1L to 1000L).map(i => (i, s"v$i")).toDF("k", "v")
-      .repartition(spark.sparkContext.defaultParallelism, $"k")
     val sorted = TokenSortedWriter.tokenSorted(df, CqlSchema("t", Seq("k")),
       TokenSortedWriter.WriteConf(numPartitions = 4))
     val plan = sorted.queryExecution.executedPlan.toString
-    val exchanges = plan.linesIterator.count(l =>
-      l.contains("Exchange") && !l.contains("hashpartitioning"))
-    assert(exchanges == 1, s"expected exactly 1 range shuffle, plan:\n$plan")
+    val exchanges = plan.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges == 1, s"expected exactly 1 exchange total, plan:\n$plan")
     assert(plan.contains("rangepartitioning"),
       s"expected range partitioning on token, plan:\n$plan")
   }
 
-  test("token-sorted write fans a parallelism-starved scan out before the token shuffle") {
+  test("operator fan-out: heavy per-row operators widen a starved single-file " +
+      "scan; light consumers of the same scan plan no extra exchange") {
+    // the starved input: the sf parquet corpus ships as ONE file/row group
+    val corpus = graft.tables.Tables.documents(spark, sf)
+    // heavy operator (span dedup) fans out: hash exchange present
+    val heavy = graft.operators.Dedup.removeDuplicateSpans(
+      corpus, "doc_id", "text", k = 10, minCount = 2L)
+    val heavyPlan = heavy.queryExecution.executedPlan.toString
+    assert(heavyPlan.contains("hashpartitioning"),
+      s"expected the operator-local fan-out exchange, plan:\n$heavyPlan")
+    // a light projection of the SAME scan stays exchange-free (the
+    // round-19 regression: a blanket accessor widen taxed every light
+    // consumer with a full hash exchange)
+    val light = corpus.select(col("doc_id"), length(col("text")).as("n"))
+    val lightPlan = light.queryExecution.executedPlan.toString
+    assert(!lightPlan.contains("Exchange"),
+      s"light consumer must not pay a fan-out exchange, plan:\n$lightPlan")
+  }
+
+  test("Fanout.widen is the identity on non-scan-shaped plans (already " +
+      "shuffled/aggregated inputs) and on wide file sets") {
     import spark.implicits._
-    val df = (1L to 1000L).map(i => (i, s"v$i")).toDF("k", "v").coalesce(1)
-    val sorted = TokenSortedWriter.tokenSorted(df, CqlSchema("t", Seq("k")),
-      TokenSortedWriter.WriteConf(numPartitions = 4))
-    val plan = sorted.queryExecution.executedPlan.toString
-    assert(plan.contains("rangepartitioning"), s"range shuffle must stay, plan:\n$plan")
-    assert(plan.contains("hashpartitioning"),
-      s"expected the guarded fan-out exchange on the starved input, plan:\n$plan")
+    val corpus = graft.tables.Tables.documents(spark, sf)
+    // aggregated input: parallelism already re-established by the shuffle
+    val agged = corpus.groupBy(col("source")).agg(count(lit(1)).as("c"))
+    assert(graft.operators.Fanout.widen(agged, Seq(col("source"))) eq agged)
+    // repartitioned input: a second widen must not stack another exchange
+    val wide = corpus.repartition(spark.sparkContext.defaultParallelism, $"doc_id")
+    assert(graft.operators.Fanout.widen(wide, Seq(col("doc_id"))) eq wide)
+    // in-memory frame (no file leaves): untouched
+    val mem = (1L to 100L).toDF("id")
+    assert(graft.operators.Fanout.widen(mem, Seq(col("id"))) eq mem)
   }
 
   test("DSv2 source reports token pruning in the scan description") {
