@@ -525,6 +525,17 @@ object Snapshots {
     cols.length > 5 && cols(5) == "layout"
   }
 
+  /** "fold" marks a rewrite that preserves the table's RESOLVED state (the
+    * compaction LWW fold: multi-version rows collapse, tombstones/DVs
+    * materialize, but every key resolves to the same row before and
+    * after). Raw-row change capture still refuses to cross it (the raw
+    * appended versions DID change); the resolved-state diff
+    * ([[diffCandidateFiles]]) may skip it. */
+  private def isFold(f: FileSystem, root: Path, version: Long): Boolean = {
+    val cols = headerLine(f, root, version).split('\t')
+    cols.length > 5 && cols(5) == "fold"
+  }
+
   /** Append-commit: next version = parent's files ∪ `added`; DV bindings
    *  inherit unchanged (appends touch no existing file). Retries the
    *  optimistic create against concurrent committers. Returns the committed
@@ -599,10 +610,11 @@ object Snapshots {
       cdcFiles: Seq[String] = Nil,
       ridOverride: Option[(Map[String, Long], Long)] = None,
       idUpdate: Map[String, (Long, Long)] = Map.empty,
-      expectEmpty: Boolean = false): Long =
+      expectEmpty: Boolean = false,
+      fold: Boolean = false): Long =
     commitLoop(spark, dir, expectedParent, layoutOnly, cdcAdds = cdcFiles,
       ridOverride = ridOverride, idUpdate = idUpdate,
-      expectEmpty = expectEmpty) { case (_, dvs) =>
+      expectEmpty = expectEmpty, fold = fold) { case (_, dvs) =>
       // DV bindings survive for KEPT files and drop with replaced ones —
       // sound because every rewrite path reads its inputs with DVs applied
       // ([[DeletionVectors.applyToRead]] / the DSv2 DV readers), so the
@@ -634,7 +646,8 @@ object Snapshots {
       rowTracking: Boolean = false,
       ridOverride: Option[(Map[String, Long], Long)] = None,
       idUpdate: Map[String, (Long, Long)] = Map.empty,
-      expectEmpty: Boolean = false)(
+      expectEmpty: Boolean = false,
+      fold: Boolean = false)(
       next: (Seq[String], Map[String, String]) => (Seq[String], Map[String, String]))
       : Long = {
     val (f, root) = fs(spark, dir)
@@ -643,7 +656,8 @@ object Snapshots {
     val lock = commitLocks.computeIfAbsent(root.toString, _ => new Object)
     lock.synchronized {
       commitLoopLocked(f, root, dir, allowUnsafe, expectedParent, layoutOnly,
-        txnUpdate, cdcAdds, rowTracking, ridOverride, idUpdate, expectEmpty)(next)
+        txnUpdate, cdcAdds, rowTracking, ridOverride, idUpdate, expectEmpty,
+        fold)(next)
     }
   }
 
@@ -731,7 +745,8 @@ object Snapshots {
       rowTracking: Boolean = false,
       ridOverride: Option[(Map[String, Long], Long)] = None,
       idUpdate: Map[String, (Long, Long)] = Map.empty,
-      expectEmpty: Boolean = false)(
+      expectEmpty: Boolean = false,
+      fold: Boolean = false)(
       next: (Seq[String], Map[String, String]) => (Seq[String], Map[String, String]))
       : Long = {
     var attempt = 0
@@ -766,9 +781,13 @@ object Snapshots {
         .append('\t').append(parent.map(_.toString).getOrElse("-"))
         // 6th header column: "layout" marks a rewrite that repacked bytes
         // without changing logical rows (OPTIMIZE) — change capture may
-        // skip it; "-" for every logical commit. Readers index columns
-        // positionally, so appending stays backward-compatible.
-        .append('\t').append(if (layoutOnly) "layout" else "-").append('\n')
+        // skip it; "fold" marks a resolved-state-preserving rewrite (the
+        // compaction LWW fold — raw rows changed, resolved state did not);
+        // "-" for every logical commit. Readers index columns positionally,
+        // so appending stays backward-compatible.
+        .append('\t')
+        .append(if (layoutOnly) "layout" else if (fold) "fold" else "-")
+        .append('\n')
       // qualify before relativizing: callers hand in paths from different
       // producers (listings, inputFiles) whose URI spellings differ
       // (file:/ vs file:///) for the same file
@@ -1278,6 +1297,72 @@ object Snapshots {
       if (orphans.nonEmpty) graft.sources.TokenPruner.invalidateListing(dir)
     }
     all
+  }
+
+  /**
+   * The files whose rows could have CHANGED RESOLUTION between two pinned
+   * versions — the candidate-key enumerator behind the resolved-state diff
+   * (guide §3.2/§6: reduce both sides of a join to the keys the increment
+   * touched instead of full-outer-joining two whole table states).
+   *
+   * A key's resolved row can differ between `fromVersion` and `toVersion`
+   * only if some commit in `(from, to]` touched a file containing it:
+   *  - an APPEND's added files (new/updated versions of their keys);
+   *  - a LOGICAL rewrite's added AND removed files (CoW DELETE/UPDATE);
+   *  - files whose deletion-vector binding changed (MoR DML);
+   *  - layout-only repacks ("layout") and resolved-state-preserving
+   *    compaction folds ("fold") contribute NOTHING — every key resolves
+   *    identically across them by their commit contract.
+   *
+   * Returns None when the walk cannot be trusted (intermediate version
+   * files vacuumed, a candidate data file gone from disk, or a pre-fold-tag
+   * legacy rewrite commit that cannot be told apart from CoW DML) — the
+   * caller must fall back to the full-state diff. Tombstones are NOT
+   * covered here: they live outside the version log and apply to both
+   * pinned states symmetrically unless the caller time-scopes them (the
+   * caller handles that case; see TokenSortedWriter.diffRows).
+   */
+  def diffCandidateFiles(
+      spark: SparkSession, dir: String, fromVersion: Long, toVersion: Long)
+      : Option[Seq[String]] = {
+    require(fromVersion <= toVersion,
+      s"diffCandidateFiles: fromVersion $fromVersion > toVersion $toVersion")
+    if (fromVersion == toVersion) return Some(Nil)
+    val (f, root) = fs(spark, dir)
+    val versions = (fromVersion + 1) to toVersion
+    val walkable = (fromVersion == 0L || f.exists(vPath(root, fromVersion))) &&
+      versions.forall(v => f.exists(vPath(root, v)))
+    if (!walkable) return None
+    try {
+      var prevFiles: Set[String] =
+        if (fromVersion == 0L) Set.empty
+        else readFiles(f, root, fromVersion).toSet
+      var prevDvs: Map[String, String] =
+        if (fromVersion == 0L) Map.empty else dvsAt(f, root, fromVersion)
+      val out = scala.collection.mutable.LinkedHashSet[String]()
+      versions.foreach { v =>
+        val cur = readFiles(f, root, v).toSet
+        val dvs = dvsAt(f, root, v)
+        val statePreserving = isLayoutOnly(f, root, v) || isFold(f, root, v)
+        if (!statePreserving) {
+          val removed = prevFiles -- cur
+          // a legacy (pre-fold-tag) rewrite commit: could be a compaction
+          // fold OR CoW DML — indistinguishable, so the enumeration is
+          // only sound if we treat its files as candidates; that is
+          // correct but can be the whole table. Keep it (correctness
+          // first); the caller's cost model is "candidates are small".
+          out ++= (cur -- prevFiles)
+          out ++= removed
+          val dvChanged = (dvs.toSet diff prevDvs.toSet).map(_._1) ++
+            (prevDvs.toSet diff dvs.toSet).map(_._1)
+          out ++= dvChanged
+        }
+        prevFiles = cur
+        prevDvs = dvs
+      }
+      val files = out.toSeq
+      if (files.forall(p => f.exists(new Path(p)))) Some(files) else None
+    } catch { case scala.util.control.NonFatal(_) => None }
   }
 
   /** File-level diff of two committed versions: (added, removed) absolute

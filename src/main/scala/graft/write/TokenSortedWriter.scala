@@ -820,7 +820,58 @@ object TokenSortedWriter {
           (if (have.contains(c)) qcol(c) else lit(null)).as(s"__$tag$c")) :+
         lit(true).as(s"__present_$tag")): _*)
     }
-    val joined = side(from, "a_").join(side(to, "b_"), pk, "full_outer")
+    // Candidate-key pre-filter (guide §3.2/§6): a key's resolution can
+    // differ between the pins only if a state-changing commit in
+    // (from, to] touched a file carrying it — enumerate those files from
+    // the log (compaction folds and repacks contribute nothing), read
+    // their partition keys (narrow columns only), and semi-join BOTH
+    // resolved states down to the touched partitions before the full
+    // outer join. At 100 TB that joins two increment-sized states instead
+    // of two whole tables. Soundness: untouched keys resolve identically
+    // on both sides and would be dropped by the unchanged-filter anyway.
+    // Bypassed (full-state join, the previous behavior) when:
+    //  - the schemas differ between the pins (a column added between
+    //    versions makes every carrying row an update);
+    //  - the log walk is untrustworthy (vacuumed versions, missing files,
+    //    legacy rewrite commits) — diffCandidateFiles returns None;
+    //  - a tombstone horizon is in play and the tombstone set cannot be
+    //    read (it then contributes asymmetric deletes whose keys must
+    //    also be candidates);
+    //  - any enumeration step throws (e.g. renamed physical columns in
+    //    raw files) — correctness never depends on the fast path.
+    val candidateKeys: Option[DataFrame] =
+      if (from.columns.toSet != to.columns.toSet) None
+      else Snapshots.diffCandidateFiles(spark, dir, fromVersion, toVersion)
+        .flatMap { files =>
+          try {
+            val parts = schema.partitionKeys
+            val touched =
+              if (files.isEmpty) None
+              else Some(spark.read.parquet(files: _*).select(parts.map(qcol): _*))
+            // a horizon resurrects tombstoned rows on the from side ONLY —
+            // every tombstoned key is then a potential 'delete' candidate
+            // (without a horizon both pins apply the same tombstones, so
+            // they cancel and contribute no candidates)
+            val tombs: Option[DataFrame] =
+              if (fromTombstoneHorizonMicros.isEmpty) None
+              else {
+                val tPath = new Path(dir, DeletesDir)
+                val tfs = tPath.getFileSystem(spark.sessionState.newHadoopConf())
+                if (!tfs.exists(tPath)) None
+                else Some(spark.read.parquet(tPath.toString)
+                  .select(parts.map(qcol): _*))
+              }
+            val all = (touched.toSeq ++ tombs.toSeq).reduceOption(_ unionByName _)
+            Some(all.getOrElse(from.select(parts.map(qcol): _*).limit(0))
+              .distinct())
+          } catch { case scala.util.control.NonFatal(_) => None }
+        }
+    def scoped(df: DataFrame): DataFrame = candidateKeys match {
+      case Some(keys) => df.join(keys, schema.partitionKeys, "left_semi")
+      case None => df
+    }
+    val joined =
+      scoped(side(from, "a_")).join(scoped(side(to, "b_")), pk, "full_outer")
     val changed =
       if (vals.isEmpty) lit(false)
       else vals.map(c => !(col(s"__a_$c") <=> col(s"__b_$c"))).reduce(_ || _)
@@ -1061,8 +1112,10 @@ object TokenSortedWriter {
     val genFiles = graft.sources.TokenPruner
       .listDataFiles(fs, fs.makeQualified(new Path(gen)))
       .map(_.getPath.toString).toSeq
+    // "fold": the rewrite preserves every key's RESOLVED row (that is the
+    // compaction contract) — the resolved-state diff may ride across it
     val version = Snapshots.commitRewrite(spark, dir, genFiles,
-      expectedParent = Some(sourceVersion))
+      expectedParent = Some(sourceVersion), fold = true)
     Snapshots.vacuum(spark, dir, vacuumRetain)
     graft.sources.TokenPruner.invalidateListing(dir)
     version

@@ -451,6 +451,55 @@ class SnapshotsSpec extends SparkSpec {
     assert(d2 == Seq((1L, "update", "updated"), (10L, "insert", "new")))
   }
 
+  test("diffRows candidate enumeration: folds contribute nothing, appends " +
+      "their files; touched-but-unchanged keys stay omitted; legacy " +
+      "rewrites stay sound via the full file set") {
+    val dir = freshDir()
+    def writeWt(df: DataFrame, wt: Long): Unit =
+      TokenSortedWriter.write(df, schema, dir, SaveMode.Append,
+        TokenSortedWriter.WriteConf(numPartitions = 2, keepTokenColumn = true,
+          writetimeMicros = Some(wt), snapshot = true))
+    writeWt(rows(0 until 6), 1000L)                                  // v1
+    val v1Files = Snapshots.files(spark, dir, 1L).toSet
+    // v2: id 1 updated, id 2 REWRITTEN WITH THE SAME VALUE (touched, not
+    // changed — the candidate filter must admit it, the unchanged-filter
+    // must still drop it)
+    writeWt(Seq((1L, "updated"), (2L, "v2")).toDF("id", "payload"), 2000L)
+    val latest = TokenSortedWriter.compactInPlace(spark, schema, dir,
+      TokenSortedWriter.WriteConf(numPartitions = 2), vacuumRetain = 10)
+
+    // the fold commit contributes NOTHING: candidates are exactly v2's
+    // appended files (the walk rode across the compaction)
+    val cands = Snapshots.diffCandidateFiles(spark, dir, 1L, latest)
+    assert(cands.isDefined, "walkable log must enumerate candidates")
+    assert(cands.get.nonEmpty && cands.get.toSet.intersect(v1Files).isEmpty,
+      s"fold/v1 files must not be candidates: ${cands.get}")
+
+    val d = TokenSortedWriter.diffRows(spark, schema, dir, 1L, latest)
+      .select("id", "op", "payload").as[(Long, String, String)]
+      .collect().sortBy(_._1).toSeq
+    assert(d == Seq((1L, "update", "updated")),
+      s"only the truly-changed key surfaces, got $d")
+
+    // an UNTAGGED logical rewrite that drops a file (CoW-DELETE shape):
+    // the dropped file is a candidate and its keys surface as deletes —
+    // the enumeration never silently misses a state change
+    val head = Snapshots.latestVersion(spark, dir).get
+    val keep = Snapshots.files(spark, dir, head)
+    val dropped = keep.head
+    Snapshots.commitRewrite(spark, dir, keep.filterNot(_ == dropped),
+      expectedParent = Some(head))
+    val cands2 = Snapshots.diffCandidateFiles(spark, dir, head, head + 1)
+    assert(cands2.isDefined && cands2.get.contains(dropped),
+      s"the dropped file must be a candidate, got $cands2")
+    val droppedIds = spark.read.parquet(dropped)
+      .select("id").as[Long].collect().toSet
+    val d2 = TokenSortedWriter.diffRows(spark, schema, dir, head, head + 1)
+      .select("id", "op").as[(Long, String)].collect().toSeq
+    assert(d2.map(_._1).toSet == droppedIds && d2.forall(_._2 == "delete"),
+      s"exactly the dropped file's keys surface as deletes, got $d2")
+  }
+
   test("asof pin and vacuum dry run") {
     val dir = freshDir()
     writeSnap(rows(0 until 4), dir)                        // v1
